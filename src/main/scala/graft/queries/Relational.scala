@@ -1,0 +1,255 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational core: aggregation, joins, windows, set ops — the operators
+  * the reference lacks entirely (SURVEY.md §2.13) and that Spark provides
+  * natively. Declarative DataFrame plans only: Catalyst handles pushdown,
+  * partial aggregation and join selection.
+  *
+  * Oracle-determinism rules used throughout this file:
+  *   - money sums go through DECIMAL(18,2) (exact, order-independent)
+  *     then cast back to double — identical in Spark and DuckDB;
+  *   - doubles emitted raw only when copied or summed from integral
+  *     values (order-independent);
+  *   - every result has a total ORDER BY with a unique tiebreak column
+  *     so row order matches the oracle byte-for-byte.
+  *
+  * Scale notes (100 TB): group-bys here shuffle once on their grouping
+  * keys with map-side partial aggregation; dimension joins
+  * (nation/region/customer) are explicitly broadcast; fact-fact joins
+  * (lineitem x orders) shuffle on the join key, which AQE re-plans for
+  * skew. Nothing collects to the driver except the final small result.
+  */
+object Relational {
+
+  /** Exact money arithmetic: 2-dp doubles -> DECIMAL(18,2). */
+  private def money(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dsum(c: Column): Column  = sum(money(c)).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_groupby_agg" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    "q02_join_topk" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(
+          sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(20)
+    },
+
+    "q03_broadcast_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          dsum(col("c_acctbal")).as("total_acctbal"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    "q04_window_rank" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t.orders
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+
+    "q05_anti_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders.filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    "q06_semi_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders.filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+
+    "q07_distinct_agg" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.events
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+
+    "q08_sort_limit" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(10)
+    },
+
+    "q09_intersect" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val p = t.events.filter(col("event_type") === "purchase").select(col("user_id"))
+      val e = t.events.filter(col("event_type") === "error").select(col("user_id"))
+      p.intersect(e).orderBy(col("user_id"))
+    },
+
+    "q10_except" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      // users who purchase, but never above 150
+      val p = t.events.filter(col("event_type") === "purchase").select(col("user_id"))
+      val g = t.events.filter(col("event_type") === "purchase" && col("value") > 150)
+        .select(col("user_id"))
+      p.except(g).orderBy(col("user_id"))
+    },
+
+    "q11_scalar_subquery" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val sup = t.supplier
+      // exact decimal avg, evaluated once and broadcast as a literal plan
+      val avgBal = sup.agg((dsum(col("s_acctbal")) / count(lit(1))).as("a"))
+      sup.join(broadcast(avgBal))
+        .filter(col("s_acctbal") > col("a"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    "q12_rollup" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+
+    "q13_conditional_agg" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("n_bulk"),
+          sum(when(col("l_discount") >= 0.05, 1L).otherwise(0L)).as("n_discounted"),
+          sum(when(col("l_tax") === 0.0, 1L).otherwise(0L)).as("n_taxfree"))
+        .orderBy(col("l_returnflag"))
+    })
+
+  def oracle: Map[String, String] = Map(
+    "q01_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         sum(l_quantity) / count(*) AS avg_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_join_topk" ->
+      """SELECT o_orderkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderkey
+         ORDER BY revenue DESC, o_orderkey LIMIT 20""",
+    "q03_broadcast_join" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q04_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3
+         ORDER BY o_custkey, rn""",
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+         ORDER BY c_custkey""",
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+         ORDER BY c_custkey""",
+    "q07_distinct_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+         count(DISTINCT user_id) AS n_users,
+         min(value) AS min_value, max(value) AS max_value,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q08_sort_limit" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+         FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""",
+    "q09_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'error'
+         ORDER BY user_id""",
+    "q10_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+         EXCEPT
+         SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
+         ORDER BY user_id""",
+    "q11_scalar_subquery" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+         WHERE s_acctbal > (SELECT CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM supplier)
+         ORDER BY s_suppkey""",
+    "q12_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+    "q13_conditional_agg" ->
+      """SELECT l_returnflag,
+         sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_bulk,
+         sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS n_discounted,
+         sum(CASE WHEN l_tax = 0.0 THEN 1 ELSE 0 END) AS n_taxfree
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+}
