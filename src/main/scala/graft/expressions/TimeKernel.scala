@@ -1,0 +1,164 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.time._
+import java.time.format.{DateTimeFormatter, DateTimeFormatterBuilder}
+import java.time.temporal.{ChronoField, TemporalAccessor}
+import java.util.Locale
+import java.util.concurrent.ConcurrentHashMap
+
+/** Go-reference-layout time kernel for the reference's time library
+  * (/root/reference/lib/time.go:201-248). Translates Go layouts
+  * ("2006-01-02 15:04:05") into `DateTimeFormatter`s, cached per layout.
+  *
+  * Timestamps cross this boundary as epoch MICROS (Spark TimestampType's
+  * physical representation), so `StaticInvoke` calls stay primitive.
+  */
+object TimeKernel {
+
+  /** Named layouts exported by the reference as the `time_layout` global
+    * (lib/time.go:151-172) — values are the Go stdlib layout strings. */
+  val namedLayouts: Map[String, String] = Map(
+    "Layout"      -> "01/02 03:04:05PM '06 -0700",
+    "ANSIC"       -> "Mon Jan _2 15:04:05 2006",
+    "UnixDate"    -> "Mon Jan _2 15:04:05 MST 2006",
+    "RubyDate"    -> "Mon Jan 02 15:04:05 -0700 2006",
+    "RFC822"      -> "02 Jan 06 15:04 MST",
+    "RFC822Z"     -> "02 Jan 06 15:04 -0700",
+    "RFC850"      -> "Monday, 02-Jan-06 15:04:05 MST",
+    "RFC1123"     -> "Mon, 02 Jan 2006 15:04:05 MST",
+    "RFC1123Z"    -> "Mon, 02 Jan 2006 15:04:05 -0700",
+    "RFC3339"     -> "2006-01-02T15:04:05Z07:00",
+    "RFC3339Nano" -> "2006-01-02T15:04:05.999999999Z07:00",
+    "Kitchen"     -> "3:04PM",
+    "Stamp"       -> "Jan _2 15:04:05",
+    "StampMilli"  -> "Jan _2 15:04:05.000",
+    "StampMicro"  -> "Jan _2 15:04:05.000000",
+    "StampNano"   -> "Jan _2 15:04:05.000000000",
+    "HTTP"        -> "Mon, 02 Jan 2006 15:04:05 GMT")
+
+  // Go layout token -> action on the formatter builder. Ordered:
+  // longest-first so e.g. "2006" wins over "06"/"2", "January" over "Jan".
+  private sealed trait Tok
+  private case class Pat(p: String) extends Tok
+  private case class Frac(digits: Int, fixed: Boolean) extends Tok
+
+  private val tokens: Seq[(String, Tok)] = Seq(
+    ".999999999" -> Frac(9, fixed = false),
+    ".000000000" -> Frac(9, fixed = true),
+    ".999999"    -> Frac(6, fixed = false),
+    ".000000"    -> Frac(6, fixed = true),
+    "January"    -> Pat("MMMM"),
+    "Monday"     -> Pat("EEEE"),
+    "Z07:00"     -> Pat("XXX"),
+    "-07:00"     -> Pat("xxx"),
+    ".999"       -> Frac(3, fixed = false),
+    ".000"       -> Frac(3, fixed = true),
+    "Z0700"      -> Pat("XX"),
+    "-0700"      -> Pat("xx"),
+    "2006"       -> Pat("uuuu"),
+    "15"         -> Pat("HH"),
+    "Jan"        -> Pat("MMM"),
+    "Mon"        -> Pat("EEE"),
+    "MST"        -> Pat("zzz"),
+    "Z07"        -> Pat("X"),
+    "-07"        -> Pat("x"),
+    "01"         -> Pat("MM"),
+    "02"         -> Pat("dd"),
+    "03"         -> Pat("hh"),
+    "04"         -> Pat("mm"),
+    "05"         -> Pat("ss"),
+    "06"         -> Pat("yy"),
+    "_2"         -> Pat("ppd"),
+    "PM"         -> Pat("a"),
+    "pm"         -> Pat("a"),
+    "1"          -> Pat("M"),
+    "2"          -> Pat("d"),
+    "3"          -> Pat("h"),
+    "4"          -> Pat("m"),
+    "5"          -> Pat("s"))
+
+  private val cache = new ConcurrentHashMap[String, DateTimeFormatter]()
+
+  def formatter(goLayout: String): DateTimeFormatter =
+    cache.computeIfAbsent(goLayout, build)
+
+  private def build(layout: String): DateTimeFormatter = {
+    val b = new DateTimeFormatterBuilder().parseCaseInsensitive()
+    val pat = new StringBuilder
+    def flushPat(): Unit = { if (pat.nonEmpty) { b.appendPattern(pat.toString); pat.clear() } }
+    var i = 0
+    while (i < layout.length) {
+      tokens.find { case (t, _) => layout.startsWith(t, i) } match {
+        case Some((t, Pat(p))) => pat.append(p); i += t.length
+        case Some((t, Frac(d, fixed))) =>
+          flushPat()
+          b.appendLiteral('.')
+          b.appendFraction(ChronoField.NANO_OF_SECOND, if (fixed) d else 0, d, false)
+          i += t.length
+        case None =>
+          val c = layout.charAt(i)
+          if (c.isLetter) pat.append('\'').append(c).append('\'')
+          else if (c == '\'') pat.append("''")
+          else pat.append(c)
+          i += 1
+      }
+    }
+    flushPat()
+    b.parseDefaulting(ChronoField.YEAR, 1)
+      .parseDefaulting(ChronoField.MONTH_OF_YEAR, 1)
+      .parseDefaulting(ChronoField.DAY_OF_MONTH, 1)
+      .parseDefaulting(ChronoField.HOUR_OF_DAY, 0)
+      .parseDefaulting(ChronoField.MINUTE_OF_HOUR, 0)
+      .parseDefaulting(ChronoField.SECOND_OF_MINUTE, 0)
+      .parseDefaulting(ChronoField.NANO_OF_SECOND, 0)
+      .toFormatter(Locale.US)
+  }
+
+  private def toMicros(t: TemporalAccessor): Long = {
+    val zone: ZoneId =
+      if (t.isSupported(ChronoField.OFFSET_SECONDS) && t.query(TemporalQueries.offset) != null)
+        t.query(TemporalQueries.offset)
+      else Option(t.query(TemporalQueries.zone)).getOrElse(ZoneOffset.UTC)
+    val ldt = LocalDateTime.of(
+      t.get(ChronoField.YEAR), t.get(ChronoField.MONTH_OF_YEAR), t.get(ChronoField.DAY_OF_MONTH),
+      t.get(ChronoField.HOUR_OF_DAY), t.get(ChronoField.MINUTE_OF_HOUR),
+      t.get(ChronoField.SECOND_OF_MINUTE), t.get(ChronoField.NANO_OF_SECOND))
+    val inst = ldt.atZone(zone).toInstant
+    Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L), inst.getNano / 1000L)
+  }
+
+  private object TemporalQueries {
+    val offset = java.time.temporal.TemporalQueries.offset()
+    val zone   = java.time.temporal.TemporalQueries.zoneId()
+  }
+
+  /** ts.format(layout) — lib/time.go:201-211. Input epoch micros (UTC). */
+  def formatTime(micros: Long, layout: UTF8String): UTF8String = {
+    val inst = Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+      Math.floorMod(micros, 1000000L) * 1000L)
+    UTF8String.fromString(formatter(layout.toString).format(inst.atZone(ZoneOffset.UTC)))
+  }
+
+  /** s.parse_time(layout) — lib/time.go:213-227. Returns epoch micros. */
+  def parseTime(s: UTF8String, layout: UTF8String): Long =
+    toMicros(formatter(layout.toString).parse(s.toString))
+
+  /** s.parse_time(list<layout>) first-success — lib/time.go:229-248. */
+  def parseTimeMulti(s: UTF8String, layouts: ArrayData): Long = {
+    val n = layouts.numElements()
+    var i = 0
+    while (i < n) {
+      try return parseTime(s, layouts.getUTF8String(i))
+      catch { case _: Exception => }
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      s"failed to parse $s with any provided layout")
+  }
+
+  /** Resolve a named layout ("RFC3339") or pass a raw Go layout through. */
+  def resolveLayout(l: String): String = namedLayouts.getOrElse(l, l)
+}

@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{functions => F}
+
+import java.util.regex.Pattern
+
+/** The engine's Column-API surface: every function of the reference's
+  * 12 extension libraries (SURVEY.md §2), re-expressed Spark-first.
+  *
+  * Three tiers:
+  *   1. direct `org.apache.spark.sql.functions` mappings (codegen'd);
+  *   2. kernel calls via Catalyst `StaticInvoke` — still whole-stage
+  *      codegen, no UDF boxing (graft.expressions.*Kernel);
+  *   3. dynamic-document (`json_*`) operators over JSON-encoded variant
+  *      documents ([[graft.values.JsonAlgebra]]) with exact reference
+  *      semantics incl. in-band error values.
+  */
+object functions {
+
+  // Static-forwarder classes (object methods exposed as Java statics).
+  private val J = Class.forName("graft.expressions.JsonKernel")
+  private val S = Class.forName("graft.expressions.StringKernel")
+  private val T = Class.forName("graft.expressions.TimeKernel")
+  private val C = Class.forName("graft.expressions.CryptoKernel")
+
+  private def call(cls: Class[_], dt: DataType, name: String,
+      inTypes: Seq[DataType], args: Column*): Column =
+    org.apache.spark.sql.graft.Shim.column(StaticInvoke(cls, dt, name,
+      args.map(org.apache.spark.sql.graft.Shim.expression).toIndexedSeq, inTypes))
+
+  private val Str = StringType
+  private val Bin = BinaryType
+  private val ArrS = ArrayType(StringType)
+
+  // =====================================================================
+  // Collections (reference lib/collections.go) — dynamic-document tier.
+  // Document columns are JSON strings (the reference's value universe).
+  // =====================================================================
+  def json_collate(doc: Column, path: Column): Column =
+    call(J, Str, "collate", Seq(Str, Str), doc, path)
+  def json_collate(doc: Column, path: String): Column = json_collate(doc, F.lit(path))
+  def json_collate_all(doc: Column, paths: Seq[String]): Column =
+    call(J, Str, "collateMulti", Seq(Str, ArrS), doc, F.array(paths.map(F.lit): _*))
+
+  def json_drop(doc: Column, path: String): Column =
+    call(J, Str, "dropPath", Seq(Str, Str), doc, F.lit(path))
+  def json_drop_all(doc: Column, paths: Seq[String]): Column =
+    call(J, Str, "dropPaths", Seq(Str, ArrS), doc, F.array(paths.map(F.lit): _*))
+
+  def json_drop_empty(doc: Column): Column = call(J, Str, "dropEmpty", Seq(Str), doc)
+  def json_flatten_deep(doc: Column): Column = call(J, Str, "flattenDeep", Seq(Str), doc)
+
+  def json_with(dst: Column, src: Column): Column =
+    call(J, Str, "withAll", Seq(Str, Str), dst, src)
+  def json_with_update(dst: Column, src: Column): Column =
+    call(J, Str, "withUpdate", Seq(Str, Str), dst, src)
+  def json_with_replace(dst: Column, src: Column): Column =
+    call(J, Str, "withReplace", Seq(Str, Str), dst, src)
+
+  def json_keys(doc: Column): Column = call(J, Str, "keysSorted", Seq(Str), doc)
+  def json_values(doc: Column): Column = call(J, Str, "valuesSorted", Seq(Str), doc)
+  def json_zip(keys: Column, vals: Column): Column = call(J, Str, "zip", Seq(Str, Str), keys, vals)
+  def json_min(doc: Column): Column = call(J, Str, "minList", Seq(Str), doc)
+  def json_max(doc: Column): Column = call(J, Str, "maxList", Seq(Str), doc)
+
+  /** encode_json for dynamic docs: canonical sorted-key render
+    * (Go json.Marshal order — lib/json.go:207-247). Typed rows use
+    * Spark's to_json. */
+  def json_normalize(doc: Column): Column = call(J, Str, "normalize", Seq(Str), doc)
+  /** decode_json_stream — lib/json.go:268-289. */
+  def decode_json_stream(s: Column): Column = call(J, Str, "decodeStream", Seq(Str), s)
+  /** JSON array doc -> array of element docs (for explode fan-out). */
+  def json_elements(doc: Column): Column = call(J, ArrS, "elements", Seq(Str), doc)
+
+  // Error-value semantics (lib/try.go, SURVEY §7.4)
+  def is_error(doc: Column): Column = call(J, BooleanType, "isError", Seq(Str), doc)
+  def try_(doc: Column): Column = call(J, Str, "tryWeaken", Seq(Str), doc)
+  def try_(doc: Column, label: String): Column =
+    call(J, Str, "tryWeakenLabeled", Seq(Str, Str), doc, F.lit(label))
+
+  // =====================================================================
+  // Strings (reference lib/strings.go). Builtins where exact, kernel
+  // where Go semantics differ.
+  // =====================================================================
+  def compare_str(a: Column, b: Column): Column =
+    call(S, IntegerType, "compareStr", Seq(Str, Str), a, b)
+  def contains_substr(s: Column, sub: Column): Column = s.contains(sub)
+  def contains_any(s: Column, chars: Column): Column =
+    call(S, BooleanType, "containsAny", Seq(Str, Str), s, chars)
+  def count_substr(s: Column, sub: Column): Column =
+    call(S, LongType, "countSubstr", Seq(Str, Str), s, sub)
+  def equal_fold(a: Column, b: Column): Column =
+    call(S, BooleanType, "equalFold", Seq(Str, Str), a, b)
+  def fields_str(s: Column): Column = call(S, ArrS, "fields", Seq(Str), s)
+  def has_prefix(s: Column, p: Column): Column = s.startsWith(p)
+  def has_suffix(s: Column, p: Column): Column = s.endsWith(p)
+  def index_str(s: Column, sub: Column): Column =
+    call(S, LongType, "indexOf", Seq(Str, Str), s, sub)
+  def index_any(s: Column, chars: Column): Column =
+    call(S, LongType, "indexAny", Seq(Str, Str), s, chars)
+  def last_index(s: Column, sub: Column): Column =
+    call(S, LongType, "lastIndexOf", Seq(Str, Str), s, sub)
+  def last_index_any(s: Column, chars: Column): Column =
+    call(S, LongType, "lastIndexAny", Seq(Str, Str), s, chars)
+  def join_str(arr: Column, sep: String): Column = F.array_join(arr, sep)
+  def repeat_str(s: Column, n: Column): Column = F.repeat(s, n)
+  def replace_n(s: Column, old: Column, nw: Column, n: Column): Column =
+    call(S, Str, "replaceN", Seq(Str, Str, Str, LongType), s, old, nw, n)
+  def replace_all(s: Column, old: Column, nw: Column): Column = F.replace(s, old, nw)
+  def split_str(s: Column, sep: String): Column = F.split(s, Pattern.quote(sep))
+  def split_n(s: Column, sep: Column, n: Column): Column =
+    call(S, ArrS, "splitN", Seq(Str, Str, LongType), s, sep, n)
+  def split_after(s: Column, sep: Column): Column =
+    call(S, ArrS, "splitAfter", Seq(Str, Str), s, sep)
+  def split_after_n(s: Column, sep: Column, n: Column): Column =
+    call(S, ArrS, "splitAfterN", Seq(Str, Str, LongType), s, sep, n)
+  /** Code-point substring with strict bounds (mito strings.go:857-902). */
+  def substring_runes(s: Column, start: Column, end: Column): Column =
+    call(S, Str, "substrRunes", Seq(Str, LongType, LongType), s, start, end)
+  def to_lower(s: Column): Column = F.lower(s)
+  def to_upper(s: Column): Column = F.upper(s)
+  def to_title(s: Column): Column = call(S, Str, "toTitle", Seq(Str), s)
+  def to_valid_utf8(b: Column, replacement: Column): Column =
+    call(S, Str, "toValidUTF8", Seq(Bin, Str), b, replacement)
+  def valid_utf8(b: Column): Column = call(S, BooleanType, "validUTF8", Seq(Bin), b)
+  def trim_cutset(s: Column, cutset: Column): Column =
+    call(S, Str, "trimCutset", Seq(Str, Str), s, cutset)
+  def trim_left(s: Column, cutset: Column): Column =
+    call(S, Str, "trimLeftCutset", Seq(Str, Str), s, cutset)
+  def trim_right(s: Column, cutset: Column): Column =
+    call(S, Str, "trimRightCutset", Seq(Str, Str), s, cutset)
+  def trim_prefix(s: Column, p: Column): Column =
+    call(S, Str, "trimPrefix", Seq(Str, Str), s, p)
+  def trim_suffix(s: Column, p: Column): Column =
+    call(S, Str, "trimSuffix", Seq(Str, Str), s, p)
+  /** Unicode-whitespace trim (Go strings.TrimSpace). */
+  def trim_space(s: Column): Column =
+    F.regexp_replace(s, "^\\s+|\\s+$", "")
+
+  // =====================================================================
+  // Time (reference lib/time.go) — Go reference layouts.
+  // =====================================================================
+  /** The reference's `time_layout` global map (lib/time.go:151-172). */
+  val time_layout: Map[String, String] = graft.expressions.TimeKernel.namedLayouts
+
+  def format_time(ts: Column, goLayout: String): Column =
+    call(T, Str, "formatTime", Seq(TimestampType, Str), ts,
+      F.lit(graft.expressions.TimeKernel.resolveLayout(goLayout)))
+  def parse_time(s: Column, goLayout: String): Column =
+    call(T, TimestampType, "parseTime", Seq(Str, Str), s,
+      F.lit(graft.expressions.TimeKernel.resolveLayout(goLayout)))
+  def parse_time(s: Column, goLayouts: Seq[String]): Column =
+    call(T, TimestampType, "parseTimeMulti", Seq(Str, ArrS), s,
+      F.array(goLayouts.map(l => F.lit(graft.expressions.TimeKernel.resolveLayout(l))): _*))
+  /** `now` global (per-query-constant, mito lib/time.go:46-54). */
+  def now_batch(): Column = F.current_timestamp()
+
+  // =====================================================================
+  // Crypto (reference lib/crypto.go) — digests return raw BYTES.
+  // =====================================================================
+  def md5_bytes(b: Column): Column = call(C, Bin, "md5Bytes", Seq(Bin), b)
+  def sha1_bytes(b: Column): Column = call(C, Bin, "sha1Bytes", Seq(Bin), b)
+  def sha256_bytes(b: Column): Column = call(C, Bin, "sha256Bytes", Seq(Bin), b)
+  def hmac(data: Column, hash: String, key: Column): Column =
+    call(C, Bin, "hmac", Seq(Bin, Str, Bin), data, F.lit(hash), key)
+  def base64_std(b: Column): Column = call(C, Str, "base64Std", Seq(Bin), b)
+  def base64_raw(b: Column): Column = call(C, Str, "base64Raw", Seq(Bin), b)
+  def base64_decode(s: Column): Column = call(C, Bin, "base64Decode", Seq(Str), s)
+  def base64_raw_decode(s: Column): Column = call(C, Bin, "base64RawDecode", Seq(Str), s)
+  /** lowercase hex (Go hex.EncodeToString; Spark's hex() is uppercase). */
+  def hex_lower(b: Column): Column = call(C, Str, "hexEncode", Seq(Bin), b)
+  def uuid4(): Column = F.expr("uuid()")
+
+  // =====================================================================
+  // Regexp (reference lib/regexp.go) — named, pre-compiled patterns
+  // become plan-time resolved literals; execution is Spark's codegen'd
+  // regexp expressions.
+  // =====================================================================
+  final case class RegexpRegistry(patterns: Map[String, String]) {
+    private def p(name: String): String =
+      patterns.getOrElse(name, throw new IllegalArgumentException(s"no pattern: $name"))
+    def re_match(name: String, s: Column): Column = s.rlike(p(name))
+    def re_find(name: String, s: Column): Column = F.regexp_extract(s, p(name), 0)
+    def re_find_all(name: String, s: Column): Column = F.regexp_extract_all(s, F.lit(p(name)), F.lit(0))
+    def re_find_submatch(name: String, s: Column): Column = {
+      val n = Pattern.compile(p(name)).matcher("").groupCount()
+      F.array((0 to n).map(g => F.regexp_extract(s, p(name), g)): _*)
+    }
+    def re_replace_all(name: String, s: Column, replacement: Column): Column =
+      F.regexp_replace(s, F.lit(p(name)), replacement)
+  }
+}

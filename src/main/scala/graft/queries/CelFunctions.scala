@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries exercising the CEL function surface
+  * (collections/strings/time/json/crypto/regexp tiers of
+  * [[graft.functions]]) against the driver tables.
+  *
+  * `events.ts` arrives as epoch-nano LONG (nanosAsLong read); `ts DIV
+  * 1000` keeps the micros conversion in exact integer arithmetic
+  * (a double division would lose precision above 2^53 ns).
+  */
+object CelFunctions {
+
+  private def tsMicros = expr("ts DIV 1000")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_json_collate" -> { (s, dir) =>
+      Tables(s, dir).events
+        .select(col("event_id"), json_collate(col("props"), "k").as("collated"))
+        .orderBy(col("event_id"))
+    },
+
+    "q21_json_with" -> { (s, dir) =>
+      Tables(s, dir).events
+        .select(col("event_id"),
+          json_with(col("props"), lit("""{"seen":true}""")).as("merged"))
+        .orderBy(col("event_id"))
+    },
+
+    "q22_string_funcs" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          count_substr(col("text"), lit("scan")).as("n_scan"),
+          index_str(col("text"), lit("join")).as("idx_join"),
+          upper(substring(col("text"), 1, 10)).as("head_upper"),
+          length(col("text")).cast("long").as("n_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q23_time_format" -> { (s, dir) =>
+      Tables(s, dir).events
+        .select(col("event_id"),
+          format_time(timestamp_micros(tsMicros), "RFC3339").as("rfc3339"))
+        .orderBy(col("event_id"))
+    },
+
+    "q24_time_roundtrip" -> { (s, dir) =>
+      Tables(s, dir).events
+        .select(col("event_id"),
+          unix_timestamp(
+            parse_time(format_time(timestamp_micros(tsMicros), "RFC3339"), "RFC3339"))
+            .as("epoch_s"))
+        .orderBy(col("event_id"))
+    },
+
+    "q25_crypto_digest" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          hex_lower(md5_bytes(col("text").cast("binary"))).as("md5_hex"),
+          hex_lower(sha256_bytes(col("text").cast("binary"))).as("sha256_hex"),
+          base64_std(col("text").cast("binary")).as("b64"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q26_regexp" -> { (s, dir) =>
+      val re = RegexpRegistry(Map(
+        "word"   -> "([a-z]+)",
+        "hasdup" -> "(\\w+) \\1"))
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+          re.re_match("word", col("text")).as("has_word"),
+          regexp_replace(col("text"), "[aeiou]", "_").as("devoweled"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q27_tokenize" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          size(fields_str(col("text"))).cast("long").as("n_tokens"),
+          trim_space(col("text")).as("trimmed"))
+        .orderBy(col("doc_id"))
+    })
+
+  def oracle: Map[String, String] = Map(
+    "q20_json_collate" ->
+      """SELECT event_id, '[' || json_extract_string(props, '$.k') || ']' AS collated
+         FROM events ORDER BY event_id""",
+    "q21_json_with" ->
+      """SELECT event_id,
+         '{"k":' || json_extract_string(props, '$.k') || ',"seen":true}' AS merged
+         FROM events ORDER BY event_id""",
+    "q22_string_funcs" ->
+      """SELECT doc_id,
+         CAST((length(text) - length(replace(text, 'scan', ''))) // 4 AS BIGINT) AS n_scan,
+         CAST(strpos(text, 'join') - 1 AS BIGINT) AS idx_join,
+         upper(substr(text, 1, 10)) AS head_upper,
+         CAST(length(text) AS BIGINT) AS n_len
+         FROM documents ORDER BY doc_id""",
+    "q23_time_format" ->
+      """SELECT event_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%SZ') AS rfc3339
+         FROM events ORDER BY event_id""",
+    "q24_time_roundtrip" ->
+      """SELECT event_id,
+         CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s
+         FROM events ORDER BY event_id""",
+    "q25_crypto_digest" ->
+      """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
+         base64(CAST(text AS BLOB)) AS b64
+         FROM documents ORDER BY doc_id""",
+    "q26_regexp" ->
+      """SELECT doc_id,
+         regexp_extract(text, '([a-z]+)', 1) AS first_word,
+         regexp_matches(text, '([a-z]+)') AS has_word,
+         regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled
+         FROM documents ORDER BY doc_id""",
+    "q27_tokenize" ->
+      """SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         trim(text) AS trimmed
+         FROM documents ORDER BY doc_id""")
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to `private[sql]` Column <-> Expression conversion (Spark 4
+  * moved Column onto ColumnNode; extensions reach Expressions through
+  * org.apache.spark.sql.classic.ExpressionUtils). */
+object Shim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
