@@ -1,0 +1,121 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sketching/fingerprinting kernel for the LLM-data-pipeline operators
+  * (dedup, lang-id). Pure JVM loops invoked from whole-stage codegen via
+  * StaticInvoke — each call is O(tokens), no boxing of the token array
+  * beyond ArrayData access.
+  *
+  * Algorithms are standard published constructions (Charikar's SimHash,
+  * FNV-1a rolling hash, stopword-profile language ID); nothing here
+  * derives from the reference engine, which has no dedup/similarity
+  * surface (SURVEY.md §2.13).
+  */
+object SketchKernel {
+
+  /** FNV-1a 64-bit over a UTF-8 string. */
+  private def fnv1a(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Charikar SimHash-64 over a token array: per bit, sum +1/-1 weighted
+    * by token-hash bit, sign -> bit. Hamming distance of signatures
+    * approximates cosine distance of the token multisets. */
+  def simhash64(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = fnv1a(tokens.getUTF8String(i).getBytes)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) acc(k) += 1 else acc(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) { if (acc(k) > 0) sig |= (1L << k); k += 1 }
+    sig
+  }
+
+  /** Rolling document fingerprint: FNV-1a chained over tokens in order
+    * (order-sensitive, unlike the canonical sorted-token fingerprint). */
+  def rollingFingerprint(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < n) {
+      val b = tokens.getUTF8String(i).getBytes
+      var j = 0
+      while (j < b.length) { h ^= b(j) & 0xffL; h *= 0x100000001b3L; j += 1 }
+      h ^= 0x1fL; h *= 0x100000001b3L // token boundary marker
+      i += 1
+    }
+    h
+  }
+
+  // Stopword profiles for the n-gram/stopword language-ID heuristic.
+  // Priority order for ties is the declaration order below (must match
+  // the SQL oracle's CASE chain in queries/Pipeline.scala).
+  private val profiles: Array[(String, Set[String])] = Array(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "a"),
+    "de" -> Set("der", "die", "und", "ist", "das", "ein"),
+    "es" -> Set("el", "la", "de", "que", "y", "los"),
+    "fr" -> Set("le", "la", "et", "les", "des", "un"),
+    "zh" -> Set("的", "是", "不", "我", "在", "了"))
+
+  /** Language of a token array by max stopword hits; 'und' when no
+    * profile matches. Deterministic tie-break by profile order. */
+  def langId(tokens: ArrayData): UTF8String = {
+    val n = tokens.numElements()
+    val counts = new Array[Int](profiles.length)
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i).toString
+      var p = 0
+      while (p < profiles.length) {
+        if (profiles(p)._2.contains(t)) counts(p) += 1
+        p += 1
+      }
+      i += 1
+    }
+    var best = 0
+    var p = 1
+    while (p < profiles.length) { if (counts(p) > counts(best)) best = p; p += 1 }
+    UTF8String.fromString(if (counts(best) == 0) "und" else profiles(best)._1)
+  }
+
+  /** Stopword hit count for one profile (exposed so the lang-id score
+    * itself is queryable/oracle-checkable). */
+  def stopwordHits(tokens: ArrayData, lang: UTF8String): Long = {
+    val set = profiles.collectFirst { case (l, s) if l == lang.toString => s }.getOrElse(Set.empty)
+    val n = tokens.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) { if (set.contains(tokens.getUTF8String(i).toString)) c += 1; i += 1 }
+    c
+  }
+
+  /** The multimodal decode STUB: a deterministic 16-bin byte histogram
+    * "feature extractor" standing in for a real image/audio decoder
+    * (decoder libs are unavailable in this environment — the Spark-side
+    * plumbing (binary column in, fixed-width float vector out, batched
+    * per partition) is the real, tested part). */
+  def byteHistogram16(bytes: Array[Byte]): ArrayData = {
+    val counts = new Array[Int](16)
+    var i = 0
+    while (i < bytes.length) { counts((bytes(i) & 0xff) >> 4) += 1; i += 1 }
+    val total = math.max(bytes.length, 1).toFloat
+    val out = new Array[Any](16)
+    i = 0
+    while (i < 16) { out(i) = counts(i) / total; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

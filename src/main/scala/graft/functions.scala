@@ -25,6 +25,7 @@ object functions {
   private val S = Class.forName("graft.expressions.StringKernel")
   private val T = Class.forName("graft.expressions.TimeKernel")
   private val C = Class.forName("graft.expressions.CryptoKernel")
+  private val K = Class.forName("graft.expressions.SketchKernel")
 
   private def call(cls: Class[_], dt: DataType, name: String,
       inTypes: Seq[DataType], args: Column*): Column =
@@ -179,6 +180,54 @@ object functions {
   // become plan-time resolved literals; execution is Spark's codegen'd
   // regexp expressions.
   // =====================================================================
+  // =====================================================================
+  // LLM-pipeline operators (dedup / similarity / text analysis /
+  // multimodal) — beyond the reference surface, designed for 100 TB.
+  // =====================================================================
+  /** Whitespace tokens of trimmed text (shared by dedup + text analysis,
+    * and mirrored exactly by the DuckDB oracles). */
+  def tokens(text: Column): Column = F.split(F.trim(text), "\\s+")
+
+  /** Distinct word n-gram shingles over a token array (empty when the
+    * document has fewer than n tokens). */
+  def shingles(toks: Column, n: Int): Column = {
+    val grams = F.transform(
+      F.sequence(F.lit(0), F.size(toks) - n),
+      i => F.concat_ws(" ", F.slice(toks, i + 1, F.lit(n))))
+    F.array_distinct(
+      F.when(F.size(toks) >= n, grams).otherwise(F.array().cast(ArrS)))
+  }
+
+  /** Charikar SimHash-64 of a token array. */
+  def simhash64(toks: Column): Column =
+    call(K, LongType, "simhash64", Seq(ArrS), toks)
+
+  /** Order-sensitive FNV-1a rolling fingerprint of a token array. */
+  def rolling_fingerprint(toks: Column): Column =
+    call(K, LongType, "rollingFingerprint", Seq(ArrS), toks)
+
+  /** Stopword-profile language ID ('en','de','es','fr','zh','und'). */
+  def lang_id(toks: Column): Column = call(K, Str, "langId", Seq(ArrS), toks)
+
+  def stopword_hits(toks: Column, lang: String): Column =
+    call(K, LongType, "stopwordHits", Seq(ArrS, Str), toks, F.lit(lang))
+
+  /** Multimodal decode STUB: deterministic 16-bin byte histogram as a
+    * stand-in feature extractor over an opaque binary column. */
+  def byte_histogram16(bytes: Column): Column =
+    call(K, ArrayType(FloatType, containsNull = false), "byteHistogram16", Seq(Bin), bytes)
+
+  /** Hamming distance between two 64-bit signatures (codegen'd builtins). */
+  def hamming64(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))
+
+  /** Exact double-precision cosine similarity between two double arrays,
+    * left-to-right accumulation (deterministic, oracle-matchable). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      F.aggregate(F.zip_with(x, y, (p, q) => p * q), F.lit(0d), (acc, v) => acc + v)
+    dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+  }
+
   final case class RegexpRegistry(patterns: Map[String, String]) {
     private def p(name: String): String =
       patterns.getOrElse(name, throw new IllegalArgumentException(s"no pattern: $name"))

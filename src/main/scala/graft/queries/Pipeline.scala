@@ -1,0 +1,252 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over the documents/embeddings
+  * tables: deduplication (exact, canonical-fingerprint, MinHash+LSH,
+  * SimHash), similarity search (brute-force cosine top-k + LSH-banded
+  * near-dup), text analysis (lang-id, quality, token counts), multimodal
+  * plumbing.
+  *
+  * Scale design (100 TB):
+  *   - MinHash-LSH: the only shuffle of document payloads is the final
+  *     shingle re-join; the band self-join shuffles just
+  *     (band_id, band_hash, doc_id) triples. Candidate pairs are tiny
+  *     relative to the corpus; exact-Jaccard verification touches only
+  *     candidates (never O(n^2)).
+  *   - SimHash: signatures are 8 bytes/doc; the 4x16-bit band join is a
+  *     shuffle of (band, key, id, sig) only.
+  *   - Brute-force cosine is the correctness baseline; at scale the
+  *     banded/LSH variants bound the join fan-out. The query-side table
+  *     is broadcast.
+  *   - All thresholded filters compare numbers computed identically in
+  *     the DuckDB oracle (integer-exact set sizes; double arithmetic
+  *     with fixed evaluation order, rounded before compare).
+  */
+object Pipeline {
+
+  private def toks(c: Column) = tokens(c)
+
+  /** documents + distinct 3-gram shingles (docs shorter than 3 tokens keep
+    * an empty shingle set and can never pair). */
+  private def shingled(t: Tables) =
+    t.documents.select(col("doc_id"),
+      shingles(toks(col("text")), 3).as("sh"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- deduplication -------------------------------------------------
+    "q30_exact_dedup" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy(col("content_hash"))
+    },
+
+    "q31_minhash_lsh_dedup" -> { (s, dir) =>
+      val docs = shingled(Tables(s, dir)).cache()
+      // 64 minhashes; 16 bands x 4 rows. xxhash64(x, p) = hash family.
+      val sig = docs.withColumn("sig",
+        transform(sequence(lit(0), lit(63)),
+          p => array_min(transform(col("sh"), x => xxhash64(x, p)))))
+      val bands = sig.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(15)),
+          b => struct(b.as("band_id"),
+            xxhash64(slice(col("sig"), b * 4 + 1, lit(4)), b).as("band_hash")))).as("bd"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.bd") === col("b.bd") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      // exact-Jaccard verification on candidates only
+      cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))))
+        .filter(col("jaccard") >= 0.9)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    "q32_canonical_fingerprint" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          md5(array_join(array_sort(array_distinct(toks(col("text")))), " ")
+            .cast("binary")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- text analysis -------------------------------------------------
+    "q33_quality_score" -> { (s, dir) =>
+      val t = toks(col("text"))
+      val nTok = size(t).cast("long")
+      val stopHits = stopword_hits(t, "en")
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          nTok.as("n_tokens"),
+          size(regexp_extract_all(col("text"), lit("[,.!?;:]"), lit(0))).cast("long").as("n_punct"),
+          stopHits.as("stop_hits"),
+          (stopHits.cast("double") / nTok * 0.5 +
+            least(nTok.cast("double") / 100.0, lit(1.0)) * 0.5).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q34_lang_id" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), lang_id(toks(col("text"))).as("lang_guess"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q35_token_count" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          size(toks(col("text"))).cast("long").as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- similarity search --------------------------------------------
+    "q36_ann_topk" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qe"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(cosine(col("qe"), col("emb")), 6))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("vec_id"), col("cos"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
+    "q37_embedding_neardup" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+      e.as("a").crossJoin(e.as("b"))
+        .filter(col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", round(cosine(col("a.emb"), col("b.emb")), 6))
+        .filter(col("cos") >= 0.45)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    // --- rows-only (hash-family-specific; golden-tested in ScalaTest) --
+    "q38_simhash_neardup" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), simhash64(toks(col("text"))).as("sig"))
+      val bands = docs.select(col("doc_id"), col("sig"),
+        explode(expr(
+          """transform(sequence(0, 3), b -> struct(b AS band_id,
+            shiftrightunsigned(sig, cast(b * 16 AS int)) & 65535 AS key))""")).as("bd"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.bd") === col("b.bd") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    "q39_rolling_fingerprint" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), rolling_fingerprint(toks(col("text"))).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q40_multimodal_features" -> { (s, dir) =>
+      // Binary multimodal plumbing with a stubbed decoder: payload is an
+      // opaque binary column + typed metadata; "decode" = deterministic
+      // byte-histogram features (see SketchKernel.byteHistogram16).
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          col("text").cast("binary").as("payload"),
+          struct(length(col("text")).cast("long").as("n_bytes"),
+            lit("text/plain").as("mime"), col("source").as("origin")).as("meta"))
+        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+          byte_histogram16(col("payload")).as("features"))
+        .orderBy(col("doc_id"))
+    })
+
+  private val tokSql = """string_split_regex(trim(text), '\s+')"""
+  private val shSql =
+    """list_distinct([lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2] for i in range(1, len(lst) - 1)])"""
+
+  def oracle: Map[String, String] = Map(
+    "q30_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY content_hash""",
+    "q31_minhash_lsh_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $shSql AS sh
+                     FROM (SELECT doc_id, $tokSql AS lst FROM documents) WHERE len(lst) >= 3)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+          FROM t a JOIN t b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9
+          ORDER BY doc_a, doc_b""",
+    "q32_canonical_fingerprint" ->
+      s"""SELECT doc_id,
+          md5(array_to_string(list_sort(list_distinct($tokSql)), ' ')) AS fingerprint
+          FROM documents ORDER BY doc_id""",
+    "q33_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS lst, text FROM documents)
+          SELECT doc_id,
+            CAST(len(lst) AS BIGINT) AS n_tokens,
+            CAST(len(regexp_extract_all(text, '[,.!?;:]')) AS BIGINT) AS n_punct,
+            CAST(len(list_filter(lst, x -> list_contains(['the','and','of','to','in','is','a'], x))) AS BIGINT) AS stop_hits,
+            CAST(len(list_filter(lst, x -> list_contains(['the','and','of','to','in','is','a'], x))) AS DOUBLE)
+              / len(lst) * 0.5 + least(CAST(len(lst) AS DOUBLE) / 100.0, 1.0) * 0.5 AS quality
+          FROM t ORDER BY doc_id""",
+    "q34_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS lst FROM documents),
+          c AS (SELECT doc_id,
+            len(list_filter(lst, x -> list_contains(['the','and','of','to','in','is','a'], x))) AS c_en,
+            len(list_filter(lst, x -> list_contains(['der','die','und','ist','das','ein'], x))) AS c_de,
+            len(list_filter(lst, x -> list_contains(['el','la','de','que','y','los'], x))) AS c_es,
+            len(list_filter(lst, x -> list_contains(['le','la','et','les','des','un'], x))) AS c_fr,
+            len(list_filter(lst, x -> list_contains(['的','是','不','我','在','了'], x))) AS c_zh
+            FROM t)
+          SELECT doc_id, CASE
+            WHEN greatest(c_en, c_de, c_es, c_fr, c_zh) = 0 THEN 'und'
+            WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+            WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+            WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+            WHEN c_fr >= c_zh THEN 'fr'
+            ELSE 'zh' END AS lang_guess
+          FROM c ORDER BY doc_id""",
+    "q35_token_count" ->
+      s"""SELECT doc_id,
+          CAST(len($tokSql) AS BIGINT) AS n_ws_tokens,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+          FROM documents ORDER BY doc_id""",
+    "q36_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          p AS (SELECT q.vec_id AS qid, e.vec_id,
+            round(
+              list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))), 6) AS cos
+            FROM e q JOIN e ON q.vec_id < 10 AND e.vec_id <> q.vec_id),
+          r AS (SELECT qid, vec_id, cos,
+            CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk FROM p)
+          SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "q37_embedding_neardup" ->
+      """WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            round(
+              list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+          SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45 ORDER BY vec_a, vec_b""")
+}

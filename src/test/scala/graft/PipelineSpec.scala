@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions._
+import graft.queries.Pipeline
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+
+  test("minhash-LSH dedup finds exactly the brute-force near-dup pairs") {
+    val lsh = Pipeline.queries("q31_minhash_lsh_dedup")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // brute force: all-pairs exact Jaccard over shingle sets
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+    val brute = docs.as("a").crossJoin(docs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+        size(array_union(col("a.sh"), col("b.sh"))))
+      .filter(col("j") >= 0.9)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(lsh == brute)
+    assert(brute.nonEmpty, "test data should contain planted near-duplicates")
+  }
+
+  test("simhash near-dup pairs cover the high-jaccard pairs") {
+    val sim = Pipeline.queries("q38_simhash_neardup")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val minhash = Pipeline.queries("q31_minhash_lsh_dedup")(spark, sf)
+      .filter(col("jaccard") >= 0.98)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(minhash.subsetOf(sim),
+      s"simhash missed high-jaccard pairs: ${minhash -- sim}")
+  }
+
+  test("ann topk is rank-ordered and self-free") {
+    val rows = Pipeline.queries("q36_ann_topk")(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val byRank = rs.sortBy(_.getLong(1))
+      assert(byRank.map(_.getDouble(3)).sameElements(
+        byRank.map(_.getDouble(3)).sorted(Ordering[Double].reverse)), s"qid $qid not sorted")
+      assert(rs.forall(_.getLong(2) != qid), "self in neighbors")
+    }
+  }
+
+  test("multimodal feature stub: 16-dim normalized histogram") {
+    val feats = Pipeline.queries("q40_multimodal_features")(spark, sf)
+      .select("features").head.getSeq[Float](0)
+    assert(feats.length == 16)
+    assert(math.abs(feats.sum - 1.0f) < 1e-3)
+  }
+
+  test("lang_id returns a known label") {
+    val langs = Pipeline.queries("q34_lang_id")(spark, sf)
+      .select("lang_guess").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de", "es", "fr", "zh", "und")))
+  }
+
+  test("exact dedup keeps one keeper per hash") {
+    val df = Pipeline.queries("q30_exact_dedup")(spark, sf)
+    assert(df.count() == df.select("content_hash").distinct().count())
+  }
+}
