@@ -26,6 +26,9 @@ object functions {
   private val T = Class.forName("graft.expressions.TimeKernel")
   private val C = Class.forName("graft.expressions.CryptoKernel")
   private val K = Class.forName("graft.expressions.SketchKernel")
+  private val M = Class.forName("graft.expressions.MimeKernel")
+  private val H = Class.forName("graft.expressions.HttpKernel")
+  private val L = Class.forName("graft.expressions.LimitKernel")
 
   private def call(cls: Class[_], dt: DataType, name: String,
       inTypes: Seq[DataType], args: Column*): Column =
@@ -180,6 +183,66 @@ object functions {
   // become plan-time resolved literals; execution is Spark's codegen'd
   // regexp expressions.
   // =====================================================================
+  // =====================================================================
+  // MIME / format decoders (reference lib/mime.go, lib/file.go):
+  // in-row decode of gzip/zip/csv/ndjson payload columns. File-granular
+  // versions of the same formats use DataFrameReader (csv/json/binaryFile).
+  // =====================================================================
+  val zipMemberType: StructType = StructType(Seq(
+    StructField("Name", StringType), StructField("IsDir", BooleanType),
+    StructField("Size", LongType), StructField("Modified", TimestampType),
+    StructField("Data", BinaryType)))
+
+  def gunzip(b: Column): Column = call(M, Bin, "gunzip", Seq(Bin), b)
+  def zip_expand(b: Column): Column =
+    call(M, ArrayType(zipMemberType), "zipExpand", Seq(Bin), b)
+  def csv_header(b: Column): Column =
+    call(M, ArrayType(MapType(Str, Str)), "csvHeader", Seq(Bin), b)
+  def csv_no_header(b: Column): Column =
+    call(M, ArrayType(ArrS), "csvNoHeader", Seq(Bin), b)
+  /** NDJSON bytes -> array of JSON docs; malformed lines become in-band
+    * error values (mime.go:302-306). */
+  def ndjson_docs(b: Column): Column = call(M, ArrS, "ndjson", Seq(Bin), b)
+  def rot13(b: Column): Column = call(M, Bin, "rot13", Seq(Bin), b)
+
+  // =====================================================================
+  // HTTP url/query functions (reference lib/http.go:1002-1143). The
+  // executing calls (get/post/do_request) are the HTTP streaming source.
+  // =====================================================================
+  val urlStructType: StructType = graft.expressions.HttpKernel.urlStructType
+
+  def parse_url(s: Column): Column = call(H, urlStructType, "parseUrl", Seq(Str), s)
+  def format_url(m: Column): Column = call(H, Str, "formatUrl", Seq(urlStructType), m)
+  def parse_query(s: Column): Column =
+    call(H, MapType(Str, ArrS), "parseQuery", Seq(Str), s)
+  /** Sorted-key url-encoded query string (url.Values.Encode). */
+  def format_query(m: Column): Column =
+    call(H, Str, "formatQuery", Seq(MapType(Str, ArrS)), m)
+
+  // =====================================================================
+  // Rate-limit header interpretation (reference lib/limit.go). `now` is
+  // an explicit column for replay determinism (pass now_batch()).
+  // =====================================================================
+  val rateLimitType: StructType = graft.expressions.LimitKernel.resultType
+
+  def rate_limit(headers: Column, policy: String, windowSecs: Column, now: Column): Column = {
+    val w = (windowSecs * 1000000L).cast(LongType)
+    policy match {
+      case "okta" =>
+        call(L, rateLimitType, "okta", Seq(MapType(Str, ArrS), LongType, TimestampType), headers, w, now)
+      case "draft" =>
+        call(L, rateLimitType, "draft", Seq(MapType(Str, ArrS), LongType, TimestampType), headers, w, now)
+      case other => throw new IllegalArgumentException(s"unknown policy: $other")
+    }
+  }
+
+  def rate_limit_general(headers: Column, prefix: String, delta: Boolean,
+      windowSecs: Column, burst: Column, now: Column): Column =
+    call(L, rateLimitType, "general",
+      Seq(MapType(Str, ArrS), Str, BooleanType, LongType, LongType, TimestampType),
+      headers, F.lit(prefix), F.lit(delta),
+      (windowSecs * 1000000L).cast(LongType), burst.cast(LongType), now)
+
   // =====================================================================
   // LLM-pipeline operators (dedup / similarity / text analysis /
   // multimodal) — beyond the reference surface, designed for 100 TB.

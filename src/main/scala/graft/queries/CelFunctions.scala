@@ -84,6 +84,26 @@ object CelFunctions {
           size(fields_str(col("text"))).cast("long").as("n_tokens"),
           trim_space(col("text")).as("trimmed"))
         .orderBy(col("doc_id"))
+    },
+
+    "q28_parse_url" -> { (s, dir) =>
+      val url = concat(lit("https://example.com/"), col("source"),
+        lit("?doc="), col("doc_id"))
+      Tables(s, dir).documents
+        .select(col("doc_id"), graft.functions.parse_url(url).as("u"))
+        .select(col("doc_id"), col("u.Scheme").as("scheme"), col("u.Host").as("host"),
+          col("u.Path").as("path"), col("u.RawQuery").as("raw_query"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q29_format_query" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          format_query(map_from_arrays(
+            array(lit("src"), lit("id")),
+            array(array(col("source")), array(col("doc_id").cast("string")))))
+            .as("qs"))
+        .orderBy(col("doc_id"))
     })
 
   def oracle: Map[String, String] = Map(
@@ -122,5 +142,12 @@ object CelFunctions {
       """SELECT doc_id,
          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
          trim(text) AS trimmed
+         FROM documents ORDER BY doc_id""",
+    "q28_parse_url" ->
+      """SELECT doc_id, 'https' AS scheme, 'example.com' AS host,
+         '/' || source AS path, 'doc=' || doc_id AS raw_query
+         FROM documents ORDER BY doc_id""",
+    "q29_format_query" ->
+      """SELECT doc_id, 'id=' || doc_id || '&src=' || source AS qs
          FROM documents ORDER BY doc_id""")
 }
