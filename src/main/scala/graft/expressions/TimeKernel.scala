@@ -83,7 +83,7 @@ object TimeKernel {
   private val cache = new ConcurrentHashMap[String, DateTimeFormatter]()
 
   def formatter(goLayout: String): DateTimeFormatter =
-    cache.computeIfAbsent(goLayout, build)
+    cache.computeIfAbsent(resolveLayout(goLayout), build)
 
   private def build(layout: String): DateTimeFormatter = {
     val b = new DateTimeFormatterBuilder().parseCaseInsensitive()

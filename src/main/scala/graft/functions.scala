@@ -206,6 +206,15 @@ object functions {
   def rot13(b: Column): Column = call(M, Bin, "rot13", Seq(Bin), b)
 
   // =====================================================================
+  // XML (reference lib/xml.go + lib/xml/xml.go): schemaless decode with
+  // plurality auto-promotion; optional Detail hint tree (compiled XSD).
+  // =====================================================================
+  private val X = Class.forName("graft.expressions.XmlKernel")
+  def decode_xml(s: Column): Column = call(X, Str, "decodeXml", Seq(Str), s)
+  def decode_xml(s: Column, hints: Column): Column =
+    call(X, Str, "decodeXmlHinted", Seq(Str, Str), s, hints)
+
+  // =====================================================================
   // HTTP url/query functions (reference lib/http.go:1002-1143). The
   // executing calls (get/post/do_request) are the HTTP streaming source.
   // =====================================================================
