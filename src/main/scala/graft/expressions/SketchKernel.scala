@@ -45,6 +45,72 @@ object SketchKernel {
     sig
   }
 
+  /** Distinct word n-gram shingles in one pass (vs a Catalyst
+    * transform/slice/concat chain): preserves first-occurrence order,
+    * empty when fewer than n tokens. */
+  def wordShingles(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    if (cnt < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= cnt - n) {
+      val sb = new java.lang.StringBuilder
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(i + k).toString)
+        k += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** 64-permutation MinHash signature in ONE pass over the shingle set:
+    * one FNV-1a per shingle plus 64 cheap splitmix64-style derivations,
+    * instead of 64 full string hashes per element. Returns the 64
+    * per-permutation minima. Empty input -> Long.MaxValue sentinels
+    * (can never collide into a band bucket pair with real signatures
+    * only if both are empty — callers filter size>=n upstream). */
+  def minhashSig(shingles: ArrayData): ArrayData = {
+    val sig = Array.fill(64)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val base = fnv1a(shingles.getUTF8String(i).getBytes)
+      var p = 0
+      while (p < 64) {
+        // splitmix64 finalizer over (base + odd-constant * p): an
+        // independent-enough hash family for LSH banding
+        var z = base + 0x9e3779b97f4a7c15L * (p + 1)
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        if (z < sig(p)) sig(p) = z
+        p += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig.map(java.lang.Long.valueOf(_): Any))
+  }
+
+  /** Left-to-right double dot product over two equal-length double
+    * arrays — bit-identical to aggregate(zip_with(a, b, *), 0d, +) and
+    * to the oracle's list_sum(list_transform(...)), but one tight JVM
+    * loop instead of per-element Catalyst lambda dispatch. */
+  def dotProduct(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0d
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
   /** Rolling document fingerprint: FNV-1a chained over tokens in order
     * (order-sensitive, unlike the canonical sorted-token fingerprint). */
   def rollingFingerprint(tokens: ArrayData): Long = {

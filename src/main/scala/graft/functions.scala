@@ -261,18 +261,17 @@ object functions {
   def tokens(text: Column): Column = F.split(F.trim(text), "\\s+")
 
   /** Distinct word n-gram shingles over a token array (empty when the
-    * document has fewer than n tokens). */
-  def shingles(toks: Column, n: Int): Column = {
-    val grams = F.transform(
-      F.sequence(F.lit(0), F.size(toks) - n),
-      i => F.concat_ws(" ", F.slice(toks, i + 1, F.lit(n))))
-    F.array_distinct(
-      F.when(F.size(toks) >= n, grams).otherwise(F.array().cast(ArrS)))
-  }
+    * document has fewer than n tokens). One kernel pass per document. */
+  def shingles(toks: Column, n: Int): Column =
+    call(K, ArrS, "wordShingles", Seq(ArrS, IntegerType), toks, F.lit(n))
 
   /** Charikar SimHash-64 of a token array. */
   def simhash64(toks: Column): Column =
     call(K, LongType, "simhash64", Seq(ArrS), toks)
+
+  /** 64-permutation MinHash signature (one kernel pass per document). */
+  def minhash_sig(shingleSet: Column): Column =
+    call(K, ArrayType(LongType, containsNull = false), "minhashSig", Seq(ArrS), shingleSet)
 
   /** Order-sensitive FNV-1a rolling fingerprint of a token array. */
   def rolling_fingerprint(toks: Column): Column =
@@ -292,13 +291,16 @@ object functions {
   /** Hamming distance between two 64-bit signatures (codegen'd builtins). */
   def hamming64(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))
 
+  /** Left-to-right double dot product (kernel loop; bit-identical to
+    * aggregate(zip_with(a,b,*), 0d, +) and the DuckDB oracle form). */
+  def dot_product(a: Column, b: Column): Column =
+    call(K, DoubleType, "dotProduct",
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType)), a, b)
+
   /** Exact double-precision cosine similarity between two double arrays,
     * left-to-right accumulation (deterministic, oracle-matchable). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      F.aggregate(F.zip_with(x, y, (p, q) => p * q), F.lit(0d), (acc, v) => acc + v)
-    dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dot_product(a, b) / (F.sqrt(dot_product(a, a)) * F.sqrt(dot_product(b, b)))
 
   final case class RegexpRegistry(patterns: Map[String, String]) {
     private def p(name: String): String =

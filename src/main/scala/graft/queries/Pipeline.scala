@@ -48,10 +48,8 @@ object Pipeline {
 
     "q31_minhash_lsh_dedup" -> { (s, dir) =>
       val docs = shingled(Tables(s, dir)).cache()
-      // 64 minhashes; 16 bands x 4 rows. xxhash64(x, p) = hash family.
-      val sig = docs.withColumn("sig",
-        transform(sequence(lit(0), lit(63)),
-          p => array_min(transform(col("sh"), x => xxhash64(x, p)))))
+      // 64 minhashes in one kernel pass; 16 bands x 4 rows.
+      val sig = docs.withColumn("sig", minhash_sig(col("sh")))
       val bands = sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(15)),
           b => struct(b.as("band_id"),
@@ -129,11 +127,16 @@ object Pipeline {
     },
 
     "q37_embedding_neardup" -> { (s, dir) =>
+      // Norms are precomputed per vector (identical arithmetic to the
+      // per-pair form, so the oracle's dot/(sqrt(qq)*sqrt(ee)) value is
+      // bit-equal) — the pair loop then does ONE dot product per pair.
       val e = Tables(s, dir).embeddings
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+        .withColumn("ss", dot_product(col("emb"), col("emb")))
+      val dot = dot_product(col("a.emb"), col("b.emb"))
       e.as("a").crossJoin(e.as("b"))
         .filter(col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos", round(cosine(col("a.emb"), col("b.emb")), 6))
+        .withColumn("cos", round(dot / (sqrt(col("a.ss")) * sqrt(col("b.ss"))), 6))
         .filter(col("cos") >= 0.45)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
         .orderBy(col("vec_a"), col("vec_b"))
