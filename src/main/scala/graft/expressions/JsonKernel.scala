@@ -95,6 +95,13 @@ object JsonKernel {
     } else UTF8String.fromString(render(n))
   }
 
+  /** debug(tag, expr) pass-through logger — reference lib/debug.go:70-91
+    * (handler prints "DEBUG: <tag>: <value>", mito.go:292-298). */
+  def debugLog(tag: UTF8String, value: UTF8String): UTF8String = {
+    System.err.println(s"DEBUG: $tag: $value")
+    value
+  }
+
   /** Split a JSON array document into one JSON string per element
     * (feeds explode() — row-granularity fan-out of a batch document). */
   def elements(json: UTF8String): ArrayData = {

@@ -169,6 +169,34 @@ object SketchKernel {
     c
   }
 
+  /** Random-hyperplane sign bits for an embedding (Charikar LSH for
+    * cosine): bit i = sign(<emb, r_i>) with r_i components derived from
+    * splitmix64(i, j) mapped to [-1, 1]. Deterministic across executors
+    * (no RNG state), one pass per (bit, dim). The scale path for ANN:
+    * band the bits, bucket-join, exact-verify candidates only. */
+  def embedSignBits(emb: ArrayData, nbits: Int): Long = {
+    val d = emb.numElements()
+    var sig = 0L
+    var i = 0
+    while (i < nbits) {
+      var acc = 0d
+      var j = 0
+      while (j < d) {
+        var z = (i.toLong * 1048573L + j.toLong + 1L) * 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        // map to [-1, 1)
+        val r = (z >>> 11) * (1.0 / (1L << 52)) - 1.0
+        acc += emb.getDouble(j) * r
+        j += 1
+      }
+      if (acc >= 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
   /** The multimodal decode STUB: a deterministic 16-bin byte histogram
     * "feature extractor" standing in for a real image/audio decoder
     * (decoder libs are unavailable in this environment — the Spark-side

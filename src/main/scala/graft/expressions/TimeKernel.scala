@@ -161,4 +161,64 @@ object TimeKernel {
 
   /** Resolve a named layout ("RFC3339") or pass a raw Go layout through. */
   def resolveLayout(l: String): String = namedLayouts.getOrElse(l, l)
+
+  // -------------------------------------------------------------------
+  // Go duration strings (CEL `duration("1h2m3.5s")`) <-> micros.
+  // CEL's duration type maps to DayTimeIntervalType (SURVEY §1.2);
+  // micros is its physical representation.
+  // -------------------------------------------------------------------
+  private val unitMicros: Seq[(String, Double)] = Seq(
+    "ns" -> 0.001, "us" -> 1.0, "µs" -> 1.0, "μs" -> 1.0,
+    "ms" -> 1000.0, "s" -> 1e6, "m" -> 6e7, "h" -> 3.6e9)
+
+  /** Parse a Go duration ("300ms", "-1.5h", "2h45m") to micros. */
+  def parseDuration(s: UTF8String): Long = {
+    var str = s.toString
+    if (str.isEmpty) throw new IllegalArgumentException("invalid duration: empty")
+    var sign = 1L
+    if (str.startsWith("-")) { sign = -1; str = str.substring(1) }
+    else if (str.startsWith("+")) str = str.substring(1)
+    if (str == "0") return 0L
+    var total = 0d
+    var i = 0
+    while (i < str.length) {
+      val numStart = i
+      while (i < str.length && (str.charAt(i).isDigit || str.charAt(i) == '.')) i += 1
+      if (i == numStart) throw new IllegalArgumentException(s"invalid duration: $s")
+      val num = str.substring(numStart, i).toDouble
+      val unitStart = i
+      while (i < str.length && !str.charAt(i).isDigit) i += 1
+      val unit = str.substring(unitStart, i)
+      val mult = unitMicros.collectFirst { case (u2, m) if u2 == unit => m }
+        .getOrElse(throw new IllegalArgumentException(s"unknown unit $unit in duration $s"))
+      total += num * mult
+    }
+    sign * total.round
+  }
+
+  /** Render micros as a Go duration string (time.Duration.String rules:
+    * "1h2m3.5s", sub-second uses ms/us/ns units, zero is "0s"). */
+  def formatDuration(micros: Long): UTF8String = {
+    var v = micros
+    val sb = new StringBuilder
+    if (v < 0) { sb.append('-'); v = -v }
+    if (v == 0) return UTF8String.fromString("0s")
+    if (v < 1000L) { sb.append(v).append("µs") }         // Go prints e.g. 500µs
+    else if (v < 1000000L) {
+      val ms = v / 1000.0
+      sb.append(trimNum(ms)).append("ms")
+    } else {
+      val h = v / 3600000000L
+      val m = (v % 3600000000L) / 60000000L
+      val s2 = (v % 60000000L) / 1e6
+      if (h > 0) sb.append(h).append('h')
+      if (m > 0 || h > 0) sb.append(m).append('m')
+      if (s2 != 0 || (h == 0 && m == 0)) sb.append(trimNum(s2)).append('s')
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  private def trimNum(d: Double): String =
+    if (d == d.floor) d.toLong.toString
+    else BigDecimal(d).underlying().stripTrailingZeros().toPlainString
 }

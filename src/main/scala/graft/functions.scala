@@ -162,6 +162,12 @@ object functions {
   /** `now` global (per-query-constant, mito lib/time.go:46-54). */
   def now_batch(): Column = F.current_timestamp()
 
+  /** CEL duration("1h2m3s") -> DayTimeIntervalType micros (long). */
+  def duration_go(s: Column): Column = call(T, LongType, "parseDuration", Seq(Str), s)
+  /** micros -> Go duration string (time.Duration.String rendering). */
+  def format_duration_go(micros: Column): Column =
+    call(T, Str, "formatDuration", Seq(LongType), micros)
+
   // =====================================================================
   // Crypto (reference lib/crypto.go) — digests return raw BYTES.
   // =====================================================================
@@ -301,6 +307,59 @@ object functions {
     * left-to-right accumulation (deterministic, oracle-matchable). */
   def cosine(a: Column, b: Column): Column =
     dot_product(a, b) / (F.sqrt(dot_product(a, a)) * F.sqrt(dot_product(b, b)))
+
+  /** Random-hyperplane LSH sign bits for an embedding (ANN scale path). */
+  def embed_sign_bits(emb: Column, nbits: Int): Column =
+    call(K, LongType, "embedSignBits", Seq(ArrayType(DoubleType), IntegerType),
+      emb, F.lit(nbits))
+
+  // =====================================================================
+  // CEL core comprehensions (SURVEY §2.1) — thin aliases onto Spark's
+  // codegen'd higher-order functions, named for the CEL surface. The
+  // `as` macro is a Scala `val` / Dataset.transform (zero runtime cost);
+  // `has(e.f)` is null-safe getField / map_contains_key natively.
+  // =====================================================================
+  def cel_map(list: Column, f: Column => Column): Column = F.transform(list, f)
+  def cel_map(list: Column, pred: Column => Column, f: Column => Column): Column =
+    F.transform(F.filter(list, pred), f)
+  def cel_filter(list: Column, pred: Column => Column): Column = F.filter(list, pred)
+  def cel_all(list: Column, pred: Column => Column): Column = F.forall(list, pred)
+  def cel_exists(list: Column, pred: Column => Column): Column = F.exists(list, pred)
+  def cel_exists_one(list: Column, pred: Column => Column): Column =
+    F.size(F.filter(list, pred)) === 1
+
+  /** debug(tag, expr): pass-through that logs the value with a
+    * "DEBUG: tag:" prefix (reference lib/debug.go:70-91 + handler
+    * mito.go:292-298). Logs per ROW on executor logs — like the
+    * reference's single-document model, intended for small/sampled data.
+    * Errors pass through too (NonStrict): error values are in-band here. */
+  def debug_(tag: String, c: Column): Column =
+    call(J, Str, "debugLog", Seq(Str, Str), F.lit(tag), c.cast(Str))
+
+  // =====================================================================
+  // HTTP request-map builders (reference http.go:581-824): build the
+  // request as DATA (a typed struct column); execution happens in the
+  // HTTP source / driver client, mirroring get_request/do_request.
+  // =====================================================================
+  def get_request(url: Column): Column = request(F.lit("GET"), url, F.lit(null).cast(Bin))
+  def post_request(url: Column, contentType: Column, body: Column): Column =
+    F.struct(F.lit("POST").as("Method"), url.as("URL"),
+      F.map_from_arrays(F.array(F.lit("Content-Type")), F.array(F.array(contentType)))
+        .as("Header"),
+      body.cast(Bin).as("Body"))
+  def request(method: Column, url: Column, body: Column): Column =
+    F.struct(method.as("Method"), url.as("URL"),
+      F.map_from_arrays(F.array().cast(ArrayType(Str)), F.array().cast(ArrayType(ArrS)))
+        .as("Header"),
+      body.cast(Bin).as("Body"))
+  /** Inject an Authorization header into a request struct
+    * (basic_authentication, http.go:783-824). */
+  def basic_authentication(req: Column, user: Column, pass: Column): Column = {
+    val tok = base64_std(F.concat(user, F.lit(":"), pass).cast(Bin))
+    req.withField("Header", F.map_concat(req.getField("Header"),
+      F.map_from_arrays(F.array(F.lit("Authorization")),
+        F.array(F.array(F.concat(F.lit("Basic "), tok))))))
+  }
 
   final case class RegexpRegistry(patterns: Map[String, String]) {
     private def p(name: String): String =

@@ -166,6 +166,33 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "q41_ann_lsh" -> { (s, dir) =>
+      // Scale path for similarity search: random-hyperplane sign bits,
+      // banded 4x8; candidates = bucket collisions; exact cosine verify
+      // on candidates only. At 100 TB the bucket join shuffles just
+      // (band, key, id) and never materializes O(n^2) pairs.
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+        .withColumn("ss", dot_product(col("emb"), col("emb")))
+        .withColumn("bits", embed_sign_bits(col("emb"), 32))
+      val bands = e.select(col("vec_id"),
+        explode(expr(
+          """transform(sequence(0, 3), b -> struct(b AS band_id,
+            shiftrightunsigned(bits, cast(b * 8 AS int)) & 255 AS key))""")).as("bd"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.bd") === col("y.bd") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        .distinct()
+      val ea = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"), col("ss").as("ss_a"))
+      val eb = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"), col("ss").as("ss_b"))
+      cand.join(ea, "vec_a").join(eb, "vec_b")
+        .withColumn("cos", round(dot_product(col("emb_a"), col("emb_b")) /
+          (sqrt(col("ss_a")) * sqrt(col("ss_b"))), 6))
+        .filter(col("cos") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), col("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+
     "q40_multimodal_features" -> { (s, dir) =>
       // Binary multimodal plumbing with a stubbed decoder: payload is an
       // opaque binary column + typed metadata; "decode" = deterministic
