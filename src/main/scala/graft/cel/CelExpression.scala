@@ -1,0 +1,58 @@
+package graft.cel
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** CEL program as a Catalyst expression: evaluates the compiled AST
+  * against each row's `state` document (JSON string), returning the
+  * result document. The program is parsed ONCE on the driver and the
+  * AST ships to executors (compile-once / eval-per-row, the reference's
+  * own model — mito.go:308-333 — but distributed across rows).
+  *
+  * Interpretation is a per-row tree walk (CodegenFallback), exactly like
+  * the reference's cel-go interpreter; the Column API tier remains the
+  * codegen path. `nowMicros` is captured at plan time so `now`/`now()`
+  * are batch-constant and retries replay deterministically (mito's `now`
+  * variable semantics; its per-call now() diverges only within an
+  * evaluation, SURVEY §4).
+  */
+case class CelEvalExpression(program: String, child: Expression, nowMicros: Long,
+    regexps: Map[String, String]) extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val ast: Ast = Parser.parse(program)
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "cel"
+
+  override def nullSafeEval(state: Any): Any =
+    UTF8String.fromString(
+      Eval.evalJson(ast, state.toString, nowMicros, regexps))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Entry points for the CEL text front-end. */
+object Cel {
+  /** Parse (and thereby validate) a CEL program. */
+  def compile(src: String): Ast = Parser.parse(src)
+
+  /** Column transform: evaluate `program` against a JSON state column.
+    * `now` defaults to plan-build time (batch-constant). */
+  def apply(program: String, state: Column,
+      regexps: Map[String, String] = Map.empty,
+      nowMicros: Long = System.currentTimeMillis() * 1000L): Column = {
+    Parser.parse(program) // fail fast on driver
+    org.apache.spark.sql.graft.Shim.column(CelEvalExpression(program,
+      org.apache.spark.sql.graft.Shim.expression(state), nowMicros, regexps))
+  }
+
+  /** One-shot local evaluation (no Spark): the mito CLI model. */
+  def evalOnce(program: String, stateJson: String,
+      nowMicros: Long = System.currentTimeMillis() * 1000L,
+      regexps: Map[String, String] = Map.empty): String =
+    Eval.evalJson(Parser.parse(program), stateJson, nowMicros, regexps)
+}

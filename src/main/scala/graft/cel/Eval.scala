@@ -1,0 +1,389 @@
+package graft.cel
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.JsonNodeFactory
+import graft.expressions.{CryptoKernel, StringKernel, TimeKernel}
+import graft.values.JsonAlgebra
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.time.Instant
+import scala.collection.immutable.VectorMap
+import scala.util.control.NonFatal
+
+/** Tree-walk evaluator for the CEL subset (the text front-end of the
+  * engine — SURVEY.md §7.2 step 6). Execution model matches the
+  * reference (cel-go interpreter, one document at a time); distribution
+  * comes from running the program per-row inside a Catalyst expression
+  * ([[CelExpression]]). The Column API remains the full capability
+  * surface; this front-end is sugar over the same kernels.
+  *
+  * CEL error values are VALUES here ([[Eval.VErr]]), so `&&`/`||`
+  * absorption, `try`, and NonStrict functions follow the reference
+  * semantics (lib/try.go, mito.go error handling) without exceptions.
+  */
+object Eval {
+
+  sealed trait V extends Serializable
+  final case class VInt(v: Long) extends V
+  final case class VUint(v: Long) extends V
+  final case class VDouble(v: Double) extends V
+  final case class VString(v: String) extends V
+  final case class VBytes(v: Array[Byte]) extends V
+  final case class VBool(v: Boolean) extends V
+  case object VNull extends V
+  final case class VList(v: Vector[V]) extends V
+  final case class VMap(v: VectorMap[String, V]) extends V
+  final case class VTimestamp(micros: Long) extends V
+  final case class VDuration(micros: Long) extends V
+  final case class VErr(msg: String) extends V
+
+  final case class Env(vars: Map[String, V], nowMicros: Long,
+      regexps: Map[String, String] = Map.empty)
+
+  // ---------------- JSON <-> V ----------------
+  def fromJson(n: JsonNode): V =
+    if (n == null || n.isNull) VNull
+    else if (n.isTextual) VString(n.textValue())
+    else if (n.isBoolean) VBool(n.booleanValue())
+    else if (n.isIntegralNumber) VInt(n.longValue())
+    else if (n.isNumber) VDouble(n.doubleValue())
+    else if (n.isArray) {
+      val b = Vector.newBuilder[V]
+      n.elements().forEachRemaining(e => b += fromJson(e))
+      VList(b.result())
+    } else {
+      var m = VectorMap.empty[String, V]
+      n.properties().forEach(e => m = m.updated(e.getKey, fromJson(e.getValue)))
+      VMap(m)
+    }
+
+  private val nf = JsonNodeFactory.instance
+
+  def toJson(v: V): JsonNode = v match {
+    case VNull => nf.nullNode()
+    case VBool(b) => nf.booleanNode(b)
+    case VInt(i) => nf.numberNode(i)
+    case VUint(i) => nf.numberNode(i)
+    case VDouble(d) => if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15)
+      nf.numberNode(d.toLong) else nf.numberNode(d)
+    case VString(s) => nf.textNode(s)
+    case VBytes(b) => nf.textNode(java.util.Base64.getEncoder.encodeToString(b))
+    case VTimestamp(us) =>
+      nf.textNode(TimeKernel.formatTime(us, UTF8String.fromString("RFC3339")).toString)
+    case VDuration(us) => nf.textNode(trimDur(us))
+    case VList(xs) => { val a = nf.arrayNode(); xs.foreach(x => a.add(toJson(x))); a }
+    case VMap(m) =>
+      val o = nf.objectNode()
+      m.foreach { case (k, x) => o.set[JsonNode](k, toJson(x)) }
+      o
+    case VErr(msg) => JsonAlgebra.error(msg)
+  }
+
+  private def trimDur(us: Long): String = {
+    val s = us / 1e6
+    if (s == s.floor) s"${s.toLong}s" else s"${BigDecimal(s).underlying.stripTrailingZeros.toPlainString}s"
+  }
+
+  /** Evaluate program text against a JSON state document; returns the
+    * result rendered as (key-sorted) JSON. */
+  def evalJson(program: Ast, stateJson: String, nowMicros: Long,
+      regexps: Map[String, String] = Map.empty): String = {
+    val state = fromJson(JsonAlgebra.parse(stateJson))
+    val env = Env(Map(
+      "state" -> state,
+      "now" -> VTimestamp(nowMicros),
+      "time_layout" -> VMap(VectorMap.from(
+        TimeKernel.namedLayouts.toSeq.sortBy(_._1).map { case (k, l) => k -> VString(l) }))),
+      nowMicros, regexps)
+    JsonAlgebra.render(toJson(eval(program, env)))
+  }
+
+  // ---------------- core evaluation ----------------
+  def eval(e: Ast, env: Env): V = e match {
+    case Ast.IntLit(v) => VInt(v)
+    case Ast.UintLit(v) => VUint(v)
+    case Ast.DoubleLit(v) => VDouble(v)
+    case Ast.StringLit(v) => VString(v)
+    case Ast.BytesLit(v) => VBytes(v)
+    case Ast.BoolLit(v) => VBool(v)
+    case Ast.NullLit => VNull
+
+    case Ast.ListLit(elems) =>
+      val vs = elems.map(eval(_, env))
+      vs.collectFirst { case err: VErr => err }.getOrElse(VList(vs))
+
+    case Ast.MapLit(entries) =>
+      var m = VectorMap.empty[String, V]
+      entries.foreach { case (k, v) =>
+        (eval(k, env), eval(v, env)) match {
+          case (err: VErr, _) => return err
+          case (_, err: VErr) => return err
+          case (VString(ks), vv) => m = m.updated(ks, vv)
+          case (VInt(ki), vv) => m = m.updated(ki.toString, vv)
+          case (other, _) => return VErr(s"unsupported map key: $other")
+        }
+      }
+      VMap(m)
+
+    case Ast.Ident(name) =>
+      env.vars.getOrElse(name, VErr(s"undeclared reference to '$name'"))
+
+    case Ast.Select(t, f) =>
+      eval(t, env) match {
+        case err: VErr => err
+        case VMap(m) => m.getOrElse(f, VErr(s"no such key: $f"))
+        case VNull => VErr(s"no such key: $f")
+        case other => VErr(s"no such field: $f on $other")
+      }
+
+    case Ast.Has(t, f) =>
+      eval(t, env) match {
+        case err: VErr => err
+        case VMap(m) => VBool(m.contains(f))
+        case _ => VBool(false)
+      }
+
+    case Ast.Index(t, i) =>
+      (eval(t, env), eval(i, env)) match {
+        case (err: VErr, _) => err
+        case (_, err: VErr) => err
+        case (VList(xs), VInt(idx)) =>
+          if (idx >= 0 && idx < xs.length) xs(idx.toInt)
+          else VErr(s"index out of range: $idx")
+        case (VMap(m), VString(k)) => m.getOrElse(k, VErr(s"no such key: $k"))
+        case (VMap(m), VInt(k)) => m.getOrElse(k.toString, VErr(s"no such key: $k"))
+        case (a, b) => VErr(s"no such overload: ($a)[$b]")
+      }
+
+    case Ast.Unary("!", x) =>
+      eval(x, env) match {
+        case err: VErr => err
+        case VBool(b) => VBool(!b)
+        case other => VErr(s"no such overload: !$other")
+      }
+    case Ast.Unary("-", x) =>
+      eval(x, env) match {
+        case err: VErr => err
+        case VInt(i) => VInt(-i)
+        case VDouble(d) => VDouble(-d)
+        case other => VErr(s"no such overload: -$other")
+      }
+    case Ast.Unary(op, _) => VErr(s"unknown unary op $op")
+
+    case Ast.Binary("&&", l, r) => logical(eval(l, env), () => eval(r, env), and = true)
+    case Ast.Binary("||", l, r) => logical(eval(l, env), () => eval(r, env), and = false)
+    case Ast.Binary(op, l, r) => binary(op, eval(l, env), eval(r, env))
+
+    case Ast.Ternary(c, t, f) =>
+      eval(c, env) match {
+        case err: VErr => err
+        case VBool(true) => eval(t, env)
+        case VBool(false) => eval(f, env)
+        case other => VErr(s"no such overload: $other ? _ : _")
+      }
+
+    case Ast.Comprehension(kind, target, x, pred, body) =>
+      comprehension(kind, target, x, pred, body, env)
+
+    case Ast.Call(fn, args) => Functions.call(fn, args, env)
+    case Ast.Method(t, fn, args) => Functions.method(t, fn, args, env)
+  }
+
+  /** CEL commutative error-absorbing logic ops. */
+  private def logical(l: V, rThunk: () => V, and: Boolean): V = {
+    val shortVal = !and // && shorts on false, || shorts on true
+    l match {
+      case VBool(b) if b == shortVal => VBool(shortVal)
+      case _ =>
+        val r = rThunk()
+        (l, r) match {
+          case (_, VBool(b)) if b == shortVal => VBool(shortVal)
+          case (VBool(a), VBool(b)) => VBool(if (and) a && b else a || b)
+          case (err: VErr, _) => err
+          case (_, err: VErr) => err
+          case _ => VErr("no such overload: logical op on non-bool")
+        }
+    }
+  }
+
+  private def numPair(a: V, b: V): Option[(Double, Double)] = (a, b) match {
+    case (VInt(x), VInt(y)) => Some((x.toDouble, y.toDouble))
+    case (VInt(x), VDouble(y)) => Some((x.toDouble, y))
+    case (VDouble(x), VInt(y)) => Some((x, y.toDouble))
+    case (VDouble(x), VDouble(y)) => Some((x, y))
+    case (VUint(x), VUint(y)) => Some((x.toDouble, y.toDouble))
+    case (VUint(x), VInt(y)) => Some((x.toDouble, y.toDouble))
+    case (VInt(x), VUint(y)) => Some((x.toDouble, y.toDouble))
+    case _ => None
+  }
+
+  def equalsV(a: V, b: V): Boolean = (a, b) match {
+    case (VList(xs), VList(ys)) =>
+      xs.length == ys.length && xs.zip(ys).forall { case (x, y) => equalsV(x, y) }
+    case (VMap(m1), VMap(m2)) =>
+      m1.keySet == m2.keySet && m1.forall { case (k, v) => equalsV(v, m2(k)) }
+    case (VBytes(x), VBytes(y)) => java.util.Arrays.equals(x, y)
+    case _ => numPair(a, b) match {
+      case Some((x, y)) => x == y
+      case None => a == b
+    }
+  }
+
+  def compareV(a: V, b: V): Option[Int] = (a, b) match {
+    case (VString(x), VString(y)) => Some(x.compareTo(y).sign)
+    case (VBool(x), VBool(y)) => Some(java.lang.Boolean.compare(x, y))
+    case (VTimestamp(x), VTimestamp(y)) => Some(java.lang.Long.compare(x, y))
+    case (VDuration(x), VDuration(y)) => Some(java.lang.Long.compare(x, y))
+    case (VBytes(x), VBytes(y)) => Some(java.util.Arrays.compare(x, y).sign)
+    case _ => numPair(a, b).map { case (x, y) => java.lang.Double.compare(x, y).sign }
+  }
+
+  private def binary(op: String, l: V, r: V): V = {
+    (l, r) match {
+      case (err: VErr, _) => return err
+      case (_, err: VErr) => return err
+      case _ =>
+    }
+    op match {
+      case "==" => VBool(equalsV(l, r))
+      case "!=" => VBool(!equalsV(l, r))
+      case "<" | "<=" | ">" | ">=" =>
+        compareV(l, r) match {
+          case Some(c) => VBool(op match {
+            case "<" => c < 0
+            case "<=" => c <= 0
+            case ">" => c > 0
+            case ">=" => c >= 0
+          })
+          case None => VErr(s"no such overload: $l $op $r")
+        }
+      case "in" => (r, l) match {
+        case (VList(xs), x) => VBool(xs.exists(equalsV(_, x)))
+        case (VMap(m), VString(k)) => VBool(m.contains(k))
+        case (VMap(m), VInt(k)) => VBool(m.contains(k.toString))
+        case _ => VErr(s"no such overload: $l in $r")
+      }
+      case "+" => (l, r) match {
+        case (VInt(a), VInt(b)) => VInt(a + b)
+        case (VUint(a), VUint(b)) => VUint(a + b)
+        case (VDouble(a), VDouble(b)) => VDouble(a + b)
+        case (VString(a), VString(b)) => VString(a + b)
+        case (VBytes(a), VBytes(b)) => VBytes(a ++ b)
+        case (VList(a), VList(b)) => VList(a ++ b)
+        case (VTimestamp(a), VDuration(b)) => VTimestamp(a + b)
+        case (VDuration(a), VTimestamp(b)) => VTimestamp(a + b)
+        case (VDuration(a), VDuration(b)) => VDuration(a + b)
+        case _ => VErr(s"no such overload: $l + $r")
+      }
+      case "-" => (l, r) match {
+        case (VInt(a), VInt(b)) => VInt(a - b)
+        case (VUint(a), VUint(b)) => VUint(a - b)
+        case (VDouble(a), VDouble(b)) => VDouble(a - b)
+        case (VTimestamp(a), VDuration(b)) => VTimestamp(a - b)
+        case (VTimestamp(a), VTimestamp(b)) => VDuration(a - b)
+        case (VDuration(a), VDuration(b)) => VDuration(a - b)
+        case _ => VErr(s"no such overload: $l - $r")
+      }
+      case "*" => (l, r) match {
+        case (VInt(a), VInt(b)) => VInt(a * b)
+        case (VUint(a), VUint(b)) => VUint(a * b)
+        case (VDouble(a), VDouble(b)) => VDouble(a * b)
+        case _ => VErr(s"no such overload: $l * $r")
+      }
+      case "/" => (l, r) match {
+        case (VInt(_), VInt(0)) => VErr("division by zero")
+        case (VInt(a), VInt(b)) => VInt(a / b)
+        case (VUint(_), VUint(0)) => VErr("division by zero")
+        case (VUint(a), VUint(b)) => VUint(java.lang.Long.divideUnsigned(a, b))
+        case (VDouble(a), VDouble(b)) => VDouble(a / b)
+        case _ => VErr(s"no such overload: $l / $r")
+      }
+      case "%" => (l, r) match {
+        case (VInt(_), VInt(0)) => VErr("modulus by zero")
+        case (VInt(a), VInt(b)) => VInt(a % b)
+        case (VUint(a), VUint(b)) => VUint(java.lang.Long.remainderUnsigned(a, b))
+        case _ => VErr(s"no such overload: $l % $r")
+      }
+      case other => VErr(s"unknown operator $other")
+    }
+  }
+
+  private def comprehension(kind: String, target: Ast, x: String,
+      pred: Option[Ast], body: Ast, env: Env): V = {
+    if (kind == "as") {
+      val t = eval(target, env)
+      t match { case err: VErr => return err case _ => }
+      return eval(body, env.copy(vars = env.vars.updated(x, t)))
+    }
+    val items: Vector[V] = eval(target, env) match {
+      case err: VErr => return err
+      case VList(xs) => xs
+      case VMap(m) => m.keys.map(VString(_): V).toVector
+      case other => return VErr(s"no such overload: $kind over $other")
+    }
+    def bind(v: V) = env.copy(vars = env.vars.updated(x, v))
+    kind match {
+      case "map" =>
+        val out = Vector.newBuilder[V]
+        for (item <- items) {
+          val keep = pred match {
+            case None => true
+            case Some(p) => eval(p, bind(item)) match {
+              case VBool(b) => b
+              case err: VErr => return err
+              case other => return VErr(s"no such overload: predicate $other")
+            }
+          }
+          if (keep) eval(body, bind(item)) match {
+            case err: VErr => return err
+            case v => out += v
+          }
+        }
+        VList(out.result())
+      case "filter" =>
+        val out = Vector.newBuilder[V]
+        for (item <- items) eval(body, bind(item)) match {
+          case VBool(true) => out += item
+          case VBool(false) =>
+          case err: VErr => return err
+          case other => return VErr(s"no such overload: predicate $other")
+        }
+        VList(out.result())
+      case "all" =>
+        for (item <- items) eval(body, bind(item)) match {
+          case VBool(false) => return VBool(false)
+          case VBool(true) =>
+          case err: VErr => return err
+          case other => return VErr(s"no such overload: predicate $other")
+        }
+        VBool(true)
+      case "exists" =>
+        for (item <- items) eval(body, bind(item)) match {
+          case VBool(true) => return VBool(true)
+          case VBool(false) =>
+          case err: VErr => return err
+          case other => return VErr(s"no such overload: predicate $other")
+        }
+        VBool(false)
+      case "exists_one" =>
+        var n = 0
+        for (item <- items) eval(body, bind(item)) match {
+          case VBool(true) => n += 1
+          case VBool(false) =>
+          case err: VErr => return err
+          case other => return VErr(s"no such overload: predicate $other")
+        }
+        VBool(n == 1)
+      case other => VErr(s"unknown macro $other")
+    }
+  }
+
+  // expose for Functions
+  private[cel] def evalNode(e: Ast, env: Env): V = eval(e, env)
+  private[cel] def guard[T](f: => V): V =
+    try f catch { case NonFatal(ex) => VErr(ex.getMessage) }
+  private[cel] def u8(s: String): UTF8String = UTF8String.fromString(s)
+  private[cel] def nowInstant(env: Env): Instant =
+    Instant.ofEpochSecond(Math.floorDiv(env.nowMicros, 1000000L),
+      Math.floorMod(env.nowMicros, 1000000L) * 1000L)
+}

@@ -1,0 +1,447 @@
+package graft.cel
+
+import graft.expressions.{CryptoKernel, StringKernel, TimeKernel}
+import graft.values.JsonAlgebra
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.nio.charset.StandardCharsets
+import scala.collection.immutable.VectorMap
+
+/** Function/method bindings for the CEL front-end: CEL core conversions
+  * plus the reference's extension libraries, routed through the SAME
+  * kernels as the Column API (StringKernel/TimeKernel/CryptoKernel/
+  * JsonAlgebra) so both tiers share one semantics implementation.
+  */
+private[cel] object Functions {
+  import Eval._
+
+  private def strict(args: Vector[Ast], env: Env)(f: Vector[V] => V): V = {
+    val vs = args.map(a => Eval.eval(a, env))
+    vs.collectFirst { case e: VErr => e }.getOrElse(guard(f(vs)))
+  }
+
+  private def bytesOf(v: V): Either[VErr, Array[Byte]] = v match {
+    case VBytes(b) => Right(b)
+    case VString(s) => Right(s.getBytes(StandardCharsets.UTF_8))
+    case other => Left(VErr(s"no such overload: bytes from $other"))
+  }
+
+  private def vj(v: V) = Eval.toJson(v)
+  private def jv(n: com.fasterxml.jackson.databind.JsonNode): V = {
+    val out = Eval.fromJson(n)
+    if (JsonAlgebra.isError(n)) VErr(n.get(JsonAlgebra.ErrorKey).asText()) else out
+  }
+
+  // ---------------- global calls ----------------
+  def call(fn: String, args: Vector[Ast], env: Env): V = fn match {
+    // NonStrict (receive error values; lib/try.go:96-111, debug.go:62)
+    case "try" =>
+      val v = Eval.eval(args(0), env)
+      (v, args.lift(1).map(Eval.eval(_, env))) match {
+        case (VErr(m), None) => VString(m)
+        case (VErr(m), Some(VString(label))) => VMap(VectorMap(label -> VString(m)))
+        case (ok, _) => ok
+      }
+    case "is_error" => VBool(Eval.eval(args(0), env).isInstanceOf[VErr])
+    case "debug" =>
+      val tag = Eval.eval(args(0), env)
+      val v = Eval.eval(args(1), env)
+      System.err.println(s"DEBUG: ${tag match { case VString(s) => s; case o => o }}: $v")
+      v
+
+    case "size" => strict(args, env) {
+      case Vector(VString(s)) => VInt(s.codePointCount(0, s.length).toLong)
+      case Vector(VBytes(b)) => VInt(b.length.toLong)
+      case Vector(VList(xs)) => VInt(xs.length.toLong)
+      case Vector(VMap(m)) => VInt(m.size.toLong)
+      case v => VErr(s"no such overload: size(${v.head})")
+    }
+    case "int" => strict(args, env) {
+      case Vector(VInt(i)) => VInt(i)
+      case Vector(VUint(i)) => VInt(i)
+      case Vector(VDouble(d)) => VInt(d.toLong)
+      case Vector(VString(s)) => try VInt(s.toLong) catch { case _: NumberFormatException => VErr(s"cannot convert to int: $s") }
+      case Vector(VTimestamp(us)) => VInt(Math.floorDiv(us, 1000000L))
+      case Vector(VDuration(us)) => VInt(us * 1000L) // CEL: duration -> ns? Go int(duration)=ns
+      case v => VErr(s"no such overload: int(${v.head})")
+    }
+    case "uint" => strict(args, env) {
+      case Vector(VInt(i)) => VUint(i)
+      case Vector(VUint(i)) => VUint(i)
+      case Vector(VDouble(d)) => VUint(d.toLong)
+      case Vector(VString(s)) => VUint(java.lang.Long.parseUnsignedLong(s))
+      case v => VErr(s"no such overload: uint(${v.head})")
+    }
+    case "double" => strict(args, env) {
+      case Vector(VInt(i)) => VDouble(i.toDouble)
+      case Vector(VUint(i)) => VDouble(i.toDouble)
+      case Vector(VDouble(d)) => VDouble(d)
+      case Vector(VString(s)) => try VDouble(s.toDouble) catch { case _: NumberFormatException => VErr(s"cannot convert to double: $s") }
+      case v => VErr(s"no such overload: double(${v.head})")
+    }
+    case "string" => strict(args, env) {
+      case Vector(VString(s)) => VString(s)
+      case Vector(VBytes(b)) => VString(new String(b, StandardCharsets.UTF_8))
+      case Vector(VInt(i)) => VString(i.toString)
+      case Vector(VUint(i)) => VString(java.lang.Long.toUnsignedString(i))
+      case Vector(VDouble(d)) => VString(if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString)
+      case Vector(VBool(b)) => VString(b.toString)
+      case Vector(VTimestamp(us)) => VString(TimeKernel.formatTime(us, u8("RFC3339")).toString)
+      case Vector(VDuration(us)) => VString(TimeKernel.formatDuration(us).toString)
+      case v => VErr(s"no such overload: string(${v.head})")
+    }
+    case "bytes" => strict(args, env) { vs => bytesOf(vs.head).fold(identity, VBytes(_)) }
+    case "bool" => strict(args, env) {
+      case Vector(VBool(b)) => VBool(b)
+      case Vector(VString("true")) => VBool(true)
+      case Vector(VString("false")) => VBool(false)
+      case v => VErr(s"no such overload: bool(${v.head})")
+    }
+    case "timestamp" => strict(args, env) {
+      case Vector(VString(s)) => VTimestamp(TimeKernel.parseTime(u8(s), u8("RFC3339")))
+      case Vector(VInt(sec)) => VTimestamp(sec * 1000000L)
+      case Vector(t: VTimestamp) => t
+      case v => VErr(s"no such overload: timestamp(${v.head})")
+    }
+    case "duration" => strict(args, env) {
+      case Vector(VString(s)) => VDuration(TimeKernel.parseDuration(u8(s)))
+      case Vector(d: VDuration) => d
+      case v => VErr(s"no such overload: duration(${v.head})")
+    }
+    case "dyn" => strict(args, env)(_.head)
+    case "rate_limit" => strict(args, env) {
+      case Vector(h, VString(policy), VDuration(win)) => rateLimit(h, policy, win, env)
+      case _ => VErr("no such overload: rate_limit")
+    }
+    case "now" => VTimestamp(env.nowMicros)
+    case "uuid" => VString(java.util.UUID.randomUUID().toString)
+    case "max" => strict(args, env) { vs => extremum(vs.head, 1) }
+    case "min" => strict(args, env) { vs => extremum(vs.head, -1) }
+    case "zip" => strict(args, env) { vs => method2("zip", vs(0), Vector(vs(1))) }
+    case "keys" => strict(args, env) { vs => method2("keys", vs.head, Vector.empty) }
+    case "values" => strict(args, env) { vs => method2("values", vs.head, Vector.empty) }
+    case "encode_json" => strict(args, env) { vs => VString(JsonAlgebra.render(vj(vs.head))) }
+    case "decode_json" => strict(args, env) { vs =>
+      bytesOf(vs.head).fold(identity, b => jv(JsonAlgebra.parse(new String(b, StandardCharsets.UTF_8))))
+    }
+    case "hmac" => strict(args, env) { vs =>
+      (bytesOf(vs(0)), vs(1), bytesOf(vs(2))) match {
+        case (Right(d), VString(alg), Right(k)) => VBytes(CryptoKernel.hmac(d, u8(alg), k))
+        case _ => VErr("no such overload: hmac")
+      }
+    }
+    case other =>
+      // fall back to method form with first arg as target (CEL allows both
+      // for several reference overloads, e.g. collate(x, p))
+      if (args.nonEmpty) {
+        val vs = args.map(a => Eval.eval(a, env))
+        vs.collectFirst { case e: VErr => e }
+          .getOrElse(guard(method2(other, vs.head, vs.tail)))
+      } else VErr(s"unknown function: $other")
+  }
+
+  // ---------------- method calls ----------------
+  def method(target: Ast, fn: String, args: Vector[Ast], env: Env): V = fn match {
+    case "rate_limit" => // needs env.nowMicros
+      strictWithTarget(target, args, env) { case (h, Vector(VString(policy), VDuration(win))) =>
+        rateLimit(h, policy, win, env)
+      }
+    case _ if env.regexps.nonEmpty && fn.startsWith("re_") =>
+      strictWithTarget(target, args, env)((t, vs) => regexp(fn, t, vs, env))
+    case _ =>
+      strictWithTarget(target, args, env)((t, vs) => method2(fn, t, vs))
+  }
+
+  private def strictWithTarget(target: Ast, args: Vector[Ast], env: Env)
+      (f: (V, Vector[V]) => V): V = {
+    val t = Eval.eval(target, env)
+    t match { case e: VErr => return e case _ => }
+    val vs = args.map(a => Eval.eval(a, env))
+    vs.collectFirst { case e: VErr => e }.getOrElse(guard(f(t, vs)))
+  }
+
+  /** Shared method implementations (also reachable as global calls). */
+  private def method2(fn: String, t: V, args: Vector[V]): V = fn match {
+    case "size" => t match {
+      case VString(s) => VInt(s.codePointCount(0, s.length).toLong)
+      case VBytes(b) => VInt(b.length.toLong)
+      case VList(xs) => VInt(xs.length.toLong)
+      case VMap(m) => VInt(m.size.toLong)
+      case other => VErr(s"no such overload: size($other)")
+    }
+    // ---- collections (via the JsonAlgebra kernel) ----
+    case "collate" =>
+      val paths = args.head match {
+        case VString(p) => Seq(p)
+        case VList(ps) => ps.map { case VString(p) => p; case o => return VErr(s"bad path $o") }
+        case o => return VErr(s"invalid parameter type for collate: $o")
+      }
+      jv(JsonAlgebra.collate(vj(t), paths))
+    case "drop" =>
+      val paths = args.head match {
+        case VString(p) => Seq(p)
+        case VList(ps) => ps.map { case VString(p) => p; case o => return VErr(s"bad path $o") }
+        case o => return VErr(s"invalid parameter type for drop: $o")
+      }
+      jv(JsonAlgebra.dropFields(vj(t), paths))
+    case "drop_empty" => jv(JsonAlgebra.dropEmpty(vj(t)))
+    case "flatten" => jv(JsonAlgebra.flattenDeep(vj(t)))
+    case "with" => jv(JsonAlgebra.withAll(vj(t), vj(args.head)))
+    case "with_update" => jv(JsonAlgebra.withUpdate(vj(t), vj(args.head)))
+    case "with_replace" => jv(JsonAlgebra.withReplace(vj(t), vj(args.head)))
+    case "zip" => (t, args.head) match {
+      case (VList(ks), VList(vs2)) =>
+        if (ks.length != vs2.length)
+          VErr(s"zip: size(keys) != size(vals): ${ks.length} != ${vs2.length}")
+        else VMap(VectorMap.from(ks.zip(vs2).map {
+          case (VString(k), v) => k -> v
+          case (k, v) => JsonAlgebra.render(vj(k)) -> v
+        }))
+      case _ => VErr("no such overload: zip")
+    }
+    case "keys" => t match {
+      case VMap(m) => VList(m.keys.toVector.sorted.map(VString(_)))
+      case _ => VErr("no such overload: keys")
+    }
+    case "values" => t match {
+      case VMap(m) => VList(m.toVector.sortBy(_._1).map(_._2))
+      case _ => VErr("no such overload: values")
+    }
+    case "min" => extremum(t, -1)
+    case "max" => extremum(t, 1)
+
+    // ---- json ----
+    case "encode_json" => VString(JsonAlgebra.render(vj(t)))
+    case "decode_json" =>
+      bytesOf(t).fold(identity, b => jv(JsonAlgebra.parse(new String(b, StandardCharsets.UTF_8))))
+    case "decode_json_stream" =>
+      bytesOf(t).fold(identity, b => jv(JsonAlgebra.decodeJsonStream(new String(b, StandardCharsets.UTF_8))))
+
+    // ---- strings (StringKernel + builtins) ----
+    case "to_lower" => str1(t)(s => VString(s.toLowerCase))
+    case "to_upper" => str1(t)(s => VString(s.toUpperCase))
+    case "to_title" => str1(t)(s => VString(StringKernel.toTitle(u8(s)).toString))
+    case "trim_space" => str1(t)(s => VString(s.trim))
+    case "trim" => str2(t, args)((s, c) => VString(StringKernel.trimCutset(u8(s), u8(c)).toString))
+    case "trim_left" => str2(t, args)((s, c) => VString(StringKernel.trimLeftCutset(u8(s), u8(c)).toString))
+    case "trim_right" => str2(t, args)((s, c) => VString(StringKernel.trimRightCutset(u8(s), u8(c)).toString))
+    case "trim_prefix" => str2(t, args)((s, p) => VString(StringKernel.trimPrefix(u8(s), u8(p)).toString))
+    case "trim_suffix" => str2(t, args)((s, p) => VString(StringKernel.trimSuffix(u8(s), u8(p)).toString))
+    case "has_prefix" => str2(t, args)((s, p) => VBool(s.startsWith(p)))
+    case "has_suffix" => str2(t, args)((s, p) => VBool(s.endsWith(p)))
+    case "contains_substr" => str2(t, args)((s, p) => VBool(s.contains(p)))
+    case "contains_any" => str2(t, args)((s, p) => VBool(StringKernel.containsAny(u8(s), u8(p))))
+    case "compare" => str2(t, args)((a, b) => VInt(StringKernel.compareStr(u8(a), u8(b)).toLong))
+    case "count" => str2(t, args)((s, sub) => VInt(StringKernel.countSubstr(u8(s), u8(sub))))
+    case "equal_fold" => str2(t, args)((a, b) => VBool(a.equalsIgnoreCase(b)))
+    case "fields" => str1(t)(s => VList(s.split("\\s+").filter(_.nonEmpty).toVector.map(VString(_))))
+    case "index" => str2(t, args)((s, sub) => VInt(StringKernel.indexOf(u8(s), u8(sub))))
+    case "index_any" => str2(t, args)((s, c) => VInt(StringKernel.indexAny(u8(s), u8(c))))
+    case "last_index" => str2(t, args)((s, sub) => VInt(StringKernel.lastIndexOf(u8(s), u8(sub))))
+    case "last_index_any" => str2(t, args)((s, c) => VInt(StringKernel.lastIndexAny(u8(s), u8(c))))
+    case "join" => (t, args.head) match {
+      case (VList(xs), VString(sep)) =>
+        VString(xs.map { case VString(s) => s; case o => return VErr(s"join: $o") }.mkString(sep))
+      case _ => VErr("no such overload: join")
+    }
+    case "repeat" => (t, args.head) match {
+      case (VString(s), VInt(n)) => VString(s * n.toInt)
+      case _ => VErr("no such overload: repeat")
+    }
+    case "replace" => (t, args) match {
+      case (VString(s), Vector(VString(o), VString(n2))) =>
+        VString(StringKernel.replaceN(u8(s), u8(o), u8(n2), -1).toString)
+      case (VString(s), Vector(VString(o), VString(n2), VInt(k))) =>
+        VString(StringKernel.replaceN(u8(s), u8(o), u8(n2), k).toString)
+      case _ => VErr("no such overload: replace")
+    }
+    case "replace_all" => (t, args) match {
+      case (VString(s), Vector(VString(o), VString(n2))) =>
+        VString(StringKernel.replaceN(u8(s), u8(o), u8(n2), -1).toString)
+      case _ => VErr("no such overload: replace_all")
+    }
+    case "split" => str2(t, args)((s, sep) =>
+      VList(arr(StringKernel.splitN(u8(s), u8(sep), -1))))
+    case "split_n" => (t, args) match {
+      case (VString(s), Vector(VString(sep), VInt(n))) =>
+        VList(arr(StringKernel.splitN(u8(s), u8(sep), n)))
+      case _ => VErr("no such overload: split_n")
+    }
+    case "split_after" => str2(t, args)((s, sep) =>
+      VList(arr(StringKernel.splitAfter(u8(s), u8(sep)))))
+    case "split_after_n" => (t, args) match {
+      case (VString(s), Vector(VString(sep), VInt(n))) =>
+        VList(arr(StringKernel.splitAfterN(u8(s), u8(sep), n)))
+      case _ => VErr("no such overload: split_after_n")
+    }
+    case "substring" => (t, args) match {
+      case (VString(s), Vector(VInt(a), VInt(b))) =>
+        VString(StringKernel.substrRunes(u8(s), a, b).toString)
+      case _ => VErr("no such overload: substring")
+    }
+    case "valid_utf8" => bytesOf(t).fold(identity, b => VBool(StringKernel.validUTF8(b)))
+    case "to_valid_utf8" => (bytesOf(t), args.head) match {
+      case (Right(b), VString(r)) => VString(StringKernel.toValidUTF8(b, u8(r)).toString)
+      case _ => VErr("no such overload: to_valid_utf8")
+    }
+
+    // ---- time ----
+    case "format" => (t, args.head) match {
+      case (VTimestamp(us), VString(layout)) =>
+        VString(TimeKernel.formatTime(us, u8(layout)).toString)
+      case _ => VErr("no such overload: format")
+    }
+    case "parse_time" => (t, args.head) match {
+      case (VString(s), VString(layout)) => VTimestamp(TimeKernel.parseTime(u8(s), u8(layout)))
+      case (VString(s), VList(layouts)) =>
+        layouts.foreach {
+          case VString(l) =>
+            try return VTimestamp(TimeKernel.parseTime(u8(s), u8(l)))
+            catch { case _: Exception => }
+          case _ =>
+        }
+        VErr(s"failed to parse $s with any provided layout")
+      case _ => VErr("no such overload: parse_time")
+    }
+
+    // ---- crypto ----
+    case "md5" => bytesOf(t).fold(identity, b => VBytes(CryptoKernel.md5Bytes(b)))
+    case "sha1" => bytesOf(t).fold(identity, b => VBytes(CryptoKernel.sha1Bytes(b)))
+    case "sha256" => bytesOf(t).fold(identity, b => VBytes(CryptoKernel.sha256Bytes(b)))
+    case "hex" => bytesOf(t).fold(identity, b => VBytes(CryptoKernel.hexEncode(b).toString.getBytes) match {
+      case _ => VString(CryptoKernel.hexEncode(b).toString)
+    })
+    case "base64" => bytesOf(t).fold(identity, b => VString(CryptoKernel.base64Std(b).toString))
+    case "base64_raw" => bytesOf(t).fold(identity, b => VString(CryptoKernel.base64Raw(b).toString))
+    case "base64_decode" => t match {
+      case VString(s) => VBytes(CryptoKernel.base64Decode(u8(s)))
+      case _ => VErr("no such overload: base64_decode")
+    }
+    case "base64_raw_decode" => t match {
+      case VString(s) => VBytes(CryptoKernel.base64RawDecode(u8(s)))
+      case _ => VErr("no such overload: base64_raw_decode")
+    }
+    case "hmac" => (bytesOf(t), args) match {
+      case (Right(d), Vector(VString(alg), k)) =>
+        bytesOf(k).fold(identity, kb => VBytes(CryptoKernel.hmac(d, u8(alg), kb)))
+      case _ => VErr("no such overload: hmac")
+    }
+
+    case other => VErr(s"no such function: $other")
+  }
+
+  private def arr(a: org.apache.spark.sql.catalyst.util.ArrayData): Vector[V] =
+    (0 until a.numElements()).map(i => VString(a.getUTF8String(i).toString): V).toVector
+
+  private def str1(t: V)(f: String => V): V = t match {
+    case VString(s) => f(s)
+    case _ => VErr(s"no such overload on $t")
+  }
+  private def str2(t: V, args: Vector[V])(f: (String, String) => V): V = (t, args.headOption) match {
+    case (VString(s), Some(VString(a))) => f(s, a)
+    case _ => VErr(s"no such overload on $t")
+  }
+
+  private def extremum(t: V, want: Int): V = t match {
+    case VList(xs) if xs.nonEmpty =>
+      var best = xs.head
+      for (x <- xs.tail) Eval.compareV(x, best) match {
+        case Some(c) => if (c == want) best = x
+        case None => return VErr("no such overload")
+      }
+      best
+    case VList(_) => VErr("no such overload")
+    case _ => VErr("no such overload")
+  }
+
+  // ---- regexp (named registry from env) ----
+  private def regexp(fn: String, t: V, args: Vector[V], env: Env): V = {
+    val name = args.headOption match {
+      case Some(VString(n)) => n
+      case _ => return VErr(s"no such overload: $fn")
+    }
+    val pat = env.regexps.getOrElse(name, return VErr(s"no regexp pattern: $name"))
+    val p = java.util.regex.Pattern.compile(pat)
+    val isBytes = t.isInstanceOf[VBytes]
+    val s = t match {
+      case VString(x) => x
+      case VBytes(b) => new String(b, StandardCharsets.ISO_8859_1)
+      case _ => return VErr(s"no such overload: $fn on $t")
+    }
+    def out(x: String): V =
+      if (isBytes) VBytes(x.getBytes(StandardCharsets.ISO_8859_1)) else VString(x)
+    fn match {
+      case "re_match" => VBool(p.matcher(s).find())
+      case "re_find" =>
+        val m = p.matcher(s)
+        if (m.find()) out(m.group()) else out("")
+      case "re_find_all" =>
+        val m = p.matcher(s)
+        val b = Vector.newBuilder[V]
+        while (m.find()) b += out(m.group())
+        VList(b.result())
+      case "re_find_submatch" =>
+        val m = p.matcher(s)
+        if (m.find()) VList((0 to m.groupCount()).map(g => out(Option(m.group(g)).getOrElse(""))).toVector)
+        else VList(Vector.empty)
+      case "re_find_all_submatch" =>
+        val m = p.matcher(s)
+        val b = Vector.newBuilder[V]
+        while (m.find())
+          b += VList((0 to m.groupCount()).map(g => out(Option(m.group(g)).getOrElse(""))).toVector)
+        VList(b.result())
+      case "re_replace_all" =>
+        args.lift(1) match {
+          case Some(r) =>
+            val rep = r match {
+              case VString(x) => x
+              case VBytes(b2) => new String(b2, StandardCharsets.ISO_8859_1)
+              case _ => return VErr("no such overload: re_replace_all")
+            }
+            // Go ${n} group syntax -> Java $n
+            val javaRep = rep.replaceAll("\\$\\{(\\d+)\\}", "\\$$1")
+            out(p.matcher(s).replaceAll(javaRep))
+          case None => VErr("no such overload: re_replace_all")
+        }
+      case other => VErr(s"no such function: $other")
+    }
+  }
+
+  // ---- rate_limit (LimitKernel operates on MapData; here inline) ----
+  private def rateLimit(h: V, policy: String, windowMicros: Long, env: Env): V = {
+    val headers = h match {
+      case VMap(m) => m.map { case (k, v) => k -> (v match {
+        case VList(xs) => xs.collect { case VString(s) => s }
+        case VString(s) => Vector(s)
+        case _ => Vector.empty[String]
+      })}
+      case _ => return VErr("no such overload for headers")
+    }
+    def get(name: String): String =
+      headers.collectFirst { case (k, vs) if k.equalsIgnoreCase(name) && vs.nonEmpty => vs.head }
+        .getOrElse("")
+    def quoted(kvs: (String, String)*): String =
+      kvs.map { case (k, v) => s"""$k="$v"""" }.mkString(" ")
+    policy match {
+      case "okta" =>
+        val (lim, rem, rst) = (get("X-Rate-Limit-Limit"), get("X-Rate-Limit-Remaining"), get("X-Rate-Limit-Reset"))
+        val hdr = quoted("X-Rate-Limit-Limit" -> lim, "X-Rate-Limit-Remaining" -> rem, "X-Rate-Limit-Reset" -> rst)
+        if (lim.isEmpty || rem.isEmpty || rst.isEmpty)
+          return VMap(VectorMap("headers" -> VString(hdr)))
+        try {
+          val resetMicros = rst.toLong * 1000000L
+          val per = (resetMicros - env.nowMicros) / 1e6
+          VMap(VectorMap(
+            "burst" -> VInt(1),
+            "headers" -> VString(hdr),
+            "next" -> VDouble(lim.toDouble / (windowMicros / 1e6)),
+            "rate" -> VDouble(rem.toDouble / per),
+            "reset" -> VTimestamp(resetMicros)))
+        } catch {
+          case e: NumberFormatException =>
+            VMap(VectorMap("error" -> VString(e.getMessage), "headers" -> VString(hdr)))
+        }
+      case other => VErr(s"unknown policy: \"$other\"")
+    }
+  }
+}

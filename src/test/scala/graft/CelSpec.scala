@@ -1,0 +1,144 @@
+package graft
+
+import graft.cel.Cel
+import graft.streaming.WantMore
+import org.apache.spark.sql.functions.col
+
+class CelSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private val NOW = 1704067200000000L // 2024-01-01T00:00:00Z
+
+  private def run(program: String, state: String = "null"): String =
+    Cel.evalOnce(program, state, NOW)
+
+  test("literals, arithmetic, logic, comparisons") {
+    assert(run("1 + 2 * 3") == "7")
+    assert(run("(1 + 2) * 3") == "9")
+    assert(run("7 % 3 + 1.5") == """{"__error__":"no such overload: VInt(1) + VDouble(1.5)"}""")
+    assert(run("double(7 % 3) + 1.5") == "2.5")
+    assert(run("1 < 2 && 2 <= 2 && 'a' != 'b'") == "true")
+    assert(run("'b' in ['a','b'] && 'k' in {'k':1}") == "true")
+    assert(run("true ? 'yes' : 'no'") == "\"yes\"")
+    assert(run("size('héllo')") == "5")
+    assert(run("\"a\" + 'b'") == "\"ab\"")
+    assert(run("[1,2] + [3]") == "[1,2,3]")
+  }
+
+  test("division by zero is an error value absorbed by || (reference debug.txt semantics)") {
+    assert(run("1 / 0") == """{"__error__":"division by zero"}""")
+    assert(run("true || (1/0 == 1)") == "true")
+    assert(run("false && (1/0 == 1)") == "false")
+    assert(run("is_error(1/0)") == "true")
+    assert(run("try(1/0)") == "\"division by zero\"")
+    assert(run("try(1/0, 'error.message')") == """{"error.message":"division by zero"}""")
+  }
+
+  test("select, index, has over state") {
+    val state = """{"a":{"b":[10,20]},"m":{"k":"v"}}"""
+    assert(run("state.a.b[1]", state) == "20")
+    assert(run("state.m['k']", state) == "\"v\"")
+    assert(run("has(state.a) && !has(state.zzz)", state) == "true")
+    assert(run("state.zzz", state) == """{"__error__":"no such key: zzz"}""")
+  }
+
+  test("comprehension macros") {
+    assert(run("[1,2,3,4].map(x, x * 2)") == "[2,4,6,8]")
+    assert(run("[1,2,3,4].map(x, x % 2 == 0, x * 10)") == "[20,40]")
+    assert(run("[1,2,3,4].filter(x, x > 2)") == "[3,4]")
+    assert(run("[1,2,3].all(x, x > 0) && [1,2].exists(x, x == 2)") == "true")
+    assert(run("[1,2,3].exists_one(x, x == 2)") == "true")
+    assert(run("5.as(n, n * n)") == "25")
+  }
+
+  test("collections library (reference testdata/collate_a.txt shape)") {
+    val doc = """{"a":[{"b":1},{"b":2},{"b":3}],"b":[{"b":-1,"c":10},{"b":-2,"c":20},{"b":-3,"c":30}]}"""
+    assert(run(s"$doc.collate('a')") == """[{"b":1},{"b":2},{"b":3}]""")
+    assert(run(s"$doc.collate('a.b')") == "[1,2,3]")
+    assert(run(s"$doc.drop('b.c')") ==
+      """{"a":[{"b":1},{"b":2},{"b":3}],"b":[{"b":-1},{"b":-2},{"b":-3}]}""")
+    assert(run("""{"a":1,"b":2}.with({"b":20,"c":30})""") == """{"a":1,"b":20,"c":30}""")
+    assert(run("""{"a":1,"b":2}.with_update({"b":20,"c":30})""") == """{"a":1,"b":2,"c":30}""")
+    assert(run("[[1],[2,3],[[[4]],[5,6]]].flatten()") == "[1,2,3,4,5,6]")
+    assert(run("""{"a":[],"b":{},"c":1}.drop_empty()""") == """{"c":1}""")
+    assert(run("[3,1,2].min()") == "1")
+    assert(run("['x','y'].zip([1,2])") == """{"x":1,"y":2}""")
+    assert(run("""{"b":2,"a":1}.keys()""") == """["a","b"]""")
+  }
+
+  test("strings, crypto, json, time libraries") {
+    assert(run("'Hello'.to_upper()") == "\"HELLO\"")
+    assert(run("'cheese'.count('e')") == "3")
+    assert(run("'hello'.substring(1, 3)") == "\"el\"")
+    assert(run("string(b'hello world'.md5().hex())") == "\"5eb63bbbe01eeed093cb22bb8f5acdc3\"")
+    assert(run("'hello world'.base64()") == "\"aGVsbG8gd29ybGQ=\"")
+    assert(run("string('hello world'.hmac('sha256', 'key').base64_raw()).size() > 0") == "true")
+    assert(run("""{"b":1,"a":2}.encode_json()""") == "\"{\\\"a\\\":2,\\\"b\\\":1}\"")
+    assert(run("'{\"x\": 5}'.decode_json().x") == "5")
+    assert(run("'2024-03-05T07:08:09Z'.parse_time(time_layout.RFC3339).format('2006-01-02')")
+      == "\"2024-03-05\"")
+    assert(run("string(now)") == "\"2024-01-01T00:00:00Z\"")
+    assert(run("timestamp('2024-01-01T00:00:10Z') - timestamp('2024-01-01T00:00:00Z')") == "\"10s\"")
+    assert(run("string(timestamp('2024-01-01T00:00:00Z') + duration('1h30m'))")
+      == "\"2024-01-01T01:30:00Z\"")
+  }
+
+  test("regexp library with named registry (reference testdata/regexp.txt)") {
+    val re = Map("foo" -> "foo", "foo." -> "foo.", "foo(.)" -> "foo(.)",
+      "(f)oo([ld])" -> "(f)oo([ld])")
+    def runRe(p: String) = Cel.evalOnce(p, "null", NOW, re)
+    assert(runRe("'food'.re_match('foo')") == "true")
+    assert(runRe("'food'.re_find('foo.')") == "\"food\"")
+    assert(runRe("'food fool'.re_find_all('foo.')") == """["food","fool"]""")
+    assert(runRe("'food fool'.re_find_submatch('foo(.)')") == """["food","d"]""")
+    assert(runRe("'food fool'.re_find_all_submatch('foo(.)')") ==
+      """[["food","d"],["fool","l"]]""")
+    assert(runRe("'food fool'.re_replace_all('(f)oo([ld])', '${1}u${2}')") == "\"fud ful\"")
+  }
+
+  test("rate_limit okta through CEL (reference testdata/limit_okta.txt)") {
+    val out = run(
+      """{"X-Rate-Limit-Limit": ["600"],
+          "X-Rate-Limit-Remaining": ["598"],
+          "X-Rate-Limit-Reset": ["253402300799"]}
+         .as(h, rate_limit(h, 'okta', duration('1m'))).next""")
+    assert(out == "10")
+  }
+
+  test("flagship example.cel pipeline (reference example.json)") {
+    val state = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/example.json")))
+    val program = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/example.cel")))
+    // distributed: evaluate as a Catalyst expression over a state column
+    val outJson = Seq(state).toDF("state")
+      .select(Cel(program, col("state"), nowMicros = NOW).as("out"))
+      .head().getString(0)
+    val node = graft.values.JsonAlgebra.parse(outJson)
+    assert(node.has("events") && node.has("cursor"))
+    val events = node.get("events")
+    assert(events.size() == 13, s"expected 13 events, got ${events.size()}")
+    // cartesian product events carry num x let and the original doc
+    val first = events.get(0)
+    assert(first.get("num").asText() == "1" && first.get("let").asText() == "a")
+    assert(first.get("numlet").size() == 4)
+    assert(first.has("original") && first.has("@timestamp") && first.has("@triggered"))
+    // cursor summary collates @timestamp with min/max
+    val ts = node.get("cursor").get("timestamps")
+    assert(ts.get("first").asText() == "2024-01-01T00:00:00Z")
+    assert(ts.get("last").asText() == "2024-01-01T00:00:00Z")
+    assert(ts.get("list").size() == 13)
+  }
+
+  test("want_more loop driven by a CEL program (reference testdata/want_more.txt)") {
+    val program = """int(state.n).as(n, {"n": n+1, "want_more": n+1 < 5})"""
+    val result = WantMore.run(spark, """{"n": 0}""",
+      state => Cel(program, state, nowMicros = NOW))
+    assert(result.outputs == Seq(
+      """{"n":1,"want_more":true}""",
+      """{"n":2,"want_more":true}""",
+      """{"n":3,"want_more":true}""",
+      """{"n":4,"want_more":true}""",
+      """{"n":5,"want_more":false}"""))
+  }
+}
