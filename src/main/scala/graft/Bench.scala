@@ -1,16 +1,52 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line
-  * {"metric":...,"value":...,"queries":{...}}.
+/** Benchmark main: runs every SparkEntry query plus the reference's
+  * benchmark shapes (BASELINE.md / mito_bench_test.go:37-298) against
+  * SPARK_GRAFT_SF_DIR, printing ONE JSON line.
   *
-  * A warm-up action runs first so the first measured query doesn't
-  * absorb session/codegen initialization; queries run in name order for
-  * stable comparisons across rounds.
+  * - Every measured plan is forced through the `noop` sink so sorts and
+  *   projections are actually executed (a bare count() lets Catalyst
+  *   prune the work being measured).
+  * - The mito shapes run twice: `mito_*` = the CEL text front-end
+  *   (per-row tree-walk, the reference's own execution model), `col_*`
+  *   = the equivalent codegen Column tier. The gap between them is the
+  *   measured value of compiling to Catalyst instead of interpreting.
+  * - A warm-up pass absorbs session/codegen initialization.
   */
 object Bench {
+
+  private val NOW = 1704067200000000L
+
+  /** The static/state benchmark groups of mito_bench_test.go (net group
+    * is exercised by the HTTP-source tests instead; no loopback server
+    * in the bench environment). Each runs per events-row. */
+  private def mitoShapes(events: DataFrame): Seq[(String, DataFrame)] = {
+    def celCol(src: String): Column = graft.cel.Cel(src, col("props"), nowMicros = NOW)
+    val nested = """{"a":{"b":{"c":{"d":{"e":"hello world"}}}}}"""
+    Seq(
+      "mito_hello_world_static" -> celCol("'hello world'"),
+      "mito_hello_world_object_static" -> celCol("""{"greeting":"hello world"}"""),
+      "mito_nested_static" -> celCol(nested),
+      "mito_encode_json_static" -> celCol(s"$nested.encode_json()"),
+      "mito_nested_collate_static" -> celCol(s"$nested.collate('a.b.c.d.e')"),
+      "mito_hello_world_state" -> celCol("state"),
+      "mito_hello_world_object_state" -> celCol("state.k"),
+      "mito_encode_json_state" -> celCol("state.encode_json()"),
+      "mito_nested_collate_map_state" -> celCol("""{"state": state}.collate('state.k')"""),
+      // codegen Column-tier equivalents of the state group
+      "col_hello_world_state" -> graft.functions.json_normalize(col("props")),
+      "col_object_state" -> get_json_object(col("props"), "$.k"),
+      "col_encode_json_state" -> graft.functions.json_normalize(col("props")),
+      "col_nested_collate_map_state" -> graft.functions.json_collate(col("props"), "k")
+    ).map { case (name, c) => name -> events.select(c.cast("string").as("x")) }
+  }
+
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -22,17 +58,28 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up: session init + parquet footer reads + codegen paths
-    Tables(spark, sfDir).lineitem.limit(1).count()
-    spark.range(100).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    // warm-up: session init + parquet footers + codegen + kernel classes
+    val t = Tables(spark, sfDir)
+    force(t.lineitem.limit(100).select(col("l_orderkey")))
+    force(spark.range(100).select(graft.functions.json_normalize(lit("{\"a\":1}")).as("x")))
+
+    def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try body catch { case e: Throwable => System.err.println(s"[bench] failed: $e"); return -1 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> time(force(fn(spark, sfDir)))
+    }
+    val shapeTimes = mitoShapes(t.events).map { case (name, df) =>
+      name -> time(force(df))
+    }
+
+    val all = queryTimes ++ shapeTimes
+    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = queryTimes.map(_._2).filter(_ > 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

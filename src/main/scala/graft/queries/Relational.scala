@@ -162,6 +162,37 @@ object Relational {
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     },
 
+    "q14_window_lag" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t.events
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .select(col("event_id"), col("user_id"), col("value"), col("prev_value"), col("next_type"))
+        .orderBy(col("event_id"))
+    },
+
+    "q15_hourly_agg" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.events
+        .withColumn("hour", unix_timestamp(
+          date_trunc("hour", timestamp_micros(expr("ts DIV 1000")))))
+        .groupBy(col("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    },
+
+    "q16_running_sum" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.orders
+        .withColumn("running_total",
+          sum(money(col("o_totalprice"))).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
     "q13_conditional_agg" -> { (s, dir) =>
       val t = Tables(s, dir)
       t.lineitem
@@ -246,6 +277,22 @@ object Relational {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)
          ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+    "q14_window_lag" ->
+      """SELECT event_id, user_id, value,
+         lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+         FROM events ORDER BY event_id""",
+    "q15_hourly_agg" ->
+      """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour,
+         event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q16_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+         FROM orders ORDER BY o_custkey, o_orderkey""",
     "q13_conditional_agg" ->
       """SELECT l_returnflag,
          sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_bulk,

