@@ -1,0 +1,114 @@
+package graft
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.values.JsonAlgebra._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the dynamic-value algebra (the semantics kernel
+  * under both the Column tier and the CEL front-end). */
+class JsonAlgebraPropSpec extends AnyFunSuite {
+
+  /** Sampling-based property check (scalatest+scalacheck bridge not in
+    * deps, so drive ScalaCheck generators directly). */
+  private def check[T](gen: Gen[T], n: Int = 200)(f: T => Unit): Unit =
+    Iterator.continually(gen.sample).flatten.take(n).foreach(f)
+  private def check2[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    Iterator.continually(for (a <- g1.sample; b <- g2.sample) yield (a, b))
+      .flatten.take(200).foreach { case (a, b) => f(a, b) }
+
+  private val genScalar: Gen[String] = Gen.oneOf(
+    Gen.choose(-1000L, 1000L).map(_.toString),
+    Gen.alphaNumStr.map(s => "\"" + s.take(8) + "\""),
+    Gen.oneOf("true", "false", "null"),
+    Gen.choose(-100.0, 100.0).map(d => f"$d%.3f"))
+
+  private def genJson(depth: Int): Gen[String] =
+    if (depth <= 0) genScalar
+    else Gen.frequency(
+      3 -> genScalar,
+      2 -> Gen.listOfN(3, genJson(depth - 1)).map(_.mkString("[", ",", "]")),
+      2 -> (for {
+        keys <- Gen.listOfN(3, Gen.identifier.map(_.take(5)))
+        vals <- Gen.listOfN(3, genJson(depth - 1))
+      } yield keys.distinct.zip(vals).map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")))
+
+  private def hasEmptyContainer(n: JsonNode): Boolean = {
+    if ((n.isArray || n.isObject) && n.size() == 0) true
+    else {
+      val it = n.elements()
+      var found = false
+      while (it.hasNext && !found) found = hasEmptyContainer(it.next())
+      found
+    }
+  }
+
+  test("render . parse is a normal form (idempotent)") {
+    check(genJson(3)) { doc =>
+      val once = render(parse(doc))
+      assert(render(parse(once)) == once)
+    }
+  }
+
+  test("dropEmpty leaves no empty containers below the root") {
+    check(genJson(3)) { doc =>
+      val out = dropEmpty(parse(doc))
+      val it = out.elements()
+      while (it.hasNext) assert(!hasEmptyContainer(it.next()))
+    }
+  }
+
+  test("dropEmpty is idempotent") {
+    check(genJson(3)) { doc =>
+      val once = dropEmpty(parse(doc))
+      assert(render(dropEmpty(once)) == render(once))
+    }
+  }
+
+  test("flattenDeep yields no all-list prefix violations (fixpoint under itself)") {
+    check(genJson(3).suchThat(_.trim.startsWith("["))) { doc =>
+      val once = flattenDeep(parse(doc))
+      if (!isError(once)) assert(render(flattenDeep(once)) == render(once))
+    }
+  }
+
+  test("merge algebra: withAll keys = union; withUpdate keeps dst; withReplace keeps dst keyset") {
+    val genObj = genJson(2).suchThat(_.trim.startsWith("{"))
+    check2(genObj, genObj) { (a, b) =>
+      val (na, nb) = (parse(a), parse(b))
+      val all = withAll(na, nb)
+      val upd = withUpdate(na, nb)
+      val rep = withReplace(na, nb)
+      import scala.jdk.CollectionConverters._
+      def keys(n: JsonNode): Set[String] = n.properties().asScala.map(_.getKey).toSet
+      assert(keys(all) == keys(na) ++ keys(nb))
+      assert(keys(upd) == keys(na) ++ keys(nb))
+      assert(keys(rep) == keys(na))
+      // withUpdate never changes existing values
+      keys(na).foreach(k => assert(upd.get(k) == na.get(k)))
+      // withAll takes src values for src keys
+      keys(nb).foreach(k => assert(all.get(k) == nb.get(k)))
+    }
+  }
+
+  test("keysSorted is sorted and valuesSorted aligns with it") {
+    check(genJson(2).suchThat(_.trim.startsWith("{"))) { doc =>
+      val n = parse(doc)
+      val ks = keysSorted(n)
+      val list = (0 until ks.size()).map(ks.get(_).asText())
+      assert(list == list.sorted)
+    }
+  }
+
+  test("pathSepIndex finds first unescaped dot") {
+    assert(pathSepIndex("a.b") == (1, false))
+    assert(pathSepIndex("""a\.b.c""") == (4, true))
+    assert(pathSepIndex("abc") == (-1, false))
+    assert(pathSepIndex(""".x""") == (0, false))
+  }
+
+  test("collate on scalar with empty path returns the scalar") {
+    assert(render(collate(parse("5"), Seq(""))) == "[5]")
+  }
+}
