@@ -40,7 +40,10 @@ object Bench {
       "col_hello_world_state" -> graft.functions.json_normalize(col("props")),
       "col_object_state" -> get_json_object(col("props"), "$.k"),
       "col_encode_json_state" -> graft.functions.json_normalize(col("props")),
-      "col_nested_collate_map_state" -> graft.functions.json_collate(col("props"), "k")
+      "col_nested_collate_map_state" -> graft.functions.json_collate(col("props"), "k"),
+      // VariantType comparison (Spark 4 native dynamic type vs the
+      // JSON-string tier — SURVEY §7.4 "benchmark both")
+      "col_variant_object_state" -> expr("variant_get(parse_json(props), '$.k', 'string')")
     ).map { case (name, c) => name -> events.select(c.cast("string").as("x")) }
   }
 

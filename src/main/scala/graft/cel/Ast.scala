@@ -22,6 +22,9 @@ object Ast {
 
   final case class Ident(name: String) extends Ast
   final case class Select(target: Ast, field: String) extends Ast
+  /** optional-typed field select `e.?f` (mito enables CEL optional types,
+    * mito.go:83; exercised by testdata/optional_types.txt) */
+  final case class SelectOpt(target: Ast, field: String) extends Ast
   final case class Index(target: Ast, index: Ast) extends Ast
 
   /** global call f(args) */

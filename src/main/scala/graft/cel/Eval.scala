@@ -36,6 +36,9 @@ object Eval {
   final case class VTimestamp(micros: Long) extends V
   final case class VDuration(micros: Long) extends V
   final case class VErr(msg: String) extends V
+  /** CEL optional type (enabled in mito, mito.go:83): produced by `.?f`
+    * and optional.of/none; consumed by orValue/hasValue/value. */
+  final case class VOpt(v: Option[V]) extends V
 
   final case class Env(vars: Map[String, V], nowMicros: Long,
       regexps: Map[String, String] = Map.empty)
@@ -76,6 +79,8 @@ object Eval {
       val o = nf.objectNode()
       m.foreach { case (k, x) => o.set[JsonNode](k, toJson(x)) }
       o
+    case VOpt(Some(x)) => toJson(x)
+    case VOpt(None) => nf.nullNode()
     case VErr(msg) => JsonAlgebra.error(msg)
   }
 
@@ -132,7 +137,20 @@ object Eval {
       eval(t, env) match {
         case err: VErr => err
         case VMap(m) => m.getOrElse(f, VErr(s"no such key: $f"))
+        // selection through an optional stays optional (CEL optional types)
+        case VOpt(Some(VMap(m))) => VOpt(m.get(f))
+        case VOpt(None) => VOpt(None)
         case VNull => VErr(s"no such key: $f")
+        case other => VErr(s"no such field: $f on $other")
+      }
+
+    case Ast.SelectOpt(t, f) =>
+      eval(t, env) match {
+        case err: VErr => err
+        case VMap(m) => VOpt(m.get(f))
+        case VOpt(Some(VMap(m))) => VOpt(m.get(f)) // chained a.?b.?c
+        case VOpt(None) => VOpt(None)
+        case VNull => VOpt(None)
         case other => VErr(s"no such field: $f on $other")
       }
 

@@ -142,6 +142,25 @@ private[cel] object Functions {
 
   // ---------------- method calls ----------------
   def method(target: Ast, fn: String, args: Vector[Ast], env: Env): V = fn match {
+    // optional.of(x) / optional.none() namespace calls
+    case "of" if target == Ast.Ident("optional") =>
+      strict(args, env)(vs => VOpt(Some(vs.head)))
+    case "none" if target == Ast.Ident("optional") => VOpt(None)
+    // optional-value accessors
+    case "orValue" => strictWithTarget(target, args, env) {
+      case (VOpt(Some(v)), _) => v
+      case (VOpt(None), vs) => vs.head
+      case (v, _) => v // CEL: orValue on a non-optional passes through
+    }
+    case "hasValue" => strictWithTarget(target, args, env) {
+      case (VOpt(o), _) => VBool(o.isDefined)
+      case _ => VBool(true)
+    }
+    case "value" => strictWithTarget(target, args, env) {
+      case (VOpt(Some(v)), _) => v
+      case (VOpt(None), _) => VErr("optional.none() dereference")
+      case (v, _) => v
+    }
     case "rate_limit" => // needs env.nowMicros
       strictWithTarget(target, args, env) { case (h, Vector(VString(policy), VDuration(win))) =>
         rateLimit(h, policy, win, env)

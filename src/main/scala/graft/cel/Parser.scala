@@ -127,7 +127,10 @@ private final class Parser(src: String) {
     var done = false
     while (!done) {
       skipWs()
-      if (eat(".")) {
+      if (peek(".?")) {
+        eat(".?")
+        e = SelectOpt(e, parseIdent())
+      } else if (eat(".")) {
         val name = parseIdent()
         skipWs()
         if (!eof && src.charAt(pos) == '(') {

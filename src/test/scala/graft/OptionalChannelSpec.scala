@@ -1,0 +1,47 @@
+package graft
+
+import graft.cel.Cel
+import graft.streaming.Channels
+
+class OptionalChannelSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private val NOW = 1704067200000000L
+  private def run(p: String, state: String = "null") = Cel.evalOnce(p, state, NOW)
+
+  test("optional types: .? traversal, orValue, hasValue (testdata/optional_types.txt shapes)") {
+    val state = """{"a":{"b":1}}"""
+    assert(run("state.?a.?b.orValue(99)", state) == "1")
+    assert(run("state.?a.?missing.orValue(99)", state) == "99")
+    assert(run("state.?missing.b.orValue(99)", state) == "99")
+    assert(run("state.?a.hasValue()", state) == "true")
+    assert(run("state.?zz.hasValue()", state) == "false")
+    assert(run("optional.of(5).orValue(1)") == "5")
+    assert(run("optional.none().orValue(1)") == "1")
+    assert(run("is_error(optional.none().value())") == "true")
+  }
+
+  test("channels: send_to/drain/close (reference lib/send.go analog)") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Channels.sendTo("test-ch", df)
+    val got = Channels.drain("test-ch")
+    assert(got.toSet == Set("""{"id":1,"v":"a"}""", """{"id":2,"v":"b"}"""))
+    assert(Channels.poll("test-ch").isEmpty)
+    Channels.sendTo("test-ch", df.limit(1))
+    Channels.close("test-ch")
+    assert(Channels.drain("test-ch").isEmpty)
+  }
+
+  test("channels: streaming foreachBatch path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ch-stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/region.parquet"),
+      dir.resolve("region.parquet"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir.toString).schema)
+      .parquet(dir.toString)
+    val q = Channels.sendToStream("stream-ch", stream).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = Channels.drain("stream-ch")
+    assert(got.size == spark.read.parquet(dir.toString).count())
+  }
+}
