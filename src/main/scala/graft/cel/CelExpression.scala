@@ -20,7 +20,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * evaluation, SURVEY §4).
   */
 case class CelEvalExpression(program: String, child: Expression, nowMicros: Long,
-    regexps: Map[String, String]) extends UnaryExpression with CodegenFallback {
+    regexps: Map[String, String], globalsJson: String = "")
+    extends UnaryExpression with CodegenFallback {
 
   @transient private lazy val ast: Ast = Parser.parse(program)
 
@@ -29,7 +30,7 @@ case class CelEvalExpression(program: String, child: Expression, nowMicros: Long
 
   override def nullSafeEval(state: Any): Any =
     UTF8String.fromString(
-      Eval.evalJson(ast, state.toString, nowMicros, regexps))
+      Eval.evalJson(ast, state.toString, nowMicros, regexps, globalsJson))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -44,15 +45,17 @@ object Cel {
     * `now` defaults to plan-build time (batch-constant). */
   def apply(program: String, state: Column,
       regexps: Map[String, String] = Map.empty,
-      nowMicros: Long = System.currentTimeMillis() * 1000L): Column = {
+      nowMicros: Long = System.currentTimeMillis() * 1000L,
+      globalsJson: String = ""): Column = {
     Parser.parse(program) // fail fast on driver
     org.apache.spark.sql.graft.Shim.column(CelEvalExpression(program,
-      org.apache.spark.sql.graft.Shim.expression(state), nowMicros, regexps))
+      org.apache.spark.sql.graft.Shim.expression(state), nowMicros, regexps, globalsJson))
   }
 
   /** One-shot local evaluation (no Spark): the mito CLI model. */
   def evalOnce(program: String, stateJson: String,
       nowMicros: Long = System.currentTimeMillis() * 1000L,
-      regexps: Map[String, String] = Map.empty): String =
-    Eval.evalJson(Parser.parse(program), stateJson, nowMicros, regexps)
+      regexps: Map[String, String] = Map.empty,
+      globalsJson: String = ""): String =
+    Eval.evalJson(Parser.parse(program), stateJson, nowMicros, regexps, globalsJson)
 }

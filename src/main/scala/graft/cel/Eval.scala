@@ -90,11 +90,21 @@ object Eval {
   }
 
   /** Evaluate program text against a JSON state document; returns the
-    * result rendered as (key-sorted) JSON. */
+    * result rendered as (key-sorted) JSON. `globalsJson` injects extra
+    * top-level variables (the reference's Globals lib,
+    * lib/globals.go:34-77 — YAML-configured constants; here a JSON
+    * object of name -> value). */
   def evalJson(program: Ast, stateJson: String, nowMicros: Long,
-      regexps: Map[String, String] = Map.empty): String = {
+      regexps: Map[String, String] = Map.empty,
+      globalsJson: String = ""): String = {
     val state = fromJson(JsonAlgebra.parse(stateJson))
-    val env = Env(Map(
+    val globals: Map[String, V] =
+      if (globalsJson.isEmpty) Map.empty
+      else fromJson(JsonAlgebra.parse(globalsJson)) match {
+        case VMap(m) => m
+        case _ => Map.empty
+      }
+    val env = Env(globals ++ Map(
       "state" -> state,
       "now" -> VTimestamp(nowMicros),
       "time_layout" -> VMap(VectorMap.from(

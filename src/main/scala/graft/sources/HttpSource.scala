@@ -48,16 +48,53 @@ object HttpSource {
     StructField("Header", MapType(StringType, ArrayType(StringType))),
     StructField("Body", BinaryType)))
 
-  def fetch(url: String, user: String, password: String): (Long, Map[String, Seq[String]], Array[Byte]) = {
+  def fetch(url: String, user: String, password: String,
+      bearer: String = ""): (Long, Map[String, Seq[String]], Array[Byte]) = {
     val client = HttpClient.newHttpClient()
     val b = HttpRequest.newBuilder(URI.create(url))
-    if (user.nonEmpty) {
+    if (bearer.nonEmpty) b.header("Authorization", s"Bearer $bearer")
+    else if (user.nonEmpty) {
       val tok = Base64.getEncoder.encodeToString(s"$user:$password".getBytes(StandardCharsets.UTF_8))
       b.header("Authorization", s"Basic $tok")
     }
     val resp = client.send(b.GET().build(), HttpResponse.BodyHandlers.ofByteArray())
     val headers = resp.headers().map().asScala.map { case (k, vs) => k -> vs.asScala.toSeq }.toMap
     (resp.statusCode().toLong, headers, resp.body())
+  }
+
+  /** OAuth2 token fetch (reference assembles these flows at
+    * mito.go:421-506): client-credentials or resource-owner-password
+    * against a token endpoint; access_token cached per JVM until expiry.
+    * Executor-local cache => one token fetch per executor, not per row. */
+  private val tokenCache = new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  def oauth2Token(tokenUrl: String, clientId: String, clientSecret: String,
+      scope: String, user: String, password: String): String = tokenCache.synchronized {
+    // single-flight per JVM: concurrent partitions share one fetch
+    val key = s"$tokenUrl|$clientId|$scope|$user"
+    val cached = tokenCache.get(key)
+    if (cached != null && cached._2 > System.currentTimeMillis()) return cached._1
+    val form = new StringBuilder
+    if (user.nonEmpty) {
+      form.append("grant_type=password")
+        .append("&username=").append(java.net.URLEncoder.encode(user, "UTF-8"))
+        .append("&password=").append(java.net.URLEncoder.encode(password, "UTF-8"))
+    } else form.append("grant_type=client_credentials")
+    form.append("&client_id=").append(java.net.URLEncoder.encode(clientId, "UTF-8"))
+      .append("&client_secret=").append(java.net.URLEncoder.encode(clientSecret, "UTF-8"))
+    if (scope.nonEmpty) form.append("&scope=").append(java.net.URLEncoder.encode(scope, "UTF-8"))
+    val client = HttpClient.newHttpClient()
+    val req = HttpRequest.newBuilder(URI.create(tokenUrl))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(form.toString))
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    val node = graft.values.JsonAlgebra.parse(resp.body())
+    val token = Option(node.get("access_token")).map(_.asText())
+      .getOrElse(sys.error(s"no access_token in token response: ${resp.body().take(200)}"))
+    val expiresIn = Option(node.get("expires_in")).map(_.asLong()).getOrElse(300L)
+    tokenCache.put(key, (token, System.currentTimeMillis() + (expiresIn - 30) * 1000L))
+    token
   }
 }
 
@@ -112,14 +149,21 @@ class HttpMicroBatchStream(options: Map[String, String])
       p,
       options.getOrElse("user", ""),
       options.getOrElse("password", ""),
-      options.getOrElse("minintervalms", "0").toLong): InputPartition).toArray
+      options.getOrElse("minintervalms", "0").toLong,
+      options.getOrElse("authtype", ""),
+      options.getOrElse("tokenurl", ""),
+      options.getOrElse("clientid", ""),
+      options.getOrElse("clientsecret", ""),
+      options.getOrElse("scope", "")): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = HttpReaderFactory
 }
 
 case class HttpPagePartition(url: String, page: Long, user: String,
-    password: String, minIntervalMs: Long) extends InputPartition
+    password: String, minIntervalMs: Long, authType: String = "",
+    tokenUrl: String = "", clientId: String = "", clientSecret: String = "",
+    scope: String = "") extends InputPartition
 
 object HttpReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -131,7 +175,13 @@ object HttpReaderFactory extends PartitionReaderFactory {
         if (done) return false
         if (p.minIntervalMs > 0) Thread.sleep(p.minIntervalMs)
         val url = p.url.replace("{page}", p.page.toString)
-        val (status, headers, body) = HttpSource.fetch(url, p.user, p.password)
+        val bearer =
+          if (p.authType == "oauth2")
+            HttpSource.oauth2Token(p.tokenUrl, p.clientId, p.clientSecret,
+              p.scope, p.user, p.password)
+          else ""
+        val (status, headers, body) = HttpSource.fetch(url,
+          if (p.authType == "oauth2") "" else p.user, p.password, bearer)
         row = InternalRow(
           UTF8String.fromString(url),
           p.page,
