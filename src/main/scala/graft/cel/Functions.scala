@@ -81,7 +81,10 @@ private[cel] object Functions {
     }
     case "string" => strict(args, env) {
       case Vector(VString(s)) => VString(s)
-      case Vector(VBytes(b)) => VString(new String(b, StandardCharsets.UTF_8))
+      case Vector(VBytes(b)) =>
+        if (!StringKernel.validUTF8(b))
+          VErr("invalid UTF-8 in bytes, cannot convert to string")
+        else VString(new String(b, StandardCharsets.UTF_8))
       case Vector(VInt(i)) => VString(i.toString)
       case Vector(VUint(i)) => VString(java.lang.Long.toUnsignedString(i))
       case Vector(VDouble(d)) => VString(if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString)
@@ -111,6 +114,8 @@ private[cel] object Functions {
     case "dyn" => strict(args, env)(_.head)
     case "rate_limit" => strict(args, env) {
       case Vector(h, VString(policy), VDuration(win)) => rateLimit(h, policy, win, env)
+      case Vector(h, VString(prefix), VBool(_), VBool(delta), VDuration(win), VInt(burst)) =>
+        rateLimitGeneral(h, prefix, delta, win, burst, env)
       case _ => VErr("no such overload: rate_limit")
     }
     case "now" => VTimestamp(env.nowMicros)
@@ -228,6 +233,24 @@ private[cel] object Functions {
     }
     case "min" => extremum(t, -1)
     case "max" => extremum(t, 1)
+
+    // ---- url / query ----
+    case "parse_url" => t match {
+      case VString(s) => parseUrlV(s)
+      case _ => VErr("no such overload for request")
+    }
+    case "format_url" => t match {
+      case VMap(m) => formatUrlV(m)
+      case _ => VErr("no such overload")
+    }
+    case "parse_query" => t match {
+      case VString(s) => parseQueryV(s)
+      case _ => VErr("no such overload")
+    }
+    case "format_query" => t match {
+      case VMap(m) => formatQueryV(m)
+      case _ => VErr("no such overload")
+    }
 
     // ---- json ----
     case "encode_json" => VString(JsonAlgebra.render(vj(t)))
@@ -426,41 +449,139 @@ private[cel] object Functions {
     }
   }
 
-  // ---- rate_limit (LimitKernel operates on MapData; here inline) ----
-  private def rateLimit(h: V, policy: String, windowMicros: Long, env: Env): V = {
-    val headers = h match {
-      case VMap(m) => m.map { case (k, v) => k -> (v match {
+  // ---- url / query (reference http.go:1002-1143, mito map shape) ----
+
+  /** Go encodeUserPassword escaping: unreserved + "$&+,;=" pass through. */
+  private def userinfoEscape(s: String): String =
+    s.flatMap { c =>
+      if (c.isLetterOrDigit || "-_.~$&+,;=".contains(c)) c.toString
+      else c.toString.getBytes(StandardCharsets.UTF_8).map(b => f"%%${b & 0xff}%02X").mkString
+    }
+
+  def parseUrlV(addr: String): V = {
+    val row = graft.expressions.HttpKernel.parseUrl(u8(addr))
+    val scheme = row.getUTF8String(0).toString
+    val opaque = row.getUTF8String(1).toString
+    val username = row.getUTF8String(2).toString
+    val password = row.getUTF8String(3).toString
+    val passwordSet = row.getBoolean(4)
+    val host = row.getUTF8String(5).toString
+    val path = row.getUTF8String(6).toString
+    val rawQuery = row.getUTF8String(7).toString
+    val fragment = row.getUTF8String(8).toString
+    val user: V =
+      if (username.isEmpty && !passwordSet) VNull
+      else VMap(VectorMap("Username" -> VString(username),
+        "Password" -> VString(password), "PasswordSet" -> VBool(passwordSet)))
+    VMap(VectorMap(
+      "Scheme" -> VString(scheme), "Opaque" -> VString(opaque),
+      "User" -> user, "Host" -> VString(host), "Path" -> VString(path),
+      "RawPath" -> VString(""), "ForceQuery" -> VBool(false),
+      "RawQuery" -> VString(rawQuery), "Fragment" -> VString(fragment),
+      "RawFragment" -> VString("")))
+  }
+
+  def formatUrlV(m: VectorMap[String, V]): V = {
+    def str(k: String) = m.get(k) match { case Some(VString(s)) => s; case _ => "" }
+    val sb = new StringBuilder
+    if (str("Scheme").nonEmpty) sb.append(str("Scheme")).append(':')
+    if (str("Opaque").nonEmpty) sb.append(str("Opaque"))
+    else {
+      if (str("Scheme").nonEmpty || str("Host").nonEmpty) sb.append("//")
+      m.get("User") match {
+        case Some(VMap(user)) =>
+          val un = user.get("Username") match { case Some(VString(s)) => s; case _ => "" }
+          val pwSet = user.get("PasswordSet") == Some(VBool(true))
+          val pw = user.get("Password") match { case Some(VString(s)) => s; case _ => "" }
+          sb.append(userinfoEscape(un))
+          if (pwSet) sb.append(':').append(userinfoEscape(pw))
+          sb.append('@')
+        case _ =>
+      }
+      sb.append(str("Host")).append(str("Path"))
+    }
+    if (m.get("ForceQuery") == Some(VBool(true)) || str("RawQuery").nonEmpty)
+      sb.append('?').append(str("RawQuery"))
+    if (str("Fragment").nonEmpty) sb.append('#').append(str("Fragment"))
+    VString(sb.toString)
+  }
+
+  def parseQueryV(q: String): V = {
+    var m = VectorMap.empty[String, V]
+    q.split('&').filter(_.nonEmpty).foreach { p =>
+      val i = p.indexOf('=')
+      val (k, v) = if (i < 0) (p, "") else (p.substring(0, i), p.substring(i + 1))
+      val kd = java.net.URLDecoder.decode(k, StandardCharsets.UTF_8)
+      val vd = java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+      m = m.updated(kd, m.get(kd) match {
+        case Some(VList(xs)) => VList(xs :+ VString(vd))
+        case _ => VList(Vector(VString(vd)))
+      })
+    }
+    VMap(m)
+  }
+
+  def formatQueryV(m: VectorMap[String, V]): V = {
+    val sb = new StringBuilder
+    m.toSeq.sortBy(_._1).foreach { case (k, vs) =>
+      val vals = vs match {
         case VList(xs) => xs.collect { case VString(s) => s }
         case VString(s) => Vector(s)
-        case _ => Vector.empty[String]
-      })}
-      case _ => return VErr("no such overload for headers")
+        case _ => Vector.empty
+      }
+      vals.foreach { v =>
+        if (sb.nonEmpty) sb.append('&')
+        sb.append(java.net.URLEncoder.encode(k, StandardCharsets.UTF_8))
+          .append('=').append(java.net.URLEncoder.encode(v, StandardCharsets.UTF_8))
+      }
     }
-    def get(name: String): String =
-      headers.collectFirst { case (k, vs) if k.equalsIgnoreCase(name) && vs.nonEmpty => vs.head }
-        .getOrElse("")
-    def quoted(kvs: (String, String)*): String =
-      kvs.map { case (k, v) => s"""$k="$v"""" }.mkString(" ")
-    policy match {
-      case "okta" =>
-        val (lim, rem, rst) = (get("X-Rate-Limit-Limit"), get("X-Rate-Limit-Remaining"), get("X-Rate-Limit-Reset"))
-        val hdr = quoted("X-Rate-Limit-Limit" -> lim, "X-Rate-Limit-Remaining" -> rem, "X-Rate-Limit-Reset" -> rst)
-        if (lim.isEmpty || rem.isEmpty || rst.isEmpty)
-          return VMap(VectorMap("headers" -> VString(hdr)))
-        try {
-          val resetMicros = rst.toLong * 1000000L
-          val per = (resetMicros - env.nowMicros) / 1e6
-          VMap(VectorMap(
-            "burst" -> VInt(1),
-            "headers" -> VString(hdr),
-            "next" -> VDouble(lim.toDouble / (windowMicros / 1e6)),
-            "rate" -> VDouble(rem.toDouble / per),
-            "reset" -> VTimestamp(resetMicros)))
-        } catch {
-          case e: NumberFormatException =>
-            VMap(VectorMap("error" -> VString(e.getMessage), "headers" -> VString(hdr)))
-        }
-      case other => VErr(s"unknown policy: \"$other\"")
-    }
+    VString(sb.toString)
   }
+
+  // ---- rate_limit: bridge to LimitKernel (shared semantics) ----
+  private def headersToMapData(h: V): Option[org.apache.spark.sql.catalyst.util.MapData] =
+    h match {
+      case VMap(m) =>
+        val keys = m.keys.map(k => u8(k): Any).toArray
+        val vals = m.values.map {
+          case VList(xs) => new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            xs.collect { case VString(s) => u8(s): Any }.toArray): Any
+          case VString(s) => new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            Array(u8(s): Any)): Any
+          case _ => new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any]): Any
+        }.toArray
+        Some(org.apache.spark.sql.catalyst.util.ArrayBasedMapData(keys, vals))
+      case _ => None
+    }
+
+  private def limitRowToV(r: org.apache.spark.sql.catalyst.InternalRow): V = {
+    var m = VectorMap.empty[String, V]
+    if (!r.isNullAt(2)) m = m.updated("burst", VInt(r.getLong(2)))
+    if (!r.isNullAt(5)) m = m.updated("error", VString(r.getUTF8String(5).toString))
+    if (!r.isNullAt(4)) m = m.updated("headers", VString(r.getUTF8String(4).toString))
+    if (!r.isNullAt(1)) m = m.updated("next", VDouble(r.getDouble(1)))
+    if (!r.isNullAt(0)) m = m.updated("rate", VDouble(r.getDouble(0)))
+    if (!r.isNullAt(3)) m = m.updated("reset", VTimestamp(r.getLong(3)))
+    VMap(m)
+  }
+
+  private def rateLimitGeneral(h: V, prefix: String, delta: Boolean,
+      windowMicros: Long, burst: Long, env: Env): V =
+    headersToMapData(h) match {
+      case Some(md) => limitRowToV(graft.expressions.LimitKernel.general(
+        md, u8(prefix), delta, windowMicros, burst, env.nowMicros))
+      case None => VErr("no such overload for headers")
+    }
+
+  private def rateLimit(h: V, policy: String, windowMicros: Long, env: Env): V =
+    headersToMapData(h) match {
+      case None => VErr("no such overload for headers")
+      case Some(md) => policy match {
+        case "okta" =>
+          limitRowToV(graft.expressions.LimitKernel.okta(md, windowMicros, env.nowMicros))
+        case "draft" =>
+          limitRowToV(graft.expressions.LimitKernel.draft(md, windowMicros, env.nowMicros))
+        case other => VErr(s"""unknown policy: "$other"""")
+      }
+    }
 }

@@ -232,7 +232,7 @@ private final class Parser(src: String) {
     else if ((c == 'b' || c == 'B') && pos + 1 < src.length &&
       (src.charAt(pos + 1) == '"' || src.charAt(pos + 1) == '\'')) {
       pos += 1
-      BytesLit(parseStringLit().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      BytesLit(parseBytesLit())
     } else if ((c == 'r' || c == 'R') && pos + 1 < src.length &&
       (src.charAt(pos + 1) == '"' || src.charAt(pos + 1) == '\'')) {
       pos += 1
@@ -316,6 +316,36 @@ private final class Parser(src: String) {
     if (eof) throw ParseException("unterminated string", pos)
     pos += 1
     sb.toString
+  }
+
+  /** Bytes literal: like a string literal but \xNN escapes yield raw
+    * bytes (CEL b"..." syntax). */
+  private def parseBytesLit(): Array[Byte] = {
+    val quote = src.charAt(pos)
+    pos += 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    while (!eof && src.charAt(pos) != quote) {
+      val c = src.charAt(pos)
+      if (c == '\\' && pos + 1 < src.length) {
+        pos += 1
+        src.charAt(pos) match {
+          case 'n' => out += '\n'.toByte
+          case 't' => out += '\t'.toByte
+          case 'r' => out += '\r'.toByte
+          case '\\' => out += '\\'.toByte
+          case '"' => out += '"'.toByte
+          case '\'' => out += '\''.toByte
+          case 'x' | 'X' =>
+            out += Integer.parseInt(src.substring(pos + 1, pos + 3), 16).toByte
+            pos += 2
+          case other => out ++= other.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
+      } else out ++= c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      pos += 1
+    }
+    if (eof) throw ParseException("unterminated bytes literal", pos)
+    pos += 1
+    out.toArray
   }
 
   private def parseRawStringLit(): String = {

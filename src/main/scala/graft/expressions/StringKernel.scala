@@ -138,13 +138,18 @@ object StringKernel {
   }
 
   /** mito substring: code-point slice with strict bounds (errors instead
-    * of saturating). strings.go:857-902 */
+    * of saturating); error messages match strings.go:857-902 exactly. */
   def substrRunes(str: UTF8String, start: Long, end: Long): UTF8String = {
     val S = s(str)
     val n = S.codePointCount(0, S.length)
-    if (start < 0 || end < start || end > n)
-      throw new IllegalArgumentException(
-        s"invalid substring indices: $start:$end on string of length $n")
+    if (start < 0)
+      throw new IllegalArgumentException(s"substring: start out of range: $start < 0")
+    if (end < start)
+      throw new IllegalArgumentException(s"substring: end out of range: $end < $start")
+    if (start > n)
+      throw new IllegalArgumentException(s"substring: start out of range: $start > $n")
+    if (end > n)
+      throw new IllegalArgumentException(s"substring: end out of range: $end > $n")
     val a = S.offsetByCodePoints(0, start.toInt)
     val b = S.offsetByCodePoints(0, end.toInt)
     u(S.substring(a, b))
@@ -155,13 +160,40 @@ object StringKernel {
     u(s(str).codePoints().toArray
       .flatMap(cp => Character.toChars(Character.toTitleCase(cp))).mkString)
 
-  /** strings.ToValidUTF8 on bytes. strings.go:928 */
+  /** strings.ToValidUTF8 on bytes: each RUN of invalid bytes becomes one
+    * replacement (Go semantics; CharsetDecoder.replaceWith can't express
+    * multi-char replacements). strings.go:928 */
   def toValidUTF8(bytes: Array[Byte], replacement: UTF8String): UTF8String = {
-    val dec = StandardCharsets.UTF_8.newDecoder()
-      .onMalformedInput(CodingErrorAction.REPLACE)
-      .onUnmappableCharacter(CodingErrorAction.REPLACE)
-      .replaceWith(s(replacement))
-    u(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+    val rep = s(replacement)
+    val sb = new StringBuilder
+    var i = 0
+    var inBad = false
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      val len =
+        if (b < 0x80) 1
+        else if ((b & 0xe0) == 0xc0) 2
+        else if ((b & 0xf0) == 0xe0) 3
+        else if ((b & 0xf8) == 0xf0) 4
+        else -1
+      val ok = len > 0 && i + len <= bytes.length &&
+        (1 until len).forall(k => (bytes(i + k) & 0xc0) == 0x80) && {
+          len == 1 || {
+            val cp = new String(bytes, i, len, StandardCharsets.UTF_8).codePointAt(0)
+            // reject overlong/surrogate encodings (round-trip check)
+            new String(Character.toChars(cp)).getBytes(StandardCharsets.UTF_8).length == len
+          }
+        }
+      if (ok) {
+        sb.append(new String(bytes, i, len, StandardCharsets.UTF_8))
+        inBad = false
+        i += len
+      } else {
+        if (!inBad) { sb.append(rep); inBad = true }
+        i += 1
+      }
+    }
+    u(sb.toString)
   }
 
   /** utf8.Valid on bytes. strings.go:1008 */

@@ -107,14 +107,10 @@ object TimeKernel {
       }
     }
     flushPat()
-    b.parseDefaulting(ChronoField.YEAR, 1)
-      .parseDefaulting(ChronoField.MONTH_OF_YEAR, 1)
-      .parseDefaulting(ChronoField.DAY_OF_MONTH, 1)
-      .parseDefaulting(ChronoField.HOUR_OF_DAY, 0)
-      .parseDefaulting(ChronoField.MINUTE_OF_HOUR, 0)
-      .parseDefaulting(ChronoField.SECOND_OF_MINUTE, 0)
-      .parseDefaulting(ChronoField.NANO_OF_SECOND, 0)
-      .toFormatter(Locale.US)
+    // no parseDefaulting here: defaults for absent fields are applied in
+    // toMicros (a HOUR_OF_DAY default would conflict with am/pm layouts
+    // like Kitchen during resolution)
+    b.toFormatter(Locale.US)
   }
 
   private def toMicros(t: TemporalAccessor): Long = {
@@ -122,10 +118,18 @@ object TimeKernel {
       if (t.isSupported(ChronoField.OFFSET_SECONDS) && t.query(TemporalQueries.offset) != null)
         t.query(TemporalQueries.offset)
       else Option(t.query(TemporalQueries.zone)).getOrElse(ZoneOffset.UTC)
+    def f(field: ChronoField, default: Int): Int =
+      if (t.isSupported(field)) t.get(field) else default
+    // Go time.Parse defaults absent date fields to Jan 1 of year 0
+    // (testdata/parse_time.txt golden: "0000-01-01T11:17:00Z")
+    val year =
+      if (t.isSupported(ChronoField.YEAR)) t.get(ChronoField.YEAR)
+      else if (t.isSupported(ChronoField.YEAR_OF_ERA)) t.get(ChronoField.YEAR_OF_ERA)
+      else 0
     val ldt = LocalDateTime.of(
-      t.get(ChronoField.YEAR), t.get(ChronoField.MONTH_OF_YEAR), t.get(ChronoField.DAY_OF_MONTH),
-      t.get(ChronoField.HOUR_OF_DAY), t.get(ChronoField.MINUTE_OF_HOUR),
-      t.get(ChronoField.SECOND_OF_MINUTE), t.get(ChronoField.NANO_OF_SECOND))
+      year, f(ChronoField.MONTH_OF_YEAR, 1), f(ChronoField.DAY_OF_MONTH, 1),
+      f(ChronoField.HOUR_OF_DAY, 0), f(ChronoField.MINUTE_OF_HOUR, 0),
+      f(ChronoField.SECOND_OF_MINUTE, 0), f(ChronoField.NANO_OF_SECOND, 0))
     val inst = ldt.atZone(zone).toInstant
     Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L), inst.getNano / 1000L)
   }
@@ -143,8 +147,17 @@ object TimeKernel {
   }
 
   /** s.parse_time(layout) — lib/time.go:213-227. Returns epoch micros. */
-  def parseTime(s: UTF8String, layout: UTF8String): Long =
-    toMicros(formatter(layout.toString).parse(s.toString))
+  def parseTime(s: UTF8String, layout: UTF8String): Long = {
+    val resolved = resolveLayout(layout.toString)
+    // Go's RFC3339 parse accepts optional fractional seconds regardless
+    // of whether the layout spells them; use the ISO parser for those.
+    if (resolved == namedLayouts("RFC3339") || resolved == namedLayouts("RFC3339Nano")) {
+      val odt = java.time.OffsetDateTime.parse(s.toString,
+        DateTimeFormatter.ISO_OFFSET_DATE_TIME)
+      val inst = odt.toInstant
+      Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L), inst.getNano / 1000L)
+    } else toMicros(formatter(resolved).parse(s.toString))
+  }
 
   /** s.parse_time(list<layout>) first-success — lib/time.go:229-248. */
   def parseTimeMulti(s: UTF8String, layouts: ArrayData): Long = {

@@ -107,9 +107,9 @@ class CelSpec extends SparkSpec {
 
   test("flagship example.cel pipeline (reference example.json)") {
     val state = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/root/reference/example.json")))
+      java.nio.file.Paths.get("/root/reference/example.json")), java.nio.charset.StandardCharsets.UTF_8)
     val program = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/root/reference/example.cel")))
+      java.nio.file.Paths.get("/root/reference/example.cel")), java.nio.charset.StandardCharsets.UTF_8)
     // distributed: evaluate as a Catalyst expression over a state column
     val outJson = Seq(state).toDF("state")
       .select(Cel(program, col("state"), nowMicros = NOW).as("out"))
