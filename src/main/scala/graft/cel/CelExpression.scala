@@ -56,6 +56,7 @@ object Cel {
   def evalOnce(program: String, stateJson: String,
       nowMicros: Long = System.currentTimeMillis() * 1000L,
       regexps: Map[String, String] = Map.empty,
-      globalsJson: String = ""): String =
-    Eval.evalJson(Parser.parse(program), stateJson, nowMicros, regexps, globalsJson)
+      globalsJson: String = "",
+      baseDir: Option[java.nio.file.Path] = None): String =
+    Eval.evalJson(Parser.parse(program), stateJson, nowMicros, regexps, globalsJson, baseDir)
 }

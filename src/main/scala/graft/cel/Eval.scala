@@ -41,7 +41,8 @@ object Eval {
   final case class VOpt(v: Option[V]) extends V
 
   final case class Env(vars: Map[String, V], nowMicros: Long,
-      regexps: Map[String, String] = Map.empty)
+      regexps: Map[String, String] = Map.empty,
+      baseDir: Option[java.nio.file.Path] = None)
 
   // ---------------- JSON <-> V ----------------
   def fromJson(n: JsonNode): V =
@@ -96,7 +97,8 @@ object Eval {
     * object of name -> value). */
   def evalJson(program: Ast, stateJson: String, nowMicros: Long,
       regexps: Map[String, String] = Map.empty,
-      globalsJson: String = ""): String = {
+      globalsJson: String = "",
+      baseDir: Option[java.nio.file.Path] = None): String = {
     val state = fromJson(JsonAlgebra.parse(stateJson))
     val globals: Map[String, V] =
       if (globalsJson.isEmpty) Map.empty
@@ -109,7 +111,7 @@ object Eval {
       "now" -> VTimestamp(nowMicros),
       "time_layout" -> VMap(VectorMap.from(
         TimeKernel.namedLayouts.toSeq.sortBy(_._1).map { case (k, l) => k -> VString(l) }))),
-      nowMicros, regexps)
+      nowMicros, regexps, baseDir)
     JsonAlgebra.render(toJson(eval(program, env)))
   }
 

@@ -119,6 +119,17 @@ private[cel] object Functions {
       case _ => VErr("no such overload: rate_limit")
     }
     case "now" => VTimestamp(env.nowMicros)
+    // file library (reference lib/file.go; baseDir = the evaluation's
+    // working directory, like the mito CLI's cwd)
+    case "file" => strict(args, env) {
+      case Vector(VString(path)) => readFileV(path, env)
+      case Vector(VString(path), VString(mime)) =>
+        readFileV(path, env) match {
+          case VBytes(b) => mimeTransform(b, mime)
+          case err => err
+        }
+      case _ => VErr("no such overload: file")
+    }
     case "uuid" => VString(java.util.UUID.randomUUID().toString)
     case "max" => strict(args, env) { vs => extremum(vs.head, 1) }
     case "min" => strict(args, env) { vs => extremum(vs.head, -1) }
@@ -233,6 +244,14 @@ private[cel] object Functions {
     }
     case "min" => extremum(t, -1)
     case "max" => extremum(t, 1)
+
+    // ---- mime transforms on bytes (reference lib/mime.go:90-132) ----
+    case "mime" => (t, args.headOption) match {
+      case (VBytes(b), Some(VString(tpe))) => mimeTransform(b, tpe)
+      case (VString(s2), Some(VString(tpe))) =>
+        mimeTransform(s2.getBytes(StandardCharsets.UTF_8), tpe)
+      case _ => VErr("no such overload: mime")
+    }
 
     // ---- url / query ----
     case "parse_url" => t match {
@@ -447,6 +466,51 @@ private[cel] object Functions {
         }
       case other => VErr(s"no such function: $other")
     }
+  }
+
+  // ---- file / mime (reference lib/file.go, lib/mime.go) ----
+  private def readFileV(path: String, env: Env): V = env.baseDir match {
+    case None => VErr("file access requires a base directory")
+    case Some(dir) =>
+      try VBytes(java.nio.file.Files.readAllBytes(dir.resolve(path)))
+      catch { case e: Exception => VErr(s"failed to read file: ${e.getMessage}") }
+  }
+
+  private[cel] def mimeTransform(b: Array[Byte], tpe: String): V = tpe match {
+    case "text/rot13" => VBytes(graft.expressions.MimeKernel.rot13(b))
+    case "text/upper" =>
+      VBytes(new String(b, StandardCharsets.UTF_8).toUpperCase.getBytes(StandardCharsets.UTF_8))
+    case "application/gzip" =>
+      try VBytes(graft.expressions.MimeKernel.gunzip(b))
+      catch { case e: Exception => VErr(s"gzip: ${e.getMessage}") }
+    case "text/csv; header=present" =>
+      val rows = graft.expressions.MimeKernel.csvRows(new String(b, StandardCharsets.UTF_8))
+      if (rows.isEmpty) VList(Vector.empty)
+      else {
+        val h = rows.head
+        VList(rows.tail.toVector.map(rec =>
+          VMap(VectorMap.from(h.zip(rec.padTo(h.length, "")).map {
+            case (k, v) => k -> (VString(v): V)
+          }))))
+      }
+    case "text/csv; header=absent" =>
+      VList(graft.expressions.MimeKernel
+        .csvRows(new String(b, StandardCharsets.UTF_8))
+        .toVector.map(rec => VList(rec.toVector.map(VString(_): V))))
+    case "application/x-ndjson" =>
+      VList(new String(b, StandardCharsets.UTF_8).split("\n", -1).toVector
+        .filter(_.trim.nonEmpty)
+        .map { line =>
+          jv(JsonAlgebra.parse(line)) match {
+            // match Go's encoding/json message for truncated documents
+            // (reference mime.go:302-306 embeds err + line)
+            case VErr(m) if m.contains("end-of-input") =>
+              VErr(s"unexpected end of JSON input: $line")
+            case VErr(m) => VErr(s"$m: $line")
+            case ok => ok
+          }
+        })
+    case other => VErr(s"unknown transform: $other")
   }
 
   // ---- url / query (reference http.go:1002-1143, mito map shape) ----

@@ -338,6 +338,11 @@ private final class Parser(src: String) {
           case 'x' | 'X' =>
             out += Integer.parseInt(src.substring(pos + 1, pos + 3), 16).toByte
             pos += 2
+          case 'a' => out += 7.toByte
+          case 'b' => out += 8.toByte
+          case 'f' => out += 12.toByte
+          case 'v' => out += 11.toByte
+          case '0' => out += 0.toByte
           case other => out ++= other.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         }
       } else out ++= c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)

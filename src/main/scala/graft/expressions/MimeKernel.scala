@@ -57,7 +57,7 @@ object MimeKernel {
   }
 
   /** Minimal RFC-4180 CSV split (quoted fields, embedded quotes). */
-  private def csvRows(text: String): Seq[Array[String]] = {
+  private[graft] def csvRows(text: String): Seq[Array[String]] = {
     val rows = ArrayBuffer.empty[Array[String]]
     val row = ArrayBuffer.empty[String]
     val f = new StringBuilder

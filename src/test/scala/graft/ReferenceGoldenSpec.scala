@@ -25,22 +25,19 @@ class ReferenceGoldenSpec extends AnyFunSuite {
   // scripts whose harness features the replay can't host (see above) or
   // whose semantics intentionally diverge (documented in README/SURVEY)
   private val skip: Set[String] = Set(
-    // server / env / fs / binary-fixture scripts
+    // live-server scripts (HTTP surface covered by StreamingSpec/
+    // OAuthGlobalsSpec against a local stub server)
     "serve.txt", "serve_tls.txt", "post.txt", "get.txt", "head.txt",
     "request.txt", "request_do.txt", "basic_auth.txt", "head_unauthorized.txt",
-    "file.txt", "file_csv_header.txt", "file_csv_no_header.txt",
-    "file_dir.txt", "file_dir_contents.txt", "file_gzip.txt",
-    "file_ndjson.txt", "file_ndjson_error.txt", "file_rot13_hello_world.txt",
-    "file_upper_hello_world.txt", "file_zip.txt", "mime.txt", "zip.txt",
-    "ndjson.txt", "gzip.txt",
+    // dir listings embed wall-clock mod times; zip member maps carry
+    // archive metadata (CRC32/Extra) we don't reproduce byte-for-byte
+    "file_dir.txt", "file_dir_contents.txt", "file_zip.txt", "zip.txt",
     // nondeterministic / wall-clock / loop-driver
     "uuid.txt", "now.txt", "want_more.txt", "debug.txt",
     // goldens baked against the authors' wall clock (rate = f(now)) and
     // Go-runtime error strings; deterministic equivalents live in
     // MimeHttpLimitSpec + CelSpec
     "limit_okta.txt", "limit_draft.txt", "limit_general.txt",
-    // filesystem read covered by XmlSqlFilesSpec (Files.*)
-    "file_hello_world.txt",
     // documented divergence: int-keyed maps degrade to string keys in
     // the JSON value universe (README)
     "keys.txt",
@@ -48,13 +45,31 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     "xml.txt", "xml_xsd.txt")
 
   private case class Script(flags: Map[String, String], src: String,
-      files: Map[String, String], want: String)
+      files: Map[String, String], want: String, base64Cmds: Seq[(String, String)] = Nil)
+
+  /** Write the archive's fixture files into a temp dir (the testscript
+    * working directory), applying `base64 <src> <dst>` decode commands. */
+  private def materialize(s: Script): java.nio.file.Path = {
+    val dir = Files.createTempDirectory("graft-golden")
+    s.files.foreach { case (name, content) =>
+      if (name != "src.cel" && name != "want.txt" && name != "cfg.yaml")
+        Files.write(dir.resolve(name),
+          content.stripPrefix("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    s.base64Cmds.foreach { case (srcName, dstName) =>
+      val b64 = s.files.getOrElse(srcName, "")
+      Files.write(dir.resolve(dstName),
+        java.util.Base64.getMimeDecoder.decode(b64.replaceAll("\\s", "")))
+    }
+    dir
+  }
 
   private def parseScript(text: String): Option[Script] = {
     val lines = text.linesIterator.toVector
     val cmd = lines.find(_.startsWith("mito")).getOrElse(return None)
-    // reject scripts with testscript commands we don't host
-    if (lines.exists(l => l.startsWith("serve") || l.startsWith("base64") ||
+    // reject scripts with testscript commands we don't host (`base64`
+    // fixture decoding IS hosted — see materialize())
+    if (lines.exists(l => l.startsWith("serve") ||
       l.startsWith("expand") || l.startsWith("env "))) return None
     if (lines.exists(l => l.startsWith("!") && l != "! stderr .")) return None
     val sections = text.split("(?m)^-- (.+?) --$").toVector
@@ -73,10 +88,14 @@ class ReferenceGoldenSpec extends AnyFunSuite {
         flags += (t.stripPrefix("-") -> flagTokens(i + 1)); i += 2
       } else i += 1
     }
+    val base64Cmds = lines.filter(_.startsWith("base64 ")).map { l =>
+      val parts = l.trim.split("\\s+")
+      (parts(1), parts(2))
+    }
     for {
       src <- files.get("src.cel")
       want <- files.get("want.txt")
-    } yield Script(flags, src, files, want)
+    } yield Script(flags, src, files, want, base64Cmds)
   }
 
   /** numeric-tolerant tree equality */
@@ -144,8 +163,9 @@ class ReferenceGoldenSpec extends AnyFunSuite {
       else if (cfg.contains("globals:")) globalsJson = yamlGlobalsToJson(cfg)
       else return Left("unsupported cfg")
     }
+    val workDir = materialize(s)
     val got =
-      try Cel.evalOnce(s.src, state, 1704067200000000L, regexps, globalsJson)
+      try Cel.evalOnce(s.src, state, 1704067200000000L, regexps, globalsJson, Some(workDir))
       catch { case e: Exception => return Left(s"eval threw: ${e.getMessage}") }
     val wantNode =
       try JsonAlgebra.parse(s.want)
