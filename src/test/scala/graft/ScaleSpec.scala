@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Scale
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed join plans without a shuffle Exchange") {
+    val t = Tables(spark, sf)
+    Scale.writeBucketed(t.orders, "orders_b", "o_custkey", 8)
+    Scale.writeBucketed(
+      t.customer.withColumnRenamed("c_custkey", "o_custkey"), "cust_b", "o_custkey", 8)
+    // forbid broadcast so the join strategy must rely on distribution
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Scale.bucketedJoin(spark, "orders_b", "cust_b", "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      val expected = t.orders.join(
+        t.customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey").count()
+      assert(joined.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("salted aggregation matches plain aggregation") {
+    val t = Tables(spark, sf)
+    val plain = t.lineitem.groupBy(col("l_returnflag"))
+      .agg(sum("l_quantity").as("sum_l_quantity"), count("l_orderkey").as("count_l_orderkey"),
+        max("l_extendedprice").as("max_l_extendedprice"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getDouble(3))).toMap
+    val salted = Scale.saltedAgg(t.lineitem, "l_returnflag", 8,
+      Seq("l_quantity" -> "sum", "l_orderkey" -> "count", "l_extendedprice" -> "max"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(salted == plain)
+  }
+
+  test("salted join matches plain join") {
+    val t = Tables(spark, sf)
+    val plain = t.orders.join(broadcast(t.customer.withColumnRenamed("c_custkey", "o_custkey")),
+      "o_custkey").count()
+    val salted = Scale.saltedJoin(t.orders,
+      t.customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", 4).count()
+    assert(salted == plain)
+  }
+}
