@@ -295,8 +295,8 @@ object Relational {
          FROM orders ORDER BY o_custkey, o_orderkey""",
     "q13_conditional_agg" ->
       """SELECT l_returnflag,
-         sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_bulk,
-         sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS n_discounted,
-         sum(CASE WHEN l_tax = 0.0 THEN 1 ELSE 0 END) AS n_taxfree
+         CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
+         CAST(sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+         CAST(sum(CASE WHEN l_tax = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxfree
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 }
