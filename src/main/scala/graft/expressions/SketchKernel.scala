@@ -23,15 +23,34 @@ object SketchKernel {
     h
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Lower 64 bits of MD5 (digest bytes 8..15, little-endian) — the same
+    * convention as DuckDB's `md5_number_lower`, so every sketch built on
+    * it is independently recomputable by the SQL oracle. */
+  def md5Lower64(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h |= (d(8 + i) & 0xffL) << (8 * i); i += 1 }
+    h
+  }
+
   /** Charikar SimHash-64 over a token array: per bit, sum +1/-1 weighted
     * by token-hash bit, sign -> bit. Hamming distance of signatures
-    * approximates cosine distance of the token multisets. */
+    * approximates cosine distance of the token multisets. Token hash is
+    * md5-lower-64 (not FNV) so the DuckDB oracle reproduces it exactly. */
   def simhash64(tokens: ArrayData): Long = {
     val n = tokens.numElements()
     val acc = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = fnv1a(tokens.getUTF8String(i).getBytes)
+      val h = md5Lower64(tokens.getUTF8String(i).getBytes)
       var k = 0
       while (k < 64) {
         if (((h >>> k) & 1L) == 1L) acc(k) += 1 else acc(k) -= 1
@@ -169,30 +188,41 @@ object SketchKernel {
     c
   }
 
+  // Rademacher hyperplane weights, lazily memoized per (plane, dim):
+  // w(p, j) = +1 if md5_lower64("p_j") has its lowest bit set else -1 —
+  // a published ±1 random-projection family, chosen over a float PRNG so
+  // the DuckDB oracle derives the identical weight from md5_number_lower.
+  private val planeW = new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Double]()
+  private def rademacher(p: Int, j: Int): Double = {
+    val key = p.toLong * 1000003L + j
+    var w = planeW.get(key)
+    if (w == null) {
+      val bytes = (p.toString + "_" + j.toString).getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      w = java.lang.Double.valueOf(if ((md5Lower64(bytes) & 1L) == 1L) 1.0 else -1.0)
+      planeW.putIfAbsent(key, w)
+    }
+    w.doubleValue()
+  }
+
   /** Random-hyperplane sign bits for an embedding (Charikar LSH for
-    * cosine): bit i = sign(<emb, r_i>) with r_i components derived from
-    * splitmix64(i, j) mapped to [-1, 1]. Deterministic across executors
-    * (no RNG state), one pass per (bit, dim). The scale path for ANN:
-    * band the bits, bucket-join, exact-verify candidates only. */
+    * cosine): bit p = sign(<emb, r_p>) with r_p a ±1 Rademacher vector
+    * derived from md5 (deterministic across executors, no RNG state;
+    * oracle-recomputable). Left-to-right accumulation matches the
+    * oracle's list_sum fold. The scale path for ANN: band the bits,
+    * bucket-join, exact-verify candidates only. */
   def embedSignBits(emb: ArrayData, nbits: Int): Long = {
     val d = emb.numElements()
     var sig = 0L
-    var i = 0
-    while (i < nbits) {
+    var p = 0
+    while (p < nbits) {
       var acc = 0d
       var j = 0
       while (j < d) {
-        var z = (i.toLong * 1048573L + j.toLong + 1L) * 0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z = z ^ (z >>> 31)
-        // map to [-1, 1)
-        val r = (z >>> 11) * (1.0 / (1L << 52)) - 1.0
-        acc += emb.getDouble(j) * r
+        acc += emb.getDouble(j) * rademacher(p, j)
         j += 1
       }
-      if (acc >= 0) sig |= (1L << i)
-      i += 1
+      if (acc >= 0) sig |= (1L << p)
+      p += 1
     }
     sig
   }
@@ -211,5 +241,15 @@ object SketchKernel {
     i = 0
     while (i < 16) { out(i) = counts(i) / total; i += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Integer-count variant of the 16-bin histogram (bin = high nibble):
+    * exact long counts so the oracle compare is float-free. */
+  def byteHistogramCounts(bytes: Array[Byte]): ArrayData = {
+    val counts = new Array[Long](16)
+    var i = 0
+    while (i < bytes.length) { counts((bytes(i) & 0xff) >> 4) += 1; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      counts.map(java.lang.Long.valueOf(_): Any))
   }
 }

@@ -294,6 +294,10 @@ object functions {
   def byte_histogram16(bytes: Column): Column =
     call(K, ArrayType(FloatType, containsNull = false), "byteHistogram16", Seq(Bin), bytes)
 
+  /** Integer-count 16-bin byte histogram (oracle-exact variant). */
+  def byte_histogram_counts(bytes: Column): Column =
+    call(K, ArrayType(LongType, containsNull = false), "byteHistogramCounts", Seq(Bin), bytes)
+
   /** Hamming distance between two 64-bit signatures (codegen'd builtins). */
   def hamming64(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))
 

@@ -47,15 +47,26 @@ object Pipeline {
     },
 
     "q31_minhash_lsh_dedup" -> { (s, dir) =>
-      val docs = shingled(Tables(s, dir)).cache()
+      // No full-corpus cache: shingles are a cheap per-row kernel pass and
+      // caching every shingle set would not fit memory at 100 TB — the
+      // scan recomputes instead (columnar parquet read + one kernel call).
+      val docs = shingled(Tables(s, dir))
       // 64 minhashes in one kernel pass; 16 bands x 4 rows.
       val sig = docs.withColumn("sig", minhash_sig(col("sh")))
       val bands = sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(15)),
           b => struct(b.as("band_id"),
             xxhash64(slice(col("sig"), b * 4 + 1, lit(4)), b).as("band_hash")))).as("bd"))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
+      // Skew protection: a degenerate band_hash (boilerplate-heavy corpora)
+      // would make the self-join quadratic in that bucket. Cap bucket
+      // fan-out — a bucket larger than the cap carries no dedup signal
+      // (its members pair via their other 15 bands with high probability).
+      val capped = bands
+        .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("bd"))))
+        .filter(col("bucket_n") <= 64)
+        .drop("bucket_n")
+      val cand = capped.as("a")
+        .join(capped.as("b"),
           col("a.bd") === col("b.bd") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
@@ -127,6 +138,14 @@ object Pipeline {
     },
 
     "q37_embedding_neardup" -> { (s, dir) =>
+      // SMALL-DATA VALIDATION HARNESS, not a scale path: the exact
+      // all-pairs cosine is the ground truth that q41's banded LSH is
+      // validated against. The row-count guard makes the O(n^2) bound
+      // explicit — at corpus scale use q41 (bucketed candidates only).
+      val guardN = Tables(s, dir).embeddings.count()
+      require(guardN <= 100000,
+        s"q37 is an all-pairs validation harness (got $guardN vectors); " +
+          "use q41_ann_lsh for corpus-scale near-dup search")
       // Norms are precomputed per vector (identical arithmetic to the
       // per-pair form, so the oracle's dot/(sqrt(qq)*sqrt(ee)) value is
       // bit-equal) — the pair loop then does ONE dot product per pair.
@@ -142,7 +161,8 @@ object Pipeline {
         .orderBy(col("vec_a"), col("vec_b"))
     },
 
-    // --- rows-only (hash-family-specific; golden-tested in ScalaTest) --
+    // --- sketch families (md5-derived so the DuckDB oracle recomputes
+    // --- the identical signatures; see SketchKernel.md5Lower64) --------
     "q38_simhash_neardup" -> { (s, dir) =>
       val docs = Tables(s, dir).documents
         .select(col("doc_id"), simhash64(toks(col("text"))).as("sig"))
@@ -196,14 +216,17 @@ object Pipeline {
     "q40_multimodal_features" -> { (s, dir) =>
       // Binary multimodal plumbing with a stubbed decoder: payload is an
       // opaque binary column + typed metadata; "decode" = deterministic
-      // byte-histogram features (see SketchKernel.byteHistogram16).
+      // 16-bin byte histogram (SketchKernel.byteHistogramCounts). The
+      // feature vector is emitted as a comma-joined string of exact
+      // integer counts so the oracle compare is hashable and float-free.
       Tables(s, dir).documents
         .select(col("doc_id"),
           col("text").cast("binary").as("payload"),
-          struct(length(col("text")).cast("long").as("n_bytes"),
+          struct(octet_length(col("text")).cast("long").as("n_bytes"),
             lit("text/plain").as("mime"), col("source").as("origin")).as("meta"))
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
-          byte_histogram16(col("payload")).as("features"))
+          array_join(transform(byte_histogram_counts(col("payload")),
+            _.cast("string")), ",").as("features"))
         .orderBy(col("doc_id"))
     })
 
@@ -278,5 +301,76 @@ object Pipeline {
               / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
                * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS cos
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-          SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45 ORDER BY vec_a, vec_b""")
+          SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45 ORDER BY vec_a, vec_b""",
+    // DuckDB recomputes the simhash signatures from scratch (md5-lower-64
+    // token hashes == md5_number_lower) and replicates the 4x16-bit band
+    // condition exactly — the oracle checks LSH candidate generation AND
+    // hamming verification, not just the verify stage.
+    "q38_simhash_neardup" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS lst FROM documents),
+          s AS (SELECT doc_id, list_transform(lst, tok -> md5_number_lower(tok)) AS hs FROM t),
+          g AS (SELECT doc_id, list_sum(list_transform(range(0, 64), k ->
+                  CASE WHEN 2 * len(list_filter(hs, h -> ((h >> k) & 1) = 1)) > len(hs)
+                       THEN (1::HUGEINT << k) ELSE 0::HUGEINT END))::HUGEINT AS sig FROM s)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+          FROM g a JOIN g b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sig, b.sig)) <= 6
+            AND ( ((xor(a.sig, b.sig) >> 0) & 65535) = 0 OR ((xor(a.sig, b.sig) >> 16) & 65535) = 0
+               OR ((xor(a.sig, b.sig) >> 32) & 65535) = 0 OR ((xor(a.sig, b.sig) >> 48) & 65535) = 0 )
+          ORDER BY doc_a, doc_b""",
+    // FNV-1a chained over token bytes + 0x1f boundary markers, replayed
+    // byte-for-byte in DuckDB via hex expansion + HUGEINT mod-2^64 fold.
+    "q39_rolling_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS lst FROM documents),
+          b AS (SELECT doc_id, flatten(list_transform(lst, tok ->
+                  list_append(
+                    list_transform(range(1, octet_length(encode(tok)) + 1), i ->
+                      (strpos('0123456789abcdef', substr(lower(hex(encode(tok))), 2*i-1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substr(lower(hex(encode(tok))), 2*i, 1)) - 1)),
+                    31))) AS bs
+                FROM t),
+          f AS (SELECT doc_id, list_reduce(list_prepend(14695981039346656037::HUGEINT, bs),
+                  (acc, x) -> (xor(acc::HUGEINT, x::HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT) AS h
+                FROM b)
+          SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                 THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fp
+          FROM f ORDER BY doc_id""",
+    // High-nibble histogram via hex expansion: keep char 1 of each hex
+    // byte pair, count each hex digit — integer-exact, no float compare.
+    "q40_multimodal_features" ->
+      """WITH h AS (SELECT doc_id,
+               regexp_replace(hex(encode(text)), '(.)(.)', '\1', 'g') AS hn,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+             FROM documents)
+         SELECT doc_id, n_bytes,
+           array_to_string(list_transform(range(0, 16), b ->
+             length(hn) - length(replace(hn, substr('0123456789ABCDEF', CAST(b AS INT) + 1, 1), ''))), ',') AS features
+         FROM h ORDER BY doc_id""",
+    // Sign bits from md5-Rademacher hyperplanes (weight = ±1 by the low
+    // bit of md5_number_lower('p_j')), 4x8-bit band condition, exact
+    // cosine on candidates — the full LSH pipeline, independently rebuilt.
+    "q41_ann_lsh" ->
+      """WITH g AS (SELECT vec_id,
+             list_sum(list_transform(range(0, 32), p ->
+               CASE WHEN list_sum(list_transform(range(1, 65), i ->
+                      CAST(embedding[i] AS DOUBLE) *
+                      (CASE WHEN (md5_number_lower(p::VARCHAR || '_' || (i-1)::VARCHAR) & 1) = 1
+                            THEN 1.0 ELSE -1.0 END))) >= 0
+                    THEN (1::BIGINT << CAST(p AS INT)) ELSE 0::BIGINT END))::BIGINT AS bits,
+             list_sum(list_transform(range(1, 65), i ->
+               CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS ss,
+             embedding
+             FROM embeddings)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_sum(list_transform(range(1, 65), i ->
+               CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(a.ss) * sqrt(b.ss)), 6) AS cos
+         FROM g a JOIN g b ON a.vec_id < b.vec_id
+         WHERE ( ((xor(a.bits, b.bits) >> 0) & 255) = 0 OR ((xor(a.bits, b.bits) >> 8) & 255) = 0
+              OR ((xor(a.bits, b.bits) >> 16) & 255) = 0 OR ((xor(a.bits, b.bits) >> 24) & 255) = 0 )
+           AND round(list_sum(list_transform(range(1, 65), i ->
+               CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(a.ss) * sqrt(b.ss)), 6) >= 0.4
+         ORDER BY vec_a, vec_b""")
 }

@@ -46,11 +46,11 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("multimodal feature stub: 16-dim normalized histogram") {
-    val feats = Pipeline.queries("q40_multimodal_features")(spark, sf)
-      .select("features").head.getSeq[Float](0)
+  test("multimodal feature stub: 16-bin histogram counts sum to n_bytes") {
+    val r = Pipeline.queries("q40_multimodal_features")(spark, sf).head
+    val feats = r.getAs[String]("features").split(",").map(_.toLong)
     assert(feats.length == 16)
-    assert(math.abs(feats.sum - 1.0f) < 1e-3)
+    assert(feats.sum == r.getAs[Long]("n_bytes"))
   }
 
   test("lang_id returns a known label") {
