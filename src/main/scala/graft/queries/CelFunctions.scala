@@ -104,6 +104,92 @@ object CelFunctions {
             array(array(col("source")), array(col("doc_id").cast("string")))))
             .as("qs"))
         .orderBy(col("doc_id"))
+    },
+
+    // --- collections ops over data-built JSON docs (q42-q51): each op's
+    // --- oracle reconstructs the expected Go-rendered (sorted-key) JSON
+    // --- string directly from the raw columns in DuckDB. ---------------
+    "q42_json_drop" -> { (s, dir) =>
+      val doc = concat(lit("{\"a\":"), col("user_id").cast("string"),
+        lit(",\"b\":\""), col("event_type"), lit("\",\"c\":"),
+        col("event_id").cast("string"), lit("}"))
+      Tables(s, dir).events
+        .select(col("event_id"), json_drop(doc, "b").as("dropped"))
+        .orderBy(col("event_id"))
+    },
+
+    "q43_json_drop_empty" -> { (s, dir) =>
+      val doc = concat(lit("{\"a\":"), col("user_id").cast("string"),
+        lit(",\"e\":[],\"m\":{},\"s\":\"\",\"l\":[\""), col("event_type"), lit("\"]}"))
+      Tables(s, dir).events
+        .select(col("event_id"), json_drop_empty(doc).as("pruned"))
+        .orderBy(col("event_id"))
+    },
+
+    "q44_json_flatten" -> { (s, dir) =>
+      val doc = concat(lit("[["), col("event_id").cast("string"),
+        lit("],["), col("user_id").cast("string"),
+        lit(",\""), col("event_type"), lit("\"]]"))
+      Tables(s, dir).events
+        .select(col("event_id"), json_flatten_deep(doc).as("flat"))
+        .orderBy(col("event_id"))
+    },
+
+    "q45_json_zip" -> { (s, dir) =>
+      val vals = concat(lit("["), col("user_id").cast("string"),
+        lit(",\""), col("event_type"), lit("\","),
+        col("event_id").cast("string"), lit("]"))
+      Tables(s, dir).events
+        .select(col("event_id"),
+          json_zip(lit("""["u","t","e"]"""), vals).as("zipped"))
+        .orderBy(col("event_id"))
+    },
+
+    "q46_json_keys" -> { (s, dir) =>
+      val doc = concat(lit("{\""), col("event_type"), lit("\":1,\"a\":"),
+        col("user_id").cast("string"), lit("}"))
+      Tables(s, dir).events
+        .select(col("event_id"), json_keys(doc).as("ks"))
+        .orderBy(col("event_id"))
+    },
+
+    "q47_json_values" -> { (s, dir) =>
+      val doc = concat(lit("{\"z\":"), col("event_id").cast("string"),
+        lit(",\"m\":\""), col("event_type"), lit("\",\"a\":"),
+        col("user_id").cast("string"), lit("}"))
+      Tables(s, dir).events
+        .select(col("event_id"), json_values(doc).as("vs"))
+        .orderBy(col("event_id"))
+    },
+
+    "q48_json_minmax" -> { (s, dir) =>
+      val doc = concat(lit("["), col("event_id").cast("string"),
+        lit(","), col("user_id").cast("string"), lit("]"))
+      Tables(s, dir).events
+        .select(col("event_id"), json_min(doc).as("mn"), json_max(doc).as("mx"))
+        .orderBy(col("event_id"))
+    },
+
+    "q49_json_with_update" -> { (s, dir) =>
+      val src = concat(lit("{\"k\":0,\"u\":"), col("user_id").cast("string"), lit("}"))
+      Tables(s, dir).events
+        .select(col("event_id"), json_with_update(col("props"), src).as("updated"))
+        .orderBy(col("event_id"))
+    },
+
+    "q50_json_with_replace" -> { (s, dir) =>
+      val src = concat(lit("{\"k\":"), col("event_id").cast("string"), lit(",\"x\":1}"))
+      Tables(s, dir).events
+        .select(col("event_id"), json_with_replace(col("props"), src).as("replaced"))
+        .orderBy(col("event_id"))
+    },
+
+    "q51_json_stream" -> { (s, dir) =>
+      val stream = concat(col("props"), lit(" "),
+        col("user_id").cast("string"), lit(" \""), col("event_type"), lit("\""))
+      Tables(s, dir).events
+        .select(col("event_id"), decode_json_stream(stream).as("decoded"))
+        .orderBy(col("event_id"))
     })
 
   def oracle: Map[String, String] = Map(
@@ -149,5 +235,43 @@ object CelFunctions {
          FROM documents ORDER BY doc_id""",
     "q29_format_query" ->
       """SELECT doc_id, 'id=' || doc_id || '&src=' || source AS qs
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    "q42_json_drop" ->
+      """SELECT event_id, '{"a":' || user_id || ',"c":' || event_id || '}' AS dropped
+         FROM events ORDER BY event_id""",
+    "q43_json_drop_empty" ->
+      """SELECT event_id,
+         '{"a":' || user_id || ',"l":["' || event_type || '"],"s":""}' AS pruned
+         FROM events ORDER BY event_id""",
+    "q44_json_flatten" ->
+      """SELECT event_id,
+         '[' || event_id || ',' || user_id || ',"' || event_type || '"]' AS flat
+         FROM events ORDER BY event_id""",
+    "q45_json_zip" ->
+      """SELECT event_id,
+         '{"e":' || event_id || ',"t":"' || event_type || '","u":' || user_id || '}' AS zipped
+         FROM events ORDER BY event_id""",
+    "q46_json_keys" ->
+      """SELECT event_id, '["a","' || event_type || '"]' AS ks
+         FROM events ORDER BY event_id""",
+    "q47_json_values" ->
+      """SELECT event_id,
+         '[' || user_id || ',"' || event_type || '",' || event_id || ']' AS vs
+         FROM events ORDER BY event_id""",
+    "q48_json_minmax" ->
+      """SELECT event_id,
+         CAST(least(event_id, user_id) AS VARCHAR) AS mn,
+         CAST(greatest(event_id, user_id) AS VARCHAR) AS mx
+         FROM events ORDER BY event_id""",
+    "q49_json_with_update" ->
+      """SELECT event_id,
+         '{"k":' || json_extract_string(props, '$.k') || ',"u":' || user_id || '}' AS updated
+         FROM events ORDER BY event_id""",
+    "q50_json_with_replace" ->
+      """SELECT event_id, '{"k":' || event_id || '}' AS replaced
+         FROM events ORDER BY event_id""",
+    "q51_json_stream" ->
+      """SELECT event_id,
+         '[{"k":' || json_extract_string(props, '$.k') || '},' || user_id || ',"' || event_type || '"]' AS decoded
+         FROM events ORDER BY event_id""")
 }
