@@ -253,6 +253,55 @@ private[cel] object Functions {
       case _ => VErr("no such overload: mime")
     }
 
+    // ---- http: request-as-data + executing calls ----
+    // reference lib/http.go: makeRequestBody :672-712, reqToMap :713-746,
+    // doHead :518-548, doPost :585-635, doRequest :826-854,
+    // basicAuthentication :783-824.
+    case "request" => (t, args) match {
+      case (VString(m), Vector(VString(url))) => buildRequestV(m, url, None, None)
+      case (VString(m), Vector(VString(url), body)) => buildRequestV(m, url, Some(body), None)
+      case _ => VErr("no such overload for request")
+    }
+    case "get_request" => (t, args) match {
+      case (VString(url), Vector()) => buildRequestV("GET", url, None, None)
+      case _ => VErr("no such overload for request")
+    }
+    case "post_request" => (t, args) match {
+      case (VString(url), Vector(VString(ct), body)) =>
+        buildRequestV("POST", url, Some(body), Some(ct))
+      case _ => VErr("no such overload for post request")
+    }
+    case "get" => (t, args) match {
+      case (VString(url), Vector()) => execHttpV("GET", url, Map.empty, null)
+      case _ => VErr("no such overload for get")
+    }
+    case "head" => (t, args) match {
+      case (VString(url), Vector()) => execHttpV("HEAD", url, Map.empty, null)
+      case _ => VErr("no such overload for head")
+    }
+    case "post" => (t, args) match {
+      case (VString(url), Vector(VString(ct), body)) =>
+        reqBodyBytes(body).fold(identity,
+          b => execHttpV("POST", url, Map("Content-Type" -> Seq(ct)), b))
+      case _ => VErr("no such overload for post")
+    }
+    case "do_request" => t match {
+      case VMap(m) => doRequestV(m)
+      case _ => VErr("no such overload for do_request")
+    }
+    case "basic_authentication" => (t, args) match {
+      case (VMap(m), Vector(VString(user), VString(pass))) =>
+        val tok = java.util.Base64.getEncoder.encodeToString(
+          s"$user:$pass".getBytes(StandardCharsets.UTF_8))
+        val hdr = m.get("Header") match {
+          case Some(VMap(h)) => h
+          case _ => VectorMap.empty[String, V]
+        }
+        VMap(m + ("Header" -> VMap(hdr +
+          ("Authorization" -> VList(Vector(VString("Basic " + tok)))))))
+      case _ => VErr("no such overload for request")
+    }
+
     // ---- url / query ----
     case "parse_url" => t match {
       case VString(s) => parseUrlV(s)
@@ -648,4 +697,106 @@ private[cel] object Functions {
         case other => VErr(s"""unknown policy: "$other"""")
       }
     }
+
+  // ---------------- http request/response plumbing ----------------
+
+  private def reqBodyBytes(v: V): Either[VErr, Array[Byte]] = v match {
+    case VString(s) => Right(s.getBytes(StandardCharsets.UTF_8))
+    case VBytes(b) => Right(b)
+    case other => Left(VErr(s"invalid type for request body: $other"))
+  }
+
+  private def headerV(h: Map[String, Seq[String]]): V =
+    VMap(VectorMap.from(h.toSeq.sortBy(_._1).map { case (k, vs) =>
+      k -> (VList(vs.toVector.map(VString(_): V)): V)
+    }))
+
+  /** Go reqToMap shape (http.go:713-746): the request as data. Body keeps
+    * the caller's value type (string stays a string in the render, like
+    * Go keeps the ref.Val). */
+  private def buildRequestV(method: String, url: String,
+      body: Option[V], contentType: Option[String]): V = {
+    val len = body match {
+      case None => 0L
+      case Some(b) => reqBodyBytes(b) match {
+        case Left(e) => return e
+        case Right(x) => x.length.toLong
+      }
+    }
+    val header: V = contentType match {
+      case Some(ct) => VMap(VectorMap("Content-Type" -> (VList(Vector(VString(ct))): V)))
+      case None => VMap(VectorMap.empty[String, V])
+    }
+    val base = VectorMap[String, V](
+      "Close" -> VBool(false),
+      "ContentLength" -> VInt(len),
+      "Header" -> header,
+      "Host" -> VString(graft.sources.HttpExec.host(url)),
+      "Method" -> VString(method),
+      "Proto" -> VString("HTTP/1.1"),
+      "ProtoMajor" -> VInt(1),
+      "ProtoMinor" -> VInt(1),
+      "URL" -> VString(url))
+    VMap(body match {
+      case Some(b) => base + ("Body" -> b)
+      case None => base
+    })
+  }
+
+  private def respToV(r: graft.sources.HttpExec.Resp): V = {
+    val reqEcho = VMap(VectorMap[String, V](
+      "Close" -> VBool(false),
+      "ContentLength" -> VInt(r.reqContentLength),
+      "Header" -> headerV(r.reqHeader),
+      "Host" -> VString(r.reqHost),
+      "Method" -> VString(r.reqMethod),
+      "Proto" -> VString("HTTP/1.1"),
+      "ProtoMajor" -> VInt(1),
+      "ProtoMinor" -> VInt(1),
+      "URL" -> VString(r.reqUrl)))
+    VMap(VectorMap[String, V](
+      "Body" -> VBytes(r.body),
+      "Close" -> VBool(false),
+      "ContentLength" -> VInt(r.contentLength),
+      "Header" -> headerV(r.header),
+      "Proto" -> VString(r.proto),
+      "ProtoMajor" -> VInt(r.protoMajor),
+      "ProtoMinor" -> VInt(r.protoMinor),
+      "Request" -> reqEcho,
+      "Status" -> VString(r.status),
+      "StatusCode" -> VInt(r.statusCode),
+      "Uncompressed" -> VBool(false)))
+  }
+
+  private def execHttpV(method: String, url: String,
+      headers: Map[String, Seq[String]], body: Array[Byte]): V =
+    try respToV(graft.sources.HttpExec.send(method, url, headers, body))
+    catch { case scala.util.control.NonFatal(e) => VErr(String.valueOf(e.getMessage)) }
+
+  private def doRequestV(m: VectorMap[String, V]): V = {
+    val url = m.get("URL") match {
+      case Some(VString(s)) => s
+      case _ => return VErr("no such overload for do_request")
+    }
+    val method = m.get("Method") match {
+      case Some(VString(s)) if s.nonEmpty => s
+      case _ => "GET"
+    }
+    val headers: Map[String, Seq[String]] = m.get("Header") match {
+      case Some(VMap(h)) => h.toSeq.map {
+        case (k, VList(vs)) => k -> vs.collect { case VString(s) => s }.toSeq
+        case (k, VString(s)) => k -> Seq(s)
+        case (k, _) => k -> Seq.empty[String]
+      }.toMap
+      case _ => Map.empty
+    }
+    val body = m.get("Body") match {
+      case None => null
+      case Some(b) => reqBodyBytes(b) match {
+        case Left(e) => return e
+        case Right(x) => x
+      }
+    }
+    execHttpV(method, url, headers, body)
+  }
 }

@@ -221,10 +221,29 @@ object functions {
     call(X, Str, "decodeXmlHinted", Seq(Str, Str), s, hints)
 
   // =====================================================================
-  // HTTP url/query functions (reference lib/http.go:1002-1143). The
-  // executing calls (get/post/do_request) are the HTTP streaming source.
+  // HTTP url/query functions (reference lib/http.go:1002-1143), plus the
+  // executing calls (get/head/post/do_request — http.go:518-635,
+  // :826-854) as per-row kernels for keyed enrichment; bulk pagination
+  // is the HTTP streaming source.
   // =====================================================================
   val urlStructType: StructType = graft.expressions.HttpKernel.urlStructType
+
+  private val E = Class.forName("graft.expressions.HttpExecKernel")
+  val httpRespType: StructType = graft.expressions.HttpExecKernel.respStructType
+  val httpRequestType: StructType = graft.expressions.HttpExecKernel.requestStructType
+
+  /** Executing GET — response struct (Status/StatusCode/Proto/Header/
+    * ContentLength/Body). One request per row. */
+  def http_get(url: Column): Column = call(E, httpRespType, "get", Seq(Str), url)
+  /** Executing HEAD (reference http.go:518-548). */
+  def http_head(url: Column): Column = call(E, httpRespType, "head", Seq(Str), url)
+  /** Executing POST with content type + body (http.go:585-635). */
+  def http_post(url: Column, contentType: Column, body: Column): Column =
+    call(E, httpRespType, "post", Seq(Str, Str, Bin), url, contentType, body.cast(Bin))
+  /** Execute a request struct built by request/get_request/post_request/
+    * basic_authentication (http.go:826-854). */
+  def http_do_request(req: Column): Column =
+    call(E, httpRespType, "doRequest", Seq(httpRequestType), req)
 
   def parse_url(s: Column): Column = call(H, urlStructType, "parseUrl", Seq(Str), s)
   def format_url(m: Column): Column = call(H, Str, "formatUrl", Seq(urlStructType), m)

@@ -1,0 +1,123 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
+
+/** Executing HTTP calls: the shared client behind the CEL tier's
+  * `get`/`head`/`post`/`do_request`, the Column tier's `http_*`
+  * functions, and the paginated streaming source.
+  *
+  * Mirrors the reference's http library execution semantics
+  * (/root/reference/lib/http.go — doHead :518-548, doGet :549-584,
+  * doPost :585-635, doRequest :826-854, respToMap :748-781): the
+  * response is surfaced as a Go-shaped map (Status/StatusCode/Proto/
+  * Header/ContentLength/Body/Request echo), headers in Go canonical
+  * MIME form.
+  */
+object HttpExec {
+
+  /** respToMap-shaped response + the request echo respToMap embeds. */
+  final case class Resp(
+      status: String, statusCode: Long, proto: String,
+      protoMajor: Long, protoMinor: Long,
+      header: Map[String, Seq[String]], contentLength: Long, body: Array[Byte],
+      reqMethod: String, reqUrl: String, reqHost: String,
+      reqHeader: Map[String, Seq[String]], reqContentLength: Long)
+
+  // One HTTP/1.1 client per JVM (reference holds one http.Client per
+  // library instance). HTTP/1.1 preferred so Proto matches Go's default.
+  private lazy val client: HttpClient = HttpClient.newBuilder()
+    .version(HttpClient.Version.HTTP_1_1)
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .build()
+
+  /** Go net/http.StatusText for the codes that surface in practice. */
+  def statusText(code: Int): String = code match {
+    case 200 => "OK"; case 201 => "Created"; case 202 => "Accepted"
+    case 204 => "No Content"; case 206 => "Partial Content"
+    case 301 => "Moved Permanently"; case 302 => "Found"; case 304 => "Not Modified"
+    case 307 => "Temporary Redirect"; case 308 => "Permanent Redirect"
+    case 400 => "Bad Request"; case 401 => "Unauthorized"; case 403 => "Forbidden"
+    case 404 => "Not Found"; case 405 => "Method Not Allowed"
+    case 409 => "Conflict"; case 410 => "Gone"; case 412 => "Precondition Failed"
+    case 415 => "Unsupported Media Type"; case 418 => "I'm a teapot"
+    case 422 => "Unprocessable Entity"; case 429 => "Too Many Requests"
+    case 500 => "Internal Server Error"; case 501 => "Not Implemented"
+    case 502 => "Bad Gateway"; case 503 => "Service Unavailable"
+    case 504 => "Gateway Timeout"
+    case _ => ""
+  }
+
+  /** Go textproto.CanonicalMIMEHeaderKey: capitalize the first letter of
+    * each '-'-separated segment, lowercase the rest. */
+  def canonicalHeader(k: String): String =
+    k.split("-", -1).map { seg =>
+      if (seg.isEmpty) seg
+      else seg.substring(0, 1).toUpperCase + seg.substring(1).toLowerCase
+    }.mkString("-")
+
+  // Headers the JDK client manages itself and refuses to let callers set.
+  private val restricted =
+    Set("host", "content-length", "connection", "upgrade", "expect")
+
+  /** Authority (host[:port]) of a URL — Go's req.Host. */
+  def host(url: String): String = {
+    val i = url.indexOf("://")
+    val rest = if (i >= 0) url.substring(i + 3) else url
+    val cut = rest.indexWhere(c => c == '/' || c == '?' || c == '#')
+    val auth = if (cut >= 0) rest.substring(0, cut) else rest
+    val at = auth.lastIndexOf('@')
+    if (at >= 0) auth.substring(at + 1) else auth
+  }
+
+  /** Execute one request. `body` may be null/empty for body-less methods;
+    * `headers` are copied into the request (minus JDK-restricted keys,
+    * which the client sets itself). Throws on transport errors — callers
+    * surface the message as an in-band error value like the reference's
+    * types.NewErr. */
+  def send(method: String, url: String,
+      headers: Map[String, Seq[String]] = Map.empty,
+      body: Array[Byte] = null): Resp = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+    headers.foreach { case (k, vs) =>
+      if (!restricted.contains(k.toLowerCase))
+        vs.foreach(v => b.header(k, v))
+    }
+    val bodyLen = if (body == null) 0L else body.length.toLong
+    val publisher =
+      if (body == null || body.isEmpty) HttpRequest.BodyPublishers.noBody()
+      else HttpRequest.BodyPublishers.ofByteArray(body)
+    b.method(method.toUpperCase(java.util.Locale.ROOT), publisher)
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    val hdr = resp.headers().map().asScala.toSeq
+      .filterNot(_._1.startsWith(":"))
+      .map { case (k, vs) => canonicalHeader(k) -> vs.asScala.toSeq }
+      .toMap
+    val proto = resp.version() match {
+      case HttpClient.Version.HTTP_2 => ("HTTP/2.0", 2L, 0L)
+      case _ => ("HTTP/1.1", 1L, 1L)
+    }
+    val clen = hdr.get("Content-Length").flatMap(_.headOption)
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(resp.body().length.toLong)
+    Resp(
+      status = s"${resp.statusCode()} ${statusText(resp.statusCode())}".trim,
+      statusCode = resp.statusCode().toLong,
+      proto = proto._1, protoMajor = proto._2, protoMinor = proto._3,
+      header = hdr, contentLength = clen, body = resp.body(),
+      reqMethod = method.toUpperCase(java.util.Locale.ROOT), reqUrl = url,
+      reqHost = host(url),
+      reqHeader = headers.map { case (k, vs) => canonicalHeader(k) -> vs },
+      reqContentLength = bodyLen)
+  }
+
+  def get(url: String): Resp = send("GET", url)
+  def head(url: String): Resp = send("HEAD", url)
+  def post(url: String, contentType: String, body: Array[Byte]): Resp =
+    send("POST", url, Map("Content-Type" -> Seq(contentType)), body)
+
+  /** UTF-8 body convenience used by tests and the CEL tier. */
+  def bodyBytes(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+}

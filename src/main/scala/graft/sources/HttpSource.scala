@@ -29,6 +29,9 @@ import scala.jdk.CollectionConverters._
   *   pagesPerTrigger   admission control per micro-batch; default 1
   *   user / password   optional basic auth (reference http.go:783-824)
   *   minIntervalMs     minimum ms between requests in a partition
+  *   method            GET (default) | POST | HEAD (http.go:518-635)
+  *   contentType       request Content-Type (POST polls)
+  *   body              request body; `{page}` substituted per page
   *
   * Usage: spark.readStream.format(classOf[HttpSourceProvider].getName)
   *          .option("url", "http://host/api?page={page}").load()
@@ -48,18 +51,21 @@ object HttpSource {
     StructField("Header", MapType(StringType, ArrayType(StringType))),
     StructField("Body", BinaryType)))
 
-  def fetch(url: String, user: String, password: String,
-      bearer: String = ""): (Long, Map[String, Seq[String]], Array[Byte]) = {
-    val client = HttpClient.newHttpClient()
-    val b = HttpRequest.newBuilder(URI.create(url))
-    if (bearer.nonEmpty) b.header("Authorization", s"Bearer $bearer")
+  /** One page fetch, delegating to the shared [[HttpExec]] client.
+    * `method`/`contentType`/`body` support POST-polling APIs (the
+    * reference's post/do_request-driven pagination, http.go:585-635). */
+  def fetch(url: String, user: String, password: String, bearer: String = "",
+      method: String = "GET", contentType: String = "",
+      body: Array[Byte] = null): (Long, Map[String, Seq[String]], Array[Byte]) = {
+    var headers = Map.empty[String, Seq[String]]
+    if (bearer.nonEmpty) headers += "Authorization" -> Seq(s"Bearer $bearer")
     else if (user.nonEmpty) {
       val tok = Base64.getEncoder.encodeToString(s"$user:$password".getBytes(StandardCharsets.UTF_8))
-      b.header("Authorization", s"Basic $tok")
+      headers += "Authorization" -> Seq(s"Basic $tok")
     }
-    val resp = client.send(b.GET().build(), HttpResponse.BodyHandlers.ofByteArray())
-    val headers = resp.headers().map().asScala.map { case (k, vs) => k -> vs.asScala.toSeq }.toMap
-    (resp.statusCode().toLong, headers, resp.body())
+    if (contentType.nonEmpty) headers += "Content-Type" -> Seq(contentType)
+    val r = HttpExec.send(method, url, headers, body)
+    (r.statusCode, r.header, r.body)
   }
 
   /** OAuth2 token fetch (reference assembles these flows at
@@ -154,7 +160,10 @@ class HttpMicroBatchStream(options: Map[String, String])
       options.getOrElse("tokenurl", ""),
       options.getOrElse("clientid", ""),
       options.getOrElse("clientsecret", ""),
-      options.getOrElse("scope", "")): InputPartition).toArray
+      options.getOrElse("scope", ""),
+      options.getOrElse("method", "GET"),
+      options.getOrElse("contenttype", ""),
+      options.getOrElse("body", "")): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = HttpReaderFactory
@@ -163,7 +172,8 @@ class HttpMicroBatchStream(options: Map[String, String])
 case class HttpPagePartition(url: String, page: Long, user: String,
     password: String, minIntervalMs: Long, authType: String = "",
     tokenUrl: String = "", clientId: String = "", clientSecret: String = "",
-    scope: String = "") extends InputPartition
+    scope: String = "", method: String = "GET", contentType: String = "",
+    body: String = "") extends InputPartition
 
 object HttpReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -180,8 +190,12 @@ object HttpReaderFactory extends PartitionReaderFactory {
             HttpSource.oauth2Token(p.tokenUrl, p.clientId, p.clientSecret,
               p.scope, p.user, p.password)
           else ""
+        val reqBody =
+          if (p.body.isEmpty) null
+          else p.body.replace("{page}", p.page.toString).getBytes(StandardCharsets.UTF_8)
         val (status, headers, body) = HttpSource.fetch(url,
-          if (p.authType == "oauth2") "" else p.user, p.password, bearer)
+          if (p.authType == "oauth2") "" else p.user, p.password, bearer,
+          p.method, p.contentType, reqBody)
         row = InternalRow(
           UTF8String.fromString(url),
           p.page,

@@ -25,10 +25,12 @@ class ReferenceGoldenSpec extends AnyFunSuite {
   // scripts whose harness features the replay can't host (see above) or
   // whose semantics intentionally diverge (documented in README/SURVEY)
   private val skip: Set[String] = Set(
-    // live-server scripts (HTTP surface covered by StreamingSpec/
-    // OAuthGlobalsSpec against a local stub server)
+    // live-server scripts (these fetch www.example.com; the same
+    // programs replay against a local stub in HttpExecSpec, and
+    // StreamingSpec/OAuthGlobalsSpec cover the source path).
+    // request.txt is NOT skipped: request-as-data needs no network.
     "serve.txt", "serve_tls.txt", "post.txt", "get.txt", "head.txt",
-    "request.txt", "request_do.txt", "basic_auth.txt", "head_unauthorized.txt",
+    "request_do.txt", "basic_auth.txt", "head_unauthorized.txt",
     // dir listings embed wall-clock mod times; zip member maps carry
     // archive metadata (CRC32/Extra) we don't reproduce byte-for-byte
     "file_dir.txt", "file_dir_contents.txt", "file_zip.txt", "zip.txt",
