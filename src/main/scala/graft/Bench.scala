@@ -73,14 +73,40 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    /** Median of 3 runs: a single timing swings 2-4x on JIT/GC noise
+      * (BENCH_r01 vs r02 showed 2x deltas on an identical binary); the
+      * median is stable enough to attribute real regressions. */
+    def timeMedian3(body: => Unit): Double = {
+      val ts = Seq.fill(3)(time(body))
+      if (ts.exists(_ < 0)) -1 else ts.sorted.apply(1)
+    }
+
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> time(force(fn(spark, sfDir)))
+      name -> timeMedian3(force(fn(spark, sfDir)))
     }
     val shapeTimes = mitoShapes(t.events).map { case (name, df) =>
-      name -> time(force(df))
+      name -> timeMedian3(force(df))
     }
 
     val all = queryTimes ++ shapeTimes
+    // per-query delta vs a previous round's JSON (SPARK_GRAFT_PREV=path),
+    // printed to stderr so stdout stays one JSON line
+    sys.env.get("SPARK_GRAFT_PREV").filter(p => new java.io.File(p).exists()).foreach { p =>
+      try {
+        val prev = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+        // tolerate both a bare JSON line and the driver's wrapper (which
+        // embeds the line string-escaped: \"q01\":1.23)
+        val re = """"([\w]+)\\?":([0-9.eE+-]+)""".r
+        val prevTimes = re.findAllMatchIn(prev).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        all.foreach { case (k, v) =>
+          prevTimes.get(k).filter(_ > 0).foreach { pv =>
+            val pct = (v - pv) / pv * 100
+            if (math.abs(pct) >= 25)
+              System.err.println(f"[bench] $k: $pv%.2f -> $v%.2f s (${if (pct > 0) "+" else ""}$pct%.0f%%)")
+          }
+        }
+      } catch { case e: Exception => System.err.println(s"[bench] delta vs $p failed: $e") }
+    }
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ > 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
