@@ -52,11 +52,14 @@ object Cel {
       org.apache.spark.sql.graft.Shim.expression(state), nowMicros, regexps, globalsJson))
   }
 
-  /** One-shot local evaluation (no Spark): the mito CLI model. */
+  /** One-shot local evaluation (no Spark): the mito CLI model. `xsds`
+    * maps hint names to compiled hint JSON (the -cfg xsd: table,
+    * compiled by [[graft.expressions.XsdCompiler]]). */
   def evalOnce(program: String, stateJson: String,
       nowMicros: Long = System.currentTimeMillis() * 1000L,
       regexps: Map[String, String] = Map.empty,
       globalsJson: String = "",
-      baseDir: Option[java.nio.file.Path] = None): String =
-    Eval.evalJson(Parser.parse(program), stateJson, nowMicros, regexps, globalsJson, baseDir)
+      baseDir: Option[java.nio.file.Path] = None,
+      xsds: Map[String, String] = Map.empty): String =
+    Eval.evalJson(Parser.parse(program), stateJson, nowMicros, regexps, globalsJson, baseDir, xsds)
 }

@@ -42,7 +42,8 @@ object Eval {
 
   final case class Env(vars: Map[String, V], nowMicros: Long,
       regexps: Map[String, String] = Map.empty,
-      baseDir: Option[java.nio.file.Path] = None)
+      baseDir: Option[java.nio.file.Path] = None,
+      xsds: Map[String, String] = Map.empty)
 
   // ---------------- JSON <-> V ----------------
   def fromJson(n: JsonNode): V =
@@ -98,7 +99,8 @@ object Eval {
   def evalJson(program: Ast, stateJson: String, nowMicros: Long,
       regexps: Map[String, String] = Map.empty,
       globalsJson: String = "",
-      baseDir: Option[java.nio.file.Path] = None): String = {
+      baseDir: Option[java.nio.file.Path] = None,
+      xsds: Map[String, String] = Map.empty): String = {
     val state = fromJson(JsonAlgebra.parse(stateJson))
     val globals: Map[String, V] =
       if (globalsJson.isEmpty) Map.empty
@@ -111,7 +113,7 @@ object Eval {
       "now" -> VTimestamp(nowMicros),
       "time_layout" -> VMap(VectorMap.from(
         TimeKernel.namedLayouts.toSeq.sortBy(_._1).map { case (k, l) => k -> VString(l) }))),
-      nowMicros, regexps, baseDir)
+      nowMicros, regexps, baseDir, xsds)
     JsonAlgebra.render(toJson(eval(program, env)))
   }
 

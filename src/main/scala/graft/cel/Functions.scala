@@ -181,6 +181,22 @@ private[cel] object Functions {
       strictWithTarget(target, args, env) { case (h, Vector(VString(policy), VDuration(win))) =>
         rateLimit(h, policy, win, env)
       }
+    case "decode_xml" => // needs env.xsds for the named-hint overload
+      strictWithTarget(target, args, env) { (t, vs) =>
+        val hints: Either[VErr, String] = vs match {
+          case Vector() => Right("")
+          case Vector(VString(name)) =>
+            env.xsds.get(name).toRight(VErr(s"unknown XSD: $name"))
+          case _ => Left(VErr("no such overload for decode_xml"))
+        }
+        (bytesOf(t), hints) match {
+          case (Left(e), _) => e
+          case (_, Left(e)) => e
+          case (Right(b), Right(h)) =>
+            jv(JsonAlgebra.parse(graft.expressions.XmlKernel.decodeXmlHinted(
+              UTF8String.fromBytes(b), UTF8String.fromString(h)).toString))
+        }
+      }
     case _ if env.regexps.nonEmpty && fn.startsWith("re_") =>
       strictWithTarget(target, args, env)((t, vs) => regexp(fn, t, vs, env))
     case _ =>

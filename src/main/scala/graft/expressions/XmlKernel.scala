@@ -32,6 +32,11 @@ object XmlKernel {
   def decodeXml(data: UTF8String): UTF8String = decodeXmlHinted(data, null)
 
   def decodeXmlHinted(data: UTF8String, hintsJson: UTF8String): UTF8String = {
+    // Go's encoding/xml consumes tag-less input as chardata until EOF and
+    // reports io.ErrUnexpectedEOF; surface the same error text.
+    if (data != null && !data.toString.contains('<'))
+      return UTF8String.fromString(JsonAlgebra.render(
+        JsonAlgebra.error("failed to unmarshal XML document: unexpected EOF")))
     val out =
       try {
         val hints: JsonNode =
@@ -67,8 +72,15 @@ object XmlKernel {
         case XMLStreamConstants.START_ELEMENT =>
           val key = r.getLocalName
           val det = hintFor(details, key)
+          // Attributes plus namespace declarations: Go's encoding/xml
+          // reports xmlns:foo="uri" as a regular attribute named "foo"
+          // (xml.go's walk keeps it); StAX splits them out.
           val childAttrs = (0 until r.getAttributeCount)
-            .map(i => r.getAttributeLocalName(i) -> r.getAttributeValue(i))
+            .map(i => r.getAttributeLocalName(i) -> r.getAttributeValue(i)) ++
+            (0 until r.getNamespaceCount).map { i =>
+              val p = r.getNamespacePrefix(i)
+              (if (p == null || p.isEmpty) "xmlns" else p) -> r.getNamespaceURI(i)
+            }
           val (childCdata, part) = walk(r, childAttrs,
             if (det.has("children")) det.get("children") else nf.objectNode())
           var add: JsonNode =

@@ -219,6 +219,13 @@ object functions {
   def decode_xml(s: Column): Column = call(X, Str, "decodeXml", Seq(Str), s)
   def decode_xml(s: Column, hints: Column): Column =
     call(X, Str, "decodeXmlHinted", Seq(Str, Str), s, hints)
+  /** Compile an XSD to the hint JSON decode_xml takes (reference
+    * xml/xml.go:61-138 Details). Plan-time, driver-side: the compiled
+    * hints ship to executors as a literal. */
+  def compile_xsd(xsd: String): String = graft.expressions.XsdCompiler.compile(xsd)
+  /** decode_xml with an XSD compiled at plan time. */
+  def decode_xml_xsd(s: Column, xsd: String): Column =
+    decode_xml(s, F.lit(compile_xsd(xsd)))
 
   // =====================================================================
   // HTTP url/query functions (reference lib/http.go:1002-1143), plus the

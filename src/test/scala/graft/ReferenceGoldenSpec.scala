@@ -42,9 +42,7 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     "limit_okta.txt", "limit_draft.txt", "limit_general.txt",
     // documented divergence: int-keyed maps degrade to string keys in
     // the JSON value universe (README)
-    "keys.txt",
-    // interactive xml fixtures with XSD files
-    "xml.txt", "xml_xsd.txt")
+    "keys.txt")
 
   private case class Script(flags: Map[String, String], src: String,
       files: Map[String, String], want: String, base64Cmds: Seq[(String, String)] = Nil)
@@ -156,18 +154,27 @@ class ReferenceGoldenSpec extends AnyFunSuite {
 
   private def runScript(name: String, s: Script): Either[String, Unit] = {
     val state = s.flags.get("data").flatMap(s.files.get).getOrElse("null")
-    // regexps / globals from cfg.yaml (the only cfg forms the goldens use)
+    val workDir = materialize(s)
+    // regexps / globals / xsd tables from cfg.yaml (the cfg forms the
+    // goldens use)
     var regexps = Map.empty[String, String]
     var globalsJson = ""
+    var xsds = Map.empty[String, String]
     s.flags.get("cfg").flatMap(s.files.get).foreach { cfg =>
       if (cfg.contains("regexp:"))
         regexps = regexpCfg.findAllMatchIn(cfg).map(m => m.group(1) -> m.group(2)).toMap
       else if (cfg.contains("globals:")) globalsJson = yamlGlobalsToJson(cfg)
+      else if (cfg.contains("xsd:"))
+        // xsd: {"name": "file.xsd"} -> compile each file to hint JSON
+        xsds = regexpCfg.findAllMatchIn(cfg).map { m =>
+          val xsdText = new String(Files.readAllBytes(workDir.resolve(m.group(2))),
+            java.nio.charset.StandardCharsets.UTF_8)
+          m.group(1) -> graft.expressions.XsdCompiler.compile(xsdText)
+        }.toMap
       else return Left("unsupported cfg")
     }
-    val workDir = materialize(s)
     val got =
-      try Cel.evalOnce(s.src, state, 1704067200000000L, regexps, globalsJson, Some(workDir))
+      try Cel.evalOnce(s.src, state, 1704067200000000L, regexps, globalsJson, Some(workDir), xsds)
       catch { case e: Exception => return Left(s"eval threw: ${e.getMessage}") }
     val wantNode =
       try JsonAlgebra.parse(s.want)

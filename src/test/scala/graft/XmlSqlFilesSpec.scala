@@ -39,6 +39,29 @@ class XmlSqlFilesSpec extends SparkSpec {
     assert(out.contains("__error__"))
   }
 
+  test("decode_xml: tag-less input reports Go's unexpected EOF") {
+    assert(evalXml("""{"not": "xml"}""") ==
+      """{"__error__":"failed to unmarshal XML document: unexpected EOF"}""")
+  }
+
+  test("compile_xsd builds the reference Details hint tree (xml/xml.go:61-138)") {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/testdata/xml.txt")))
+    val xsd = txt.substring(
+      txt.indexOf("-- order.xsd --") + "-- order.xsd --".length,
+      txt.indexOf("-- order_one.xml --"))
+    val hints = compile_xsd(xsd)
+    // only interesting nodes survive: item is plural with typed children;
+    // the all-string address subtree is pruned
+    assert(hints ==
+      """{"order":{"children":{"item":{"children":{"cost":{"type":"float"},""" +
+        """"number":{"type":"int"},"sent":{"type":"bool"}},"plural":true}}}}""")
+    val xml = """<order><item><name>x</name><number>1</number><cost>9.90</cost>
+                |<sent>TRUE</sent></item></order>""".stripMargin.replace("\n", "")
+    assert(evalXml(xml, hints) ==
+      """{"doc":{"order":{"item":[{"cost":9.9,"name":"x","number":1,"sent":true}]}}}""")
+  }
+
   test("SQL registration exposes the surface to spark.sql") {
     GraftFunctions.register(spark)
     val r = spark.sql(
