@@ -5,7 +5,13 @@ package graft.cel
   * evaluated by [[Eval]]. All nodes are serializable so a compiled
   * program can ship inside a Catalyst expression to executors.
   */
-sealed trait Ast extends Serializable
+sealed trait Ast extends Serializable {
+  /** Source offset of this node (-1 = unstamped) — the analog of cel-go
+    * node ids for DecoratedError-style span rendering. A mutable stamp
+    * (not a constructor field) so the 40+ construction/match sites stay
+    * untouched. */
+  var pos: Int = -1
+}
 
 object Ast {
   // literals

@@ -62,4 +62,21 @@ object Cel {
       baseDir: Option[java.nio.file.Path] = None,
       xsds: Map[String, String] = Map.empty): String =
     Eval.evalJson(Parser.parse(program), stateJson, nowMicros, regexps, globalsJson, baseDir, xsds)
+
+  /** evalOnce with DecoratedError semantics (reference mito.go:335 +
+    * lib/errors.go:28-52): a failing program returns
+    * Left("failed eval: ERROR: <input>:line:col: msg" + snippet/caret);
+    * a successful one returns Right(rendered JSON). */
+  def evalDecorated(program: String, stateJson: String,
+      nowMicros: Long = System.currentTimeMillis() * 1000L,
+      regexps: Map[String, String] = Map.empty,
+      globalsJson: String = "",
+      baseDir: Option[java.nio.file.Path] = None,
+      xsds: Map[String, String] = Map.empty): Either[String, String] =
+    Eval.evalValue(Parser.parse(program), stateJson, nowMicros, regexps,
+      globalsJson, baseDir, xsds) match {
+      case e: Eval.VErr =>
+        Left("failed eval: " + Errors.display(program, e.at, e.msg))
+      case v => Right(graft.values.JsonAlgebra.render(Eval.toJson(v)))
+    }
 }

@@ -35,7 +35,24 @@ object Eval {
   final case class VMap(v: VectorMap[String, V]) extends V
   final case class VTimestamp(micros: Long) extends V
   final case class VDuration(micros: Long) extends V
-  final case class VErr(msg: String) extends V
+  /** Error value; `at` is the source offset of the node the error
+    * originated at (-1 = unknown) — the analog of the reference's
+    * DecoratedError node id (lib/errors.go:28-52). Plain class with a
+    * case-like companion so the span rides along without touching the
+    * 100+ `VErr(msg)` construction/match sites. */
+  final class VErr(val msg: String, val at: Int = -1) extends V {
+    override def equals(o: Any): Boolean = o match {
+      case e: VErr => e.msg == msg
+      case _ => false
+    }
+    override def hashCode: Int = msg.hashCode
+    override def toString: String = s"VErr($msg)"
+  }
+  object VErr {
+    def apply(msg: String): VErr = new VErr(msg)
+    def apply(msg: String, at: Int): VErr = new VErr(msg, at)
+    def unapply(e: VErr): Option[String] = Some(e.msg)
+  }
   /** CEL optional type (enabled in mito, mito.go:83): produced by `.?f`
     * and optional.of/none; consumed by orValue/hasValue/value. */
   final case class VOpt(v: Option[V]) extends V
@@ -100,7 +117,17 @@ object Eval {
       regexps: Map[String, String] = Map.empty,
       globalsJson: String = "",
       baseDir: Option[java.nio.file.Path] = None,
-      xsds: Map[String, String] = Map.empty): String = {
+      xsds: Map[String, String] = Map.empty): String =
+    JsonAlgebra.render(toJson(evalValue(program, stateJson, nowMicros,
+      regexps, globalsJson, baseDir, xsds)))
+
+  /** Like evalJson but returns the raw value — the top-level VErr keeps
+    * its source offset for DecoratedError-style rendering. */
+  def evalValue(program: Ast, stateJson: String, nowMicros: Long,
+      regexps: Map[String, String] = Map.empty,
+      globalsJson: String = "",
+      baseDir: Option[java.nio.file.Path] = None,
+      xsds: Map[String, String] = Map.empty): V = {
     val state = fromJson(JsonAlgebra.parse(stateJson))
     val globals: Map[String, V] =
       if (globalsJson.isEmpty) Map.empty
@@ -114,11 +141,23 @@ object Eval {
       "time_layout" -> VMap(VectorMap.from(
         TimeKernel.namedLayouts.toSeq.sortBy(_._1).map { case (k, l) => k -> VString(l) }))),
       nowMicros, regexps, baseDir, xsds)
-    JsonAlgebra.render(toJson(eval(program, env)))
+    eval(program, env)
   }
 
   // ---------------- core evaluation ----------------
-  def eval(e: Ast, env: Env): V = e match {
+  /** Evaluate, annotating errors with the source offset of the node they
+    * originate at: the innermost positioned node that first sees an
+    * un-spanned VErr stamps it (DecoratedError's "node the error
+    * happened at", lib/errors.go:54-84); outer nodes pass it through. */
+  def eval(e: Ast, env: Env): V = {
+    val v = evalAst(e, env)
+    v match {
+      case err: VErr if err.at < 0 && e.pos >= 0 => new VErr(err.msg, e.pos)
+      case other => other
+    }
+  }
+
+  private def evalAst(e: Ast, env: Env): V = e match {
     case Ast.IntLit(v) => VInt(v)
     case Ast.UintLit(v) => VUint(v)
     case Ast.DoubleLit(v) => VDouble(v)

@@ -29,6 +29,8 @@ private final class Parser(src: String) {
   import Parser.ParseException
 
   var pos = 0
+  /** Stamp a node with a source offset if it doesn't carry one yet. */
+  private def st[A <: Ast](p: Int, node: A): A = { if (node.pos < 0) node.pos = p; node }
   def eof: Boolean = pos >= src.length
   def rest: String = src.substring(math.min(pos, src.length))
 
@@ -48,23 +50,25 @@ private final class Parser(src: String) {
   // ---- precedence levels ----
   def parseTernary(): Ast = {
     val c = parseOr()
-    if (eat("?")) {
+    if (peek("?")) {
+      val p = pos
+      eat("?")
       val t = parseTernary()
       expect(":")
       val f = parseTernary()
-      Ternary(c, t, f)
+      st(p, Ternary(c, t, f))
     } else c
   }
 
   private def parseOr(): Ast = {
     var l = parseAnd()
-    while (peek("||")) { eat("||"); l = Binary("||", l, parseAnd()) }
+    while (peek("||")) { val p = pos; eat("||"); l = st(p, Binary("||", l, parseAnd())) }
     l
   }
 
   private def parseAnd(): Ast = {
     var l = parseRel()
-    while (peek("&&")) { eat("&&"); l = Binary("&&", l, parseRel()) }
+    while (peek("&&")) { val p = pos; eat("&&"); l = st(p, Binary("&&", l, parseRel())) }
     l
   }
 
@@ -75,9 +79,9 @@ private final class Parser(src: String) {
     while (!done) {
       skipWs()
       relOps.find(op => src.startsWith(op, pos)) match {
-        case Some(op) => pos += op.length; l = Binary(op, l, parseAdd())
+        case Some(op) => val p = pos; pos += op.length; l = st(p, Binary(op, l, parseAdd()))
         case None =>
-          if (peekWord("in")) { eatWord("in"); l = Binary("in", l, parseAdd()) }
+          if (peekWord("in")) { val p = pos; eatWord("in"); l = st(p, Binary("in", l, parseAdd())) }
           else done = true
       }
     }
@@ -89,8 +93,8 @@ private final class Parser(src: String) {
     var done = false
     while (!done) {
       skipWs()
-      if (!eof && src.charAt(pos) == '+') { pos += 1; l = Binary("+", l, parseMul()) }
-      else if (!eof && src.charAt(pos) == '-') { pos += 1; l = Binary("-", l, parseMul()) }
+      if (!eof && src.charAt(pos) == '+') { val p = pos; pos += 1; l = st(p, Binary("+", l, parseMul())) }
+      else if (!eof && src.charAt(pos) == '-') { val p = pos; pos += 1; l = st(p, Binary("-", l, parseMul())) }
       else done = true
     }
     l
@@ -101,11 +105,11 @@ private final class Parser(src: String) {
     var done = false
     while (!done) {
       skipWs()
-      if (!eof && src.charAt(pos) == '*') { pos += 1; l = Binary("*", l, parseUnary()) }
+      if (!eof && src.charAt(pos) == '*') { val p = pos; pos += 1; l = st(p, Binary("*", l, parseUnary())) }
       else if (!eof && src.charAt(pos) == '/' && !src.startsWith("//", pos)) {
-        pos += 1; l = Binary("/", l, parseUnary())
+        val p = pos; pos += 1; l = st(p, Binary("/", l, parseUnary()))
       }
-      else if (!eof && src.charAt(pos) == '%') { pos += 1; l = Binary("%", l, parseUnary()) }
+      else if (!eof && src.charAt(pos) == '%') { val p = pos; pos += 1; l = st(p, Binary("%", l, parseUnary())) }
       else done = true
     }
     l
@@ -113,34 +117,38 @@ private final class Parser(src: String) {
 
   private def parseUnary(): Ast = {
     skipWs()
-    if (eat("!")) Unary("!", parseUnary())
+    val p0 = pos
+    if (eat("!")) st(p0, Unary("!", parseUnary()))
     else if (!eof && src.charAt(pos) == '-' && {
       // negative literal vs binary minus is handled here (unary context)
       true
-    } && eat("-")) Unary("-", parseUnary())
+    } && eat("-")) st(p0, Unary("-", parseUnary()))
     else parseMember()
   }
 
   // member = primary { '.' IDENT [ '(' args ')' ] | '[' expr ']' }
   private def parseMember(): Ast = {
-    var e = parsePrimary()
+    skipWs()
+    val p0 = pos
+    var e = st(p0, parsePrimary())
     var done = false
     while (!done) {
       skipWs()
+      val p = pos
       if (peek(".?")) {
         eat(".?")
-        e = SelectOpt(e, parseIdent())
+        e = st(p, SelectOpt(e, parseIdent()))
       } else if (eat(".")) {
         val name = parseIdent()
         skipWs()
         if (!eof && src.charAt(pos) == '(') {
-          e = parseCallTail(e, name)
-        } else e = Select(e, name)
+          e = st(p, parseCallTail(e, name))
+        } else e = st(p, Select(e, name))
       } else if (!eof && src.charAt(pos) == '[') {
         pos += 1
         val idx = parseTernary()
         expect("]")
-        e = Index(e, idx)
+        e = st(p, Index(e, idx))
       } else done = true
     }
     e

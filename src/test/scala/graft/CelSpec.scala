@@ -25,6 +25,21 @@ class CelSpec extends SparkSpec {
     assert(run("[1,2] + [3]") == "[1,2,3]")
   }
 
+  test("eval errors carry source spans (DecoratedError, lib/errors.go:28-52)") {
+    // error originates at the '/' node: offset 6 -> 1:7, caret under it
+    assert(Cel.evalDecorated("1 + 2 / (3 - 3)", "null", NOW) == Left(
+      "failed eval: ERROR: <input>:1:7: division by zero\n" +
+        " | 1 + 2 / (3 - 3)\n" +
+        " | ......^"))
+    // multi-line program: line/col resolve past the first line
+    assert(Cel.evalDecorated("{\"a\": 1,\n \"b\": [1, 2][5]}", "null", NOW) == Left(
+      "failed eval: ERROR: <input>:2:13: index out of range: 5\n" +
+        " |  \"b\": [1, 2][5]}\n" +
+        " | ............^"))
+    // success path renders JSON unchanged
+    assert(Cel.evalDecorated("{'a': 1 + 1}", "null", NOW) == Right("""{"a":2}"""))
+  }
+
   test("division by zero is an error value absorbed by || (reference debug.txt semantics)") {
     assert(run("1 / 0") == """{"__error__":"division by zero"}""")
     assert(run("true || (1/0 == 1)") == "true")
