@@ -269,6 +269,22 @@ private[cel] object Functions {
       case _ => VErr("no such overload: mime")
     }
 
+    // ---- channels (reference lib/send.go:149-197) ----
+    // v.send_to(name) pushes the value (rendered JSON) onto the named
+    // driver channel and returns the value; v.close(name) closes it.
+    case "send_to" => args match {
+      case Vector(VString(name)) =>
+        graft.streaming.Channels.send(name, JsonAlgebra.render(vj(t)))
+        t
+      case _ => VErr("no such overload")
+    }
+    case "close" => args match {
+      case Vector(VString(name)) =>
+        if (graft.streaming.Channels.closeStrict(name)) VBool(true)
+        else VErr(s"no channel $name")
+      case _ => VErr("no such overload")
+    }
+
     // ---- http: request-as-data + executing calls ----
     // reference lib/http.go: makeRequestBody :672-712, reqToMap :713-746,
     // doHead :518-548, doPost :585-635, doRequest :826-854,

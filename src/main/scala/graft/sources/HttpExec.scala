@@ -80,6 +80,8 @@ object HttpExec {
   def send(method: String, url: String,
       headers: Map[String, Seq[String]] = Map.empty,
       body: Array[Byte] = null): Resp = {
+    // blocking limiter wait before every request (http.go:524-527)
+    RateGate.acquire(host(url))
     val b = HttpRequest.newBuilder(URI.create(url))
     headers.foreach { case (k, vs) =>
       if (!restricted.contains(k.toLowerCase))

@@ -32,6 +32,9 @@ import scala.jdk.CollectionConverters._
   *   method            GET (default) | POST | HEAD (http.go:518-635)
   *   contentType       request Content-Type (POST polls)
   *   body              request body; `{page}` substituted per page
+  *   ratePerSec        blocking token-bucket limit for the target host,
+  *                     shared JVM-wide (reference rate.Limiter.Wait,
+  *                     http.go:524-527); rateBurst sets the burst size
   *
   * Usage: spark.readStream.format(classOf[HttpSourceProvider].getName)
   *          .option("url", "http://host/api?page={page}").load()
@@ -163,7 +166,9 @@ class HttpMicroBatchStream(options: Map[String, String])
       options.getOrElse("scope", ""),
       options.getOrElse("method", "GET"),
       options.getOrElse("contenttype", ""),
-      options.getOrElse("body", "")): InputPartition).toArray
+      options.getOrElse("body", ""),
+      options.getOrElse("ratepersec", "0").toDouble,
+      options.getOrElse("rateburst", "1").toInt): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = HttpReaderFactory
@@ -173,7 +178,7 @@ case class HttpPagePartition(url: String, page: Long, user: String,
     password: String, minIntervalMs: Long, authType: String = "",
     tokenUrl: String = "", clientId: String = "", clientSecret: String = "",
     scope: String = "", method: String = "GET", contentType: String = "",
-    body: String = "") extends InputPartition
+    body: String = "", ratePerSec: Double = 0, rateBurst: Int = 1) extends InputPartition
 
 object HttpReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -185,6 +190,9 @@ object HttpReaderFactory extends PartitionReaderFactory {
         if (done) return false
         if (p.minIntervalMs > 0) Thread.sleep(p.minIntervalMs)
         val url = p.url.replace("{page}", p.page.toString)
+        // share one bucket per host across every partition in the JVM
+        if (p.ratePerSec > 0 && !RateGate.isConfigured(HttpExec.host(url)))
+          RateGate.configure(HttpExec.host(url), p.ratePerSec, p.rateBurst)
         val bearer =
           if (p.authType == "oauth2")
             HttpSource.oauth2Token(p.tokenUrl, p.clientId, p.clientSecret,

@@ -23,10 +23,26 @@ object Channels {
   /** send_to for a batch DataFrame: every row's JSON lands on the named
     * channel (driver-side; rows are collected per batch — intended for
     * event emission, not bulk data movement). */
+  /** Channels are an event/control-flow mechanism (the reference's chan
+    * map, lib/send.go:61) — not a bulk data path. The guard keeps a
+    * caller from accidentally collecting a large frame to the driver. */
+  val MaxRowsPerSend = 100000
+
   def sendTo(name: String, df: DataFrame): Unit = {
     val q = queue(name)
-    df.toJSON.collect().foreach(q.add)
+    val rows = df.toJSON.take(MaxRowsPerSend + 1)
+    require(rows.length <= MaxRowsPerSend,
+      s"send_to('$name') exceeds $MaxRowsPerSend rows; channels are for " +
+        "events — write bulk data to a sink instead")
+    rows.foreach(q.add)
   }
+
+  /** One in-band value send (the CEL tier's v.send_to(name)). */
+  def send(name: String, json: String): Unit = queue(name).add(json)
+
+  /** close with existence check (send.go:136-147: closing an unknown or
+    * already-closed channel is an error). */
+  def closeStrict(name: String): Boolean = channels.remove(name) != null
 
   /** send_to for a stream: foreachBatch pushing each micro-batch. */
   def sendToStream(name: String, df: DataFrame): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

@@ -220,5 +220,12 @@ class FunctionsSpec extends SparkSpec {
     assert(evalOn("food", c => re.re_find_submatch("foo", c)).asInstanceOf[scala.collection.Seq[String]].toSeq
       == Seq("foo", "oo"))
     assert(evalStr("food fight", c => re.re_replace_all("foo", c, lit("y"))) == "yd fight")
+    // Go FindAllStringSubmatch: every match with its capture groups
+    assert(evalOn("food fool", c => re.re_find_all_submatch("foo", c))
+      .asInstanceOf[scala.collection.Seq[scala.collection.Seq[String]]]
+      .map(_.toSeq).toSeq == Seq(Seq("foo", "oo"), Seq("foo", "oo")))
+    assert(evalOn("a1b22", c => re.re_find_all_submatch("digits", c))
+      .asInstanceOf[scala.collection.Seq[scala.collection.Seq[String]]]
+      .map(_.toSeq).toSeq == Seq(Seq("1"), Seq("22")))
   }
 }

@@ -190,6 +190,48 @@ class HttpExecSpec extends SparkSpec {
     }
   }
 
+  test("RateGate blocks callers to the configured rate (rate.Limiter.Wait)") {
+    graft.sources.RateGate.configure("gate-test", 20.0, 1) // 50ms/token
+    try {
+      val t0 = System.nanoTime()
+      (1 to 4).foreach(_ => graft.sources.RateGate.acquire("gate-test"))
+      val ms = (System.nanoTime() - t0) / 1e6
+      // 1 burst token + 3 waits x 50ms; scheduling slack tolerated
+      assert(ms >= 140, s"4 acquires at 20/s took only ${ms}ms")
+    } finally graft.sources.RateGate.configure("gate-test", 0)
+  }
+
+  test("http source requests share one JVM-wide rate bucket per host") {
+    withServer { (server, base) =>
+      val arrivals = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+      server.createContext("/r", new HttpHandler {
+        override def handle(x: HttpExchange): Unit = {
+          arrivals.add(System.nanoTime())
+          val body = "ok".getBytes(StandardCharsets.UTF_8)
+          x.sendResponseHeaders(200, body.length)
+          x.getResponseBody.write(body); x.close()
+        }
+      })
+      val df = spark.readStream
+        .format(classOf[HttpSourceProvider].getName)
+        .option("url", s"$base/r?page={page}")
+        .option("maxPages", "3")
+        .option("pagesPerTrigger", "3") // concurrent tasks -> gate serializes
+        .option("ratePerSec", "20")
+        .load()
+      val q = df.select(col("Page"))
+        .writeStream.format("memory").queryName("http_rate_out").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.sql("SELECT * FROM http_rate_out").count() == 3)
+        val ts = arrivals.toArray(Array.empty[java.lang.Long]).map(_.longValue()).sorted
+        val spreadMs = (ts.max - ts.min) / 1e6
+        assert(spreadMs >= 80, s"3 requests at 20/s arrived within ${spreadMs}ms")
+      } finally q.stop()
+      graft.sources.RateGate.configure(graft.sources.HttpExec.host(base), 0)
+    }
+  }
+
   test("http source POSTs a page-substituted body (POST pagination)") {
     withServer { (server, base) =>
       val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()

@@ -32,6 +32,21 @@ class OptionalChannelSpec extends SparkSpec {
     assert(Channels.drain("test-ch").isEmpty)
   }
 
+  test("channels: CEL send_to/close bindings (lib/send.go:149-197)") {
+    val out = graft.cel.Cel.evalOnce(
+      """{"sent": {"k": 1}.send_to("cel-ch"), "closed": "x".close("cel-ch")}""",
+      "null", 1704067200000000L)
+    assert(out == """{"closed":true,"sent":{"k":1}}""")
+    // double close is an error (drain would auto-recreate, so check first)
+    assert(graft.cel.Cel.evalOnce("""try("x".close("cel-ch"))""",
+      "null", 1704067200000000L) == "\"no channel cel-ch\"")
+    // channel was closed: nothing left to drain
+    assert(Channels.drain("cel-ch").isEmpty)
+    // send_to leaves the value on the channel for the driver to drain
+    graft.cel.Cel.evalOnce(""""payload".send_to("cel-ch2")""", "null", 1704067200000000L)
+    assert(Channels.drain("cel-ch2") == Seq("\"payload\""))
+  }
+
   test("channels: streaming foreachBatch path") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ch-stream")
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/region.parquet"),
