@@ -224,9 +224,11 @@ object TimeKernel {
       val h = v / 3600000000L
       val m = (v % 3600000000L) / 60000000L
       val s2 = (v % 60000000L) / 1e6
+      // Go Duration.String(): above the seconds unit, every lower unit
+      // is always printed — 9m -> "9m0s", 1h -> "1h0m0s"
       if (h > 0) sb.append(h).append('h')
       if (m > 0 || h > 0) sb.append(m).append('m')
-      if (s2 != 0 || (h == 0 && m == 0)) sb.append(trimNum(s2)).append('s')
+      sb.append(trimNum(s2)).append('s')
     }
     UTF8String.fromString(sb.toString)
   }

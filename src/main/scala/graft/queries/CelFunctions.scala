@@ -190,6 +190,52 @@ object CelFunctions {
       Tables(s, dir).events
         .select(col("event_id"), decode_json_stream(stream).as("decoded"))
         .orderBy(col("event_id"))
+    },
+
+    // --- strings/crypto/time tiers without oracle rows until now ------
+    "q52_substring_runes" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          substring_runes(col("text"), lit(0L), lit(12L)).as("head12"),
+          substring_runes(col("text"), lit(3L), lit(9L)).as("mid"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q53_trim_cutset" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          trim_cutset(col("text"), lit("aeiou kt")).as("both"),
+          trim_left(col("text"), lit("aeiou kt")).as("left"),
+          trim_right(col("text"), lit("aeiou kt")).as("right"),
+          trim_prefix(col("text"), lit("key ")).as("unprefixed"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q54_string_misc" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          equal_fold(col("lang"), lit("EN")).as("is_en_fold"),
+          repeat_str(col("lang"), lit(3)).as("rep"),
+          join_str(fields_str(col("text")), "|").as("joined"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q55_base64_raw" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          base64_raw(col("text").cast("binary")).as("b64raw"),
+          base64_decode(base64_std(col("text").cast("binary"))).cast("string")
+            .as("roundtrip"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q56_duration_go" -> { (s, dir) =>
+      val mins = (col("user_id") % 50 + 1)
+      Tables(s, dir).events
+        .select(col("event_id"),
+          duration_go(concat(mins.cast("string"), lit("m"))).as("micros"),
+          format_duration_go((mins * 60000000L).cast("long")).as("rendered"))
+        .orderBy(col("event_id"))
     })
 
   def oracle: Map[String, String] = Map(
@@ -273,5 +319,30 @@ object CelFunctions {
     "q51_json_stream" ->
       """SELECT event_id,
          '[{"k":' || json_extract_string(props, '$.k') || '},' || user_id || ',"' || event_type || '"]' AS decoded
+         FROM events ORDER BY event_id""",
+    "q52_substring_runes" ->
+      """SELECT doc_id, substr(text, 1, 12) AS head12, substr(text, 4, 6) AS mid
+         FROM documents ORDER BY doc_id""",
+    "q53_trim_cutset" ->
+      """SELECT doc_id,
+         trim(text, 'aeiou kt') AS both, ltrim(text, 'aeiou kt') AS "left",
+         rtrim(text, 'aeiou kt') AS "right",
+         CASE WHEN text LIKE 'key %' THEN substr(text, 5) ELSE text END AS unprefixed
+         FROM documents ORDER BY doc_id""",
+    "q54_string_misc" ->
+      """SELECT doc_id,
+         lower(lang) = lower('EN') AS is_en_fold,
+         repeat(lang, 3) AS rep,
+         array_to_string(list_filter(string_split_regex(text, '\s+'), x -> x <> ''), '|') AS joined
+         FROM documents ORDER BY doc_id""",
+    "q55_base64_raw" ->
+      """SELECT doc_id,
+         rtrim(base64(CAST(text AS BLOB)), '=') AS b64raw,
+         text AS roundtrip
+         FROM documents ORDER BY doc_id""",
+    "q56_duration_go" ->
+      """SELECT event_id,
+         (user_id % 50 + 1) * 60000000 AS micros,
+         CAST(user_id % 50 + 1 AS VARCHAR) || 'm0s' AS rendered
          FROM events ORDER BY event_id""")
 }
