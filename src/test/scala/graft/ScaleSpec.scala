@@ -43,4 +43,22 @@ class ScaleSpec extends SparkSpec {
       t.customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", 4).count()
     assert(salted == plain)
   }
+
+  test("q31-style bucket cap bounds band self-join fan-out on hot buckets") {
+    import SparkSpec.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 200 ids in one degenerate bucket ("hot"), 3 in a healthy one: the
+    // uncapped self-join would produce 19900 pairs from the hot bucket.
+    val bands = ((1L to 200L).map(_ -> "hot") ++ Seq(201L, 202L, 203L).map(_ -> "ok"))
+      .toDF("doc_id", "bd")
+    val capped = bands
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("bd"))))
+      .filter(col("bucket_n") <= 64)
+      .drop("bucket_n")
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.bd") === col("b.bd") && col("a.doc_id") < col("b.doc_id"))
+      .count()
+    // only the healthy bucket pairs survive: C(3,2) = 3, not 19903
+    assert(pairs == 3)
+  }
 }
