@@ -227,6 +227,54 @@ object SketchKernel {
     sig
   }
 
+  // IVF codebook: K Rademacher centroids c[k][j] = ±1 from
+  // md5("ivf_k_j") & 1 — a fixed random codebook (cluster-pruned search
+  // without a training pass), derivable by the DuckDB oracle exactly
+  // like the hyperplanes above.
+  private def ivfW(k: Int, j: Int): Double = {
+    val key = 0x4000000000000000L + k.toLong * 1000003L + j
+    var w = planeW.get(key)
+    if (w == null) {
+      val bytes = ("ivf_" + k + "_" + j).getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      w = java.lang.Double.valueOf(if ((md5Lower64(bytes) & 1L) == 1L) 1.0 else -1.0)
+      planeW.putIfAbsent(key, w)
+    }
+    w.doubleValue()
+  }
+
+  private def ivfDots(emb: ArrayData, nCells: Int): Array[Double] = {
+    val d = emb.numElements()
+    val dots = new Array[Double](nCells)
+    var k = 0
+    while (k < nCells) {
+      var acc = 0d
+      var j = 0
+      while (j < d) { acc += emb.getDouble(j) * ivfW(k, j); j += 1 }
+      dots(k) = acc
+      k += 1
+    }
+    dots
+  }
+
+  /** IVF cell assignment: argmax over centroid dot products
+    * (deterministic tie-break on the lower cell id). */
+  def ivfCell(emb: ArrayData, nCells: Int): Int = {
+    val dots = ivfDots(emb, nCells)
+    var best = 0
+    var k = 1
+    while (k < nCells) { if (dots(k) > dots(best)) best = k; k += 1 }
+    best
+  }
+
+  /** The nprobe closest cells for a query vector, best first (ties by
+    * cell id) — the IVF probe list. */
+  def ivfProbes(emb: ArrayData, nCells: Int, nprobe: Int): ArrayData = {
+    val dots = ivfDots(emb, nCells)
+    val order = (0 until nCells).sortBy(k => (-dots(k), k)).take(nprobe)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      order.map(java.lang.Integer.valueOf(_): Any).toArray)
+  }
+
   /** The multimodal decode STUB: a deterministic 16-bin byte histogram
     * "feature extractor" standing in for a real image/audio decoder
     * (decoder libs are unavailable in this environment — the Spark-side

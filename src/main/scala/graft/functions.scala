@@ -343,6 +343,18 @@ object functions {
     call(K, LongType, "embedSignBits", Seq(ArrayType(DoubleType), IntegerType),
       emb, F.lit(nbits))
 
+  /** IVF cell assignment over a fixed md5-derived Rademacher codebook
+    * (cluster-pruned ANN without a training pass). */
+  def ivf_cell(emb: Column, nCells: Int): Column =
+    call(K, IntegerType, "ivfCell", Seq(ArrayType(DoubleType), IntegerType),
+      emb, F.lit(nCells))
+
+  /** The nprobe closest IVF cells for a query vector, best first. */
+  def ivf_probes(emb: Column, nCells: Int, nprobe: Int): Column =
+    call(K, ArrayType(IntegerType, containsNull = false), "ivfProbes",
+      Seq(ArrayType(DoubleType), IntegerType, IntegerType),
+      emb, F.lit(nCells), F.lit(nprobe))
+
   // =====================================================================
   // CEL core comprehensions (SURVEY §2.1) — thin aliases onto Spark's
   // codegen'd higher-order functions, named for the CEL surface. The

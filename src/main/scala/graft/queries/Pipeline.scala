@@ -213,6 +213,33 @@ object Pipeline {
         .orderBy(col("vec_a"), col("vec_b"))
     },
 
+    "q57_ann_ivf" -> { (s, dir) =>
+      // IVF-style ANN: a fixed md5-derived Rademacher codebook quantizes
+      // vectors into cells (no training pass); queries probe their
+      // nprobe closest cells and verify exactly inside them. At corpus
+      // scale K grows with the data (thousands of cells) so the
+      // cell join shuffles each vector once into a small bucket —
+      // candidates per query ~ nprobe/K of the corpus, never all of it.
+      val K = 16
+      val nprobe = 4
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+        .withColumn("ss", dot_product(col("emb"), col("emb")))
+        .withColumn("cell", ivf_cell(col("emb"), K))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qe"), col("ss").as("qss"),
+          explode(ivf_probes(col("emb"), K, nprobe)).as("cell"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      e.join(broadcast(q), "cell")
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(dot_product(col("qe"), col("emb")) /
+          (sqrt(col("qss")) * sqrt(col("ss"))), 6))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("vec_id"), col("cos"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
     "q40_multimodal_features" -> { (s, dir) =>
       // Binary multimodal plumbing with a stubbed decoder: payload is an
       // opaque binary column + typed metadata; "decode" = deterministic
@@ -347,6 +374,33 @@ object Pipeline {
            array_to_string(list_transform(range(0, 16), b ->
              length(hn) - length(replace(hn, substr('0123456789ABCDEF', CAST(b AS INT) + 1, 1), ''))), ',') AS features
          FROM h ORDER BY doc_id""",
+    // IVF over the md5-Rademacher codebook: the oracle recomputes cell
+    // assignment (argmax of 16 centroid dots, lower-id tie-break), the
+    // nprobe=4 probe list, and the exact in-cell cosine top-5.
+    "q57_ann_ivf" ->
+      """WITH c AS (SELECT vec_id, embedding,
+             list_transform(range(0, 16), k -> list_sum(list_transform(range(1, 65), i ->
+               CAST(embedding[i] AS DOUBLE) *
+               (CASE WHEN (md5_number_lower('ivf_' || k::VARCHAR || '_' || (i-1)::VARCHAR) & 1) = 1
+                     THEN 1.0 ELSE -1.0 END)))) AS dots,
+             list_sum(list_transform(range(1, 65), i ->
+               CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS ss
+           FROM embeddings),
+         d AS (SELECT vec_id, embedding, ss, k, dots[CAST(k AS INT) + 1] AS dot
+               FROM c, range(0, 16) t(k)),
+         asg AS (SELECT vec_id, embedding, ss, k AS cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, k) AS rk FROM d),
+         data AS (SELECT vec_id, embedding, ss, cell FROM asg WHERE rk = 1),
+         probes AS (SELECT vec_id AS qid, embedding AS qe, ss AS qss, cell
+                    FROM asg WHERE vec_id < 10 AND rk <= 4),
+         p AS (SELECT pr.qid, e.vec_id,
+                round(list_sum(list_transform(range(1, 65), i ->
+                    CAST(pr.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                  / (sqrt(pr.qss) * sqrt(e.ss)), 6) AS cos
+               FROM data e JOIN probes pr ON e.cell = pr.cell AND e.vec_id <> pr.qid),
+         r AS (SELECT qid, vec_id, cos,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk FROM p)
+         SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
     // Sign bits from md5-Rademacher hyperplanes (weight = ±1 by the low
     // bit of md5_number_lower('p_j')), 4x8-bit band condition, exact
     // cosine on candidates — the full LSH pipeline, independently rebuilt.

@@ -53,6 +53,19 @@ class PipelineSpec extends SparkSpec {
     assert(feats.sum == r.getAs[Long]("n_bytes"))
   }
 
+  test("ivf ann: probed search overlaps the exact top-k (recall sanity)") {
+    def topSets(name: String) =
+      Pipeline.queries(name)(spark, sf).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val exact = topSets("q36_ann_topk")
+    val ivf = topSets("q57_ann_ivf")
+    // nprobe=4 of K=16 cells scans ~1/4 of the corpus; on near-uniform
+    // random embeddings expect meaningful but partial overlap
+    val overlaps = exact.map { case (q, ex) => (ivf.getOrElse(q, Set.empty) & ex).size }
+    assert(overlaps.sum > 0, "IVF found none of the exact neighbors")
+    assert(ivf.values.forall(_.size <= 5))
+  }
+
   test("lang_id returns a known label") {
     val langs = Pipeline.queries("q34_lang_id")(spark, sf)
       .select("lang_guess").distinct().collect().map(_.getString(0)).toSet
