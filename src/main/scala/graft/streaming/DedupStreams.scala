@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming deduplication for a continuously-ingested document corpus:
+  * the streaming halves of the batch dedup family (q30/q38).
+  *
+  * Scale notes:
+  *   - Exact dedup rides Spark's dropDuplicatesWithinWatermark: state is
+  *     one entry per distinct hash inside the watermark horizon and is
+  *     evicted by event time — bounded by ingest rate x horizon, not by
+  *     corpus size.
+  *   - Near-dup keeps per-(band, key) buckets in the state store with a
+  *     hard cap per bucket: a new document compares against at most
+  *     maxPerBucket signatures in each of its bands (the streaming form
+  *     of the batch band join's bucket cap). State is 16 bytes per
+  *     retained signature.
+  */
+object DedupStreams {
+
+  /** Streaming exact dedup by content hash within a watermark horizon.
+    * Input must carry an event-time column named `event_time`. */
+  def exactDedup(docs: DataFrame, hashCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(Seq(hashCol))
+
+  /** One document signature exploded to one row per band. */
+  final case class BandedSig(doc_id: Long, sig: Long, band_id: Int, band_key: Long)
+  /** An emitted near-duplicate hit (may repeat across bands — dedup
+    * downstream with dropDuplicates on (doc_id, matched_doc)). */
+  final case class NearDup(doc_id: Long, matched_doc: Long, hamming: Int)
+
+  /** Explode a doc_id + simhash frame into per-band rows (4 x 16-bit
+    * bands, the batch q38 banding). */
+  def bandSigs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("sig"),
+      explode(expr(
+        """transform(sequence(0, 3), b -> struct(CAST(b AS int) AS band_id,
+          shiftrightunsigned(sig, cast(b * 16 AS int)) & 65535 AS band_key))""")).as("bd"))
+      .select(col("doc_id"), col("sig"),
+        col("bd.band_id").as("band_id"), col("bd.band_key").as("band_key"))
+
+  /** Stateful streaming simhash near-dup: per (band, key) bucket, a new
+    * signature is compared against the bucket's retained members; hits
+    * within maxHamming are emitted as they stream in. */
+  def simhashNearDup(banded: Dataset[BandedSig], maxPerBucket: Int = 64,
+      maxHamming: Int = 6): Dataset[NearDup] = {
+    import banded.sparkSession.implicits._
+    banded
+      .groupByKey(d => (d.band_id, d.band_key))
+      .flatMapGroupsWithState[Vector[(Long, Long)], NearDup](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[BandedSig], state: GroupState[Vector[(Long, Long)]]) =>
+          var seen = state.getOption.getOrElse(Vector.empty)
+          val out = Vector.newBuilder[NearDup]
+          rows.foreach { d =>
+            seen.foreach { case (id, sig) =>
+              if (id != d.doc_id) {
+                val h = java.lang.Long.bitCount(sig ^ d.sig)
+                if (h <= maxHamming)
+                  out += NearDup(d.doc_id, id, h)
+              }
+            }
+            if (!seen.exists(_._1 == d.doc_id)) {
+              seen = seen :+ (d.doc_id -> d.sig)
+              if (seen.length > maxPerBucket) seen = seen.takeRight(maxPerBucket)
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+}

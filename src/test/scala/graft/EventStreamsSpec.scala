@@ -74,4 +74,53 @@ class EventStreamsSpec extends SparkSpec {
       assert(cursors.length == batch.size)
     } finally q.stop()
   }
+
+  private lazy val docsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-docs-stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      d.resolve("documents.parquet"))
+    d.toString
+  }
+
+  test("streaming exact dedup keeps one row per content hash") {
+    import graft.streaming.DedupStreams
+    val docsSchema = spark.read.parquet(docsDir).schema
+    val stream = spark.readStream.schema(docsSchema).parquet(docsDir)
+      .select(md5(col("text").cast("binary")).as("content_hash"),
+        col("doc_id"),
+        timestamp_micros(lit(1704067200000000L) + col("doc_id")).as("event_time"))
+    val q = DedupStreams.exactDedup(stream, "content_hash")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT count(*), count(DISTINCT content_hash) FROM dedup_out").head
+      val distinctHashes = spark.read.parquet(docsDir)
+        .select(md5(col("text").cast("binary"))).distinct().count()
+      assert(got.getLong(0) == got.getLong(1), "emitted duplicates")
+      assert(got.getLong(0) == distinctHashes)
+    } finally q.stop()
+  }
+
+  test("streaming simhash near-dup finds the batch q38 pairs") {
+    import graft.functions.{simhash64, tokens}
+    import graft.streaming.DedupStreams
+    val docsSchema = spark.read.parquet(docsDir).schema
+    val stream = spark.readStream.schema(docsSchema).parquet(docsDir)
+      .select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
+    val banded = DedupStreams.bandSigs(stream).as[DedupStreams.BandedSig]
+    val q = DedupStreams.simhashNearDup(banded, maxPerBucket = 512)
+      .writeStream.outputMode("append").format("memory").queryName("neardup_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT DISTINCT least(doc_id, matched_doc) AS a,
+                  greatest(doc_id, matched_doc) AS b FROM neardup_out""")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.queries.Pipeline.queries("q38_simhash_neardup")(spark, sf)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // uncapped buckets (512 >> corpus) => the streaming pass must find
+      // exactly the batch band-join pairs
+      assert(got == batch)
+    } finally q.stop()
+  }
 }
