@@ -43,7 +43,15 @@ object Bench {
       "col_nested_collate_map_state" -> graft.functions.json_collate(col("props"), "k"),
       // VariantType comparison (Spark 4 native dynamic type vs the
       // JSON-string tier — SURVEY §7.4 "benchmark both")
-      "col_variant_object_state" -> expr("variant_get(parse_json(props), '$.k', 'string')")
+      "col_variant_object_state" -> expr("variant_get(parse_json(props), '$.k', 'string')"),
+      // the SAME mito program texts, auto-lowered to Catalyst by
+      // Cel.auto (graft.cel.Lowering) — interpreter semantics at
+      // codegen speed, no hand translation
+      "auto_hello_world_state" -> graft.cel.Cel.auto("state", col("props"), NOW),
+      "auto_object_state" -> graft.cel.Cel.auto("state.k", col("props"), NOW),
+      "auto_encode_json_state" -> graft.cel.Cel.auto("state.encode_json()", col("props"), NOW),
+      "auto_nested_collate_map_state" ->
+        graft.cel.Cel.auto("""{"state": state}.collate('state.k')""", col("props"), NOW)
     ).map { case (name, c) => name -> events.select(c.cast("string").as("x")) }
   }
 

@@ -52,6 +52,19 @@ object Cel {
       org.apache.spark.sql.graft.Shim.expression(state), nowMicros, regexps, globalsJson))
   }
 
+  /** Compile `program` to a codegen'd Column when it falls in the
+    * lowerable dynamic-document subset ([[Lowering]]); None -> use
+    * apply() (the interpreter). */
+  def lower(program: String, state: Column): Option[Column] =
+    Lowering.tryLower(program, state)
+
+  /** Lowered when possible, interpreted otherwise — same semantics,
+    * same rendered output, compile-once either way. */
+  def auto(program: String, state: Column,
+      nowMicros: Long = System.currentTimeMillis() * 1000L): Column =
+    Lowering.tryLower(program, state)
+      .getOrElse(apply(program, state, nowMicros = nowMicros))
+
   /** One-shot local evaluation (no Spark): the mito CLI model. `xsds`
     * maps hint names to compiled hint JSON (the -cfg xsd: table,
     * compiled by [[graft.expressions.XsdCompiler]]). */

@@ -102,6 +102,83 @@ object JsonKernel {
     value
   }
 
+  // ---------------------------------------------------------------------
+  // CEL-lowering kernels (graft.cel.Lowering): operate on Go-rendered
+  // JSON documents, reproducing Eval's Select/Index/encode_json/
+  // constructor semantics including error texts for scalar operands.
+  // ---------------------------------------------------------------------
+
+  /** V-style repr of a scalar JSON node for Eval-parity error texts
+    * ("no such field: f on VInt(5)"). */
+  private def vRepr(n: com.fasterxml.jackson.databind.JsonNode): String =
+    if (n == null || n.isNull) "VNull"
+    else if (n.isTextual) s"VString(${n.textValue()})"
+    else if (n.isIntegralNumber) s"VInt(${n.longValue()})"
+    else if (n.isNumber) s"VDouble(${n.doubleValue()})"
+    else if (n.isBoolean) s"VBool(${n.booleanValue()})"
+    else render(n)
+
+  /** CEL Select (Eval.scala Ast.Select): field of an object document. */
+  def selectField(json: UTF8String, field: UTF8String): UTF8String = {
+    val n = parse(str(json))
+    val f = str(field)
+    if (JsonAlgebra.isError(n)) return out(n)
+    if (n.isObject) {
+      if (n.has(f)) out(n.get(f)) else out(JsonAlgebra.error(s"no such key: $f"))
+    } else if (n.isNull) out(JsonAlgebra.error(s"no such key: $f"))
+    else out(JsonAlgebra.error(s"no such field: $f on ${vRepr(n)}"))
+  }
+
+  /** CEL Index with an int literal (Eval.scala Ast.Index). */
+  def indexAt(json: UTF8String, idx: Long): UTF8String = {
+    val n = parse(str(json))
+    if (JsonAlgebra.isError(n)) return out(n)
+    if (n.isArray) {
+      if (idx >= 0 && idx < n.size()) out(n.get(idx.toInt))
+      else out(JsonAlgebra.error(s"index out of range: $idx"))
+    } else if (n.isObject) {
+      val k = idx.toString
+      if (n.has(k)) out(n.get(k)) else out(JsonAlgebra.error(s"no such key: $idx"))
+    } else out(JsonAlgebra.error(s"no such overload: (${vRepr(n)})[VInt($idx)]"))
+  }
+
+  /** encode_json: the rendered document becomes a JSON STRING value. */
+  def quoteJson(json: UTF8String): UTF8String = {
+    val n = parse(str(json))
+    if (JsonAlgebra.isError(n)) return out(n)
+    out(com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+      .textNode(render(n)))
+  }
+
+  /** Build an object from literal keys + rendered-JSON values (CEL map
+    * constructor; first error value in entry order propagates). */
+  def objectFromPairs(keys: ArrayData, vals: ArrayData): UTF8String = {
+    val o = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.objectNode()
+    val n = keys.numElements()
+    var i = 0
+    while (i < n) {
+      val v = parse(str(vals.getUTF8String(i)))
+      if (JsonAlgebra.isError(v)) return out(v)
+      o.set[com.fasterxml.jackson.databind.JsonNode](str(keys.getUTF8String(i)), v)
+      i += 1
+    }
+    out(o)
+  }
+
+  /** Build a list from rendered-JSON elements (CEL list constructor). */
+  def listFromParts(vals: ArrayData): UTF8String = {
+    val a = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.arrayNode()
+    val n = vals.numElements()
+    var i = 0
+    while (i < n) {
+      val v = parse(str(vals.getUTF8String(i)))
+      if (JsonAlgebra.isError(v)) return out(v)
+      a.add(v)
+      i += 1
+    }
+    out(a)
+  }
+
   /** Split a JSON array document into one JSON string per element
     * (feeds explode() — row-granularity fan-out of a batch document). */
   def elements(json: UTF8String): ArrayData = {

@@ -1,0 +1,89 @@
+package graft
+
+import graft.cel.Cel
+import org.apache.spark.sql.functions._
+
+/** Parity harness for the CEL → Catalyst lowering: every lowerable
+  * program must produce byte-identical rendered output to the
+  * interpreter on real data, and the programs the subset can't host
+  * must decline (None) rather than mis-lower.
+  */
+class LoweringSpec extends SparkSpec {
+
+  private val NOW = 1704067200000000L
+
+  // programs inside the lowerable subset, exercised over events.props
+  private val lowerable = Seq(
+    "'hello world'",
+    "42",
+    "true",
+    "null",
+    "3.5",
+    "state",
+    "state.k",
+    """{"greeting":"hello world"}""",
+    """{"a":{"b":{"c":{"d":{"e":"hello world"}}}}}""",
+    """{"a":{"b":{"c":{"d":{"e":"hello world"}}}}}.encode_json()""",
+    """{"a":{"b":{"c":{"d":{"e":"hello world"}}}}}.collate('a.b.c.d.e')""",
+    """{"state": state}.collate('state.k')""",
+    "state.encode_json()",
+    """[1, "two", {"three": 3}]""",
+    """[[1], [2, 3]].flatten()""",
+    """{"b": 2, "a": 1}.keys()""",
+    """{"b": 2, "a": 1}.values()""",
+    """[3, 1, 2].min()""",
+    """[3, 1, 2].max()""",
+    """["a","b"].zip([1, 2])""",
+    """{"a": 1, "b": 2}.drop("a")""",
+    """{"a": 1, "b": {"c": 2}}.drop(["b.c"])""",
+    """{"a": [], "b": 1, "c": {}}.drop_empty()""",
+    """{"a": 1}.with({"b": 2})""",
+    """{"a": 1}.with_update({"a": 9, "b": 2})""",
+    """{"a": 1}.with_replace({"a": 9, "b": 2})""",
+    """state.as(s, {"doc": s, "k": s.k})""",
+    // error paths: missing key, bad index — in-band error values
+    "state.nope",
+    "state.k.nope",
+    "[1, 2][5]",
+    """{"a": 1}["b"]""",
+    """[1, 2][1]""")
+
+  // constructs the subset must DECLINE (fall back to the interpreter)
+  private val notLowerable = Seq(
+    "1 + 2",
+    "state.k == 69",
+    "size(state)",
+    "true ? 1 : 2",
+    "[1,2].map(x, x)",
+    "now")
+
+  test("lowered output is byte-identical to the interpreter on events") {
+    val props = Tables(spark, sf).events.select(col("props")).limit(200).cache()
+    lowerable.foreach { program =>
+      val lowered = Cel.lower(program, col("props"))
+      assert(lowered.isDefined, s"expected lowerable: $program")
+      val both = props.select(
+        lowered.get.as("low"),
+        Cel(program, col("props"), nowMicros = NOW).as("interp"))
+      val diff = both.filter(col("low") =!= col("interp") ||
+        col("low").isNull =!= col("interp").isNull)
+      val bad = diff.take(1)
+      assert(bad.isEmpty,
+        s"$program diverged: lowered=${bad.headOption.map(_.get(0))} interpreted=${bad.headOption.map(_.get(1))}")
+    }
+  }
+
+  test("out-of-subset programs decline to lower") {
+    notLowerable.foreach { p =>
+      assert(Cel.lower(p, col("props")).isEmpty, s"must not lower: $p")
+    }
+  }
+
+  test("auto picks the lowered plan for lowerable programs") {
+    val c = Cel.auto("state.k", col("props"), NOW)
+    val plan = Tables(spark, sf).events.select(c.as("x"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("selectField"), s"expected lowered kernel in plan:\n$plan")
+    assert(!plan.contains("CelEval"), "auto should not fall back for state.k")
+  }
+}
