@@ -261,6 +261,11 @@ object Eval {
   }
 
   /** CEL commutative error-absorbing logic ops. */
+  /** Package bridges for the lowering kernels (OpKernel): the SAME op
+    * implementations the interpreter dispatches to. */
+  private[cel] def binaryBridge(op: String, l: V, r: V): V = binary(op, l, r)
+  private[cel] def logicalBridge(l: V, r: V, and: Boolean): V = logical(l, () => r, and)
+
   private def logical(l: V, rThunk: () => V, and: Boolean): V = {
     val shortVal = !and // && shorts on false, || shorts on true
     l match {

@@ -46,16 +46,36 @@ class LoweringSpec extends SparkSpec {
     "state.k.nope",
     "[1, 2][5]",
     """{"a": 1}["b"]""",
-    """[1, 2][1]""")
+    """[1, 2][1]""",
+    // operators (OpKernel = the interpreter's own op implementations)
+    "1 + 2 * 3",
+    "state.k + 1",
+    "state.k == 69",
+    "state.k >= 50 && state.k < 100",
+    "'b' in ['a', 'b']",
+    "'k' in state",
+    "1 / 0",
+    "7 % 3 + 1.5",
+    "true || (1 / 0 == 1)",
+    "(1 / 0 == 1) || true",
+    "false && (1 / 0 == 1)",
+    "!(state.k == 69)",
+    "-state.k",
+    "state.k > 50 ? 'big' : 'small'",
+    "1 ? 2 : 3",
+    "size('héllo')",
+    "size(state)",
+    "[1, 2, 3].size()",
+    "state.k == 69 ? state : {\"other\": true}")
 
   // constructs the subset must DECLINE (fall back to the interpreter)
   private val notLowerable = Seq(
-    "1 + 2",
-    "state.k == 69",
-    "size(state)",
-    "true ? 1 : 2",
     "[1,2].map(x, x)",
-    "now")
+    "[1,2].filter(x, x > 1)",
+    "now",
+    "uuid()",
+    "b\"abc\"",
+    "timestamp('2024-01-01T00:00:00Z')")
 
   test("lowered output is byte-identical to the interpreter on events") {
     val props = Tables(spark, sf).events.select(col("props")).limit(200).cache()
