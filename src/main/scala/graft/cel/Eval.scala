@@ -394,7 +394,11 @@ object Eval {
     val items: Vector[V] = eval(target, env) match {
       case err: VErr => return err
       case VList(xs) => xs
-      case VMap(m) => m.keys.map(VString(_): V).toVector
+      // Sorted key order: Go map iteration is RANDOM (no reference
+      // program can depend on it), so we fix the canonical order used
+      // everywhere else in the engine — also keeps the lowered path
+      // (whose intermediate is sorted-key rendered JSON) bit-identical.
+      case VMap(m) => m.keys.toVector.sorted.map(VString(_): V)
       case other => return VErr(s"no such overload: $kind over $other")
     }
     def bind(v: V) = env.copy(vars = env.vars.updated(x, v))

@@ -66,6 +66,100 @@ object OpKernel {
     case other => out(VErr(s"no such overload: $other ? _ : _"))
   }
 
+  /** Comprehension items of a rendered container: list elements, or the
+    * (sorted) keys of an object as rendered JSON strings. Non-container
+    * or error input returns an empty array — comprehendFinish re-derives
+    * the error from the target itself. */
+  def itemsOf(json: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = JsonAlgebra.parse(json.toString)
+    val parts: Seq[String] =
+      if (JsonAlgebra.isError(n)) Nil
+      else if (n.isArray) {
+        val b = Seq.newBuilder[String]
+        n.elements().forEachRemaining(e => b += JsonAlgebra.render(e))
+        b.result()
+      } else if (n.isObject) {
+        val b = Seq.newBuilder[String]
+        n.properties().forEach(e => b += e.getKey)
+        b.result().sorted.map(k => JsonAlgebra.render(
+          com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.textNode(k)))
+      } else Nil
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      parts.map(s => UTF8String.fromString(s): Any).toArray)
+  }
+
+  /** Replay Eval.comprehension's fold over pre-evaluated per-item
+    * pred/body results. Eager per-item evaluation is sound because the
+    * fold never consults entries past its early exit. */
+  def comprehendFinish(kind: UTF8String, target: UTF8String,
+      items: org.apache.spark.sql.catalyst.util.ArrayData,
+      preds: org.apache.spark.sql.catalyst.util.ArrayData,
+      bodies: org.apache.spark.sql.catalyst.util.ArrayData,
+      hasPred: Boolean): UTF8String = {
+    val k = kind.toString
+    toV(target) match {
+      case e: VErr => return out(e)
+      case _: VList | _: VMap =>
+      case other => return out(VErr(s"no such overload: $k over $other"))
+    }
+    val n = items.numElements()
+    val nf = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+    k match {
+      case "map" =>
+        val outArr = nf.arrayNode()
+        var i = 0
+        while (i < n) {
+          val keep =
+            if (!hasPred) true
+            else toV(preds.getUTF8String(i)) match {
+              case VBool(b) => b
+              case e: VErr => return out(e)
+              case other => return out(VErr(s"no such overload: predicate $other"))
+            }
+          if (keep) toV(bodies.getUTF8String(i)) match {
+            case e: VErr => return out(e)
+            case _ => outArr.add(JsonAlgebra.parse(bodies.getUTF8String(i).toString))
+          }
+          i += 1
+        }
+        UTF8String.fromString(JsonAlgebra.render(outArr))
+      case "filter" =>
+        val outArr = nf.arrayNode()
+        var i = 0
+        while (i < n) {
+          toV(bodies.getUTF8String(i)) match {
+            case VBool(true) => outArr.add(JsonAlgebra.parse(items.getUTF8String(i).toString))
+            case VBool(false) =>
+            case e: VErr => return out(e)
+            case other => return out(VErr(s"no such overload: predicate $other"))
+          }
+          i += 1
+        }
+        UTF8String.fromString(JsonAlgebra.render(outArr))
+      case "all" | "exists" | "exists_one" =>
+        var ones = 0
+        var i = 0
+        while (i < n) {
+          toV(bodies.getUTF8String(i)) match {
+            case VBool(true) =>
+              if (k == "exists") return out(VBool(true))
+              ones += 1
+            case VBool(false) =>
+              if (k == "all") return out(VBool(false))
+            case e: VErr => return out(e)
+            case other => return out(VErr(s"no such overload: predicate $other"))
+          }
+          i += 1
+        }
+        out(k match {
+          case "all" => VBool(true)
+          case "exists" => VBool(false)
+          case _ => VBool(ones == 1)
+        })
+      case other => out(VErr(s"unknown macro $other"))
+    }
+  }
+
   def sizeOp(x: UTF8String): UTF8String = toV(x) match {
     case e: VErr => out(e)
     case VString(s) => out(VInt(s.codePointCount(0, s.length).toLong))

@@ -66,16 +66,28 @@ class LoweringSpec extends SparkSpec {
     "size('héllo')",
     "size(state)",
     "[1, 2, 3].size()",
-    "state.k == 69 ? state : {\"other\": true}")
+    "state.k == 69 ? state : {\"other\": true}",
+    // comprehensions: bodies run inside transform(), folds in the kernel
+    "[1, 2, 3].map(x, x * 10)",
+    "[1, 2, 3].map(x, x > 1, x * 10)",
+    "[1, 2, 3].filter(x, x > 1)",
+    "[1, 2, 3].all(x, x > 0)",
+    "[1, 2, 3].exists(x, x == 2)",
+    "[1, 2, 3].exists_one(x, x == 2)",
+    """{"b": 2, "a": 1}.map(k, k)""",
+    "[1, 0, 2].map(x, 10 / x)",
+    "[1, 0, 2].filter(x, 10 / x > 1)",
+    "[false, true].all(x, x)",
+    "[1, 2].map(x, [x, x]).flatten()",
+    "state.k.map(x, x)")
 
   // constructs the subset must DECLINE (fall back to the interpreter)
   private val notLowerable = Seq(
-    "[1,2].map(x, x)",
-    "[1,2].filter(x, x > 1)",
     "now",
     "uuid()",
     "b\"abc\"",
-    "timestamp('2024-01-01T00:00:00Z')")
+    "timestamp('2024-01-01T00:00:00Z')",
+    "state.k.to_lower()")
 
   test("lowered output is byte-identical to the interpreter on events") {
     val props = Tables(spark, sf).events.select(col("props")).limit(200).cache()
