@@ -211,6 +211,11 @@ private[cel] object Functions {
     vs.collectFirst { case e: VErr => e }.getOrElse(guard(f(t, vs)))
   }
 
+  /** Bridge for the lowering kernels (OpKernel.strictMethod): the same
+    * dispatch the interpreter uses, for env-free JSON-faithful methods. */
+  private[cel] def strictMethodBridge(fn: String, t: V, args: Vector[V]): V =
+    guard(method2(fn, t, args))
+
   /** Shared method implementations (also reachable as global calls). */
   private def method2(fn: String, t: V, args: Vector[V]): V = fn match {
     case "size" => t match {

@@ -160,6 +160,39 @@ object OpKernel {
     }
   }
 
+  /** Env-free methods whose CEL types survive the rendered-JSON
+    * round-trip: string inputs stay strings, outputs are strings/ints/
+    * bools/lists — never bytes/timestamps (those constructs decline in
+    * Lowering; e.g. md5 OUTPUTS bytes, so the crypto family is out). */
+  val loweredMethods: Set[String] = Set(
+    "to_lower", "to_upper", "to_title", "trim_space", "trim", "trim_left",
+    "trim_right", "trim_prefix", "trim_suffix", "has_prefix", "has_suffix",
+    "contains_substr", "contains_any", "compare", "count", "equal_fold",
+    "fields", "index", "index_any", "last_index", "last_index_any", "join",
+    "repeat", "replace", "replace_all", "split", "split_n", "split_after",
+    "split_after_n", "substring", "decode_json", "decode_json_stream")
+
+  /** Generic strict method dispatch through the interpreter's own
+    * method table (Functions.method2). */
+  def strictMethod(fn: UTF8String, target: UTF8String,
+      args: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    toV(target) match {
+      case e: VErr => out(e)
+      case t =>
+        val n = args.numElements()
+        val vs = Vector.newBuilder[V]
+        var i = 0
+        while (i < n) {
+          toV(args.getUTF8String(i)) match {
+            case e: VErr => return out(e)
+            case v => vs += v
+          }
+          i += 1
+        }
+        out(Functions.strictMethodBridge(fn.toString, t, vs.result()))
+    }
+  }
+
   def sizeOp(x: UTF8String): UTF8String = toV(x) match {
     case e: VErr => out(e)
     case VString(s) => out(VInt(s.codePointCount(0, s.length).toLong))

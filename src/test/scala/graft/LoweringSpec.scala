@@ -79,7 +79,25 @@ class LoweringSpec extends SparkSpec {
     "[1, 0, 2].filter(x, 10 / x > 1)",
     "[false, true].all(x, x)",
     "[1, 2].map(x, [x, x]).flatten()",
-    "state.k.map(x, x)")
+    "state.k.map(x, x)",
+    // strings/json methods through the generic strict-method bridge
+    "'Hello World'.to_lower()",
+    "'hello world'.to_title()",
+    "'  x  '.trim_space()",
+    "'xaax'.trim('x')",
+    "'hello'.has_prefix('he')",
+    "'a,b,c'.split(',')",
+    "'a,b,c'.split(',').join('|')",
+    "'héllo'.substring(1, 3)",
+    "'mississippi'.count('ss')",
+    "'mississippi'.index('ss')",
+    "'one two  three'.fields()",
+    "'ab'.repeat(3)",
+    "'aAbB'.equal_fold('AaBb')",
+    """'{"b":1,"a":2}'.decode_json()""",
+    """'{"a":1} 2 "x"'.decode_json_stream()""",
+    "'abc'.substring(5, 9)", // strict bounds -> in-band error
+    "state.k.to_lower()")    // error: to_lower on an int
 
   // constructs the subset must DECLINE (fall back to the interpreter)
   private val notLowerable = Seq(
@@ -87,7 +105,8 @@ class LoweringSpec extends SparkSpec {
     "uuid()",
     "b\"abc\"",
     "timestamp('2024-01-01T00:00:00Z')",
-    "state.k.to_lower()")
+    "'x'.md5()", // crypto outputs bytes: not JSON-faithful
+    "'2024-01-01'.parse_time('DateOnly')")
 
   test("lowered output is byte-identical to the interpreter on events") {
     val props = Tables(spark, sf).events.select(col("props")).limit(200).cache()
