@@ -51,7 +51,12 @@ object Bench {
       "auto_object_state" -> graft.cel.Cel.auto("state.k", col("props"), NOW),
       "auto_encode_json_state" -> graft.cel.Cel.auto("state.encode_json()", col("props"), NOW),
       "auto_nested_collate_map_state" ->
-        graft.cel.Cel.auto("""{"state": state}.collate('state.k')""", col("props"), NOW)
+        graft.cel.Cel.auto("""{"state": state}.collate('state.k')""", col("props"), NOW),
+      "mito_strings_state" ->
+        celCol("""{"upper": state.encode_json().to_upper(), "n": size(state)}"""),
+      "auto_strings_state" -> graft.cel.Cel.auto(
+        """{"upper": state.encode_json().to_upper(), "n": size(state)}""",
+        col("props"), NOW)
     ).map { case (name, c) => name -> events.select(c.cast("string").as("x")) }
   }
 
