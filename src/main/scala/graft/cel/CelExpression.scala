@@ -55,15 +55,17 @@ object Cel {
   /** Compile `program` to a codegen'd Column when it falls in the
     * lowerable dynamic-document subset ([[Lowering]]); None -> use
     * apply() (the interpreter). */
-  def lower(program: String, state: Column): Option[Column] =
-    Lowering.tryLower(program, state)
+  def lower(program: String, state: Column,
+      regexps: Map[String, String] = Map.empty): Option[Column] =
+    Lowering.tryLower(program, state, regexps)
 
   /** Lowered when possible, interpreted otherwise — same semantics,
     * same rendered output, compile-once either way. */
   def auto(program: String, state: Column,
-      nowMicros: Long = System.currentTimeMillis() * 1000L): Column =
-    Lowering.tryLower(program, state)
-      .getOrElse(apply(program, state, nowMicros = nowMicros))
+      nowMicros: Long = System.currentTimeMillis() * 1000L,
+      regexps: Map[String, String] = Map.empty): Column =
+    Lowering.tryLower(program, state, regexps)
+      .getOrElse(apply(program, state, regexps, nowMicros))
 
   /** One-shot local evaluation (no Spark): the mito CLI model. `xsds`
     * maps hint names to compiled hint JSON (the -cfg xsd: table,

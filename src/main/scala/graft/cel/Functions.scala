@@ -502,6 +502,12 @@ private[cel] object Functions {
   }
 
   // ---- regexp (named registry from env) ----
+  /** Bridge for the lowering kernels: run a re_* method with the pattern
+    * already resolved (plan-time registry lookup). */
+  private[cel] def regexpBridge(fn: String, pattern: String, t: V, rest: Vector[V]): V =
+    guard(regexp(fn, t, VString("__lowered__") +: rest,
+      Env(Map.empty, 0L, regexps = Map("__lowered__" -> pattern))))
+
   private def regexp(fn: String, t: V, args: Vector[V], env: Env): V = {
     val name = args.headOption match {
       case Some(VString(n)) => n

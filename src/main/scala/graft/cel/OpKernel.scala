@@ -193,6 +193,49 @@ object OpKernel {
     }
   }
 
+  /** has(e.f) — NonStrict on the field, strict on the target. */
+  def hasField(json: UTF8String, field: UTF8String): UTF8String = toV(json) match {
+    case e: VErr => out(e)
+    case VMap(m) => out(VBool(m.contains(field.toString)))
+    case _ => out(VBool(false))
+  }
+
+  /** try(x): error becomes its message string (lib/try.go:96-111). */
+  def tryOp(x: UTF8String): UTF8String = toV(x) match {
+    case VErr(m) => out(VString(m))
+    case v => out(v)
+  }
+
+  /** try(x, label): error becomes {label: message}. */
+  def tryLabeled(x: UTF8String, label: UTF8String): UTF8String = toV(x) match {
+    case VErr(m) => out(VMap(scala.collection.immutable.VectorMap(
+      label.toString -> (VString(m): V))))
+    case v => out(v)
+  }
+
+  def isErrorOp(x: UTF8String): UTF8String = out(VBool(toV(x).isInstanceOf[VErr]))
+
+  /** re_* with the pattern resolved at plan time (the named registry is
+    * a driver-side config; execution is env-free). */
+  def regexpMethod(fn: UTF8String, pattern: UTF8String, target: UTF8String,
+      args: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    toV(target) match {
+      case e: VErr => out(e)
+      case t =>
+        val n = args.numElements()
+        val vs = Vector.newBuilder[V]
+        var i = 0
+        while (i < n) {
+          toV(args.getUTF8String(i)) match {
+            case e: VErr => return out(e)
+            case v => vs += v
+          }
+          i += 1
+        }
+        out(Functions.regexpBridge(fn.toString, pattern.toString, t, vs.result()))
+    }
+  }
+
   def sizeOp(x: UTF8String): UTF8String = toV(x) match {
     case e: VErr => out(e)
     case VString(s) => out(VInt(s.codePointCount(0, s.length).toLong))

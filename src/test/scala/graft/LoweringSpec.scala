@@ -97,7 +97,15 @@ class LoweringSpec extends SparkSpec {
     """'{"b":1,"a":2}'.decode_json()""",
     """'{"a":1} 2 "x"'.decode_json_stream()""",
     "'abc'.substring(5, 9)", // strict bounds -> in-band error
-    "state.k.to_lower()")    // error: to_lower on an int
+    "state.k.to_lower()",    // error: to_lower on an int
+    // NonStrict error handlers + has()
+    "try(1 / 0)",
+    "try(1 / 0, 'err')",
+    "try(state.k)",
+    "is_error(1 / 0)",
+    "is_error(state.k)",
+    "has(state.k)",
+    "has(state.nope)")
 
   // constructs the subset must DECLINE (fall back to the interpreter)
   private val notLowerable = Seq(
@@ -122,6 +130,26 @@ class LoweringSpec extends SparkSpec {
       assert(bad.isEmpty,
         s"$program diverged: lowered=${bad.headOption.map(_.get(0))} interpreted=${bad.headOption.map(_.get(1))}")
     }
+  }
+
+  test("regexp methods lower with a plan-time registry") {
+    val re = Map("word" -> "([a-z]+)", "digits" -> "[0-9]+")
+    val programs = Seq(
+      "'food fight'.re_match('word')",
+      "'a1b22c333'.re_find_all('digits')",
+      "'food'.re_find_submatch('word')",
+      "'food fight'.re_replace_all('word', 'X')",
+      "state.encode_json().re_find('digits')")
+    val props = Tables(spark, sf).events.select(col("props")).limit(100)
+    programs.foreach { program =>
+      val lowered = Cel.lower(program, col("props"), re)
+      assert(lowered.isDefined, s"expected lowerable: $program")
+      val both = props.select(lowered.get.as("low"),
+        Cel(program, col("props"), re, NOW).as("interp"))
+      assert(both.filter(col("low") =!= col("interp")).take(1).isEmpty, program)
+    }
+    // unknown pattern name -> decline (interpreter reports the error)
+    assert(Cel.lower("'x'.re_match('nope')", col("props"), re).isEmpty)
   }
 
   test("out-of-subset programs decline to lower") {
