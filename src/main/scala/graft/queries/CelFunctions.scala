@@ -236,7 +236,33 @@ object CelFunctions {
           duration_go(concat(mins.cast("string"), lit("m"))).as("micros"),
           format_duration_go((mins * 60000000L).cast("long")).as("rendered"))
         .orderBy(col("event_id"))
+    },
+
+    // --- the CEL text front-end itself under the oracle gate: the SAME
+    // --- program through the lowered (q58) and interpreted (q59) paths.
+    "q58_cel_lowered" -> { (s, dir) =>
+      val c = graft.cel.Cel.lower(celGateProgram, col("props"))
+        .getOrElse(sys.error("q58 program must lower"))
+      Tables(s, dir).events
+        .select(col("event_id"), c.as("doc"))
+        .orderBy(col("event_id"))
+    },
+
+    "q59_cel_interpreted" -> { (s, dir) =>
+      Tables(s, dir).events
+        .select(col("event_id"),
+          graft.cel.Cel(celGateProgram, col("props"), nowMicros = 0L).as("doc"))
+        .orderBy(col("event_id"))
     })
+
+  /** One program, three executors: Lowering (q58), the interpreter
+    * (q59), and the DuckDB oracle rebuild the same rendered document. */
+  private val celGateProgram =
+    """{"k10": state.k + 10,
+       "big": state.k > 50,
+       "lab": state.k > 50 ? "hi" : "lo",
+       "n": size(state),
+       "ks": state.keys()}"""
 
   def oracle: Map[String, String] = Map(
     "q20_json_collate" ->
@@ -344,5 +370,17 @@ object CelFunctions {
       """SELECT event_id,
          (user_id % 50 + 1) * 60000000 AS micros,
          CAST(user_id % 50 + 1 AS VARCHAR) || 'm0s' AS rendered
-         FROM events ORDER BY event_id""")
+         FROM events ORDER BY event_id""",
+    "q58_cel_lowered" -> celGateOracle("doc"),
+    "q59_cel_interpreted" -> celGateOracle("doc"))
+
+  private def celGateOracle(alias: String): String =
+    s"""SELECT event_id,
+        '{"big":' || CAST(CAST(json_extract_string(props, '$$.k') AS BIGINT) > 50 AS VARCHAR)
+        || ',"k10":' || (CAST(json_extract_string(props, '$$.k') AS BIGINT) + 10)
+        || ',"ks":["k"],"lab":"'
+        || CASE WHEN CAST(json_extract_string(props, '$$.k') AS BIGINT) > 50
+                THEN 'hi' ELSE 'lo' END
+        || '","n":1}' AS $alias
+        FROM events ORDER BY event_id"""
 }
