@@ -575,6 +575,9 @@ private[cel] object Functions {
     case "application/gzip" =>
       try VBytes(graft.expressions.MimeKernel.gunzip(b))
       catch { case e: Exception => VErr(s"gzip: ${e.getMessage}") }
+    case "application/zip" =>
+      try jv(JsonAlgebra.parse(graft.expressions.MimeKernel.zipMapJson(b)))
+      catch { case e: Exception => VErr(s"zip: ${e.getMessage}") }
     case "text/csv; header=present" =>
       val rows = graft.expressions.MimeKernel.csvRows(new String(b, StandardCharsets.UTF_8))
       if (rows.isEmpty) VList(Vector.empty)

@@ -31,9 +31,8 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     // request.txt is NOT skipped: request-as-data needs no network.
     "serve.txt", "serve_tls.txt", "post.txt", "get.txt", "head.txt",
     "request_do.txt", "basic_auth.txt", "head_unauthorized.txt",
-    // dir listings embed wall-clock mod times; zip member maps carry
-    // archive metadata (CRC32/Extra) we don't reproduce byte-for-byte
-    "file_dir.txt", "file_dir_contents.txt", "file_zip.txt", "zip.txt",
+    // dir listings embed wall-clock mod times of materialized files
+    "file_dir.txt", "file_dir_contents.txt",
     // nondeterministic / wall-clock / loop-driver
     "uuid.txt", "now.txt", "want_more.txt", "debug.txt",
     // goldens baked against the authors' wall clock (rate = f(now)) and
