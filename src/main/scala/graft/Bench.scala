@@ -34,7 +34,9 @@ object Bench {
       "mito_nested_collate_static" -> celCol(s"$nested.collate('a.b.c.d.e')"),
       "mito_hello_world_state" -> celCol("state"),
       "mito_hello_world_object_state" -> celCol("state.k"),
+      "mito_nested_state" -> celCol("state"),
       "mito_encode_json_state" -> celCol("state.encode_json()"),
+      "mito_nested_collate_list_state" -> celCol("""[state].collate('k')"""),
       "mito_nested_collate_map_state" -> celCol("""{"state": state}.collate('state.k')"""),
       // codegen Column-tier equivalents of the state group
       "col_hello_world_state" -> graft.functions.json_normalize(col("props")),
