@@ -6,6 +6,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import java.nio.charset.StandardCharsets
 import scala.collection.immutable.VectorMap
+import scala.jdk.CollectionConverters._
 
 /** Function/method bindings for the CEL front-end: CEL core conversions
   * plus the reference's extension libraries, routed through the SAME
@@ -129,6 +130,10 @@ private[cel] object Functions {
           case err => err
         }
       case _ => VErr("no such overload: file")
+    }
+    case "dir" => strict(args, env) {
+      case Vector(VString(path)) => readDirV(path, env)
+      case _ => VErr("no such overload: dir")
     }
     case "uuid" => VString(java.util.UUID.randomUUID().toString)
     case "max" => strict(args, env) { vs => extremum(vs.head, 1) }
@@ -566,6 +571,28 @@ private[cel] object Functions {
     case Some(dir) =>
       try VBytes(java.nio.file.Files.readAllBytes(dir.resolve(path)))
       catch { case e: Exception => VErr(s"failed to read file: ${e.getMessage}") }
+  }
+
+  /** dir(path) — reference lib/file.go:158-199: name-sorted entries as
+    * {is_dir, mod_time (RFC3339Nano-style), name, size} maps. */
+  private def readDirV(path: String, env: Env): V = env.baseDir match {
+    case None => VErr("file access requires a base directory")
+    case Some(dir) =>
+      try {
+        val p = dir.resolve(path)
+        val entries = java.nio.file.Files.list(p).iterator().asScala.toSeq
+          .sortBy(_.getFileName.toString)
+        VList(entries.toVector.map { f =>
+          val attrs = java.nio.file.Files.readAttributes(f,
+            classOf[java.nio.file.attribute.BasicFileAttributes])
+          val mt = attrs.lastModifiedTime().toInstant
+          VMap(VectorMap[String, V](
+            "is_dir" -> VBool(attrs.isDirectory),
+            "mod_time" -> VString(mt.toString),
+            "name" -> VString(f.getFileName.toString),
+            "size" -> VInt(attrs.size())))
+        })
+      } catch { case e: Exception => VErr(s"failed to read dir: ${e.getMessage}") }
   }
 
   private[cel] def mimeTransform(b: Array[Byte], tpe: String): V = tpe match {

@@ -31,8 +31,7 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     // request.txt is NOT skipped: request-as-data needs no network.
     "serve.txt", "serve_tls.txt", "post.txt", "get.txt", "head.txt",
     "request_do.txt", "basic_auth.txt", "head_unauthorized.txt",
-    // dir listings embed wall-clock mod times of materialized files
-    "file_dir.txt", "file_dir_contents.txt",
+
     // nondeterministic / wall-clock / loop-driver
     "uuid.txt", "now.txt", "want_more.txt", "debug.txt",
     // goldens baked against the authors' wall clock (rate = f(now)) and
@@ -51,9 +50,12 @@ class ReferenceGoldenSpec extends AnyFunSuite {
   private def materialize(s: Script): java.nio.file.Path = {
     val dir = Files.createTempDirectory("graft-golden")
     s.files.foreach { case (name, content) =>
-      if (name != "src.cel" && name != "want.txt" && name != "cfg.yaml")
-        Files.write(dir.resolve(name),
+      if (name != "src.cel" && name != "want.txt" && name != "cfg.yaml") {
+        val target = dir.resolve(name)
+        Option(target.getParent).foreach(Files.createDirectories(_))
+        Files.write(target,
           content.stripPrefix("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     }
     s.base64Cmds.foreach { case (srcName, dstName) =>
       val b64 = s.files.getOrElse(srcName, "")
