@@ -32,8 +32,9 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     "serve.txt", "serve_tls.txt", "post.txt", "get.txt", "head.txt",
     "request_do.txt", "basic_auth.txt", "head_unauthorized.txt",
 
-    // nondeterministic / wall-clock / loop-driver
-    "uuid.txt", "now.txt", "want_more.txt", "debug.txt",
+    // nondeterministic / wall-clock / loop-driver (debug.txt replays:
+    // its stdout is deterministic, only the stderr log is side-band)
+    "uuid.txt", "now.txt", "want_more.txt",
     // goldens baked against the authors' wall clock (rate = f(now)) and
     // Go-runtime error strings; deterministic equivalents live in
     // MimeHttpLimitSpec + CelSpec
