@@ -29,8 +29,10 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     // programs replay against a local stub in HttpExecSpec, and
     // StreamingSpec/OAuthGlobalsSpec cover the source path).
     // request.txt is NOT skipped: request-as-data needs no network.
-    "serve.txt", "serve_tls.txt", "post.txt", "get.txt", "head.txt",
-    "request_do.txt", "basic_auth.txt", "head_unauthorized.txt",
+    // (serve.txt and basic_auth.txt DO replay: the harness hosts the
+    // plain `serve` command with a local stub)
+    "serve_tls.txt", "post.txt", "get.txt", "head.txt",
+    "request_do.txt", "head_unauthorized.txt",
 
     // nondeterministic / wall-clock / loop-driver (debug.txt replays:
     // its stdout is deterministic, only the stderr log is side-band)
@@ -44,7 +46,9 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     "keys.txt")
 
   private case class Script(flags: Map[String, String], src: String,
-      files: Map[String, String], want: String, base64Cmds: Seq[(String, String)] = Nil)
+      files: Map[String, String], want: String, base64Cmds: Seq[(String, String)] = Nil,
+      serve: Option[(String, Option[(String, String)])] = None,
+      expands: Seq[(String, String)] = Nil)
 
   /** Write the archive's fixture files into a temp dir (the testscript
     * working directory), applying `base64 <src> <dst>` decode commands. */
@@ -69,11 +73,22 @@ class ReferenceGoldenSpec extends AnyFunSuite {
   private def parseScript(text: String): Option[Script] = {
     val lines = text.linesIterator.toVector
     val cmd = lines.find(_.startsWith("mito")).getOrElse(return None)
-    // reject scripts with testscript commands we don't host (`base64`
-    // fixture decoding IS hosted — see materialize())
-    if (lines.exists(l => l.startsWith("serve") ||
-      l.startsWith("expand") || l.startsWith("env "))) return None
+    // testscript commands we host: base64 (materialize), plain
+    // `serve <file> [user pass]` (a local stub server; see runScript),
+    // and `expand`/cmpenv ${URL} substitution. TLS serving and env
+    // manipulation are not hosted.
+    if (lines.exists(l => l.startsWith("serve_tls") || l.startsWith("serve -") ||
+      l.startsWith("env "))) return None
     if (lines.exists(l => l.startsWith("!") && l != "! stderr .")) return None
+    val serveCmd = lines.find(l => l.startsWith("serve ") || l == "serve").map { l =>
+      val parts = l.trim.split("\\s+").drop(1)
+      val auth = if (parts.length >= 3) Some((parts(1), parts(2))) else None
+      (parts.headOption.getOrElse(""), auth)
+    }
+    val expandCmds = lines.filter(_.startsWith("expand ")).map { l =>
+      val parts = l.trim.split("\\s+")
+      (parts(1), parts(2))
+    }
     val sections = text.split("(?m)^-- (.+?) --$").toVector
     val names = "(?m)^-- (.+?) --$".r.findAllMatchIn(text).map(_.group(1).trim).toVector
     val files = names.zip(sections.drop(1)).toMap
@@ -95,9 +110,10 @@ class ReferenceGoldenSpec extends AnyFunSuite {
       (parts(1), parts(2))
     }
     for {
-      src <- files.get("src.cel")
+      src <- files.get("src.cel").orElse(
+        expandCmds.headOption.flatMap { case (from, _) => files.get(from) })
       want <- files.get("want.txt")
-    } yield Script(flags, src, files, want, base64Cmds)
+    } yield Script(flags, src, files, want, base64Cmds, serveCmd, expandCmds)
   }
 
   /** numeric-tolerant tree equality */
@@ -154,9 +170,47 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     "{" + entries.mkString(",") + "}"
   }
 
+  /** Host the testscript `serve` command: serve the named fixture file,
+    * replicating its basic-auth responses (the texts basic_auth.txt's
+    * want records: "user mismatch"/"password mismatch"). */
+  private def startServe(workDir: java.nio.file.Path,
+      file: String, auth: Option[(String, String)]): (com.sun.net.httpserver.HttpServer, String) = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/", new com.sun.net.httpserver.HttpHandler {
+      override def handle(x: com.sun.net.httpserver.HttpExchange): Unit = {
+        val reply: Array[Byte] = auth match {
+          case None => Files.readAllBytes(workDir.resolve(file))
+          case Some((user, pass)) =>
+            val creds = Option(x.getRequestHeaders.getFirst("Authorization"))
+              .filter(_.startsWith("Basic "))
+              .map(a => new String(java.util.Base64.getDecoder.decode(
+                a.stripPrefix("Basic ")), java.nio.charset.StandardCharsets.UTF_8))
+            creds match {
+              case Some(c) if c == s"$user:$pass" => Files.readAllBytes(workDir.resolve(file))
+              case Some(c) if c.startsWith(s"$user:") =>
+                "password mismatch".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              case _ => "user mismatch".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            }
+        }
+        x.sendResponseHeaders(200, reply.length)
+        x.getResponseBody.write(reply); x.close()
+      }
+    })
+    server.start()
+    (server, s"http://127.0.0.1:${server.getAddress.getPort}/")
+  }
+
   private def runScript(name: String, s: Script): Either[String, Unit] = {
     val state = s.flags.get("data").flatMap(s.files.get).getOrElse("null")
     val workDir = materialize(s)
+    val served = s.serve.map { case (f, auth) => startServe(workDir, f, auth) }
+    try runScriptInner(s, state, workDir, served.map(_._2))
+    finally served.foreach(_._1.stop(0))
+  }
+
+  private def runScriptInner(s: Script, state: String,
+      workDir: java.nio.file.Path, url: Option[String]): Either[String, Unit] = {
     // regexps / globals / xsd tables from cfg.yaml (the cfg forms the
     // goldens use)
     var regexps = Map.empty[String, String]
@@ -176,7 +230,9 @@ class ReferenceGoldenSpec extends AnyFunSuite {
       else return Left("unsupported cfg")
     }
     val got =
-      try Cel.evalOnce(s.src, state, 1704067200000000L, regexps, globalsJson, Some(workDir), xsds)
+      try Cel.evalOnce(
+        url.map(u => s.src.replace("${URL}", u.stripSuffix("/"))).getOrElse(s.src),
+        state, 1704067200000000L, regexps, globalsJson, Some(workDir), xsds)
       catch { case e: Exception => return Left(s"eval threw: ${e.getMessage}") }
     val wantNode =
       try JsonAlgebra.parse(s.want)
