@@ -236,6 +236,51 @@ object OpKernel {
     }
   }
 
+  /** Casts over the JSON universe — mirrors Functions.call's dispatch
+    * for the V cases reachable in the lowered subset (no bytes/
+    * timestamp/duration operands can occur there). */
+  def castOp(fn: UTF8String, x: UTF8String): UTF8String = {
+    val v = toV(x)
+    v match {
+      case e: VErr => return out(e)
+      case _ =>
+    }
+    fn.toString match {
+      case "dyn" => out(v)
+      case "int" => v match {
+        case VInt(i) => out(VInt(i))
+        case VDouble(d) => out(VInt(d.toLong))
+        case VString(s) =>
+          try out(VInt(s.toLong))
+          catch { case _: NumberFormatException => out(VErr(s"cannot convert to int: $s")) }
+        case other => out(VErr(s"no such overload: int($other)"))
+      }
+      case "double" => v match {
+        case VInt(i) => out(VDouble(i.toDouble))
+        case VDouble(d) => out(VDouble(d))
+        case VString(s) =>
+          try out(VDouble(s.toDouble))
+          catch { case _: NumberFormatException => out(VErr(s"cannot convert to double: $s")) }
+        case other => out(VErr(s"no such overload: double($other)"))
+      }
+      case "string" => v match {
+        case VString(s) => out(VString(s))
+        case VInt(i) => out(VString(i.toString))
+        case VDouble(d) => out(VString(
+          if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString))
+        case VBool(b) => out(VString(b.toString))
+        case other => out(VErr(s"no such overload: string($other)"))
+      }
+      case "bool" => v match {
+        case VBool(b) => out(VBool(b))
+        case VString("true") => out(VBool(true))
+        case VString("false") => out(VBool(false))
+        case other => out(VErr(s"no such overload: bool($other)"))
+      }
+      case other => out(VErr(s"unknown cast: $other"))
+    }
+  }
+
   def sizeOp(x: UTF8String): UTF8String = toV(x) match {
     case e: VErr => out(e)
     case VString(s) => out(VInt(s.codePointCount(0, s.length).toLong))

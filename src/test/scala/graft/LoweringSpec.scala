@@ -98,6 +98,17 @@ class LoweringSpec extends SparkSpec {
     """'{"a":1} 2 "x"'.decode_json_stream()""",
     "'abc'.substring(5, 9)", // strict bounds -> in-band error
     "state.k.to_lower()",    // error: to_lower on an int
+    // casts over the JSON universe
+    "int('42') + 1",
+    "int(3.9)",
+    "int('nope')",
+    "double('1.25') + 1.5",
+    "string(state.k)",
+    "string(12.5)",
+    "string(true)",
+    "bool('true') && true",
+    "bool(1)",
+    "dyn(state)",
     // NonStrict error handlers + has()
     "try(1 / 0)",
     "try(1 / 0, 'err')",
