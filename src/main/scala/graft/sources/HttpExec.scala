@@ -33,6 +33,24 @@ object HttpExec {
     .followRedirects(HttpClient.Redirect.NORMAL)
     .build()
 
+  /** The mito -insecure client (InsecureSkipVerify, mito.go flag): no
+    * certificate validation — for self-signed test/enterprise endpoints
+    * ONLY, selected per call. */
+  private lazy val insecureClient: HttpClient = {
+    val trustAll = new javax.net.ssl.X509TrustManager {
+      override def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      override def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+    }
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, Array[javax.net.ssl.TrustManager](trustAll), new java.security.SecureRandom())
+    HttpClient.newBuilder()
+      .version(HttpClient.Version.HTTP_1_1)
+      .followRedirects(HttpClient.Redirect.NORMAL)
+      .sslContext(ctx)
+      .build()
+  }
+
   /** Go net/http.StatusText for the codes that surface in practice. */
   def statusText(code: Int): String = code match {
     case 200 => "OK"; case 201 => "Created"; case 202 => "Accepted"
@@ -79,7 +97,7 @@ object HttpExec {
     * types.NewErr. */
   def send(method: String, url: String,
       headers: Map[String, Seq[String]] = Map.empty,
-      body: Array[Byte] = null): Resp = {
+      body: Array[Byte] = null, insecure: Boolean = false): Resp = {
     // blocking limiter wait before every request (http.go:524-527)
     RateGate.acquire(host(url))
     val b = HttpRequest.newBuilder(URI.create(url))
@@ -92,7 +110,8 @@ object HttpExec {
       if (body == null || body.isEmpty) HttpRequest.BodyPublishers.noBody()
       else HttpRequest.BodyPublishers.ofByteArray(body)
     b.method(method.toUpperCase(java.util.Locale.ROOT), publisher)
-    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    val resp = (if (insecure) insecureClient else client)
+      .send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
     val hdr = resp.headers().map().asScala.toSeq
       .filterNot(_._1.startsWith(":"))
       .map { case (k, vs) => canonicalHeader(k) -> vs.asScala.toSeq }

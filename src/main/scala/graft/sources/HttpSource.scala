@@ -35,6 +35,7 @@ import scala.jdk.CollectionConverters._
   *   ratePerSec        blocking token-bucket limit for the target host,
   *                     shared JVM-wide (reference rate.Limiter.Wait,
   *                     http.go:524-527); rateBurst sets the burst size
+  *   insecure          skip TLS certificate validation (mito -insecure)
   *
   * Usage: spark.readStream.format(classOf[HttpSourceProvider].getName)
   *          .option("url", "http://host/api?page={page}").load()
@@ -59,7 +60,8 @@ object HttpSource {
     * reference's post/do_request-driven pagination, http.go:585-635). */
   def fetch(url: String, user: String, password: String, bearer: String = "",
       method: String = "GET", contentType: String = "",
-      body: Array[Byte] = null): (Long, Map[String, Seq[String]], Array[Byte]) = {
+      body: Array[Byte] = null,
+      insecure: Boolean = false): (Long, Map[String, Seq[String]], Array[Byte]) = {
     var headers = Map.empty[String, Seq[String]]
     if (bearer.nonEmpty) headers += "Authorization" -> Seq(s"Bearer $bearer")
     else if (user.nonEmpty) {
@@ -67,7 +69,7 @@ object HttpSource {
       headers += "Authorization" -> Seq(s"Basic $tok")
     }
     if (contentType.nonEmpty) headers += "Content-Type" -> Seq(contentType)
-    val r = HttpExec.send(method, url, headers, body)
+    val r = HttpExec.send(method, url, headers, body, insecure)
     (r.statusCode, r.header, r.body)
   }
 
@@ -168,7 +170,8 @@ class HttpMicroBatchStream(options: Map[String, String])
       options.getOrElse("contenttype", ""),
       options.getOrElse("body", ""),
       options.getOrElse("ratepersec", "0").toDouble,
-      options.getOrElse("rateburst", "1").toInt): InputPartition).toArray
+      options.getOrElse("rateburst", "1").toInt,
+      options.getOrElse("insecure", "false").toBoolean): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = HttpReaderFactory
@@ -178,7 +181,8 @@ case class HttpPagePartition(url: String, page: Long, user: String,
     password: String, minIntervalMs: Long, authType: String = "",
     tokenUrl: String = "", clientId: String = "", clientSecret: String = "",
     scope: String = "", method: String = "GET", contentType: String = "",
-    body: String = "", ratePerSec: Double = 0, rateBurst: Int = 1) extends InputPartition
+    body: String = "", ratePerSec: Double = 0, rateBurst: Int = 1,
+    insecure: Boolean = false) extends InputPartition
 
 object HttpReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -203,7 +207,7 @@ object HttpReaderFactory extends PartitionReaderFactory {
           else p.body.replace("{page}", p.page.toString).getBytes(StandardCharsets.UTF_8)
         val (status, headers, body) = HttpSource.fetch(url,
           if (p.authType == "oauth2") "" else p.user, p.password, bearer,
-          p.method, p.contentType, reqBody)
+          p.method, p.contentType, reqBody, p.insecure)
         row = InternalRow(
           UTF8String.fromString(url),
           p.page,

@@ -232,6 +232,49 @@ class HttpExecSpec extends SparkSpec {
     }
   }
 
+  test("TLS: default client rejects self-signed certs; insecure accepts (serve_tls.txt)") {
+    // self-signed keystore via keytool (JDK tool, test-time only)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tls")
+    val ks = dir.resolve("ks.p12")
+    val rc = new ProcessBuilder("keytool", "-genkeypair", "-alias", "t",
+      "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
+      "-keystore", ks.toString, "-storepass", "changeit",
+      "-dname", "CN=127.0.0.1", "-ext", "SAN=IP:127.0.0.1", "-validity", "1")
+      .redirectErrorStream(true).start().waitFor()
+    assert(rc == 0, "keytool failed")
+    val store = java.security.KeyStore.getInstance("PKCS12")
+    val in = java.nio.file.Files.newInputStream(ks)
+    try store.load(in, "changeit".toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(store, "changeit".toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    val server = com.sun.net.httpserver.HttpsServer.create(new InetSocketAddress(0), 0)
+    server.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(ctx))
+    server.createContext("/", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val body = "hello\n".getBytes(StandardCharsets.UTF_8)
+        x.sendResponseHeaders(200, body.length)
+        x.getResponseBody.write(body); x.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"https://127.0.0.1:${server.getAddress.getPort}/"
+      // secure client: certificate rejection -> the CEL tier surfaces it
+      // in-band; evalDecorated renders the reference's failed-eval shape
+      val res = Cel.evalDecorated(
+        s"""string(request("GET", "$url").do_request().Body)""", "null", NOW)
+      assert(res.isLeft)
+      assert(res.left.exists(_.startsWith("failed eval: ERROR: <input>:1:")), res)
+      // -insecure path (mito's flag): trust-all client succeeds
+      val r = HttpExec.send("GET", url, insecure = true)
+      assert(r.statusCode == 200L)
+      assert(new String(r.body, StandardCharsets.UTF_8) == "hello\n")
+    } finally server.stop(0)
+  }
+
   test("http source POSTs a page-substituted body (POST pagination)") {
     withServer { (server, base) =>
       val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
