@@ -262,7 +262,7 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     }
     info(s"golden replay: $pass pass, $fail fail, $skipped skipped of ${all.size}")
     failures.result().foreach(f => info(s"  FAIL $f"))
-    assert(pass >= 25, s"expected at least 25 replayed goldens to pass, got $pass")
-    assert(fail <= 10, s"too many golden failures:\n${failures.result().mkString("\n")}")
+    assert(pass >= 57, s"expected at least 57 replayed goldens to pass, got $pass")
+    assert(fail == 0, s"golden failures:\n${failures.result().mkString("\n")}")
   }
 }
