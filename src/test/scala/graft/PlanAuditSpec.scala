@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Automated scale audit over the FULL query inventory: no query may
+  * plan an unbounded cartesian/nested-loop join except the documented
+  * broadcast brute-force baselines, and parquet scans must prune
+  * columns. This is the regression net for the 100 TB design claims —
+  * a new query that accidentally cross-joins fails here, not in
+  * production.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  // documented exceptions: broadcast nested-loop is intentional where
+  // one side is a scalar/tiny broadcast or the query IS the exact
+  // all-pairs validation harness (q37; q36 broadcasts the 10-row query
+  // side; q11's scalar subquery is a 1-row cross)
+  private val nestedLoopAllowed = Set(
+    "q11_scalar_subquery", "q36_ann_topk", "q37_embedding_neardup")
+
+  test("no unplanned cartesian products or nested-loop joins") {
+    val offenders = Seq.newBuilder[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan =
+        try fn(spark, sf).queryExecution.executedPlan.toString
+        catch { case e: Exception => fail(s"$name failed to plan: $e") }
+      val hasNlj = plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("CartesianProduct")
+      if (hasNlj && !nestedLoopAllowed.contains(name))
+        offenders += s"$name:\n$plan"
+    }
+    val bad = offenders.result()
+    assert(bad.isEmpty,
+      s"unexpected nested-loop/cartesian joins in:\n${bad.map(_.takeWhile(_ != '\n')).mkString("\n")}")
+  }
+
+  test("parquet scans prune columns on the relational tier") {
+    // q01 projects 4 lineitem columns; the scan must not read all 16
+    val plan = SparkEntry.queries("q01_groupby_agg")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(scanCols.nonEmpty, s"no FileScan in plan:\n$plan")
+    assert(scanCols.forall(_.split(",").length <= 8),
+      s"scan reads too many columns: $scanCols")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "filter not pushed to the parquet scan")
+  }
+}
