@@ -215,6 +215,17 @@ object OpKernel {
 
   def isErrorOp(x: UTF8String): UTF8String = out(VBool(toV(x).isInstanceOf[VErr]))
 
+  /** `as` macro sequencing: the interpreter evaluates the bind target
+    * strictly before the body, so a target error propagates even when the
+    * body never references the binding. Lowering binds the target column
+    * into the env (zero runtime cost when referenced) and wraps the body
+    * result with this to restore target-first error propagation. */
+  def asSeq(target: UTF8String, result: UTF8String): UTF8String =
+    toV(target) match {
+      case e: VErr => out(e)
+      case _ => result
+    }
+
   /** re_* with the pattern resolved at plan time (the named registry is
     * a driver-side config; execution is env-free). */
   def regexpMethod(fn: UTF8String, pattern: UTF8String, target: UTF8String,

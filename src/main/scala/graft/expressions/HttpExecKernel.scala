@@ -15,14 +15,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object HttpExecKernel {
 
-  /** respToMap's stable scalar core (http.go:748-781). */
+  /** respToMap's stable scalar core (http.go:748-781), plus an in-band
+    * `Error` field: the reference surfaces transport failures as error
+    * VALUES (types.NewErr), not thrown exceptions — a thrown exception
+    * here would fail the whole Spark task (and after retries the job) on
+    * one bad URL row. Error == null means the request completed. */
   val respStructType: StructType = StructType(Seq(
     StructField("Status", StringType),
     StructField("StatusCode", LongType),
     StructField("Proto", StringType),
     StructField("Header", MapType(StringType, ArrayType(StringType))),
     StructField("ContentLength", LongType),
-    StructField("Body", BinaryType)))
+    StructField("Body", BinaryType),
+    StructField("Error", StringType)))
 
   /** Shape of the request structs built by functions.request /
     * post_request / get_request. */
@@ -40,17 +45,35 @@ object HttpExecKernel {
 
   private def respRow(r: HttpExec.Resp): InternalRow = InternalRow(
     UTF8String.fromString(r.status), r.statusCode, UTF8String.fromString(r.proto),
-    mapData(r.header), r.contentLength, r.body)
+    mapData(r.header), r.contentLength, r.body, null)
 
-  def get(url: UTF8String): InternalRow = respRow(HttpExec.get(url.toString))
+  private def errRow(msg: String): InternalRow = InternalRow(
+    null, null, null, null, null, null, UTF8String.fromString(msg))
 
-  def head(url: UTF8String): InternalRow = respRow(HttpExec.head(url.toString))
+  /** Mirror of the CEL tier's NonFatal->VErr wrapping: connection
+    * refused / DNS failure / IOException become an error-shaped row. */
+  private def guarded(f: => HttpExec.Resp): InternalRow =
+    try respRow(f)
+    catch { case scala.util.control.NonFatal(e) =>
+      errRow(Option(e.getMessage).getOrElse(e.getClass.getSimpleName)) }
+
+  def get(url: UTF8String): InternalRow =
+    if (url == null) errRow("get: null url")
+    else guarded(HttpExec.get(url.toString))
+
+  def head(url: UTF8String): InternalRow =
+    if (url == null) errRow("head: null url")
+    else guarded(HttpExec.head(url.toString))
 
   def post(url: UTF8String, contentType: UTF8String, body: Array[Byte]): InternalRow =
-    respRow(HttpExec.post(url.toString, contentType.toString, body))
+    if (url == null) errRow("post: null url")
+    else guarded(HttpExec.post(url.toString,
+      if (contentType == null) "" else contentType.toString, body))
 
   /** Execute a request struct (mapToReq + client.Do, http.go:826-854). */
   def doRequest(req: InternalRow): InternalRow = {
+    if (req == null) return errRow("do_request: null request")
+    if (req.isNullAt(1)) return errRow("do_request: null URL")
     val method = if (req.isNullAt(0)) "GET" else req.getUTF8String(0).toString
     val url = req.getUTF8String(1).toString
     val headers: Map[String, Seq[String]] =
@@ -64,6 +87,6 @@ object HttpExecKernel {
         }.toMap
       }
     val body = if (req.isNullAt(3)) null else req.getBinary(3)
-    respRow(HttpExec.send(method, url, headers, body))
+    guarded(HttpExec.send(method, url, headers, body))
   }
 }

@@ -240,4 +240,23 @@ object StringKernel {
     val S = s(str); val p = s(suffix)
     if (p.nonEmpty && S.endsWith(p)) u(S.substring(0, S.length - p.length)) else u(S)
   }
+
+  // Regexp patterns come from a small plan-time registry, so the compiled
+  // cache stays bounded by the number of named patterns.
+  private val patCache = new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  private def pat(p: String): java.util.regex.Pattern =
+    patCache.computeIfAbsent(p, java.util.regex.Pattern.compile(_))
+
+  /** regexp.FindAllStringSubmatch (re.go): every match with its capture
+    * groups, computed POSITIONALLY against the original string — correct
+    * for anchors, lookaround, and word boundaries, unlike re-matching the
+    * extracted full-match text in isolation. Unmatched groups render as
+    * "" (Go's convention for the submatch string form). */
+  def findAllSubmatch(str: UTF8String, pattern: UTF8String): ArrayData = {
+    val m = pat(s(pattern)).matcher(s(str))
+    val b = Vector.newBuilder[Any]
+    while (m.find())
+      b += arr((0 to m.groupCount()).map(g => Option(m.group(g)).getOrElse("")))
+    new GenericArrayData(b.result().toArray[Any])
+  }
 }

@@ -416,13 +416,11 @@ object functions {
     def re_replace_all(name: String, s: Column, replacement: Column): Column =
       F.regexp_replace(s, F.lit(p(name)), replacement)
     /** All matches with all capture groups: array of [full, g1, ...]
-      * arrays (Go FindAllStringSubmatch). Each found match is re-matched
-      * for its groups — anchored patterns (^/$) should use re_find_submatch. */
-    def re_find_all_submatch(name: String, s: Column): Column = {
-      val pat = p(name)
-      val n = Pattern.compile(pat).matcher("").groupCount()
-      F.transform(F.regexp_extract_all(s, F.lit(pat), F.lit(0)),
-        m => F.array((0 to n).map(g => F.regexp_extract(m, pat, g)): _*))
-    }
+      * arrays (Go FindAllStringSubmatch). Groups are computed positionally
+      * against the original string by a kernel, so context-dependent
+      * patterns (anchors, lookaround, word boundaries) are correct. */
+    def re_find_all_submatch(name: String, s: Column): Column =
+      call(S, ArrayType(ArrayType(StringType)), "findAllSubmatch",
+        Seq(Str, Str), s, F.lit(p(name)))
   }
 }

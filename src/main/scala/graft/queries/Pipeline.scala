@@ -59,12 +59,17 @@ object Pipeline {
             xxhash64(slice(col("sig"), b * 4 + 1, lit(4)), b).as("band_hash")))).as("bd"))
       // Skew protection: a degenerate band_hash (boilerplate-heavy corpora)
       // would make the self-join quadratic in that bucket. Cap bucket
-      // fan-out — a bucket larger than the cap carries no dedup signal
-      // (its members pair via their other 15 bands with high probability).
+      // fan-out by keeping the first 64 members (ordered by doc_id) rather
+      // than discarding oversized buckets outright: exact duplicates share
+      // ALL 16 band hashes, so a whole-bucket drop would silently lose
+      // every pair of a 65+-copy group. With representatives the kept
+      // members still pair (and identical docs keep the same 64 reps in
+      // every band), bounding join fan-out at 64^2 per bucket.
       val capped = bands
-        .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("bd"))))
-        .filter(col("bucket_n") <= 64)
-        .drop("bucket_n")
+        .withColumn("bucket_rank",
+          row_number().over(Window.partitionBy(col("bd")).orderBy(col("doc_id"))))
+        .filter(col("bucket_rank") <= 64)
+        .drop("bucket_rank")
       val cand = capped.as("a")
         .join(capped.as("b"),
           col("a.bd") === col("b.bd") && col("a.doc_id") < col("b.doc_id"))

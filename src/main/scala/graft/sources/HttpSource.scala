@@ -195,8 +195,7 @@ object HttpReaderFactory extends PartitionReaderFactory {
         if (p.minIntervalMs > 0) Thread.sleep(p.minIntervalMs)
         val url = p.url.replace("{page}", p.page.toString)
         // share one bucket per host across every partition in the JVM
-        if (p.ratePerSec > 0 && !RateGate.isConfigured(HttpExec.host(url)))
-          RateGate.configure(HttpExec.host(url), p.ratePerSec, p.rateBurst)
+        RateGate.ensure(HttpExec.host(url), p.ratePerSec, p.rateBurst)
         val bearer =
           if (p.authType == "oauth2")
             HttpSource.oauth2Token(p.tokenUrl, p.clientId, p.clientSecret,

@@ -30,6 +30,21 @@ object RateGate {
 
   def isConfigured(key: String): Boolean = buckets.containsKey(key)
 
+  /** Idempotent per-partition entry point: make the bucket match the
+    * caller's (rate, burst). Unlike a configure-if-absent guard, a
+    * restarted or second stream with DIFFERENT settings takes effect,
+    * and rate <= 0 un-throttles a host a previous stream configured.
+    * No-op when the existing bucket already has these settings, so
+    * concurrent partitions of one stream never reset each other's
+    * token state. */
+  def ensure(key: String, ratePerSec: Double, burst: Int = 1): Unit = {
+    val b = buckets.get(key)
+    if (ratePerSec <= 0) { if (b != null) buckets.remove(key) }
+    else if (b == null || b.ratePerSec != ratePerSec ||
+      b.burst != math.max(1, burst).toDouble)
+      configure(key, ratePerSec, burst)
+  }
+
   /** Block until a token is available for `key` (no-op when the key has
     * no configured limit). Equivalent of rate.Limiter.Wait(ctx). */
   def acquire(key: String): Unit = {

@@ -228,4 +228,20 @@ class FunctionsSpec extends SparkSpec {
       .asInstanceOf[scala.collection.Seq[scala.collection.Seq[String]]]
       .map(_.toSeq).toSeq == Seq(Seq("1"), Seq("22")))
   }
+
+  test("re_find_all_submatch is positional: lookaround, anchors, boundaries") {
+    val re = RegexpRegistry(Map(
+      "look" -> "a(?=b)",         // zero-width lookahead
+      "anchor" -> "^f(o+)",       // start anchor
+      "bound" -> """\b(\w)c""",   // word boundary + group
+      "opt" -> "a(x)?b"))         // unmatched optional group -> ""
+    def all(name: String, s: String) =
+      evalOn(s, c => re.re_find_all_submatch(name, c))
+        .asInstanceOf[scala.collection.Seq[scala.collection.Seq[String]]]
+        .map(_.toSeq).toSeq
+    assert(all("look", "ab ac ab") == Seq(Seq("a"), Seq("a")))
+    assert(all("anchor", "foo foo") == Seq(Seq("foo", "oo")))
+    assert(all("bound", "cc acid") == Seq(Seq("cc", "c"), Seq("ac", "a")))
+    assert(all("opt", "ab axb") == Seq(Seq("ab", ""), Seq("axb", "x")))
+  }
 }

@@ -190,6 +190,39 @@ class HttpExecSpec extends SparkSpec {
     }
   }
 
+  test("Column tier surfaces transport errors in-band, not as task failure") {
+    import graft.functions._
+    // port 9 (discard) is closed: connection refused must become an
+    // error-shaped row (reference types.NewErr), not a thrown exception
+    val r0 = spark.range(1).select(
+      http_get(lit("http://127.0.0.1:9/nope")).as("r"))
+      .select(col("r.StatusCode").as("code"), col("r.Error").as("err")).head
+    assert(r0.isNullAt(0) && r0.getString(1) != null)
+
+    val reqRow = spark.range(1).select(
+      http_do_request(request(lit("GET"), lit(null).cast("string"),
+        lit(null).cast("binary"))).as("r"))
+      .select(col("r.Error")).head
+    assert(reqRow.getString(0) == "do_request: null URL")
+  }
+
+  test("RateGate.ensure reconfigures on changed settings and un-throttles on 0") {
+    import graft.sources.RateGate
+    RateGate.ensure("ensure-test", 5.0, 2)
+    assert(RateGate.isConfigured("ensure-test"))
+    // same settings: no-op (token state preserved) — still configured
+    RateGate.ensure("ensure-test", 5.0, 2)
+    assert(RateGate.isConfigured("ensure-test"))
+    // different rate takes effect: 1000/s bucket never blocks noticeably
+    RateGate.ensure("ensure-test", 1000.0, 4)
+    val t0 = System.nanoTime()
+    (1 to 8).foreach(_ => RateGate.acquire("ensure-test"))
+    assert((System.nanoTime() - t0) / 1e6 < 500)
+    // rate <= 0 un-throttles a host a previous stream configured
+    RateGate.ensure("ensure-test", 0.0)
+    assert(!RateGate.isConfigured("ensure-test"))
+  }
+
   test("RateGate blocks callers to the configured rate (rate.Limiter.Wait)") {
     graft.sources.RateGate.configure("gate-test", 20.0, 1) // 50ms/token
     try {

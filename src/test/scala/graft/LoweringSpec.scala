@@ -41,6 +41,11 @@ class LoweringSpec extends SparkSpec {
     """{"a": 1}.with_update({"a": 9, "b": 2})""",
     """{"a": 1}.with_replace({"a": 9, "b": 2})""",
     """state.as(s, {"doc": s, "k": s.k})""",
+    // `as` evaluates the target strictly: a target error propagates even
+    // when the body never references the binding (OpKernel.asSeq)
+    "state.nope.as(s, 1)",
+    "(1 / 0).as(x, 'ok')",
+    "state.k.as(x, 2)",
     // error paths: missing key, bad index — in-band error values
     "state.nope",
     "state.k.nope",

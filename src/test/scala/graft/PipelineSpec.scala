@@ -25,6 +25,23 @@ class PipelineSpec extends SparkSpec {
     assert(brute.nonEmpty, "test data should contain planted near-duplicates")
   }
 
+  test("minhash-LSH skew cap keeps representatives: 65+ exact copies still pair") {
+    // 70 identical docs share ALL 16 band hashes, so every bucket holds 70
+    // members (> the 64 cap). A whole-bucket drop would report ZERO pairs
+    // for the primary dedup target; the representative cap must keep the
+    // first 64 (by doc_id) pairing in every band -> C(64,2) pairs.
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q31cap").toString
+    (0L until 70L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Pipeline.queries("q31_minhash_lsh_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for (a <- 0L until 64L; b <- (a + 1) until 64L) yield (a, b)).toSet
+    assert(pairs == expected, s"got ${pairs.size} pairs, want ${expected.size}")
+  }
+
   test("simhash near-dup pairs cover the high-jaccard pairs") {
     val sim = Pipeline.queries("q38_simhash_neardup")(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
