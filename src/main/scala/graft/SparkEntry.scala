@@ -19,6 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.CelFunctions.queries ++
+      graft.queries.Formats.queries ++
       graft.queries.Pipeline.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
@@ -26,5 +27,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.CelFunctions.oracle ++
+      graft.queries.Formats.oracle ++
       graft.queries.Pipeline.oracle
 }
