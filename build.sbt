@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Spark's variant decoder (VariantUtil.getString) uses the platform
+  // default charset; JDK 17 under a POSIX locale defaults to ASCII.
+  // JEP 400 makes UTF-8 the default from JDK 18 — pin it here.
+  "-Dfile.encoding=UTF-8", "-Dsun.jnu.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -285,6 +285,42 @@ object functions {
       (windowSecs * 1000000L).cast(LongType), burst.cast(LongType), now)
 
   // =====================================================================
+  // Variant-native dynamic tier (Spark 4 VariantType): parse once,
+  // operate on the binary encoding, render once. Same semantics as the
+  // json_* string tier (VariantSpec asserts parity); preferred at scale
+  // because chained operators skip the per-op Jackson re-parse and the
+  // parquet scan can shred/push down variant columns.
+  // =====================================================================
+  private val V = Class.forName("graft.expressions.VariantKernel")
+  private val Var = VariantType
+
+  /** JSON text -> variant (builtin parse_json; vectorized). */
+  def v_parse(json: Column): Column = F.parse_json(json)
+  /** Variant -> Go-render JSON text (sorted keys — free in the key-sorted
+    * variant encoding). */
+  def v_render(x: Column): Column = call(V, Str, "render", Seq(Var), x)
+  /** Dotted-path subtree; missing key = in-band error variant. */
+  def v_get(x: Column, path: Column): Column =
+    call(V, Var, "getPath", Seq(Var, Str), x, path)
+  def v_has(x: Column, path: Column): Column =
+    call(V, BooleanType, "hasPath", Seq(Var, Str), x, path)
+  /** collate over a variant doc -> rendered JSON list. */
+  def v_collate(x: Column, path: Column): Column =
+    call(V, Str, "collate", Seq(Var, Str), x, path)
+  def v_with(dst: Column, src: Column): Column =
+    call(V, Var, "withAll", Seq(Var, Var), dst, src)
+  def v_with_update(dst: Column, src: Column): Column =
+    call(V, Var, "withUpdate", Seq(Var, Var), dst, src)
+  def v_with_replace(dst: Column, src: Column): Column =
+    call(V, Var, "withReplace", Seq(Var, Var), dst, src)
+  def v_keys(x: Column): Column = call(V, Str, "keysOf", Seq(Var), x)
+  def v_values(x: Column): Column = call(V, Str, "valuesOf", Seq(Var), x)
+  /** CEL size (-1 = no such overload). */
+  def v_size(x: Column): Column = call(V, LongType, "sizeOf", Seq(Var), x)
+  def v_drop(x: Column, paths: Seq[String]): Column =
+    call(V, Var, "dropPaths", Seq(Var, ArrS), x, F.array(paths.map(F.lit): _*))
+
+  // =====================================================================
   // LLM-pipeline operators (dedup / similarity / text analysis /
   // multimodal) — beyond the reference surface, designed for 100 TB.
   // =====================================================================

@@ -120,6 +120,21 @@ object Formats {
         .orderBy(col("event_id"))
     },
 
+    // variant-native dynamic tier under the gate: parse once, chain ops
+    // on the binary encoding, render once (same outputs as the string
+    // tier's q20/q21/q46 shapes)
+    "q68_variant_tier" -> { (s, dir) =>
+      val v = v_parse(col("props"))
+      Tables(s, dir).events
+        .select(col("event_id"),
+          v_render(v_with(v, v_parse(lit("{\"seen\": true}")))).as("merged"),
+          v_collate(v, lit("k")).as("collated"),
+          v_keys(v).as("ks"),
+          v_size(v).as("n"),
+          v_render(v_get(v, lit("k"))).as("kval"))
+        .orderBy(col("event_id"))
+    },
+
     // format_url: parse -> rebuild roundtrip plus query-string normalize
     "q67_format_url" -> { (s, dir) =>
       val url = concat(lit("https://api.example.test/v1/items/"),
@@ -177,6 +192,14 @@ object Formats {
       """SELECT event_id,
          '{"doc":{"rec":{"ok":true,"qty":' || user_id || ',"tag":["'
            || event_type || '"]}}}' AS decoded
+         FROM events ORDER BY event_id""",
+    "q68_variant_tier" ->
+      """SELECT event_id,
+         '{"k":' || json_extract_string(props, '$.k') || ',"seen":true}' AS merged,
+         '[' || json_extract_string(props, '$.k') || ']' AS collated,
+         '["k"]' AS ks,
+         CAST(1 AS BIGINT) AS n,
+         json_extract_string(props, '$.k') AS kval
          FROM events ORDER BY event_id""",
     "q67_format_url" ->
       """SELECT event_id,

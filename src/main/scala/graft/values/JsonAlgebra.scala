@@ -146,7 +146,7 @@ object JsonAlgebra {
     (-1, escaped) // unreachable
   }
 
-  private def unescape(s: String): String = s.replace("\\.", ".")
+  def unescape(s: String): String = s.replace("\\.", ".")
 
   // ---------------------------------------------------------------------
   // drop — remove field(s) at dotted path(s), recursing through lists.

@@ -13,5 +13,6 @@ done
 exec java $ADD_OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
+  -Dfile.encoding=UTF-8 -Dsun.jnu.encoding=UTF-8 \
   -Xmx${SPARK_DRIVER_MEM:-8g} \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" "$@"
