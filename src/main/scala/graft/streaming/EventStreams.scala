@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming operators over the events stream: event-time
   * windowed aggregation with watermarks, and a
@@ -56,5 +57,54 @@ object EventStreams {
           state.update(cur)
           if (cur.n_events != prev.n_events) Iterator.single(cur) else Iterator.empty
       }
+  }
+
+  /** The same per-user cursor on the transformWithState API (Spark 4.1
+    * StatefulProcessor): typed ValueState in the state store, optional
+    * TTL so an idle user's cursor is evicted instead of living forever
+    * — the operational upgrade over [[userCursor]] for unbounded key
+    * spaces (requires the RocksDB state store provider). Output parity
+    * with userCursor is asserted by EventStreamsSpec. */
+  final class CursorProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, EventRow, Cursor] {
+    @transient private var cursor: ValueState[Cursor] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttlConf =
+        if (ttl == null || ttl.isZero) TTLConfig.NONE
+        else TTLConfig(ttl)
+      cursor = getHandle.getValueState[Cursor]("cursor",
+        Encoders.product[Cursor], ttlConf)
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[EventRow],
+        timerValues: TimerValues): Iterator[Cursor] = {
+      val prev = Option(cursor.get())
+        .getOrElse(Cursor(userId, -1L, Long.MinValue, 0L, 0d))
+      var cur = prev
+      rows.foreach { r =>
+        cur = Cursor(userId,
+          if (r.ts > cur.last_ts) r.event_id else cur.last_event_id,
+          math.max(r.ts, cur.last_ts),
+          cur.n_events + 1,
+          cur.total_value + r.value)
+      }
+      cursor.update(cur)
+      if (cur.n_events != prev.n_events) Iterator.single(cur) else Iterator.empty
+    }
+  }
+
+  /** Per-user cursor via transformWithState; `ttl` null/zero = keep
+    * state forever (parity with userCursor). TTL eviction is
+    * processing-time based, so a TTL forces TimeMode.ProcessingTime
+    * (the engine rejects TTL state under TimeMode.None). */
+  def userCursorTws(events: Dataset[EventRow],
+      ttl: java.time.Duration = null): Dataset[Cursor] = {
+    import events.sparkSession.implicits._
+    val timeMode =
+      if (ttl == null || ttl.isZero) TimeMode.None() else TimeMode.ProcessingTime()
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new CursorProcessor(ttl), timeMode, OutputMode.Append())
   }
 }

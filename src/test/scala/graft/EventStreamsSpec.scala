@@ -75,6 +75,56 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState cursor matches the flatMapGroupsWithState one") {
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(eventsSchema)
+        .parquet(eventsDir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .as[EventStreams.EventRow]
+      val q = EventStreams.userCursorTws(stream, java.time.Duration.ofHours(1))
+        .writeStream.outputMode("append").format("memory").queryName("cursor_tws").start()
+      try {
+        // TTL forces TimeMode.ProcessingTime, under which the engine keeps
+        // scheduling (empty) micro-batches for state eviction, so
+        // processAllAvailable would wait indefinitely — poll the sink
+        // until the expected key set has been emitted instead.
+        val expectUsers = spark.read.parquet(eventsDir)
+          .select("user_id").distinct().count()
+        val deadline = System.nanoTime() + 120L * 1000000000L
+        def emitted(): Long =
+          spark.sql("SELECT count(DISTINCT user_id) FROM cursor_tws").head().getLong(0)
+        while (emitted() < expectUsers && System.nanoTime() < deadline)
+          Thread.sleep(250)
+        assert(emitted() == expectUsers, "timed out waiting for all user cursors")
+        val tws = spark.sql(
+          "SELECT user_id, last_event_id, n_events, total_value FROM cursor_tws")
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+        val batch = spark.read.parquet(eventsDir)
+          .groupBy("user_id")
+          .agg(max_by(col("event_id"), col("ts")).as("last_event_id"),
+            count(lit(1)).as("n"), sum("value").as("total"))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+        assert(tws.keySet == batch.keySet)
+        tws.foreach { case (u, (lastId, n, total)) =>
+          val (bLastId, bN, bTotal) = batch(u)
+          assert(lastId == bLastId, s"user $u last_event_id")
+          assert(n == bN)
+          assert(math.abs(total - bTotal) < 1e-6)
+        }
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   private lazy val docsDir: String = {
     val d = java.nio.file.Files.createTempDirectory("graft-docs-stream")
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
