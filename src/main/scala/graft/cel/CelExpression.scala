@@ -56,15 +56,16 @@ object Cel {
     * lowerable dynamic-document subset ([[Lowering]]); None -> use
     * apply() (the interpreter). */
   def lower(program: String, state: Column,
-      regexps: Map[String, String] = Map.empty): Option[Column] =
-    Lowering.tryLower(program, state, regexps)
+      regexps: Map[String, String] = Map.empty,
+      nowMicros: Option[Long] = None): Option[Column] =
+    Lowering.tryLower(program, state, regexps, nowMicros)
 
   /** Lowered when possible, interpreted otherwise — same semantics,
     * same rendered output, compile-once either way. */
   def auto(program: String, state: Column,
       nowMicros: Long = System.currentTimeMillis() * 1000L,
       regexps: Map[String, String] = Map.empty): Column =
-    Lowering.tryLower(program, state, regexps)
+    Lowering.tryLower(program, state, regexps, Some(nowMicros))
       .getOrElse(apply(program, state, regexps, nowMicros))
 
   /** One-shot local evaluation (no Spark): the mito CLI model. `xsds`

@@ -193,6 +193,34 @@ object OpKernel {
     }
   }
 
+  /** Fused `.parse_time(layouts).format(outLayout)`: the timestamp
+    * intermediate is a typed value (not JSON-faithful), so the pair is
+    * lowered as ONE kernel going string -> string, calling the
+    * interpreter's own method dispatch for both halves — error texts
+    * and first-success layout-list semantics are identical by
+    * construction. */
+  def timeParseFormat(target: UTF8String, layouts: UTF8String,
+      outLayout: UTF8String): UTF8String =
+    (toV(target), toV(layouts), toV(outLayout)) match {
+      case (e: VErr, _, _) => out(e)
+      case (_, e: VErr, _) => out(e)
+      case (_, _, e: VErr) => out(e)
+      case (t, l, ol) =>
+        Functions.strictMethodBridge("parse_time", t, Vector(l)) match {
+          case e: VErr => out(e)
+          case ts => out(Functions.strictMethodBridge("format", ts, Vector(ol)))
+        }
+    }
+
+  /** Fused `now.format(layout)` / `now().format(layout)`: `now` is a
+    * batch constant, so the timestamp arrives as a literal micros long. */
+  def formatNowOp(nowMicros: Long, layout: UTF8String): UTF8String =
+    toV(layout) match {
+      case e: VErr => out(e)
+      case l => out(Functions.strictMethodBridge("format",
+        VTimestamp(nowMicros), Vector(l)))
+    }
+
   /** has(e.f) — NonStrict on the field, strict on the target. */
   def hasField(json: UTF8String, field: UTF8String): UTF8String = toV(json) match {
     case e: VErr => out(e)

@@ -121,7 +121,17 @@ class LoweringSpec extends SparkSpec {
     "is_error(1 / 0)",
     "is_error(state.k)",
     "has(state.k)",
-    "has(state.nope)")
+    "has(state.nope)",
+    // fused typed-intermediate time ops (timeParseFormat / formatNowOp)
+    "'2024-03-05T06:07:08Z'.parse_time('RFC3339').format('Kitchen')",
+    "'2024-03-05'.parse_time(['RFC3339', 'DateOnly']).format('RFC3339')",
+    "'not a date'.parse_time('RFC3339').format('Kitchen')", // in-band error
+    "format(parse_time('2024-03-05', 'DateOnly'), 'DateTime')",
+    "now.format('RFC3339')",
+    "now.format(time_layout.Kitchen)",
+    "'2024-03-05'.parse_time(time_layout.DateOnly).format('RFC3339')",
+    "time_layout.RFC1123",
+    "state.k.parse_time('RFC3339').format('Kitchen')") // error: target int
 
   // constructs the subset must DECLINE (fall back to the interpreter)
   private val notLowerable = Seq(
@@ -135,7 +145,7 @@ class LoweringSpec extends SparkSpec {
   test("lowered output is byte-identical to the interpreter on events") {
     val props = Tables(spark, sf).events.select(col("props")).limit(200).cache()
     lowerable.foreach { program =>
-      val lowered = Cel.lower(program, col("props"))
+      val lowered = Cel.lower(program, col("props"), nowMicros = Some(NOW))
       assert(lowered.isDefined, s"expected lowerable: $program")
       val both = props.select(
         lowered.get.as("low"),
