@@ -221,6 +221,20 @@ object OpKernel {
         VTimestamp(nowMicros), Vector(l)))
     }
 
+  /** Fused `.md5()/.sha1()/.sha256()` + `.hex()/.base64()/.base64_raw()`:
+    * the digest's VBytes intermediate is not JSON-faithful, so the
+    * digest+encode pair lowers as one string -> string kernel through
+    * the interpreter's own dispatch. */
+  def digestEncode(digest: UTF8String, enc: UTF8String,
+      target: UTF8String): UTF8String =
+    toV(target) match {
+      case e: VErr => out(e)
+      case t => Functions.strictMethodBridge(digest.toString, t, Vector.empty) match {
+        case e: VErr => out(e)
+        case b => out(Functions.strictMethodBridge(enc.toString, b, Vector.empty))
+      }
+    }
+
   /** has(e.f) — NonStrict on the field, strict on the target. */
   def hasField(json: UTF8String, field: UTF8String): UTF8String = toV(json) match {
     case e: VErr => out(e)

@@ -131,7 +131,16 @@ class LoweringSpec extends SparkSpec {
     "now.format(time_layout.Kitchen)",
     "'2024-03-05'.parse_time(time_layout.DateOnly).format('RFC3339')",
     "time_layout.RFC1123",
-    "state.k.parse_time('RFC3339').format('Kitchen')") // error: target int
+    "state.k.parse_time('RFC3339').format('Kitchen')", // error: target int
+    // fused digest+encode pairs (digestEncode) and bare encodes
+    "'hello world'.md5().hex()",
+    "'hello world'.sha256().base64()",
+    "'hello'.sha1().base64_raw()",
+    "hex(md5('abc'))",
+    "state.encode_json().md5().hex()",
+    "state.k.md5().hex()", // error: digest of an int
+    "'hello'.hex()",
+    "'hello'.base64()")
 
   // constructs the subset must DECLINE (fall back to the interpreter)
   private val notLowerable = Seq(
