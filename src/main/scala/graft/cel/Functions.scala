@@ -509,6 +509,9 @@ private[cel] object Functions {
   // ---- regexp (named registry from env) ----
   /** Bridge for the lowering kernels: run a re_* method with the pattern
     * already resolved (plan-time registry lookup). */
+  private val regexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+
   private[cel] def regexpBridge(fn: String, pattern: String, t: V, rest: Vector[V]): V =
     guard(regexp(fn, t, VString("__lowered__") +: rest,
       Env(Map.empty, 0L, regexps = Map("__lowered__" -> pattern))))
@@ -519,7 +522,8 @@ private[cel] object Functions {
       case _ => return VErr(s"no such overload: $fn")
     }
     val pat = env.regexps.getOrElse(name, return VErr(s"no regexp pattern: $name"))
-    val p = java.util.regex.Pattern.compile(pat)
+    // named patterns come from a small config registry: cache compiles
+    val p = regexCache.computeIfAbsent(pat, java.util.regex.Pattern.compile(_))
     val isBytes = t.isInstanceOf[VBytes]
     val s = t match {
       case VString(x) => x

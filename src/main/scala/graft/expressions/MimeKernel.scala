@@ -221,16 +221,20 @@ object MimeKernel {
 
   /** application/x-ndjson -> array of JSON documents; malformed lines
     * become in-band error values — mime.go:292-314. */
+  // ObjectReader is immutable and thread-safe; building an ObjectMapper
+  // per line costs more than the parse itself.
+  private val ndjsonReader =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .readerFor(classOf[com.fasterxml.jackson.databind.JsonNode])
+      .`with`(com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
+
   def ndjson(data: Array[Byte]): ArrayData = {
     val out = ArrayBuffer.empty[Any]
     new String(data, StandardCharsets.UTF_8).split("\n", -1).foreach { line =>
       if (line.trim.nonEmpty) {
         val parsed =
           try JsonAlgebra.render(
-            new com.fasterxml.jackson.databind.ObjectMapper()
-              .readerFor(classOf[com.fasterxml.jackson.databind.JsonNode])
-              .`with`(com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
-              .readValue(line): com.fasterxml.jackson.databind.JsonNode)
+            ndjsonReader.readValue(line): com.fasterxml.jackson.databind.JsonNode)
           catch {
             case e: Exception =>
               JsonAlgebra.render(JsonAlgebra.error(s"${e.getMessage}: $line"))

@@ -29,6 +29,23 @@ import scala.util.control.NonFatal
 object XmlKernel {
   private val nf = JsonNodeFactory.instance
 
+  // Hint trees are plan-time literals (compiled XSDs), so the parsed
+  // cache stays bounded by the number of distinct hint configs.
+  private val hintCache =
+    new java.util.concurrent.ConcurrentHashMap[String, JsonNode]()
+
+  // XMLInputFactory.newInstance() walks the service loader — far too
+  // expensive per row (it dominated decode at ~160us/row). The factory
+  // is not guaranteed thread-safe, so cache one per executor thread.
+  private val factory = new ThreadLocal[XMLInputFactory] {
+    override def initialValue(): XMLInputFactory = {
+      val f = XMLInputFactory.newInstance()
+      f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+      f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+      f
+    }
+  }
+
   def decodeXml(data: UTF8String): UTF8String = decodeXmlHinted(data, null)
 
   def decodeXmlHinted(data: UTF8String, hintsJson: UTF8String): UTF8String = {
@@ -41,11 +58,8 @@ object XmlKernel {
       try {
         val hints: JsonNode =
           if (hintsJson == null || hintsJson.numChars() == 0) nf.objectNode()
-          else JsonAlgebra.parse(hintsJson.toString)
-        val f = XMLInputFactory.newInstance()
-        f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
-        f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
-        val r = f.createXMLStreamReader(new StringReader(data.toString))
+          else hintCache.computeIfAbsent(hintsJson.toString, JsonAlgebra.parse(_))
+        val r = factory.get().createXMLStreamReader(new StringReader(data.toString))
         val (cdata, doc) = walk(r, Nil, hints)
         val m = nf.objectNode()
         if (cdata.nonEmpty) m.set[JsonNode]("#text", nf.textNode(cdata))
