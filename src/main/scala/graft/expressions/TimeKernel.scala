@@ -90,19 +90,27 @@ object TimeKernel {
     val pat = new StringBuilder
     def flushPat(): Unit = { if (pat.nonEmpty) { b.appendPattern(pat.toString); pat.clear() } }
     var i = 0
+    // literal letters must share ONE quote run: 'G''M''T' would render
+    // G'M'T (doubled quotes are literal apostrophes in java.time)
+    var inLiteralRun = false
     while (i < layout.length) {
       tokens.find { case (t, _) => layout.startsWith(t, i) } match {
-        case Some((t, Pat(p))) => pat.append(p); i += t.length
+        case Some((t, Pat(p))) => inLiteralRun = false; pat.append(p); i += t.length
         case Some((t, Frac(d, fixed))) =>
+          inLiteralRun = false
           flushPat()
           b.appendLiteral('.')
           b.appendFraction(ChronoField.NANO_OF_SECOND, if (fixed) d else 0, d, false)
           i += t.length
         case None =>
           val c = layout.charAt(i)
-          if (c.isLetter) pat.append('\'').append(c).append('\'')
-          else if (c == '\'') pat.append("''")
-          else pat.append(c)
+          if (c.isLetter) {
+            if (inLiteralRun && pat.nonEmpty && pat.last == '\'') {
+              pat.setLength(pat.length - 1); pat.append(c).append('\'')
+            } else pat.append('\'').append(c).append('\'')
+            inLiteralRun = true
+          } else if (c == '\'') { inLiteralRun = false; pat.append("''") }
+          else { inLiteralRun = false; pat.append(c) }
           i += 1
       }
     }

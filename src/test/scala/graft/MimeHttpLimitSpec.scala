@@ -95,9 +95,12 @@ class MimeHttpLimitSpec extends SparkSpec {
     val r = spark.range(1)
       .select(rate_limit(hdrs, "okta", lit(60), now).as("rl"))
       .select("rl.rate", "rl.next", "rl.burst", "rl.headers").head()
-    // rate = 598 / (reset - now).seconds ; next = 600/60 = 10 ; burst 1
-    val per = 253402300799L - 1704067200L
-    assert(math.abs(r.getDouble(0) - 598.0 / per) < 1e-18)
+    // rate = 598 / time.Until(reset).Seconds(); the 9999 reset makes
+    // Go's time.Sub SATURATE at 2^63 ns, so per = MaxInt64/1e9 — this
+    // is the exact golden value 6.483528991463317e-8
+    val per = Long.MaxValue.toDouble / 1e9
+    assert(r.getDouble(0) == 598.0 / per)
+    assert(r.getDouble(0) == 6.483528991463317e-8)
     assert(r.getDouble(1) == 10.0)
     assert(r.getLong(2) == 1L)
     assert(r.getString(3) ==

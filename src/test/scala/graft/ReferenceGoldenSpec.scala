@@ -37,10 +37,11 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     // nondeterministic / wall-clock / loop-driver (debug.txt replays:
     // its stdout is deterministic, only the stderr log is side-band)
     "uuid.txt", "now.txt", "want_more.txt",
-    // goldens baked against the authors' wall clock (rate = f(now)) and
-    // Go-runtime error strings; deterministic equivalents live in
-    // MimeHttpLimitSpec + CelSpec
-    "limit_okta.txt", "limit_draft.txt", "limit_general.txt",
+    // limit_{okta,draft,general}.txt now REPLAY: their rates are
+    // deterministic once Go's time.Sub saturation (+-2^63 ns) and
+    // strconv error texts are mirrored (LimitKernel.goUntilSeconds) —
+    // the year-9999 reset headers always saturate, so any sane `now`
+    // reproduces the goldens.
     // documented divergence: int-keyed maps degrade to string keys in
     // the JSON value universe (README)
     "keys.txt")
