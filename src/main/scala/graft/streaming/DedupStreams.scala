@@ -74,4 +74,61 @@ object DedupStreams {
           out.result().iterator
       }
   }
+
+  /** The same banded near-dup on the transformWithState API: the bucket
+    * members live in a ListState (RocksDB appends instead of
+    * read-modify-write of one blob) and an optional TTL evicts stale
+    * buckets — at corpus-ingest scale the state store holds
+    * O(active buckets x cap) 16-byte entries, and a bucket that goes
+    * cold for longer than the TTL costs nothing forever after. */
+  final class NearDupProcessor(maxPerBucket: Int, maxHamming: Int,
+      ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, Long), BandedSig, NearDup] {
+    import org.apache.spark.sql.streaming.{ListState, TTLConfig, TimeMode, TimerValues}
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var members: ListState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttlConf =
+        if (ttl == null || ttl.isZero) TTLConfig.NONE else TTLConfig(ttl)
+      members = getHandle.getListState[(Long, Long)]("members",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), ttlConf)
+    }
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BandedSig],
+        timerValues: TimerValues): Iterator[NearDup] = {
+      // keep-first representative cap (ListState appends are cheap;
+      // eviction is the TTL's job) — same policy as the batch q31 cap
+      var seen = members.get().toVector
+      val out = Vector.newBuilder[NearDup]
+      rows.foreach { d =>
+        seen.foreach { case (id, sig) =>
+          if (id != d.doc_id) {
+            val h = java.lang.Long.bitCount(sig ^ d.sig)
+            if (h <= maxHamming) out += NearDup(d.doc_id, id, h)
+          }
+        }
+        if (!seen.exists(_._1 == d.doc_id) && seen.length < maxPerBucket) {
+          seen = seen :+ (d.doc_id -> d.sig)
+          members.appendValue(d.doc_id -> d.sig)
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Streaming simhash near-dup via transformWithState (RocksDB state
+    * store required). `ttl` null/zero keeps buckets forever. */
+  def simhashNearDupTws(banded: Dataset[BandedSig], maxPerBucket: Int = 64,
+      maxHamming: Int = 6, ttl: java.time.Duration = null): Dataset[NearDup] = {
+    import banded.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val timeMode =
+      if (ttl == null || ttl.isZero) TimeMode.None()
+      else TimeMode.ProcessingTime()
+    banded
+      .groupByKey(d => (d.band_id, d.band_key))
+      .transformWithState(new NearDupProcessor(maxPerBucket, maxHamming, ttl),
+        timeMode, OutputMode.Append())
+  }
 }

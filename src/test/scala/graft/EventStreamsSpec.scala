@@ -173,4 +173,36 @@ class EventStreamsSpec extends SparkSpec {
       assert(got == batch)
     } finally q.stop()
   }
+
+  test("transformWithState near-dup finds the batch q38 pairs (ListState)") {
+    import graft.functions.{simhash64, tokens}
+    import graft.streaming.DedupStreams
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docsSchema = spark.read.parquet(docsDir).schema
+      val stream = spark.readStream.schema(docsSchema).parquet(docsDir)
+        .select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
+      val banded = DedupStreams.bandSigs(stream).as[DedupStreams.BandedSig]
+      val q = DedupStreams.simhashNearDupTws(banded, maxPerBucket = 512)
+        .writeStream.outputMode("append").format("memory").queryName("neardup_tws").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.sql(
+          """SELECT DISTINCT least(doc_id, matched_doc) AS a,
+                    greatest(doc_id, matched_doc) AS b FROM neardup_tws""")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val batch = graft.queries.Pipeline.queries("q38_simhash_neardup")(spark, sf)
+          .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == batch)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
