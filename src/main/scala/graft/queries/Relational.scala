@@ -162,6 +162,39 @@ object Relational {
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     },
 
+    "q17_cube" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    "q18_percentiles" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      // exact interpolated percentiles (both engines define quantile as
+      // linear interpolation at p*(n-1)); rounded to kill last-ulp noise
+      t.lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("price_p25"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    "q19_pivot" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders
+        .groupBy(col("o_custkey"))
+        .pivot(col("o_orderstatus"), Seq("F", "O", "P"))
+        .agg(dsum(col("o_totalprice")))
+        .withColumnsRenamed(Map("F" -> "total_f", "O" -> "total_o", "P" -> "total_p"))
+        .orderBy(col("o_custkey"))
+    },
+
     "q14_window_lag" -> { (s, dir) =>
       val t = Tables(s, dir)
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -277,6 +310,25 @@ object Relational {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)
          ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+    "q17_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q18_percentiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+         round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+         round(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q19_pivot" ->
+      """SELECT o_custkey,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_f,
+         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_o,
+         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_p
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
     "q14_window_lag" ->
       """SELECT event_id, user_id, value,
          lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
