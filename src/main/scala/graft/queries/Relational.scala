@@ -175,7 +175,10 @@ object Relational {
     "q18_percentiles" -> { (s, dir) =>
       val t = Tables(s, dir)
       // exact interpolated percentiles (both engines define quantile as
-      // linear interpolation at p*(n-1)); rounded to kill last-ulp noise
+      // linear interpolation at p*(n-1)); rounded to kill last-ulp noise.
+      // Scale note: exact percentile sorts each group — correct here and
+      // oracle-comparable; at 100 TB use approx_percentile (t-digest,
+      // single pass, mergeable) and accept the documented error bound.
       t.lineitem
         .groupBy(col("l_returnflag"))
         .agg(

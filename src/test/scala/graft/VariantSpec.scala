@@ -75,6 +75,24 @@ class VariantSpec extends SparkSpec {
     assert(got == want, s"$got != $want")
   }
 
+  test("variant columns round-trip through parquet and stay operable") {
+    // the 100 TB story: parse ONCE at ingest, persist the variant column,
+    // run every later pipeline stage off the binary encoding
+    val dir = java.nio.file.Files.createTempDirectory("variant-rt").toString
+    Tables(spark, sf).events.limit(300)
+      .select(col("event_id"), v_parse(col("props")).as("doc"))
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.schema("doc").dataType ==
+      org.apache.spark.sql.types.VariantType)
+    val both = back
+      .join(Tables(spark, sf).events.select(col("event_id"), col("props")), "event_id")
+      .select(v_render(v_with(col("doc"), v_parse(lit("""{"seen": true}""")))).as("v"),
+        json_with(col("props"), lit("""{"seen": true}""")).as("j"))
+    assert(both.count() == 300)
+    assert(both.filter(col("v") =!= col("j")).count() == 0)
+  }
+
   test("variant tier parity over events.props at volume") {
     val props = Tables(spark, sf).events.select(col("props")).limit(500)
     val both = props.select(
