@@ -235,6 +235,69 @@ object OpKernel {
       }
     }
 
+  /** Fused optional chains: `base.?a.b.?c.orValue(d)` (and .value() /
+    * .hasValue()). VOpt is a typed value that cannot cross the rendered-
+    * JSON boundary, so the whole select-spine + terminator lowers as ONE
+    * kernel; the optional exists only inside this call. Step encoding:
+    * "?f" = optional select, ".f" = strict select. baseKind: "of" wraps
+    * the target in optional.of, "none" ignores the target
+    * (optional.none()), "val" = plain value. */
+  def optChain(baseKind: UTF8String, target: UTF8String,
+      steps: org.apache.spark.sql.catalyst.util.ArrayData,
+      term: UTF8String, dflt: UTF8String): UTF8String = {
+    var cur: V = baseKind.toString match {
+      case "of" => toV(target) match { case e: VErr => e; case v => VOpt(Some(v)) }
+      case "none" => VOpt(None)
+      case _ => toV(target)
+    }
+    var i = 0
+    val n = steps.numElements()
+    while (i < n && !cur.isInstanceOf[VErr]) {
+      val s = steps.getUTF8String(i).toString
+      val f = s.substring(1)
+      // mirrors Eval's Ast.Select / Ast.SelectOpt cases exactly
+      cur =
+        if (s.charAt(0) == '?') cur match {
+          case VMap(m) => VOpt(m.get(f))
+          case VOpt(Some(VMap(m))) => VOpt(m.get(f))
+          case VOpt(None) => VOpt(None)
+          case VNull => VOpt(None)
+          case other => VErr(s"no such field: $f on $other")
+        } else cur match {
+          case VMap(m) => m.getOrElse(f, VErr(s"no such key: $f"))
+          case VOpt(Some(VMap(m))) => VOpt(m.get(f))
+          case VOpt(None) => VOpt(None)
+          case VNull => VErr(s"no such key: $f")
+          case other => VErr(s"no such field: $f on $other")
+        }
+      i += 1
+    }
+    val res: V = cur match {
+      case e: VErr => e
+      case v => term.toString match {
+        case "orValue" => toV(dflt) match {
+          // strict args: a default that errors propagates regardless
+          case e: VErr => e
+          case d => v match {
+            case VOpt(Some(x)) => x
+            case VOpt(None) => d
+            case other => other // orValue on a non-optional passes through
+          }
+        }
+        case "hasValue" => v match {
+          case VOpt(o) => VBool(o.isDefined)
+          case _ => VBool(true)
+        }
+        case _ => v match { // "value"
+          case VOpt(Some(x)) => x
+          case VOpt(None) => VErr("optional.none() dereference")
+          case other => other
+        }
+      }
+    }
+    out(res)
+  }
+
   /** has(e.f) — NonStrict on the field, strict on the target. */
   def hasField(json: UTF8String, field: UTF8String): UTF8String = toV(json) match {
     case e: VErr => out(e)

@@ -140,7 +140,22 @@ class LoweringSpec extends SparkSpec {
     "state.encode_json().md5().hex()",
     "state.k.md5().hex()", // error: digest of an int
     "'hello'.hex()",
-    "'hello'.base64()")
+    "'hello'.base64()",
+    // fused optional chains (OpKernel.optChain)
+    "state.?k.orValue(-1)",
+    "state.?missing.orValue('d')",
+    "state.?missing.hasValue()",
+    "state.?k.hasValue()",
+    "state.?k.value()",
+    "state.?missing.value()",          // error: none dereference
+    "state.?missing.?deeper.orValue(1)",
+    "state.nope.?x.orValue(1)",        // strict select error propagates
+    "optional.of(42).orValue(0)",
+    "optional.none().orValue('x')",
+    "optional.none().hasValue()",
+    "optional.of(state.k).value()",
+    "state.k.orValue(9)",              // orValue on non-optional passes through
+    "5.orValue(1 / 0)")                // strict default: error propagates
 
   // constructs the subset must DECLINE (fall back to the interpreter)
   private val notLowerable = Seq(
