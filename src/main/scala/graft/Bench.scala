@@ -106,22 +106,31 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    /** Median of 3 runs: a single timing swings 2-4x on JIT/GC noise
-      * (BENCH_r01 vs r02 showed 2x deltas on an identical binary); the
-      * median is stable enough to attribute real regressions. */
-    def timeMedian3(body: => Unit): Double = {
-      val ts = Seq.fill(3)(time(body))
-      if (ts.exists(_ < 0)) -1 else ts.sorted.apply(1)
-    }
+    // SPARK_GRAFT_ONLY=<regex> restricts the run for focused iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    def selected(name: String): Boolean = only.forall(_.findFirstIn(name).isDefined)
 
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timeMedian3(force(fn(spark, sfDir)))
-    }
-    val shapeTimes = mitoShapes(t.events).map { case (name, df) =>
-      name -> timeMedian3(force(df))
-    }
+    val runnables: Seq[(String, () => Unit)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).filter(q => selected(q._1))
+        .map { case (name, fn) => name -> (() => force(fn(spark, sfDir))) } ++
+      mitoShapes(t.events).filter(q => selected(q._1))
+        .map { case (name, df) => name -> (() => force(df)) }
 
-    val all = queryTimes ++ shapeTimes
+    // Median of 3 runs, taken as three ROUND-ROBIN passes over the whole
+    // suite rather than 3 consecutive runs per query: a single timing
+    // swings 2-4x on JIT/GC noise, and a transient external stall (the
+    // BENCH_r04 q54 "9x regression" was one — unreproducible on identical
+    // code) can span 3 consecutive runs but lands on different queries in
+    // round-robin, where the median absorbs it.
+    val samples = collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 1 to 3; (name, run) <- runnables)
+      samples(name) = time(run()) :: samples.getOrElse(name, Nil)
+    def median3(ts: List[Double]): Double =
+      if (ts.exists(_ < 0)) -1 else ts.sorted.apply(ts.length / 2)
+
+    val queryNames = runnables.map(_._1).filter(_.startsWith("q")).toSet
+    val all = runnables.map { case (name, _) => name -> median3(samples(name)) }
+    val queryTimes = all.filter(kv => queryNames(kv._1))
     // per-query delta vs a previous round's JSON (SPARK_GRAFT_PREV=path),
     // printed to stderr so stdout stays one JSON line
     sys.env.get("SPARK_GRAFT_PREV").filter(p => new java.io.File(p).exists()).foreach { p =>
@@ -142,6 +151,11 @@ object Bench {
     }
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ > 0).sum
+    // full per-query map as a standalone artifact so round-over-round
+    // comparison isn't limited to the driver's truncated log tail
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      qs.getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] bench_full.json: $e") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

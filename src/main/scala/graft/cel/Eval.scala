@@ -32,7 +32,16 @@ object Eval {
   final case class VBool(v: Boolean) extends V
   case object VNull extends V
   final case class VList(v: Vector[V]) extends V
-  final case class VMap(v: VectorMap[String, V]) extends V
+  /** VectorMap is not java-Serializable (scala/scala#12190), but V values
+    * ride inside plan Literals (lowered CEL literals, e.g. `time_layout`)
+    * which Spark serializes into task binaries — so VMap serializes via
+    * an entry-vector proxy that rebuilds the VectorMap on read. */
+  final case class VMap(v: VectorMap[String, V]) extends V {
+    protected def writeReplace(): Object = new VMapProxy(v.toVector)
+  }
+  private final class VMapProxy(entries: Vector[(String, V)]) extends Serializable {
+    protected def readResolve(): Object = VMap(VectorMap.from(entries))
+  }
   final case class VTimestamp(micros: Long) extends V
   final case class VDuration(micros: Long) extends V
   /** Error value; `at` is the source offset of the node the error

@@ -50,69 +50,7 @@ private[cel] object Functions {
       System.err.println(s"DEBUG: ${tag match { case VString(s) => s; case o => o }}: $v")
       v
 
-    case "size" => strict(args, env) {
-      case Vector(VString(s)) => VInt(s.codePointCount(0, s.length).toLong)
-      case Vector(VBytes(b)) => VInt(b.length.toLong)
-      case Vector(VList(xs)) => VInt(xs.length.toLong)
-      case Vector(VMap(m)) => VInt(m.size.toLong)
-      case v => VErr(s"no such overload: size(${v.head})")
-    }
-    case "int" => strict(args, env) {
-      case Vector(VInt(i)) => VInt(i)
-      case Vector(VUint(i)) => VInt(i)
-      case Vector(VDouble(d)) => VInt(d.toLong)
-      case Vector(VString(s)) => try VInt(s.toLong) catch { case _: NumberFormatException => VErr(s"cannot convert to int: $s") }
-      case Vector(VTimestamp(us)) => VInt(Math.floorDiv(us, 1000000L))
-      case Vector(VDuration(us)) => VInt(us * 1000L) // CEL: duration -> ns? Go int(duration)=ns
-      case v => VErr(s"no such overload: int(${v.head})")
-    }
-    case "uint" => strict(args, env) {
-      case Vector(VInt(i)) => VUint(i)
-      case Vector(VUint(i)) => VUint(i)
-      case Vector(VDouble(d)) => VUint(d.toLong)
-      case Vector(VString(s)) => VUint(java.lang.Long.parseUnsignedLong(s))
-      case v => VErr(s"no such overload: uint(${v.head})")
-    }
-    case "double" => strict(args, env) {
-      case Vector(VInt(i)) => VDouble(i.toDouble)
-      case Vector(VUint(i)) => VDouble(i.toDouble)
-      case Vector(VDouble(d)) => VDouble(d)
-      case Vector(VString(s)) => try VDouble(s.toDouble) catch { case _: NumberFormatException => VErr(s"cannot convert to double: $s") }
-      case v => VErr(s"no such overload: double(${v.head})")
-    }
-    case "string" => strict(args, env) {
-      case Vector(VString(s)) => VString(s)
-      case Vector(VBytes(b)) =>
-        if (!StringKernel.validUTF8(b))
-          VErr("invalid UTF-8 in bytes, cannot convert to string")
-        else VString(new String(b, StandardCharsets.UTF_8))
-      case Vector(VInt(i)) => VString(i.toString)
-      case Vector(VUint(i)) => VString(java.lang.Long.toUnsignedString(i))
-      case Vector(VDouble(d)) => VString(if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString)
-      case Vector(VBool(b)) => VString(b.toString)
-      case Vector(VTimestamp(us)) => VString(TimeKernel.formatTime(us, u8("RFC3339")).toString)
-      case Vector(VDuration(us)) => VString(TimeKernel.formatDuration(us).toString)
-      case v => VErr(s"no such overload: string(${v.head})")
-    }
-    case "bytes" => strict(args, env) { vs => bytesOf(vs.head).fold(identity, VBytes(_)) }
-    case "bool" => strict(args, env) {
-      case Vector(VBool(b)) => VBool(b)
-      case Vector(VString("true")) => VBool(true)
-      case Vector(VString("false")) => VBool(false)
-      case v => VErr(s"no such overload: bool(${v.head})")
-    }
-    case "timestamp" => strict(args, env) {
-      case Vector(VString(s)) => VTimestamp(TimeKernel.parseTime(u8(s), u8("RFC3339")))
-      case Vector(VInt(sec)) => VTimestamp(sec * 1000000L)
-      case Vector(t: VTimestamp) => t
-      case v => VErr(s"no such overload: timestamp(${v.head})")
-    }
-    case "duration" => strict(args, env) {
-      case Vector(VString(s)) => VDuration(TimeKernel.parseDuration(u8(s)))
-      case Vector(d: VDuration) => d
-      case v => VErr(s"no such overload: duration(${v.head})")
-    }
-    case "dyn" => strict(args, env)(_.head)
+    case fn2 if pureGlobals(fn2) => strict(args, env)(vs => call2(fn2, vs))
     case "rate_limit" => strict(args, env) {
       case Vector(h, VString(policy), VDuration(win)) => rateLimit(h, policy, win, env)
       case Vector(h, VString(prefix), VBool(_), VBool(delta), VDuration(win), VInt(burst)) =>
@@ -136,21 +74,6 @@ private[cel] object Functions {
       case _ => VErr("no such overload: dir")
     }
     case "uuid" => VString(java.util.UUID.randomUUID().toString)
-    case "max" => strict(args, env) { vs => extremum(vs.head, 1) }
-    case "min" => strict(args, env) { vs => extremum(vs.head, -1) }
-    case "zip" => strict(args, env) { vs => method2("zip", vs(0), Vector(vs(1))) }
-    case "keys" => strict(args, env) { vs => method2("keys", vs.head, Vector.empty) }
-    case "values" => strict(args, env) { vs => method2("values", vs.head, Vector.empty) }
-    case "encode_json" => strict(args, env) { vs => VString(JsonAlgebra.render(vj(vs.head))) }
-    case "decode_json" => strict(args, env) { vs =>
-      bytesOf(vs.head).fold(identity, b => jv(JsonAlgebra.parse(new String(b, StandardCharsets.UTF_8))))
-    }
-    case "hmac" => strict(args, env) { vs =>
-      (bytesOf(vs(0)), vs(1), bytesOf(vs(2))) match {
-        case (Right(d), VString(alg), Right(k)) => VBytes(CryptoKernel.hmac(d, u8(alg), k))
-        case _ => VErr("no such overload: hmac")
-      }
-    }
     case other =>
       // fall back to method form with first arg as target (CEL allows both
       // for several reference overloads, e.g. collate(x, p))
@@ -216,10 +139,100 @@ private[cel] object Functions {
     vs.collectFirst { case e: VErr => e }.getOrElse(guard(f(t, vs)))
   }
 
-  /** Bridge for the lowering kernels (OpKernel.strictMethod): the same
-    * dispatch the interpreter uses, for env-free JSON-faithful methods. */
+  /** Bridge for the lowering kernels (VOps.method*): the same dispatch
+    * the interpreter uses, for env-free methods. */
   private[cel] def strictMethodBridge(fn: String, t: V, args: Vector[V]): V =
     guard(method2(fn, t, args))
+
+  /** Env-free global functions shared by the interpreter's `call` and the
+    * lowering kernels (VOps.call*): pure value-level dispatch. */
+  private[cel] val pureGlobals: Set[String] = Set(
+    "size", "int", "uint", "double", "string", "bytes", "bool", "timestamp",
+    "duration", "dyn", "max", "min", "zip", "keys", "values", "encode_json",
+    "decode_json", "hmac")
+
+  private[cel] def call2(fn: String, vs: Vector[V]): V = fn match {
+    case "size" => vs match {
+      case Vector(VString(s)) => VInt(s.codePointCount(0, s.length).toLong)
+      case Vector(VBytes(b)) => VInt(b.length.toLong)
+      case Vector(VList(xs)) => VInt(xs.length.toLong)
+      case Vector(VMap(m)) => VInt(m.size.toLong)
+      case v => VErr(s"no such overload: size(${v.head})")
+    }
+    case "int" => vs match {
+      case Vector(VInt(i)) => VInt(i)
+      case Vector(VUint(i)) => VInt(i)
+      case Vector(VDouble(d)) => VInt(d.toLong)
+      case Vector(VString(s)) => try VInt(s.toLong) catch { case _: NumberFormatException => VErr(s"cannot convert to int: $s") }
+      case Vector(VTimestamp(us)) => VInt(Math.floorDiv(us, 1000000L))
+      case Vector(VDuration(us)) => VInt(us * 1000L) // CEL: duration -> ns? Go int(duration)=ns
+      case v => VErr(s"no such overload: int(${v.head})")
+    }
+    case "uint" => vs match {
+      case Vector(VInt(i)) => VUint(i)
+      case Vector(VUint(i)) => VUint(i)
+      case Vector(VDouble(d)) => VUint(d.toLong)
+      case Vector(VString(s)) => VUint(java.lang.Long.parseUnsignedLong(s))
+      case v => VErr(s"no such overload: uint(${v.head})")
+    }
+    case "double" => vs match {
+      case Vector(VInt(i)) => VDouble(i.toDouble)
+      case Vector(VUint(i)) => VDouble(i.toDouble)
+      case Vector(VDouble(d)) => VDouble(d)
+      case Vector(VString(s)) => try VDouble(s.toDouble) catch { case _: NumberFormatException => VErr(s"cannot convert to double: $s") }
+      case v => VErr(s"no such overload: double(${v.head})")
+    }
+    case "string" => vs match {
+      case Vector(VString(s)) => VString(s)
+      case Vector(VBytes(b)) =>
+        if (!StringKernel.validUTF8(b))
+          VErr("invalid UTF-8 in bytes, cannot convert to string")
+        else VString(new String(b, StandardCharsets.UTF_8))
+      case Vector(VInt(i)) => VString(i.toString)
+      case Vector(VUint(i)) => VString(java.lang.Long.toUnsignedString(i))
+      case Vector(VDouble(d)) => VString(if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString)
+      case Vector(VBool(b)) => VString(b.toString)
+      case Vector(VTimestamp(us)) => VString(TimeKernel.formatTime(us, u8("RFC3339")).toString)
+      case Vector(VDuration(us)) => VString(TimeKernel.formatDuration(us).toString)
+      case v => VErr(s"no such overload: string(${v.head})")
+    }
+    case "bytes" => bytesOf(vs.head).fold(identity, VBytes(_))
+    case "bool" => vs match {
+      case Vector(VBool(b)) => VBool(b)
+      case Vector(VString("true")) => VBool(true)
+      case Vector(VString("false")) => VBool(false)
+      case v => VErr(s"no such overload: bool(${v.head})")
+    }
+    case "timestamp" => vs match {
+      case Vector(VString(s)) => VTimestamp(TimeKernel.parseTime(u8(s), u8("RFC3339")))
+      case Vector(VInt(sec)) => VTimestamp(sec * 1000000L)
+      case Vector(t: VTimestamp) => t
+      case v => VErr(s"no such overload: timestamp(${v.head})")
+    }
+    case "duration" => vs match {
+      case Vector(VString(s)) => VDuration(TimeKernel.parseDuration(u8(s)))
+      case Vector(d: VDuration) => d
+      case v => VErr(s"no such overload: duration(${v.head})")
+    }
+    case "dyn" => vs.head
+    case "max" => extremum(vs.head, 1)
+    case "min" => extremum(vs.head, -1)
+    case "zip" => method2("zip", vs(0), Vector(vs(1)))
+    case "keys" => method2("keys", vs.head, Vector.empty)
+    case "values" => method2("values", vs.head, Vector.empty)
+    case "encode_json" => VString(JsonAlgebra.render(vj(vs.head)))
+    case "decode_json" =>
+      bytesOf(vs.head).fold(identity, b => jv(JsonAlgebra.parse(new String(b, StandardCharsets.UTF_8))))
+    case "hmac" => vs match {
+      case Vector(d0, VString(alg), k0) =>
+        (bytesOf(d0), bytesOf(k0)) match {
+          case (Right(d), Right(k)) => VBytes(CryptoKernel.hmac(d, u8(alg), k))
+          case _ => VErr("no such overload: hmac")
+        }
+      case _ => VErr("no such overload: hmac")
+    }
+    case other => VErr(s"unknown function: $other")
+  }
 
   /** Shared method implementations (also reachable as global calls). */
   private def method2(fn: String, t: V, args: Vector[V]): V = fn match {

@@ -1,48 +1,81 @@
 package graft.cel
 
-import graft.values.JsonAlgebra
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, ObjectType, StringType}
 import org.apache.spark.sql.{functions => F}
 
-/** CEL → Catalyst compiler for the dynamic-document subset: programs
-  * built from literals, `state` access (select/index), the collections
-  * library, encode/decode_json, and the `as` macro compile to a Column
-  * tree over the SAME JsonKernel the Column API uses — whole-stage
-  * codegen instead of a per-row AST walk. Anything outside the subset
-  * returns None and the caller falls back to the interpreter
-  * ([[CelEvalExpression]]), so lowering is a pure optimization: both
-  * paths share one semantics implementation (JsonAlgebra) and render
-  * the same Go-style sorted-key JSON.
+import scala.collection.immutable.VectorMap
+
+/** CEL → Catalyst compiler: programs in the lowerable subset compile to
+  * a Column tree that parses `state` ONCE at the leaf, threads the
+  * interpreter's own value type ([[Eval.V]]) through `ObjectType`
+  * intermediates ([[VOps]]), and renders ONCE at the root. Anything
+  * outside the subset returns None and the caller falls back to the
+  * interpreter ([[CelEvalExpression]]), so lowering is a pure
+  * optimization: both paths dispatch to the SAME op implementations
+  * (Eval / Functions), and parity holds by construction.
   *
   * This is the engine's answer to the reference's interpreter execution
   * model (cel-go tree-walk, mito.go:329-358): the program is compiled
-  * ONCE on the driver; executors run generated bytecode.
+  * ONCE on the driver; executors run the wired kernel graph with no
+  * per-row AST dispatch and no per-op serialization.
   *
-  * Number normalization: the rendered intermediate collapses
-  * whole-valued doubles to integers at every node — the same
-  * normalization the engine applies at every JSON boundary (vj/jv in
-  * the interpreter) and in the final render. The one observable
-  * difference from the interpreter: a whole double produced mid-program
-  * (e.g. `double(1)`) re-enters the next op as an int, so a mixed-type
-  * dispatch error the interpreter would raise against VDouble(1.0) may
-  * not occur. Final rendered outputs are identical either way.
+  * vs the earlier rendered-JSON lowering: intermediates used to be
+  * Go-rendered JSON strings, costing a Jackson parse+render PER
+  * OPERATOR and confining the subset to JSON-faithful types. V-object
+  * threading removes both limits — bytes/timestamp/duration/optional
+  * intermediates flow, so bare `md5()`, bare `parse_time()`, optional
+  * select chains, `timestamp()`/`duration()`/`uint()` casts and the
+  * request-builder family all lower directly (no fused special cases).
+  *
+  * CEL literals become plan-time `ObjectType` Literals (zero per-row
+  * cost); `now`/`now()` bind as a batch-constant VTimestamp literal,
+  * matching the engine's fixed-now evaluation contract.
   */
 object Lowering {
 
-  private val J = Class.forName("graft.expressions.JsonKernel")
-  private val O = Class.forName("graft.cel.OpKernel")
+  private val K = Class.forName("graft.cel.VOps")
+  private val OT: DataType = ObjectType(classOf[Object])
   private val Str = StringType
 
-  private def call(name: String, inTypes: Seq[org.apache.spark.sql.types.DataType],
-      args: Column*): Column = callOn(J, Str, name, inTypes, args: _*)
+  import Eval._
 
-  private def callOn(cls: Class[_], ret: org.apache.spark.sql.types.DataType,
-      name: String, inTypes: Seq[org.apache.spark.sql.types.DataType],
+  private def shim(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graft.Shim.column(e)
+  private def expr(c: Column) = org.apache.spark.sql.graft.Shim.expression(c)
+
+  /** StaticInvoke into VOps returning a V object. */
+  private def op(name: String, inTypes: Seq[DataType], args: Column*): Column =
+    shim(StaticInvoke(K, OT, name, args.map(expr).toIndexedSeq, inTypes))
+
+  /** StaticInvoke into VOps returning a SQL-typed value (the root render). */
+  private def opTyped(ret: DataType, name: String, inTypes: Seq[DataType],
       args: Column*): Column =
-    org.apache.spark.sql.graft.Shim.column(StaticInvoke(cls, ret, name,
-      args.map(org.apache.spark.sql.graft.Shim.expression).toIndexedSeq, inTypes))
+    shim(StaticInvoke(K, ret, name, args.map(expr).toIndexedSeq, inTypes))
+
+  /** A CEL value as a plan-time constant (no per-row materialization). */
+  private def litV(x: V): Column = shim(Literal.fromObject(x, OT))
+
+  /** Methods the V tier lowers via the interpreter's own method2
+    * dispatch. Deliberately excluded: send_to/close (channel side
+    * effects), get/head/post/do_request (executing HTTP), rate_limit /
+    * named-XSD decode_xml (need the evaluation env). */
+  private[cel] val loweredMethods: Set[String] = Set(
+    "size", "collate", "drop", "drop_empty", "flatten", "with",
+    "with_update", "with_replace", "zip", "keys", "values", "min", "max",
+    "mime", "request", "get_request", "post_request",
+    "basic_authentication", "parse_url", "format_url", "parse_query",
+    "format_query", "encode_json", "decode_json", "decode_json_stream",
+    "to_lower", "to_upper", "to_title", "trim_space", "trim", "trim_left",
+    "trim_right", "trim_prefix", "trim_suffix", "has_prefix", "has_suffix",
+    "contains_substr", "contains_any", "compare", "count", "equal_fold",
+    "fields", "index", "index_any", "last_index", "last_index_any", "join",
+    "repeat", "replace", "replace_all", "split", "split_n", "split_after",
+    "split_after_n", "substring", "valid_utf8", "to_valid_utf8", "format",
+    "parse_time", "md5", "sha1", "sha256", "hex", "base64", "base64_raw",
+    "base64_decode", "base64_raw_decode", "hmac")
 
   /** Compile `program` to a Column producing the program result as
     * Go-rendered JSON, given the state document column (itself JSON).
@@ -51,121 +84,117 @@ object Lowering {
       regexps: Map[String, String] = Map.empty,
       nowMicros: Option[Long] = None): Option[Column] = {
     val ast = try Parser.parse(program) catch { case _: Exception => return None }
-    lower(ast, Map("state" -> graft.functions.json_normalize(state)))(regexps, nowMicros)
+    val env0 = Map(
+      "state" -> op("fromJsonText", Seq(Str), state),
+      "time_layout" -> litV(VMap(VectorMap.from(
+        graft.expressions.TimeKernel.namedLayouts.toSeq.sortBy(_._1)
+          .map { case (k, l) => k -> (VString(l): V) })))) ++
+      nowMicros.map(us => "now" -> litV(VTimestamp(us)))
+    lower(ast, env0)(regexps, nowMicros)
+      .map(c => opTyped(Str, "render", Seq(OT), c))
   }
-
-  /** The `time_layout` global: a constant map of named Go layouts —
-    * JSON-faithful, so it lowers to a literal. */
-  private lazy val timeLayoutJson: String = {
-    val nf = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
-    val o = nf.objectNode()
-    graft.expressions.TimeKernel.namedLayouts.toSeq.sortBy(_._1)
-      .foreach { case (k, l) => o.set[com.fasterxml.jackson.databind.JsonNode](k, nf.textNode(l)) }
-    JsonAlgebra.render(o)
-  }
-
-  private def litJson(s: String): Option[Column] = Some(F.lit(s))
 
   private def lower(e: Ast, env: Map[String, Column])
       (implicit regexps: Map[String, String],
         nowMicros: Option[Long]): Option[Column] = e match {
-    case Ast.StringLit(s) =>
-      litJson(JsonAlgebra.render(
-        com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.textNode(s)))
-    case Ast.IntLit(v) => litJson(v.toString)
-    case Ast.BoolLit(v) => litJson(v.toString)
-    case Ast.NullLit => litJson("null")
-    case Ast.DoubleLit(v) =>
-      litJson(JsonAlgebra.render(Eval.toJson(Eval.VDouble(v))))
+    case Ast.StringLit(s) => Some(litV(VString(s)))
+    case Ast.IntLit(v) => Some(litV(VInt(v)))
+    case Ast.UintLit(v) => Some(litV(VUint(v)))
+    case Ast.DoubleLit(v) => Some(litV(VDouble(v)))
+    case Ast.BoolLit(v) => Some(litV(VBool(v)))
+    case Ast.BytesLit(v) => Some(litV(VBytes(v)))
+    case Ast.NullLit => Some(litV(VNull))
 
-    case Ast.Ident("time_layout") if !env.contains("time_layout") =>
-      litJson(timeLayoutJson)
     case Ast.Ident(name) => env.get(name)
 
     case Ast.Select(t, f) =>
-      lower(t, env).map(c => call("selectField", Seq(Str, Str), c, F.lit(f)))
+      lower(t, env).map(c => op("select", Seq(OT, Str), c, F.lit(f)))
+    case Ast.SelectOpt(t, f) =>
+      lower(t, env).map(c => op("selectOpt", Seq(OT, Str), c, F.lit(f)))
     case Ast.Has(t, f) =>
-      lower(t, env).map(c => callOn(O, Str, "hasField", Seq(Str, Str), c, F.lit(f)))
-    case Ast.Index(t, Ast.IntLit(i)) =>
-      lower(t, env).map(c => call("indexAt", Seq(Str, LongType), c, F.lit(i)))
-    case Ast.Index(t, Ast.StringLit(k)) =>
-      lower(t, env).map(c => call("selectField", Seq(Str, Str), c, F.lit(k)))
+      lower(t, env).map(c => op("hasField", Seq(OT, Str), c, F.lit(f)))
+    case Ast.Index(t, i) =>
+      for (tc <- lower(t, env); ic <- lower(i, env))
+        yield op("index", Seq(OT, OT), tc, ic)
 
     case Ast.MapLit(entries) =>
-      val keys = entries.map {
-        case (Ast.StringLit(k), _) => k
-        case _ => return None
-      }
+      val keys = entries.map { case (k, _) => lower(k, env).getOrElse(return None) }
       val vals = entries.map { case (_, v) => lower(v, env).getOrElse(return None) }
-      Some(call("objectFromPairs", Seq(ArrayType(Str), ArrayType(Str)),
-        F.array(keys.map(F.lit): _*), F.array(vals: _*)))
+      Some(op("mapOf", Seq(ArrayType(OT), ArrayType(OT)),
+        F.array(keys: _*), F.array(vals: _*)))
 
     case Ast.ListLit(elems) =>
       val vals = elems.map(v => lower(v, env).getOrElse(return None))
-      Some(call("listFromParts", Seq(ArrayType(Str)), F.array(vals: _*)))
+      Some(op("listOf", Seq(ArrayType(OT)), F.array(vals: _*)))
 
-    // operators route through OpKernel = the interpreter's own op
-    // implementations over rendered operands (exact parity; Catalyst
-    // constant-folds literal subtrees at plan time)
-    case Ast.Binary(op, l, r) if op == "&&" || op == "||" =>
+    // operators dispatch to the interpreter's own implementations
+    // (Eval.binaryBridge / logicalBridge) over V operands
+    case Ast.Binary(bop, l, r) if bop == "&&" || bop == "||" =>
       for (lc <- lower(l, env); rc <- lower(r, env)) yield
-        callOn(O, Str, "logicalOp",
-          Seq(Str, Str, org.apache.spark.sql.types.BooleanType),
-          lc, rc, F.lit(op == "&&"))
-    case Ast.Binary(op, l, r) =>
+        op("logical", Seq(OT, OT, BooleanType), lc, rc, F.lit(bop == "&&"))
+    case Ast.Binary(bop, l, r) =>
       for (lc <- lower(l, env); rc <- lower(r, env)) yield
-        callOn(O, Str, "binaryOp", Seq(Str, Str, Str), F.lit(op), lc, rc)
+        op("binary", Seq(Str, OT, OT), F.lit(bop), lc, rc)
     case Ast.Unary("!", x) =>
-      lower(x, env).map(c => callOn(O, Str, "notOp", Seq(Str), c))
+      lower(x, env).map(c => op("not", Seq(OT), c))
     case Ast.Unary("-", x) =>
-      lower(x, env).map(c => callOn(O, Str, "negOp", Seq(Str), c))
+      lower(x, env).map(c => op("neg", Seq(OT), c))
+    // Eager ternary: both branches are in-band-error values, and the
+    // lowered subset is side-effect-free, so strictness is unobservable.
     case Ast.Ternary(c, t, f) =>
-      for (cc <- lower(c, env); tc <- lower(t, env); fc <- lower(f, env)) yield {
-        val sel = callOn(O, org.apache.spark.sql.types.IntegerType,
-          "ternarySel", Seq(Str), cc)
-        F.when(sel === 1, tc).when(sel === 0, fc)
-          .otherwise(callOn(O, Str, "ternaryErr", Seq(Str), cc))
-      }
-    case Ast.Call("size", Vector(x)) =>
-      lower(x, env).map(c => callOn(O, Str, "sizeOp", Seq(Str), c))
+      for (cc <- lower(c, env); tc <- lower(t, env); fc <- lower(f, env))
+        yield op("ternary", Seq(OT, OT, OT), cc, tc, fc)
+
     // NonStrict error handlers (lib/try.go): operate on the in-band value
     case Ast.Call("try", Vector(x)) =>
-      lower(x, env).map(c => callOn(O, Str, "tryOp", Seq(Str), c))
+      lower(x, env).map(c => op("tryOp", Seq(OT), c))
     case Ast.Call("try", Vector(x, Ast.StringLit(label))) =>
-      lower(x, env).map(c => callOn(O, Str, "tryLabeled", Seq(Str, Str), c, F.lit(label)))
+      lower(x, env).map(c => op("tryLabeled", Seq(OT, Str), c, F.lit(label)))
     case Ast.Call("is_error", Vector(x)) =>
-      lower(x, env).map(c => callOn(O, Str, "isErrorOp", Seq(Str), c))
-    case Ast.Call(fn @ ("int" | "double" | "string" | "bool" | "dyn"), Vector(x)) =>
-      lower(x, env).map(c => callOn(O, Str, "castOp", Seq(Str, Str), F.lit(fn), c))
+      lower(x, env).map(c => op("isError", Seq(OT), c))
+
+    // now() is the engine's batch-constant timestamp (fixed nowMicros)
+    case Ast.Call("now", Vector()) => nowMicros.map(us => litV(VTimestamp(us)))
+
+    // env-free global functions through the interpreter's own dispatch
+    case Ast.Call(fn, args) if Functions.pureGlobals(fn) =>
+      val lowered = args.map(a => lower(a, env).getOrElse(return None))
+      lowered.size match {
+        case 1 => Some(op("call1", Seq(Str, OT), F.lit(fn), lowered(0)))
+        case 2 => Some(op("call2", Seq(Str, OT, OT), F.lit(fn), lowered(0), lowered(1)))
+        case 3 => Some(op("call3", Seq(Str, OT, OT, OT), F.lit(fn),
+          lowered(0), lowered(1), lowered(2)))
+        case _ => None
+      }
 
     // `as` macro: plan-time binding. asSeq restores the interpreter's
     // strict target-first evaluation: a target error propagates even when
     // the body never references the binding (e.g. `state.nope.as(s, 1)`).
     case Ast.Comprehension("as", target, v, None, body) =>
       for (tc <- lower(target, env); bc <- lower(body, env + (v -> tc)))
-        yield callOn(O, Str, "asSeq", Seq(Str, Str), tc, bc)
+        yield op("asSeq", Seq(OT, OT), tc, bc)
 
     // map/filter/all/exists/exists_one: per-item bodies evaluate inside
-    // Spark's transform() lambda; the fold replays in comprehendFinish
+    // Spark's transform() lambda over V elements; the fold replays in
+    // VOps.finish (eager per-item evaluation — sound because the fold
+    // never consults entries past its early exit)
     case Ast.Comprehension(kind, target, xv, pred, body) =>
-      val probe = F.lit("null")
+      val probe = litV(VNull)
       val lowerableBody = lower(body, env + (xv -> probe)).isDefined &&
         pred.forall(p => lower(p, env + (xv -> probe)).isDefined)
       if (!lowerableBody) None
       else lower(target, env).map { tc =>
-        val items = callOn(O, ArrayType(Str), "itemsOf", Seq(Str), tc)
+        val items = opTyped(ArrayType(OT), "items", Seq(OT), tc)
         val bodies = F.transform(items, el => lower(body, env + (xv -> el)).get)
         val preds = pred match {
           case Some(p) => F.transform(items, el => lower(p, env + (xv -> el)).get)
           case None => bodies
         }
-        callOn(O, Str, "comprehendFinish",
-          Seq(Str, Str, ArrayType(Str), ArrayType(Str), ArrayType(Str),
-            org.apache.spark.sql.types.BooleanType),
+        op("finish",
+          Seq(Str, OT, ArrayType(OT), ArrayType(OT), ArrayType(OT), BooleanType),
           F.lit(kind), tc, items, preds, bodies, F.lit(pred.isDefined))
       }
 
-    // collections / json methods over rendered documents (all JsonKernel)
     case Ast.Method(t, fn, args) => lowerMethod(t, fn, args, env)
     case Ast.Call(fn, args) if args.nonEmpty =>
       // global form of the method overloads (collate(x, p), etc.)
@@ -174,133 +203,57 @@ object Lowering {
     case _ => None
   }
 
-  private def strLits(a: Ast): Option[Seq[String]] = a match {
-    case Ast.StringLit(s) => Some(Seq(s))
-    case Ast.ListLit(elems) => Some(elems.map {
-      case Ast.StringLit(s) => s
-      case _ => return None
-    })
-    case _ => None
-  }
-
-  /** Decompose a Select/SelectOpt spine: returns (base, steps) with
-    * steps encoded "?f" (optional select) / ".f" (strict select). */
-  private def selectSpine(a: Ast): (Ast, List[String]) = a match {
-    case Ast.Select(t, f) =>
-      val (b, s) = selectSpine(t); (b, s :+ ("." + f))
-    case Ast.SelectOpt(t, f) =>
-      val (b, s) = selectSpine(t); (b, s :+ ("?" + f))
-    case other => (other, Nil)
-  }
-
-  private def lowerOptChain(t: Ast, term: String, dflt: Option[Ast],
-      env: Map[String, Column])
-      (implicit regexps: Map[String, String],
-        nowMicros: Option[Long]): Option[Column] = {
-    val (base, steps) = selectSpine(t)
-    val (kind, baseAst) = base match {
-      case Ast.Method(Ast.Ident("optional"), "of", Vector(x)) => ("of", x)
-      case Ast.Method(Ast.Ident("optional"), "none", Vector()) => ("none", Ast.NullLit)
-      case b => ("val", b)
-    }
-    for {
-      bc <- lower(baseAst, env)
-      dc <- dflt.map(d => lower(d, env)).getOrElse(Some(F.lit("null")))
-    } yield callOn(O, Str, "optChain", Seq(Str, Str, ArrayType(Str), Str, Str),
-      F.lit(kind), bc, F.array(steps.map(F.lit): _*), F.lit(term), dc)
-  }
-
   private def lowerMethod(t: Ast, fn: String, args: Vector[Ast],
       env: Map[String, Column])
       (implicit regexps: Map[String, String],
         nowMicros: Option[Long]): Option[Column] = {
     lazy val target = lower(t, env)
     (fn, args) match {
+      // optional.of(x) / optional.none()
+      case ("of", Vector(x)) if t == Ast.Ident("optional") =>
+        lower(x, env).map(c => op("optOf", Seq(OT), c))
+      case ("none", Vector()) if t == Ast.Ident("optional") =>
+        Some(op("optNone", Seq()))
+      // optional-value accessors (VOpt flows as a plain V object)
+      case ("orValue", Vector(d)) =>
+        for (c <- target; dc <- lower(d, env))
+          yield op("orValue", Seq(OT, OT), c, dc)
+      case ("value", Vector()) => target.map(c => op("optValue", Seq(OT), c))
+      case ("hasValue", Vector()) => target.map(c => op("hasValue", Seq(OT), c))
+
       // named-pattern regexps: registry resolved at plan time
       case (f, Ast.StringLit(name) +: rest) if f.startsWith("re_") =>
         regexps.get(name) match {
           case None => None
-          case Some(pat) =>
-            val lowered = rest.map(a => lower(a, env).getOrElse(return None))
-            target.map(c => callOn(O, Str, "regexpMethod",
-              Seq(Str, Str, Str, ArrayType(Str)),
-              F.lit(f), F.lit(pat), c, F.array(lowered: _*)))
+          case Some(pat) => rest match {
+            case Vector() => target.map(c =>
+              op("regexp0", Seq(Str, Str, OT), F.lit(f), F.lit(pat), c))
+            case Vector(a) =>
+              for (c <- target; ac <- lower(a, env)) yield
+                op("regexp1", Seq(Str, Str, OT, OT), F.lit(f), F.lit(pat), c, ac)
+            case _ => None
+          }
         }
-      case ("size", Vector()) =>
-        target.map(c => callOn(O, Str, "sizeOp", Seq(Str), c))
-      // CEL optional types: VOpt cannot cross the rendered-JSON boundary,
-      // so the whole select spine + terminator fuses into OpKernel.optChain
-      case ("orValue", Vector(d)) => lowerOptChain(t, "orValue", Some(d), env)
-      case ("value", Vector()) => lowerOptChain(t, "value", None, env)
-      case ("hasValue", Vector()) => lowerOptChain(t, "hasValue", None, env)
-      // typed-intermediate crypto: digest output is VBytes (not
-      // JSON-faithful), so digest+encode pairs fuse into one kernel.
-      // The bare encodes (hex/base64/base64_raw) on JSON-universe
-      // values are string -> string and sit in loweredMethods below.
-      case (enc @ ("hex" | "base64" | "base64_raw"), Vector()) =>
-        t match {
-          case Ast.Method(t2, d @ ("md5" | "sha1" | "sha256"), Vector()) =>
-            lower(t2, env).map(c => callOn(O, Str, "digestEncode",
-              Seq(Str, Str, Str), F.lit(d), F.lit(enc), c))
-          case Ast.Call(d @ ("md5" | "sha1" | "sha256"), Vector(x)) =>
-            lower(x, env).map(c => callOn(O, Str, "digestEncode",
-              Seq(Str, Str, Str), F.lit(d), F.lit(enc), c))
-          case _ =>
-            // bare encode over a JSON-universe value (string target)
-            target.map(c => callOn(O, Str, "strictMethod",
-              Seq(Str, Str, ArrayType(Str)),
-              F.lit(enc), c, F.array()))
-        }
-      // typed-intermediate time ops: a VTimestamp is not JSON-faithful,
-      // so parse_time alone declines — but the parse->format PAIR is
-      // string -> string and lowers as one fused kernel. `now` is a
-      // batch constant and arrives as a literal micros long.
-      case ("format", Vector(l2)) =>
-        val outLayout = lower(l2, env).getOrElse(return None)
-        t match {
-          case Ast.Method(t2, "parse_time", Vector(l)) =>
-            for (c <- lower(t2, env); lc <- lower(l, env)) yield
-              callOn(O, Str, "timeParseFormat", Seq(Str, Str, Str), c, lc, outLayout)
-          case Ast.Call("parse_time", Vector(x, l)) =>
-            for (c <- lower(x, env); lc <- lower(l, env)) yield
-              callOn(O, Str, "timeParseFormat", Seq(Str, Str, Str), c, lc, outLayout)
-          case Ast.Ident("now") if nowMicros.isDefined =>
-            Some(callOn(O, Str, "formatNowOp", Seq(LongType, Str),
-              F.lit(nowMicros.get), outLayout))
-          case Ast.Call("now", Vector()) if nowMicros.isDefined =>
-            Some(callOn(O, Str, "formatNowOp", Seq(LongType, Str),
-              F.lit(nowMicros.get), outLayout))
+
+      // hintless XML decode is env-free (the named-XSD overload isn't)
+      case ("decode_xml", Vector()) => target.map(c => op("decodeXml", Seq(OT), c))
+
+      // everything else in the whitelist goes through the interpreter's
+      // own method dispatch (VOps.methodN -> Functions.method2)
+      case (f, as) if loweredMethods.contains(f) =>
+        val lowered = as.map(a => lower(a, env).getOrElse(return None))
+        (target, lowered.size) match {
+          case (Some(c), 0) => Some(op("method0", Seq(Str, OT), F.lit(f), c))
+          case (Some(c), 1) =>
+            Some(op("method1", Seq(Str, OT, OT), F.lit(f), c, lowered(0)))
+          case (Some(c), 2) =>
+            Some(op("method2", Seq(Str, OT, OT, OT), F.lit(f), c,
+              lowered(0), lowered(1)))
+          case (Some(c), 3) =>
+            Some(op("method3", Seq(Str, OT, OT, OT, OT), F.lit(f), c,
+              lowered(0), lowered(1), lowered(2)))
           case _ => None
         }
-      case ("encode_json", Vector()) =>
-        target.map(c => call("quoteJson", Seq(Str), c))
-      case ("collate", Vector(p)) =>
-        for (c <- target; ps <- strLits(p)) yield
-          graft.functions.json_collate_all(c, ps)
-      case ("drop", Vector(p)) =>
-        for (c <- target; ps <- strLits(p)) yield
-          graft.functions.json_drop_all(c, ps)
-      case ("drop_empty", Vector()) => target.map(graft.functions.json_drop_empty)
-      case ("flatten", Vector()) => target.map(graft.functions.json_flatten_deep)
-      case ("with", Vector(src)) =>
-        for (c <- target; s <- lower(src, env)) yield graft.functions.json_with(c, s)
-      case ("with_update", Vector(src)) =>
-        for (c <- target; s <- lower(src, env)) yield graft.functions.json_with_update(c, s)
-      case ("with_replace", Vector(src)) =>
-        for (c <- target; s <- lower(src, env)) yield graft.functions.json_with_replace(c, s)
-      case ("keys", Vector()) => target.map(graft.functions.json_keys)
-      case ("values", Vector()) => target.map(graft.functions.json_values)
-      case ("min", Vector()) => target.map(graft.functions.json_min)
-      case ("max", Vector()) => target.map(graft.functions.json_max)
-      case ("zip", Vector(v)) =>
-        for (c <- target; vc <- lower(v, env)) yield graft.functions.json_zip(c, vc)
-      // env-free JSON-faithful methods route through the interpreter's
-      // own dispatch (OpKernel.strictMethod -> Functions.method2)
-      case (f, as) if OpKernel.loweredMethods.contains(f) =>
-        val lowered = as.map(a => lower(a, env).getOrElse(return None))
-        target.map(c => callOn(O, Str, "strictMethod",
-          Seq(Str, Str, ArrayType(Str)),
-          F.lit(f), c, F.array(lowered: _*)))
       case _ => None
     }
   }

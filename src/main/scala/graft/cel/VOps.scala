@@ -1,0 +1,358 @@
+package graft.cel
+
+import graft.values.JsonAlgebra
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.immutable.VectorMap
+
+/** Lowering kernels over the interpreter's OWN value type: a lowered
+  * program parses `state` ONCE at the leaf ([[fromJsonText]]), threads
+  * [[Eval.V]] objects through the Column tree as `ObjectType`
+  * intermediates, and renders ONCE at the root ([[render]]) — the same
+  * parse/render budget as the interpreter, with Catalyst doing the
+  * program wiring instead of a per-row AST walk.
+  *
+  * This replaces the earlier rendered-JSON kernel (OpKernel), whose
+  * per-op Jackson round-trips made multi-op programs pay ~2 parse/render
+  * cycles PER OPERATOR. Because values never cross a JSON boundary
+  * mid-program, every CEL type flows — bytes, timestamp, duration,
+  * optionals — so constructs the JSON intermediate had to decline or
+  * fuse (bare md5, bare parse_time, optional chains) lower directly.
+  *
+  * Every op delegates to the interpreter's own implementation
+  * (Eval.binaryBridge / Functions.call2 / Functions.strictMethodBridge),
+  * so parity with the interpreted tier holds by construction.
+  */
+object VOps {
+  import Eval._
+
+  @inline private def v(o: Object): V = o.asInstanceOf[V]
+
+  /** JSON text -> V (the state leaf; also literal fallback). */
+  def fromJsonText(u: UTF8String): Object = {
+    val n = JsonAlgebra.parse(u.toString)
+    if (JsonAlgebra.isError(n)) VErr(n.get(JsonAlgebra.ErrorKey).asText())
+    else Eval.fromJson(n)
+  }
+
+  /** Program root: V -> Go-rendered JSON. */
+  def render(o: Object): UTF8String =
+    UTF8String.fromString(JsonAlgebra.render(Eval.toJson(v(o))))
+
+  // ---------------- operators (Eval's own implementations) ----------------
+  def binary(op: UTF8String, l: Object, r: Object): Object =
+    Eval.binaryBridge(op.toString, v(l), v(r))
+
+  /** &&/||: both sides pre-evaluated; CEL's commutative error absorption
+    * makes eager evaluation result-identical. */
+  def logical(l: Object, r: Object, and: Boolean): Object =
+    Eval.logicalBridge(v(l), v(r), and)
+
+  def not(x: Object): Object = v(x) match {
+    case e: VErr => e
+    case VBool(b) => VBool(!b)
+    case other => VErr(s"no such overload: !$other")
+  }
+
+  def neg(x: Object): Object = v(x) match {
+    case e: VErr => e
+    case VInt(i) => VInt(-i)
+    case VDouble(d) => VDouble(-d)
+    case other => VErr(s"no such overload: -$other")
+  }
+
+  /** Eager ternary: both branches pre-evaluated — sound because errors
+    * are in-band values and the lowered subset is side-effect-free. */
+  def ternary(c: Object, t: Object, f: Object): Object = v(c) match {
+    case e: VErr => e
+    case VBool(true) => t
+    case VBool(false) => f
+    case other => VErr(s"no such overload: $other ? _ : _")
+  }
+
+  // ---------------- access (mirrors Eval's Select/SelectOpt/Has/Index) ----
+  def select(t: Object, f: UTF8String): Object = {
+    val fd = f.toString
+    v(t) match {
+      case err: VErr => err
+      case VMap(m) => m.getOrElse(fd, VErr(s"no such key: $fd"))
+      case VOpt(Some(VMap(m))) => VOpt(m.get(fd))
+      case VOpt(None) => VOpt(None)
+      case VNull => VErr(s"no such key: $fd")
+      case other => VErr(s"no such field: $fd on $other")
+    }
+  }
+
+  def selectOpt(t: Object, f: UTF8String): Object = {
+    val fd = f.toString
+    v(t) match {
+      case err: VErr => err
+      case VMap(m) => VOpt(m.get(fd))
+      case VOpt(Some(VMap(m))) => VOpt(m.get(fd))
+      case VOpt(None) => VOpt(None)
+      case VNull => VOpt(None)
+      case other => VErr(s"no such field: $fd on $other")
+    }
+  }
+
+  def hasField(t: Object, f: UTF8String): Object = v(t) match {
+    case err: VErr => err
+    case VMap(m) => VBool(m.contains(f.toString))
+    case _ => VBool(false)
+  }
+
+  def index(t: Object, i: Object): Object = (v(t), v(i)) match {
+    case (err: VErr, _) => err
+    case (_, err: VErr) => err
+    case (VList(xs), VInt(idx)) =>
+      if (idx >= 0 && idx < xs.length) xs(idx.toInt)
+      else VErr(s"index out of range: $idx")
+    case (VMap(m), VString(k)) => m.getOrElse(k, VErr(s"no such key: $k"))
+    case (VMap(m), VInt(k)) => m.getOrElse(k.toString, VErr(s"no such key: $k"))
+    case (a, b) => VErr(s"no such overload: ($a)[$b]")
+  }
+
+  // ---------------- constructors ----------------
+  def listOf(vals: ArrayData): Object = {
+    val n = vals.numElements()
+    val b = Vector.newBuilder[V]
+    var i = 0
+    while (i < n) {
+      objAt(vals, i) match {
+        case err: VErr => return err
+        case x => b += x
+      }
+      i += 1
+    }
+    VList(b.result())
+  }
+
+  def mapOf(keys: ArrayData, vals: ArrayData): Object = {
+    val n = keys.numElements()
+    var m = VectorMap.empty[String, V]
+    var i = 0
+    while (i < n) {
+      (objAt(keys, i), objAt(vals, i)) match {
+        case (err: VErr, _) => return err
+        case (_, err: VErr) => return err
+        case (VString(k), vv) => m = m.updated(k, vv)
+        case (VInt(k), vv) => m = m.updated(k.toString, vv)
+        case (other, _) => return VErr(s"unsupported map key: $other")
+      }
+      i += 1
+    }
+    VMap(m)
+  }
+
+  // ---------------- NonStrict handlers ----------------
+  def tryOp(x: Object): Object = v(x) match {
+    case VErr(m) => VString(m)
+    case ok => ok
+  }
+
+  def tryLabeled(x: Object, label: UTF8String): Object = v(x) match {
+    case VErr(m) => VMap(VectorMap(label.toString -> (VString(m): V)))
+    case ok => ok
+  }
+
+  def isError(x: Object): Object = VBool(v(x).isInstanceOf[VErr])
+
+  /** `as` macro sequencing: the interpreter evaluates the bind target
+    * strictly before the body, so a target error propagates even when
+    * the body never references the binding. */
+  def asSeq(target: Object, result: Object): Object = v(target) match {
+    case e: VErr => e
+    case _ => result
+  }
+
+  // ---------------- optionals ----------------
+  def optOf(x: Object): Object = v(x) match {
+    case e: VErr => e
+    case ok => VOpt(Some(ok))
+  }
+
+  def optNone(): Object = VOpt(None)
+
+  def orValue(t: Object, d: Object): Object = (v(t), v(d)) match {
+    case (e: VErr, _) => e
+    case (_, e: VErr) => e // strict arg, matching the interpreter
+    case (VOpt(Some(x)), _) => x
+    case (VOpt(None), dv) => dv
+    case (other, _) => other // orValue on a non-optional passes through
+  }
+
+  def optValue(t: Object): Object = v(t) match {
+    case e: VErr => e
+    case VOpt(Some(x)) => x
+    case VOpt(None) => VErr("optional.none() dereference")
+    case other => other
+  }
+
+  def hasValue(t: Object): Object = v(t) match {
+    case e: VErr => e
+    case VOpt(o) => VBool(o.isDefined)
+    case _ => VBool(true)
+  }
+
+  // ---------------- global calls / methods ----------------
+  def call1(fn: UTF8String, a: Object): Object = v(a) match {
+    case e: VErr => e
+    case x => Eval.guard(Functions.call2(fn.toString, Vector(x)))
+  }
+
+  def call2(fn: UTF8String, a: Object, b: Object): Object = (v(a), v(b)) match {
+    case (e: VErr, _) => e
+    case (_, e: VErr) => e
+    case (x, y) => Eval.guard(Functions.call2(fn.toString, Vector(x, y)))
+  }
+
+  def call3(fn: UTF8String, a: Object, b: Object, c: Object): Object =
+    (v(a), v(b), v(c)) match {
+      case (e: VErr, _, _) => e
+      case (_, e: VErr, _) => e
+      case (_, _, e: VErr) => e
+      case (x, y, z) => Eval.guard(Functions.call2(fn.toString, Vector(x, y, z)))
+    }
+
+  def method0(fn: UTF8String, t: Object): Object = v(t) match {
+    case e: VErr => e
+    case x => Functions.strictMethodBridge(fn.toString, x, Vector.empty)
+  }
+
+  def method1(fn: UTF8String, t: Object, a: Object): Object =
+    (v(t), v(a)) match {
+      case (e: VErr, _) => e
+      case (_, e: VErr) => e
+      case (x, y) => Functions.strictMethodBridge(fn.toString, x, Vector(y))
+    }
+
+  def method2(fn: UTF8String, t: Object, a: Object, b: Object): Object =
+    (v(t), v(a), v(b)) match {
+      case (e: VErr, _, _) => e
+      case (_, e: VErr, _) => e
+      case (_, _, e: VErr) => e
+      case (x, y, z) => Functions.strictMethodBridge(fn.toString, x, Vector(y, z))
+    }
+
+  def method3(fn: UTF8String, t: Object, a: Object, b: Object, c: Object): Object =
+    (v(t), v(a), v(b), v(c)) match {
+      case (e: VErr, _, _, _) => e
+      case (_, e: VErr, _, _) => e
+      case (_, _, e: VErr, _) => e
+      case (_, _, _, e: VErr) => e
+      case (x, y, z, w) => Functions.strictMethodBridge(fn.toString, x, Vector(y, z, w))
+    }
+
+  /** re_* with the pattern resolved at plan time (named registry is a
+    * driver-side config; execution is env-free). */
+  def regexp0(fn: UTF8String, pattern: UTF8String, t: Object): Object = v(t) match {
+    case e: VErr => e
+    case x => Functions.regexpBridge(fn.toString, pattern.toString, x, Vector.empty)
+  }
+
+  def regexp1(fn: UTF8String, pattern: UTF8String, t: Object, a: Object): Object =
+    (v(t), v(a)) match {
+      case (e: VErr, _) => e
+      case (_, e: VErr) => e
+      case (x, y) => Functions.regexpBridge(fn.toString, pattern.toString, x, Vector(y))
+    }
+
+  /** Hintless decode_xml (the named-XSD overload needs env.xsds). */
+  def decodeXml(t: Object): Object = v(t) match {
+    case e: VErr => e
+    case x => Eval.guard {
+      val bytes = x match {
+        case VBytes(b) => b
+        case VString(s) => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        case other => return VErr(s"no such overload: bytes from $other")
+      }
+      fromJsonText(graft.expressions.XmlKernel.decodeXmlHinted(
+        UTF8String.fromBytes(bytes), UTF8String.fromString(""))).asInstanceOf[V]
+    }
+  }
+
+  // ---------------- comprehensions ----------------
+  /** Comprehension items: list elements, or the sorted keys of a map.
+    * Error/non-container input returns an empty array — [[finish]]
+    * re-derives the error from the target itself. */
+  def items(t: Object): ArrayData = v(t) match {
+    case VList(xs) => new GenericArrayData(xs.toArray[Any])
+    case VMap(m) =>
+      new GenericArrayData(m.keys.toVector.sorted.map(VString(_): Any).toArray[Any])
+    case _ => new GenericArrayData(Array.empty[Any])
+  }
+
+  /** Replay Eval.comprehension's fold over pre-evaluated per-item
+    * pred/body results. Eager per-item evaluation is sound because the
+    * fold never consults entries past its early exit. */
+  def finish(kind: UTF8String, target: Object, items: ArrayData,
+      preds: ArrayData, bodies: ArrayData, hasPred: Boolean): Object = {
+    val k = kind.toString
+    v(target) match {
+      case e: VErr => return e
+      case _: VList | _: VMap =>
+      case other => return VErr(s"no such overload: $k over $other")
+    }
+    val n = items.numElements()
+    k match {
+      case "map" =>
+        val out = Vector.newBuilder[V]
+        var i = 0
+        while (i < n) {
+          val keep =
+            if (!hasPred) true
+            else objAt(preds, i) match {
+              case VBool(b) => b
+              case e: VErr => return e
+              case other => return VErr(s"no such overload: predicate $other")
+            }
+          if (keep) objAt(bodies, i) match {
+            case e: VErr => return e
+            case x => out += x
+          }
+          i += 1
+        }
+        VList(out.result())
+      case "filter" =>
+        val out = Vector.newBuilder[V]
+        var i = 0
+        while (i < n) {
+          objAt(bodies, i) match {
+            case VBool(true) => out += objAt(items, i)
+            case VBool(false) =>
+            case e: VErr => return e
+            case other => return VErr(s"no such overload: predicate $other")
+          }
+          i += 1
+        }
+        VList(out.result())
+      case "all" | "exists" | "exists_one" =>
+        var ones = 0
+        var i = 0
+        while (i < n) {
+          objAt(bodies, i) match {
+            case VBool(true) =>
+              if (k == "exists") return VBool(true)
+              ones += 1
+            case VBool(false) =>
+              if (k == "all") return VBool(false)
+            case e: VErr => return e
+            case other => return VErr(s"no such overload: predicate $other")
+          }
+          i += 1
+        }
+        k match {
+          case "all" => VBool(true)
+          case "exists" => VBool(false)
+          case _ => VBool(ones == 1)
+        }
+      case other => VErr(s"unknown macro $other")
+    }
+  }
+
+  @inline private def objAt(a: ArrayData, i: Int): V = (a match {
+    case g: GenericArrayData => g.array(i)
+    case other => other.get(i, null)
+  }).asInstanceOf[V]
+}

@@ -42,7 +42,7 @@ class LoweringSpec extends SparkSpec {
     """{"a": 1}.with_replace({"a": 9, "b": 2})""",
     """state.as(s, {"doc": s, "k": s.k})""",
     // `as` evaluates the target strictly: a target error propagates even
-    // when the body never references the binding (OpKernel.asSeq)
+    // when the body never references the binding (VOps.asSeq)
     "state.nope.as(s, 1)",
     "(1 / 0).as(x, 'ok')",
     "state.k.as(x, 2)",
@@ -52,7 +52,7 @@ class LoweringSpec extends SparkSpec {
     "[1, 2][5]",
     """{"a": 1}["b"]""",
     """[1, 2][1]""",
-    // operators (OpKernel = the interpreter's own op implementations)
+    // operators (VOps dispatches to the interpreter's own op implementations)
     "1 + 2 * 3",
     "state.k + 1",
     "state.k == 69",
@@ -122,7 +122,23 @@ class LoweringSpec extends SparkSpec {
     "is_error(state.k)",
     "has(state.k)",
     "has(state.nope)",
-    // fused typed-intermediate time ops (timeParseFormat / formatNowOp)
+    // typed intermediates flow as V objects: bytes/timestamp/duration
+    // literals and producers lower directly (no fused special cases)
+    "b\"abc\"",
+    "timestamp('2024-01-01T00:00:00Z')",
+    "timestamp('2024-01-01T00:00:00Z') + duration('90s')",
+    "duration('1m30s')",
+    "'2024-01-01'.parse_time('DateOnly')",
+    "'x'.md5()",
+    "uint('7')",
+    "int(duration('1s'))",
+    "hmac('data', 'sha256', 'key').hex()",
+    "'uryyb'.mime('text/rot13')",
+    "'https://u:p@h.example:8080/p?q=1#f'.parse_url()",
+    """{"b": ["2"], "a": ["1", "3"]}.format_query()""",
+    "'GET'.request('https://example.com').basic_authentication('u', 'p')",
+    "[10, 20, 30][state.k % 3]",
+    // time ops (typed VTimestamp intermediates)
     "'2024-03-05T06:07:08Z'.parse_time('RFC3339').format('Kitchen')",
     "'2024-03-05'.parse_time(['RFC3339', 'DateOnly']).format('RFC3339')",
     "'not a date'.parse_time('RFC3339').format('Kitchen')", // in-band error
@@ -141,7 +157,7 @@ class LoweringSpec extends SparkSpec {
     "state.k.md5().hex()", // error: digest of an int
     "'hello'.hex()",
     "'hello'.base64()",
-    // fused optional chains (OpKernel.optChain)
+    // fused optional chains (VOps select chains)
     "state.?k.orValue(-1)",
     "state.?missing.orValue('d')",
     "state.?missing.hasValue()",
@@ -157,14 +173,21 @@ class LoweringSpec extends SparkSpec {
     "state.k.orValue(9)",              // orValue on non-optional passes through
     "5.orValue(1 / 0)")                // strict default: error propagates
 
-  // constructs the subset must DECLINE (fall back to the interpreter)
+  // constructs the subset must DECLINE (fall back to the interpreter):
+  // env-dependent (now without a fixed nowMicros, file/dir), side-effecting
+  // (send_to/close, executing HTTP, debug), or non-deterministic (uuid)
   private val notLowerable = Seq(
     "now",
+    "now.format('RFC3339')",
     "uuid()",
-    "b\"abc\"",
-    "timestamp('2024-01-01T00:00:00Z')",
-    "'x'.md5()", // crypto outputs bytes: not JSON-faithful
-    "'2024-01-01'.parse_time('DateOnly')")
+    "file('x.txt')",
+    "dir('.')",
+    "debug('tag', 1)",
+    "state.send_to('ch')",
+    "'ch'.close()",
+    "'https://example.com'.get()",
+    "{\"URL\": \"https://example.com\"}.do_request()",
+    "state.rate_limit('okta', duration('1m'))")
 
   test("lowered output is byte-identical to the interpreter on events") {
     val props = Tables(spark, sf).events.select(col("props")).limit(200).cache()
@@ -212,7 +235,7 @@ class LoweringSpec extends SparkSpec {
     val c = Cel.auto("state.k", col("props"), NOW)
     val plan = Tables(spark, sf).events.select(c.as("x"))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("selectField"), s"expected lowered kernel in plan:\n$plan")
+    assert(plan.contains("VOps.select"), s"expected lowered kernel in plan:\n$plan")
     assert(!plan.contains("CelEval"), "auto should not fall back for state.k")
   }
 }
