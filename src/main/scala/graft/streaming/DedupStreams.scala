@@ -65,10 +65,12 @@ object DedupStreams {
                   out += NearDup(d.doc_id, id, h)
               }
             }
-            if (!seen.exists(_._1 == d.doc_id)) {
+            // keep-FIRST representative cap — same policy as the TWS
+            // processor below and the batch q31 cap, so both streaming
+            // variants retain the same members (and emit the same pairs)
+            // under bucket overflow
+            if (!seen.exists(_._1 == d.doc_id) && seen.length < maxPerBucket)
               seen = seen :+ (d.doc_id -> d.sig)
-              if (seen.length > maxPerBucket) seen = seen.takeRight(maxPerBucket)
-            }
           }
           state.update(seen)
           out.result().iterator

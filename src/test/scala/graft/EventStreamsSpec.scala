@@ -174,6 +174,57 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucket-overflow cap keeps FIRST members in both streaming variants") {
+    import graft.streaming.DedupStreams
+    // 20 identical signatures into one bucket, cap 8: an exact-dup group
+    // larger than the cap. Keep-first retention means doc d pairs with
+    // the first min(d, 8) docs — and BOTH streaming variants must emit
+    // exactly that set (the r4 flatMapGroupsWithState form kept LAST,
+    // diverging from the TWS processor under overflow).
+    val dir = java.nio.file.Files.createTempDirectory("graft-overflow")
+    (0 until 20).foreach { i =>
+      spark.range(i, i + 1L).select(col("id").as("doc_id"),
+          lit(0x0123456789abcdefL).as("sig"))
+        .coalesce(1).write.parquet(f"$dir/f$i%02d")
+      Thread.sleep(5) // distinct mod times => deterministic file order
+    }
+    val schema = spark.read.parquet(s"$dir/f00").schema
+    def run(name: String, mk: org.apache.spark.sql.Dataset[DedupStreams.BandedSig]
+        => org.apache.spark.sql.Dataset[DedupStreams.NearDup]): Set[(Long, Long)] = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/f*")
+      val banded = DedupStreams.bandSigs(stream).as[DedupStreams.BandedSig]
+      val q = mk(banded).writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        spark.sql(s"""SELECT DISTINCT least(doc_id, matched_doc) AS a,
+            greatest(doc_id, matched_doc) AS b FROM $name""")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop()
+    }
+    val expected = (for { d <- 1 until 20; r <- 0 until math.min(d, 8) }
+      yield (r.toLong, d.toLong)).toSet
+    val fmgws = run("overflow_fmgws",
+      DedupStreams.simhashNearDup(_, maxPerBucket = 8))
+    assert(fmgws == expected, "flatMapGroupsWithState keep-first cap")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tws = run("overflow_tws",
+        DedupStreams.simhashNearDupTws(_, maxPerBucket = 8))
+      assert(tws == expected, "transformWithState keep-first cap")
+      assert(tws == fmgws, "both streaming variants must emit identical pairs")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState near-dup finds the batch q38 pairs (ListState)") {
     import graft.functions.{simhash64, tokens}
     import graft.streaming.DedupStreams
