@@ -274,11 +274,11 @@ private[cel] object Functions {
       case _ => VErr("no such overload: zip")
     }
     case "keys" => t match {
-      case VMap(m) => VList(m.keys.toVector.sorted.map(VString(_)))
+      case vm: Eval.VMap => VList(Eval.typedKeys(vm).map(_._2))
       case _ => VErr("no such overload: keys")
     }
     case "values" => t match {
-      case VMap(m) => VList(m.toVector.sortBy(_._1).map(_._2))
+      case vm: Eval.VMap => VList(Eval.typedKeys(vm).map { case (k, _) => vm.v(k) })
       case _ => VErr("no such overload: values")
     }
     case "min" => extremum(t, -1)
@@ -295,7 +295,11 @@ private[cel] object Functions {
     // ---- channels (reference lib/send.go:149-197) ----
     // v.send_to(name) pushes the value (rendered JSON) onto the named
     // driver channel and returns the value; v.close(name) closes it.
-    case "send_to" => args match {
+    // send_refval_to (send.go:148-159) differs from send_to (:161-177)
+    // only in HOW the value crosses the channel: raw ref.Val vs
+    // converted-to-native. Here every value is already a rendered V, so
+    // the distinction collapses and the two are the same operation.
+    case "send_to" | "send_refval_to" => args match {
       case Vector(VString(name)) =>
         graft.streaming.Channels.send(name, JsonAlgebra.render(vj(t)))
         t

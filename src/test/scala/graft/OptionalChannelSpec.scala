@@ -47,6 +47,22 @@ class OptionalChannelSpec extends SparkSpec {
     assert(Channels.drain("cel-ch2") == Seq("\"payload\""))
   }
 
+  test("channels: send_refval_to is send_to in the rendered-value model (send.go:148-177)") {
+    // the reference's two sends differ only in whether the value crosses
+    // the channel as a raw ref.Val or converted to a native Go value;
+    // every V here is already rendered, so the observable behavior is
+    // identical: value returned unchanged, one message on the channel
+    val out = graft.cel.Cel.evalOnce(
+      """{"a": {"k": 1}.send_refval_to("rv-ch"), "b": send_refval_to(2, "rv-ch")}""",
+      "null", 1704067200000000L)
+    assert(out == """{"a":{"k":1},"b":2}""")
+    assert(Channels.drain("rv-ch") == Seq("""{"k":1}""", "2"))
+    // NonStrict like send_to: error values pass through in-band
+    assert(graft.cel.Cel.evalOnce(
+      """try(state.nope.send_refval_to("rv-ch"))""",
+      "{}", 1704067200000000L) == "\"no such key: nope\"")
+  }
+
   test("channels: streaming foreachBatch path") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ch-stream")
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/region.parquet"),
