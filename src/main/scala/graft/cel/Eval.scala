@@ -35,12 +35,37 @@ object Eval {
   /** VectorMap is not java-Serializable (scala/scala#12190), but V values
     * ride inside plan Literals (lowered CEL literals, e.g. `time_layout`)
     * which Spark serializes into task binaries — so VMap serializes via
-    * an entry-vector proxy that rebuilds the VectorMap on read. */
-  final case class VMap(v: VectorMap[String, V]) extends V {
-    protected def writeReplace(): Object = new VMapProxy(v.toVector)
+    * an entry-vector proxy that rebuilds the VectorMap on read.
+    *
+    * `intKeys` marks entries whose CEL key was an int/uint (testdata/
+    * keys.txt: `keys({1: "a"})` must return `[1, 2]`, not strings).
+    * Storage stays string-keyed — the engine's JSON backbone stringifies
+    * integer keys exactly like Go's json.Marshal — and the tag restores
+    * the typed key at the surfaces where the type is observable: keys()/
+    * values() ordering and element type, comprehension iteration, and
+    * CEL equality (`{1:"a"} != {"1":"a"}`). Values that cross a JSON
+    * boundary (encode_json, the with-family ops) degrade to string keys,
+    * as the JSON value universe requires. Not a case class: the arity-1
+    * unapply keeps the tag out of the 60+ existing match sites. */
+  final class VMap(val v: VectorMap[String, V], val intKeys: Set[String]) extends V {
+    protected def writeReplace(): Object = new VMapProxy(v.toVector, intKeys)
+    override def equals(o: Any): Boolean = o match {
+      case m: VMap => m.v == v && m.intKeys == intKeys
+      case _ => false
+    }
+    override def hashCode: Int = v.hashCode * 31 + intKeys.hashCode
+    // case-class-format toString: VMap error texts predate the tag
+    override def toString: String = s"VMap($v)"
   }
-  private final class VMapProxy(entries: Vector[(String, V)]) extends Serializable {
-    protected def readResolve(): Object = VMap(VectorMap.from(entries))
+  object VMap {
+    def apply(v: VectorMap[String, V]): VMap = new VMap(v, Set.empty)
+    def apply(v: VectorMap[String, V], intKeys: Set[String]): VMap =
+      new VMap(v, intKeys)
+    def unapply(m: VMap): Option[VectorMap[String, V]] = Some(m.v)
+  }
+  private final class VMapProxy(entries: Vector[(String, V)],
+      intKeys: Set[String]) extends Serializable {
+    protected def readResolve(): Object = VMap(VectorMap.from(entries), intKeys)
   }
   final case class VTimestamp(micros: Long) extends V
   final case class VDuration(micros: Long) extends V
@@ -181,16 +206,18 @@ object Eval {
 
     case Ast.MapLit(entries) =>
       var m = VectorMap.empty[String, V]
+      var intKeys = Set.empty[String]
       entries.foreach { case (k, v) =>
         (eval(k, env), eval(v, env)) match {
           case (err: VErr, _) => return err
           case (_, err: VErr) => return err
           case (VString(ks), vv) => m = m.updated(ks, vv)
-          case (VInt(ki), vv) => m = m.updated(ki.toString, vv)
+          case (VInt(ki), vv) => m = m.updated(ki.toString, vv); intKeys += ki.toString
+          case (VUint(ki), vv) => m = m.updated(ki.toString, vv); intKeys += ki.toString
           case (other, _) => return VErr(s"unsupported map key: $other")
         }
       }
-      VMap(m)
+      VMap(m, intKeys)
 
     case Ast.Ident(name) =>
       env.vars.getOrElse(name, VErr(s"undeclared reference to '$name'"))
@@ -302,11 +329,26 @@ object Eval {
     case _ => None
   }
 
+  /** Canonical-order typed keys of a map (storage key -> surfaced V):
+    * an all-int-keyed map sorts numerically and surfaces VInt keys
+    * (reference testdata/keys.txt wants `keys({1:"a",2:"b"}) == [1,2]`);
+    * anything else keeps the engine's sorted-string order, with tagged
+    * keys still surfacing as ints. */
+  def typedKeys(m: VMap): Vector[(String, V)] = {
+    val ks = m.v.keys.toVector
+    val sorted =
+      if (ks.nonEmpty && ks.forall(m.intKeys)) ks.sortBy(_.toLong)
+      else ks.sorted
+    sorted.map(k => k -> (if (m.intKeys(k)) VInt(k.toLong) else VString(k): V))
+  }
+
   def equalsV(a: V, b: V): Boolean = (a, b) match {
     case (VList(xs), VList(ys)) =>
       xs.length == ys.length && xs.zip(ys).forall { case (x, y) => equalsV(x, y) }
-    case (VMap(m1), VMap(m2)) =>
-      m1.keySet == m2.keySet && m1.forall { case (k, v) => equalsV(v, m2(k)) }
+    case (m1: VMap, m2: VMap) =>
+      // key TYPE is part of CEL map equality: {1:"a"} != {"1":"a"}
+      m1.intKeys == m2.intKeys && m1.v.keySet == m2.v.keySet &&
+        m1.v.forall { case (k, v) => equalsV(v, m2.v(k)) }
     case (VBytes(x), VBytes(y)) => java.util.Arrays.equals(x, y)
     case _ => numPair(a, b) match {
       case Some((x, y)) => x == y
@@ -407,7 +449,7 @@ object Eval {
       // program can depend on it), so we fix the canonical order used
       // everywhere else in the engine — also keeps the lowered path
       // (whose intermediate is sorted-key rendered JSON) bit-identical.
-      case VMap(m) => m.keys.toVector.sorted.map(VString(_): V)
+      case vm: VMap => typedKeys(vm).map(_._2)
       case other => return VErr(s"no such overload: $kind over $other")
     }
     def bind(v: V) = env.copy(vars = env.vars.updated(x, v))

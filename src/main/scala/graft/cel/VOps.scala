@@ -131,18 +131,20 @@ object VOps {
   def mapOf(keys: ArrayData, vals: ArrayData): Object = {
     val n = keys.numElements()
     var m = VectorMap.empty[String, V]
+    var intKeys = Set.empty[String]
     var i = 0
     while (i < n) {
       (objAt(keys, i), objAt(vals, i)) match {
         case (err: VErr, _) => return err
         case (_, err: VErr) => return err
         case (VString(k), vv) => m = m.updated(k, vv)
-        case (VInt(k), vv) => m = m.updated(k.toString, vv)
+        case (VInt(k), vv) => m = m.updated(k.toString, vv); intKeys += k.toString
+        case (VUint(k), vv) => m = m.updated(k.toString, vv); intKeys += k.toString
         case (other, _) => return VErr(s"unsupported map key: $other")
       }
       i += 1
     }
-    VMap(m)
+    VMap(m, intKeys)
   }
 
   // ---------------- NonStrict handlers ----------------

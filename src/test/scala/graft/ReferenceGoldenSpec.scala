@@ -36,15 +36,14 @@ class ReferenceGoldenSpec extends AnyFunSuite {
 
     // nondeterministic / wall-clock / loop-driver (debug.txt replays:
     // its stdout is deterministic, only the stderr log is side-band)
-    "uuid.txt", "now.txt", "want_more.txt",
-    // limit_{okta,draft,general}.txt now REPLAY: their rates are
+    "uuid.txt", "now.txt", "want_more.txt")
+    // limit_{okta,draft,general}.txt REPLAY: their rates are
     // deterministic once Go's time.Sub saturation (+-2^63 ns) and
     // strconv error texts are mirrored (LimitKernel.goUntilSeconds) —
     // the year-9999 reset headers always saturate, so any sane `now`
     // reproduces the goldens.
-    // documented divergence: int-keyed maps degrade to string keys in
-    // the JSON value universe (README)
-    "keys.txt")
+    // keys.txt REPLAYS: VMap's intKeys tag preserves int map keys
+    // through keys()/values()/iteration (Eval.typedKeys)
 
   private case class Script(flags: Map[String, String], src: String,
       files: Map[String, String], want: String, base64Cmds: Seq[(String, String)] = Nil,
