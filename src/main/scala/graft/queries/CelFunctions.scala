@@ -238,6 +238,36 @@ object CelFunctions {
         .orderBy(col("event_id"))
     },
 
+    // parse_query: multi-valued keys, percent-decoding, key count
+    // (reference lib/http.go parseQuery -> url.ParseQuery)
+    "q71_parse_query" -> { (s, dir) =>
+      val q = concat(lit("user="), col("user_id").cast("string"),
+        lit("&type="), col("event_type"), lit("&tag=a&tag=b&enc=a%20b"))
+      val m = graft.functions.parse_query(q)
+      Tables(s, dir).events
+        .select(col("event_id"),
+          element_at(element_at(m, "user"), 1).as("user_v"),
+          element_at(element_at(m, "type"), 1).as("type_v"),
+          array_join(element_at(m, "tag"), ",").as("tags"),
+          element_at(element_at(m, "enc"), 1).as("enc_v"),
+          size(m).cast("long").as("n_keys"))
+        .orderBy(col("event_id"))
+    },
+
+    // split_after family + replace_n's count limit (strings.go
+    // SplitAfter/SplitAfterN/Replace)
+    "q72_split_replace" -> { (s, dir) =>
+      val base = concat(col("event_type"), lit("."), col("event_type"),
+        lit("."), col("event_type"))
+      Tables(s, dir).events
+        .select(col("event_id"),
+          array_join(split_after(concat(col("event_type"), lit(","),
+            col("user_id").cast("string")), lit(",")), "|").as("after"),
+          array_join(split_after_n(base, lit("."), lit(2L)), "|").as("after_n"),
+          replace_n(base, col("event_type"), lit("Z"), lit(2L)).as("rep2"))
+        .orderBy(col("event_id"))
+    },
+
     // --- the CEL text front-end itself under the oracle gate: the SAME
     // --- program through the lowered (q58) and interpreted (q59) paths.
     "q58_cel_lowered" -> { (s, dir) =>
@@ -370,6 +400,20 @@ object CelFunctions {
       """SELECT event_id,
          (user_id % 50 + 1) * 60000000 AS micros,
          CAST(user_id % 50 + 1 AS VARCHAR) || 'm0s' AS rendered
+         FROM events ORDER BY event_id""",
+    "q71_parse_query" ->
+      """SELECT event_id,
+         CAST(user_id AS VARCHAR) AS user_v,
+         event_type AS type_v,
+         'a,b' AS tags,
+         'a b' AS enc_v,
+         CAST(4 AS BIGINT) AS n_keys
+         FROM events ORDER BY event_id""",
+    "q72_split_replace" ->
+      """SELECT event_id,
+         event_type || ',|' || user_id AS after,
+         event_type || '.|' || event_type || '.' || event_type AS after_n,
+         'Z.Z.' || event_type AS rep2
          FROM events ORDER BY event_id""",
     "q58_cel_lowered" -> celGateOracle("doc"),
     "q59_cel_interpreted" -> celGateOracle("doc"))

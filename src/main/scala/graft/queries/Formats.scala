@@ -102,6 +102,50 @@ object Formats {
         .orderBy(col("event_id"))
     },
 
+    // rate-limit draft policy: quota-policy list drives window + burst,
+    // numeric delta reset (limit.go:295-413)
+    "q69_limit_draft" -> { (s, dir) =>
+      val quota = (col("user_id") % 100 + 50).cast("string")
+      val win = (col("user_id") % 60 + 30).cast("string")
+      val bst = (col("user_id") % 5 + 2).cast("string")
+      val lim = concat(quota, lit(", "), quota, lit(";window="), win,
+        lit(";burst="), bst)
+      val rem = (col("user_id") % 40).cast("string")
+      val rst = (col("user_id") % 120 + 10).cast("string")
+      val headers = map_from_arrays(
+        array(lit("Rate-Limit-Limit"), lit("Rate-Limit-Remaining"),
+          lit("Rate-Limit-Reset")),
+        array(array(lim), array(rem), array(rst)))
+      val r = rate_limit(headers, "draft", lit(60), timestamp_micros(lit(0L)))
+      Tables(s, dir).events
+        .select(col("event_id"),
+          round(r.getField("rate"), 6).as("rate"),
+          round(r.getField("next"), 6).as("next_rate"),
+          r.getField("burst").as("burst"),
+          unix_micros(r.getField("reset")).as("reset_micros"))
+        .orderBy(col("event_id"))
+    },
+
+    // generalized 6-arg rate limit: custom prefix, absolute reset,
+    // caller-supplied burst with the <1 floor (limit.go:451-512)
+    "q70_limit_general" -> { (s, dir) =>
+      val lim = (col("user_id") % 100 + 100).cast("string")
+      val rem = (col("user_id") % 50).cast("string")
+      val rst = (col("user_id") % 1000 + 500).cast("string")
+      val headers = map_from_arrays(
+        array(lit("X-RL-Limit"), lit("X-RL-Remaining"), lit("X-RL-Reset")),
+        array(array(lim), array(rem), array(rst)))
+      val r = rate_limit_general(headers, "X-RL", delta = false,
+        lit(60), col("user_id") % 3, timestamp_micros(lit(0L)))
+      Tables(s, dir).events
+        .select(col("event_id"),
+          round(r.getField("rate"), 6).as("rate"),
+          round(r.getField("next"), 6).as("next_rate"),
+          r.getField("burst").as("burst"),
+          unix_micros(r.getField("reset")).as("reset_micros"))
+        .orderBy(col("event_id"))
+    },
+
     // XSD-compiled hints: int/bool entype + maxOccurs plurality
     "q66_xml_xsd" -> { (s, dir) =>
       val xsd = """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
@@ -187,6 +231,21 @@ object Formats {
          'X-Rate-Limit-Limit="' || (user_id % 100 + 100)
            || '" X-Rate-Limit-Remaining="' || (user_id % 50)
            || '" X-Rate-Limit-Reset="' || (user_id % 1000 + 10) || '"' AS hdr
+         FROM events ORDER BY event_id""",
+    "q69_limit_draft" ->
+      """SELECT event_id,
+         round(CAST(user_id % 40 AS DOUBLE) / CAST(user_id % 120 + 10 AS DOUBLE), 6) AS rate,
+         round(CAST(user_id % 100 + 50 AS DOUBLE) / CAST(user_id % 60 + 30 AS DOUBLE), 6) AS next_rate,
+         user_id % 5 + 2 AS burst,
+         (user_id % 120 + 10) * 1000000 AS reset_micros
+         FROM events ORDER BY event_id""",
+    "q70_limit_general" ->
+      """SELECT event_id,
+         round(CAST(user_id % 50 AS DOUBLE)
+           / (CAST(user_id % 1000 + 500 AS DOUBLE) * 60.0), 6) AS rate,
+         round(CAST(user_id % 100 + 100 AS DOUBLE) / 60.0, 6) AS next_rate,
+         greatest(CAST(1 AS BIGINT), user_id % 3) AS burst,
+         (user_id % 1000 + 500) * 1000000 AS reset_micros
          FROM events ORDER BY event_id""",
     "q66_xml_xsd" ->
       """SELECT event_id,
