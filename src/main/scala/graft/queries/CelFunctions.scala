@@ -254,6 +254,24 @@ object CelFunctions {
         .orderBy(col("event_id"))
     },
 
+    // byte-order compare, char-class scan ops, Unicode title mapping
+    // (strings.go Compare/ContainsAny/IndexAny/LastIndex/ToTitle) —
+    // ASCII event_type keeps byte and rune indexes identical, so the
+    // DuckDB rebuild is exact
+    "q73_string_scan" -> { (s, dir) =>
+      val et = col("event_type")
+      val base = concat(et, lit("."), et)
+      Tables(s, dir).events
+        .select(col("event_id"),
+          compare_str(et, lit("m")).as("cmp_m"),
+          contains_any(et, lit("ckz")).as("has_ckz"),
+          index_any(et, lit("aeiou")).as("vowel_at"),
+          index_str(base, lit(".")).as("dot_at"),
+          last_index(base, et).as("last_at"),
+          to_title(et).as("title"))
+        .orderBy(col("event_id"))
+    },
+
     // split_after family + replace_n's count limit (strings.go
     // SplitAfter/SplitAfterN/Replace)
     "q72_split_replace" -> { (s, dir) =>
@@ -408,6 +426,19 @@ object CelFunctions {
          'a,b' AS tags,
          'a b' AS enc_v,
          CAST(4 AS BIGINT) AS n_keys
+         FROM events ORDER BY event_id""",
+    "q73_string_scan" ->
+      """SELECT event_id,
+         CAST(CASE WHEN event_type < 'm' THEN -1
+                   WHEN event_type = 'm' THEN 0 ELSE 1 END AS INTEGER) AS cmp_m,
+         regexp_matches(event_type, '[ckz]') AS has_ckz,
+         CAST(COALESCE(LEAST(
+             NULLIF(strpos(event_type, 'a'), 0), NULLIF(strpos(event_type, 'e'), 0),
+             NULLIF(strpos(event_type, 'i'), 0), NULLIF(strpos(event_type, 'o'), 0),
+             NULLIF(strpos(event_type, 'u'), 0)) - 1, -1) AS BIGINT) AS vowel_at,
+         CAST(length(event_type) AS BIGINT) AS dot_at,
+         CAST(length(event_type) + 1 AS BIGINT) AS last_at,
+         upper(event_type) AS title
          FROM events ORDER BY event_id""",
     "q72_split_replace" ->
       """SELECT event_id,
