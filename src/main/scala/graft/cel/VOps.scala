@@ -29,6 +29,19 @@ object VOps {
 
   @inline private def v(o: Object): V = o.asInstanceOf[V]
 
+  /** Interning for plan-constant names (op/fn/field/pattern literals):
+    * codegen hands the same UTF8String literal back every row, so the
+    * per-row `toString` allocation becomes one content-hash lookup, and
+    * the cached java.lang.String's memoized hashCode keeps the
+    * downstream string-match dispatch cheap. Keys are plan literals —
+    * the map is bounded by the program vocabulary, not the data. */
+  private val names = new java.util.concurrent.ConcurrentHashMap[UTF8String, String]()
+  @inline private def name(u: UTF8String): String = {
+    val s = names.get(u)
+    if (s != null) s
+    else { val t = u.toString; names.putIfAbsent(u, t); t }
+  }
+
   /** JSON text -> V (the state leaf; also literal fallback). */
   def fromJsonText(u: UTF8String): Object = {
     val n = JsonAlgebra.parse(u.toString)
@@ -42,7 +55,7 @@ object VOps {
 
   // ---------------- operators (Eval's own implementations) ----------------
   def binary(op: UTF8String, l: Object, r: Object): Object =
-    Eval.binaryBridge(op.toString, v(l), v(r))
+    Eval.binaryBridge(name(op), v(l), v(r))
 
   /** &&/||: both sides pre-evaluated; CEL's commutative error absorption
     * makes eager evaluation result-identical. */
@@ -73,7 +86,7 @@ object VOps {
 
   // ---------------- access (mirrors Eval's Select/SelectOpt/Has/Index) ----
   def select(t: Object, f: UTF8String): Object = {
-    val fd = f.toString
+    val fd = name(f)
     v(t) match {
       case err: VErr => err
       case VMap(m) => m.getOrElse(fd, VErr(s"no such key: $fd"))
@@ -85,7 +98,7 @@ object VOps {
   }
 
   def selectOpt(t: Object, f: UTF8String): Object = {
-    val fd = f.toString
+    val fd = name(f)
     v(t) match {
       case err: VErr => err
       case VMap(m) => VOpt(m.get(fd))
@@ -98,7 +111,7 @@ object VOps {
 
   def hasField(t: Object, f: UTF8String): Object = v(t) match {
     case err: VErr => err
-    case VMap(m) => VBool(m.contains(f.toString))
+    case VMap(m) => VBool(m.contains(name(f)))
     case _ => VBool(false)
   }
 
@@ -154,7 +167,7 @@ object VOps {
   }
 
   def tryLabeled(x: Object, label: UTF8String): Object = v(x) match {
-    case VErr(m) => VMap(VectorMap(label.toString -> (VString(m): V)))
+    case VErr(m) => VMap(VectorMap(name(label) -> (VString(m): V)))
     case ok => ok
   }
 
@@ -200,13 +213,13 @@ object VOps {
   // ---------------- global calls / methods ----------------
   def call1(fn: UTF8String, a: Object): Object = v(a) match {
     case e: VErr => e
-    case x => Eval.guard(Functions.call2(fn.toString, Vector(x)))
+    case x => Eval.guard(Functions.call2(name(fn), Vector(x)))
   }
 
   def call2(fn: UTF8String, a: Object, b: Object): Object = (v(a), v(b)) match {
     case (e: VErr, _) => e
     case (_, e: VErr) => e
-    case (x, y) => Eval.guard(Functions.call2(fn.toString, Vector(x, y)))
+    case (x, y) => Eval.guard(Functions.call2(name(fn), Vector(x, y)))
   }
 
   def call3(fn: UTF8String, a: Object, b: Object, c: Object): Object =
@@ -214,19 +227,19 @@ object VOps {
       case (e: VErr, _, _) => e
       case (_, e: VErr, _) => e
       case (_, _, e: VErr) => e
-      case (x, y, z) => Eval.guard(Functions.call2(fn.toString, Vector(x, y, z)))
+      case (x, y, z) => Eval.guard(Functions.call2(name(fn), Vector(x, y, z)))
     }
 
   def method0(fn: UTF8String, t: Object): Object = v(t) match {
     case e: VErr => e
-    case x => Functions.strictMethodBridge(fn.toString, x, Vector.empty)
+    case x => Functions.strictMethodBridge(name(fn), x, Vector.empty)
   }
 
   def method1(fn: UTF8String, t: Object, a: Object): Object =
     (v(t), v(a)) match {
       case (e: VErr, _) => e
       case (_, e: VErr) => e
-      case (x, y) => Functions.strictMethodBridge(fn.toString, x, Vector(y))
+      case (x, y) => Functions.strictMethodBridge(name(fn), x, Vector(y))
     }
 
   def method2(fn: UTF8String, t: Object, a: Object, b: Object): Object =
@@ -234,7 +247,7 @@ object VOps {
       case (e: VErr, _, _) => e
       case (_, e: VErr, _) => e
       case (_, _, e: VErr) => e
-      case (x, y, z) => Functions.strictMethodBridge(fn.toString, x, Vector(y, z))
+      case (x, y, z) => Functions.strictMethodBridge(name(fn), x, Vector(y, z))
     }
 
   def method3(fn: UTF8String, t: Object, a: Object, b: Object, c: Object): Object =
@@ -243,21 +256,21 @@ object VOps {
       case (_, e: VErr, _, _) => e
       case (_, _, e: VErr, _) => e
       case (_, _, _, e: VErr) => e
-      case (x, y, z, w) => Functions.strictMethodBridge(fn.toString, x, Vector(y, z, w))
+      case (x, y, z, w) => Functions.strictMethodBridge(name(fn), x, Vector(y, z, w))
     }
 
   /** re_* with the pattern resolved at plan time (named registry is a
     * driver-side config; execution is env-free). */
   def regexp0(fn: UTF8String, pattern: UTF8String, t: Object): Object = v(t) match {
     case e: VErr => e
-    case x => Functions.regexpBridge(fn.toString, pattern.toString, x, Vector.empty)
+    case x => Functions.regexpBridge(name(fn), name(pattern), x, Vector.empty)
   }
 
   def regexp1(fn: UTF8String, pattern: UTF8String, t: Object, a: Object): Object =
     (v(t), v(a)) match {
       case (e: VErr, _) => e
       case (_, e: VErr) => e
-      case (x, y) => Functions.regexpBridge(fn.toString, pattern.toString, x, Vector(y))
+      case (x, y) => Functions.regexpBridge(name(fn), name(pattern), x, Vector(y))
     }
 
   /** Hintless decode_xml (the named-XSD overload needs env.xsds). */
@@ -290,7 +303,7 @@ object VOps {
     * fold never consults entries past its early exit. */
   def finish(kind: UTF8String, target: Object, items: ArrayData,
       preds: ArrayData, bodies: ArrayData, hasPred: Boolean): Object = {
-    val k = kind.toString
+    val k = name(kind)
     v(target) match {
       case e: VErr => return e
       case _: VList | _: VMap =>
