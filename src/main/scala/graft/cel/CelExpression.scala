@@ -93,6 +93,6 @@ object Cel {
       globalsJson, baseDir, xsds) match {
       case e: Eval.VErr =>
         Left("failed eval: " + Errors.display(program, e.at, e.msg))
-      case v => Right(graft.values.JsonAlgebra.render(Eval.toJson(v)))
+      case v => Right(Eval.renderV(v))
     }
 }

@@ -137,6 +137,47 @@ object Eval {
     case VErr(msg) => JsonAlgebra.error(msg)
   }
 
+  private val jsonF = new com.fasterxml.jackson.core.JsonFactory()
+
+  /** Direct V -> Go-rendered JSON: streams through a JsonGenerator with
+    * object keys sorted at write time. Render-identical to
+    * `JsonAlgebra.render(toJson(v))` (the goldens + oracle rows pin
+    * this), but skips building a JsonNode tree, deep-copy-sorting it,
+    * and re-walking it — the per-row render cost of BOTH CEL tiers. */
+  def renderV(value: V): String = {
+    val w = new java.io.StringWriter(64)
+    val g = jsonF.createGenerator(w)
+    def write(x: V): Unit = x match {
+      case VNull => g.writeNull()
+      case VBool(b) => g.writeBoolean(b)
+      case VInt(i) => g.writeNumber(i)
+      case VUint(i) => g.writeNumber(i)
+      case VDouble(d) =>
+        if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) g.writeNumber(d.toLong)
+        else g.writeNumber(d)
+      case VString(s) => g.writeString(s)
+      case VBytes(b) => g.writeString(java.util.Base64.getEncoder.encodeToString(b))
+      case VTimestamp(us) =>
+        g.writeString(TimeKernel.formatTime(us, UTF8String.fromString("RFC3339")).toString)
+      case VDuration(us) => g.writeString(trimDur(us))
+      case VList(xs) => g.writeStartArray(); xs.foreach(write); g.writeEndArray()
+      case m: VMap =>
+        g.writeStartObject()
+        if (m.v.size <= 1) m.v.foreach { case (k, e) => g.writeFieldName(k); write(e) }
+        else m.v.keys.toArray.sorted.foreach { k => g.writeFieldName(k); write(m.v(k)) }
+        g.writeEndObject()
+      case VOpt(Some(x2)) => write(x2)
+      case VOpt(None) => g.writeNull()
+      case VErr(msg) =>
+        g.writeStartObject()
+        g.writeStringField(JsonAlgebra.ErrorKey, msg)
+        g.writeEndObject()
+    }
+    write(value)
+    g.close()
+    w.toString
+  }
+
   private def trimDur(us: Long): String = {
     val s = us / 1e6
     if (s == s.floor) s"${s.toLong}s" else s"${BigDecimal(s).underlying.stripTrailingZeros.toPlainString}s"
@@ -152,8 +193,8 @@ object Eval {
       globalsJson: String = "",
       baseDir: Option[java.nio.file.Path] = None,
       xsds: Map[String, String] = Map.empty): String =
-    JsonAlgebra.render(toJson(evalValue(program, stateJson, nowMicros,
-      regexps, globalsJson, baseDir, xsds)))
+    renderV(evalValue(program, stateJson, nowMicros,
+      regexps, globalsJson, baseDir, xsds))
 
   /** Like evalJson but returns the raw value — the top-level VErr keeps
     * its source offset for DecoratedError-style rendering. */

@@ -49,9 +49,10 @@ object VOps {
     else Eval.fromJson(n)
   }
 
-  /** Program root: V -> Go-rendered JSON. */
+  /** Program root: V -> Go-rendered JSON (direct streaming serializer —
+    * no JsonNode tree build/sort/copy per row). */
   def render(o: Object): UTF8String =
-    UTF8String.fromString(JsonAlgebra.render(Eval.toJson(v(o))))
+    UTF8String.fromString(Eval.renderV(v(o)))
 
   // ---------------- operators (Eval's own implementations) ----------------
   def binary(op: UTF8String, l: Object, r: Object): Object =
