@@ -139,6 +139,60 @@ object Eval {
 
   private val jsonF = new com.fasterxml.jackson.core.JsonFactory()
 
+  /** JSON text -> V through a streaming parser — the leaf-side mirror of
+    * [[renderV]]: no JsonNode tree is built and re-walked. Number/shape
+    * mapping matches [[fromJson]] exactly (integral -> VInt with Go-like
+    * wraparound on overflow, other numbers -> VDouble). Parse failures
+    * are in-band `VErr("failed to parse JSON: ...")` values. */
+  def parseV(s: String): V =
+    try {
+      val p = jsonF.createParser(s)
+      try {
+        if (p.nextToken() == null) VErr("failed to parse JSON: no content")
+        else readV(p)
+      } finally p.close()
+    } catch {
+      case NonFatal(e) => VErr(s"failed to parse JSON: ${e.getMessage}")
+    }
+
+  private def readV(p: com.fasterxml.jackson.core.JsonParser): V = {
+    import com.fasterxml.jackson.core.JsonToken._
+    p.currentToken() match {
+      case VALUE_NULL => VNull
+      case VALUE_TRUE => VBool(true)
+      case VALUE_FALSE => VBool(false)
+      case VALUE_NUMBER_INT =>
+        try VInt(p.getLongValue)
+        catch { case _: com.fasterxml.jackson.core.exc.InputCoercionException =>
+          VInt(p.getBigIntegerValue.longValue()) } // JsonNode.longValue() parity
+      case VALUE_NUMBER_FLOAT => VDouble(p.getDoubleValue)
+      case VALUE_STRING => VString(p.getText)
+      case START_ARRAY =>
+        val b = Vector.newBuilder[V]
+        while (p.nextToken() != END_ARRAY) b += readV(p)
+        VList(b.result())
+      case START_OBJECT =>
+        var m = VectorMap.empty[String, V]
+        while (p.nextToken() != END_OBJECT) {
+          val k = p.currentName()
+          p.nextToken()
+          m = m.updated(k, readV(p))
+        }
+        VMap(m)
+      case other => VErr(s"failed to parse JSON: unexpected token $other")
+    }
+  }
+
+  /** State/globals leaf parse for the interpreted tier: a parse failure
+    * degrades to the error-keyed map the old fromJson(parse(...)) path
+    * produced (error objects stay plain maps in the interpreter's state
+    * leaf — [[graft.cel.VOps.fromJsonText]] is the tier that promotes
+    * them to VErr). */
+  private def parseStateV(s: String): V = parseV(s) match {
+    case VErr(m) => VMap(VectorMap(JsonAlgebra.ErrorKey -> (VString(m): V)))
+    case ok => ok
+  }
+
   /** Direct V -> Go-rendered JSON: streams through a JsonGenerator with
     * object keys sorted at write time. Render-identical to
     * `JsonAlgebra.render(toJson(v))` (the goldens + oracle rows pin
@@ -203,10 +257,10 @@ object Eval {
       globalsJson: String = "",
       baseDir: Option[java.nio.file.Path] = None,
       xsds: Map[String, String] = Map.empty): V = {
-    val state = fromJson(JsonAlgebra.parse(stateJson))
+    val state = parseStateV(stateJson)
     val globals: Map[String, V] =
       if (globalsJson.isEmpty) Map.empty
-      else fromJson(JsonAlgebra.parse(globalsJson)) match {
+      else parseStateV(globalsJson) match {
         case VMap(m) => m
         case _ => Map.empty
       }

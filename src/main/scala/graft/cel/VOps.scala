@@ -42,11 +42,17 @@ object VOps {
     else { val t = u.toString; names.putIfAbsent(u, t); t }
   }
 
-  /** JSON text -> V (the state leaf; also literal fallback). */
-  def fromJsonText(u: UTF8String): Object = {
-    val n = JsonAlgebra.parse(u.toString)
-    if (JsonAlgebra.isError(n)) VErr(n.get(JsonAlgebra.ErrorKey).asText())
-    else Eval.fromJson(n)
+  /** JSON text -> V (the state leaf; also literal fallback). Direct
+    * streaming parse; a top-level error OBJECT promotes to VErr, keeping
+    * rendered error values in-band across the JSON boundary (same
+    * convention as Functions.jv). */
+  def fromJsonText(u: UTF8String): Object = Eval.parseV(u.toString) match {
+    case VMap(m) if m.size == 1 && m.contains(JsonAlgebra.ErrorKey) =>
+      m(JsonAlgebra.ErrorKey) match {
+        case VString(msg) => VErr(msg)
+        case _ => VMap(m)
+      }
+    case ok => ok
   }
 
   /** Program root: V -> Go-rendered JSON (direct streaming serializer —
