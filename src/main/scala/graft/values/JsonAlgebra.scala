@@ -30,8 +30,37 @@ object JsonAlgebra {
     catch { case NonFatal(e) => error(s"failed to parse JSON: ${e.getMessage}") }
 
   /** Serialize with object keys sorted — matches Go `json.Marshal` map
-    * key ordering (mito's encode_json, lib/json.go:207-247). */
-  def render(n: JsonNode): String = mapper.writeValueAsString(sortKeys(n))
+    * key ordering (mito's encode_json, lib/json.go:207-247). Streams the
+    * tree once with keys sorted at write time instead of deep-copying it
+    * through sortKeys first; scalars delegate to the mapper's own
+    * serializers (writeTree), so output is byte-identical to
+    * writeValueAsString. */
+  def render(n: JsonNode): String = {
+    val w = new java.io.StringWriter(64)
+    val g = mapper.createGenerator(w)
+    def write(x: JsonNode): Unit =
+      if (x.isObject) {
+        g.writeStartObject()
+        val o = x.asInstanceOf[ObjectNode]
+        if (o.size > 1) {
+          val keys = new Array[String](o.size)
+          var i = 0
+          o.fieldNames().forEachRemaining { k => keys(i) = k; i += 1 }
+          java.util.Arrays.sort(keys, java.util.Comparator.naturalOrder[String]())
+          keys.foreach { k => g.writeFieldName(k); write(o.get(k)) }
+        } else o.properties().forEach { e =>
+          g.writeFieldName(e.getKey); write(e.getValue)
+        }
+        g.writeEndObject()
+      } else if (x.isArray) {
+        g.writeStartArray()
+        x.elements().forEachRemaining(write(_))
+        g.writeEndArray()
+      } else g.writeTree(x)
+    write(n)
+    g.close()
+    w.toString
+  }
 
   def sortKeys(n: JsonNode): JsonNode = n match {
     case o: ObjectNode =>
