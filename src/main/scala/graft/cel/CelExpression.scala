@@ -24,13 +24,16 @@ case class CelEvalExpression(program: String, child: Expression, nowMicros: Long
     extends UnaryExpression with CodegenFallback {
 
   @transient private lazy val ast: Ast = Parser.parse(program)
+  // globals parse + now + time_layout assembled once per task, not per row
+  @transient private lazy val env0: Eval.Env =
+    Eval.baseEnv(nowMicros, regexps, globalsJson)
 
   override def dataType: DataType = StringType
   override def prettyName: String = "cel"
 
   override def nullSafeEval(state: Any): Any =
     UTF8String.fromString(
-      Eval.evalJson(ast, state.toString, nowMicros, regexps, globalsJson))
+      Eval.renderV(Eval.evalValueInEnv(ast, state.toString, env0)))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

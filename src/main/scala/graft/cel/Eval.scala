@@ -256,22 +256,37 @@ object Eval {
       regexps: Map[String, String] = Map.empty,
       globalsJson: String = "",
       baseDir: Option[java.nio.file.Path] = None,
-      xsds: Map[String, String] = Map.empty): V = {
-    val state = parseStateV(stateJson)
+      xsds: Map[String, String] = Map.empty): V =
+    evalValueInEnv(program, stateJson,
+      baseEnv(nowMicros, regexps, globalsJson, baseDir, xsds))
+
+  /** The `time_layout` global (17 named Go layouts) — one shared value,
+    * not rebuilt per evaluation. */
+  private val timeLayoutV: V = VMap(VectorMap.from(
+    TimeKernel.namedLayouts.toSeq.sortBy(_._1).map { case (k, l) => k -> (VString(l): V) }))
+
+  /** Everything about the environment except the per-row `state`
+    * binding: globals parse, `now`, `time_layout`. Built ONCE per query
+    * (CelEvalExpression caches it), so the per-row work is one state
+    * parse + one immutable-map update. */
+  def baseEnv(nowMicros: Long, regexps: Map[String, String] = Map.empty,
+      globalsJson: String = "",
+      baseDir: Option[java.nio.file.Path] = None,
+      xsds: Map[String, String] = Map.empty): Env = {
     val globals: Map[String, V] =
       if (globalsJson.isEmpty) Map.empty
       else parseStateV(globalsJson) match {
         case VMap(m) => m
         case _ => Map.empty
       }
-    val env = Env(globals ++ Map(
-      "state" -> state,
+    Env(globals ++ Map(
       "now" -> VTimestamp(nowMicros),
-      "time_layout" -> VMap(VectorMap.from(
-        TimeKernel.namedLayouts.toSeq.sortBy(_._1).map { case (k, l) => k -> VString(l) }))),
+      "time_layout" -> timeLayoutV),
       nowMicros, regexps, baseDir, xsds)
-    eval(program, env)
   }
+
+  def evalValueInEnv(program: Ast, stateJson: String, env: Env): V =
+    eval(program, env.copy(vars = env.vars.updated("state", parseStateV(stateJson))))
 
   // ---------------- core evaluation ----------------
   /** Evaluate, annotating errors with the source offset of the node they
