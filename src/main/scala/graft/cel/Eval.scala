@@ -183,13 +183,17 @@ object Eval {
     }
   }
 
-  /** State/globals leaf parse for the interpreted tier: a parse failure
-    * degrades to the error-keyed map the old fromJson(parse(...)) path
-    * produced (error objects stay plain maps in the interpreter's state
-    * leaf — [[graft.cel.VOps.fromJsonText]] is the tier that promotes
-    * them to VErr). */
-  private def parseStateV(s: String): V = parseV(s) match {
-    case VErr(m) => VMap(VectorMap(JsonAlgebra.ErrorKey -> (VString(m): V)))
+  /** State/globals leaf parse — IDENTICAL in both tiers (VOps
+    * .fromJsonText delegates here): parse failures are VErr, and a
+    * top-level error OBJECT promotes to VErr so rendered error values
+    * stay in-band across a render->parse round trip (the same
+    * convention as Functions.jv at the JSON boundary). */
+  private[cel] def stateLeafV(s: String): V = parseV(s) match {
+    case m: VMap if m.v.size == 1 =>
+      m.v.get(JsonAlgebra.ErrorKey) match {
+        case Some(VString(msg)) => VErr(msg)
+        case _ => m
+      }
     case ok => ok
   }
 
@@ -262,7 +266,7 @@ object Eval {
 
   /** The `time_layout` global (17 named Go layouts) — one shared value,
     * not rebuilt per evaluation. */
-  private val timeLayoutV: V = VMap(VectorMap.from(
+  private[cel] val timeLayoutV: V = VMap(VectorMap.from(
     TimeKernel.namedLayouts.toSeq.sortBy(_._1).map { case (k, l) => k -> (VString(l): V) }))
 
   /** Everything about the environment except the per-row `state`
@@ -275,7 +279,7 @@ object Eval {
       xsds: Map[String, String] = Map.empty): Env = {
     val globals: Map[String, V] =
       if (globalsJson.isEmpty) Map.empty
-      else parseStateV(globalsJson) match {
+      else stateLeafV(globalsJson) match {
         case VMap(m) => m
         case _ => Map.empty
       }
@@ -286,7 +290,7 @@ object Eval {
   }
 
   def evalValueInEnv(program: Ast, stateJson: String, env: Env): V =
-    eval(program, env.copy(vars = env.vars.updated("state", parseStateV(stateJson))))
+    eval(program, env.copy(vars = env.vars.updated("state", stateLeafV(stateJson))))
 
   // ---------------- core evaluation ----------------
   /** Evaluate, annotating errors with the source offset of the node they
@@ -323,7 +327,9 @@ object Eval {
           case (_, err: VErr) => return err
           case (VString(ks), vv) => m = m.updated(ks, vv)
           case (VInt(ki), vv) => m = m.updated(ki.toString, vv); intKeys += ki.toString
-          case (VUint(ki), vv) => m = m.updated(ki.toString, vv); intKeys += ki.toString
+          // uint keys: unsigned stringification, string-surfaced (the
+          // int tag would re-type them as VInt and overflow typedKeys)
+          case (VUint(ki), vv) => m = m.updated(java.lang.Long.toUnsignedString(ki), vv)
           case (other, _) => return VErr(s"unsupported map key: $other")
         }
       }

@@ -86,9 +86,7 @@ object Lowering {
     val ast = try Parser.parse(program) catch { case _: Exception => return None }
     val env0 = Map(
       "state" -> op("fromJsonText", Seq(Str), state),
-      "time_layout" -> litV(VMap(VectorMap.from(
-        graft.expressions.TimeKernel.namedLayouts.toSeq.sortBy(_._1)
-          .map { case (k, l) => k -> (VString(l): V) })))) ++
+      "time_layout" -> litV(Eval.timeLayoutV)) ++ // the interpreter's own constant
       nowMicros.map(us => "now" -> litV(VTimestamp(us)))
     lower(ast, env0)(regexps, nowMicros)
       .map(c => opTyped(Str, "render", Seq(OT), c))

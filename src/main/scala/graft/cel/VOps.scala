@@ -39,21 +39,19 @@ object VOps {
   @inline private def name(u: UTF8String): String = {
     val s = names.get(u)
     if (s != null) s
-    else { val t = u.toString; names.putIfAbsent(u, t); t }
+    else {
+      // bound the table for CEL-as-a-service JVMs compiling unbounded
+      // distinct programs: dropping the cache only costs re-interning
+      if (names.size >= 4096) names.clear()
+      val t = u.toString; names.putIfAbsent(u, t); t
+    }
   }
 
-  /** JSON text -> V (the state leaf; also literal fallback). Direct
-    * streaming parse; a top-level error OBJECT promotes to VErr, keeping
-    * rendered error values in-band across the JSON boundary (same
-    * convention as Functions.jv). */
-  def fromJsonText(u: UTF8String): Object = Eval.parseV(u.toString) match {
-    case VMap(m) if m.size == 1 && m.contains(JsonAlgebra.ErrorKey) =>
-      m(JsonAlgebra.ErrorKey) match {
-        case VString(msg) => VErr(msg)
-        case _ => VMap(m)
-      }
-    case ok => ok
-  }
+  /** JSON text -> V (the state leaf; also literal fallback). Shared
+    * with the interpreter's state binding ([[Eval.stateLeafV]]), so both
+    * tiers agree on parse failures AND on the top-level error-object
+    * promotion that keeps rendered error values in-band. */
+  def fromJsonText(u: UTF8String): Object = Eval.stateLeafV(u.toString)
 
   /** Program root: V -> Go-rendered JSON (direct streaming serializer —
     * no JsonNode tree build/sort/copy per row). */
@@ -140,6 +138,10 @@ object VOps {
     var i = 0
     while (i < n) {
       objAt(vals, i) match {
+        // a NULL input column nulls the whole result (CreateArray does
+        // not propagate element nulls; the interpreter returns NULL for
+        // the row) — without this, a null element would crash renderV
+        case null => return null
         case err: VErr => return err
         case x => b += x
       }
@@ -155,11 +157,15 @@ object VOps {
     var i = 0
     while (i < n) {
       (objAt(keys, i), objAt(vals, i)) match {
+        case (null, _) | (_, null) => return null // see listOf
         case (err: VErr, _) => return err
         case (_, err: VErr) => return err
         case (VString(k), vv) => m = m.updated(k, vv)
         case (VInt(k), vv) => m = m.updated(k.toString, vv); intKeys += k.toString
-        case (VUint(k), vv) => m = m.updated(k.toString, vv); intKeys += k.toString
+        // uint keys stringify UNSIGNED (Go json.Marshal) and stay
+        // string-surfaced: the int tag would re-surface them as VInt
+        // (wrong type) and overflow typedKeys for keys >= 2^63
+        case (VUint(k), vv) => m = m.updated(java.lang.Long.toUnsignedString(k), vv)
         case (other, _) => return VErr(s"unsupported map key: $other")
       }
       i += 1
@@ -300,8 +306,10 @@ object VOps {
     * re-derives the error from the target itself. */
   def items(t: Object): ArrayData = v(t) match {
     case VList(xs) => new GenericArrayData(xs.toArray[Any])
-    case VMap(m) =>
-      new GenericArrayData(m.keys.toVector.sorted.map(VString(_): Any).toArray[Any])
+    case m: VMap =>
+      // typedKeys, NOT string keys: int-keyed maps iterate int keys in
+      // numeric order, same as the interpreter's comprehension
+      new GenericArrayData(Eval.typedKeys(m).map(_._2: Any).toArray[Any])
     case _ => new GenericArrayData(Array.empty[Any])
   }
 

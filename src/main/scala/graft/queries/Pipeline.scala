@@ -29,7 +29,10 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  /** q37's O(n^2) guard count, one scan per dataset dir per JVM. */
+  /** q37's O(n^2) guard count, one scan per dataset dir per JVM.
+    * Assumes dataset dirs are immutable once written (true of the
+    * driver-generated testdata); a dir that grows after first count
+    * would be re-guarded only in a fresh JVM. */
   private val embCount = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private def toks(c: Column) = tokens(c)

@@ -209,12 +209,16 @@ object HttpSource {
     val b64 = Base64.getUrlEncoder.withoutPadding()
     def seg(json: String): String = b64.encodeToString(json.getBytes(StandardCharsets.UTF_8))
     val now = System.currentTimeMillis() / 1000
+    // JSON-escape every string claim (a quote/backslash in client_email
+    // or a scope would otherwise corrupt the signed assertion)
+    def q(s: String): String =
+      new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(s)
     val sub =
       if (cfg.googleDelegatedAccount.nonEmpty)
-        s""","sub":"${cfg.googleDelegatedAccount}"""" else ""
-    val claims = s"""{"iss":"${field("client_email")}"""" +
-      s""","scope":"${cfg.scopes.mkString(" ")}"""" +
-      s""","aud":"$tokenUri","exp":${now + 3600},"iat":$now$sub}"""
+        s""","sub":${q(cfg.googleDelegatedAccount)}""" else ""
+    val claims = s"""{"iss":${q(field("client_email"))}""" +
+      s""","scope":${q(cfg.scopes.mkString(" "))}""" +
+      s""","aud":${q(tokenUri)},"exp":${now + 3600},"iat":$now$sub}"""
     val signingInput = seg("""{"alg":"RS256","typ":"JWT"}""") + "." + seg(claims)
     val sig = Base64.getUrlEncoder.withoutPadding().encodeToString(
       rs256(field("private_key"), signingInput.getBytes(StandardCharsets.US_ASCII)))

@@ -171,7 +171,15 @@ class LoweringSpec extends SparkSpec {
     "optional.none().hasValue()",
     "optional.of(state.k).value()",
     "state.k.orValue(9)",              // orValue on non-optional passes through
-    "5.orValue(1 / 0)")                // strict default: error propagates
+    "5.orValue(1 / 0)",                // strict default: error propagates
+    // int-keyed maps: typed keys survive keys()/values()/iteration in
+    // BOTH tiers (VOps.items must use typedKeys — numeric order, VInt)
+    """{2: "b", 10: "a", 1: "c"}.keys()""",
+    """{2: "b", 10: "a"}.values()""",
+    """{2: "b", 10: "a", 1: "c"}.map(k, k)""",
+    """{1: "a", 2: "b"}.map(k, k > 1, k * 10)""",
+    """{1: "a"} == {"1": "a"}""",      // key type is part of map equality
+    """{1: "a", 2: "b"}.exists(k, k == 2)""")
 
   // constructs the subset must DECLINE (fall back to the interpreter):
   // env-dependent (now without a fixed nowMicros, file/dir), side-effecting
@@ -202,6 +210,21 @@ class LoweringSpec extends SparkSpec {
       val bad = diff.take(1)
       assert(bad.isEmpty,
         s"$program diverged: lowered=${bad.headOption.map(_.get(0))} interpreted=${bad.headOption.map(_.get(1))}")
+    }
+  }
+
+  test("NULL state column: lowered containers null out like the interpreter") {
+    // CreateArray does not propagate element nulls, so listOf/mapOf must
+    // null the whole result themselves — matching the interpreter's
+    // null-in/null-out row behavior (and not crashing renderV)
+    val df = spark.range(1).select(lit(null).cast("string").as("props"))
+    Seq("""{"doc": state}""", "[state]", """[1, state, "x"]""",
+      "state.k", "state").foreach { p =>
+      val both = df.select(
+        Cel.lower(p, col("props"), nowMicros = Some(NOW)).get.as("low"),
+        Cel(p, col("props"), nowMicros = NOW).as("interp"))
+      val r = both.take(1).head
+      assert(r.isNullAt(0) && r.isNullAt(1), s"$p: $r")
     }
   }
 
