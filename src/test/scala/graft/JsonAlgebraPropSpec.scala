@@ -111,4 +111,29 @@ class JsonAlgebraPropSpec extends AnyFunSuite {
   test("collate on scalar with empty path returns the scalar") {
     assert(render(collate(parse("5"), Seq(""))) == "[5]")
   }
+
+  // --- streaming codec equivalence: the V tier's direct parse/render
+  // --- must agree with the Jackson-tree reference path on ANY doc -----
+
+  test("parseV == fromJson(parse) on arbitrary JSON") {
+    check(genJson(3)) { doc =>
+      assert(graft.cel.Eval.parseV(doc) == graft.cel.Eval.fromJson(parse(doc)),
+        s"parseV diverged on $doc")
+    }
+  }
+
+  test("renderV == render(toJson) on arbitrary parsed values") {
+    check(genJson(3)) { doc =>
+      val v = graft.cel.Eval.parseV(doc)
+      assert(graft.cel.Eval.renderV(v) == render(graft.cel.Eval.toJson(v)),
+        s"renderV diverged on $doc")
+    }
+  }
+
+  test("streaming render . parse is the same normal form as the tree path") {
+    check(genJson(3)) { doc =>
+      val direct = graft.cel.Eval.renderV(graft.cel.Eval.parseV(doc))
+      assert(direct == render(parse(doc)), s"normal forms diverged on $doc")
+    }
+  }
 }
