@@ -174,6 +174,34 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CEL programs run over a structured stream (both tiers), matching batch") {
+    // the CEL front-end is an ordinary Column, so it composes with
+    // readStream unchanged — the reference's one-doc-at-a-time loop
+    // becomes a micro-batched continuous query
+    val NOW = 1704067200000000L
+    val prog = """{"k10": state.k + 10, "big": state.k > 50, "n": size(state)}"""
+    val stream = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+    val out = stream.select(col("event_id"),
+      graft.cel.Cel.auto(prog, col("props"), NOW).as("low"),
+      graft.cel.Cel(prog, col("props"), nowMicros = NOW).as("interp"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("cel_stream").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT count(*), count(CASE WHEN low = interp THEN 1 END) FROM cel_stream")
+        .as[(Long, Long)].head()
+      assert(rows._1 > 0 && rows._1 == rows._2,
+        s"lowered/interpreted diverged on stream: $rows")
+      val batch = spark.read.parquet(eventsDir)
+        .select(graft.cel.Cel.auto(prog, col("props"), NOW).as("low"))
+        .orderBy(col("low")).as[String].collect().toSeq
+      val streamed = spark.sql("SELECT low FROM cel_stream ORDER BY low")
+        .as[String].collect().toSeq
+      assert(streamed == batch, "stream output != batch output")
+    } finally q.stop()
+  }
+
   test("bucket-overflow cap keeps FIRST members in both streaming variants") {
     import graft.streaming.DedupStreams
     // 20 identical signatures into one bucket, cap 8: an exact-dup group
