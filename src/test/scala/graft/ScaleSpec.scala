@@ -5,6 +5,39 @@ import org.apache.spark.sql.functions._
 
 class ScaleSpec extends SparkSpec {
 
+  test("AQE splits skewed join partitions at runtime (skew=true in final plan)") {
+    // 90% of the big side lands on one key; with the skew thresholds
+    // scaled to test-data size, AQE must re-plan the sort-merge join
+    // with skew-split partitions — the same mechanism that handles hot
+    // keys at 100 TB (salting stays for aggregations, Scale.saltedAgg)
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val big = spark.range(500000).select(
+        when(col("id") % 10 < 9, 0L).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+      val right = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val j = big.join(right, "k")
+      // collect() executes THIS dataset's query execution (count()/
+      // foreach plan separate executions, leaving j's adaptive plan
+      // unrun and its toString at the pre-execution initial plan)
+      val n = j.collect().length
+      assert(n == 450000 + 100) // 450k on the hot key + the 100 tail keys < 1000
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"AQE did not finalize:\n$plan")
+      assert(plan.contains("skew=true"),
+        s"AQE skew-join did not engage:\n${plan.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed join plans without a shuffle Exchange") {
     val t = Tables(spark, sf)
     Scale.writeBucketed(t.orders, "orders_b", "o_custkey", 8)
