@@ -65,15 +65,28 @@ object GraftFunctions {
     "count_substr"      -> si(S, LongType, "countSubstr", Seq(Str, Str)) _,
     "index_str"         -> si(S, LongType, "indexOf", Seq(Str, Str)) _,
     "last_index_str"    -> si(S, LongType, "lastIndexOf", Seq(Str, Str)) _,
+    "index_any"         -> si(S, LongType, "indexAny", Seq(Str, Str)) _,
+    "last_index_any"    -> si(S, LongType, "lastIndexAny", Seq(Str, Str)) _,
+    "compare_str"       -> si(S, IntegerType, "compareStr", Seq(Str, Str)) _,
+    "contains_any"      -> si(S, BooleanType, "containsAny", Seq(Str, Str)) _,
+    "equal_fold"        -> si(S, BooleanType, "equalFold", Seq(Str, Str)) _,
     "substring_runes"   -> si(S, Str, "substrRunes", Seq(Str, LongType, LongType)) _,
     "to_title"          -> si(S, Str, "toTitle", Seq(Str)) _,
+    "to_valid_utf8"     -> si(S, Str, "toValidUTF8", Seq(Bin, Str)) _,
     "trim_cutset"       -> si(S, Str, "trimCutset", Seq(Str, Str)) _,
     "trim_prefix"       -> si(S, Str, "trimPrefix", Seq(Str, Str)) _,
     "trim_suffix"       -> si(S, Str, "trimSuffix", Seq(Str, Str)) _,
     "fields_str"        -> si(S, ArrS, "fields", Seq(Str)) _,
+    "split_n"           -> si(S, ArrS, "splitN", Seq(Str, Str, LongType)) _,
+    "split_after"       -> si(S, ArrS, "splitAfter", Seq(Str, Str)) _,
+    "split_after_n"     -> si(S, ArrS, "splitAfterN", Seq(Str, Str, LongType)) _,
+    "replace_n"         -> si(S, Str, "replaceN", Seq(Str, Str, Str, LongType)) _,
+    "find_all_submatch" -> si(S, ArrayType(ArrS), "findAllSubmatch", Seq(Str, Str)) _,
     // time (named Go layouts resolve inside the kernel)
     "format_time_go"    -> si(T, Str, "formatTime", Seq(TimestampType, Str)) _,
     "parse_time_go"     -> si(T, TimestampType, "parseTime", Seq(Str, Str)) _,
+    "duration_go"       -> si(T, LongType, "parseDuration", Seq(Str)) _,
+    "format_duration_go" -> si(T, Str, "formatDuration", Seq(LongType)) _,
     // crypto
     "md5_bytes"         -> si(C, Bin, "md5Bytes", Seq(Bin)) _,
     "sha1_bytes"        -> si(C, Bin, "sha1Bytes", Seq(Bin)) _,
@@ -89,13 +102,30 @@ object GraftFunctions {
     "gunzip"            -> si(M, Bin, "gunzip", Seq(Bin)) _,
     "ndjson_docs"       -> si(M, ArrS, "ndjson", Seq(Bin)) _,
     "rot13"             -> si(M, Bin, "rot13", Seq(Bin)) _,
+    "csv_header"        -> si(M, ArrayType(MapType(Str, Str)), "csvHeader", Seq(Bin)) _,
+    "csv_no_header"     -> si(M, ArrayType(ArrS), "csvNoHeader", Seq(Bin)) _,
+    // crypto additions
+    "base64_std"        -> si(C, Str, "base64Std", Seq(Bin)) _,
+    "base64_decode"     -> si(C, Bin, "base64Decode", Seq(Str)) _,
     "decode_xml"        -> si(X, Str, "decodeXml", Seq(Str)) _,
     "decode_xml_hinted" -> si(X, Str, "decodeXmlHinted", Seq(Str, Str)) _,
     // url/query
     "parse_url"         -> si(H, graft.expressions.HttpKernel.urlStructType, "parseUrl", Seq(Str)) _,
     "format_url"        -> si(H, Str, "formatUrl", Seq(graft.expressions.HttpKernel.urlStructType)) _,
     "parse_query"       -> si(H, MapType(Str, ArrS), "parseQuery", Seq(Str)) _,
-    "format_query"      -> si(H, Str, "formatQuery", Seq(MapType(Str, ArrS))) _)
+    "format_query"      -> si(H, Str, "formatQuery", Seq(MapType(Str, ArrS))) _,
+    // the CEL front-end itself: cel('<program>', state_json_col) — the
+    // program must be a literal (compiled once at plan time); lowered to
+    // codegen Columns when in the subset, interpreted otherwise
+    "cel"               -> celBuilder _)
+
+  private def celBuilder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(org.apache.spark.sql.catalyst.expressions.Literal(p: org.apache.spark.unsafe.types.UTF8String, StringType), state) =>
+      org.apache.spark.sql.graft.Shim.resolvedExpression(
+        graft.cel.Cel.auto(p.toString, org.apache.spark.sql.graft.Shim.column(state)))
+    case _ => throw new IllegalArgumentException(
+      "cel(program, state): program must be a STRING literal")
+  }
 
   /** Register everything on a live session. */
   def register(spark: SparkSession): Unit =

@@ -11,6 +11,14 @@ object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eager ColumnNode -> Expression conversion for contexts that never
+    * run the Dataset-side conversion (e.g. FunctionRegistry builders):
+    * `expression` defers via ColumnNodeExpression, which the analyzer
+    * resolves only on Dataset paths; this converts the whole tree now,
+    * leaving ordinary (analyzer-resolvable) unresolved functions. */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Register a function builder in an existing session's registry
     * (the extension-free path; GraftExtensions covers session build). */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,

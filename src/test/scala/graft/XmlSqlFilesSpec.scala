@@ -79,6 +79,29 @@ class XmlSqlFilesSpec extends SparkSpec {
     assert(r.getString(5) == """{"doc":{"a":{"b":"1"}}}""")
   }
 
+  test("cel() runs CEL programs from spark.sql (lowered when possible)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT cel('{"k10": state.k + 10, "big": state.k > 50}',
+                    '{"k": 69}') AS lowered,
+                cel('state.send_to("sql-ch")', '{"k": 1}') AS interpreted,
+                split_after('a,b,c', ',') AS sa,
+                replace_n('x.x.x', 'x', 'y', 2) AS rn,
+                compare_str('a', 'b') AS cmp,
+                duration_go('90s') AS dur""").head()
+    assert(r.getString(0) == """{"big":true,"k10":79}""")
+    assert(r.getString(1) == """{"k":1}""") // side-effecting -> interpreter tier
+    assert(r.getSeq[String](2) == Seq("a,", "b,", "c"))
+    assert(r.getString(3) == "y.y.x")
+    assert(r.getInt(4) == -1)
+    assert(r.getLong(5) == 90000000L)
+    // non-literal program is rejected at plan time
+    val e = intercept[Exception] {
+      spark.sql("SELECT cel(concat('sta', 'te'), '{}')").head()
+    }
+    assert(e.getMessage.contains("STRING literal"))
+  }
+
   test("Files.file reads bytes distributed; Files.dir lists") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-files")
     java.nio.file.Files.writeString(tmp.resolve("a.txt"), "AAA")
