@@ -31,6 +31,7 @@ object GraftFunctions {
   private val M = Class.forName("graft.expressions.MimeKernel")
   private val H = Class.forName("graft.expressions.HttpKernel")
   private val X = Class.forName("graft.expressions.XmlKernel")
+  private val V = Class.forName("graft.expressions.VariantKernel")
 
   private val Str  = StringType
   private val Bin  = BinaryType
@@ -107,6 +108,18 @@ object GraftFunctions {
     // crypto additions
     "base64_std"        -> si(C, Str, "base64Std", Seq(Bin)) _,
     "base64_decode"     -> si(C, Bin, "base64Decode", Seq(Str)) _,
+    // variant-native dynamic tier (v_parse = builtin parse_json)
+    "v_render"          -> si(V, Str, "render", Seq(VariantType)) _,
+    "v_get"             -> si(V, VariantType, "getPath", Seq(VariantType, Str)) _,
+    "v_has"             -> si(V, BooleanType, "hasPath", Seq(VariantType, Str)) _,
+    "v_collate"         -> si(V, Str, "collate", Seq(VariantType, Str)) _,
+    "v_with"            -> si(V, VariantType, "withAll", Seq(VariantType, VariantType)) _,
+    "v_with_update"     -> si(V, VariantType, "withUpdate", Seq(VariantType, VariantType)) _,
+    "v_with_replace"    -> si(V, VariantType, "withReplace", Seq(VariantType, VariantType)) _,
+    "v_keys"            -> si(V, Str, "keysOf", Seq(VariantType)) _,
+    "v_values"          -> si(V, Str, "valuesOf", Seq(VariantType)) _,
+    "v_size"            -> si(V, LongType, "sizeOf", Seq(VariantType)) _,
+    "v_drop"            -> si(V, VariantType, "dropPaths", Seq(VariantType, ArrS)) _,
     "decode_xml"        -> si(X, Str, "decodeXml", Seq(Str)) _,
     "decode_xml_hinted" -> si(X, Str, "decodeXmlHinted", Seq(Str, Str)) _,
     // url/query

@@ -95,6 +95,14 @@ class XmlSqlFilesSpec extends SparkSpec {
     assert(r.getString(3) == "y.y.x")
     assert(r.getInt(4) == -1)
     assert(r.getLong(5) == 90000000L)
+    // variant tier from SQL: parse_json is the builtin entry point
+    val v = spark.sql(
+      """SELECT v_render(v_with(parse_json('{"b":2,"a":1}'), parse_json('{"c":3}'))) AS m,
+                v_keys(parse_json('{"b":2,"a":1}')) AS ks,
+                v_size(parse_json('{"b":2,"a":1}')) AS n""").head()
+    assert(v.getString(0) == """{"a":1,"b":2,"c":3}""")
+    assert(v.getString(1) == """["a","b"]""")
+    assert(v.getLong(2) == 2L)
     // non-literal program is rejected at plan time
     val e = intercept[Exception] {
       spark.sql("SELECT cel(concat('sta', 'te'), '{}')").head()
