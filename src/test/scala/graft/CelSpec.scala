@@ -111,6 +111,19 @@ class CelSpec extends SparkSpec {
     assert(runRe("'food fool'.re_replace_all('(f)oo([ld])', '${1}u${2}')") == "\"fud ful\"")
   }
 
+  test("VMap intKeys tag survives java serialization (task-binary literals)") {
+    import graft.cel.Eval.{VMap, VString, V}
+    import scala.collection.immutable.VectorMap
+    val tagged = VMap(VectorMap("1" -> (VString("a"): V), "x" -> (VString("b"): V)), Set("1"))
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(tagged)
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray)).readObject().asInstanceOf[VMap]
+    assert(back == tagged, "VMap equality (incl. tag) after roundtrip")
+    assert(back.intKeys == Set("1"), "intKeys carried by the serialization proxy")
+    assert(back.v == tagged.v, "entries preserved in order")
+  }
+
   test("rate_limit okta through CEL (reference testdata/limit_okta.txt)") {
     val out = run(
       """{"X-Rate-Limit-Limit": ["600"],
