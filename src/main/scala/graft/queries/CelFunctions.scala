@@ -254,6 +254,19 @@ object CelFunctions {
         .orderBy(col("event_id"))
     },
 
+    // to_valid_utf8: a run of invalid bytes (0xFF 0xFE) becomes ONE
+    // replacement (Go strings.ToValidUTF8 semantics); valid_utf8 flags
+    // the same bytes (strings.go utf8.Valid)
+    "q74_valid_utf8" -> { (s, dir) =>
+      val bad = concat(unhex(lit("FFFE")), col("event_type").cast("binary"))
+      Tables(s, dir).events
+        .select(col("event_id"),
+          to_valid_utf8(bad, lit("?")).as("repaired"),
+          valid_utf8(bad).as("bad_is_valid"),
+          valid_utf8(col("event_type").cast("binary")).as("ascii_is_valid"))
+        .orderBy(col("event_id"))
+    },
+
     // byte-order compare, char-class scan ops, Unicode title mapping
     // (strings.go Compare/ContainsAny/IndexAny/LastIndex/ToTitle) —
     // ASCII event_type keeps byte and rune indexes identical, so the
@@ -426,6 +439,12 @@ object CelFunctions {
          'a,b' AS tags,
          'a b' AS enc_v,
          CAST(4 AS BIGINT) AS n_keys
+         FROM events ORDER BY event_id""",
+    "q74_valid_utf8" ->
+      """SELECT event_id,
+         '?' || event_type AS repaired,
+         false AS bad_is_valid,
+         true AS ascii_is_valid
          FROM events ORDER BY event_id""",
     "q73_string_scan" ->
       """SELECT event_id,
