@@ -859,7 +859,7 @@ private[cel] object Functions {
       "Request" -> reqEcho,
       "Status" -> VString(r.status),
       "StatusCode" -> VInt(r.statusCode),
-      "Uncompressed" -> VBool(false)))
+      "Uncompressed" -> VBool(r.uncompressed)))
   }
 
   private def execHttpV(method: String, url: String,

@@ -18,13 +18,17 @@ import scala.jdk.CollectionConverters._
   */
 object HttpExec {
 
-  /** respToMap-shaped response + the request echo respToMap embeds. */
+  /** respToMap-shaped response + the request echo respToMap embeds.
+    * `uncompressed` mirrors Go http.Response.Uncompressed: the transport
+    * transparently gunzipped the body (and deleted Content-Encoding/
+    * Content-Length, setting ContentLength to -1). */
   final case class Resp(
       status: String, statusCode: Long, proto: String,
       protoMajor: Long, protoMinor: Long,
       header: Map[String, Seq[String]], contentLength: Long, body: Array[Byte],
       reqMethod: String, reqUrl: String, reqHost: String,
-      reqHeader: Map[String, Seq[String]], reqContentLength: Long)
+      reqHeader: Map[String, Seq[String]], reqContentLength: Long,
+      uncompressed: Boolean = false)
 
   // One HTTP/1.1 client per JVM (reference holds one http.Client per
   // library instance). HTTP/1.1 preferred so Proto matches Go's default.
@@ -105,6 +109,10 @@ object HttpExec {
       if (!restricted.contains(k.toLowerCase))
         vs.foreach(v => b.header(k, v))
     }
+    // Go transport: request gzip transparently unless the caller set
+    // their own Accept-Encoding (net/http DisableCompression=false)
+    val transparentGzip = !headers.keys.exists(_.equalsIgnoreCase("accept-encoding"))
+    if (transparentGzip) b.header("Accept-Encoding", "gzip")
     val bodyLen = if (body == null) 0L else body.length.toLong
     val publisher =
       if (body == null || body.isEmpty) HttpRequest.BodyPublishers.noBody()
@@ -112,26 +120,43 @@ object HttpExec {
     b.method(method.toUpperCase(java.util.Locale.ROOT), publisher)
     val resp = (if (insecure) insecureClient else client)
       .send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
-    val hdr = resp.headers().map().asScala.toSeq
+    // Go hides hop-by-hop transfer framing from Header (it moves
+    // Transfer-Encoding to a struct field respToMap doesn't keep)
+    var hdr = resp.headers().map().asScala.toSeq
       .filterNot(_._1.startsWith(":"))
       .map { case (k, vs) => canonicalHeader(k) -> vs.asScala.toSeq }
-      .toMap
+      .toMap - "Transfer-Encoding"
     val proto = resp.version() match {
       case HttpClient.Version.HTTP_2 => ("HTTP/2.0", 2L, 0L)
       case _ => ("HTTP/1.1", 1L, 1L)
     }
-    val clen = hdr.get("Content-Length").flatMap(_.headOption)
-      .flatMap(s => scala.util.Try(s.toLong).toOption)
-      .getOrElse(resp.body().length.toLong)
+    // transparent decompression (Go transport): gunzip the body, drop
+    // Content-Encoding/Content-Length, ContentLength -1, Uncompressed
+    var respBody = resp.body()
+    var uncompressed = false
+    if (transparentGzip && respBody.nonEmpty &&
+      hdr.get("Content-Encoding").exists(_.exists(_.equalsIgnoreCase("gzip")))) {
+      respBody = graft.expressions.MimeKernel.gunzip(respBody)
+      hdr = hdr - "Content-Encoding" - "Content-Length"
+      uncompressed = true
+    }
+    // ContentLength: the declared length, or -1 when unknown (chunked /
+    // decompressed) — Go semantics, not the buffered body size
+    val clen =
+      if (uncompressed) -1L
+      else hdr.get("Content-Length").flatMap(_.headOption)
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .getOrElse(if (method.equalsIgnoreCase("HEAD")) 0L else -1L)
     Resp(
       status = s"${resp.statusCode()} ${statusText(resp.statusCode())}".trim,
       statusCode = resp.statusCode().toLong,
       proto = proto._1, protoMajor = proto._2, protoMinor = proto._3,
-      header = hdr, contentLength = clen, body = resp.body(),
+      header = hdr, contentLength = clen, body = respBody,
       reqMethod = method.toUpperCase(java.util.Locale.ROOT), reqUrl = url,
       reqHost = host(url),
       reqHeader = headers.map { case (k, vs) => canonicalHeader(k) -> vs },
-      reqContentLength = bodyLen)
+      reqContentLength = bodyLen,
+      uncompressed = uncompressed)
   }
 
   def get(url: String): Resp = send("GET", url)

@@ -25,14 +25,14 @@ class ReferenceGoldenSpec extends AnyFunSuite {
   // scripts whose harness features the replay can't host (see above) or
   // whose semantics intentionally diverge (documented in README/SURVEY)
   private val skip: Set[String] = Set(
-    // live-server scripts (these fetch www.example.com; the same
-    // programs replay against a local stub in HttpExecSpec, and
-    // StreamingSpec/OAuthGlobalsSpec cover the source path).
-    // request.txt is NOT skipped: request-as-data needs no network.
-    // (serve.txt and basic_auth.txt DO replay: the harness hosts the
-    // plain `serve` command with a local stub)
-    "serve_tls.txt", "post.txt", "get.txt", "head.txt",
-    "request_do.txt", "head_unauthorized.txt",
+    // get/post/head/request_do REPLAY: the harness hosts
+    // www.example.com locally, serving the body the golden pins — GET
+    // gzip+chunked so the transparent-decompression path (Uncompressed,
+    // ContentLength -1, CE/CL header removal) matches Go's transport.
+    // serve_tls stays skipped: its stderr regex pins Go's x509 error
+    // text, which the JDK's certificate failure can never produce
+    // (the -insecure trust-all path itself is covered by HttpExecSpec).
+    "serve_tls.txt",
 
     // nondeterministic / wall-clock / loop-driver (debug.txt replays:
     // its stdout is deterministic, only the stderr log is side-band)
@@ -201,16 +201,68 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     (server, s"http://127.0.0.1:${server.getAddress.getPort}/")
   }
 
+  /** Host www.example.com for the live-server goldens: serve the body
+    * the golden's own want.txt pins (decoded from its Body field), with
+    * the header/framing shape the reference recorded — GET responses
+    * come back gzip+chunked (so the client's transparent decompression
+    * must produce Uncompressed=true / ContentLength -1, exactly as Go's
+    * transport did), POST with Content-Length, HEAD body-less. */
+  private def startExampleCom(want: String): (com.sun.net.httpserver.HttpServer, String) = {
+    val body: Array[Byte] =
+      try {
+        val b = JsonAlgebra.parse(want).get("Body")
+        if (b != null && b.isTextual) java.util.Base64.getDecoder.decode(b.asText())
+        else Array.empty[Byte]
+      } catch { case _: Exception => Array.empty[Byte] }
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/", new com.sun.net.httpserver.HttpHandler {
+      override def handle(x: com.sun.net.httpserver.HttpExchange): Unit = {
+        x.getResponseHeaders.add("Content-Type", "text/html; charset=UTF-8")
+        x.getRequestMethod match {
+          case "HEAD" =>
+            x.sendResponseHeaders(200, -1)
+          case "GET" =>
+            x.getResponseHeaders.add("Vary", "Accept-Encoding")
+            x.getResponseHeaders.add("Content-Encoding", "gzip")
+            val bos = new java.io.ByteArrayOutputStream()
+            val gz = new java.util.zip.GZIPOutputStream(bos)
+            gz.write(body); gz.close()
+            x.sendResponseHeaders(200, 0) // chunked
+            x.getResponseBody.write(bos.toByteArray)
+          case _ => // POST
+            x.getResponseHeaders.add("Accept-Ranges", "bytes")
+            x.sendResponseHeaders(200, body.length)
+            x.getResponseBody.write(body)
+        }
+        x.close()
+      }
+    })
+    server.start()
+    (server, s"127.0.0.1:${server.getAddress.getPort}")
+  }
+
   private def runScript(name: String, s: Script): Either[String, Unit] = {
     val state = s.flags.get("data").flatMap(s.files.get).getOrElse("null")
     val workDir = materialize(s)
     val served = s.serve.map { case (f, auth) => startServe(workDir, f, auth) }
-    try runScriptInner(s, state, workDir, served.map(_._2))
-    finally served.foreach(_._1.stop(0))
+    val example =
+      if (s.src.contains("www.example.com")) Some(startExampleCom(s.want)) else None
+    val s2 = example match {
+      case Some((_, authority)) =>
+        s.copy(src = s.src.replace("www.example.com", authority))
+      case None => s
+    }
+    try runScriptInner(s2, state, workDir, served.map(_._2),
+      normalize = example.map { case (_, authority) =>
+        (out: String) => out.replace(authority, "www.example.com")
+      })
+    finally { served.foreach(_._1.stop(0)); example.foreach(_._1.stop(0)) }
   }
 
   private def runScriptInner(s: Script, state: String,
-      workDir: java.nio.file.Path, url: Option[String]): Either[String, Unit] = {
+      workDir: java.nio.file.Path, url: Option[String],
+      normalize: Option[String => String] = None): Either[String, Unit] = {
     // regexps / globals / xsd tables from cfg.yaml (the cfg forms the
     // goldens use)
     var regexps = Map.empty[String, String]
@@ -229,11 +281,12 @@ class ReferenceGoldenSpec extends AnyFunSuite {
         }.toMap
       else return Left("unsupported cfg")
     }
-    val got =
+    val got0 =
       try Cel.evalOnce(
         url.map(u => s.src.replace("${URL}", u.stripSuffix("/"))).getOrElse(s.src),
         state, 1704067200000000L, regexps, globalsJson, Some(workDir), xsds)
       catch { case e: Exception => return Left(s"eval threw: ${e.getMessage}") }
+    val got = normalize.fold(got0)(f => f(got0))
     val wantNode =
       try JsonAlgebra.parse(s.want)
       catch { case _: Exception => return Left("multi-doc or non-JSON golden") }
