@@ -32,11 +32,12 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     // serve_tls stays skipped: its stderr regex pins Go's x509 error
     // text, which the JDK's certificate failure can never produce
     // (the -insecure trust-all path itself is covered by HttpExecSpec).
+    // want_more.txt REPLAYS: multi-doc wants drive the re-entry loop.
     "serve_tls.txt",
 
     // nondeterministic / wall-clock / loop-driver (debug.txt replays:
     // its stdout is deterministic, only the stderr log is side-band)
-    "uuid.txt", "now.txt", "want_more.txt")
+    "uuid.txt", "now.txt")
     // limit_{okta,draft,general}.txt REPLAY: their rates are
     // deterministic once Go's time.Sub saturation (+-2^63 ns) and
     // strconv error texts are mirrored (LimitKernel.goUntilSeconds) —
@@ -281,20 +282,69 @@ class ReferenceGoldenSpec extends AnyFunSuite {
         }.toMap
       else return Left("unsupported cfg")
     }
-    val got0 =
-      try Cel.evalOnce(
-        url.map(u => s.src.replace("${URL}", u.stripSuffix("/"))).getOrElse(s.src),
-        state, 1704067200000000L, regexps, globalsJson, Some(workDir), xsds)
-      catch { case e: Exception => return Left(s"eval threw: ${e.getMessage}") }
-    val got = normalize.fold(got0)(f => f(got0))
-    val wantNode =
-      try JsonAlgebra.parse(s.want)
-      catch { case _: Exception => return Left("multi-doc or non-JSON golden") }
+    val src = url.map(u => s.src.replace("${URL}", u.stripSuffix("/"))).getOrElse(s.src)
+    def evalWith(st: String): Either[String, String] =
+      try {
+        val out = Cel.evalOnce(src, st, 1704067200000000L, regexps,
+          globalsJson, Some(workDir), xsds)
+        Right(normalize.fold(out)(f => f(out)))
+      } catch { case e: Exception => Left(s"eval threw: ${e.getMessage}") }
+
+    // multi-doc want = the mito driver's want_more re-entry loop: the
+    // rendered output becomes the next evaluation's state until
+    // want_more is false (mito.go run loop; WantMore.run is the Spark
+    // form). Compare document-by-document.
+    val wantDocs = parseDocs(s.want)
+    if (wantDocs.isEmpty) return Left("non-JSON golden")
+    if (wantDocs.length > 1) {
+      val gotDocs = Vector.newBuilder[JsonNode]
+      var st = state
+      var more = true
+      var i = 0
+      while (more && i < wantDocs.length + 5) {
+        val out = evalWith(st) match {
+          case Left(err) => return Left(err)
+          case Right(o) => o
+        }
+        val node = JsonAlgebra.parse(out)
+        gotDocs += node
+        more = node.isObject && {
+          val wm = node.get("want_more")
+          wm != null && wm.isBoolean && wm.booleanValue()
+        }
+        st = out
+        i += 1
+      }
+      val got = gotDocs.result()
+      return if (got.length == wantDocs.length &&
+        got.zip(wantDocs).forall { case (g, w) => treeEq(g, w) }) Right(())
+      else Left(s"want_more loop mismatch: ${got.length} docs vs ${wantDocs.length}")
+    }
+
+    val got = evalWith(state) match {
+      case Left(err) => return Left(err)
+      case Right(o) => o
+    }
+    val wantNode = wantDocs.head
     val gotNode = JsonAlgebra.parse(got)
     if (JsonAlgebra.isError(gotNode)) Left(s"error result: $got")
     else if (treeEq(gotNode, wantNode)) Right(())
     else Left(s"mismatch:\n  got:  $got\n  want: ${JsonAlgebra.render(wantNode)}")
   }
+
+  /** Concatenated pretty-printed JSON docs -> nodes (testscript wants
+    * with one doc per loop iteration). */
+  private def parseDocs(text: String): Vector[JsonNode] =
+    try {
+      // NOT MappingIterator.readValues: it unwraps a root-level ARRAY
+      // into its elements, turning single-array wants into fake
+      // multi-doc goldens. Token-walk the concatenated docs instead.
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val p = mapper.createParser(text)
+      val b = Vector.newBuilder[JsonNode]
+      while (p.nextToken() != null) b += mapper.readTree[JsonNode](p)
+      b.result()
+    } catch { case _: Exception => Vector.empty }
 
   test("reference golden scripts replay through the CEL front-end") {
     val all = Files.list(dir).iterator().asScala.toSeq
