@@ -115,17 +115,25 @@ object Eval {
 
   private val nf = JsonNodeFactory.instance
 
+  /** Whole doubles below 1e15 collapse to ints at JSON boundaries (Go
+    * json.Marshal of float64 — documented Lowering scaladoc). ONE
+    * definition shared with the tree and variant render paths. */
+  @inline private def wholeDouble(d: Double): Boolean =
+    graft.values.JsonAlgebra.wholeDouble(d)
+
+  private val rfc3339 = UTF8String.fromString("RFC3339")
+
   def toJson(v: V): JsonNode = v match {
     case VNull => nf.nullNode()
     case VBool(b) => nf.booleanNode(b)
     case VInt(i) => nf.numberNode(i)
     case VUint(i) => nf.numberNode(i)
-    case VDouble(d) => if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15)
+    case VDouble(d) => if (wholeDouble(d))
       nf.numberNode(d.toLong) else nf.numberNode(d)
     case VString(s) => nf.textNode(s)
     case VBytes(b) => nf.textNode(java.util.Base64.getEncoder.encodeToString(b))
     case VTimestamp(us) =>
-      nf.textNode(TimeKernel.formatTime(us, UTF8String.fromString("RFC3339")).toString)
+      nf.textNode(TimeKernel.formatTime(us, rfc3339).toString)
     case VDuration(us) => nf.textNode(trimDur(us))
     case VList(xs) => { val a = nf.arrayNode(); xs.foreach(x => a.add(toJson(x))); a }
     case VMap(m) =>
@@ -211,12 +219,11 @@ object Eval {
       case VInt(i) => g.writeNumber(i)
       case VUint(i) => g.writeNumber(i)
       case VDouble(d) =>
-        if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) g.writeNumber(d.toLong)
-        else g.writeNumber(d)
+        if (wholeDouble(d)) g.writeNumber(d.toLong) else g.writeNumber(d)
       case VString(s) => g.writeString(s)
       case VBytes(b) => g.writeString(java.util.Base64.getEncoder.encodeToString(b))
       case VTimestamp(us) =>
-        g.writeString(TimeKernel.formatTime(us, UTF8String.fromString("RFC3339")).toString)
+        g.writeString(TimeKernel.formatTime(us, rfc3339).toString)
       case VDuration(us) => g.writeString(trimDur(us))
       case VList(xs) => g.writeStartArray(); xs.foreach(write); g.writeEndArray()
       case m: VMap =>

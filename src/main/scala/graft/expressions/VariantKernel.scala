@@ -64,14 +64,20 @@ object VariantKernel {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Go json.Marshal float form: whole doubles collapse (`-5.0` → `-5`),
+    * matching the string and V tiers (JsonAlgebra.wholeDouble). */
+  private def appendGoDouble(d: Double, sb: java.lang.StringBuilder): Unit =
+    if (graft.values.JsonAlgebra.wholeDouble(d)) sb.append(d.toLong)
+    else sb.append(java.lang.Double.toString(d))
+
   private def renderInto(x: Variant, sb: java.lang.StringBuilder): Unit = {
     import VariantUtil.Type._
     x.getType match {
       case NULL => sb.append("null")
       case BOOLEAN => sb.append(x.getBoolean)
       case LONG => sb.append(x.getLong)
-      case DOUBLE => sb.append(java.lang.Double.toString(x.getDouble))
-      case FLOAT => sb.append(java.lang.Float.toString(x.getFloat))
+      case DOUBLE => appendGoDouble(x.getDouble, sb)
+      case FLOAT => appendGoDouble(x.getFloat.toDouble, sb)
       case DECIMAL =>
         // parse_json holds exact decimals; Go parses JSON numbers into
         // float64 — render the double form when it is lossless so
@@ -79,7 +85,7 @@ object VariantKernel {
         val bd = x.getDecimal
         val d = bd.doubleValue()
         if (!d.isInfinite && new java.math.BigDecimal(java.lang.Double.toString(d)).compareTo(bd.stripTrailingZeros()) == 0)
-          sb.append(java.lang.Double.toString(d))
+          appendGoDouble(d, sb)
         else sb.append(bd.toPlainString)
       case STRING => appendQuoted(x.getString, sb)
       case ARRAY =>

@@ -95,17 +95,19 @@ object HttpSource {
   def azureTokenUrl(tenantId: String): String =
     s"https://login.microsoftonline.com/$tenantId/oauth2/token"
 
+  private lazy val tokenClient: HttpClient = HttpClient.newHttpClient()
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   def oauth2Token(cfg: OAuth2Config): String = tokenCache.synchronized {
     // single-flight per JVM: concurrent partitions share one fetch
     val cached = tokenCache.get(cfg)
     if (cached != null && cached._2 > System.currentTimeMillis()) return cached._1
     val (tokenUrl, form) = tokenRequest(cfg)
-    val client = HttpClient.newHttpClient()
     val req = HttpRequest.newBuilder(URI.create(tokenUrl))
       .header("Content-Type", "application/x-www-form-urlencoded")
       .POST(HttpRequest.BodyPublishers.ofString(form))
       .build()
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    val resp = tokenClient.send(req, HttpResponse.BodyHandlers.ofString())
     val node = graft.values.JsonAlgebra.parse(resp.body())
     val token = Option(node.get("access_token")).map(_.asText())
       .getOrElse(sys.error(s"no access_token in token response: ${resp.body().take(200)}"))
@@ -193,7 +195,7 @@ object HttpSource {
   }
 
   private def isValidJson(s: String): Boolean =
-    try { new com.fasterxml.jackson.databind.ObjectMapper().readTree(s); true }
+    try { jsonMapper.readTree(s); true }
     catch { case scala.util.control.NonFatal(_) => false }
 
   /** Two-legged service-account flow: build the RS256-signed assertion
@@ -211,8 +213,7 @@ object HttpSource {
     val now = System.currentTimeMillis() / 1000
     // JSON-escape every string claim (a quote/backslash in client_email
     // or a scope would otherwise corrupt the signed assertion)
-    def q(s: String): String =
-      new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(s)
+    def q(s: String): String = jsonMapper.writeValueAsString(s)
     val sub =
       if (cfg.googleDelegatedAccount.nonEmpty)
         s""","sub":${q(cfg.googleDelegatedAccount)}""" else ""

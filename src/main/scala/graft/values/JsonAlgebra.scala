@@ -29,6 +29,12 @@ object JsonAlgebra {
     try mapper.readTree(s)
     catch { case NonFatal(e) => error(s"failed to parse JSON: ${e.getMessage}") }
 
+  /** Go `json.Marshal` prints a whole float64 without a fractional part
+    * (`-5.0` → `-5`). Every render path — tree, streaming V, variant —
+    * must share this predicate so the three tiers stay byte-identical. */
+  @inline def wholeDouble(d: Double): Boolean =
+    d == d.floor && !d.isInfinite && math.abs(d) < 1e15
+
   /** Serialize with object keys sorted — matches Go `json.Marshal` map
     * key ordering (mito's encode_json, lib/json.go:207-247). Streams the
     * tree once with keys sorted at write time instead of deep-copying it
@@ -56,6 +62,9 @@ object JsonAlgebra {
         g.writeStartArray()
         x.elements().forEachRemaining(write(_))
         g.writeEndArray()
+      } else if (x.isFloatingPointNumber && wholeDouble(x.doubleValue())) {
+        // DoubleNode would print "-5.0"; Go collapses whole floats
+        g.writeNumber(x.doubleValue().toLong)
       } else g.writeTree(x)
     write(n)
     g.close()

@@ -21,7 +21,10 @@ class JsonAlgebraPropSpec extends AnyFunSuite {
     Gen.choose(-1000L, 1000L).map(_.toString),
     Gen.alphaNumStr.map(s => "\"" + s.take(8) + "\""),
     Gen.oneOf("true", "false", "null"),
-    Gen.choose(-100.0, 100.0).map(d => f"$d%.3f"))
+    Gen.choose(-100.0, 100.0).map(d => f"$d%.3f"),
+    // whole doubles in source form: all tiers must collapse to the int
+    // form (Go json.Marshal float64 behavior)
+    Gen.choose(-100L, 100L).map(i => s"$i.000"))
 
   private def genJson(depth: Int): Gen[String] =
     if (depth <= 0) genScalar
