@@ -50,8 +50,32 @@ object VOps {
   /** JSON text -> V (the state leaf; also literal fallback). Shared
     * with the interpreter's state binding ([[Eval.stateLeafV]]), so both
     * tiers agree on parse failures AND on the top-level error-object
-    * promotion that keeps rendered error values in-band. */
-  def fromJsonText(u: UTF8String): Object = Eval.stateLeafV(u.toString)
+    * promotion that keeps rendered error values in-band.
+    *
+    * One-entry per-thread memo: every `state` reference in a lowered
+    * program is its own fromJsonText leaf (Catalyst expression trees
+    * cannot share subtrees, codegen CSE skips ObjectType StaticInvoke,
+    * and `With` let-bindings are analyzer-internal), so a 5-reference
+    * program would pay 5 Jackson parses per row. The memo turns refs
+    * 2..n into a byte-compare (~ns) against the last input. The key is
+    * a defensive clone: codegen hands UTF8Strings backed by reused row
+    * buffers, and caching the live reference would compare a mutated
+    * buffer against itself. V values are immutable, so sharing the
+    * parsed result across references is exactly the interpreter's own
+    * single-binding semantics. */
+  private val lastParse = new ThreadLocal[Array[Object]] {
+    override def initialValue(): Array[Object] = new Array[Object](2)
+  }
+  def fromJsonText(u: UTF8String): Object = {
+    val slot = lastParse.get()
+    val k = slot(0).asInstanceOf[UTF8String]
+    if (k != null && k.equals(u)) slot(1)
+    else {
+      val parsed = Eval.stateLeafV(u.toString)
+      slot(0) = u.clone(); slot(1) = parsed
+      parsed
+    }
+  }
 
   /** Program root: V -> Go-rendered JSON (direct streaming serializer —
     * no JsonNode tree build/sort/copy per row). */
