@@ -79,8 +79,10 @@ object Cel {
       regexps: Map[String, String] = Map.empty,
       globalsJson: String = "",
       baseDir: Option[java.nio.file.Path] = None,
-      xsds: Map[String, String] = Map.empty): String =
-    Eval.evalJson(Parser.parse(program), stateJson, nowMicros, regexps, globalsJson, baseDir, xsds)
+      xsds: Map[String, String] = Map.empty,
+      httpAuth: Option[(String, String)] = None): String =
+    Eval.evalJson(Parser.parse(program), stateJson, nowMicros, regexps,
+      globalsJson, baseDir, xsds, httpAuth)
 
   /** evalOnce with DecoratedError semantics (reference mito.go:335 +
     * lib/errors.go:28-52): a failing program returns

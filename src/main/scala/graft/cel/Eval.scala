@@ -94,7 +94,12 @@ object Eval {
   final case class Env(vars: Map[String, V], nowMicros: Long,
       regexps: Map[String, String] = Map.empty,
       baseDir: Option[java.nio.file.Path] = None,
-      xsds: Map[String, String] = Map.empty)
+      xsds: Map[String, String] = Map.empty,
+      /** cfg-level Basic auth applied to every executing get/head/post
+        * (reference HTTP(client, limit, auth), lib/http.go:46-50;
+        * requests built as data + do_request are explicitly NOT
+        * affected — use basic_authentication for those). */
+      httpAuth: Option[(String, String)] = None)
 
   // ---------------- JSON <-> V ----------------
   def fromJson(n: JsonNode): V =
@@ -257,9 +262,10 @@ object Eval {
       regexps: Map[String, String] = Map.empty,
       globalsJson: String = "",
       baseDir: Option[java.nio.file.Path] = None,
-      xsds: Map[String, String] = Map.empty): String =
+      xsds: Map[String, String] = Map.empty,
+      httpAuth: Option[(String, String)] = None): String =
     renderV(evalValue(program, stateJson, nowMicros,
-      regexps, globalsJson, baseDir, xsds))
+      regexps, globalsJson, baseDir, xsds, httpAuth))
 
   /** Like evalJson but returns the raw value — the top-level VErr keeps
     * its source offset for DecoratedError-style rendering. */
@@ -267,9 +273,10 @@ object Eval {
       regexps: Map[String, String] = Map.empty,
       globalsJson: String = "",
       baseDir: Option[java.nio.file.Path] = None,
-      xsds: Map[String, String] = Map.empty): V =
+      xsds: Map[String, String] = Map.empty,
+      httpAuth: Option[(String, String)] = None): V =
     evalValueInEnv(program, stateJson,
-      baseEnv(nowMicros, regexps, globalsJson, baseDir, xsds))
+      baseEnv(nowMicros, regexps, globalsJson, baseDir, xsds, httpAuth))
 
   /** The `time_layout` global (17 named Go layouts) — one shared value,
     * not rebuilt per evaluation. */
@@ -283,7 +290,8 @@ object Eval {
   def baseEnv(nowMicros: Long, regexps: Map[String, String] = Map.empty,
       globalsJson: String = "",
       baseDir: Option[java.nio.file.Path] = None,
-      xsds: Map[String, String] = Map.empty): Env = {
+      xsds: Map[String, String] = Map.empty,
+      httpAuth: Option[(String, String)] = None): Env = {
     val globals: Map[String, V] =
       if (globalsJson.isEmpty) Map.empty
       else stateLeafV(globalsJson) match {
@@ -293,7 +301,7 @@ object Eval {
     Env(globals ++ Map(
       "now" -> VTimestamp(nowMicros),
       "time_layout" -> timeLayoutV),
-      nowMicros, regexps, baseDir, xsds)
+      nowMicros, regexps, baseDir, xsds, httpAuth)
   }
 
   def evalValueInEnv(program: Ast, stateJson: String, env: Env): V =

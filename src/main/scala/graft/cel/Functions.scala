@@ -79,8 +79,12 @@ private[cel] object Functions {
       // for several reference overloads, e.g. collate(x, p))
       if (args.nonEmpty) {
         val vs = args.map(a => Eval.eval(a, env))
-        vs.collectFirst { case e: VErr => e }
-          .getOrElse(guard(method2(other, vs.head, vs.tail)))
+        vs.collectFirst { case e: VErr => e }.getOrElse((other, env.httpAuth) match {
+          // cfg-level Basic auth on executing calls, global form
+          case ("get" | "head" | "post", Some((u, p))) =>
+            guard(httpExecCall(other, vs.head, vs.tail, basicAuthHeader(u, p)))
+          case _ => guard(method2(other, vs.head, vs.tail))
+        })
       } else VErr(s"unknown function: $other")
   }
 
@@ -125,6 +129,12 @@ private[cel] object Functions {
               UTF8String.fromBytes(b), UTF8String.fromString(h)).toString))
         }
       }
+    // cfg-level Basic auth rides on every executing get/head/post
+    // (never do_request — lib/http.go:46-50)
+    case "get" | "head" | "post" if env.httpAuth.isDefined =>
+      val (u, p) = env.httpAuth.get
+      strictWithTarget(target, args, env)((t, vs) =>
+        httpExecCall(fn, t, vs, basicAuthHeader(u, p)))
     case _ if env.regexps.nonEmpty && fn.startsWith("re_") =>
       strictWithTarget(target, args, env)((t, vs) => regexp(fn, t, vs, env))
     case _ =>
@@ -330,20 +340,7 @@ private[cel] object Functions {
         buildRequestV("POST", url, Some(body), Some(ct))
       case _ => VErr("no such overload for post request")
     }
-    case "get" => (t, args) match {
-      case (VString(url), Vector()) => execHttpV("GET", url, Map.empty, null)
-      case _ => VErr("no such overload for get")
-    }
-    case "head" => (t, args) match {
-      case (VString(url), Vector()) => execHttpV("HEAD", url, Map.empty, null)
-      case _ => VErr("no such overload for head")
-    }
-    case "post" => (t, args) match {
-      case (VString(url), Vector(VString(ct), body)) =>
-        reqBodyBytes(body).fold(identity,
-          b => execHttpV("POST", url, Map("Content-Type" -> Seq(ct)), b))
-      case _ => VErr("no such overload for post")
-    }
+    case "get" | "head" | "post" => httpExecCall(fn, t, args, Map.empty)
     case "do_request" => t match {
       case VMap(m) => doRequestV(m)
       case _ => VErr("no such overload for do_request")
@@ -866,6 +863,34 @@ private[cel] object Functions {
       headers: Map[String, Seq[String]], body: Array[Byte]): V =
     try respToV(graft.sources.HttpExec.send(method, url, headers, body))
     catch { case scala.util.control.NonFatal(e) => VErr(String.valueOf(e.getMessage)) }
+
+  /** The executing get/head/post overloads, with `extra` headers merged
+    * in — the hook for cfg-level Basic auth (Env.httpAuth), which the
+    * reference applies to exactly these three calls (lib/http.go
+    * :544-545, :575-576, :630-631) and never to do_request. */
+  private[cel] def httpExecCall(fn: String, t: V, args: Vector[V],
+      extra: Map[String, Seq[String]]): V = fn match {
+    case "get" => (t, args) match {
+      case (VString(url), Vector()) => execHttpV("GET", url, extra, null)
+      case _ => VErr("no such overload for get")
+    }
+    case "head" => (t, args) match {
+      case (VString(url), Vector()) => execHttpV("HEAD", url, extra, null)
+      case _ => VErr("no such overload for head")
+    }
+    case "post" => (t, args) match {
+      case (VString(url), Vector(VString(ct), body)) =>
+        reqBodyBytes(body).fold(identity,
+          b => execHttpV("POST", url, extra + ("Content-Type" -> Seq(ct)), b))
+      case _ => VErr("no such overload for post")
+    }
+    case other => VErr(s"no such overload for $other")
+  }
+
+  /** "Basic <base64(user:pass)>" — Go req.SetBasicAuth. */
+  private[cel] def basicAuthHeader(user: String, pass: String): Map[String, Seq[String]] =
+    Map("Authorization" -> Seq("Basic " + java.util.Base64.getEncoder.encodeToString(
+      s"$user:$pass".getBytes(StandardCharsets.UTF_8))))
 
   private def doRequestV(m: VectorMap[String, V]): V = {
     val url = m.get("URL") match {

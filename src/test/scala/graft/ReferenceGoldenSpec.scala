@@ -49,7 +49,11 @@ class ReferenceGoldenSpec extends AnyFunSuite {
   private case class Script(flags: Map[String, String], src: String,
       files: Map[String, String], want: String, base64Cmds: Seq[(String, String)] = Nil,
       serve: Option[(String, Option[(String, String)])] = None,
-      expands: Seq[(String, String)] = Nil)
+      expands: Seq[(String, String)] = Nil,
+      /** additional `mito … / cmp stdout <want>` invocations in the same
+        * script (e.g. basic_auth_config.txt runs good and bad cfgs
+        * against one server): (flags, want TEXT) per extra run. */
+      moreRuns: Seq[(Map[String, String], String)] = Nil)
 
   /** Write the archive's fixture files into a temp dir (the testscript
     * working directory), applying `base64 <src> <dst>` decode commands. */
@@ -71,9 +75,26 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     dir
   }
 
+  private def parseFlags(cmd: String): Map[String, String] = {
+    val flagTokens = cmd.split("\\s+").drop(1).toVector
+    var flags = Map.empty[String, String]
+    var i = 0
+    while (i < flagTokens.length) {
+      val t = flagTokens(i)
+      if (t.startsWith("-") && i + 1 < flagTokens.length && !flagTokens(i + 1).startsWith("-")
+        && !flagTokens(i + 1).endsWith(".cel")) {
+        flags += (t.stripPrefix("-") -> flagTokens(i + 1)); i += 2
+      } else if (t.startsWith("-") && i + 1 < flagTokens.length
+        && flagTokens(i + 1).endsWith(".cel") && (t == "-use" || t == "-data" || t == "-cfg")) {
+        flags += (t.stripPrefix("-") -> flagTokens(i + 1)); i += 2
+      } else i += 1
+    }
+    flags
+  }
+
   private def parseScript(text: String): Option[Script] = {
     val lines = text.linesIterator.toVector
-    val cmd = lines.find(_.startsWith("mito")).getOrElse(return None)
+    if (!lines.exists(_.startsWith("mito"))) return None
     // testscript commands we host: base64 (materialize), plain
     // `serve <file> [user pass]` (a local stub server; see runScript),
     // and `expand`/cmpenv ${URL} substitution. TLS serving and env
@@ -93,18 +114,17 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     val sections = text.split("(?m)^-- (.+?) --$").toVector
     val names = "(?m)^-- (.+?) --$".r.findAllMatchIn(text).map(_.group(1).trim).toVector
     val files = names.zip(sections.drop(1)).toMap
-    val flagTokens = cmd.split("\\s+").drop(1).toVector
-    var flags = Map.empty[String, String]
-    var i = 0
-    while (i < flagTokens.length) {
-      val t = flagTokens(i)
-      if (t.startsWith("-") && i + 1 < flagTokens.length && !flagTokens(i + 1).startsWith("-")
-        && !flagTokens(i + 1).endsWith(".cel")) {
-        flags += (t.stripPrefix("-") -> flagTokens(i + 1)); i += 2
-      } else if (t.startsWith("-") && i + 1 < flagTokens.length
-        && flagTokens(i + 1).endsWith(".cel") && (t == "-use" || t == "-data" || t == "-cfg")) {
-        flags += (t.stripPrefix("-") -> flagTokens(i + 1)); i += 2
-      } else i += 1
+    // each `mito …` invocation pairs with the `cmp stdout <want>` that
+    // follows it (before the next mito line); default want.txt
+    val runs: Vector[(Map[String, String], String)] = {
+      val idx = lines.zipWithIndex.collect { case (l, i) if l.startsWith("mito") => i }
+      idx.map { i =>
+        val until = idx.find(_ > i).getOrElse(lines.length)
+        val wantName = lines.slice(i + 1, until)
+          .find(_.trim.startsWith("cmp stdout "))
+          .map(_.trim.split("\\s+")(2)).getOrElse("want.txt")
+        (parseFlags(lines(i)), wantName)
+      }
     }
     val base64Cmds = lines.filter(_.startsWith("base64 ")).map { l =>
       val parts = l.trim.split("\\s+")
@@ -113,8 +133,11 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     for {
       src <- files.get("src.cel").orElse(
         expandCmds.headOption.flatMap { case (from, _) => files.get(from) })
-      want <- files.get("want.txt")
-    } yield Script(flags, src, files, want, base64Cmds, serveCmd, expandCmds)
+      want <- files.get(runs.head._2)
+      more <- runs.tail.foldLeft(Option(Vector.empty[(Map[String, String], String)])) {
+        case (acc, (f, wn)) => for (a <- acc; w <- files.get(wn)) yield a :+ ((f, w))
+      }
+    } yield Script(runs.head._1, src, files, want, base64Cmds, serveCmd, expandCmds, more)
   }
 
   /** numeric-tolerant tree equality */
@@ -244,7 +267,6 @@ class ReferenceGoldenSpec extends AnyFunSuite {
   }
 
   private def runScript(name: String, s: Script): Either[String, Unit] = {
-    val state = s.flags.get("data").flatMap(s.files.get).getOrElse("null")
     val workDir = materialize(s)
     val served = s.serve.map { case (f, auth) => startServe(workDir, f, auth) }
     val example =
@@ -254,10 +276,20 @@ class ReferenceGoldenSpec extends AnyFunSuite {
         s.copy(src = s.src.replace("www.example.com", authority))
       case None => s
     }
-    try runScriptInner(s2, state, workDir, served.map(_._2),
-      normalize = example.map { case (_, authority) =>
-        (out: String) => out.replace(authority, "www.example.com")
-      })
+    val normalize = example.map { case (_, authority) =>
+      (out: String) => out.replace(authority, "www.example.com")
+    }
+    // every `mito`/`cmp stdout` pair runs against the same served
+    // fixtures; all must match their own want
+    val allRuns = (s2.flags, s2.want) +: s2.moreRuns
+    try allRuns.zipWithIndex.foldLeft(Right(()): Either[String, Unit]) {
+      case (acc @ Left(_), _) => acc
+      case (_, ((flags, want), i)) =>
+        val run = s2.copy(flags = flags, want = want)
+        val state = flags.get("data").flatMap(s.files.get).getOrElse("null")
+        runScriptInner(run, state, workDir, served.map(_._2), normalize)
+          .left.map(e => if (allRuns.length > 1) s"run ${i + 1}: $e" else e)
+    }
     finally { served.foreach(_._1.stop(0)); example.foreach(_._1.stop(0)) }
   }
 
@@ -269,6 +301,7 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     var regexps = Map.empty[String, String]
     var globalsJson = ""
     var xsds = Map.empty[String, String]
+    var httpAuth: Option[(String, String)] = None
     s.flags.get("cfg").flatMap(s.files.get).foreach { cfg =>
       if (cfg.contains("regexp:"))
         regexps = regexpCfg.findAllMatchIn(cfg).map(m => m.group(1) -> m.group(2)).toMap
@@ -280,13 +313,23 @@ class ReferenceGoldenSpec extends AnyFunSuite {
             java.nio.charset.StandardCharsets.UTF_8)
           m.group(1) -> graft.expressions.XsdCompiler.compile(xsdText)
         }.toMap
+      else if (cfg.contains("auth:") && cfg.contains("basic:")) {
+        // auth: basic: {username, password} -> client-level Basic auth
+        // on every executing get/head/post (mito.go auth cfg)
+        val kv = "(?m)^\\s*(username|password):\\s*(.+)$".r
+          .findAllMatchIn(cfg).map(m => m.group(1) -> m.group(2).trim).toMap
+        (kv.get("username"), kv.get("password")) match {
+          case (Some(u), Some(p)) => httpAuth = Some((u, p))
+          case _ => return Left("unsupported cfg")
+        }
+      }
       else return Left("unsupported cfg")
     }
     val src = url.map(u => s.src.replace("${URL}", u.stripSuffix("/"))).getOrElse(s.src)
     def evalWith(st: String): Either[String, String] =
       try {
         val out = Cel.evalOnce(src, st, 1704067200000000L, regexps,
-          globalsJson, Some(workDir), xsds)
+          globalsJson, Some(workDir), xsds, httpAuth)
         Right(normalize.fold(out)(f => f(out)))
       } catch { case e: Exception => Left(s"eval threw: ${e.getMessage}") }
 
@@ -355,7 +398,7 @@ class ReferenceGoldenSpec extends AnyFunSuite {
       val name = p.getFileName.toString
       if (skip.contains(name)) skipped += 1
       else parseScript(new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)) match {
-        case None => skipped += 1
+        case None => skipped += 1; info(s"  SKIP (harness cannot parse) $name")
         case Some(script) =>
           runScript(name, script) match {
             case Right(()) => pass += 1
@@ -365,7 +408,7 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     }
     info(s"golden replay: $pass pass, $fail fail, $skipped skipped of ${all.size}")
     failures.result().foreach(f => info(s"  FAIL $f"))
-    assert(pass >= 57, s"expected at least 57 replayed goldens to pass, got $pass")
+    assert(pass >= 67, s"expected at least 67 replayed goldens to pass, got $pass")
     assert(fail == 0, s"golden failures:\n${failures.result().mkString("\n")}")
   }
 }
