@@ -152,10 +152,13 @@ object Bench {
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ > 0).sum
     // full per-query map as a standalone artifact so round-over-round
-    // comparison isn't limited to the driver's truncated log tail
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      qs.getBytes("UTF-8"))
-    catch { case e: Exception => System.err.println(s"[bench] bench_full.json: $e") }
+    // comparison isn't limited to the driver's truncated log tail.
+    // Only for FULL runs: a SPARK_GRAFT_ONLY-filtered iteration must
+    // not silently replace the complete artifact with a partial map.
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        qs.getBytes("UTF-8"))
+      catch { case e: Exception => System.err.println(s"[bench] bench_full.json: $e") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -340,11 +340,26 @@ object Eval {
         (eval(k, env), eval(v, env)) match {
           case (err: VErr, _) => return err
           case (_, err: VErr) => return err
-          case (VString(ks), vv) => m = m.updated(ks, vv)
-          case (VInt(ki), vv) => m = m.updated(ki.toString, vv); intKeys += ki.toString
-          // uint keys: unsigned stringification, string-surfaced (the
-          // int tag would re-type them as VInt and overflow typedKeys)
-          case (VUint(ki), vv) => m = m.updated(java.lang.Long.toUnsignedString(ki), vv)
+          case (VString(ks), vv) =>
+            // a string key colliding with an existing NUMERIC key would
+            // silently merge two cel-distinct entries (and flip the
+            // surviving key's type) — fail loudly instead
+            if (intKeys(ks)) return VErr(s"map key collision: $ks")
+            m = m.updated(ks, vv)
+          case (VInt(ki), vv) =>
+            val ks = ki.toString
+            if (m.contains(ks) && !intKeys(ks)) return VErr(s"map key collision: $ks")
+            m = m.updated(ks, vv); intKeys += ks
+          // uint keys: tagged numeric like int when representable, so
+          // CEL's cross-type numeric key equality holds ({1:v}=={1u:v});
+          // >= 2^63 stays string-surfaced (toLong would overflow
+          // typedKeys)
+          case (VUint(ki), vv) =>
+            val ks = java.lang.Long.toUnsignedString(ki)
+            if (ki >= 0) {
+              if (m.contains(ks) && !intKeys(ks)) return VErr(s"map key collision: $ks")
+              m = m.updated(ks, vv); intKeys += ks
+            } else m = m.updated(ks, vv)
           case (other, _) => return VErr(s"unsupported map key: $other")
         }
       }

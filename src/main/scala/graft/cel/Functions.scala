@@ -200,7 +200,8 @@ private[cel] object Functions {
         else VString(new String(b, StandardCharsets.UTF_8))
       case Vector(VInt(i)) => VString(i.toString)
       case Vector(VUint(i)) => VString(java.lang.Long.toUnsignedString(i))
-      case Vector(VDouble(d)) => VString(if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString)
+      case Vector(VDouble(d)) => VString(
+        if (JsonAlgebra.wholeDouble(d)) d.toLong.toString else d.toString)
       case Vector(VBool(b)) => VString(b.toString)
       case Vector(VTimestamp(us)) => VString(TimeKernel.formatTime(us, u8("RFC3339")).toString)
       case Vector(VDuration(us)) => VString(TimeKernel.formatDuration(us).toString)

@@ -184,12 +184,24 @@ object VOps {
         case (null, _) | (_, null) => return null // see listOf
         case (err: VErr, _) => return err
         case (_, err: VErr) => return err
-        case (VString(k), vv) => m = m.updated(k, vv)
-        case (VInt(k), vv) => m = m.updated(k.toString, vv); intKeys += k.toString
-        // uint keys stringify UNSIGNED (Go json.Marshal) and stay
-        // string-surfaced: the int tag would re-surface them as VInt
-        // (wrong type) and overflow typedKeys for keys >= 2^63
-        case (VUint(k), vv) => m = m.updated(java.lang.Long.toUnsignedString(k), vv)
+        case (VString(k), vv) =>
+          // cross-type collision = silent entry merge + key-type flip:
+          // in-band error instead (mirrors Eval's MapLit)
+          if (intKeys(k)) return VErr(s"map key collision: $k")
+          m = m.updated(k, vv)
+        case (VInt(k), vv) =>
+          val ks = k.toString
+          if (m.contains(ks) && !intKeys(ks)) return VErr(s"map key collision: $ks")
+          m = m.updated(ks, vv); intKeys += ks
+        // uint keys: tagged numeric like int when representable (CEL
+        // numeric key equality: {1:v} == {1u:v}); >= 2^63 stringifies
+        // UNSIGNED (Go json.Marshal) and stays string-surfaced
+        case (VUint(k), vv) =>
+          val ks = java.lang.Long.toUnsignedString(k)
+          if (k >= 0) {
+            if (m.contains(ks) && !intKeys(ks)) return VErr(s"map key collision: $ks")
+            m = m.updated(ks, vv); intKeys += ks
+          } else m = m.updated(ks, vv)
         case (other, _) => return VErr(s"unsupported map key: $other")
       }
       i += 1
@@ -344,10 +356,16 @@ object VOps {
       preds: ArrayData, bodies: ArrayData, hasPred: Boolean): Object = {
     val k = name(kind)
     v(target) match {
+      case null => return null
       case e: VErr => return e
       case _: VList | _: VMap =>
       case other => return VErr(s"no such overload: $k over $other")
     }
+    // A null pred/body ELEMENT means a subexpression nulled out under a
+    // NULL input column (StaticInvoke propagateNull inside the lambda) —
+    // the interpreter nulls the whole row there, so the comprehension
+    // must too. Without the guards a null reaches the result VList and
+    // renderV throws, failing the task (see listOf's identical guard).
     val n = items.numElements()
     k match {
       case "map" =>
@@ -357,11 +375,13 @@ object VOps {
           val keep =
             if (!hasPred) true
             else objAt(preds, i) match {
+              case null => return null
               case VBool(b) => b
               case e: VErr => return e
               case other => return VErr(s"no such overload: predicate $other")
             }
           if (keep) objAt(bodies, i) match {
+            case null => return null
             case e: VErr => return e
             case x => out += x
           }
@@ -373,6 +393,7 @@ object VOps {
         var i = 0
         while (i < n) {
           objAt(bodies, i) match {
+            case null => return null
             case VBool(true) => out += objAt(items, i)
             case VBool(false) =>
             case e: VErr => return e
@@ -386,6 +407,7 @@ object VOps {
         var i = 0
         while (i < n) {
           objAt(bodies, i) match {
+            case null => return null
             case VBool(true) =>
               if (k == "exists") return VBool(true)
               ones += 1

@@ -77,7 +77,13 @@ object VariantKernel {
       case BOOLEAN => sb.append(x.getBoolean)
       case LONG => sb.append(x.getLong)
       case DOUBLE => appendGoDouble(x.getDouble, sb)
-      case FLOAT => appendGoDouble(x.getFloat.toDouble, sb)
+      case FLOAT =>
+        // shortest float32 form, NOT the double widening: Go marshals
+        // float32(0.1) as "0.1" (strconv shortest for 32-bit) while
+        // 0.1f.toDouble renders "0.10000000149011612"
+        val f = x.getFloat
+        if (graft.values.JsonAlgebra.wholeDouble(f.toDouble)) sb.append(f.toLong)
+        else sb.append(java.lang.Float.toString(f))
       case DECIMAL =>
         // parse_json holds exact decimals; Go parses JSON numbers into
         // float64 — render the double form when it is lossless so

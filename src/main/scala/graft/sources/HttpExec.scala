@@ -110,8 +110,12 @@ object HttpExec {
         vs.foreach(v => b.header(k, v))
     }
     // Go transport: request gzip transparently unless the caller set
-    // their own Accept-Encoding (net/http DisableCompression=false)
-    val transparentGzip = !headers.keys.exists(_.equalsIgnoreCase("accept-encoding"))
+    // their own Accept-Encoding (net/http DisableCompression=false).
+    // Go also skips it for HEAD and for Range requests
+    // (transport.go requestedGzip: method != "HEAD" && no Range header)
+    val transparentGzip = !headers.keys.exists(_.equalsIgnoreCase("accept-encoding")) &&
+      !method.equalsIgnoreCase("HEAD") &&
+      !headers.keys.exists(_.equalsIgnoreCase("range"))
     if (transparentGzip) b.header("Accept-Encoding", "gzip")
     val bodyLen = if (body == null) 0L else body.length.toLong
     val publisher =

@@ -124,6 +124,20 @@ class CelSpec extends SparkSpec {
     assert(back.v == tagged.v, "entries preserved in order")
   }
 
+  test("numeric map keys: cross-type equality, collision error (CEL key semantics)") {
+    // CEL: int and uint keys compare numerically ({1:v} == {1u:v});
+    // string "1" is a DIFFERENT key from int 1
+    assert(run("""{1: "a"} == {1u: "a"}""") == "true")
+    assert(run("""{"1": "a"} == {1: "a"}""") == "false")
+    // keys() surfaces numeric keys numerically for both int and uint
+    assert(run("""{2u: "b", 1u: "a"}.keys()""") == "[1,2]")
+    // a string key colliding with a numeric key (same rendering) cannot
+    // be stored distinctly in the rendered-value universe: loud error,
+    // not a silent merge that flips the surviving key's type
+    assert(run("""is_error({"1": "x", 1: "y"})""") == "true")
+    assert(run("""try({1: "x", "1": "y"})""") == "\"map key collision: 1\"")
+  }
+
   test("rate_limit okta through CEL (reference testdata/limit_okta.txt)") {
     val out = run(
       """{"X-Rate-Limit-Limit": ["600"],

@@ -219,7 +219,16 @@ class LoweringSpec extends SparkSpec {
     // null-in/null-out row behavior (and not crashing renderV)
     val df = spark.range(1).select(lit(null).cast("string").as("props"))
     Seq("""{"doc": state}""", "[state]", """[1, state, "x"]""",
-      "state.k", "state").foreach { p =>
+      "state.k", "state",
+      // comprehensions whose body/pred nulls out element-wise under a
+      // NULL state (finish's null guards; a literal target keeps the
+      // comprehension itself alive)
+      "[1, 2].map(i, state.k + i)",
+      "[1, 2].map(i, i > state.k, i)",
+      "[1, 2].filter(i, i > state.k)",
+      "[1, 2].all(i, i > state.k)",
+      "[1, 2].exists(i, i > state.k)",
+      "[1, 2].exists_one(i, i > state.k)").foreach { p =>
       val both = df.select(
         Cel.lower(p, col("props"), nowMicros = Some(NOW)).get.as("low"),
         Cel(p, col("props"), nowMicros = NOW).as("interp"))

@@ -93,7 +93,9 @@ class ReferenceGoldenSpec extends AnyFunSuite {
   }
 
   private def parseScript(text: String): Option[Script] = {
-    val lines = text.linesIterator.toVector
+    // command section only: a fixture file whose content happens to
+    // start a line with "mito"/"serve"/... must not become a command
+    val lines = text.linesIterator.toVector.takeWhile(!_.startsWith("-- "))
     if (!lines.exists(_.startsWith("mito"))) return None
     // testscript commands we host: base64 (materialize), plain
     // `serve <file> [user pass]` (a local stub server; see runScript),

@@ -25,6 +25,16 @@ class VariantSpec extends SparkSpec {
     docs.toDF("doc").select(col0).collect().map(_.get(0)).toSeq
   }
 
+  test("FLOAT variants render the shortest float32 form, not the double widening") {
+    val session = spark
+    import session.implicits._
+    // 0.1f.toDouble = 0.10000000149011612; Go marshals float32(0.1) as 0.1
+    val got = Seq(0.1f, 2.0f, -5.5f).toDF("f")
+      .select(v_render(expr("cast(f as variant)")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("0.1", "2", "-5.5"), got.toString)
+  }
+
   test("v_render(parse) is the canonical sorted-key Go render") {
     val got = one(v_render(v_parse(col("doc"))))
     val want = docs.map(d => JsonAlgebra.render(JsonAlgebra.parse(d)))
