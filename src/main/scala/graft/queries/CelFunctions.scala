@@ -299,6 +299,35 @@ object CelFunctions {
         .orderBy(col("event_id"))
     },
 
+    // string predicates + plain split (strings.go HasPrefix/HasSuffix/
+    // Contains/Split) — the remaining oracle-able string family
+    "q75_string_predicates" -> { (s, dir) =>
+      val et = col("event_type")
+      Tables(s, dir).events
+        .select(col("event_id"),
+          has_prefix(et, lit("c")).as("pre_c"),
+          has_suffix(et, lit("k")).as("suf_k"),
+          contains_substr(et, lit("ic")).as("has_ic"),
+          array_join(split_str(concat(et, lit("."), et), "."), "|").as("parts"))
+        .orderBy(col("event_id"))
+    },
+
+    // CEL core accessors under the oracle gate: has(), membership `in`
+    // (map keys + list), computed list indexing — lowered path
+    "q76_cel_has_in" -> { (s, dir) =>
+      val program =
+        """{"h": has(state.k),
+           "hn": has(state.nope),
+           "m": "k" in state,
+           "c": "k" in ["a", "k"],
+           "i": [10, 20, 30][state.k % 3]}"""
+      val c = graft.cel.Cel.lower(program, col("props"))
+        .getOrElse(sys.error("q76 program must lower"))
+      Tables(s, dir).events
+        .select(col("event_id"), c.as("doc"))
+        .orderBy(col("event_id"))
+    },
+
     // --- the CEL text front-end itself under the oracle gate: the SAME
     // --- program through the lowered (q58) and interpreted (q59) paths.
     "q58_cel_lowered" -> { (s, dir) =>
@@ -464,6 +493,21 @@ object CelFunctions {
          event_type || ',|' || user_id AS after,
          event_type || '.|' || event_type || '.' || event_type AS after_n,
          'Z.Z.' || event_type AS rep2
+         FROM events ORDER BY event_id""",
+    "q75_string_predicates" ->
+      """SELECT event_id,
+         starts_with(event_type, 'c') AS pre_c,
+         CASE WHEN length(event_type) >= 1
+              THEN right(event_type, 1) = 'k' ELSE false END AS suf_k,
+         contains(event_type, 'ic') AS has_ic,
+         event_type || '|' || event_type AS parts
+         FROM events ORDER BY event_id""",
+    "q76_cel_has_in" ->
+      """SELECT event_id,
+         '{"c":true,"h":true,"hn":false,"i":' ||
+         CASE CAST(json_extract_string(props, '$.k') AS BIGINT) % 3
+           WHEN 0 THEN '10' WHEN 1 THEN '20' ELSE '30' END ||
+         ',"m":true}' AS doc
          FROM events ORDER BY event_id""",
     "q58_cel_lowered" -> celGateOracle("doc"),
     "q59_cel_interpreted" -> celGateOracle("doc"))
