@@ -20,9 +20,9 @@ object Bench {
 
   private val NOW = 1704067200000000L
 
-  /** The static/state benchmark groups of mito_bench_test.go (net group
-    * is exercised by the HTTP-source tests instead; no loopback server
-    * in the bench environment). Each runs per events-row. */
+  /** The static/state benchmark groups of mito_bench_test.go (the net
+    * group runs separately over a loopback stub — [[netShapes]]). Each
+    * runs per events-row. */
   private def mitoShapes(events: DataFrame): Seq[(String, DataFrame)] = {
     def celCol(src: String): Column = graft.cel.Cel(src, col("props"), nowMicros = NOW)
     val nested = """{"a":{"b":{"c":{"d":{"e":"hello world"}}}}}"""
@@ -80,6 +80,58 @@ object Bench {
     ).map { case (name, c) => name -> events.select(c.cast("string").as("x")) }
   }
 
+  /** The net benchmark group (mito_bench_test.go:166-298): each program
+    * GETs a loopback stub and reshapes the body — the reference's
+    * httptest.NewServer model. Runs per-row over a 1000-row slice (the
+    * engine's execution shape is per-document, so absolute numbers
+    * measure 1000 sequential-ish requests across 32 threads;
+    * `null_net` isolates the server+transport share, exactly as the
+    * reference's comment prescribes). Executing HTTP never lowers, so
+    * these exercise the interpreter tier (the reference's own model). */
+  private def netShapes(events: DataFrame, base: String): Seq[(String, DataFrame)] = {
+    def celCol(src: String) = graft.cel.Cel(src, org.apache.spark.sql.functions.lit("null"), nowMicros = NOW)
+    val nested = s"bytes(get('$base/nested').Body).decode_json()"
+    Seq(
+      "mito_null_net" -> celCol(s"get('$base/empty').size()"),
+      "mito_hello_world_net" -> celCol(s"string(get('$base/hello').Body)"),
+      "mito_hello_world_object_net" ->
+        celCol(s"""{"greeting": bytes(get('$base/greeting').Body).decode_json().greeting}"""),
+      "mito_nested_net" -> celCol(nested),
+      "mito_encode_json_null_net" -> celCol(s"get('$base/nested').Body"),
+      "mito_encode_json_net" -> celCol(s"$nested.encode_json()"),
+      "mito_nested_collate_list_net" -> celCol(s"""[$nested].collate("a.b.c.d.e")"""),
+      "mito_nested_collate_map_net" ->
+        celCol(s"""{"body": $nested}.collate("body.a.b.c.d.e")""")
+    ).map { case (name, c) =>
+      name -> events.limit(1000).select(c.cast("string").as("x"))
+    }
+  }
+
+  /** Loopback stub serving the reference net-bench bodies. */
+  private def startNetStub(): (com.sun.net.httpserver.HttpServer, String) = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def ctx(path: String, body: Array[Byte]): Unit =
+      server.createContext(path, new com.sun.net.httpserver.HttpHandler {
+        override def handle(x: com.sun.net.httpserver.HttpExchange): Unit = {
+          x.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length)
+          if (body.nonEmpty) x.getResponseBody.write(body)
+          x.close()
+        }
+      })
+    ctx("/empty", Array.empty)
+    ctx("/hello", "hello world".getBytes("UTF-8"))
+    ctx("/greeting", """{"greeting":"hello world"}""".getBytes("UTF-8"))
+    ctx("/nested", """{"a":{"b":{"c":{"d":{"e":"f"}}}}}""".getBytes("UTF-8"))
+    // daemon threads: server.stop does not shut down a user-supplied
+    // executor, and non-daemon pool threads would pin the JVM open
+    // after main returns
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16,
+      r => { val t = new Thread(r); t.setDaemon(true); t }))
+    server.start()
+    (server, s"http://127.0.0.1:${server.getAddress.getPort}")
+  }
+
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
@@ -110,10 +162,11 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     def selected(name: String): Boolean = only.forall(_.findFirstIn(name).isDefined)
 
+    val (netServer, netBase) = startNetStub()
     val runnables: Seq[(String, () => Unit)] =
       SparkEntry.queries.toSeq.sortBy(_._1).filter(q => selected(q._1))
         .map { case (name, fn) => name -> (() => force(fn(spark, sfDir))) } ++
-      mitoShapes(t.events).filter(q => selected(q._1))
+      (mitoShapes(t.events) ++ netShapes(t.events, netBase)).filter(q => selected(q._1))
         .map { case (name, df) => name -> (() => force(df)) }
 
     // Median of 3 runs, taken as three ROUND-ROBIN passes over the whole
@@ -160,6 +213,7 @@ object Bench {
         qs.getBytes("UTF-8"))
       catch { case e: Exception => System.err.println(s"[bench] bench_full.json: $e") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    netServer.stop(0)
     spark.stop()
   }
 }
