@@ -1,0 +1,151 @@
+package graft
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.cel.{CelConfig, Errors, Eval, Parser}
+import graft.values.JsonAlgebra
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** The reference's CLI entry point (mito.go Main :59-206), so a mito
+  * user can run their existing invocations unchanged:
+  *
+  *   tools/run.sh graft.Cli [-use libs] [-data state.json] [-cfg cfg.yaml]
+  *     [-insecure] <src.cel>
+  *
+  * Behavior mirrored from the reference: state is UNBOUND without
+  * -data (programs referencing it get the undeclared-reference error);
+  * output is Go json.Encoder form — tab-indented, sorted keys, no HTML
+  * escaping; the want_more re-entry loop re-feeds the full output as
+  * the next `state` until `want_more` is falsy (:186-204); eval errors
+  * render DecoratedError-style with source position (:335) to stderr,
+  * exit 1; flag/config errors exit 2.
+  */
+object Cli {
+
+  /** The reference's library names (mito.go libMap :261-274; xml and
+    * regexp join when the cfg provides tables :102-113). All libraries
+    * are compiled into this engine — -use is validated for interface
+    * compatibility, unknown names rejected like the reference (:151-164). */
+  private val knownLibs = Set("collections", "crypto", "json", "time", "try",
+    "debug", "file", "mime", "http", "limit", "strings", "xml", "regexp")
+
+  private val usage =
+    s"""Usage of graft.Cli:
+       |
+       |  graft.Cli [opts] <src.cel>
+       |
+       |  -cfg string
+       |    \tpath to a YAML file holding configuration for global vars and regular expressions
+       |  -data string
+       |    \tpath to a JSON object holding input (exposed as the label state)
+       |  -insecure
+       |    \tdisable TLS verification in the HTTP client
+       |  -use string
+       |    \tlibraries to use (default "all")""".stripMargin
+
+  def main(args: Array[String]): Unit =
+    sys.exit(run(args.toSeq, Console.out.println(_), Console.err.println(_)))
+
+  def run(args: Seq[String], out: String => Unit, err: String => Unit): Int = {
+    var use = "all"; var data = ""; var cfgPath = ""; var insecure = false
+    var srcPath: Option[String] = None
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-use" | "--use" if i + 1 < args.length => use = args(i + 1); i += 2
+        case "-data" | "--data" if i + 1 < args.length => data = args(i + 1); i += 2
+        case "-cfg" | "--cfg" if i + 1 < args.length => cfgPath = args(i + 1); i += 2
+        case "-insecure" | "--insecure" => insecure = true; i += 1
+        case f if f.startsWith("-") => err(usage); return 2
+        case p => srcPath = Some(p); i += 1
+      }
+    }
+    srcPath match {
+      case None => err(usage); 2
+      case Some(p) => runFile(p, use, data, cfgPath, insecure, out, err)
+    }
+  }
+
+  private def runFile(srcPath: String, use: String, data: String,
+      cfgPath: String, insecure: Boolean,
+      out: String => Unit, err: String => Unit): Int = {
+    if (use != "all") {
+      val unknown = use.split(",").map(_.trim).filterNot(knownLibs)
+      if (unknown.nonEmpty) { err(s"no lib: ${unknown.mkString(",")}"); return 2 }
+    }
+    graft.sources.HttpExec.trustAll = insecure
+
+    def readFile(p: String): Either[String, String] =
+      try Right(new String(Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8))
+      catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
+
+    val src = readFile(srcPath) match {
+      case Left(e) => err(e); return 2
+      case Right(s) => s
+    }
+    val cfg = if (cfgPath.isEmpty) CelConfig.Cfg() else readFile(cfgPath) match {
+      case Left(e) => err(e); return 2
+      case Right(y) =>
+        CelConfig.parse(y, Some(Paths.get(cfgPath).toAbsolutePath.getParent)) match {
+          case Left(e) => err(e); return 2
+          case Right(c) => c
+        }
+    }
+    val state0: Option[String] = if (data.isEmpty) None else readFile(data) match {
+      case Left(e) => err(e); return 2
+      case Right(s) => Some(s)
+    }
+
+    val ast = try Parser.parse(src) catch {
+      case e: Exception => err(s"failed compilation: ${e.getMessage}"); return 2
+    }
+    val baseEnv = Eval.baseEnv(System.currentTimeMillis() * 1000L,
+      cfg.regexps, cfg.globalsJson,
+      Some(Paths.get(".").toAbsolutePath.normalize), cfg.xsds, cfg.basicAuth)
+
+    // the want_more re-entry loop (mito.go:186-204): output becomes the
+    // next state while out.want_more is true
+    var state = state0
+    var more = true
+    while (more) {
+      Eval.evalValueOpt(ast, state, baseEnv) match {
+        case e: Eval.VErr =>
+          err("failed eval: " + Errors.display(src, e.at, e.msg))
+          return 1
+        case v =>
+          val compact = Eval.renderV(v)
+          val node = JsonAlgebra.parse(compact)
+          out(pretty(node, 0))
+          more = node.isObject && {
+            val wm = node.get("want_more")
+            wm != null && wm.isBoolean && wm.booleanValue()
+          }
+          state = Some(compact)
+      }
+    }
+    0
+  }
+
+  /** Go json.Encoder SetIndent("", "\t") form: tab indentation,
+    * `"key": value`, empty composites stay compact, scalars rendered by
+    * the engine's Go-faithful serializer (sorted keys come free — the
+    * compact render already sorts). */
+  private def pretty(n: JsonNode, depth: Int): String = {
+    val tab = "\t" * depth
+    if (n.isObject && n.size() > 0) {
+      val it = n.properties().iterator()
+      val parts = Vector.newBuilder[String]
+      while (it.hasNext) {
+        val e = it.next()
+        val key = JsonAlgebra.render(
+          com.fasterxml.jackson.databind.node.TextNode.valueOf(e.getKey))
+        parts += s"$tab\t$key: ${pretty(e.getValue, depth + 1)}"
+      }
+      parts.result().mkString("{\n", ",\n", s"\n$tab}")
+    } else if (n.isArray && n.size() > 0) {
+      val parts = (0 until n.size()).map(j => s"$tab\t${pretty(n.get(j), depth + 1)}")
+      parts.mkString("[\n", ",\n", s"\n$tab]")
+    } else JsonAlgebra.render(n)
+  }
+}

@@ -307,6 +307,13 @@ object Eval {
   def evalValueInEnv(program: Ast, stateJson: String, env: Env): V =
     eval(program, env.copy(vars = env.vars.updated("state", stateLeafV(stateJson))))
 
+  /** Evaluate with an OPTIONAL state binding: None leaves `state`
+    * unbound, so programs referencing it get the undeclared-reference
+    * error — the reference CLI's behavior without -data (mito.go
+    * :171-184 passes an EmptyActivation). */
+  def evalValueOpt(program: Ast, stateJson: Option[String], env: Env): V =
+    stateJson.fold(eval(program, env))(s => evalValueInEnv(program, s, env))
+
   // ---------------- core evaluation ----------------
   /** Evaluate, annotating errors with the source offset of the node they
     * originate at: the innermost positioned node that first sees an

@@ -30,6 +30,12 @@ object HttpExec {
       reqHeader: Map[String, Seq[String]], reqContentLength: Long,
       uncompressed: Boolean = false)
 
+  /** Process-level TLS-verification toggle — the CLI's -insecure flag
+    * (mito.go:68-72, setClientInsecure :242-259 wires one client for
+    * the whole process; this is the same scope). Per-call `insecure`
+    * still overrides for library users. */
+  @volatile var trustAll: Boolean = false
+
   // One HTTP/1.1 client per JVM (reference holds one http.Client per
   // library instance). HTTP/1.1 preferred so Proto matches Go's default.
   private lazy val client: HttpClient = HttpClient.newBuilder()
@@ -122,7 +128,7 @@ object HttpExec {
       if (body == null || body.isEmpty) HttpRequest.BodyPublishers.noBody()
       else HttpRequest.BodyPublishers.ofByteArray(body)
     b.method(method.toUpperCase(java.util.Locale.ROOT), publisher)
-    val resp = (if (insecure) insecureClient else client)
+    val resp = (if (insecure || trustAll) insecureClient else client)
       .send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
     // Go hides hop-by-hop transfer framing from Header (it moves
     // Transfer-Encoding to a struct field respToMap doesn't keep)

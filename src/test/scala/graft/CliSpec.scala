@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+/** The mito-compatible CLI (graft.Cli): flag surface, Go
+  * json.Encoder output form, the want_more re-entry loop, cfg
+  * parsing, and the reference's error/exit conventions.
+  */
+class CliSpec extends AnyFunSuite {
+
+  private def write(dir: java.nio.file.Path, name: String, content: String) = {
+    val p = dir.resolve(name)
+    Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+    p.toString
+  }
+
+  private def run(args: String*): (Int, Vector[String], Vector[String]) = {
+    val out = Vector.newBuilder[String]
+    val err = Vector.newBuilder[String]
+    val rc = Cli.run(args, out += _, err += _)
+    (rc, out.result(), err.result())
+  }
+
+  test("pretty output is Go json.Encoder SetIndent form (tabs, sorted keys)") {
+    val dir = Files.createTempDirectory("cli")
+    val src = write(dir, "p.cel", """{"b": [1, {"x": "y"}], "a": 1.5, "e": {}, "l": []}""")
+    val (rc, out, _) = run(src)
+    assert(rc == 0)
+    assert(out.mkString("\n") ==
+      "{\n\t\"a\": 1.5,\n\t\"b\": [\n\t\t1,\n\t\t{\n\t\t\t\"x\": \"y\"\n\t\t}\n\t],\n\t\"e\": {},\n\t\"l\": []\n}")
+  }
+
+  test("-data binds state; without it state is undeclared (exit 1)") {
+    val dir = Files.createTempDirectory("cli")
+    val src = write(dir, "p.cel", "state.k")
+    val data = write(dir, "d.json", """{"k": 7}""")
+    assert(run(src, "-data", data) == ((0, Vector("7"), Vector())))
+    val (rc, _, err) = run(src)
+    assert(rc == 1)
+    assert(err.head.startsWith("failed eval: ERROR: <input>:1:1: undeclared reference to 'state'"))
+  }
+
+  test("want_more loop re-feeds output as state until falsy (mito.go:186-204)") {
+    val dir = Files.createTempDirectory("cli")
+    val src = write(dir, "p.cel",
+      """{"n": int(state.n) + 1, "want_more": int(state.n) < 2}""")
+    val data = write(dir, "d.json", """{"n": 0}""")
+    val (rc, out, _) = run(src, "-data", data)
+    assert(rc == 0)
+    val docs = out.mkString("\n").split("\\}\n\\{").toSeq
+    assert(docs.length == 3, out.mkString("\n")) // n=1 more, n=2 more, n=3 stop
+    assert(out.mkString("\n").contains("\"n\": 3"))
+  }
+
+  test("cfg wires regexps and globals") {
+    val dir = Files.createTempDirectory("cli")
+    val cfg = write(dir, "cfg.yaml",
+      """regexp:
+        |  digits: "[0-9]+"
+        |globals:
+        |  greeting: hello
+        |""".stripMargin)
+    val src = write(dir, "p.cel",
+      """{"m": greeting.re_find('digits'), "g": greeting}""")
+    val (rc, out, _) = run(src, "-cfg", cfg)
+    assert(rc == 0)
+    assert(out.mkString("\n") == "{\n\t\"g\": \"hello\",\n\t\"m\": \"\"\n}")
+  }
+
+  test("unknown -use library and bad flags exit 2 like the reference") {
+    val dir = Files.createTempDirectory("cli")
+    val src = write(dir, "p.cel", "1")
+    assert(run(src, "-use", "collections,nope")._1 == 2)
+    assert(run(src, "-use", "collections,strings")._1 == 0)
+    assert(run("-bogus", src)._1 == 2)
+    assert(run()._1 == 2)
+  }
+
+  test("compile errors exit 2 with a message") {
+    val dir = Files.createTempDirectory("cli")
+    val src = write(dir, "p.cel", "1 +")
+    val (rc, _, err) = run(src)
+    assert(rc == 2)
+    assert(err.head.startsWith("failed compilation:"))
+  }
+}

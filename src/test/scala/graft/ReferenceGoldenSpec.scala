@@ -157,45 +157,6 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     } else a == b
   }
 
-  private val regexpCfg = """(?m)^\s*"(.+?)":\s*"(.+?)"\s*$""".r
-
-  /** Tiny YAML->JSON for the globals cfg shape the goldens use
-    * (scalars, inline lists, one nested map level). */
-  private def yamlGlobalsToJson(cfg: String): String = {
-    def scalar(v: String): String = {
-      val t = v.trim
-      if (t.startsWith("[") || t.startsWith("\"")) t
-      else if (t == "true" || t == "false") t
-      else if (t.matches("-?\\d+(\\.\\d+)?")) t
-      else "\"" + t + "\""
-    }
-    val lines = cfg.linesIterator.toVector
-      .dropWhile(!_.startsWith("globals:")).drop(1)
-      .takeWhile(l => l.isEmpty || l.startsWith(" "))
-      .filter(_.trim.nonEmpty)
-    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    var i = 0
-    while (i < lines.length) {
-      val l = lines(i)
-      val indent = l.takeWhile(_ == ' ').length
-      val Array(k, rest @ _*) = l.trim.split(":", 2)
-      val value = rest.headOption.getOrElse("").trim
-      if (value.nonEmpty) { entries += s""""$k": ${scalar(value)}"""; i += 1 }
-      else {
-        // nested map: gather deeper-indented lines
-        val nested = scala.collection.mutable.ArrayBuffer.empty[String]
-        i += 1
-        while (i < lines.length && lines(i).takeWhile(_ == ' ').length > indent) {
-          val Array(nk, nrest @ _*) = lines(i).trim.split(":", 2)
-          nested += s""""$nk": ${scalar(nrest.headOption.getOrElse("").trim)}"""
-          i += 1
-        }
-        entries += s""""$k": {${nested.mkString(",")}}"""
-      }
-    }
-    "{" + entries.mkString(",") + "}"
-  }
-
   /** Host the testscript `serve` command: serve the named fixture file,
     * replicating its basic-auth responses (the texts basic_auth.txt's
     * want records: "user mismatch"/"password mismatch"). */
@@ -300,33 +261,19 @@ class ReferenceGoldenSpec extends AnyFunSuite {
       normalize: Option[String => String] = None): Either[String, Unit] = {
     // regexps / globals / xsd tables from cfg.yaml (the cfg forms the
     // goldens use)
-    var regexps = Map.empty[String, String]
-    var globalsJson = ""
-    var xsds = Map.empty[String, String]
-    var httpAuth: Option[(String, String)] = None
-    s.flags.get("cfg").flatMap(s.files.get).foreach { cfg =>
-      if (cfg.contains("regexp:"))
-        regexps = regexpCfg.findAllMatchIn(cfg).map(m => m.group(1) -> m.group(2)).toMap
-      else if (cfg.contains("globals:")) globalsJson = yamlGlobalsToJson(cfg)
-      else if (cfg.contains("xsd:"))
-        // xsd: {"name": "file.xsd"} -> compile each file to hint JSON
-        xsds = regexpCfg.findAllMatchIn(cfg).map { m =>
-          val xsdText = new String(Files.readAllBytes(workDir.resolve(m.group(2))),
-            java.nio.charset.StandardCharsets.UTF_8)
-          m.group(1) -> graft.expressions.XsdCompiler.compile(xsdText)
-        }.toMap
-      else if (cfg.contains("auth:") && cfg.contains("basic:")) {
-        // auth: basic: {username, password} -> client-level Basic auth
-        // on every executing get/head/post (mito.go auth cfg)
-        val kv = "(?m)^\\s*(username|password):\\s*(.+)$".r
-          .findAllMatchIn(cfg).map(m => m.group(1) -> m.group(2).trim).toMap
-        (kv.get("username"), kv.get("password")) match {
-          case (Some(u), Some(p)) => httpAuth = Some((u, p))
-          case _ => return Left("unsupported cfg")
-        }
+    // cfg parsing is the CLI's (graft.cel.CelConfig): regexp tables,
+    // typed globals, XSD hint compilation, client-level Basic auth
+    val cfg = s.flags.get("cfg").flatMap(s.files.get) match {
+      case None => graft.cel.CelConfig.Cfg()
+      case Some(y) => graft.cel.CelConfig.parse(y, Some(workDir)) match {
+        case Left(e) => return Left(s"unsupported cfg: $e")
+        case Right(c) => c
       }
-      else return Left("unsupported cfg")
     }
+    val regexps = cfg.regexps
+    val globalsJson = cfg.globalsJson
+    val xsds = cfg.xsds
+    val httpAuth = cfg.basicAuth
     val src = url.map(u => s.src.replace("${URL}", u.stripSuffix("/"))).getOrElse(s.src)
     def evalWith(st: String): Either[String, String] =
       try {
