@@ -1,6 +1,5 @@
 package graft
 
-import com.fasterxml.jackson.databind.JsonNode
 import graft.cel.{CelConfig, Errors, Eval, Parser}
 import graft.values.JsonAlgebra
 
@@ -116,7 +115,7 @@ object Cli {
         case v =>
           val compact = Eval.renderV(v)
           val node = JsonAlgebra.parse(compact)
-          out(pretty(node, 0))
+          out(JsonAlgebra.renderPretty(node))
           more = node.isObject && {
             val wm = node.get("want_more")
             wm != null && wm.isBoolean && wm.booleanValue()
@@ -127,25 +126,4 @@ object Cli {
     0
   }
 
-  /** Go json.Encoder SetIndent("", "\t") form: tab indentation,
-    * `"key": value`, empty composites stay compact, scalars rendered by
-    * the engine's Go-faithful serializer (sorted keys come free — the
-    * compact render already sorts). */
-  private def pretty(n: JsonNode, depth: Int): String = {
-    val tab = "\t" * depth
-    if (n.isObject && n.size() > 0) {
-      val it = n.properties().iterator()
-      val parts = Vector.newBuilder[String]
-      while (it.hasNext) {
-        val e = it.next()
-        val key = JsonAlgebra.render(
-          com.fasterxml.jackson.databind.node.TextNode.valueOf(e.getKey))
-        parts += s"$tab\t$key: ${pretty(e.getValue, depth + 1)}"
-      }
-      parts.result().mkString("{\n", ",\n", s"\n$tab}")
-    } else if (n.isArray && n.size() > 0) {
-      val parts = (0 until n.size()).map(j => s"$tab\t${pretty(n.get(j), depth + 1)}")
-      parts.mkString("[\n", ",\n", s"\n$tab]")
-    } else JsonAlgebra.render(n)
-  }
 }

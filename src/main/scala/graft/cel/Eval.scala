@@ -224,7 +224,8 @@ object Eval {
       case VInt(i) => g.writeNumber(i)
       case VUint(i) => g.writeNumber(i)
       case VDouble(d) =>
-        if (wholeDouble(d)) g.writeNumber(d.toLong) else g.writeNumber(d)
+        if (wholeDouble(d)) g.writeNumber(d.toLong)
+        else g.writeNumber(JsonAlgebra.goFloat(d))
       case VString(s) => g.writeString(s)
       case VBytes(b) => g.writeString(java.util.Base64.getEncoder.encodeToString(b))
       case VTimestamp(us) =>

@@ -68,7 +68,7 @@ object VariantKernel {
     * matching the string and V tiers (JsonAlgebra.wholeDouble). */
   private def appendGoDouble(d: Double, sb: java.lang.StringBuilder): Unit =
     if (graft.values.JsonAlgebra.wholeDouble(d)) sb.append(d.toLong)
-    else sb.append(java.lang.Double.toString(d))
+    else sb.append(graft.values.JsonAlgebra.goFloat(d))
 
   private def renderInto(x: Variant, sb: java.lang.StringBuilder): Unit = {
     import VariantUtil.Type._
@@ -83,7 +83,7 @@ object VariantKernel {
         // 0.1f.toDouble renders "0.10000000149011612"
         val f = x.getFloat
         if (graft.values.JsonAlgebra.wholeDouble(f.toDouble)) sb.append(f.toLong)
-        else sb.append(java.lang.Float.toString(f))
+        else sb.append(graft.values.JsonAlgebra.goFloat32(f))
       case DECIMAL =>
         // parse_json holds exact decimals; Go parses JSON numbers into
         // float64 — render the double form when it is lossless so

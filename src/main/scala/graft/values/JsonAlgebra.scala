@@ -35,12 +35,64 @@ object JsonAlgebra {
   @inline def wholeDouble(d: Double): Boolean =
     d == d.floor && !d.isInfinite && math.abs(d) < 1e15
 
+  /** Go `encoding/json` float form for NON-whole doubles (whole ones
+    * collapse via [[wholeDouble]] first): shortest digits; plain
+    * decimal for 1e-6 <= |d| < 1e21, else e-notation with lowercase
+    * `e`, explicit `+`, and no zero-padded exponent (Go's floatEncoder
+    * turns strconv's `e-08` into `e-8`). Java's Double.toString has the
+    * same shortest-digits guarantee but different notation boundaries,
+    * so this converts rather than reformats — digits are never touched. */
+  def goFloat(d: Double): String =
+    goForm(java.lang.Double.toString(d), math.abs(d))
+
+  /** float32 form (Go marshals float32 with 32-bit shortest digits —
+    * Java Float.toString has the same guarantee). */
+  def goFloat32(f: Float): String =
+    goForm(java.lang.Float.toString(f), math.abs(f.toDouble))
+
+  private def goForm(s: String, abs: Double): String = {
+    val e = s.indexOf('E')
+    if (abs >= 1e-6 && abs < 1e21) {
+      if (e < 0) s
+      else new java.math.BigDecimal(s).toPlainString // same digits, plain form
+    } else {
+      // e-notation: Java "1.0E21"/"6.48E-8" -> Go "1e+21"/"6.48e-8"
+      val (mant0, exp) = if (e < 0) (s, 0) else (s.substring(0, e), s.substring(e + 1).toInt)
+      val mant = if (mant0.endsWith(".0")) mant0.dropRight(2) else mant0
+      if (e < 0) mant // shortest repr without E can't be outside the range; guard
+      else if (exp < 0) s"${mant}e-${-exp}"
+      else s"${mant}e+$exp"
+    }
+  }
+
   /** Serialize with object keys sorted — matches Go `json.Marshal` map
     * key ordering (mito's encode_json, lib/json.go:207-247). Streams the
     * tree once with keys sorted at write time instead of deep-copying it
     * through sortKeys first; scalars delegate to the mapper's own
     * serializers (writeTree), so output is byte-identical to
     * writeValueAsString. */
+  /** Go `json.Encoder` SetIndent("", "\t") form (mito's stdout,
+    * mito.go:351-356): tab indentation, `"key": value`, empty
+    * composites compact, keys sorted, scalars via the same Go-faithful
+    * serializer as [[render]]. Byte-identical to the reference's CLI
+    * output (asserted against its goldens in ReferenceGoldenSpec). */
+  def renderPretty(n: JsonNode, depth: Int = 0): String = {
+    val tab = "\t" * depth
+    if (n.isObject && n.size() > 0) {
+      val keys = new Array[String](n.size)
+      var i = 0
+      n.fieldNames().forEachRemaining { k => keys(i) = k; i += 1 }
+      java.util.Arrays.sort(keys, java.util.Comparator.naturalOrder[String]())
+      keys.map { k =>
+        val key = render(com.fasterxml.jackson.databind.node.TextNode.valueOf(k))
+        s"$tab\t$key: ${renderPretty(n.get(k), depth + 1)}"
+      }.mkString("{\n", ",\n", s"\n$tab}")
+    } else if (n.isArray && n.size() > 0)
+      (0 until n.size()).map(j => s"$tab\t${renderPretty(n.get(j), depth + 1)}")
+        .mkString("[\n", ",\n", s"\n$tab]")
+    else render(n)
+  }
+
   def render(n: JsonNode): String = {
     val w = new java.io.StringWriter(64)
     val g = mapper.createGenerator(w)
@@ -62,9 +114,11 @@ object JsonAlgebra {
         g.writeStartArray()
         x.elements().forEachRemaining(write(_))
         g.writeEndArray()
-      } else if (x.isFloatingPointNumber && wholeDouble(x.doubleValue())) {
-        // DoubleNode would print "-5.0"; Go collapses whole floats
-        g.writeNumber(x.doubleValue().toLong)
+      } else if (x.isFloatingPointNumber) {
+        // DoubleNode would print "-5.0" / "6.48E-8"; Go collapses whole
+        // floats and formats the rest per encoding/json (goFloat)
+        val d = x.doubleValue()
+        if (wholeDouble(d)) g.writeNumber(d.toLong) else g.writeNumber(goFloat(d))
       } else g.writeTree(x)
     write(n)
     g.close()

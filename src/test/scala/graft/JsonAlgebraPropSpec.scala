@@ -47,6 +47,24 @@ class JsonAlgebraPropSpec extends AnyFunSuite {
     }
   }
 
+  test("goFloat matches Go encoding/json float forms") {
+    // plain decimal for 1e-6 <= |d| < 1e21; e-notation outside, with
+    // lowercase e, explicit +, no zero-padded exponent (limit_okta.txt
+    // pins 6.483528991463317e-8)
+    assert(goFloat(6.483528991463317e-8) == "6.483528991463317e-8")
+    assert(goFloat(0.1) == "0.1")
+    assert(goFloat(1.5e-4) == "0.00015")
+    assert(goFloat(1.234e20) == "123400000000000000000")
+    assert(goFloat(1.5e21) == "1.5e+21")
+    assert(goFloat(-2.5e-9) == "-2.5e-9")
+    assert(goFloat32(0.1f) == "0.1")
+    // round-trip: the form parses back to the same double
+    check(Gen.oneOf(Gen.chooseNum(-1e25, 1e25), Gen.chooseNum(-1.0, 1.0),
+      Gen.chooseNum(-1e-6, 1e-6))) { d =>
+      if (!wholeDouble(d)) assert(goFloat(d).toDouble == d, s"roundtrip $d")
+    }
+  }
+
   test("render . parse is a normal form (idempotent)") {
     check(genJson(3)) { doc =>
       val once = render(parse(doc))

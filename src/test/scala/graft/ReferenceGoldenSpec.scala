@@ -229,7 +229,7 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     (server, s"127.0.0.1:${server.getAddress.getPort}")
   }
 
-  private def runScript(name: String, s: Script): Either[String, Unit] = {
+  private def runScript(name: String, s: Script): Either[String, Boolean] = {
     val workDir = materialize(s)
     val served = s.serve.map { case (f, auth) => startServe(workDir, f, auth) }
     val example =
@@ -245,20 +245,23 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     // every `mito`/`cmp stdout` pair runs against the same served
     // fixtures; all must match their own want
     val allRuns = (s2.flags, s2.want) +: s2.moreRuns
-    try allRuns.zipWithIndex.foldLeft(Right(()): Either[String, Unit]) {
+    try allRuns.zipWithIndex.foldLeft(Right(true): Either[String, Boolean]) {
       case (acc @ Left(_), _) => acc
-      case (_, ((flags, want), i)) =>
+      case (acc, ((flags, want), i)) =>
         val run = s2.copy(flags = flags, want = want)
         val state = flags.get("data").flatMap(s.files.get).getOrElse("null")
         runScriptInner(run, state, workDir, served.map(_._2), normalize)
+          .map(exact => exact && acc.getOrElse(true))
           .left.map(e => if (allRuns.length > 1) s"run ${i + 1}: $e" else e)
     }
     finally { served.foreach(_._1.stop(0)); example.foreach(_._1.stop(0)) }
   }
 
+  /** Right(byteExact): trees matched; true when the Go-form pretty
+    * render is also byte-identical to the recorded stdout. */
   private def runScriptInner(s: Script, state: String,
       workDir: java.nio.file.Path, url: Option[String],
-      normalize: Option[String => String] = None): Either[String, Unit] = {
+      normalize: Option[String => String] = None): Either[String, Boolean] = {
     // regexps / globals / xsd tables from cfg.yaml (the cfg forms the
     // goldens use)
     // cfg parsing is the CLI's (graft.cel.CelConfig): regexp tables,
@@ -309,7 +312,8 @@ class ReferenceGoldenSpec extends AnyFunSuite {
       }
       val got = gotDocs.result()
       return if (got.length == wantDocs.length &&
-        got.zip(wantDocs).forall { case (g, w) => treeEq(g, w) }) Right(())
+        got.zip(wantDocs).forall { case (g, w) => treeEq(g, w) })
+        Right(got.map(JsonAlgebra.renderPretty(_)).mkString("\n") == wantNorm(s.want))
       else Left(s"want_more loop mismatch: ${got.length} docs vs ${wantDocs.length}")
     }
 
@@ -320,9 +324,14 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     val wantNode = wantDocs.head
     val gotNode = JsonAlgebra.parse(got)
     if (JsonAlgebra.isError(gotNode)) Left(s"error result: $got")
-    else if (treeEq(gotNode, wantNode)) Right(())
+    else if (treeEq(gotNode, wantNode))
+      Right(JsonAlgebra.renderPretty(gotNode) == wantNorm(s.want))
     else Left(s"mismatch:\n  got:  $got\n  want: ${JsonAlgebra.render(wantNode)}")
   }
+
+  /** The want section's exact text as mito printed it (strip the
+    * section-split newlines). */
+  private def wantNorm(w: String): String = w.stripPrefix("\n").stripSuffix("\n")
 
   /** Concatenated pretty-printed JSON docs -> nodes (testscript wants
     * with one doc per loop iteration). */
@@ -341,8 +350,9 @@ class ReferenceGoldenSpec extends AnyFunSuite {
   test("reference golden scripts replay through the CEL front-end") {
     val all = Files.list(dir).iterator().asScala.toSeq
       .filter(_.toString.endsWith(".txt")).sortBy(_.getFileName.toString)
-    var pass, fail, skipped = 0
+    var pass, fail, skipped, byteExact = 0
     val failures = Seq.newBuilder[String]
+    val inexact = Seq.newBuilder[String]
     all.foreach { p =>
       val name = p.getFileName.toString
       if (skip.contains(name)) skipped += 1
@@ -350,14 +360,21 @@ class ReferenceGoldenSpec extends AnyFunSuite {
         case None => skipped += 1; info(s"  SKIP (harness cannot parse) $name")
         case Some(script) =>
           runScript(name, script) match {
-            case Right(()) => pass += 1
+            case Right(exact) =>
+              pass += 1
+              if (exact) byteExact += 1 else inexact += name
             case Left(reason) => fail += 1; failures += s"$name: $reason"
           }
       }
     }
-    info(s"golden replay: $pass pass, $fail fail, $skipped skipped of ${all.size}")
+    info(s"golden replay: $pass pass ($byteExact byte-exact stdout), " +
+      s"$fail fail, $skipped skipped of ${all.size}")
+    inexact.result().foreach(n => info(s"  tree-equal only: $n"))
     failures.result().foreach(f => info(s"  FAIL $f"))
     assert(pass >= 67, s"expected at least 67 replayed goldens to pass, got $pass")
+    assert(byteExact >= 67,
+      s"expected byte-exact stdout on all replayed goldens, got $byteExact " +
+        s"(tree-equal only: ${inexact.result().mkString(", ")})")
     assert(fail == 0, s"golden failures:\n${failures.result().mkString("\n")}")
   }
 }
