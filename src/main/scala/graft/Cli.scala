@@ -99,9 +99,12 @@ object Cli {
     val ast = try Parser.parse(src) catch {
       case e: Exception => err(s"failed compilation: ${e.getMessage}"); return 2
     }
+    // `now` the variable = CLI start; `now()` the function = live
+    // call-time clock (the reference's one-shot semantics, time.go:46-54)
     val baseEnv = Eval.baseEnv(System.currentTimeMillis() * 1000L,
       cfg.regexps, cfg.globalsJson,
       Some(Paths.get(".").toAbsolutePath.normalize), cfg.xsds, cfg.basicAuth)
+      .copy(liveNowAnchor = Some(System.nanoTime()))
 
     // the want_more re-entry loop (mito.go:186-204): output becomes the
     // next state while out.want_more is true

@@ -80,9 +80,10 @@ object Cel {
       globalsJson: String = "",
       baseDir: Option[java.nio.file.Path] = None,
       xsds: Map[String, String] = Map.empty,
-      httpAuth: Option[(String, String)] = None): String =
+      httpAuth: Option[(String, String)] = None,
+      liveNow: Boolean = false): String =
     Eval.evalJson(Parser.parse(program), stateJson, nowMicros, regexps,
-      globalsJson, baseDir, xsds, httpAuth)
+      globalsJson, baseDir, xsds, httpAuth, liveNow)
 
   /** evalOnce with DecoratedError semantics (reference mito.go:335 +
     * lib/errors.go:28-52): a failing program returns

@@ -99,7 +99,15 @@ object Eval {
         * (reference HTTP(client, limit, auth), lib/http.go:46-50;
         * requests built as data + do_request are explicitly NOT
         * affected — use basic_authentication for those). */
-      httpAuth: Option[(String, String)] = None)
+      httpAuth: Option[(String, String)] = None,
+      /** One-shot (CLI) mode: `now()` the FUNCTION reads a live
+        * monotonic clock anchored here (System.nanoTime at env build),
+        * while `now` the VARIABLE stays the evaluation-start constant —
+        * the reference's semantics (lib/time.go:46-54: the variable is
+        * bound at start, the function at call time, so
+        * `now < now()` holds — testdata/now.txt). None (the Spark
+        * tiers) keeps both fixed for replay-deterministic retries. */
+      liveNowAnchor: Option[Long] = None)
 
   // ---------------- JSON <-> V ----------------
   def fromJson(n: JsonNode): V =
@@ -264,9 +272,10 @@ object Eval {
       globalsJson: String = "",
       baseDir: Option[java.nio.file.Path] = None,
       xsds: Map[String, String] = Map.empty,
-      httpAuth: Option[(String, String)] = None): String =
+      httpAuth: Option[(String, String)] = None,
+      liveNow: Boolean = false): String =
     renderV(evalValue(program, stateJson, nowMicros,
-      regexps, globalsJson, baseDir, xsds, httpAuth))
+      regexps, globalsJson, baseDir, xsds, httpAuth, liveNow))
 
   /** Like evalJson but returns the raw value — the top-level VErr keeps
     * its source offset for DecoratedError-style rendering. */
@@ -275,9 +284,11 @@ object Eval {
       globalsJson: String = "",
       baseDir: Option[java.nio.file.Path] = None,
       xsds: Map[String, String] = Map.empty,
-      httpAuth: Option[(String, String)] = None): V =
+      httpAuth: Option[(String, String)] = None,
+      liveNow: Boolean = false): V =
     evalValueInEnv(program, stateJson,
-      baseEnv(nowMicros, regexps, globalsJson, baseDir, xsds, httpAuth))
+      baseEnv(nowMicros, regexps, globalsJson, baseDir, xsds, httpAuth)
+        .copy(liveNowAnchor = if (liveNow) Some(System.nanoTime()) else None))
 
   /** The `time_layout` global (17 named Go layouts) — one shared value,
     * not rebuilt per evaluation. */

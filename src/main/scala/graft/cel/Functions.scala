@@ -57,7 +57,13 @@ private[cel] object Functions {
         rateLimitGeneral(h, prefix, delta, win, burst, env)
       case _ => VErr("no such overload: rate_limit")
     }
-    case "now" => VTimestamp(env.nowMicros)
+    case "now" => env.liveNowAnchor match {
+      // live call-time clock (monotonic, +1us so `now < now()` is
+      // strict even inside one microsecond — time.go:194-199)
+      case Some(anchor) =>
+        VTimestamp(env.nowMicros + (System.nanoTime() - anchor) / 1000L + 1L)
+      case None => VTimestamp(env.nowMicros)
+    }
     // file library (reference lib/file.go; baseDir = the evaluation's
     // working directory, like the mito CLI's cwd)
     case "file" => strict(args, env) {

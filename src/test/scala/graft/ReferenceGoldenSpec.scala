@@ -13,10 +13,10 @@ import scala.jdk.CollectionConverters._
   * through the CEL front-end and tree-compares the output with the
   * recorded golden (numeric-tolerant, key-order-insensitive).
   *
-  * Scripts needing a live server (serve/serve_tls), env expansion,
-  * binary fixtures, filesystem access, nondeterminism (uuid/now wall
-  * clock), or the driver loop are exercised by dedicated specs instead
-  * (StreamingSpec, MimeHttpLimitSpec, CelSpec) and are skipped here.
+  * 69 of 70 scripts replay with byte-exact stdout; only serve_tls is
+  * skipped (its stderr regex pins Go's x509 error text, which a JDK
+  * TLS failure can never produce — the -insecure path itself is
+  * covered by HttpExecSpec).
   */
 class ReferenceGoldenSpec extends AnyFunSuite {
 
@@ -33,11 +33,10 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     // text, which the JDK's certificate failure can never produce
     // (the -insecure trust-all path itself is covered by HttpExecSpec).
     // want_more.txt REPLAYS: multi-doc wants drive the re-entry loop.
-    "serve_tls.txt",
-
-    // nondeterministic / wall-clock / loop-driver (debug.txt replays:
-    // its stdout is deterministic, only the stderr log is side-band)
-    "uuid.txt", "now.txt")
+    // uuid.txt REPLAYS: its `stdout <regex>` assertion is hosted.
+    // now.txt REPLAYS: liveNow gives now() the reference's call-time
+    // clock, so `now < now()` / `now() <= now()` hold deterministically.
+    "serve_tls.txt")
     // limit_{okta,draft,general}.txt REPLAY: their rates are
     // deterministic once Go's time.Sub saturation (+-2^63 ns) and
     // strconv error texts are mirrored (LimitKernel.goUntilSeconds) —
@@ -53,7 +52,9 @@ class ReferenceGoldenSpec extends AnyFunSuite {
       /** additional `mito … / cmp stdout <want>` invocations in the same
         * script (e.g. basic_auth_config.txt runs good and bad cfgs
         * against one server): (flags, want TEXT) per extra run. */
-      moreRuns: Seq[(Map[String, String], String)] = Nil)
+      moreRuns: Seq[(Map[String, String], String)] = Nil,
+      /** a `stdout <regex>` assertion instead of a want file (uuid.txt). */
+      stdoutRe: Option[String] = None)
 
   /** Write the archive's fixture files into a temp dir (the testscript
     * working directory), applying `base64 <src> <dst>` decode commands. */
@@ -132,14 +133,18 @@ class ReferenceGoldenSpec extends AnyFunSuite {
       val parts = l.trim.split("\\s+")
       (parts(1), parts(2))
     }
+    // testscript `stdout <regex>` assertion form (no want file)
+    val stdoutRe = lines.find(l => l.startsWith("stdout "))
+      .map(_.stripPrefix("stdout ").trim)
     for {
       src <- files.get("src.cel").orElse(
         expandCmds.headOption.flatMap { case (from, _) => files.get(from) })
-      want <- files.get(runs.head._2)
+      want <- files.get(runs.head._2).orElse(stdoutRe.map(_ => ""))
       more <- runs.tail.foldLeft(Option(Vector.empty[(Map[String, String], String)])) {
         case (acc, (f, wn)) => for (a <- acc; w <- files.get(wn)) yield a :+ ((f, w))
       }
-    } yield Script(runs.head._1, src, files, want, base64Cmds, serveCmd, expandCmds, more)
+    } yield Script(runs.head._1, src, files, want, base64Cmds, serveCmd,
+      expandCmds, more, stdoutRe)
   }
 
   /** numeric-tolerant tree equality */
@@ -281,9 +286,18 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     def evalWith(st: String): Either[String, String] =
       try {
         val out = Cel.evalOnce(src, st, 1704067200000000L, regexps,
-          globalsJson, Some(workDir), xsds, httpAuth)
+          globalsJson, Some(workDir), xsds, httpAuth, liveNow = true)
         Right(normalize.fold(out)(f => f(out)))
       } catch { case e: Exception => Left(s"eval threw: ${e.getMessage}") }
+
+    // `stdout <regex>` assertion scripts: one eval, pattern must match
+    s.stdoutRe.foreach { re =>
+      return evalWith(state).flatMap { got =>
+        val pretty = JsonAlgebra.renderPretty(JsonAlgebra.parse(got))
+        if (re.r.findFirstIn(pretty).isDefined) Right(true)
+        else Left(s"stdout !~ /$re/: $pretty")
+      }
+    }
 
     // multi-doc want = the mito driver's want_more re-entry loop: the
     // rendered output becomes the next evaluation's state until
@@ -371,8 +385,8 @@ class ReferenceGoldenSpec extends AnyFunSuite {
       s"$fail fail, $skipped skipped of ${all.size}")
     inexact.result().foreach(n => info(s"  tree-equal only: $n"))
     failures.result().foreach(f => info(s"  FAIL $f"))
-    assert(pass >= 67, s"expected at least 67 replayed goldens to pass, got $pass")
-    assert(byteExact >= 67,
+    assert(pass >= 69, s"expected at least 69 replayed goldens to pass, got $pass")
+    assert(byteExact >= 69,
       s"expected byte-exact stdout on all replayed goldens, got $byteExact " +
         s"(tree-equal only: ${inexact.result().mkString(", ")})")
     assert(fail == 0, s"golden failures:\n${failures.result().mkString("\n")}")
