@@ -389,7 +389,11 @@ object Eval {
 
     case Ast.Select(t, f) =>
       eval(t, env) match {
-        case err: VErr => err
+        // re-attribute a propagating error to THIS qualifier node —
+        // cel-go wraps attribute-qualification errors with the
+        // qualifier's id (serve_tls.txt pins `.Body` on an error
+        // response as the reported position)
+        case err: VErr => if (e.pos >= 0) new VErr(err.msg, e.pos) else err
         case VMap(m) => m.getOrElse(f, VErr(s"no such key: $f"))
         // selection through an optional stays optional (CEL optional types)
         case VOpt(Some(VMap(m))) => VOpt(m.get(f))
@@ -400,7 +404,7 @@ object Eval {
 
     case Ast.SelectOpt(t, f) =>
       eval(t, env) match {
-        case err: VErr => err
+        case err: VErr => if (e.pos >= 0) new VErr(err.msg, e.pos) else err
         case VMap(m) => VOpt(m.get(f))
         case VOpt(Some(VMap(m))) => VOpt(m.get(f)) // chained a.?b.?c
         case VOpt(None) => VOpt(None)
@@ -417,7 +421,7 @@ object Eval {
 
     case Ast.Index(t, i) =>
       (eval(t, env), eval(i, env)) match {
-        case (err: VErr, _) => err
+        case (err: VErr, _) => if (e.pos >= 0) new VErr(err.msg, e.pos) else err
         case (_, err: VErr) => err
         case (VList(xs), VInt(idx)) =>
           if (idx >= 0 && idx < xs.length) xs(idx.toInt)

@@ -30,6 +30,32 @@ object HttpExec {
       reqHeader: Map[String, Seq[String]], reqContentLength: Long,
       uncompressed: Boolean = false)
 
+  /** Transport failures in Go's error shape, so scripts ported from the
+    * reference that match on error text keep working (url.Error renders
+    * `<Op> "<url>": <cause>` with Op = title-cased method; TLS
+    * verification failures render Go's crypto/tls+x509 text —
+    * serve_tls.txt pins it). */
+  private def goTransportError(method: String, url: String, e: Exception): String = {
+    val op = method.take(1).toUpperCase(java.util.Locale.ROOT) +
+      method.drop(1).toLowerCase(java.util.Locale.ROOT)
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    val causes = chain(e)
+    val cause =
+      if (causes.exists {
+        case _: javax.net.ssl.SSLHandshakeException => true
+        case c => c.isInstanceOf[java.security.cert.CertificateException] ||
+          String.valueOf(c.getMessage).contains("PKIX path")
+      }) "tls: failed to verify certificate: x509: certificate signed by unknown authority"
+      else if (causes.exists(_.isInstanceOf[java.net.ConnectException])) {
+        val hp = host(url)
+        val hostPort = if (hp.contains(":")) hp
+          else if (url.startsWith("https")) s"$hp:443" else s"$hp:80"
+        s"dial tcp $hostPort: connect: connection refused"
+      } else String.valueOf(e.getMessage)
+    s"""$op "$url": $cause"""
+  }
+
   /** Process-level TLS-verification toggle — the CLI's -insecure flag
     * (mito.go:68-72, setClientInsecure :242-259 wires one client for
     * the whole process; this is the same scope). Per-call `insecure`
@@ -128,8 +154,12 @@ object HttpExec {
       if (body == null || body.isEmpty) HttpRequest.BodyPublishers.noBody()
       else HttpRequest.BodyPublishers.ofByteArray(body)
     b.method(method.toUpperCase(java.util.Locale.ROOT), publisher)
-    val resp = (if (insecure || trustAll) insecureClient else client)
-      .send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    val resp = try {
+      (if (insecure || trustAll) insecureClient else client)
+        .send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    } catch {
+      case e: Exception => throw new java.io.IOException(goTransportError(method, url, e), e)
+    }
     // Go hides hop-by-hop transfer framing from Header (it moves
     // Transfer-Encoding to a struct field respToMap doesn't keep)
     var hdr = resp.headers().map().asScala.toSeq

@@ -40,7 +40,9 @@ class CliSpec extends AnyFunSuite {
     assert(run(src, "-data", data) == ((0, Vector("7"), Vector())))
     val (rc, _, err) = run(src)
     assert(rc == 1)
-    assert(err.head.startsWith("failed eval: ERROR: <input>:1:1: undeclared reference to 'state'"))
+    // position re-attributes to the `.k` qualifier (cel-go wraps
+    // qualification errors at the qualifier node — serve_tls.txt)
+    assert(err.head.startsWith("failed eval: ERROR: <input>:1:6: undeclared reference to 'state'"))
   }
 
   test("want_more loop re-feeds output as state until falsy (mito.go:186-204)") {

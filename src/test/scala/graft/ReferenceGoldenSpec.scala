@@ -13,10 +13,10 @@ import scala.jdk.CollectionConverters._
   * through the CEL front-end and tree-compares the output with the
   * recorded golden (numeric-tolerant, key-order-insensitive).
   *
-  * 69 of 70 scripts replay with byte-exact stdout; only serve_tls is
-  * skipped (its stderr regex pins Go's x509 error text, which a JDK
-  * TLS failure can never produce — the -insecure path itself is
-  * covered by HttpExecSpec).
+  * All 70 scripts replay with byte-exact stdout — including the
+  * live-server scripts (HTTP and self-signed HTTPS stubs), the
+  * want_more loop, `stdout`/`stderr` regex assertions, and
+  * expected-failure (`! mito`) runs with decorated-error output.
   */
 class ReferenceGoldenSpec extends AnyFunSuite {
 
@@ -29,14 +29,13 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     // www.example.com locally, serving the body the golden pins — GET
     // gzip+chunked so the transparent-decompression path (Uncompressed,
     // ContentLength -1, CE/CL header removal) matches Go's transport.
-    // serve_tls stays skipped: its stderr regex pins Go's x509 error
-    // text, which the JDK's certificate failure can never produce
-    // (the -insecure trust-all path itself is covered by HttpExecSpec).
     // want_more.txt REPLAYS: multi-doc wants drive the re-entry loop.
     // uuid.txt REPLAYS: its `stdout <regex>` assertion is hosted.
     // now.txt REPLAYS: liveNow gives now() the reference's call-time
-    // clock, so `now < now()` / `now() <= now()` hold deterministically.
-    "serve_tls.txt")
+    // clock. serve_tls.txt REPLAYS: HTTPS stub with a self-signed cert;
+    // the transport mirrors Go's x509 error text and -insecure
+    // trust-all succeeds against the SAN=127.0.0.1 cert.
+  )
     // limit_{okta,draft,general}.txt REPLAY: their rates are
     // deterministic once Go's time.Sub saturation (+-2^63 ns) and
     // strconv error texts are mirrored (LimitKernel.goUntilSeconds) —
@@ -45,16 +44,25 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     // keys.txt REPLAYS: VMap's intKeys tag preserves int map keys
     // through keys()/values()/iteration (Eval.typedKeys)
 
+  /** One `mito`/`! mito` invocation: flags, its want TEXT (empty for
+    * assertion-only runs), and — for `! mito` expected-failure runs —
+    * the `stderr '<re>'` regex the failure must match. */
+  private case class RunSpec(flags: Map[String, String], want: String,
+      stderrRe: Option[String])
+
   private case class Script(flags: Map[String, String], src: String,
       files: Map[String, String], want: String, base64Cmds: Seq[(String, String)] = Nil,
       serve: Option[(String, Option[(String, String)])] = None,
       expands: Seq[(String, String)] = Nil,
-      /** additional `mito … / cmp stdout <want>` invocations in the same
-        * script (e.g. basic_auth_config.txt runs good and bad cfgs
-        * against one server): (flags, want TEXT) per extra run. */
-      moreRuns: Seq[(Map[String, String], String)] = Nil,
+      /** additional invocations in the same script (basic_auth_config
+        * runs good and bad cfgs; serve_tls runs secure then -insecure). */
+      moreRuns: Seq[RunSpec] = Nil,
       /** a `stdout <regex>` assertion instead of a want file (uuid.txt). */
-      stdoutRe: Option[String] = None)
+      stdoutRe: Option[String] = None,
+      /** HTTPS stub serving this fixture (self-signed — serve_tls.txt). */
+      serveTls: Option[String] = None,
+      /** primary run is `! mito` expecting failure matching this regex. */
+      expectStderr: Option[String] = None)
 
   /** Write the archive's fixture files into a temp dir (the testscript
     * working directory), applying `base64 <src> <dst>` decode commands. */
@@ -82,7 +90,8 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     var i = 0
     while (i < flagTokens.length) {
       val t = flagTokens(i)
-      if (t.startsWith("-") && i + 1 < flagTokens.length && !flagTokens(i + 1).startsWith("-")
+      if (t == "-insecure") { flags += ("insecure" -> "true"); i += 1 }
+      else if (t.startsWith("-") && i + 1 < flagTokens.length && !flagTokens(i + 1).startsWith("-")
         && !flagTokens(i + 1).endsWith(".cel")) {
         flags += (t.stripPrefix("-") -> flagTokens(i + 1)); i += 2
       } else if (t.startsWith("-") && i + 1 < flagTokens.length
@@ -97,14 +106,15 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     // command section only: a fixture file whose content happens to
     // start a line with "mito"/"serve"/... must not become a command
     val lines = text.linesIterator.toVector.takeWhile(!_.startsWith("-- "))
-    if (!lines.exists(_.startsWith("mito"))) return None
-    // testscript commands we host: base64 (materialize), plain
-    // `serve <file> [user pass]` (a local stub server; see runScript),
-    // and `expand`/cmpenv ${URL} substitution. TLS serving and env
-    // manipulation are not hosted.
-    if (lines.exists(l => l.startsWith("serve_tls") || l.startsWith("serve -") ||
-      l.startsWith("env "))) return None
-    if (lines.exists(l => l.startsWith("!") && l != "! stderr .")) return None
+    if (!lines.exists(l => l.startsWith("mito") || l.startsWith("! mito"))) return None
+    // testscript commands we host: base64 (materialize), `serve` and
+    // `serve_tls` (local stubs; see runScript), `expand`/cmpenv ${URL}
+    // substitution, `stdout <re>` / `! mito`+`stderr <re>` assertions.
+    if (lines.exists(l => l.startsWith("serve -") || l.startsWith("env "))) return None
+    if (lines.exists(l => l.startsWith("!") && l != "! stderr ." &&
+      !l.startsWith("! mito") && l != "! stdout .")) return None
+    val serveTls = lines.find(_.startsWith("serve_tls "))
+      .map(_.stripPrefix("serve_tls ").trim)
     val serveCmd = lines.find(l => l.startsWith("serve ") || l == "serve").map { l =>
       val parts = l.trim.split("\\s+").drop(1)
       val auth = if (parts.length >= 3) Some((parts(1), parts(2))) else None
@@ -117,16 +127,22 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     val sections = text.split("(?m)^-- (.+?) --$").toVector
     val names = "(?m)^-- (.+?) --$".r.findAllMatchIn(text).map(_.group(1).trim).toVector
     val files = names.zip(sections.drop(1)).toMap
-    // each `mito …` invocation pairs with the `cmp stdout <want>` that
-    // follows it (before the next mito line); default want.txt
-    val runs: Vector[(Map[String, String], String)] = {
-      val idx = lines.zipWithIndex.collect { case (l, i) if l.startsWith("mito") => i }
+    // each `mito …`/`! mito …` invocation pairs with the assertions that
+    // follow it (before the next invocation): `cmp stdout <want>`
+    // (default want.txt) or, for expected failures, `stderr '<re>'`
+    val runs: Vector[(Map[String, String], String, Option[String])] = {
+      val idx = lines.zipWithIndex.collect {
+        case (l, i) if l.startsWith("mito") || l.startsWith("! mito") => i
+      }
       idx.map { i =>
         val until = idx.find(_ > i).getOrElse(lines.length)
-        val wantName = lines.slice(i + 1, until)
-          .find(_.trim.startsWith("cmp stdout "))
+        val tail = lines.slice(i + 1, until)
+        val wantName = tail.find(_.trim.startsWith("cmp stdout "))
           .map(_.trim.split("\\s+")(2)).getOrElse("want.txt")
-        (parseFlags(lines(i)), wantName)
+        val stderrRe = if (!lines(i).startsWith("! mito")) None
+          else tail.find(_.startsWith("stderr "))
+            .map(_.stripPrefix("stderr ").trim.stripPrefix("'").stripSuffix("'"))
+        (parseFlags(lines(i).stripPrefix("! ")), wantName, stderrRe)
       }
     }
     val base64Cmds = lines.filter(_.startsWith("base64 ")).map { l =>
@@ -137,14 +153,21 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     val stdoutRe = lines.find(l => l.startsWith("stdout "))
       .map(_.stripPrefix("stdout ").trim)
     for {
+      // strip the section-split leading newline: decorated-error
+      // positions (serve_tls pins <input>:2:62) are line-exact
       src <- files.get("src.cel").orElse(
         expandCmds.headOption.flatMap { case (from, _) => files.get(from) })
-      want <- files.get(runs.head._2).orElse(stdoutRe.map(_ => ""))
-      more <- runs.tail.foldLeft(Option(Vector.empty[(Map[String, String], String)])) {
-        case (acc, (f, wn)) => for (a <- acc; w <- files.get(wn)) yield a :+ ((f, w))
+        .map(_.stripPrefix("\n"))
+      want <- files.get(runs.head._2)
+        .orElse(if (stdoutRe.isDefined || runs.head._3.isDefined) Some("") else None)
+      more <- runs.tail.foldLeft(Option(Vector.empty[RunSpec])) {
+        case (acc, (f, wn, re)) => for {
+          a <- acc
+          w <- files.get(wn).orElse(if (re.isDefined) Some("") else None)
+        } yield a :+ RunSpec(f, w, re)
       }
     } yield Script(runs.head._1, src, files, want, base64Cmds, serveCmd,
-      expandCmds, more, stdoutRe)
+      expandCmds, more, stdoutRe, serveTls, runs.head._3)
   }
 
   /** numeric-tolerant tree equality */
@@ -193,6 +216,48 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     (server, s"http://127.0.0.1:${server.getAddress.getPort}/")
   }
 
+  /** Self-signed keystore for serve_tls (generated once per JVM via
+    * keytool, SAN=ip:127.0.0.1 so -insecure trust-all still passes the
+    * JDK's hostname check — Go's InsecureSkipVerify skips both). */
+  private lazy val tlsContext: javax.net.ssl.SSLContext = {
+    val dir = Files.createTempDirectory("graft-tls")
+    val ksPath = dir.resolve("ks.p12")
+    val cmd = Array("keytool", "-genkeypair", "-keyalg", "RSA", "-keysize", "2048",
+      "-alias", "test", "-keystore", ksPath.toString, "-storetype", "PKCS12",
+      "-storepass", "changeit", "-dname", "CN=127.0.0.1",
+      "-ext", "SAN=ip:127.0.0.1", "-validity", "3650")
+    val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    p.waitFor()
+    require(Files.exists(ksPath), "keytool keystore generation failed")
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = Files.newInputStream(ksPath)
+    ks.load(in, "changeit".toCharArray); in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance("SunX509")
+    kmf.init(ks, "changeit".toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
+  }
+
+  /** Host the `serve_tls` command: HTTPS stub with a self-signed cert —
+    * the default client must fail verification (the golden pins the Go
+    * x509 text the transport layer mirrors), -insecure must succeed. */
+  private def startServeTls(workDir: java.nio.file.Path,
+      file: String): (com.sun.net.httpserver.HttpServer, String) = {
+    val server = com.sun.net.httpserver.HttpsServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(tlsContext))
+    server.createContext("/", new com.sun.net.httpserver.HttpHandler {
+      override def handle(x: com.sun.net.httpserver.HttpExchange): Unit = {
+        val reply = Files.readAllBytes(workDir.resolve(file))
+        x.sendResponseHeaders(200, reply.length)
+        x.getResponseBody.write(reply); x.close()
+      }
+    })
+    server.start()
+    (server, s"https://127.0.0.1:${server.getAddress.getPort}/")
+  }
+
   /** Host www.example.com for the live-server goldens: serve the body
     * the golden's own want.txt pins (decoded from its Body field), with
     * the header/framing shape the reference recorded — GET responses
@@ -237,6 +302,7 @@ class ReferenceGoldenSpec extends AnyFunSuite {
   private def runScript(name: String, s: Script): Either[String, Boolean] = {
     val workDir = materialize(s)
     val served = s.serve.map { case (f, auth) => startServe(workDir, f, auth) }
+      .orElse(s.serveTls.map(f => startServeTls(workDir, f)))
     val example =
       if (s.src.contains("www.example.com")) Some(startExampleCom(s.want)) else None
     val s2 = example match {
@@ -247,16 +313,19 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     val normalize = example.map { case (_, authority) =>
       (out: String) => out.replace(authority, "www.example.com")
     }
-    // every `mito`/`cmp stdout` pair runs against the same served
-    // fixtures; all must match their own want
-    val allRuns = (s2.flags, s2.want) +: s2.moreRuns
+    // every invocation runs against the same served fixtures; all must
+    // match their own want / stderr assertion
+    val allRuns = RunSpec(s2.flags, s2.want, s2.expectStderr) +: s2.moreRuns
     try allRuns.zipWithIndex.foldLeft(Right(true): Either[String, Boolean]) {
       case (acc @ Left(_), _) => acc
-      case (acc, ((flags, want), i)) =>
-        val run = s2.copy(flags = flags, want = want)
+      case (acc, (RunSpec(flags, want, stderrRe), i)) =>
+        val run = s2.copy(flags = flags, want = want, expectStderr = stderrRe)
         val state = flags.get("data").flatMap(s.files.get).getOrElse("null")
-        runScriptInner(run, state, workDir, served.map(_._2), normalize)
-          .map(exact => exact && acc.getOrElse(true))
+        // bare -insecure = the reference's process-level trust-all
+        graft.sources.HttpExec.trustAll = flags.contains("insecure")
+        val r = try runScriptInner(run, state, workDir, served.map(_._2), normalize)
+          finally graft.sources.HttpExec.trustAll = false
+        r.map(exact => exact && acc.getOrElse(true))
           .left.map(e => if (allRuns.length > 1) s"run ${i + 1}: $e" else e)
     }
     finally { served.foreach(_._1.stop(0)); example.foreach(_._1.stop(0)) }
@@ -289,6 +358,19 @@ class ReferenceGoldenSpec extends AnyFunSuite {
           globalsJson, Some(workDir), xsds, httpAuth, liveNow = true)
         Right(normalize.fold(out)(f => f(out)))
       } catch { case e: Exception => Left(s"eval threw: ${e.getMessage}") }
+
+    // `! mito` + `stderr '<re>'`: the run must FAIL, decorated like the
+    // reference's CLI (failed eval: ERROR: <input>:line:col: ...)
+    s.expectStderr.foreach { re =>
+      val res = try Cel.evalDecorated(src, state, 1704067200000000L,
+          regexps, globalsJson, Some(workDir), xsds)
+        catch { case e: Exception => Left(s"threw: ${e.getMessage}") }
+      return res match {
+        case Left(msg) if re.r.findFirstIn(msg).isDefined => Right(true)
+        case Left(msg) => Left(s"stderr !~ /$re/:\n$msg")
+        case Right(v) => Left(s"expected failure, got: $v")
+      }
+    }
 
     // `stdout <regex>` assertion scripts: one eval, pattern must match
     s.stdoutRe.foreach { re =>
@@ -385,8 +467,8 @@ class ReferenceGoldenSpec extends AnyFunSuite {
       s"$fail fail, $skipped skipped of ${all.size}")
     inexact.result().foreach(n => info(s"  tree-equal only: $n"))
     failures.result().foreach(f => info(s"  FAIL $f"))
-    assert(pass >= 69, s"expected at least 69 replayed goldens to pass, got $pass")
-    assert(byteExact >= 69,
+    assert(pass >= 70, s"expected all 70 goldens to pass, got $pass")
+    assert(byteExact >= 70,
       s"expected byte-exact stdout on all replayed goldens, got $byteExact " +
         s"(tree-equal only: ${inexact.result().mkString(", ")})")
     assert(fail == 0, s"golden failures:\n${failures.result().mkString("\n")}")
