@@ -22,27 +22,17 @@ class ReferenceGoldenSpec extends AnyFunSuite {
 
   private val dir = Paths.get("/root/reference/testdata")
 
-  // scripts whose harness features the replay can't host (see above) or
-  // whose semantics intentionally diverge (documented in README/SURVEY)
-  private val skip: Set[String] = Set(
-    // get/post/head/request_do REPLAY: the harness hosts
-    // www.example.com locally, serving the body the golden pins — GET
-    // gzip+chunked so the transparent-decompression path (Uncompressed,
-    // ContentLength -1, CE/CL header removal) matches Go's transport.
-    // want_more.txt REPLAYS: multi-doc wants drive the re-entry loop.
-    // uuid.txt REPLAYS: its `stdout <regex>` assertion is hosted.
-    // now.txt REPLAYS: liveNow gives now() the reference's call-time
-    // clock. serve_tls.txt REPLAYS: HTTPS stub with a self-signed cert;
-    // the transport mirrors Go's x509 error text and -insecure
-    // trust-all succeeds against the SAN=127.0.0.1 cert.
-  )
-    // limit_{okta,draft,general}.txt REPLAY: their rates are
-    // deterministic once Go's time.Sub saturation (+-2^63 ns) and
-    // strconv error texts are mirrored (LimitKernel.goUntilSeconds) —
-    // the year-9999 reset headers always saturate, so any sane `now`
-    // reproduces the goldens.
-    // keys.txt REPLAYS: VMap's intKeys tag preserves int map keys
-    // through keys()/values()/iteration (Eval.typedKeys)
+  // Empty since round 5: every script replays. Kept so a future
+  // reference update with an unhostable script has a documented escape
+  // hatch. Notable hosting notes: www.example.com scripts run against
+  // a local stub serving the body their own want pins (GET gzip+chunked
+  // to match Go's transparent decompression); serve_tls runs against a
+  // self-signed HTTPS stub (SAN=127.0.0.1) with the transport
+  // mirroring Go's x509 error text; limit_* are deterministic because
+  // their year-9999 reset headers saturate Go's time.Sub at ±2^63 ns;
+  // keys.txt needs VMap's intKeys tag; uuid/now use the stdout-regex
+  // and liveNow call-time-clock forms.
+  private val skip: Set[String] = Set()
 
   /** One `mito`/`! mito` invocation: flags, its want TEXT (empty for
     * assertion-only runs), and — for `! mito` expected-failure runs —
