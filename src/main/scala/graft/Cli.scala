@@ -51,10 +51,26 @@ object Cli {
     var srcPath: Option[String] = None
     var i = 0
     while (i < args.length) {
-      args(i) match {
-        case "-use" | "--use" if i + 1 < args.length => use = args(i + 1); i += 2
-        case "-data" | "--data" if i + 1 < args.length => data = args(i + 1); i += 2
-        case "-cfg" | "--cfg" if i + 1 < args.length => cfgPath = args(i + 1); i += 2
+      // Go's flag package accepts both `-flag value` and `-flag=value`
+      val (flag, inline) = args(i).split("=", 2) match {
+        case Array(f, v) => (f, Some(v))
+        case _ => (args(i), None)
+      }
+      def value: Option[String] =
+        inline.orElse(if (i + 1 < args.length) { i += 1; Some(args(i)) } else None)
+      flag match {
+        case "-use" | "--use" => value match {
+          case Some(v) => use = v; i += 1
+          case None => err(usage); return 2
+        }
+        case "-data" | "--data" => value match {
+          case Some(v) => data = v; i += 1
+          case None => err(usage); return 2
+        }
+        case "-cfg" | "--cfg" => value match {
+          case Some(v) => cfgPath = v; i += 1
+          case None => err(usage); return 2
+        }
         case "-insecure" | "--insecure" => insecure = true; i += 1
         case f if f.startsWith("-") => err(usage); return 2
         case p => srcPath = Some(p); i += 1

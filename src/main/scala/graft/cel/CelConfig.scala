@@ -64,7 +64,7 @@ object CelConfig {
                 return Left("unsupported auth config (CLI supports auth.basic; " +
                   "OAuth2 flavors live on the streaming HTTP source)")
               val kv = """(?m)^\s*(username|password):\s*(.+)$""".r
-                .findAllMatchIn(body).map(e => e.group(1) -> e.group(2).trim).toMap
+                .findAllMatchIn(body).map(e => e.group(1) -> unquote(e.group(2).trim)).toMap
               (kv.get("username"), kv.get("password")) match {
                 case (Some(u), Some(p)) => cfg = cfg.copy(basicAuth = Some((u, p)))
                 case _ => return Left("auth.basic needs username and password")
@@ -80,16 +80,25 @@ object CelConfig {
     Right(cfg)
   }
 
+  /** Strip matching surrounding double quotes (YAML quoted scalar). */
+  private def unquote(t: String): String =
+    if (t.length >= 2 && t.head == '"' && t.last == '"') t.substring(1, t.length - 1)
+    else t
+
+  private def jsonQuote(t: String): String =
+    "\"" + t.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
   /** globals: section -> JSON object (scalars, inline lists, one nested
     * map level — the reference types these reflectively,
     * lib/globals.go:85-100). */
   private def globalsToJson(lines: Vector[String]): String = {
     def scalar(v: String): String = {
       val t = v.trim
-      if (t.startsWith("[") || t.startsWith("\"")) t
+      if (t.startsWith("[")) t
+      else if (t.startsWith("\"")) jsonQuote(unquote(t)) // re-escape safely
       else if (t == "true" || t == "false") t
       else if (t.matches("-?\\d+(\\.\\d+)?")) t
-      else "\"" + t + "\""
+      else jsonQuote(t)
     }
     val content = lines.filter(_.trim.nonEmpty)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -99,16 +108,16 @@ object CelConfig {
       val indent = l.takeWhile(_ == ' ').length
       val Array(k, rest @ _*) = l.trim.split(":", 2)
       val value = rest.headOption.getOrElse("").trim
-      if (value.nonEmpty) { entries += s""""$k": ${scalar(value)}"""; i += 1 }
+      if (value.nonEmpty) { entries += s"${jsonQuote(unquote(k))}: ${scalar(value)}"; i += 1 }
       else {
         val nested = scala.collection.mutable.ArrayBuffer.empty[String]
         i += 1
         while (i < content.length && content(i).takeWhile(_ == ' ').length > indent) {
           val Array(nk, nrest @ _*) = content(i).trim.split(":", 2)
-          nested += s""""$nk": ${scalar(nrest.headOption.getOrElse("").trim)}"""
+          nested += s"${jsonQuote(unquote(nk))}: ${scalar(nrest.headOption.getOrElse("").trim)}"
           i += 1
         }
-        entries += s""""$k": {${nested.mkString(",")}}"""
+        entries += s"${jsonQuote(unquote(k))}: {${nested.mkString(",")}}"
       }
     }
     "{" + entries.mkString(",") + "}"

@@ -355,6 +355,9 @@ object Eval {
     case Ast.MapLit(entries) =>
       var m = VectorMap.empty[String, V]
       var intKeys = Set.empty[String]
+      // uints >= 2^63: string-surfaced but numeric — local tag so a
+      // same-rendering string key still collides loudly
+      var hugeUintKeys = Set.empty[String]
       entries.foreach { case (k, v) =>
         (eval(k, env), eval(v, env)) match {
           case (err: VErr, _) => return err
@@ -363,7 +366,7 @@ object Eval {
             // a string key colliding with an existing NUMERIC key would
             // silently merge two cel-distinct entries (and flip the
             // surviving key's type) — fail loudly instead
-            if (intKeys(ks)) return VErr(s"map key collision: $ks")
+            if (intKeys(ks) || hugeUintKeys(ks)) return VErr(s"map key collision: $ks")
             m = m.updated(ks, vv)
           case (VInt(ki), vv) =>
             val ks = ki.toString
@@ -378,7 +381,10 @@ object Eval {
             if (ki >= 0) {
               if (m.contains(ks) && !intKeys(ks)) return VErr(s"map key collision: $ks")
               m = m.updated(ks, vv); intKeys += ks
-            } else m = m.updated(ks, vv)
+            } else {
+              if (m.contains(ks) && !hugeUintKeys(ks)) return VErr(s"map key collision: $ks")
+              m = m.updated(ks, vv); hugeUintKeys += ks
+            }
           case (other, _) => return VErr(s"unsupported map key: $other")
         }
       }

@@ -293,7 +293,9 @@ private final class Parser(src: String) {
     }
     val text = src.substring(start, pos)
     if (isDouble) DoubleLit(text.toDouble)
-    else if (eat("u") || eat("U")) UintLit(java.lang.Long.parseLong(text))
+    // full CEL uint range (0..2^64-1): values >= 2^63 land in the
+    // unsigned bit pattern, matching VUint's unsigned rendering
+    else if (eat("u") || eat("U")) UintLit(java.lang.Long.parseUnsignedLong(text))
     else IntLit(text.toLong)
   }
 

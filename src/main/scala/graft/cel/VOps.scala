@@ -178,6 +178,10 @@ object VOps {
     val n = keys.numElements()
     var m = VectorMap.empty[String, V]
     var intKeys = Set.empty[String]
+    // uints >= 2^63 stay string-surfaced (toLong would overflow the
+    // typed-key surface) but are still NUMERIC keys: track them locally
+    // so a string key with the same rendering is a loud collision too
+    var hugeUintKeys = Set.empty[String]
     var i = 0
     while (i < n) {
       (objAt(keys, i), objAt(vals, i)) match {
@@ -187,7 +191,7 @@ object VOps {
         case (VString(k), vv) =>
           // cross-type collision = silent entry merge + key-type flip:
           // in-band error instead (mirrors Eval's MapLit)
-          if (intKeys(k)) return VErr(s"map key collision: $k")
+          if (intKeys(k) || hugeUintKeys(k)) return VErr(s"map key collision: $k")
           m = m.updated(k, vv)
         case (VInt(k), vv) =>
           val ks = k.toString
@@ -201,7 +205,10 @@ object VOps {
           if (k >= 0) {
             if (m.contains(ks) && !intKeys(ks)) return VErr(s"map key collision: $ks")
             m = m.updated(ks, vv); intKeys += ks
-          } else m = m.updated(ks, vv)
+          } else {
+            if (m.contains(ks) && !hugeUintKeys(ks)) return VErr(s"map key collision: $ks")
+            m = m.updated(ks, vv); hugeUintKeys += ks
+          }
         case (other, _) => return VErr(s"unsupported map key: $other")
       }
       i += 1

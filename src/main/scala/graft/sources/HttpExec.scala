@@ -158,6 +158,9 @@ object HttpExec {
       (if (insecure || trustAll) insecureClient else client)
         .send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
     } catch {
+      // never swallow cancellation: re-set the interrupt flag and let
+      // the InterruptedException escape (Spark task kill / Ctrl-C)
+      case e: InterruptedException => Thread.currentThread().interrupt(); throw e
       case e: Exception => throw new java.io.IOException(goTransportError(method, url, e), e)
     }
     // Go hides hop-by-hop transfer framing from Header (it moves

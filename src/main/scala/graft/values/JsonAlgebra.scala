@@ -43,18 +43,27 @@ object JsonAlgebra {
     * same shortest-digits guarantee but different notation boundaries,
     * so this converts rather than reformats — digits are never touched. */
   def goFloat(d: Double): String =
-    goForm(java.lang.Double.toString(d), math.abs(d))
+    if (d.isNaN || d.isInfinite) "\"" + d + "\"" // Jackson's quoted non-numeric form
+    else goForm(java.lang.Double.toString(d), {
+      val abs = math.abs(d); abs >= 1e-6 && abs < 1e21
+    })
 
-  /** float32 form (Go marshals float32 with 32-bit shortest digits —
-    * Java Float.toString has the same guarantee). */
+  /** float32 form (Go marshals float32 with 32-bit shortest digits and
+    * compares the notation boundary IN float32 — 1e-6f widened to
+    * double is < 1e-6, so the branch must not be taken in doubles). */
   def goFloat32(f: Float): String =
-    goForm(java.lang.Float.toString(f), math.abs(f.toDouble))
+    if (f.isNaN || f.isInfinite) "\"" + f + "\""
+    else goForm(java.lang.Float.toString(f), {
+      val abs = math.abs(f); abs >= 1e-6f && abs < 1e21f
+    })
 
-  private def goForm(s: String, abs: Double): String = {
+  private def goForm(s: String, plain: Boolean): String = {
     val e = s.indexOf('E')
-    if (abs >= 1e-6 && abs < 1e21) {
+    if (plain) {
       if (e < 0) s
-      else new java.math.BigDecimal(s).toPlainString // same digits, plain form
+      // same digits, plain form; stripTrailingZeros because "1.0E-4"
+      // would otherwise print "0.00010" where Go prints "0.0001"
+      else new java.math.BigDecimal(s).stripTrailingZeros().toPlainString
     } else {
       // e-notation: Java "1.0E21"/"6.48E-8" -> Go "1e+21"/"6.48e-8"
       val (mant0, exp) = if (e < 0) (s, 0) else (s.substring(0, e), s.substring(e + 1).toInt)

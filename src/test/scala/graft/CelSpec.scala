@@ -136,6 +136,10 @@ class CelSpec extends SparkSpec {
     // not a silent merge that flips the surviving key's type
     assert(run("""is_error({"1": "x", 1: "y"})""") == "true")
     assert(run("""try({1: "x", "1": "y"})""") == "\"map key collision: 1\"")
+    // uints >= 2^63 are string-surfaced but still numeric keys: a
+    // same-rendering string key collides loudly in either order
+    assert(run("""is_error({"18446744073709551615": "x", 18446744073709551615u: "y"})""") == "true")
+    assert(run("""is_error({18446744073709551615u: "y", "18446744073709551615": "x"})""") == "true")
   }
 
   test("rate_limit okta through CEL (reference testdata/limit_okta.txt)") {

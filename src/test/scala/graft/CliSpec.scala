@@ -72,6 +72,22 @@ class CliSpec extends AnyFunSuite {
     assert(out.mkString("\n") == "{\n\t\"g\": \"hello\",\n\t\"m\": \"\"\n}")
   }
 
+  test("Go -flag=value syntax and quoted cfg scalars") {
+    val dir = Files.createTempDirectory("cli")
+    // quoted keys/values (the YAML-subset: quotes strip, no inner escapes)
+    val cfg = write(dir, "cfg.yaml",
+      """globals:
+        |  "quoted_key": "hello world"
+        |""".stripMargin)
+    val src = write(dir, "p.cel", "quoted_key")
+    val (rc, out, _) = run(s"-cfg=$cfg", src)
+    assert(rc == 0, out.mkString)
+    assert(out.mkString == "\"hello world\"")
+    val data = write(dir, "d.json", """{"k": 5}""")
+    val src2 = write(dir, "p2.cel", "state.k")
+    assert(run(s"-data=$data", src2) == ((0, Vector("5"), Vector())))
+  }
+
   test("unknown -use library and bad flags exit 2 like the reference") {
     val dir = Files.createTempDirectory("cli")
     val src = write(dir, "p.cel", "1")

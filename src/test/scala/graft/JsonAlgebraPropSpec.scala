@@ -58,6 +58,16 @@ class JsonAlgebraPropSpec extends AnyFunSuite {
     assert(goFloat(1.5e21) == "1.5e+21")
     assert(goFloat(-2.5e-9) == "-2.5e-9")
     assert(goFloat32(0.1f) == "0.1")
+    // single-significant-digit plain decimals must not keep BigDecimal's
+    // trailing zero ("1.0E-4" -> "0.0001", not "0.00010")
+    assert(goFloat(1e-4) == "0.0001")
+    assert(goFloat(2e-5) == "0.00002")
+    // the float32 plain/e boundary compares in float32: (double)1e-6f
+    // is below 1e-6 but Go still prints the plain form
+    assert(goFloat32(1e-6f) == "0.000001")
+    // non-finite doubles keep the quoted (parseable) form
+    assert(goFloat(Double.PositiveInfinity) == "\"Infinity\"")
+    assert(goFloat(Double.NaN) == "\"NaN\"")
     // round-trip: the form parses back to the same double
     check(Gen.oneOf(Gen.chooseNum(-1e25, 1e25), Gen.chooseNum(-1.0, 1.0),
       Gen.chooseNum(-1e-6, 1e-6))) { d =>
