@@ -328,6 +328,24 @@ object CelFunctions {
         .orderBy(col("event_id"))
     },
 
+    // CEL comprehension macros under the oracle gate (map with and
+    // without filter, filter, exists, all, exists_one — cel-go
+    // fold semantics), value-dependent through state.k
+    "q77_cel_comprehensions" -> { (s, dir) =>
+      val program =
+        """{"sq": [1, 2, 3].map(i, i * state.k),
+           "odd": [1, 2, 3, 4].map(i, i % 2 == 1, i * 10),
+           "ev": [1, 2, 3, 4].filter(i, i % 2 == 0),
+           "any": [10, 60, 90].exists(i, i > state.k),
+           "all": [10, 60, 90].all(i, i > state.k),
+           "one": [10, 60, 90].exists_one(i, i > state.k)}"""
+      val c = graft.cel.Cel.lower(program, col("props"))
+        .getOrElse(sys.error("q77 program must lower"))
+      Tables(s, dir).events
+        .select(col("event_id"), c.as("doc"))
+        .orderBy(col("event_id"))
+    },
+
     // --- the CEL text front-end itself under the oracle gate: the SAME
     // --- program through the lowered (q58) and interpreted (q59) paths.
     "q58_cel_lowered" -> { (s, dir) =>
@@ -509,6 +527,16 @@ object CelFunctions {
            WHEN 0 THEN '10' WHEN 1 THEN '20' ELSE '30' END ||
          ',"m":true}' AS doc
          FROM events ORDER BY event_id""",
+    "q77_cel_comprehensions" ->
+      """SELECT event_id,
+         '{"all":' || CAST(k < 10 AS VARCHAR) ||
+         ',"any":' || CAST(k < 90 AS VARCHAR) ||
+         ',"ev":[2,4],"odd":[10,30]' ||
+         ',"one":' || CAST(k >= 60 AND k < 90 AS VARCHAR) ||
+         ',"sq":[' || k || ',' || 2*k || ',' || 3*k || ']}' AS doc
+         FROM (SELECT event_id,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events) ORDER BY event_id""",
     "q58_cel_lowered" -> celGateOracle("doc"),
     "q59_cel_interpreted" -> celGateOracle("doc"))
 
