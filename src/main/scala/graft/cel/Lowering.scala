@@ -77,6 +77,31 @@ object Lowering {
     "parse_time", "md5", "sha1", "sha256", "hex", "base64", "base64_raw",
     "base64_decode", "base64_raw_decode", "hmac")
 
+  /** Free variables of `e`: identifiers not bound by a comprehension or
+    * `as` variable in scope (used to capture a lowered comprehension's
+    * environment into its fold kernel). */
+  private def freeVars(e: Ast, bound: Set[String]): Set[String] = e match {
+    case Ast.Ident(n) => if (bound(n)) Set.empty else Set(n)
+    case Ast.Select(t, _) => freeVars(t, bound)
+    case Ast.SelectOpt(t, _) => freeVars(t, bound)
+    case Ast.Has(t, _) => freeVars(t, bound)
+    case Ast.Index(t, i) => freeVars(t, bound) ++ freeVars(i, bound)
+    case Ast.Call(_, as) => as.iterator.flatMap(freeVars(_, bound)).toSet
+    case Ast.Method(t, _, as) =>
+      freeVars(t, bound) ++ as.iterator.flatMap(freeVars(_, bound))
+    case Ast.Unary(_, x) => freeVars(x, bound)
+    case Ast.Binary(_, l, r) => freeVars(l, bound) ++ freeVars(r, bound)
+    case Ast.Ternary(c, t, f) =>
+      freeVars(c, bound) ++ freeVars(t, bound) ++ freeVars(f, bound)
+    case Ast.ListLit(es) => es.iterator.flatMap(freeVars(_, bound)).toSet
+    case Ast.MapLit(en) =>
+      en.iterator.flatMap { case (k, v) => freeVars(k, bound) ++ freeVars(v, bound) }.toSet
+    case Ast.Comprehension(_, t, v, p, b) =>
+      freeVars(t, bound) ++ p.map(freeVars(_, bound + v)).getOrElse(Set.empty) ++
+        freeVars(b, bound + v)
+    case _ => Set.empty
+  }
+
   /** Compile `program` to a Column producing the program result as
     * Go-rendered JSON, given the state document column (itself JSON).
     * None when the program uses constructs outside the lowerable subset. */
@@ -172,25 +197,28 @@ object Lowering {
       for (tc <- lower(target, env); bc <- lower(body, env + (v -> tc)))
         yield op("asSeq", Seq(OT, OT), tc, bc)
 
-    // map/filter/all/exists/exists_one: per-item bodies evaluate inside
-    // Spark's transform() lambda over V elements; the fold replays in
-    // VOps.finish (eager per-item evaluation — sound because the fold
-    // never consults entries past its early exit)
-    case Ast.Comprehension(kind, target, xv, pred, body) =>
+    // map/filter/all/exists/exists_one: ONE kernel call running the
+    // interpreter's own fold (Eval.comprehension) over the captured
+    // free-variable values. The probe keeps the lowerable-subset
+    // contract unchanged — the body must still lower, so kernel
+    // execution stays inside the side-effect-free, env-independent
+    // subset — while execution avoids the earlier transform()+finish
+    // machinery (CodegenFallback HOFs + three per-row object arrays:
+    // measured 0.72 s vs the interpreter's 0.58 s on a 6-comprehension
+    // program at sf0.1; the fold kernel runs at interpreter speed with
+    // the rest of the program still lowered).
+    case comp @ Ast.Comprehension(kind, target, xv, pred, body) =>
       val probe = litV(VNull)
       val lowerableBody = lower(body, env + (xv -> probe)).isDefined &&
-        pred.forall(p => lower(p, env + (xv -> probe)).isDefined)
+        pred.forall(p => lower(p, env + (xv -> probe)).isDefined) &&
+        lower(target, env).isDefined
       if (!lowerableBody) None
-      else lower(target, env).map { tc =>
-        val items = opTyped(ArrayType(OT), "items", Seq(OT), tc)
-        val bodies = F.transform(items, el => lower(body, env + (xv -> el)).get)
-        val preds = pred match {
-          case Some(p) => F.transform(items, el => lower(p, env + (xv -> el)).get)
-          case None => bodies
-        }
-        op("finish",
-          Seq(Str, OT, ArrayType(OT), ArrayType(OT), ArrayType(OT), BooleanType),
-          F.lit(kind), tc, items, preds, bodies, F.lit(pred.isDefined))
+      else {
+        val free = freeVars(comp, Set.empty).filter(env.contains).toVector.sorted
+        val spec: Object = (comp, free, regexps, nowMicros.getOrElse(0L))
+        Some(op("comprehend", Seq(OT, ArrayType(OT)),
+          shim(Literal.fromObject(spec, OT)),
+          F.array(free.map(env(_)): _*)))
       }
 
     case Ast.Method(t, fn, args) => lowerMethod(t, fn, args, env)

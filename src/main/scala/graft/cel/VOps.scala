@@ -347,91 +347,28 @@ object VOps {
   /** Comprehension items: list elements, or the sorted keys of a map.
     * Error/non-container input returns an empty array — [[finish]]
     * re-derives the error from the target itself. */
-  def items(t: Object): ArrayData = v(t) match {
-    case VList(xs) => new GenericArrayData(xs.toArray[Any])
-    case m: VMap =>
-      // typedKeys, NOT string keys: int-keyed maps iterate int keys in
-      // numeric order, same as the interpreter's comprehension
-      new GenericArrayData(Eval.typedKeys(m).map(_._2: Any).toArray[Any])
-    case _ => new GenericArrayData(Array.empty[Any])
-  }
-
-  /** Replay Eval.comprehension's fold over pre-evaluated per-item
-    * pred/body results. Eager per-item evaluation is sound because the
-    * fold never consults entries past its early exit. */
-  def finish(kind: UTF8String, target: Object, items: ArrayData,
-      preds: ArrayData, bodies: ArrayData, hasPred: Boolean): Object = {
-    val k = name(kind)
-    v(target) match {
-      case null => return null
-      case e: VErr => return e
-      case _: VList | _: VMap =>
-      case other => return VErr(s"no such overload: $k over $other")
+  /** One lowered comprehension = ONE interpreter fold: evaluate the
+    * Comprehension node with Eval's own implementation over the captured
+    * free-variable values (spec = (ast, names, regexps, nowMicros) as a
+    * plan-constant literal; vals = the free variables' lowered Columns,
+    * in `names` order). The lowerability probe in Lowering guarantees
+    * the subtree is inside the side-effect-free lowered subset. A null
+    * captured value (NULL input column) nulls the row, like every
+    * constructor kernel (see listOf). */
+  def comprehend(spec: Object, vals: ArrayData): Object = {
+    val (ast, names, regexps, nowMicros) =
+      spec.asInstanceOf[(Ast, Vector[String], Map[String, String], Long)]
+    var vars = Map.empty[String, V]
+    var i = 0
+    val n = vals.numElements()
+    while (i < n) {
+      objAt(vals, i) match {
+        case null => return null
+        case x => vars = vars.updated(names(i), x)
+      }
+      i += 1
     }
-    // A null pred/body ELEMENT means a subexpression nulled out under a
-    // NULL input column (StaticInvoke propagateNull inside the lambda) —
-    // the interpreter nulls the whole row there, so the comprehension
-    // must too. Without the guards a null reaches the result VList and
-    // renderV throws, failing the task (see listOf's identical guard).
-    val n = items.numElements()
-    k match {
-      case "map" =>
-        val out = Vector.newBuilder[V]
-        var i = 0
-        while (i < n) {
-          val keep =
-            if (!hasPred) true
-            else objAt(preds, i) match {
-              case null => return null
-              case VBool(b) => b
-              case e: VErr => return e
-              case other => return VErr(s"no such overload: predicate $other")
-            }
-          if (keep) objAt(bodies, i) match {
-            case null => return null
-            case e: VErr => return e
-            case x => out += x
-          }
-          i += 1
-        }
-        VList(out.result())
-      case "filter" =>
-        val out = Vector.newBuilder[V]
-        var i = 0
-        while (i < n) {
-          objAt(bodies, i) match {
-            case null => return null
-            case VBool(true) => out += objAt(items, i)
-            case VBool(false) =>
-            case e: VErr => return e
-            case other => return VErr(s"no such overload: predicate $other")
-          }
-          i += 1
-        }
-        VList(out.result())
-      case "all" | "exists" | "exists_one" =>
-        var ones = 0
-        var i = 0
-        while (i < n) {
-          objAt(bodies, i) match {
-            case null => return null
-            case VBool(true) =>
-              if (k == "exists") return VBool(true)
-              ones += 1
-            case VBool(false) =>
-              if (k == "all") return VBool(false)
-            case e: VErr => return e
-            case other => return VErr(s"no such overload: predicate $other")
-          }
-          i += 1
-        }
-        k match {
-          case "all" => VBool(true)
-          case "exists" => VBool(false)
-          case _ => VBool(ones == 1)
-        }
-      case other => VErr(s"unknown macro $other")
-    }
+    Eval.eval(ast, Env(vars, nowMicros, regexps))
   }
 
   @inline private def objAt(a: ArrayData, i: Int): V = (a match {
