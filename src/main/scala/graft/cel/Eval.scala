@@ -243,7 +243,8 @@ object Eval {
       case m: VMap =>
         g.writeStartObject()
         if (m.v.size <= 1) m.v.foreach { case (k, e) => g.writeFieldName(k); write(e) }
-        else m.v.keys.toArray.sorted.foreach { k => g.writeFieldName(k); write(m.v(k)) }
+        else m.v.keys.toArray.sorted(JsonAlgebra.goOrder)
+          .foreach { k => g.writeFieldName(k); write(m.v(k)) }
         g.writeEndObject()
       case VOpt(Some(x2)) => write(x2)
       case VOpt(None) => g.writeNull()
@@ -513,7 +514,7 @@ object Eval {
     val ks = m.v.keys.toVector
     val sorted =
       if (ks.nonEmpty && ks.forall(m.intKeys)) ks.sortBy(_.toLong)
-      else ks.sorted
+      else ks.sorted(JsonAlgebra.goOrder)
     sorted.map(k => k -> (if (m.intKeys(k)) VInt(k.toLong) else VString(k): V))
   }
 

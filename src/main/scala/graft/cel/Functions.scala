@@ -734,7 +734,7 @@ private[cel] object Functions {
 
   def formatQueryV(m: VectorMap[String, V]): V = {
     val sb = new StringBuilder
-    m.toSeq.sortBy(_._1).foreach { case (k, vs) =>
+    m.toSeq.sortBy(_._1)(JsonAlgebra.goOrder).foreach { case (k, vs) =>
       val vals = vs match {
         case VList(xs) => xs.collect { case VString(s) => s }
         case VString(s) => Vector(s)
@@ -805,7 +805,7 @@ private[cel] object Functions {
   }
 
   private def headerV(h: Map[String, Seq[String]]): V =
-    VMap(VectorMap.from(h.toSeq.sortBy(_._1).map { case (k, vs) =>
+    VMap(VectorMap.from(h.toSeq.sortBy(_._1)(JsonAlgebra.goOrder).map { case (k, vs) =>
       k -> (VList(vs.toVector.map(VString(_): V)): V)
     }))
 

@@ -35,6 +35,24 @@ object JsonAlgebra {
   @inline def wholeDouble(d: Double): Boolean =
     d == d.floor && !d.isInfinite && math.abs(d) < 1e15
 
+  /** Go string order = byte order of the UTF-8 encoding = code-point
+    * order. Java's String.compareTo compares UTF-16 units, which ranks
+    * U+E000..U+FFFF ABOVE supplementary characters (their surrogates
+    * start at 0xD800) — the opposite of Go. Every key sort (render,
+    * keys(), values(), format_query) shares this ordering; the variant
+    * tier is already byte-ordered by its encoding. */
+  val goOrder: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
+  }
+
   /** Go `encoding/json` float form for NON-whole doubles (whole ones
     * collapse via [[wholeDouble]] first): shortest digits; plain
     * decimal for 1e-6 <= |d| < 1e21, else e-notation with lowercase
@@ -74,12 +92,6 @@ object JsonAlgebra {
     }
   }
 
-  /** Serialize with object keys sorted — matches Go `json.Marshal` map
-    * key ordering (mito's encode_json, lib/json.go:207-247). Streams the
-    * tree once with keys sorted at write time instead of deep-copying it
-    * through sortKeys first; scalars delegate to the mapper's own
-    * serializers (writeTree), so output is byte-identical to
-    * writeValueAsString. */
   /** Go `json.Encoder` SetIndent("", "\t") form (mito's stdout,
     * mito.go:351-356): tab indentation, `"key": value`, empty
     * composites compact, keys sorted, scalars via the same Go-faithful
@@ -91,7 +103,7 @@ object JsonAlgebra {
       val keys = new Array[String](n.size)
       var i = 0
       n.fieldNames().forEachRemaining { k => keys(i) = k; i += 1 }
-      java.util.Arrays.sort(keys, java.util.Comparator.naturalOrder[String]())
+      java.util.Arrays.sort(keys, goOrder)
       keys.map { k =>
         val key = render(com.fasterxml.jackson.databind.node.TextNode.valueOf(k))
         s"$tab\t$key: ${renderPretty(n.get(k), depth + 1)}"
@@ -102,6 +114,12 @@ object JsonAlgebra {
     else render(n)
   }
 
+  /** Serialize with object keys sorted — matches Go `json.Marshal` map
+    * key ordering (mito's encode_json, lib/json.go:207-247). Streams the
+    * tree once with keys sorted at write time instead of deep-copying it
+    * through sortKeys first; scalars delegate to the mapper's own
+    * serializers (writeTree), so output is byte-identical to
+    * writeValueAsString. */
   def render(n: JsonNode): String = {
     val w = new java.io.StringWriter(64)
     val g = mapper.createGenerator(w)
@@ -113,7 +131,7 @@ object JsonAlgebra {
           val keys = new Array[String](o.size)
           var i = 0
           o.fieldNames().forEachRemaining { k => keys(i) = k; i += 1 }
-          java.util.Arrays.sort(keys, java.util.Comparator.naturalOrder[String]())
+          java.util.Arrays.sort(keys, goOrder)
           keys.foreach { k => g.writeFieldName(k); write(o.get(k)) }
         } else o.properties().forEach { e =>
           g.writeFieldName(e.getKey); write(e.getValue)
@@ -138,7 +156,7 @@ object JsonAlgebra {
     case o: ObjectNode =>
       val out = nf.objectNode()
       o.properties().asScala.toSeq.map(e => e.getKey -> e.getValue)
-        .sortBy(_._1).foreach { case (k, v) => out.set[JsonNode](k, sortKeys(v)) }
+        .sortBy(_._1)(goOrder).foreach { case (k, v) => out.set[JsonNode](k, sortKeys(v)) }
       out
     case a: ArrayNode =>
       val out = nf.arrayNode()
@@ -409,13 +427,13 @@ object JsonAlgebra {
   // ---------------------------------------------------------------------
   def keysSorted(v: JsonNode): JsonNode = v match {
     case o: ObjectNode =>
-      arr(o.properties().asScala.toSeq.map(_.getKey).sorted.map(k => new TextNode(k): JsonNode))
+      arr(o.properties().asScala.toSeq.map(_.getKey).sorted(goOrder).map(k => new TextNode(k): JsonNode))
     case _ => error("no such overload")
   }
 
   def valuesSorted(v: JsonNode): JsonNode = v match {
     case o: ObjectNode =>
-      arr(o.properties().asScala.toSeq.sortBy(_.getKey).map(_.getValue))
+      arr(o.properties().asScala.toSeq.sortBy(_.getKey)(goOrder).map(_.getValue))
     case _ => error("no such overload")
   }
 

@@ -75,6 +75,19 @@ class JsonAlgebraPropSpec extends AnyFunSuite {
     }
   }
 
+  test("key sort is Go byte order (code points), not UTF-16 unit order") {
+    // U+E000 (private use, one UTF-16 unit 0xE000) vs U+1D11E (musical
+    // G clef, surrogates starting 0xD834): UTF-16 ranks E000 AFTER the
+    // surrogate pair, Go/UTF-8 ranks it BEFORE
+    val pua = ""
+    val clef = new String(Character.toChars(0x1D11E))
+    assert(goOrder.compare(pua, clef) < 0, "code-point order")
+    assert(pua.compareTo(clef) > 0, "the UTF-16 order this replaces")
+    val doc = s"""{"$clef": 1, "$pua": 2}"""
+    assert(render(parse(doc)) == s"""{"$pua":2,"$clef":1}""")
+    assert(graft.cel.Cel.evalOnce(s"state.keys()", doc) == s"""["$pua","$clef"]""")
+  }
+
   test("render . parse is a normal form (idempotent)") {
     check(genJson(3)) { doc =>
       val once = render(parse(doc))
