@@ -354,42 +354,18 @@ object Eval {
       vs.collectFirst { case err: VErr => err }.getOrElse(VList(vs))
 
     case Ast.MapLit(entries) =>
-      var m = VectorMap.empty[String, V]
-      var intKeys = Set.empty[String]
-      // uints >= 2^63: string-surfaced but numeric — local tag so a
-      // same-rendering string key still collides loudly
-      var hugeUintKeys = Set.empty[String]
+      // evaluation order (and its side effects: debug/send_to entries)
+      // stays here; the key/collision logic is shared with the closure
+      // compiler via mapFromPairs
+      val pairs = Vector.newBuilder[(V, V)]
       entries.foreach { case (k, v) =>
         (eval(k, env), eval(v, env)) match {
           case (err: VErr, _) => return err
           case (_, err: VErr) => return err
-          case (VString(ks), vv) =>
-            // a string key colliding with an existing NUMERIC key would
-            // silently merge two cel-distinct entries (and flip the
-            // surviving key's type) — fail loudly instead
-            if (intKeys(ks) || hugeUintKeys(ks)) return VErr(s"map key collision: $ks")
-            m = m.updated(ks, vv)
-          case (VInt(ki), vv) =>
-            val ks = ki.toString
-            if (m.contains(ks) && !intKeys(ks)) return VErr(s"map key collision: $ks")
-            m = m.updated(ks, vv); intKeys += ks
-          // uint keys: tagged numeric like int when representable, so
-          // CEL's cross-type numeric key equality holds ({1:v}=={1u:v});
-          // >= 2^63 stays string-surfaced (toLong would overflow
-          // typedKeys)
-          case (VUint(ki), vv) =>
-            val ks = java.lang.Long.toUnsignedString(ki)
-            if (ki >= 0) {
-              if (m.contains(ks) && !intKeys(ks)) return VErr(s"map key collision: $ks")
-              m = m.updated(ks, vv); intKeys += ks
-            } else {
-              if (m.contains(ks) && !hugeUintKeys(ks)) return VErr(s"map key collision: $ks")
-              m = m.updated(ks, vv); hugeUintKeys += ks
-            }
-          case (other, _) => return VErr(s"unsupported map key: $other")
+          case (kv, vv) => pairs += ((kv, vv))
         }
       }
-      VMap(m, intKeys)
+      mapFromPairs(pairs.result())
 
     case Ast.Ident(name) =>
       env.vars.getOrElse(name, VErr(s"undeclared reference to '$name'"))
@@ -503,6 +479,50 @@ object Eval {
     case (VUint(x), VInt(y)) => Some((x.toDouble, y.toDouble))
     case (VInt(x), VUint(y)) => Some((x.toDouble, y.toDouble))
     case _ => None
+  }
+
+  /** Map-literal builder over pre-evaluated (key, value) pairs in entry
+    * order: first error wins, string/int/uint key typing and the loud
+    * cross-type collision check (see the MapLit scaladoc trail). Shared
+    * by the interpreter's MapLit and the closure compiler (the compiled
+    * subset is side-effect-free, so eager pair evaluation there is
+    * unobservable). */
+  private[cel] def mapFromPairs(pairs: Vector[(V, V)]): V = {
+    var m = VectorMap.empty[String, V]
+    var intKeys = Set.empty[String]
+    // uints >= 2^63: string-surfaced but numeric — local tag so a
+    // same-rendering string key still collides loudly
+    var hugeUintKeys = Set.empty[String]
+    pairs.foreach { case (k, v) =>
+      (k, v) match {
+        case (err: VErr, _) => return err
+        case (_, err: VErr) => return err
+        case (VString(ks), vv) =>
+          // a string key colliding with an existing NUMERIC key would
+          // silently merge two cel-distinct entries (and flip the
+          // surviving key's type) — fail loudly instead
+          if (intKeys(ks) || hugeUintKeys(ks)) return VErr(s"map key collision: $ks")
+          m = m.updated(ks, vv)
+        case (VInt(ki), vv) =>
+          val ks = ki.toString
+          if (m.contains(ks) && !intKeys(ks)) return VErr(s"map key collision: $ks")
+          m = m.updated(ks, vv); intKeys += ks
+        // uint keys: tagged numeric like int when representable, so
+        // CEL's cross-type numeric key equality holds ({1:v}=={1u:v});
+        // >= 2^63 stays string-surfaced (toLong would overflow typedKeys)
+        case (VUint(ki), vv) =>
+          val ks = java.lang.Long.toUnsignedString(ki)
+          if (ki >= 0) {
+            if (m.contains(ks) && !intKeys(ks)) return VErr(s"map key collision: $ks")
+            m = m.updated(ks, vv); intKeys += ks
+          } else {
+            if (m.contains(ks) && !hugeUintKeys(ks)) return VErr(s"map key collision: $ks")
+            m = m.updated(ks, vv); hugeUintKeys += ks
+          }
+        case (other, _) => return VErr(s"unsupported map key: $other")
+      }
+    }
+    VMap(m, intKeys)
   }
 
   /** Canonical-order typed keys of a map (storage key -> surfaced V):

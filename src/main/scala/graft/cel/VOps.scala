@@ -114,33 +114,35 @@ object VOps {
   }
 
   // ---------------- access (mirrors Eval's Select/SelectOpt/Has/Index) ----
-  def select(t: Object, f: UTF8String): Object = {
-    val fd = name(f)
-    v(t) match {
-      case err: VErr => err
-      case VMap(m) => m.getOrElse(fd, VErr(s"no such key: $fd"))
-      case VOpt(Some(VMap(m))) => VOpt(m.get(fd))
-      case VOpt(None) => VOpt(None)
-      case VNull => VErr(s"no such key: $fd")
-      case other => VErr(s"no such field: $fd on $other")
-    }
-  }
+  // V-level cores are shared with the closure compiler (Compile), which
+  // resolves field names at compile time — no per-row interning there.
+  def select(t: Object, f: UTF8String): Object = selectV(v(t), name(f))
 
-  def selectOpt(t: Object, f: UTF8String): Object = {
-    val fd = name(f)
-    v(t) match {
-      case err: VErr => err
-      case VMap(m) => VOpt(m.get(fd))
-      case VOpt(Some(VMap(m))) => VOpt(m.get(fd))
-      case VOpt(None) => VOpt(None)
-      case VNull => VOpt(None)
-      case other => VErr(s"no such field: $fd on $other")
-    }
-  }
-
-  def hasField(t: Object, f: UTF8String): Object = v(t) match {
+  private[cel] def selectV(t: V, fd: String): V = t match {
     case err: VErr => err
-    case VMap(m) => VBool(m.contains(name(f)))
+    case VMap(m) => m.getOrElse(fd, VErr(s"no such key: $fd"))
+    case VOpt(Some(VMap(m))) => VOpt(m.get(fd))
+    case VOpt(None) => VOpt(None)
+    case VNull => VErr(s"no such key: $fd")
+    case other => VErr(s"no such field: $fd on $other")
+  }
+
+  def selectOpt(t: Object, f: UTF8String): Object = selectOptV(v(t), name(f))
+
+  private[cel] def selectOptV(t: V, fd: String): V = t match {
+    case err: VErr => err
+    case VMap(m) => VOpt(m.get(fd))
+    case VOpt(Some(VMap(m))) => VOpt(m.get(fd))
+    case VOpt(None) => VOpt(None)
+    case VNull => VOpt(None)
+    case other => VErr(s"no such field: $fd on $other")
+  }
+
+  def hasField(t: Object, f: UTF8String): Object = hasFieldV(v(t), name(f))
+
+  private[cel] def hasFieldV(t: V, fd: String): V = t match {
+    case err: VErr => err
+    case VMap(m) => VBool(m.contains(fd))
     case _ => VBool(false)
   }
 
