@@ -453,6 +453,11 @@ object Eval {
     * implementations the interpreter dispatches to. */
   private[cel] def binaryBridge(op: String, l: V, r: V): V = binary(op, l, r)
   private[cel] def logicalBridge(l: V, r: V, and: Boolean): V = logical(l, () => r, and)
+  /** Short-circuiting form for the closure compiler ([[Compile]]), whose
+    * operand closures make laziness free (the Column tier pre-evaluates
+    * both sides — result-identical under CEL's commutative absorption). */
+  private[cel] def logicalLazyBridge(l: V, r: () => V, and: Boolean): V =
+    logical(l, r, and)
 
   private def logical(l: V, rThunk: () => V, and: Boolean): V = {
     val shortVal = !and // && shorts on false, || shorts on true
@@ -539,6 +544,13 @@ object Eval {
   }
 
   def equalsV(a: V, b: V): Boolean = (a, b) match {
+    // same-type scalar fast paths: the general tail goes through numPair,
+    // which boxes an Option[(Double, Double)] per comparison — measurable
+    // in comprehension predicates (i % 2 == 1 per element per row)
+    case (VInt(x), VInt(y)) => x == y
+    case (VString(x), VString(y)) => x == y
+    case (VBool(x), VBool(y)) => x == y
+    case (VDouble(x), VDouble(y)) => x == y
     case (VList(xs), VList(ys)) =>
       xs.length == ys.length && xs.zip(ys).forall { case (x, y) => equalsV(x, y) }
     case (m1: VMap, m2: VMap) =>
@@ -553,6 +565,8 @@ object Eval {
   }
 
   def compareV(a: V, b: V): Option[Int] = (a, b) match {
+    case (VInt(x), VInt(y)) => Some(java.lang.Long.compare(x, y))
+    case (VDouble(x), VDouble(y)) => Some(java.lang.Double.compare(x, y).sign)
     case (VString(x), VString(y)) => Some(x.compareTo(y).sign)
     case (VBool(x), VBool(y)) => Some(java.lang.Boolean.compare(x, y))
     case (VTimestamp(x), VTimestamp(y)) => Some(java.lang.Long.compare(x, y))

@@ -198,27 +198,20 @@ object Lowering {
         yield op("asSeq", Seq(OT, OT), tc, bc)
 
     // map/filter/all/exists/exists_one: ONE kernel call running the
-    // interpreter's own fold (Eval.comprehension) over the captured
-    // free-variable values. The probe keeps the lowerable-subset
-    // contract unchanged — the body must still lower, so kernel
-    // execution stays inside the side-effect-free, env-independent
-    // subset — while execution avoids the earlier transform()+finish
-    // machinery (CodegenFallback HOFs + three per-row object arrays:
-    // measured 0.72 s vs the interpreter's 0.58 s on a 6-comprehension
-    // program at sf0.1; the fold kernel runs at interpreter speed with
-    // the rest of the program still lowered).
-    case comp @ Ast.Comprehension(kind, target, xv, pred, body) =>
-      val probe = litV(VNull)
-      val lowerableBody = lower(body, env + (xv -> probe)).isDefined &&
-        pred.forall(p => lower(p, env + (xv -> probe)).isDefined) &&
-        lower(target, env).isDefined
-      if (!lowerableBody) None
-      else {
-        val free = freeVars(comp, Set.empty).filter(env.contains).toVector.sorted
-        val spec: Object = (comp, free, regexps, nowMicros.getOrElse(0L))
-        Some(op("comprehend", Seq(OT, ArrayType(OT)),
-          shim(Literal.fromObject(spec, OT)),
-          F.array(free.map(env(_)): _*)))
+    // closure-compiled fold ([[Compile]]) over the captured free-variable
+    // values. Compilation doubles as the lowerability probe — the
+    // compilable subset IS the lowerable subset, so compile failure
+    // falls back to the interpreter tier exactly as before. The compiled
+    // graph ships as one plan-constant literal; per element the fold is
+    // a slot store + wired closure calls, no AST dispatch, no Env copies
+    // (the previous spec shipped the AST and ran Eval.comprehension per
+    // row: 1.49 s on the 6-comprehension q77 shape at sf0.1).
+    case comp @ Ast.Comprehension(_, _, _, _, _) =>
+      val free = freeVars(comp, Set.empty).filter(env.contains).toVector.sorted
+      Compile.comprehension(comp, free, regexps, nowMicros).map { compiled =>
+        op("comprehend", Seq(OT, ArrayType(OT)),
+          shim(Literal.fromObject(compiled, OT)),
+          F.array(free.map(env(_)): _*))
       }
 
     case Ast.Method(t, fn, args) => lowerMethod(t, fn, args, env)

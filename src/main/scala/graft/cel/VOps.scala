@@ -346,31 +346,25 @@ object VOps {
   }
 
   // ---------------- comprehensions ----------------
-  /** Comprehension items: list elements, or the sorted keys of a map.
-    * Error/non-container input returns an empty array — [[finish]]
-    * re-derives the error from the target itself. */
-  /** One lowered comprehension = ONE interpreter fold: evaluate the
-    * Comprehension node with Eval's own implementation over the captured
-    * free-variable values (spec = (ast, names, regexps, nowMicros) as a
-    * plan-constant literal; vals = the free variables' lowered Columns,
-    * in `names` order). The lowerability probe in Lowering guarantees
-    * the subtree is inside the side-effect-free lowered subset. A null
-    * captured value (NULL input column) nulls the row, like every
-    * constructor kernel (see listOf). */
+  /** One lowered comprehension = one compiled fold: `spec` is a
+    * plan-constant [[Compile.Compiled]] (the closure graph wired at plan
+    * time); `vals` are the free variables' lowered Columns in the
+    * compiler's slot order (sorted free names). Per row: fill the frame,
+    * run. A null captured value (NULL input column) nulls the row, like
+    * every constructor kernel (see listOf). */
   def comprehend(spec: Object, vals: ArrayData): Object = {
-    val (ast, names, regexps, nowMicros) =
-      spec.asInstanceOf[(Ast, Vector[String], Map[String, String], Long)]
-    var vars = Map.empty[String, V]
+    val c = spec.asInstanceOf[Compile.Compiled]
+    val frame = new Array[V](c.frameSize)
     var i = 0
     val n = vals.numElements()
     while (i < n) {
       objAt(vals, i) match {
         case null => return null
-        case x => vars = vars.updated(names(i), x)
+        case x => frame(i) = x
       }
       i += 1
     }
-    Eval.eval(ast, Env(vars, nowMicros, regexps))
+    c.run(frame)
   }
 
   @inline private def objAt(a: ArrayData, i: Int): V = (a match {

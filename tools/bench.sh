@@ -1,0 +1,45 @@
+#!/bin/bash
+# Reproducible bench: run graft.Bench in N fresh JVMs (default 5) and
+# report the per-query MEDIAN across runs. Dev-only — the committed
+# answer to run-to-run noise (BENCH_r06 showed ±20-40% swings on
+# sub-2 s queries from single runs): any perf claim in a commit message
+# must cite this runner's output, not a single Bench line.
+#
+# Usage: tools/bench.sh [N] (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_ONLY,
+#        SPARK_GRAFT_CPUS — passed through to graft.Bench)
+# Output: one JSON line (same shape as Bench) on stdout, per-run lines
+#         and >20% spread warnings on stderr; full map saved to
+#         bench_median.json (or bench_median_partial.json under ONLY).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+N="${1:-5}"
+
+OUT="$(mktemp -d)"
+trap 'rm -rf "$OUT"' EXIT
+for i in $(seq 1 "$N"); do
+  echo "[bench.sh] run $i/$N" >&2
+  tools/run.sh graft.Bench 2>/dev/null | tail -1 > "$OUT/run$i.json"
+  tail -c 200 "$OUT/run$i.json" >&2; echo >&2
+done
+
+python3 - "$OUT" "$N" <<'EOF'
+import json, sys, glob, statistics, os
+runs = [json.load(open(p)) for p in sorted(glob.glob(sys.argv[1] + "/run*.json"))]
+names = runs[0]["queries"].keys()
+med, spread = {}, []
+for q in names:
+    ts = [r["queries"][q] for r in runs if r["queries"].get(q, -1) > 0]
+    if not ts:
+        med[q] = -1; continue
+    med[q] = round(statistics.median(ts), 4)
+    if min(ts) > 0 and (max(ts) - min(ts)) / min(ts) > 0.20:
+        spread.append(f"{q}: median {med[q]:.3f} spread [{min(ts):.3f}, {max(ts):.3f}]")
+total = round(sum(v for k, v in med.items() if k.startswith("q") and v > 0), 4)
+line = {"metric": "total", "value": total, "unit": "sec", "queries": med,
+        "sf": runs[0]["sf"], "runs": len(runs)}
+fname = "bench_median_partial.json" if os.environ.get("SPARK_GRAFT_ONLY") else "bench_median.json"
+open(fname, "w").write(json.dumps(med))
+for s in spread:
+    print("[bench.sh] spread>20%: " + s, file=sys.stderr)
+print(json.dumps(line))
+EOF
