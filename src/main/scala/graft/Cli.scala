@@ -51,9 +51,11 @@ object Cli {
     var srcPath: Option[String] = None
     var i = 0
     while (i < args.length) {
-      // Go's flag package accepts both `-flag value` and `-flag=value`
+      // Go's flag package accepts both `-flag value` and `-flag=value`;
+      // only flag tokens split on '=' — a positional path like
+      // `dir=x/src.cel` must pass through whole
       val (flag, inline) = args(i).split("=", 2) match {
-        case Array(f, v) => (f, Some(v))
+        case Array(f, v) if f.startsWith("-") => (f, Some(v))
         case _ => (args(i), None)
       }
       def value: Option[String] =
@@ -71,7 +73,16 @@ object Cli {
           case Some(v) => cfgPath = v; i += 1
           case None => err(usage); return 2
         }
-        case "-insecure" | "--insecure" => insecure = true; i += 1
+        // boolean flag: bare = true; `-insecure=v` parses v like Go's
+        // strconv.ParseBool (flag.Value for bools), bad values exit 2
+        case "-insecure" | "--insecure" => inline match {
+          case None => insecure = true; i += 1
+          case Some(v) => v match {
+            case "1" | "t" | "T" | "true" | "TRUE" | "True" => insecure = true; i += 1
+            case "0" | "f" | "F" | "false" | "FALSE" | "False" => insecure = false; i += 1
+            case _ => err(usage); return 2
+          }
+        }
         case f if f.startsWith("-") => err(usage); return 2
         case p => srcPath = Some(p); i += 1
       }
@@ -115,18 +126,19 @@ object Cli {
     val ast = try Parser.parse(src) catch {
       case e: Exception => err(s"failed compilation: ${e.getMessage}"); return 2
     }
-    // `now` the variable = CLI start; `now()` the function = live
-    // call-time clock (the reference's one-shot semantics, time.go:46-54)
-    val baseEnv = Eval.baseEnv(System.currentTimeMillis() * 1000L,
-      cfg.regexps, cfg.globalsJson,
-      Some(Paths.get(".").toAbsolutePath.normalize), cfg.xsds, cfg.basicAuth)
-      .copy(liveNowAnchor = Some(System.nanoTime()))
-
     // the want_more re-entry loop (mito.go:186-204): output becomes the
-    // next state while out.want_more is true
+    // next state while out.want_more is true. The env is rebuilt PER
+    // iteration — the reference constructs the evaluation per run of the
+    // loop, so `now` the variable is each evaluation's start (not CLI
+    // start) and `now()` the function reads a live clock from there
+    // (time.go:46-54 one-shot semantics).
     var state = state0
     var more = true
     while (more) {
+      val baseEnv = Eval.baseEnv(System.currentTimeMillis() * 1000L,
+        cfg.regexps, cfg.globalsJson,
+        Some(Paths.get(".").toAbsolutePath.normalize), cfg.xsds, cfg.basicAuth)
+        .copy(liveNowAnchor = Some(System.nanoTime()))
       Eval.evalValueOpt(ast, state, baseEnv) match {
         case e: Eval.VErr =>
           err("failed eval: " + Errors.display(src, e.at, e.msg))

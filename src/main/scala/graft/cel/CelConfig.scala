@@ -42,8 +42,15 @@ object CelConfig {
           val body = lines.slice(start, end).mkString("\n")
           section match {
             case "regexp" =>
+              // quoted scalars, plus bare (unquoted) patterns like the
+              // xsd section accepts: `products: foo(\s)bar` — silently
+              // dropping them made later re_* calls fail as unknown
+              // functions instead of binding the pattern
               cfg = cfg.copy(regexps = entry.findAllMatchIn(body)
-                .map(e => e.group(1) -> e.group(2)).toMap)
+                .map(e => e.group(1) -> e.group(2)).toMap ++
+                lines.slice(start, end).flatMap(kvLine.findFirstMatchIn(_))
+                  .filter(e => e.group(2).nonEmpty && !e.group(2).startsWith("\""))
+                  .map(e => e.group(1) -> e.group(2).trim))
             case "globals" =>
               cfg = cfg.copy(globalsJson = globalsToJson(lines.slice(start, end)))
             case "xsd" =>

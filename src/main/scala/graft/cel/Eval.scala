@@ -90,6 +90,10 @@ object Eval {
   /** CEL optional type (enabled in mito, mito.go:83): produced by `.?f`
     * and optional.of/none; consumed by orValue/hasValue/value. */
   final case class VOpt(v: Option[V]) extends V
+  /** CEL type value: `type(x)` results and the bound type identifiers
+    * (`int`, `string`, ... — cel-go's standard declarations). Equality is
+    * by name (case-class), the only operation CEL defines on types. */
+  final case class VType(name: String) extends V
 
   final case class Env(vars: Map[String, V], nowMicros: Long,
       regexps: Map[String, String] = Map.empty,
@@ -155,6 +159,11 @@ object Eval {
       o
     case VOpt(Some(x)) => toJson(x)
     case VOpt(None) => nf.nullNode()
+    // type values render as their name. Divergence note: the reference
+    // fails proto conversion on a top-level type value (no script does
+    // this); the name string is strictly more useful and keeps type
+    // values alive inside rendered containers.
+    case VType(n) => nf.textNode(n)
     case VErr(msg) => JsonAlgebra.error(msg)
   }
 
@@ -248,6 +257,7 @@ object Eval {
         g.writeEndObject()
       case VOpt(Some(x2)) => write(x2)
       case VOpt(None) => g.writeNull()
+      case VType(n) => g.writeString(n) // see toJson's divergence note
       case VErr(msg) =>
         g.writeStartObject()
         g.writeStringField(JsonAlgebra.ErrorKey, msg)
@@ -291,6 +301,40 @@ object Eval {
       baseEnv(nowMicros, regexps, globalsJson, baseDir, xsds, httpAuth)
         .copy(liveNowAnchor = if (liveNow) Some(System.nanoTime()) else None))
 
+  /** cel-go's runtime type of a value (the `type()` overload). */
+  private[cel] def typeOf(v: V): V = v match {
+    case e: VErr => e
+    case VInt(_) => VType("int")
+    case VUint(_) => VType("uint")
+    case VDouble(_) => VType("double")
+    case VString(_) => VType("string")
+    case VBytes(_) => VType("bytes")
+    case VBool(_) => VType("bool")
+    case VNull => VType("null_type")
+    case VList(_) => VType("list")
+    case _: VMap => VType("map")
+    case VTimestamp(_) => VType("google.protobuf.Timestamp")
+    case VDuration(_) => VType("google.protobuf.Duration")
+    case VOpt(_) => VType("optional_type")
+    case VType(_) => VType("type")
+  }
+
+  /** The standard type identifiers, bound as values in every env (both
+    * tiers) so `type(x) == int` works. Lowest precedence — cfg globals
+    * and the engine's own vars shadow them. `timestamp`/`duration` the
+    * IDENTIFIERS are the proto type names they compare equal to
+    * (cel-go's declarations); the same-named FUNCTIONS are Call nodes
+    * and never consult these bindings. */
+  private[cel] val typeIdentsV: Map[String, V] = Map(
+    "int" -> VType("int"), "uint" -> VType("uint"),
+    "double" -> VType("double"), "string" -> VType("string"),
+    "bytes" -> VType("bytes"), "bool" -> VType("bool"),
+    "null_type" -> VType("null_type"), "list" -> VType("list"),
+    "map" -> VType("map"), "type" -> VType("type"), "dyn" -> VType("dyn"),
+    "timestamp" -> VType("google.protobuf.Timestamp"),
+    "duration" -> VType("google.protobuf.Duration"),
+    "optional_type" -> VType("optional_type"))
+
   /** The `time_layout` global (17 named Go layouts) — one shared value,
     * not rebuilt per evaluation. */
   private[cel] val timeLayoutV: V = VMap(VectorMap.from(
@@ -311,7 +355,7 @@ object Eval {
         case VMap(m) => m
         case _ => Map.empty
       }
-    Env(globals ++ Map(
+    Env(typeIdentsV ++ globals ++ Map(
       "now" -> VTimestamp(nowMicros),
       "time_layout" -> timeLayoutV),
       nowMicros, regexps, baseDir, xsds, httpAuth)
@@ -487,11 +531,23 @@ object Eval {
   }
 
   /** Map-literal builder over pre-evaluated (key, value) pairs in entry
-    * order: first error wins, string/int/uint key typing and the loud
-    * cross-type collision check (see the MapLit scaladoc trail). Shared
-    * by the interpreter's MapLit and the closure compiler (the compiled
-    * subset is side-effect-free, so eager pair evaluation there is
-    * unobservable). */
+    * order: first error wins, string/int/uint key typing, and duplicate
+    * keys are ERRORS, never silent last-win (see the MapLit scaladoc
+    * trail). Shared by the interpreter's MapLit, the Column tier
+    * (VOps.mapOf) and the closure compiler, so all three agree. Two
+    * duplicate flavors:
+    *
+    * - same-type repeat ({1:"a",1:"b"}, {"a":1,"a":2}): cel-go's own
+    *   runtime error, "Failed with repeated key".
+    * - cross-type same-rendering ({1:v,"1":w}; also {1:v,1u:w}): cel-go
+    *   keeps TWO entries (ref.Val keys are type-distinct) — this
+    *   engine's string-keyed JSON backbone cannot, so it fails loudly
+    *   ("map key collision") instead of silently merging. Deliberate,
+    *   documented divergence: no reference script constructs such maps
+    *   (they don't survive a JSON boundary in any engine). Note int/uint
+    *   equal-value keys count as SAME type here because this engine maps
+    *   both to one numeric key space ({1:v} == {1u:v} by CEL numeric
+    *   equality — the same choice typedKeys/equalsV make). */
   private[cel] def mapFromPairs(pairs: Vector[(V, V)]): V = {
     var m = VectorMap.empty[String, V]
     var intKeys = Set.empty[String]
@@ -503,14 +559,14 @@ object Eval {
         case (err: VErr, _) => return err
         case (_, err: VErr) => return err
         case (VString(ks), vv) =>
-          // a string key colliding with an existing NUMERIC key would
-          // silently merge two cel-distinct entries (and flip the
-          // surviving key's type) — fail loudly instead
           if (intKeys(ks) || hugeUintKeys(ks)) return VErr(s"map key collision: $ks")
+          if (m.contains(ks)) return VErr("Failed with repeated key")
           m = m.updated(ks, vv)
         case (VInt(ki), vv) =>
           val ks = ki.toString
-          if (m.contains(ks) && !intKeys(ks)) return VErr(s"map key collision: $ks")
+          if (m.contains(ks))
+            return if (intKeys(ks)) VErr("Failed with repeated key")
+            else VErr(s"map key collision: $ks")
           m = m.updated(ks, vv); intKeys += ks
         // uint keys: tagged numeric like int when representable, so
         // CEL's cross-type numeric key equality holds ({1:v}=={1u:v});
@@ -518,10 +574,14 @@ object Eval {
         case (VUint(ki), vv) =>
           val ks = java.lang.Long.toUnsignedString(ki)
           if (ki >= 0) {
-            if (m.contains(ks) && !intKeys(ks)) return VErr(s"map key collision: $ks")
+            if (m.contains(ks))
+              return if (intKeys(ks)) VErr("Failed with repeated key")
+              else VErr(s"map key collision: $ks")
             m = m.updated(ks, vv); intKeys += ks
           } else {
-            if (m.contains(ks) && !hugeUintKeys(ks)) return VErr(s"map key collision: $ks")
+            if (m.contains(ks))
+              return if (hugeUintKeys(ks)) VErr("Failed with repeated key")
+              else VErr(s"map key collision: $ks")
             m = m.updated(ks, vv); hugeUintKeys += ks
           }
         case (other, _) => return VErr(s"unsupported map key: $other")

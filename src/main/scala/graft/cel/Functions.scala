@@ -164,10 +164,14 @@ private[cel] object Functions {
     * lowering kernels (VOps.call*): pure value-level dispatch. */
   private[cel] val pureGlobals: Set[String] = Set(
     "size", "int", "uint", "double", "string", "bytes", "bool", "timestamp",
-    "duration", "dyn", "max", "min", "zip", "keys", "values", "encode_json",
-    "decode_json", "hmac")
+    "duration", "dyn", "type", "max", "min", "zip", "keys", "values",
+    "encode_json", "decode_json", "hmac")
 
   private[cel] def call2(fn: String, vs: Vector[V]): V = fn match {
+    case "type" => vs match {
+      case Vector(x) => Eval.typeOf(x)
+      case _ => VErr("no such overload: type")
+    }
     case "size" => vs match {
       case Vector(VString(s)) => VInt(s.codePointCount(0, s.length).toLong)
       case Vector(VBytes(b)) => VInt(b.length.toLong)

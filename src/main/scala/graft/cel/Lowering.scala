@@ -109,7 +109,7 @@ object Lowering {
       regexps: Map[String, String] = Map.empty,
       nowMicros: Option[Long] = None): Option[Column] = {
     val ast = try Parser.parse(program) catch { case _: Exception => return None }
-    val env0 = Map(
+    val env0 = Eval.typeIdentsV.map { case (k, v) => k -> litV(v) } ++ Map(
       "state" -> op("fromJsonText", Seq(Str), state),
       "time_layout" -> litV(Eval.timeLayoutV)) ++ // the interpreter's own constant
       nowMicros.map(us => "now" -> litV(VTimestamp(us)))

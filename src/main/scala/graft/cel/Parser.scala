@@ -21,7 +21,8 @@ object Parser {
     e
   }
 
-  private val macroNames = Set("map", "filter", "all", "exists", "exists_one", "as")
+  private val macroNames = Set("map", "filter", "all", "exists", "exists_one",
+    "as", "optMap", "optFlatMap")
 }
 
 private final class Parser(src: String) {
@@ -173,6 +174,28 @@ private final class Parser(src: String) {
           val v = parseIdent(); expect(",")
           val body = parseTernary(); expect(")")
           Comprehension(m, target, v, None, body)
+        // cel-go optional-library macros (enabled by cel.OptionalTypes,
+        // reference mito.go:83): parse-time expansion to the existing
+        // surface — exactly cel-go's own macro strategy —
+        //   t.optMap(v, f)     => t.as($t, $t.hasValue()
+        //                           ? optional.of($t.value().as(v, f))
+        //                           : optional.none())
+        //   t.optFlatMap(v, f) => same, without the optional.of wrap
+        // so both tiers (interpreter AND Lowering/Compile) host them with
+        // no new evaluation machinery. `$opt` cannot collide: '$' is not
+        // an identifier character, so no user binding can carry the name.
+        case m @ ("optMap" | "optFlatMap") =>
+          val v = parseIdent(); expect(",")
+          val body = parseTernary(); expect(")")
+          val t = Ident("$opt")
+          val bound = Comprehension("as", Method(t, "value", Vector()), v, None, body)
+          val some =
+            if (m == "optMap") Method(Ident("optional"), "of", Vector(bound))
+            else bound
+          Comprehension("as", target, "$opt",
+            None,
+            Ternary(Method(t, "hasValue", Vector()), some,
+              Method(Ident("optional"), "none", Vector())))
       }
     } else {
       val args = parseArgs()

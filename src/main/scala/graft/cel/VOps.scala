@@ -176,46 +176,23 @@ object VOps {
     VList(b.result())
   }
 
+  /** Map literal: collect evaluated (key, value) pairs — a null element
+    * nulls the row (see listOf) — then build through the ONE shared
+    * key-typing/duplicate core ([[Eval.mapFromPairs]]), so the Column
+    * tier, the closure compiler, and the interpreter agree on key
+    * semantics by construction. */
   def mapOf(keys: ArrayData, vals: ArrayData): Object = {
     val n = keys.numElements()
-    var m = VectorMap.empty[String, V]
-    var intKeys = Set.empty[String]
-    // uints >= 2^63 stay string-surfaced (toLong would overflow the
-    // typed-key surface) but are still NUMERIC keys: track them locally
-    // so a string key with the same rendering is a loud collision too
-    var hugeUintKeys = Set.empty[String]
+    val pairs = Vector.newBuilder[(V, V)]
     var i = 0
     while (i < n) {
       (objAt(keys, i), objAt(vals, i)) match {
-        case (null, _) | (_, null) => return null // see listOf
-        case (err: VErr, _) => return err
-        case (_, err: VErr) => return err
-        case (VString(k), vv) =>
-          // cross-type collision = silent entry merge + key-type flip:
-          // in-band error instead (mirrors Eval's MapLit)
-          if (intKeys(k) || hugeUintKeys(k)) return VErr(s"map key collision: $k")
-          m = m.updated(k, vv)
-        case (VInt(k), vv) =>
-          val ks = k.toString
-          if (m.contains(ks) && !intKeys(ks)) return VErr(s"map key collision: $ks")
-          m = m.updated(ks, vv); intKeys += ks
-        // uint keys: tagged numeric like int when representable (CEL
-        // numeric key equality: {1:v} == {1u:v}); >= 2^63 stringifies
-        // UNSIGNED (Go json.Marshal) and stays string-surfaced
-        case (VUint(k), vv) =>
-          val ks = java.lang.Long.toUnsignedString(k)
-          if (k >= 0) {
-            if (m.contains(ks) && !intKeys(ks)) return VErr(s"map key collision: $ks")
-            m = m.updated(ks, vv); intKeys += ks
-          } else {
-            if (m.contains(ks) && !hugeUintKeys(ks)) return VErr(s"map key collision: $ks")
-            m = m.updated(ks, vv); hugeUintKeys += ks
-          }
-        case (other, _) => return VErr(s"unsupported map key: $other")
+        case (null, _) | (_, null) => return null
+        case (k, v) => pairs += ((k, v))
       }
       i += 1
     }
-    VMap(m, intKeys)
+    Eval.mapFromPairs(pairs.result())
   }
 
   // ---------------- NonStrict handlers ----------------

@@ -66,6 +66,42 @@ class CelSpec extends SparkSpec {
     assert(run("5.as(n, n * n)") == "25")
   }
 
+  test("type() introspection against the bound type identifiers") {
+    assert(run("type(3) == int") == "true")
+    assert(run("type(3u) == uint && type(1.5) == double") == "true")
+    assert(run("type('x') == string && type(b'x') == bytes") == "true")
+    assert(run("type(true) == bool && type(null) == null_type") == "true")
+    assert(run("type([1]) == list && type({'a': 1}) == map") == "true")
+    assert(run("type(timestamp('2024-01-01T00:00:00Z')) == timestamp") == "true")
+    assert(run("type(duration('1s')) == duration") == "true")
+    assert(run("type(type(3)) == type && type(int) == type") == "true")
+    assert(run("type(3) == type(4) && type(3) != type('x')") == "true")
+    assert(run("type(optional.of(1)) == optional_type") == "true")
+    // strictness: an error argument propagates
+    assert(run("try(type(1 / 0))") == "\"division by zero\"")
+    // rendering divergence (documented at Eval.toJson): the name string
+    assert(run("type(3)") == "\"int\"")
+    assert(run("[type('a'), type(1)]") == "[\"string\",\"int\"]")
+  }
+
+  test("optMap/optFlatMap macros (cel-go optional library, mito.go:83)") {
+    // optMap: transform inside the optional, stay optional
+    assert(run("optional.of(5).optMap(x, x * 2).value()") == "10")
+    assert(run("optional.none().optMap(x, x * 2).orValue('d')") == "\"d\"")
+    assert(run("""{"a": 1}.?a.optMap(x, x + 1).value()""", "{}") == "2")
+    assert(run("""state.?missing.optMap(x, x + 1).hasValue()""", "{}") == "false")
+    // optFlatMap: the body itself returns an optional
+    assert(run("optional.of(5).optFlatMap(x, optional.of(x + 1)).value()") == "6")
+    assert(run("optional.of(5).optFlatMap(x, optional.none()).hasValue()") == "false")
+    assert(run("optional.none().optFlatMap(x, optional.of(x)).orValue(9)") == "9")
+    // body errors propagate out of a present optional
+    assert(run("try(optional.of(5).optMap(x, x / 0).value())") ==
+      "\"division by zero\"")
+    // a strict target error propagates (the `as` expansion is
+    // target-first, like every other comprehension)
+    assert(run("try(state.nope.optMap(x, x))", "{}") == "\"no such key: nope\"")
+  }
+
   test("collections library (reference testdata/collate_a.txt shape)") {
     val doc = """{"a":[{"b":1},{"b":2},{"b":3}],"b":[{"b":-1,"c":10},{"b":-2,"c":20},{"b":-3,"c":30}]}"""
     assert(run(s"$doc.collate('a')") == """[{"b":1},{"b":2},{"b":3}]""")
@@ -140,6 +176,36 @@ class CelSpec extends SparkSpec {
     // same-rendering string key collides loudly in either order
     assert(run("""is_error({"18446744073709551615": "x", 18446744073709551615u: "y"})""") == "true")
     assert(run("""is_error({18446744073709551615u: "y", "18446744073709551615": "x"})""") == "true")
+  }
+
+  test("duplicate map-literal keys error loudly (cel-go repeated-key)") {
+    // same-type repeats: cel-go's own runtime error text
+    assert(run("""try({1: "a", 1: "b"})""") == "\"Failed with repeated key\"")
+    assert(run("""try({"a": 1, "a": 2})""") == "\"Failed with repeated key\"")
+    // int/uint equal-value keys are ONE key in this engine's numeric key
+    // space ({1:v} == {1u:v} — see typedKeys/equalsV), so an int/uint
+    // repeat is a repeat too. Deliberate divergence from cel-go, which
+    // keeps two type-distinct ref.Val entries no JSON boundary can render.
+    assert(run("""try({1: "a", 1u: "b"})""") == "\"Failed with repeated key\"")
+    // cross-type string-vs-numeric stays the distinct collision error
+    assert(run("""try({1: "x", "1": "y"})""") == "\"map key collision: 1\"")
+  }
+
+  test("map literals evaluate all entries before constructing (cel-go order)") {
+    // a later entry's eval error outranks an earlier duplicate: entries
+    // evaluate in order first, duplicate detection happens at construction
+    assert(run("""try({1: "a", 1: "b", 2: state.nope})""", "{}") ==
+      "\"no such key: nope\"")
+    // side-effect extent: entries after a duplicate still evaluate
+    // (debug's stderr print happens, then the repeat error surfaces)
+    val buf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    try {
+      System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+      assert(run("""try({1: "a", 1: debug("t", "b")})""") ==
+        "\"Failed with repeated key\"")
+    } finally System.setErr(old)
+    assert(new String(buf.toByteArray, "UTF-8").contains("DEBUG: t: VString(b)"))
   }
 
   test("rate_limit okta through CEL (reference testdata/limit_okta.txt)") {

@@ -88,6 +88,50 @@ class CliSpec extends AnyFunSuite {
     assert(run(s"-data=$data", src2) == ((0, Vector("5"), Vector())))
   }
 
+  test("positional path containing '=' passes through whole; -insecure=v parses") {
+    val dir = Files.createTempDirectory("cli")
+    val sub = Files.createDirectory(dir.resolve("v=1"))
+    val src = write(sub, "p.cel", "1 + 1")
+    assert(run(src) == ((0, Vector("2"), Vector())))
+    // boolean flag inline values, Go strconv.ParseBool subset
+    val old = graft.sources.HttpExec.trustAll
+    try {
+      assert(run("-insecure=true", src)._1 == 0)
+      assert(graft.sources.HttpExec.trustAll)
+      assert(run("-insecure=false", src)._1 == 0)
+      assert(!graft.sources.HttpExec.trustAll) // was: inline value ignored -> true
+      assert(run("-insecure=bogus", src)._1 == 2)
+    } finally graft.sources.HttpExec.trustAll = old
+  }
+
+  test("want_more loop rebinds now per evaluation (reference per-run env)") {
+    val dir = Files.createTempDirectory("cli")
+    val data = write(dir, "d.json", """{"i": 0}""")
+    val src = write(dir, "p.cel",
+      """{"i": int(state.i) + 1, "t": now.format('RFC3339Nano'),
+         "want_more": int(state.i) + 1 < 2000}""")
+    val (rc, out, _) = run(src, "-data", data)
+    assert(rc == 0)
+    // 2000 iterations span multiple milliseconds (now is ms-resolution);
+    // a loop-constant `now` (one env built before the loop) would print
+    // one distinct value
+    val ts = out.flatMap(_.linesIterator).filter(_.contains("\"t\":")).distinct
+    assert(ts.size > 1, s"now was loop-constant: $ts")
+  }
+
+  test("cfg regexp section accepts bare (unquoted) patterns") {
+    val dir = Files.createTempDirectory("cli")
+    val cfg = write(dir, "cfg.yaml",
+      """regexp:
+        |  digits: \d+
+        |  word: "[a-z]+"
+        |""".stripMargin)
+    val src = write(dir, "p.cel", "'a1b22'.re_find_all('digits')")
+    val (rc, out, _) = run(src, "-cfg", cfg)
+    assert(rc == 0, out.mkString)
+    assert(out.mkString("\n") == "[\n\t\"1\",\n\t\"22\"\n]")
+  }
+
   test("unknown -use library and bad flags exit 2 like the reference") {
     val dir = Files.createTempDirectory("cli")
     val src = write(dir, "p.cel", "1")

@@ -172,6 +172,20 @@ class LoweringSpec extends SparkSpec {
     "optional.of(state.k).value()",
     "state.k.orValue(9)",              // orValue on non-optional passes through
     "5.orValue(1 / 0)",                // strict default: error propagates
+    // optMap/optFlatMap parse-time expansions lower through the existing
+    // as/ternary/optional surface
+    "state.?k.optMap(x, x + 1).orValue(-1)",
+    "state.?missing.optMap(x, x + 1).orValue(-1)",
+    "optional.of(5).optMap(x, x * 2).value()",
+    "state.?k.optFlatMap(x, optional.of(x * 10)).orValue(-1)",
+    "state.?missing.optFlatMap(x, optional.of(x)).hasValue()",
+    "optional.of(1).optFlatMap(x, optional.none()).orValue('d')",
+    "state.nope.optMap(x, x)",         // strict target error propagates
+    // type() and the type-identifier bindings flow through both tiers
+    "type(state.k) == int",
+    "type(state) == map ? 'doc' : 'other'",
+    "[1, 'a', true].map(x, type(x))",
+    "type(state.k)",
     // int-keyed maps: typed keys survive keys()/values()/iteration in
     // BOTH tiers (VOps.items must use typedKeys — numeric order, VInt)
     """{2: "b", 10: "a", 1: "c"}.keys()""",
@@ -179,7 +193,14 @@ class LoweringSpec extends SparkSpec {
     """{2: "b", 10: "a", 1: "c"}.map(k, k)""",
     """{1: "a", 2: "b"}.map(k, k > 1, k * 10)""",
     """{1: "a"} == {"1": "a"}""",      // key type is part of map equality
-    """{1: "a", 2: "b"}.exists(k, k == 2)""")
+    """{1: "a", 2: "b"}.exists(k, k == 2)""",
+    // duplicate keys are in-band errors in BOTH tiers (Eval.mapFromPairs
+    // is the one shared core: interpreter MapLit, VOps.mapOf, Compile)
+    """{1: "a", 1: "b"}""",
+    """{"a": 1, "a": 2}""",
+    """{1: "a", 1u: "b"}""",
+    """{1: "a", "1": "b"}""",
+    """try({"k": 1, "k": 2})""")
 
   // constructs the subset must DECLINE (fall back to the interpreter):
   // env-dependent (now without a fixed nowMicros, file/dir), side-effecting
