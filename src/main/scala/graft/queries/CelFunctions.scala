@@ -312,6 +312,23 @@ object CelFunctions {
         .orderBy(col("event_id"))
     },
 
+    // the six previously golden-only string ops under the oracle gate
+    // (strings.go LastIndexAny/SplitN/ReplaceAll/ToLower/ToUpper/
+    // TrimSuffix) — completes direct-oracle coverage of §2.3
+    "q78_string_residue" -> { (s, dir) =>
+      val et = col("event_type")
+      val base = concat(et, lit("."), et, lit("."), et)
+      Tables(s, dir).events
+        .select(col("event_id"),
+          last_index_any(et, lit("ck")).as("lia"),
+          array_join(split_n(base, lit("."), lit(2L)), "|").as("sp2"),
+          replace_all(et, lit("c"), lit("X")).as("rep"),
+          to_lower(to_upper(et)).as("lo"),
+          to_upper(et).as("up"),
+          trim_suffix(et, lit("k")).as("ts"))
+        .orderBy(col("event_id"))
+    },
+
     // CEL core accessors under the oracle gate: has(), membership `in`
     // (map keys + list), computed list indexing — lowered path
     "q76_cel_has_in" -> { (s, dir) =>
@@ -519,6 +536,23 @@ object CelFunctions {
               THEN right(event_type, 1) = 'k' ELSE false END AS suf_k,
          contains(event_type, 'ic') AS has_ic,
          event_type || '|' || event_type AS parts
+         FROM events ORDER BY event_id""",
+    "q78_string_residue" ->
+      """SELECT event_id,
+         GREATEST(
+           CASE WHEN contains(event_type, 'c')
+                THEN length(event_type) - strpos(reverse(event_type), 'c')
+                ELSE -1 END,
+           CASE WHEN contains(event_type, 'k')
+                THEN length(event_type) - strpos(reverse(event_type), 'k')
+                ELSE -1 END) AS lia,
+         event_type || '|' || event_type || '.' || event_type AS sp2,
+         replace(event_type, 'c', 'X') AS rep,
+         lower(upper(event_type)) AS lo,
+         upper(event_type) AS up,
+         CASE WHEN ends_with(event_type, 'k')
+              THEN left(event_type, length(event_type) - 1)
+              ELSE event_type END AS ts
          FROM events ORDER BY event_id""",
     "q76_cel_has_in" ->
       """SELECT event_id,
