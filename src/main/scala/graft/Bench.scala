@@ -20,6 +20,37 @@ object Bench {
 
   private val NOW = 1704067200000000L
 
+  /** Wide-program shape: one CEL program, ~40 operator applications
+    * across strings, arithmetic, logic, crypto, collections and three
+    * comprehensions — the "real mito program" profile (many small ops
+    * per row) where per-node interpreter dispatch overhead accumulates,
+    * vs the narrow state-group shapes where parse/render dominate.
+    * Benchmarked in both tiers (mito_ = interpreter, auto_ = lowered);
+    * LoweringSpec pins that it stays inside the lowerable subset. */
+  private[graft] val wideChain: String =
+    """{
+      "j": state.encode_json(),
+      "upper": state.encode_json().to_upper(),
+      "n": size(state),
+      "k3": (state.k * 3 + 7) % 100,
+      "parity": state.k % 2 == 0 ? 'even' : 'odd',
+      "mid": state.k > 25 && state.k < 75,
+      "rep": string(state.k).repeat(3),
+      "pre": state.encode_json().has_prefix('{'),
+      "cnt": state.encode_json().count('"'),
+      "quoted": state.encode_json().replace_all('"', "'"),
+      "joined": ['a', string(state.k), 'z'].join('-'),
+      "parts": size('a,b,c,d'.split(',')),
+      "hash": string(state.k).sha256().hex(),
+      "b64": string(state.k).base64(),
+      "frac": double(state.k) / 4.0,
+      "sq": [state.k, state.k + 1, state.k + 2].map(x, x * x),
+      "pos": [state.k - 50, state.k, state.k + 50].filter(x, x > 0),
+      "anybig": [state.k, 99].exists(x, x > 90),
+      "sub": state.encode_json().substring(1, 4),
+      "patched": state.with({'seen': true}).drop(['seen']).encode_json()
+    }"""
+
   /** The static/state benchmark groups of mito_bench_test.go (the net
     * group runs separately over a loopback stub — [[netShapes]]). Each
     * runs per events-row. */
@@ -76,7 +107,12 @@ object Bench {
         celCol("""{"upper": state.encode_json().to_upper(), "n": size(state)}"""),
       "auto_strings_state" -> graft.cel.Cel.auto(
         """{"upper": state.encode_json().to_upper(), "n": size(state)}""",
-        col("props"), NOW)
+        col("props"), NOW),
+      // wide-program pair: .get (not auto) so a lowering regression is a
+      // loud bench error, never a silent fallback to the interpreter
+      "mito_wide_chain_state" -> celCol(wideChain),
+      "auto_wide_chain_state" ->
+        graft.cel.Cel.lower(wideChain, col("props"), nowMicros = Some(NOW)).get
     ).map { case (name, c) => name -> events.select(c.cast("string").as("x")) }
   }
 

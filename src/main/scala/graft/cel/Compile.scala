@@ -52,7 +52,23 @@ private[cel] object Compile {
       .map(cv => Compiled(ctx.nextSlot, cv))
   }
 
+  /** Same plan-time partial evaluation as Lowering.lower: a subtree
+    * that compiled (⟹ pure) and references no identifiers at all — no
+    * loop variable, no captured free var (const idents like `int` are
+    * captured slots here, so "closed" is simply zero free vars) —
+    * evaluates once now; the closure returns the cached V. */
   private def compile(e: Ast, slots: Map[String, Int])
+      (implicit ctx: Ctx): Option[CV] = {
+    val r = compileCore(e, slots)
+    if (r.isEmpty || !Lowering.worthFolding(e) ||
+        Lowering.freeVars(e, Set.empty).nonEmpty) return r
+    try {
+      val v = Eval.eval(e, Env(Map.empty, ctx.nowMicros.getOrElse(0L), ctx.regexps))
+      const(v)
+    } catch { case _: Exception => r }
+  }
+
+  private def compileCore(e: Ast, slots: Map[String, Int])
       (implicit ctx: Ctx): Option[CV] = e match {
     case Ast.IntLit(v) => const(VInt(v))
     case Ast.UintLit(v) => const(VUint(v))

@@ -80,7 +80,7 @@ object Lowering {
   /** Free variables of `e`: identifiers not bound by a comprehension or
     * `as` variable in scope (used to capture a lowered comprehension's
     * environment into its fold kernel). */
-  private def freeVars(e: Ast, bound: Set[String]): Set[String] = e match {
+  private[cel] def freeVars(e: Ast, bound: Set[String]): Set[String] = e match {
     case Ast.Ident(n) => if (bound(n)) Set.empty else Set(n)
     case Ast.Select(t, _) => freeVars(t, bound)
     case Ast.SelectOpt(t, _) => freeVars(t, bound)
@@ -117,7 +117,44 @@ object Lowering {
       .map(c => opTyped(Str, "render", Seq(OT), c))
   }
 
+  /** Identifiers that are plan-time constants (safe inside a foldable
+    * subtree): the CEL type identifiers and `time_layout`. `now` joins
+    * them only when nowMicros is fixed (batch-constant lowering). */
+  private val constIdents: Set[String] = Eval.typeIdentsV.keySet + "time_layout"
+
+  /** Plan-time partial evaluation (the CEL-level analogue of Catalyst
+    * ConstantFolding): a subtree that lowered successfully is pure by
+    * construction (the subset excludes side effects, executing HTTP and
+    * nondeterminism), so if it also references no per-row data — no
+    * `state`, only const identifiers — evaluate it ONCE here with the
+    * interpreter and ship the result V as a plan literal. Errors stay
+    * in-band (a closed `1/0` folds to its VErr value). Folding runs
+    * AFTER lowerCore so a non-lowerable closed call (uuid(), debug(),
+    * get()) can never be evaluated at plan time by mistake. */
   private def lower(e: Ast, env: Map[String, Column])
+      (implicit regexps: Map[String, String],
+        nowMicros: Option[Long]): Option[Column] = {
+    val r = lowerCore(e, env)
+    if (r.isEmpty || !worthFolding(e)) return r
+    val free = freeVars(e, Set.empty)
+    if (!free.forall(n => constIdents(n) || (n == "now" && nowMicros.isDefined)))
+      return r
+    try Some(litV(Eval.eval(e, Eval.Env(
+      Eval.typeIdentsV ++ Map("time_layout" -> Eval.timeLayoutV) ++
+        nowMicros.map(us => "now" -> (VTimestamp(us): V)),
+      nowMicros.getOrElse(0L), regexps))))
+    catch { case _: Exception => r }
+  }
+
+  /** Composite nodes only: literals and idents are already plan
+    * constants, and folding them would just rebuild the same Literal. */
+  private[cel] def worthFolding(e: Ast): Boolean = e match {
+    case _: Ast.StringLit | _: Ast.IntLit | _: Ast.UintLit | _: Ast.DoubleLit |
+         _: Ast.BoolLit | _: Ast.BytesLit | Ast.NullLit | _: Ast.Ident => false
+    case _ => true
+  }
+
+  private def lowerCore(e: Ast, env: Map[String, Column])
       (implicit regexps: Map[String, String],
         nowMicros: Option[Long]): Option[Column] = e match {
     case Ast.StringLit(s) => Some(litV(VString(s)))

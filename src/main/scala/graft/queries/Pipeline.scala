@@ -184,8 +184,19 @@ object Pipeline {
         explode(expr(
           """transform(sequence(0, 3), b -> struct(b AS band_id,
             shiftrightunsigned(sig, cast(b * 16 AS int)) & 65535 AS key))""")).as("bd"))
-      bands.as("a")
-        .join(bands.as("b"),
+      // Same skew protection as q31: near-dup clusters share all four
+      // band keys, so an uncapped self-join is quadratic in cluster
+      // size (measured 16.3x at a 10x scale-up with 10-copy clusters —
+      // BENCH_sf1.json). Keep the first 64 members per (band, key)
+      // bucket; identical sigs keep the same representatives in every
+      // band, so intra-cluster pairs survive while fan-out is <= 64^2.
+      val capped = bands
+        .withColumn("bucket_rank",
+          row_number().over(Window.partitionBy(col("bd")).orderBy(col("doc_id"))))
+        .filter(col("bucket_rank") <= 64)
+        .drop("bucket_rank")
+      capped.as("a")
+        .join(capped.as("b"),
           col("a.bd") === col("b.bd") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           hamming64(col("a.sig"), col("b.sig")).as("hamming"))
@@ -213,7 +224,21 @@ object Pipeline {
         explode(expr(
           """transform(sequence(0, 3), b -> struct(b AS band_id,
             shiftrightunsigned(bits, cast(b * 8 AS int)) & 255 AS key))""")).as("bd"))
-      val cand = bands.as("x").join(bands.as("y"),
+      // 8-bit band keys give 256 buckets per band, so occupancy — and
+      // with it candidate-pair count — grows linearly with corpus size
+      // and the join quadratically (measured 8.6x at a 10x scale-up —
+      // BENCH_sf1.json). Cap each (band, key) bucket at its 64
+      // lowest-id members, the q31/q38 representative scheme: bounded
+      // fan-out per bucket; at real corpus scale you additionally grow
+      // the signature width so bucket count tracks n (more sign bits),
+      // which this static 4x8 layout keeps small deliberately to stay
+      // oracle-replicable.
+      val capped = bands
+        .withColumn("bucket_rank",
+          row_number().over(Window.partitionBy(col("bd")).orderBy(col("vec_id"))))
+        .filter(col("bucket_rank") <= 64)
+        .drop("bucket_rank")
+      val cand = capped.as("x").join(capped.as("y"),
           col("x.bd") === col("y.bd") && col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
         .distinct()
@@ -352,13 +377,19 @@ object Pipeline {
           s AS (SELECT doc_id, list_transform(lst, tok -> md5_number_lower(tok)) AS hs FROM t),
           g AS (SELECT doc_id, list_sum(list_transform(range(0, 64), k ->
                   CASE WHEN 2 * len(list_filter(hs, h -> ((h >> k) & 1) = 1)) > len(hs)
-                       THEN (1::HUGEINT << k) ELSE 0::HUGEINT END))::HUGEINT AS sig FROM s)
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-          FROM g a JOIN g b ON a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.sig, b.sig)) <= 6
-            AND ( ((xor(a.sig, b.sig) >> 0) & 65535) = 0 OR ((xor(a.sig, b.sig) >> 16) & 65535) = 0
-               OR ((xor(a.sig, b.sig) >> 32) & 65535) = 0 OR ((xor(a.sig, b.sig) >> 48) & 65535) = 0 )
+                       THEN (1::HUGEINT << k) ELSE 0::HUGEINT END))::HUGEINT AS sig FROM s),
+          bands AS (SELECT doc_id, sig, b AS band_id,
+                      ((sig >> CAST(b * 16 AS INT)) & 65535) AS key
+                    FROM g, range(0, 4) t2(b)),
+          capped AS (SELECT * FROM (SELECT bands.*,
+                       row_number() OVER (PARTITION BY band_id, key ORDER BY doc_id) AS rk
+                     FROM bands) WHERE rk <= 64),
+          pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.sig AS sig_a, b.sig AS sig_b
+                    FROM capped a JOIN capped b
+                      ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+          FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 6
           ORDER BY doc_a, doc_b""",
     // FNV-1a chained over token bytes + 0x1f boundary markers, replayed
     // byte-for-byte in DuckDB via hex expansion + HUGEINT mod-2^64 fold.
@@ -416,8 +447,9 @@ object Pipeline {
                CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk FROM p)
          SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
     // Sign bits from md5-Rademacher hyperplanes (weight = ±1 by the low
-    // bit of md5_number_lower('p_j')), 4x8-bit band condition, exact
-    // cosine on candidates — the full LSH pipeline, independently rebuilt.
+    // bit of md5_number_lower('p_j')), 4x8-bit bands with the 64-
+    // representative bucket cap, exact cosine on candidates — the full
+    // LSH pipeline, independently rebuilt.
     "q41_ann_lsh" ->
       """WITH g AS (SELECT vec_id,
              list_sum(list_transform(range(0, 32), p ->
@@ -429,15 +461,21 @@ object Pipeline {
              list_sum(list_transform(range(1, 65), i ->
                CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS ss,
              embedding
-             FROM embeddings)
-         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             FROM embeddings),
+         bands AS (SELECT vec_id, ((bits >> CAST(p * 8 AS INT)) & 255) AS key, p AS band_id
+                   FROM g, range(0, 4) t2(p)),
+         capped AS (SELECT * FROM (SELECT bands.*,
+                      row_number() OVER (PARTITION BY band_id, key ORDER BY vec_id) AS rk
+                    FROM bands) WHERE rk <= 64),
+         cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+                  FROM capped x JOIN capped y
+                    ON x.band_id = y.band_id AND x.key = y.key AND x.vec_id < y.vec_id)
+         SELECT c.vec_a, c.vec_b,
            round(list_sum(list_transform(range(1, 65), i ->
                CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
              / (sqrt(a.ss) * sqrt(b.ss)), 6) AS cos
-         FROM g a JOIN g b ON a.vec_id < b.vec_id
-         WHERE ( ((xor(a.bits, b.bits) >> 0) & 255) = 0 OR ((xor(a.bits, b.bits) >> 8) & 255) = 0
-              OR ((xor(a.bits, b.bits) >> 16) & 255) = 0 OR ((xor(a.bits, b.bits) >> 24) & 255) = 0 )
-           AND round(list_sum(list_transform(range(1, 65), i ->
+         FROM cand c JOIN g a ON a.vec_id = c.vec_a JOIN g b ON b.vec_id = c.vec_b
+         WHERE round(list_sum(list_transform(range(1, 65), i ->
                CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
              / (sqrt(a.ss) * sqrt(b.ss)), 6) >= 0.4
          ORDER BY vec_a, vec_b""")

@@ -200,7 +200,10 @@ class LoweringSpec extends SparkSpec {
     """{"a": 1, "a": 2}""",
     """{1: "a", 1u: "b"}""",
     """{1: "a", "1": "b"}""",
-    """try({"k": 1, "k": 2})""")
+    """try({"k": 1, "k": 2})""",
+    // the wide-program bench shape: must stay lowerable so Bench's
+    // auto_wide_chain_state (.get, no fallback) keeps measuring the tier
+    Bench.wideChain)
 
   // constructs the subset must DECLINE (fall back to the interpreter):
   // env-dependent (now without a fixed nowMicros, file/dir), side-effecting
