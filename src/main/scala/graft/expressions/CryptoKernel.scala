@@ -51,10 +51,18 @@ object CryptoKernel {
   def base64RawDecode(s: UTF8String): Array[Byte] =
     java.util.Base64.getDecoder.decode(s.toString.stripSuffix("=").stripSuffix("="))
 
+  private val hexDigits: Array[Byte] = "0123456789abcdef".getBytes
+
   /** lowercase hex. crypto.go:572 */
   def hexEncode(data: Array[Byte]): UTF8String = {
-    val sb = new StringBuilder(data.length * 2)
-    data.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    UTF8String.fromString(sb.toString)
+    val out = new Array[Byte](data.length * 2)
+    var i = 0
+    while (i < data.length) {
+      val v = data(i) & 0xff
+      out(2 * i) = hexDigits(v >>> 4)
+      out(2 * i + 1) = hexDigits(v & 15)
+      i += 1
+    }
+    UTF8String.fromBytes(out)
   }
 }
