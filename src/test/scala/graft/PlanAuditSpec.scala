@@ -49,4 +49,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
       "filter not pushed to the parquet scan")
   }
+
+  // Worst ACTUAL width per table across all 78 queries (surveyed at
+  // round 7): lineitem 6 of 16, events 5, nation/orders/supplier/
+  // documents 3, everything else 2. A query that forgets to project —
+  // reading all 16 lineitem columns for a 2-column aggregate — is a
+  // 100 TB defect (scan bytes scale with width) and fails here.
+  private val maxScanCols = Map(
+    "lineitem" -> 6, "events" -> 5).withDefaultValue(4)
+
+  test("every parquet scan in every query prunes to the columns it uses") {
+    val re = "FileScan parquet \\[([^\\]]*)\\][^\\n]*file:([^,\\]\\n]*)".r
+    val offenders = Seq.newBuilder[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      re.findAllMatchIn(plan).foreach { m =>
+        val width = m.group(1).split(",").length
+        val table = m.group(2).split("/").last.stripSuffix(".parquet")
+        if (width > maxScanCols(table))
+          offenders += s"$name scans $width columns of $table (cap ${maxScanCols(table)})"
+      }
+    }
+    assert(offenders.result().isEmpty,
+      s"unpruned scans:\n${offenders.result().mkString("\n")}")
+  }
 }
