@@ -19,91 +19,81 @@ object CelFunctions {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_json_collate" -> { (s, dir) =>
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"), json_collate(col("props"), "k").as("collated"))
-        .orderBy(col("event_id"))
     },
 
     "q21_json_with" -> { (s, dir) =>
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"),
           json_with(col("props"), lit("""{"seen":true}""")).as("merged"))
-        .orderBy(col("event_id"))
     },
 
     "q22_string_funcs" -> { (s, dir) =>
-      Tables(s, dir).documents
+      Tables(s, dir).documents.orderBy(col("doc_id"))
         .select(col("doc_id"),
           count_substr(col("text"), lit("scan")).as("n_scan"),
           index_str(col("text"), lit("join")).as("idx_join"),
           upper(substring(col("text"), 1, 10)).as("head_upper"),
           length(col("text")).cast("long").as("n_len"))
-        .orderBy(col("doc_id"))
     },
 
     "q23_time_format" -> { (s, dir) =>
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"),
           format_time(timestamp_micros(tsMicros), "RFC3339").as("rfc3339"))
-        .orderBy(col("event_id"))
     },
 
     "q24_time_roundtrip" -> { (s, dir) =>
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"),
           unix_timestamp(
             parse_time(format_time(timestamp_micros(tsMicros), "RFC3339"), "RFC3339"))
             .as("epoch_s"))
-        .orderBy(col("event_id"))
     },
 
     "q25_crypto_digest" -> { (s, dir) =>
-      Tables(s, dir).documents
+      Tables(s, dir).documents.orderBy(col("doc_id"))
         .select(col("doc_id"),
           hex_lower(md5_bytes(col("text").cast("binary"))).as("md5_hex"),
           hex_lower(sha256_bytes(col("text").cast("binary"))).as("sha256_hex"),
           base64_std(col("text").cast("binary")).as("b64"))
-        .orderBy(col("doc_id"))
     },
 
     "q26_regexp" -> { (s, dir) =>
       val re = RegexpRegistry(Map(
         "word"   -> "([a-z]+)",
         "hasdup" -> "(\\w+) \\1"))
-      Tables(s, dir).documents
+      Tables(s, dir).documents.orderBy(col("doc_id"))
         .select(col("doc_id"),
           regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
           re.re_match("word", col("text")).as("has_word"),
           regexp_replace(col("text"), "[aeiou]", "_").as("devoweled"))
-        .orderBy(col("doc_id"))
     },
 
     "q27_tokenize" -> { (s, dir) =>
-      Tables(s, dir).documents
+      Tables(s, dir).documents.orderBy(col("doc_id"))
         .select(col("doc_id"),
           size(fields_str(col("text"))).cast("long").as("n_tokens"),
           trim_space(col("text")).as("trimmed"))
-        .orderBy(col("doc_id"))
     },
 
     "q28_parse_url" -> { (s, dir) =>
       val url = concat(lit("https://example.com/"), col("source"),
         lit("?doc="), col("doc_id"))
-      Tables(s, dir).documents
+      Tables(s, dir).documents.orderBy(col("doc_id"))
         .select(col("doc_id"), graft.functions.parse_url(url).as("u"))
         .select(col("doc_id"), col("u.Scheme").as("scheme"), col("u.Host").as("host"),
           col("u.Path").as("path"), col("u.RawQuery").as("raw_query"))
-        .orderBy(col("doc_id"))
     },
 
     "q29_format_query" -> { (s, dir) =>
-      Tables(s, dir).documents
+      Tables(s, dir).documents.orderBy(col("doc_id"))
         .select(col("doc_id"),
           format_query(map_from_arrays(
             array(lit("src"), lit("id")),
             array(array(col("source")), array(col("doc_id").cast("string")))))
             .as("qs"))
-        .orderBy(col("doc_id"))
     },
 
     // --- collections ops over data-built JSON docs (q42-q51): each op's
@@ -113,129 +103,114 @@ object CelFunctions {
       val doc = concat(lit("{\"a\":"), col("user_id").cast("string"),
         lit(",\"b\":\""), col("event_type"), lit("\",\"c\":"),
         col("event_id").cast("string"), lit("}"))
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"), json_drop(doc, "b").as("dropped"))
-        .orderBy(col("event_id"))
     },
 
     "q43_json_drop_empty" -> { (s, dir) =>
       val doc = concat(lit("{\"a\":"), col("user_id").cast("string"),
         lit(",\"e\":[],\"m\":{},\"s\":\"\",\"l\":[\""), col("event_type"), lit("\"]}"))
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"), json_drop_empty(doc).as("pruned"))
-        .orderBy(col("event_id"))
     },
 
     "q44_json_flatten" -> { (s, dir) =>
       val doc = concat(lit("[["), col("event_id").cast("string"),
         lit("],["), col("user_id").cast("string"),
         lit(",\""), col("event_type"), lit("\"]]"))
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"), json_flatten_deep(doc).as("flat"))
-        .orderBy(col("event_id"))
     },
 
     "q45_json_zip" -> { (s, dir) =>
       val vals = concat(lit("["), col("user_id").cast("string"),
         lit(",\""), col("event_type"), lit("\","),
         col("event_id").cast("string"), lit("]"))
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"),
           json_zip(lit("""["u","t","e"]"""), vals).as("zipped"))
-        .orderBy(col("event_id"))
     },
 
     "q46_json_keys" -> { (s, dir) =>
       val doc = concat(lit("{\""), col("event_type"), lit("\":1,\"a\":"),
         col("user_id").cast("string"), lit("}"))
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"), json_keys(doc).as("ks"))
-        .orderBy(col("event_id"))
     },
 
     "q47_json_values" -> { (s, dir) =>
       val doc = concat(lit("{\"z\":"), col("event_id").cast("string"),
         lit(",\"m\":\""), col("event_type"), lit("\",\"a\":"),
         col("user_id").cast("string"), lit("}"))
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"), json_values(doc).as("vs"))
-        .orderBy(col("event_id"))
     },
 
     "q48_json_minmax" -> { (s, dir) =>
       val doc = concat(lit("["), col("event_id").cast("string"),
         lit(","), col("user_id").cast("string"), lit("]"))
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"), json_min(doc).as("mn"), json_max(doc).as("mx"))
-        .orderBy(col("event_id"))
     },
 
     "q49_json_with_update" -> { (s, dir) =>
       val src = concat(lit("{\"k\":0,\"u\":"), col("user_id").cast("string"), lit("}"))
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"), json_with_update(col("props"), src).as("updated"))
-        .orderBy(col("event_id"))
     },
 
     "q50_json_with_replace" -> { (s, dir) =>
       val src = concat(lit("{\"k\":"), col("event_id").cast("string"), lit(",\"x\":1}"))
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"), json_with_replace(col("props"), src).as("replaced"))
-        .orderBy(col("event_id"))
     },
 
     "q51_json_stream" -> { (s, dir) =>
       val stream = concat(col("props"), lit(" "),
         col("user_id").cast("string"), lit(" \""), col("event_type"), lit("\""))
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"), decode_json_stream(stream).as("decoded"))
-        .orderBy(col("event_id"))
     },
 
     // --- strings/crypto/time tiers without oracle rows until now ------
     "q52_substring_runes" -> { (s, dir) =>
-      Tables(s, dir).documents
+      Tables(s, dir).documents.orderBy(col("doc_id"))
         .select(col("doc_id"),
           substring_runes(col("text"), lit(0L), lit(12L)).as("head12"),
           substring_runes(col("text"), lit(3L), lit(9L)).as("mid"))
-        .orderBy(col("doc_id"))
     },
 
     "q53_trim_cutset" -> { (s, dir) =>
-      Tables(s, dir).documents
+      Tables(s, dir).documents.orderBy(col("doc_id"))
         .select(col("doc_id"),
           trim_cutset(col("text"), lit("aeiou kt")).as("both"),
           trim_left(col("text"), lit("aeiou kt")).as("left"),
           trim_right(col("text"), lit("aeiou kt")).as("right"),
           trim_prefix(col("text"), lit("key ")).as("unprefixed"))
-        .orderBy(col("doc_id"))
     },
 
     "q54_string_misc" -> { (s, dir) =>
-      Tables(s, dir).documents
+      Tables(s, dir).documents.orderBy(col("doc_id"))
         .select(col("doc_id"),
           equal_fold(col("lang"), lit("EN")).as("is_en_fold"),
           repeat_str(col("lang"), lit(3)).as("rep"),
           join_str(fields_str(col("text")), "|").as("joined"))
-        .orderBy(col("doc_id"))
     },
 
     "q55_base64_raw" -> { (s, dir) =>
-      Tables(s, dir).documents
+      Tables(s, dir).documents.orderBy(col("doc_id"))
         .select(col("doc_id"),
           base64_raw(col("text").cast("binary")).as("b64raw"),
           base64_decode(base64_std(col("text").cast("binary"))).cast("string")
             .as("roundtrip"))
-        .orderBy(col("doc_id"))
     },
 
     "q56_duration_go" -> { (s, dir) =>
       val mins = (col("user_id") % 50 + 1)
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"),
           duration_go(concat(mins.cast("string"), lit("m"))).as("micros"),
           format_duration_go((mins * 60000000L).cast("long")).as("rendered"))
-        .orderBy(col("event_id"))
     },
 
     // parse_query: multi-valued keys, percent-decoding, key count
@@ -244,14 +219,13 @@ object CelFunctions {
       val q = concat(lit("user="), col("user_id").cast("string"),
         lit("&type="), col("event_type"), lit("&tag=a&tag=b&enc=a%20b"))
       val m = graft.functions.parse_query(q)
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"),
           element_at(element_at(m, "user"), 1).as("user_v"),
           element_at(element_at(m, "type"), 1).as("type_v"),
           array_join(element_at(m, "tag"), ",").as("tags"),
           element_at(element_at(m, "enc"), 1).as("enc_v"),
           size(m).cast("long").as("n_keys"))
-        .orderBy(col("event_id"))
     },
 
     // to_valid_utf8: a run of invalid bytes (0xFF 0xFE) becomes ONE
@@ -259,12 +233,11 @@ object CelFunctions {
     // the same bytes (strings.go utf8.Valid)
     "q74_valid_utf8" -> { (s, dir) =>
       val bad = concat(unhex(lit("FFFE")), col("event_type").cast("binary"))
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"),
           to_valid_utf8(bad, lit("?")).as("repaired"),
           valid_utf8(bad).as("bad_is_valid"),
           valid_utf8(col("event_type").cast("binary")).as("ascii_is_valid"))
-        .orderBy(col("event_id"))
     },
 
     // byte-order compare, char-class scan ops, Unicode title mapping
@@ -274,7 +247,7 @@ object CelFunctions {
     "q73_string_scan" -> { (s, dir) =>
       val et = col("event_type")
       val base = concat(et, lit("."), et)
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"),
           compare_str(et, lit("m")).as("cmp_m"),
           contains_any(et, lit("ckz")).as("has_ckz"),
@@ -282,7 +255,6 @@ object CelFunctions {
           index_str(base, lit(".")).as("dot_at"),
           last_index(base, et).as("last_at"),
           to_title(et).as("title"))
-        .orderBy(col("event_id"))
     },
 
     // split_after family + replace_n's count limit (strings.go
@@ -290,26 +262,24 @@ object CelFunctions {
     "q72_split_replace" -> { (s, dir) =>
       val base = concat(col("event_type"), lit("."), col("event_type"),
         lit("."), col("event_type"))
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"),
           array_join(split_after(concat(col("event_type"), lit(","),
             col("user_id").cast("string")), lit(",")), "|").as("after"),
           array_join(split_after_n(base, lit("."), lit(2L)), "|").as("after_n"),
           replace_n(base, col("event_type"), lit("Z"), lit(2L)).as("rep2"))
-        .orderBy(col("event_id"))
     },
 
     // string predicates + plain split (strings.go HasPrefix/HasSuffix/
     // Contains/Split) — the remaining oracle-able string family
     "q75_string_predicates" -> { (s, dir) =>
       val et = col("event_type")
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"),
           has_prefix(et, lit("c")).as("pre_c"),
           has_suffix(et, lit("k")).as("suf_k"),
           contains_substr(et, lit("ic")).as("has_ic"),
           array_join(split_str(concat(et, lit("."), et), "."), "|").as("parts"))
-        .orderBy(col("event_id"))
     },
 
     // the six previously golden-only string ops under the oracle gate
@@ -318,7 +288,7 @@ object CelFunctions {
     "q78_string_residue" -> { (s, dir) =>
       val et = col("event_type")
       val base = concat(et, lit("."), et, lit("."), et)
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"),
           last_index_any(et, lit("ck")).as("lia"),
           array_join(split_n(base, lit("."), lit(2L)), "|").as("sp2"),
@@ -326,7 +296,6 @@ object CelFunctions {
           to_lower(to_upper(et)).as("lo"),
           to_upper(et).as("up"),
           trim_suffix(et, lit("k")).as("ts"))
-        .orderBy(col("event_id"))
     },
 
     // CEL core accessors under the oracle gate: has(), membership `in`
@@ -340,9 +309,8 @@ object CelFunctions {
            "i": [10, 20, 30][state.k % 3]}"""
       val c = graft.cel.Cel.lower(program, col("props"))
         .getOrElse(sys.error("q76 program must lower"))
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"), c.as("doc"))
-        .orderBy(col("event_id"))
     },
 
     // CEL comprehension macros under the oracle gate (map with and
@@ -358,9 +326,8 @@ object CelFunctions {
            "one": [10, 60, 90].exists_one(i, i > state.k)}"""
       val c = graft.cel.Cel.lower(program, col("props"))
         .getOrElse(sys.error("q77 program must lower"))
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"), c.as("doc"))
-        .orderBy(col("event_id"))
     },
 
     // --- the CEL text front-end itself under the oracle gate: the SAME
@@ -368,16 +335,14 @@ object CelFunctions {
     "q58_cel_lowered" -> { (s, dir) =>
       val c = graft.cel.Cel.lower(celGateProgram, col("props"))
         .getOrElse(sys.error("q58 program must lower"))
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"), c.as("doc"))
-        .orderBy(col("event_id"))
     },
 
     "q59_cel_interpreted" -> { (s, dir) =>
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"),
           graft.cel.Cel(celGateProgram, col("props"), nowMicros = 0L).as("doc"))
-        .orderBy(col("event_id"))
     })
 
   /** One program, three executors: Lowering (q58), the interpreter

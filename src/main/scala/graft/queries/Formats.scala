@@ -27,13 +27,12 @@ object Formats {
         lit("\","), col("user_id").cast("string"), lit("\n0,plain,1"))
         .cast("binary")
       val rows = csv_header(b)
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"),
           size(rows).cast("long").as("n_rows"),
           element_at(element_at(rows, 1), "name").as("name1"),
           element_at(element_at(rows, 1), "qty").as("qty1"),
           element_at(element_at(rows, 2), "id").as("id2"))
-        .orderBy(col("event_id"))
     },
 
     // csv without header: RFC-4180 escaped quote inside a quoted field
@@ -41,13 +40,12 @@ object Formats {
       val b = concat(col("event_id").cast("string"), lit(",\"say \"\"hi\"\"\"\n"),
         col("user_id").cast("string"), lit(",end")).cast("binary")
       val rows = csv_no_header(b)
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"),
           size(rows).cast("long").as("n_rows"),
           element_at(element_at(rows, 1), 2).as("c12"),
           element_at(element_at(rows, 2), 1).as("c21"),
           element_at(element_at(rows, 2), 2).as("c22"))
-        .orderBy(col("event_id"))
     },
 
     // ndjson: canonical re-render of each line, blank lines skipped
@@ -55,21 +53,19 @@ object Formats {
       val b = concat(col("props"), lit("\n{\"u\": "),
         col("user_id").cast("string"), lit("}\n   \n")).cast("binary")
       val docs = ndjson_docs(b)
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"),
           size(docs).cast("long").as("n_docs"),
           element_at(docs, 1).as("d1"),
           element_at(docs, 2).as("d2"))
-        .orderBy(col("event_id"))
     },
 
     // rot13 content transform (reference mito.go test transform)
     "q63_mime_rot13" -> { (s, dir) =>
-      Tables(s, dir).documents
+      Tables(s, dir).documents.orderBy(col("doc_id"))
         .select(col("doc_id"),
           rot13(col("text").cast("binary")).cast("string").as("rotated"),
           rot13(rot13(col("text").cast("binary"))).cast("string").as("roundtrip"))
-        .orderBy(col("doc_id"))
     },
 
     // schemaless XML: attributes join child elems, repeats auto-promote
@@ -77,9 +73,8 @@ object Formats {
       val xml = concat(lit("<order priority=\"high\"><id>"),
         col("event_id").cast("string"), lit("</id><item>"),
         col("event_type"), lit("</item><item>x</item></order>"))
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"), decode_xml(xml).as("decoded"))
-        .orderBy(col("event_id"))
     },
 
     // rate-limit okta policy: pure header interpretation, explicit now
@@ -92,14 +87,13 @@ object Formats {
           lit("X-Rate-Limit-Reset")),
         array(array(lim), array(rem), array(rst)))
       val r = rate_limit(headers, "okta", lit(60), timestamp_micros(lit(0L)))
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"),
           round(r.getField("rate"), 6).as("rate"),
           round(r.getField("next"), 6).as("next_rate"),
           r.getField("burst").as("burst"),
           unix_micros(r.getField("reset")).as("reset_micros"),
           r.getField("headers").as("hdr"))
-        .orderBy(col("event_id"))
     },
 
     // rate-limit draft policy: quota-policy list drives window + burst,
@@ -117,13 +111,12 @@ object Formats {
           lit("Rate-Limit-Reset")),
         array(array(lim), array(rem), array(rst)))
       val r = rate_limit(headers, "draft", lit(60), timestamp_micros(lit(0L)))
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"),
           round(r.getField("rate"), 6).as("rate"),
           round(r.getField("next"), 6).as("next_rate"),
           r.getField("burst").as("burst"),
           unix_micros(r.getField("reset")).as("reset_micros"))
-        .orderBy(col("event_id"))
     },
 
     // generalized 6-arg rate limit: custom prefix, absolute reset,
@@ -137,13 +130,12 @@ object Formats {
         array(array(lim), array(rem), array(rst)))
       val r = rate_limit_general(headers, "X-RL", delta = false,
         lit(60), col("user_id") % 3, timestamp_micros(lit(0L)))
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"),
           round(r.getField("rate"), 6).as("rate"),
           round(r.getField("next"), 6).as("next_rate"),
           r.getField("burst").as("burst"),
           unix_micros(r.getField("reset")).as("reset_micros"))
-        .orderBy(col("event_id"))
     },
 
     // XSD-compiled hints: int/bool entype + maxOccurs plurality
@@ -159,9 +151,8 @@ object Formats {
       </xs:schema>"""
       val xml = concat(lit("<rec><qty>"), col("user_id").cast("string"),
         lit("</qty><ok>TRUE</ok><tag>"), col("event_type"), lit("</tag></rec>"))
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"), decode_xml_xsd(xml, xsd).as("decoded"))
-        .orderBy(col("event_id"))
     },
 
     // variant-native dynamic tier under the gate: parse once, chain ops
@@ -169,14 +160,13 @@ object Formats {
     // tier's q20/q21/q46 shapes)
     "q68_variant_tier" -> { (s, dir) =>
       val v = v_parse(col("props"))
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"),
           v_render(v_with(v, v_parse(lit("{\"seen\": true}")))).as("merged"),
           v_collate(v, lit("k")).as("collated"),
           v_keys(v).as("ks"),
           v_size(v).as("n"),
           v_render(v_get(v, lit("k"))).as("kval"))
-        .orderBy(col("event_id"))
     },
 
     // format_url: parse -> rebuild roundtrip plus query-string normalize
@@ -184,10 +174,9 @@ object Formats {
       val url = concat(lit("https://api.example.test/v1/items/"),
         col("event_id").cast("string"), lit("?user="),
         col("user_id").cast("string"), lit("&type="), col("event_type"))
-      Tables(s, dir).events
+      Tables(s, dir).events.orderBy(col("event_id"))
         .select(col("event_id"),
           format_url(graft.functions.parse_url(url)).as("rebuilt"))
-        .orderBy(col("event_id"))
     })
 
   def oracle: Map[String, String] = Map(

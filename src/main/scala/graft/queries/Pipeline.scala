@@ -94,11 +94,10 @@ object Pipeline {
     },
 
     "q32_canonical_fingerprint" -> { (s, dir) =>
-      Tables(s, dir).documents
+      Tables(s, dir).documents.orderBy(col("doc_id"))
         .select(col("doc_id"),
           md5(array_join(array_sort(array_distinct(toks(col("text")))), " ")
             .cast("binary")).as("fingerprint"))
-        .orderBy(col("doc_id"))
     },
 
     // --- text analysis -------------------------------------------------
@@ -106,29 +105,26 @@ object Pipeline {
       val t = toks(col("text"))
       val nTok = size(t).cast("long")
       val stopHits = stopword_hits(t, "en")
-      Tables(s, dir).documents
+      Tables(s, dir).documents.orderBy(col("doc_id"))
         .select(col("doc_id"),
           nTok.as("n_tokens"),
           size(regexp_extract_all(col("text"), lit("[,.!?;:]"), lit(0))).cast("long").as("n_punct"),
           stopHits.as("stop_hits"),
           (stopHits.cast("double") / nTok * 0.5 +
             least(nTok.cast("double") / 100.0, lit(1.0)) * 0.5).as("quality"))
-        .orderBy(col("doc_id"))
     },
 
     "q34_lang_id" -> { (s, dir) =>
-      Tables(s, dir).documents
+      Tables(s, dir).documents.orderBy(col("doc_id"))
         .select(col("doc_id"), lang_id(toks(col("text"))).as("lang_guess"))
-        .orderBy(col("doc_id"))
     },
 
     "q35_token_count" -> { (s, dir) =>
-      Tables(s, dir).documents
+      Tables(s, dir).documents.orderBy(col("doc_id"))
         .select(col("doc_id"),
           size(toks(col("text"))).cast("long").as("n_ws_tokens"),
           size(regexp_extract_all(col("text"),
             lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("n_bpe_tokens"))
-        .orderBy(col("doc_id"))
     },
 
     // --- similarity search --------------------------------------------
