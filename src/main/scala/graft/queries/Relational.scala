@@ -51,13 +51,21 @@ object Relational {
 
     "q02_join_topk" -> { (s, dir) =>
       val t = Tables(s, dir)
+      // Aggregate below the join: grouping is on the join key and
+      // o_orderkey is unique in orders, so join-then-group and
+      // group-then-join are equivalent — but the join input shrinks
+      // from one row per lineitem to one row per order, and at real
+      // scale (orders too big to broadcast) both sides arrive
+      // hash-partitioned on the same key.
       t.lineitem
-        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
         .agg(
           sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
             .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
+        .join(t.orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("revenue"), col("n_items"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(20)
     },
