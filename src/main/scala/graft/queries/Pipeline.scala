@@ -202,9 +202,8 @@ object Pipeline {
     },
 
     "q39_rolling_fingerprint" -> { (s, dir) =>
-      Tables(s, dir).documents
+      Tables(s, dir).documents.orderBy(col("doc_id"))
         .select(col("doc_id"), rolling_fingerprint(toks(col("text"))).as("fp"))
-        .orderBy(col("doc_id"))
     },
 
     "q41_ann_lsh" -> { (s, dir) =>
@@ -281,7 +280,7 @@ object Pipeline {
       // 16-bin byte histogram (SketchKernel.byteHistogramCounts). The
       // feature vector is emitted as a comma-joined string of exact
       // integer counts so the oracle compare is hashable and float-free.
-      Tables(s, dir).documents
+      Tables(s, dir).documents.orderBy(col("doc_id"))
         .select(col("doc_id"),
           col("text").cast("binary").as("payload"),
           struct(octet_length(col("text")).cast("long").as("n_bytes"),
@@ -289,7 +288,6 @@ object Pipeline {
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
           array_join(transform(byte_histogram_counts(col("payload")),
             _.cast("string")), ",").as("features"))
-        .orderBy(col("doc_id"))
     })
 
   private val tokSql = """string_split_regex(trim(text), '\s+')"""

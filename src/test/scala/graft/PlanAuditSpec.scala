@@ -73,4 +73,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.result().isEmpty,
       s"unpruned scans:\n${offenders.result().mkString("\n")}")
   }
+
+  test("per-row kernels evaluate above the range sort, not below it") {
+    // A per-row query shaped select(id, expensive).orderBy(id) plans
+    // the expensive projection BELOW the range exchange: the range
+    // partitioner's sampling job then evaluates every kernel just to
+    // sample the sort key, and the shuffle carries rendered output
+    // instead of raw inputs (measured 2x on q77 at sf0.1). The
+    // orderBy-first shape keeps kernels above the Sort. This audit
+    // pins that for every single-exchange query that range-sorts raw
+    // source columns: no static_invoke kernel may appear below the
+    // rangepartitioning exchange. Queries sorting computed values
+    // (aggregates, join outputs, window ranks) have >1 exchange or no
+    // kernels and fall outside the rule by construction.
+    val offenders = Seq.newBuilder[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val lines = fn(spark, sf).queryExecution.executedPlan.toString.linesIterator.toVector
+      val exchanges = lines.zipWithIndex.filter(_._1.contains("Exchange "))
+      exchanges match {
+        case Vector((line, idx)) if line.contains("rangepartitioning") =>
+          val below = lines.drop(idx + 1).filter(_.contains("static_invoke"))
+          if (below.nonEmpty)
+            offenders += s"$name: ${below.size} kernel line(s) below the range exchange"
+        case _ => // multi-exchange / hash-partitioned / kernel-free: out of scope
+      }
+    }
+    assert(offenders.result().isEmpty,
+      s"kernels evaluated below the range sort in:\n${offenders.result().mkString("\n")}")
+  }
 }
