@@ -32,6 +32,8 @@ object Ast {
     * mito.go:83; exercised by testdata/optional_types.txt) */
   final case class SelectOpt(target: Ast, field: String) extends Ast
   final case class Index(target: Ast, index: Ast) extends Ast
+  /** optional-typed index `e[?k]` (cel-go OptionalTypes `_[?_]`) */
+  final case class IndexOpt(target: Ast, index: Ast) extends Ast
 
   /** global call f(args) */
   final case class Call(fn: String, args: Vector[Ast]) extends Ast

@@ -89,6 +89,9 @@ private[cel] object Compile {
     case Ast.Index(t, i) =>
       for (tc <- compile(t, slots); ic <- compile(i, slots))
         yield (f => VOps.index(tc(f), ic(f)).asInstanceOf[V]): CV
+    case Ast.IndexOpt(t, i) =>
+      for (tc <- compile(t, slots); ic <- compile(i, slots))
+        yield (f => Eval.indexOptV(tc(f), ic(f))): CV
 
     case Ast.ListLit(elems) =>
       compileAll(elems, slots).map(listClosure)
@@ -420,9 +423,17 @@ private[cel] object Compile {
         })
       case ("none", Vector()) if t == Ast.Ident("optional") =>
         const(VOpt(None))
+      case ("ofNonZeroValue", Vector(x)) if t == Ast.Ident("optional") =>
+        compile(x, slots).map(xc => f => xc(f) match {
+          case e: VErr => e
+          case ok => VOpt(if (Eval.isZeroV(ok)) None else Some(ok))
+        })
       case ("orValue", Vector(d)) =>
         for (tc <- target; dc <- compile(d, slots))
           yield (f => VOps.orValue(tc(f), dc(f)).asInstanceOf[V]): CV
+      case ("or", Vector(d)) =>
+        for (tc <- target; dc <- compile(d, slots))
+          yield (f => Eval.orOptV(tc(f), dc(f))): CV
       case ("value", Vector()) =>
         target.map(tc => f => VOps.optValue(tc(f)).asInstanceOf[V])
       case ("hasValue", Vector()) =>

@@ -301,6 +301,49 @@ object Eval {
       baseEnv(nowMicros, regexps, globalsJson, baseDir, xsds, httpAuth)
         .copy(liveNowAnchor = if (liveNow) Some(System.nanoTime()) else None))
 
+  /** Optional index `c[?k]` (cel-go OptionalTypes `_[?_]`): a present
+    * list index / map key wraps in optional.of, an absent one is
+    * optional.none; the target may itself be optional (chaining).
+    * Container/key type mismatches stay hard errors, mirroring
+    * [[VOps.index]]'s overloads. Shared by all three tiers. */
+  private[cel] def indexOptV(tv: V, iv: V): V = (tv, iv) match {
+    case (err: VErr, _) => err
+    case (_, err: VErr) => err
+    case (VOpt(None), _) => VOpt(None)
+    case (VOpt(Some(inner)), idx) => indexOptV(inner, idx)
+    case (VList(xs), VInt(idx)) =>
+      if (idx >= 0 && idx < xs.length) VOpt(Some(xs(idx.toInt))) else VOpt(None)
+    case (VMap(m), VString(k)) => VOpt(m.get(k))
+    case (VMap(m), VInt(k)) => VOpt(m.get(k.toString))
+    case (a, b) => VErr(s"no such overload: ($a)[?$b]")
+  }
+
+  /** cel-go types' IsZeroValue, the `optional.ofNonZeroValue` predicate:
+    * numeric 0, false, "", b"", [], {}, null, 0-duration and the Go
+    * zero time (time.Time{}, epoch -62135596800 s). */
+  private[cel] def isZeroV(x: V): Boolean = x match {
+    case VInt(0L) | VUint(0L) | VBool(false) | VNull | VDuration(0L) => true
+    case VDouble(d) => d == 0.0
+    case VString(s) => s.isEmpty
+    case VBytes(b) => b.isEmpty
+    case VList(xs) => xs.isEmpty
+    case VMap(m) => m.isEmpty
+    case VTimestamp(us) => us == -62135596800000000L
+    case _ => false
+  }
+
+  /** `opt.or(other)`: first present optional wins. Defined only on
+    * optionals (cel-go optional_or_optional). Eager in the
+    * alternative, consistent with this engine's orValue. */
+  private[cel] def orOptV(t: V, d: V): V = (t, d) match {
+    case (e: VErr, _) => e
+    case (_, e: VErr) => e
+    case (o @ VOpt(Some(_)), _) => o
+    case (VOpt(None), o: VOpt) => o
+    case (VOpt(None), other) => VErr(s"no such overload: optional.none().or($other)")
+    case (other, _) => VErr(s"no such overload: ($other).or(...)")
+  }
+
   /** cel-go's runtime type of a value (the `type()` overload). */
   private[cel] def typeOf(v: V): V = v match {
     case e: VErr => e
@@ -456,6 +499,13 @@ object Eval {
         case (VMap(m), VString(k)) => m.getOrElse(k, VErr(s"no such key: $k"))
         case (VMap(m), VInt(k)) => m.getOrElse(k.toString, VErr(s"no such key: $k"))
         case (a, b) => VErr(s"no such overload: ($a)[$b]")
+      }
+
+    case Ast.IndexOpt(t, i) =>
+      (eval(t, env), eval(i, env)) match {
+        case (err: VErr, _) => if (e.pos >= 0) new VErr(err.msg, e.pos) else err
+        case (_, err: VErr) => err
+        case (tv, iv) => indexOptV(tv, iv)
       }
 
     case Ast.Unary("!", x) =>

@@ -100,11 +100,17 @@ private[cel] object Functions {
     case "of" if target == Ast.Ident("optional") =>
       strict(args, env)(vs => VOpt(Some(vs.head)))
     case "none" if target == Ast.Ident("optional") => VOpt(None)
+    case "ofNonZeroValue" if target == Ast.Ident("optional") =>
+      strict(args, env)(vs =>
+        VOpt(if (Eval.isZeroV(vs.head)) None else Some(vs.head)))
     // optional-value accessors
     case "orValue" => strictWithTarget(target, args, env) {
       case (VOpt(Some(v)), _) => v
       case (VOpt(None), vs) => vs.head
       case (v, _) => v // CEL: orValue on a non-optional passes through
+    }
+    case "or" => strictWithTarget(target, args, env) { (t, vs) =>
+      Eval.orOptV(t, vs.head)
     }
     case "hasValue" => strictWithTarget(target, args, env) {
       case (VOpt(o), _) => VBool(o.isDefined)

@@ -86,6 +86,7 @@ object Lowering {
     case Ast.SelectOpt(t, _) => freeVars(t, bound)
     case Ast.Has(t, _) => freeVars(t, bound)
     case Ast.Index(t, i) => freeVars(t, bound) ++ freeVars(i, bound)
+    case Ast.IndexOpt(t, i) => freeVars(t, bound) ++ freeVars(i, bound)
     case Ast.Call(_, as) => as.iterator.flatMap(freeVars(_, bound)).toSet
     case Ast.Method(t, _, as) =>
       freeVars(t, bound) ++ as.iterator.flatMap(freeVars(_, bound))
@@ -176,6 +177,9 @@ object Lowering {
     case Ast.Index(t, i) =>
       for (tc <- lower(t, env); ic <- lower(i, env))
         yield op("index", Seq(OT, OT), tc, ic)
+    case Ast.IndexOpt(t, i) =>
+      for (tc <- lower(t, env); ic <- lower(i, env))
+        yield op("indexOpt", Seq(OT, OT), tc, ic)
 
     case Ast.MapLit(entries) =>
       val keys = entries.map { case (k, _) => lower(k, env).getOrElse(return None) }
@@ -270,10 +274,15 @@ object Lowering {
         lower(x, env).map(c => op("optOf", Seq(OT), c))
       case ("none", Vector()) if t == Ast.Ident("optional") =>
         Some(op("optNone", Seq()))
+      case ("ofNonZeroValue", Vector(x)) if t == Ast.Ident("optional") =>
+        lower(x, env).map(c => op("optOfNonZero", Seq(OT), c))
       // optional-value accessors (VOpt flows as a plain V object)
       case ("orValue", Vector(d)) =>
         for (c <- target; dc <- lower(d, env))
           yield op("orValue", Seq(OT, OT), c, dc)
+      case ("or", Vector(d)) =>
+        for (c <- target; dc <- lower(d, env))
+          yield op("orOpt", Seq(OT, OT), c, dc)
       case ("value", Vector()) => target.map(c => op("optValue", Seq(OT), c))
       case ("hasValue", Vector()) => target.map(c => op("hasValue", Seq(OT), c))
 

@@ -147,9 +147,12 @@ private final class Parser(src: String) {
         } else e = st(p, Select(e, name))
       } else if (!eof && src.charAt(pos) == '[') {
         pos += 1
+        skipWs()
+        val opt = !eof && src.charAt(pos) == '?'
+        if (opt) pos += 1
         val idx = parseTernary()
         expect("]")
-        e = st(p, Index(e, idx))
+        e = st(p, if (opt) IndexOpt(e, idx) else Index(e, idx))
       } else done = true
     }
     e

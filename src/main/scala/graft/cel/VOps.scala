@@ -157,6 +157,9 @@ object VOps {
     case (a, b) => VErr(s"no such overload: ($a)[$b]")
   }
 
+  /** Optional index `c[?k]` — core shared with Eval/Compile. */
+  def indexOpt(t: Object, i: Object): Object = Eval.indexOptV(v(t), v(i))
+
   // ---------------- constructors ----------------
   def listOf(vals: ArrayData): Object = {
     val n = vals.numElements()
@@ -223,6 +226,13 @@ object VOps {
   }
 
   def optNone(): Object = VOpt(None)
+
+  def optOfNonZero(x: Object): Object = v(x) match {
+    case e: VErr => e
+    case ok => VOpt(if (Eval.isZeroV(ok)) None else Some(ok))
+  }
+
+  def orOpt(t: Object, d: Object): Object = Eval.orOptV(v(t), v(d))
 
   def orValue(t: Object, d: Object): Object = (v(t), v(d)) match {
     case (e: VErr, _) => e

@@ -330,6 +330,47 @@ object CelFunctions {
         .select(col("event_id"), c.as("doc"))
     },
 
+    // the cel-go OptionalTypes surface under the oracle gate: .?f,
+    // optional.of/none/ofNonZeroValue, or/orValue/hasValue, the
+    // optMap macro and optional index `[?k]` — lowered path,
+    // value-dependent through state.k
+    "q79_cel_optionals" -> { (s, dir) =>
+      val program =
+        """{"a": state.?k.orValue(-1),
+           "b": state.?nope.orValue(-1),
+           "c": state.?nope.hasValue(),
+           "d": optional.of(state.k).optMap(v, v * 2).orValue(0),
+           "e": [10, 20, 30][?(state.k % 4)].orValue(-1),
+           "f": state.?nope.or(state.?k).orValue(-1),
+           "g": optional.ofNonZeroValue(state.k % 3).hasValue(),
+           "h": state[?"k"].orValue(-1)}"""
+      val c = graft.cel.Cel.lower(program, col("props"))
+        .getOrElse(sys.error("q79 program must lower"))
+      Tables(s, dir).events.orderBy(col("event_id"))
+        .select(col("event_id"), c.as("doc"))
+    },
+
+    // the CEL cast family under the oracle gate (previously golden-only):
+    // int/uint/double/string/bytes/bool/timestamp/duration/dyn, with the
+    // Go render conventions (whole-double collapse, RFC3339 timestamps,
+    // Go duration strings) — lowered path, value-dependent through state.k
+    "q80_cel_casts" -> { (s, dir) =>
+      val program =
+        """{"i": int("42") + state.k,
+           "u": uint(state.k),
+           "d": double(state.k) / 2.0,
+           "s": string(state.k),
+           "b": string(bytes("hi")),
+           "bl": bool("true"),
+           "ts": string(timestamp(1500000000 + state.k)),
+           "dur": string(duration(string(state.k % 50) + "s")),
+           "dy": dyn(state.k)}"""
+      val c = graft.cel.Cel.lower(program, col("props"))
+        .getOrElse(sys.error("q80 program must lower"))
+      Tables(s, dir).events.orderBy(col("event_id"))
+        .select(col("event_id"), c.as("doc"))
+    },
+
     // --- the CEL text front-end itself under the oracle gate: the SAME
     // --- program through the lowered (q58) and interpreted (q59) paths.
     "q58_cel_lowered" -> { (s, dir) =>
@@ -533,6 +574,31 @@ object CelFunctions {
          ',"ev":[2,4],"odd":[10,30]' ||
          ',"one":' || CAST(k >= 60 AND k < 90 AS VARCHAR) ||
          ',"sq":[' || k || ',' || 2*k || ',' || 3*k || ']}' AS doc
+         FROM (SELECT event_id,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events) ORDER BY event_id""",
+    "q79_cel_optionals" ->
+      """SELECT event_id,
+         '{"a":' || k || ',"b":-1,"c":false,"d":' || 2 * k ||
+         ',"e":' || CASE k % 4 WHEN 0 THEN '10' WHEN 1 THEN '20'
+                               WHEN 2 THEN '30' ELSE '-1' END ||
+         ',"f":' || k ||
+         ',"g":' || CAST(k % 3 <> 0 AS VARCHAR) ||
+         ',"h":' || k || '}' AS doc
+         FROM (SELECT event_id,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events) ORDER BY event_id""",
+    "q80_cel_casts" ->
+      """SELECT event_id,
+         '{"b":"hi","bl":true,"d":' ||
+           CASE WHEN k % 2 = 0 THEN CAST(k // 2 AS VARCHAR)
+                ELSE CAST(k // 2 AS VARCHAR) || '.5' END ||
+         ',"dur":"' || (k % 50) || 's"' ||
+         ',"dy":' || k ||
+         ',"i":' || (42 + k) ||
+         ',"s":"' || k || '"' ||
+         ',"ts":"' || strftime(to_timestamp(1500000000 + k), '%Y-%m-%dT%H:%M:%SZ') || '"' ||
+         ',"u":' || k || '}' AS doc
          FROM (SELECT event_id,
                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                FROM events) ORDER BY event_id""",

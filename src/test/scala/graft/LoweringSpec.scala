@@ -181,6 +181,33 @@ class LoweringSpec extends SparkSpec {
     "state.?missing.optFlatMap(x, optional.of(x)).hasValue()",
     "optional.of(1).optFlatMap(x, optional.none()).orValue('d')",
     "state.nope.optMap(x, x)",         // strict target error propagates
+    // optional index `[?k]`, or(), ofNonZeroValue (cel-go OptionalTypes)
+    "[1, 2, 3][?1].orValue(0)",
+    "[1, 2, 3][?9].orValue(-1)",
+    "[1, 2, 3][?(0 - 1)].hasValue()",
+    """{"a": 1}[?"a"].orValue(0)""",
+    """{"a": 1}[?"z"].hasValue()""",
+    "state[?'k'].orValue(-1)",
+    "state[?'nope'].orValue(-1)",
+    "[[1, 2]][?0][?1].orValue(-1)",    // chaining through an optional target
+    "state.?k[?0].orValue(-1)",        // error: optional-index into an int
+    "state.?k.or(optional.of(5)).orValue(-1)",
+    "state.?nope.or(optional.of(5)).orValue(-1)",
+    "state.?nope.or(state.?k).orValue(-1)",
+    "optional.none().or(optional.none()).hasValue()",
+    "state.k.or(optional.of(1))",      // error: or on a non-optional
+    "optional.ofNonZeroValue(0).hasValue()",
+    "optional.ofNonZeroValue(0u).hasValue()",
+    "optional.ofNonZeroValue(0.0).hasValue()",
+    "optional.ofNonZeroValue('').hasValue()",
+    "optional.ofNonZeroValue(b'').hasValue()",
+    "optional.ofNonZeroValue(false).hasValue()",
+    "optional.ofNonZeroValue([]).hasValue()",
+    "optional.ofNonZeroValue({}).hasValue()",
+    "optional.ofNonZeroValue(null).hasValue()",
+    "optional.ofNonZeroValue(duration('0s')).hasValue()",
+    "optional.ofNonZeroValue(state.k).orValue(-1)",
+    "optional.ofNonZeroValue('x').value()",
     // type() and the type-identifier bindings flow through both tiers
     "type(state.k) == int",
     "type(state) == map ? 'doc' : 'other'",
