@@ -114,6 +114,15 @@ object Lowering {
       "state" -> op("fromJsonText", Seq(Str), state),
       "time_layout" -> litV(Eval.timeLayoutV)) ++ // the interpreter's own constant
       nowMicros.map(us => "now" -> litV(VTimestamp(us)))
+    // Deliberately an op-tree of StaticInvokes, NOT one whole-program
+    // compiled closure: routing the entire program through
+    // Compile-style wired closures was measured SLOWER (bench.sh
+    // median-of-5 at sf0.1: q58 0.65 -> 0.72 s, the 20+-op wide-chain
+    // shape 2.41 -> 2.85 s) — whole-stage codegen emits direct static
+    // calls per op that JIT inlines, while a closure graph is
+    // megamorphic CV.apply dispatch. Closures win only where the
+    // alternative is per-element AST dispatch (comprehension bodies —
+    // the Compile fold path).
     lower(ast, env0)(regexps, nowMicros)
       .map(c => opTyped(Str, "render", Seq(OT), c))
   }
