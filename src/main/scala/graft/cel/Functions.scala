@@ -171,7 +171,7 @@ private[cel] object Functions {
   private[cel] val pureGlobals: Set[String] = Set(
     "size", "int", "uint", "double", "string", "bytes", "bool", "timestamp",
     "duration", "dyn", "type", "max", "min", "zip", "keys", "values",
-    "encode_json", "decode_json", "hmac")
+    "encode_json", "decode_json", "hmac", "matches")
 
   private[cel] def call2(fn: String, vs: Vector[V]): V = fn match {
     case "type" => vs match {
@@ -242,6 +242,10 @@ private[cel] object Functions {
       case v => VErr(s"no such overload: duration(${v.head})")
     }
     case "dyn" => vs.head
+    case "matches" => vs match { // cel-go standard global form
+      case Vector(VString(s), VString(re)) => matchesRe(s, re)
+      case _ => VErr("no such overload: matches")
+    }
     case "max" => extremum(vs.head, 1)
     case "min" => extremum(vs.head, -1)
     case "zip" => method2("zip", vs(0), Vector(vs(1)))
@@ -259,6 +263,64 @@ private[cel] object Functions {
       case _ => VErr("no such overload: hmac")
     }
     case other => VErr(s"unknown function: $other")
+  }
+
+  /** `s.matches(re)` — unanchored partial match, the semantics of Go's
+    * regexp.MatchString in cel-go's standard env. Patterns compile via
+    * java.util.regex (documented divergence from RE2: no linear-time
+    * guarantee, named groups are `(?<n>)` not `(?P<n>)`), cached
+    * process-wide since the pattern is almost always a plan constant.
+    * The cache is capped so adversarial dynamic patterns cannot grow it
+    * without bound (past the cap: compile per call, still correct). */
+  private val matchesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  private def matchesRe(s: String, re: String): V = {
+    val p =
+      if (matchesCache.size > 1024) java.util.regex.Pattern.compile(re)
+      else matchesCache.computeIfAbsent(re, java.util.regex.Pattern.compile(_))
+    VBool(p.matcher(s).find())
+  }
+
+  /** cel-go standard timestamp/duration accessors. Timestamp fields are
+    * in UTC or an explicit IANA / fixed-offset zone argument; month,
+    * day-of-year and dayOfMonth are 0-based, getDate is 1-based and
+    * getDayOfWeek counts Sunday = 0 (the CEL spec's JS-style calendar).
+    * Duration accessors are TOTALS truncated toward zero (Go
+    * d.Hours()/d.Minutes()/... conversions), not components. */
+  private def timeAccessor(fn: String, t: V, args: Vector[V]): V = t match {
+    case VDuration(us) => (fn, args) match {
+      case ("getHours", Vector()) => VInt(us / 3600000000L)
+      case ("getMinutes", Vector()) => VInt(us / 60000000L)
+      case ("getSeconds", Vector()) => VInt(us / 1000000L)
+      case ("getMilliseconds", Vector()) => VInt(us / 1000L)
+      case _ => VErr(s"no such overload: duration.$fn")
+    }
+    case VTimestamp(us) =>
+      val zone: Either[VErr, java.time.ZoneId] = args match {
+        case Vector() => Right(java.time.ZoneOffset.UTC)
+        case Vector(VString(tz)) =>
+          try Right(java.time.ZoneId.of(tz))
+          catch { case _: Exception => Left(VErr(s"cannot parse timezone: $tz")) }
+        case _ => Left(VErr(s"no such overload: timestamp.$fn"))
+      }
+      zone.fold(identity, z => {
+        val zdt = java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          Math.floorMod(us, 1000000L) * 1000L).atZone(z)
+        fn match {
+          case "getFullYear" => VInt(zdt.getYear.toLong)
+          case "getMonth" => VInt(zdt.getMonthValue.toLong - 1L)
+          case "getDayOfYear" => VInt(zdt.getDayOfYear.toLong - 1L)
+          case "getDayOfMonth" => VInt(zdt.getDayOfMonth.toLong - 1L)
+          case "getDate" => VInt(zdt.getDayOfMonth.toLong)
+          case "getDayOfWeek" => VInt(zdt.getDayOfWeek.getValue.toLong % 7L)
+          case "getHours" => VInt(zdt.getHour.toLong)
+          case "getMinutes" => VInt(zdt.getMinute.toLong)
+          case "getSeconds" => VInt(zdt.getSecond.toLong)
+          case "getMilliseconds" => VInt(zdt.getNano.toLong / 1000000L)
+          case _ => VErr(s"no such overload: timestamp.$fn")
+        }
+      })
+    case other => VErr(s"no such overload: $fn($other)")
   }
 
   /** Shared method implementations (also reachable as global calls). */
@@ -310,6 +372,29 @@ private[cel] object Functions {
     }
     case "min" => extremum(t, -1)
     case "max" => extremum(t, 1)
+
+    // ---- cel-go STANDARD env (not the mito libs): string predicates,
+    // ---- matches, and the timestamp/duration accessors — available in
+    // ---- every program the reference compiles (cel.NewEnv defaults).
+    case "contains" => (t, args) match {
+      case (VString(s), Vector(VString(sub))) => VBool(s.contains(sub))
+      case _ => VErr(s"no such overload: contains($t)")
+    }
+    case "startsWith" => (t, args) match {
+      case (VString(s), Vector(VString(p))) => VBool(s.startsWith(p))
+      case _ => VErr(s"no such overload: startsWith($t)")
+    }
+    case "endsWith" => (t, args) match {
+      case (VString(s), Vector(VString(p))) => VBool(s.endsWith(p))
+      case _ => VErr(s"no such overload: endsWith($t)")
+    }
+    case "matches" => (t, args) match {
+      case (VString(s), Vector(VString(re))) => matchesRe(s, re)
+      case _ => VErr(s"no such overload: matches($t)")
+    }
+    case "getFullYear" | "getMonth" | "getDayOfYear" | "getDayOfMonth" |
+         "getDate" | "getDayOfWeek" | "getHours" | "getMinutes" |
+         "getSeconds" | "getMilliseconds" => timeAccessor(fn, t, args)
 
     // ---- mime transforms on bytes (reference lib/mime.go:90-132) ----
     case "mime" => (t, args.headOption) match {

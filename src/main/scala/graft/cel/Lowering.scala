@@ -75,7 +75,12 @@ object Lowering {
     "repeat", "replace", "replace_all", "split", "split_n", "split_after",
     "split_after_n", "substring", "valid_utf8", "to_valid_utf8", "format",
     "parse_time", "md5", "sha1", "sha256", "hex", "base64", "base64_raw",
-    "base64_decode", "base64_raw_decode", "hmac")
+    "base64_decode", "base64_raw_decode", "hmac",
+    // cel-go STANDARD env: string predicates, matches, time accessors
+    "contains", "startsWith", "endsWith", "matches",
+    "getFullYear", "getMonth", "getDayOfYear", "getDayOfMonth",
+    "getDate", "getDayOfWeek", "getHours", "getMinutes",
+    "getSeconds", "getMilliseconds")
 
   /** Free variables of `e`: identifiers not bound by a comprehension or
     * `as` variable in scope (used to capture a lowered comprehension's

@@ -371,6 +371,27 @@ object CelFunctions {
         .select(col("event_id"), c.as("doc"))
     },
 
+    // the cel-go STANDARD-env surface under the oracle gate: string
+    // predicates (contains/startsWith/endsWith), matches, and the
+    // timestamp/duration accessors — lowered path, value-dependent
+    // through state.k
+    "q81_cel_std" -> { (s, dir) =>
+      val program =
+        """{"c": string(state.k).contains("5"),
+           "sw": string(state.k).startsWith("1"),
+           "ew": string(state.k).endsWith("9"),
+           "m": string(state.k).matches("^[0-9]$"),
+           "y": timestamp(1500000000 + state.k * 86400).getFullYear(),
+           "mo": timestamp(1500000000 + state.k * 86400).getMonth(),
+           "dt": timestamp(1500000000 + state.k * 86400).getDate(),
+           "dw": timestamp(1500000000 + state.k * 86400).getDayOfWeek(),
+           "h": duration(string(state.k) + "m").getHours()}"""
+      val c = graft.cel.Cel.lower(program, col("props"))
+        .getOrElse(sys.error("q81 program must lower"))
+      Tables(s, dir).events.orderBy(col("event_id"))
+        .select(col("event_id"), c.as("doc"))
+    },
+
     // --- the CEL text front-end itself under the oracle gate: the SAME
     // --- program through the lowered (q58) and interpreted (q59) paths.
     "q58_cel_lowered" -> { (s, dir) =>
@@ -601,6 +622,21 @@ object CelFunctions {
          ',"u":' || k || '}' AS doc
          FROM (SELECT event_id,
                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events) ORDER BY event_id""",
+    "q81_cel_std" ->
+      """SELECT event_id,
+         '{"c":' || CAST(contains(CAST(k AS VARCHAR), '5') AS VARCHAR) ||
+         ',"dt":' || day(ts) ||
+         ',"dw":' || dayofweek(ts) ||
+         ',"ew":' || CAST(ends_with(CAST(k AS VARCHAR), '9') AS VARCHAR) ||
+         ',"h":' || k // 60 ||
+         ',"m":' || CAST(k < 10 AS VARCHAR) ||
+         ',"mo":' || (month(ts) - 1) ||
+         ',"sw":' || CAST(starts_with(CAST(k AS VARCHAR), '1') AS VARCHAR) ||
+         ',"y":' || year(ts) || '}' AS doc
+         FROM (SELECT event_id,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                 to_timestamp(1500000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) * 86400) AS ts
                FROM events) ORDER BY event_id""",
     "q58_cel_lowered" -> celGateOracle("doc"),
     "q59_cel_interpreted" -> celGateOracle("doc"))

@@ -208,6 +208,32 @@ class LoweringSpec extends SparkSpec {
     "optional.ofNonZeroValue(duration('0s')).hasValue()",
     "optional.ofNonZeroValue(state.k).orValue(-1)",
     "optional.ofNonZeroValue('x').value()",
+    // cel-go STANDARD env: string predicates, matches, time accessors
+    "'hello'.contains('ell')",
+    "'hello'.startsWith('he')",
+    "'hello'.endsWith('lo')",
+    "'hello'.matches('h.*o')",
+    "matches('hello', '^x')",
+    "'abc'.matches('[')",              // error: bad pattern, in-band
+    "string(state.k).matches('^[0-9]+$')",
+    "timestamp(1500000000).getFullYear()",
+    "timestamp(1500000000).getMonth()",
+    "timestamp(1500000000).getDayOfYear()",
+    "timestamp(1500000000).getDayOfMonth()",
+    "timestamp(1500000000).getDate()",
+    "timestamp(1500000000).getDayOfWeek()",
+    "timestamp(1500000000).getHours()",
+    "timestamp(1500000000).getHours('America/New_York')",
+    "timestamp(1500000000).getMinutes('+05:30')",
+    "timestamp(1500000000).getSeconds()",
+    "timestamp(1500000000).getMilliseconds()",
+    "timestamp(1500000000 + state.k).getHours('bogus/zone')", // error in-band
+    "duration('90m').getHours()",
+    "duration('-90m').getMinutes()",
+    "duration('90m').getSeconds()",
+    "duration('1s').getMilliseconds()",
+    "timestamp(1500000000 + state.k * 3600).getHours()",
+    "state.k.getHours()",              // error: accessor on an int
     // type() and the type-identifier bindings flow through both tiers
     "type(state.k) == int",
     "type(state) == map ? 'doc' : 'other'",
