@@ -180,6 +180,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE coalescing targets shuffle BYTES and is blind to
+      // downstream CPU: per-row kernel projections above a small
+      // range shuffle would serialize onto 1-6 post-shuffle
+      // partitions (q81: 1.53 -> 0.55 s at sf0.1 with the floor
+      // lowered). Keep partitions parallelism-sized for
+      // kernel-heavy stages; large shuffles are unaffected.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

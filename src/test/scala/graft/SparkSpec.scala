@@ -13,6 +13,13 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE coalescing targets shuffle BYTES and is blind to
+      // downstream CPU: per-row kernel projections above a small
+      // range shuffle would serialize onto 1-6 post-shuffle
+      // partitions (q81: 1.53 -> 0.55 s at sf0.1 with the floor
+      // lowered). Keep partitions parallelism-sized for
+      // kernel-heavy stages; large shuffles are unaffected.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
