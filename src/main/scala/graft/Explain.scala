@@ -20,10 +20,12 @@ object Explain {
       // AQE coalescing targets shuffle BYTES and is blind to
       // downstream CPU: per-row kernel projections above a small
       // range shuffle would serialize onto 1-6 post-shuffle
-      // partitions (q81: 1.53 -> 0.55 s at sf0.1 with the floor
-      // lowered). Keep partitions parallelism-sized for
-      // kernel-heavy stages; large shuffles are unaffected.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+      // partitions (q81: 1.53 -> 0.67 s at sf0.1 with the floor
+      // lowered). 64k is the measured sweet spot: 16k also kept
+      // CEL kernels parallel but cost q19_pivot +0.6 s in sheer
+      // task overhead on its many sub-64k partitions. Large
+      // shuffles are unaffected either way.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
