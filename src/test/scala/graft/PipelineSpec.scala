@@ -42,6 +42,39 @@ class PipelineSpec extends SparkSpec {
     assert(pairs == expected, s"got ${pairs.size} pairs, want ${expected.size}")
   }
 
+  test("ngram-jaccard prefix-filter join is exact vs brute force at t=0.8") {
+    val pf = Pipeline.queries("q82_ngram_jaccard_join")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val brute = docs.as("a").crossJoin(docs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+        size(array_union(col("a.sh"), col("b.sh"))))
+      .filter(col("j") >= 0.8)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pf == brute)
+    assert(brute.nonEmpty, "test data should contain planted near-duplicates")
+  }
+
+  test("ngram-jaccard skew cap keeps representatives: 65+ exact copies still pair") {
+    // Identical docs share identical df-ordered prefixes, so every prefix
+    // posting holds all 70 members (> the 64 cap); the representative cap
+    // must keep the first 64 (by doc_id) pairing -> C(64,2) exact pairs.
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q82cap").toString
+    (0L until 70L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Pipeline.queries("q82_ngram_jaccard_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for (a <- 0L until 64L; b <- (a + 1) until 64L) yield (a, b)).toSet
+    assert(pairs == expected, s"got ${pairs.size} pairs, want ${expected.size}")
+  }
+
   test("simhash near-dup pairs cover the high-jaccard pairs") {
     val sim = Pipeline.queries("q38_simhash_neardup")(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
