@@ -44,6 +44,27 @@ object Pipeline {
     t.documents.select(col("doc_id"),
       shingles(toks(col("text")), 3).as("sh"))
 
+  /** Capped posting-list bucket join, shared by every banded/prefix
+    * candidate generator (q31/q38/q41/q82): group `rows` by `bucket`,
+    * keep each bucket's 64 lowest-id members (`member` is a struct whose
+    * FIRST field is the id, so the array_sort realizes id order — the
+    * exact semantics of the previous row_number-over-bucket <= 64
+    * window), and emit intra-bucket member pairs with a.id < b.id.
+    * Equivalent output to the windowed self-join it replaces, but the
+    * posting lists are derived and shuffled ONCE — the self-join's b-side
+    * re-derived the entire upstream lineage unless AQE happened to reuse
+    * the exchange. Fan-out stays bounded at 64*63/2 pairs per bucket.
+    * Returns columns (a, b): the paired member structs. */
+  private def cappedBucketPairs(
+      rows: DataFrame, bucket: Column, member: Column, idField: String): DataFrame =
+    rows.groupBy(bucket.as("bk"))
+      .agg(slice(array_sort(collect_list(member)), 1, 64).as("m"))
+      .filter(size(col("m")) > 1)
+      .select(explode(col("m")).as("a"), col("m").as("m"))
+      .select(col("a"), explode(filter(col("m"),
+        b => b(idField) > col("a")(idField))).as("b"))
+      .select(col("a"), col("b"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- deduplication -------------------------------------------------
     "q30_exact_dedup" -> { (s, dir) =>
@@ -65,21 +86,15 @@ object Pipeline {
           b => struct(b.as("band_id"),
             xxhash64(slice(col("sig"), b * 4 + 1, lit(4)), b).as("band_hash")))).as("bd"))
       // Skew protection: a degenerate band_hash (boilerplate-heavy corpora)
-      // would make the self-join quadratic in that bucket. Cap bucket
-      // fan-out by keeping the first 64 members (ordered by doc_id) rather
-      // than discarding oversized buckets outright: exact duplicates share
-      // ALL 16 band hashes, so a whole-bucket drop would silently lose
-      // every pair of a 65+-copy group. With representatives the kept
-      // members still pair (and identical docs keep the same 64 reps in
-      // every band), bounding join fan-out at 64^2 per bucket.
-      val capped = bands
-        .withColumn("bucket_rank",
-          row_number().over(Window.partitionBy(col("bd")).orderBy(col("doc_id"))))
-        .filter(col("bucket_rank") <= 64)
-        .drop("bucket_rank")
-      val cand = capped.as("a")
-        .join(capped.as("b"),
-          col("a.bd") === col("b.bd") && col("a.doc_id") < col("b.doc_id"))
+      // would make the bucket pairing quadratic in that bucket. The shared
+      // capped generator keeps the first 64 members (ordered by doc_id)
+      // rather than discarding oversized buckets outright: exact
+      // duplicates share ALL 16 band hashes, so a whole-bucket drop would
+      // silently lose every pair of a 65+-copy group. With representatives
+      // the kept members still pair (and identical docs keep the same 64
+      // reps in every band), bounding fan-out at 64^2 per bucket.
+      val cand = cappedBucketPairs(bands, col("bd"),
+          struct(col("doc_id")), "doc_id")
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       // exact-Jaccard verification on candidates only
@@ -136,32 +151,21 @@ object Pipeline {
         (col("len") - floor((col("len") * 4 + 4) / 5) + 1).cast("int")
       val prefix = ordered.select(col("doc_id"), col("len"),
         posexplode(slice(col("og"), lit(1), prefixLen)).as(Seq("p", "g")))
-      // Posting lists materialized ONCE per token (a single shuffle of
-      // the prefix index; no windowed self-join, whose b-side would
-      // re-derive the whole lineage unless AQE happens to reuse the
-      // exchange). Same 64-representative degenerate-corpus guard as
-      // q31: a corpus of 64+ identical docs would make every posting
-      // list the corpus — keep the first 64 doc_ids (identical docs
-      // share identical prefixes, so kept members still pair; run q30
-      // first to strip exact copies beyond the cap's design point).
-      // array_sort on struct(doc_id, ...) is doc_id-ordered, so
-      // slice(1, 64) keeps exactly the window-rank<=64 members.
-      val buckets = prefix.groupBy(col("g"))
-        .agg(slice(array_sort(collect_list(
-          struct(col("doc_id"), col("len"), col("p")))), 1, 64).as("m"))
-        .filter(size(col("m")) > 1)
-      // Pairs generated inline per bucket (bounded 64*63/2), with two
-      // more lossless pre-verification filters:
+      // Posting lists via the shared capped generator (single shuffle of
+      // the prefix index; 64-representative degenerate-corpus guard as in
+      // q31 — a corpus of 64+ identical docs would make every posting
+      // list the corpus; identical docs share identical prefixes, so kept
+      // members still pair; run q30 first to strip exact copies beyond
+      // the cap's design point). Two more lossless pre-verification
+      // filters on the generated pairs:
       //  - length: J >= 4/5 forces 5*min(|x|,|y|) >= 4*max(|x|,|y|);
       //  - positional: a pair matched at (0-based) prefix positions
       //    (pa, pb) can overlap at most
       //    min(pa, pb) + 1 + min(|x|-pa-1, |y|-pb-1), which must reach
       //    alpha = ceil(t/(1+t)*(|x|+|y|)) = ceil(4*(|x|+|y|)/9).
       val alpha = floor(((col("a.len") + col("b.len")) * 4 + 8) / 9)
-      val cand = buckets
-        .select(explode(col("m")).as("a"), col("m").as("m"))
-        .select(col("a"),
-          explode(filter(col("m"), b => b("doc_id") > col("a.doc_id"))).as("b"))
+      val cand = cappedBucketPairs(prefix, col("g"),
+          struct(col("doc_id"), col("len"), col("p")), "doc_id")
         .filter(col("a.len") * 4 <= col("b.len") * 5
           && col("b.len") * 4 <= col("a.len") * 5
           && least(col("a.p"), col("b.p")) + 1 +
@@ -271,19 +275,14 @@ object Pipeline {
           """transform(sequence(0, 3), b -> struct(b AS band_id,
             shiftrightunsigned(sig, cast(b * 16 AS int)) & 65535 AS key))""")).as("bd"))
       // Same skew protection as q31: near-dup clusters share all four
-      // band keys, so an uncapped self-join is quadratic in cluster
+      // band keys, so an uncapped bucket pairing is quadratic in cluster
       // size (measured 16.3x at a 10x scale-up with 10-copy clusters —
-      // BENCH_sf1.json). Keep the first 64 members per (band, key)
-      // bucket; identical sigs keep the same representatives in every
-      // band, so intra-cluster pairs survive while fan-out is <= 64^2.
-      val capped = bands
-        .withColumn("bucket_rank",
-          row_number().over(Window.partitionBy(col("bd")).orderBy(col("doc_id"))))
-        .filter(col("bucket_rank") <= 64)
-        .drop("bucket_rank")
-      capped.as("a")
-        .join(capped.as("b"),
-          col("a.bd") === col("b.bd") && col("a.doc_id") < col("b.doc_id"))
+      // BENCH_sf1.json). The shared capped generator keeps the first 64
+      // members per (band, key) bucket; identical sigs keep the same
+      // representatives in every band, so intra-cluster pairs survive
+      // while fan-out is <= 64^2.
+      cappedBucketPairs(bands, col("bd"),
+          struct(col("doc_id"), col("sig")), "doc_id")
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           hamming64(col("a.sig"), col("b.sig")).as("hamming"))
         .distinct()
@@ -318,14 +317,9 @@ object Pipeline {
       // the signature width so bucket count tracks n (more sign bits),
       // which this static 4x8 layout keeps small deliberately to stay
       // oracle-replicable.
-      val capped = bands
-        .withColumn("bucket_rank",
-          row_number().over(Window.partitionBy(col("bd")).orderBy(col("vec_id"))))
-        .filter(col("bucket_rank") <= 64)
-        .drop("bucket_rank")
-      val cand = capped.as("x").join(capped.as("y"),
-          col("x.bd") === col("y.bd") && col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      val cand = cappedBucketPairs(bands, col("bd"),
+          struct(col("vec_id")), "vec_id")
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
         .distinct()
       val ea = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"), col("ss").as("ss_a"))
       val eb = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"), col("ss").as("ss_b"))
