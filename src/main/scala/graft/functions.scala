@@ -345,6 +345,12 @@ object functions {
   def rolling_fingerprint(toks: Column): Column =
     call(K, LongType, "rollingFingerprint", Seq(ArrS), toks)
 
+  /** Low 64 bits of md5 as a signed long — the deterministic,
+    * oracle-replicable (DuckDB `md5_number_lower`) hash used for split
+    * assignment and the sketch families. */
+  def md5_lower64(bytes: Column): Column =
+    call(K, LongType, "md5Lower64", Seq(Bin), bytes)
+
   /** Stopword-profile language ID ('en','de','es','fr','zh','und'). */
   def lang_id(toks: Column): Column = call(K, Str, "langId", Seq(ArrS), toks)
 

@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * tables: deduplication (exact, canonical-fingerprint, MinHash+LSH,
   * SimHash, exact n-gram-Jaccard via df-ordered prefix filtering),
   * similarity search (brute-force cosine top-k + LSH-banded
-  * near-dup), text analysis (lang-id, quality, token counts), multimodal
-  * plumbing.
+  * near-dup), text analysis (lang-id, quality, token counts), corpus
+  * curation (deterministic stratified splits, vocabulary top-k,
+  * gap sessionization), multimodal plumbing.
   *
   * Scale design (100 TB):
   *   - MinHash-LSH: the only shuffle of document payloads is the final
@@ -65,6 +66,43 @@ object Pipeline {
         b => b(idField) > col("a")(idField))).as("b"))
       .select(col("a"), col("b"))
 
+  /** q31's verified near-dup pairs (doc_a < doc_b, exact Jaccard >= 0.9),
+    * also the edge set for q86's cluster assignment.
+    *
+    * No full-corpus cache: shingles are a cheap per-row kernel pass and
+    * caching every shingle set would not fit memory at 100 TB — the
+    * scan recomputes instead (columnar parquet read + one kernel call).
+    * Skew protection: a degenerate band_hash (boilerplate-heavy corpora)
+    * would make the bucket pairing quadratic in that bucket. The shared
+    * capped generator keeps the first 64 members (ordered by doc_id)
+    * rather than discarding oversized buckets outright: exact
+    * duplicates share ALL 16 band hashes, so a whole-bucket drop would
+    * silently lose every pair of a 65+-copy group. With representatives
+    * the kept members still pair (and identical docs keep the same 64
+    * reps in every band), bounding fan-out at 64^2 per bucket. */
+  private def minhashDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(Tables(s, dir))
+    // 64 minhashes in one kernel pass; 16 bands x 4 rows.
+    val sig = docs.withColumn("sig", minhash_sig(col("sh")))
+    val bands = sig.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(15)),
+        b => struct(b.as("band_id"),
+          xxhash64(slice(col("sig"), b * 4 + 1, lit(4)), b).as("band_hash")))).as("bd"))
+    val cand = cappedBucketPairs(bands, col("bd"),
+        struct(col("doc_id")), "doc_id")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact-Jaccard verification on candidates only
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- deduplication -------------------------------------------------
     "q30_exact_dedup" -> { (s, dir) =>
@@ -75,38 +113,7 @@ object Pipeline {
     },
 
     "q31_minhash_lsh_dedup" -> { (s, dir) =>
-      // No full-corpus cache: shingles are a cheap per-row kernel pass and
-      // caching every shingle set would not fit memory at 100 TB — the
-      // scan recomputes instead (columnar parquet read + one kernel call).
-      val docs = shingled(Tables(s, dir))
-      // 64 minhashes in one kernel pass; 16 bands x 4 rows.
-      val sig = docs.withColumn("sig", minhash_sig(col("sh")))
-      val bands = sig.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(15)),
-          b => struct(b.as("band_id"),
-            xxhash64(slice(col("sig"), b * 4 + 1, lit(4)), b).as("band_hash")))).as("bd"))
-      // Skew protection: a degenerate band_hash (boilerplate-heavy corpora)
-      // would make the bucket pairing quadratic in that bucket. The shared
-      // capped generator keeps the first 64 members (ordered by doc_id)
-      // rather than discarding oversized buckets outright: exact
-      // duplicates share ALL 16 band hashes, so a whole-bucket drop would
-      // silently lose every pair of a 65+-copy group. With representatives
-      // the kept members still pair (and identical docs keep the same 64
-      // reps in every band), bounding fan-out at 64^2 per bucket.
-      val cand = cappedBucketPairs(bands, col("bd"),
-          struct(col("doc_id")), "doc_id")
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      // exact-Jaccard verification on candidates only
-      cand
-        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))))
-        .filter(col("jaccard") >= 0.9)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
+      minhashDupPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
     },
 
     "q82_ngram_jaccard_join" -> { (s, dir) =>
@@ -358,6 +365,114 @@ object Pipeline {
         .orderBy(col("qid"), col("rnk"))
     },
 
+    // --- corpus curation ----------------------------------------------
+    "q83_stratified_split" -> { (s, dir) =>
+      // Deterministic hash-based train/valid/test assignment: a doc's
+      // split depends only on its id (md5 of "split:<id>", low 10 bits),
+      // never on data order, partitioning, or cluster size — re-runs and
+      // backfills land every doc in the same split, and a grown corpus
+      // never reshuffles old docs across splits. 80/10/10 by bucket
+      // threshold (819/922 of 1024); stratification across sources
+      // follows from hash uniformity within each source (pinned by
+      // PipelineSpec). Per-row kernel, no shuffle beyond the
+      // presentation sort.
+      val bucket = md5_lower64(concat(lit("split:"),
+        col("doc_id").cast("string")).cast("binary")).bitwiseAND(lit(1023L))
+      Tables(s, dir).documents
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"), col("source"), bucket.as("bucket"),
+          when(bucket < 819, "train").when(bucket < 922, "valid")
+            .otherwise("test").as("split"))
+    },
+
+    "q84_vocab_topk" -> { (s, dir) =>
+      // Corpus vocabulary: term frequency + document frequency per
+      // token, top 100 by tf (token tie-break makes the order total).
+      // One hash shuffle on token with map-side partial aggregation; df
+      // rides the standard two-phase distinct rewrite on the same key;
+      // the top-k is TakeOrderedAndProject (per-partition heads + driver
+      // merge of 100 rows), never a corpus-wide sort shuffle.
+      Tables(s, dir).documents
+        .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("token"))
+        .limit(100)
+    },
+
+    "q85_sessionize" -> { (s, dir) =>
+      // Gap-based sessionization (30-min idle timeout) on the event
+      // timeline at microsecond precision (the parquet stores nanos;
+      // DuckDB truncates ns->us on read, so the oracle-matched unit is
+      // us — q15 makes the same choice): new_sess flags a gap > 30 min
+      // from the previous event of the same user, a running sum numbers
+      // the sessions, and a rollup emits per-session bounds/counts/
+      // value. ONE shuffle on user_id — the lag window, the running
+      // counter, and the groupBy(user_id, session_seq) all reuse the
+      // same hash partitioning (a subset of the group keys satisfies
+      // the distribution), so the plan has a single exchange plus the
+      // presentation sort. The same logic runs incrementally at stream
+      // time as transformWithState with a 30-min event-time timer
+      // (streaming/DedupStreams.scala pattern).
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prev = lag(col("tus"), 1).over(w)
+      Tables(s, dir).events
+        .select(col("user_id"), col("event_id"),
+          expr("ts DIV 1000").as("tus"), col("value"))
+        .withColumn("new_sess",
+          when(prev.isNull || col("tus") - prev > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("tus")).as("session_start_us"),
+          max(col("tus")).as("session_end_us"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy(col("user_id"), col("session_seq"))
+    },
+
+    "q86_dup_clusters" -> { (s, dir) =>
+      // The pairs -> clusters -> keeper step every dedup pipeline needs:
+      // connected components over the verified near-dup pairs (q31's
+      // edge set), each doc labeled with its component's minimum doc_id
+      // (the canonical keeper). Iterative min-label propagation — each
+      // round is one shuffle join on the (tiny relative to the corpus)
+      // dup graph, labels converge in O(diameter) rounds, and near-dup
+      // components are cliquish (diameter ~2-3; identical docs are full
+      // cliques). The driver-side loop is iteration CONTROL, not data
+      // (GraphX/Pregel does the same); localCheckpoint truncates the
+      // per-round lineage so the plan doesn't grow exponentially. At
+      // 100 TB the edge set is the near-dup graph only — propagation
+      // shuffles (doc_id, label) pairs, never documents.
+      val edges = minhashDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true)
+      val und = edges.union(
+        edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      var labels = und.select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")).localCheckpoint(true)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val nbrMin = und
+          .join(labels.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+          .groupBy(col("doc_b").as("doc_id")).agg(min(col("label")).as("nbr"))
+        val next = labels.withColumnRenamed("label", "old")
+          .join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("old"),
+            least(col("old"), coalesce(col("nbr"), col("old"))).as("label"))
+          .localCheckpoint(true)
+        converged = next.filter(col("label") =!= col("old")).isEmpty
+        labels = next.select(col("doc_id"), col("label"))
+        iter += 1
+      }
+      require(converged, s"q86 label propagation did not converge in $iter rounds")
+      labels
+        .select(col("doc_id"), col("label").as("cluster_id"),
+          (col("doc_id") === col("label")).as("is_keeper"))
+        .orderBy(col("doc_id"))
+    },
+
     "q40_multimodal_features" -> { (s, dir) =>
       // Binary multimodal plumbing with a stubbed decoder: payload is an
       // opaque binary column + typed metadata; "decode" = deterministic
@@ -402,6 +517,55 @@ object Pipeline {
           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
           ORDER BY doc_a, doc_b""",
+    "q83_stratified_split" ->
+      """WITH t AS (SELECT doc_id, source,
+             CAST(md5_number_lower('split:' || doc_id) & 1023 AS BIGINT) AS bucket
+           FROM documents)
+         SELECT doc_id, source, bucket,
+           CASE WHEN bucket < 819 THEN 'train'
+                WHEN bucket < 922 THEN 'valid'
+                ELSE 'test' END AS split
+         FROM t ORDER BY doc_id""",
+    "q84_vocab_topk" ->
+      s"""WITH t AS (SELECT doc_id, unnest($tokSql) AS token FROM documents)
+          SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+          FROM t GROUP BY token ORDER BY tf DESC, token LIMIT 100""",
+    "q85_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value FROM events),
+         f AS (SELECT user_id, event_id, tus, value,
+                 CASE WHEN lag(tus) OVER w IS NULL
+                        OR tus - lag(tus) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         s AS (SELECT user_id, tus, value,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+               FROM f)
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           min(tus) AS session_start_us, max(tus) AS session_end_us,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
+    // The oracle recomputes the edge set brute-force (q31's SQL) and
+    // takes the transitive closure with a recursive CTE — component
+    // label = min reachable doc_id, independently of Spark's
+    // propagation algorithm.
+    "q86_dup_clusters" ->
+      s"""WITH RECURSIVE
+          t AS (SELECT doc_id, $shSql AS sh
+                FROM (SELECT doc_id, $tokSql AS lst FROM documents) WHERE len(lst) >= 3),
+          pairs AS (SELECT a.doc_id AS s, b.doc_id AS d
+                    FROM t a JOIN t b ON a.doc_id < b.doc_id
+                    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+          und AS (SELECT s, d FROM pairs UNION ALL SELECT d, s FROM pairs),
+          reach AS (SELECT s AS src, s AS dst FROM und
+                    UNION
+                    SELECT r.src, u.d FROM reach r JOIN und u ON u.s = r.dst)
+          SELECT src AS doc_id, min(dst) AS cluster_id,
+                 (src = min(dst)) AS is_keeper
+          FROM reach GROUP BY src ORDER BY doc_id""",
     "q32_canonical_fingerprint" ->
       s"""SELECT doc_id,
           md5(array_to_string(list_sort(list_distinct($tokSql)), ' ')) AS fingerprint

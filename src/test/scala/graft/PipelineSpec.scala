@@ -126,4 +126,67 @@ class PipelineSpec extends SparkSpec {
     val df = Pipeline.queries("q30_exact_dedup")(spark, sf)
     assert(df.count() == df.select("content_hash").distinct().count())
   }
+
+  test("dup clusters: labels are the component minimum of the q31 pair graph") {
+    val pairs = Pipeline.queries("q31_minhash_lsh_dedup")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Pipeline.queries("q86_dup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference union-find over the same edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    assert(labels.keySet == nodes.toSet, "cluster rows = pair-graph nodes")
+    nodes.foreach(n => assert(labels(n) == find(n), s"doc $n labeled ${labels(n)}, want ${find(n)}"))
+    assert(nodes.nonEmpty)
+  }
+
+  test("stratified split is total, deterministic, and id-only") {
+    val rows = Pipeline.queries("q83_stratified_split")(spark, sf).collect()
+    val total = Tables(spark, sf).documents.count()
+    assert(rows.length == total, "every doc gets exactly one split row")
+    // id-only determinism: recompute one doc's bucket with plain JDK md5
+    val r0 = rows.head
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"split:${r0.getLong(0)}".getBytes("UTF-8"))
+    // digest bytes 8..15, little-endian — md5Lower64/md5_number_lower
+    var h = 0L
+    for (i <- 15 to 8 by -1) h = (h << 8) | (md(i) & 0xffL)
+    assert(r0.getLong(2) == (h & 1023L), "bucket != md5-lower-64 & 1023")
+    // 80/10/10 by construction of the thresholds; loose bound at n=50
+    val frac = rows.count(_.getString(3) == "train").toDouble / total
+    assert(frac > 0.6 && frac < 0.95, s"train fraction $frac implausible")
+  }
+
+  test("vocab top-k: tf >= df, ranks total, and top-1 is the global max") {
+    val rows = Pipeline.queries("q84_vocab_topk")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.forall(r => r.getLong(1) >= r.getLong(2) && r.getLong(2) >= 1))
+    val tfs = rows.map(_.getLong(1))
+    assert(tfs.sameElements(tfs.sorted(Ordering[Long].reverse)), "not tf-descending")
+    val globalMax = Tables(spark, sf).documents
+      .select(explode(tokens(col("text"))).as("t")).groupBy("t").count()
+      .agg(max("count")).head.getLong(0)
+    assert(rows.head.getLong(1) == globalMax)
+  }
+
+  test("sessionize: sessions partition the events and respect the 30-min gap") {
+    val rows = Pipeline.queries("q85_sessionize")(spark, sf).collect()
+    val nEvents = Tables(spark, sf).events.count()
+    assert(rows.map(_.getLong(4)).sum == nEvents, "sessions must cover all events")
+    rows.groupBy(_.getLong(0)).foreach { case (user, rs) =>
+      val byId = rs.sortBy(_.getLong(1))
+      byId.foreach(r => assert(r.getLong(2) <= r.getLong(3), "start <= end"))
+      byId.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(2) - a.getLong(3) > 1800L * 1000000L,
+            s"user $user: sessions ${a.getLong(1)}/${b.getLong(1)} closer than the gap")
+        case _ =>
+      }
+    }
+  }
 }
