@@ -473,6 +473,51 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "q87_pii_redact" -> { (s, dir) =>
+      // PII scrubbing: redact emails, long digit runs (phone-like), and
+      // IPv4 addresses with typed placeholders, and count each kind for
+      // the audit trail. Email first so its digits can't half-match the
+      // phone pattern; both engines apply the same order. Pure per-row
+      // regex work (codegen'd regexp_replace/extract_all) — no shuffle
+      // beyond the presentation sort; the patterns are RE2-compatible so
+      // the DuckDB oracle replays them verbatim.
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phone = "\\+?\\d[\\d -]{7,}\\d"
+      val t = col("text")
+      Tables(s, dir).documents
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(t, lit(email), lit(0))).cast("long").as("n_emails"),
+          size(regexp_extract_all(t, lit(ip), lit(0))).cast("long").as("n_ips"),
+          size(regexp_extract_all(t, lit(phone), lit(0))).cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(regexp_replace(t,
+            email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("redacted"))
+    },
+
+    "q88_sequence_pack" -> { (s, dir) =>
+      // Greedy sequence packing for training: walk each shard's docs in
+      // doc_id order, accumulate token counts, and assign each doc to
+      // the context-window bin its running offset falls in (bin =
+      // tokens-before-me DIV budget — the doc that crosses a boundary
+      // belongs to the bin it started in). A GLOBAL pack is inherently
+      // serial, so the operator packs per shard (source) by design —
+      // shards pack in parallel, one shuffle on source for the window.
+      // Budget 256 tokens keeps multiple bins per shard at test scale;
+      // at 100 TB budget is the model context and shards are whatever
+      // corpus partitioning exists upstream.
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("source"),
+          size(toks(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("prev_cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr("prev_cum DIV 256").as("bin"),
+          (col("prev_cum") % 256).as("bin_offset"))
+        .orderBy(col("doc_id"))
+    },
+
     "q40_multimodal_features" -> { (s, dir) =>
       // Binary multimodal plumbing with a stubbed decoder: payload is an
       // opaque binary column + typed metadata; "decode" = deterministic
@@ -566,6 +611,27 @@ object Pipeline {
           SELECT src AS doc_id, min(dst) AS cluster_id,
                  (src = min(dst)) AS is_keeper
           FROM reach GROUP BY src ORDER BY doc_id""",
+    "q87_pii_redact" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text, '\+?\d[\d -]{7,}\d')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS redacted
+         FROM documents ORDER BY doc_id""",
+    "q88_sequence_pack" ->
+      s"""WITH t AS (SELECT doc_id, source,
+                CAST(len($tokSql) AS BIGINT) AS n_tokens FROM documents),
+          c AS (SELECT doc_id, source, n_tokens,
+                coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+                FROM t)
+          SELECT doc_id, source, n_tokens,
+            CAST(prev_cum // 256 AS BIGINT) AS bin,
+            CAST(prev_cum % 256 AS BIGINT) AS bin_offset
+          FROM c ORDER BY doc_id""",
     "q32_canonical_fingerprint" ->
       s"""SELECT doc_id,
           md5(array_to_string(list_sort(list_distinct($tokSql)), ' ')) AS fingerprint

@@ -174,6 +174,44 @@ class PipelineSpec extends SparkSpec {
     assert(rows.head.getLong(1) == globalMax)
   }
 
+  test("pii redact: planted emails/ips/phones are replaced and counted") {
+    // The driver corpus contains no PII (q87's oracle row passes with 0
+    // matches), so the redaction semantics are pinned here on planted
+    // docs with known expected output.
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q87pii").toString
+    Seq(
+      (1L, "contact alice.smith+x@mail.example.org for details", "s", "en", 0L),
+      (2L, "server at 10.0.255.7 answered", "s", "en", 0L),
+      (3L, "call +1 415 555 0188 or 415-555-0199 now", "s", "en", 0L),
+      (4L, "nothing sensitive here", "s", "en", 0L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.queries("q87_pii_redact")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(rows(1L) == ((1L, 0L, 0L, "contact <EMAIL> for details")))
+    assert(rows(2L) == ((0L, 1L, 0L, "server at <IP> answered")))
+    assert(rows(3L) == ((0L, 0L, 2L, "call <PHONE> or <PHONE> now")))
+    assert(rows(4L) == ((0L, 0L, 0L, "nothing sensitive here")))
+  }
+
+  test("sequence pack: bins are contiguous per shard and respect the budget") {
+    val rows = Pipeline.queries("q88_sequence_pack")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val byId = rs.sortBy(_.getLong(0))
+      var cum = 0L
+      byId.foreach { r =>
+        assert(r.getLong(3) == cum / 256, s"$src doc ${r.getLong(0)} bin")
+        assert(r.getLong(4) == cum % 256, s"$src doc ${r.getLong(0)} offset")
+        cum += r.getLong(2)
+      }
+    }
+    assert(rows.map(_.getLong(3)).max >= 1, "budget too large: only one bin")
+  }
+
   test("sessionize: sessions partition the events and respect the 30-min gap") {
     val rows = Pipeline.queries("q85_sessionize")(spark, sf).collect()
     val nEvents = Tables(spark, sf).events.count()
