@@ -59,6 +59,73 @@ object EventStreams {
       }
   }
 
+  /** A session event: micro-precision time (the batch q85 unit) plus
+    * the event-time column the watermark is defined on. */
+  final case class SessEvent(user_id: Long, event_id: Long, tus: Long,
+      value: Double, event_time: java.sql.Timestamp)
+  /** A completed session — the streaming twin of one batch q85 row
+    * (session_seq is a batch presentation artifact; identity here is
+    * (user_id, session_start_us)). */
+  final case class Session(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long, sum_value: Double)
+  /** The in-flight session state (public: the state encoder's codegen
+    * instantiates it reflectively). */
+  final case class OpenSession(start: Long, end: Long, n: Long,
+      sumCents: Long)
+
+  /** Streaming gap-based sessionization: the incremental form of batch
+    * q85. State per user is ONE open session (4 longs); a session is
+    * emitted when a new event arrives past the gap, or when the
+    * event-time timer fires after the watermark passes the gap horizon
+    * — so state is bounded by active users, not history. Values
+    * accumulate as exact cents (decimal(18,2) semantics, matching the
+    * batch rollup's decimal sum bit-for-bit). Events are sorted within
+    * each micro-batch; cross-batch disorder is the watermark's job. */
+  def sessionize(events: Dataset[SessEvent], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val gapMs = gapMinutes * 60L * 1000L
+    def cents(v: Double): Long = java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact()
+    def emit(userId: Long, s: OpenSession): Session =
+      Session(userId, s.start, s.end, s.n,
+        new java.math.BigDecimal(java.math.BigInteger.valueOf(s.sumCents), 2).doubleValue())
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SessEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(emit(userId, s))
+          } else {
+            val out = Vector.newBuilder[Session]
+            var open = state.getOption
+            rows.toVector.sortBy(r => (r.tus, r.event_id)).foreach { r =>
+              open = open match {
+                case Some(s) if r.tus - s.end > gapUs =>
+                  out += emit(userId, s)
+                  Some(OpenSession(r.tus, r.tus, 1L, cents(r.value)))
+                case Some(s) =>
+                  Some(OpenSession(s.start, math.max(s.end, r.tus), s.n + 1,
+                    s.sumCents + cents(r.value)))
+                case None =>
+                  Some(OpenSession(r.tus, r.tus, 1L, cents(r.value)))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // the timer must sit above the current watermark (late
+              // stragglers can leave end+gap already behind it)
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, s.end / 1000L + gapMs))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** The same per-user cursor on the transformWithState API (Spark 4.1
     * StatefulProcessor): typed ValueState in the state store, optional
     * TTL so an idle user's cursor is evicted instead of living forever

@@ -47,6 +47,41 @@ class EventStreamsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming sessionize emits exactly the batch q85 sessions") {
+    val stream = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("tus"),
+        col("value"), timestamp_micros(expr("ts DIV 1000")).as("event_time"))
+      .withWatermark("event_time", "30 minutes")
+      .as[EventStreams.SessEvent]
+    val q = EventStreams.sessionize(stream)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.sql(
+        "SELECT user_id, session_start_us, session_end_us, n_events, sum_value FROM sess_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      val batch = SparkEntry.queries("q85_sessionize")(spark, sf).collect()
+      val batchSet = batch
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+        .toSet
+      // every emitted session is a batch session, exactly (incl. the
+      // decimal value sum)
+      assert(emitted.subsetOf(batchSet),
+        s"streaming-only sessions: ${(emitted -- batchSet).take(3)}")
+      // and nothing is missing except possibly each user's final open
+      // session (closed only when a timer fires past the watermark,
+      // which a finite replay may leave short of the horizon)
+      val lastStart = batch.groupBy(_.getLong(0))
+        .map { case (u, rs) => u -> rs.map(_.getLong(2)).max }
+      val closed = batchSet.filter(s => lastStart(s._1) != s._2)
+      assert(closed.subsetOf(emitted),
+        s"batch sessions missing from the stream: ${(closed -- emitted).take(3)}")
+      assert(closed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful per-user cursor tracks last event and totals") {
     val stream = spark.readStream.schema(eventsSchema)
       .parquet(eventsDir)
