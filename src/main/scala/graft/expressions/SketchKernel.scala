@@ -64,6 +64,49 @@ object SketchKernel {
     sig
   }
 
+  /** q89 repetition kernel: occurrence stats over a document's word
+    * n-grams in one row-local build-sort-scan pass. Returns [best, dup]:
+    * the highest occurrence count of any single n-gram, and the total
+    * occurrences belonging to n-grams that occur more than once. The
+    * sort order itself is irrelevant (any total order makes equal grams
+    * adjacent), so plain String order is fine. Codegen'd StaticInvoke —
+    * the equivalent transform/array_sort/aggregate HOF chain measured
+    * ~6x slower at sf0.1 (1.98 s vs 0.35 s; HOF lambdas don't
+    * participate in whole-stage codegen). */
+  def ngramRunStats(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    val m = cnt - n + 1
+    if (m <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](0L, 0L))
+    val grams = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(i + k).toString)
+        k += 1
+      }
+      grams(i) = sb.toString
+      i += 1
+    }
+    java.util.Arrays.sort(grams.asInstanceOf[Array[AnyRef]])
+    var best = 0L
+    var dup = 0L
+    var run = 1L
+    i = 1
+    while (i <= m) {
+      if (i < m && grams(i) == grams(i - 1)) run += 1
+      else {
+        if (run > best) best = run
+        if (run > 1) dup += run
+        run = 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](best, dup))
+  }
+
   /** Distinct word n-gram shingles in one pass (vs a Catalyst
     * transform/slice/concat chain): preserves first-occurrence order,
     * empty when fewer than n tokens. */

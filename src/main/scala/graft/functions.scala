@@ -333,6 +333,12 @@ object functions {
   def shingles(toks: Column, n: Int): Column =
     call(K, ArrS, "wordShingles", Seq(ArrS, IntegerType), toks, F.lit(n))
 
+  /** q89 repetition stats: [best, dup] occurrence counts over the word
+    * n-grams of a token array (one kernel pass per document). */
+  def ngram_run_stats(toks: Column, n: Int): Column =
+    call(K, ArrayType(LongType, containsNull = false), "ngramRunStats",
+      Seq(ArrS, IntegerType), toks, F.lit(n))
+
   /** Charikar SimHash-64 of a token array. */
   def simhash64(toks: Column): Column =
     call(K, LongType, "simhash64", Seq(ArrS), toks)

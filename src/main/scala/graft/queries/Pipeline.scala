@@ -518,6 +518,88 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "q89_repetition_stats" -> { (s, dir) =>
+      // Gopher-style repetition filters (Rae et al. 2021 §A1.1): the
+      // top-n-gram fraction (how much of the doc is one repeated
+      // phrase) and the duplicate-n-gram fraction (how much of the doc
+      // is ANY repeated phrase) for word 2- and 3-grams. The corpus has
+      // no newlines, so the line/paragraph halves of the rule family
+      // don't apply; n-gram repetition is the half that does. Pure
+      // per-row work: one build-sort-scan kernel pass per n (codegen'd
+      // StaticInvoke), no shuffle beyond the presentation sort,
+      // O(L log L) per doc at any corpus size.
+      val t = toks(col("text"))
+      Tables(s, dir).documents
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"), size(t).cast("long").as("n_tokens"),
+          ngram_run_stats(t, 2).as("r2"),
+          ngram_run_stats(t, 3).as("r3"))
+        .select(col("doc_id"), col("n_tokens"),
+          col("r2").getItem(0).as("top2_count"),
+          when(col("n_tokens") >= 2,
+            col("r2").getItem(0).cast("double") / (col("n_tokens") - 1))
+            .otherwise(0.0).as("top2_frac"),
+          when(col("n_tokens") >= 2,
+            col("r2").getItem(1).cast("double") / (col("n_tokens") - 1))
+            .otherwise(0.0).as("dup2_frac"),
+          col("r3").getItem(0).as("top3_count"),
+          when(col("n_tokens") >= 3,
+            col("r3").getItem(1).cast("double") / (col("n_tokens") - 2))
+            .otherwise(0.0).as("dup3_frac"))
+    },
+
+    "q90_decontaminate" -> { (s, dir) =>
+      // Benchmark decontamination: flag training docs sharing any
+      // 3-gram shingle with the held-out eval split (doc_id % 20 == 0
+      // here; in production the benchmark suite). The classic n-gram
+      // overlap test (GPT-3 appendix C) as a BROADCAST semi-shape: the
+      // eval corpus is tiny by construction, so its distinct shingle
+      // set broadcasts and the 100 TB training side never shuffles —
+      // only matched (doc_id, gram) rows reach the count aggregation.
+      // Docs with zero overlap are absent (the common case at scale;
+      // emitting them would be a full corpus rewrite).
+      val sh = shingled(Tables(s, dir))
+      val evalGrams = sh.filter(col("doc_id") % 20 === 0)
+        .select(explode(col("sh")).as("g")).distinct()
+      sh.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), size(col("sh")).as("n_sh"),
+          explode(col("sh")).as("g"))
+        .join(broadcast(evalGrams), Seq("g"))
+        .groupBy(col("doc_id"))
+        // sh is distinct per doc, so plain count = distinct shared grams
+        .agg(count(lit(1)).as("n_shared"), max(col("n_sh")).as("n_sh"))
+        .select(col("doc_id"), col("n_shared"),
+          (col("n_shared").cast("double") / col("n_sh")).as("contam_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q91_mixture_sample" -> { (s, dir) =>
+      // Temperature-flattened language mixture (multilingual-LM
+      // sampling, tau = 0.5): keep-rate per language proportional to
+      // p_lang^(tau-1), normalized so the rarest language keeps
+      // everything — rate_l = sqrt(n_min / n_l) — with the inverse
+      // rate emitted as an importance weight so downstream statistics
+      // stay unbiased. Membership is decided by a doc_id hash, never by
+      // position or partitioning, so re-runs and backfills keep the
+      // same docs (q83's determinism argument). Plan shape: one tiny
+      // per-language count (map-side partial agg), broadcast back, then
+      // a pure per-row filter — the corpus itself never shuffles.
+      val docs = Tables(s, dir).documents
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      // nmin attaches via an unpartitioned window over the per-language
+      // counts — a handful of rows on one partition, vs. the 1-row cross
+      // join PlanAuditSpec would (rightly) flag as a nested loop.
+      val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val rates = counts.select(col("lang"),
+        sqrt(min(col("n")).over(all).cast("double") / col("n")).as("rate"))
+      val bucket = md5_lower64(concat(lit("mix:"),
+        col("doc_id").cast("string")).cast("binary")).bitwiseAND(lit(4095L))
+      docs.join(broadcast(rates), Seq("lang"))
+        .filter(bucket.cast("double") < col("rate") * 4096.0)
+        .select(col("doc_id"), col("lang"), (lit(1.0) / col("rate")).as("weight"))
+        .orderBy(col("doc_id"))
+    },
+
     "q40_multimodal_features" -> { (s, dir) =>
       // Binary multimodal plumbing with a stubbed decoder: payload is an
       // opaque binary column + typed metadata; "decode" = deterministic
@@ -632,6 +714,56 @@ object Pipeline {
             CAST(prev_cum // 256 AS BIGINT) AS bin,
             CAST(prev_cum % 256 AS BIGINT) AS bin_offset
           FROM c ORDER BY doc_id""",
+    // The oracle recounts n-gram occurrences by brute unnest + group-by,
+    // independently of Spark's sorted run-length scan.
+    "q89_repetition_stats" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS lst FROM documents),
+          b2 AS (SELECT doc_id, unnest([lst[i] || ' ' || lst[i+1]
+                   for i in range(1, len(lst))]) AS g FROM t),
+          c2 AS (SELECT doc_id, g, count(*) AS c FROM b2 GROUP BY 1, 2),
+          a2 AS (SELECT doc_id, max(c) AS best2,
+                   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup2
+                 FROM c2 GROUP BY 1),
+          b3 AS (SELECT doc_id, unnest([lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]
+                   for i in range(1, len(lst) - 1)]) AS g FROM t),
+          c3 AS (SELECT doc_id, g, count(*) AS c FROM b3 GROUP BY 1, 2),
+          a3 AS (SELECT doc_id, max(c) AS best3,
+                   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3
+                 FROM c3 GROUP BY 1)
+          SELECT t.doc_id, CAST(len(lst) AS BIGINT) AS n_tokens,
+            CAST(coalesce(best2, 0) AS BIGINT) AS top2_count,
+            CASE WHEN len(lst) >= 2
+              THEN CAST(coalesce(best2, 0) AS DOUBLE) / (len(lst) - 1)
+              ELSE 0.0 END AS top2_frac,
+            CASE WHEN len(lst) >= 2
+              THEN CAST(coalesce(dup2, 0) AS DOUBLE) / (len(lst) - 1)
+              ELSE 0.0 END AS dup2_frac,
+            CAST(coalesce(best3, 0) AS BIGINT) AS top3_count,
+            CASE WHEN len(lst) >= 3
+              THEN CAST(coalesce(dup3, 0) AS DOUBLE) / (len(lst) - 2)
+              ELSE 0.0 END AS dup3_frac
+          FROM t LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+          ORDER BY doc_id""",
+    "q90_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $shSql AS sh
+                     FROM (SELECT doc_id, $tokSql AS lst FROM documents) WHERE len(lst) >= 3),
+          e AS (SELECT DISTINCT unnest(sh) AS g FROM t WHERE doc_id % 20 = 0),
+          d AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM t
+                WHERE doc_id % 20 <> 0)
+          SELECT doc_id, count(*) AS n_shared,
+            CAST(count(*) AS DOUBLE) / max(n_sh) AS contam_frac
+          FROM d JOIN e USING (g)
+          GROUP BY doc_id ORDER BY doc_id""",
+    "q91_mixture_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         m AS (SELECT min(n) AS nmin FROM c),
+         r AS (SELECT lang, sqrt(CAST(nmin AS DOUBLE) / n) AS rate FROM c, m),
+         t AS (SELECT doc_id, documents.lang, rate,
+                 CAST(md5_number_lower('mix:' || doc_id) & 4095 AS BIGINT) AS bucket
+               FROM documents JOIN r USING (lang))
+         SELECT doc_id, lang, 1.0 / rate AS weight FROM t
+         WHERE CAST(bucket AS DOUBLE) < rate * 4096.0
+         ORDER BY doc_id""",
     "q32_canonical_fingerprint" ->
       s"""SELECT doc_id,
           md5(array_to_string(list_sort(list_distinct($tokSql)), ' ')) AS fingerprint

@@ -227,4 +227,76 @@ class PipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("repetition stats: planted repeats get exact n-gram fractions") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q89rep").toString
+    Seq(
+      (1L, "a b a b a b", "s", "en", 0L), // bigrams: 3x"a b", 2x"b a"
+      (2L, "x y z w", "s", "en", 0L),     // all n-grams distinct
+      (3L, "q", "s", "en", 0L),           // too short for any n-gram
+      (4L, "p q", "s", "en", 0L))         // bigram yes, trigram no
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.queries("q89_repetition_stats")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getLong(2) == 3L)          // top2_count
+    assert(rows(1L).getDouble(3) == 3.0 / 5)   // top2_frac
+    assert(rows(1L).getDouble(4) == 1.0)       // dup2_frac: every bigram repeats
+    assert(rows(1L).getLong(5) == 2L)          // top3_count ("a b a" twice)
+    assert(rows(1L).getDouble(6) == 1.0)       // dup3_frac
+    assert(rows(2L).getLong(2) == 1L && rows(2L).getDouble(4) == 0.0)
+    assert(rows(3L).getLong(2) == 0L && rows(3L).getDouble(3) == 0.0)
+    assert(rows(4L).getLong(2) == 1L && rows(4L).getLong(5) == 0L
+      && rows(4L).getDouble(6) == 0.0)
+  }
+
+  test("decontaminate: eval docs never appear; an eval copy is fully flagged") {
+    // Invariants on the driver corpus…
+    val rows = Pipeline.queries("q90_decontaminate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 20 != 0, "eval doc in the training output")
+      assert(r.getLong(1) >= 1L)
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+    }
+    // …and exact values on a planted corpus: doc 0 is eval; doc 1 is its
+    // verbatim copy (contam_frac 1.0); doc 2 shares no 3-gram (absent).
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q90dec").toString
+    Seq(
+      (0L, "the quick brown fox jumps over", "s", "en", 0L),
+      (1L, "the quick brown fox jumps over", "s", "en", 0L),
+      (2L, "entirely disjoint vocabulary appears here", "s", "en", 0L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = Pipeline.queries("q90_decontaminate")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(planted.keySet == Set(1L))
+    assert(planted(1L) == ((4L, 1.0))) // 6 tokens -> 4 trigram shingles, all shared
+  }
+
+  test("mixture sample: rarest lang keeps everything at weight 1") {
+    val docs = Tables(spark, sf).documents
+    val langN = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nmin = langN.values.min
+    val rarest = langN.filter(_._2 == nmin).keySet
+    val rows = Pipeline.queries("q91_mixture_sample")(spark, sf).collect()
+    val byLang = rows.groupBy(_.getString(1))
+    rarest.foreach { l =>
+      assert(byLang(l).length == langN(l), s"$l: rate 1.0 must keep all docs")
+      assert(byLang(l).forall(_.getDouble(2) == 1.0))
+    }
+    rows.foreach { r =>
+      val expected = 1.0 / math.sqrt(nmin.toDouble / langN(r.getString(1)))
+      assert(r.getDouble(2) == expected, s"weight for ${r.getString(1)}")
+      assert(r.getDouble(2) >= 1.0)
+    }
+    // the over-represented languages are actually thinned
+    val maxLang = langN.maxBy(_._2)._1
+    assert(byLang(maxLang).length < langN(maxLang))
+  }
 }
