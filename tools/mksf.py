@@ -55,6 +55,14 @@ for t, keys in OFFSET.items():
     for name, typ, *_ in desc:
         if name in keys:
             cols.append(f"CAST({name} + c * {strides[name]} AS {typ}) AS {name}")
+        elif t == "events" and name == "ts":
+            # the driver writes ts as parquet TIMESTAMP(NANOS), which the
+            # engine reads as epoch-nano LONG (nanosAsLong=true); DuckDB
+            # COPY would silently narrow it to TIMESTAMP(MICROS), which
+            # Spark reads as TIMESTAMP_NTZ and every ts arithmetic breaks.
+            # Writing epoch-nano BIGINT is byte-identical from the
+            # engine's point of view.
+            cols.append("epoch_ns(ts) AS ts")
         elif t == "embeddings" and name == "embedding":
             # distinct-but-near copies: +0.003*c on dim 0 only
             cols.append(
