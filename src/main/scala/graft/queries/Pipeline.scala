@@ -600,6 +600,39 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "q92_quality_filter" -> { (s, dir) =>
+      // The composite curation gate: C4/Gopher-style rules evaluated
+      // per document, each failure exposed as its own flag so the
+      // pipeline can report WHY a doc dropped (rule ablation needs the
+      // per-rule counts, not just the survivor set). Rules: too short
+      // (< 25 tokens), too few stopwords (< 4%), mean word length
+      // outside [3, 10], dominant-bigram repetition (>= 8%), and
+      // non-English (an en-only pipeline). Every signal is one of the
+      // existing per-row kernels (stopword_hits, lang_id,
+      // ngram_run_stats) — one codegen'd projection, no shuffle beyond
+      // the presentation sort, embarrassingly parallel at any scale.
+      val t = toks(col("text"))
+      val nTok = size(t)
+      Tables(s, dir).documents
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
+          (stopword_hits(t, "en").cast("double") / nTok).as("stop_ratio"),
+          (length(array_join(t, "")).cast("double") / nTok).as("mean_word_len"),
+          when(nTok >= 2,
+            ngram_run_stats(t, 2).getItem(0).cast("double") / (nTok - 1))
+            .otherwise(0.0).as("top2_frac"),
+          lang_id(t).as("lang_guess"))
+        .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
+          col("mean_word_len"), col("top2_frac"), col("lang_guess"),
+          (col("n_tokens") < 25).as("f_short"),
+          (col("stop_ratio") < 0.04).as("f_stop"),
+          (col("mean_word_len") < 3.0 || col("mean_word_len") > 10.0).as("f_wordlen"),
+          (col("top2_frac") >= 0.08).as("f_rep"),
+          (col("lang_guess") =!= "en").as("f_lang"))
+        .withColumn("keep", !col("f_short") && !col("f_stop")
+          && !col("f_wordlen") && !col("f_rep") && !col("f_lang"))
+    },
+
     "q40_multimodal_features" -> { (s, dir) =>
       // Binary multimodal plumbing with a stubbed decoder: payload is an
       // opaque binary column + typed metadata; "decode" = deterministic
@@ -764,6 +797,41 @@ object Pipeline {
          SELECT doc_id, lang, 1.0 / rate AS weight FROM t
          WHERE CAST(bucket AS DOUBLE) < rate * 4096.0
          ORDER BY doc_id""",
+    "q92_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS lst FROM documents),
+          b2 AS (SELECT doc_id, unnest([lst[i] || ' ' || lst[i+1]
+                   for i in range(1, len(lst))]) AS g FROM t),
+          c2 AS (SELECT doc_id, g, count(*) AS c FROM b2 GROUP BY 1, 2),
+          a2 AS (SELECT doc_id, max(c) AS best2 FROM c2 GROUP BY 1),
+          m AS (SELECT doc_id, len(lst) AS n, lst, coalesce(best2, 0) AS best2,
+                  len(list_filter(lst, x -> list_contains(['the','and','of','to','in','is','a'], x))) AS c_en,
+                  len(list_filter(lst, x -> list_contains(['der','die','und','ist','das','ein'], x))) AS c_de,
+                  len(list_filter(lst, x -> list_contains(['el','la','de','que','y','los'], x))) AS c_es,
+                  len(list_filter(lst, x -> list_contains(['le','la','et','les','des','un'], x))) AS c_fr,
+                  len(list_filter(lst, x -> list_contains(['的','是','不','我','在','了'], x))) AS c_zh
+                FROM t LEFT JOIN a2 USING (doc_id)),
+          f AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                  CAST(c_en AS DOUBLE) / n AS stop_ratio,
+                  CAST(len(array_to_string(lst, '')) AS DOUBLE) / n AS mean_word_len,
+                  CASE WHEN n >= 2 THEN CAST(best2 AS DOUBLE) / (n - 1)
+                       ELSE 0.0 END AS top2_frac,
+                  CASE WHEN greatest(c_en, c_de, c_es, c_fr, c_zh) = 0 THEN 'und'
+                       WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+                       WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+                       WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+                       WHEN c_fr >= c_zh THEN 'fr'
+                       ELSE 'zh' END AS lang_guess
+                FROM m)
+          SELECT doc_id, n_tokens, stop_ratio, mean_word_len, top2_frac, lang_guess,
+            n_tokens < 25 AS f_short,
+            stop_ratio < 0.04 AS f_stop,
+            (mean_word_len < 3.0 OR mean_word_len > 10.0) AS f_wordlen,
+            top2_frac >= 0.08 AS f_rep,
+            lang_guess <> 'en' AS f_lang,
+            NOT (n_tokens < 25 OR stop_ratio < 0.04 OR mean_word_len < 3.0
+                 OR mean_word_len > 10.0 OR top2_frac >= 0.08
+                 OR lang_guess <> 'en') AS keep
+          FROM f ORDER BY doc_id""",
     "q32_canonical_fingerprint" ->
       s"""SELECT doc_id,
           md5(array_to_string(list_sort(list_distinct($tokSql)), ' ')) AS fingerprint

@@ -299,4 +299,59 @@ class PipelineSpec extends SparkSpec {
     val maxLang = langN.maxBy(_._2)._1
     assert(byLang(maxLang).length < langN(maxLang))
   }
+
+  test("quality filter: each rule fires alone on its planted doc") {
+    val session = spark
+    import session.implicits._
+    // stopword-rich English filler with mean word length ~3.3
+    val enPad = "the cats and dogs of all come to you within one house is it a big thing wonderful " * 4
+    val dir = java.nio.file.Files.createTempDirectory("q92qf").toString
+    Seq(
+      (1L, enPad.trim, "s", "en", 0L),                          // clean: kept
+      (2L, "the and of to in is a short text here now", "s", "en", 0L), // 11 tokens -> f_short
+      (3L, ("zq wv xk pj " * 12).trim, "s", "en", 0L),          // no stopwords -> f_stop+f_lang... careful
+      (4L, (enPad + "a b " * 30).trim, "s", "en", 0L),          // repeated bigram -> f_rep
+      (5L, enPad.trim + " " + ("pneumonoultramicroscopic " * 60).trim, "s", "en", 0L)) // long words -> f_wordlen
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.queries("q92_quality_filter")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flags(r: org.apache.spark.sql.Row) =
+      (r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9), r.getBoolean(10))
+    assert(rows(1L).getBoolean(11), s"clean doc dropped: ${rows(1L)}")
+    assert(flags(rows(2L))._1, "doc 2 must flag f_short")
+    assert(flags(rows(3L))._2, "doc 3 must flag f_stop")
+    assert(flags(rows(4L))._4, "doc 4 must flag f_rep")
+    assert(flags(rows(5L))._3, "doc 5 must flag f_wordlen")
+    rows.values.foreach { r =>
+      val (a, b, c, d, e) = flags(r)
+      assert(r.getBoolean(11) == !(a || b || c || d || e), "keep must be !any(flag)")
+    }
+    // and on the driver corpus the rules split non-trivially (f_wordlen
+    // at column 8 excluded: all 50 docs at sf0.001 sit inside [3,10])
+    val corpus = Pipeline.queries("q92_quality_filter")(spark, sf).collect()
+    Seq(6, 7, 9, 10).foreach { i =>
+      assert(corpus.exists(_.getBoolean(i)), s"rule at column $i never fires at $sf")
+    }
+    assert(corpus.exists(_.getBoolean(11)), "nothing survives the gate")
+  }
+
+  test("ngramRunStats kernel matches brute-force counts on random token arrays") {
+    import org.scalacheck.Gen
+    val genToks = Gen.listOf(Gen.oneOf("a", "b", "ab", "ba", "x y", "")).map(_.toArray)
+    val cases = Iterator.continually(genToks.sample).flatten.take(500)
+    cases.foreach { toks =>
+      (1 to 4).foreach { n =>
+        val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          toks.map(s => org.apache.spark.unsafe.types.UTF8String.fromString(s): Any))
+        val got = graft.expressions.SketchKernel.ngramRunStats(arr, n)
+        val grams = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
+        val best = if (counts.isEmpty) 0L else counts.values.max
+        val dup = counts.values.filter(_ > 1).sum
+        assert(got.getLong(0) == best && got.getLong(1) == dup,
+          s"toks=${toks.mkString("[", ",", "]")} n=$n got=(${got.getLong(0)},${got.getLong(1)}) want=($best,$dup)")
+      }
+    }
+  }
 }
