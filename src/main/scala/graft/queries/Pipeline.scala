@@ -45,6 +45,33 @@ object Pipeline {
     t.documents.select(col("doc_id"),
       shingles(toks(col("text")), 3).as("sh"))
 
+  /** q92's gate as a reusable projection over any frame with (doc_id,
+    * text) — pure per-row Columns, so the SAME code runs over a batch
+    * scan and a readStream (EventStreamsSpec pins the parity). Callers
+    * sort first if presentation order matters (kernels must stay above
+    * the range sort). */
+  def qualityFlags(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = size(t)
+    docs
+      .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
+        (stopword_hits(t, "en").cast("double") / nTok).as("stop_ratio"),
+        (length(array_join(t, "")).cast("double") / nTok).as("mean_word_len"),
+        when(nTok >= 2,
+          ngram_run_stats(t, 2).getItem(0).cast("double") / (nTok - 1))
+          .otherwise(0.0).as("top2_frac"),
+        lang_id(t).as("lang_guess"))
+      .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
+        col("mean_word_len"), col("top2_frac"), col("lang_guess"),
+        (col("n_tokens") < 25).as("f_short"),
+        (col("stop_ratio") < 0.04).as("f_stop"),
+        (col("mean_word_len") < 3.0 || col("mean_word_len") > 10.0).as("f_wordlen"),
+        (col("top2_frac") >= 0.08).as("f_rep"),
+        (col("lang_guess") =!= "en").as("f_lang"))
+      .withColumn("keep", !col("f_short") && !col("f_stop")
+        && !col("f_wordlen") && !col("f_rep") && !col("f_lang"))
+  }
+
   /** Capped posting-list bucket join, shared by every banded/prefix
     * candidate generator (q31/q38/q41/q82): group `rows` by `bucket`,
     * keep each bucket's 64 lowest-id members (`member` is a struct whose
@@ -611,26 +638,7 @@ object Pipeline {
       // existing per-row kernels (stopword_hits, lang_id,
       // ngram_run_stats) — one codegen'd projection, no shuffle beyond
       // the presentation sort, embarrassingly parallel at any scale.
-      val t = toks(col("text"))
-      val nTok = size(t)
-      Tables(s, dir).documents
-        .orderBy(col("doc_id"))
-        .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
-          (stopword_hits(t, "en").cast("double") / nTok).as("stop_ratio"),
-          (length(array_join(t, "")).cast("double") / nTok).as("mean_word_len"),
-          when(nTok >= 2,
-            ngram_run_stats(t, 2).getItem(0).cast("double") / (nTok - 1))
-            .otherwise(0.0).as("top2_frac"),
-          lang_id(t).as("lang_guess"))
-        .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
-          col("mean_word_len"), col("top2_frac"), col("lang_guess"),
-          (col("n_tokens") < 25).as("f_short"),
-          (col("stop_ratio") < 0.04).as("f_stop"),
-          (col("mean_word_len") < 3.0 || col("mean_word_len") > 10.0).as("f_wordlen"),
-          (col("top2_frac") >= 0.08).as("f_rep"),
-          (col("lang_guess") =!= "en").as("f_lang"))
-        .withColumn("keep", !col("f_short") && !col("f_stop")
-          && !col("f_wordlen") && !col("f_rep") && !col("f_lang"))
+      qualityFlags(Tables(s, dir).documents.orderBy(col("doc_id")))
     },
 
     "q40_multimodal_features" -> { (s, dir) =>

@@ -133,4 +133,23 @@ object DedupStreams {
       .transformWithState(new NearDupProcessor(maxPerBucket, maxHamming, ttl),
         timeMode, OutputMode.Append())
   }
+
+  /** Streaming benchmark decontamination: the online form of batch q90.
+    * `docs` is a stream of (doc_id, event_time, sh: array<string>);
+    * `evalGrams` is the STATIC distinct shingle set of the held-out
+    * benchmark — stream-static joins re-resolve the static side per
+    * micro-batch and broadcast it (it is small by construction), so the
+    * ingest stream itself never shuffles for the membership test. A doc
+    * is flagged the moment any of its shingles matches (left-semi on the
+    * exploded grams); dropDuplicatesWithinWatermark collapses the
+    * per-gram hits to one emission per doc with state bounded by
+    * contaminated-docs-per-horizon, not corpus size. */
+  def decontaminate(docs: DataFrame, evalGrams: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("event_time", watermark)
+      .select(col("doc_id"), col("event_time"), explode(col("sh")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .dropDuplicatesWithinWatermark(Seq("doc_id"))
+      .select(col("doc_id"))
 }

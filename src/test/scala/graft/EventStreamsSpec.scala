@@ -209,6 +209,47 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontaminate flags exactly the batch q90 docs") {
+    import graft.functions.{shingles, tokens}
+    val docsSchema = spark.read.parquet(docsDir).schema
+    // static side: the held-out benchmark's distinct shingle set
+    val evalGrams = spark.read.parquet(docsDir)
+      .filter(col("doc_id") % 20 === 0)
+      .select(explode(shingles(tokens(col("text")), 3)).as("g")).distinct()
+    val stream = spark.readStream.schema(docsSchema).parquet(docsDir)
+      .filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"),
+        timestamp_micros(col("doc_id")).as("event_time"),
+        shingles(tokens(col("text")), 3).as("sh"))
+    val q = graft.streaming.DedupStreams.decontaminate(stream, evalGrams)
+      .writeStream.outputMode("append").format("memory").queryName("decon_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id FROM decon_out")
+        .collect().map(_.getLong(0)).toSet
+      val batch = graft.queries.Pipeline.queries("q90_decontaminate")(spark, sf)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("quality gate flags on a stream equal the batch q92 rows") {
+    // qualityFlags is pure per-row Columns, so the identical code plans
+    // over readStream — no state, no watermark, append-safe
+    val docsSchema = spark.read.parquet(docsDir).schema
+    val stream = spark.readStream.schema(docsSchema).parquet(docsDir)
+    val q = graft.queries.Pipeline.qualityFlags(stream)
+      .writeStream.outputMode("append").format("memory").queryName("gate_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM gate_out").collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      val batch = graft.queries.Pipeline.queries("q92_quality_filter")(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("CEL programs run over a structured stream (both tiers), matching batch") {
     // the CEL front-end is an ordinary Column, so it composes with
     // readStream unchanged — the reference's one-doc-at-a-time loop
