@@ -627,6 +627,36 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "q93_semantic_dedup" -> { (s, dir) =>
+      // SemDeDup (Abbas et al. 2023): semantic deduplication by
+      // embedding similarity INSIDE clusters — the cluster bound is
+      // what makes the quadratic pair check tractable. Cells come from
+      // q57's trainingless IVF codebook; within a cell, keep-first: a
+      // vector is dropped when any lower-id cell-mate has cosine >= t.
+      // (Pairwise, not transitive — q86 is the transitive-closure
+      // operator.) 100 TB shape: one shuffle on cell, pairs bounded by
+      // cell size, and K grows with the corpus so cells stay small; the
+      // cosine rounds to 6dp before the threshold compare so the
+      // DuckDB oracle makes the identical keep decision.
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+        .withColumn("ss", dot_product(col("emb"), col("emb")))
+        .withColumn("cell", ivf_cell(col("emb"), 16))
+      val dups = e.as("a").join(e.as("b"), col("a.cell") === col("b.cell")
+          && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", round(dot_product(col("a.emb"), col("b.emb")) /
+          (sqrt(col("a.ss")) * sqrt(col("b.ss"))), 6))
+        .filter(col("cos") >= 0.45)
+        .groupBy(col("b.vec_id").as("vec_id"))
+        .agg(count(lit(1)).as("n_dups"))
+      e.select(col("vec_id"), col("cell"))
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          (coalesce(col("n_dups"), lit(0L)) === 0L).as("kept"))
+        .orderBy(col("vec_id"))
+    },
+
     "q92_quality_filter" -> { (s, dir) =>
       // The composite curation gate: C4/Gopher-style rules evaluated
       // per document, each failure exposed as its own flag so the
@@ -805,6 +835,32 @@ object Pipeline {
          SELECT doc_id, lang, 1.0 / rate AS weight FROM t
          WHERE CAST(bucket AS DOUBLE) < rate * 4096.0
          ORDER BY doc_id""",
+    // The oracle recomputes cells and within-cell cosines brute-force
+    // (q57's codebook SQL), independently of Spark's join order.
+    "q93_semantic_dedup" ->
+      """WITH c AS (SELECT vec_id, embedding,
+             list_transform(range(0, 16), k -> list_sum(list_transform(range(1, 65), i ->
+               CAST(embedding[i] AS DOUBLE) *
+               (CASE WHEN (md5_number_lower('ivf_' || k::VARCHAR || '_' || (i-1)::VARCHAR) & 1) = 1
+                     THEN 1.0 ELSE -1.0 END)))) AS dots,
+             list_sum(list_transform(range(1, 65), i ->
+               CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS ss
+           FROM embeddings),
+         d AS (SELECT vec_id, embedding, ss, k, dots[CAST(k AS INT) + 1] AS dot
+               FROM c, range(0, 16) t(k)),
+         asg AS (SELECT vec_id, embedding, ss, k AS cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, k) AS rk FROM d),
+         a AS (SELECT vec_id, embedding, ss, cell FROM asg WHERE rk = 1),
+         p AS (SELECT y.vec_id AS vec_id, count(*) AS n_dups
+               FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+               WHERE round(list_sum(list_transform(range(1, 65), i ->
+                       CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+                     / (sqrt(x.ss) * sqrt(y.ss)), 6) >= 0.45
+               GROUP BY y.vec_id)
+         SELECT a.vec_id, CAST(cell AS INT) AS cell,
+           CAST(coalesce(n_dups, 0) AS BIGINT) AS n_dups,
+           coalesce(n_dups, 0) = 0 AS kept
+         FROM a LEFT JOIN p USING (vec_id) ORDER BY vec_id""",
     "q92_quality_filter" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS lst FROM documents),
           b2 AS (SELECT doc_id, unnest([lst[i] || ' ' || lst[i+1]

@@ -336,6 +336,30 @@ class PipelineSpec extends SparkSpec {
     assert(corpus.exists(_.getBoolean(11)), "nothing survives the gate")
   }
 
+  test("semantic dedup: keep-first drops planted duplicates, keeps the rest") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q93sem").toString
+    val e1 = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val e2 = Array.tabulate(64)(i => if (i == 1) 1.0f else 0.0f)
+    Seq((1L, e1), (2L, e1), (3L, e1), (4L, e2))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Pipeline.queries("q93_semantic_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(rows(1L) == ((0L, true)), "first copy is the keeper")
+    assert(rows(2L) == ((1L, false)))
+    assert(rows(3L) == ((2L, false)))
+    assert(rows(4L)._2, "orthogonal vector must survive")
+    // invariants on the driver corpus
+    val corpus = Pipeline.queries("q93_semantic_dedup")(spark, sf).collect()
+    assert(corpus.length == Tables(spark, sf).embeddings.count())
+    corpus.foreach { r =>
+      assert(r.getBoolean(3) == (r.getLong(2) == 0L))
+      assert(r.getInt(1) >= 0 && r.getInt(1) < 16)
+    }
+  }
+
   test("ngramRunStats kernel matches brute-force counts on random token arrays") {
     import org.scalacheck.Gen
     val genToks = Gen.listOf(Gen.oneOf("a", "b", "ab", "ba", "x y", "")).map(_.toArray)
