@@ -627,6 +627,27 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "q94_span_dedup" -> { (s, dir) =>
+      // Cross-document repeated-span detection (the scalable form of
+      // exact-substring dedup, Lee et al. 2022): count, per doc, how
+      // many of its distinct 8-token windows also occur in another
+      // document. Unlike q31/q82 (whole-doc similarity) this finds
+      // shared SPANS between otherwise-unrelated docs (boilerplate,
+      // license headers, quoted passages). Plan shape: per-gram doc
+      // counts via a window over ONE gram shuffle (no groupBy+join-back
+      // second shuffle), then the per-doc rollup — never a pair join,
+      // which is what keeps exact span dedup tractable at corpus scale.
+      val sh8 = Tables(s, dir).documents
+        .select(col("doc_id"), explode(shingles(toks(col("text")), 8)).as("g"))
+        .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("g"))))
+      sh8.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_windows"), col("n_shared"),
+          (col("n_shared").cast("double") / col("n_windows")).as("shared_frac"))
+        .orderBy(col("doc_id"))
+    },
+
     "q93_semantic_dedup" -> { (s, dir) =>
       // SemDeDup (Abbas et al. 2023): semantic deduplication by
       // embedding similarity INSIDE clusters — the cluster bound is
@@ -835,6 +856,19 @@ object Pipeline {
          SELECT doc_id, lang, 1.0 / rate AS weight FROM t
          WHERE CAST(bucket AS DOUBLE) < rate * 4096.0
          ORDER BY doc_id""",
+    "q94_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS lst FROM documents),
+          s AS (SELECT doc_id, list_distinct([array_to_string(lst[i:i+7], ' ')
+                  for i in range(1, len(lst) - 6)]) AS sh
+                FROM t WHERE len(lst) >= 8),
+          g AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          c AS (SELECT g, count(*) AS n_docs FROM g GROUP BY g)
+          SELECT doc_id, count(*) AS n_windows,
+            CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+            CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*) AS shared_frac
+          FROM g JOIN c USING (g)
+          GROUP BY doc_id ORDER BY doc_id""",
     // The oracle recomputes cells and within-cell cosines brute-force
     // (q57's codebook SQL), independently of Spark's join order.
     "q93_semantic_dedup" ->

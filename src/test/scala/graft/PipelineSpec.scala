@@ -360,6 +360,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("span dedup: a planted 8-token span is found in both carriers only") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q94span").toString
+    val span = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 tokens
+    Seq(
+      (1L, s"one two three $span four five", "s", "en", 0L),
+      (2L, s"six seven $span eight nine ten eleven", "s", "en", 0L),
+      (3L, "u v w x y z aa bb cc dd", "s", "en", 0L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.queries("q94_span_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 13 tokens -> 6 windows; only the one fully inside the span matches
+    assert(rows(1L) == ((6L, 1L)), s"doc 1: ${rows(1L)}")
+    assert(rows(2L) == ((7L, 1L)), s"doc 2: ${rows(2L)}")
+    assert(rows(3L) == ((3L, 0L)), s"doc 3: ${rows(3L)}")
+    // corpus invariants: n_shared <= n_windows, frac in [0,1]
+    val corpus = Pipeline.queries("q94_span_dedup")(spark, sf).collect()
+    corpus.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("ngramRunStats kernel matches brute-force counts on random token arrays") {
     import org.scalacheck.Gen
     val genToks = Gen.listOf(Gen.oneOf("a", "b", "ab", "ba", "x y", "")).map(_.toArray)
