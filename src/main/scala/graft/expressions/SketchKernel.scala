@@ -253,15 +253,30 @@ object SketchKernel {
     * oracle-recomputable). Left-to-right accumulation matches the
     * oracle's list_sum fold. The scale path for ANN: band the bits,
     * bucket-join, exact-verify candidates only. */
+  // Dense per-(nbits, dims) hyperplane cache (same reasoning as
+  // ivfMatrix below: no boxed CHM get inside the multiply loop).
+  private val planeMat = new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Double]]]()
+  private def planeMatrix(nbits: Int, d: Int): Array[Array[Double]] = {
+    val key = nbits.toLong << 32 | d.toLong
+    var m = planeMat.get(key)
+    if (m == null) {
+      m = Array.tabulate(nbits, d)((p, j) => rademacher(p, j))
+      planeMat.putIfAbsent(key, m)
+    }
+    m
+  }
+
   def embedSignBits(emb: ArrayData, nbits: Int): Long = {
     val d = emb.numElements()
+    val mat = planeMatrix(nbits, d)
     var sig = 0L
     var p = 0
     while (p < nbits) {
+      val row = mat(p)
       var acc = 0d
       var j = 0
       while (j < d) {
-        acc += emb.getDouble(j) * rademacher(p, j)
+        acc += emb.getDouble(j) * row(j)
         j += 1
       }
       if (acc >= 0) sig |= (1L << p)
@@ -285,14 +300,32 @@ object SketchKernel {
     w.doubleValue()
   }
 
+  // Dense per-(K, dims) codebook cache: the per-(k, j) CHM lookup above
+  // is fine for building, but INSIDE the per-row loop it costs a boxed
+  // map get per multiply (K=160, d=64 -> 10k gets/row; measured ~12x
+  // slower than the dense walk at sf1). One CHM hit per row fetches the
+  // whole primitive matrix instead.
+  private val ivfMat = new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Double]]]()
+  private def ivfMatrix(nCells: Int, d: Int): Array[Array[Double]] = {
+    val key = nCells.toLong << 32 | d.toLong
+    var m = ivfMat.get(key)
+    if (m == null) {
+      m = Array.tabulate(nCells, d)((k, j) => ivfW(k, j))
+      ivfMat.putIfAbsent(key, m)
+    }
+    m
+  }
+
   private def ivfDots(emb: ArrayData, nCells: Int): Array[Double] = {
     val d = emb.numElements()
+    val mat = ivfMatrix(nCells, d)
     val dots = new Array[Double](nCells)
     var k = 0
     while (k < nCells) {
+      val row = mat(k)
       var acc = 0d
       var j = 0
-      while (j < d) { acc += emb.getDouble(j) * ivfW(k, j); j += 1 }
+      while (j < d) { acc += emb.getDouble(j) * row(j); j += 1 }
       dots(k) = acc
       k += 1
     }

@@ -656,13 +656,20 @@ object Pipeline {
       // vector is dropped when any lower-id cell-mate has cosine >= t.
       // (Pairwise, not transitive — q86 is the transitive-closure
       // operator.) 100 TB shape: one shuffle on cell, pairs bounded by
-      // cell size, and K grows with the corpus so cells stay small; the
-      // cosine rounds to 6dp before the threshold compare so the
-      // DuckDB oracle makes the identical keep decision.
+      // cell size, and K GROWS with the corpus (~125 vectors/cell, from
+      // a cheap parquet footer count, memoized like q37's guard) so the
+      // within-cell quadratic stays linear overall — at fixed K=16 the
+      // sf1 ratio measured 16x for 10x data; adaptive K returns it to
+      // ~linear. The oracle computes the identical K from its own
+      // count(*). Cosines round to 6dp before the threshold compare so
+      // the oracle makes the identical keep decision.
+      val n: Long = Pipeline.embCount.computeIfAbsent(dir,
+        d => Tables(s, d).embeddings.count())
+      val k = math.max(16L, n / 125L).toInt
       val e = Tables(s, dir).embeddings
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
         .withColumn("ss", dot_product(col("emb"), col("emb")))
-        .withColumn("cell", ivf_cell(col("emb"), 16))
+        .withColumn("cell", ivf_cell(col("emb"), k))
       val dups = e.as("a").join(e.as("b"), col("a.cell") === col("b.cell")
           && col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos", round(dot_product(col("a.emb"), col("b.emb")) /
@@ -872,16 +879,20 @@ object Pipeline {
     // The oracle recomputes cells and within-cell cosines brute-force
     // (q57's codebook SQL), independently of Spark's join order.
     "q93_semantic_dedup" ->
-      """WITH c AS (SELECT vec_id, embedding,
-             list_transform(range(0, 16), k -> list_sum(list_transform(range(1, 65), i ->
+      """WITH kk AS (SELECT greatest(16, CAST(count(*) // 125 AS INT)) AS nk
+                     FROM embeddings),
+         c AS (SELECT vec_id, embedding,
+             list_transform(range(0, nk), k -> list_sum(list_transform(range(1, 65), i ->
                CAST(embedding[i] AS DOUBLE) *
                (CASE WHEN (md5_number_lower('ivf_' || k::VARCHAR || '_' || (i-1)::VARCHAR) & 1) = 1
                      THEN 1.0 ELSE -1.0 END)))) AS dots,
              list_sum(list_transform(range(1, 65), i ->
                CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS ss
-           FROM embeddings),
+           FROM embeddings, kk),
+         d0 AS (SELECT vec_id, embedding, ss, dots, unnest(range(0, nk)) AS k
+                FROM c, kk),
          d AS (SELECT vec_id, embedding, ss, k, dots[CAST(k AS INT) + 1] AS dot
-               FROM c, range(0, 16) t(k)),
+               FROM d0),
          asg AS (SELECT vec_id, embedding, ss, k AS cell,
                  row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, k) AS rk FROM d),
          a AS (SELECT vec_id, embedding, ss, cell FROM asg WHERE rk = 1),
