@@ -351,6 +351,37 @@ object SketchKernel {
       order.map(java.lang.Integer.valueOf(_): Any).toArray)
   }
 
+  /** q95 character statistics in one codepoint pass:
+    * [n_codepoints, n_distinct, shannon_entropy_bits]. Entropy uses
+    * H = log2(N) - sum(n*log2(n))/N with the sum taken in ascending
+    * codepoint order — a fixed order keeps the float result stable
+    * across runs; the caller still rounds to 6dp before comparing
+    * because the DuckDB oracle's group-by accumulates in its own
+    * order (differences ~1e-15). */
+  def charStats(text: UTF8String): ArrayData = {
+    val counts = new java.util.TreeMap[Integer, Integer]()
+    val s = text.toString
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1, (a, b) => a + b)
+      i += Character.charCount(cp)
+      n += 1
+    }
+    val entropy = if (n == 0) 0.0 else {
+      var acc = 0d
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next().doubleValue()
+        acc += c * (math.log(c) / math.log(2.0))
+      }
+      math.log(n.toDouble) / math.log(2.0) - acc / n
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](n.toDouble, counts.size.toDouble, entropy))
+  }
+
   /** The multimodal decode STUB: a deterministic 16-bin byte histogram
     * "feature extractor" standing in for a real image/audio decoder
     * (decoder libs are unavailable in this environment — the Spark-side

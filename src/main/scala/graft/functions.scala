@@ -339,6 +339,11 @@ object functions {
     call(K, ArrayType(LongType, containsNull = false), "ngramRunStats",
       Seq(ArrS, IntegerType), toks, F.lit(n))
 
+  /** q95 char stats: [n_codepoints, n_distinct, shannon_entropy_bits]. */
+  def char_stats(text: Column): Column =
+    call(K, ArrayType(DoubleType, containsNull = false), "charStats",
+      Seq(Str), text)
+
   /** Charikar SimHash-64 of a token array. */
   def simhash64(toks: Column): Column =
     call(K, LongType, "simhash64", Seq(ArrS), toks)

@@ -627,6 +627,48 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "q95_char_entropy" -> { (s, dir) =>
+      // Character-level Shannon entropy — the classic gibberish /
+      // binary-leak / encoding-corruption signal (natural text sits in
+      // a narrow bits-per-char band; base64 blobs and key dumps sit
+      // high, repeated-char junk sits low). One codepoint-pass kernel
+      // per row; entropy rounds to 6dp before compare because the
+      // oracle's group-by accumulates float terms in its own order.
+      Tables(s, dir).documents
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"), char_stats(col("text")).as("cs"))
+        .select(col("doc_id"),
+          col("cs").getItem(0).cast("long").as("n_chars"),
+          col("cs").getItem(1).cast("long").as("n_distinct_chars"),
+          round(col("cs").getItem(2), 6).as("entropy_bits"))
+    },
+
+    "q96_corpus_report" -> { (s, dir) =>
+      // The "what is in my corpus" report every pipeline runs before
+      // training: per (lang, source) doc/token/byte totals, each
+      // group's token share, and the cumulative share in descending
+      // token order (how many groups cover 90% of the corpus). One
+      // partial-agg shuffle to ~|langs x sources| rows; the share
+      // windows run over that tiny aggregate, not the corpus. The
+      // cumulative sum's float order is pinned by the window's total
+      // order (n_tokens desc, lang, source), so the oracle accumulates
+      // in the identical sequence.
+      val g = Tables(s, dir).documents
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks(col("text"))).cast("long")).as("n_tokens"),
+          sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+      val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ord = Window.orderBy(col("n_tokens").desc, col("lang"), col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("token_share",
+          col("n_tokens").cast("double") / sum(col("n_tokens")).over(all))
+        // round: DuckDB evaluates window sums with a segment tree, so
+        // the running sum associates differently and drifts ~1e-16
+        .withColumn("cum_share", round(sum(col("token_share")).over(ord), 12))
+        .orderBy(col("n_tokens").desc, col("lang"), col("source"))
+    },
+
     "q94_span_dedup" -> { (s, dir) =>
       // Cross-document repeated-span detection (the scalable form of
       // exact-substring dedup, Lee et al. 2022): count, per doc, how
@@ -863,6 +905,28 @@ object Pipeline {
          SELECT doc_id, lang, 1.0 / rate AS weight FROM t
          WHERE CAST(bucket AS DOUBLE) < rate * 4096.0
          ORDER BY doc_id""",
+    "q95_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+         g AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+         e AS (SELECT doc_id, sum(n) AS n_chars, count(*) AS n_distinct,
+                 round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS h
+               FROM g GROUP BY doc_id)
+         SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_distinct AS BIGINT) AS n_distinct_chars,
+           h AS entropy_bits
+         FROM e ORDER BY doc_id""",
+    "q96_corpus_report" ->
+      s"""WITH g AS (SELECT lang, source, count(*) AS n_docs,
+                 CAST(sum(len($tokSql)) AS BIGINT) AS n_tokens,
+                 CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+               FROM documents GROUP BY lang, source),
+          s AS (SELECT lang, source, n_docs, n_tokens, n_bytes,
+                  CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS token_share
+                FROM g)
+          SELECT lang, source, n_docs, n_tokens, n_bytes, token_share,
+            round(sum(token_share) OVER (ORDER BY n_tokens DESC, lang, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 12) AS cum_share
+          FROM s ORDER BY n_tokens DESC, lang, source""",
     "q94_span_dedup" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS lst FROM documents),
           s AS (SELECT doc_id, list_distinct([array_to_string(lst[i:i+7], ' ')

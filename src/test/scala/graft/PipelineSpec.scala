@@ -385,6 +385,42 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("char entropy: known distributions get exact bits") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q95ent").toString
+    Seq(
+      (1L, "aaaaaaaa", "s", "en", 0L),      // one symbol -> 0 bits
+      (2L, "abababab", "s", "en", 0L),      // two equiprobable -> 1 bit
+      (3L, "hello world", "s", "en", 0L),   // hand-computed 2.845351
+      (4L, "的的a", "s", "zh", 0L))         // codepoint counting, not bytes
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.queries("q95_char_entropy")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(1L) == ((8L, 1L, 0.0)))
+    assert(rows(2L) == ((8L, 2L, 1.0)))
+    assert(rows(3L) == ((11L, 8L, 2.845351)))
+    assert(rows(4L)._1 == 3L && rows(4L)._2 == 2L)
+  }
+
+  test("corpus report: shares sum to one, cumulative is a total coverage curve") {
+    val rows = Pipeline.queries("q96_corpus_report")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getDouble(5))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+    val cums = rows.map(_.getDouble(6))
+    cums.sliding(2).foreach {
+      case Array(a, b) => assert(b >= a, "cum_share must be nondecreasing")
+      case _ =>
+    }
+    assert(math.abs(cums.last - 1.0) < 1e-9)
+    assert(rows.map(_.getLong(2)).sum == Tables(spark, sf).documents.count())
+    // descending token order
+    val toks = rows.map(_.getLong(3))
+    assert(toks.sameElements(toks.sorted(Ordering[Long].reverse)))
+  }
+
   test("ngramRunStats kernel matches brute-force counts on random token arrays") {
     import org.scalacheck.Gen
     val genToks = Gen.listOf(Gen.oneOf("a", "b", "ab", "ba", "x y", "")).map(_.toArray)
