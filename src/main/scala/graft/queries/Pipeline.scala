@@ -72,6 +72,21 @@ object Pipeline {
         && !col("f_wordlen") && !col("f_rep") && !col("f_lang"))
   }
 
+  /** q92's keep decision as ONE boolean Column — the composed pipeline
+    * (q97) filters on it without materializing per-rule flags. Kept as
+    * the rule-by-rule positive form; must stay the exact negation of
+    * qualityFlags' failure flags. */
+  private def qualityKeep: Column = {
+    val t = toks(col("text"))
+    val nTok = size(t)
+    val stopRatio = stopword_hits(t, "en").cast("double") / nTok
+    val mwl = length(array_join(t, "")).cast("double") / nTok
+    val top2 = when(nTok >= 2,
+      ngram_run_stats(t, 2).getItem(0).cast("double") / (nTok - 1)).otherwise(0.0)
+    nTok >= 25 && stopRatio >= 0.04 && mwl >= 3.0 && mwl <= 10.0 &&
+      top2 < 0.08 && lang_id(t) === "en"
+  }
+
   /** Capped posting-list bucket join, shared by every banded/prefix
     * candidate generator (q31/q38/q41/q82): group `rows` by `bucket`,
     * keep each bucket's 64 lowest-id members (`member` is a struct whose
@@ -627,6 +642,36 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "q97_curation_pipeline" -> { (s, dir) =>
+      // The end-to-end curation DAG as ONE Spark plan — quality gate ->
+      // exact dedup (keep min doc_id per content hash) -> deterministic
+      // split assignment -> per-(split, source) sequence packing. This
+      // is the composition story: every stage is the same Column logic
+      // as its standalone query (q92/q30/q83/q88), fused by Catalyst
+      // into a single job with one hash-window shuffle (dedup) and one
+      // pack-window shuffle — no materialization between stages. The
+      // oracle replays the identical SQL stages over the shared q92
+      // CTE block, so gate decisions can't drift between the two.
+      val kept = Tables(s, dir).documents.filter(qualityKeep)
+      val deduped = kept
+        .withColumn("keeper",
+          min(col("doc_id")).over(Window.partitionBy(md5(col("text").cast("binary")))))
+        .filter(col("doc_id") === col("keeper"))
+      val bucket = md5_lower64(concat(lit("split:"),
+        col("doc_id").cast("string")).cast("binary")).bitwiseAND(lit(1023L))
+      val wPack = Window.partitionBy(col("split"), col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      deduped
+        .select(col("doc_id"), col("source"),
+          when(bucket < 819, "train").when(bucket < 922, "valid")
+            .otherwise("test").as("split"),
+          size(toks(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("prev_cum", coalesce(sum(col("n_tokens")).over(wPack), lit(0L)))
+        .select(col("doc_id"), col("source"), col("split"), col("n_tokens"),
+          expr("prev_cum DIV 256").as("bin"))
+        .orderBy(col("doc_id"))
+    },
+
     "q95_char_entropy" -> { (s, dir) =>
       // Character-level Shannon entropy — the classic gibberish /
       // binary-leak / encoding-corruption signal (natural text sits in
@@ -760,6 +805,45 @@ object Pipeline {
   private val tokSql = """string_split_regex(trim(text), '\s+')"""
   private val shSql =
     """list_distinct([lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2] for i in range(1, len(lst) - 1)])"""
+
+  /** The q92 quality-rule CTE block (ends in `fk`: per-doc metrics,
+    * per-rule flags, and `keep`), shared verbatim by the q97 composed
+    * pipeline's oracle so both gates make the identical decision. */
+  private val qualityCteSql =
+    s"""t AS (SELECT doc_id, $tokSql AS lst FROM documents),
+          b2 AS (SELECT doc_id, unnest([lst[i] || ' ' || lst[i+1]
+                   for i in range(1, len(lst))]) AS g FROM t),
+          c2 AS (SELECT doc_id, g, count(*) AS c FROM b2 GROUP BY 1, 2),
+          a2 AS (SELECT doc_id, max(c) AS best2 FROM c2 GROUP BY 1),
+          m AS (SELECT doc_id, len(lst) AS n, lst, coalesce(best2, 0) AS best2,
+                  len(list_filter(lst, x -> list_contains(['the','and','of','to','in','is','a'], x))) AS c_en,
+                  len(list_filter(lst, x -> list_contains(['der','die','und','ist','das','ein'], x))) AS c_de,
+                  len(list_filter(lst, x -> list_contains(['el','la','de','que','y','los'], x))) AS c_es,
+                  len(list_filter(lst, x -> list_contains(['le','la','et','les','des','un'], x))) AS c_fr,
+                  len(list_filter(lst, x -> list_contains(['的','是','不','我','在','了'], x))) AS c_zh
+                FROM t LEFT JOIN a2 USING (doc_id)),
+          f AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                  CAST(c_en AS DOUBLE) / n AS stop_ratio,
+                  CAST(len(array_to_string(lst, '')) AS DOUBLE) / n AS mean_word_len,
+                  CASE WHEN n >= 2 THEN CAST(best2 AS DOUBLE) / (n - 1)
+                       ELSE 0.0 END AS top2_frac,
+                  CASE WHEN greatest(c_en, c_de, c_es, c_fr, c_zh) = 0 THEN 'und'
+                       WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+                       WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+                       WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+                       WHEN c_fr >= c_zh THEN 'fr'
+                       ELSE 'zh' END AS lang_guess
+                FROM m),
+          fk AS (SELECT doc_id, n_tokens, stop_ratio, mean_word_len, top2_frac, lang_guess,
+                  n_tokens < 25 AS f_short,
+                  stop_ratio < 0.04 AS f_stop,
+                  (mean_word_len < 3.0 OR mean_word_len > 10.0) AS f_wordlen,
+                  top2_frac >= 0.08 AS f_rep,
+                  lang_guess <> 'en' AS f_lang,
+                  NOT (n_tokens < 25 OR stop_ratio < 0.04 OR mean_word_len < 3.0
+                       OR mean_word_len > 10.0 OR top2_frac >= 0.08
+                       OR lang_guess <> 'en') AS keep
+                 FROM f)"""
 
   def oracle: Map[String, String] = Map(
     "q30_exact_dedup" ->
@@ -905,6 +989,27 @@ object Pipeline {
          SELECT doc_id, lang, 1.0 / rate AS weight FROM t
          WHERE CAST(bucket AS DOUBLE) < rate * 4096.0
          ORDER BY doc_id""",
+    "q97_curation_pipeline" ->
+      s"""WITH $qualityCteSql,
+          kept AS (SELECT d.doc_id, d.text, d.source
+                   FROM documents d JOIN fk USING (doc_id) WHERE fk.keep),
+          ded AS (SELECT doc_id, text, source FROM (
+                    SELECT doc_id, text, source,
+                      min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM kept)
+                  WHERE doc_id = keeper),
+          sp AS (SELECT doc_id, source,
+                   CASE WHEN CAST(md5_number_lower('split:' || doc_id) & 1023 AS BIGINT) < 819 THEN 'train'
+                        WHEN CAST(md5_number_lower('split:' || doc_id) & 1023 AS BIGINT) < 922 THEN 'valid'
+                        ELSE 'test' END AS split,
+                   CAST(len($tokSql) AS BIGINT) AS n_tokens
+                 FROM ded),
+          pc AS (SELECT doc_id, source, split, n_tokens,
+                   coalesce(sum(n_tokens) OVER (PARTITION BY split, source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+                 FROM sp)
+          SELECT doc_id, source, split, n_tokens,
+            CAST(prev_cum // 256 AS BIGINT) AS bin
+          FROM pc ORDER BY doc_id""",
     "q95_char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
          g AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
@@ -971,40 +1076,10 @@ object Pipeline {
            coalesce(n_dups, 0) = 0 AS kept
          FROM a LEFT JOIN p USING (vec_id) ORDER BY vec_id""",
     "q92_quality_filter" ->
-      s"""WITH t AS (SELECT doc_id, $tokSql AS lst FROM documents),
-          b2 AS (SELECT doc_id, unnest([lst[i] || ' ' || lst[i+1]
-                   for i in range(1, len(lst))]) AS g FROM t),
-          c2 AS (SELECT doc_id, g, count(*) AS c FROM b2 GROUP BY 1, 2),
-          a2 AS (SELECT doc_id, max(c) AS best2 FROM c2 GROUP BY 1),
-          m AS (SELECT doc_id, len(lst) AS n, lst, coalesce(best2, 0) AS best2,
-                  len(list_filter(lst, x -> list_contains(['the','and','of','to','in','is','a'], x))) AS c_en,
-                  len(list_filter(lst, x -> list_contains(['der','die','und','ist','das','ein'], x))) AS c_de,
-                  len(list_filter(lst, x -> list_contains(['el','la','de','que','y','los'], x))) AS c_es,
-                  len(list_filter(lst, x -> list_contains(['le','la','et','les','des','un'], x))) AS c_fr,
-                  len(list_filter(lst, x -> list_contains(['的','是','不','我','在','了'], x))) AS c_zh
-                FROM t LEFT JOIN a2 USING (doc_id)),
-          f AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-                  CAST(c_en AS DOUBLE) / n AS stop_ratio,
-                  CAST(len(array_to_string(lst, '')) AS DOUBLE) / n AS mean_word_len,
-                  CASE WHEN n >= 2 THEN CAST(best2 AS DOUBLE) / (n - 1)
-                       ELSE 0.0 END AS top2_frac,
-                  CASE WHEN greatest(c_en, c_de, c_es, c_fr, c_zh) = 0 THEN 'und'
-                       WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
-                       WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
-                       WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
-                       WHEN c_fr >= c_zh THEN 'fr'
-                       ELSE 'zh' END AS lang_guess
-                FROM m)
-          SELECT doc_id, n_tokens, stop_ratio, mean_word_len, top2_frac, lang_guess,
-            n_tokens < 25 AS f_short,
-            stop_ratio < 0.04 AS f_stop,
-            (mean_word_len < 3.0 OR mean_word_len > 10.0) AS f_wordlen,
-            top2_frac >= 0.08 AS f_rep,
-            lang_guess <> 'en' AS f_lang,
-            NOT (n_tokens < 25 OR stop_ratio < 0.04 OR mean_word_len < 3.0
-                 OR mean_word_len > 10.0 OR top2_frac >= 0.08
-                 OR lang_guess <> 'en') AS keep
-          FROM f ORDER BY doc_id""",
+      s"""WITH $qualityCteSql
+          SELECT doc_id, n_tokens, stop_ratio, mean_word_len, top2_frac,
+            lang_guess, f_short, f_stop, f_wordlen, f_rep, f_lang, keep
+          FROM fk ORDER BY doc_id""",
     "q32_canonical_fingerprint" ->
       s"""SELECT doc_id,
           md5(array_to_string(list_sort(list_distinct($tokSql)), ' ')) AS fingerprint

@@ -385,6 +385,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("curation pipeline composes gate, dedup, split, and pack consistently") {
+    val q97 = Pipeline.queries("q97_curation_pipeline")(spark, sf).collect()
+    assert(q97.nonEmpty)
+    val keepIds = Pipeline.queries("q92_quality_filter")(spark, sf).collect()
+      .filter(_.getBoolean(11)).map(_.getLong(0)).toSet
+    val ids = q97.map(_.getLong(0)).toSet
+    assert(ids.subsetOf(keepIds), "pipeline must only emit gate survivors")
+    // dedup among survivors: expected keeper = min id per identical text
+    val docs = Tables(spark, sf).documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = keepIds.groupBy(docs).values.map(_.min).toSet
+    assert(ids == expected, "keepers must be the min-id survivor per content")
+    // split agrees with the standalone q83 assignment
+    val splits = Pipeline.queries("q83_stratified_split")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    q97.foreach(r => assert(r.getString(2) == splits(r.getLong(0))))
+    // packing is contiguous per (split, source), like the q88 invariant
+    q97.groupBy(r => (r.getString(2), r.getString(1))).foreach { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(4) == cum / 256)
+        cum += r.getLong(3)
+      }
+    }
+  }
+
   test("char entropy: known distributions get exact bits") {
     val session = spark
     import session.implicits._
