@@ -37,6 +37,10 @@ object Pipeline {
     * would be re-guarded only in a fresh JVM. */
   private val embCount = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** q98's corpus token total, memoized per dataset dir (same
+    * immutability assumption as embCount above). */
+  private val tokCount = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private def toks(c: Column) = tokens(c)
 
   /** documents + distinct 3-gram shingles (docs shorter than 3 tokens keep
@@ -642,6 +646,30 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "q98_unigram_surprisal" -> { (s, dir) =>
+      // Cheap language-model quality scoring: each doc's mean per-token
+      // surprisal under the corpus's own unigram distribution (the
+      // poor-man's perplexity filter — fluent text is low-surprisal,
+      // rare-token soup is high). avg(-log2(tf/N)) decomposes as
+      // log2(N) - avg(log2(tf)), so N attaches as a plan-time constant
+      // (one memoized corpus count) and tf rides a window PARTITIONED
+      // by token — one token shuffle, no join back, no single-partition
+      // vocab pass, no broadcast of a corpus-sized vocabulary. Rounds
+      // to 6dp: both engines average float logs in their own order.
+      val toksDf = Tables(s, dir).documents
+        .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      val total: Long = Pipeline.tokCount.computeIfAbsent(dir,
+        d => Tables(s, d).documents
+          .agg(sum(size(toks(col("text"))).cast("long"))).head.getLong(0))
+      toksDf
+        .withColumn("tf", count(lit(1)).over(Window.partitionBy(col("token"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(log2(lit(total.toDouble)) - avg(log2(col("tf").cast("double"))), 6)
+            .as("avg_surprisal_bits"))
+        .orderBy(col("doc_id"))
+    },
+
     "q97_curation_pipeline" -> { (s, dir) =>
       // The end-to-end curation DAG as ONE Spark plan — quality gate ->
       // exact dedup (keep min doc_id per content hash) -> deterministic
@@ -989,6 +1017,14 @@ object Pipeline {
          SELECT doc_id, lang, 1.0 / rate AS weight FROM t
          WHERE CAST(bucket AS DOUBLE) < rate * 4096.0
          ORDER BY doc_id""",
+    "q98_unigram_surprisal" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
+          c AS (SELECT doc_id, token,
+                  count(*) OVER (PARTITION BY token) AS tf FROM tk)
+          SELECT doc_id, count(*) AS n_tokens,
+            round(log2((SELECT count(*) FROM tk)) - avg(log2(tf)), 6)
+              AS avg_surprisal_bits
+          FROM c GROUP BY doc_id ORDER BY doc_id""",
     "q97_curation_pipeline" ->
       s"""WITH $qualityCteSql,
           kept AS (SELECT d.doc_id, d.text, d.source

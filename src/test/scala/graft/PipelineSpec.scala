@@ -411,6 +411,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("unigram surprisal: rare-token docs score above common-token docs, exactly") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q98sur").toString
+    Seq(
+      (1L, "a a a a", "s", "en", 0L),  // tf(a)=4, N=8 -> 3 - 2 = 1.0 bit
+      (2L, "b c d e", "s", "en", 0L))  // four singletons -> 3 - 0 = 3.0 bits
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.queries("q98_unigram_surprisal")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows(1L) == ((4L, 1.0)))
+    assert(rows(2L) == ((4L, 3.0)))
+    // corpus invariant: every surprisal is positive and finite
+    val corpus = Pipeline.queries("q98_unigram_surprisal")(spark, sf).collect()
+    corpus.foreach(r => assert(r.getDouble(2) > 0.0 && !r.getDouble(2).isInfinite))
+  }
+
   test("char entropy: known distributions get exact bits") {
     val session = spark
     import session.implicits._
