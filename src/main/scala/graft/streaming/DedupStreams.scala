@@ -134,6 +134,37 @@ object DedupStreams {
         timeMode, OutputMode.Append())
   }
 
+  /** A doc entering the packing stream: id, shard, token count. */
+  final case class PackDoc(doc_id: Long, source: String, n_tokens: Long)
+  /** One packed assignment — the streaming twin of a batch q88 row. */
+  final case class PackedAssignment(doc_id: Long, source: String,
+      n_tokens: Long, bin: Long, bin_offset: Long)
+
+  /** Streaming greedy sequence packing: the incremental form of batch
+    * q88. State per shard (source) is ONE long — the running token
+    * count — so an ingest stream assigns every arriving doc its
+    * context-window bin immediately and state never grows with
+    * history. Docs are packed in doc_id order within each micro-batch;
+    * like the batch operator, a global total order exists only per
+    * shard, which is exactly why packing is sharded. */
+  def packSequences(docs: Dataset[PackDoc], budget: Long = 256L): Dataset[PackedAssignment] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, PackedAssignment](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[PackDoc], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toVector.sortBy(_.doc_id).map { d =>
+            val a = PackedAssignment(d.doc_id, src, d.n_tokens,
+              cum / budget, cum % budget)
+            cum += d.n_tokens
+            a
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   /** Streaming benchmark decontamination: the online form of batch q90.
     * `docs` is a stream of (doc_id, event_time, sh: array<string>);
     * `evalGrams` is the STATIC distinct shingle set of the held-out

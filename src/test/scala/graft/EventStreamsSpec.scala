@@ -250,6 +250,28 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sequence packing assigns exactly the batch q88 bins") {
+    import graft.functions.tokens
+    val docsSchema = spark.read.parquet(docsDir).schema
+    val stream = spark.readStream.schema(docsSchema).parquet(docsDir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .as[graft.streaming.DedupStreams.PackDoc]
+    val q = graft.streaming.DedupStreams.packSequences(stream)
+      .writeStream.outputMode("append").format("memory").queryName("pack_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT doc_id, source, n_tokens, bin, bin_offset FROM pack_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val batch = graft.queries.Pipeline.queries("q88_sequence_pack")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("CEL programs run over a structured stream (both tiers), matching batch") {
     // the CEL front-end is an ordinary Column, so it composes with
     // readStream unchanged — the reference's one-doc-at-a-time loop
