@@ -646,6 +646,37 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "q99_bigram_surprisal" -> { (s, dir) =>
+      // Bigram-LM quality scoring: mean conditional surprisal
+      // -log2 p(w|prev) with p estimated from the corpus itself,
+      // p(w|prev) = c(prev,w) / c(prev·) — one step up from q98's
+      // unigram model (catches wrong-order fluency that unigram
+      // frequencies can't). Per-row bigram build, then two partitioned
+      // count windows that share ONE exchange (hash(prev) co-locates
+      // (prev,cur) too) and the per-doc rollup — token payloads
+      // shuffle, never documents, and every window key is
+      // high-cardinality. Rounds to 6dp: both engines average float
+      // logs in their own order. The bigram build binds the token
+      // array to an attribute FIRST and zips two slices — an earlier
+      // form used element_at(toks(text), i) inside a transform lambda,
+      // which re-evaluates the tokenizer subtree per element
+      // (O(tokens^2) regex splits per doc; 8.2 s vs ~1 s at sf0.1).
+      Tables(s, dir).documents
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1))).as("bg"))
+        .select(col("doc_id"), col("bg.0").as("prev"), col("bg.1").as("cur"))
+        .withColumn("c_bg",
+          count(lit(1)).over(Window.partitionBy(col("prev"), col("cur"))))
+        .withColumn("c_prev", count(lit(1)).over(Window.partitionBy(col("prev"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log2(col("c_prev").cast("double"))
+            - log2(col("c_bg").cast("double"))), 6).as("avg_surprisal_bits"))
+        .orderBy(col("doc_id"))
+    },
+
     "q98_unigram_surprisal" -> { (s, dir) =>
       // Cheap language-model quality scoring: each doc's mean per-token
       // surprisal under the corpus's own unigram distribution (the
@@ -660,7 +691,8 @@ object Pipeline {
         .select(col("doc_id"), explode(toks(col("text"))).as("token"))
       val total: Long = Pipeline.tokCount.computeIfAbsent(dir,
         d => Tables(s, d).documents
-          .agg(sum(size(toks(col("text"))).cast("long"))).head.getLong(0))
+          .agg(coalesce(sum(size(toks(col("text"))).cast("long")), lit(0L)))
+          .head.getLong(0))
       toksDf
         .withColumn("tf", count(lit(1)).over(Window.partitionBy(col("token"))))
         .groupBy(col("doc_id"))
@@ -1017,6 +1049,18 @@ object Pipeline {
          SELECT doc_id, lang, 1.0 / rate AS weight FROM t
          WHERE CAST(bucket AS DOUBLE) < rate * 4096.0
          ORDER BY doc_id""",
+    "q99_bigram_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS lst FROM documents),
+          b AS (SELECT doc_id, unnest(lst[1:len(lst)-1]) AS prev,
+                  unnest(lst[2:len(lst)]) AS cur
+                FROM t WHERE len(lst) >= 2),
+          c AS (SELECT doc_id, prev, cur,
+                  count(*) OVER (PARTITION BY prev, cur) AS c_bg,
+                  count(*) OVER (PARTITION BY prev) AS c_prev
+                FROM b)
+          SELECT doc_id, count(*) AS n_bigrams,
+            round(avg(log2(c_prev) - log2(c_bg)), 6) AS avg_surprisal_bits
+          FROM c GROUP BY doc_id ORDER BY doc_id""",
     "q98_unigram_surprisal" ->
       s"""WITH tk AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
           c AS (SELECT doc_id, token,

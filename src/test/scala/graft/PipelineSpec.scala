@@ -429,6 +429,23 @@ class PipelineSpec extends SparkSpec {
     corpus.foreach(r => assert(r.getDouble(2) > 0.0 && !r.getDouble(2).isInfinite))
   }
 
+  test("bigram surprisal: deterministic contexts are free, novel ones cost bits") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q99bg").toString
+    Seq(
+      (1L, "a b a b a b", "s", "en", 0L), // (a,b) shares 'a' with doc 3
+      (2L, "x y", "s", "en", 0L),         // unique context -> exactly 0 bits
+      (3L, "a c", "s", "en", 0L))         // c(a,c)=1 of c(a.)=4 -> exactly 2 bits
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.queries("q99_bigram_surprisal")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows(2L) == ((1L, 0.0)))
+    assert(rows(3L) == ((1L, 2.0)))
+    assert(rows(1L)._1 == 5L && rows(1L)._2 > 0.0 && rows(1L)._2 < rows(3L)._2)
+  }
+
   test("char entropy: known distributions get exact bits") {
     val session = spark
     import session.implicits._
@@ -463,6 +480,25 @@ class PipelineSpec extends SparkSpec {
     // descending token order
     val toks = rows.map(_.getLong(3))
     assert(toks.sameElements(toks.sorted(Ordering[Long].reverse)))
+  }
+
+  test("curation operators tolerate an empty corpus (0 rows, no throw)") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("qEmpty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Seq("q30_exact_dedup", "q83_stratified_split", "q84_vocab_topk",
+      "q87_pii_redact", "q88_sequence_pack", "q89_repetition_stats",
+      "q90_decontaminate", "q91_mixture_sample", "q92_quality_filter", "q93_semantic_dedup",
+      "q94_span_dedup", "q95_char_entropy", "q96_corpus_report",
+      "q97_curation_pipeline", "q98_unigram_surprisal", "q99_bigram_surprisal")
+      .foreach { q =>
+        assert(Pipeline.queries(q)(spark, dir).count() == 0L, s"$q on empty corpus")
+      }
   }
 
   test("ngramRunStats kernel matches brute-force counts on random token arrays") {
