@@ -351,6 +351,53 @@ object SketchKernel {
       order.map(java.lang.Integer.valueOf(_): Any).toArray)
   }
 
+  /** q100 winnowing (Schleimer et al. 2003, the MOSS fingerprinter):
+    * hash every k-gram (md5-lower-64 of the joined gram, so the DuckDB
+    * oracle derives identical hashes), slide a window of w hashes, and
+    * select each window's LEFTMOST minimum — a deterministic ~2/(w+1)
+    * subsample that still guarantees any shared run of length >= w+k-1
+    * contributes at least one common fingerprint. (Classic robust
+    * winnowing picks the rightmost tie; leftmost keeps the SQL oracle a
+    * one-line list_position and preserves the containment guarantee.)
+    * Returns the distinct selected hashes. */
+  def winnowedFingerprints(tokens: ArrayData, k: Int, w: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    val m = cnt - k + 1
+    if (m < w) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val h = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      h(i) = md5Lower64(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    val sel = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j <= m - w) {
+      var best = j
+      var x = j + 1
+      while (x < j + w) {
+        // unsigned: the oracle's md5_number_lower is UBIGINT, so its
+        // list_min compares the full 64-bit value without a sign
+        if (java.lang.Long.compareUnsigned(h(x), h(best)) < 0) best = x
+        x += 1
+      }
+      sel.add(h(best))
+      j += 1
+    }
+    val out = new Array[Any](sel.size)
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** q95 character statistics in one codepoint pass:
     * [n_codepoints, n_distinct, shannon_entropy_bits]. Entropy uses
     * H = log2(N) - sum(n*log2(n))/N with the sum taken in ascending

@@ -339,6 +339,11 @@ object functions {
     call(K, ArrayType(LongType, containsNull = false), "ngramRunStats",
       Seq(ArrS, IntegerType), toks, F.lit(n))
 
+  /** q100 winnowed MOSS fingerprints: distinct selected k-gram hashes. */
+  def winnow_fingerprints(toks: Column, k: Int, w: Int): Column =
+    call(K, ArrayType(LongType, containsNull = false), "winnowedFingerprints",
+      Seq(ArrS, IntegerType, IntegerType), toks, F.lit(k), F.lit(w))
+
   /** q95 char stats: [n_codepoints, n_distinct, shannon_entropy_bits]. */
   def char_stats(text: Column): Column =
     call(K, ArrayType(DoubleType, containsNull = false), "charStats",

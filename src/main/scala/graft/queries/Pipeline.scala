@@ -646,6 +646,27 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "q100_winnow_overlap" -> { (s, dir) =>
+      // q94's cross-doc span detection at index scale: winnowing
+      // (Schleimer et al. 2003) selects each w-window's minimal k-gram
+      // hash, a deterministic ~2/(w+1) subsample that still guarantees
+      // any shared run of >= w+k-1 tokens contributes a common
+      // fingerprint — the index shuffles a fraction of the grams for
+      // the same detection guarantee. Same plan shape as q94: per-gram
+      // doc counts via one window over the fingerprint shuffle, then
+      // the per-doc rollup; never a pair join.
+      val fp = Tables(s, dir).documents
+        .select(col("doc_id"),
+          explode(winnow_fingerprints(toks(col("text")), 4, 4)).as("fp"))
+        .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      fp.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"),
+          sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared_fp"))
+        .select(col("doc_id"), col("n_fp"), col("n_shared_fp"),
+          (col("n_shared_fp").cast("double") / col("n_fp")).as("shared_frac"))
+        .orderBy(col("doc_id"))
+    },
+
     "q99_bigram_surprisal" -> { (s, dir) =>
       // Bigram-LM quality scoring: mean conditional surprisal
       // -log2 p(w|prev) with p estimated from the corpus itself,
@@ -1049,6 +1070,24 @@ object Pipeline {
          SELECT doc_id, lang, 1.0 / rate AS weight FROM t
          WHERE CAST(bucket AS DOUBLE) < rate * 4096.0
          ORDER BY doc_id""",
+    // The oracle replays winnowing itself: k-gram UBIGINT hashes, then
+    // each window's leftmost list_min via list_position.
+    "q100_winnow_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS lst FROM documents),
+          h AS (SELECT doc_id,
+                  [md5_number_lower(lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2] || ' ' || lst[i+3])
+                   for i in range(1, len(lst) - 2)] AS hs
+                FROM t WHERE len(lst) >= 7),
+          sel AS (SELECT doc_id, list_distinct(
+                    [hs[j + list_position(hs[j:j+3], list_min(hs[j:j+3])) - 1]
+                     for j in range(1, len(hs) - 2)]) AS fps FROM h),
+          g AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+          c AS (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_docs FROM g)
+          SELECT doc_id, count(*) AS n_fp,
+            CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fp,
+            CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*) AS shared_frac
+          FROM c GROUP BY doc_id ORDER BY doc_id""",
     "q99_bigram_surprisal" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS lst FROM documents),
           b AS (SELECT doc_id, unnest(lst[1:len(lst)-1]) AS prev,

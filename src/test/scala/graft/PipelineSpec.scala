@@ -495,10 +495,48 @@ class PipelineSpec extends SparkSpec {
       "q87_pii_redact", "q88_sequence_pack", "q89_repetition_stats",
       "q90_decontaminate", "q91_mixture_sample", "q92_quality_filter", "q93_semantic_dedup",
       "q94_span_dedup", "q95_char_entropy", "q96_corpus_report",
-      "q97_curation_pipeline", "q98_unigram_surprisal", "q99_bigram_surprisal")
+      "q97_curation_pipeline", "q98_unigram_surprisal", "q99_bigram_surprisal",
+      "q100_winnow_overlap")
       .foreach { q =>
         assert(Pipeline.queries(q)(spark, dir).count() == 0L, s"$q on empty corpus")
       }
+  }
+
+  test("winnow overlap: the guarantee holds on a planted span; kernel matches brute force") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q100win").toString
+    val span = "alpha beta gamma delta epsilon zeta eta theta" // 8 >= w+k-1 = 7
+    Seq(
+      (1L, s"one two three $span four five", "s", "en", 0L),
+      (2L, s"six seven $span eight nine ten eleven", "s", "en", 0L),
+      (3L, "u v w x y z aa bb cc dd", "s", "en", 0L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.queries("q100_winnow_overlap")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // a shared run of >= w+k-1 tokens must contribute a common fingerprint
+    assert(rows(1L)._2 >= 1L, s"doc 1 must share a fingerprint: ${rows(1L)}")
+    assert(rows(2L)._2 >= 1L)
+    assert(rows(3L)._2 == 0L)
+    // kernel vs brute-force winnowing on random token arrays
+    import org.scalacheck.Gen
+    def brute(toks: Array[String], k: Int, w: Int): Set[Long] = {
+      val m = toks.length - k + 1
+      if (m < w) return Set.empty
+      val h = (0 until m).map(i => graft.expressions.SketchKernel.md5Lower64(
+        toks.slice(i, i + k).mkString(" ").getBytes("UTF-8"))).toArray
+      (0 to m - w).map(j =>
+        (j until j + w).minBy(x => h(x) ^ Long.MinValue)).map(h).toSet
+    }
+    val gen = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e")).map(_.toArray)
+    Iterator.continually(gen.sample).flatten.take(300).foreach { toksArr =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toksArr.map(s => org.apache.spark.unsafe.types.UTF8String.fromString(s): Any))
+      val got = graft.expressions.SketchKernel.winnowedFingerprints(arr, 4, 4)
+      assert(got.toLongArray().toSet == brute(toksArr, 4, 4),
+        s"toks=${toksArr.mkString(",")}")
+    }
   }
 
   test("ngramRunStats kernel matches brute-force counts on random token arrays") {
