@@ -646,6 +646,31 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "q101_token_budget_fill" -> { (s, dir) =>
+      // Mixture construction's other half (q91 thins by RATE; this
+      // fills by BUDGET): admit documents per language, in
+      // deterministic id-hash order, while the language's running
+      // token total is still under budget — "give me ~5000 tokens per
+      // language, the same ones every run". A doc is admitted iff the
+      // budget wasn't exhausted before it (q88's bin-start rule), so
+      // re-runs and backfills admit the identical set. The hash masks
+      // to 63 bits: Spark orders signed longs, DuckDB's
+      // md5_number_lower is UBIGINT — the mask makes both orders the
+      // nonnegative order. One window shuffle on lang.
+      val h = md5_lower64(concat(lit("fill:"),
+        col("doc_id").cast("string")).cast("binary"))
+        .bitwiseAND(lit(Long.MaxValue))
+      val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"),
+          size(toks(col("text"))).cast("long").as("n_tokens"), h.as("h"))
+        .withColumn("prev_cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .filter(col("prev_cum") < 5000)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("prev_cum"))
+        .orderBy(col("doc_id"))
+    },
+
     "q100_winnow_overlap" -> { (s, dir) =>
       // q94's cross-doc span detection at index scale: winnowing
       // (Schleimer et al. 2003) selects each w-window's minimal k-gram
@@ -1070,6 +1095,16 @@ object Pipeline {
          SELECT doc_id, lang, 1.0 / rate AS weight FROM t
          WHERE CAST(bucket AS DOUBLE) < rate * 4096.0
          ORDER BY doc_id""",
+    "q101_token_budget_fill" ->
+      s"""WITH t AS (SELECT doc_id, lang, CAST(len($tokSql) AS BIGINT) AS n_tokens,
+                 CAST(md5_number_lower('fill:' || doc_id) & 9223372036854775807 AS BIGINT) AS h
+               FROM documents),
+          c AS (SELECT doc_id, lang, n_tokens,
+                  coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+                FROM t)
+          SELECT doc_id, lang, n_tokens, CAST(prev_cum AS BIGINT) AS prev_cum
+          FROM c WHERE prev_cum < 5000 ORDER BY doc_id""",
     // The oracle replays winnowing itself: k-gram UBIGINT hashes, then
     // each window's leftmost list_min via list_position.
     "q100_winnow_overlap" ->

@@ -496,10 +496,31 @@ class PipelineSpec extends SparkSpec {
       "q90_decontaminate", "q91_mixture_sample", "q92_quality_filter", "q93_semantic_dedup",
       "q94_span_dedup", "q95_char_entropy", "q96_corpus_report",
       "q97_curation_pipeline", "q98_unigram_surprisal", "q99_bigram_surprisal",
-      "q100_winnow_overlap")
+      "q100_winnow_overlap", "q101_token_budget_fill")
       .foreach { q =>
         assert(Pipeline.queries(q)(spark, dir).count() == 0L, s"$q on empty corpus")
       }
+  }
+
+  test("token budget fill: each language fills to its budget, prefix-closed and deterministic") {
+    val rows = Pipeline.queries("q101_token_budget_fill")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(3) < 5000L, "admitted past the budget"))
+    val langTotal = Tables(spark, sf).documents.groupBy("lang")
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("t"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      val admitted = rs.map(_.getLong(2)).sum
+      val (total, n) = langTotal(lang)
+      // either the budget is reached (last admitted doc crosses it) or
+      // the language simply ran out of documents
+      assert(admitted >= math.min(5000L, total), s"$lang under-filled")
+      if (total > 5000L) assert(rs.length < n, s"$lang should be trimmed")
+    }
+    // determinism: a second run admits the identical set
+    val again = Pipeline.queries("q101_token_budget_fill")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == rows.map(_.getLong(0)).toSet)
   }
 
   test("winnow overlap: the guarantee holds on a planted span; kernel matches brute force") {
