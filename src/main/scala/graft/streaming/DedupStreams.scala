@@ -134,6 +134,62 @@ object DedupStreams {
         timeMode, OutputMode.Append())
   }
 
+  /** One MinHash signature exploded to one row per band (16 x 4 of the
+    * 64 permutations — the batch q31 banding). */
+  final case class MinhashBanded(doc_id: Long, sig: Array[Long],
+      band_id: Int, band_key: Long)
+  /** An emitted MinHash near-dup candidate with its signature-estimated
+    * Jaccard (the streaming stand-in for batch q31's exact verify: the
+    * shingle sets would have to live in state to verify exactly, so the
+    * estimator — matching permutations / 64 — decides instead; with 64
+    * permutations its std-err at J=0.9 is ~0.04). */
+  final case class MinhashDup(doc_id: Long, matched_doc: Long, est_jaccard: Double)
+
+  /** Explode (doc_id, sig: 64 minhashes) into per-band rows using the
+    * batch q31 banding: band key = xxhash64 of the band's 4 signature
+    * values, seeded by the band id. */
+  def minhashBandSigs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("sig"),
+      explode(expr(
+        """transform(sequence(0, 15), b -> struct(CAST(b AS int) AS band_id,
+          xxhash64(slice(sig, b * 4 + 1, 4), b) AS band_key))""")).as("bd"))
+      .select(col("doc_id"), col("sig"),
+        col("bd.band_id").as("band_id"), col("bd.band_key").as("band_key"))
+
+  /** Stateful streaming MinHash near-dup: per (band, key) bucket, a new
+    * signature is compared against the bucket's retained members and
+    * pairs whose estimated Jaccard clears the threshold are emitted as
+    * they stream in. State is 64 longs per retained signature with the
+    * same keep-first bucket cap as the batch band join. */
+  def minhashNearDup(banded: Dataset[MinhashBanded], maxPerBucket: Int = 64,
+      minJaccard: Double = 0.9): Dataset[MinhashDup] = {
+    import banded.sparkSession.implicits._
+    banded
+      .groupByKey(d => (d.band_id, d.band_key))
+      .flatMapGroupsWithState[Vector[(Long, Array[Long])], MinhashDup](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[MinhashBanded],
+            state: GroupState[Vector[(Long, Array[Long])]]) =>
+          var seen = state.getOption.getOrElse(Vector.empty)
+          val out = Vector.newBuilder[MinhashDup]
+          rows.foreach { d =>
+            if (!seen.exists(_._1 == d.doc_id)) {
+              seen.foreach { case (id, sig) =>
+                var eq = 0
+                var i = 0
+                while (i < 64) { if (sig(i) == d.sig(i)) eq += 1; i += 1 }
+                val est = eq / 64.0
+                if (est >= minJaccard)
+                  out += MinhashDup(math.max(d.doc_id, id), math.min(d.doc_id, id), est)
+              }
+              if (seen.size < maxPerBucket) seen = seen :+ (d.doc_id -> d.sig)
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+
   /** A doc entering the packing stream: id, shard, token count. */
   final case class PackDoc(doc_id: Long, source: String, n_tokens: Long)
   /** One packed assignment — the streaming twin of a batch q88 row. */

@@ -250,6 +250,33 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup covers the batch q31 pairs") {
+    import graft.functions.{minhash_sig, shingles, tokens}
+    import graft.streaming.DedupStreams
+    val docsSchema = spark.read.parquet(docsDir).schema
+    val stream = spark.readStream.schema(docsSchema).parquet(docsDir)
+      .select(col("doc_id"), minhash_sig(shingles(tokens(col("text")), 3)).as("sig"))
+    val banded = DedupStreams.minhashBandSigs(stream).as[DedupStreams.MinhashBanded]
+    // threshold 0.75 < the batch's exact 0.9: the 64-permutation
+    // estimator's std-err at J=0.9 is ~0.04, so a 0.9-exact pair falls
+    // below 0.75 with probability ~3e-5 — the batch set must be covered
+    val q = DedupStreams.minhashNearDup(banded, maxPerBucket = 512, minJaccard = 0.75)
+      .writeStream.outputMode("append").format("memory").queryName("mh_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT DISTINCT matched_doc AS a, doc_id AS b FROM mh_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.queries.Pipeline.queries("q31_minhash_lsh_dedup")(spark, sf)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.nonEmpty)
+      assert(batch.subsetOf(got), s"missed batch pairs: ${(batch -- got).take(3)}")
+      // emitted estimates are well-formed
+      spark.sql("SELECT est_jaccard FROM mh_out").collect()
+        .foreach(r => assert(r.getDouble(0) >= 0.75 && r.getDouble(0) <= 1.0))
+    } finally q.stop()
+  }
+
   test("streaming sequence packing assigns exactly the batch q88 bins") {
     import graft.functions.tokens
     val docsSchema = spark.read.parquet(docsDir).schema

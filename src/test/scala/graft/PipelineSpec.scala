@@ -560,6 +560,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("charStats kernel matches brute-force entropy on random unicode strings") {
+    import org.scalacheck.Gen
+    val gen = Gen.listOf(Gen.oneOf('a', 'b', 'c', ' ', '的', 'é', 'ß')).map(_.mkString)
+    Iterator.continually(gen.sample).flatten.take(300).foreach { s =>
+      val got = graft.expressions.SketchKernel.charStats(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val cps = s.codePoints().toArray
+      val counts = cps.groupBy(identity).view.mapValues(_.length).toMap
+      assert(got.getDouble(0) == cps.length.toDouble)
+      assert(got.getDouble(1) == counts.size.toDouble)
+      val n = cps.length.toDouble
+      val want = if (cps.isEmpty) 0.0
+        else math.log(n) / math.log(2.0) -
+          counts.toSeq.sortBy(_._1).map { case (_, c) =>
+            c * (math.log(c.toDouble) / math.log(2.0)) }.sum / n
+      assert(math.abs(got.getDouble(2) - want) < 1e-12, s"s=$s")
+    }
+  }
+
   test("ngramRunStats kernel matches brute-force counts on random token arrays") {
     import org.scalacheck.Gen
     val genToks = Gen.listOf(Gen.oneOf("a", "b", "ab", "ba", "x y", "")).map(_.toArray)
