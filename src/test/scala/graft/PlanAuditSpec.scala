@@ -101,4 +101,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.result().isEmpty,
       s"kernels evaluated below the range sort in:\n${offenders.result().mkString("\n")}")
   }
+
+  // The README's "single codegen'd projection, zero data shuffles"
+  // claim for the per-row signal family, pinned mechanically: these
+  // queries may plan NO hash-partitioning exchange — the only allowed
+  // exchange is the presentation sort's range partitioning. A refactor
+  // that sneaks a groupBy/join into a per-row signal fails here.
+  private val perRowQueries = Seq(
+    "q32_canonical_fingerprint", "q33_quality_score", "q34_lang_id",
+    "q35_token_count", "q39_rolling_fingerprint", "q40_multimodal_features",
+    "q83_stratified_split", "q87_pii_redact", "q89_repetition_stats",
+    "q92_quality_filter", "q95_char_entropy")
+
+  test("per-row signal queries plan zero data shuffles") {
+    val offenders = Seq.newBuilder[String]
+    perRowQueries.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      if (plan.contains("Exchange hashpartitioning"))
+        offenders += s"$name plans a hash exchange"
+      val ranges = "Exchange rangepartitioning".r.findAllIn(plan).size
+      if (ranges > 1) offenders += s"$name plans $ranges range exchanges"
+    }
+    assert(offenders.result().isEmpty,
+      s"per-row queries with data shuffles:\n${offenders.result().mkString("\n")}")
+  }
 }
