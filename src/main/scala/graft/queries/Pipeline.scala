@@ -646,6 +646,30 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "q102_dup_source_matrix" -> { (s, dir) =>
+      // Corpus forensics: the near-dup pair graph projected onto
+      // SOURCES — how many verified near-dup pairs live inside each
+      // source and span each source pair (which feeds copy from each
+      // other, which scraper double-ingests). Reuses q31's verified
+      // edge set; the (doc -> source) joins broadcast the tiny
+      // projection, the matrix group-by is at |sources|^2 cardinality.
+      // The unordered source pair is canonicalized (least, greatest)
+      // so A->B and B->A collapse into one cell.
+      val pairs = minhashDupPairs(s, dir)
+      val src = Tables(s, dir).documents.select(col("doc_id"), col("source"))
+      pairs
+        .join(broadcast(src.select(col("doc_id").as("doc_a"),
+          col("source").as("src_a"))), Seq("doc_a"))
+        .join(broadcast(src.select(col("doc_id").as("doc_b"),
+          col("source").as("src_b"))), Seq("doc_b"))
+        .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("jaccard")), 6).as("avg_jaccard"))
+        .withColumn("cross_source", col("source_a") =!= col("source_b"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
     "q101_token_budget_fill" -> { (s, dir) =>
       // Mixture construction's other half (q91 thins by RATE; this
       // fills by BUDGET): admit documents per language, in
@@ -1095,6 +1119,23 @@ object Pipeline {
          SELECT doc_id, lang, 1.0 / rate AS weight FROM t
          WHERE CAST(bucket AS DOUBLE) < rate * 4096.0
          ORDER BY doc_id""",
+    "q102_dup_source_matrix" ->
+      s"""WITH t AS (SELECT doc_id, $shSql AS sh
+                     FROM (SELECT doc_id, $tokSql AS lst FROM documents) WHERE len(lst) >= 3),
+          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+                FROM t a JOIN t b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+          j AS (SELECT least(da.source, db.source) AS source_a,
+                  greatest(da.source, db.source) AS source_b, jaccard
+                FROM p JOIN documents da ON p.doc_a = da.doc_id
+                       JOIN documents db ON p.doc_b = db.doc_id)
+          SELECT source_a, source_b, count(*) AS n_pairs,
+            round(avg(jaccard), 6) AS avg_jaccard,
+            source_a <> source_b AS cross_source
+          FROM j GROUP BY source_a, source_b ORDER BY source_a, source_b""",
     "q101_token_budget_fill" ->
       s"""WITH t AS (SELECT doc_id, lang, CAST(len($tokSql) AS BIGINT) AS n_tokens,
                  CAST(md5_number_lower('fill:' || doc_id) & 9223372036854775807 AS BIGINT) AS h

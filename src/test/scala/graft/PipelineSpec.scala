@@ -502,6 +502,20 @@ class PipelineSpec extends SparkSpec {
       }
   }
 
+  test("dup source matrix: cells partition the q31 pair set") {
+    val rows = Pipeline.queries("q102_dup_source_matrix")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "source pair not canonicalized")
+      assert(r.getBoolean(4) == (r.getString(0) != r.getString(1)))
+      assert(r.getLong(2) >= 1L)
+      assert(r.getDouble(3) >= 0.9 && r.getDouble(3) <= 1.0)
+    }
+    val totalPairs = Pipeline.queries("q31_minhash_lsh_dedup")(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == totalPairs,
+      "matrix cells must partition the verified pair set")
+  }
+
   test("token budget fill: each language fills to its budget, prefix-closed and deterministic") {
     val rows = Pipeline.queries("q101_token_budget_fill")(spark, sf).collect()
     assert(rows.nonEmpty)
