@@ -646,6 +646,30 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "q103_embed_quantize" -> { (s, dir) =>
+      // Symmetric int8 embedding quantization with its audit trail:
+      // per-vector scale = 127/max|x|, q_i = round(x*scale), plus the
+      // max absolute reconstruction error — the standard 4x storage /
+      // bandwidth compression before ANN serving at corpus scale. Pure
+      // per-row arithmetic on the bound array attribute (zero
+      // shuffles); the quantized vector is emitted as a CSV string of
+      // exact ints so the oracle compare is float-free, and the error
+      // rounds to 6dp (identical operands both engines).
+      val e = Tables(s, dir).embeddings
+        .orderBy(col("vec_id"))
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+        .withColumn("maxabs", array_max(transform(col("emb"), x => abs(x))))
+      val scale = when(col("maxabs") > 0.0, lit(127.0) / col("maxabs")).otherwise(0.0)
+      e.withColumn("scale", scale)
+        .select(col("vec_id"),
+          array_join(transform(col("emb"),
+            x => round(x * col("scale")).cast("int").cast("string")), ",").as("qvec"),
+          round(when(col("maxabs") > 0.0,
+            array_max(transform(col("emb"),
+              x => abs(x - round(x * col("scale")) / col("scale")))))
+            .otherwise(0.0), 6).as("max_abs_err"))
+    },
+
     "q102_dup_source_matrix" -> { (s, dir) =>
       // Corpus forensics: the near-dup pair graph projected onto
       // SOURCES — how many verified near-dup pairs live inside each
@@ -1119,6 +1143,21 @@ object Pipeline {
          SELECT doc_id, lang, 1.0 / rate AS weight FROM t
          WHERE CAST(bucket AS DOUBLE) < rate * 4096.0
          ORDER BY doc_id""",
+    "q103_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                    FROM embeddings),
+         m AS (SELECT vec_id, emb,
+                 list_max(list_transform(emb, x -> abs(x))) AS maxabs FROM e),
+         sc AS (SELECT vec_id, emb, maxabs,
+                  CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale
+                FROM m)
+         SELECT vec_id,
+           array_to_string(list_transform(emb,
+             x -> CAST(CAST(round(x * scale) AS INT) AS VARCHAR)), ',') AS qvec,
+           round(CASE WHEN maxabs > 0
+             THEN list_max(list_transform(emb, x -> abs(x - round(x * scale) / scale)))
+             ELSE 0.0 END, 6) AS max_abs_err
+         FROM sc ORDER BY vec_id""",
     "q102_dup_source_matrix" ->
       s"""WITH t AS (SELECT doc_id, $shSql AS sh
                      FROM (SELECT doc_id, $tokSql AS lst FROM documents) WHERE len(lst) >= 3),

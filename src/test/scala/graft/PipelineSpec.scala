@@ -502,6 +502,29 @@ class PipelineSpec extends SparkSpec {
       }
   }
 
+  test("embed quantize: exact int8 codes on a planted vector, bounded error on the corpus") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q103qz").toString
+    Seq((1L, Array(1.0f, -0.5f, 0.25f, 0.0f)), (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Pipeline.queries("q103_embed_quantize")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(rows(1L)._1 == "127,-64,32,0", rows(1L))
+    assert(rows(1L)._2 == 0.003937) // 1/254 rounded to 6dp
+    assert(rows(2L) == (("0,0,0,0", 0.0)), "zero vector must quantize to zeros")
+    // symmetric int8 bound: max error <= maxabs/254 (+ rounding slack)
+    val corpus = Pipeline.queries("q103_embed_quantize")(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      val q = r.getString(1).split(",").map(_.toInt)
+      assert(q.forall(v => v >= -127 && v <= 127), "code out of int8 range")
+      assert(q.exists(_ == 127) || q.exists(_ == -127), "scale must saturate one code")
+      assert(r.getDouble(2) >= 0.0)
+    }
+  }
+
   test("dup source matrix: cells partition the q31 pair set") {
     val rows = Pipeline.queries("q102_dup_source_matrix")(spark, sf).collect()
     assert(rows.nonEmpty)
