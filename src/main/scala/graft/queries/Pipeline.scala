@@ -646,6 +646,29 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "q104_curation_funnel" -> { (s, dir) =>
+      // The curation funnel: how many documents and tokens survive each
+      // stage — raw corpus, after the quality gate, after exact dedup
+      // among gate survivors (q97's stage order). The one-row report
+      // every pipeline prints before training. One pass: the gate
+      // decision and the within-hash keeper window evaluate side by
+      // side, then a single global aggregate (partial-agg to one row —
+      // nothing document-sized moves).
+      val keptCol = qualityKeep
+      val keptMin = min(when(col("kept"), col("doc_id")))
+        .over(Window.partitionBy(md5(col("text").cast("binary"))))
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("text"),
+          size(toks(col("text"))).cast("long").as("n_tokens"), keptCol.as("kept"))
+        .withColumn("final", col("kept") && col("doc_id") === keptMin)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("docs_after_gate"),
+          sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("tokens_after_gate"),
+          sum(when(col("final"), 1L).otherwise(0L)).as("docs_final"),
+          sum(when(col("final"), col("n_tokens")).otherwise(0L)).as("tokens_final"))
+    },
+
     "q103_embed_quantize" -> { (s, dir) =>
       // Symmetric int8 embedding quantization with its audit trail:
       // per-vector scale = 127/max|x|, q_i = round(x*scale), plus the
@@ -1143,6 +1166,22 @@ object Pipeline {
          SELECT doc_id, lang, 1.0 / rate AS weight FROM t
          WHERE CAST(bucket AS DOUBLE) < rate * 4096.0
          ORDER BY doc_id""",
+    "q104_curation_funnel" ->
+      s"""WITH $qualityCteSql,
+          d AS (SELECT doc.doc_id, doc.text,
+                  CAST(len($tokSql) AS BIGINT) AS n_tokens, fk.keep AS kept
+                FROM documents doc JOIN fk ON doc.doc_id = fk.doc_id),
+          w AS (SELECT doc_id, n_tokens, kept,
+                  kept AND doc_id = min(CASE WHEN kept THEN doc_id END)
+                    OVER (PARTITION BY md5(text)) AS final
+                FROM d)
+          SELECT count(*) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+            CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS docs_after_gate,
+            CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_after_gate,
+            CAST(sum(CASE WHEN final THEN 1 ELSE 0 END) AS BIGINT) AS docs_final,
+            CAST(sum(CASE WHEN final THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_final
+          FROM w""",
     "q103_embed_quantize" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                     FROM embeddings),
