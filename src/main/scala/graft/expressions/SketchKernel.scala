@@ -429,6 +429,35 @@ object SketchKernel {
       Array[Any](n.toDouble, counts.size.toDouble, entropy))
   }
 
+  /** q105 Bloom prefilter: the subset of `grams` whose k=3 bloom
+    * positions are ALL set in `bits` (a little-endian bitmap whose
+    * length fixes m = 8*|bits|, a power of two). Position j of gram g
+    * is md5-lower-64 of "bf<j>:<g>" masked to m — the same
+    * oracle-replicable hash family as the split/sketch operators, so
+    * DuckDB rebuilds the identical filter from the eval grams alone.
+    * One kernel pass per document; a miss on any of the 3 probes exits
+    * early (the common case: most corpus grams touch no set bit). */
+  def bloomHits(bits: Array[Byte], grams: ArrayData): ArrayData = {
+    val mask = (bits.length.toLong << 3) - 1L
+    val n = grams.numElements()
+    val out = Vector.newBuilder[Any]
+    var i = 0
+    while (i < n) {
+      val g = grams.getUTF8String(i)
+      var j = 0
+      var hit = true
+      while (hit && j < 3) {
+        val p = md5Lower64(("bf" + j + ":" + g).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)) & mask
+        hit = ((bits((p >>> 3).toInt) >>> (p & 7L).toInt) & 1) == 1
+        j += 1
+      }
+      if (hit) out += g
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result())
+  }
+
   /** The multimodal decode STUB: a deterministic 16-bin byte histogram
     * "feature extractor" standing in for a real image/audio decoder
     * (decoder libs are unavailable in this environment — the Spark-side

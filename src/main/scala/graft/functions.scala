@@ -382,6 +382,12 @@ object functions {
   def byte_histogram_counts(bytes: Column): Column =
     call(K, ArrayType(LongType, containsNull = false), "byteHistogramCounts", Seq(Bin), bytes)
 
+  /** q105 Bloom prefilter: grams whose k=3 bloom positions (md5-lower-64
+    * of "bf<j>:<gram>", masked to 8*|bits|) are all set in the bitmap
+    * literal. One kernel pass per document, zero shuffles. */
+  def bloom_hits(bits: Column, grams: Column): Column =
+    call(K, ArrS, "bloomHits", Seq(Bin, ArrS), bits, grams)
+
   /** Hamming distance between two 64-bit signatures (codegen'd builtins). */
   def hamming64(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))
 

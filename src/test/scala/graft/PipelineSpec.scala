@@ -278,6 +278,31 @@ class PipelineSpec extends SparkSpec {
     assert(planted(1L) == ((4L, 1.0))) // 6 tokens -> 4 trigram shingles, all shared
   }
 
+  test("bloom decontaminate: no false negatives vs q90's exact set; audit splits hits") {
+    // Bloom guarantees: every truly contaminated doc (q90's exact
+    // broadcast-set answer) is flagged with ALL its shared grams
+    // (n_true == q90.n_shared); extra flagged docs/grams are pure
+    // false positives, and the audit columns account exactly.
+    val truth = Pipeline.queries("q90_decontaminate")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Pipeline.queries("q105_bloom_decontaminate")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(truth.nonEmpty)
+    assert(truth.keySet.subsetOf(bloom.keySet), "bloom dropped a contaminated doc")
+    truth.foreach { case (id, nShared) =>
+      val (nf, nt, _) = bloom(id)
+      assert(nt == nShared, s"doc $id: bloom audit lost true shared grams")
+      assert(nf >= nt)
+    }
+    (bloom.keySet -- truth.keySet).foreach { id =>
+      val (nf, nt, fp) = bloom(id)
+      assert(nt == 0L && fp == nf, s"doc $id: phantom true overlap")
+    }
+    bloom.values.foreach { case (nf, nt, fp) =>
+      assert(nf == nt + fp && nf >= 1L)
+    }
+  }
+
   test("mixture sample: rarest lang keeps everything at weight 1") {
     val docs = Tables(spark, sf).documents
     val langN = docs.groupBy("lang").count().collect()
@@ -496,7 +521,7 @@ class PipelineSpec extends SparkSpec {
       "q90_decontaminate", "q91_mixture_sample", "q92_quality_filter", "q93_semantic_dedup",
       "q94_span_dedup", "q95_char_entropy", "q96_corpus_report",
       "q97_curation_pipeline", "q98_unigram_surprisal", "q99_bigram_surprisal",
-      "q100_winnow_overlap", "q101_token_budget_fill")
+      "q100_winnow_overlap", "q101_token_budget_fill", "q105_bloom_decontaminate")
       .foreach { q =>
         assert(Pipeline.queries(q)(spark, dir).count() == 0L, s"$q on empty corpus")
       }
