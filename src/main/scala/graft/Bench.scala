@@ -182,6 +182,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // defensive: a TIMESTAMP(NANOS) fixture reads as epoch-nano LONG
+      // (Tables.eventMicros normalizes); no effect on MICROS files
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // AQE coalescing targets shuffle BYTES and is blind to
       // downstream CPU: per-row kernel projections above a small

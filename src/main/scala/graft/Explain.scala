@@ -16,6 +16,8 @@ object Explain {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // defensive: a TIMESTAMP(NANOS) fixture reads as epoch-nano LONG
+      // (Tables.eventMicros normalizes); no effect on MICROS files
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // AQE coalescing targets shuffle BYTES and is blind to
       // downstream CPU: per-row kernel projections above a small

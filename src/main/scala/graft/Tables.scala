@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Typed accessors for the driver-generated parquet tables
   * (see TESTDATA.md). All reads go through here so partition/pushdown
@@ -25,4 +27,23 @@ final case class Tables(spark: SparkSession, dir: String) {
   def events: DataFrame     = t("events")
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  /** `events.ts` as an epoch-microsecond LONG, whatever dtype the
+    * fixture carries. The driver has shipped the column both as parquet
+    * TIMESTAMP(NANOS) (read as epoch-nano BIGINT under the legacy
+    * nanosAsLong flag) and, since the 2026-08 refresh, as
+    * TIMESTAMP_MICROS (read as TIMESTAMP_NTZ) — so the conversion
+    * dispatches on the bound schema instead of assuming either. The
+    * BIGINT path stays integer arithmetic (`DIV`): a double division
+    * would lose precision above 2^53 ns. The NTZ->timestamp cast is the
+    * identity under the project-wide UTC session timezone, matching the
+    * DuckDB oracles' `CAST(ts AS TIMESTAMP)` / `epoch_us` reading. */
+  def eventMicros(events: Dataset[_]): Column =
+    events.schema("ts").dataType match {
+      case LongType         => expr("ts DIV 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast("timestamp"))
+      case _                => unix_micros(col("ts"))
+    }
 }

@@ -4,6 +4,28 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Dump each query's result to `outDir/<name>` parquet. A query that
+    * throws (analysis or runtime) writes `outDir/<name>.err` with the
+    * message instead, so a failure can never silently vanish from the
+    * correctness report — every key yields either output or an explicit
+    * error artifact (asserted by VerifyArtifactSpec). Returns the
+    * failed names. */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])
+      : Seq[String] =
+    queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Files.writeString(Paths.get(s"$outDir/$name.err"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
+        Some(name)
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,9 +34,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos
-      // timestamp type — read it as epoch-nanos long (matches DuckDB's
-      // epoch_ns() in oracles).
+      // Defensive: fixtures have shipped events.ts as both
+      // TIMESTAMP(NANOS) and TIMESTAMP_MICROS. Spark has no nanos
+      // timestamp type and errors on NANOS parquet without this flag;
+      // with it, a nanos column reads as epoch-nano LONG, which
+      // Tables.eventMicros normalizes. No effect on MICROS files.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // AQE coalescing targets shuffle BYTES and is blind to
       // downstream CPU: per-row kernel projections above a small
@@ -32,15 +56,12 @@ object Verify {
     // iteration with tools/check.py (same knob as Bench); the driver
     // sets no filter and always dumps everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+    val failed = dump(spark, sfDir, outDir,
+      SparkEntry.queries
+        .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) })
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -9,13 +9,11 @@ import org.apache.spark.sql.functions._
   * (collections/strings/time/json/crypto/regexp tiers of
   * [[graft.functions]]) against the driver tables.
   *
-  * `events.ts` arrives as epoch-nano LONG (nanosAsLong read); `ts DIV
-  * 1000` keeps the micros conversion in exact integer arithmetic
-  * (a double division would lose precision above 2^53 ns).
+  * `events.ts` has shipped as both epoch-nano LONG and
+  * TIMESTAMP_MICROS across fixture refreshes; [[graft.Tables.eventMicros]]
+  * normalizes either to an exact epoch-microsecond LONG.
   */
 object CelFunctions {
-
-  private def tsMicros = expr("ts DIV 1000")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_json_collate" -> { (s, dir) =>
@@ -39,16 +37,18 @@ object CelFunctions {
     },
 
     "q23_time_format" -> { (s, dir) =>
-      Tables(s, dir).events.orderBy(col("event_id"))
+      val e = Tables(s, dir).events
+      e.orderBy(col("event_id"))
         .select(col("event_id"),
-          format_time(timestamp_micros(tsMicros), "RFC3339").as("rfc3339"))
+          format_time(timestamp_micros(Tables.eventMicros(e)), "RFC3339").as("rfc3339"))
     },
 
     "q24_time_roundtrip" -> { (s, dir) =>
-      Tables(s, dir).events.orderBy(col("event_id"))
+      val e = Tables(s, dir).events
+      e.orderBy(col("event_id"))
         .select(col("event_id"),
           unix_timestamp(
-            parse_time(format_time(timestamp_micros(tsMicros), "RFC3339"), "RFC3339"))
+            parse_time(format_time(timestamp_micros(Tables.eventMicros(e)), "RFC3339"), "RFC3339"))
             .as("epoch_s"))
     },
 

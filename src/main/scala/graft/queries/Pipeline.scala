@@ -456,9 +456,10 @@ object Pipeline {
 
     "q85_sessionize" -> { (s, dir) =>
       // Gap-based sessionization (30-min idle timeout) on the event
-      // timeline at microsecond precision (the parquet stores nanos;
-      // DuckDB truncates ns->us on read, so the oracle-matched unit is
-      // us — q15 makes the same choice): new_sess flags a gap > 30 min
+      // timeline at microsecond precision (Tables.eventMicros normalizes
+      // whichever ts dtype the fixture carries to epoch-us, the same
+      // unit the DuckDB oracle reads — q15 makes the same choice):
+      // new_sess flags a gap > 30 min
       // from the previous event of the same user, a running sum numbers
       // the sessions, and a rollup emits per-session bounds/counts/
       // value. ONE shuffle on user_id — the lag window, the running
@@ -471,9 +472,9 @@ object Pipeline {
       val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
       val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val prev = lag(col("tus"), 1).over(w)
-      Tables(s, dir).events
-        .select(col("user_id"), col("event_id"),
-          expr("ts DIV 1000").as("tus"), col("value"))
+      val e = Tables(s, dir).events
+      e.select(col("user_id"), col("event_id"),
+          Tables.eventMicros(e).as("tus"), col("value"))
         .withColumn("new_sess",
           when(prev.isNull || col("tus") - prev > 1800L * 1000000L, 1L)
             .otherwise(0L))
@@ -691,6 +692,12 @@ object Pipeline {
       // exact audit join (vs the true eval gram set) touches FLAGGED
       // grams only — candidates, never the corpus — and reports the
       // false-positive count the fpr math predicts (~(1-e^{-kn/m})^k).
+      // The audit is a SHUFFLE_HASH join: the probe side is flagged
+      // grams only (candidate-scale), and broadcasting the eval gram
+      // set would re-import exactly the assumption this query exists
+      // to drop — at its design point that set doesn't fit in one
+      // executor, so the hint pins the strategy Catalyst would pick
+      // at real stats instead of the local-SF size estimate.
       val m = 1 << 20
       val bits = bloomBits.computeIfAbsent(dir, _ => {
         val pos = shingled(Tables(s, dir)).filter(col("doc_id") % 20 === 0)
@@ -711,7 +718,8 @@ object Pipeline {
         .select(explode(col("sh")).as("g")).distinct()
       sh.filter(col("doc_id") % 20 =!= 0)
         .select(col("doc_id"), explode(bloom_hits(lit(bits), col("sh"))).as("g"))
-        .join(broadcast(evalGrams.withColumn("hit", lit(1))), Seq("g"), "left")
+        .join(evalGrams.withColumn("hit", lit(1)).hint("shuffle_hash"),
+          Seq("g"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_flagged"),
           sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_true"))

@@ -217,10 +217,10 @@ object Relational {
     },
 
     "q15_hourly_agg" -> { (s, dir) =>
-      val t = Tables(s, dir)
-      t.events
+      val e = Tables(s, dir).events
+      e
         .withColumn("hour", unix_timestamp(
-          date_trunc("hour", timestamp_micros(expr("ts DIV 1000")))))
+          date_trunc("hour", timestamp_micros(Tables.eventMicros(e)))))
         .groupBy(col("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy(col("hour"), col("event_type"))

@@ -20,11 +20,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStreams {
 
   /** Event-time tumbling-window counts/sums per event_type with a
-    * watermark for late-data eviction. */
+    * watermark for late-data eviction. `ts` may arrive as epoch-nano
+    * LONG or as a timestamp — [[graft.Tables.eventMicros]] dispatches on
+    * the bound schema (known at plan time even for a stream). */
   def windowedAgg(events: DataFrame, window_ : String = "5 minutes",
       watermark: String = "10 minutes"): DataFrame =
     events
-      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("event_time", timestamp_micros(graft.Tables.eventMicros(events)))
       .withWatermark("event_time", watermark)
       .groupBy(window(col("event_time"), window_), col("event_type"))
       .agg(count(lit(1)).as("n_events"),

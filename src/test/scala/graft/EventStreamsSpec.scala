@@ -7,10 +7,11 @@ import org.apache.spark.sql.types._
 class EventStreamsSpec extends SparkSpec {
   import SparkSpec.spark.implicits._
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  // infer from the fixture: the driver has shipped ts as both
+  // TIMESTAMP(NANOS) and TIMESTAMP_MICROS across refreshes, and
+  // Tables.eventMicros dispatches on whatever dtype is bound
+  private lazy val eventsSchema: StructType =
+    spark.read.parquet(s"$sf/events.parquet").schema
 
   // FileStreamSource wants a directory; stage the single-file table
   private lazy val eventsDir: String = {
@@ -48,9 +49,11 @@ class EventStreamsSpec extends SparkSpec {
   }
 
   test("streaming sessionize emits exactly the batch q85 sessions") {
-    val stream = spark.readStream.schema(eventsSchema).parquet(eventsDir)
-      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("tus"),
-        col("value"), timestamp_micros(expr("ts DIV 1000")).as("event_time"))
+    val raw = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+    val tus = Tables.eventMicros(raw)
+    val stream = raw
+      .select(col("user_id"), col("event_id"), tus.as("tus"),
+        col("value"), timestamp_micros(tus).as("event_time"))
       .withWatermark("event_time", "30 minutes")
       .as[EventStreams.SessEvent]
     val q = EventStreams.sessionize(stream)
@@ -83,9 +86,10 @@ class EventStreamsSpec extends SparkSpec {
   }
 
   test("stateful per-user cursor tracks last event and totals") {
-    val stream = spark.readStream.schema(eventsSchema)
-      .parquet(eventsDir)
-      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val raw = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+    val stream = raw
+      .select(col("user_id"), col("event_id"),
+        Tables.eventMicros(raw).as("ts"), col("value"))
       .as[EventStreams.EventRow]
     val q = EventStreams.userCursor(stream)
       .writeStream.outputMode("append").format("memory").queryName("cursor_out").start()
@@ -117,9 +121,10 @@ class EventStreamsSpec extends SparkSpec {
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val stream = spark.readStream.schema(eventsSchema)
-        .parquet(eventsDir)
-        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val raw = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+      val stream = raw
+        .select(col("user_id"), col("event_id"),
+          Tables.eventMicros(raw).as("ts"), col("value"))
         .as[EventStreams.EventRow]
       val q = EventStreams.userCursorTws(stream, java.time.Duration.ofHours(1))
         .writeStream.outputMode("append").format("memory").queryName("cursor_tws").start()

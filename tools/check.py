@@ -24,7 +24,9 @@ def main():
             continue
         files = glob.glob(os.path.join(outdir, name, "*.parquet"))
         if not files:
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            err = os.path.join(outdir, name + ".err")
+            msg = open(err).read().strip() if os.path.exists(err) else "no spark output"
+            print(f"FAIL {name}: {msg}"); n_fail += 1; continue
         try:
             want = con.execute(oracle[name]).fetchdf()
         except Exception as e:

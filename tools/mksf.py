@@ -56,13 +56,11 @@ for t, keys in OFFSET.items():
         if name in keys:
             cols.append(f"CAST({name} + c * {strides[name]} AS {typ}) AS {name}")
         elif t == "events" and name == "ts":
-            # the driver writes ts as parquet TIMESTAMP(NANOS), which the
-            # engine reads as epoch-nano LONG (nanosAsLong=true); DuckDB
-            # COPY would silently narrow it to TIMESTAMP(MICROS), which
-            # Spark reads as TIMESTAMP_NTZ and every ts arithmetic breaks.
-            # Writing epoch-nano BIGINT is byte-identical from the
-            # engine's point of view.
-            cols.append("epoch_ns(ts) AS ts")
+            # keep whatever dtype the driver fixture carries (since the
+            # 2026-08 refresh: TIMESTAMP_MICROS; DuckDB COPY preserves
+            # it). The engine's Tables.eventMicros dispatches on the
+            # bound dtype, so no defensive rewrite is needed here.
+            cols.append("ts")
         elif t == "embeddings" and name == "embedding":
             # distinct-but-near copies: +0.003*c on dim 0 only
             cols.append(
