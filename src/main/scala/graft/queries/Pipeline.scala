@@ -84,6 +84,36 @@ object Pipeline {
         && !col("f_wordlen") && !col("f_rep") && !col("f_lang"))
   }
 
+  /** q106's operator form: split each document's token sequence into
+    * fixed-size context windows with overlap (window `win`, stride
+    * `stride` <= win, so consecutive chunks share win - stride tokens)
+    * — the chunking step every pretraining / RAG ingestion pipeline
+    * runs between curation and tokenization. Chunk k covers tokens
+    * [k*stride, k*stride + win); the last chunk is the first one whose
+    * window reaches the end (it may be short), and every doc — even an
+    * empty one — yields at least one chunk, so chunking never silently
+    * drops documents. Pure per-row explode: fan-out is output-bound
+    * (ceil(n/stride) chunks per doc), no shuffle, and the chunk stream
+    * inherits the corpus partitioning — map-only at 100 TB. The same
+    * Columns plan over readStream (stateless), like qualityFlags. */
+  def chunkWindows(docs: DataFrame, win: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && stride <= win, "need 0 < stride <= win")
+    val n = col("n_tokens")
+    docs
+      .select(col("doc_id"), toks(col("text")).as("tok"))
+      .withColumn("n_tokens", size(col("tok")).cast("long"))
+      .withColumn("kmax",
+        when(n > win, expr(s"(n_tokens - $win + $stride - 1) DIV $stride"))
+          .otherwise(0L))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("kmax"))))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        least(lit(win.toLong), n - col("chunk_id") * stride).as("chunk_len"),
+        array_join(slice(col("tok"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(win)), " ")
+          .as("chunk_text"))
+  }
+
   /** q92's keep decision as ONE boolean Column — the composed pipeline
     * (q97) filters on it without materializing per-rule flags. Kept as
     * the rule-by-rule positive form; must stay the exact negation of
@@ -728,6 +758,14 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "q106_chunk_windows" -> { (s, dir) =>
+      // Context-window chunking with overlap (64-token windows, stride
+      // 48): see chunkWindows. The presentation sort is the only
+      // exchange in the plan.
+      chunkWindows(Tables(s, dir).documents)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
     "q103_embed_quantize" -> { (s, dir) =>
       // Symmetric int8 embedding quantization with its audit trail:
       // per-vector scale = 127/max|x|, q_i = round(x*scale), plus the
@@ -1262,6 +1300,20 @@ object Pipeline {
             CAST(sum(CASE WHEN e2.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
           FROM h LEFT JOIN e e2 ON h.g = e2.g
           GROUP BY h.doc_id ORDER BY doc_id""",
+    "q106_chunk_windows" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tok FROM documents),
+          n AS (SELECT doc_id, tok, CAST(len(tok) AS BIGINT) AS n_tokens FROM t),
+          k AS (SELECT doc_id, tok, n_tokens,
+                  CASE WHEN n_tokens > 64 THEN (n_tokens - 64 + 47) // 48
+                       ELSE 0 END AS kmax FROM n),
+          e AS (SELECT doc_id, tok, n_tokens,
+                  unnest(generate_series(0, kmax)) AS chunk_id FROM k)
+          SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+            CAST(chunk_id * 48 AS BIGINT) AS start_tok,
+            CAST(least(64, n_tokens - chunk_id * 48) AS BIGINT) AS chunk_len,
+            array_to_string(list_slice(tok, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')
+              AS chunk_text
+          FROM e ORDER BY doc_id, chunk_id""",
     "q103_embed_quantize" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                     FROM embeddings),

@@ -246,6 +246,29 @@ object Relational {
           sum(when(col("l_discount") >= 0.05, 1L).otherwise(0L)).as("n_discounted"),
           sum(when(col("l_tax") === 0.0, 1L).otherwise(0L)).as("n_taxfree"))
         .orderBy(col("l_returnflag"))
+    },
+
+    "q107_asof_join" -> { (s, dir) =>
+      // As-of join: each event matched to the latest purchase of the
+      // same user at-or-before its timestamp ("state as of this
+      // moment" — the lookup feature stores, trade/quote alignment,
+      // and attribution pipelines all need). Implemented with
+      // operators.AsOf: a tagged union + ONE user_id shuffle + one
+      // window pass, never a range join — see AsOf.scala for why that
+      // shape survives both sides being fact-scale. Oracle is DuckDB's
+      // native ASOF LEFT JOIN (an independent implementation of the
+      // same semantics, inclusive at equal timestamps).
+      val e = Tables(s, dir).events
+      val base = e.select(col("event_id"), col("user_id"), col("event_type"),
+        Tables.eventMicros(e).as("tus"))
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus"))
+      graft.operators.AsOf.asofJoin(base, purchases, Seq("user_id"),
+          "tus", "tus", Seq("tus" -> "asof_purchase_us"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("tus"),
+          col("asof_purchase_us"),
+          (col("tus") - col("asof_purchase_us")).as("us_since_purchase"))
+        .orderBy(col("event_id"))
     })
 
   def oracle: Map[String, String] = Map(
@@ -361,5 +384,13 @@ object Relational {
          CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
          CAST(sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
          CAST(sum(CASE WHEN l_tax = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxfree
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q107_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+         p AS (SELECT user_id, tus FROM e WHERE event_type = 'purchase')
+         SELECT e.event_id, e.user_id, e.event_type, e.tus,
+           p.tus AS asof_purchase_us, e.tus - p.tus AS us_since_purchase
+         FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.tus >= p.tus
+         ORDER BY e.event_id""")
 }

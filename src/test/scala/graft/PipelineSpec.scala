@@ -659,4 +659,32 @@ class PipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("chunk windows: overlap, boundaries, and tail coverage are exact") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 2 chunks: [0,64) + [48,100)
+      (2L, (1 to 64).map(i => s"t$i").mkString(" ")),  // exactly one window
+      (3L, "a b c"),                                   // short doc: one short chunk
+      (4L, (1 to 65).map(i => s"t$i").mkString(" ")))  // one past the window: 2 chunks
+      .toDF("doc_id", "text")
+    val got = Pipeline.chunkWindows(docs).orderBy("doc_id", "chunk_id").collect()
+      .groupBy(_.getLong(0))
+    val d1 = got(1L)
+    assert(d1.length == 2)
+    assert(d1(0).getLong(2) == 0L && d1(0).getLong(3) == 64L)
+    assert(d1(1).getLong(2) == 48L && d1(1).getLong(3) == 52L)
+    val c0 = d1(0).getString(4).split(" ")
+    val c1 = d1(1).getString(4).split(" ")
+    // 16-token overlap: chunk 0's tokens 49..64 are chunk 1's 1..16
+    assert(c0.slice(48, 64).sameElements(c1.slice(0, 16)))
+    assert(c1.last == "t100", "tail token must be covered")
+    assert(got(2L).length == 1 && got(2L)(0).getLong(3) == 64L)
+    assert(got(3L).length == 1 && got(3L)(0).getLong(3) == 3L
+      && got(3L)(0).getString(4) == "a b c")
+    val d4 = got(4L)
+    assert(d4.length == 2 && d4(1).getLong(2) == 48L && d4(1).getLong(3) == 17L)
+    // chunks cover every token exactly once modulo the declared overlap
+    assert(d4(0).getLong(3) + d4(1).getLong(3) == 65L + 16L)
+  }
 }
