@@ -128,6 +128,49 @@ object EventStreams {
       }
   }
 
+  /** One input event for the streaming as-of enrichment. */
+  final case class AsofEvent(user_id: Long, event_id: Long, tus: Long,
+      event_type: String)
+  /** One enriched event: the batch q107 row shape (None = no purchase
+    * at-or-before this event yet). */
+  final case class AsofOut(event_id: Long, user_id: Long, event_type: String,
+      tus: Long, asof_purchase_us: Option[Long])
+  /** The retained right-side state: latest match-type timestamp seen. */
+  final case class AsofState(us: Long)
+
+  /** Streaming twin of batch q107 (operators.AsOf): enrich each event
+    * with the latest `matchType` event of the same user at-or-before
+    * its timestamp. State per user is ONE long — the classic streaming
+    * enrichment where the "right side" of the as-of join is folded into
+    * keyed state instead of sorted alongside (state is bounded by
+    * users, not history). Within a micro-batch rows sort by (tus,
+    * match-first, event_id) so equal-timestamp matches are inclusive,
+    * exactly the batch operator's tie rule; ACROSS batches events must
+    * arrive in order per user (a late-arriving purchase cannot
+    * retro-enrich rows already emitted — inherent to any append-mode
+    * as-of, so the operator is exact under per-key ordered delivery
+    * and best-effort under disorder). */
+  def asofEnrich(events: Dataset[AsofEvent],
+      matchType: String = "purchase"): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[AsofEvent], state: GroupState[AsofState]) =>
+          var last = state.getOption
+          val out = Vector.newBuilder[AsofOut]
+          rows.toVector
+            .sortBy(r => (r.tus, if (r.event_type == matchType) 0 else 1, r.event_id))
+            .foreach { r =>
+              if (r.event_type == matchType) last = Some(AsofState(r.tus))
+              out += AsofOut(r.event_id, userId, r.event_type, r.tus, last.map(_.us))
+            }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** The same per-user cursor on the transformWithState API (Spark 4.1
     * StatefulProcessor): typed ValueState in the state store, optional
     * TTL so an idle user's cursor is evicted instead of living forever

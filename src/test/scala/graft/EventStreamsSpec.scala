@@ -238,6 +238,48 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment emits exactly the batch q107 rows") {
+    val raw = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+    val stream = raw
+      .select(col("user_id"), col("event_id"),
+        Tables.eventMicros(raw).as("tus"), col("event_type"))
+      .as[EventStreams.AsofEvent]
+    val q = EventStreams.asofEnrich(stream)
+      .writeStream.outputMode("append").format("memory").queryName("asof_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT event_id, asof_purchase_us FROM asof_out")
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      val batch = SparkEntry.queries("q107_asof_join")(spark, sf).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(4)) None else Some(r.getLong(4))))
+        .toMap
+      assert(got.size == batch.size)
+      assert(got == batch)
+      assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty),
+        "fixture should exercise both matched and unmatched events")
+    } finally q.stop()
+  }
+
+  test("chunk windows on a stream equal the batch q106 rows") {
+    // chunkWindows is a stateless per-row explode, so the identical
+    // code plans over readStream — no state, no watermark, append-safe
+    val docsSchema = spark.read.parquet(docsDir).schema
+    val stream = spark.readStream.schema(docsSchema).parquet(docsDir)
+    val q = graft.queries.Pipeline.chunkWindows(stream)
+      .writeStream.outputMode("append").format("memory").queryName("chunk_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM chunk_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+      val batch = graft.queries.Pipeline.queries("q106_chunk_windows")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("quality gate flags on a stream equal the batch q92 rows") {
     // qualityFlags is pure per-row Columns, so the identical code plans
     // over readStream — no state, no watermark, append-safe
