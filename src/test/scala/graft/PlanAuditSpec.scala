@@ -126,4 +126,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.result().isEmpty,
       s"per-row queries with data shuffles:\n${offenders.result().mkString("\n")}")
   }
+
+  // Queries whose Scaladoc claims "ONE data shuffle": pinned as a total
+  // exchange budget (the one data exchange + the presentation sort's
+  // range exchange; q106 is explode-only so just the sort). At 100 TB
+  // each extra exchange is a full rewrite of the data — a refactor that
+  // splits the reused partitioning (e.g. q85's window/groupBy no longer
+  // sharing the user_id hash) fails here, not in production.
+  private val exchangeBudget = Map(
+    "q15_hourly_agg" -> 2, "q30_exact_dedup" -> 2, "q84_vocab_topk" -> 2,
+    "q85_sessionize" -> 2, "q88_sequence_pack" -> 2,
+    "q101_token_budget_fill" -> 2, "q106_chunk_windows" -> 1,
+    "q107_asof_join" -> 2)
+
+  test("documented single-shuffle queries stay inside their exchange budget") {
+    val offenders = Seq.newBuilder[String]
+    exchangeBudget.foreach { case (name, budget) =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val n = "(?m)^\\s*\\+?-?\\s*Exchange ".r.findAllIn(plan).size
+      if (n > budget) offenders += s"$name plans $n exchanges (budget $budget)"
+    }
+    assert(offenders.result().isEmpty,
+      s"exchange budgets exceeded:\n${offenders.result().mkString("\n")}")
+  }
 }
