@@ -32,6 +32,12 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
       valueCols: Seq[(String, String)]): DataFrame = {
+    val reserved = Seq("__t", "__side", "__payload")
+    require(left.columns.intersect(reserved).isEmpty
+      && right.columns.intersect(reserved).isEmpty,
+      s"input columns may not use the reserved names ${reserved.mkString(", ")}")
+    require(valueCols.map(_._2).intersect(left.columns.toSeq).isEmpty,
+      "as-of output names must not collide with left columns")
     val payload = struct(valueCols.map { case (c, out) => col(c).as(out) }: _*)
     val rightTagged = right.select(
       keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side"),

@@ -164,14 +164,19 @@ object Pipeline {
     * silently lose every pair of a 65+-copy group. With representatives
     * the kept members still pair (and identical docs keep the same 64
     * reps in every band), bounding fan-out at 64^2 per bucket. */
+  /** (doc_id, sh) -> exploded (doc_id, bd) LSH band rows: 64 minhashes
+    * in one kernel pass, 16 bands x 4 rows each. Shared by the q31
+    * self-join and the q108 build/probe form. */
+  private def minhashBands(docs: DataFrame): DataFrame =
+    docs.withColumn("sig", minhash_sig(col("sh")))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(15)),
+          b => struct(b.as("band_id"),
+            xxhash64(slice(col("sig"), b * 4 + 1, lit(4)), b).as("band_hash")))).as("bd"))
+
   private def minhashDupPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = shingled(Tables(s, dir))
-    // 64 minhashes in one kernel pass; 16 bands x 4 rows.
-    val sig = docs.withColumn("sig", minhash_sig(col("sh")))
-    val bands = sig.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(15)),
-        b => struct(b.as("band_id"),
-          xxhash64(slice(col("sig"), b * 4 + 1, lit(4)), b).as("band_hash")))).as("bd"))
+    val bands = minhashBands(docs)
     val cand = cappedBucketPairs(bands, col("bd"),
         struct(col("doc_id")), "doc_id")
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -185,6 +190,50 @@ object Pipeline {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= 0.9)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** q108's operator form: dedup an incoming batch against an EXISTING
+    * corpus index — the production ingest shape, where the corpus is
+    * indexed once (at scale: a persisted/bucketed band table maintained
+    * across ingests; here the same plan builds it from the existing
+    * split) and only the NEW batch probes it. Unlike q31's self-join,
+    * fan-out is per new doc, not per corpus pair, and the existing
+    * corpus is never paired with itself. Index postings are capped at
+    * 64 per bucket (keep-first by doc_id, q31's skew rule): any
+    * near-dup clique keeps representatives in every band, so the ADMIT
+    * decision is exact under the cap; n_dups degrades to a >=64-capped
+    * count only for cliques past the cap. Both inputs are (doc_id, sh)
+    * frames; returns one decision row per new doc. */
+  def incrementalDedup(newDocs: DataFrame, existing: DataFrame): DataFrame = {
+    val index = minhashBands(existing)
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("bd")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= 64)
+      .select(col("bd"), col("doc_id").as("idx_doc"))
+    val cand = minhashBands(newDocs)
+      .select(col("bd"), col("doc_id").as("new_doc"))
+      .join(index, "bd")
+      .select(col("new_doc"), col("idx_doc")).distinct()
+    val verified = cand
+      .join(newDocs.select(col("doc_id").as("new_doc"), col("sh").as("sh_n")), "new_doc")
+      .join(existing.select(col("doc_id").as("idx_doc"), col("sh").as("sh_i")), "idx_doc")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_n"), col("sh_i"))).cast("double") /
+          size(array_union(col("sh_n"), col("sh_i"))))
+      .filter(col("jaccard") >= 0.9)
+    val ranked = verified
+      .withColumn("rn", row_number().over(Window.partitionBy(col("new_doc"))
+        .orderBy(col("jaccard").desc, col("idx_doc").desc)))
+      .withColumn("n_dups", count(lit(1)).over(Window.partitionBy(col("new_doc"))))
+      .filter(col("rn") === 1)
+      .select(col("new_doc"), col("n_dups"),
+        col("idx_doc").as("best_match"), col("jaccard").as("best_jaccard"))
+    newDocs.select(col("doc_id").as("new_doc"))
+      .join(ranked, Seq("new_doc"), "left")
+      .select(col("new_doc"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("best_match"), col("best_jaccard"),
+        col("best_match").isNull.as("admit"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -766,6 +815,19 @@ object Pipeline {
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 
+    "q108_incremental_dedup" -> { (s, dir) =>
+      // Incremental ingest dedup: the new batch (doc_id % 10 == 0 as
+      // the arriving split) probes the existing corpus's band index —
+      // see incrementalDedup. The oracle is the brute-force
+      // new x existing exact-Jaccard join, so this also re-certifies
+      // LSH completeness at J >= 0.9 on the probe shape.
+      val docs = shingled(Tables(s, dir))
+      incrementalDedup(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0))
+        .orderBy(col("new_doc"))
+    },
+
     "q103_embed_quantize" -> { (s, dir) =>
       // Symmetric int8 embedding quantization with its audit trail:
       // per-vector scale = 127/max|x|, q_i = round(x*scale), plus the
@@ -1314,6 +1376,27 @@ object Pipeline {
             array_to_string(list_slice(tok, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')
               AS chunk_text
           FROM e ORDER BY doc_id, chunk_id""",
+    "q108_incremental_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $shSql AS sh
+                     FROM (SELECT doc_id, $tokSql AS lst FROM documents) WHERE len(lst) >= 3),
+          v AS (SELECT a.doc_id AS new_doc, b.doc_id AS idx_doc,
+                  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+                FROM t a JOIN t b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+          r AS (SELECT new_doc, idx_doc, jaccard,
+                  row_number() OVER (PARTITION BY new_doc
+                    ORDER BY jaccard DESC, idx_doc DESC) AS rn,
+                  count(*) OVER (PARTITION BY new_doc) AS n_dups
+                FROM v)
+          SELECT n.doc_id AS new_doc,
+            CAST(coalesce(r.n_dups, 0) AS BIGINT) AS n_dups,
+            r.idx_doc AS best_match, r.jaccard AS best_jaccard,
+            (r.new_doc IS NULL) AS admit
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) n
+          LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON n.doc_id = r.new_doc
+          ORDER BY new_doc""",
     "q103_embed_quantize" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                     FROM embeddings),

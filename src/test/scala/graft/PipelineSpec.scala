@@ -660,6 +660,34 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: probe flags copies, admits uniques, cap keeps reps") {
+    import SparkSpec.spark.implicits._
+    val shA = (1 to 10).map(i => s"g$i")
+    val existing = Seq((1L, shA), (2L, shA), (3L, (1 to 10).map(i => s"x$i")))
+      .toDF("doc_id", "sh")
+    val newDocs = Seq((10L, shA), (20L, (1 to 10).map(i => s"z$i")))
+      .toDF("doc_id", "sh")
+    val got = Pipeline.incrementalDedup(newDocs, existing)
+      .orderBy("new_doc").collect()
+    assert(got.length == 2)
+    assert(got(0).getLong(0) == 10L && got(0).getLong(1) == 2L
+      && got(0).getLong(2) == 2L && got(0).getDouble(3) == 1.0
+      && !got(0).getBoolean(4), s"copy row: ${got(0)}")
+    assert(got(1).getLong(0) == 20L && got(1).getLong(1) == 0L
+      && got(1).isNullAt(2) && got(1).isNullAt(3)
+      && got(1).getBoolean(4), s"unique row: ${got(1)}")
+
+    // a 70-copy clique past the 64-posting cap: the admit decision must
+    // still flag (representatives survive in every band), with n_dups
+    // degrading to the documented capped count
+    val clique = (1L to 70L).map(i => (i, shA)).toDF("doc_id", "sh")
+    val probe = Seq((100L, shA)).toDF("doc_id", "sh")
+    val capped = Pipeline.incrementalDedup(probe, clique).collect()
+    assert(capped.length == 1 && !capped(0).getBoolean(4), "must still flag")
+    assert(capped(0).getLong(1) == 64L, s"capped count: ${capped(0)}")
+    assert(capped(0).getLong(2) == 64L, "keep-first reps => best tie-break is doc 64")
+  }
+
   test("chunk windows: overlap, boundaries, and tail coverage are exact") {
     import SparkSpec.spark.implicits._
     val docs = Seq(
