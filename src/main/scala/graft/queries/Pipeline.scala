@@ -815,6 +815,40 @@ object Pipeline {
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 
+    "q109_mixture_materialize" -> { (s, dir) =>
+      // q91 emits WEIGHTS; this materializes the actual training
+      // stream: per-language epoch counts (temperature tau = 0.5,
+      // normalized so the commonest language runs 1.0 epoch and rare
+      // languages repeat — epochs_l = sqrt(n_max / n_l)), each doc
+      // repeated floor(epochs) times plus one fractional repeat decided
+      // by a doc_id hash (deterministic across re-runs/backfills, q83's
+      // argument), then laid out in the global training order every
+      // pretraining run needs: ORDER BY a per-(doc, rep) hash — an
+      // order KEY, not a row_number, so no single-partition window
+      // exists and the final sort is an ordinary range exchange.
+      // Masked to 62 bits so signed (Spark) and unsigned (DuckDB)
+      // comparisons agree. Plan: tiny per-lang agg broadcast back +
+      // per-row explode + the sort — the corpus never hash-shuffles.
+      val docs = Tables(s, dir).documents
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val epochs = counts.select(col("lang"),
+        sqrt(max(col("n")).over(all).cast("double") / col("n")).as("epochs"))
+      val bucket = md5_lower64(concat(lit("epoch:"),
+        col("doc_id").cast("string")).cast("binary")).bitwiseAND(lit(4095L))
+      docs.join(broadcast(epochs), Seq("lang"))
+        .withColumn("n_reps", floor(col("epochs")).cast("long") +
+          when(bucket.cast("double") <
+            (col("epochs") - floor(col("epochs"))) * 4096.0, 1L).otherwise(0L))
+        .filter(col("n_reps") > 0)
+        .withColumn("rep", explode(sequence(lit(0L), col("n_reps") - 1)))
+        .select(col("doc_id"), col("lang"), col("rep"),
+          md5_lower64(concat(lit("ord:"), col("doc_id").cast("string"),
+            lit(":"), col("rep").cast("string")).cast("binary"))
+            .bitwiseAND(lit(4611686018427387903L)).as("shuffle_key"))
+        .orderBy(col("shuffle_key"), col("doc_id"), col("rep"))
+    },
+
     "q108_incremental_dedup" -> { (s, dir) =>
       // Incremental ingest dedup: the new batch (doc_id % 10 == 0 as
       // the arriving split) probes the existing corpus's band index —
@@ -1376,6 +1410,25 @@ object Pipeline {
             array_to_string(list_slice(tok, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')
               AS chunk_text
           FROM e ORDER BY doc_id, chunk_id""",
+    "q109_mixture_materialize" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         m AS (SELECT max(n) AS nmax FROM c),
+         e AS (SELECT lang, sqrt(CAST(nmax AS DOUBLE) / n) AS epochs FROM c, m),
+         t AS (SELECT doc_id, documents.lang, epochs,
+                 CAST(md5_number_lower('epoch:' || doc_id) & 4095 AS BIGINT) AS bucket
+               FROM documents JOIN e USING (lang)),
+         r AS (SELECT doc_id, lang,
+                 CAST(floor(epochs) AS BIGINT) +
+                   CASE WHEN CAST(bucket AS DOUBLE)
+                          < (epochs - floor(epochs)) * 4096.0
+                        THEN 1 ELSE 0 END AS n_reps FROM t),
+         x AS (SELECT doc_id, lang,
+                 unnest(generate_series(0, n_reps - 1)) AS rep
+               FROM r WHERE n_reps > 0)
+         SELECT doc_id, lang, CAST(rep AS BIGINT) AS rep,
+           CAST(md5_number_lower('ord:' || doc_id || ':' || rep)
+             & 4611686018427387903 AS BIGINT) AS shuffle_key
+         FROM x ORDER BY shuffle_key, doc_id, rep""",
     "q108_incremental_dedup" ->
       s"""WITH t AS (SELECT doc_id, $shSql AS sh
                      FROM (SELECT doc_id, $tokSql AS lst FROM documents) WHERE len(lst) >= 3),

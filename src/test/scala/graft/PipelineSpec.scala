@@ -688,6 +688,31 @@ class PipelineSpec extends SparkSpec {
     assert(capped(0).getLong(2) == 64L, "keep-first reps => best tie-break is doc 64")
   }
 
+  test("mixture materialize: one epoch for the top lang, bounded repeats, key order") {
+    val rows = Pipeline.queries("q109_mixture_materialize")(spark, sf).collect()
+    val langN = Tables(spark, sf).documents.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nmax = langN.values.max
+    // the commonest language runs exactly 1.0 epochs: one rep per doc
+    val topLangs = langN.filter(_._2 == nmax).keySet
+    rows.filter(r => topLangs(r.getString(1)))
+      .groupBy(_.getLong(0)).values.foreach(rs => assert(rs.length == 1))
+    // every language's total lands in [n*floor(e), n*ceil(e)]
+    rows.groupBy(_.getString(1)).foreach { case (l, rs) =>
+      val e = math.sqrt(nmax.toDouble / langN(l))
+      assert(rs.length >= langN(l) * math.floor(e)
+        && rs.length <= langN(l) * math.ceil(e),
+        s"$l: ${rs.length} reps of ${langN(l)} docs at epochs $e")
+      // rep indices are dense 0..n_reps-1 per doc
+      rs.groupBy(_.getLong(0)).values.foreach { doc =>
+        assert(doc.map(_.getLong(2)).sorted.sameElements(0L until doc.length))
+      }
+    }
+    // the stream arrives in global shuffle-key order
+    val keys = rows.map(_.getLong(3))
+    assert(keys.sameElements(keys.sorted), "not in training order")
+  }
+
   test("chunk windows: overlap, boundaries, and tail coverage are exact") {
     import SparkSpec.spark.implicits._
     val docs = Seq(

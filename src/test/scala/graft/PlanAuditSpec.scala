@@ -137,7 +137,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q15_hourly_agg" -> 2, "q30_exact_dedup" -> 2, "q84_vocab_topk" -> 2,
     "q85_sessionize" -> 2, "q88_sequence_pack" -> 2,
     "q101_token_budget_fill" -> 2, "q106_chunk_windows" -> 1,
-    "q107_asof_join" -> 2)
+    "q107_asof_join" -> 2,
+    // q109: lang-count agg + the tiny counts window + presentation
+    // sort — the corpus itself never hash-shuffles
+    "q109_mixture_materialize" -> 3)
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
