@@ -192,6 +192,32 @@ object Pipeline {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** q110's vocabulary (top-1024 by tf, token tie-break, ids = 0-based
+    * rank), memoized per dataset dir (same immutability assumption as
+    * embCount). The same two-job pattern as q105's bitmap: job 1
+    * reduces the corpus to a BOUNDED dictionary on the driver, job 2
+    * ships it to every task as a plan literal — the shape every real
+    * tokenizer (BPE/WordPiece vocab) applies at corpus scale. */
+  private val vocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+
+  /** q110's map-only pass: apply a vocabulary (id = position) to any
+    * (doc_id, text) frame — one dictionary-literal lookup per token,
+    * -1 for OOV, no join, no shuffle. Stateless, so the same Columns
+    * plan runs over readStream. */
+  def applyVocab(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    val dict = map_from_arrays(
+      typedLit(vocab), typedLit(vocab.indices.map(_.toLong)))
+    val tok = toks(col("text"))
+    docs.select(col("doc_id"),
+      array_join(transform(tok,
+        t => coalesce(element_at(dict, t), lit(-1L)).cast("string")), ",")
+        .as("ids"),
+      size(tok).cast("long").as("n_tokens"),
+      size(filter(tok, t => element_at(dict, t).isNull)).cast("long")
+        .as("n_oov"))
+  }
+
   /** q108's operator form: dedup an incoming batch against an EXISTING
     * corpus index — the production ingest shape, where the corpus is
     * indexed once (at scale: a persisted/bucketed band table maintained
@@ -815,6 +841,27 @@ object Pipeline {
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 
+    "q110_tokenize_ids" -> { (s, dir) =>
+      // The corpus -> token-ids step between curation and training:
+      // apply the q84-style vocabulary (top 1024 by tf, token
+      // tie-break; id = 0-based rank) to every document, emitting the
+      // id sequence plus OOV accounting (-1 = out-of-vocabulary, the
+      // unk id decision left to the consumer). Two jobs: the vocab
+      // build is one token shuffle with a BOUNDED (|V|) result,
+      // memoized per dir; the corpus pass is MAP-ONLY — each task
+      // looks tokens up in the dictionary literal, no join, no shuffle
+      // of the token stream (the explode+join form would shuffle every
+      // token of the corpus). ids emit as CSV so the oracle compare is
+      // positional and type-exact.
+      val vocab = vocabCache.computeIfAbsent(dir, _ =>
+        Tables(s, dir).documents
+          .select(explode(toks(col("text"))).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("token")).limit(1024)
+          .collect().map(_.getString(0)))
+      applyVocab(Tables(s, dir).documents.orderBy(col("doc_id")), vocab)
+    },
+
     "q109_mixture_materialize" -> { (s, dir) =>
       // q91 emits WEIGHTS; this materializes the actual training
       // stream: per-language epoch counts (temperature tau = 0.5,
@@ -1410,6 +1457,27 @@ object Pipeline {
             array_to_string(list_slice(tok, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')
               AS chunk_text
           FROM e ORDER BY doc_id, chunk_id""",
+    "q110_tokenize_ids" ->
+      s"""WITH ex AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
+          c AS (SELECT token, count(*) AS tf FROM ex GROUP BY token),
+          v AS (SELECT token,
+                  CAST(row_number() OVER (ORDER BY tf DESC, token) - 1 AS BIGINT) AS id
+                FROM c ORDER BY tf DESC, token LIMIT 1024),
+          t AS (SELECT doc_id, $tokSql AS tok FROM documents),
+          p AS (SELECT doc_id, tok, unnest(generate_series(1, len(tok))) AS i FROM t),
+          j AS (SELECT p.doc_id, p.i, v.id
+                FROM (SELECT doc_id, i, tok[i] AS token FROM p) p
+                LEFT JOIN v ON p.token = v.token)
+          SELECT t.doc_id,
+            coalesce(j.ids, '') AS ids,
+            CAST(len(t.tok) AS BIGINT) AS n_tokens,
+            CAST(coalesce(j.n_oov, 0) AS BIGINT) AS n_oov
+          FROM t LEFT JOIN (
+            SELECT doc_id,
+              array_to_string(list(CAST(coalesce(id, -1) AS VARCHAR) ORDER BY i), ',') AS ids,
+              sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS n_oov
+            FROM j GROUP BY doc_id) j ON t.doc_id = j.doc_id
+          ORDER BY t.doc_id""",
     "q109_mixture_materialize" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
          m AS (SELECT max(n) AS nmax FROM c),

@@ -688,6 +688,21 @@ class PipelineSpec extends SparkSpec {
     assert(capped(0).getLong(2) == 64L, "keep-first reps => best tie-break is doc 64")
   }
 
+  test("apply vocab: positional ids, -1 OOV, exact counts") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq((1L, "b a a c"), (2L, "z z"), (3L, "")).toDF("doc_id", "text")
+    val got = Pipeline.applyVocab(docs, Seq("a", "b", "c"))
+      .orderBy("doc_id").collect()
+    assert(got(0).getString(1) == "1,0,0,2"
+      && got(0).getLong(2) == 4L && got(0).getLong(3) == 0L)
+    assert(got(1).getString(1) == "-1,-1"
+      && got(1).getLong(2) == 2L && got(1).getLong(3) == 2L)
+    // empty text tokenizes to [""] (the established split semantics):
+    // one OOV token, same as the DuckDB oracle
+    assert(got(2).getString(1) == "-1"
+      && got(2).getLong(2) == 1L && got(2).getLong(3) == 1L)
+  }
+
   test("mixture materialize: one epoch for the top lang, bounded repeats, key order") {
     val rows = Pipeline.queries("q109_mixture_materialize")(spark, sf).collect()
     val langN = Tables(spark, sf).documents.groupBy("lang").count().collect()
