@@ -280,6 +280,28 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("vocabulary application on a stream equals the batch q110 rows") {
+    // applyVocab is a per-row dictionary-literal lookup — stateless,
+    // so the identical Columns plan runs over readStream
+    val docsSchema = spark.read.parquet(docsDir).schema
+    val vocab = spark.read.parquet(docsDir)
+      .select(explode(graft.functions.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token")).limit(1024)
+      .collect().map(_.getString(0)).toSeq
+    val stream = spark.readStream.schema(docsSchema).parquet(docsDir)
+    val q = graft.queries.Pipeline.applyVocab(stream, vocab)
+      .writeStream.outputMode("append").format("memory").queryName("vocab_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM vocab_out").collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      val batch = graft.queries.Pipeline.queries("q110_tokenize_ids")(spark, sf)
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("quality gate flags on a stream equal the batch q92 rows") {
     // qualityFlags is pure per-row Columns, so the identical code plans
     // over readStream — no state, no watermark, append-safe
