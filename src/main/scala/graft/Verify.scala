@@ -17,6 +17,7 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        Files.deleteIfExists(Paths.get(s"$outDir/$name.err")) // stale marker
         None
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

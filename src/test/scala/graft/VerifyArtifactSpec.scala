@@ -31,6 +31,22 @@ class VerifyArtifactSpec extends SparkSpec {
     assert(msg.nonEmpty)
   }
 
+  test("a stale .err clears when the query recovers") {
+    val out = java.nio.file.Files.createTempDirectory("graft-verify-stale").toString
+    type Q = Map[String, (org.apache.spark.sql.SparkSession, String)
+      => org.apache.spark.sql.DataFrame]
+    val broken: Q = Map("flip" -> ((s, dir) =>
+      Tables(s, dir).region.select(expr("no_such_col"))))
+    Verify.dump(spark, sf, out, broken)
+    assert(new java.io.File(s"$out/flip.err").exists())
+    val fixed: Q = Map("flip" -> ((s, dir) =>
+      Tables(s, dir).region.select(col("r_name"))))
+    assert(Verify.dump(spark, sf, out, fixed).isEmpty)
+    assert(!new java.io.File(s"$out/flip.err").exists(),
+      "stale error marker must clear on recovery")
+    assert(new java.io.File(s"$out/flip").exists())
+  }
+
   test("the full inventory plans: every SparkEntry query resolves at sf") {
     // cheap end-to-end guard that no fixture-schema drift reintroduces
     // silent analysis failures: force full analysis (not execution) of
