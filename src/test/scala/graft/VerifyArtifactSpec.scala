@@ -47,6 +47,12 @@ class VerifyArtifactSpec extends SparkSpec {
     assert(new java.io.File(s"$out/flip").exists())
   }
 
+  test("every query has an oracle: no silent downgrade to rows-only checks") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q == o, s"missing oracle: ${q -- o}; orphan oracle: ${o -- q}")
+  }
+
   test("the full inventory plans: every SparkEntry query resolves at sf") {
     // cheap end-to-end guard that no fixture-schema drift reintroduces
     // silent analysis failures: force full analysis (not execution) of
