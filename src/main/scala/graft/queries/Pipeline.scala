@@ -164,15 +164,20 @@ object Pipeline {
     * silently lose every pair of a 65+-copy group. With representatives
     * the kept members still pair (and identical docs keep the same 64
     * reps in every band), bounding fan-out at 64^2 per bucket. */
+  /** The exploded LSH band column over a bound `sig` column: 16 bands
+    * x 4 of the 64 minhash rows each. Shared so the batch and
+    * streaming forms band identically. */
+  private[graft] def bandCol: Column =
+    explode(transform(sequence(lit(0), lit(15)),
+      b => struct(b.as("band_id"),
+        xxhash64(slice(col("sig"), b * 4 + 1, lit(4)), b).as("band_hash"))))
+
   /** (doc_id, sh) -> exploded (doc_id, bd) LSH band rows: 64 minhashes
     * in one kernel pass, 16 bands x 4 rows each. Shared by the q31
     * self-join and the q108 build/probe form. */
-  private def minhashBands(docs: DataFrame): DataFrame =
+  private[graft] def minhashBands(docs: DataFrame): DataFrame =
     docs.withColumn("sig", minhash_sig(col("sh")))
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(15)),
-          b => struct(b.as("band_id"),
-            xxhash64(slice(col("sig"), b * 4 + 1, lit(4)), b).as("band_hash")))).as("bd"))
+      .select(col("doc_id"), bandCol.as("bd"))
 
   private def minhashDupPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = shingled(Tables(s, dir))
@@ -230,24 +235,36 @@ object Pipeline {
     * decision is exact under the cap; n_dups degrades to a >=64-capped
     * count only for cliques past the cap. Both inputs are (doc_id, sh)
     * frames; returns one decision row per new doc. */
-  def incrementalDedup(newDocs: DataFrame, existing: DataFrame): DataFrame = {
-    val index = minhashBands(existing)
+  /** The capped band index of the existing corpus: (bd, idx_doc) with
+    * at most 64 postings per bucket, keep-first by doc_id. */
+  private[graft] def bandIndex(existing: DataFrame): DataFrame =
+    minhashBands(existing)
       .withColumn("rn",
         row_number().over(Window.partitionBy(col("bd")).orderBy(col("doc_id"))))
       .filter(col("rn") <= 64)
       .select(col("bd"), col("doc_id").as("idx_doc"))
+
+  /** Verified (new_doc, idx_doc, jaccard) pairs of the q108 probe —
+    * the relation both the batch rollup and the streaming twin's
+    * parity spec consume. */
+  private[graft] def incrementalDupPairs(newDocs: DataFrame,
+      existing: DataFrame): DataFrame = {
     val cand = minhashBands(newDocs)
       .select(col("bd"), col("doc_id").as("new_doc"))
-      .join(index, "bd")
+      .join(bandIndex(existing), "bd")
       .select(col("new_doc"), col("idx_doc")).distinct()
-    val verified = cand
+    cand
       .join(newDocs.select(col("doc_id").as("new_doc"), col("sh").as("sh_n")), "new_doc")
       .join(existing.select(col("doc_id").as("idx_doc"), col("sh").as("sh_i")), "idx_doc")
       .withColumn("jaccard",
         size(array_intersect(col("sh_n"), col("sh_i"))).cast("double") /
           size(array_union(col("sh_n"), col("sh_i"))))
       .filter(col("jaccard") >= 0.9)
-    val ranked = verified
+      .select(col("new_doc"), col("idx_doc"), col("jaccard"))
+  }
+
+  def incrementalDedup(newDocs: DataFrame, existing: DataFrame): DataFrame = {
+    val ranked = incrementalDupPairs(newDocs, existing)
       .withColumn("rn", row_number().over(Window.partitionBy(col("new_doc"))
         .orderBy(col("jaccard").desc, col("idx_doc").desc)))
       .withColumn("n_dups", count(lit(1)).over(Window.partitionBy(col("new_doc"))))

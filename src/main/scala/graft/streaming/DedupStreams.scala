@@ -239,4 +239,36 @@ object DedupStreams {
       .join(broadcast(evalGrams), Seq("g"), "left_semi")
       .dropDuplicatesWithinWatermark(Seq("doc_id"))
       .select(col("doc_id"))
+
+  /** Streaming twin of batch q108 (Pipeline.incrementalDedup): docs
+    * arriving on a stream probe the STATIC band index of the existing
+    * corpus — the continuous-ingest form of incremental dedup. Emits
+    * the verified (new_doc, idx_doc, jaccard) dup pairs; an admitted
+    * doc is one that emits nothing (absence isn't an event, so the
+    * admit rollup stays a batch decision downstream). All three joins
+    * are stream-static: the band probe, then the exact-Jaccard verify
+    * against the existing side's shingles — banding and the 64-posting
+    * bucket cap are the batch code (Pipeline.bandCol / bandIndex), so
+    * the two forms flag identical pairs by construction. State is only
+    * the within-watermark (new_doc, idx_doc) dedup of band-repeated
+    * hits. Input must carry (doc_id, sh, event_time). */
+  def incrementalDedup(docs: DataFrame, existing: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.queries.Pipeline
+    val index = Pipeline.bandIndex(existing)
+    val exSh = existing.select(col("doc_id").as("idx_doc"), col("sh").as("sh_i"))
+    docs
+      .withWatermark("event_time", watermark)
+      .withColumn("sig", graft.functions.minhash_sig(col("sh")))
+      .select(col("doc_id").as("new_doc"), col("sh").as("sh_n"),
+        col("event_time"), Pipeline.bandCol.as("bd"))
+      .join(index, "bd")
+      .join(exSh, "idx_doc")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_n"), col("sh_i"))).cast("double") /
+          size(array_union(col("sh_n"), col("sh_i"))))
+      .filter(col("jaccard") >= 0.9)
+      .dropDuplicatesWithinWatermark(Seq("new_doc", "idx_doc"))
+      .select(col("new_doc"), col("idx_doc"), col("jaccard"))
+  }
 }

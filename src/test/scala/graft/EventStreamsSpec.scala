@@ -346,6 +346,42 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup flags exactly the batch q108 pairs") {
+    import graft.functions.{shingles, tokens}
+    val docsSchema = spark.read.parquet(docsDir).schema
+    val existing = spark.read.parquet(docsDir)
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+    val stream = spark.readStream.schema(docsSchema).parquet(docsDir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        shingles(tokens(col("text")), 3).as("sh"),
+        // offset: epoch-0 event time would sit ON the initial watermark
+        // and be dropped as late
+        timestamp_micros(lit(1704067200000000L) + col("doc_id")).as("event_time"))
+    val q = graft.streaming.DedupStreams.incrementalDedup(stream, existing)
+      .writeStream.outputMode("append").format("memory").queryName("incr_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT new_doc, idx_doc FROM incr_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val newDocs = spark.read.parquet(docsDir)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+      val batch = graft.queries.Pipeline.incrementalDupPairs(newDocs, existing)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.nonEmpty)
+      assert(got == batch, s"stream-only: ${(got -- batch).take(3)}; " +
+        s"missing: ${(batch -- got).take(3)}")
+      // and the flagged-doc set matches q108's non-admitted rows
+      val flaggedBatch = graft.queries.Pipeline
+        .queries("q108_incremental_dedup")(spark, sf)
+        .filter(!col("admit")).select("new_doc")
+        .collect().map(_.getLong(0)).toSet
+      assert(got.map(_._1) == flaggedBatch)
+    } finally q.stop()
+  }
+
   test("streaming sequence packing assigns exactly the batch q88 bins") {
     import graft.functions.tokens
     val docsSchema = spark.read.parquet(docsDir).schema
