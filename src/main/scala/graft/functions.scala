@@ -391,6 +391,16 @@ object functions {
   /** Hamming distance between two 64-bit signatures (codegen'd builtins). */
   def hamming64(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))
 
+  /** Bounded top-k-smallest aggregate: the k smallest DISTINCT longs per
+    * group, sorted ascending. Unlike `slice(sort_array(collect_set(x)),
+    * 1, k)` its partial-aggregation state is k longs flat (map-side
+    * combine included), so hot groups — stopword posting lists — never
+    * accumulate corpus-sized state. See [[graft.expressions.MinKAgg]]. */
+  def min_k(c: Column, k: Int): Column =
+    org.apache.spark.sql.graft.Shim.column(
+      graft.expressions.MinKAgg(
+        org.apache.spark.sql.graft.Shim.expression(c), k).toAggregateExpression())
+
   /** Left-to-right double dot product (kernel loop; bit-identical to
     * aggregate(zip_with(a,b,*), 0d, +) and the DuckDB oracle form). */
   def dot_product(a: Column, b: Column): Column =

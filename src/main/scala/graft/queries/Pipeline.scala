@@ -41,6 +41,12 @@ object Pipeline {
     * immutability assumption as embCount above). */
   private val tokCount = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** q112's corpus stats (doc count N, average token-length avgdl),
+    * memoized per dataset dir (same immutability assumption as
+    * embCount) — one tiny global aggregate whose two scalars attach to
+    * the scoring expression as plan literals. */
+  private val bm25Stats = new java.util.concurrent.ConcurrentHashMap[String, (Long, Double)]()
+
   /** q105's eval-split Bloom bitmap (m = 2^20 bits = 128 KiB), memoized
     * per dataset dir (same immutability assumption as embCount). The
     * classic two-job sketch build: job 1 reduces the eval split to a
@@ -879,6 +885,70 @@ object Pipeline {
       applyVocab(Tables(s, dir).documents.orderBy(col("doc_id")), vocab)
     },
 
+    "q111_inverted_index" -> { (s, dir) =>
+      // The retrieval-side complement of q84's vocabulary: a full
+      // inverted index — per token its corpus term frequency, document
+      // frequency, and a CAPPED posting list (the 16 smallest doc_ids,
+      // CSV so the compare is positional). The cap is the scale story:
+      // postings aggregate through MinKAgg, the bounded-state top-k
+      // TypedImperativeAggregate (expressions/MinKAgg.scala), so the
+      // map-side partial state for a stopword token is 16 longs flat —
+      // `slice(sort_array(collect_set))` would carry the full
+      // corpus-sized posting set into the shuffle before slicing. Two
+      // bounded-state shuffles: (token, doc_id) pair counts, then the
+      // per-token rollup (tf rides sum-of-counts, df is a plain count
+      // because pairs are distinct by construction).
+      val pairs = Tables(s, dir).documents
+        .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+        .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("c"))
+      pairs.groupBy(col("token"))
+        .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"),
+          min_k(col("doc_id"), 16).as("p"))
+        .select(col("token"), col("tf"), col("df"),
+          array_join(transform(col("p"), _.cast("string")), ",").as("postings"))
+        .orderBy(col("token"))
+    },
+
+    "q112_bm25_topk" -> { (s, dir) =>
+      // Lexical retrieval: BM25 top-20 for a fixed conjunctive-ish
+      // query (k1 = 1.2, b = 0.75, idf = ln((N-df+0.5)/(df+0.5)+1) —
+      // the Robertson/Sparck-Jones always-positive form). Plan shape at
+      // 100 TB: the corpus scan filters the exploded token stream to
+      // the QUERY TERMS before anything shuffles, so the (doc, term)
+      // aggregation and the df window both move match-volume, never
+      // corpus-volume; N and avgdl are one memoized global aggregate
+      // attached as plan literals; the final top-20 is
+      // TakeOrderedAndProject (per-partition heads + driver merge), not
+      // a global sort. Constants appear as identical decimal literals
+      // here and in the oracle; the per-doc score sums <= 4 terms and
+      // rounds to 6dp before the compare and the rank (q98's
+      // determinism argument).
+      val terms = Seq("dup", "vector", "hash", "merge")
+      val stats = bm25Stats.computeIfAbsent(dir, d => {
+        val r = Tables(s, d).documents
+          .agg(count(lit(1)),
+            avg(size(toks(col("text"))).cast("double"))).head
+        (r.getLong(0), r.getDouble(1))
+      })
+      val (nDocs, avgdl) = stats
+      val matched = Tables(s, dir).documents
+        .select(col("doc_id"), size(toks(col("text"))).cast("double").as("dl"),
+          explode(toks(col("text"))).as("token"))
+        .filter(col("token").isin(terms: _*))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl"))
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("token"))).cast("double"))
+      val idf = log((lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0))
+      val contrib = idf * col("tf") * lit(2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)))
+      matched.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), round(sum(contrib), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+
     "q109_mixture_materialize" -> { (s, dir) =>
       // q91 emits WEIGHTS; this materializes the actual training
       // stream: per-language epoch counts (temperature tau = 0.5,
@@ -1495,6 +1565,27 @@ object Pipeline {
               sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS n_oov
             FROM j GROUP BY doc_id) j ON t.doc_id = j.doc_id
           ORDER BY t.doc_id""",
+    "q111_inverted_index" ->
+      s"""WITH t AS (SELECT doc_id, unnest($tokSql) AS token FROM documents),
+          p AS (SELECT token, doc_id, count(*) AS c FROM t GROUP BY 1, 2)
+          SELECT token, CAST(sum(c) AS BIGINT) AS tf, count(*) AS df,
+            array_to_string(list_sort(list(doc_id))[1:16], ',') AS postings
+          FROM p GROUP BY token ORDER BY token""",
+    "q112_bm25_topk" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS lst FROM documents),
+          s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                  avg(CAST(len(lst) AS DOUBLE)) AS avgdl FROM t),
+          x AS (SELECT doc_id, CAST(len(lst) AS DOUBLE) AS dl,
+                  unnest(lst) AS token FROM t),
+          m AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf, max(dl) AS dl
+                FROM x WHERE token IN ('dup', 'vector', 'hash', 'merge') GROUP BY 1, 2),
+          d AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM m GROUP BY 1),
+          c AS (SELECT m.doc_id,
+                  ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) * m.tf * 2.2
+                    / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / s.avgdl)) AS contrib
+                FROM m JOIN d USING (token) CROSS JOIN s)
+          SELECT doc_id, count(*) AS n_terms, round(sum(contrib), 6) AS score
+          FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""",
     "q109_mixture_materialize" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
          m AS (SELECT max(n) AS nmax FROM c),

@@ -269,6 +269,34 @@ object Relational {
           col("asof_purchase_us"),
           (col("tus") - col("asof_purchase_us")).as("us_since_purchase"))
         .orderBy(col("event_id"))
+    },
+
+    "q113_range_join" -> { (s, dir) =>
+      // Interval containment at fact-scale: every event falling in the
+      // 10 minutes after a significant error ("post-incident activity"
+      // — ad attribution, outage blast-radius, and sensor-window
+      // queries all share the shape). Both sides come from the events
+      // fact table, so the naive range join is quadratic and
+      // unbroadcastable; operators.RangeJoin bucketizes to a shuffled
+      // EQUI-join on 10-min bucket ids (each anchor interval spans <= 2
+      // buckets, each event exactly 1) and PlanAuditSpec proves no
+      // nested-loop survives. The rollup then groups on the anchor —
+      // value sums in decimal for cross-engine exactness (q85's
+      // choice).
+      val e = Tables(s, dir).events
+      val ev = e.select(col("event_id"), Tables.eventMicros(e).as("tus"),
+        col("event_type"), col("value"))
+      val anchors = ev
+        .filter(col("event_type") === "error" && col("value") > 40)
+        .select(col("event_id").as("anchor_id"), col("tus").as("lo"),
+          (col("tus") + 600000000L).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(
+          ev.select(col("tus"), col("value")), anchors,
+          "tus", "lo", "hi", 600000000L)
+        .groupBy(col("anchor_id"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy(col("anchor_id"))
     })
 
   def oracle: Map[String, String] = Map(
@@ -392,5 +420,15 @@ object Relational {
          SELECT e.event_id, e.user_id, e.event_type, e.tus,
            p.tus AS asof_purchase_us, e.tus - p.tus AS us_since_purchase
          FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.tus >= p.tus
-         ORDER BY e.event_id""")
+         ORDER BY e.event_id""",
+
+    "q113_range_join" ->
+      """WITH ev AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                       event_type, value FROM events),
+         a AS (SELECT event_id AS anchor_id, tus AS lo, tus + 600000000 AS hi
+               FROM ev WHERE event_type = 'error' AND value > 40)
+         SELECT a.anchor_id, a.lo, a.hi, count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM a JOIN ev e ON e.tus >= a.lo AND e.tus < a.hi
+         GROUP BY 1, 2, 3 ORDER BY anchor_id""")
 }

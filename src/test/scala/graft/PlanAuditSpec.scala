@@ -140,7 +140,15 @@ class PlanAuditSpec extends AnyFunSuite {
     "q107_asof_join" -> 2,
     // q109: lang-count agg + the tiny counts window + presentation
     // sort — the corpus itself never hash-shuffles
-    "q109_mixture_materialize" -> 3)
+    "q109_mixture_materialize" -> 3,
+    // q111: pair agg + token rollup (MinKAgg bounded state) + sort
+    "q111_inverted_index" -> 3,
+    // q112: (doc,term) agg + df window + doc rollup; top-20 is
+    // TakeOrderedAndProject, no sort exchange
+    "q112_bm25_topk" -> 3,
+    // q113: bucket equi-join (broadcast at this sf; 2 more exchanges
+    // allowed for the SMJ form real stats would pick) + rollup + sort
+    "q113_range_join" -> 4)
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
