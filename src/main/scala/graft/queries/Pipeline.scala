@@ -55,6 +55,15 @@ object Pipeline {
     * task as a plan literal. */
   private val bloomBits = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
 
+  /** q114's converged fixed-point centroids, memoized per dataset dir
+    * (same immutability assumption as embCount). Lloyd's iterations are
+    * a DRIVER-side control loop like q86's label propagation: each
+    * round is one distributed assignment pass + one k*d-row partial
+    * aggregate; only the k*d centroid cells (k=8, d=64 -> 512 longs)
+    * ever reach the driver, never data rows. */
+  private val kmeansCents =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Array[Long])]]()
+
   private def toks(c: Column) = tokens(c)
 
   /** documents + distinct 3-gram shingles (docs shorter than 3 tokens keep
@@ -1304,6 +1313,163 @@ object Pipeline {
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
           array_join(transform(byte_histogram_counts(col("payload")),
             _.cast("string")), ",").as("features"))
+    },
+
+    "q114_kmeans_cluster" -> { (s, dir) =>
+      // Topic clustering over embeddings: Lloyd's k-means, the
+      // canonical ITERATIVE workload (MLlib KMeans has the same plan
+      // shape: broadcast centroids, map-only assignment, k*d-cell
+      // partial aggregate). Everything runs in FIXED-POINT arithmetic —
+      // vectors quantize to 1e-4-resolution longs up front — so sums
+      // are exact integers whatever the partitioning, and the clustering
+      // is bit-reproducible across cluster sizes / AQE decisions /
+      // stragglers (floating-point k-means is not: FP sum order changes
+      // with partition count). Deterministic init: centroids = the k
+      // lowest vec_ids. Per iteration: one assignment pass with the
+      // centroid matrix as a PLAN LITERAL (the broadcast analogue; 8x64
+      // longs), then a groupBy(cluster, dim) partial agg whose k*d=512
+      // result rows come to the driver — the control loop moves
+      // centroids only, never data. Fixed T=2 updates + final assign;
+      // at 100 TB you'd cache the quantized projection across the T
+      // scans. Tie-break: lowest cluster id (struct least on
+      // (dist, cl)). The oracle unrolls the same three assignment
+      // rounds as CTEs over the same quantized values.
+      val k = 8
+      val q = Tables(s, dir).embeddings
+        .select(col("vec_id"), transform(col("embedding"),
+          x => floor(x.cast("double") * 10000d + 0.5).cast("long")).as("qv"))
+      def best(cents: Seq[(Long, Array[Long])]): Column =
+        least(cents.map { case (cl, v) =>
+          struct(
+            aggregate(zip_with(col("qv"), lit(v), (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x).as("dist"),
+            lit(cl).as("cl"))
+        }: _*)
+      val cents = kmeansCents.computeIfAbsent(dir, _ => {
+        var cs: Seq[(Long, Array[Long])] = q.filter(col("vec_id") < k)
+          .orderBy(col("vec_id")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+        for (_ <- 0 until 2) {
+          val sums = q.withColumn("b", best(cs))
+            .select(col("b.cl").as("cl"), posexplode(col("qv")).as(Seq("pos", "v")))
+            .groupBy(col("cl"), col("pos"))
+            .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+            .collect()
+          cs = sums.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (cl, rows) =>
+            (cl, rows.map(r => (r.getInt(1),
+              math.floor(r.getLong(2).toDouble / r.getLong(3) + 0.5).toLong))
+              .sortBy(_._1).map(_._2).toArray)
+          }
+        }
+        cs
+      })
+      q.withColumn("b", best(cents))
+        .select(col("vec_id"), col("b.cl").as("cluster"), col("b.dist").as("dist"))
+        .orderBy(col("vec_id"))
+    },
+
+    "q115_semantic_decontaminate" -> { (s, dir) =>
+      // The third leg of the decontamination trio: q90 (lexical,
+      // broadcast shingle set), q105 (lexical, Bloom sketch), and this —
+      // SEMANTIC contamination: a corpus vector is flagged when its
+      // embedding cosine against ANY eval-split vector reaches the
+      // threshold (paraphrased benchmark answers that share no n-gram).
+      // Plan shape is q57's IVF cells turned cross-set: the corpus side
+      // shuffles ONCE on its cell id, the eval side explodes to its
+      // nprobe=4 closest cells, and the join is cell-bucketed — no
+      // broadcast of the eval set (at scale eval suites are small but
+      // the probe fan-out is what bounds the work: candidates per
+      // corpus vector ~ nprobe/K of eval, never all of it). K grows
+      // with the corpus (~125 vec/cell) like q93, so cells stay
+      // constant-size. Approximation is one-sided and explicit: probes
+      // can miss a contaminated pair (recall < 1, the SemDeDup trade),
+      // never false-flag one (exact cosine verifies every candidate).
+      val n: Long = embCount.computeIfAbsent(dir,
+        d => Tables(s, d).embeddings.count())
+      val k = math.max(16L, n / 125L).toInt
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+        .withColumn("ss", dot_product(col("emb"), col("emb")))
+      val corpus = e.filter(col("vec_id") % 20 =!= 0)
+        .withColumn("cell", ivf_cell(col("emb"), k))
+      val evalSide = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("eid"), col("emb").as("ee"), col("ss").as("ess"),
+          explode(ivf_probes(col("emb"), k, 4)).as("cell"))
+      val hits = corpus.join(evalSide, Seq("cell"))
+        .withColumn("cos", round(dot_product(col("emb"), col("ee")) /
+          (sqrt(col("ss")) * sqrt(col("ess"))), 6))
+        .filter(col("cos") >= 0.45)
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("max_cos"))
+      corpus.select(col("vec_id"))
+        .join(hits, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("max_cos"), lit(0.0)).as("max_cos"),
+          (coalesce(col("n_hits"), lit(0L)) > 0L).as("contaminated"))
+        .orderBy(col("vec_id"))
+    },
+
+    "q116_quality_classifier" -> { (s, dir) =>
+      // Model-based quality scoring, fasttext-shaped: a linear
+      // classifier over HASHED bag-of-words features whose weight
+      // vector ships as part of the plan (here a deterministic
+      // hash-derived stand-in for trained weights — the lookup
+      // w[md5(tok) & 1023] has exactly the shape of a real quantized
+      // model). Weights are INTEGER (int16-ish quantization, like
+      // shipped fasttext/CLD3 models), so the per-doc sum is exact
+      // whatever the evaluation order and the score is bit-stable at
+      // any scale — no FP drift between a laptop run and a
+      // 1000-executor run. One codegen'd per-row projection: tokenize,
+      // hash, look up, sum, normalize by length. No shuffle beyond the
+      // presentation sort; embarrassingly parallel.
+      val t = toks(col("text"))
+      val ws = transform(t, tok =>
+        (md5_lower64(concat(lit("qc:"), tok).cast("binary"))
+          .bitwiseAND(lit(1023L)) * lit(2654435761L)) % lit(2048L) - lit(1024L))
+      // orderBy FIRST: the kernel projection must stay above the range
+      // exchange or the sort-sampling pass evaluates every hash twice
+      // (PlanAuditSpec pins this shape for the whole per-row family).
+      Tables(s, dir).documents.orderBy(col("doc_id"))
+        .select(col("doc_id"), size(t).cast("long").as("n_tokens"),
+          aggregate(ws, lit(0L), (a, x) => a + x).as("score_raw"))
+        .withColumn("score",
+          round(col("score_raw").cast("double") / col("n_tokens"), 6))
+        .withColumn("accept", col("score") >= 0.0)
+    },
+
+    "q117_block_dedup" -> { (s, dir) =>
+      // The REWRITE stage of exact dedup (Dolma/C4 paragraph dedup):
+      // q94 reports shared spans, this one removes them and emits the
+      // cleaned corpus. Docs segment into fixed 16-token blocks (the
+      // fixture has no paragraph breaks; on real data the segmenter
+      // splits on blank lines first) and a block survives only at its
+      // FIRST corpus occurrence — global keep-first by (doc_id, idx)
+      // via one row_number window over the block key. Reassembly is the
+      // per-doc rollup: surviving blocks re-join in index order. Two
+      // shuffles total at any scale (block key, then doc_id), never a
+      // pair join; the window state per block key is one counter. At
+      // 100 TB the block column would hash to a 16-byte digest before
+      // the shuffle to cut exchange volume — semantics identical.
+      val B = 16
+      val t = toks(col("text"))
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), t.as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), floor((size(col("toks")) - 1) / lit(B)).cast("int")),
+            i => array_join(slice(col("toks"), i * B + 1, lit(B)), " ")))
+            .as(Seq("idx", "blk")))
+      val w = Window.partitionBy(col("blk")).orderBy(col("doc_id"), col("idx"))
+      d.withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"),
+          array_join(transform(array_sort(collect_list(
+            when(col("rn") === 1, struct(col("idx"), col("blk"))))),
+            _.getField("blk")), " ").as("clean_text"))
+        .orderBy(col("doc_id"))
     })
 
   private val tokSql = """string_split_regex(trim(text), '\s+')"""
@@ -1961,5 +2127,115 @@ object Pipeline {
          WHERE round(list_sum(list_transform(range(1, 65), i ->
                CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
              / (sqrt(a.ss) * sqrt(b.ss)), 6) >= 0.4
-         ORDER BY vec_a, vec_b""")
+         ORDER BY vec_a, vec_b""",
+
+    // Fixed-point Lloyd's, three assignment rounds unrolled as CTEs:
+    // quantize to 1e-4 longs, init = k lowest vec_ids, centroid update
+    // = per-dim rounded integer mean, tie-break lowest cluster id.
+    "q114_kmeans_cluster" ->
+      """WITH q AS (SELECT vec_id, list_transform(range(1, 65), i ->
+             CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings),
+         c0 AS (SELECT vec_id AS cl, qv AS cv FROM q WHERE vec_id < 8),
+         a0 AS (SELECT vec_id, qv, cl,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+                FROM (SELECT x.vec_id, x.qv, c.cl,
+                       list_sum(list_transform(range(1, 65), i ->
+                         (x.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) *
+                         (x.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))) AS dist
+                      FROM q x, c0 c)),
+         c1 AS (SELECT cl, list(cv ORDER BY i) AS cv FROM (
+                 SELECT a.cl, i,
+                   CAST(floor(sum(a.qv[CAST(i AS INT)]) * 1.0 / count(*) + 0.5) AS BIGINT) AS cv
+                 FROM a0 a, range(1, 65) t(i) WHERE a.rk = 1 GROUP BY a.cl, i)
+                GROUP BY cl),
+         a1 AS (SELECT vec_id, qv, cl,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+                FROM (SELECT x.vec_id, x.qv, c.cl,
+                       list_sum(list_transform(range(1, 65), i ->
+                         (x.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) *
+                         (x.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))) AS dist
+                      FROM q x, c1 c)),
+         c2 AS (SELECT cl, list(cv ORDER BY i) AS cv FROM (
+                 SELECT a.cl, i,
+                   CAST(floor(sum(a.qv[CAST(i AS INT)]) * 1.0 / count(*) + 0.5) AS BIGINT) AS cv
+                 FROM a1 a, range(1, 65) t(i) WHERE a.rk = 1 GROUP BY a.cl, i)
+                GROUP BY cl),
+         a2 AS (SELECT vec_id, cl, dist,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+                FROM (SELECT x.vec_id, c.cl,
+                       list_sum(list_transform(range(1, 65), i ->
+                         (x.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) *
+                         (x.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))) AS dist
+                      FROM q x, c2 c))
+         SELECT vec_id, cl AS cluster, dist FROM a2 WHERE rk = 1 ORDER BY vec_id""",
+
+    // q57's cell/probe machinery turned cross-set: corpus = rk 1 cell,
+    // eval split probes its 4 closest cells, exact cosine on candidates.
+    "q115_semantic_decontaminate" ->
+      """WITH kk AS (SELECT greatest(16, CAST(count(*) // 125 AS INT)) AS nk
+                     FROM embeddings),
+         c AS (SELECT vec_id, embedding,
+             list_transform(range(0, nk), k -> list_sum(list_transform(range(1, 65), i ->
+               CAST(embedding[i] AS DOUBLE) *
+               (CASE WHEN (md5_number_lower('ivf_' || k::VARCHAR || '_' || (i-1)::VARCHAR) & 1) = 1
+                     THEN 1.0 ELSE -1.0 END)))) AS dots,
+             list_sum(list_transform(range(1, 65), i ->
+               CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS ss
+           FROM embeddings, kk),
+         d AS (SELECT vec_id, embedding, ss, k, dots[CAST(k AS INT) + 1] AS dot
+               FROM (SELECT vec_id, embedding, ss, dots, unnest(range(0, nk)) AS k
+                     FROM c, kk)),
+         asg AS (SELECT vec_id, embedding, ss, k AS cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, k) AS rk FROM d),
+         corpus AS (SELECT vec_id, embedding, ss, cell FROM asg
+                    WHERE rk = 1 AND vec_id % 20 <> 0),
+         ev AS (SELECT vec_id AS eid, embedding AS ee, ss AS ess, cell
+                FROM asg WHERE vec_id % 20 = 0 AND rk <= 4),
+         h AS (SELECT x.vec_id, count(*) AS n_hits,
+                max(round(list_sum(list_transform(range(1, 65), i ->
+                      CAST(x.embedding[i] AS DOUBLE) * CAST(e.ee[i] AS DOUBLE)))
+                    / (sqrt(x.ss) * sqrt(e.ess)), 6)) AS max_cos
+               FROM corpus x JOIN ev e ON x.cell = e.cell
+               WHERE round(list_sum(list_transform(range(1, 65), i ->
+                     CAST(x.embedding[i] AS DOUBLE) * CAST(e.ee[i] AS DOUBLE)))
+                   / (sqrt(x.ss) * sqrt(e.ess)), 6) >= 0.45
+               GROUP BY x.vec_id)
+         SELECT c.vec_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           coalesce(max_cos, 0.0) AS max_cos,
+           coalesce(n_hits, 0) > 0 AS contaminated
+         FROM corpus c LEFT JOIN h USING (vec_id) ORDER BY vec_id""",
+
+    // Hashed linear classifier with integer weights:
+    // w[fid] = fid * 2654435761 mod 2048 - 1024, fid = md5 & 1023.
+    "q116_quality_classifier" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+          w AS (SELECT doc_id, len(toks) AS n_tokens,
+                list_sum(list_transform(toks, tok ->
+                  CAST(md5_number_lower('qc:' || tok) & 1023 AS BIGINT)
+                    * 2654435761 % 2048 - 1024)) AS score_raw
+                FROM t)
+          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+            CAST(score_raw AS BIGINT) AS score_raw,
+            round(score_raw * 1.0 / n_tokens, 6) AS score,
+            round(score_raw * 1.0 / n_tokens, 6) >= 0.0 AS accept
+          FROM w ORDER BY doc_id""",
+
+    // 16-token blocks, global keep-first by (doc_id, idx), reassembly
+    // in index order; string_agg skips the NULLed dropped blocks.
+    "q117_block_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+          b0 AS (SELECT doc_id, toks,
+                  unnest(range(0, CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS idx
+                 FROM t WHERE len(toks) > 0),
+          b AS (SELECT doc_id, idx,
+                  array_to_string(list_slice(toks,
+                    CAST(idx AS INT) * 16 + 1, CAST(idx AS INT) * 16 + 16), ' ') AS blk
+                FROM b0),
+          k AS (SELECT doc_id, idx, blk,
+                row_number() OVER (PARTITION BY blk ORDER BY doc_id, idx) AS rn FROM b)
+          SELECT doc_id, count(*) AS n_blocks,
+            CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+            coalesce(string_agg(CASE WHEN rn = 1 THEN blk END, ' ' ORDER BY idx), '') AS clean_text
+          FROM k GROUP BY doc_id ORDER BY doc_id""")
 }

@@ -755,4 +755,108 @@ class PipelineSpec extends SparkSpec {
     // chunks cover every token exactly once modulo the declared overlap
     assert(d4(0).getLong(3) + d4(1).getLong(3) == 65L + 16L)
   }
+
+  test("kmeans: planted satellites land on their anchor's cluster") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q114km").toString
+    // 8 orthogonal anchors (vec_id 0..7 = the deterministic init) and
+    // 16 satellites, each a slightly-perturbed copy of anchor id%8.
+    def anchor(j: Int) = Array.tabulate(64)(i => if (i == j * 8) 1.0f else 0.0f)
+    val vecs = (0 until 8).map(j => (j.toLong, anchor(j))) ++
+      (8 until 24).map { i =>
+        val a = anchor(i % 8).clone(); a(63) = 0.01f * (i % 3 + 1); (i.toLong, a)
+      }
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Pipeline.queries("q114_kmeans_cluster")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 24)
+    rows.foreach { case (id, cl, dist) =>
+      assert(cl == id % 8, s"vec $id assigned to $cl")
+      assert(dist >= 0L)
+    }
+    // the full corpus: a total assignment into the 8 initial clusters
+    val corpus = Pipeline.queries("q114_kmeans_cluster")(spark, sf).collect()
+    assert(corpus.length == Tables(spark, sf).embeddings.count())
+    assert(corpus.forall(r => r.getLong(1) >= 0L && r.getLong(1) < 8L))
+  }
+
+  test("semantic decontaminate: an eval copy is flagged at cos 1, orthogonal is clean") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q115sd").toString
+    val e1 = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val e2 = Array.tabulate(64)(i => if (i == 7) 1.0f else 0.0f)
+    // vec 0 is the eval split (id % 20 == 0); vec 1 copies it, vec 2 is
+    // orthogonal. The copy shares vec 0's cell, so the probe must hit.
+    Seq((0L, e1), (1L, e1), (2L, e2))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Pipeline.queries("q115_semantic_decontaminate")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(!rows.contains(0L), "eval vectors are not corpus rows")
+    assert(rows(1L) == ((1L, 1.0, true)), rows(1L).toString)
+    assert(rows(2L) == ((0L, 0.0, false)), rows(2L).toString)
+    // corpus invariants: flags and hit counts agree
+    val corpus = Pipeline.queries("q115_semantic_decontaminate")(spark, sf).collect()
+    assert(corpus.forall(r => r.getBoolean(3) == (r.getLong(1) > 0L)))
+    assert(corpus.forall(r => r.getLong(0) % 20 != 0L))
+  }
+
+  test("quality classifier: integer scores are length-normalized and repetition-invariant") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q116qc").toString
+    Seq((1L, "alpha", "s", "en", 5L), (2L, "alpha alpha alpha", "s", "en", 17L),
+      (3L, "alpha beta", "s", "en", 10L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.queries("q116_quality_classifier")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    val (n1, raw1, s1, a1) = rows(1L)
+    assert(n1 == 1L && raw1 >= -1024L && raw1 <= 1023L)
+    assert(s1 == raw1.toDouble && a1 == (s1 >= 0.0))
+    // 3x the same token: raw sum scales, normalized score does not
+    assert(rows(2L)._2 == 3L * raw1)
+    assert(rows(2L)._3 == s1)
+    // two tokens: sum of the individual weights, halved by length
+    val rawBeta = rows(3L)._2 - raw1
+    assert(rows(3L)._3 == BigDecimal((raw1 + rawBeta) / 2.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // scores are bit-stable: a second run returns the identical map
+    val again = Pipeline.queries("q116_quality_classifier")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows.view.mapValues(_._3).toMap == again)
+  }
+
+  test("block dedup: later copies drop, first stays, text reassembles in order") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q117bd").toString
+    val blk0 = (1 to 16).map(i => s"t$i").mkString(" ")
+    val blk1 = (17 to 32).map(i => s"t$i").mkString(" ")
+    val uniq = (1 to 16).map(i => s"u$i").mkString(" ")
+    val rep = (1 to 16).map(i => s"r$i").mkString(" ")
+    Seq((1L, s"$blk0 $blk1", "s", "en", 0L),   // original, 2 blocks
+      (2L, s"$blk0 $uniq", "s", "en", 0L),     // copies doc 1's block 0
+      (3L, s"$rep $rep", "s", "en", 0L),       // repeats its own block
+      (4L, "tail only", "s", "en", 0L))        // short partial block
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.queries("q117_block_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rows(1L) == ((2L, 0L, s"$blk0 $blk1")), "first carrier untouched")
+    assert(rows(2L) == ((2L, 1L, uniq)), "cross-doc copy removed")
+    assert(rows(3L) == ((2L, 1L, rep)), "within-doc repeat removed")
+    assert(rows(4L) == ((1L, 0L, "tail only")), "partial block kept verbatim")
+    // corpus invariant: cleaned token count = total - 16 * dropped blocks
+    // only for full blocks; cheaper global check: n_dropped <= n_blocks
+    val corpus = Pipeline.queries("q117_block_dedup")(spark, sf).collect()
+    assert(corpus.forall(r => r.getLong(2) <= r.getLong(1)))
+    assert(corpus.length == Tables(spark, sf).documents.count())
+  }
 }
