@@ -256,12 +256,16 @@ object Bench {
     val total = queryTimes.map(_._2).filter(_ > 0).sum
     // full per-query map as a standalone artifact so round-over-round
     // comparison isn't limited to the driver's truncated log tail.
-    // Only for FULL runs: a SPARK_GRAFT_ONLY-filtered iteration must
-    // not silently replace the complete artifact with a partial map.
+    // bench_last.json, NOT bench_full.json: bench_full is the
+    // median-of-N perf baseline owned by tools/bench.sh — a single run
+    // overwriting it with ±20-40% noise corrupted the round-8 baseline
+    // (ADVICE r8). Only for FULL runs: a SPARK_GRAFT_ONLY-filtered
+    // iteration must not silently replace the artifact with a partial
+    // map.
     if (only.isEmpty)
-      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
         qs.getBytes("UTF-8"))
-      catch { case e: Exception => System.err.println(s"[bench] bench_full.json: $e") }
+      catch { case e: Exception => System.err.println(s"[bench] bench_last.json: $e") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     netServer.stop(0)
     spark.stop()

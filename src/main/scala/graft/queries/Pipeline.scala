@@ -111,6 +111,22 @@ object Pipeline {
     * (ceil(n/stride) chunks per doc), no shuffle, and the chunk stream
     * inherits the corpus partitioning — map-only at 100 TB. The same
     * Columns plan over readStream (stateless), like qualityFlags. */
+  /** q117's segmentation, shared with the streaming twin
+    * (DedupStreams.blockDedup): non-overlapping fixed-width token
+    * blocks, one row per (doc_id, idx, blk). Pure per-row explode —
+    * the same Columns plan runs over a batch scan and a readStream. */
+  def docBlocks(docs: DataFrame, blockTokens: Int = 16): DataFrame = {
+    val t = toks(col("text"))
+    docs
+      .select(col("doc_id"), t.as("tok"))
+      .filter(size(col("tok")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("tok")) - 1) / lit(blockTokens)).cast("int")),
+          i => array_join(slice(col("tok"), i * blockTokens + 1, lit(blockTokens)), " ")))
+          .as(Seq("idx", "blk")))
+  }
+
   def chunkWindows(docs: DataFrame, win: Int = 64, stride: Int = 48): DataFrame = {
     require(stride > 0 && stride <= win, "need 0 < stride <= win")
     val n = col("n_tokens")
@@ -1451,16 +1467,7 @@ object Pipeline {
       // pair join; the window state per block key is one counter. At
       // 100 TB the block column would hash to a 16-byte digest before
       // the shuffle to cut exchange volume — semantics identical.
-      val B = 16
-      val t = toks(col("text"))
-      val d = Tables(s, dir).documents
-        .select(col("doc_id"), t.as("toks"))
-        .filter(size(col("toks")) > 0)
-        .select(col("doc_id"),
-          posexplode(transform(
-            sequence(lit(0), floor((size(col("toks")) - 1) / lit(B)).cast("int")),
-            i => array_join(slice(col("toks"), i * B + 1, lit(B)), " ")))
-            .as(Seq("idx", "blk")))
+      val d = docBlocks(Tables(s, dir).documents)
       val w = Window.partitionBy(col("blk")).orderBy(col("doc_id"), col("idx"))
       d.withColumn("rn", row_number().over(w))
         .groupBy(col("doc_id"))

@@ -271,4 +271,40 @@ object DedupStreams {
       .dropDuplicatesWithinWatermark(Seq("new_doc", "idx_doc"))
       .select(col("new_doc"), col("idx_doc"), col("jaccard"))
   }
+
+  /** One fixed-width token block of a streamed document (from
+    * Pipeline.docBlocks — the identical segmentation as batch q117). */
+  final case class DocBlock(doc_id: Long, idx: Int, blk: String)
+  /** The keep/drop decision for one block: kept = this is the block
+    * content's FIRST corpus occurrence. */
+  final case class BlockDecision(doc_id: Long, idx: Int, blk: String, kept: Boolean)
+
+  /** Streaming twin of batch q117 (block dedup + rewrite): blocks
+    * arriving on a stream keep only their first corpus occurrence.
+    * State per distinct block content is ONE boolean ("seen"), keyed by
+    * the block text — at ingest scale the key would be a 64-bit content
+    * hash instead of the text to shrink the state store, with identical
+    * decisions modulo hash collisions. Within a micro-batch, rows sort
+    * by (doc_id, idx) before deciding, so a batch replayed as one
+    * micro-batch reproduces the batch operator's global keep-first
+    * order; across micro-batches, arrival order IS corpus order (the
+    * same ingest-order assumption as packSequences). The cleaned-text
+    * reassembly stays a downstream per-doc rollup, exactly as in the
+    * batch form. */
+  def blockDedup(blocks: Dataset[DocBlock]): Dataset[BlockDecision] = {
+    import blocks.sparkSession.implicits._
+    blocks.groupByKey(_.blk)
+      .flatMapGroupsWithState[Boolean, BlockDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[DocBlock], state: GroupState[Boolean]) =>
+          var seen = state.getOption.getOrElse(false)
+          val out = rows.toVector.sortBy(b => (b.doc_id, b.idx)).map { b =>
+            val kept = !seen
+            seen = true
+            BlockDecision(b.doc_id, b.idx, b.blk, kept)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
 }

@@ -382,6 +382,34 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming block dedup reproduces the batch q117 rewrite exactly") {
+    val docsSchema = spark.read.parquet(docsDir).schema
+    val stream = graft.queries.Pipeline.docBlocks(
+        spark.readStream.schema(docsSchema).parquet(docsDir))
+      .as[graft.streaming.DedupStreams.DocBlock]
+    val q = graft.streaming.DedupStreams.blockDedup(stream)
+      .writeStream.outputMode("append").format("memory").queryName("blk_out").start()
+    try {
+      q.processAllAvailable()
+      // roll the streamed decisions up per doc and compare against the
+      // batch operator's (n_blocks, n_dropped, clean_text) verbatim
+      val got = spark.sql(
+        """SELECT doc_id, count(*) AS n_blocks,
+             sum(CASE WHEN kept THEN 0 ELSE 1 END) AS n_dropped,
+             array_join(transform(array_sort(collect_list(
+               CASE WHEN kept THEN struct(idx, blk) END)), s -> s.blk), ' ') AS clean
+           FROM blk_out GROUP BY doc_id""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      val batch = graft.queries.Pipeline.queries("q117_block_dedup")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      assert(batch.nonEmpty)
+      assert(got == batch,
+        s"stream-only: ${(got -- batch).take(2)}; missing: ${(batch -- got).take(2)}")
+    } finally q.stop()
+  }
+
   test("streaming sequence packing assigns exactly the batch q88 bins") {
     import graft.functions.tokens
     val docsSchema = spark.read.parquet(docsDir).schema

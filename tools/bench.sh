@@ -39,6 +39,10 @@ line = {"metric": "total", "value": total, "unit": "sec", "queries": med,
         "sf": runs[0]["sf"], "runs": len(runs)}
 fname = "bench_median_partial.json" if os.environ.get("SPARK_GRAFT_ONLY") else "bench_median.json"
 open(fname, "w").write(json.dumps(med))
+# the committed perf baseline: only FULL median runs may update it
+# (graft.Bench itself writes single-run numbers to bench_last.json)
+if not os.environ.get("SPARK_GRAFT_ONLY"):
+    open("bench_full.json", "w").write(json.dumps(med))
 for s in spread:
     print("[bench.sh] spread>20%: " + s, file=sys.stderr)
 print(json.dumps(line))
