@@ -64,6 +64,16 @@ object Pipeline {
   private val kmeansCents =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Array[Long])]]()
 
+  /** q118's TRAINED product-quantization codebook, memoized per dataset
+    * dir (same immutability assumption as embCount): per subspace, a
+    * fixed-point Lloyd's k-means over the corpus subvectors — q114's
+    * reproducibility guarantee (integer sums, floor-mean updates,
+    * lowest-id ties) applied per subspace. Keyed (subspace -> (cluster
+    * id -> 8 quantized longs)). Training is the q114 control loop: the
+    * k*m*d = 1024 centroid cells come to the driver, never data rows. */
+  private val pqCodebook = new java.util.concurrent.ConcurrentHashMap[
+    String, IndexedSeq[Seq[(Long, Array[Long])]]]()
+
   private def toks(c: Column) = tokens(c)
 
   /** documents + distinct 3-gram shingles (docs shorter than 3 tokens keep
@@ -1454,6 +1464,117 @@ object Pipeline {
         .withColumn("accept", col("score") >= 0.0)
     },
 
+    "q118_pq_ann" -> { (s, dir) =>
+      // The fourth ANN variant, completing brute (q36) / LSH (q41) /
+      // IVF (q57): TRAINED product quantization (Jegou et al. 2011).
+      // Vectors compress to 8 four-bit codes (4 bytes vs 256 bytes of
+      // floats — the memory-bound regime where 100 TB of embeddings
+      // fits a cluster's RAM as codes). The codebook is a per-subspace
+      // fixed-point k-means (q114's machinery: integer arithmetic,
+      // floor-mean updates -> bit-reproducible at any partitioning);
+      // training moves only the 8x16x8 centroid cells to the driver.
+      // Encoding is MAP-ONLY strict argmin per subspace against the
+      // codebook plan literal; search is asymmetric distance (ADC):
+      // the query keeps full precision (its quantized longs), the
+      // corpus side reconstructs from codes, and the distance is an
+      // exact INTEGER — no floating-point ordering ambiguity at all.
+      // Top-k via one row_number window per query, query side broadcast
+      // (q36's shape); exact cosine reported on the survivors.
+      def sqL(x: Column): Column = x * x
+      val qdf = Tables(s, dir).embeddings
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("emb"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 10000d + 0.5).cast("long")).as("qv"))
+        .withColumn("ss", dot_product(col("emb"), col("emb")))
+      // strict argmin codes for one subspace against a centroid set
+      def codesCol(cents: IndexedSeq[Seq[(Long, Array[Long])]]): Column =
+        array((0 until 8).map { st =>
+          val sub = slice(col("qv"), st * 8 + 1, 8)
+          least(cents(st).map { case (cl, v) =>
+            struct(aggregate(zip_with(sub, lit(v), (a, b) => sqL(a - b)),
+              lit(0L), (acc, x) => acc + x).as("d"), lit(cl).as("c"))
+          }: _*).getField("c")
+        }: _*)
+      val cents = pqCodebook.computeIfAbsent(dir, _ => {
+        var cs: IndexedSeq[Seq[(Long, Array[Long])]] = {
+          val seeds = qdf.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+            .select(col("vec_id"), col("qv")).collect()
+            .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+          IndexedSeq.tabulate(8)(st =>
+            seeds.map { case (id, v) => (id, v.slice(st * 8, st * 8 + 8)) }.toSeq)
+        }
+        for (_ <- 0 until 2) {
+          val sums = qdf.withColumn("codes", codesCol(cs))
+            .select(col("codes"), posexplode(col("qv")).as(Seq("pos", "v")))
+            .withColumn("s", (col("pos") - pmod(col("pos"), lit(8))) / 8)
+            .select(col("s").cast("int").as("s"),
+              element_at(col("codes"), col("s").cast("int") + 1).as("cl"),
+              col("pos"), col("v"))
+            .groupBy(col("s"), col("cl"), col("pos"))
+            .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+            .collect()
+          cs = IndexedSeq.tabulate(8) { st =>
+            sums.filter(_.getInt(0) == st).groupBy(_.getLong(1)).toSeq
+              .sortBy(_._1).map { case (cl, rows) =>
+                (cl, rows.map(r => (r.getInt(2),
+                  math.floor(r.getLong(3).toDouble / r.getLong(4) + 0.5).toLong))
+                  .sortBy(_._1).map(_._2).toArray)
+              }
+          }
+        }
+        cs
+      })
+      // centroid lookup maps for reconstruction: subspace -> (code -> vals)
+      val recon = flatten(array((0 until 8).map { st =>
+        element_at(typedlit(cents(st).map { case (cl, v) => cl -> v.toSeq }.toMap),
+          element_at(col("codes"), st + 1))
+      }: _*))
+      val corpus = qdf.withColumn("codes", codesCol(cents)).withColumn("recon", recon)
+      val q = qdf.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qe"),
+          col("qv").as("qqv"), col("ss").as("qss"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+      corpus.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("adc", aggregate(
+          zip_with(col("qqv"), col("recon"), (a, b) => sqL(a - b)),
+          lit(0L), (acc, x) => acc + x))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .withColumn("cos", round(dot_product(col("qe"), col("emb")) /
+          (sqrt(col("qss")) * sqrt(col("ss"))), 6))
+        .select(col("qid"), col("rnk"), col("vec_id"), col("adc"), col("cos"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
+    "q119_corpus_diff" -> { (s, dir) =>
+      // Snapshot diff — the audit between two corpus versions (what a
+      // re-crawl / re-ingest changed): per doc_id, added / removed /
+      // changed / unchanged by content hash. The two versions derive
+      // deterministically from the fixture (old drops doc_id%10==0 and
+      // carries a draft suffix on doc_id%7==3; new drops doc_id%10==1),
+      // standing in for two real snapshot directories. Plan: hash
+      // per-row on each side, then ONE full-outer hash join on doc_id —
+      // the only shuffle. At 100 TB both snapshots would be bucketed by
+      // doc_id so the join plans shuffle-free; the hash compare ships
+      // 16 bytes per doc, never the text.
+      val base = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val old = base.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 7 === 3, concat(col("text"), lit(" [draft]")))
+            .otherwise(col("text")).cast("binary")).as("old_hash"))
+      val nw = base.filter(col("doc_id") % 10 =!= 1)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("new_hash"))
+      old.join(nw, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("old_hash"), col("new_hash"),
+          when(col("old_hash").isNull, "added")
+            .when(col("new_hash").isNull, "removed")
+            .when(col("old_hash") =!= col("new_hash"), "changed")
+            .otherwise("unchanged").as("status"))
+        .orderBy(col("doc_id"))
+    },
+
     "q117_block_dedup" -> { (s, dir) =>
       // The REWRITE stage of exact dedup (Dolma/C4 paragraph dedup):
       // q94 reports shared spans, this one removes them and emits the
@@ -2227,6 +2348,93 @@ object Pipeline {
             round(score_raw * 1.0 / n_tokens, 6) AS score,
             round(score_raw * 1.0 / n_tokens, 6) >= 0.0 AS accept
           FROM w ORDER BY doc_id""",
+
+    // Trained PQ rebuilt in SQL: q114's fixed-point Lloyd's unrolled
+    // PER SUBSPACE (rows are (vec, s) pairs, clusters partitioned by
+    // s), seeds = the 16 lowest vec_ids' subvectors, two floor-mean
+    // updates, then encode, reconstruct, integer ADC rank, exact cosine
+    // on survivors. ADC is an exact integer so summation order never
+    // matters; only the final cosine rounds.
+    "q118_pq_ann" ->
+      """WITH q AS (SELECT vec_id,
+             list_transform(range(1, 65), i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS emb,
+             list_transform(range(1, 65), i ->
+               CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings),
+         sv AS (SELECT vec_id, s,
+                list_transform(range(1, 9), j -> qv[CAST(s * 8 + j AS INT)]) AS v
+                FROM q, range(0, 8) t(s)),
+         c0 AS (SELECT s, vec_id AS cl, v AS cv FROM sv WHERE vec_id < 16),
+         a0 AS (SELECT vec_id, s, v, cl,
+                row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cl) AS rk
+                FROM (SELECT x.vec_id, x.s, x.v, c.cl,
+                       list_sum(list_transform(range(1, 9), j ->
+                         (x.v[CAST(j AS INT)] - c.cv[CAST(j AS INT)]) *
+                         (x.v[CAST(j AS INT)] - c.cv[CAST(j AS INT)]))) AS dist
+                      FROM sv x JOIN c0 c ON x.s = c.s)),
+         c1 AS (SELECT s, cl, list(cv ORDER BY j) AS cv FROM (
+                 SELECT a.s, a.cl, j,
+                   CAST(floor(sum(a.v[CAST(j AS INT)]) * 1.0 / count(*) + 0.5) AS BIGINT) AS cv
+                 FROM a0 a, range(1, 9) t(j) WHERE a.rk = 1 GROUP BY a.s, a.cl, j)
+                GROUP BY s, cl),
+         a1 AS (SELECT vec_id, s, v, cl,
+                row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cl) AS rk
+                FROM (SELECT x.vec_id, x.s, x.v, c.cl,
+                       list_sum(list_transform(range(1, 9), j ->
+                         (x.v[CAST(j AS INT)] - c.cv[CAST(j AS INT)]) *
+                         (x.v[CAST(j AS INT)] - c.cv[CAST(j AS INT)]))) AS dist
+                      FROM sv x JOIN c1 c ON x.s = c.s)),
+         c2 AS (SELECT s, cl, list(cv ORDER BY j) AS cv FROM (
+                 SELECT a.s, a.cl, j,
+                   CAST(floor(sum(a.v[CAST(j AS INT)]) * 1.0 / count(*) + 0.5) AS BIGINT) AS cv
+                 FROM a1 a, range(1, 9) t(j) WHERE a.rk = 1 GROUP BY a.s, a.cl, j)
+                GROUP BY s, cl),
+         a2 AS (SELECT vec_id, s, cl,
+                row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cl) AS rk
+                FROM (SELECT x.vec_id, x.s, c.cl,
+                       list_sum(list_transform(range(1, 9), j ->
+                         (x.v[CAST(j AS INT)] - c.cv[CAST(j AS INT)]) *
+                         (x.v[CAST(j AS INT)] - c.cv[CAST(j AS INT)]))) AS dist
+                      FROM sv x JOIN c2 c ON x.s = c.s)),
+         rec AS (SELECT a.vec_id, a.s, c.cv
+                 FROM a2 a JOIN c2 c ON a.s = c.s AND a.cl = c.cl WHERE a.rk = 1),
+         padc AS (SELECT qs.vec_id AS qid, x.vec_id,
+                  CAST(sum(list_sum(list_transform(range(1, 9), j ->
+                      (qs.v[CAST(j AS INT)] - x.cv[CAST(j AS INT)]) *
+                      (qs.v[CAST(j AS INT)] - x.cv[CAST(j AS INT)])))) AS BIGINT) AS adc
+                  FROM rec x
+                  JOIN (SELECT vec_id, s, v FROM sv WHERE vec_id < 10) qs
+                    ON x.s = qs.s
+                  WHERE x.vec_id <> qs.vec_id
+                  GROUP BY qs.vec_id, x.vec_id),
+         e2 AS (SELECT vec_id, emb,
+                list_sum(list_transform(range(1, 65), i ->
+                  emb[CAST(i AS INT)] * emb[CAST(i AS INT)])) AS ss
+                FROM q),
+         r AS (SELECT qid, vec_id, adc,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS BIGINT) AS rnk
+               FROM padc)
+         SELECT r.qid, r.rnk, r.vec_id, r.adc,
+           round(list_sum(list_transform(range(1, 65), i ->
+               a.emb[CAST(i AS INT)] * b.emb[CAST(i AS INT)])) / (sqrt(a.ss) * sqrt(b.ss)), 6) AS cos
+         FROM r JOIN e2 a ON a.vec_id = r.qid JOIN e2 b ON b.vec_id = r.vec_id
+         WHERE r.rnk <= 5 ORDER BY r.qid, r.rnk""",
+
+    // Snapshot diff by content hash: the same derived old/new versions,
+    // one full-outer join, status from hash presence/equality.
+    "q119_corpus_diff" ->
+      """WITH o AS (SELECT doc_id,
+               md5(CASE WHEN doc_id % 7 = 3 THEN text || ' [draft]' ELSE text END) AS old_hash
+             FROM documents WHERE doc_id % 10 <> 0),
+          n AS (SELECT doc_id, md5(text) AS new_hash
+                FROM documents WHERE doc_id % 10 <> 1)
+          SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_hash, new_hash,
+            CASE WHEN old_hash IS NULL THEN 'added'
+                 WHEN new_hash IS NULL THEN 'removed'
+                 WHEN old_hash <> new_hash THEN 'changed'
+                 ELSE 'unchanged' END AS status
+          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+          ORDER BY doc_id""",
 
     // 16-token blocks, global keep-first by (doc_id, idx), reassembly
     // in index order; string_agg skips the NULLed dropped blocks.

@@ -832,6 +832,55 @@ class PipelineSpec extends SparkSpec {
     assert(rows.view.mapValues(_._3).toMap == again)
   }
 
+  test("pq ann: codes reconstruct exactly for codebook vectors; adc orders sanely") {
+    val rows = Pipeline.queries("q118_pq_ann")(spark, sf).collect()
+    // 10 queries x top-5, ranks total per query, self-free
+    assert(rows.length == 50)
+    rows.groupBy(_.getLong(0)).foreach { case (qid, g) =>
+      assert(g.map(_.getLong(1)).sorted.sameElements(1L to 5L), s"ranks for $qid")
+      assert(g.forall(_.getLong(2) != qid), "self must be excluded")
+      // adc (exact integer) is non-decreasing in rank
+      val byRank = g.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+      assert(byRank.forall(_ >= 0L), "squared distance is non-negative")
+    }
+    // PQ recall sanity vs the exact brute-force top-5 (q36 semantics):
+    // approximate search must recover a nontrivial share of true
+    // neighbors on the fixture (loose bound — PQ with a blind codebook)
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, sf).embeddings
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+      .withColumn("ss", graft.functions.dot_product(col("emb"), col("emb")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("emb").as("qe"), col("ss").as("qss"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val exact = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", graft.functions.dot_product(col("qe"), col("emb")) /
+        (sqrt(col("qss")) * sqrt(col("ss"))))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select("qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"pq recall collapsed: $recall")
+  }
+
+  test("corpus diff: statuses partition the id space by construction") {
+    val rows = Pipeline.queries("q119_corpus_diff")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val n = Tables(spark, sf).documents.count()
+    assert(rows.size == n, "full outer join covers every doc in either snapshot")
+    rows.foreach { case (id, st) =>
+      val expect =
+        if (id % 10 == 0) "added"           // absent from old
+        else if (id % 10 == 1) "removed"    // absent from new
+        else if (id % 7 == 3) "changed"     // draft suffix in old
+        else "unchanged"
+      assert(st == expect, s"doc $id: $st != $expect")
+    }
+  }
+
   test("block dedup: later copies drop, first stays, text reassembles in order") {
     val session = spark
     import session.implicits._

@@ -16,10 +16,12 @@ class PlanAuditSpec extends AnyFunSuite {
 
   // documented exceptions: broadcast nested-loop is intentional where
   // one side is a scalar/tiny broadcast or the query IS the exact
-  // all-pairs validation harness (q37; q36 broadcasts the 10-row query
-  // side; q11's scalar subquery is a 1-row cross)
+  // all-pairs validation harness (q37; q36 and q118 broadcast the
+  // 10-row query side — q118's corpus side is the compressed PQ-code
+  // scan, which is the point; q11's scalar subquery is a 1-row cross)
   private val nestedLoopAllowed = Set(
-    "q11_scalar_subquery", "q36_ann_topk", "q37_embedding_neardup")
+    "q11_scalar_subquery", "q36_ann_topk", "q37_embedding_neardup",
+    "q118_pq_ann")
 
   test("no unplanned cartesian products or nested-loop joins") {
     val offenders = Seq.newBuilder[String]
