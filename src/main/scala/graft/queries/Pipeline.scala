@@ -1548,6 +1548,63 @@ object Pipeline {
         .orderBy(col("qid"), col("rnk"))
     },
 
+    "q120_hybrid_rrf" -> { (s, dir) =>
+      // Hybrid retrieval, the standard two-arm RAG/search stack:
+      // a LEXICAL arm (exact 3-gram Jaccard over a shared-gram
+      // candidate join — integer set sizes, no score drift) and a
+      // SEMANTIC arm (q57's IVF-probed cosine), fused by reciprocal
+      // rank fusion rrf = sum 1/(60+rank) — rank-based, so the two
+      // arms' incomparable score scales never mix. The fixture pairs
+      // documents and embeddings by id (doc_id == vec_id), the usual
+      // layout where embeddings are a derived column of the corpus.
+      // Plan shape: lexical candidates via ONE gram shuffle join
+      // against the broadcast 10-query gram set (never all-pairs);
+      // semantic candidates via the cell join (corpus shuffles once on
+      // cell); fusion is a full-outer join of two top-20 lists — rows
+      // per query bounded by 40 whatever the corpus size.
+      val d = shingled(Tables(s, dir))
+      val qd = d.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("sh").as("qsh"))
+      val cand = d.select(col("doc_id"), explode(col("sh")).as("g"))
+        .join(broadcast(qd.select(col("qid"), explode(col("qsh")).as("g"))), Seq("g"))
+        .filter(col("doc_id") =!= col("qid"))
+        .select("qid", "doc_id").distinct()
+      val wl = Window.partitionBy(col("qid")).orderBy(col("jacc").desc, col("doc_id"))
+      val lex = cand.join(d, Seq("doc_id")).join(broadcast(qd), Seq("qid"))
+        .withColumn("jacc", size(array_intersect(col("sh"), col("qsh"))).cast("double") /
+          size(array_union(col("sh"), col("qsh"))))
+        .withColumn("lex_rnk", row_number().over(wl).cast("long"))
+        .filter(col("lex_rnk") <= 20)
+        .select(col("qid"), col("doc_id").as("id"), col("lex_rnk"))
+      val K = 16
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+        .withColumn("ss", dot_product(col("emb"), col("emb")))
+        .withColumn("cell", ivf_cell(col("emb"), K))
+      val qe = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qe"), col("ss").as("qss"),
+          explode(ivf_probes(col("emb"), K, 4)).as("cell"))
+      val ws = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      val sem = e.join(broadcast(qe), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(dot_product(col("qe"), col("emb")) /
+          (sqrt(col("qss")) * sqrt(col("ss"))), 6))
+        .withColumn("sem_rnk", row_number().over(ws).cast("long"))
+        .filter(col("sem_rnk") <= 20)
+        .select(col("qid"), col("vec_id").as("id"), col("sem_rnk"))
+      val wf = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("id"))
+      lex.join(sem, Seq("qid", "id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (col("lex_rnk") + 60), lit(0.0)) +
+            coalesce(lit(1.0) / (col("sem_rnk") + 60), lit(0.0)), 6))
+        .withColumn("rnk", row_number().over(wf).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select(col("qid"), col("rnk"), col("id"),
+          coalesce(col("lex_rnk"), lit(0L)).as("lex_rnk"),
+          coalesce(col("sem_rnk"), lit(0L)).as("sem_rnk"), col("rrf"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
     "q119_corpus_diff" -> { (s, dir) =>
       // Snapshot diff — the audit between two corpus versions (what a
       // re-crawl / re-ingest changed): per doc_id, added / removed /
@@ -2419,6 +2476,64 @@ object Pipeline {
                a.emb[CAST(i AS INT)] * b.emb[CAST(i AS INT)])) / (sqrt(a.ss) * sqrt(b.ss)), 6) AS cos
          FROM r JOIN e2 a ON a.vec_id = r.qid JOIN e2 b ON b.vec_id = r.vec_id
          WHERE r.rnk <= 5 ORDER BY r.qid, r.rnk""",
+
+    // Hybrid RRF rebuilt: the exact-Jaccard lexical top-20 (shared-gram
+    // candidates), q57's IVF probe machinery for the semantic top-20,
+    // and 1/(60+rank) fusion — ranks are exact ints, so the fused
+    // doubles match bit-for-bit before the display rounding.
+    "q120_hybrid_rrf" ->
+      s"""WITH t AS (SELECT doc_id, $shSql AS sh
+                     FROM (SELECT doc_id, $tokSql AS lst FROM documents) WHERE len(lst) >= 3),
+          qd AS (SELECT doc_id AS qid, sh AS qsh FROM t WHERE doc_id < 10),
+          cand AS (SELECT DISTINCT qg.qid, dg.doc_id
+                   FROM (SELECT doc_id, unnest(sh) AS g FROM t) dg
+                   JOIN (SELECT qid, unnest(qsh) AS g FROM qd) qg USING (g)
+                   WHERE dg.doc_id <> qg.qid),
+          lex0 AS (SELECT c.qid, c.doc_id,
+                   CAST(len(list_intersect(dd.sh, q.qsh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(dd.sh, q.qsh))) AS jacc
+                   FROM cand c JOIN t dd ON dd.doc_id = c.doc_id
+                   JOIN qd q ON q.qid = c.qid),
+          lexr AS (SELECT qid, doc_id AS id,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY jacc DESC, doc_id) AS BIGINT) AS lex_rnk
+                   FROM lex0),
+          lex AS (SELECT * FROM lexr WHERE lex_rnk <= 20),
+          c AS (SELECT vec_id, embedding,
+              list_transform(range(0, 16), k -> list_sum(list_transform(range(1, 65), i ->
+                CAST(embedding[i] AS DOUBLE) *
+                (CASE WHEN (md5_number_lower('ivf_' || k::VARCHAR || '_' || (i-1)::VARCHAR) & 1) = 1
+                      THEN 1.0 ELSE -1.0 END)))) AS dots,
+              list_sum(list_transform(range(1, 65), i ->
+                CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS ss
+            FROM embeddings),
+          d2 AS (SELECT vec_id, embedding, ss, k, dots[CAST(k AS INT) + 1] AS dot
+                 FROM c, range(0, 16) t2(k)),
+          asg AS (SELECT vec_id, embedding, ss, k AS cell,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, k) AS rk FROM d2),
+          data AS (SELECT vec_id, embedding, ss, cell FROM asg WHERE rk = 1),
+          probes AS (SELECT vec_id AS qid, embedding AS qe, ss AS qss, cell
+                     FROM asg WHERE vec_id < 10 AND rk <= 4),
+          sem0 AS (SELECT pr.qid, e.vec_id,
+                   round(list_sum(list_transform(range(1, 65), i ->
+                       CAST(pr.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                     / (sqrt(pr.qss) * sqrt(e.ss)), 6) AS cos
+                  FROM data e JOIN probes pr ON e.cell = pr.cell AND e.vec_id <> pr.qid),
+          semr AS (SELECT qid, vec_id AS id,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS sem_rnk
+                   FROM sem0),
+          sem AS (SELECT * FROM semr WHERE sem_rnk <= 20),
+          fused AS (SELECT coalesce(l.qid, s2.qid) AS qid, coalesce(l.id, s2.id) AS id,
+                    l.lex_rnk, s2.sem_rnk,
+                    round(coalesce(1.0 / (60 + l.lex_rnk), 0.0)
+                        + coalesce(1.0 / (60 + s2.sem_rnk), 0.0), 6) AS rrf
+                    FROM lex l FULL OUTER JOIN sem s2
+                      ON l.qid = s2.qid AND l.id = s2.id),
+          r AS (SELECT qid, id, lex_rnk, sem_rnk, rrf,
+                CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS BIGINT) AS rnk
+                FROM fused)
+          SELECT qid, rnk, id, coalesce(lex_rnk, 0) AS lex_rnk,
+            coalesce(sem_rnk, 0) AS sem_rnk, rrf
+          FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
 
     // Snapshot diff by content hash: the same derived old/new versions,
     // one full-outer join, status from hash presence/equality.

@@ -881,6 +881,35 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hybrid rrf: fusion is consistent with its arms and favors dual hits") {
+    val rows = Pipeline.queries("q120_hybrid_rrf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, g) =>
+      // ranks total, rrf non-increasing in rank
+      assert(g.map(_._2).sorted.sameElements(1L to g.length.toLong))
+      val byRank = g.sortBy(_._2)
+      assert(byRank.map(_._6).zip(byRank.tail.map(_._6)).forall { case (a, b) => a >= b })
+      g.foreach { case (_, _, id, lr, sr, rrf) =>
+        assert(id != qid, "self never retrieved")
+        assert(lr > 0 || sr > 0, "a fused row must come from at least one arm")
+        // rrf is exactly the sum of its arms' reciprocal terms
+        val expect = BigDecimal(
+          (if (lr > 0) 1.0 / (60 + lr) else 0.0) +
+            (if (sr > 0) 1.0 / (60 + sr) else 0.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(rrf - expect) < 1e-9, s"q$qid id$id: $rrf != $expect")
+      }
+      // a doc in BOTH top-20s always outranks a doc in exactly one arm:
+      // worst dual score 2/(60+20) = 0.025 > best single 1/61 = 0.0164
+      val dual = g.filter(r => r._4 > 0 && r._5 > 0).map(_._6)
+      val single = g.filter(r => (r._4 == 0) ^ (r._5 == 0)).map(_._6)
+      if (dual.nonEmpty && single.nonEmpty)
+        assert(dual.min > single.max)
+    }
+  }
+
   test("block dedup: later copies drop, first stays, text reassembles in order") {
     val session = spark
     import session.implicits._
