@@ -1548,6 +1548,87 @@ object Pipeline {
         .orderBy(col("qid"), col("rnk"))
     },
 
+    "q121_hll_distinct" -> { (s, dir) =>
+      // Per-source distinct-SHINGLE cardinality via HyperLogLog — the
+      // sketch that replaces count(DISTINCT) when the key space doesn't
+      // fit anywhere: state is 256 registers (one byte each) per group
+      // whatever the corpus. (Shingles, not tokens: the fixture's token
+      // vocabulary is ~31 words, far below raw HLL's validity floor of
+      // 2.5m; its 3-gram space is ~1200/source, squarely in the sketch
+      // regime — and distinct-ngram counts per slice are a real corpus
+      // diversity metric.) Registers are md5-derived (deterministic,
+      // mergeable across partitions by MAX — the partial agg IS the
+      // sketch union). The estimator is kept in INTEGER form as long as
+      // possible: sum_j 2^(-M_j) scales to sum_j 2^(49-M_j), an exact
+      // long, so accumulation order never matters; the only FP ops are
+      // the final alpha*m^2*2^49/S — one identical expression in both
+      // engines. The exact count(DISTINCT) rides along as the audit
+      // column (feasible at sf, the thing the sketch replaces at
+      // 100 TB). Raw HLL estimator, no small-range correction —
+      // documented, and the oracle computes the identical formula.
+      val tok = Tables(s, dir).documents
+        .select(col("source"), explode(shingles(toks(col("text")), 3)).as("tok"))
+      val h = md5_lower64(concat(lit("hll:"), col("tok")).cast("binary"))
+      val wv = shiftrightunsigned(h, 8).bitwiseAND(lit(281474976710655L))
+      val smear = Seq(1, 2, 4, 8, 16, 32).foldLeft(wv)((x, k) =>
+        x.bitwiseOR(shiftrightunsigned(x, k)))
+      val regs = tok
+        .select(col("source"), h.bitwiseAND(lit(255L)).as("idx"),
+          (lit(49) - bit_count(smear)).as("rho"))
+        .groupBy(col("source"), col("idx"))
+        .agg(max(col("rho")).as("m"))
+        .groupBy(col("source"))
+        .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - m AS INT))")) +
+          (lit(256L) - count(lit(1))) * lit(562949953421312L)).as("s"))
+      val exact = tok.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("distinct_exact"))
+      exact.join(regs, Seq("source"))
+        .select(col("source"), col("n_tokens"), col("distinct_exact"),
+          round(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+            lit(65536.0) * lit(562949953421312.0) / col("s"), 3).as("hll_est"))
+        .orderBy(col("source"))
+    },
+
+    "q122_cms_heavy_hitters" -> { (s, dir) =>
+      // Heavy-hitter token counts via a Count-Min sketch (depth 4 x
+      // width 1024): the frequency table that stays 16 KiB whatever the
+      // vocabulary. Every estimate is min over 4 hash rows, integer
+      // arithmetic throughout, and over-estimation only (est >= exact
+      // by construction — the spec pins it). Plan shape: building the
+      // sketch is ONE partial-aggregated shuffle of (d, idx) cells
+      // (4096 groups — the map-side combine does almost all the work);
+      // probing joins the 50 candidates against the 4096-cell table.
+      // The exact counts ride along as the audit the sketch replaces
+      // at scale.
+      val tok = Tables(s, dir).documents
+        .select(explode(toks(col("text"))).as("tok"))
+      def cmsIdx(d: Int): Column =
+        md5_lower64(concat(lit(s"cms$d:"), col("tok")).cast("binary"))
+          .bitwiseAND(lit(1023L))
+      val cells = tok
+        .select(explode(array((0 until 4).map(d =>
+          struct(lit(d).as("d"), cmsIdx(d).as("idx"))): _*)).as("c"))
+        .groupBy(col("c.d").as("d"), col("c.idx").as("idx"))
+        .agg(count(lit(1)).as("cell"))
+      // TakeOrdered top-50, then ranks over just those 50 rows (never a
+      // global window over the full vocabulary)
+      val top = tok.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("tok")).limit(50)
+        .withColumn("rnk", row_number()
+          .over(Window.orderBy(col("exact").desc, col("tok"))).cast("long"))
+      top
+        .select(col("rnk"), col("tok"), col("exact"),
+          explode(array((0 until 4).map(d =>
+            struct(lit(d).as("d"), cmsIdx(d).as("idx"))): _*)).as("c"))
+        .join(cells, col("c.d") === cells("d") && col("c.idx") === cells("idx"))
+        .groupBy(col("rnk"), col("tok"), col("exact"))
+        .agg(min(col("cell")).as("cms_est"))
+        .select(col("rnk"), col("tok"), col("exact"), col("cms_est"),
+          (col("cms_est") - col("exact")).as("overcount"))
+        .orderBy(col("rnk"))
+    },
+
     "q120_hybrid_rrf" -> { (s, dir) =>
       // Hybrid retrieval, the standard two-arm RAG/search stack:
       // a LEXICAL arm (exact 3-gram Jaccard over a shared-gram
@@ -2476,6 +2557,58 @@ object Pipeline {
                a.emb[CAST(i AS INT)] * b.emb[CAST(i AS INT)])) / (sqrt(a.ss) * sqrt(b.ss)), 6) AS cos
          FROM r JOIN e2 a ON a.vec_id = r.qid JOIN e2 b ON b.vec_id = r.vec_id
          WHERE r.rnk <= 5 ORDER BY r.qid, r.rnk""",
+
+    // HLL rebuilt: same md5 registers (idx = low 8 bits, rho = 49 -
+    // bit-length of the next 48 bits via smear+popcount), register max
+    // per (source, idx), integer-scaled harmonic sum, one identical
+    // final FP expression.
+    "q121_hll_distinct" ->
+      s"""WITH tk AS (SELECT source, unnest(sh) AS tok FROM
+                   (SELECT source, $shSql AS sh
+                    FROM (SELECT source, $tokSql AS lst FROM documents)
+                    WHERE len(lst) >= 3)),
+          h0 AS (SELECT source, tok,
+                 CAST(md5_number_lower('hll:' || tok) & 255 AS BIGINT) AS idx,
+                 CAST((md5_number_lower('hll:' || tok) >> 8) & 281474976710655 AS BIGINT) AS w
+                 FROM tk),
+          s1 AS (SELECT *, w | (w >> 1) AS w1 FROM h0),
+          s2 AS (SELECT *, w1 | (w1 >> 2) AS w2 FROM s1),
+          s3 AS (SELECT *, w2 | (w2 >> 4) AS w3 FROM s2),
+          s4 AS (SELECT *, w3 | (w3 >> 8) AS w4 FROM s3),
+          s5 AS (SELECT *, w4 | (w4 >> 16) AS w5 FROM s4),
+          s6 AS (SELECT *, w5 | (w5 >> 32) AS w6 FROM s5),
+          r AS (SELECT source, idx, max(49 - bit_count(w6)) AS m
+                FROM s6 GROUP BY source, idx),
+          sreg AS (SELECT source,
+                   CAST(sum(1::BIGINT << CAST(49 - m AS INT)) AS BIGINT)
+                     + (256 - count(*)) * 562949953421312 AS s
+                   FROM r GROUP BY source),
+          ex AS (SELECT source, count(*) AS n_tokens,
+                 count(DISTINCT tok) AS distinct_exact FROM tk GROUP BY source)
+          SELECT ex.source, ex.n_tokens, ex.distinct_exact,
+            round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 562949953421312.0 / s, 3) AS hll_est
+          FROM ex JOIN sreg USING (source) ORDER BY source""",
+
+    // CMS rebuilt: same 4x1024 md5 cells, exact top-50, min-over-rows
+    // probe — integers end to end.
+    "q122_cms_heavy_hitters" ->
+      s"""WITH tk AS (SELECT unnest($tokSql) AS tok FROM documents),
+          grid AS (SELECT tok, d,
+                   CAST(md5_number_lower('cms' || d::VARCHAR || ':' || tok) & 1023 AS BIGINT) AS idx
+                   FROM tk, range(0, 4) t(d)),
+          cells AS (SELECT d, idx, count(*) AS cell FROM grid GROUP BY d, idx),
+          ex AS (SELECT tok, count(*) AS exact FROM tk GROUP BY tok),
+          t50 AS (SELECT * FROM (SELECT tok, exact,
+                   CAST(row_number() OVER (ORDER BY exact DESC, tok) AS BIGINT) AS rnk
+                   FROM ex) WHERE rnk <= 50),
+          probe AS (SELECT t.rnk, t.tok, t.exact, d,
+                    CAST(md5_number_lower('cms' || d::VARCHAR || ':' || t.tok) & 1023 AS BIGINT) AS idx
+                    FROM t50 t, range(0, 4) r2(d)),
+          est AS (SELECT p.rnk, p.tok, p.exact, min(c.cell) AS cms_est
+                  FROM probe p JOIN cells c ON c.d = p.d AND c.idx = p.idx
+                  GROUP BY p.rnk, p.tok, p.exact)
+          SELECT rnk, tok, exact, cms_est, cms_est - exact AS overcount
+          FROM est ORDER BY rnk""",
 
     // Hybrid RRF rebuilt: the exact-Jaccard lexical top-20 (shared-gram
     // candidates), q57's IVF probe machinery for the semantic top-20,

@@ -881,6 +881,44 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hll distinct: estimate tracks the exact audit within sketch error") {
+    val rows = Pipeline.queries("q121_hll_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(2), r.getDouble(3))
+      assert(exact > 0 && est > 0)
+      // m=256 raw HLL: 1.04/sqrt(256) ~ 6.5% std error; allow 4 sigma
+      val rel = math.abs(est - exact) / exact
+      assert(rel < 0.26, s"${r.getString(0)}: est $est vs exact $exact ($rel)")
+      assert(r.getLong(1) >= exact, "token occurrences >= distinct tokens")
+    }
+    // determinism: a rerun yields the identical estimates
+    val again = Pipeline.queries("q121_hll_distinct")(spark, sf).collect()
+    assert(rows.map(_.getDouble(3)).toSeq == again.map(_.getDouble(3)).toSeq)
+  }
+
+  test("cms heavy hitters: estimates never undercount and top-1 is the true max") {
+    val rows = Pipeline.queries("q122_cms_heavy_hitters")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val vocab = Tables(spark, sf).documents
+      .select(explode(tokens(col("text"))).as("tok")).distinct().count()
+    assert(rows.length == math.min(50L, vocab))
+    assert(rows.map(_._1).sorted.sameElements(1L to rows.length.toLong))
+    rows.foreach { case (_, tok, exact, est, over) =>
+      assert(est >= exact, s"CMS undercounted '$tok': $est < $exact")
+      assert(over == est - exact)
+    }
+    // exact counts are rank-ordered descending
+    val ex = rows.sortBy(_._1).map(_._3)
+    assert(ex.zip(ex.tail).forall { case (a, b) => a >= b })
+    // the true modal token's estimate is at least its exact count and
+    // its exact count is the global max
+    val docs = Tables(spark, sf).documents
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").count().orderBy(col("count").desc).limit(1).collect()
+    assert(rows.minBy(_._1)._3 == docs(0).getLong(1))
+  }
+
   test("hybrid rrf: fusion is consistent with its arms and favors dual hits") {
     val rows = Pipeline.queries("q120_hybrid_rrf")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
