@@ -82,6 +82,36 @@ object Pipeline {
     t.documents.select(col("doc_id"),
       shingles(toks(col("text")), 3).as("sh"))
 
+  /** q121's HLL register projection over any frame with (source, text):
+    * one (source, idx, rho) row per shingle occurrence. Pure per-row
+    * Columns — the register BUILD is then an ordinary
+    * groupBy(source, idx).max(rho), which is also exactly the streaming
+    * form: a streaming max aggregate in complete mode IS the continuous
+    * sketch union (EventStreamsSpec pins the parity). */
+  def hllRegisters(docs: DataFrame): DataFrame = {
+    val sh = explode(shingles(toks(col("text")), 3)).as("tok")
+    val h = md5_lower64(concat(lit("hll:"), col("tok")).cast("binary"))
+    val wv = shiftrightunsigned(h, 8).bitwiseAND(lit(281474976710655L))
+    val smear = Seq(1, 2, 4, 8, 16, 32).foldLeft(wv)((x, k) =>
+      x.bitwiseOR(shiftrightunsigned(x, k)))
+    docs.select(col("source"), sh)
+      .select(col("source"), h.bitwiseAND(lit(255L)).as("idx"),
+        (lit(49) - bit_count(smear)).as("rho"))
+  }
+
+  /** q122's CMS cell grid over any frame with (text): one (d, idx) row
+    * per token occurrence x depth. The cell BUILD is then an ordinary
+    * groupBy(d, idx).count() — in streaming, the same count aggregate
+    * in complete mode is the continuously-maintained sketch
+    * (EventStreamsSpec pins the parity). */
+  def cmsGrid(docs: DataFrame): DataFrame =
+    docs.select(explode(toks(col("text"))).as("tok"))
+      .select(explode(array((0 until 4).map(d =>
+        struct(lit(d).as("d"),
+          md5_lower64(concat(lit(s"cms$d:"), col("tok")).cast("binary"))
+            .bitwiseAND(lit(1023L)).as("idx"))): _*)).as("c"))
+      .select(col("c.d").as("d"), col("c.idx").as("idx"))
+
   /** q92's gate as a reusable projection over any frame with (doc_id,
     * text) — pure per-row Columns, so the SAME code runs over a batch
     * scan and a readStream (EventStreamsSpec pins the parity). Callers
@@ -1568,13 +1598,7 @@ object Pipeline {
       // documented, and the oracle computes the identical formula.
       val tok = Tables(s, dir).documents
         .select(col("source"), explode(shingles(toks(col("text")), 3)).as("tok"))
-      val h = md5_lower64(concat(lit("hll:"), col("tok")).cast("binary"))
-      val wv = shiftrightunsigned(h, 8).bitwiseAND(lit(281474976710655L))
-      val smear = Seq(1, 2, 4, 8, 16, 32).foldLeft(wv)((x, k) =>
-        x.bitwiseOR(shiftrightunsigned(x, k)))
-      val regs = tok
-        .select(col("source"), h.bitwiseAND(lit(255L)).as("idx"),
-          (lit(49) - bit_count(smear)).as("rho"))
+      val regs = hllRegisters(Tables(s, dir).documents)
         .groupBy(col("source"), col("idx"))
         .agg(max(col("rho")).as("m"))
         .groupBy(col("source"))
@@ -1606,10 +1630,8 @@ object Pipeline {
       def cmsIdx(d: Int): Column =
         md5_lower64(concat(lit(s"cms$d:"), col("tok")).cast("binary"))
           .bitwiseAND(lit(1023L))
-      val cells = tok
-        .select(explode(array((0 until 4).map(d =>
-          struct(lit(d).as("d"), cmsIdx(d).as("idx"))): _*)).as("c"))
-        .groupBy(col("c.d").as("d"), col("c.idx").as("idx"))
+      val cells = cmsGrid(Tables(s, dir).documents)
+        .groupBy(col("d"), col("idx"))
         .agg(count(lit(1)).as("cell"))
       // TakeOrdered top-50, then ranks over just those 50 rows (never a
       // global window over the full vocabulary)
@@ -1627,6 +1649,34 @@ object Pipeline {
         .select(col("rnk"), col("tok"), col("exact"), col("cms_est"),
           (col("cms_est") - col("exact")).as("overcount"))
         .orderBy(col("rnk"))
+    },
+
+    "q123_multimodal_frames" -> { (s, dir) =>
+      // Frame sampling over opaque media payloads — the video/audio
+      // plumbing q40 starts: treat the binary payload as fixed 64-byte
+      // frames, SAMPLE every second frame (stride 128 bytes — the
+      // decimation a real pipeline does before expensive per-frame
+      // decode), and emit per sampled frame the offset, actual length
+      // (tail frames run short) and the 16-bin byte-histogram feature
+      // stub. Per-row explode over byte offsets, zero shuffles,
+      // output-bound fan-out — the decode stub swaps for a real codec
+      // without touching the plan. Payload slicing is byte-addressed
+      // (substring on BinaryType).
+      Tables(s, dir).documents.orderBy(col("doc_id"))
+        .select(col("doc_id"), col("text").cast("binary").as("payload"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+        .filter(col("n_bytes") > 0)
+        .select(col("doc_id"), col("payload"),
+          posexplode(transform(
+            sequence(lit(0), floor((col("n_bytes") - 1) / lit(128)).cast("int")),
+            k => k * 128)).as(Seq("frame_id", "off")))
+        .select(col("doc_id"), col("frame_id").cast("long").as("frame_id"),
+          col("off").cast("long").as("off"),
+          expr("substring(payload, off + 1, 64)").as("frame"))
+        .select(col("doc_id"), col("frame_id"), col("off"),
+          octet_length(col("frame")).cast("long").as("frame_bytes"),
+          array_join(transform(byte_histogram_counts(col("frame")),
+            _.cast("string")), ",").as("features"))
     },
 
     "q120_hybrid_rrf" -> { (s, dir) =>
@@ -2588,6 +2638,28 @@ object Pipeline {
           SELECT ex.source, ex.n_tokens, ex.distinct_exact,
             round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 562949953421312.0 / s, 3) AS hll_est
           FROM ex JOIN sreg USING (source) ORDER BY source""",
+
+    // Frame sampling rebuilt: same stride-128 offsets, then q40's
+    // high-nibble hex histogram per frame. DuckDB v1.0 has no BLOB
+    // substring, so the oracle slices the STRING and encodes the slice
+    // — byte-identical here because the fixture text is ASCII (the
+    // engine side stays byte-addressed on BinaryType regardless).
+    "q123_multimodal_frames" ->
+      """WITH p AS (SELECT doc_id, text,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n
+             FROM documents WHERE octet_length(encode(text)) > 0),
+          f0 AS (SELECT doc_id, text,
+                 unnest(range(0, (n - 1) // 128 + 1)) AS k FROM p),
+          f AS (SELECT doc_id, k AS frame_id, k * 128 AS off,
+                encode(substring(text, CAST(k * 128 + 1 AS INT), 64)) AS frame
+                FROM f0),
+          h AS (SELECT doc_id, frame_id, off,
+                CAST(octet_length(frame) AS BIGINT) AS frame_bytes,
+                regexp_replace(hex(frame), '(.)(.)', '\1', 'g') AS hn FROM f)
+          SELECT doc_id, frame_id, off, frame_bytes,
+            array_to_string(list_transform(range(0, 16), b ->
+              length(hn) - length(replace(hn, substr('0123456789ABCDEF', CAST(b AS INT) + 1, 1), ''))), ',') AS features
+          FROM h ORDER BY doc_id, frame_id""",
 
     // CMS rebuilt: same 4x1024 md5 cells, exact top-50, min-over-rows
     // probe — integers end to end.

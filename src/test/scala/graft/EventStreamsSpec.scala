@@ -410,6 +410,42 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL registers equal the batch sketch (max agg IS the union)") {
+    val docsSchema = spark.read.parquet(docsDir).schema
+    val stream = graft.queries.Pipeline.hllRegisters(
+        spark.readStream.schema(docsSchema).parquet(docsDir))
+      .groupBy(col("source"), col("idx")).agg(max(col("rho")).as("m"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("hll_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT source, idx, m FROM hll_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      val batch = graft.queries.Pipeline.hllRegisters(spark.read.parquet(docsDir))
+        .groupBy(col("source"), col("idx")).agg(max(col("rho")).as("m"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(batch.nonEmpty && got == batch)
+    } finally q.stop()
+  }
+
+  test("streaming CMS cells equal the batch sketch (count agg IS the union)") {
+    val docsSchema = spark.read.parquet(docsDir).schema
+    val stream = graft.queries.Pipeline.cmsGrid(
+        spark.readStream.schema(docsSchema).parquet(docsDir))
+      .groupBy(col("d"), col("idx")).count()
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("cms_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT d, idx, count FROM cms_out")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.queries.Pipeline.cmsGrid(spark.read.parquet(docsDir))
+        .groupBy(col("d"), col("idx")).count()
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch.nonEmpty && got == batch)
+    } finally q.stop()
+  }
+
   test("streaming sequence packing assigns exactly the batch q88 bins") {
     import graft.functions.tokens
     val docsSchema = spark.read.parquet(docsDir).schema

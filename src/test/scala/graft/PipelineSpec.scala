@@ -881,6 +881,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("multimodal frames: stride sampling covers offsets, tails run short") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q123mf").toString
+    Seq((1L, "a" * 300, "s", "en", 300L), (2L, "xyz", "s", "en", 3L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.queries("q123_multimodal_frames")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val d1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    // 300 bytes, stride 128: sampled frames at 0, 128, 256; tail = 44
+    assert(d1.map(f => (f._2, f._3, f._4)).toSeq ==
+      Seq((0L, 0L, 64L), (1L, 128L, 64L), (2L, 256L, 44L)))
+    // histogram counts sum to the frame length ('a' = 0x61 -> bin 6)
+    d1.foreach { f =>
+      val bins = f._5.split(",").map(_.toLong)
+      assert(bins.sum == f._4 && bins(6) == f._4)
+    }
+    val d2 = rows.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2(0)._4 == 3L, "short doc keeps one short frame")
+    // corpus invariant: every frame's histogram sums to its byte length
+    Pipeline.queries("q123_multimodal_frames")(spark, sf).collect().foreach { r =>
+      assert(r.getString(4).split(",").map(_.toLong).sum == r.getLong(3))
+    }
+  }
+
   test("hll distinct: estimate tracks the exact audit within sketch error") {
     val rows = Pipeline.queries("q121_hll_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
