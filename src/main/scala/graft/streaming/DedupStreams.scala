@@ -307,4 +307,51 @@ object DedupStreams {
           out.iterator
       }
   }
+
+  /** blockDedup on the transformWithState API (RocksDB state store):
+    * one ValueState[Boolean] per block key with an optional TTL — the
+    * form for UNBOUNDED block spaces, where "seen" entries for blocks
+    * that stop recurring must eventually cost nothing. A TTL'd entry
+    * that expires re-admits the next occurrence of that block (the
+    * standard horizon trade every streaming dedup makes — same policy
+    * as exactDedup's watermark). Decisions inside a micro-batch use the
+    * same (doc_id, idx) order as the FMGWS twin, so the two variants
+    * agree whenever state is within TTL (spec-pinned). */
+  final class BlockDedupProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, DocBlock, BlockDecision] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttlConf =
+        if (ttl == null || ttl.isZero) TTLConfig.NONE else TTLConfig(ttl)
+      seen = getHandle.getValueState[Boolean]("seen", Encoders.scalaBoolean, ttlConf)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[DocBlock],
+        timerValues: TimerValues): Iterator[BlockDecision] = {
+      var s = seen.exists()
+      val out = rows.toVector.sortBy(b => (b.doc_id, b.idx)).map { b =>
+        val kept = !s
+        s = true
+        BlockDecision(b.doc_id, b.idx, b.blk, kept)
+      }
+      if (!seen.exists()) seen.update(true)
+      out.iterator
+    }
+  }
+
+  /** Streaming block dedup via transformWithState; `ttl` null/zero
+    * keeps block keys forever (exact corpus-lifetime dedup). */
+  def blockDedupTws(blocks: Dataset[DocBlock],
+      ttl: java.time.Duration = null): Dataset[BlockDecision] = {
+    import blocks.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val timeMode =
+      if (ttl == null || ttl.isZero) TimeMode.None()
+      else TimeMode.ProcessingTime()
+    blocks.groupByKey(_.blk)
+      .transformWithState(new BlockDedupProcessor(ttl), timeMode, OutputMode.Append())
+  }
 }

@@ -446,6 +446,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState block dedup matches the flatMapGroupsWithState twin") {
+    val docsSchema = spark.read.parquet(docsDir).schema
+    def blocks = graft.queries.Pipeline.docBlocks(
+        spark.readStream.schema(docsSchema).parquet(docsDir))
+      .as[graft.streaming.DedupStreams.DocBlock]
+    val q1 = graft.streaming.DedupStreams.blockDedup(blocks)
+      .writeStream.outputMode("append").format("memory").queryName("blk_f").start()
+    val fmgws = try {
+      q1.processAllAvailable()
+      spark.sql("SELECT doc_id, idx, kept FROM blk_f")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    } finally q1.stop()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q2 = graft.streaming.DedupStreams.blockDedupTws(blocks)
+        .writeStream.outputMode("append").format("memory").queryName("blk_t").start()
+      val tws = try {
+        q2.processAllAvailable()
+        spark.sql("SELECT doc_id, idx, kept FROM blk_t")
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+      } finally q2.stop()
+      assert(tws.nonEmpty && tws == fmgws,
+        s"variants diverged: ${(tws -- fmgws).take(3)} / ${(fmgws -- tws).take(3)}")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming sequence packing assigns exactly the batch q88 bins") {
     import graft.functions.tokens
     val docsSchema = spark.read.parquet(docsDir).schema
