@@ -99,17 +99,34 @@ object Pipeline {
         (lit(49) - bit_count(smear)).as("rho"))
   }
 
+  /** q122's Kirsch-Mitzenmacher row indexes for one token: ONE md5 per
+    * occurrence, the 4 row hashes derived as (h1 + d*h2) & 1023 from
+    * its two 32-bit halves (h2 forced odd) — the standard CMS double
+    * hashing, which cut the 100x-scale sketch build 4x (the md5 is the
+    * whole cost at corpus scale; see PERF_NOTES). */
+  private[graft] def cmsIdx(tok: Column, d: Int): Column = {
+    val h = md5_lower64(concat(lit("cms:"), tok).cast("binary"))
+    val h1 = h.bitwiseAND(lit(4294967295L))
+    val h2 = shiftrightunsigned(h, 32).bitwiseOR(lit(1L))
+    (h1 + lit(d.toLong) * h2).bitwiseAND(lit(1023L))
+  }
+
   /** q122's CMS cell grid over any frame with (text): one (d, idx) row
     * per token occurrence x depth. The cell BUILD is then an ordinary
     * groupBy(d, idx).count() — in streaming, the same count aggregate
     * in complete mode is the continuously-maintained sketch
-    * (EventStreamsSpec pins the parity). */
+    * (EventStreamsSpec pins the parity). The md5 is materialized as its
+    * own projection so the 4 derived indexes share ONE hash — inlining
+    * cmsIdx here would re-evaluate the md5 per array element (no CSE
+    * across array constructors; measured 2x worse at 100x scale). */
   def cmsGrid(docs: DataFrame): DataFrame =
     docs.select(explode(toks(col("text"))).as("tok"))
+      .select(md5_lower64(concat(lit("cms:"), col("tok")).cast("binary")).as("h"))
+      .select(col("h").bitwiseAND(lit(4294967295L)).as("h1"),
+        shiftrightunsigned(col("h"), 32).bitwiseOR(lit(1L)).as("h2"))
       .select(explode(array((0 until 4).map(d =>
-        struct(lit(d).as("d"),
-          md5_lower64(concat(lit(s"cms$d:"), col("tok")).cast("binary"))
-            .bitwiseAND(lit(1023L)).as("idx"))): _*)).as("c"))
+        struct(lit(d).as("d"), (col("h1") + lit(d.toLong) * col("h2"))
+          .bitwiseAND(lit(1023L)).as("idx"))): _*)).as("c"))
       .select(col("c.d").as("d"), col("c.idx").as("idx"))
 
   /** q92's gate as a reusable projection over any frame with (doc_id,
@@ -1627,9 +1644,6 @@ object Pipeline {
       // at scale.
       val tok = Tables(s, dir).documents
         .select(explode(toks(col("text"))).as("tok"))
-      def cmsIdx(d: Int): Column =
-        md5_lower64(concat(lit(s"cms$d:"), col("tok")).cast("binary"))
-          .bitwiseAND(lit(1023L))
       val cells = cmsGrid(Tables(s, dir).documents)
         .groupBy(col("d"), col("idx"))
         .agg(count(lit(1)).as("cell"))
@@ -1642,7 +1656,7 @@ object Pipeline {
       top
         .select(col("rnk"), col("tok"), col("exact"),
           explode(array((0 until 4).map(d =>
-            struct(lit(d).as("d"), cmsIdx(d).as("idx"))): _*)).as("c"))
+            struct(lit(d).as("d"), cmsIdx(col("tok"), d).as("idx"))): _*)).as("c"))
         .join(cells, col("c.d") === cells("d") && col("c.idx") === cells("idx"))
         .groupBy(col("rnk"), col("tok"), col("exact"))
         .agg(min(col("cell")).as("cms_est"))
@@ -2661,20 +2675,25 @@ object Pipeline {
               length(hn) - length(replace(hn, substr('0123456789ABCDEF', CAST(b AS INT) + 1, 1), ''))), ',') AS features
           FROM h ORDER BY doc_id, frame_id""",
 
-    // CMS rebuilt: same 4x1024 md5 cells, exact top-50, min-over-rows
-    // probe — integers end to end.
+    // CMS rebuilt: ONE md5 per occurrence, the 4 row indexes via
+    // Kirsch-Mitzenmacher double hashing (h1 + d*h2 mod 1024, h2 forced
+    // odd) — exact top-50, min-over-rows probe, integers end to end.
     "q122_cms_heavy_hitters" ->
       s"""WITH tk AS (SELECT unnest($tokSql) AS tok FROM documents),
-          grid AS (SELECT tok, d,
-                   CAST(md5_number_lower('cms' || d::VARCHAR || ':' || tok) & 1023 AS BIGINT) AS idx
-                   FROM tk, range(0, 4) t(d)),
+          hs AS (SELECT tok,
+                 CAST(md5_number_lower('cms:' || tok) & 4294967295 AS BIGINT) AS h1,
+                 CAST((md5_number_lower('cms:' || tok) >> 32) | 1 AS BIGINT) AS h2
+                 FROM tk),
+          grid AS (SELECT tok, d, (h1 + d * h2) & 1023 AS idx
+                   FROM hs, range(0, 4) t(d)),
           cells AS (SELECT d, idx, count(*) AS cell FROM grid GROUP BY d, idx),
           ex AS (SELECT tok, count(*) AS exact FROM tk GROUP BY tok),
           t50 AS (SELECT * FROM (SELECT tok, exact,
                    CAST(row_number() OVER (ORDER BY exact DESC, tok) AS BIGINT) AS rnk
                    FROM ex) WHERE rnk <= 50),
           probe AS (SELECT t.rnk, t.tok, t.exact, d,
-                    CAST(md5_number_lower('cms' || d::VARCHAR || ':' || t.tok) & 1023 AS BIGINT) AS idx
+                    (CAST(md5_number_lower('cms:' || t.tok) & 4294967295 AS BIGINT)
+                     + d * CAST((md5_number_lower('cms:' || t.tok) >> 32) | 1 AS BIGINT)) & 1023 AS idx
                     FROM t50 t, range(0, 4) r2(d)),
           est AS (SELECT p.rnk, p.tok, p.exact, min(c.cell) AS cms_est
                   FROM probe p JOIN cells c ON c.d = p.d AND c.idx = p.idx
