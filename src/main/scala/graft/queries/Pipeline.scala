@@ -89,14 +89,23 @@ object Pipeline {
     * form: a streaming max aggregate in complete mode IS the continuous
     * sketch union (EventStreamsSpec pins the parity). */
   def hllRegisters(docs: DataFrame): DataFrame = {
+    // h and each smear step materialize as their own projection. The
+    // inlined fold textually copies the md5 subtree 2^6 times; in THIS
+    // plain-projection context codegen's subexpression elimination
+    // deduplicates it (measured neutral at sf10), but the explicit form
+    // doesn't rely on that — cmsGrid documents the generator context
+    // (array constructor + explode) where the same inlining really does
+    // re-evaluate the hash per copy, 2x at 100x scale.
     val sh = explode(shingles(toks(col("text")), 3)).as("tok")
-    val h = md5_lower64(concat(lit("hll:"), col("tok")).cast("binary"))
-    val wv = shiftrightunsigned(h, 8).bitwiseAND(lit(281474976710655L))
-    val smear = Seq(1, 2, 4, 8, 16, 32).foldLeft(wv)((x, k) =>
-      x.bitwiseOR(shiftrightunsigned(x, k)))
-    docs.select(col("source"), sh)
-      .select(col("source"), h.bitwiseAND(lit(255L)).as("idx"),
-        (lit(49) - bit_count(smear)).as("rho"))
+    val d0 = docs.select(col("source"), sh)
+      .select(col("source"),
+        md5_lower64(concat(lit("hll:"), col("tok")).cast("binary")).as("h"))
+      .select(col("source"), col("h").bitwiseAND(lit(255L)).as("idx"),
+        shiftrightunsigned(col("h"), 8).bitwiseAND(lit(281474976710655L)).as("w"))
+    Seq(1, 2, 4, 8, 16, 32)
+      .foldLeft(d0)((df, k) =>
+        df.withColumn("w", col("w").bitwiseOR(shiftrightunsigned(col("w"), k))))
+      .select(col("source"), col("idx"), (lit(49) - bit_count(col("w"))).as("rho"))
   }
 
   /** q122's Kirsch-Mitzenmacher row indexes for one token: ONE md5 per
