@@ -1674,6 +1674,51 @@ object Pipeline {
         .orderBy(col("rnk"))
     },
 
+    "q124_quantile_sketch" -> { (s, dir) =>
+      // Quantile estimation from a fixed 256-bucket histogram — the
+      // mergeable single-pass sketch that replaces per-group sorts for
+      // percentiles at scale (the production stand-in for q18's exact
+      // path; same family as approx_percentile's t-digest but with a
+      // deterministic, oracle-replicable estimator). Plan: one global
+      // (min, max) scalar agg broadcast back as bucket bounds, one
+      // partially-aggregated (event_type, bucket) shuffle — at most 256
+      // cells per group whatever the event volume — then the p-th
+      // bucket via a cumulative window over those cells. Estimates are
+      // bucket LOWER EDGES (conservative; error <= bucket width); the
+      // exact interpolated percentile rides along as the audit. Bucket
+      // assignment is one identical FP expression in both engines, so
+      // edge rounding agrees bit-for-bit.
+      val e = Tables(s, dir).events.select(col("event_type"), col("value"))
+      val b = e.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      val hist = e.crossJoin(broadcast(b))
+        .withColumn("bucket", least(lit(255),
+          floor((col("value") - col("vmin")) / (col("vmax") - col("vmin")) * 256)
+            .cast("int")))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      val wn = Window.partitionBy(col("event_type"))
+      def bkt(p: Double, name: String): Column =
+        min(when(col("cum") >= ceil(lit(p) * col("n")), col("bucket"))).as(name)
+      val sel = hist
+        .withColumn("cum", sum(col("cnt")).over(wc))
+        .withColumn("n", sum(col("cnt")).over(wn))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), bkt(0.5, "b50"), bkt(0.9, "b90"), bkt(0.99, "b99"))
+      val exact = e.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("exact_p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("exact_p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("exact_p99"))
+      def est(bc: String, name: String): Column =
+        round(col("vmin") + col(bc) * (col("vmax") - col("vmin")) / 256, 6).as(name)
+      sel.join(exact, Seq("event_type")).crossJoin(broadcast(b))
+        .select(col("event_type"), col("n"),
+          est("b50", "est_p50"), col("exact_p50"),
+          est("b90", "est_p90"), col("exact_p90"),
+          est("b99", "est_p99"), col("exact_p99"))
+        .orderBy(col("event_type"))
+    },
+
     "q123_multimodal_frames" -> { (s, dir) =>
       // Frame sampling over opaque media payloads — the video/audio
       // plumbing q40 starts: treat the binary payload as fixed 64-byte
@@ -2661,6 +2706,37 @@ object Pipeline {
           SELECT ex.source, ex.n_tokens, ex.distinct_exact,
             round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 562949953421312.0 / s, 3) AS hll_est
           FROM ex JOIN sreg USING (source) ORDER BY source""",
+
+    // Histogram-quantile sketch rebuilt: identical bucket expression,
+    // cumulative window, lower-edge estimator; quantile_cont is the
+    // exact-audit pairing q18 already pins.
+    "q124_quantile_sketch" ->
+      """WITH b AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+          e AS (SELECT event_type, value FROM events),
+          bin AS (SELECT event_type,
+                  least(255, CAST(floor((value - vmin) / (vmax - vmin) * 256) AS INT)) AS bucket
+                  FROM e, b),
+          hist AS (SELECT event_type, bucket, count(*) AS cnt
+                   FROM bin GROUP BY event_type, bucket),
+          c AS (SELECT event_type, bucket, cnt,
+                sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+                sum(cnt) OVER (PARTITION BY event_type) AS n FROM hist),
+          sel AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                  min(CASE WHEN cum >= ceil(0.5 * n) THEN bucket END) AS b50,
+                  min(CASE WHEN cum >= ceil(0.9 * n) THEN bucket END) AS b90,
+                  min(CASE WHEN cum >= ceil(0.99 * n) THEN bucket END) AS b99
+                  FROM c GROUP BY event_type),
+          ex AS (SELECT event_type,
+                 round(quantile_cont(value, 0.5), 6) AS exact_p50,
+                 round(quantile_cont(value, 0.9), 6) AS exact_p90,
+                 round(quantile_cont(value, 0.99), 6) AS exact_p99
+                 FROM e GROUP BY event_type)
+          SELECT s2.event_type, s2.n,
+            round(vmin + b50 * (vmax - vmin) / 256, 6) AS est_p50, exact_p50,
+            round(vmin + b90 * (vmax - vmin) / 256, 6) AS est_p90, exact_p90,
+            round(vmin + b99 * (vmax - vmin) / 256, 6) AS est_p99, exact_p99
+          FROM sel s2 JOIN ex USING (event_type) CROSS JOIN b
+          ORDER BY event_type""",
 
     // Frame sampling rebuilt: same stride-128 offsets, then q40's
     // high-nibble hex histogram per frame. DuckDB v1.0 has no BLOB

@@ -881,6 +881,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("quantile sketch: estimates sit within one bucket width below the exact value") {
+    val rows = Pipeline.queries("q124_quantile_sketch")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val vals = Tables(spark, sf).events.agg(
+      min(col("value")), max(col("value"))).head()
+    val width = (vals.getDouble(1) - vals.getDouble(0)) / 256
+    // the sketch's RANK contract: the estimate is the lower edge of the
+    // bucket holding the ceil(p*n)-th discrete order statistic (value
+    // error then depends only on bucket width, not data distribution)
+    val byType = Tables(spark, sf).events.select(col("event_type"), col("value"))
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getDouble(1)).sorted }
+    rows.foreach { r =>
+      val sortedVals = byType(r.getString(0))
+      assert(r.getLong(1) == sortedVals.length)
+      for ((p, i) <- Seq(0.5 -> 2, 0.9 -> 4, 0.99 -> 6)) {
+        val est = r.getDouble(i)
+        val disc = sortedVals(math.ceil(p * sortedVals.length).toInt - 1)
+        assert(est <= disc + 1e-6 && disc <= est + width + 1e-6,
+          s"${r.getString(0)} p$p: stat $disc outside [$est, ${est + width}]")
+      }
+      // estimates and exact percentiles are monotone in p
+      assert(r.getDouble(2) <= r.getDouble(4) && r.getDouble(4) <= r.getDouble(6))
+      assert(r.getDouble(3) <= r.getDouble(5) && r.getDouble(5) <= r.getDouble(7))
+    }
+  }
+
   test("multimodal frames: stride sampling covers offsets, tails run short") {
     val session = spark
     import session.implicits._

@@ -21,7 +21,9 @@ class PlanAuditSpec extends AnyFunSuite {
   // scan, which is the point; q11's scalar subquery is a 1-row cross)
   private val nestedLoopAllowed = Set(
     "q11_scalar_subquery", "q36_ann_topk", "q37_embedding_neardup",
-    "q118_pq_ann")
+    "q118_pq_ann",
+    // q124 crosses against the broadcast ONE-ROW (vmin, vmax) scalar agg
+    "q124_quantile_sketch")
 
   test("no unplanned cartesian products or nested-loop joins") {
     val offenders = Seq.newBuilder[String]
