@@ -1674,6 +1674,30 @@ object Pipeline {
         .orderBy(col("rnk"))
     },
 
+    "q125_shard_manifest" -> { (s, dir) =>
+      // The export step: deterministic doc -> shard assignment (64
+      // shards by id hash — stable under re-runs and backfills, like
+      // q83's splits) plus the per-shard MANIFEST a downstream trainer
+      // checks before reading: doc count, token sum, and an
+      // order-independent content digest (sum of per-doc 31-bit
+      // hashes — exact integer, so partitioning and arrival order can
+      // never change it; a shard rewritten with different row order
+      // still matches). One partial-aggregated shuffle to 64 rows; the
+      // actual parquet write would hang off this same frame via
+      // partitionBy("shard_id") without changing the plan shape.
+      val h = md5_lower64(concat(lit("shard:"), col("doc_id").cast("string"))
+        .cast("binary"))
+      Tables(s, dir).documents
+        .select(col("doc_id"), h.bitwiseAND(lit(63L)).as("shard_id"),
+          size(toks(col("text"))).cast("long").as("n_tokens"),
+          md5_lower64(col("text").cast("binary"))
+            .bitwiseAND(lit(2147483647L)).as("dh"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          sum(col("dh")).as("content_sum"))
+        .orderBy(col("shard_id"))
+    },
+
     "q124_quantile_sketch" -> { (s, dir) =>
       // Quantile estimation from a fixed 256-bucket histogram — the
       // mergeable single-pass sketch that replaces per-group sorts for
@@ -2706,6 +2730,19 @@ object Pipeline {
           SELECT ex.source, ex.n_tokens, ex.distinct_exact,
             round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 562949953421312.0 / s, 3) AS hll_est
           FROM ex JOIN sreg USING (source) ORDER BY source""",
+
+    // Shard manifest rebuilt: same id-hash sharding, token sizes, and
+    // order-free 31-bit content digest sum.
+    "q125_shard_manifest" ->
+      s"""WITH d AS (SELECT doc_id,
+               CAST(md5_number_lower('shard:' || doc_id::VARCHAR) & 63 AS BIGINT) AS shard_id,
+               len($tokSql) AS n_tokens,
+               CAST(md5_number_lower(text) & 2147483647 AS BIGINT) AS dh
+             FROM documents)
+          SELECT shard_id, count(*) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+            CAST(sum(dh) AS BIGINT) AS content_sum
+          FROM d GROUP BY shard_id ORDER BY shard_id""",
 
     // Histogram-quantile sketch rebuilt: identical bucket expression,
     // cumulative window, lower-edge estimator; quantile_cont is the

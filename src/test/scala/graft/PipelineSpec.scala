@@ -881,6 +881,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("shard manifest: totals conserve the corpus and the digest is order-free") {
+    val rows = Pipeline.queries("q125_shard_manifest")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSet.subsetOf((0L until 64L).toSet))
+    val docs = Tables(spark, sf).documents
+    assert(rows.map(_._2).sum == docs.count(), "every doc lands in exactly one shard")
+    val totTok = docs.select(sum(size(tokens(col("text"))).cast("long"))).head().getLong(0)
+    assert(rows.map(_._3).sum == totTok, "token totals conserve")
+    // order independence: recomputing over a shuffled corpus gives the
+    // identical manifest (the digest is a commutative integer sum)
+    val dir = java.nio.file.Files.createTempDirectory("q125sm").toString
+    docs.orderBy(rand(42)).coalesce(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val again = Pipeline.queries("q125_shard_manifest")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("quantile sketch: estimates sit within one bucket width below the exact value") {
     val rows = Pipeline.queries("q124_quantile_sketch")(spark, sf).collect()
     assert(rows.nonEmpty)
