@@ -1674,6 +1674,49 @@ object Pipeline {
         .orderBy(col("rnk"))
     },
 
+    "q126_curation_v2" -> { (s, dir) =>
+      // The round-9 operators composed end-to-end in ONE fused plan —
+      // the successor to q97's curation DAG using the newer stages:
+      // q116's classifier gates the corpus (score >= 0), survivors go
+      // through q117's block-dedup REWRITE (16-token blocks, global
+      // keep-first among survivors), cleaned docs that still have
+      // tokens take q83's deterministic split, and the output is
+      // q125-style per-split manifest rows (docs, tokens, order-free
+      // content digest of the CLEANED text). No inter-stage
+      // materialization: Catalyst sees one tree — the gate reaches the
+      // scan as a filter under the block explode, and the whole DAG is
+      // three shuffles (block key, doc rollup, split agg). The oracle
+      // chains the same four stages as CTEs.
+      val t = toks(col("text"))
+      val gated = Tables(s, dir).documents
+        .select(col("doc_id"), col("text"), size(t).cast("long").as("n_tokens"),
+          aggregate(transform(t, tok =>
+            (md5_lower64(concat(lit("qc:"), tok).cast("binary"))
+              .bitwiseAND(lit(1023L)) * lit(2654435761L)) % lit(2048L) - lit(1024L)),
+            lit(0L), (a, x) => a + x).as("score_raw"))
+        .filter(col("score_raw") >= 0L)
+      val w = Window.partitionBy(col("blk")).orderBy(col("doc_id"), col("idx"))
+      val cleaned = docBlocks(gated)
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(array_join(transform(array_sort(collect_list(
+          when(col("rn") === 1, struct(col("idx"), col("blk"))))),
+          _.getField("blk")), " ").as("clean_text"))
+        .filter(length(col("clean_text")) > 0)
+      val bucket = md5_lower64(concat(lit("split:"),
+        col("doc_id").cast("string")).cast("binary")).bitwiseAND(lit(1023L))
+      cleaned
+        .select(col("doc_id"), col("clean_text"),
+          when(bucket < 819, "train").when(bucket < 922, "valid")
+            .otherwise("test").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks(col("clean_text"))).cast("long")).as("n_tokens"),
+          sum(md5_lower64(col("clean_text").cast("binary"))
+            .bitwiseAND(lit(2147483647L))).as("content_sum"))
+        .orderBy(col("split"))
+    },
+
     "q125_shard_manifest" -> { (s, dir) =>
       // The export step: deterministic doc -> shard assignment (64
       // shards by id hash — stable under re-runs and backfills, like
@@ -2730,6 +2773,36 @@ object Pipeline {
           SELECT ex.source, ex.n_tokens, ex.distinct_exact,
             round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 562949953421312.0 / s, 3) AS hll_est
           FROM ex JOIN sreg USING (source) ORDER BY source""",
+
+    // Curation v2 rebuilt: the same four stages chained as CTEs —
+    // classifier gate, block keep-first rewrite, split, manifest.
+    "q126_curation_v2" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+          g AS (SELECT doc_id, toks FROM t WHERE
+                coalesce(list_sum(list_transform(toks, tok ->
+                  CAST(md5_number_lower('qc:' || tok) & 1023 AS BIGINT)
+                    * 2654435761 % 2048 - 1024)), 0) >= 0),
+          b0 AS (SELECT doc_id, toks,
+                  unnest(range(0, CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS idx
+                 FROM g WHERE len(toks) > 0),
+          b AS (SELECT doc_id, idx,
+                  array_to_string(list_slice(toks,
+                    CAST(idx AS INT) * 16 + 1, CAST(idx AS INT) * 16 + 16), ' ') AS blk
+                FROM b0),
+          k AS (SELECT doc_id, idx, blk,
+                row_number() OVER (PARTITION BY blk ORDER BY doc_id, idx) AS rn FROM b),
+          cl AS (SELECT doc_id,
+                 coalesce(string_agg(CASE WHEN rn = 1 THEN blk END, ' ' ORDER BY idx), '') AS clean_text
+                 FROM k GROUP BY doc_id),
+          sp AS (SELECT doc_id, clean_text,
+                 CASE WHEN CAST(md5_number_lower('split:' || doc_id) & 1023 AS BIGINT) < 819 THEN 'train'
+                      WHEN CAST(md5_number_lower('split:' || doc_id) & 1023 AS BIGINT) < 922 THEN 'valid'
+                      ELSE 'test' END AS split
+                 FROM cl WHERE length(clean_text) > 0)
+          SELECT split, count(*) AS n_docs,
+            CAST(sum(len(string_split_regex(trim(clean_text), '\\s+'))) AS BIGINT) AS n_tokens,
+            CAST(sum(CAST(md5_number_lower(clean_text) & 2147483647 AS BIGINT)) AS BIGINT) AS content_sum
+          FROM sp GROUP BY split ORDER BY split""",
 
     // Shard manifest rebuilt: same id-hash sharding, token sizes, and
     // order-free 31-bit content digest sum.

@@ -881,6 +881,43 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("curation v2: the fused DAG agrees with its standalone stages") {
+    val rows = Pipeline.queries("q126_curation_v2")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet.subsetOf(Set("train", "valid", "test")) && rows.nonEmpty)
+    // recompose from the standalone operators: q116's accepted docs,
+    // q117 semantics re-run on that subset, q83's split thresholds
+    val accepted = Pipeline.queries("q116_quality_classifier")(spark, sf)
+      .filter(col("accept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val gatedDocs = Tables(spark, sf).documents
+      .filter(col("doc_id").isInCollection(accepted))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk")).orderBy(col("doc_id"), col("idx"))
+    val expect = Pipeline.docBlocks(gatedDocs)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(array_sort(collect_list(
+        when(col("rn") === 1, struct(col("idx"), col("blk"))))),
+        _.getField("blk")), " ").as("clean"))
+      .filter(length(col("clean")) > 0)
+      .select(col("doc_id"),
+        size(tokens(col("clean"))).cast("long").as("n_tok"),
+        (md5_lower64(concat(lit("split:"), col("doc_id").cast("string"))
+          .cast("binary")).bitwiseAND(lit(1023L))).as("bucket"))
+      .collect().map { r =>
+        val split = if (r.getLong(2) < 819) "train"
+          else if (r.getLong(2) < 922) "valid" else "test"
+        (split, r.getLong(1))
+      }
+    val bySplit = expect.groupBy(_._1)
+      .map { case (sp, xs) => sp -> ((xs.length.toLong, xs.map(_._2).sum)) }
+    assert(rows == bySplit, s"$rows vs $bySplit")
+    // the gate dropped something and the rewrite dropped blocks, or the
+    // fixture would make this test vacuous
+    assert(accepted.size < Tables(spark, sf).documents.count())
+  }
+
   test("shard manifest: totals conserve the corpus and the digest is order-free") {
     val rows = Pipeline.queries("q125_shard_manifest")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
