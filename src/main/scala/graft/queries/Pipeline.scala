@@ -138,6 +138,19 @@ object Pipeline {
           .bitwiseAND(lit(1023L)).as("idx"))): _*)).as("c"))
       .select(col("c.d").as("d"), col("c.idx").as("idx"))
 
+  /** q124's bucket projection with FIXED bounds (production pins
+    * histogram bounds up front — from config or a prior snapshot — so
+    * sketches stay mergeable across days): one (event_type, bucket) row
+    * per event. The cell build is then an ordinary count aggregate; in
+    * streaming, the same count in complete mode is the continuously-
+    * maintained quantile sketch (EventStreamsSpec pins the parity),
+    * completing the set — Bloom (q105), HLL (q121), CMS (q122) and the
+    * histogram all stream through their partial-agg form. */
+  def quantileBins(events: DataFrame, vmin: Double, vmax: Double): DataFrame =
+    events.select(col("event_type"),
+      least(lit(255), floor((col("value") - lit(vmin)) / (lit(vmax) - lit(vmin)) * 256)
+        .cast("int")).as("bucket"))
+
   /** q92's gate as a reusable projection over any frame with (doc_id,
     * text) — pure per-row Columns, so the SAME code runs over a batch
     * scan and a readStream (EventStreamsSpec pins the parity). Callers

@@ -480,6 +480,27 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming histogram cells equal the batch quantile sketch (count agg IS the union)") {
+    // bounds pinned up front from the static corpus, as production does
+    val b = spark.read.parquet(eventsDir).agg(min(col("value")), max(col("value"))).head()
+    val (vmin, vmax) = (b.getDouble(0), b.getDouble(1))
+    val stream = graft.queries.Pipeline.quantileBins(
+        spark.readStream.schema(eventsSchema).parquet(eventsDir), vmin, vmax)
+      .groupBy(col("event_type"), col("bucket")).count()
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("qh_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_type, bucket, count FROM qh_out")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      val batch = graft.queries.Pipeline.quantileBins(
+          spark.read.parquet(eventsDir), vmin, vmax)
+        .groupBy(col("event_type"), col("bucket")).count()
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      assert(batch.nonEmpty && got == batch)
+    } finally q.stop()
+  }
+
   test("streaming sequence packing assigns exactly the batch q88 bins") {
     import graft.functions.tokens
     val docsSchema = spark.read.parquet(docsDir).schema
