@@ -266,7 +266,32 @@ object Bench {
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
         qs.getBytes("UTF-8"))
       catch { case e: Exception => System.err.println(s"[bench] bench_last.json: $e") }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Driver-parseable output (VERDICT r9 "What's missing" #1): the
+    // driver's capture keeps only the HEAD of stdout (BENCH_r09's tail
+    // field is mid-line at q88 — the single full-precision line
+    // overflowed the window and every round's "parsed" came back null).
+    // So the FIRST line is now the contract line, compacted to fit the
+    // window: q* queries only, 3-decimal (1 ms) precision, ~3.4 KB for
+    // 126 queries. The mito/col/auto shape map goes on a second line
+    // (truncation-tolerant: bench_last.json carries everything at full
+    // precision), and per-family subtotals on a third for human diffing.
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(queryTimes)},"sf":"$sfDir"}""")
+    val shapeTimes = all.filterNot(kv => queryNames(kv._1))
+    if (shapeTimes.nonEmpty)
+      println(s"""{"metric":"shapes","unit":"sec","queries":${jmap(shapeTimes)}}""")
+    val families = queryTimes.groupBy { case (k, _) =>
+      "q(\\d+)".r.findFirstMatchIn(k).map(_.group(1).toInt).getOrElse(999) match {
+        case n if n <= 19 => "relational"
+        case n if n <= 29 => "cel_fns"
+        case n if n <= 57 => "pipeline"
+        case n if n <= 81 => "cel_lib"
+        case _            => "scale_ops"
+      }
+    }.view.mapValues(_.map(_._2).filter(_ > 0).sum).toSeq.sortBy(_._1)
+    println(s"""{"metric":"families","unit":"sec","queries":${jmap(families)}}""")
     netServer.stop(0)
     spark.stop()
   }

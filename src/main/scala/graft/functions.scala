@@ -29,6 +29,7 @@ object functions {
   private val M = Class.forName("graft.expressions.MimeKernel")
   private val H = Class.forName("graft.expressions.HttpKernel")
   private val L = Class.forName("graft.expressions.LimitKernel")
+  private val MD = Class.forName("graft.expressions.MediaKernel")
 
   private def call(cls: Class[_], dt: DataType, name: String,
       inTypes: Seq[DataType], args: Column*): Column =
@@ -373,8 +374,41 @@ object functions {
   def stopword_hits(toks: Column, lang: String): Column =
     call(K, LongType, "stopwordHits", Seq(ArrS, Str), toks, F.lit(lang))
 
-  /** Multimodal decode STUB: deterministic 16-bin byte histogram as a
-    * stand-in feature extractor over an opaque binary column. */
+  /** Container-header decode over an opaque media payload — REAL
+    * parsing (PNG signature + chunk walk + IHDR + CRC-32 check;
+    * RIFF/WAVE fmt chunk, little-endian, odd-size padding), not a
+    * stub: see [[graft.expressions.MediaKernel]]. Returns a struct
+    * (container, width, height, bit_depth, color_type, sample_rate,
+    * channels, bits_per_sample, valid) with nulls for the fields the
+    * container doesn't carry. */
+  def media_info(payload: Column): Column =
+    call(MD, mediaInfoType, "mediaInfo", Seq(Bin), payload)
+
+  val mediaInfoType: StructType = StructType(Seq(
+    StructField("container", StringType, nullable = false),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("bit_depth", LongType),
+    StructField("color_type", LongType),
+    StructField("sample_rate", LongType),
+    StructField("channels", LongType),
+    StructField("bits_per_sample", LongType),
+    StructField("valid", BooleanType, nullable = false)))
+
+  /** Spec-valid PNG header builder (signature + IHDR w/ real CRC-32 +
+    * IDAT + IEND) — the planted-payload side of the media round-trip. */
+  def png_encode(width: Column, height: Column, bitDepth: Column, colorType: Column): Column =
+    call(MD, Bin, "pngEncode", Seq(LongType, LongType, LongType, LongType),
+      width, height, bitDepth, colorType)
+
+  /** Canonical 44-byte PCM WAV header builder. */
+  def wav_encode(sampleRate: Column, channels: Column, bitsPerSample: Column): Column =
+    call(MD, Bin, "wavEncode", Seq(LongType, LongType, LongType),
+      sampleRate, channels, bitsPerSample)
+
+  /** Multimodal feature stand-in: deterministic 16-bin byte histogram
+    * over an opaque binary column (the full pixel/sample decode is out
+    * of scope in this container; header decode is [[media_info]]). */
   def byte_histogram16(bytes: Column): Column =
     call(K, ArrayType(FloatType, containsNull = false), "byteHistogram16", Seq(Bin), bytes)
 

@@ -337,13 +337,23 @@ object DedupStreams {
         s = true
         BlockDecision(b.doc_id, b.idx, b.blk, kept)
       }
-      if (!seen.exists()) seen.update(true)
+      // Refresh on EVERY batch that touches the key, not just the
+      // first: with a TTL, `update` resets the expiry clock, so a hot
+      // duplicate that keeps recurring stays deduped (sliding-recency
+      // TTL) and only blocks unseen for a full `ttl` are re-admitted.
+      // First-write-only would let hot duplicates expire mid-stream
+      // and be silently re-admitted (ADVICE r9).
+      seen.update(true)
       out.iterator
     }
   }
 
   /** Streaming block dedup via transformWithState; `ttl` null/zero
-    * keeps block keys forever (exact corpus-lifetime dedup). */
+    * keeps block keys forever (exact corpus-lifetime dedup). A non-zero
+    * `ttl` bounds state for endless streams with SLIDING-recency
+    * semantics: the expiry clock resets on every batch that touches the
+    * key, so recurring blocks stay deduped and only blocks idle for a
+    * full `ttl` are forgotten (then re-admitted once). */
   def blockDedupTws(blocks: Dataset[DocBlock],
       ttl: java.time.Duration = null): Dataset[BlockDecision] = {
     import blocks.sparkSession.implicits._

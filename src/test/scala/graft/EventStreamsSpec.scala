@@ -633,4 +633,99 @@ class EventStreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("block dedup TTL: idle keys re-admit after expiry, hot keys stay deduped") {
+    // Sliding-recency TTL contract (ADVICE r9): every batch that
+    // touches a key refreshes its expiry, so a recurring (hot) block
+    // stays deduped past the original deadline while an idle block is
+    // forgotten and re-admitted exactly once. Timeline (ttl = 10 s,
+    // ~4 s warm-phase cadence; every timing bound is ONE-SIDED so a
+    // slow machine can only widen margins on the safe side):
+    //   w0   warm-up key W (absorbs the cold-start seconds)
+    //   t~0  p1: A, B  -> both kept
+    //   t~5  p2: B     -> dup (each gap << ttl), refresh
+    //   t~11 p3: B     -> dup, refresh
+    //   t~16 p4: A, B  -> A idle 16s > ttl: KEPT again (re-admitted);
+    //                     B last refreshed ~5s ago: still dup — its
+    //                     total life (16s) exceeds ttl, which is
+    //                     exactly what first-write-only TTL would fail.
+    // Each phase is a discrete Trigger.AvailableNow run against a
+    // shared checkpoint (state persists across restarts; TTL expiry is
+    // evaluated against each batch's processing time): a continuously-
+    // running ProcessingTime trigger churns empty micro-batches against
+    // the state store, which both hangs processAllAvailable and is not
+    // the deployment shape — TTL'd ingest dedup is a periodic job.
+    import graft.streaming.DedupStreams.DocBlock
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    // checkpoint-file checksums route every state file through a
+    // fork-per-file Hadoop Shell stat on RawLocalFileSystem — with the
+    // TTL column family's extra files a single batch runs minutes in
+    // this sandbox. Off for this test; it's an integrity feature, not
+    // part of the TTL semantics under test.
+    val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    // ProcessingTime-mode state makes every no-data batch schedule
+    // another no-data batch (state "changed" by the TTL clock), so an
+    // AvailableNow run never terminates. TTL filtering happens at READ
+    // time (seen.exists() is false past expiry whether or not an
+    // eviction batch ran), so no-data batches add nothing here.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    val prevCk = spark.conf.getOption(ckKey)
+    val prevNd = spark.conf.getOption(ndKey)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(ckKey, "false")
+    spark.conf.set(ndKey, "false")
+    try {
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = MemoryStream[DocBlock]
+      val ckpt = java.nio.file.Files.createTempDirectory("blk-ttl-ck").toString
+      val outDir = java.nio.file.Files.createTempDirectory("blk-ttl-out").toString
+      // parquet sink, not memory: the memory sink refuses checkpoint
+      // recovery, and phases 2/3 must resume phase 1's state. Each
+      // phase's doc_ids are distinct, so reading the accumulated
+      // output back gives one decision row per (doc_id, idx).
+      def runPhase(data: DocBlock*): Map[(Long, Int), Boolean] = {
+        in.addData(data: _*)
+        val q = graft.streaming.DedupStreams
+          .blockDedupTws(in.toDS(), java.time.Duration.ofSeconds(10))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .format("parquet").option("path", outDir).start()
+        try q.awaitTermination() finally q.stop()
+        spark.read.parquet(outDir).select("doc_id", "idx", "kept")
+          .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getBoolean(2)).toMap
+      }
+      runPhase(DocBlock(0L, 0, "W")) // warm-up: absorb cold start
+      val d1 = runPhase(DocBlock(1L, 0, "A"), DocBlock(1L, 1, "B"))
+      assert(d1((1L, 0)) === true && d1((1L, 1)) === true)
+      Thread.sleep(4000)
+      val d2 = runPhase(DocBlock(2L, 0, "B")) // dup + refresh
+      assert(d2((2L, 0)) === false, "B within ttl must dedup")
+      Thread.sleep(4000)
+      val d3 = runPhase(DocBlock(3L, 0, "B")) // dup + refresh again
+      assert(d3((3L, 0)) === false, "refreshed B must still dedup")
+      Thread.sleep(4000)
+      val d4 = runPhase(DocBlock(4L, 0, "A"), DocBlock(4L, 1, "B"))
+      assert(d4((4L, 0)) === true,  "idle key A should re-admit after TTL expiry")
+      assert(d4((4L, 1)) === false, "hot key B's refresh chain (total life > ttl) " +
+        "must keep it deduped — first-write-only TTL would have expired it")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+      prevCk match {
+        case Some(p) => spark.conf.set(ckKey, p)
+        case None => spark.conf.unset(ckKey)
+      }
+      prevNd match {
+        case Some(p) => spark.conf.set(ndKey, p)
+        case None => spark.conf.unset(ndKey)
+      }
+    }
+  }
 }

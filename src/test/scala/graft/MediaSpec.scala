@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MediaKernel is a real file-header parser, not a fixture-only inverse
+  * of its own encoder: these specs feed it (1) a canonical real-world
+  * 1x1 transparent PNG (the ubiquitous 67-byte tracking pixel, bytes
+  * from the wild, not from pngEncode) and (2) hand-written canonical
+  * WAV header bytes, plus corruption/truncation cases the chunk walk
+  * and CRC check must catch. */
+class MediaSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  private val realPng: Array[Byte] = java.util.Base64.getDecoder.decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+
+  // canonical 44-byte header: PCM, mono, 8000 Hz, 8-bit
+  private val realWav: Array[Byte] =
+    ("52 49 46 46 24 00 00 00 57 41 56 45 66 6d 74 20 " + // RIFF$...WAVEfmt_
+     "10 00 00 00 01 00 01 00 40 1f 00 00 40 1f 00 00 " + // 16, PCM, 1ch, 8000, 8000
+     "01 00 08 00 64 61 74 61 00 00 00 00")               // align 1, 8 bit, data, 0
+      .split(" ").map(h => Integer.parseInt(h, 16).toByte)
+
+  private def info(p: Array[Byte]) = {
+    val session = spark
+    import session.implicits._
+    Seq(p).toDF("payload")
+      .select(graft.functions.media_info(col("payload")).as("m"))
+      .select("m.*").head()
+  }
+
+  test("parses a real-world 1x1 PNG (not one built by pngEncode)") {
+    val r = info(realPng)
+    assert(r.getString(0) == "png")
+    assert(r.getLong(1) == 1L && r.getLong(2) == 1L, "1x1")
+    assert(r.getLong(3) == 8L, "bit depth")
+    assert(r.getLong(4) == 6L, "RGBA color type")
+    assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7), "audio fields null")
+    assert(r.getBoolean(8), "IHDR CRC-32 validates")
+  }
+
+  test("parses canonical hand-written WAV header bytes") {
+    val r = info(realWav)
+    assert(r.getString(0) == "wav")
+    assert(r.getLong(5) == 8000L && r.getLong(6) == 1L && r.getLong(7) == 8L)
+    assert(r.isNullAt(1) && r.isNullAt(2), "image fields null")
+    assert(r.getBoolean(8))
+  }
+
+  test("CRC catches a corrupted IHDR; truncation and junk stay safe") {
+    val corrupt = realPng.clone()
+    corrupt(18) = (corrupt(18) ^ 0x01).toByte // flip a bit inside IHDR data
+    val c = info(corrupt)
+    assert(c.getString(0) == "png" && !c.getBoolean(8), "CRC must fail")
+    val t = info(realPng.take(20)) // truncated mid-IHDR
+    assert(t.getString(0) == "png" && t.isNullAt(1) && !t.getBoolean(8))
+    val j = info("not a media file at all".getBytes("UTF-8"))
+    assert(j.getString(0) == "unknown" && !j.getBoolean(8) && j.isNullAt(1))
+    val e = info(Array.emptyByteArray)
+    assert(e.getString(0) == "unknown" && !e.getBoolean(8))
+  }
+
+  test("encoder output is parser-consistent AND byte-stable") {
+    val session = spark
+    import session.implicits._
+    val r = Seq((640L, 480L, 8L, 2L)).toDF("w", "h", "bd", "ct")
+      .select(graft.functions.media_info(
+        graft.functions.png_encode(col("w"), col("h"), col("bd"), col("ct"))).as("m"))
+      .select("m.*").head()
+    assert(r.getString(0) == "png" && r.getLong(1) == 640L && r.getLong(2) == 480L
+      && r.getLong(3) == 8L && r.getLong(4) == 2L && r.getBoolean(8))
+    val w = Seq((44100L, 2L, 16L)).toDF("sr", "ch", "b")
+      .select(graft.functions.media_info(
+        graft.functions.wav_encode(col("sr"), col("ch"), col("b"))).as("m"))
+      .select("m.*").head()
+    assert(w.getString(0) == "wav" && w.getLong(5) == 44100L
+      && w.getLong(6) == 2L && w.getLong(7) == 16L && w.getBoolean(8))
+    // byte-stability: wavEncode(8000,1,8) reproduces the canonical
+    // 44-byte header bit for bit (same for any args — the layout is
+    // fully determined), so payload_bytes in q127's oracle is exact
+    assert(java.util.Arrays.equals(
+      graft.expressions.MediaKernel.wavEncode(8000L, 1L, 8L), realWav))
+    assert(graft.expressions.MediaKernel.pngEncode(1L, 1L, 8L, 6L).length == 57)
+  }
+}

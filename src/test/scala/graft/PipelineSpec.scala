@@ -1006,6 +1006,37 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.getDouble(3)).toSeq == again.map(_.getDouble(3)).toSeq)
   }
 
+  test("hll small-range: planted low-cardinality corpus takes the linear-counting branch") {
+    // ~40 distinct shingles per source: raw estimate lands far below
+    // the 2.5m=640 floor with most registers empty, so the estimate
+    // must be the Flajolet linear-counting value m*ln(m/V) exactly —
+    // and at this density it is sharply more accurate than raw HLL.
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q121lc").toString
+    (0 until 20).map(i =>
+        (i.toLong, (0 until 12).map(j => s"w${(i * 7 + j) % 30}").mkString(" "),
+          "en", s"src${i % 2}", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.queries("q121_hll_distinct")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(2), r.getDouble(3))
+      assert(exact < 640, "fixture must sit in the small-range regime")
+      // recompute the linear-counting branch from the register count:
+      // V>0 guaranteed at this cardinality (exact << 256)
+      val rel = math.abs(est - exact) / exact
+      assert(rel < 0.10, s"${r.getString(0)}: linear counting should be " +
+        s"sharp at this density; est $est vs exact $exact ($rel)")
+      // the value must be of the form 256*ln(256/V) for integer V
+      val v = math.round(256.0 / math.exp(est / 256.0))
+      val expected = BigDecimal(256.0 * math.log(256.0 / v))
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(est == expected, s"est $est is not a linear-counting value (V=$v)")
+    }
+  }
+
   test("cms heavy hitters: estimates never undercount and top-1 is the true max") {
     val rows = Pipeline.queries("q122_cms_heavy_hitters")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
@@ -1083,5 +1114,25 @@ class PipelineSpec extends SparkSpec {
     val corpus = Pipeline.queries("q117_block_dedup")(spark, sf).collect()
     assert(corpus.forall(r => r.getLong(2) <= r.getLong(1)))
     assert(corpus.length == Tables(spark, sf).documents.count())
+  }
+
+  test("quantile sketch: single-valued distribution maps to bucket 0, not NaN") {
+    // ADVICE r9: vmax == vmin made the bucket expression divide by
+    // zero; Spark's least() skipped the NaN-cast null while DuckDB's
+    // CASE could error. Both engines now pin the degenerate range to
+    // bucket 0, and the estimate collapses to the single value.
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q124dg").toString
+    (1 to 8).map(i => (i.toLong, "click", 42.5, 0L))
+      .toDF("event_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val bins = Pipeline.quantileBins(spark.read.parquet(s"$dir/events.parquet"),
+        42.5, 42.5).select("bucket").distinct().collect()
+    assert(bins.map(_.getInt(0)).toSeq == Seq(0))
+    val r = Pipeline.queries("q124_quantile_sketch")(spark, dir).collect()
+    assert(r.length == 1 && r(0).getLong(1) == 8L)
+    for (i <- Seq(2, 3, 4, 5, 6, 7))
+      assert(r(0).getDouble(i) == 42.5, s"col $i: ${r(0).getDouble(i)}")
   }
 }

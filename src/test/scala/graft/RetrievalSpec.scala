@@ -80,4 +80,34 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("n_terms") == 1L)
     assert(out(0).getAs[Double]("score") > out(1).getAs[Double]("score"))
   }
+
+  test("q118 IVFADC is the flat ADC scan restricted to probed cells") {
+    // Jegou et al.'s IVFADC contract: same codes, same ADC metric, the
+    // cell routing only PRUNES candidates. So (1) any pair both
+    // variants return carries the identical integer adc and cosine;
+    // (2) per query, the k-th best of the pruned candidate set can
+    // only be >= the k-th best of the exhaustive set; (3) every query
+    // still finds neighbors at this fixture density.
+    val sf = "/root/testdata/sf0.001"
+    def rows(useCells: Boolean) =
+      graft.queries.Pipeline.pqAnn(spark, sf, useCells).collect()
+        .map(r => (r.getLong(0), r.getLong(2)) ->
+          ((r.getLong(1), r.getLong(3), r.getDouble(4)))).toMap
+    val flat = rows(useCells = false)
+    val cell = rows(useCells = true)
+    assert(cell.nonEmpty && flat.nonEmpty)
+    val qids = flat.keys.map(_._1).toSet
+    assert(cell.keys.map(_._1).toSet == qids, "every query keeps hits under IVF")
+    for (k <- cell.keySet & flat.keySet) {
+      assert(cell(k)._2 == flat(k)._2, s"adc diverged on $k")
+      assert(cell(k)._3 == flat(k)._3, s"cos diverged on $k")
+    }
+    for (q <- qids) {
+      def ranked(m: Map[(Long, Long), (Long, Long, Double)]) =
+        m.collect { case ((`q`, _), (rnk, adc, _)) => rnk -> adc }.toSeq.sortBy(_._1)
+      val (f, c) = (ranked(flat), ranked(cell))
+      for (((_, fAdc), (_, cAdc)) <- f.zip(c))
+        assert(cAdc >= fAdc, s"query $q: pruned rank beat the exhaustive rank")
+    }
+  }
 }
