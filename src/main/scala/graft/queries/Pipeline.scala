@@ -113,6 +113,38 @@ object Pipeline {
     t.documents.select(col("doc_id"),
       shingles(toks(col("text")), 3).as("sh"))
 
+  /** q129's 64-permutation MinHash signature over any (source, text)
+    * frame: one (source, p, mn) row per source and permutation.
+    * Permutation p is the universal-hash family (a_p*h + b_p) mod
+    * (2^31-1): ONE md5 per shingle for h, the 64 (a, b) constant pairs
+    * derived plan-side (md5 of "mha:<p>"/"mhb:<p>", a forced nonzero
+    * mod the Mersenne prime) — q122's one-md5 lesson WITHOUT its
+    * additive h1+p*h2 form, which is not a permutation family: without
+    * a modulus the p*h2 term dominates for large p, every component's
+    * argmin collapses onto the smallest-h2 shingle, and unrelated
+    * sources match on ~60/64 components (measured before this form).
+    * 31-bit range keeps a_p*h inside a long in BOTH engines; shingle
+    * collisions at 2^31 are ~1e-5-probable per pair and only perturb a
+    * min, far under the sketch's own 1/16 std error. Mergeable by
+    * element-wise min — the partial agg is the sketch union, so the
+    * same expression streams in complete mode and unions across corpus
+    * shards (PipelineSpec pins shard-merge == whole-corpus). */
+  private[graft] def minhashSig(docs: DataFrame): DataFrame = {
+    val P = 2147483647L
+    val as = (0 until 64).map(p =>
+      (graft.expressions.SketchKernel.md5Lower64(s"mha:$p".getBytes("UTF-8")) & P) % (P - 1) + 1)
+    val bs = (0 until 64).map(p =>
+      graft.expressions.SketchKernel.md5Lower64(s"mhb:$p".getBytes("UTF-8")) & P)
+    docs
+      .select(col("source"), explode(shingles(toks(col("text")), 3)).as("g"))
+      .withColumn("h", md5_lower64(concat(lit("mh:"), col("g")).cast("binary"))
+        .bitwiseAND(lit(P)))
+      .select(col("source"), posexplode(transform(sequence(lit(0), lit(63)),
+        p => (element_at(typedlit(as), p + 1) * col("h") +
+          element_at(typedlit(bs), p + 1)) % lit(P))).as(Seq("p", "v")))
+      .groupBy(col("source"), col("p")).agg(min(col("v")).as("mn"))
+  }
+
   /** q121's HLL register projection over any frame with (source, text):
     * one (source, idx, rho) row per shingle occurrence. Pure per-row
     * Columns — the register BUILD is then an ordinary
@@ -1765,6 +1797,82 @@ object Pipeline {
         .orderBy(col("rnk"))
     },
 
+    "q128_stratified_sample" -> { (s, dir) =>
+      // EXACT-k per-stratum corpus sample (eval-set construction, the
+      // complement of q91's Bernoulli mixture sampling): exactly
+      // min(k, |stratum|) docs per source, chosen by deterministic
+      // hash PRIORITY (lowest md5 of "samp:<id>" wins), so re-runs,
+      // backfills, and corpus growth keep already-chosen docs chosen
+      // unless a strictly lower-priority doc arrives — the standard
+      // bottom-k-by-hash sample, which is also a mergeable sketch
+      // (union = re-take bottom k). Plan shape for 100 TB: one
+      // bounded-state partial aggregate (MinKAgg, k longs per stratum,
+      // map-side combine) computes each stratum's k-th-lowest cutoff;
+      // the tiny cutoff table broadcasts back; membership is a pure
+      // map-only filter. The corpus never shuffles and no per-stratum
+      // sort ever materializes (vs the naive row_number window, which
+      // sorts every stratum's full data). The final rank window runs
+      // over <= k * |strata| rows.
+      val k = 8
+      val prio = md5_lower64(concat(lit("samp:"),
+        col("doc_id").cast("string")).cast("binary"))
+        .bitwiseAND(lit(Long.MaxValue))
+      val scored = Tables(s, dir).documents
+        .select(col("source"), col("doc_id"), prio.as("prio"))
+      val cutoffs = scored.groupBy(col("source"))
+        .agg(min_k(col("prio"), k).as("mins"))
+        .select(col("source"),
+          element_at(col("mins"), size(col("mins"))).as("cutoff"))
+      val w = Window.partitionBy(col("source")).orderBy(col("prio"), col("doc_id"))
+      scored.join(broadcast(cutoffs), Seq("source"))
+        .filter(col("prio") <= col("cutoff"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("source"), col("rk"), col("doc_id"), col("prio"))
+        .orderBy(col("source"), col("rk"))
+    },
+
+    "q129_source_minhash" -> { (s, dir) =>
+      // Source-pair similarity MATRIX via 64-permutation MinHash
+      // (Broder's resemblance sketch) — the sketch analogue of q102's
+      // exact duplicate matrix: per source the state is 64 longs,
+      // mergeable by element-wise min (the partial agg IS the sketch
+      // union, so it streams and federates like q121's registers).
+      // Permutations are the universal-hash family (a_p*h + b_p) mod
+      // (2^31-1) over ONE md5 per shingle with plan-side constants —
+      // see [[minhashSig]] for why the cheaper additive double-hash
+      // form is NOT usable here. Estimate = matching components / 64;
+      // the exact
+      // per-pair Jaccard rides along as the audit (feasible at sf; at
+      // 100 TB only the 64-long signatures meet, never shingle sets).
+      // Plan: shingle-occurrence explode -> (source, p) min partial
+      // agg (map-side combined to 64 rows/source/partition) -> 20x64
+      // signature table -> tiny pairwise join. Min is duplicate-blind,
+      // so no distinct pass is needed on the sketch side.
+      val sig = minhashSig(Tables(s, dir).documents)
+      val matches = sig.as("a").join(sig.as("b"),
+          col("a.p") === col("b.p") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(sum(when(col("a.mn") === col("b.mn"), 1L).otherwise(0L)).as("matches"))
+      // exact audit over distinct (source, shingle) sets
+      val sets = Tables(s, dir).documents
+        .select(col("source"), explode(shingles(toks(col("text")), 3)).as("g"))
+        .distinct()
+      val sizes = sets.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = sets.as("x").join(sets.as("y"),
+          col("x.g") === col("y.g") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+        .agg(count(lit(1)).as("inter"))
+      matches
+        .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
+        .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")
+        .join(inter, Seq("source_a", "source_b"), "left")
+        .select(col("source_a"), col("source_b"), col("matches"),
+          round(col("matches").cast("double") / 64.0, 6).as("est_jaccard"),
+          round(coalesce(col("inter"), lit(0L)).cast("double") /
+            (col("na") + col("nb") - coalesce(col("inter"), lit(0L))), 6).as("exact_jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
     "q127_media_decode" -> { (s, dir) =>
       // REAL container decode over planted media payloads — closes the
       // round-9 "decode step stubbed" caveat. Each doc carries a
@@ -2929,6 +3037,57 @@ object Pipeline {
           FROM ex JOIN sreg USING (source) ORDER BY source""",
 
     // Curation v2 rebuilt: the same four stages chained as CTEs —
+    // Bottom-k-by-hash stratified sample rebuilt as the rank form the
+    // engine deliberately avoids at scale: row_number over priority.
+    "q128_stratified_sample" ->
+      """WITH p AS (SELECT source, doc_id,
+             CAST(md5_number_lower('samp:' || doc_id::VARCHAR)
+               & 9223372036854775807 AS BIGINT) AS prio
+           FROM documents),
+         r AS (SELECT source, doc_id, prio,
+               row_number() OVER (PARTITION BY source ORDER BY prio, doc_id) AS rk
+               FROM p)
+         SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, prio
+         FROM r WHERE rk <= 8 ORDER BY source, rk""",
+
+    // 64-permutation MinHash with the identical universal-hash grid
+    // ((a_p*h + b_p) mod 2^31-1, constants from md5 of "mha:"/"mhb:"),
+    // plus the exact distinct-shingle Jaccard per source pair.
+    "q129_source_minhash" ->
+      s"""WITH t AS (SELECT source, unnest(sh) AS g FROM
+                  (SELECT source, $shSql AS sh
+                   FROM (SELECT source, $tokSql AS lst FROM documents)
+                   WHERE len(lst) >= 3)),
+          hs AS (SELECT source,
+                 CAST(md5_number_lower('mh:' || g) & 2147483647 AS BIGINT) AS h
+                 FROM t),
+          pc AS (SELECT p,
+                 CAST((md5_number_lower('mha:' || p::VARCHAR) & 2147483647)
+                   % 2147483646 + 1 AS BIGINT) AS a,
+                 CAST(md5_number_lower('mhb:' || p::VARCHAR) & 2147483647 AS BIGINT) AS b
+                 FROM range(0, 64) r(p)),
+          grid AS (SELECT source, p, (a * h + b) % 2147483647 AS v FROM hs, pc),
+          sig AS (SELECT source, p, min(v) AS mn FROM grid GROUP BY source, p),
+          m AS (SELECT a.source AS source_a, b.source AS source_b,
+                CAST(sum(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END) AS BIGINT) AS matches
+                FROM sig a JOIN sig b ON a.p = b.p AND a.source < b.source
+                GROUP BY 1, 2),
+          sets AS (SELECT DISTINCT source, g FROM t),
+          sz AS (SELECT source, count(*) AS n FROM sets GROUP BY source),
+          iv AS (SELECT x.source AS source_a, y.source AS source_b,
+                 count(*) AS inter
+                 FROM sets x JOIN sets y ON x.g = y.g AND x.source < y.source
+                 GROUP BY 1, 2)
+          SELECT m.source_a, m.source_b, m.matches,
+            round(m.matches / 64.0, 6) AS est_jaccard,
+            round(coalesce(iv.inter, 0) * 1.0 /
+              (sa.n + sb.n - coalesce(iv.inter, 0)), 6) AS exact_jaccard
+          FROM m
+          JOIN sz sa ON sa.source = m.source_a
+          JOIN sz sb ON sb.source = m.source_b
+          LEFT JOIN iv ON iv.source_a = m.source_a AND iv.source_b = m.source_b
+          ORDER BY m.source_a, m.source_b""",
+
     // Expected media-header fields recomputed ARITHMETICALLY from the
     // source columns — independent of MediaKernel's encoder AND parser,
     // so a shared endianness/layout bug on the Spark side cannot cancel.

@@ -1116,6 +1116,65 @@ class PipelineSpec extends SparkSpec {
     assert(corpus.length == Tables(spark, sf).documents.count())
   }
 
+  test("stratified sample: exact k per stratum, deterministic, bottom-k consistent") {
+    val rows = Pipeline.queries("q128_stratified_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val strata = Tables(spark, sf).documents.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySrc = rows.groupBy(_._1)
+    assert(bySrc.keySet == strata.keySet)
+    bySrc.foreach { case (src, smp) =>
+      assert(smp.length == math.min(8L, strata(src)), s"$src exact-k")
+      assert(smp.map(_._2).sorted.sameElements(1L to smp.length.toLong))
+      // rank order follows priority order
+      assert(smp.sortBy(_._2).map(_._4).toSeq == smp.map(_._4).sorted.toSeq)
+    }
+    // determinism under physical layout: a shuffled, re-partitioned
+    // copy of the corpus yields the identical sample
+    val dir = java.nio.file.Files.createTempDirectory("q128ss").toString
+    Tables(spark, sf).documents.orderBy(rand(7)).repartition(7)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val again = Pipeline.queries("q128_stratified_sample")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSet == again.toSet)
+    // bottom-k consistency (the re-run/backfill contract): dropping a
+    // NON-sampled doc never changes the sample
+    val sampled = rows.map(_._3).toSet
+    val victim = Tables(spark, sf).documents
+      .filter(!col("doc_id").isInCollection(sampled))
+      .select(col("doc_id")).head().getLong(0)
+    val dir2 = java.nio.file.Files.createTempDirectory("q128bk").toString
+    Tables(spark, sf).documents.filter(col("doc_id") =!= victim)
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val minus = Pipeline.queries("q128_stratified_sample")(spark, dir2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSet == minus.toSet, "sample must ignore non-member churn")
+  }
+
+  test("source minhash: estimates track exact Jaccard; signatures merge by min") {
+    val rows = Pipeline.queries("q129_source_minhash")(spark, sf).collect()
+    val nSrc = Tables(spark, sf).documents.select("source").distinct().count()
+    assert(rows.length == nSrc * (nSrc - 1) / 2, "full pair matrix")
+    rows.foreach { r =>
+      val (est, exact) = (r.getDouble(3), r.getDouble(4))
+      // 64 perms: std err sqrt(J(1-J)/64) <= 1/16; allow 4 sigma
+      assert(math.abs(est - exact) <= 0.25,
+        s"${r.getString(0)}x${r.getString(1)}: est $est vs exact $exact")
+    }
+    // mergeability: element-wise min of per-shard signatures equals the
+    // whole-corpus signature — the property that lets the sketch
+    // stream, federate, and backfill without touching shingle sets
+    val docs = Tables(spark, sf).documents
+    val full = Pipeline.minhashSig(docs).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val lo = Pipeline.minhashSig(docs.filter(col("doc_id") % 2 === 0))
+    val hi = Pipeline.minhashSig(docs.filter(col("doc_id") % 2 === 1))
+    val merged = lo.union(hi).groupBy(col("source"), col("p"))
+      .agg(min(col("mn")).as("mn")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(merged == full, "shard-merge must equal the whole-corpus signature")
+  }
+
   test("quantile sketch: single-valued distribution maps to bucket 0, not NaN") {
     // ADVICE r9: vmax == vmin made the bucket expression divide by
     // zero; Spark's least() skipped the NaN-cast null while DuckDB's

@@ -7,9 +7,17 @@
 #
 # Usage: tools/bench.sh [N] (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_ONLY,
 #        SPARK_GRAFT_CPUS — passed through to graft.Bench)
-# Output: one JSON line (same shape as Bench) on stdout, per-run lines
-#         and >20% spread warnings on stderr; full map saved to
-#         bench_median.json (or bench_median_partial.json under ONLY).
+# Output: one JSON line (same shape as Bench's contract line) on
+#         stdout, per-run lines and >20% spread warnings on stderr;
+#         full map saved to bench_median.json (or
+#         bench_median_partial.json under ONLY).
+#
+# Since round 10 Bench prints THREE lines (compact contract line first,
+# sized for the driver's truncated capture; then shapes; then family
+# subtotals) and keeps full precision in bench_last.json. Full runs
+# take their per-run map from bench_last.json; ONLY-filtered runs (no
+# bench_last write) parse the 3-decimal contract+shapes lines, which is
+# plenty for focused iteration.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 N="${1:-5}"
@@ -18,11 +26,29 @@ OUT="$(mktemp -d)"
 trap 'rm -rf "$OUT"' EXIT
 for i in $(seq 1 "$N"); do
   echo "[bench.sh] run $i/$N" >&2
-  tools/run.sh graft.Bench 2>/dev/null | tail -1 > "$OUT/run$i.json"
+  tools/run.sh graft.Bench 2>/dev/null | grep -E '"metric":"(total|shapes)"' > "$OUT/stdout$i.jsonl"
+  if [ -z "${SPARK_GRAFT_ONLY:-}" ]; then
+    python3 - "$OUT/stdout$i.jsonl" bench_last.json "$OUT/run$i.json" <<'PYEOF'
+import json, sys
+total = json.loads(open(sys.argv[1]).readline())
+m = json.load(open(sys.argv[2]))  # full precision, all keys
+json.dump({"queries": m, "sf": total.get("sf", "?")}, open(sys.argv[3], "w"))
+PYEOF
+  else
+    python3 - "$OUT/stdout$i.jsonl" "$OUT/run$i.json" <<'PYEOF'
+import json, sys
+qs, sf = {}, "?"
+for line in open(sys.argv[1]):
+    d = json.loads(line)
+    qs.update(d.get("queries", {}))
+    sf = d.get("sf", sf)
+json.dump({"queries": qs, "sf": sf}, open(sys.argv[2], "w"))
+PYEOF
+  fi
   tail -c 200 "$OUT/run$i.json" >&2; echo >&2
 done
 
-python3 - "$OUT" "$N" <<'EOF'
+python3 - "$OUT" "$N" <<'PYEOF'
 import json, sys, glob, statistics, os
 runs = [json.load(open(p)) for p in sorted(glob.glob(sys.argv[1] + "/run*.json"))]
 names = runs[0]["queries"].keys()
@@ -46,4 +72,4 @@ if not os.environ.get("SPARK_GRAFT_ONLY"):
 for s in spread:
     print("[bench.sh] spread>20%: " + s, file=sys.stderr)
 print(json.dumps(line))
-EOF
+PYEOF
