@@ -213,9 +213,22 @@ object Bench {
     def selected(name: String): Boolean = only.forall(_.findFirstIn(name).isDefined)
 
     val (netServer, netBase) = startNetStub()
+    // sketch-only twins (x-prefixed: not inventory queries, so they ride
+    // the shapes line, not the q* contract line): the deployable sketch
+    // paths of q121/q122 without their exact-audit columns, so scale
+    // slopes separate the sketch from the validation shuffle.
+    val sketchOnly: Seq[(String, () => Unit)] = Seq(
+      "x121_hll_sketch_only" ->
+        (() => force(graft.queries.Pipeline.hllSketchOnly(spark, sfDir))),
+      "x122_cms_sketch_only" ->
+        (() => force(graft.queries.Pipeline.cmsSketchOnly(spark, sfDir))),
+      "x129_minhash_sketch_only" ->
+        (() => force(graft.queries.Pipeline.minhashMatches(
+          Tables(spark, sfDir).documents))))
     val runnables: Seq[(String, () => Unit)] =
       SparkEntry.queries.toSeq.sortBy(_._1).filter(q => selected(q._1))
         .map { case (name, fn) => name -> (() => force(fn(spark, sfDir))) } ++
+      sketchOnly.filter(q => selected(q._1)) ++
       (mitoShapes(t.events) ++ netShapes(t.events, netBase)).filter(q => selected(q._1))
         .map { case (name, df) => name -> (() => force(df)) }
 

@@ -483,4 +483,40 @@ object SketchKernel {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       counts.map(java.lang.Long.valueOf(_): Any))
   }
+
+  /** q129's universal-hash permutation constants: a_p/b_p from md5 of
+    * "mha:<p>"/"mhb:<p>" masked to 31 bits, a forced nonzero mod the
+    * Mersenne prime 2^31-1 — the identical derivation the DuckDB
+    * oracle computes in SQL, so signatures match cell-exactly. */
+  private val MH_P = 2147483647L
+  private val MH_A: Array[Long] = Array.tabulate(64)(p =>
+    (md5Lower64(s"mha:$p".getBytes("UTF-8")) & MH_P) % (MH_P - 1) + 1)
+  private val MH_B: Array[Long] = Array.tabulate(64)(p =>
+    md5Lower64(s"mhb:$p".getBytes("UTF-8")) & MH_P)
+
+  /** 64-component MinHash partial signature over an array of 31-bit
+    * shingle hashes: component p = min over h of (a_p*h + b_p) mod
+    * (2^31-1). One tight JVM loop — the equivalent 64 higher-order
+    * `aggregate()` expressions cost ~2 s at sf0.1 in lambda dispatch
+    * (measured round 10); this is the same arithmetic at loop speed.
+    * Empty input yields 64 Long.MaxValue sentinels (callers filter
+    * empty shingle sets to match the oracle's absent rows). */
+  def minhashComponents(hs: ArrayData): ArrayData = {
+    val out = new Array[Long](64)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var p = 0
+      while (p < 64) {
+        val v = (MH_A(p) * h + MH_B(p)) % MH_P
+        if (v < out(p)) out(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.map(java.lang.Long.valueOf(_): Any))
+  }
 }

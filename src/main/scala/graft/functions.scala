@@ -422,6 +422,13 @@ object functions {
   def bloom_hits(bits: Column, grams: Column): Column =
     call(K, ArrS, "bloomHits", Seq(Bin, ArrS), bits, grams)
 
+  /** 64-component MinHash partial signature over an array of 31-bit
+    * shingle hashes (universal-hash permutations, constants pinned to
+    * the oracle's md5 derivation — SketchKernel.minhashComponents). */
+  def minhash_components(hs: Column): Column =
+    call(K, ArrayType(LongType, containsNull = false), "minhashComponents",
+      Seq(ArrayType(LongType)), hs)
+
   /** Hamming distance between two 64-bit signatures (codegen'd builtins). */
   def hamming64(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))
 

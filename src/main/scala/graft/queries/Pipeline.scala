@@ -113,6 +113,47 @@ object Pipeline {
     t.documents.select(col("doc_id"),
       shingles(toks(col("text")), 3).as("sh"))
 
+  /** q129's deployable half: pairwise matching-component counts from
+    * the signatures alone (the 20x64 table self-joins; no shingle sets
+    * ever meet). Benched as x129_minhash_sketch_only beside the full
+    * query, whose cost is dominated by the exact-Jaccard audit join. */
+  def minhashMatches(docs: DataFrame): DataFrame = {
+    val sig = minhashSig(docs)
+    sig.as("a").join(sig.as("b"),
+        col("a.p") === col("b.p") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(sum(when(col("a.mn") === col("b.mn"), 1L).otherwise(0L)).as("matches"))
+  }
+
+  /** q121 WITHOUT its exact count(DISTINCT) audit — the deployable
+    * sketch path alone (register partial agg, 256 cells/source, then
+    * the two-branch estimator). Benched as x121_hll_sketch_only so the
+    * sf10 slope of the sketch itself is separable from the audit's
+    * (source, shingle) shuffle, which exists only to validate it
+    * (VERDICT r9 item 6). */
+  def hllSketchOnly(s: SparkSession, dir: String): DataFrame = {
+    val regs = hllRegisters(Tables(s, dir).documents)
+      .groupBy(col("source"), col("idx"))
+      .agg(max(col("rho")).as("m"))
+      .groupBy(col("source"))
+      .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - m AS INT))")) +
+        (lit(256L) - count(lit(1))) * lit(562949953421312L)).as("s"),
+        count(lit(1)).as("nr"))
+    val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+      lit(65536.0) * lit(562949953421312.0) / col("s")
+    regs.select(col("source"),
+      round(when(col("nr") < 256 && raw <= 640.0,
+        lit(256.0) * log(lit(256.0) / (lit(256L) - col("nr"))))
+        .otherwise(raw), 3).as("hll_est"))
+  }
+
+  /** q122's sketch BUILD alone (the 4-row x 1024-column cell grid count
+    * agg, which is also exactly the streaming twin's shape) without the
+    * exact top-50 audit — benched as x122_cms_sketch_only. */
+  def cmsSketchOnly(s: SparkSession, dir: String): DataFrame =
+    cmsGrid(Tables(s, dir).documents)
+      .groupBy(col("d"), col("idx")).agg(count(lit(1)).as("cell"))
+
   /** q129's 64-permutation MinHash signature over any (source, text)
     * frame: one (source, p, mn) row per source and permutation.
     * Permutation p is the universal-hash family (a_p*h + b_p) mod
@@ -131,17 +172,21 @@ object Pipeline {
     * shards (PipelineSpec pins shard-merge == whole-corpus). */
   private[graft] def minhashSig(docs: DataFrame): DataFrame = {
     val P = 2147483647L
-    val as = (0 until 64).map(p =>
-      (graft.expressions.SketchKernel.md5Lower64(s"mha:$p".getBytes("UTF-8")) & P) % (P - 1) + 1)
-    val bs = (0 until 64).map(p =>
-      graft.expressions.SketchKernel.md5Lower64(s"mhb:$p".getBytes("UTF-8")) & P)
+    // Per-DOC partial signature first: the md5 materializes ONCE per
+    // shingle in its own projection (the q122 CSE rule), then ONE
+    // kernel loop folds all 64 components over the in-row hash array —
+    // so the shuffle sees 64 rows per DOCUMENT, not 64 per shingle
+    // occurrence. Measured at sf0.1: per-occurrence explode 10.9 s ->
+    // per-doc fold via 64 aggregate() HOF lambdas 4.6 s -> this kernel
+    // form (same arithmetic at loop speed) — lambda dispatch was ~2 s
+    // of the remainder.
     docs
-      .select(col("source"), explode(shingles(toks(col("text")), 3)).as("g"))
-      .withColumn("h", md5_lower64(concat(lit("mh:"), col("g")).cast("binary"))
-        .bitwiseAND(lit(P)))
-      .select(col("source"), posexplode(transform(sequence(lit(0), lit(63)),
-        p => (element_at(typedlit(as), p + 1) * col("h") +
-          element_at(typedlit(bs), p + 1)) % lit(P))).as(Seq("p", "v")))
+      .select(col("source"), shingles(toks(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("hs", transform(col("sh"),
+        g => md5_lower64(concat(lit("mh:"), g).cast("binary")).bitwiseAND(lit(P))))
+      .select(col("source"),
+        posexplode(minhash_components(col("hs"))).as(Seq("p", "v")))
       .groupBy(col("source"), col("p")).agg(min(col("v")).as("mn"))
   }
 
@@ -1848,11 +1893,7 @@ object Pipeline {
       // agg (map-side combined to 64 rows/source/partition) -> 20x64
       // signature table -> tiny pairwise join. Min is duplicate-blind,
       // so no distinct pass is needed on the sketch side.
-      val sig = minhashSig(Tables(s, dir).documents)
-      val matches = sig.as("a").join(sig.as("b"),
-          col("a.p") === col("b.p") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
-        .agg(sum(when(col("a.mn") === col("b.mn"), 1L).otherwise(0L)).as("matches"))
+      val matches = minhashMatches(Tables(s, dir).documents)
       // exact audit over distinct (source, shingle) sets
       val sets = Tables(s, dir).documents
         .select(col("source"), explode(shingles(toks(col("text")), 3)).as("g"))
