@@ -224,7 +224,19 @@ object Bench {
         (() => force(graft.queries.Pipeline.cmsSketchOnly(spark, sfDir))),
       "x129_minhash_sketch_only" ->
         (() => force(graft.queries.Pipeline.minhashMatches(
-          Tables(spark, sfDir).documents))))
+          Tables(spark, sfDir).documents))),
+      // IVFADC's actual win is the SEARCH phase at a real query batch:
+      // q118's inventory form amortizes 3 training scans over only 10
+      // queries, hiding the flat-vs-cell search gap. These pair the
+      // two search forms at |q|=100 on the SAME (memoized) codebook —
+      // q118 runs earlier in the pass, so training is already cached
+      // and the delta here is the scan the cell routing prunes.
+      "x118_adc_flat_q100" ->
+        (() => force(graft.queries.Pipeline.pqAnn(spark, sfDir,
+          useCells = false, nQueries = 100))),
+      "x118_adc_cells_q100" ->
+        (() => force(graft.queries.Pipeline.pqAnn(spark, sfDir,
+          useCells = true, nQueries = 100))))
     val runnables: Seq[(String, () => Unit)] =
       SparkEntry.queries.toSeq.sortBy(_._1).filter(q => selected(q._1))
         .map { case (name, fn) => name -> (() => force(fn(spark, sfDir))) } ++

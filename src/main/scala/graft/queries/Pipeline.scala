@@ -507,7 +507,8 @@ object Pipeline {
     * scale comparison and the recall-floor spec — at equal codes the
     * flat scan is exhaustive, so IVFADC's hits are a subset ranked
     * identically. */
-  private[graft] def pqAnn(s: SparkSession, dir: String, useCells: Boolean): DataFrame = {
+  private[graft] def pqAnn(s: SparkSession, dir: String, useCells: Boolean,
+      nQueries: Int = 10): DataFrame = {
       // The fourth ANN variant, completing brute (q36) / LSH (q41) /
       // IVF (q57): TRAINED product quantization (Jegou et al. 2011).
       // Vectors compress to 8 four-bit codes (4 bytes vs 256 bytes of
@@ -587,7 +588,7 @@ object Pipeline {
       // The flat full-scan ADC is kept below as pqAdcFlat for the
       // scale comparison (BENCH_sf1) and recall-floor spec.
       val coded = qdf.withColumn("codes", codesCol(cents)).withColumn("recon", recon)
-      val qBase = qdf.filter(col("vec_id") < 10)
+      val qBase = qdf.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("emb").as("qe"),
           col("qv").as("qqv"), col("ss").as("qss"))
       val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))

@@ -428,6 +428,50 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming MinHash signatures equal the batch sketch (min agg IS the union)") {
+    // q129's signature is mergeable by element-wise min, so the same
+    // minhashSig expression over a readStream in complete mode IS the
+    // continuously-maintained source-similarity sketch.
+    val docsSchema = spark.read.parquet(docsDir).schema
+    val stream = graft.queries.Pipeline.minhashSig(
+      spark.readStream.schema(docsSchema).parquet(docsDir))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("mh_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT source, p, mn FROM mh_out")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      val batch = graft.queries.Pipeline.minhashSig(spark.read.parquet(docsDir))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      assert(batch.nonEmpty && got == batch)
+    } finally q.stop()
+  }
+
+  test("streaming bottom-k sample cutoffs equal the batch sample (min_k IS the union)") {
+    // q128's bottom-k-by-hash state is a mergeable sketch (union =
+    // re-take bottom k), so the MinKAgg cutoff aggregate over a
+    // readStream in complete mode maintains the per-stratum sample
+    // frontier continuously — the ingest-time form of the sampler.
+    import graft.functions.{md5_lower64, min_k}
+    val docsSchema = spark.read.parquet(docsDir).schema
+    def scored(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("source"),
+        md5_lower64(concat(lit("samp:"), col("doc_id").cast("string")).cast("binary"))
+          .bitwiseAND(lit(Long.MaxValue)).as("prio"))
+        .groupBy(col("source")).agg(min_k(col("prio"), 8).as("mins"))
+    val q = scored(spark.readStream.schema(docsSchema).parquet(docsDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("bk_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT source, mins FROM bk_out")
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+      val batch = scored(spark.read.parquet(docsDir))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+      assert(batch.nonEmpty && got == batch)
+    } finally q.stop()
+  }
+
   test("streaming CMS cells equal the batch sketch (count agg IS the union)") {
     val docsSchema = spark.read.parquet(docsDir).schema
     val stream = graft.queries.Pipeline.cmsGrid(
