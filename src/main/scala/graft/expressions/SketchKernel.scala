@@ -494,6 +494,47 @@ object SketchKernel {
   private val MH_B: Array[Long] = Array.tabulate(64)(p =>
     md5Lower64(s"mhb:$p".getBytes("UTF-8")) & MH_P)
 
+  /** BPE merge application (Sennrich et al. 2016 / the GPT-2 apply
+    * loop): split `word` into code points, then for each learned merge
+    * (lhs(r), rhs(r)) in rank order rewrite the symbol list greedily
+    * LEFT-TO-RIGHT — out.last == lhs && next == rhs collapses to
+    * lhs+rhs, and because the collapsed symbol no longer equals lhs,
+    * overlapping runs merge non-overlapping exactly like the reference
+    * algorithm ("aaa" + (a,a) -> ["aa","a"]). The DuckDB oracle
+    * reproduces the identical fold as a list_reduce over a
+    * space-delimited accumulator (q130). */
+  def bpeApply(word: UTF8String, lhs: ArrayData, rhs: ArrayData): ArrayData = {
+    val s = word.toString
+    var syms = new java.util.ArrayList[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      val n = Character.charCount(s.codePointAt(i))
+      syms.add(s.substring(i, i + n))
+      i += n
+    }
+    val m = lhs.numElements()
+    var r = 0
+    while (r < m) {
+      val a = lhs.getUTF8String(r).toString
+      val b = rhs.getUTF8String(r).toString
+      val out = new java.util.ArrayList[String](syms.size)
+      var j = 0
+      while (j < syms.size) {
+        val x = syms.get(j)
+        if (!out.isEmpty && out.get(out.size - 1) == a && x == b)
+          out.set(out.size - 1, a + b)
+        else out.add(x)
+        j += 1
+      }
+      syms = out
+      r += 1
+    }
+    val arr = new Array[Any](syms.size)
+    var k = 0
+    while (k < syms.size) { arr(k) = UTF8String.fromString(syms.get(k)); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
   /** 64-component MinHash partial signature over an array of 31-bit
     * shingle hashes: component p = min over h of (a_p*h + b_p) mod
     * (2^31-1). One tight JVM loop — the equivalent 64 higher-order

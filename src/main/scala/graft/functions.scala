@@ -422,6 +422,13 @@ object functions {
   def bloom_hits(bits: Column, grams: Column): Column =
     call(K, ArrS, "bloomHits", Seq(Bin, ArrS), bits, grams)
 
+  /** Apply a learned BPE merge table (rank-ordered lhs/rhs arrays) to a
+    * word: code-point split, then greedy left-to-right merge per rank
+    * (SketchKernel.bpeApply — the reference BPE apply loop). */
+  def bpe_apply(word: Column, lhs: Column, rhs: Column): Column =
+    call(K, ArrayType(StringType, containsNull = false), "bpeApply",
+      Seq(Str, ArrS, ArrS), word, lhs, rhs)
+
   /** 64-component MinHash partial signature over an array of 31-bit
     * shingle hashes (universal-hash permutations, constants pinned to
     * the oracle's md5 derivation — SketchKernel.minhashComponents). */

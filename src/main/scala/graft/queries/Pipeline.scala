@@ -113,6 +113,47 @@ object Pipeline {
     t.documents.select(col("doc_id"),
       shingles(toks(col("text")), 3).as("sh"))
 
+  /** q130's trained merge table, memoized per dataset fingerprint (same
+    * contract as kmeansCents/pqCodebook): T rounds, each one
+    * distributed pair-count pass + a 1-row argmax to the driver. */
+  private val bpeMerges =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[(String, String, Long)]]()
+
+  /** The q130 training loop over any (text) frame: word-type counts
+    * once, then per round apply the merges learned so far (bpe_apply
+    * kernel, plan literal), count adjacent symbol pairs weighted by
+    * word frequency, and take the (count desc, lhs, rhs) argmax. The
+    * driver receives ONE row per round; everything else is a map-only
+    * projection over the word-TYPE table plus one pair-shuffle — at
+    * 100 TB word types are millions of rows (not corpus-sized), and
+    * the occurrence->type rollup is the classic first aggregation. */
+  private[graft] def bpeTrain(docs: DataFrame, rounds: Int): Vector[(String, String, Long)] = {
+    val words = docs.select(explode(toks(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var acc = Vector.empty[(String, String, Long)]
+    var exhausted = false
+    for (_ <- 1 to rounds if !exhausted) {
+      val sy = bpe_apply(col("w"),
+        typedlit(acc.map(_._1)), typedlit(acc.map(_._2)))
+      val top = words
+        .select(col("freq"), sy.as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("freq"), explode(zip_with(
+          slice(col("sy"), lit(1), size(col("sy")) - 1),
+          slice(col("sy"), lit(2), size(col("sy")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      // a tiny corpus can run out of adjacent pairs before `rounds`
+      // merges: stop, matching the oracle (empty m_r -> no rank-r row)
+      if (top.isEmpty) exhausted = true
+      else acc :+= ((top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
+    }
+    acc
+  }
+
   /** q129's deployable half: pairwise matching-component counts from
     * the signatures alone (the 20x64 table self-joins; no shingle sets
     * ever meet). Benched as x129_minhash_sketch_only beside the full
@@ -1843,6 +1884,50 @@ object Pipeline {
         .orderBy(col("rnk"))
     },
 
+    "q130_bpe_train" -> { (s, dir) =>
+      // TRAIN a BPE tokenizer vocabulary on the corpus (Sennrich et
+      // al. 2016) — the operator that turns raw text into the merge
+      // table every LLM tokenizer ships. T=6 merge rounds as a driver
+      // control loop (q114's Lloyd pattern): per round one distributed
+      // adjacent-pair count over the word-TYPE table — occurrences
+      // roll up to types once, so the per-round pass scales with
+      // vocabulary, not corpus — and a single (cnt DESC, lhs, rhs)
+      // argmax row to the driver; merges-so-far ride into the
+      // bpe_apply kernel as plan literals (the broadcast analogue).
+      // Greedy left-to-right apply semantics match the reference BPE
+      // loop exactly; the oracle unrolls the same 6 rounds as CTEs
+      // with a list_reduce fold proven equivalent to the kernel's.
+      // Output = the learned artifact: (rank, lhs, rhs, cnt).
+      import s.implicits._
+      val merges = memo(bpeMerges, dir)(bpeTrain(Tables(s, dir).documents, 6))
+      merges.zipWithIndex
+        .map { case ((a, b, c), i) => (i + 1L, a, b, c) }
+        .toDF("rank", "lhs", "rhs", "cnt")
+        .orderBy(col("rank"))
+    },
+
+    "q131_bpe_tokenize" -> { (s, dir) =>
+      // APPLY the q130-trained merges to the whole corpus — the
+      // production tokenization pass: merges ride as plan literals
+      // into the bpe_apply kernel, so segmentation is MAP-ONLY over
+      // occurrences (zero shuffles before the per-source rollup; at
+      // 100 TB this is the pass that turns text into token ids, and
+      // its per-source compression ratio is the standard tokenizer
+      // health metric). Training is memoized, shared with q130.
+      val merges = memo(bpeMerges, dir)(bpeTrain(Tables(s, dir).documents, 6))
+      val sy = bpe_apply(col("w"),
+        typedlit(merges.map(_._1)), typedlit(merges.map(_._2)))
+      Tables(s, dir).documents
+        .select(col("source"), explode(toks(col("text"))).as("w"))
+        .select(col("source"), length(col("w")).cast("long").as("nc"),
+          size(sy).cast("long").as("nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"), sum(col("nc")).as("n_chars"),
+          sum(col("nt")).as("n_bpe_tokens"),
+          round(sum(col("nc")).cast("double") / sum(col("nt")), 6).as("compression"))
+        .orderBy(col("source"))
+    },
+
     "q128_stratified_sample" -> { (s, dir) =>
       // EXACT-k per-stratum corpus sample (eval-set construction, the
       // complement of q91's Bernoulli mixture sampling): exactly
@@ -2208,6 +2293,57 @@ object Pipeline {
     })
 
   private val tokSql = """string_split_regex(trim(text), '\s+')"""
+
+  /** q130's oracle, generated for T rounds: w0/c0 seed the word-type
+    * table with code-point symbol lists; each round r contributes
+    * p_r/m_r (weighted adjacent-pair count + argmax) and c_r (the
+    * list_reduce greedy-merge apply of m_r). */
+  private def bpeCtes(rounds: Int, finalApply: Boolean): String = {
+    def pairCte(r: Int) =
+      s"""p$r AS (SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM (SELECT freq, unnest(list_transform(range(1, len(s)), i ->
+              struct_pack(a := s[CAST(i AS INT)], b := s[CAST(i AS INT) + 1]))) AS pr
+              FROM c${r - 1} WHERE len(s) >= 2)
+            GROUP BY 1, 2),
+          m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1)"""
+    def applyCte(r: Int) =
+      s"""c$r AS (SELECT w, freq, string_split(list_reduce(s, (acc, x) ->
+            CASE WHEN x = m.b AND (acc = m.a OR ends_with(acc, ' ' || m.a))
+                 THEN substr(acc, 1, length(acc) - length(m.a)) || m.a || m.b
+                 ELSE acc || ' ' || x END), ' ') AS s
+          FROM c${r - 1}, m$r m)"""
+    val ctes = Seq(
+      s"""w0 AS (SELECT w, count(*) AS freq
+            FROM (SELECT unnest($tokSql) AS w FROM documents) GROUP BY w),
+          c0 AS (SELECT w, freq, list_transform(range(1, length(w) + 1), i ->
+            substr(w, CAST(i AS INT), 1)) AS s FROM w0)""") ++
+      (1 to rounds).flatMap(r =>
+        Seq(pairCte(r)) ++
+          (if (r < rounds || finalApply) Seq(applyCte(r)) else Nil))
+    "WITH " + ctes.mkString(",\n ")
+  }
+
+  private def bpeOracleSql(rounds: Int): String = {
+    val union = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, a AS lhs, b AS rhs, cnt FROM m$r")
+      .mkString(" UNION ALL ")
+    bpeCtes(rounds, finalApply = false) +
+      s" SELECT * FROM ($union) ORDER BY rank"
+  }
+
+  /** q131's oracle: the same trained rounds, final apply included, then
+    * per-source occurrence stats from joining tokens to their word
+    * type's final segmentation. */
+  private def bpeTokenizeOracleSql(rounds: Int): String =
+    bpeCtes(rounds, finalApply = true) + s""",
+       o AS (SELECT source, unnest($tokSql) AS w FROM documents)
+       SELECT o.source,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(length(o.w)) AS BIGINT) AS n_chars,
+         CAST(sum(len(c.s)) AS BIGINT) AS n_bpe_tokens,
+         round(sum(length(o.w)) * 1.0 / sum(len(c.s)), 6) AS compression
+       FROM o JOIN c$rounds c ON o.w = c.w
+       GROUP BY o.source ORDER BY o.source"""
   private val shSql =
     """list_distinct([lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2] for i in range(1, len(lst) - 1)])"""
 
@@ -3079,6 +3215,18 @@ object Pipeline {
           FROM ex JOIN sreg USING (source) ORDER BY source""",
 
     // Curation v2 rebuilt: the same four stages chained as CTEs —
+    // BPE training unrolled: 6 pair-count/argmax/apply rounds. The
+    // greedy left-to-right merge is a list_reduce over a
+    // space-delimited string accumulator — collapsing the trailing
+    // symbol when (trailing == lhs, next == rhs), which reproduces the
+    // kernel's fold exactly (merged symbols stop matching lhs, so runs
+    // merge non-overlapping).
+    "q130_bpe_train" -> bpeOracleSql(6),
+
+    // Corpus tokenization with the trained merges: same rounds, final
+    // apply included, per-source stats over occurrences.
+    "q131_bpe_tokenize" -> bpeTokenizeOracleSql(6),
+
     // Bottom-k-by-hash stratified sample rebuilt as the rank form the
     // engine deliberately avoids at scale: row_number over priority.
     "q128_stratified_sample" ->

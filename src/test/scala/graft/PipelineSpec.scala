@@ -1116,6 +1116,60 @@ class PipelineSpec extends SparkSpec {
     assert(corpus.length == Tables(spark, sf).documents.count())
   }
 
+  test("bpe_apply: greedy left-to-right merge semantics (reference BPE loop)") {
+    val session = spark
+    import session.implicits._
+    def seg(w: String, merges: (String, String)*): Seq[String] =
+      Seq(w).toDF("w").select(graft.functions.bpe_apply(col("w"),
+        typedlit(merges.map(_._1)), typedlit(merges.map(_._2))).as("s"))
+        .head().getSeq[String](0)
+    assert(seg("hello") == Seq("h", "e", "l", "l", "o"), "no merges = chars")
+    assert(seg("hello", ("l", "l")) == Seq("h", "e", "ll", "o"))
+    // overlap: runs merge non-overlapping, left to right
+    assert(seg("aaa", ("a", "a")) == Seq("aa", "a"))
+    assert(seg("aaaa", ("a", "a")) == Seq("aa", "aa"))
+    assert(seg("aaaa", ("a", "a"), ("aa", "aa")) == Seq("aaaa"))
+    // rank order matters: later merges see earlier merges' symbols
+    assert(seg("abab", ("a", "b"), ("ab", "ab")) == Seq("abab"))
+    assert(seg("abab", ("b", "a")) == Seq("a", "ba", "b"))
+  }
+
+  test("bpe train: planted corpus learns the hand-computed merge table") {
+    // word types: "aaa" freq 2, "ab" freq 1.
+    //  round 1: pairs (a,a) cnt 4 (two per "aaa" occurrence-type x2),
+    //           (a,b) cnt 1 -> merge (a,a).
+    //  round 2: "aaa"->[aa,a]: pair (aa,a) cnt 2; (a,b) 1 -> (aa,a).
+    //  round 3: "aaa"->[aaa]: only (a,b) 1 -> (a,b).
+    //  round 4+: no pairs anywhere -> training stops early (the
+    //            oracle's empty m_r has no rank row; both sides emit 3).
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q130bpe").toString
+    Seq((1L, "aaa aaa ab", "en", "s0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.queries("q130_bpe_train")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, "a", "a", 4L), (2L, "aa", "a", 2L), (3L, "a", "b", 1L)))
+    // determinism under physical layout on the real fixture
+    val full = Pipeline.queries("q130_bpe_train")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(full.length == 6)
+    val dir2 = java.nio.file.Files.createTempDirectory("q130det").toString
+    Tables(spark, sf).documents.orderBy(rand(11)).repartition(5)
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val again = Pipeline.queries("q130_bpe_train")(spark, dir2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(full.toSeq == again.toSeq, "merge table must not depend on layout")
+    // tokenize: compression ratio >= 1 everywhere (merges only shrink)
+    val tk = Pipeline.queries("q131_bpe_tokenize")(spark, sf).collect()
+    assert(tk.nonEmpty)
+    tk.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "bpe tokens <= chars")
+      assert(r.getDouble(4) >= 1.0)
+    }
+  }
+
   test("stratified sample: exact k per stratum, deterministic, bottom-k consistent") {
     val rows = Pipeline.queries("q128_stratified_sample")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
