@@ -236,7 +236,18 @@ object Bench {
           useCells = false, nQueries = 100))),
       "x118_adc_cells_q100" ->
         (() => force(graft.queries.Pipeline.pqAnn(spark, sfDir,
-          useCells = true, nQueries = 100))))
+          useCells = true, nQueries = 100))),
+      // BPE pair: cold training (q130's median is a memo hit) and the
+      // per-occurrence apply (the per-doc-output shape) vs q131's
+      // word-type rollup.
+      "x130_bpe_train_cold" ->
+        (() => { graft.queries.Pipeline.bpeTrainCold(spark, sfDir); () }),
+      "x131_bpe_apply_per_occ" ->
+        (() => force(graft.queries.Pipeline.bpeTokenizeOcc(spark, sfDir))),
+      // cold perceptron training (q133's median is a memo hit)
+      "x133_perceptron_cold" ->
+        (() => { graft.queries.Pipeline.perceptronTrain(
+          Tables(spark, sfDir).documents, 5); () }))
     val runnables: Seq[(String, () => Unit)] =
       SparkEntry.queries.toSeq.sortBy(_._1).filter(q => selected(q._1))
         .map { case (name, fn) => name -> (() => force(fn(spark, sfDir))) } ++

@@ -542,6 +542,24 @@ object SketchKernel {
     * (measured round 10); this is the same arithmetic at loop speed.
     * Empty input yields 64 Long.MaxValue sentinels (callers filter
     * empty shingle sets to match the oracle's absent rows). */
+  /** Hashed bag-of-words feature vector (q133's classifier features,
+    * the fasttext input shape): bucket = md5(salt ‖ tok) & (buckets-1),
+    * counts returned as a fixed-length long array. One kernel pass per
+    * document; `buckets` must be a power of two. */
+  def hashCounts(toks: ArrayData, salt: UTF8String, buckets: Int): ArrayData = {
+    val out = new Array[Long](buckets)
+    val s = salt.toString
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val h = md5Lower64((s + toks.getUTF8String(i).toString).getBytes("UTF-8"))
+      out((h & (buckets - 1)).toInt) += 1L
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.map(java.lang.Long.valueOf(_): Any))
+  }
+
   def minhashComponents(hs: ArrayData): ArrayData = {
     val out = new Array[Long](64)
     java.util.Arrays.fill(out, Long.MaxValue)

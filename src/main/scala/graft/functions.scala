@@ -429,6 +429,13 @@ object functions {
     call(K, ArrayType(StringType, containsNull = false), "bpeApply",
       Seq(Str, ArrS, ArrS), word, lhs, rhs)
 
+  /** Hashed bag-of-words feature counts: bucket = md5(salt ‖ tok) &
+    * (buckets-1), one kernel pass per document
+    * (SketchKernel.hashCounts; buckets must be a power of two). */
+  def hash_counts(toks: Column, salt: String, buckets: Int): Column =
+    call(K, ArrayType(LongType, containsNull = false), "hashCounts",
+      Seq(ArrS, Str, IntegerType), toks, F.lit(salt), F.lit(buckets))
+
   /** 64-component MinHash partial signature over an array of 31-bit
     * shingle hashes (universal-hash permutations, constants pinned to
     * the oracle's md5 derivation — SketchKernel.minhashComponents). */

@@ -128,30 +128,152 @@ object Pipeline {
     * 100 TB word types are millions of rows (not corpus-sized), and
     * the occurrence->type rollup is the classic first aggregation. */
   private[graft] def bpeTrain(docs: DataFrame, rounds: Int): Vector[(String, String, Long)] = {
+    // persist the word-TYPE table: without it every round re-executes
+    // the corpus explode+rollup lineage (measured cold at sf1:
+    // 11.1 s = 6 corpus scans -> 1.8 s with types cached once;
+    // sf10: 75.4 s -> 5.6 s)
     val words = docs.select(explode(toks(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    var acc = Vector.empty[(String, String, Long)]
-    var exhausted = false
-    for (_ <- 1 to rounds if !exhausted) {
-      val sy = bpe_apply(col("w"),
-        typedlit(acc.map(_._1)), typedlit(acc.map(_._2)))
-      val top = words
-        .select(col("freq"), sy.as("sy"))
-        .filter(size(col("sy")) >= 2)
-        .select(col("freq"), explode(zip_with(
-          slice(col("sy"), lit(1), size(col("sy")) - 1),
-          slice(col("sy"), lit(2), size(col("sy")) - 1),
-          (x, y) => struct(x.as("a"), y.as("b")))).as("pr"))
-        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
-        .agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
-      // a tiny corpus can run out of adjacent pairs before `rounds`
-      // merges: stop, matching the oracle (empty m_r -> no rank-r row)
-      if (top.isEmpty) exhausted = true
-      else acc :+= ((top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq")).persist()
+    try {
+      var acc = Vector.empty[(String, String, Long)]
+      var exhausted = false
+      for (_ <- 1 to rounds if !exhausted) {
+        val sy = bpe_apply(col("w"),
+          typedlit(acc.map(_._1)), typedlit(acc.map(_._2)))
+        val top = words
+          .select(col("freq"), sy.as("sy"))
+          .filter(size(col("sy")) >= 2)
+          .select(col("freq"), explode(zip_with(
+            slice(col("sy"), lit(1), size(col("sy")) - 1),
+            slice(col("sy"), lit(2), size(col("sy")) - 1),
+            (x, y) => struct(x.as("a"), y.as("b")))).as("pr"))
+          .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        // a tiny corpus can run out of adjacent pairs before `rounds`
+        // merges: stop, matching the oracle (empty m_r -> no rank-r row)
+        if (top.isEmpty) exhausted = true
+        else acc :+= ((top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
+      }
+      acc
+    } finally words.unpersist()
+  }
+
+  /** q131's superseded per-occurrence form, kept for the bench pair
+    * (x131_bpe_apply_per_occ): bpe_apply runs once per token
+    * OCCURRENCE with zero pre-shuffle — the right shape when the
+    * output is per-doc token ids, measured 7x slower than the
+    * word-type rollup at sf10 when the output is per-source stats. */
+  private[graft] def bpeTokenizeOcc(s: SparkSession, dir: String): DataFrame = {
+    val merges = memo(bpeMerges, dir)(bpeTrain(Tables(s, dir).documents, 6))
+    val sy = bpe_apply(col("w"),
+      typedlit(merges.map(_._1)), typedlit(merges.map(_._2)))
+    Tables(s, dir).documents
+      .select(col("source"), explode(toks(col("text"))).as("w"))
+      .select(col("source"), length(col("w")).cast("long").as("nc"),
+        size(sy).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("nc")).as("n_chars"),
+        sum(col("nt")).as("n_bpe_tokens"),
+        round(sum(col("nc")).cast("double") / sum(col("nt")), 6).as("compression"))
+      .orderBy(col("source"))
+  }
+
+  /** q130's training loop WITHOUT the memo, for the bench shape that
+    * times cold training (the inventory q130 medians a memo hit). */
+  private[graft] def bpeTrainCold(s: SparkSession, dir: String): Vector[(String, String, Long)] =
+    bpeTrain(Tables(s, dir).documents, 6)
+
+  /** q133's training curve, memoized per dataset fingerprint. */
+  private val perceptronRuns =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[(Long, Long)]]()
+
+  /** Batch-perceptron training of the q116-shaped hashed linear
+    * classifier (Rosenblatt's update in its batch form: w += sum of
+    * y*x over currently-misclassified docs). Everything is INTEGER —
+    * features are hashed token counts, weights stay in Z^64 — so each
+    * round's gradient is an order-free exact sum and the trained
+    * trajectory is bit-reproducible at any partitioning (q114's
+    * fixed-point contract, applied to model training). Per round: one
+    * map-only feature pass (weights as a 64-long plan literal) and one
+    * 65-column partial agg to a SINGLE row — the driver moves 65 cells
+    * per round, the corpus never shuffles. Features are computed by a
+    * one-pass kernel (SketchKernel.hashCounts) and persisted across
+    * rounds so the text is tokenized once, not T times. */
+  private[graft] def perceptronTrain(docs: DataFrame, rounds: Int): Vector[(Long, Long)] = {
+    val tgt = docs.agg(min(col("source"))).head.getString(0)
+    val feats = docs.select(
+      when(col("source") === tgt, 1L).otherwise(-1L).as("y"),
+      hash_counts(tokens(col("text")), "qc133:", 64).as("x")).persist()
+    try {
+      var w = Vector.fill(64)(0L)
+      var out = Vector.empty[(Long, Long)]
+      for (_ <- 1 to rounds) {
+        val margin = aggregate(
+          zip_with(typedlit(w), col("x"), (a, b) => a * b), lit(0L), (a, v) => a + v)
+        val aggs = count(lit(1)).as("n") +: (0 until 64).map(b =>
+          sum(col("y") * element_at(col("x"), b + 1)).as(s"g$b"))
+        val row = feats.filter(col("y") * margin <= lit(0L))
+          .agg(aggs.head, aggs.tail: _*).head()
+        val nMis = row.getLong(0)
+        w = Vector.tabulate(64)(b => w(b) + (if (nMis == 0) 0L else row.getLong(b + 1)))
+        out :+= ((nMis, w.map(math.abs).sum))
+      }
+      out
+    } finally feats.unpersist()
+  }
+
+  /** q132's per-bucket log-likelihood-ratio table, memoized per dataset
+    * fingerprint. */
+  private val dsirTables =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+
+  /** q132's scoring half over a trained llr table: pure per-row
+    * Columns (tokenize, hash, look up, average), so the identical code
+    * plans over readStream — the streaming twin scores arriving docs
+    * against the same plan-literal model, append-safe, no state. */
+  private[graft] def dsirScore(docs: DataFrame, llr: Array[Double]): DataFrame = {
+    val llrLit = typedlit(llr.toSeq)
+    val t = toks(col("text"))
+    val perTok = transform(t, tok => element_at(llrLit,
+      (md5_lower64(concat(lit("dsir:"), tok).cast("binary"))
+        .bitwiseAND(lit(255L)) + lit(1L)).cast("int")))
+    docs.select(col("doc_id"), size(t).cast("long").as("n_tokens"),
+      round(aggregate(perTok, lit(0.0d), (a, x) => a + x) / size(t), 6)
+        .as("llr_avg"))
+  }
+
+  /** DSIR feature-distribution build (Xie et al. 2023 §3): hashed
+    * unigram counts over 256 buckets for the TARGET domain (the
+    * lexicographically-first source, the fixture's stand-in for a
+    * curated in-domain corpus) and the RAW corpus, estimated in ONE
+    * token scan — the raw count and the conditional target count ride
+    * the same partial agg, so the corpus is read once and the shuffle
+    * carries at most 256 rows. Laplace-smoothed llr[b] =
+    * ln((ct+1)/(Nt+B)) - ln((cr+1)/(Nr+B)) computed on the driver from
+    * the integer counts; the oracle recomputes the identical expression
+    * from its own counts, so the only FP step (ln) happens once per
+    * BUCKET on both sides, never per token. */
+  private[graft] def dsirLlr(docs: DataFrame): Array[Double] = {
+    val tgt = docs.agg(min(col("source"))).head.getString(0)
+    val counts = docs
+      .select(col("source"), explode(toks(col("text"))).as("tok"))
+      .select(col("source"),
+        md5_lower64(concat(lit("dsir:"), col("tok")).cast("binary"))
+          .bitwiseAND(lit(255L)).as("b"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("source") === tgt, 1L).otherwise(0L)).as("ct"))
+      .collect() // bounded control plane: <= 256 rows
+    val cr = new Array[Long](256)
+    val ct = new Array[Long](256)
+    counts.foreach { r =>
+      cr(r.getLong(0).toInt) = r.getLong(1); ct(r.getLong(0).toInt) = r.getLong(2)
     }
-    acc
+    val nr = cr.sum.toDouble; val nt = ct.sum.toDouble
+    Array.tabulate(256)(b =>
+      math.log((ct(b) + 1.0) / (nt + 256.0)) - math.log((cr(b) + 1.0) / (nr + 256.0)))
   }
 
   /** q129's deployable half: pairwise matching-component counts from
@@ -1907,25 +2029,72 @@ object Pipeline {
     },
 
     "q131_bpe_tokenize" -> { (s, dir) =>
-      // APPLY the q130-trained merges to the whole corpus — the
-      // production tokenization pass: merges ride as plan literals
-      // into the bpe_apply kernel, so segmentation is MAP-ONLY over
-      // occurrences (zero shuffles before the per-source rollup; at
-      // 100 TB this is the pass that turns text into token ids, and
-      // its per-source compression ratio is the standard tokenizer
-      // health metric). Training is memoized, shared with q130.
+      // APPLY the q130-trained merges to the whole corpus and report
+      // the standard per-source tokenizer health metric (compression =
+      // chars per BPE token). Merges ride as plan literals into the
+      // bpe_apply kernel; because the OUTPUT is per-source stats (not
+      // per-doc token ids), segmentation rides the word-TYPE rollup:
+      // occurrences collapse to (source, word, n) in the map-side
+      // combine — the shuffle carries |sources|x|vocab| rows, not the
+      // token stream — and the kernel runs once per TYPE, weighted by
+      // n on the way to the source rollup. Measured at sf10 (900M
+      // occurrences): 18.4 s -> 2.6 s vs the per-occurrence map-only
+      // form, which remains the right shape only when the output
+      // itself is per-document token ids. Training memoized with q130.
       val merges = memo(bpeMerges, dir)(bpeTrain(Tables(s, dir).documents, 6))
       val sy = bpe_apply(col("w"),
         typedlit(merges.map(_._1)), typedlit(merges.map(_._2)))
       Tables(s, dir).documents
         .select(col("source"), explode(toks(col("text"))).as("w"))
-        .select(col("source"), length(col("w")).cast("long").as("nc"),
-          size(sy).cast("long").as("nt"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+        .select(col("source"), col("n"),
+          length(col("w")).cast("long").as("nc"), size(sy).cast("long").as("nt"))
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_words"), sum(col("nc")).as("n_chars"),
-          sum(col("nt")).as("n_bpe_tokens"),
-          round(sum(col("nc")).cast("double") / sum(col("nt")), 6).as("compression"))
+        .agg(sum(col("n")).as("n_words"), sum(col("nc") * col("n")).as("n_chars"),
+          sum(col("nt") * col("n")).as("n_bpe_tokens"),
+          round(sum(col("nc") * col("n")).cast("double") / sum(col("nt") * col("n")), 6)
+            .as("compression"))
         .orderBy(col("source"))
+    },
+
+    "q132_dsir_select" -> { (s, dir) =>
+      // DATA SELECTION via importance resampling (DSIR, Xie et al.
+      // NeurIPS 2023): score every raw document by how target-like its
+      // hashed-unigram feature distribution is — per-doc avg
+      // log-likelihood ratio between the target-domain and raw-corpus
+      // unigram models over 256 hash buckets — and keep the top-k.
+      // (The paper samples with Gumbel noise; the deterministic top-k
+      // variant is the reproducible form, and rank-by-llr is the same
+      // ordering the noise perturbs.) Scale shape: the two feature
+      // distributions are estimated in ONE token scan whose shuffle
+      // carries <= 256 cells (dsirLlr above, memoized); the llr table
+      // rides into the plan as a 2 KB literal (q110's dictionary
+      // pattern), so SCORING is map-only per-row — tokenize, hash,
+      // look up, sum — and selection is TakeOrdered top-k. The corpus
+      // is read twice total and never joins or re-shuffles.
+      val llr = memo(dsirTables, dir)(dsirLlr(Tables(s, dir).documents))
+      dsirScore(Tables(s, dir).documents, llr)
+        .orderBy(col("llr_avg").desc, col("doc_id")).limit(100)
+    },
+
+    "q133_train_classifier" -> { (s, dir) =>
+      // TRAIN the quality classifier q116 only applies: a linear model
+      // over 64 hashed bag-of-words buckets, learned by the batch
+      // perceptron against weak labels (target source vs rest — the
+      // fasttext good-corpus/raw-corpus recipe). Five rounds as a
+      // driver control loop; all-integer arithmetic makes every round
+      // an exact commutative sum, so the learned trajectory is
+      // bit-identical at any partitioning and the oracle replays it as
+      // five unrolled join-agg CTEs. Output = the training curve:
+      // per-round misclassification count (under the PRE-update
+      // weights; round 1 is all docs, margin 0) and the post-update
+      // weight l1 norm. See perceptronTrain for the per-round plan
+      // shape (map-only scoring, 65-cell driver traffic).
+      import s.implicits._
+      val curve = memo(perceptronRuns, dir)(
+        perceptronTrain(Tables(s, dir).documents, 5))
+      curve.zipWithIndex.map { case ((m, l1), i) => (i + 1L, m, l1) }
+        .toDF("round", "n_mis", "w_l1").orderBy(col("round"))
     },
 
     "q128_stratified_sample" -> { (s, dir) =>
@@ -2329,6 +2498,35 @@ object Pipeline {
       .mkString(" UNION ALL ")
     bpeCtes(rounds, finalApply = false) +
       s" SELECT * FROM ($union) ORDER BY rank"
+  }
+
+  /** q133's oracle, generated for T rounds: integer batch-perceptron
+    * training unrolled — per round, margins under w_{r-1} (mg_r),
+    * misclassified set (mi_r), gradient (g_r), updated weights (w_r),
+    * and the curve row (round, n_mis, w_l1). Everything BIGINT-cast:
+    * DuckDB widens sum() to HUGEINT (the q114 lesson). */
+  private def perceptronOracleSql(rounds: Int): String = {
+    def roundCtes(r: Int) =
+      s"""mg$r AS (SELECT x.doc_id, x.y, sum(w.wv * x.c) AS m
+            FROM x JOIN w${r - 1} w ON w.b = x.b GROUP BY 1, 2),
+          mi$r AS (SELECT doc_id FROM mg$r WHERE y * m <= 0),
+          g$r AS (SELECT x.b, sum(x.y * x.c) AS g FROM x
+            JOIN mi$r mi ON x.doc_id = mi.doc_id GROUP BY x.b),
+          w$r AS (SELECT w.b, w.wv + coalesce(g.g, 0) AS wv
+            FROM w${r - 1} w LEFT JOIN g$r g ON g.b = w.b),
+          o$r AS (SELECT CAST($r AS BIGINT) AS round,
+            CAST((SELECT count(*) FROM mi$r) AS BIGINT) AS n_mis,
+            CAST((SELECT sum(abs(wv)) FROM w$r) AS BIGINT) AS w_l1)"""
+    val union = (1 to rounds).map(r => s"SELECT * FROM o$r").mkString(" UNION ALL ")
+    s"""WITH tk AS (SELECT doc_id,
+            CASE WHEN source = (SELECT min(source) FROM documents)
+                 THEN 1 ELSE -1 END AS y,
+            CAST(md5_number_lower('qc133:' || tok) & 63 AS BIGINT) AS b
+          FROM (SELECT doc_id, source, unnest($tokSql) AS tok FROM documents)),
+        x AS (SELECT doc_id, y, b, count(*) AS c FROM tk GROUP BY 1, 2, 3),
+        w0 AS (SELECT sp.range AS b, CAST(0 AS BIGINT) AS wv FROM range(0, 64) sp),
+        ${(1 to rounds).map(roundCtes).mkString(",\n ")}
+        SELECT * FROM ($union) ORDER BY round"""
   }
 
   /** q131's oracle: the same trained rounds, final apply included, then
@@ -3226,6 +3424,34 @@ object Pipeline {
     // Corpus tokenization with the trained merges: same rounds, final
     // apply included, per-source stats over occurrences.
     "q131_bpe_tokenize" -> bpeTokenizeOracleSql(6),
+
+    // DSIR rebuilt: hashed-unigram counts for target (= min source)
+    // and raw in one conditional agg, Laplace-smoothed llr per bucket
+    // over a 256-row spine, per-doc avg llr via the bucket join the
+    // engine replaces with a plan-literal lookup, top-100.
+    "q132_dsir_select" ->
+      s"""WITH tk AS (SELECT doc_id, source,
+              CAST(md5_number_lower('dsir:' || tok) & 255 AS BIGINT) AS b
+            FROM (SELECT doc_id, source, unnest($tokSql) AS tok FROM documents)),
+          cn AS (SELECT b, count(*) AS cr,
+              sum(CASE WHEN source = (SELECT min(source) FROM documents)
+                  THEN 1 ELSE 0 END) AS ct
+            FROM tk GROUP BY b),
+          tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM cn),
+          llr AS (SELECT sp.range AS b,
+              ln((coalesce(cn.ct, 0) + 1.0) / ((SELECT nt FROM tot) + 256.0))
+            - ln((coalesce(cn.cr, 0) + 1.0) / ((SELECT nr FROM tot) + 256.0)) AS v
+            FROM range(0, 256) sp LEFT JOIN cn ON cn.b = sp.range),
+          sc AS (SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              round(sum(llr.v) / count(*), 6) AS llr_avg
+            FROM tk JOIN llr ON tk.b = llr.b GROUP BY tk.doc_id)
+          SELECT doc_id, n_tokens, llr_avg FROM sc
+          ORDER BY llr_avg DESC, doc_id LIMIT 100""",
+
+    // Batch-perceptron training unrolled: five margin/misclassified/
+    // gradient/update rounds over integer hashed features — the whole
+    // trajectory is exact integer arithmetic on both sides.
+    "q133_train_classifier" -> perceptronOracleSql(5),
 
     // Bottom-k-by-hash stratified sample rebuilt as the rank form the
     // engine deliberately avoids at scale: row_number over priority.

@@ -319,6 +319,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dsir scoring on a stream equals the batch q132 scores") {
+    // the model (256-double llr literal) trains in batch; scoring is
+    // pure per-row Columns, so the same plan scores arriving docs —
+    // the production DSIR split: train once, filter the firehose
+    val llr = graft.queries.Pipeline.dsirLlr(spark.read.parquet(docsDir))
+    val docsSchema = spark.read.parquet(docsDir).schema
+    val stream = spark.readStream.schema(docsSchema).parquet(docsDir)
+    val q = graft.queries.Pipeline.dsirScore(stream, llr)
+      .writeStream.outputMode("append").format("memory").queryName("dsir_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM dsir_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val batch = graft.queries.Pipeline
+        .dsirScore(spark.read.parquet(docsDir), llr).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming minhash near-dup covers the batch q31 pairs") {
     import graft.functions.{minhash_sig, shingles, tokens}
     import graft.streaming.DedupStreams

@@ -1170,6 +1170,75 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dsir: target-like docs outrank off-domain docs, layout-deterministic") {
+    val session = spark
+    import session.implicits._
+    // target = min(source) = "a" (all-x). With Laplace smoothing over
+    // 256 buckets: llr(x) = ln(5/260) - ln(8/269) ~= -0.435,
+    // llr(y) = ln(1/260) - ln(7/269) ~= -1.913 (x and y land in
+    // different md5 buckets w.h.p.; asserted via the ordering). Per-doc
+    // avg llr then orders 1 (all x) > 2 (xxy) > 4 (xy) > 3 (all y).
+    val dir = java.nio.file.Files.createTempDirectory("q132dsir").toString
+    Seq((1L, "x x x x", "en", "a", 7L), (2L, "x x y", "en", "b", 5L),
+      (3L, "y y y y", "en", "b", 7L), (4L, "x y", "en", "b", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.queries("q132_dsir_select")(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 3L))
+    assert(rows.map(_.getDouble(2)).toSeq == rows.map(_.getDouble(2)).sortBy(-_).toSeq)
+    // hand-check doc 1's avg llr: every token is x
+    val llrX = math.log(5.0 / 260.0) - math.log(8.0 / 269.0)
+    assert(math.abs(rows(0).getDouble(2) - llrX) < 1e-6)
+    // fixture: top-100 of 500 docs, scores monotone, layout-free
+    val full = Pipeline.queries("q132_dsir_select")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(full.length == 100)
+    assert(full.map(_._3).toSeq == full.map(_._3).sortBy(-_).toSeq)
+    val dir2 = java.nio.file.Files.createTempDirectory("q132det").toString
+    Tables(spark, sf).documents.orderBy(rand(7)).repartition(5)
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val again = Pipeline.queries("q132_dsir_select")(spark, dir2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(full.toSeq == again.toSeq, "selection must not depend on layout")
+  }
+
+  test("bpe tokenize: type rollup equals per-occurrence form") {
+    val a = Pipeline.queries("q131_bpe_tokenize")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val b = Pipeline.bpeTokenizeOcc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("perceptron: separable planted corpus converges in one update, layout-free") {
+    val session = spark
+    import session.implicits._
+    // round 1: w=0 -> margin 0 -> BOTH docs misclassified, grad =
+    // (+2)e_good + (-2)e_bad, l1 = 4. round 2+: margins +-4, zero
+    // misclassified, weights frozen. (Relies on 'good' and 'bad'
+    // hashing to different buckets mod 64 — asserted by l1 = 4.)
+    val dir = java.nio.file.Files.createTempDirectory("q133sep").toString
+    Seq((1L, "good good", "en", "a", 9L), (2L, "bad bad", "en", "b", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.queries("q133_train_classifier")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 2L, 4L), (2L, 0L, 4L), (3L, 0L, 4L),
+      (4L, 0L, 4L), (5L, 0L, 4L)))
+    // fixture: 5 curve rows, deterministic under physical layout
+    val full = Pipeline.queries("q133_train_classifier")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(full.length == 5)
+    assert(full.head._2 == Tables(spark, sf).documents.count(),
+      "round 1 under w=0 misclassifies every doc")
+    val dir2 = java.nio.file.Files.createTempDirectory("q133det").toString
+    Tables(spark, sf).documents.orderBy(rand(13)).repartition(7)
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val again = Pipeline.queries("q133_train_classifier")(spark, dir2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(full.toSeq == again.toSeq, "trajectory must not depend on layout")
+  }
+
   test("stratified sample: exact k per stratum, deterministic, bottom-k consistent") {
     val rows = Pipeline.queries("q128_stratified_sample")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
