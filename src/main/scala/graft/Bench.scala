@@ -247,7 +247,12 @@ object Bench {
       // cold perceptron training (q133's median is a memo hit)
       "x133_perceptron_cold" ->
         (() => { graft.queries.Pipeline.perceptronTrain(
-          Tables(spark, sfDir).documents, 5); () }))
+          Tables(spark, sfDir).documents, 5); () }),
+      // DSIR scoring pair: the HOF fold q132's kernel replaced
+      "x132_dsir_score_hof" ->
+        (() => force(graft.queries.Pipeline.dsirScoreHof(
+          Tables(spark, sfDir).documents,
+          graft.queries.Pipeline.dsirLlrCached(spark, sfDir)))))
     val runnables: Seq[(String, () => Unit)] =
       SparkEntry.queries.toSeq.sortBy(_._1).filter(q => selected(q._1))
         .map { case (name, fn) => name -> (() => force(fn(spark, sfDir))) } ++

@@ -36,10 +36,21 @@ object MediaKernel {
       ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
   private def le16(p: Array[Byte], i: Int): Int =
     (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+  private def be16(p: Array[Byte], i: Int): Int =
+    ((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)
 
   private def isPng(p: Array[Byte]): Boolean =
     p.length >= 8 && java.util.Arrays.equals(
       java.util.Arrays.copyOfRange(p, 0, 8), PNG_SIG)
+
+  private def isJpeg(p: Array[Byte]): Boolean =
+    p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 &&
+      (p(2) & 0xff) == 0xff
+
+  /** Start-of-frame markers carrying dimensions (C0-CF minus DHT C4,
+    * JPG C8, DAC CC — ITU T.81 table B.1). */
+  private def isSof(m: Int): Boolean =
+    m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
 
   private def isWav(p: Array[Byte]): Boolean =
     p.length >= 12 &&
@@ -78,6 +89,39 @@ object MediaKernel {
         }
         if (len < 0 || pos + 12 + len > p.length) return r
         pos += 12 + len
+      }
+      r
+    } else if (isJpeg(p)) {
+      // marker walk per ITU T.81 §B: segments are FF <marker> <be16
+      // len including itself>; dimensions live in the first SOF frame
+      // header (precision, height, width, component count). Image
+      // fields reuse the PNG columns: bit_depth = sample precision,
+      // color_type = component count (3 = YCbCr, 1 = grayscale).
+      r.update(0, UTF8String.fromString("jpeg"))
+      var pos = 2
+      while (pos + 2 <= p.length && (p(pos) & 0xff) == 0xff) {
+        val m = p(pos + 1) & 0xff
+        if (m == 0xd9) return r                       // EOI before SOF
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) pos += 2 // bare
+        else if (pos + 4 > p.length) return r
+        else {
+          val segLen = be16(p, pos + 2)
+          if (segLen < 2 || pos + 2 + segLen > p.length) return r
+          if (isSof(m)) {
+            if (segLen < 8 || pos + 10 > p.length) return r
+            val ncomp = p(pos + 9) & 0xffL
+            r.setLong(1, be16(p, pos + 7))            // width
+            r.setLong(2, be16(p, pos + 5))            // height
+            r.setLong(3, p(pos + 4) & 0xffL)          // precision
+            r.setLong(4, ncomp)                       // components
+            // structural validity: the SOF segment length must carry
+            // exactly its component table (corrupt lengths flip false)
+            r.setBoolean(8, segLen == 8 + 3 * ncomp)
+            return r
+          }
+          if (m == 0xda) return r                     // SOS: entropy data
+          pos += 2 + segLen
+        }
       }
       r
     } else if (isWav(p)) {
@@ -149,6 +193,34 @@ object MediaKernel {
       .putShort(blockAlign.toShort)
       .putShort(bitsPerSample.toShort)
       .put("data".getBytes("US-ASCII")).putInt(0)
+    b.array()
+  }
+
+  /** Build a spec-valid JPEG header: SOI, APP0/JFIF, SOF0 frame header
+    * with the dimensions and component count, EOI — the marker
+    * structure any JPEG reader's header pass accepts (no entropy
+    * stream; 32 + 3*components bytes). */
+  def jpegEncode(width: Long, height: Long, components: Long): Array[Byte] = {
+    val n = components.toInt
+    val b = java.nio.ByteBuffer.allocate(32 + 3 * n) // big-endian default
+    b.put(0xff.toByte).put(0xd8.toByte)              // SOI
+      .put(0xff.toByte).put(0xe0.toByte).putShort(16)// APP0, len 16
+      .put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      .put(1.toByte).put(1.toByte)                   // version 1.1
+      .put(0.toByte)                                 // units: none
+      .putShort(1).putShort(1)                       // aspect 1:1
+      .put(0.toByte).put(0.toByte)                   // no thumbnail
+      .put(0xff.toByte).put(0xc0.toByte)             // SOF0 (baseline)
+      .putShort((8 + 3 * n).toShort)
+      .put(8.toByte)                                 // precision
+      .putShort(height.toShort).putShort(width.toShort)
+      .put(n.toByte)
+    var c = 0
+    while (c < n) {
+      b.put((c + 1).toByte).put(0x11.toByte).put(0.toByte)
+      c += 1
+    }
+    b.put(0xff.toByte).put(0xd9.toByte)              // EOI
     b.array()
   }
 }

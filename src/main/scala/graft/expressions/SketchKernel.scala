@@ -542,6 +542,43 @@ object SketchKernel {
     * (measured round 10); this is the same arithmetic at loop speed.
     * Empty input yields 64 Long.MaxValue sentinels (callers filter
     * empty shingle sets to match the oracle's absent rows). */
+  /** Johnson-Lindenstrauss sign projection (q134): out[j] =
+    * sum_i signs[j*d + i] * qv[i] over the flattened plan-literal
+    * +-1 sign matrix — exact integer sums, one kernel pass per vector
+    * (Achlioptas 2003's database-friendly +-1 variant). */
+  def jlProject(qv: ArrayData, signs: ArrayData, outDims: Int): ArrayData = {
+    val d = qv.numElements()
+    val out = new Array[Long](outDims)
+    var j = 0
+    while (j < outDims) {
+      var s = 0L
+      var i = 0
+      while (i < d) { s += signs.getLong(j * d + i) * qv.getLong(i); i += 1 }
+      out(j) = s
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.map(java.lang.Long.valueOf(_): Any))
+  }
+
+  /** DSIR document score (q132): sum over tokens of
+    * llr[md5('dsir:' ‖ tok) & (|llr|-1)], one kernel pass per document
+    * in token order — bit-identical to the transform/aggregate HOF
+    * fold it replaces, without the per-token lambda dispatch and
+    * Column-tree md5 (measured: the q129 lesson applied to scoring). */
+  def dsirSum(toks: ArrayData, llr: ArrayData): Double = {
+    val mask = llr.numElements() - 1
+    var sum = 0.0d
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val h = md5Lower64(("dsir:" + toks.getUTF8String(i).toString).getBytes("UTF-8"))
+      sum += llr.getDouble((h & mask).toInt)
+      i += 1
+    }
+    sum
+  }
+
   /** Hashed bag-of-words feature vector (q133's classifier features,
     * the fasttext input shape): bucket = md5(salt ‖ tok) & (buckets-1),
     * counts returned as a fixed-length long array. One kernel pass per

@@ -401,6 +401,12 @@ object functions {
     call(MD, Bin, "pngEncode", Seq(LongType, LongType, LongType, LongType),
       width, height, bitDepth, colorType)
 
+  /** Spec-valid JPEG header builder (SOI + APP0/JFIF + SOF0 + EOI,
+    * 32 + 3*components bytes, no entropy stream). */
+  def jpeg_encode(width: Column, height: Column, components: Column): Column =
+    call(MD, Bin, "jpegEncode", Seq(LongType, LongType, LongType),
+      width, height, components)
+
   /** Canonical 44-byte PCM WAV header builder. */
   def wav_encode(sampleRate: Column, channels: Column, bitsPerSample: Column): Column =
     call(MD, Bin, "wavEncode", Seq(LongType, LongType, LongType),
@@ -428,6 +434,22 @@ object functions {
   def bpe_apply(word: Column, lhs: Column, rhs: Column): Column =
     call(K, ArrayType(StringType, containsNull = false), "bpeApply",
       Seq(Str, ArrS, ArrS), word, lhs, rhs)
+
+  /** Johnson-Lindenstrauss +-1 sign projection of a quantized vector
+    * against a flattened plan-literal sign matrix
+    * (SketchKernel.jlProject). */
+  def jl_project(qv: Column, signs: Column, outDims: Int): Column =
+    call(K, ArrayType(LongType, containsNull = false), "jlProject",
+      Seq(ArrayType(LongType, containsNull = false),
+        ArrayType(LongType, containsNull = false), IntegerType),
+      qv, signs, F.lit(outDims))
+
+  /** DSIR per-doc llr sum: one kernel pass over the token array
+    * against a plan-literal llr table (SketchKernel.dsirSum; table
+    * length must be a power of two). */
+  def dsir_sum(toks: Column, llr: Column): Column =
+    call(K, DoubleType, "dsirSum",
+      Seq(ArrS, ArrayType(DoubleType, containsNull = false)), toks, llr)
 
   /** Hashed bag-of-words feature counts: bucket = md5(salt ‖ tok) &
     * (buckets-1), one kernel pass per document

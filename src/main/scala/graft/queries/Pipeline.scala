@@ -229,11 +229,26 @@ object Pipeline {
   private val dsirTables =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
 
+  /** Memoized llr build (shared by q132 and the bench pair, so the
+    * x-shape times scoring, not re-training). */
+  private[graft] def dsirLlrCached(s: SparkSession, dir: String): Array[Double] =
+    memo(dsirTables, dir)(dsirLlr(Tables(s, dir).documents))
+
   /** q132's scoring half over a trained llr table: pure per-row
     * Columns (tokenize, hash, look up, average), so the identical code
     * plans over readStream — the streaming twin scores arriving docs
     * against the same plan-literal model, append-safe, no state. */
   private[graft] def dsirScore(docs: DataFrame, llr: Array[Double]): DataFrame = {
+    val t = toks(col("text"))
+    docs.select(col("doc_id"), size(t).cast("long").as("n_tokens"),
+      round(dsir_sum(t, typedlit(llr.toSeq)) / size(t), 6).as("llr_avg"))
+  }
+
+  /** dsirScore's superseded HOF form (transform + element_at +
+    * aggregate, one md5 Column tree per token), kept for the bench
+    * pair (x132) and the spec pinning the kernel bit-identical:
+    * both fold the same doubles in token order. */
+  private[graft] def dsirScoreHof(docs: DataFrame, llr: Array[Double]): DataFrame = {
     val llrLit = typedlit(llr.toSeq)
     val t = toks(col("text"))
     val perTok = transform(t, tok => element_at(llrLit,
@@ -2072,9 +2087,73 @@ object Pipeline {
       // pattern), so SCORING is map-only per-row — tokenize, hash,
       // look up, sum — and selection is TakeOrdered top-k. The corpus
       // is read twice total and never joins or re-shuffles.
-      val llr = memo(dsirTables, dir)(dsirLlr(Tables(s, dir).documents))
-      dsirScore(Tables(s, dir).documents, llr)
+      dsirScore(Tables(s, dir).documents, dsirLlrCached(s, dir))
         .orderBy(col("llr_avg").desc, col("doc_id")).limit(100)
+    },
+
+    "q134_jl_project" -> { (s, dir) =>
+      // RANDOM-PROJECTION dimensionality reduction (Johnson-
+      // Lindenstrauss via Achlioptas 2003's +-1 signs): 64-d
+      // embeddings down to 16-d, the standard cost-cutter in front of
+      // ANN / clustering / dedup (4x less memory and dot-product work
+      // for q41/q57/q93-shaped consumers, angles preserved to
+      // ~1/sqrt(16) — the spec measures the actual distortion).
+      // Everything is exact integer arithmetic: vectors quantize to
+      // 1e-4 longs (q114's fixed point), the sign matrix is
+      // md5-derived (deterministic, reproducible by the oracle), and
+      // each output component is an integer dot product — bit-stable
+      // at any partitioning. Plan: MAP-ONLY, zero shuffles, the 16x64
+      // sign matrix rides as a 1 KB plan literal; at 100 TB this is
+      // one codegen'd projection pass, and the 16 output columns are
+      // the gated contract (every vector, every component, exact).
+      val signs = Array.tabulate(16 * 64) { k =>
+        val (j, i) = (k / 64, k % 64)
+        if ((graft.expressions.SketchKernel.md5Lower64(
+          s"jl:$j:$i".getBytes("UTF-8")) & 1L) == 0L) 1L else -1L
+      }
+      val qv = transform(col("embedding"),
+        x => floor(x.cast("double") * 10000d + 0.5).cast("long"))
+      // orderBy FIRST (the q116 rule: the kernel projection must stay
+      // above the range exchange or the sort-sampling pass evaluates
+      // it twice), then a two-step select: the kernel call is
+      // referenced 16 times below, and CollapseProject leaves a
+      // multiply-referenced non-trivial expression in its own
+      // projection — ONE kernel run per row
+      Tables(s, dir).embeddings.orderBy(col("vec_id"))
+        .select(col("vec_id"), jl_project(qv, typedlit(signs.toSeq), 16).as("proj"))
+        .select(col("vec_id") +: (0 until 16).map(j =>
+          element_at(col("proj"), j + 1).as(s"p$j")): _*)
+    },
+
+    "q135_pmi_collocations" -> { (s, dir) =>
+      // COLLOCATION extraction by pointwise mutual information over
+      // adjacent bigrams (Church & Hanks 1990) — the corpus-statistics
+      // pass behind tokenizer audits and phrase mining. Every count
+      // comes from ONE bigram-type table: occurrences collapse in the
+      // map-side combine (the q131 rollup — the shuffle carries pair
+      // TYPES, not the token stream), the a- and b-marginals are two
+      // window sums over that small table, and the bigram total rides
+      // in as a broadcast 1-row frame (q124's pattern — no global
+      // single-partition window). PMI = ln(cnt*N / (ca*cb)) on exact
+      // integer counts, rounded to 6dp like every FP compare; min
+      // count 5 prunes the long tail before the windows; output =
+      // top-20 by (pmi, a, b) via TakeOrdered.
+      val prs = Tables(s, dir).documents
+        .select(explode(zip_with(
+          slice(toks(col("text")), lit(1), greatest(size(toks(col("text"))) - 1, lit(0))),
+          slice(toks(col("text")), lit(2), greatest(size(toks(col("text"))) - 1, lit(0))),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val total = prs.agg(sum(col("cnt")).as("n"))
+      prs
+        .withColumn("ca", sum(col("cnt")).over(Window.partitionBy(col("a"))))
+        .withColumn("cb", sum(col("cnt")).over(Window.partitionBy(col("b"))))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") >= 5)
+        .select(col("a"), col("b"), col("cnt"),
+          round(log(col("cnt") * col("n") / (col("ca") * col("cb"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("a"), col("b")).limit(20)
     },
 
     "q133_train_classifier" -> { (s, dir) =>
@@ -2172,29 +2251,35 @@ object Pipeline {
     "q127_media_decode" -> { (s, dir) =>
       // REAL container decode over planted media payloads — closes the
       // round-9 "decode step stubbed" caveat. Each doc carries a
-      // spec-valid media header derived from its metadata (even doc_id:
-      // PNG — signature, IHDR with real CRC-32, IDAT, IEND; odd: PCM
-      // WAV — RIFF/WAVE/fmt, little-endian), and media_info PARSES it
-      // back: magic sniff, generic chunk walk, CRC validation
-      // (MediaKernel; MediaSpec pins the parser against a canonical
-      // real-world 1x1 PNG and real 44-byte WAV bytes, so this is a
-      // file parser, not a fixture-only inverse). The oracle recomputes
-      // the expected fields ARITHMETICALLY from the source columns —
-      // independent of both codec sides — so an encode/decode bug
-      // cannot cancel out. Plan: per-row kernel projection, zero
-      // shuffles beyond the presentation sort; at 100 TB this is the
-      // map-only "header triage" pass (dedupe by dims, route by sample
-      // rate, drop corrupt payloads) that runs before any expensive
-      // full decode.
-      val payload = when(col("doc_id") % 2 === 0,
+      // spec-valid media header derived from its metadata (doc_id mod
+      // 3: PNG — signature, IHDR with real CRC-32, IDAT, IEND; PCM
+      // WAV — RIFF/WAVE/fmt, little-endian; JPEG — SOI/APP0-JFIF/SOF0
+      // marker stream, ITU T.81), and media_info PARSES it back:
+      // magic sniff, generic chunk/marker walk, CRC and structural
+      // validation (MediaKernel; MediaSpec pins the parser against a
+      // canonical real-world 1x1 PNG, real 44-byte WAV bytes, and a
+      // live ImageIO-encoded JPEG, so this is a file parser, not a
+      // fixture-only inverse). The oracle recomputes the expected
+      // fields ARITHMETICALLY from the source columns — independent of
+      // both codec sides — so an encode/decode bug cannot cancel out.
+      // Plan: per-row kernel projection, zero shuffles beyond the
+      // presentation sort; at 100 TB this is the map-only "header
+      // triage" pass (dedupe by dims, route by sample rate, drop
+      // corrupt payloads) that runs before any expensive full decode.
+      val payload = when(col("doc_id") % 3 === 0,
         png_encode((col("n_chars") % 1023 + 1).cast("long"),
           (col("doc_id") % 767 + 1).cast("long"), lit(8L),
           when(col("doc_id") % 4 === 0, 6L).otherwise(2L).cast("long")))
-        .otherwise(wav_encode(
-          when(col("doc_id") % 3 === 0, 8000L)
-            .when(col("doc_id") % 3 === 1, 16000L).otherwise(44100L).cast("long"),
+        .when(col("doc_id") % 3 === 1, wav_encode(
+          when(col("doc_id") % 5 === 0, 8000L)
+            .when(col("doc_id") % 5 === 1, 16000L)
+            .when(col("doc_id") % 5 === 2, 22050L)
+            .when(col("doc_id") % 5 === 3, 44100L).otherwise(48000L).cast("long"),
           when(col("doc_id") % 4 === 1, 1L).otherwise(2L).cast("long"),
           when(col("doc_id") % 8 < 4, 8L).otherwise(16L).cast("long")))
+        .otherwise(jpeg_encode((col("n_chars") % 511 + 1).cast("long"),
+          (col("doc_id") % 383 + 1).cast("long"),
+          when(col("doc_id") % 2 === 0, 3L).otherwise(1L).cast("long")))
       Tables(s, dir).documents.orderBy(col("doc_id"))
         .select(col("doc_id"), payload.as("payload"))
         .select(col("doc_id"), media_info(col("payload")).as("m"),
@@ -3453,6 +3538,38 @@ object Pipeline {
     // trajectory is exact integer arithmetic on both sides.
     "q133_train_classifier" -> perceptronOracleSql(5),
 
+    // PMI rebuilt: the same bigram-type counts, window marginals and
+    // natural log over exact integer ratios.
+    "q135_pmi_collocations" ->
+      s"""WITH pr AS (SELECT pr.a AS a, pr.b AS b
+            FROM (SELECT unnest(list_transform(range(1, len(lst)), i ->
+                struct_pack(a := lst[CAST(i AS INT)], b := lst[CAST(i AS INT) + 1]))) AS pr
+              FROM (SELECT $tokSql AS lst FROM documents) WHERE len(lst) >= 2)),
+          c AS (SELECT a, b, count(*) AS cnt FROM pr GROUP BY 1, 2),
+          m AS (SELECT a, b, cnt,
+              sum(cnt) OVER (PARTITION BY a) AS ca,
+              sum(cnt) OVER (PARTITION BY b) AS cb,
+              (SELECT sum(cnt) FROM c) AS n FROM c)
+          SELECT a, b, CAST(cnt AS BIGINT) AS cnt,
+            round(ln(cnt * n * 1.0 / (ca * cb)), 6) AS pmi
+          FROM m WHERE cnt >= 5
+          ORDER BY pmi DESC, a, b LIMIT 20""",
+
+    // JL projection rebuilt: the same md5-derived +-1 signs and
+    // integer dot products, one SQL expression per output component.
+    "q134_jl_project" -> {
+      val comps = (0 until 16).map { j =>
+        s"""CAST(list_sum(list_transform(range(1, 65), i ->
+             (CASE WHEN md5_number_lower('jl:$j:' || CAST(i - 1 AS VARCHAR)) & 1 = 0
+                   THEN 1 ELSE -1 END)
+             * CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000 + 0.5) AS BIGINT)))
+           AS BIGINT) AS p$j"""
+      }.mkString(",\n            ")
+      s"""SELECT vec_id,
+            $comps
+          FROM embeddings ORDER BY vec_id"""
+    },
+
     // Bottom-k-by-hash stratified sample rebuilt as the rank form the
     // engine deliberately avoids at scale: row_number over priority.
     "q128_stratified_sample" ->
@@ -3511,22 +3628,31 @@ object Pipeline {
     // 25 IHDR + 12 IDAT + 12 IEND = 57; WAV: canonical 44).
     "q127_media_decode" ->
       """SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS container,
-           CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars % 1023 + 1 AS BIGINT) END AS width,
-           CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 767 + 1 AS BIGINT) END AS height,
-           CASE WHEN doc_id % 2 = 0 THEN CAST(8 AS BIGINT) END AS bit_depth,
-           CASE WHEN doc_id % 2 = 0 THEN
-             CAST(CASE WHEN doc_id % 4 = 0 THEN 6 ELSE 2 END AS BIGINT) END AS color_type,
-           CASE WHEN doc_id % 2 = 1 THEN
-             CAST(CASE WHEN doc_id % 3 = 0 THEN 8000
-                       WHEN doc_id % 3 = 1 THEN 16000
-                       ELSE 44100 END AS BIGINT) END AS sample_rate,
-           CASE WHEN doc_id % 2 = 1 THEN
+           CASE WHEN doc_id % 3 = 0 THEN 'png'
+                WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'jpeg' END AS container,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars % 1023 + 1 AS BIGINT)
+                WHEN doc_id % 3 = 2 THEN CAST(n_chars % 511 + 1 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 767 + 1 AS BIGINT)
+                WHEN doc_id % 3 = 2 THEN CAST(doc_id % 383 + 1 AS BIGINT) END AS height,
+           CASE WHEN doc_id % 3 IN (0, 2) THEN CAST(8 AS BIGINT) END AS bit_depth,
+           CASE WHEN doc_id % 3 = 0 THEN
+             CAST(CASE WHEN doc_id % 4 = 0 THEN 6 ELSE 2 END AS BIGINT)
+                WHEN doc_id % 3 = 2 THEN
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS BIGINT) END AS color_type,
+           CASE WHEN doc_id % 3 = 1 THEN
+             CAST(CASE WHEN doc_id % 5 = 0 THEN 8000
+                       WHEN doc_id % 5 = 1 THEN 16000
+                       WHEN doc_id % 5 = 2 THEN 22050
+                       WHEN doc_id % 5 = 3 THEN 44100
+                       ELSE 48000 END AS BIGINT) END AS sample_rate,
+           CASE WHEN doc_id % 3 = 1 THEN
              CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END AS BIGINT) END AS channels,
-           CASE WHEN doc_id % 2 = 1 THEN
+           CASE WHEN doc_id % 3 = 1 THEN
              CAST(CASE WHEN doc_id % 8 < 4 THEN 8 ELSE 16 END AS BIGINT) END AS bits_per_sample,
            true AS valid,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 44 END AS BIGINT) AS payload_bytes
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 57
+                     WHEN doc_id % 3 = 1 THEN 44
+                     WHEN doc_id % 2 = 0 THEN 41 ELSE 35 END AS BIGINT) AS payload_bytes
          FROM documents ORDER BY doc_id""",
 
     // classifier gate, block keep-first rewrite, split, manifest.

@@ -319,6 +319,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming IVF search over a static index equals the batch q57 rows") {
+    import graft.streaming.AnnStreams
+    val embDir = {
+      val d = java.nio.file.Files.createTempDirectory("graft-emb-stream")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
+        d.resolve("embeddings.parquet"))
+      d.toString
+    }
+    val index = AnnStreams.ivfIndex(spark.read.parquet(embDir), 16)
+    val embSchema = spark.read.parquet(embDir).schema
+    val queries = spark.readStream.schema(embSchema).parquet(embDir)
+      .filter(col("vec_id") < 10)
+    val q = AnnStreams.ivfSearch(queries, index, 16, 4, 5)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ann_out").start()
+    try {
+      q.processAllAvailable()
+      val got = AnnStreams.decode(spark.table("ann_out")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = graft.queries.Pipeline.queries("q57_ann_ivf")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("dsir scoring on a stream equals the batch q132 scores") {
     // the model (256-double llr literal) trains in batch; scoring is
     // pure per-row Columns, so the same plan scores arriving docs —

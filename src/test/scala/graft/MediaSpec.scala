@@ -62,6 +62,29 @@ class MediaSpec extends AnyFunSuite {
     assert(e.getString(0) == "unknown" && !e.getBoolean(8))
   }
 
+  test("parses a LIVE ImageIO-encoded JPEG (real DQT/DHT/SOS marker stream)") {
+    // a genuinely real JPEG: encoded in-process by the JDK's baseline
+    // writer, so the marker walk must step over APP0, DQT and any
+    // other segments to find SOF0 — nothing about these bytes comes
+    // from jpegEncode
+    val img = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff8040)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, "jpg", bos)
+    assert(ok, "JDK baseline JPEG writer available")
+    val r = info(bos.toByteArray)
+    assert(r.getString(0) == "jpeg")
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L, "3x2")
+    assert(r.getLong(3) == 8L, "precision")
+    assert(r.getLong(4) == 3L, "YCbCr components")
+    assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7), "audio fields null")
+    assert(r.getBoolean(8), "SOF structural check")
+    // truncated before SOF: container sniffs as jpeg, no dims, invalid
+    val t = info(bos.toByteArray.take(12))
+    assert(t.getString(0) == "jpeg" && t.isNullAt(1) && !t.getBoolean(8))
+  }
+
   test("encoder output is parser-consistent AND byte-stable") {
     val session = spark
     import session.implicits._
@@ -83,5 +106,15 @@ class MediaSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(
       graft.expressions.MediaKernel.wavEncode(8000L, 1L, 8L), realWav))
     assert(graft.expressions.MediaKernel.pngEncode(1L, 1L, 8L, 6L).length == 57)
+    // jpeg: encode -> parse round trip, and the two oracle sizes
+    val jr = Seq((320L, 200L, 3L)).toDF("w", "h", "n")
+      .select(graft.functions.media_info(
+        graft.functions.jpeg_encode(col("w"), col("h"), col("n"))).as("m"))
+      .select("m.*").head()
+    assert(jr.getString(0) == "jpeg" && jr.getLong(1) == 320L
+      && jr.getLong(2) == 200L && jr.getLong(3) == 8L && jr.getLong(4) == 3L
+      && jr.getBoolean(8))
+    assert(graft.expressions.MediaKernel.jpegEncode(1L, 1L, 3L).length == 41)
+    assert(graft.expressions.MediaKernel.jpegEncode(1L, 1L, 1L).length == 35)
   }
 }

@@ -1202,12 +1202,88 @@ class PipelineSpec extends SparkSpec {
     assert(full.toSeq == again.toSeq, "selection must not depend on layout")
   }
 
+  test("dsir: kernel scoring is bit-identical to the HOF fold") {
+    val llr = Pipeline.dsirLlrCached(spark, sf)
+    val docs = Tables(spark, sf).documents
+    val a = Pipeline.dsirScore(docs, llr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val b = Pipeline.dsirScoreHof(docs, llr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("bpe tokenize: type rollup equals per-occurrence form") {
     val a = Pipeline.queries("q131_bpe_tokenize")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
     val b = Pipeline.bpeTokenizeOcc(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
     assert(a.toSeq == b.toSeq)
+  }
+
+  test("jl projection: exact components, JL-bounded angle distortion, layout-free") {
+    val rows = Pipeline.queries("q134_jl_project")(spark, sf).collect()
+    val n = Tables(spark, sf).embeddings.count()
+    assert(rows.length == n)
+    // hand-recompute vector 0's component p0 from first principles
+    val emb0 = Tables(spark, sf).embeddings.filter(col("vec_id") === 0L)
+      .head().getSeq[Float](1)
+    val p0 = (0 until 64).map { i =>
+      val sign = if ((graft.expressions.SketchKernel.md5Lower64(
+        s"jl:0:$i".getBytes("UTF-8")) & 1L) == 0L) 1L else -1L
+      sign * math.floor(emb0(i).toDouble * 10000d + 0.5).toLong
+    }.sum
+    assert(rows(0).getLong(1) == p0)
+    // distortion audit over the 32 lowest vec_ids' 496 pairs: cosine
+    // in 64-d vs projected 16-d. Achlioptas +-1 at m=16 gives per-pair
+    // std ~ 1/sqrt(m) = 0.25; measured mean |err| is ~0.20 on the
+    // fixture — assert the JL bound holds with slack
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val m = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (m == 0) 0.0 else d / m
+    }
+    val emb = Tables(spark, sf).embeddings.filter(col("vec_id") < 32)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble)).toMap
+    val proj = rows.filter(_.getLong(0) < 32).map(r =>
+      r.getLong(0) -> (1 to 16).map(r.getLong(_).toDouble)).toMap
+    val errs = for {
+      a <- emb.keys.toSeq.sorted; b <- emb.keys.toSeq.sorted if a < b
+    } yield math.abs(cos(emb(a), emb(b)) - cos(proj(a), proj(b)))
+    assert(errs.sum / errs.length < 0.25,
+      s"mean cosine distortion ${errs.sum / errs.length} exceeds the JL bound")
+    // layout determinism: integer arithmetic cannot depend on partitioning
+    val again = Pipeline.queries("q134_jl_project")(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("pmi: planted collocation ranks above independent pairs, hand-checked") {
+    val session = spark
+    import session.implicits._
+    // per doc tokens [alpha beta x y z x y z] -> 7 bigrams; x6 docs:
+    // (alpha,beta)=6, (beta,x)=6, (x,y)=12, (y,z)=12, (z,x)=6, N=42.
+    // margins: alpha-first=6, beta-second=6 -> pmi(alpha,beta) =
+    // ln(6*42/36) = ln(7); every other pair has a 12 margin ->
+    // ln(3.5). The planted collocation wins (ties broken (a,b) asc).
+    val dir = java.nio.file.Files.createTempDirectory("q135pmi").toString
+    val filler = "x y z x y z "
+    Seq.tabulate(6)(i => (i.toLong, s"alpha beta $filler", "en", "s0", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.queries("q135_pmi_collocations")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.head._1 == "alpha" && rows.head._2 == "beta",
+      s"planted collocation must rank first, got ${rows.head}")
+    // hand-check: alpha->beta cnt 6; beta->x 6 so ca(alpha)=6,
+    // cb(beta)=6; N = 6 docs * 7 bigrams = 42
+    assert(rows.head._3 == 6L)
+    assert(math.abs(rows.head._4 - math.log(6.0 * 42.0 / (6.0 * 6.0))) < 1e-6)
+    // fixture: 20 rows, scores monotone non-increasing
+    val full = Pipeline.queries("q135_pmi_collocations")(spark, sf).collect()
+      .map(r => r.getDouble(3))
+    assert(full.length == 20)
+    assert(full.toSeq == full.sortBy(-_).toSeq)
   }
 
   test("perceptron: separable planted corpus converges in one update, layout-free") {
