@@ -72,6 +72,10 @@ object Pipeline {
     * immutability assumption as embCount above). */
   private val tokCount = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** q136's train-split trigram-position total, memoized per dataset
+    * dir. */
+  private val triCount = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** q112's corpus stats (doc count N, average token-length avgdl),
     * memoized per dataset dir (same immutability assumption as
     * embCount) — one tiny global aggregate whose two scalars attach to
@@ -2125,6 +2129,58 @@ object Pipeline {
           element_at(col("proj"), j + 1).as(s"p$j")): _*)
     },
 
+    "q136_stupid_backoff" -> { (s, dir) =>
+      // Held-out LM scoring with STUPID BACKOFF (Brants et al. 2007 —
+      // the smoothing designed explicitly for MapReduce-scale LMs:
+      // no discounting state, just raw counts and a fixed 0.4 backoff
+      // factor). Counts come from the TRAIN split (q83's deterministic
+      // hash split) and score the held-out docs: p(c|a,b) = c_abc/c_ab
+      // if seen, else 0.4*c_bc/c_c, else 0.16*(c_c+1)/(N+1) — unlike
+      // the self-scored q98/q99, the backoff branches genuinely fire
+      // here (unseen eval trigrams), and the per-branch counts are
+      // part of the gated output. All counts ride conditional window
+      // sums over ONE trigram stream (train flags aggregated, eval
+      // rows filtered after): the c / (b,c) / (a,b,c) windows all
+      // contain c, so hash(c) serves the three back-to-back with NO
+      // re-exchange (ClusteredDistribution of a superset key is
+      // satisfied by the subset hash); only (a,b) re-shuffles. Two
+      // exchanges of the trigram stream + the doc rollup, documents
+      // never shuffle. N = train trigram positions, a memoized scalar.
+      val t = toks(col("text"))
+      val bucket = md5_lower64(concat(lit("split:"),
+        col("doc_id").cast("string")).cast("binary")).bitwiseAND(lit(1023L))
+      val n: Long = memo(triCount, dir)(
+        Tables(s, dir).documents.filter(bucket < 819)
+          .agg(coalesce(sum(greatest(size(t) - 2, lit(0)).cast("long")), lit(0L)))
+          .head.getLong(0))
+      val trainSum = sum(when(col("tr"), 1L).otherwise(0L))
+      val scored = Tables(s, dir).documents
+        .select(col("doc_id"), (bucket < 819).as("tr"), t.as("t"))
+        .select(col("doc_id"), col("tr"), explode(arrays_zip(
+          slice(col("t"), lit(1), greatest(size(col("t")) - 2, lit(0))),
+          slice(col("t"), lit(2), greatest(size(col("t")) - 2, lit(0))),
+          slice(col("t"), lit(3), greatest(size(col("t")) - 2, lit(0))))).as("g"))
+        .select(col("doc_id"), col("tr"), col("g.0").as("a"),
+          col("g.1").as("b"), col("g.2").as("c"))
+        .withColumn("c_c", trainSum.over(Window.partitionBy(col("c"))))
+        .withColumn("c_bc", trainSum.over(Window.partitionBy(col("b"), col("c"))))
+        .withColumn("c_abc",
+          trainSum.over(Window.partitionBy(col("a"), col("b"), col("c"))))
+        .withColumn("c_ab", trainSum.over(Window.partitionBy(col("a"), col("b"))))
+        .filter(!col("tr"))
+        .withColumn("p",
+          when(col("c_abc") > 0, col("c_abc").cast("double") / col("c_ab"))
+            .when(col("c_bc") > 0, lit(0.4) * col("c_bc") / col("c_c"))
+            .otherwise(lit(0.16) * (col("c_c") + 1) / lit(n + 1.0)))
+      scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pos"),
+          sum(when(col("c_abc") > 0, 1L).otherwise(0L)).as("n_tri"),
+          sum(when(col("c_abc") === 0 && col("c_bc") > 0, 1L).otherwise(0L)).as("n_bi"),
+          sum(when(col("c_abc") === 0 && col("c_bc") === 0, 1L).otherwise(0L)).as("n_uni"),
+          round(avg(-log2(col("p"))), 6).as("avg_backoff_bits"))
+        .orderBy(col("doc_id"))
+    },
+
     "q135_pmi_collocations" -> { (s, dir) =>
       // COLLOCATION extraction by pointwise mutual information over
       // adjacent bigrams (Church & Hanks 1990) — the corpus-statistics
@@ -3537,6 +3593,38 @@ object Pipeline {
     // gradient/update rounds over integer hashed features — the whole
     // trajectory is exact integer arithmetic on both sides.
     "q133_train_classifier" -> perceptronOracleSql(5),
+
+    // Stupid backoff rebuilt: one trigram stream with conditional
+    // train-count windows, eval rows filtered after, the same
+    // three-branch CASE and +1-smoothed unigram floor.
+    "q136_stupid_backoff" ->
+      s"""WITH t AS (SELECT doc_id,
+              (md5_number_lower('split:' || CAST(doc_id AS VARCHAR)) & 1023) < 819 AS tr,
+              $tokSql AS lst FROM documents),
+          tg AS (SELECT doc_id, tr, g.a AS a, g.b AS b, g.c AS c
+            FROM (SELECT doc_id, tr,
+                unnest(list_transform(range(1, len(lst) - 1), i ->
+                  struct_pack(a := lst[CAST(i AS INT)],
+                              b := lst[CAST(i AS INT) + 1],
+                              c := lst[CAST(i AS INT) + 2]))) AS g
+              FROM t WHERE len(lst) >= 3)),
+          n AS (SELECT sum(CASE WHEN tr THEN 1 ELSE 0 END) AS n FROM tg),
+          w AS (SELECT doc_id, tr, a, b, c,
+              sum(CASE WHEN tr THEN 1 ELSE 0 END) OVER (PARTITION BY c) AS c_c,
+              sum(CASE WHEN tr THEN 1 ELSE 0 END) OVER (PARTITION BY b, c) AS c_bc,
+              sum(CASE WHEN tr THEN 1 ELSE 0 END) OVER (PARTITION BY a, b, c) AS c_abc,
+              sum(CASE WHEN tr THEN 1 ELSE 0 END) OVER (PARTITION BY a, b) AS c_ab
+            FROM tg)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+            CAST(sum(CASE WHEN c_abc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+            CAST(sum(CASE WHEN c_abc = 0 AND c_bc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+            CAST(sum(CASE WHEN c_abc = 0 AND c_bc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+            round(avg(-log2(
+              CASE WHEN c_abc > 0 THEN c_abc * 1.0 / c_ab
+                   WHEN c_bc > 0 THEN 0.4 * c_bc / c_c
+                   ELSE 0.16 * (c_c + 1.0) / ((SELECT n FROM n) + 1) END)), 6)
+              AS avg_backoff_bits
+          FROM w WHERE NOT tr GROUP BY doc_id ORDER BY doc_id""",
 
     // PMI rebuilt: the same bigram-type counts, window marginals and
     // natural log over exact integer ratios.

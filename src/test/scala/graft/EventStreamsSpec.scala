@@ -344,6 +344,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming stupid-backoff scoring equals the batch q136 eval rows") {
+    import graft.streaming.LmStreams
+    // train counts built once from the static train split; the eval
+    // docs arrive as a stream and score via three stream-static joins
+    def bucket(c: org.apache.spark.sql.Column) =
+      graft.functions.md5_lower64(concat(lit("split:"),
+        c.cast("string")).cast("binary")).bitwiseAND(lit(1023L))
+    val all = spark.read.parquet(docsDir)
+    val (tri, bi, uni, n) =
+      LmStreams.backoffCounts(all.filter(bucket(col("doc_id")) < 819))
+    val docsSchema = all.schema
+    val stream = spark.readStream.schema(docsSchema).parquet(docsDir)
+      .filter(bucket(col("doc_id")) >= 819)
+    val q = LmStreams.backoffScore(stream, tri, bi, uni, n)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sb_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sb_out").collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      val batch = graft.queries.Pipeline.queries("q136_stupid_backoff")(spark, sf)
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("dsir scoring on a stream equals the batch q132 scores") {
     // the model (256-double llr literal) trains in batch; scoring is
     // pure per-row Columns, so the same plan scores arriving docs —

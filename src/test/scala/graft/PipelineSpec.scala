@@ -1257,6 +1257,49 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("stupid backoff: all three branches fire with hand-computed scores") {
+    val session = spark
+    import session.implicits._
+    // pick real split assignments (the query hashes doc_id): some
+    // train ids carrying "p q r", and three eval ids exercising each
+    // backoff tier — seen trigram (p=1), seen bigram (p=0.4), unseen
+    // unigram floor (p=0.16/(N+1))
+    def isTrain(id: Long): Boolean =
+      (graft.expressions.SketchKernel.md5Lower64(
+        s"split:$id".getBytes("UTF-8")) & 1023L) < 819L
+    val ids = (1L to 60L)
+    val train = ids.filter(isTrain).take(4)
+    val eval3 = ids.filterNot(isTrain).take(3)
+    assert(train.length == 4 && eval3.length == 3, "fixture ids cover both splits")
+    val docs = train.map(id => (id, "p q r", "en", "s0", 5L)) ++
+      Seq((eval3(0), "p q r", "en", "s0", 5L),   // tri: p = 4/4
+        (eval3(1), "x q r", "en", "s0", 5L),     // bi:  p = 0.4 * 4/4
+        (eval3(2), "x y z", "en", "s0", 5L))     // uni: p = 0.16/(4+1)
+    val dir = java.nio.file.Files.createTempDirectory("q136sb").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.queries("q136_stupid_backoff")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(rows.keySet == eval3.toSet, "only held-out docs are scored")
+    assert(rows(eval3(0)) == ((1L, 1L, 0L, 0L, 0.0)))
+    val bi = rows(eval3(1))
+    assert((bi._1, bi._2, bi._3, bi._4) == ((1L, 0L, 1L, 0L)))
+    assert(math.abs(bi._5 - (-math.log(0.4) / math.log(2))) < 1e-6)
+    val un = rows(eval3(2))
+    assert((un._1, un._2, un._3, un._4) == ((1L, 0L, 0L, 1L)))
+    assert(math.abs(un._5 - (-math.log(0.16 / 5.0) / math.log(2))) < 1e-6)
+    // fixture: deterministic under layout
+    val full = Pipeline.queries("q136_stupid_backoff")(spark, sf).collect()
+      .map(_.toSeq)
+    val dir2 = java.nio.file.Files.createTempDirectory("q136det").toString
+    Tables(spark, sf).documents.orderBy(rand(17)).repartition(5)
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val again = Pipeline.queries("q136_stupid_backoff")(spark, dir2).collect()
+      .map(_.toSeq)
+    assert(full.toSeq == again.toSeq)
+  }
+
   test("pmi: planted collocation ranks above independent pairs, hand-checked") {
     val session = spark
     import session.implicits._

@@ -23,7 +23,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q11_scalar_subquery", "q36_ann_topk", "q37_embedding_neardup",
     "q118_pq_ann",
     // q124 crosses against the broadcast ONE-ROW (vmin, vmax) scalar agg
-    "q124_quantile_sketch")
+    "q124_quantile_sketch",
+    // q135 crosses against the broadcast ONE-ROW bigram total (same
+    // pattern as q124's bounds row)
+    "q135_pmi_collocations")
 
   test("no unplanned cartesian products or nested-loop joins") {
     val offenders = Seq.newBuilder[String]
