@@ -233,6 +233,14 @@ object Pipeline {
   private val dsirTables =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
 
+  /** q134/q137's 16x64 Achlioptas sign matrix, flattened row-major —
+    * md5-derived so the oracle recomputes it cell by cell. */
+  private lazy val jlSigns: Array[Long] = Array.tabulate(16 * 64) { k =>
+    val (j, i) = (k / 64, k % 64)
+    if ((graft.expressions.SketchKernel.md5Lower64(
+      s"jl:$j:$i".getBytes("UTF-8")) & 1L) == 0L) 1L else -1L
+  }
+
   /** Memoized llr build (shared by q132 and the bench pair, so the
     * x-shape times scoring, not re-training). */
   private[graft] def dsirLlrCached(s: SparkSession, dir: String): Array[Double] =
@@ -2095,6 +2103,43 @@ object Pipeline {
         .orderBy(col("llr_avg").desc, col("doc_id")).limit(100)
     },
 
+    "q137_coarse_to_fine" -> { (s, dir) =>
+      // COARSE-TO-FINE ANN: q134's JL projection composed with q57's
+      // IVF routing — the standard staged retrieval shape (route in
+      // the cheap 16-d space, verify exactly in the original 64-d
+      // space on candidates only). Cell assignment runs on the
+      // PROJECTED integer vectors (exact ±integer dot products: the
+      // 16-d Rademacher dots are integer-valued doubles, so the argmax
+      // is deterministic on both engines — stronger than raw-float
+      // cells), cutting per-vector routing cost 4x; the exact cosine
+      // only ever touches ~nprobe/K of the corpus. Plan: one cell
+      // shuffle of (projected) vectors + broadcast query probes —
+      // q57's shape with the routing arithmetic on quarter-width
+      // vectors. The spec measures recall@5 against exact brute force.
+      val base = Tables(s, dir).embeddings
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("emb"),
+          jl_project(transform(col("embedding"),
+            x => floor(x.cast("double") * 10000d + 0.5).cast("long")),
+            typedlit(jlSigns.toSeq), 16).as("pj"))
+        .select(col("vec_id"), col("emb"),
+          transform(col("pj"), _.cast("double")).as("p16"))
+        .withColumn("ss", dot_product(col("emb"), col("emb")))
+      val data = base.withColumn("cell", ivf_cell(col("p16"), 16))
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qe"), col("ss").as("qss"),
+          explode(ivf_probes(col("p16"), 16, 4)).as("cell"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      data.join(broadcast(q), "cell")
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(dot_product(col("qe"), col("emb")) /
+          (sqrt(col("qss")) * sqrt(col("ss"))), 6))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("vec_id"), col("cos"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+
     "q134_jl_project" -> { (s, dir) =>
       // RANDOM-PROJECTION dimensionality reduction (Johnson-
       // Lindenstrauss via Achlioptas 2003's +-1 signs): 64-d
@@ -2110,11 +2155,6 @@ object Pipeline {
       // sign matrix rides as a 1 KB plan literal; at 100 TB this is
       // one codegen'd projection pass, and the 16 output columns are
       // the gated contract (every vector, every component, exact).
-      val signs = Array.tabulate(16 * 64) { k =>
-        val (j, i) = (k / 64, k % 64)
-        if ((graft.expressions.SketchKernel.md5Lower64(
-          s"jl:$j:$i".getBytes("UTF-8")) & 1L) == 0L) 1L else -1L
-      }
       val qv = transform(col("embedding"),
         x => floor(x.cast("double") * 10000d + 0.5).cast("long"))
       // orderBy FIRST (the q116 rule: the kernel projection must stay
@@ -2124,7 +2164,7 @@ object Pipeline {
       // multiply-referenced non-trivial expression in its own
       // projection — ONE kernel run per row
       Tables(s, dir).embeddings.orderBy(col("vec_id"))
-        .select(col("vec_id"), jl_project(qv, typedlit(signs.toSeq), 16).as("proj"))
+        .select(col("vec_id"), jl_project(qv, typedlit(jlSigns.toSeq), 16).as("proj"))
         .select(col("vec_id") +: (0 until 16).map(j =>
           element_at(col("proj"), j + 1).as(s"p$j")): _*)
     },
@@ -3593,6 +3633,41 @@ object Pipeline {
     // gradient/update rounds over integer hashed features — the whole
     // trajectory is exact integer arithmetic on both sides.
     "q133_train_classifier" -> perceptronOracleSql(5),
+
+    // Coarse-to-fine rebuilt: JL-project (integer dots), Rademacher
+    // cells over the 16-d projection, q57's probe/join/re-rank tail
+    // with the exact cosine on the ORIGINAL 64-d embedding.
+    "q137_coarse_to_fine" ->
+      """WITH pj AS (SELECT vec_id, embedding,
+             list_transform(range(0, 16), j -> CAST(list_sum(list_transform(range(1, 65), i ->
+               (CASE WHEN (md5_number_lower('jl:' || j::VARCHAR || ':' || (i-1)::VARCHAR) & 1) = 0
+                     THEN 1 ELSE -1 END)
+               * CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000 + 0.5) AS BIGINT)))
+               AS DOUBLE)) AS p,
+             list_sum(list_transform(range(1, 65), i ->
+               CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS ss
+           FROM embeddings),
+         c AS (SELECT vec_id, embedding, ss,
+             list_transform(range(0, 16), k -> list_sum(list_transform(range(1, 17), i ->
+               p[CAST(i AS INT)] *
+               (CASE WHEN (md5_number_lower('ivf_' || k::VARCHAR || '_' || (i-1)::VARCHAR) & 1) = 1
+                     THEN 1.0 ELSE -1.0 END)))) AS dots
+           FROM pj),
+         d AS (SELECT vec_id, embedding, ss, k, dots[CAST(k AS INT) + 1] AS dot
+               FROM c, range(0, 16) t(k)),
+         asg AS (SELECT vec_id, embedding, ss, k AS cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, k) AS rk FROM d),
+         data AS (SELECT vec_id, embedding, ss, cell FROM asg WHERE rk = 1),
+         probes AS (SELECT vec_id AS qid, embedding AS qe, ss AS qss, cell
+                    FROM asg WHERE vec_id < 10 AND rk <= 4),
+         p AS (SELECT pr.qid, e.vec_id,
+                round(list_sum(list_transform(range(1, 65), i ->
+                    CAST(pr.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                  / (sqrt(pr.qss) * sqrt(e.ss)), 6) AS cos
+               FROM data e JOIN probes pr ON e.cell = pr.cell AND e.vec_id <> pr.qid),
+         r AS (SELECT qid, vec_id, cos,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk FROM p)
+         SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
 
     // Stupid backoff rebuilt: one trigram stream with conditional
     // train-count windows, eval rows filtered after, the same
