@@ -167,7 +167,7 @@ object Pipeline {
   /** q131's superseded per-occurrence form, kept for the bench pair
     * (x131_bpe_apply_per_occ): bpe_apply runs once per token
     * OCCURRENCE with zero pre-shuffle — the right shape when the
-    * output is per-doc token ids, measured 7x slower than the
+    * output is per-doc token ids, measured 4.2x slower than the
     * word-type rollup at sf10 when the output is per-source stats. */
   private[graft] def bpeTokenizeOcc(s: SparkSession, dir: String): DataFrame = {
     val merges = memo(bpeMerges, dir)(bpeTrain(Tables(s, dir).documents, 6))
@@ -2065,7 +2065,7 @@ object Pipeline {
       // combine — the shuffle carries |sources|x|vocab| rows, not the
       // token stream — and the kernel runs once per TYPE, weighted by
       // n on the way to the source rollup. Measured at sf10 (900M
-      // occurrences): 18.4 s -> 2.6 s vs the per-occurrence map-only
+      // occurrences): 18.7 s -> 4.4 s vs the per-occurrence map-only
       // form, which remains the right shape only when the output
       // itself is per-document token ids. Training memoized with q130.
       val merges = memo(bpeMerges, dir)(bpeTrain(Tables(s, dir).documents, 6))
