@@ -2103,6 +2103,69 @@ object Pipeline {
         .orderBy(col("llr_avg").desc, col("doc_id")).limit(100)
     },
 
+    "q138_cohort_retention" -> { (s, dir) =>
+      // COHORT RETENTION matrix — the canonical product-analytics
+      // rollup: users bucketed by first-seen day, activity counted at
+      // (cohort, day-offset). Day arithmetic is exact integer division
+      // on epoch-micros (no timezone, no double rounding at day
+      // boundaries). ONE user shuffle: the first-seen window, the
+      // (user, cohort, offset) dedup AND nothing else touch the event
+      // stream — hash(user_id) satisfies the dedup's clustering (the
+      // q85 subset rule), so dedup adds no exchange; the final
+      // (cohort, offset) agg shuffles only deduped rows, bounded by
+      // |users| x |days|. Output is the |days|^2-bounded matrix.
+      val e = Tables(s, dir).events
+      e.select(col("user_id"), Tables.eventMicros(e).as("tus"))
+        .select(col("user_id"), expr("tus DIV 86400000000").as("day"))
+        .withColumn("cohort_day",
+          min(col("day")).over(Window.partitionBy(col("user_id"))))
+        .select(col("user_id"), col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .distinct()
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+
+    "q139_event_funnel" -> { (s, dir) =>
+      // STRICT-SEQUENCE step funnel (view -> click -> purchase within
+      // 7 days of the first view): each step's timestamp is the
+      // earliest qualifying event strictly after the previous step —
+      // three stacked conditional-min windows over the SAME
+      // hash(user_id) partitioning (each references the previous
+      // window's column; no re-exchange), then one row per user and a
+      // global rollup to a single funnel row. The event stream
+      // shuffles once; the rollup sees |users| rows. Completion is
+      // judged on the earliest-qualifying chain (standard strict
+      // semantics: a later click that would have converted does not
+      // resurrect a funnel whose earliest click missed the window).
+      val e = Tables(s, dir).events
+      val wu = Window.partitionBy(col("user_id"))
+      val seven = 7L * 86400000000L
+      val perUser = e
+        .select(col("user_id"), col("event_type"), Tables.eventMicros(e).as("tus"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("tus"))).over(wu))
+        .withColumn("t2", min(when(col("event_type") === "click" &&
+          col("tus") > col("t1"), col("tus"))).over(wu))
+        .withColumn("t3", min(when(col("event_type") === "purchase" &&
+          col("tus") > col("t2"), col("tus"))).over(wu))
+        .groupBy(col("user_id"))
+        .agg(first(col("t1")).as("t1"), first(col("t2")).as("t2"),
+          first(col("t3")).as("t3"))
+      perUser.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("t2").isNotNull && col("t2") - col("t1") <= seven, 1L)
+          .otherwise(0L)).as("n_click"),
+        sum(when(col("t3").isNotNull && col("t3") - col("t1") <= seven, 1L)
+          .otherwise(0L)).as("n_purchase"))
+        .withColumn("view_to_click",
+          round(col("n_click").cast("double") / col("n_view"), 6))
+        .withColumn("click_to_purchase",
+          round(col("n_purchase").cast("double") / col("n_click"), 6))
+    },
+
     "q137_coarse_to_fine" -> { (s, dir) =>
       // COARSE-TO-FINE ANN: q134's JL projection composed with q57's
       // IVF routing — the standard staged retrieval shape (route in
@@ -3633,6 +3696,46 @@ object Pipeline {
     // gradient/update rounds over integer hashed features — the whole
     // trajectory is exact integer arithmetic on both sides.
     "q133_train_classifier" -> perceptronOracleSql(5),
+
+    // Cohort retention rebuilt: integer day division on epoch-micros,
+    // first-seen window, distinct activity cells, matrix count.
+    "q138_cohort_retention" ->
+      """WITH e AS (SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+          c AS (SELECT user_id, day,
+                 min(day) OVER (PARTITION BY user_id) AS cohort_day FROM e),
+          d AS (SELECT DISTINCT user_id, cohort_day, day - cohort_day AS day_offset FROM c)
+          SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_users
+          FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Funnel rebuilt: the same three stacked conditional-min windows
+    // (each layered in its own select so it can reference the
+    // previous step), per-user rollup, single funnel row.
+    "q139_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+          s1 AS (SELECT user_id, event_type, tus,
+                  min(CASE WHEN event_type = 'view' THEN tus END)
+                    OVER (PARTITION BY user_id) AS t1 FROM e),
+          s2 AS (SELECT user_id, event_type, tus, t1,
+                  min(CASE WHEN event_type = 'click' AND tus > t1 THEN tus END)
+                    OVER (PARTITION BY user_id) AS t2 FROM s1),
+          s3 AS (SELECT user_id, t1, t2,
+                  min(CASE WHEN event_type = 'purchase' AND tus > t2 THEN tus END)
+                    OVER (PARTITION BY user_id) AS t3 FROM s2),
+          u AS (SELECT user_id, any_value(t1) AS t1, any_value(t2) AS t2,
+                  any_value(t3) AS t3 FROM s3 GROUP BY user_id),
+          f AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                  CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                  CAST(sum(CASE WHEN t2 IS NOT NULL AND t2 - t1 <= 604800000000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                  CAST(sum(CASE WHEN t3 IS NOT NULL AND t3 - t1 <= 604800000000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+                FROM u)
+          SELECT n_users, n_view, n_click, n_purchase,
+            round(n_click * 1.0 / n_view, 6) AS view_to_click,
+            round(n_purchase * 1.0 / n_click, 6) AS click_to_purchase
+          FROM f""",
 
     // Coarse-to-fine rebuilt: JL-project (integer dots), Rademacher
     // cells over the 16-d projection, q57's probe/join/re-rank tail

@@ -1257,6 +1257,47 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("cohort retention: matrix invariants hold and offset 0 covers every user") {
+    val rows = Pipeline.queries("q138_cohort_retention")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0), "offsets are non-negative")
+    // every user appears in their cohort's offset-0 cell (first-seen
+    // day IS activity), so offset-0 counts sum to the user universe
+    val users = Tables(spark, sf).events
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(rows.filter(_._2 == 0).map(_._3).sum == users)
+    // a cohort's later-offset cell can never exceed its offset-0 cell
+    val day0 = rows.filter(_._2 == 0).map(r => r._1 -> r._3).toMap
+    assert(rows.forall(r => r._3 <= day0(r._1)))
+  }
+
+  test("event funnel: planted strict-sequence cases, hand-computed") {
+    val session = spark
+    import session.implicits._
+    val us = 1000000L
+    def ev(id: Long, u: Long, t: Long, ty: String) =
+      (id, new java.sql.Timestamp(t * 1000), u, ty, 1.0, "{}")
+    // u1 full funnel; u2 click BEFORE view (doesn't count) then
+    // purchase without a qualifying click; u3 completes but the click
+    // lands past 7 days; u4 never views
+    val events = Seq(
+      ev(1, 1, 1000, "view"), ev(2, 1, 2000, "click"), ev(3, 1, 3000, "purchase"),
+      ev(4, 2, 1000, "click"), ev(5, 2, 2000, "view"), ev(6, 2, 3000, "purchase"),
+      ev(7, 3, 1000, "view"), ev(8, 3, 8 * 86400 * 1000L, "click"),
+      ev(9, 4, 1000, "error"))
+    val dir = java.nio.file.Files.createTempDirectory("q139f").toString
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Pipeline.queries("q139_event_funnel")(spark, dir).head()
+    assert(r.getLong(0) == 4L, "n_users")
+    assert(r.getLong(1) == 3L, "n_view: u1 u2 u3")
+    assert(r.getLong(2) == 1L, "n_click: only u1 (u2 pre-view, u3 late)")
+    assert(r.getLong(3) == 1L, "n_purchase: only u1")
+    assert(r.getDouble(4) == Math.round(1.0 / 3.0 * 1e6) / 1e6)
+    assert(r.getDouble(5) == 1.0)
+  }
+
   test("coarse-to-fine ANN: recall@5 comparable to raw-space IVF at 1/4 routing cost") {
     def top5(name: String): Map[Long, Set[Long]] =
       Pipeline.queries(name)(spark, sf).collect()
