@@ -2103,6 +2103,58 @@ object Pipeline {
         .orderBy(col("llr_avg").desc, col("doc_id")).limit(100)
     },
 
+    "q141_event_transitions" -> { (s, dir) =>
+      // First-order Markov transition matrix over the event stream:
+      // P(next event type | current type) per user timeline — the
+      // journey-analysis rollup behind "what do users do after X".
+      // ONE user shuffle: the lag window orders each user's timeline
+      // (ties broken by event_id, so the matrix is layout-free), then
+      // the (from, to) pair counts and row-marginal window run over
+      // the |types|^2-bounded transition table. Probabilities are
+      // exact integer ratios rounded once.
+      val e = Tables(s, dir).events
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      val pairs = e
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          Tables.eventMicros(e).as("tus"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      pairs
+        .withColumn("row_total",
+          sum(col("n")).over(Window.partitionBy(col("from_type"))))
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("row_total"), 6).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
+    "q140_rolling_active" -> { (s, dir) =>
+      // DAU / trailing-7-day WAU / stickiness per day — the standard
+      // engagement rollup, built the way it survives 100 TB: rolling
+      // COUNT DISTINCT never runs as a window (distinct-over-window
+      // needs the full user set per frame); instead each (user, day)
+      // fact CONTRIBUTES to the 7 window-days it can activate
+      // (map-only sequence explode), and WAU is a plain dedup+count on
+      // (user, window_day). Everything after the first (user, day)
+      // dedup is bounded by |users| x |days| x 7, not by events.
+      // Output = activity days only (inner join of the two tiny aggs).
+      val e = Tables(s, dir).events
+      val ud = e.select(col("user_id"), Tables.eventMicros(e).as("tus"))
+        .select(col("user_id"), expr("tus DIV 86400000000").as("day"))
+        .distinct()
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+        .orderBy(col("day"))
+    },
+
     "q138_cohort_retention" -> { (s, dir) =>
       // COHORT RETENTION matrix — the canonical product-analytics
       // rollup: users bucketed by first-seen day, activity counted at
@@ -3696,6 +3748,34 @@ object Pipeline {
     // gradient/update rounds over integer hashed features — the whole
     // trajectory is exact integer arithmetic on both sides.
     "q133_train_classifier" -> perceptronOracleSql(5),
+
+    // Transition matrix rebuilt: the same lead window and pair
+    // counts, marginals as a window over the pair table.
+    "q141_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+          p AS (SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY tus, event_id) AS to_type
+                FROM e),
+          c AS (SELECT from_type, to_type, count(*) AS n FROM p
+                WHERE to_type IS NOT NULL GROUP BY 1, 2)
+          SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+            round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+          FROM c ORDER BY from_type, to_type""",
+
+    // Rolling actives rebuilt: the same contribution explode and
+    // double dedup.
+    "q140_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+          dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+          wau AS (SELECT wday AS day, count(DISTINCT user_id) AS wau
+                  FROM (SELECT user_id, day + k AS wday FROM ud, range(0, 7) t(k))
+                  GROUP BY wday)
+          SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+            round(d.dau * 1.0 / w.wau, 6) AS stickiness
+          FROM dau d JOIN wau w USING (day) ORDER BY day""",
 
     // Cohort retention rebuilt: integer day division on epoch-micros,
     // first-seen window, distinct activity cells, matrix count.

@@ -82,6 +82,33 @@ class KernelPropSpec extends AnyFunSuite {
     }
   }
 
+  test("mediaInfo: never throws on random bytes or truncated real payloads") {
+    import graft.expressions.MediaKernel
+    val genJunk = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    check(genJunk) { bytes =>
+      MediaKernel.mediaInfo(bytes) // parser must be total on junk
+    }
+    // every prefix of every valid encode parses without throwing, and
+    // only the full payload may claim valid
+    val payloads = Seq(
+      MediaKernel.pngEncode(640, 480, 8, 2),
+      MediaKernel.wavEncode(44100, 2, 16),
+      MediaKernel.jpegEncode(320, 200, 3))
+    for (p <- payloads; n <- 0 to p.length) {
+      val r = MediaKernel.mediaInfo(p.take(n))
+      if (n == p.length) assert(r.getBoolean(8), "full payload validates")
+    }
+    // single-byte corruptions parse without throwing
+    val genIdx = for {
+      p <- Gen.oneOf(payloads); i <- Gen.choose(0, p.length - 1)
+      b <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+    } yield (p, i, b)
+    check(genIdx) { case (p, i, b) =>
+      val c = p.clone(); c(i) = b
+      MediaKernel.mediaInfo(c)
+    }
+  }
+
   test("dsirSum: equals the naive token-order fold") {
     val llr = Seq.tabulate(256)(i => (i - 128) / 17.0)
     val genToks = Gen.listOf(Gen.oneOf("p", "q", "rr", "sss", ""))

@@ -1272,6 +1272,56 @@ class PipelineSpec extends SparkSpec {
     assert(rows.forall(r => r._3 <= day0(r._1)))
   }
 
+  test("event transitions: planted timelines, rows sum to 1") {
+    val session = spark
+    import session.implicits._
+    def ev(id: Long, u: Long, t: Long, ty: String) =
+      (id, new java.sql.Timestamp(t), u, ty, 1.0, "{}")
+    // u1: view->click->view->purchase, u2: view->view
+    val dir = java.nio.file.Files.createTempDirectory("q141tr").toString
+    Seq(ev(1, 1, 1000, "view"), ev(2, 1, 2000, "click"),
+      ev(3, 1, 3000, "view"), ev(4, 1, 4000, "purchase"),
+      ev(5, 2, 1000, "view"), ev(6, 2, 2000, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Pipeline.queries("q141_event_transitions")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // from=view has 3 transitions (u1's two + u2's one) -> 1/3 each
+    assert(rows == Map(
+      ("view", "click") -> ((1L, 0.333333)), ("view", "purchase") -> ((1L, 0.333333)),
+      ("view", "view") -> ((1L, 0.333333)), ("click", "view") -> ((1L, 1.0))))
+    // fixture: each from-row's probabilities sum to ~1
+    val full = Pipeline.queries("q141_event_transitions")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(3)))
+    full.groupBy(_._1).foreach { case (_, ps) =>
+      assert(math.abs(ps.map(_._2).sum - 1.0) < 1e-4)
+    }
+  }
+
+  test("rolling actives: hand-computed trailing window, wau bounds dau") {
+    val session = spark
+    import session.implicits._
+    def ev(id: Long, u: Long, day: Long) =
+      (id, new java.sql.Timestamp(day * 86400000L + 1000), u, "view", 1.0, "{}")
+    // u1 active d0 and d3, u2 active d0: DAU d0=2 d3=1;
+    // WAU(d0)={u1,u2}=2, WAU(d3) covers d-3..d3 -> both users = 2
+    val dir = java.nio.file.Files.createTempDirectory("q140ra").toString
+    Seq(ev(1, 1, 0), ev(2, 1, 3), ev(3, 2, 0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Pipeline.queries("q140_rolling_active")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byDay = rows.map(r => r._1 -> r).toMap
+    assert(rows.length == 2, "only activity days in the output")
+    assert(byDay.values.map(r => (r._2, r._3, r._4)).toSet ==
+      Set((2L, 2L, 1.0), (1L, 2L, 0.5)))
+    // fixture invariants: wau >= dau, stickiness in (0, 1]
+    val full = Pipeline.queries("q140_rolling_active")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(full.nonEmpty)
+    assert(full.forall { case (d, w, s) => w >= d && s > 0 && s <= 1.0 })
+  }
+
   test("event funnel: planted strict-sequence cases, hand-computed") {
     val session = spark
     import session.implicits._
