@@ -233,6 +233,24 @@ object Pipeline {
   private val dsirTables =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
 
+  /** q139/q142's shared funnel chain: per user, the earliest
+    * qualifying (view, click-after-view, purchase-after-click)
+    * timestamps — three stacked conditional-min windows over ONE
+    * hash(user_id) exchange, one output row per user. */
+  private[graft] def funnelTimes(e: org.apache.spark.sql.Dataset[_]): DataFrame = {
+    val wu = Window.partitionBy(col("user_id"))
+    e.select(col("user_id"), col("event_type"), Tables.eventMicros(e).as("tus"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("tus"))).over(wu))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("tus") > col("t1"), col("tus"))).over(wu))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("tus") > col("t2"), col("tus"))).over(wu))
+      .groupBy(col("user_id"))
+      .agg(first(col("t1")).as("t1"), first(col("t2")).as("t2"),
+        first(col("t3")).as("t3"))
+  }
+
   /** q134/q137's 16x64 Achlioptas sign matrix, flattened row-major —
     * md5-derived so the oracle recomputes it cell by cell. */
   private lazy val jlSigns: Array[Long] = Array.tabulate(16 * 64) { k =>
@@ -2103,6 +2121,37 @@ object Pipeline {
         .orderBy(col("llr_avg").desc, col("doc_id")).limit(100)
     },
 
+    "q142_funnel_latency" -> { (s, dir) =>
+      // Time-to-convert distribution for the q139 funnel: NEAREST-RANK
+      // percentiles (k = ceil(p*n), exact order statistic) of
+      // view->click and view->purchase latency over CONVERTED users —
+      // all-integer, so the value is bit-identical on both engines
+      // (interpolated percentiles of ~5e11-microsecond latencies
+      // diverge at the double's ulp, which at that magnitude is larger
+      // than any decimal rounding grid — measured before this form).
+      // The sort happens inside ONE single-row agg over the |users|
+      // rollup (sorted array in the final agg — at fact-scale inputs
+      // the q18/q124 percentile forms apply instead). Same one-shuffle
+      // funnel chain as q139 (shared funnelTimes).
+      val seven = 7L * 86400000000L
+      val cl = when(col("t2").isNotNull && col("t2") - col("t1") <= seven,
+        col("t2") - col("t1"))
+      val pl = when(col("t3").isNotNull && col("t3") - col("t1") <= seven,
+        col("t3") - col("t1"))
+      def rank(arr: Column, n: Column, num: Int, den: Int): Column =
+        element_at(arr, ((n * num + (den - 1)) / den).cast("int"))
+      funnelTimes(Tables(s, dir).events)
+        .select(cl.as("cl"), pl.as("pl"))
+        .agg(sort_array(collect_list(col("cl"))).as("cls"),
+          sort_array(collect_list(col("pl"))).as("pls"))
+        .select(size(col("cls")).cast("long").as("n_click_conv"),
+          rank(col("cls"), size(col("cls")), 1, 2).as("click_p50_us"),
+          rank(col("cls"), size(col("cls")), 9, 10).as("click_p90_us"),
+          size(col("pls")).cast("long").as("n_purchase_conv"),
+          rank(col("pls"), size(col("pls")), 1, 2).as("purchase_p50_us"),
+          rank(col("pls"), size(col("pls")), 9, 10).as("purchase_p90_us"))
+    },
+
     "q141_event_transitions" -> { (s, dir) =>
       // First-order Markov transition matrix over the event stream:
       // P(next event type | current type) per user timeline — the
@@ -2191,21 +2240,8 @@ object Pipeline {
       // judged on the earliest-qualifying chain (standard strict
       // semantics: a later click that would have converted does not
       // resurrect a funnel whose earliest click missed the window).
-      val e = Tables(s, dir).events
-      val wu = Window.partitionBy(col("user_id"))
       val seven = 7L * 86400000000L
-      val perUser = e
-        .select(col("user_id"), col("event_type"), Tables.eventMicros(e).as("tus"))
-        .withColumn("t1",
-          min(when(col("event_type") === "view", col("tus"))).over(wu))
-        .withColumn("t2", min(when(col("event_type") === "click" &&
-          col("tus") > col("t1"), col("tus"))).over(wu))
-        .withColumn("t3", min(when(col("event_type") === "purchase" &&
-          col("tus") > col("t2"), col("tus"))).over(wu))
-        .groupBy(col("user_id"))
-        .agg(first(col("t1")).as("t1"), first(col("t2")).as("t2"),
-          first(col("t3")).as("t3"))
-      perUser.agg(
+      funnelTimes(Tables(s, dir).events).agg(
         count(lit(1)).as("n_users"),
         sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("n_view"),
         sum(when(col("t2").isNotNull && col("t2") - col("t1") <= seven, 1L)
@@ -2758,6 +2794,22 @@ object Pipeline {
     })
 
   private val tokSql = """string_split_regex(trim(text), '\s+')"""
+
+  /** q139/q142's shared funnel CTE block (mirrors funnelTimes). */
+  private val funnelCteSql =
+    """WITH e AS (SELECT user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+          s1 AS (SELECT user_id, event_type, tus,
+                  min(CASE WHEN event_type = 'view' THEN tus END)
+                    OVER (PARTITION BY user_id) AS t1 FROM e),
+          s2 AS (SELECT user_id, event_type, tus, t1,
+                  min(CASE WHEN event_type = 'click' AND tus > t1 THEN tus END)
+                    OVER (PARTITION BY user_id) AS t2 FROM s1),
+          s3 AS (SELECT user_id, t1, t2,
+                  min(CASE WHEN event_type = 'purchase' AND tus > t2 THEN tus END)
+                    OVER (PARTITION BY user_id) AS t3 FROM s2),
+          u AS (SELECT user_id, any_value(t1) AS t1, any_value(t2) AS t2,
+                  any_value(t3) AS t3 FROM s3 GROUP BY user_id)"""
 
   /** q130's oracle, generated for T rounds: w0/c0 seed the word-type
     * table with code-point symbol lists; each round r contributes
@@ -3749,6 +3801,26 @@ object Pipeline {
     // trajectory is exact integer arithmetic on both sides.
     "q133_train_classifier" -> perceptronOracleSql(5),
 
+    // Funnel latency rebuilt: the shared funnel CTEs, converted-user
+    // latencies, quantile_cont percentiles.
+    "q142_funnel_latency" -> (funnelCteSql +
+      """,
+          l AS (SELECT
+                  CASE WHEN t2 IS NOT NULL AND t2 - t1 <= 604800000000
+                       THEN t2 - t1 END AS cl,
+                  CASE WHEN t3 IS NOT NULL AND t3 - t1 <= 604800000000
+                       THEN t3 - t1 END AS pl
+                FROM u),
+          a AS (SELECT list_sort(list(cl) FILTER (cl IS NOT NULL)) AS cls,
+                  list_sort(list(pl) FILTER (pl IS NOT NULL)) AS pls FROM l)
+          SELECT CAST(len(cls) AS BIGINT) AS n_click_conv,
+            cls[CAST((len(cls) * 1 + 1) // 2 AS INT)] AS click_p50_us,
+            cls[CAST((len(cls) * 9 + 9) // 10 AS INT)] AS click_p90_us,
+            CAST(len(pls) AS BIGINT) AS n_purchase_conv,
+            pls[CAST((len(pls) * 1 + 1) // 2 AS INT)] AS purchase_p50_us,
+            pls[CAST((len(pls) * 9 + 9) // 10 AS INT)] AS purchase_p90_us
+          FROM a"""),
+
     // Transition matrix rebuilt: the same lead window and pair
     // counts, marginals as a window over the pair table.
     "q141_event_transitions" ->
@@ -3791,20 +3863,8 @@ object Pipeline {
     // Funnel rebuilt: the same three stacked conditional-min windows
     // (each layered in its own select so it can reference the
     // previous step), per-user rollup, single funnel row.
-    "q139_event_funnel" ->
-      """WITH e AS (SELECT user_id, event_type,
-               epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
-          s1 AS (SELECT user_id, event_type, tus,
-                  min(CASE WHEN event_type = 'view' THEN tus END)
-                    OVER (PARTITION BY user_id) AS t1 FROM e),
-          s2 AS (SELECT user_id, event_type, tus, t1,
-                  min(CASE WHEN event_type = 'click' AND tus > t1 THEN tus END)
-                    OVER (PARTITION BY user_id) AS t2 FROM s1),
-          s3 AS (SELECT user_id, t1, t2,
-                  min(CASE WHEN event_type = 'purchase' AND tus > t2 THEN tus END)
-                    OVER (PARTITION BY user_id) AS t3 FROM s2),
-          u AS (SELECT user_id, any_value(t1) AS t1, any_value(t2) AS t2,
-                  any_value(t3) AS t3 FROM s3 GROUP BY user_id),
+    "q139_event_funnel" -> (funnelCteSql +
+      """,
           f AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
                   CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
                   CAST(sum(CASE WHEN t2 IS NOT NULL AND t2 - t1 <= 604800000000
@@ -3815,7 +3875,7 @@ object Pipeline {
           SELECT n_users, n_view, n_click, n_purchase,
             round(n_click * 1.0 / n_view, 6) AS view_to_click,
             round(n_purchase * 1.0 / n_click, 6) AS click_to_purchase
-          FROM f""",
+          FROM f"""),
 
     // Coarse-to-fine rebuilt: JL-project (integer dots), Rademacher
     // cells over the 16-d projection, q57's probe/join/re-rank tail

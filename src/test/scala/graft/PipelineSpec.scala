@@ -1348,6 +1348,28 @@ class PipelineSpec extends SparkSpec {
     assert(r.getDouble(5) == 1.0)
   }
 
+  test("funnel latency: nearest-rank order stats, consistent with the funnel counts") {
+    val session = spark
+    import session.implicits._
+    def ev(id: Long, u: Long, t: Long, ty: String) =
+      (id, new java.sql.Timestamp(t), u, ty, 1.0, "{}")
+    // u1 converts in 1s (click) / 2s (purchase); u2 clicks in 3s
+    val dir = java.nio.file.Files.createTempDirectory("q142fl").toString
+    Seq(ev(1, 1, 1000, "view"), ev(2, 1, 2000, "click"), ev(3, 1, 3000, "purchase"),
+      ev(4, 2, 1000, "view"), ev(5, 2, 4000, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Pipeline.queries("q142_funnel_latency")(spark, dir).head()
+    // click latencies sorted: [1e6, 3e6] -> p50 = k=1 -> 1e6, p90 = k=2 -> 3e6
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1000000L && r.getLong(2) == 3000000L)
+    assert(r.getLong(3) == 1L && r.getLong(4) == 2000000L && r.getLong(5) == 2000000L)
+    // fixture: counts agree with q139's funnel row; p50 <= p90
+    val f = Pipeline.queries("q139_event_funnel")(spark, sf).head()
+    val l = Pipeline.queries("q142_funnel_latency")(spark, sf).head()
+    assert(l.getLong(0) == f.getLong(2) && l.getLong(3) == f.getLong(3))
+    assert(l.getLong(1) <= l.getLong(2) && l.getLong(4) <= l.getLong(5))
+  }
+
   test("coarse-to-fine ANN: recall@5 comparable to raw-space IVF at 1/4 routing cost") {
     def top5(name: String): Map[Long, Set[Long]] =
       Pipeline.queries(name)(spark, sf).collect()
