@@ -206,6 +206,57 @@ object EventStreams {
     }
   }
 
+  final case class FunnelEvent(user_id: Long, event_type: String,
+    tus: Long, event_id: Long)
+  final case class FunnelState(user_id: Long, t1: Option[Long],
+    t2: Option[Long], t3: Option[Long])
+
+  /** q139's strict-sequence funnel incrementally (transformWithState):
+    * three longs of ValueState per user (-1 = unset) advanced through
+    * the view -> click-after-view -> purchase-after-click chain.
+    * Each micro-batch's rows are processed in EVENT-TIME order
+    * ((tus, event_id) sort, matching the batch window's frame), so the
+    * first qualifying event in the scan IS the batch form's min —
+    * single-batch output is exactly funnelTimes (parity-spec'd).
+    * Across batches the merge is monotone: steps only ever move
+    * earlier-to-later as data arrives in time order; late events that
+    * precede an already-fixed earlier step follow last-merge semantics
+    * (the same arrival-horizon trade every streaming twin here
+    * documents — exact replay requires reprocessing, i.e. the batch
+    * form). Emits the user's full (t1, t2, t3) row each batch the user
+    * appears; the latest row per user is the funnel state. */
+  final class FunnelProcessor
+      extends StatefulProcessor[Long, FunnelEvent, FunnelState] {
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("funnel",
+        Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+        timerValues: TimerValues): Iterator[FunnelState] = {
+      var (t1, t2, t3) = if (st.exists()) st.get() else (-1L, -1L, -1L)
+      rows.toVector.sortBy(e => (e.tus, e.event_id)).foreach { e =>
+        e.event_type match {
+          case "view" if t1 < 0 => t1 = e.tus
+          case "click" if t1 >= 0 && t2 < 0 && e.tus > t1 => t2 = e.tus
+          case "purchase" if t2 >= 0 && t3 < 0 && e.tus > t2 => t3 = e.tus
+          case _ =>
+        }
+      }
+      st.update((t1, t2, t3))
+      def opt(v: Long): Option[Long] = if (v < 0) None else Some(v)
+      Iterator.single(FunnelState(key, opt(t1), opt(t2), opt(t3)))
+    }
+  }
+
+  /** Streaming funnel state via transformWithState. */
+  def funnelTws(events: Dataset[FunnelEvent]): Dataset[FunnelState] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Per-user cursor via transformWithState; `ttl` null/zero = keep
     * state forever (parity with userCursor). TTL eviction is
     * processing-time based, so a TTL forces TimeMode.ProcessingTime

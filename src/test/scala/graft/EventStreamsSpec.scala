@@ -344,6 +344,45 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState funnel matches the batch funnelTimes rows") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val session = spark
+      import session.implicits._
+      val raw = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+      val stream = raw
+        .select(col("user_id"), col("event_type"),
+          Tables.eventMicros(raw).as("tus"), col("event_id"))
+        .as[EventStreams.FunnelEvent]
+      // no TTL -> TimeMode.None: processAllAvailable terminates
+      val q = EventStreams.funnelTws(stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("funnel_tws").start()
+      try {
+        q.processAllAvailable()
+        // latest emitted row per user is the funnel state; the fixture
+        // arrives as one batch, so single emission per user
+        val tws = spark.sql("SELECT * FROM funnel_tws").as[EventStreams.FunnelState]
+          .collect().map(f => f.user_id -> ((f.t1, f.t2, f.t3))).toMap
+        val batch = graft.queries.Pipeline.funnelTimes(spark.read.parquet(eventsDir))
+          .collect().map { r =>
+            def opt(i: Int): Option[Long] =
+              if (r.isNullAt(i)) None else Some(r.getLong(i))
+            r.getLong(0) -> ((opt(1), opt(2), opt(3)))
+          }.toMap
+        assert(tws == batch)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming stupid-backoff scoring equals the batch q136 eval rows") {
     import graft.streaming.LmStreams
     // train counts built once from the static train split; the eval
