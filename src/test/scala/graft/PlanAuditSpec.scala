@@ -155,7 +155,24 @@ class PlanAuditSpec extends AnyFunSuite {
     "q112_bm25_topk" -> 3,
     // q113: bucket equi-join (broadcast at this sf; 2 more exchanges
     // allowed for the SMJ form real stats would pick) + rollup + sort
-    "q113_range_join" -> 4)
+    "q113_range_join" -> 4,
+    // q135: bigram-type agg + a/b marginal windows over the SMALL
+    // type table + broadcast-total (no exchange) — pair-type scale
+    "q135_pmi_collocations" -> 5,
+    // q136: trigram stream shuffles twice (hash(c) shared by three
+    // windows, hash(a,b) for the context) + doc rollup + sort
+    "q136_stupid_backoff" -> 4,
+    // q138: user shuffle (window + dedup share it) + matrix agg + sort
+    "q138_cohort_retention" -> 3,
+    // q139/q142: ONE user shuffle + the single-row rollup
+    "q139_event_funnel" -> 2,
+    "q142_funnel_latency" -> 2,
+    // q140: (user,day) dedup + day agg + (user,wday) dedup + wday agg
+    // + the tiny agg join + sort — everything after the first dedup is
+    // (users x days)-bounded
+    "q140_rolling_active" -> 6,
+    // q141: user window + pair agg + marginal window + sort
+    "q141_event_transitions" -> 4)
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
