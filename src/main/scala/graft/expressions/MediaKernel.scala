@@ -74,21 +74,26 @@ object MediaKernel {
       r.update(0, UTF8String.fromString("png"))
       var pos = 8
       while (pos + 8 <= p.length) {
-        val len = be32(p, pos).toInt
+        // chunk length stays a Long: a 32-bit field near Int.MaxValue
+        // would wrap `pos + 12 + len` negative as Int, passing the
+        // bounds guard and then indexing out of the array. All bounds
+        // compare in Long space; the .toInt below is reached only once
+        // the chunk is proven to fit inside p.
+        val len = be32(p, pos)
         val isIhdr = p(pos + 4) == 'I' && p(pos + 5) == 'H' &&
           p(pos + 6) == 'D' && p(pos + 7) == 'R'
-        if (isIhdr && len >= 13 && pos + 12 + len <= p.length) {
+        if (len > p.length.toLong - pos - 12) return r
+        if (isIhdr && len >= 13) {
           r.setLong(1, be32(p, pos + 8))       // width
           r.setLong(2, be32(p, pos + 12))      // height
           r.setLong(3, p(pos + 16) & 0xffL)    // bit depth
           r.setLong(4, p(pos + 17) & 0xffL)    // color type
           val crc = new java.util.zip.CRC32()
-          crc.update(p, pos + 4, 4 + len)      // chunk type + data
-          r.setBoolean(8, crc.getValue == be32(p, pos + 8 + len))
+          crc.update(p, pos + 4, 4 + len.toInt) // chunk type + data
+          r.setBoolean(8, crc.getValue == be32(p, pos + 8 + len.toInt))
           return r
         }
-        if (len < 0 || pos + 12 + len > p.length) return r
-        pos += 12 + len
+        pos += 12 + len.toInt
       }
       r
     } else if (isJpeg(p)) {
@@ -105,10 +110,13 @@ object MediaKernel {
         else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) pos += 2 // bare
         else if (pos + 4 > p.length) return r
         else {
+          // subtraction form: pos + 2 + segLen can wrap Int when pos
+          // sits near a ~2 GiB payload's end; p.length - pos - 2 never
+          // underflows (pos + 4 <= p.length holds here)
           val segLen = be16(p, pos + 2)
-          if (segLen < 2 || pos + 2 + segLen > p.length) return r
+          if (segLen < 2 || segLen > p.length - pos - 2) return r
           if (isSof(m)) {
-            if (segLen < 8 || pos + 10 > p.length) return r
+            if (segLen < 8 || pos > p.length - 10) return r
             val ncomp = p(pos + 9) & 0xffL
             r.setLong(1, be16(p, pos + 7))            // width
             r.setLong(2, be16(p, pos + 5))            // height
@@ -128,18 +136,19 @@ object MediaKernel {
       r.update(0, UTF8String.fromString("wav"))
       var pos = 12
       while (pos + 8 <= p.length) {
-        val sz = le32(p, pos + 4).toInt
+        // Long chunk size for the same Int-wrap reason as the PNG walk.
+        val sz = le32(p, pos + 4)
         val isFmt = p(pos) == 'f' && p(pos + 1) == 'm' &&
           p(pos + 2) == 't' && p(pos + 3) == ' '
-        if (isFmt && sz >= 16 && pos + 8 + sz <= p.length) {
+        if (sz > p.length.toLong - pos - 8) return r
+        if (isFmt && sz >= 16) {
           r.setLong(6, le16(p, pos + 10))      // channels
           r.setLong(5, le32(p, pos + 12))      // sample rate
           r.setLong(7, le16(p, pos + 22))      // bits per sample
           r.setBoolean(8, true)
           return r
         }
-        if (sz < 0 || pos + 8 + sz > p.length) return r
-        pos += 8 + sz + (sz & 1)               // RIFF pads odd chunks
+        pos += 8 + sz.toInt + (sz.toInt & 1)   // RIFF pads odd chunks
       }
       r
     } else r

@@ -111,6 +111,17 @@ object Pipeline {
 
   private def toks(c: Column) = tokens(c)
 
+  /** Shared "this doc has at least one token" predicate for the
+    * trained-model ops (q132/q133): null or whitespace-only text
+    * produces no usable features, and the two engines disagree on how
+    * such rows fall out of their respective plans (Spark keeps a
+    * null/zero row; DuckDB's unnest join drops it). Both sides filter
+    * on this same predicate so featureless docs are out by
+    * construction. SQL twin: [[hasTokensSql]]. */
+  private val hasTokens: Column =
+    col("text").isNotNull && length(trim(col("text"))) > 0
+  private val hasTokensSql = "text IS NOT NULL AND trim(text) <> ''"
+
   /** documents + distinct 3-gram shingles (docs shorter than 3 tokens keep
     * an empty shingle set and can never pair). */
   private def shingled(t: Tables) =
@@ -207,7 +218,11 @@ object Pipeline {
     * rounds so the text is tokenized once, not T times. */
   private[graft] def perceptronTrain(docs: DataFrame, rounds: Int): Vector[(Long, Long)] = {
     val tgt = docs.agg(min(col("source"))).head.getString(0)
-    val feats = docs.select(
+    // featureless docs (null/whitespace-only text) are excluded from
+    // training on BOTH engines (the oracle's tk CTE carries the same
+    // WHERE): otherwise a doc with no tokens sits at margin 0 forever
+    // on this side while the oracle's mg join silently drops it.
+    val feats = docs.filter(hasTokens).select(
       when(col("source") === tgt, 1L).otherwise(-1L).as("y"),
       hash_counts(tokens(col("text")), "qc133:", 64).as("x")).persist()
     try {
@@ -270,7 +285,7 @@ object Pipeline {
     * against the same plan-literal model, append-safe, no state. */
   private[graft] def dsirScore(docs: DataFrame, llr: Array[Double]): DataFrame = {
     val t = toks(col("text"))
-    docs.select(col("doc_id"), size(t).cast("long").as("n_tokens"),
+    docs.filter(hasTokens).select(col("doc_id"), size(t).cast("long").as("n_tokens"),
       round(dsir_sum(t, typedlit(llr.toSeq)) / size(t), 6).as("llr_avg"))
   }
 
@@ -284,7 +299,7 @@ object Pipeline {
     val perTok = transform(t, tok => element_at(llrLit,
       (md5_lower64(concat(lit("dsir:"), tok).cast("binary"))
         .bitwiseAND(lit(255L)) + lit(1L)).cast("int")))
-    docs.select(col("doc_id"), size(t).cast("long").as("n_tokens"),
+    docs.filter(hasTokens).select(col("doc_id"), size(t).cast("long").as("n_tokens"),
       round(aggregate(perTok, lit(0.0d), (a, x) => a + x) / size(t), 6)
         .as("llr_avg"))
   }
@@ -302,7 +317,7 @@ object Pipeline {
     * BUCKET on both sides, never per token. */
   private[graft] def dsirLlr(docs: DataFrame): Array[Double] = {
     val tgt = docs.agg(min(col("source"))).head.getString(0)
-    val counts = docs
+    val counts = docs.filter(hasTokens)
       .select(col("source"), explode(toks(col("text"))).as("tok"))
       .select(col("source"),
         md5_lower64(concat(lit("dsir:"), col("tok")).cast("binary"))
@@ -2138,8 +2153,13 @@ object Pipeline {
         col("t2") - col("t1"))
       val pl = when(col("t3").isNotNull && col("t3") - col("t1") <= seven,
         col("t3") - col("t1"))
+      // zero converted users => nearest-rank index 0, which
+      // element_at rejects (SQL arrays are 1-based); the oracle's
+      // quantile over an empty set is NULL — match it instead of
+      // throwing.
       def rank(arr: Column, n: Column, num: Int, den: Int): Column =
-        element_at(arr, ((n * num + (den - 1)) / den).cast("int"))
+        when(n === 0, lit(null)).otherwise(element_at(arr,
+          greatest(lit(1), ((n * num + (den - 1)) / den)).cast("int")))
       funnelTimes(Tables(s, dir).events)
         .select(cl.as("cl"), pl.as("pl"))
         .agg(sort_array(collect_list(col("cl"))).as("cls"),
@@ -2453,6 +2473,10 @@ object Pipeline {
       scored.join(broadcast(cutoffs), Seq("source"))
         .filter(col("prio") <= col("cutoff"))
         .withColumn("rk", row_number().over(w).cast("long"))
+        // a priority tie AT the k-th cutoff (md5 collision) would pass
+        // the cutoff filter with k+1 rows; the oracle caps at rk <= k,
+        // so cap here too (the window above already exists — free)
+        .filter(col("rk") <= k)
         .select(col("source"), col("rk"), col("doc_id"), col("prio"))
         .orderBy(col("source"), col("rk"))
     },
@@ -2870,7 +2894,8 @@ object Pipeline {
             CASE WHEN source = (SELECT min(source) FROM documents)
                  THEN 1 ELSE -1 END AS y,
             CAST(md5_number_lower('qc133:' || tok) & 63 AS BIGINT) AS b
-          FROM (SELECT doc_id, source, unnest($tokSql) AS tok FROM documents)),
+          FROM (SELECT doc_id, source, unnest($tokSql) AS tok
+                FROM documents WHERE $hasTokensSql)),
         x AS (SELECT doc_id, y, b, count(*) AS c FROM tk GROUP BY 1, 2, 3),
         w0 AS (SELECT sp.range AS b, CAST(0 AS BIGINT) AS wv FROM range(0, 64) sp),
         ${(1 to rounds).map(roundCtes).mkString(",\n ")}
@@ -3780,7 +3805,8 @@ object Pipeline {
     "q132_dsir_select" ->
       s"""WITH tk AS (SELECT doc_id, source,
               CAST(md5_number_lower('dsir:' || tok) & 255 AS BIGINT) AS b
-            FROM (SELECT doc_id, source, unnest($tokSql) AS tok FROM documents)),
+            FROM (SELECT doc_id, source, unnest($tokSql) AS tok
+                  FROM documents WHERE $hasTokensSql)),
           cn AS (SELECT b, count(*) AS cr,
               sum(CASE WHEN source = (SELECT min(source) FROM documents)
                   THEN 1 ELSE 0 END) AS ct

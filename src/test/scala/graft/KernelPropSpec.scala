@@ -107,6 +107,31 @@ class KernelPropSpec extends AnyFunSuite {
       val c = p.clone(); c(i) = b
       MediaKernel.mediaInfo(c)
     }
+    // adversarial 4-byte length fields near Int.MaxValue: random/
+    // 1-byte corruption can't reach the Int-overflow window where
+    // pos + 12 + len wraps negative and passes an Int bounds guard.
+    // Each of these must parse as invalid, not throw.
+    def be(v: Long) = Array[Byte](((v >>> 24) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def le(v: Long) = be(v).reverse
+    for (len <- Seq(0x7ffffff0L, 0x7fffffffL, 0x80000000L, 0xfffffff0L)) {
+      // PNG: IHDR claiming a huge chunk length
+      val pngHuge = MediaKernel.pngEncode(1, 1, 8, 0)
+      System.arraycopy(be(len), 0, pngHuge, 8, 4)
+      assert(!MediaKernel.mediaInfo(pngHuge).getBoolean(8))
+      // PNG: huge-length NON-IHDR chunk before anything else
+      val pad = be(len) ++ "zTXt".getBytes("US-ASCII") ++ new Array[Byte](8)
+      val pngPad = MediaKernel.pngEncode(1, 1, 8, 0)
+      assert(!MediaKernel.mediaInfo(pngPad.take(8) ++ pad).getBoolean(8))
+      // WAV: fmt chunk claiming a huge size
+      val wavHuge = MediaKernel.wavEncode(44100, 1, 16)
+      System.arraycopy(le(len), 0, wavHuge, 16, 4)
+      assert(!MediaKernel.mediaInfo(wavHuge).getBoolean(8))
+      // WAV: huge-size unknown chunk before fmt
+      val junkChunk = "JUNK".getBytes("US-ASCII") ++ le(len) ++ new Array[Byte](4)
+      val wavPad = MediaKernel.wavEncode(44100, 1, 16)
+      assert(!MediaKernel.mediaInfo(wavPad.take(12) ++ junkChunk).getBoolean(8))
+    }
   }
 
   test("dsirSum: equals the naive token-order fold") {

@@ -1370,6 +1370,46 @@ class PipelineSpec extends SparkSpec {
     assert(l.getLong(1) <= l.getLong(2) && l.getLong(4) <= l.getLong(5))
   }
 
+  test("funnel latency: zero converted users yields null percentiles, not a throw") {
+    val session = spark
+    import session.implicits._
+    def ev(id: Long, u: Long, t: Long, ty: String) =
+      (id, new java.sql.Timestamp(t), u, ty, 1.0, "{}")
+    // views only: nearest-rank index would be 0, which element_at
+    // rejects — the guard must emit the oracle's NULLs instead
+    val dir = java.nio.file.Files.createTempDirectory("q142zero").toString
+    Seq(ev(1, 1, 1000, "view"), ev(2, 2, 2000, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Pipeline.queries("q142_funnel_latency")(spark, dir).head()
+    assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getLong(3) == 0L && r.isNullAt(4) && r.isNullAt(5))
+  }
+
+  test("featureless docs are excluded from training and scoring on both engines") {
+    val session = spark
+    import session.implicits._
+    // doc 3 (whitespace-only) and doc 4 (null text) produce no
+    // features; the oracle's unnest joins drop them, so the engine
+    // must too — otherwise they'd sit at margin 0 (forever
+    // misclassified) and emit null score rows the oracle omits.
+    val dir = java.nio.file.Files.createTempDirectory("q133empty").toString
+    Seq((1L, "good good", "en", "a", 9L), (2L, "bad bad", "en", "b", 7L),
+      (3L, "   ", "en", "b", 3L), (4L, null.asInstanceOf[String], "en", "b", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val curve = Pipeline.queries("q133_train_classifier")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // identical trajectory to the two-doc separable corpus: round 1
+    // misclassifies exactly the 2 real docs, then converges
+    assert(curve.toSeq == Seq((1L, 2L, 4L), (2L, 0L, 4L), (3L, 0L, 4L),
+      (4L, 0L, 4L), (5L, 0L, 4L)))
+    val scored = Pipeline.queries("q132_dsir_select")(spark, dir).collect()
+    assert(scored.map(_.getLong(0)).toSet == Set(1L, 2L),
+      "featureless docs must not appear in the scored output")
+    assert(scored.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
+  }
+
   test("coarse-to-fine ANN: recall@5 comparable to raw-space IVF at 1/4 routing cost") {
     def top5(name: String): Map[Long, Set[Long]] =
       Pipeline.queries(name)(spark, sf).collect()
