@@ -1205,6 +1205,26 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "q143_components_star" -> { (s, dir) =>
+      // q86's contract (near-dup pairs -> components -> canonical
+      // keeper) computed by ALTERNATING LARGE-STAR/SMALL-STAR
+      // (Kiveris et al. 2014) instead of min-label propagation. Same
+      // edge set, same output, different convergence guarantee:
+      // label prop needs O(diameter) rounds (and q86 caps at 20 — a
+      // 40-link chain component would fail it), star contracts any
+      // component in O(log^2 n) rounds regardless of shape. Components
+      // emerge rooted at their minimum doc_id, so the keeper falls out
+      // of the star root with no extra pass. PipelineSpec pins exact
+      // agreement with q86 on the fixture AND convergence on a planted
+      // 64-link chain that label prop's cap cannot absorb.
+      val edges = minhashDupPairs(s, dir)
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      graft.operators.Components.components(edges)
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"),
+          (col("node") === col("component")).as("is_keeper"))
+        .orderBy(col("doc_id"))
+    },
+
     "q87_pii_redact" -> { (s, dir) =>
       // PII scrubbing: redact emails, long digit runs (phone-like), and
       // IPv4 addresses with typed placeholders, and count each kind for
@@ -2957,6 +2977,25 @@ object Pipeline {
                        OR lang_guess <> 'en') AS keep
                  FROM f)"""
 
+  /** Shared by q86 (label propagation) and q143 (alternating star):
+    * both compute components over the verified near-dup pairs with
+    * min-doc_id labels, so one transitive-closure oracle gates both. */
+  private val dupComponentsSql =
+    s"""WITH RECURSIVE
+        t AS (SELECT doc_id, $shSql AS sh
+              FROM (SELECT doc_id, $tokSql AS lst FROM documents) WHERE len(lst) >= 3),
+        pairs AS (SELECT a.doc_id AS s, b.doc_id AS d
+                  FROM t a JOIN t b ON a.doc_id < b.doc_id
+                  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+        und AS (SELECT s, d FROM pairs UNION ALL SELECT d, s FROM pairs),
+        reach AS (SELECT s AS src, s AS dst FROM und
+                  UNION
+                  SELECT r.src, u.d FROM reach r JOIN und u ON u.s = r.dst)
+        SELECT src AS doc_id, min(dst) AS cluster_id,
+               (src = min(dst)) AS is_keeper
+        FROM reach GROUP BY src ORDER BY doc_id"""
+
   def oracle: Map[String, String] = Map(
     "q30_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies
@@ -3015,21 +3054,10 @@ object Pipeline {
     // takes the transitive closure with a recursive CTE — component
     // label = min reachable doc_id, independently of Spark's
     // propagation algorithm.
-    "q86_dup_clusters" ->
-      s"""WITH RECURSIVE
-          t AS (SELECT doc_id, $shSql AS sh
-                FROM (SELECT doc_id, $tokSql AS lst FROM documents) WHERE len(lst) >= 3),
-          pairs AS (SELECT a.doc_id AS s, b.doc_id AS d
-                    FROM t a JOIN t b ON a.doc_id < b.doc_id
-                    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
-          und AS (SELECT s, d FROM pairs UNION ALL SELECT d, s FROM pairs),
-          reach AS (SELECT s AS src, s AS dst FROM und
-                    UNION
-                    SELECT r.src, u.d FROM reach r JOIN und u ON u.s = r.dst)
-          SELECT src AS doc_id, min(dst) AS cluster_id,
-                 (src = min(dst)) AS is_keeper
-          FROM reach GROUP BY src ORDER BY doc_id""",
+    "q86_dup_clusters" -> dupComponentsSql,
+    // q143 computes the identical contract by alternating star — one
+    // oracle serves both engines' algorithms.
+    "q143_components_star" -> dupComponentsSql,
     "q87_pii_redact" ->
       """SELECT doc_id,
            CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,

@@ -1370,6 +1370,32 @@ class PipelineSpec extends SparkSpec {
     assert(l.getLong(1) <= l.getLong(2) && l.getLong(4) <= l.getLong(5))
   }
 
+  test("alternating star: chain/clique/singleton graphs label to the component min") {
+    val session = spark
+    import session.implicits._
+    import graft.operators.Components
+    // a 64-link PATH — the shape min-label propagation cannot absorb
+    // within q86's 20-round cap (needs O(length) rounds; star needs
+    // O(log^2)) — plus a clique and a 2-node component, shuffled and
+    // with duplicate/self edges thrown in
+    val path = (1L until 64L).map(i => (i + 1000, i + 1001))
+    val clique = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a + 2000, b + 2000)
+    val loose = Seq((7L, 9L), (9L, 7L), (5L, 5L)) // dup + swap + self-loop
+    val edges = scala.util.Random.shuffle(path ++ clique ++ loose)
+      .toDF("u", "v").repartition(7)
+    val got = Components.components(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (1001L to 1064L).map((_, 1001L)).toSet ++
+      (2001L to 2005L).map((_, 2001L)).toSet + ((7L, 7L)) + ((9L, 7L))
+    assert(got == want)
+    // fixture: bit-for-bit the same labeling as q86's label propagation
+    val viaStar = Pipeline.queries("q143_components_star")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val viaProp = Pipeline.queries("q86_dup_clusters")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(viaStar == viaProp)
+  }
+
   test("funnel latency: zero converted users yields null percentiles, not a throw") {
     val session = spark
     import session.implicits._
