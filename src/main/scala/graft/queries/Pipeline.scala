@@ -1225,6 +1225,38 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "q144_zorder_layout" -> { (s, dir) =>
+      // Z-ORDER (Morton) physical layout + zone maps — the data-layout
+      // operator behind multi-dimensional scan pruning (the technique
+      // Delta/Iceberg OPTIMIZE ZORDER applies; Morton 1966). Both keys
+      // are min-max normalized to 16 bits, bit-interleaved into a
+      // 32-bit z-value, and the top 4 bits of EACH dimension (zval >>
+      // 24) name one of 256 grid cells = target shards. Output is the
+      // shard-level zone map (row count + min/max of both keys and of
+      // zval): a reader filtering on EITHER key can skip ~15/16 of the
+      // shards from the zone map alone, vs no skipping on one of the
+      // two keys under any single-column sort. Scale shape: bounds are
+      // one 4-cell agg (driver moves 4 longs), the z-value is pure
+      // map-side bit math in whole-stage codegen, shard assignment is
+      // shuffle-FREE (no global sort, unlike ntile-based layout), and
+      // the zone map is ONE groupBy over 256 groups. The real rewrite
+      // is then write.partitionBy(shard_id) — same plan plus the sink.
+      val li = Tables(s, dir).lineitem
+      val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey"))).head
+      val (pmin, pspan) = (b.getLong(0), math.max(1L, b.getLong(1) - b.getLong(0)))
+      val (smin, sspan) = (b.getLong(2), math.max(1L, b.getLong(3) - b.getLong(2)))
+      val xs = ((col("l_partkey") - lit(pmin)) * lit(65535L) / lit(pspan)).cast("long")
+      val ys = ((col("l_suppkey") - lit(smin)) * lit(65535L) / lit(sspan)).cast("long")
+      li.select(col("l_partkey"), col("l_suppkey"), morton16(xs, ys).as("zval"))
+        .groupBy(shiftright(col("zval"), 24).as("shard_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+          min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"),
+          min(col("zval")).as("z_min"), max(col("zval")).as("z_max"))
+        .orderBy(col("shard_id"))
+    },
+
     "q87_pii_redact" -> { (s, dir) =>
       // PII scrubbing: redact emails, long digit runs (phone-like), and
       // IPv4 addresses with typed placeholders, and count each kind for
@@ -2977,6 +3009,21 @@ object Pipeline {
                        OR lang_guess <> 'en') AS keep
                  FROM f)"""
 
+  /** 32-bit Morton code of two 16-bit values: bits of x on even
+    * positions, y on odd — the standard mask-and-shift spread (one
+    * value's bits "spread" to every other position in 4 steps), all
+    * plain long bit ops inside whole-stage codegen. KernelPropSpec-
+    * class check lives in PipelineSpec against a naive per-bit fold. */
+  private[graft] def morton16(x: Column, y: Column): Column = {
+    def spread(c: Column): Column = {
+      val a = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val d = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+      d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+  }
+
   /** Shared by q86 (label propagation) and q143 (alternating star):
     * both compute components over the verified near-dup pairs with
     * min-doc_id labels, so one transitive-closure oracle gates both. */
@@ -3054,6 +3101,35 @@ object Pipeline {
     // takes the transitive closure with a recursive CTE — component
     // label = min reachable doc_id, independently of Spark's
     // propagation algorithm.
+    // Morton spread unrolled as chained CTE columns; DuckDB's `//` is
+    // exact integer division (the Spark side's double-div + cast is
+    // exact here: quotient <= 65535 and the rounding error 2^-37 is
+    // smaller than the 2^-32 minimum distance to an integer boundary).
+    "q144_zorder_layout" ->
+      """WITH b AS (SELECT min(l_partkey) AS pmin,
+                greatest(max(l_partkey) - min(l_partkey), 1) AS pspan,
+                min(l_suppkey) AS smin,
+                greatest(max(l_suppkey) - min(l_suppkey), 1) AS sspan
+              FROM lineitem),
+          n AS (SELECT l_partkey, l_suppkey,
+                ((l_partkey - pmin) * 65535) // pspan AS xs,
+                ((l_suppkey - smin) * 65535) // sspan AS ys
+              FROM lineitem, b),
+          s1 AS (SELECT *, (xs | (xs << 8)) & 16711935 AS x1,
+                           (ys | (ys << 8)) & 16711935 AS y1 FROM n),
+          s2 AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2,
+                           (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+          s3 AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3,
+                           (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+          s4 AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4,
+                           (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3),
+          z AS (SELECT l_partkey, l_suppkey, x4 | (y4 << 1) AS zval FROM s4)
+          SELECT zval >> 24 AS shard_id, CAST(count(*) AS BIGINT) AS n_rows,
+                 min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+                 min(l_suppkey) AS s_min, max(l_suppkey) AS s_max,
+                 min(zval) AS z_min, max(zval) AS z_max
+          FROM z GROUP BY shard_id ORDER BY shard_id""",
+
     "q86_dup_clusters" -> dupComponentsSql,
     // q143 computes the identical contract by alternating star — one
     // oracle serves both engines' algorithms.

@@ -1396,6 +1396,33 @@ class PipelineSpec extends SparkSpec {
     assert(viaStar == viaProp)
   }
 
+  test("z-order: morton code matches the naive bit fold; zone maps are disjoint and local") {
+    val session = spark
+    import session.implicits._
+    def naive(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L)((acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+    val pts = Seq((0L, 0L), (65535L, 65535L), (65535L, 0L), (0L, 65535L),
+      (1L, 2L), (43690L, 21845L), (12345L, 54321L))
+    val got = pts.toDF("x", "y")
+      .select(Pipeline.morton16(col("x"), col("y"))).collect().map(_.getLong(0))
+    assert(got.toSeq == pts.map { case (x, y) => naive(x, y) })
+    // fixture zone maps: shards tile the z-space disjointly (that IS
+    // the pruning property), counts are total, grid cells bound keys
+    val rows = Pipeline.queries("q144_zorder_layout")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(6), r.getLong(7)))
+    assert(rows.map(_._2).sum == Tables(spark, sf).lineitem.count())
+    rows.foreach { case (shard, _, zmin, zmax) =>
+      assert(zmin >> 24 == shard && zmax >> 24 == shard,
+        "zone map z-range must stay inside its shard's z-prefix")
+    }
+    val sorted = rows.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, _, _, amax), (_, _, bmin, _)) => assert(amax < bmin)
+      case _ =>
+    }
+  }
+
   test("funnel latency: zero converted users yields null percentiles, not a throw") {
     val session = spark
     import session.implicits._
