@@ -1257,6 +1257,30 @@ object Pipeline {
         .orderBy(col("shard_id"))
     },
 
+    "q145_salted_join" -> { (s, dir) =>
+      // Fact-to-dimension enrichment under a SALTED shuffle join
+      // (operators/Salted): events x customer on user_id with an 8-way
+      // deterministic salt — the hot-key remedy when the dim is too
+      // big to broadcast. The fixture isn't skewed; what the oracle
+      // pins is that salting is RESULT-INVISIBLE (plain SQL join), and
+      // the spec pins the plan shape (shuffle hash join on (key,salt),
+      // no broadcast of either side). Money stays integer cents via
+      // floor(value*100) on both engines (double sums are
+      // order-sensitive; DuckDB CAST rounds where Spark truncates, so
+      // the floor is explicit). One fact shuffle + one 8x dim shuffle
+      // + one bounded groupBy.
+      val ev = Tables(s, dir).events
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val cust = Tables(s, dir).customer
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.operators.Salted
+        .saltedJoin(ev, cust, "user_id", "c_custkey", col("event_id"), 8)
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+        .orderBy(col("c_mktsegment"), col("event_type"))
+    },
+
     "q87_pii_redact" -> { (s, dir) =>
       // PII scrubbing: redact emails, long digit runs (phone-like), and
       // IPv4 addresses with typed placeholders, and count each kind for
@@ -3129,6 +3153,16 @@ object Pipeline {
                  min(l_suppkey) AS s_min, max(l_suppkey) AS s_max,
                  min(zval) AS z_min, max(zval) AS z_max
           FROM z GROUP BY shard_id ORDER BY shard_id""",
+
+    // the salt is invisible to results by construction — the oracle is
+    // the PLAIN join
+    "q145_salted_join" ->
+      """SELECT c_mktsegment, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment, event_type
+         ORDER BY c_mktsegment, event_type""",
 
     "q86_dup_clusters" -> dupComponentsSql,
     // q143 computes the identical contract by alternating star — one

@@ -1423,6 +1423,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("salted join: result-identical to the plain join, shuffle-hash on (key, salt)") {
+    import graft.operators.Salted
+    val ev = Tables(spark, sf).events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val cust = Tables(spark, sf).customer.select(col("c_custkey"), col("c_mktsegment"))
+    val salted = Salted.saltedJoin(ev, cust, "user_id", "c_custkey", col("event_id"), 8)
+      .select(col("event_id"), col("c_mktsegment"))
+    val plain = ev.join(cust, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("c_mktsegment"))
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+    // plan shape: hash join (no broadcast of either side), both the
+    // key and the salt in the join condition
+    val phys = salted.queryExecution.executedPlan.toString
+    assert(phys.contains("ShuffledHashJoin"), phys.take(400))
+    assert(!phys.contains("BroadcastHashJoin"))
+    assert(phys.contains("__salt"))
+  }
+
   test("funnel latency: zero converted users yields null percentiles, not a throw") {
     val session = spark
     import session.implicits._
