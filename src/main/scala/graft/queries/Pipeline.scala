@@ -1281,6 +1281,59 @@ object Pipeline {
         .orderBy(col("c_mktsegment"), col("event_type"))
     },
 
+    "q146_textrank" -> { (s, dir) =>
+      // TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+      // PageRank (d = 0.85, 10 iterations) over the word co-occurrence
+      // graph — nodes are the top-128 content words (length >= 4, the
+      // deterministic stand-in for the paper's POS filter), edges are
+      // adjacent-pair co-occurrences weighted by count. Scale shape:
+      // the corpus contributes exactly two token scans (vocab count +
+      // bigram count, q132's read-twice posture); the vocab ships back
+      // as a 128-string isin literal (q110's dictionary pattern, no
+      // join), and the graph itself is BOUNDED by construction
+      // (<= 128 nodes / 8128 edges), so the 10 PageRank rounds are
+      // driver control-plane like q114's centroids — at 100 TB the
+      // iteration cost is unchanged because the graph size is fixed by
+      // the vocab cap, not the corpus. Scores are fixed-point integers
+      // (1e6 = 1.0) with per-term floor division, so the trajectory is
+      // bit-reproducible and the oracle replays it exactly (integer //
+      // in unrolled CTEs).
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val vs = docs.select(explode(toks(col("text"))).as("w"))
+        .filter(length(col("w")) >= 4)
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(128)
+        .collect().map(_.getString(0)) // bounded: vocab cap
+      val ed = docs.select(toks(col("text")).as("t"))
+        .select(explode(arrays_zip(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1))).as("bg"))
+        .select(col("bg.0").as("a"), col("bg.1").as("b"))
+        .filter(col("a") =!= col("b") &&
+          col("a").isin(vs.toSeq: _*) && col("b").isin(vs.toSeq: _*))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+        .collect() // bounded: <= 128*127/2 edges
+      val und = ed.toSeq.flatMap { r =>
+        val (u, v, w) = (r.getString(0), r.getString(1), r.getLong(2))
+        Seq((u, v, w), (v, u, w))
+      }
+      val deg = und.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      var sc = deg.keys.map(_ -> 1000000L).toMap
+      for (_ <- 1 to 10) {
+        val contrib = und.groupBy(_._2).map { case (v, es) =>
+          v -> es.map { case (u, _, w) => w * sc(u) / deg(u) }.sum
+        }
+        sc = deg.keys.map(v =>
+          v -> (150000L + 850000L * contrib.getOrElse(v, 0L) / 1000000L)).toMap
+      }
+      sc.toSeq.sortBy { case (w0, s0) => (-s0, w0) }.take(20).zipWithIndex
+        .map { case ((w0, s0), i) => ((i + 1).toLong, w0, s0) }
+        .toDF("rank", "word", "score")
+    },
+
     "q87_pii_redact" -> { (s, dir) =>
       // PII scrubbing: redact emails, long digit runs (phone-like), and
       // IPv4 addresses with typed placeholders, and count each kind for
@@ -3067,7 +3120,42 @@ object Pipeline {
                (src = min(dst)) AS is_keeper
         FROM reach GROUP BY src ORDER BY doc_id"""
 
+  /** q146's oracle, generated for T rounds: the same fixed-point
+    * integer PageRank unrolled — per round, each node's new score from
+    * its neighbors' per-term floor-divided contributions. DuckDB's sum
+    * widens to HUGEINT mid-expression (exact); every CTE's score is
+    * CAST back to BIGINT. */
+  private def textrankOracleSql(rounds: Int): String = {
+    def iter(r: Int) =
+      s"""s$r AS (SELECT d.v AS n,
+            CAST(150000 + (850000 * sum((d.w * s.sc) // g.dw)) // 1000000
+                 AS BIGINT) AS sc
+          FROM dir d JOIN s${r - 1} s ON s.n = d.u JOIN deg g ON g.u = d.u
+          GROUP BY d.v)"""
+    s"""WITH vc AS (SELECT w FROM (
+              SELECT unnest($tokSql) AS w FROM documents) tok
+            WHERE length(w) >= 4 GROUP BY w
+            ORDER BY count(*) DESC, w LIMIT 128),
+        t AS (SELECT $tokSql AS lst FROM documents),
+        bgs AS (SELECT unnest([lst[i] || ' ' || lst[i+1]
+                 for i in range(1, len(lst))]) AS g FROM t),
+        bg AS (SELECT string_split(g, ' ')[1] AS a,
+                      string_split(g, ' ')[2] AS b FROM bgs),
+        fb AS (SELECT a, b FROM bg
+            WHERE a <> b AND a IN (SELECT w FROM vc) AND b IN (SELECT w FROM vc)),
+        ed AS (SELECT least(a, b) AS u, greatest(a, b) AS v,
+                      CAST(count(*) AS BIGINT) AS w FROM fb GROUP BY 1, 2),
+        dir AS (SELECT u, v, w FROM ed UNION ALL SELECT v, u, w FROM ed),
+        deg AS (SELECT u, CAST(sum(w) AS BIGINT) AS dw FROM dir GROUP BY u),
+        s0 AS (SELECT u AS n, CAST(1000000 AS BIGINT) AS sc FROM deg),
+        ${(1 to rounds).map(iter).mkString(",\n ")}
+        SELECT CAST(row_number() OVER (ORDER BY sc DESC, n) AS BIGINT) AS rank,
+               n AS word, sc AS score
+        FROM s$rounds ORDER BY sc DESC, n LIMIT 20"""
+  }
+
   def oracle: Map[String, String] = Map(
+    "q146_textrank" -> textrankOracleSql(10),
     "q30_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY content_hash""",

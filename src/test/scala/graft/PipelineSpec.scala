@@ -1442,6 +1442,37 @@ class PipelineSpec extends SparkSpec {
     assert(phys.contains("__salt"))
   }
 
+  test("textrank: hub word ranks first on a planted star corpus; layout-free") {
+    val session = spark
+    import session.implicits._
+    // "nexus" co-occurs with every other content word (star graph) —
+    // PageRank must put it first; spokes tie and break on word order
+    val spokes = Seq("amber", "birch", "cedar", "dunes", "ember")
+    val docs = spokes.zipWithIndex.flatMap { case (w, i) =>
+      Seq((i * 2L, s"nexus $w nexus $w", "en", "a", 20L),
+        (i * 2 + 1L, s"$w nexus", "en", "b", 11L))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("q146tr").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.queries("q146_textrank")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.head._2 == "nexus", rows.mkString(", "))
+    assert(rows.map(_._2).toSet == (spokes :+ "nexus").toSet)
+    assert(rows.head._3 > rows(1)._3, "hub strictly outranks spokes")
+    assert(rows.tail.map(_._2).toSeq == spokes, "tied spokes break on word order")
+    // fixture: 20 rows, deterministic under physical layout
+    val full = Pipeline.queries("q146_textrank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(full.length == 20)
+    val dir2 = java.nio.file.Files.createTempDirectory("q146det").toString
+    Tables(spark, sf).documents.orderBy(rand(7)).repartition(5)
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val again = Pipeline.queries("q146_textrank")(spark, dir2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(full.toSeq == again.toSeq)
+  }
+
   test("funnel latency: zero converted users yields null percentiles, not a throw") {
     val session = spark
     import session.implicits._
