@@ -1334,6 +1334,46 @@ object Pipeline {
         .toDF("rank", "word", "score")
     },
 
+    "q147_balanced_shards" -> { (s, dir) =>
+      // EQUI-DEPTH z-range sharding — q144's layout rebalanced: the
+      // 256 equi-width z-cells carry skewed row counts whenever keys
+      // cluster, so writers get unbalanced files. Here each z-cell is
+      // assigned to one of 16 bins by its cumulative row count —
+      // bin = floor(rows_before_cell * 16 / total) — which packs
+      // consecutive cells until each bin holds ~1/16 of the data (what
+      // repartitionByRange's sampler approximates; this rule is exact
+      // and deterministic). Scale shape: one 256-cell count agg, a
+      // window cumsum over those 256 rows (bounded — not a data-scale
+      // global sort), and the cell->bin map joins back by BROADCAST,
+      // so row assignment stays map-side. Bins stay range-contiguous
+      // in z (zone maps still prune on both keys). Output: per-bin
+      // zone map; the spec asserts the balance the equi-width grid
+      // can't guarantee.
+      val li = Tables(s, dir).lineitem
+      val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey"))).head
+      val (pmin, pspan) = (b.getLong(0), math.max(1L, b.getLong(1) - b.getLong(0)))
+      val (smin, sspan) = (b.getLong(2), math.max(1L, b.getLong(3) - b.getLong(2)))
+      val xs = ((col("l_partkey") - lit(pmin)) * lit(65535L) / lit(pspan)).cast("long")
+      val ys = ((col("l_suppkey") - lit(smin)) * lit(65535L) / lit(sspan)).cast("long")
+      val z = li.select(morton16(xs, ys).as("zval"))
+        .withColumn("cell", shiftright(col("zval"), 24))
+      val cells = z.groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+      val wc = Window.orderBy(col("cell"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val binOf = cells
+        .withColumn("cum", coalesce(sum(col("cnt")).over(wc), lit(0L)))
+        .withColumn("tot", sum(col("cnt")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("cell"),
+          floor(col("cum") * 16 / col("tot")).cast("long").as("bin"))
+      z.join(broadcast(binOf), Seq("cell"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("zval")).as("z_min"), max(col("zval")).as("z_max"))
+        .orderBy(col("bin"))
+    },
+
     "q87_pii_redact" -> { (s, dir) =>
       // PII scrubbing: redact emails, long digit runs (phone-like), and
       // IPv4 addresses with typed placeholders, and count each kind for
@@ -3251,6 +3291,35 @@ object Pipeline {
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY c_mktsegment, event_type
          ORDER BY c_mktsegment, event_type""",
+
+    "q147_balanced_shards" ->
+      """WITH b AS (SELECT min(l_partkey) AS pmin,
+                greatest(max(l_partkey) - min(l_partkey), 1) AS pspan,
+                min(l_suppkey) AS smin,
+                greatest(max(l_suppkey) - min(l_suppkey), 1) AS sspan
+              FROM lineitem),
+          n AS (SELECT ((l_partkey - pmin) * 65535) // pspan AS xs,
+                       ((l_suppkey - smin) * 65535) // sspan AS ys
+              FROM lineitem, b),
+          s1 AS (SELECT (xs | (xs << 8)) & 16711935 AS x1,
+                        (ys | (ys << 8)) & 16711935 AS y1 FROM n),
+          s2 AS (SELECT (x1 | (x1 << 4)) & 252645135 AS x2,
+                        (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+          s3 AS (SELECT (x2 | (x2 << 2)) & 858993459 AS x3,
+                        (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+          s4 AS (SELECT (x3 | (x3 << 1)) & 1431655765 AS x4,
+                        (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3),
+          z AS (SELECT x4 | (y4 << 1) AS zval FROM s4),
+          c AS (SELECT zval >> 24 AS cell, count(*) AS cnt FROM z GROUP BY 1),
+          a AS (SELECT cell,
+                coalesce(sum(cnt) OVER (ORDER BY cell
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+                sum(cnt) OVER () AS tot FROM c),
+          m AS (SELECT cell, CAST((cum * 16) // tot AS BIGINT) AS bin FROM a)
+          SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+                 min(zval) AS z_min, max(zval) AS z_max
+          FROM z JOIN m ON (zval >> 24) = m.cell
+          GROUP BY bin ORDER BY bin""",
 
     "q86_dup_clusters" -> dupComponentsSql,
     // q143 computes the identical contract by alternating star — one

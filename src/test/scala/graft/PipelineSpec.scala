@@ -1473,6 +1473,25 @@ class PipelineSpec extends SparkSpec {
     assert(full.toSeq == again.toSeq)
   }
 
+  test("balanced shards: equi-depth bins are contiguous in z and actually balanced") {
+    val rows = Pipeline.queries("q147_balanced_shards")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = Tables(spark, sf).lineitem.count()
+    assert(rows.map(_._2).sum == total)
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    // range-contiguity: z ranges of consecutive bins never interleave
+    rows.sliding(2).foreach {
+      case Array((_, _, _, amax), (_, _, bmin, _)) => assert(amax < bmin)
+      case _ =>
+    }
+    // balance: every bin within 2x of the ideal 1/16 (cell granularity
+    // caps the error; the equi-width q144 grid makes no such promise)
+    val ideal = total.toDouble / rows.length
+    rows.foreach { case (bin, n, _, _) =>
+      assert(n < 2 * ideal, s"bin $bin holds $n rows vs ideal $ideal")
+    }
+  }
+
   test("funnel latency: zero converted users yields null percentiles, not a throw") {
     val session = spark
     import session.implicits._
