@@ -172,7 +172,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // (users x days)-bounded
     "q140_rolling_active" -> 6,
     // q141: user window + pair agg + marginal window + sort
-    "q141_event_transitions" -> 4)
+    "q141_event_transitions" -> 4,
+    // q144: shard groupBy + presentation sort — the z-value itself is
+    // map-side bit math, shard assignment never shuffles
+    "q144_zorder_layout" -> 2,
+    // q145: fact + 8x-replicated dim shuffles for the salted hash
+    // join, then the bounded groupBy + sort
+    "q145_salted_join" -> 4,
+    // q147: 256-cell count agg + its single-partition cumsum window
+    // (256 rows) + the bin rollup + sort; the cell->bin map rides a
+    // BroadcastExchange so data rows never shuffle for the join
+    "q147_balanced_shards" -> 4)
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
