@@ -468,6 +468,13 @@ object functions {
   /** Hamming distance between two 64-bit signatures (codegen'd builtins). */
   def hamming64(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))
 
+  /** 32-bit Morton (z-order) code of two 16-bit values — the
+    * multi-dimensional layout key (SketchKernel.morton16; a kernel
+    * because the pure-Column spread duplicates its input subtree 16x
+    * per dimension). */
+  def morton16(x: Column, y: Column): Column =
+    call(K, LongType, "morton16", Seq(LongType, LongType), x, y)
+
   /** Bounded top-k-smallest aggregate: the k smallest DISTINCT longs per
     * group, sorted ascending. Unlike `slice(sort_array(collect_set(x)),
     * 1, k)` its partial-aggregation state is k longs flat (map-side

@@ -3126,20 +3126,16 @@ object Pipeline {
                        OR lang_guess <> 'en') AS keep
                  FROM f)"""
 
-  /** 32-bit Morton code of two 16-bit values: bits of x on even
-    * positions, y on odd — the standard mask-and-shift spread (one
-    * value's bits "spread" to every other position in 4 steps), all
-    * plain long bit ops inside whole-stage codegen. KernelPropSpec-
-    * class check lives in PipelineSpec against a naive per-bit fold. */
-  private[graft] def morton16(x: Column, y: Column): Column = {
-    def spread(c: Column): Column = {
-      val a = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
-      val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
-      val d = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
-      d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
-    }
-    spread(x).bitwiseOR(shiftleft(spread(y), 1))
-  }
+  /** 32-bit Morton code of two 16-bit values — delegates to the
+    * kernel form (one StaticInvoke per row): the pure-Column
+    * mask-and-shift spread references its input twice per step, so it
+    * duplicated the normalized-key subtree 16x per dimension, and the
+    * blown-up tree rode into join keys, pushed filters, and every AQE
+    * re-plan (measured on q147: 5.4 s -> sub-second at sf0.1 from plan
+    * processing alone). PipelineSpec checks the kernel against a naive
+    * per-bit fold. */
+  private[graft] def morton16(x: Column, y: Column): Column =
+    graft.functions.morton16(x, y)
 
   /** Shared by q86 (label propagation) and q143 (alternating star):
     * both compute components over the verified near-dup pairs with
