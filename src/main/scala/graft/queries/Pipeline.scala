@@ -2367,6 +2367,72 @@ object Pipeline {
         .orderBy(col("from_type"), col("to_type"))
     },
 
+    "q148_cusum_anomaly" -> { (s, dir) =>
+      // CUSUM changepoint detection (Page 1954) over per-type daily
+      // event volumes — "which day did traffic for X structurally
+      // jump". The textbook recursion S_t = max(0, S_{t-1} + dev_t) is
+      // sequential, but it has the closed window form
+      // S_t = cum_t - min(0, min_{i<=t} cum_i) (running sum minus
+      // clamped running min), so the whole statistic is two prefix
+      // windows — no recursion, no driver loop. All-integer: the
+      // per-type mean is floor(total/days), so deviations, cums and
+      // peaks are exact on both engines. Scale shape: the raw stream
+      // collapses to (type, day) cells in ONE count agg; every window
+      // after that runs on the bounded daily table sharing the
+      // hash(event_type) exchange; peak-day pick is deterministic
+      // (earliest day at the max).
+      val e = Tables(s, dir).events
+      val wt = Window.partitionBy(col("event_type"))
+      val wo = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val daily = e.select(col("event_type"), Tables.eventMicros(e).as("tus"))
+        .select(col("event_type"), expr("tus DIV 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+      val scored = daily
+        .withColumn("mu",
+          floor(sum(col("cnt")).over(wt) / count(lit(1)).over(wt)).cast("long"))
+        .withColumn("cum", sum(col("cnt") - col("mu")).over(wo))
+        .withColumn("s", col("cum") - least(min(col("cum")).over(wo), lit(0L)))
+      scored.withColumn("peak", max(col("s")).over(wt))
+        .filter(col("s") === col("peak"))
+        .groupBy(col("event_type"))
+        .agg(max(col("s")).as("peak_cusum"), min(col("day")).as("peak_day"),
+          max(col("mu")).as("mean_daily"))
+        .orderBy(col("event_type"))
+    },
+
+    "q149_attribution" -> { (s, dir) =>
+      // LAST-TOUCH conversion attribution: each purchase credits the
+      // most recent preceding view by the same user (7-day window) —
+      // the marketing-analytics join that naive implementations write
+      // as a self-join (every purchase x every earlier view, quadratic
+      // per user). Here it's ONE conditional running-max window over
+      // the user timeline (ordered by (tus, event_id) so ties are
+      // layout-free), then a bounded per-day rollup: a single
+      // hash(user_id) exchange carries the whole computation at any
+      // event volume. Money stays floor(value*100) integer cents
+      // (q145's cross-engine rule).
+      val e = Tables(s, dir).events
+      val wz = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val seven = 7L * 86400000000L
+      e.select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), Tables.eventMicros(e).as("tus"))
+        .withColumn("last_view",
+          max(when(col("event_type") === "view", col("tus"))).over(wz))
+        .filter(col("event_type") === "purchase")
+        .select(expr("tus DIV 86400000000").as("day"),
+          (col("last_view").isNotNull &&
+            col("tus") - col("last_view") <= seven).as("attr"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("attr"), 1L).otherwise(0L)).as("n_attributed"),
+          sum(when(col("attr"), col("cents")).otherwise(0L)).as("attributed_cents"))
+        .orderBy(col("day"))
+    },
+
     "q140_rolling_active" -> { (s, dir) =>
       // DAU / trailing-7-day WAU / stickiness per day — the standard
       // engagement rollup, built the way it survives 100 TB: rolling
@@ -4155,6 +4221,45 @@ object Pipeline {
 
     // Rolling actives rebuilt: the same contribution explode and
     // double dedup.
+    // CUSUM via the closed window form: S = cum - least(runmin(cum), 0).
+    // DuckDB's window sums widen to HUGEINT mid-CTE (exact); outputs
+    // are CAST back to BIGINT.
+    "q148_cusum_anomaly" ->
+      """WITH dc AS (SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+               count(*) AS cnt FROM events GROUP BY 1, 2),
+          m AS (SELECT event_type, sum(cnt) // count(*) AS mu
+                FROM dc GROUP BY 1),
+          c AS (SELECT dc.event_type, day, mu,
+                 sum(cnt - mu) OVER (PARTITION BY dc.event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM dc JOIN m USING (event_type)),
+          s AS (SELECT event_type, day, mu,
+                 cum - least(min(cum) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s
+                FROM c),
+          p AS (SELECT event_type, max(s) AS peak FROM s GROUP BY 1)
+          SELECT s.event_type, CAST(max(s.s) AS BIGINT) AS peak_cusum,
+                 min(day) AS peak_day, CAST(max(mu) AS BIGINT) AS mean_daily
+          FROM s JOIN p ON s.event_type = p.event_type AND s.s = p.peak
+          GROUP BY s.event_type ORDER BY s.event_type""",
+
+    "q149_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+          lv AS (SELECT *, max(CASE WHEN event_type = 'view' THEN tus END)
+                   OVER (PARTITION BY user_id ORDER BY tus, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view
+                FROM e),
+          p AS (SELECT tus // 86400000000 AS day,
+                 (last_view IS NOT NULL AND tus - last_view <= 604800000000) AS attr,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM lv WHERE event_type = 'purchase')
+          SELECT day, CAST(count(*) AS BIGINT) AS n_purchases,
+                 CAST(sum(CASE WHEN attr THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+                 CAST(sum(CASE WHEN attr THEN cents ELSE 0 END) AS BIGINT) AS attributed_cents
+          FROM p GROUP BY day ORDER BY day""",
+
     "q140_rolling_active" ->
       """WITH ud AS (SELECT DISTINCT user_id,
                epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),

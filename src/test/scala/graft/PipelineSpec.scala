@@ -1492,6 +1492,46 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("cusum: closed window form finds the planted level shift at its onset day") {
+    val session = spark
+    import session.implicits._
+    // type "a" daily counts [10,10,10,10,20,20]: mean = 13, devs
+    // [-3,-3,-3,-3,7,7], cum [-3,-6,-9,-12,-5,2], clamped runmin -12
+    // from day 3 => S [0,0,0,0,7,14]: peak 14 on day 5
+    val day = 86400000L
+    val evs = for {
+      d <- 0 to 5
+      i <- 0 until (if (d >= 4) 20 else 10)
+    } yield ((d * 100 + i).toLong, new java.sql.Timestamp(d * day + i), 1L, "a", 1.0, "{}")
+    val dir = java.nio.file.Files.createTempDirectory("q148cs").toString
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Pipeline.queries("q148_cusum_anomaly")(spark, dir).head()
+    assert(r.getString(0) == "a" && r.getLong(1) == 14L)
+    assert(r.getLong(2) == 5L && r.getLong(3) == 13L)
+    // fixture: every event type scores, peaks are non-negative
+    val full = Pipeline.queries("q148_cusum_anomaly")(spark, sf).collect()
+    assert(full.nonEmpty && full.forall(_.getLong(1) >= 0L))
+  }
+
+  test("attribution: last view within 7 days gets the credit, stale/no view does not") {
+    val session = spark
+    import session.implicits._
+    val h = 3600000L
+    def ev(id: Long, u: Long, ms: Long, ty: String, v: Double) =
+      (id, new java.sql.Timestamp(ms), u, ty, v, "{}")
+    val dir = java.nio.file.Files.createTempDirectory("q149at").toString
+    Seq(
+      ev(1, 1, 0, "view", 0.0), ev(2, 1, h, "purchase", 10.0), // attributed, day 0
+      ev(3, 1, 9L * 24 * h, "purchase", 5.0), // view is 9 days stale: not attributed
+      ev(4, 2, 24 * h, "purchase", 7.0)) // no view at all: not attributed
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Pipeline.queries("q149_attribution")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((0L, 1L, 1L, 1000L), (1L, 1L, 0L, 0L), (9L, 1L, 0L, 0L)))
+  }
+
   test("funnel latency: zero converted users yields null percentiles, not a throw") {
     val session = spark
     import session.implicits._

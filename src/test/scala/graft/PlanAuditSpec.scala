@@ -182,7 +182,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // q147: 256-cell count agg + its single-partition cumsum window
     // (256 rows) + the bin rollup + sort; the cell->bin map rides a
     // BroadcastExchange so data rows never shuffle for the join
-    "q147_balanced_shards" -> 4)
+    "q147_balanced_shards" -> 4,
+    // q148: (type,day) count agg + the hash(type) windows (mean, cum,
+    // runmin, peak all share it) + sort — the raw stream shuffles once
+    "q148_cusum_anomaly" -> 3,
+    // q149: user-timeline window + day rollup + sort
+    "q149_attribution" -> 3)
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
