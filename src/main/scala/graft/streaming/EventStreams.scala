@@ -171,6 +171,45 @@ object EventStreams {
       }
   }
 
+  /** One input event for streaming attribution. */
+  final case class AttrEvent(user_id: Long, event_id: Long, tus: Long,
+      event_type: String, value: Double)
+  /** One attributed purchase: the batch q149 pre-rollup row. */
+  final case class AttrOut(event_id: Long, user_id: Long, day: Long,
+      attributed: Boolean, cents: Long)
+
+  /** Streaming twin of batch q149 (last-touch attribution): each
+    * purchase credits the user's most recent view within `windowUs`,
+    * with the view cursor folded into ONE long of keyed state (same
+    * state shape as [[asofEnrich]] — attribution IS an as-of join
+    * against the view sub-stream). Within a micro-batch rows sort by
+    * (tus, event_id), the batch window's exact tie rule; across
+    * batches the per-key ordered-delivery caveat of any append-mode
+    * as-of applies. Emits per-purchase rows — the day rollup
+    * downstream is a plain streaming groupBy in update mode. */
+  def attribute(events: Dataset[AttrEvent],
+      windowUs: Long = 7L * 86400000000L): Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AttrOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[AttrEvent], state: GroupState[AsofState]) =>
+          var lastView = state.getOption
+          val out = Vector.newBuilder[AttrOut]
+          rows.toVector.sortBy(r => (r.tus, r.event_id)).foreach { r =>
+            if (r.event_type == "view") lastView = Some(AsofState(r.tus))
+            else if (r.event_type == "purchase") {
+              val attr = lastView.exists(s => r.tus - s.us <= windowUs)
+              out += AttrOut(r.event_id, userId, r.tus / 86400000000L, attr,
+                math.floor(r.value * 100).toLong)
+            }
+          }
+          lastView.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** The same per-user cursor on the transformWithState API (Spark 4.1
     * StatefulProcessor): typed ValueState in the state store, optional
     * TTL so an idle user's cursor is evicted instead of living forever

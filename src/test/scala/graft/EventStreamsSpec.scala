@@ -263,6 +263,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming attribution rolls up to exactly the batch q149 rows") {
+    val raw = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+    val stream = raw
+      .select(col("user_id"), col("event_id"), Tables.eventMicros(raw).as("tus"),
+        col("event_type"), col("value"))
+      .as[EventStreams.AttrEvent]
+    val q = EventStreams.attribute(stream)
+      .writeStream.outputMode("append").format("memory").queryName("attr_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT day, count(*) AS n,
+             sum(CASE WHEN attributed THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN attributed THEN cents ELSE 0 END) AS ac
+           FROM attr_out GROUP BY day""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val batch = SparkEntry.queries("q149_attribution")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == batch)
+      assert(got.exists(_._3 > 0L) && got.exists(t => t._2 > t._3),
+        "fixture should exercise both attributed and unattributed purchases")
+    } finally q.stop()
+  }
+
   test("chunk windows on a stream equal the batch q106 rows") {
     // chunkWindows is a stateless per-row explode, so the identical
     // code plans over readStream — no state, no watermark, append-safe
