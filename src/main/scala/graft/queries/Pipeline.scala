@@ -2433,6 +2433,77 @@ object Pipeline {
         .orderBy(col("day"))
     },
 
+    "q150_daily_trend" -> { (s, dir) =>
+      // Per-type traffic TREND: ordinary-least-squares slope of daily
+      // event counts over the day index, from the closed-form sums —
+      // slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2). Every sum is an
+      // exact integer (days and counts are longs), so the engine and
+      // the oracle build IDENTICAL numerators/denominators and the
+      // only float op is one final division + round, bit-equal on both
+      // sides. Scale shape: the stream collapses to (type, day) cells
+      // in one count agg, then ONE per-type rollup of five integer
+      // sums — two shuffles total, no window, no driver math. The
+      // exact integer num/den ride along in the output so a consumer
+      // can re-derive the slope at any precision.
+      val e = Tables(s, dir).events
+      val daily = e.select(col("event_type"), Tables.eventMicros(e).as("tus"))
+        .select(col("event_type"), expr("tus DIV 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("day")).as("sx"), sum(col("cnt")).as("sy"),
+          sum(col("day") * col("cnt")).as("sxy"),
+          sum(col("day") * col("day")).as("sxx"))
+        .select(col("event_type"), col("n_days"),
+          (col("n_days") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("n_days") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+          round((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n_days") * col("sxx") - col("sx") * col("sx")), 6).as("slope"))
+        .orderBy(col("event_type"))
+    },
+
+    "q151_source_divergence" -> { (s, dir) =>
+      // Corpus-drift matrix: Jensen-Shannon divergence between every
+      // source pair's unigram distribution, estimated over 256 hashed
+      // buckets (q132's fixed-feature trick) with Laplace smoothing —
+      // the monitoring op behind "did this crawl's language shift".
+      // Scale shape: ONE token scan collapses to (source, bucket)
+      // cells (<= |sources| x 256); each source densifies to a 256-
+      // long vector (map literal -> sequence transform, zeros for
+      // empty buckets); the pairwise stage is a broadcast cross of the
+      // |sources|-row vector table (q102's matrix posture). Float
+      // parity: both engines fold the 256 per-bucket terms IN BUCKET
+      // ORDER (array fold here, list comprehension there) over
+      // identical integer counts, so the doubles agree bit-for-bit
+      // before the 6dp presentation round.
+      val cn = Tables(s, dir).documents
+        .select(col("source"), explode(toks(col("text"))).as("tok"))
+        .select(col("source"),
+          md5_lower64(concat(lit("q151:"), col("tok")).cast("binary"))
+            .bitwiseAND(lit(255L)).as("b"))
+        .groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+      val vec = cn.groupBy(col("source"))
+        .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("m"),
+          sum(col("c")).as("n"))
+        .select(col("source"),
+          transform(sequence(lit(0L), lit(255L)),
+            i => coalesce(element_at(col("m"), i), lit(0L))).as("v"),
+          col("n"))
+      def p(c: Column, n: Column): Column =
+        (c.cast("double") + lit(1.0)) / (n.cast("double") + lit(256.0))
+      val terms = zip_with(col("a.v"), col("b.v"), (ca, cb) => {
+        val pa = p(ca, col("a.n")); val pb = p(cb, col("b.n"))
+        lit(0.5) * (pa * log2(lit(2.0) * pa / (pa + pb)) +
+          pb * log2(lit(2.0) * pb / (pa + pb)))
+      })
+      vec.as("a").crossJoin(broadcast(vec.as("b")))
+        .filter(col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+          round(aggregate(terms, lit(0.0), (acc, t) => acc + t), 6)
+            .as("js_divergence"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
     "q140_rolling_active" -> { (s, dir) =>
       // DAU / trailing-7-day WAU / stickiness per day — the standard
       // engagement rollup, built the way it survives 100 TB: rolling
@@ -4259,6 +4330,47 @@ object Pipeline {
                  CAST(sum(CASE WHEN attr THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
                  CAST(sum(CASE WHEN attr THEN cents ELSE 0 END) AS BIGINT) AS attributed_cents
           FROM p GROUP BY day ORDER BY day""",
+
+    "q151_source_divergence" -> {
+      def pa(v: String, n: String) = s"(($v[i] + 1.0) / ($n + 256.0))"
+      val (a, b) = (pa("va", "na"), pa("vb", "nb"))
+      s"""WITH tk AS (SELECT source,
+               CAST(md5_number_lower('q151:' || tok) & 255 AS BIGINT) AS b
+             FROM (SELECT source, unnest($tokSql) AS tok FROM documents)),
+          cn AS (SELECT source, b, count(*) AS c FROM tk GROUP BY 1, 2),
+          sp AS (SELECT s.source, r.range AS b
+                 FROM (SELECT DISTINCT source FROM documents) s, range(0, 256) r),
+          f AS (SELECT sp.source, sp.b, coalesce(cn.c, 0) AS c
+                FROM sp LEFT JOIN cn USING (source, b)),
+          vec AS (SELECT source, list(c ORDER BY b) AS v,
+                   CAST(sum(c) AS BIGINT) AS n FROM f GROUP BY source)
+          SELECT a.source AS source_a, b.source AS source_b,
+            round(list_sum([0.5 * ($a * log2(2.0 * $a / ($a + $b))
+                                 + $b * log2(2.0 * $b / ($a + $b)))
+                            for i in range(1, 257)]), 6) AS js_divergence
+          FROM (SELECT source, v AS va, n AS na FROM vec) a
+          JOIN (SELECT source, v AS vb, n AS nb FROM vec) b
+            ON a.source < b.source
+          ORDER BY source_a, source_b"""
+    },
+
+    // OLS slope from integer sums; DuckDB's sums widen to HUGEINT
+    // (exact) mid-CTE, outputs CAST to BIGINT; the single float op
+    // (division) runs on identical integers on both engines.
+    "q150_daily_trend" ->
+      """WITH dc AS (SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+               count(*) AS cnt FROM events GROUP BY 1, 2),
+          a AS (SELECT event_type, count(*) AS n, sum(day) AS sx,
+                 sum(cnt) AS sy, sum(day * cnt) AS sxy,
+                 sum(day * day) AS sxx
+                FROM dc GROUP BY 1)
+          SELECT event_type, CAST(n AS BIGINT) AS n_days,
+                 CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+                 CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+                 round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS BIGINT), 6) AS slope
+          FROM a ORDER BY event_type""",
 
     "q140_rolling_active" ->
       """WITH ud AS (SELECT DISTINCT user_id,

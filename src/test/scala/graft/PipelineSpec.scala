@@ -1532,6 +1532,47 @@ class PipelineSpec extends SparkSpec {
     assert(rows.toSeq == Seq((0L, 1L, 1L, 1000L), (1L, 1L, 0L, 0L), (9L, 1L, 0L, 0L)))
   }
 
+  test("daily trend: planted linear series recovers its exact slope") {
+    val session = spark
+    import session.implicits._
+    val day = 86400000L
+    // counts 5 + 3*day for days 0..4: slope exactly 3, num/den 150/50
+    val evs = for {
+      d <- 0 to 4
+      i <- 0 until (5 + 3 * d)
+    } yield ((d * 100 + i).toLong, new java.sql.Timestamp(d * day + i), 1L, "a", 1.0, "{}")
+    val dir = java.nio.file.Files.createTempDirectory("q150tr").toString
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Pipeline.queries("q150_daily_trend")(spark, dir).head()
+    assert(r.getString(0) == "a" && r.getLong(1) == 5L)
+    assert(r.getLong(2) == 150L && r.getLong(3) == 50L && r.getDouble(4) == 3.0)
+  }
+
+  test("source divergence: identical sources score ~0, disjoint sources score high") {
+    val session = spark
+    import session.implicits._
+    // repeat enough that real counts dominate the +1/256 Laplace floor
+    val same = Seq.fill(200)("alpha beta gamma delta epsilon zeta").mkString(" ")
+    val other = Seq.fill(200)("uno dos tres cuatro cinco seis").mkString(" ")
+    val docs = Seq(
+      (1L, same, "en", "s1", 30L), (2L, same, "en", "s2", 30L),
+      (3L, other, "en", "s3", 30L))
+    val dir = java.nio.file.Files.createTempDirectory("q151jd").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = Pipeline.queries("q151_source_divergence")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(m.size == 3)
+    assert(m(("s1", "s2")) == 0.0, "identical distributions diverge by 0")
+    assert(m(("s1", "s3")) > 0.4 && m(("s1", "s3")) <= 1.0)
+    assert(m(("s1", "s3")) == m(("s2", "s3")), "JS is symmetric in content")
+    // fixture: full 20-choose-2 matrix, all in [0, 1]
+    val full = Pipeline.queries("q151_source_divergence")(spark, sf).collect()
+    assert(full.length == 190)
+    assert(full.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+  }
+
   test("funnel latency: zero converted users yields null percentiles, not a throw") {
     val session = spark
     import session.implicits._

@@ -26,7 +26,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q124_quantile_sketch",
     // q135 crosses against the broadcast ONE-ROW bigram total (same
     // pattern as q124's bounds row)
-    "q135_pmi_collocations")
+    "q135_pmi_collocations",
+    // q151 crosses the |sources|-row (<= 20) vector table against its
+    // own broadcast — the q102 matrix posture, bounded by sources^2
+    "q151_source_divergence")
 
   test("no unplanned cartesian products or nested-loop joins") {
     val offenders = Seq.newBuilder[String]
