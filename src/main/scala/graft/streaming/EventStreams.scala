@@ -210,6 +210,42 @@ object EventStreams {
       }
   }
 
+  /** One daily volume cell for the streaming CUSUM monitor. */
+  final case class CusumCell(event_type: String, day: Long, cnt: Long)
+  /** One CUSUM point: the statistic after folding `day`. */
+  final case class CusumOut(event_type: String, day: Long, s: Long)
+  /** CUSUM recursion state: prefix sum and its clamped running min. */
+  final case class CusumState(cum: Long, runmin: Long)
+
+  /** Streaming twin of batch q148: Page's CUSUM over per-type daily
+    * volumes, maintained incrementally as (cum, runmin) — TWO longs of
+    * state per type, updated by the same closed form the batch windows
+    * compute (S_t = cum_t - min(0, runmin_t)). The reference mean is a
+    * plan-side literal per type (a calibration window's mean — the
+    * standard online-CUSUM posture; batch q148 estimates it from the
+    * full series, which a stream cannot know). Within a micro-batch
+    * cells fold in day order; across batches days must arrive in order
+    * per type (the append-mode as-of caveat). */
+  def cusum(cells: Dataset[CusumCell], mu: Map[String, Long]): Dataset[CusumOut] = {
+    import cells.sparkSession.implicits._
+    cells
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (ty: String, rows: Iterator[CusumCell], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0L, 0L))
+          val m = mu.getOrElse(ty, 0L)
+          val out = Vector.newBuilder[CusumOut]
+          rows.toVector.sortBy(_.day).foreach { r =>
+            val cum = st.cum + (r.cnt - m)
+            st = CusumState(cum, math.min(st.runmin, cum))
+            out += CusumOut(ty, r.day, cum - math.min(st.runmin, 0L))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** The same per-user cursor on the transformWithState API (Spark 4.1
     * StatefulProcessor): typed ValueState in the state store, optional
     * TTL so an idle user's cursor is evicted instead of living forever

@@ -288,6 +288,28 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cusum equals the closed-form trajectory across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams.{CusumCell, CusumOut}
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // q148's planted shift (counts 10,10,10,10,20,20; mu 13) split
+    // across two micro-batches: S must be [0,0,0,0,7,14] regardless of
+    // the batch boundary — the state (cum, runmin) carries over
+    val counts = Seq(10L, 10L, 10L, 10L, 20L, 20L)
+    val in = MemoryStream[CusumCell]
+    val q = graft.streaming.EventStreams.cusum(in.toDS(), Map("a" -> 13L))
+      .writeStream.outputMode("append").format("memory").queryName("cusum_out").start()
+    try {
+      in.addData((0 to 2).map(d => CusumCell("a", d.toLong, counts(d))): _*)
+      q.processAllAvailable()
+      in.addData((3 to 5).map(d => CusumCell("a", d.toLong, counts(d))): _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT day, s FROM cusum_out ORDER BY day")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 7L), (5L, 14L)))
+    } finally q.stop()
+  }
+
   test("chunk windows on a stream equal the batch q106 rows") {
     // chunkWindows is a stateless per-row explode, so the identical
     // code plans over readStream — no state, no watermark, append-safe
