@@ -252,7 +252,16 @@ object Bench {
       "x132_dsir_score_hof" ->
         (() => force(graft.queries.Pipeline.dsirScoreHof(
           Tables(spark, sfDir).documents,
-          graft.queries.Pipeline.dsirLlrCached(spark, sfDir)))))
+          graft.queries.Pipeline.dsirLlrCached(spark, sfDir)))),
+      // z-order pruning pair: the SAME two-sided key-range scan over
+      // lineitem written raw vs z-sorted (layout memoized, so the
+      // write cost lands in pass 1 and the median is a clean scan) —
+      // the measured form of q144's zone-map claim: pushed filters
+      // skip ~15/16 of z-sorted row groups from footer stats alone.
+      "x144_zscan_raw" ->
+        (() => force(graft.queries.Pipeline.zorderScan(spark, sfDir, zordered = false))),
+      "x144_zscan_zordered" ->
+        (() => force(graft.queries.Pipeline.zorderScan(spark, sfDir, zordered = true))))
     val runnables: Seq[(String, () => Unit)] =
       SparkEntry.queries.toSeq.sortBy(_._1).filter(q => selected(q._1))
         .map { case (name, fn) => name -> (() => force(fn(spark, sfDir))) } ++

@@ -3274,6 +3274,50 @@ object Pipeline {
   private[graft] def morton16(x: Column, y: Column): Column =
     graft.functions.morton16(x, y)
 
+  /** x144's layout pair, memoized per dataset dir: lineitem written
+    * twice under a scratch dir — `raw` in arrival order (hash
+    * repartition, the no-layout baseline) and `zord` range-partitioned
+    * and sorted by the Morton z-value, so each file (= row group at
+    * this size) covers one tight z-rectangle and carries tight
+    * parquet min/max stats on BOTH keys. The bench then scans each
+    * with the same two-sided key-range filter: on the z layout the
+    * pushed filters skip ~15/16 of row groups from footer stats alone,
+    * on the raw layout they skip nothing — the MEASURED version of
+    * q144's zone-map pruning claim (at 100 TB this is the difference
+    * between touching 2 files and touching all of them). */
+  private val zorderDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private[graft] def zorderLayoutDirs(s: SparkSession, dir: String): (String, String) =
+    memo(zorderDirs, dir) {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey"))).head
+      val (pmin, pspan) = (b.getLong(0), math.max(1L, b.getLong(1) - b.getLong(0)))
+      val (smin, sspan) = (b.getLong(2), math.max(1L, b.getLong(3) - b.getLong(2)))
+      val xs = ((col("l_partkey") - lit(pmin)) * lit(65535L) / lit(pspan)).cast("long")
+      val ys = ((col("l_suppkey") - lit(smin)) * lit(65535L) / lit(sspan)).cast("long")
+      val base = java.nio.file.Files.createTempDirectory("x144layout").toString
+      val (raw, zord) = (s"$base/raw", s"$base/zord")
+      li.repartition(32).write.mode("overwrite").parquet(raw)
+      li.withColumn("zval", morton16(xs, ys))
+        .repartitionByRange(32, col("zval"))
+        .sortWithinPartitions(col("zval"))
+        .drop("zval")
+        .write.mode("overwrite").parquet(zord)
+      (raw, zord)
+    }
+
+  /** One filtered scan over either x144 layout: a selective rectangle
+    * on BOTH keys (the zone-map query shape). */
+  private[graft] def zorderScan(s: SparkSession, dir: String, zordered: Boolean): DataFrame = {
+    val (raw, zord) = zorderLayoutDirs(s, dir)
+    s.read.parquet(if (zordered) zord else raw)
+      .filter(col("l_partkey").between(100, 199) &&
+        col("l_suppkey").between(10, 14))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+  }
+
   /** Shared by q86 (label propagation) and q143 (alternating star):
     * both compute components over the verified near-dup pairs with
     * min-doc_id labels, so one transitive-closure oracle gates both. */

@@ -1473,6 +1473,35 @@ class PipelineSpec extends SparkSpec {
     assert(full.toSeq == again.toSeq)
   }
 
+  test("z-order layout prunes at the parquet reader: scan emits a fraction of raw") {
+    // same rectangle filter over both layouts; identical answers, but
+    // the z-sorted files' footer stats let the reader SKIP row groups,
+    // so its scan node emits far fewer rows than the raw layout's
+    // (which must materialize everything and filter after). This is
+    // the mechanism behind q144's claim, asserted on reader metrics
+    // rather than wall clock (a warm local fs hides the I/O win).
+    def scanOutputRows(zo: Boolean): (Long, Long) = {
+      val df = Pipeline.zorderScan(spark, sf, zordered = zo)
+      val n = df.collect().head.getLong(0)
+      val top = df.queryExecution.executedPlan
+      val finalPlan = top match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val emitted = finalPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.metrics("numOutputRows").value
+      }.sum
+      (n, emitted)
+    }
+    val (nRaw, emittedRaw) = scanOutputRows(false)
+    val (nZ, emittedZ) = scanOutputRows(true)
+    assert(nRaw == nZ, "layout must not change the answer")
+    assert(emittedZ * 4 <= emittedRaw,
+      s"z layout should skip most row groups: z emitted $emittedZ vs raw $emittedRaw")
+  }
+
   test("balanced shards: equi-depth bins are contiguous in z and actually balanced") {
     val rows = Pipeline.queries("q147_balanced_shards")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
