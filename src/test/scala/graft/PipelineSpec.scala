@@ -1370,6 +1370,31 @@ class PipelineSpec extends SparkSpec {
     assert(l.getLong(1) <= l.getLong(2) && l.getLong(4) <= l.getLong(5))
   }
 
+  test("alternating star: random graphs agree with a naive union-find") {
+    val session = spark
+    import session.implicits._
+    import graft.operators.Components
+    val rnd = new scala.util.Random(1137)
+    for (trial <- 1 to 4) {
+      val n = 10 + rnd.nextInt(30)
+      val m = 5 + rnd.nextInt(60)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // naive disjoint-set forest as ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).filter(v => edges.exists(e =>
+          (e._1 == v || e._2 == v) && e._1 != e._2))
+        .map(v => (v.toLong, find(v).toLong)).toSet
+      val got = Components.components(edges.toDF("u", "v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"trial $trial (n=$n, m=$m)")
+    }
+  }
+
   test("alternating star: chain/clique/singleton graphs label to the component min") {
     val session = spark
     import session.implicits._
