@@ -67,6 +67,7 @@ object Pipeline {
   /** q37's O(n^2) guard count, one scan per dataset fingerprint per
     * JVM (see [[dirKey]]). */
   private val embCount = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val docCount = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** q98's corpus token total, memoized per dataset dir (same
     * immutability assumption as embCount above). */
@@ -1372,6 +1373,34 @@ object Pipeline {
         .agg(count(lit(1)).as("n_rows"),
           min(col("zval")).as("z_min"), max(col("zval")).as("z_max"))
         .orderBy(col("bin"))
+    },
+
+    "q152_negative_sampling" -> { (s, dir) =>
+      // Deterministic NEGATIVE SAMPLING for contrastive training: 4
+      // uniformly-hashed negatives per anchor doc over the dense
+      // doc_id space, self-hits deflected to the next id — the pair
+      // generator behind embedding/reranker training sets. Determinism
+      // is the point: retries, resumed shards, and the oracle all draw
+      // the SAME negatives because the draw is md5(anchor, k) mod n,
+      // never rand(). Scale shape: |corpus| rides as a plan literal
+      // (one memoized count), the draw is map-only explode x4, and the
+      // only shuffle is the equi-join that fetches each negative's
+      // row — at 100 TB that join is the unavoidable gather, and it's
+      // hash-colocatable by pre-bucketing documents on doc_id.
+      val docs = Tables(s, dir).documents
+      val n: Long = memo(docCount, dir)(docs.count())
+      val cand = pmod(
+        md5_lower64(concat(lit("neg:"), col("doc_id").cast("string"),
+          lit(":"), col("k").cast("string")).cast("binary"))
+          .bitwiseAND(lit(Long.MaxValue)), lit(n))
+      docs.select(col("doc_id"), explode(sequence(lit(0L), lit(3L))).as("k"))
+        .withColumn("cand", cand)
+        .withColumn("neg_id", when(col("cand") === col("doc_id"),
+          pmod(col("cand") + 1, lit(n))).otherwise(col("cand")))
+        .join(docs.select(col("doc_id").as("neg_id"),
+          col("source").as("neg_source")), "neg_id")
+        .select(col("doc_id"), col("k"), col("neg_id"), col("neg_source"))
+        .orderBy(col("doc_id"), col("k"))
     },
 
     "q87_pii_redact" -> { (s, dir) =>
@@ -4374,6 +4403,22 @@ object Pipeline {
                  CAST(sum(CASE WHEN attr THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
                  CAST(sum(CASE WHEN attr THEN cents ELSE 0 END) AS BIGINT) AS attributed_cents
           FROM p GROUP BY day ORDER BY day""",
+
+    "q152_negative_sampling" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+          x AS (SELECT doc_id, t.range AS k FROM documents, range(0, 4) t),
+          h AS (SELECT doc_id, k,
+                CAST((md5_number_lower('neg:' || doc_id || ':' || k)
+                      & 9223372036854775807) % (SELECT n FROM n) AS BIGINT) AS cand
+              FROM x),
+          g AS (SELECT doc_id, CAST(k AS BIGINT) AS k,
+                CASE WHEN cand = doc_id
+                     THEN CAST((cand + 1) % (SELECT n FROM n) AS BIGINT)
+                     ELSE cand END AS neg_id
+              FROM h)
+          SELECT g.doc_id, g.k, g.neg_id, d.source AS neg_source
+          FROM g JOIN documents d ON d.doc_id = g.neg_id
+          ORDER BY g.doc_id, g.k""",
 
     "q151_source_divergence" -> {
       def pa(v: String, n: String) = s"(($v[i] + 1.0) / ($n + 256.0))"

@@ -1586,6 +1586,24 @@ class PipelineSpec extends SparkSpec {
     assert(rows.toSeq == Seq((0L, 1L, 1L, 1000L), (1L, 1L, 0L, 0L), (9L, 1L, 0L, 0L)))
   }
 
+  test("negative sampling: 4 per anchor, never self, deterministic, well-spread") {
+    val rows = Pipeline.queries("q152_negative_sampling")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = Tables(spark, sf).documents.count()
+    assert(rows.length == 4 * nDocs)
+    assert(rows.forall { case (a, _, neg) => a != neg }, "no self-negatives")
+    assert(rows.groupBy(_._1).forall(_._2.map(_._2).toSet == Set(0L, 1L, 2L, 3L)))
+    // uniform-hash spread: most docs should appear as a negative
+    assert(rows.map(_._3).distinct.length > nDocs * 0.9)
+    // same draws under a different physical layout
+    val dir = java.nio.file.Files.createTempDirectory("q152ns").toString
+    Tables(spark, sf).documents.orderBy(rand(3)).repartition(7)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val again = Pipeline.queries("q152_negative_sampling")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("daily trend: planted linear series recovers its exact slope") {
     val session = spark
     import session.implicits._
