@@ -1375,6 +1375,36 @@ object Pipeline {
         .orderBy(col("bin"))
     },
 
+    "q153_skew_report" -> { (s, dir) =>
+      // JOIN-KEY SKEW diagnosis — the report that decides between a
+      // plain hash join, AQE skew handling, and q145's explicit
+      // salting: for each candidate key, distinct-key count, the
+      // hottest key and its row count, and the hot task's load
+      // multiple vs a perfectly uniform spread (max_cnt * n_keys /
+      // n_rows — at 1000 executors a multiple of 50 means the hot
+      // reducer runs 50x the average). NO global sort and no ranking
+      // window: each key column is ONE count agg + ONE tiny rollup
+      // (max + argmax via the (cnt, key) struct-max trick, order-free
+      // and layout-deterministic); the three reports union into a
+      // 3-row table. All-integer except the rounded multiple.
+      def report(df: DataFrame, key: Column, name: String): DataFrame =
+        df.groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
+          .agg(lit(name).as("key_name"),
+            sum(col("cnt")).as("n_rows"),
+            count(lit(1)).as("n_keys"),
+            max(struct(col("cnt"), col("k"))).as("m"))
+          .select(col("key_name"), col("n_rows"), col("n_keys"),
+            col("m.cnt").as("max_cnt"), col("m.k").as("hot_key"),
+            round(col("m.cnt") * col("n_keys") /
+              col("n_rows").cast("double"), 6).as("skew_multiple"))
+      val e = Tables(s, dir).events
+      val li = Tables(s, dir).lineitem
+      report(e, col("user_id"), "events.user_id")
+        .unionAll(report(li, col("l_partkey"), "lineitem.l_partkey"))
+        .unionAll(report(li, col("l_suppkey"), "lineitem.l_suppkey"))
+        .orderBy(col("key_name"))
+    },
+
     "q152_negative_sampling" -> { (s, dir) =>
       // Deterministic NEGATIVE SAMPLING for contrastive training: 4
       // uniformly-hashed negatives per anchor doc over the dense
@@ -4403,6 +4433,29 @@ object Pipeline {
                  CAST(sum(CASE WHEN attr THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
                  CAST(sum(CASE WHEN attr THEN cents ELSE 0 END) AS BIGINT) AS attributed_cents
           FROM p GROUP BY day ORDER BY day""",
+
+    "q153_skew_report" -> {
+      def block(table: String, key: String) =
+        s"""SELECT 'def_name' AS key_name,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(cnt) AS BIGINT) AS max_cnt,
+             (SELECT max(k) FROM c_$key WHERE cnt =
+               (SELECT max(cnt) FROM c_$key)) AS hot_key,
+             round((max(cnt) * count(*)) / sum(cnt), 6) AS skew_multiple
+           FROM c_$key""".replace("def_name", s"$table.$key")
+      s"""WITH c_user_id AS (SELECT user_id AS k, count(*) AS cnt
+              FROM events GROUP BY 1),
+          c_l_partkey AS (SELECT l_partkey AS k, count(*) AS cnt
+              FROM lineitem GROUP BY 1),
+          c_l_suppkey AS (SELECT l_suppkey AS k, count(*) AS cnt
+              FROM lineitem GROUP BY 1)
+          SELECT * FROM (
+            ${block("events", "user_id")}
+            UNION ALL ${block("lineitem", "l_partkey")}
+            UNION ALL ${block("lineitem", "l_suppkey")})
+          ORDER BY key_name"""
+    },
 
     "q152_negative_sampling" ->
       """WITH n AS (SELECT count(*) AS n FROM documents),

@@ -1604,6 +1604,32 @@ class PipelineSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("skew report: planted hot key dominates, invariants hold on the fixture") {
+    val session = spark
+    import session.implicits._
+    // 100 extra events on user 7 plus one each on users 0..9:
+    // 110 rows, 10 keys, hottest = 7 with 101 rows
+    val evs = (0 until 100).map(i =>
+      (i.toLong, new java.sql.Timestamp(i.toLong), 7L, "view", 1.0, "{}")) ++
+      (0 until 10).map(i =>
+        ((100 + i).toLong, new java.sql.Timestamp(i.toLong), i.toLong, "view", 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("q153sk").toString
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // lineitem needed by the other two report rows
+    Tables(spark, sf).lineitem.limit(50)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Pipeline.queries("q153_skew_report")(spark, dir).collect()
+    val ev = r.find(_.getString(0) == "events.user_id").get
+    assert(ev.getLong(1) == 110L && ev.getLong(2) == 10L)
+    assert(ev.getLong(3) == 101L && ev.getLong(4) == 7L)
+    assert(ev.getDouble(5) == math.rint(101.0 * 10 / 110 * 1e6) / 1e6)
+    // fixture invariants: multiple >= 1, hot count <= rows
+    val full = Pipeline.queries("q153_skew_report")(spark, sf).collect()
+    assert(full.length == 3)
+    assert(full.forall(x => x.getDouble(5) >= 1.0 && x.getLong(3) <= x.getLong(1)))
+  }
+
   test("daily trend: planted linear series recovers its exact slope") {
     val session = spark
     import session.implicits._
