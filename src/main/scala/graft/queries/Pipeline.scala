@@ -1247,15 +1247,7 @@ object Pipeline {
         min(col("l_suppkey")), max(col("l_suppkey"))).head
       val (pmin, pspan) = (b.getLong(0), math.max(1L, b.getLong(1) - b.getLong(0)))
       val (smin, sspan) = (b.getLong(2), math.max(1L, b.getLong(3) - b.getLong(2)))
-      val xs = ((col("l_partkey") - lit(pmin)) * lit(65535L) / lit(pspan)).cast("long")
-      val ys = ((col("l_suppkey") - lit(smin)) * lit(65535L) / lit(sspan)).cast("long")
-      li.select(col("l_partkey"), col("l_suppkey"), morton16(xs, ys).as("zval"))
-        .groupBy(shiftright(col("zval"), 24).as("shard_id"))
-        .agg(count(lit(1)).as("n_rows"),
-          min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
-          min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"),
-          min(col("zval")).as("z_min"), max(col("zval")).as("z_max"))
-        .orderBy(col("shard_id"))
+      zoneMaps(li, pmin, pspan, smin, sspan).orderBy(col("shard_id"))
     },
 
     "q145_salted_join" -> { (s, dir) =>
@@ -3366,6 +3358,27 @@ object Pipeline {
         .write.mode("overwrite").parquet(zord)
       (raw, zord)
     }
+
+  /** q144's zone-map aggregation factored over ANY (l_partkey,
+    * l_suppkey) frame with pre-supplied key bounds: every zone-map
+    * column (count, min/max of keys and zval) is a mergeable partial
+    * agg, so the identical Columns plan runs over readStream in update
+    * mode — arriving rows keep the per-shard maps current without
+    * recomputing history (the layout-maintenance loop a live table
+    * needs). Bounds come from the calibration corpus: at 100 TB the
+    * key domain is a table property, not something re-derived per
+    * micro-batch. */
+  private[graft] def zoneMaps(rows: DataFrame, pmin: Long, pspan: Long,
+      smin: Long, sspan: Long): DataFrame = {
+    val xs = ((col("l_partkey") - lit(pmin)) * lit(65535L) / lit(pspan)).cast("long")
+    val ys = ((col("l_suppkey") - lit(smin)) * lit(65535L) / lit(sspan)).cast("long")
+    rows.select(col("l_partkey"), col("l_suppkey"), morton16(xs, ys).as("zval"))
+      .groupBy(shiftright(col("zval"), 24).as("shard_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+        min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"),
+        min(col("zval")).as("z_min"), max(col("zval")).as("z_max"))
+  }
 
   /** One filtered scan over either x144 layout: a selective rectangle
     * on BOTH keys (the zone-map query shape). */

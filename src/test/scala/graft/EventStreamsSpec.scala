@@ -310,6 +310,33 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming zone maps converge to exactly the batch q144 rows") {
+    // every zone-map column is a mergeable partial agg, so the batch
+    // Columns plan runs over readStream in complete mode — the
+    // layout-maintenance loop a live table needs. Bounds are supplied
+    // (table property), matching what batch q144 derives.
+    val liPath = s"$sf/lineitem.parquet"
+    val liDir = java.nio.file.Files.createTempDirectory("graft-li-stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(liPath),
+      liDir.resolve("lineitem.parquet"))
+    val li = spark.read.parquet(liPath)
+    val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head
+    val (pmin, pspan) = (b.getLong(0), math.max(1L, b.getLong(1) - b.getLong(0)))
+    val (smin, sspan) = (b.getLong(2), math.max(1L, b.getLong(3) - b.getLong(2)))
+    val stream = spark.readStream.schema(li.schema).parquet(liDir.toString)
+    val q = graft.queries.Pipeline.zoneMaps(stream, pmin, pspan, smin, sspan)
+      .writeStream.outputMode("complete").format("memory").queryName("zm_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM zm_out").collect()
+        .map(r => r.toSeq).sortBy(_.head.asInstanceOf[Long])
+      val batch = SparkEntry.queries("q144_zorder_layout")(spark, sf).collect()
+        .map(r => r.toSeq)
+      assert(got.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("chunk windows on a stream equal the batch q106 rows") {
     // chunkWindows is a stateless per-row explode, so the identical
     // code plans over readStream — no state, no watermark, append-safe
