@@ -1397,6 +1397,38 @@ object Pipeline {
         .orderBy(col("key_name"))
     },
 
+    "q154_split_leakage" -> { (s, dir) =>
+      // TRAIN/TEST LEAKAGE audit — the contamination the q83 split
+      // cannot see: a near-duplicate CLUSTER whose members land in
+      // different splits leaks training text into eval (Lee et al.
+      // 2022's core warning). Composition of two existing layers:
+      // q143's star components over the verified near-dup graph,
+      // joined to q83's hash-bucket split rule (map-only), rolled up
+      // per cluster; output = only the leaky clusters with their split
+      // spread. Scale shape: component labels are (doc_id, label)
+      // pairs, the split is a per-row kernel, and the rollup is
+      // bounded by the dup-graph size — the corpus itself never
+      // shuffles beyond what the dup detection already paid.
+      val comp = graft.operators.Components.components(
+        minhashDupPairs(s, dir).select(col("doc_a").as("u"), col("doc_b").as("v")))
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      val bucket = md5_lower64(concat(lit("split:"),
+        col("doc_id").cast("string")).cast("binary")).bitwiseAND(lit(1023L))
+      val sp = Tables(s, dir).documents.select(col("doc_id"),
+        when(bucket < 819, "train").when(bucket < 922, "valid")
+          .otherwise("test").as("split"))
+      comp.join(sp, "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "valid", 1L).otherwise(0L)).as("n_valid"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+        .filter((when(col("n_train") > 0, 1).otherwise(0) +
+          when(col("n_valid") > 0, 1).otherwise(0) +
+          when(col("n_test") > 0, 1).otherwise(0)) > 1)
+        .orderBy(col("cluster_id"))
+    },
+
     "q152_negative_sampling" -> { (s, dir) =>
       // Deterministic NEGATIVE SAMPLING for contrastive training: 4
       // uniformly-hashed negatives per anchor doc over the dense
@@ -4469,6 +4501,26 @@ object Pipeline {
             UNION ALL ${block("lineitem", "l_suppkey")})
           ORDER BY key_name"""
     },
+
+    // the components CTE is the shared q86/q143 oracle verbatim; the
+    // split rule is q83's
+    "q154_split_leakage" ->
+      s"""WITH comp AS ($dupComponentsSql),
+          sp AS (SELECT doc_id,
+              CASE WHEN (md5_number_lower('split:' || doc_id) & 1023) < 819 THEN 'train'
+                   WHEN (md5_number_lower('split:' || doc_id) & 1023) < 922 THEN 'valid'
+                   ELSE 'test' END AS split
+            FROM documents),
+          g AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+              CAST(sum(CASE WHEN split = 'valid' THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+              CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+            FROM comp JOIN sp USING (doc_id) GROUP BY cluster_id)
+          SELECT * FROM g
+          WHERE (CASE WHEN n_train > 0 THEN 1 ELSE 0 END
+               + CASE WHEN n_valid > 0 THEN 1 ELSE 0 END
+               + CASE WHEN n_test > 0 THEN 1 ELSE 0 END) > 1
+          ORDER BY cluster_id""",
 
     "q152_negative_sampling" ->
       """WITH n AS (SELECT count(*) AS n FROM documents),

@@ -1630,6 +1630,34 @@ class PipelineSpec extends SparkSpec {
     assert(full.forall(x => x.getDouble(5) >= 1.0 && x.getLong(3) <= x.getLong(1)))
   }
 
+  test("split leakage: exactly the dup pairs straddling splits are reported") {
+    val session = spark
+    import session.implicits._
+    import graft.expressions.SketchKernel
+    def split(id: Long): String = {
+      val b = SketchKernel.md5Lower64(s"split:$id".getBytes("UTF-8")) & 1023L
+      if (b < 819) "train" else if (b < 922) "valid" else "test"
+    }
+    // 10 exact-duplicate pairs with pair-unique vocab: the leaky
+    // clusters must be exactly those whose two ids hash to different
+    // splits under q83's rule
+    val docs = (0 until 10).flatMap { p =>
+      val text = (0 until 10).map(w => s"w${p}x$w").mkString(" ")
+      Seq((p * 2L, text, "en", "a", 60L), (p * 2 + 1L, text, "en", "a", 60L))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("q154lk").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val want = (0 until 10).map(p => (p * 2L, p * 2 + 1L))
+      .filter { case (a, b) => split(a) != split(b) }
+      .map(_._1).toSet // cluster id = min doc_id = the even id
+    val got = Pipeline.queries("q154_split_leakage")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet == want, s"want $want got ${got.keySet}")
+    assert(got.values.forall(_ == 2L), "each planted cluster has 2 docs")
+    assert(want.nonEmpty, "fixture ids should produce at least one straddle")
+  }
+
   test("daily trend: planted linear series recovers its exact slope") {
     val session = spark
     import session.implicits._
