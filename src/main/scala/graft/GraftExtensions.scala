@@ -97,6 +97,7 @@ object GraftFunctions {
     "hex_lower"         -> si(C, Str, "hexEncode", Seq(Bin)) _,
     // sketches / pipeline
     "simhash64"         -> si(K, LongType, "simhash64", Seq(ArrS)) _,
+    "morton16"          -> si(K, LongType, "morton16", Seq(LongType, LongType)) _,
     "rolling_fingerprint" -> si(K, LongType, "rollingFingerprint", Seq(ArrS)) _,
     "lang_id"           -> si(K, Str, "langId", Seq(ArrS)) _,
     // formats

@@ -70,13 +70,15 @@ class XmlSqlFilesSpec extends SparkSpec {
                 to_title('her highness') AS t,
                 format_time_go(timestamp'2024-03-05 07:08:09', 'RFC3339') AS f,
                 json_flatten_deep('[[1],[2,[3]]]') AS fl,
-                decode_xml('<a><b>1</b></a>') AS x""").head()
+                decode_xml('<a><b>1</b></a>') AS x,
+                morton16(3, 5) AS z""").head()
     assert(r.getString(0) == "[1,2]")
     assert(r.getString(1) == "5eb63bbbe01eeed093cb22bb8f5acdc3")
     assert(r.getString(2) == "HER HIGHNESS")
     assert(r.getString(3) == "2024-03-05T07:08:09Z")
     assert(r.getString(4) == "[1,2,[3]]")
     assert(r.getString(5) == """{"doc":{"a":{"b":"1"}}}""")
+    assert(r.getLong(6) == 39L) // x=3 even bits, y=5 odd: 0b100111
   }
 
   test("cel() runs CEL programs from spark.sql (lowered when possible)") {
