@@ -190,7 +190,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // runmin, peak all share it) + sort — the raw stream shuffles once
     "q148_cusum_anomaly" -> 3,
     // q149: user-timeline window + day rollup + sort
-    "q149_attribution" -> 3)
+    "q149_attribution" -> 3,
+    // q150: (type,day) count agg + per-type sum rollup + sort
+    "q150_daily_trend" -> 3,
+    // q152: map-only draw; the row-gather join (broadcast at this sf,
+    // 2 more allowed for the SMJ real stats would pick) + sort
+    "q152_negative_sampling" -> 4,
+    // q153: three count aggs + three 1-row rollups feeding the union
+    "q153_skew_report" -> 6)
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
