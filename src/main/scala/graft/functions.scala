@@ -485,6 +485,17 @@ object functions {
       graft.expressions.MinKAgg(
         org.apache.spark.sql.graft.Shim.expression(c), k).toAggregateExpression())
 
+  /** Distributed Gramian: elementwise sum of `vec ⊗ vec` outer products
+    * per group, upper triangle packed row-major into `d*(d+1)/2` longs.
+    * Partial state is ONE fixed array per task (map-side combine), so a
+    * covariance over 100 TB of vectors shuffles `O(tasks * d²)` longs —
+    * never `O(rows * d²)` exploded cells. See
+    * [[graft.expressions.GramianAgg]]. */
+  def gramian(vec: Column, d: Int): Column =
+    org.apache.spark.sql.graft.Shim.column(
+      graft.expressions.GramianAgg(
+        org.apache.spark.sql.graft.Shim.expression(vec), d).toAggregateExpression())
+
   /** Left-to-right double dot product (kernel loop; bit-identical to
     * aggregate(zip_with(a,b,*), 0d, +) and the DuckDB oracle form). */
   def dot_product(a: Column, b: Column): Column =

@@ -110,6 +110,14 @@ object Pipeline {
   private val pqCodebook = new java.util.concurrent.ConcurrentHashMap[
     String, IndexedSeq[Seq[(Long, Array[Long])]]]()
 
+  /** q155's (mean, top-component) pair, memoized per dataset dir (same
+    * immutability assumption as embCount). The power iteration is a
+    * driver control loop on the 64x64 INTEGER covariance matrix — only
+    * the 2080-cell Gramian triangle and the 64-cell mean ever reach the
+    * driver, never data rows. */
+  private val pcaComponent = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Long], Array[Long])]()
+
   private def toks(c: Column) = tokens(c)
 
   /** Shared "this doc has at least one token" predicate for the
@@ -2587,6 +2595,64 @@ object Pipeline {
         .orderBy(col("source_a"), col("source_b"))
     },
 
+    "q155_pca_project" -> { (s, dir) =>
+      // Top principal component of the embedding corpus by FIXED-POINT
+      // power iteration, then a per-vector projection — the
+      // whitening/PCA step ahead of semantic dedup and clustering
+      // (SemDeDup preprocesses embeddings exactly this way). All
+      // arithmetic is integer: vectors quantize to 1e-4 longs (q114's
+      // posture), the mean is a floor-rounded integer vector, the
+      // covariance numerator is an EXACT integer Gramian over centered
+      // vectors, and each of the 12 power steps renormalizes by
+      // symmetric-truncating division of the max-abs component back to
+      // 1e6 scale — so the eigensolve is bit-reproducible at any
+      // partitioning and the oracle replays the identical trajectory in
+      // unrolled CTEs (q146's contract). Scale shape: pass 1 = a
+      // 64-cell mean aggregate; pass 2 = ONE GramianAgg whose partial
+      // state is a fixed 2080-long triangle per task (MLlib's
+      // computeGramianMatrix treeAggregate posture — the shuffle moves
+      // O(tasks*d²) longs, never the O(rows*d²) exploded cells a
+      // posexplode-pair aggregation would); the A·v steps run on the
+      // driver over the 64x64 matrix in BigInt (|Σ C·v| clears 2^63 at
+      // big SFs); pass 3 projects map-only with the mean and component
+      // as plan literals. At 100 TB you'd cache the quantized
+      // projection across passes 1-2.
+      val d = 64
+      val q = Tables(s, dir).embeddings
+        .select(col("vec_id"), transform(col("embedding"),
+          x => floor(x.cast("double") * 10000d + 0.5).cast("long")).as("qv"))
+      val (m, v) = memo(pcaComponent, dir) {
+        val mean = q.select(posexplode(col("qv")).as(Seq("pos", "x")))
+          .groupBy(col("pos")).agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+          .collect().sortBy(_.getInt(0))
+        val n = mean.head.getLong(2)
+        val mm = mean.map(r => math.floor(r.getLong(1).toDouble / n + 0.5).toLong)
+        val cent = zip_with(col("qv"), lit(mm), (a, b) => a - b)
+        val tri = q.select(gramian(cent, d).as("g")).head.getSeq[Long](0)
+        val a = Array.ofDim[Long](d, d)
+        var off = 0
+        for (i <- 0 until d; j <- i until d) {
+          a(i)(j) = tri(off); a(j)(i) = tri(off); off += 1
+        }
+        var vv = Array.fill(d)(1000000L)
+        for (_ <- 0 until 12) {
+          val u = Array.tabulate(d) { i =>
+            var acc = BigInt(0)
+            var j = 0
+            while (j < d) { acc += BigInt(a(i)(j)) * vv(j); j += 1 }
+            acc
+          }
+          val mx = u.map(_.abs).max.max(BigInt(1))
+          vv = u.map(x => (BigInt(x.signum) * ((x.abs * 1000000) / mx)).toLong)
+        }
+        (mm, vv)
+      }
+      q.select(col("vec_id"),
+          aggregate(zip_with(zip_with(col("qv"), lit(m), (a, b) => a - b),
+            lit(v), (c, w) => c * w), lit(0L), (acc, x) => acc + x).as("pc1"))
+        .orderBy(col("vec_id"))
+    },
+
     "q140_rolling_active" -> { (s, dir) =>
       // DAU / trailing-7-day WAU / stickiness per day — the standard
       // engagement rollup, built the way it survives 100 TB: rolling
@@ -3475,7 +3541,54 @@ object Pipeline {
         FROM s$rounds ORDER BY sc DESC, n LIMIT 20"""
   }
 
+  /** q155's oracle, generated for T power-iteration rounds: the same
+    * fixed-point integer trajectory unrolled (q146's contract). Every
+    * intermediate that can clear BIGINT is lifted to HUGEINT explicitly
+    * (the iteration products) or by DuckDB's sum widening, and every
+    * CTE/output column lands back in BIGINT — the dtype gate bans wide
+    * types in OUTPUT only. The normalizing division keeps both operands
+    * nonnegative (sign split) so DuckDB `//` and the engine's BigInt
+    * truncating division agree on negatives. */
+  private def pcaOracleSql(rounds: Int): String = {
+    // MATERIALIZED everywhere a CTE is referenced more than once (or
+    // sits under the iteration chain): DuckDB INLINES plain CTEs, so
+    // v_r naively expanding u_r twice per round doubles the whole
+    // upstream tree 2^rounds times — the un-materialized form ran out
+    // of file descriptors re-opening the parquet scan thousands of
+    // times before any row moved.
+    def iter(r: Int) =
+      s"""u$r AS MATERIALIZED (
+            SELECT c.i AS i, sum(CAST(c.cv AS HUGEINT) * v.v) AS u
+            FROM cov c JOIN v${r - 1} v ON v.i = c.j GROUP BY c.i),
+         v$r AS MATERIALIZED (
+            SELECT i, CAST(CASE WHEN u < 0
+                   THEN -((-u * 1000000) // greatest(max(abs(u)) OVER (), 1))
+                   ELSE (u * 1000000) // greatest(max(abs(u)) OVER (), 1)
+                 END AS BIGINT) AS v
+            FROM u$r)"""
+    s"""WITH q AS MATERIALIZED (SELECT vec_id, list_transform(range(1, 65), i ->
+             CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings),
+        nn AS (SELECT count(*) AS n FROM q),
+        mn AS MATERIALIZED (SELECT t.i AS i, CAST(floor(
+                 CAST(sum(qv[CAST(t.i AS INT)]) AS DOUBLE) / (SELECT n FROM nn)
+                 + 0.5) AS BIGINT) AS m
+               FROM q CROSS JOIN range(1, 65) t(i) GROUP BY t.i),
+        cent AS MATERIALIZED (SELECT vec_id, t.i AS i,
+                   qv[CAST(t.i AS INT)] - mn.m AS c
+                 FROM q CROSS JOIN range(1, 65) t(i) JOIN mn ON mn.i = t.i),
+        cov AS MATERIALIZED (
+                SELECT a.i AS i, b.i AS j, CAST(sum(a.c * b.c) AS BIGINT) AS cv
+                FROM cent a JOIN cent b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+        v0 AS (SELECT i, CAST(1000000 AS BIGINT) AS v FROM range(1, 65) t(i)),
+        ${(1 to rounds).map(iter).mkString(",\n ")}
+        SELECT c.vec_id, CAST(sum(c.c * v.v) AS BIGINT) AS pc1
+        FROM cent c JOIN v$rounds v ON v.i = c.i
+        GROUP BY c.vec_id ORDER BY vec_id"""
+  }
+
   def oracle: Map[String, String] = Map(
+    "q155_pca_project" -> pcaOracleSql(12),
     "q146_textrank" -> textrankOracleSql(10),
     "q30_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies

@@ -1937,4 +1937,82 @@ class PipelineSpec extends SparkSpec {
     for (i <- Seq(2, 3, 4, 5, 6, 7))
       assert(r(0).getDouble(i) == 42.5, s"col $i: ${r(0).getDouble(i)}")
   }
+
+  test("gramian aggregate matches brute-force outer-product sums at any partitioning") {
+    val session = spark
+    import session.implicits._
+    val rnd = new scala.util.Random(155)
+    val d = 5
+    val vecs = Seq.fill(40)(Array.fill(d)(rnd.nextInt(2001) - 1000L))
+    def brute: Array[Long] = {
+      val acc = new Array[Long](d * (d + 1) / 2)
+      for (v <- vecs) {
+        var off = 0
+        for (i <- 0 until d; j <- i until d) {
+          acc(off) += v(i) * v(j); off += 1
+        }
+      }
+      acc
+    }
+    for (parts <- Seq(1, 3, 7)) {
+      val got = vecs.map(_.toSeq).toDF("v").repartition(parts)
+        .select(gramian(col("v"), d).as("g"))
+        .head.getSeq[Long](0).toArray
+      assert(got.toSeq == brute.toSeq, s"parts=$parts")
+    }
+  }
+
+  test("pca projection: fixed-point component captures at least the best axis variance") {
+    // Power iteration converges to the top eigenvector; after 12
+    // fixed-point rounds the Rayleigh quotient v'Cv/v'v must at least
+    // dominate every coordinate axis (whose quotient is C_ii) — a
+    // floor any correct eigensolver clears, and a sharp failure if the
+    // iteration diverged, overflowed, or renormalized wrong.
+    val q = Tables(spark, sf).embeddings
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") * 10000d + 0.5).cast("long")).as("qv"))
+    val d = 64
+    val mean = q.select(posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .collect().sortBy(_.getInt(0))
+    val n = mean.head.getLong(2)
+    val mm = mean.map(r => math.floor(r.getLong(1).toDouble / n + 0.5).toLong)
+    val tri = q.select(gramian(zip_with(col("qv"), lit(mm), (a, b) => a - b), d).as("g"))
+      .head.getSeq[Long](0)
+    val a = Array.ofDim[Long](d, d)
+    var off = 0
+    for (i <- 0 until d; j <- i until d) {
+      a(i)(j) = tri(off); a(j)(i) = tri(off); off += 1
+    }
+    // re-derive the component exactly as q155 does (memo-independent)
+    var vv = Array.fill(d)(1000000L)
+    for (_ <- 0 until 12) {
+      val u = Array.tabulate(d) { i =>
+        (0 until d).map(j => BigInt(a(i)(j)) * vv(j)).sum
+      }
+      val mx = u.map(_.abs).max.max(BigInt(1))
+      vv = u.map(x => (BigInt(x.signum) * ((x.abs * 1000000) / mx)).toLong)
+    }
+    def rayleigh(v: Array[Long]): Double = {
+      val num = (for (i <- 0 until d; j <- 0 until d)
+        yield BigInt(a(i)(j)) * v(i) * v(j)).sum
+      val den = v.map(x => BigInt(x) * x).sum
+      (BigDecimal(num) / BigDecimal(den)).toDouble
+    }
+    val axisBest = (0 until d).map(i => a(i)(i).toDouble).max
+    assert(rayleigh(vv) >= axisBest * 0.999,
+      s"rayleigh ${rayleigh(vv)} vs best axis $axisBest")
+
+    // and the query itself is deterministic + partitioning-invariant:
+    // a fresh dataset-dir copy (fresh memo key) reproduces bit-exact
+    val out = Pipeline.queries("q155_pca_project")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length > 0)
+    val dir2 = java.nio.file.Files.createTempDirectory("q155det").toString
+    spark.read.parquet(s"$sf/embeddings.parquet").repartition(7)
+      .write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
+    val again = Pipeline.queries("q155_pca_project")(spark, dir2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+  }
 }

@@ -197,7 +197,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // 2 more allowed for the SMJ real stats would pick) + sort
     "q152_negative_sampling" -> 4,
     // q153: three count aggs + three 1-row rollups feeding the union
-    "q153_skew_report" -> 6)
+    "q153_skew_report" -> 6,
+    // q155: the projection pass is map-only with the mean/component as
+    // plan literals — just the presentation sort (the mean/Gramian
+    // passes are memoized control-plane, not part of this plan)
+    "q155_pca_project" -> 1)
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
