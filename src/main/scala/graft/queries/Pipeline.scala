@@ -2653,6 +2653,46 @@ object Pipeline {
         .orderBy(col("vec_id"))
     },
 
+    "q156_apply_changes" -> { (s, dir) =>
+      // CDC MERGE (upsert + delete) of a change batch into a corpus
+      // snapshot — the APPLY half of q125's snapshot-diff pair, and
+      // the maintenance shape every incrementally-ingested corpus
+      // runs: crawl N+1 lands as keyed changes, the snapshot is
+      // rewritten keep-latest. The change batch derives
+      // deterministically from the fixture (doc_id % 7 == 3 ->
+      // re-edited text, % 7 == 5 -> delete, % 7 == 1 -> insert under
+      // a fresh key) so both engines construct it identically. Merge
+      // = union(snapshot@v0, changes@v1) -> per-key keep-highest-
+      // version -> drop deletes: ONE hash shuffle on doc_id (the
+      // window) + the presentation sort. At 100 TB both sides live
+      // bucketed on doc_id so the merge is shuffle-free, and deletes
+      // materialize as absence in the rewritten snapshot, not
+      // tombstones. Streaming twin: DedupStreams.applyChanges folds
+      // the same keep-latest contract into per-key state.
+      val d = Tables(s, dir).documents
+      val snap = d.select(col("doc_id"), col("text"), col("source"),
+        lit(0L).as("ver"), lit("U").as("op"))
+      val changes =
+        d.filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id"), concat(lit("rev2: "), col("text")).as("text"),
+            lit("editorial").as("source"), lit(1L).as("ver"), lit("U").as("op"))
+          .unionAll(d.filter(col("doc_id") % 7 === 5)
+            .select(col("doc_id"), lit(null).cast("string").as("text"),
+              lit(null).cast("string").as("source"), lit(1L).as("ver"),
+              lit("D").as("op")))
+          .unionAll(d.filter(col("doc_id") % 7 === 1)
+            .select((col("doc_id") + 100000000L).as("doc_id"),
+              concat(lit("new: "), col("text")).as("text"),
+              lit("ingest").as("source"), lit(1L).as("ver"), lit("U").as("op")))
+      snap.unionAll(changes)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("ver").desc)))
+        .filter(col("rk") === 1 && col("op") === "U")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash"),
+          col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     "q140_rolling_active" -> { (s, dir) =>
       // DAU / trailing-7-day WAU / stickiness per day — the standard
       // engagement rollup, built the way it survives 100 TB: rolling
@@ -3588,6 +3628,23 @@ object Pipeline {
   }
 
   def oracle: Map[String, String] = Map(
+    "q156_apply_changes" ->
+      """WITH snap AS (SELECT doc_id, text, source, 0 AS ver, 'U' AS op
+               FROM documents),
+          ch AS (SELECT doc_id, 'rev2: ' || text AS text,
+                   'editorial' AS source, 1 AS ver, 'U' AS op
+                 FROM documents WHERE doc_id % 7 = 3
+                 UNION ALL
+                 SELECT doc_id, NULL, NULL, 1, 'D'
+                 FROM documents WHERE doc_id % 7 = 5
+                 UNION ALL
+                 SELECT doc_id + 100000000, 'new: ' || text, 'ingest', 1, 'U'
+                 FROM documents WHERE doc_id % 7 = 1),
+          u AS (SELECT *, row_number() OVER
+                  (PARTITION BY doc_id ORDER BY ver DESC) AS rk
+                FROM (SELECT * FROM snap UNION ALL SELECT * FROM ch))
+          SELECT doc_id, md5(text) AS content_hash, source
+          FROM u WHERE rk = 1 AND op = 'U' ORDER BY doc_id""",
     "q155_pca_project" -> pcaOracleSql(12),
     "q146_textrank" -> textrankOracleSql(10),
     "q30_exact_dedup" ->

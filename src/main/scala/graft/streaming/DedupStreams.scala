@@ -364,4 +364,56 @@ object DedupStreams {
     blocks.groupByKey(_.blk)
       .transformWithState(new BlockDedupProcessor(ttl), timeMode, OutputMode.Append())
   }
+
+  /** One CDC record: an upsert (`op = "U"`, payload text/source) or a
+    * delete tombstone (`op = "D"`) for a document key at a version. */
+  final case class ChangeRow(doc_id: Long, text: String, source: String,
+      ver: Long, op: String)
+  /** The key's merged state after a micro-batch: `present = false`
+    * means the latest version is a delete (the key is gone from the
+    * logical snapshot). */
+  final case class MergedDoc(doc_id: Long, ver: Long, content_hash: String,
+      source: String, present: Boolean)
+
+  /** Streaming twin of batch q156 (CDC apply-changes merge): change
+    * records fold into ONE keep-highest-version record per key —
+    * upserts replace the payload, tombstones flip `present` off — and
+    * each micro-batch emits the key's post-batch state, so the latest
+    * emission per key IS the merged snapshot row (a downstream
+    * materializer upserts by doc_id; `present = false` rows delete).
+    * State per key is one fixed-width record (ver + 32-hex hash +
+    * source), independent of how many times the key churns. Within a
+    * micro-batch, rows apply in version order (ties: keep-last, the
+    * same `ver DESC` row_number winner as the batch window); version
+    * regressions — a late change older than state — are ignored, which
+    * is exactly the batch semantics where the window keeps the max
+    * version. Parity with q156 is spec-pinned by replaying
+    * snapshot-then-changes and comparing final states. */
+  def applyChanges(changes: Dataset[ChangeRow]): Dataset[MergedDoc] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[MergedDoc, MergedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, rows: Iterator[ChangeRow], state: GroupState[MergedDoc]) =>
+          var cur = state.getOption
+            .getOrElse(MergedDoc(id, -1L, null, null, present = false))
+          rows.toVector.sortBy(_.ver).foreach { c =>
+            if (c.ver >= cur.ver)
+              cur =
+                if (c.op == "U")
+                  MergedDoc(id, c.ver, md5Hex(c.text), c.source, present = true)
+                else MergedDoc(id, c.ver, null, null, present = false)
+          }
+          state.update(cur)
+          Iterator(cur)
+      }
+  }
+
+  /** Hex md5 of a UTF-8 string — the same value as Spark's `md5(text
+    * CAST AS BINARY)` and DuckDB's `md5(text)`, so streamed hashes
+    * compare byte-equal against both batch engines. */
+  private def md5Hex(s: String): String =
+    if (s == null) null
+    else graft.expressions.CryptoKernel.md5Bytes(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
 }

@@ -956,4 +956,48 @@ class EventStreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming apply-changes merge converges to the batch q156 snapshot") {
+    import graft.streaming.DedupStreams.ChangeRow
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the SAME deterministic change batch q156 derives from the fixture
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val snap = docs.map { case (id, t, src) => ChangeRow(id, t, src, 0L, "U") }
+    val changes =
+      docs.filter(_._1 % 7 == 3).map { case (id, t, _) =>
+        ChangeRow(id, "rev2: " + t, "editorial", 1L, "U") } ++
+      docs.filter(_._1 % 7 == 5).map { case (id, _, _) =>
+        ChangeRow(id, null, null, 1L, "D") } ++
+      docs.filter(_._1 % 7 == 1).map { case (id, t, _) =>
+        ChangeRow(id + 100000000L, "new: " + t, "ingest", 1L, "U") }
+    val in = MemoryStream[ChangeRow]
+    val q = graft.streaming.DedupStreams.applyChanges(in.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdc_out").start()
+    try {
+      in.addData(snap.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(changes.toIndexedSeq: _*); q.processAllAvailable()
+      // the latest emission per key IS the merged snapshot row
+      val finalState = spark.sql(
+          "SELECT doc_id, ver, content_hash, source, present FROM cdc_out")
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1),
+          if (r.isNullAt(2)) null else r.getString(2),
+          if (r.isNullAt(3)) null else r.getString(3), r.getBoolean(4))))
+        .groupBy(_._1).map { case (id, rows) => id -> rows.map(_._2).maxBy(_._1) }
+    val live = finalState.collect {
+        case (id, (_, h, src, true)) => (id, h, src) }.toSet
+      val batch = graft.queries.Pipeline.queries("q156_apply_changes")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(batch.nonEmpty)
+      assert(live == batch, s"stream-only: ${(live -- batch).take(3)}; " +
+        s"missing: ${(batch -- live).take(3)}")
+      // tombstoned keys end present = false, exactly the % 7 == 5 set
+      val deleted = finalState.collect { case (id, (_, _, _, false)) => id }.toSet
+      assert(deleted == docs.map(_._1).filter(_ % 7 == 5).toSet)
+    } finally q.stop()
+  }
 }

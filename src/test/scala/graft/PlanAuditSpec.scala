@@ -201,7 +201,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // q155: the projection pass is map-only with the mean/component as
     // plan literals — just the presentation sort (the mean/Gramian
     // passes are memoized control-plane, not part of this plan)
-    "q155_pca_project" -> 1)
+    "q155_pca_project" -> 1,
+    // q156: ONE doc_id hash shuffle (the keep-latest window) + the
+    // presentation sort; at 100 TB both merge sides live bucketed on
+    // doc_id and even that shuffle disappears
+    "q156_apply_changes" -> 2)
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
