@@ -2693,6 +2693,51 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "q157_mixture_waterfill" -> { (s, dir) =>
+      // Capped proportional mixture allocation (water-filling): given a
+      // token budget B (3/5 of the corpus here), per-source target
+      // weights w_s and available tokens a_s, allocate x_s = min(a_s,
+      // λ·w_s) with λ chosen so Σx = B — the closed-form answer to
+      // "fill my training mixture to target proportions, but a source
+      // can't contribute more than it has" (the static core of
+      // DoReMi-style mixture balancing; complements q91's sampler and
+      // q109's materializer, which take proportions as GIVEN). No
+      // driver loop: sort sources by a/w ascending, then the saturated
+      // set is a PREFIX (standard water-filling lemma), testable per
+      // row with exact integer cross-multiplication a·W_rem ≤ B_rem·w
+      // over two prefix/suffix window sums; the λ anchor (B_rem, W_rem
+      // of the FIRST unsaturated row) falls out as a conditional max
+      // because both decrease monotonically along the sort. Scale
+      // shape: ONE token-count shuffle collapses the corpus to
+      // |sources| rows; every window after that runs on the tiny
+      // single-partition source table (q147's 256-row cumsum posture).
+      // All-integer allocations = bit-stable; leftover sub-λ remainder
+      // tokens stay unallocated by design (floor division).
+      val d = Tables(s, dir).documents
+      val avail = d.select(col("source"), explode(toks(col("text"))).as("t"))
+        .groupBy(col("source")).agg(count(lit(1)).as("avail"))
+        .withColumn("w", md5_lower64(concat(lit("q157:"), col("source"))
+          .cast("binary")).bitwiseAND(lit(7L)) + 1L)
+      val byRatio = Window.orderBy(col("ratio"), col("source"))
+      val all = Window.partitionBy()
+      avail.withColumn("ratio", col("avail").cast("double") / col("w"))
+        .withColumn("pre_a", coalesce(sum(col("avail")).over(
+          byRatio.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("wrem", sum(col("w")).over(
+          byRatio.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .withColumn("b", expr("(sum(avail) OVER () * 3) DIV 5"))
+        .withColumn("brem", col("b") - col("pre_a"))
+        .withColumn("saturated",
+          col("avail") * col("wrem") <= col("brem") * col("w"))
+        .withColumn("lam_n", max(when(!col("saturated"), col("brem"))).over(all))
+        .withColumn("lam_d", max(when(!col("saturated"), col("wrem"))).over(all))
+        .select(col("source"), col("avail"), col("w").as("weight"),
+          col("saturated"),
+          when(col("saturated"), col("avail"))
+            .otherwise(expr("(lam_n * weight) DIV lam_d")).as("alloc"))
+        .orderBy(col("source"))
+    },
+
     "q140_rolling_active" -> { (s, dir) =>
       // DAU / trailing-7-day WAU / stickiness per day — the standard
       // engagement rollup, built the way it survives 100 TB: rolling
@@ -3628,6 +3673,32 @@ object Pipeline {
   }
 
   def oracle: Map[String, String] = Map(
+    "q157_mixture_waterfill" ->
+      s"""WITH av AS (SELECT source, count(*) AS avail
+               FROM (SELECT source, unnest($tokSql) AS tok FROM documents)
+               GROUP BY source),
+          t AS (SELECT source, avail,
+                  CAST((md5_number_lower('q157:' || source) & 7) + 1 AS BIGINT) AS w
+                FROM av),
+          t2 AS (SELECT *, CAST(avail AS DOUBLE) / w AS ratio FROM t),
+          t3 AS (SELECT *,
+                   coalesce(sum(avail) OVER (ORDER BY ratio, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_a,
+                   sum(w) OVER (ORDER BY ratio, source
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS wrem,
+                   (sum(avail) OVER () * 3) // 5 AS b
+                 FROM t2),
+          t4 AS (SELECT *, b - pre_a AS brem,
+                   avail * wrem <= (b - pre_a) * w AS sat
+                 FROM t3),
+          t5 AS (SELECT *,
+                   max(CASE WHEN NOT sat THEN brem END) OVER () AS lam_n,
+                   max(CASE WHEN NOT sat THEN wrem END) OVER () AS lam_d
+                 FROM t4)
+          SELECT source, avail, w AS weight, sat AS saturated,
+                 CAST(CASE WHEN sat THEN avail
+                      ELSE (lam_n * w) // lam_d END AS BIGINT) AS alloc
+          FROM t5 ORDER BY source""",
     "q156_apply_changes" ->
       """WITH snap AS (SELECT doc_id, text, source, 0 AS ver, 'U' AS op
                FROM documents),

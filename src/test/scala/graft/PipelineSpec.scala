@@ -1938,6 +1938,40 @@ class PipelineSpec extends SparkSpec {
       assert(r(0).getDouble(i) == 42.5, s"col $i: ${r(0).getDouble(i)}")
   }
 
+  test("waterfill allocation: caps respected, budget filled to floor slack, saturated set is a ratio prefix") {
+    val rows = Pipeline.queries("q157_mixture_waterfill")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val totalAvail = rows.map(_._2).sum
+    val budget = totalAvail * 3 / 5
+    // every allocation within its cap and nonnegative
+    rows.foreach { case (src, avail, _, _, alloc) =>
+      assert(alloc >= 0 && alloc <= avail, s"$src alloc $alloc vs avail $avail")
+    }
+    val (sat, unsat) = rows.partition(_._4)
+    if (unsat.isEmpty) {
+      // budget covers everything: allocation IS availability
+      assert(rows.forall { case (_, avail, _, _, alloc) => alloc == avail })
+      assert(totalAvail <= budget)
+    } else {
+      // budget exhausted up to floor-division slack (< one λ unit/source)
+      val allocated = rows.map(_._5).sum
+      assert(allocated <= budget)
+      assert(budget - allocated < unsat.map(_._3).sum,
+        s"slack ${budget - allocated} >= unsaturated weight ${unsat.map(_._3).sum}")
+      // saturated set is a prefix in a/w ratio order
+      if (sat.nonEmpty) {
+        val maxSatRatio = sat.map(r => r._2.toDouble / r._3).max
+        val minUnsatRatio = unsat.map(r => r._2.toDouble / r._3).min
+        assert(maxSatRatio <= minUnsatRatio)
+      }
+      // unsaturated allocations are weight-proportional at a shared λ:
+      // per-weight rates differ by at most one floor unit
+      val rates = unsat.map(r => r._5.toDouble / r._3)
+      assert(rates.max - rates.min <= 1.0, s"rates $rates")
+    }
+  }
+
   test("gramian aggregate matches brute-force outer-product sums at any partitioning") {
     val session = spark
     import session.implicits._

@@ -205,7 +205,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // q156: ONE doc_id hash shuffle (the keep-latest window) + the
     // presentation sort; at 100 TB both merge sides live bucketed on
     // doc_id and even that shuffle disappears
-    "q156_apply_changes" -> 2)
+    "q156_apply_changes" -> 2,
+    // q157: ONE source token-count shuffle collapses the corpus to
+    // |sources| rows; the water-filling windows and sort run on that
+    // tiny single-partition table (q147's cumsum posture)
+    "q157_mixture_waterfill" -> 4)
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
