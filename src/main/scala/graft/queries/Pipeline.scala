@@ -2738,6 +2738,31 @@ object Pipeline {
         .orderBy(col("source"))
     },
 
+    "q158_ann_recall_audit" -> { (s, dir) =>
+      // Recall@5 of the IVF index (q57) against the exact brute-force
+      // top-5 (q36), per query — the EVAL harness every production ANN
+      // deployment runs before trusting an index: approximate results
+      // are only as good as their measured recall, and nprobe/K tuning
+      // is exactly this number against cost. Composes the two existing
+      // operators verbatim (same codebook, same tie-breaks) and joins
+      // their (qid, neighbor) sets: hits = semi-join count, recall =
+      // hits/k, zero-hit queries kept via the left join. Scale shape:
+      // both sides are top-k-bounded (|queries| x 5 rows), so the audit
+      // adds one tiny join + rollup on top of whatever the audited
+      // index costs — at 100 TB you'd run it over a sampled query set,
+      // which is what the vec_id < 10 query side already is.
+      val exact = queries("q36_ann_topk")(s, dir).select(col("qid"), col("vec_id"))
+      val approx = queries("q57_ann_ivf")(s, dir).select(col("qid"), col("vec_id"))
+      val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+      exact.groupBy(col("qid")).agg(count(lit(1)).as("k"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)).cast("double") / col("k"), 6)
+            .as("recall"))
+        .orderBy(col("qid"))
+    },
+
     "q140_rolling_active" -> { (s, dir) =>
       // DAU / trailing-7-day WAU / stickiness per day — the standard
       // engagement rollup, built the way it survives 100 TB: rolling
@@ -3672,7 +3697,60 @@ object Pipeline {
         GROUP BY c.vec_id ORDER BY vec_id"""
   }
 
+  /** q36's oracle (also the exact side of q158's recall audit). */
+  private val annExactSql =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          p AS (SELECT q.vec_id AS qid, e.vec_id,
+            round(
+              list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))), 6) AS cos
+            FROM e q JOIN e ON q.vec_id < 10 AND e.vec_id <> q.vec_id),
+          r AS (SELECT qid, vec_id, cos,
+            CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk FROM p)
+          SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""
+
+  /** q57's oracle (also the approximate side of q158's recall audit):
+    * IVF over the md5-Rademacher codebook — the oracle recomputes cell
+    * assignment (argmax of 16 centroid dots, lower-id tie-break), the
+    * nprobe=4 probe list, and the exact in-cell cosine top-5. */
+  private val annIvfSql =
+    """WITH c AS (SELECT vec_id, embedding,
+             list_transform(range(0, 16), k -> list_sum(list_transform(range(1, 65), i ->
+               CAST(embedding[i] AS DOUBLE) *
+               (CASE WHEN (md5_number_lower('ivf_' || k::VARCHAR || '_' || (i-1)::VARCHAR) & 1) = 1
+                     THEN 1.0 ELSE -1.0 END)))) AS dots,
+             list_sum(list_transform(range(1, 65), i ->
+               CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS ss
+           FROM embeddings),
+         d AS (SELECT vec_id, embedding, ss, k, dots[CAST(k AS INT) + 1] AS dot
+               FROM c, range(0, 16) t(k)),
+         asg AS (SELECT vec_id, embedding, ss, k AS cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, k) AS rk FROM d),
+         data AS (SELECT vec_id, embedding, ss, cell FROM asg WHERE rk = 1),
+         probes AS (SELECT vec_id AS qid, embedding AS qe, ss AS qss, cell
+                    FROM asg WHERE vec_id < 10 AND rk <= 4),
+         p AS (SELECT pr.qid, e.vec_id,
+                round(list_sum(list_transform(range(1, 65), i ->
+                    CAST(pr.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                  / (sqrt(pr.qss) * sqrt(e.ss)), 6) AS cos
+               FROM data e JOIN probes pr ON e.cell = pr.cell AND e.vec_id <> pr.qid),
+         r AS (SELECT qid, vec_id, cos,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk FROM p)
+         SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""
+
   def oracle: Map[String, String] = Map(
+    "q158_ann_recall_audit" ->
+      s"""WITH exact AS MATERIALIZED ($annExactSql),
+          approx AS MATERIALIZED ($annIvfSql),
+          hits AS (SELECT e.qid, count(*) AS hits
+                   FROM exact e JOIN approx a
+                     ON a.qid = e.qid AND a.vec_id = e.vec_id
+                   GROUP BY e.qid),
+          k AS (SELECT qid, count(*) AS k FROM exact GROUP BY qid)
+          SELECT k.qid, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+                 round(CAST(coalesce(h.hits, 0) AS DOUBLE) / k.k, 6) AS recall
+          FROM k LEFT JOIN hits h ON h.qid = k.qid ORDER BY k.qid""",
     "q157_mixture_waterfill" ->
       s"""WITH av AS (SELECT source, count(*) AS avail
                FROM (SELECT source, unnest($tokSql) AS tok FROM documents)
@@ -4257,17 +4335,7 @@ object Pipeline {
           CAST(len($tokSql) AS BIGINT) AS n_ws_tokens,
           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
           FROM documents ORDER BY doc_id""",
-    "q36_ann_topk" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-          p AS (SELECT q.vec_id AS qid, e.vec_id,
-            round(
-              list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
-              / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
-               * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))), 6) AS cos
-            FROM e q JOIN e ON q.vec_id < 10 AND e.vec_id <> q.vec_id),
-          r AS (SELECT qid, vec_id, cos,
-            CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk FROM p)
-          SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "q36_ann_topk" -> annExactSql,
     "q37_embedding_neardup" ->
       """WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
             round(
@@ -4330,30 +4398,7 @@ object Pipeline {
     // IVF over the md5-Rademacher codebook: the oracle recomputes cell
     // assignment (argmax of 16 centroid dots, lower-id tie-break), the
     // nprobe=4 probe list, and the exact in-cell cosine top-5.
-    "q57_ann_ivf" ->
-      """WITH c AS (SELECT vec_id, embedding,
-             list_transform(range(0, 16), k -> list_sum(list_transform(range(1, 65), i ->
-               CAST(embedding[i] AS DOUBLE) *
-               (CASE WHEN (md5_number_lower('ivf_' || k::VARCHAR || '_' || (i-1)::VARCHAR) & 1) = 1
-                     THEN 1.0 ELSE -1.0 END)))) AS dots,
-             list_sum(list_transform(range(1, 65), i ->
-               CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS ss
-           FROM embeddings),
-         d AS (SELECT vec_id, embedding, ss, k, dots[CAST(k AS INT) + 1] AS dot
-               FROM c, range(0, 16) t(k)),
-         asg AS (SELECT vec_id, embedding, ss, k AS cell,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, k) AS rk FROM d),
-         data AS (SELECT vec_id, embedding, ss, cell FROM asg WHERE rk = 1),
-         probes AS (SELECT vec_id AS qid, embedding AS qe, ss AS qss, cell
-                    FROM asg WHERE vec_id < 10 AND rk <= 4),
-         p AS (SELECT pr.qid, e.vec_id,
-                round(list_sum(list_transform(range(1, 65), i ->
-                    CAST(pr.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
-                  / (sqrt(pr.qss) * sqrt(e.ss)), 6) AS cos
-               FROM data e JOIN probes pr ON e.cell = pr.cell AND e.vec_id <> pr.qid),
-         r AS (SELECT qid, vec_id, cos,
-               CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk FROM p)
-         SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "q57_ann_ivf" -> annIvfSql,
     // Sign bits from md5-Rademacher hyperplanes (weight = ±1 by the low
     // bit of md5_number_lower('p_j')), 4x8-bit bands with the 64-
     // representative bucket cap, exact cosine on candidates — the full

@@ -1972,6 +1972,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ann recall audit equals the locally-joined q36/q57 intersection") {
+    val audit = Pipeline.queries("q158_ann_recall_audit")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)
+    val exact = Pipeline.queries("q36_ann_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Pipeline.queries("q57_ann_ivf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(audit.nonEmpty && audit.map(_._1).toSet == exact.keySet)
+    audit.foreach { case (qid, hits, recall) =>
+      val expect = exact(qid).intersect(approx.getOrElse(qid, Set.empty)).size
+      assert(hits == expect, s"qid $qid: $hits vs $expect")
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(math.abs(recall - expect.toDouble / exact(qid).size) < 1e-6)
+    }
+  }
+
   test("gramian aggregate matches brute-force outer-product sums at any partitioning") {
     val session = spark
     import session.implicits._

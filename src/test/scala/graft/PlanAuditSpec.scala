@@ -29,7 +29,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q135_pmi_collocations",
     // q151 crosses the |sources|-row (<= 20) vector table against its
     // own broadcast — the q102 matrix posture, bounded by sources^2
-    "q151_source_divergence")
+    "q151_source_divergence",
+    // q158 embeds q36 (the exact baseline being audited) verbatim,
+    // inheriting its documented broadcast-of-10-queries cross
+    "q158_ann_recall_audit")
 
   test("no unplanned cartesian products or nested-loop joins") {
     val offenders = Seq.newBuilder[String]
