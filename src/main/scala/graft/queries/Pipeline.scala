@@ -2763,6 +2763,43 @@ object Pipeline {
         .orderBy(col("qid"))
     },
 
+    "q159_mad_outliers" -> { (s, dir) =>
+      // Robust per-type anomaly days by median absolute deviation —
+      // the DISTRIBUTIONAL complement to q148's sequential CUSUM: MAD
+      // is insensitive to the very outliers it hunts (a mean/stddev
+      // z-score lets one spike inflate sigma and mask itself), and
+      // everything stays exact-integer so both engines agree bit-wise.
+      // Nearest-rank lower medians ((n+1) DIV 2 on the ascending
+      // sorted list, q142's order-statistic contract), deviation
+      // threshold 3.5 MAD as the integer cross-multiplication
+      // dev*10 > 35*max(mad,1) — the max(_,1) floor keeps a
+      // zero-MAD type (constant traffic) from flagging every epsilon
+      // wiggle. Scale shape: the event stream collapses ONCE to
+      // (type, day) cells; the two order-statistic aggregates and
+      // their broadcast joins run on that bounded cell table
+      // (|types| x |days|), so data volume only moves the first scan
+      // — collect_list here is per-TYPE over days, bounded by the
+      // calendar, never by events.
+      val e = Tables(s, dir).events
+      val cells = e.select(col("event_type"), Tables.eventMicros(e).as("tus"))
+        .select(col("event_type"), expr("tus DIV 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+      def rankMedian(df: DataFrame, v: String, out: String): DataFrame =
+        df.groupBy(col("event_type"))
+          .agg(sort_array(collect_list(col(v))).as("arr"), count(lit(1)).as("n"))
+          .select(col("event_type"),
+            element_at(col("arr"), expr("CAST((n + 1) DIV 2 AS INT)")).as(out))
+      val med = rankMedian(cells, "cnt", "med")
+      val devs = cells.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("cnt") - col("med")))
+      val mad = rankMedian(devs, "dev", "mad")
+      devs.join(broadcast(mad), "event_type")
+        .filter(col("dev") * 10 > lit(35) * greatest(col("mad"), lit(1L)))
+        .select(col("event_type"), col("day"), col("cnt"), col("med"),
+          col("mad"), col("dev"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
     "q140_rolling_active" -> { (s, dir) =>
       // DAU / trailing-7-day WAU / stickiness per day — the standard
       // engagement rollup, built the way it survives 100 TB: rolling
@@ -3740,6 +3777,23 @@ object Pipeline {
          SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""
 
   def oracle: Map[String, String] = Map(
+    "q159_mad_outliers" ->
+      """WITH cells AS (SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+               count(*) AS cnt FROM events GROUP BY 1, 2),
+          med AS (SELECT event_type,
+                   (list(cnt ORDER BY cnt))[CAST((count(*) + 1) // 2 AS INT)] AS med
+                  FROM cells GROUP BY event_type),
+          devs AS (SELECT c.event_type, c.day, c.cnt, m.med,
+                    abs(c.cnt - m.med) AS dev
+                   FROM cells c JOIN med m USING (event_type)),
+          mad AS (SELECT event_type,
+                   (list(dev ORDER BY dev))[CAST((count(*) + 1) // 2 AS INT)] AS mad
+                  FROM devs GROUP BY event_type)
+          SELECT d.event_type, d.day, d.cnt, d.med, m.mad, d.dev
+          FROM devs d JOIN mad m USING (event_type)
+          WHERE d.dev * 10 > 35 * greatest(m.mad, 1)
+          ORDER BY d.event_type, d.day""",
     "q158_ann_recall_audit" ->
       s"""WITH exact AS MATERIALIZED ($annExactSql),
           approx AS MATERIALIZED ($annIvfSql),

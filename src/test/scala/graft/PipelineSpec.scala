@@ -1972,6 +1972,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("mad outliers: planted spike flagged, constant series silent") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q159mad").toString
+    // LONG ts columns read as epoch-NANOS (Tables.eventMicros contract)
+    val day = 86400000000000L
+    val rows = (for {
+      d <- 0 to 14
+      i <- 0 until (if (d == 7) 100 else 10)
+    } yield (d.toLong * 1000 + i, "a", 1.0, d * day + i)) ++
+      (for { d <- 0 to 14; i <- 0 until 5 }
+        yield (100000L + d * 1000 + i, "b", 1.0, d * day + i))
+    rows.toDF("event_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Pipeline.queries("q159_mad_outliers")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // exactly ONE flagged row: type a day 7 (cnt 100, med 10, mad 0 ->
+    // the max(mad,1) floor governs, dev 90); the constant b series and
+    // a's normal days never fire
+    assert(got.toSeq == Seq(("a", 7L, 100L, 10L, 0L, 90L)), got.mkString(","))
+  }
+
   test("ann recall audit equals the locally-joined q36/q57 intersection") {
     val audit = Pipeline.queries("q158_ann_recall_audit")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)

@@ -212,7 +212,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // q157: ONE source token-count shuffle collapses the corpus to
     // |sources| rows; the water-filling windows and sort run on that
     // tiny single-partition table (q147's cumsum posture)
-    "q157_mixture_waterfill" -> 4)
+    "q157_mixture_waterfill" -> 4,
+    // q159: the event stream collapses ONCE to (type,day) cells; the
+    // two order-statistic aggregates reuse that hash(type,day)->
+    // hash(type) chain and their results ride BroadcastExchanges back
+    "q159_mad_outliers" -> 4)
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
