@@ -2292,6 +2292,106 @@ object Pipeline {
         .orderBy(col("source"))
     },
 
+    "q160_sketch_rollup" -> { (s, dir) =>
+      // Sketch ALGEBRA in action — the property that makes sketches
+      // the 100 TB answer: per-source HLL register tables MERGE into a
+      // corpus-wide estimate by elementwise max, no rescan (the same
+      // algebra that rolls hourly sketches into daily into monthly in
+      // a reporting stack — compute once at the finest grain, derive
+      // every coarser level for free). One register build (q121's
+      // kernel), then both the per-source estimates and the
+      // merged-corpus estimate derive from the SAME (source, idx, m)
+      // table; the spec pins merge == direct-on-corpus register
+      // equality (max associativity made observable). Exact distincts
+      // ride along as the audit at both levels. Scale shape: registers
+      // are 256 cells/source; the merge is a 256-row aggregate —
+      // everything after the one token-scan shuffle is sketch-sized.
+      val docs = Tables(s, dir).documents
+      val tok = docs.select(col("source"),
+        explode(shingles(toks(col("text")), 3)).as("tok"))
+      val regs = hllRegisters(docs)
+        .groupBy(col("source"), col("idx")).agg(max(col("rho")).as("m"))
+      def est(g: DataFrame): DataFrame = {
+        val t = g.groupBy(col("scope"))
+          .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - m AS INT))")) +
+            (lit(256L) - count(lit(1))) * lit(562949953421312L)).as("s"),
+            count(lit(1)).as("nr"))
+        val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+          lit(65536.0) * lit(562949953421312.0) / col("s")
+        t.select(col("scope"), round(when(col("nr") < 256 && raw <= 640.0,
+            lit(256.0) * log(lit(256.0) / (lit(256L) - col("nr"))))
+            .otherwise(raw), 3).as("hll_est"))
+      }
+      val perSource = est(regs.select(col("source").as("scope"),
+        col("idx"), col("m")))
+      val corpus = est(regs.groupBy(col("idx")).agg(max(col("m")).as("m"))
+        .select(lit("__corpus__").as("scope"), col("idx"), col("m")))
+      val exSource = tok.groupBy(col("source").as("scope"))
+        .agg(countDistinct(col("tok")).as("distinct_exact"))
+      val exCorpus = tok.agg(countDistinct(col("tok")).as("distinct_exact"))
+        .select(lit("__corpus__").as("scope"), col("distinct_exact"))
+      perSource.unionAll(corpus)
+        .join(exSource.unionAll(exCorpus), Seq("scope"))
+        .select(col("scope"), col("distinct_exact"), col("hll_est"))
+        .orderBy(col("scope"))
+    },
+
+    "q161_kmv_overlap" -> { (s, dir) =>
+      // Pairwise source vocabulary OVERLAP via k-minimum-values
+      // sketches (Bar-Yossef et al. 2002 / the theta-sketch family) —
+      // the set operation HLL can't give: intersections. q121/q160's
+      // registers union by max but cannot intersect; a KMV sketch (the
+      // k smallest distinct 48-bit hashes, i.e. exactly MinKAgg's
+      // bounded buffer) supports union (bottom-k of concatenated
+      // sketches), |U| estimation ((k-1)*2^48/tau_k), and Jaccard
+      // (matching fraction within the union sketch), so pairwise
+      // intersection = J_est * U_est without ever joining token
+      // streams. Scale shape: ONE token scan -> 128 longs of mergeable
+      // partial state per source; everything pairwise runs on the
+      // |sources|^2-bounded sketch table with <=128-element arrays.
+      // When a union sketch is UNSATURATED (ku < k) it holds the whole
+      // set and every estimate is exact — the spec pins that, plus the
+      // 1/sqrt(k-2) error envelope when saturated. The exact
+      // inter/union audit joins at token-TYPE level (vocab-bounded,
+      // never corpus-bounded) and exists only to validate the sketch.
+      val k = 128
+      val docs = Tables(s, dir).documents
+      val d = docs.select(col("source"), explode(toks(col("text"))).as("tok"))
+        .distinct()
+      val h = md5_lower64(concat(lit("kmv:"), col("tok")).cast("binary"))
+        .bitwiseAND(lit(281474976710655L))
+      val sk = d.select(col("source"), h.as("h"))
+        .groupBy(col("source")).agg(min_k(col("h"), k).as("sk"))
+      val nd = d.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+      val a = sk.join(nd, Seq("source"))
+        .select(col("source").as("src_a"), col("sk").as("ska"), col("nd").as("nda"))
+      val b = sk.join(nd, Seq("source"))
+        .select(col("source").as("src_b"), col("sk").as("skb"), col("nd").as("ndb"))
+      val inter = d.as("x")
+        .join(d.as("y"), col("x.tok") === col("y.tok") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      val un = slice(array_sort(array_union(col("ska"), col("skb"))), 1, k)
+      val pairs = a.join(broadcast(b), col("src_a") < col("src_b"))
+        .withColumn("un", un)
+        .withColumn("ku", size(col("un")).cast("long"))
+        .withColumn("tau", element_at(col("un"), size(col("un"))))
+        .withColumn("m", size(filter(col("un"),
+          x => array_contains(col("ska"), x) && array_contains(col("skb"), x))).cast("long"))
+      val uEst = when(col("ku") < k, col("ku").cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(281474976710656.0) / col("tau"))
+      val jEst = col("m").cast("double") / col("ku")
+      pairs
+        .join(inter.hint("broadcast"), Seq("src_a", "src_b"), "left")
+        .na.fill(0L, Seq("exact_inter"))
+        .select(col("src_a"), col("src_b"), col("exact_inter"),
+          (col("nda") + col("ndb") - col("exact_inter")).as("exact_union"),
+          round(uEst, 3).as("union_est"),
+          round(jEst, 6).as("jacc_est"),
+          round(jEst * uEst).cast("long").as("inter_est"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+
     "q122_cms_heavy_hitters" -> { (s, dir) =>
       // Heavy-hitter token counts via a Count-Min sketch (depth 4 x
       // width 1024): the frequency table that stays 16 KiB whatever the
@@ -3777,6 +3877,77 @@ object Pipeline {
          SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""
 
   def oracle: Map[String, String] = Map(
+    "q161_kmv_overlap" ->
+      s"""WITH tk AS (SELECT DISTINCT source, tok FROM
+                   (SELECT source, unnest($tokSql) AS tok FROM documents)),
+          h AS (SELECT source,
+                 CAST(md5_number_lower('kmv:' || tok) & 281474976710655 AS BIGINT) AS h
+                FROM tk),
+          sk AS (SELECT source, list_sort(list(DISTINCT h))[1:128] AS sk
+                 FROM h GROUP BY source),
+          nd AS (SELECT source, count(DISTINCT tok) AS nd FROM tk GROUP BY source),
+          ei AS (SELECT x.source AS src_a, y.source AS src_b,
+                   count(*) AS exact_inter
+                 FROM tk x JOIN tk y ON x.tok = y.tok AND x.source < y.source
+                 GROUP BY 1, 2),
+          p AS (SELECT a.source AS src_a, b.source AS src_b,
+                  a.sk AS ska, b.sk AS skb, na.nd AS nda, nb.nd AS ndb,
+                  list_sort(list_distinct(list_concat(a.sk, b.sk)))[1:128] AS un
+                FROM sk a JOIN sk b ON a.source < b.source
+                JOIN nd na ON na.source = a.source
+                JOIN nd nb ON nb.source = b.source),
+          c AS (SELECT src_a, src_b, nda, ndb, len(un) AS ku, un[len(un)] AS tau,
+                  len(list_filter(un, x -> list_contains(ska, x)
+                                       AND list_contains(skb, x))) AS m
+                FROM p),
+          e AS (SELECT src_a, src_b, nda, ndb, ku, m,
+                  CASE WHEN ku < 128 THEN CAST(ku AS DOUBLE)
+                       ELSE 127.0 * 281474976710656.0 / tau END AS u_est
+                FROM c)
+          SELECT e.src_a, e.src_b,
+            coalesce(ei.exact_inter, 0) AS exact_inter,
+            nda + ndb - coalesce(ei.exact_inter, 0) AS exact_union,
+            round(u_est, 3) AS union_est,
+            round(CAST(m AS DOUBLE) / ku, 6) AS jacc_est,
+            CAST(round(CAST(m AS DOUBLE) / ku * u_est, 0) AS BIGINT) AS inter_est
+          FROM e LEFT JOIN ei USING (src_a, src_b)
+          ORDER BY src_a, src_b""",
+    "q160_sketch_rollup" ->
+      s"""WITH tk AS (SELECT source, unnest(sh) AS tok FROM
+                   (SELECT source, $shSql AS sh
+                    FROM (SELECT source, $tokSql AS lst FROM documents)
+                    WHERE len(lst) >= 3)),
+          h0 AS (SELECT source, tok,
+                 CAST(md5_number_lower('hll:' || tok) & 255 AS BIGINT) AS idx,
+                 CAST((md5_number_lower('hll:' || tok) >> 8) & 281474976710655 AS BIGINT) AS w
+                 FROM tk),
+          s1 AS (SELECT *, w | (w >> 1) AS w1 FROM h0),
+          s2 AS (SELECT *, w1 | (w1 >> 2) AS w2 FROM s1),
+          s3 AS (SELECT *, w2 | (w2 >> 4) AS w3 FROM s2),
+          s4 AS (SELECT *, w3 | (w3 >> 8) AS w4 FROM s3),
+          s5 AS (SELECT *, w4 | (w4 >> 16) AS w5 FROM s4),
+          s6 AS (SELECT *, w5 | (w5 >> 32) AS w6 FROM s5),
+          r AS MATERIALIZED (SELECT source, idx, max(49 - bit_count(w6)) AS m
+                FROM s6 GROUP BY source, idx),
+          lv AS (SELECT source AS scope, idx, m FROM r
+                 UNION ALL
+                 SELECT '__corpus__', idx, max(m) FROM r GROUP BY idx),
+          sreg AS (SELECT scope,
+                   CAST(sum(1::BIGINT << CAST(49 - m AS INT)) AS BIGINT)
+                     + (256 - count(*)) * 562949953421312 AS s,
+                   count(*) AS nr
+                   FROM lv GROUP BY scope),
+          ex AS (SELECT source AS scope,
+                   count(DISTINCT tok) AS distinct_exact FROM tk GROUP BY source
+                 UNION ALL
+                 SELECT '__corpus__', count(DISTINCT tok) FROM tk)
+          SELECT ex.scope, ex.distinct_exact,
+            round(CASE WHEN nr < 256
+                        AND 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 562949953421312.0 / s <= 640.0
+                       THEN 256.0 * ln(256.0 / (256 - nr))
+                       ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 562949953421312.0 / s
+                  END, 3) AS hll_est
+          FROM ex JOIN sreg USING (scope) ORDER BY scope""",
     "q159_mad_outliers" ->
       """WITH cells AS (SELECT event_type,
                epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
