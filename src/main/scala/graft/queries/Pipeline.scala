@@ -2392,6 +2392,114 @@ object Pipeline {
         .orderBy(col("src_a"), col("src_b"))
     },
 
+    "q162_skyline" -> { (s, dir) =>
+      // Pareto frontier (skyline) of orders maximizing (totalprice,
+      // orderdate) — "most expensive AND most recent" non-dominated
+      // set, the multi-objective top-k every curation dashboard wants.
+      // The naive form is a quadratic dominance self-join; the window
+      // form needs ONE global sort. This is the distributed textbook
+      // shape instead: a LOCAL skyline per salt partition first (the
+      // skyline operator is distributive — any point dominated within
+      // a partition is dominated globally, so local survivors are a
+      // superset of the answer), then the identical two-window logic
+      // over the tiny survivor set. At 100 TB the data pays one hash
+      // shuffle on salt; the global sort only ever sees survivors
+      // (output-bounded — frontier size, not corpus size). Dominance
+      // is exact-integer: price in cents, date in epoch-micros; the
+      // strictly-higher-price frame is a RANGE window (cents are
+      // integers, so "1 PRECEDING" under DESC order IS strictness),
+      // equal-price ties resolve by the price-group max date, and
+      // duplicate (price, date) points all survive (none dominates).
+      val o = Tables(s, dir).orders.select(
+        col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"),
+        // parquet ships NTZ; session TZ is pinned UTC, so the cast is
+        // the identity epoch mapping DuckDB's epoch_us applies
+        unix_micros(col("o_orderdate").cast("timestamp")).as("date_us"))
+      def skyline(df: DataFrame, parts: Seq[Column]): DataFrame = {
+        val w1 = Window.partitionBy(parts: _*).orderBy(col("price_c").desc)
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val w2 = Window.partitionBy(parts :+ col("price_c"): _*)
+        df.withColumn("hi", max(col("date_us")).over(w1))
+          .withColumn("eqm", max(col("date_us")).over(w2))
+          .filter((col("hi").isNull || col("hi") < col("date_us")) &&
+            col("date_us") === col("eqm"))
+          .drop("hi", "eqm")
+      }
+      val local = skyline(
+        o.withColumn("salt", pmod(hash(col("o_orderkey")), lit(32))),
+        Seq(col("salt"))).drop("salt")
+      skyline(local, Nil)
+        .select(col("o_orderkey"), col("price_c"), col("date_us"))
+        .orderBy(col("price_c").desc, col("o_orderkey"))
+    },
+
+    "q163_equifreq_bins" -> { (s, dir) =>
+      // Equal-frequency discretization WITHOUT a global sort — the
+      // feature-binning step (quantile bucketing for GBDT-style
+      // features, price bands, load-balanced range sharding) that
+      // NTILE expresses as a full sort of the corpus. Here: one scan
+      // to a 256-cell integer histogram (count/min/max per cell — the
+      // only thing that ever shuffles), a cumulative window over those
+      // 256 rows, then the closed-form bin id least(15, 16*cum div n)
+      // maps cells to 16 bins (cell c lands in bin b iff cum(c) covers
+      // the b/16 rank — no cutpoint table needed); per-bin stats roll
+      // up from the per-cell partials, so the corpus is read ONCE and
+      // never re-joined. Bins are equal-frequency at cell resolution
+      // (a cell is never split — the spec pins the balance bound);
+      // everything is exact integer arithmetic, bit-equal on both
+      // engines at any partitioning.
+      val v = Tables(s, dir).lineitem
+        .select(floor(col("l_extendedprice") * 100).cast("long").as("v"))
+      val b = v.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+        count(lit(1)).as("n"))
+      val hist = v.crossJoin(broadcast(b))
+        .withColumn("cell", expr("((v - mn) * 256) div (mx - mn + 1)"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("cnt"), min(col("v")).as("lo"),
+          max(col("v")).as("hi"), max(col("n")).as("n"))
+      val wc = Window.orderBy(col("cell"))
+      hist
+        .withColumn("cum", sum(col("cnt")).over(wc))
+        .withColumn("bin", least(lit(15L), expr("(cum * 16) div n")))
+        .groupBy(col("bin"))
+        .agg(sum(col("cnt")).as("n_rows"), min(col("lo")).as("lo_cents"),
+          max(col("hi")).as("hi_cents"))
+        .orderBy(col("bin"))
+    },
+
+    "q164_weighted_sample" -> { (s, dir) =>
+      // Length-weighted corpus sample without replacement: P(doc in
+      // the first draw) = n_tokens / total_tokens, successive draws
+      // renormalize — the sampling design that keeps long documents
+      // from being under-represented in token terms. Deterministic and
+      // RNG-free: each doc's priority is the MIN over its token
+      // positions of a per-(doc, position) hash, so a doc holds the
+      // global minimum with probability proportional to its token
+      // count (exchangeability of distinct hash values), and bottom-k
+      // by that priority IS the without-replacement weighted sample.
+      // Every re-run, backfill, or shard-level retry selects the same
+      // docs (the q128 stability argument, weighted). Scale shape: one
+      // token scan folding to ONE long of partial state per doc
+      // (min combines map-side), then a global TakeOrdered top-k —
+      // the corpus never sorts and never shuffles beyond the doc
+      // rollup; the rank window runs over k rows.
+      val kTop = 32
+      val pos = Tables(s, dir).documents
+        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      val h = md5_lower64(concat(lit("ws:"), col("doc_id").cast("string"),
+        lit(":"), col("pos").cast("string")).cast("binary"))
+        .bitwiseAND(lit(Long.MaxValue))
+      pos.select(col("doc_id"), h.as("h"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("h")).as("prio"), count(lit(1)).as("n_tokens"))
+        .orderBy(col("prio"), col("doc_id")).limit(kTop)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("prio"), col("doc_id"))).cast("long"))
+        .select(col("rk"), col("doc_id"), col("n_tokens"), col("prio"))
+        .orderBy(col("rk"))
+    },
+
     "q122_cms_heavy_hitters" -> { (s, dir) =>
       // Heavy-hitter token counts via a Count-Min sketch (depth 4 x
       // width 1024): the frequency table that stays 16 KiB whatever the
@@ -3877,6 +3985,43 @@ object Pipeline {
          SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""
 
   def oracle: Map[String, String] = Map(
+    "q162_skyline" ->
+      """WITH o AS (SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,
+               epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS date_us FROM orders),
+          w AS (SELECT *,
+                 max(date_us) OVER (ORDER BY price_c DESC
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi,
+                 max(date_us) OVER (PARTITION BY price_c) AS eqm
+                FROM o)
+          SELECT o_orderkey, price_c, date_us FROM w
+          WHERE (hi IS NULL OR hi < date_us) AND date_us = eqm
+          ORDER BY price_c DESC, o_orderkey""",
+    "q163_equifreq_bins" ->
+      """WITH v AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+                    FROM lineitem),
+          b AS (SELECT min(v) AS mn, max(v) AS mx, count(*) AS n FROM v),
+          h AS (SELECT ((v - mn) * 256) // (mx - mn + 1) AS cell,
+                  count(*) AS cnt, min(v) AS lo, max(v) AS hi, max(n) AS n
+                FROM v, b GROUP BY 1),
+          c AS (SELECT *, sum(cnt) OVER (ORDER BY cell) AS cum FROM h)
+          SELECT CAST(least(15, (cum * 16) // n) AS BIGINT) AS bin,
+            CAST(sum(cnt) AS BIGINT) AS n_rows,
+            min(lo) AS lo_cents, max(hi) AS hi_cents
+          FROM c GROUP BY 1 ORDER BY bin""",
+    "q164_weighted_sample" ->
+      s"""WITH tk AS (SELECT doc_id,
+                 generate_subscripts(lst, 1) - 1 AS pos, unnest(lst) AS tok
+               FROM (SELECT doc_id, $tokSql AS lst FROM documents)),
+          p AS (SELECT doc_id,
+                 min(CAST(md5_number_lower('ws:' || doc_id || ':' || pos)
+                     & 9223372036854775807 AS BIGINT)) AS prio,
+                 count(*) AS n_tokens
+                FROM tk GROUP BY doc_id),
+          t AS (SELECT *, row_number() OVER (ORDER BY prio, doc_id) AS rk
+                FROM p)
+          SELECT rk, doc_id, n_tokens, prio FROM t
+          WHERE rk <= 32 ORDER BY rk""",
     "q161_kmv_overlap" ->
       s"""WITH tk AS (SELECT DISTINCT source, tok FROM
                    (SELECT source, unnest($tokSql) AS tok FROM documents)),

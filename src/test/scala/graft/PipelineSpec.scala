@@ -2071,6 +2071,79 @@ class PipelineSpec extends SparkSpec {
     assert(merged == perG, "bottom-k merge must be lossless")
   }
 
+  test("skyline: planted dominance cases and brute-force agreement") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q162").toString
+    val ts = (d: Int) => new java.sql.Timestamp(d * 86400000L)
+    // (key, price, day): 2 and 5 duplicate frontier points, 3 loses the
+    // equal-price tie, 1 is dominated outright, 4 and 6 are corner points
+    Seq((1L, 1.00, 10), (2L, 2.00, 20), (3L, 2.00, 15),
+      (4L, 3.00, 5), (5L, 2.00, 20), (6L, 0.50, 30))
+      .map { case (k, p, d) => (k, p, ts(d)) }
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Pipeline.queries("q162_skyline")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 4L, 5L, 6L), s"planted skyline wrong: $got")
+    // fixture: the two-stage result must equal the quadratic definition
+    val pts = Tables(spark, sf).orders.select(col("o_orderkey"),
+      floor(col("o_totalprice") * 100).cast("long"),
+      unix_micros(col("o_orderdate").cast("timestamp")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = pts.filter { case (_, p, d) =>
+      !pts.exists { case (_, p2, d2) =>
+        (p2 > p && d2 >= d) || (p2 == p && d2 > d) }
+    }.map(_._1).toSet
+    val fx = Pipeline.queries("q162_skyline")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(fx == brute, s"fixture skyline != brute: ${fx.diff(brute)} / ${brute.diff(fx)}")
+  }
+
+  test("equi-frequency bins: exact cover, order, and cell-resolution balance") {
+    val rows = Pipeline.queries("q163_equifreq_bins")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = Tables(spark, sf).lineitem.count()
+    assert(rows.map(_._2).sum == n, "bins must partition the corpus")
+    // range-contiguous: each bin's hi < next bin's lo
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 < b._3, s"bins overlap: $a vs $b")
+    }
+    // balance holds up to the resolution of one histogram cell: no bin
+    // exceeds the ideal share by more than the hottest cell's count
+    val v = Tables(spark, sf).lineitem
+      .select(floor(col("l_extendedprice") * 100).cast("long").as("v"))
+    val (mn, mx) = {
+      val r = v.agg(min(col("v")), max(col("v"))).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val maxCell = v.select(expr(s"((v - $mn) * 256) div (${mx - mn + 1})").as("c"))
+      .groupBy(col("c")).count().agg(max(col("count"))).collect().head.getLong(0)
+    rows.foreach { case (bin, cnt, _, _) =>
+      assert(cnt <= n / 16 + maxCell, s"bin $bin count $cnt breaks balance bound")
+    }
+  }
+
+  test("weighted sample: priorities are the min-over-position hashes, bottom-k exact") {
+    import graft.expressions.SketchKernel
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val brute = docs.flatMap { case (id, text) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) None
+      else {
+        val prio = toks.indices.map(p =>
+          SketchKernel.md5Lower64(s"ws:$id:$p".getBytes("UTF-8")) & Long.MaxValue).min
+        Some((id, prio, toks.length.toLong))
+      }
+    }.sortBy(t => (t._2, t._1)).take(32)
+    val got = Pipeline.queries("q164_weighted_sample")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(2)))
+    assert(got.toSeq == brute.toSeq,
+      s"bottom-32 mismatch: ${got.toSeq.diff(brute.toSeq)}")
+  }
+
   test("ann recall audit equals the locally-joined q36/q57 intersection") {
     val audit = Pipeline.queries("q158_ann_recall_audit")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)

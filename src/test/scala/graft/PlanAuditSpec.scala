@@ -32,7 +32,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "q151_source_divergence",
     // q158 embeds q36 (the exact baseline being audited) verbatim,
     // inheriting its documented broadcast-of-10-queries cross
-    "q158_ann_recall_audit")
+    "q158_ann_recall_audit",
+    // q161 pairs the <=|sources|-row sketch table against its own
+    // broadcast under src_a < src_b (the q151 matrix posture); data
+    // only ever shuffles in the one token scan that built the sketches
+    "q161_kmv_overlap",
+    // q163 crosses against the broadcast ONE-ROW (mn, mx, n) bounds
+    // row — q124's pattern
+    "q163_equifreq_bins")
 
   test("no unplanned cartesian products or nested-loop joins") {
     val offenders = Seq.newBuilder[String]
