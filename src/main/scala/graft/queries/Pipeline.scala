@@ -2500,6 +2500,73 @@ object Pipeline {
         .orderBy(col("rk"))
     },
 
+    "q165_pivot_matrix" -> { (s, dir) =>
+      // PIVOT — long-to-wide reshaping (the report/export shape every
+      // BI layer asks for), via Spark's native pivot with an EXPLICIT
+      // value list: day-of-week x event_type counts. The explicit list
+      // matters at scale — pivot without one runs a whole extra
+      // distinct-discovery job over the corpus before it can even plan
+      // the agg; with it, the pivot is ONE ordinary partial-agg shuffle
+      // to |dow| rows with 5 count columns (map-side combined like any
+      // groupBy). Day-of-week is pure integer epoch arithmetic
+      // (epoch day 0 = Thursday; +4 makes Sunday 0), no timezone
+      // functions — identical on both engines.
+      val ev = Tables(s, dir).events
+      val dow = pmod(Tables.eventMicros(ev).cast("long")
+        .divide(lit(86400000000L)).cast("long") + 4, lit(7))
+      ev.select(dow.as("dow"), col("event_type"))
+        .groupBy(col("dow"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("dow"))
+    },
+
+    "q166_corr_matrix" -> { (s, dir) =>
+      // Pearson correlation matrix over lineitem's four measures from
+      // ONE partial-agg pass — the screening statistic before any
+      // feature-selection / PCA step. All 15 moments (count, 4 sums,
+      // 4 sums of squares, 6 cross products) ride a single scan to a
+      // 1-row aggregate as EXACT integer sums (dollar units keep
+      // sum(p^2) inside a long out past 100x scale; the sums have no FP
+      // accumulation-order sensitivity, so any partitioning yields the
+      // same row), and every pairwise correlation is closed-form
+      // arithmetic on that row — the final n*Sab - Sa*Sb products run
+      // in double space (they overflow a long) over bit-identical
+      // integer inputs, so both engines agree to the last ulp. The
+      // matrix unpivots through one explode, NOT six re-aggregations:
+      // contrast with calling corr() six times = six corpus scans.
+      // Scale: the only data movement is the map-side-combined
+      // 15-long partial state per task.
+      val li = Tables(s, dir).lineitem.select(
+        floor(col("l_quantity")).cast("long").as("q"),
+        floor(col("l_extendedprice")).cast("long").as("p"),
+        floor(col("l_discount") * 100).cast("long").as("d"),
+        floor(col("l_tax") * 100).cast("long").as("t"))
+      val vars = Seq("q", "p", "d", "t")
+      val moments = li.agg(
+        count(lit(1)).as("n"),
+        vars.map(v => sum(col(v)).as(s"s_$v")) ++
+          vars.map(v => sum(col(v) * col(v)).as(s"ss_$v")) ++
+          vars.combinations(2).map { case Seq(a, b) =>
+            sum(col(a) * col(b)).as(s"sp_${a}_$b") }.toSeq: _*)
+      def corrCol(a: String, b: String): Column = {
+        val n = col("n").cast("double")
+        def d(c: String) = col(c).cast("double")
+        val num = n * d(s"sp_${a}_$b") - d(s"s_$a") * d(s"s_$b")
+        val den = sqrt(n * d(s"ss_$a") - d(s"s_$a") * d(s"s_$a")) *
+          sqrt(n * d(s"ss_$b") - d(s"s_$b") * d(s"s_$b"))
+        round(num / den, 6)
+      }
+      moments.select(explode(array(vars.combinations(2).toSeq.map {
+        case Seq(a, b) => struct(lit(a).as("var_a"), lit(b).as("var_b"),
+          corrCol(a, b).as("corr"))
+      }: _*)).as("r"))
+        .select(col("r.var_a").as("var_a"), col("r.var_b").as("var_b"),
+          col("r.corr").as("corr"))
+        .orderBy(col("var_a"), col("var_b"))
+    },
+
     "q122_cms_heavy_hitters" -> { (s, dir) =>
       // Heavy-hitter token counts via a Count-Min sketch (depth 4 x
       // width 1024): the frequency table that stays 16 KiB whatever the
@@ -3985,6 +4052,50 @@ object Pipeline {
          SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""
 
   def oracle: Map[String, String] = Map(
+    "q165_pivot_matrix" ->
+      """WITH e AS (SELECT
+               (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS dow,
+               event_type FROM events)
+          SELECT dow,
+            count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+            count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+            count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+            count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+            count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+          FROM e GROUP BY dow ORDER BY dow""",
+    "q166_corr_matrix" ->
+      """WITH v AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS q,
+               CAST(floor(l_extendedprice) AS BIGINT) AS p,
+               CAST(floor(l_discount * 100) AS BIGINT) AS d,
+               CAST(floor(l_tax * 100) AS BIGINT) AS t FROM lineitem),
+          m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) AS s_q,
+                 CAST(CAST(sum(p) AS BIGINT) AS DOUBLE) AS s_p,
+                 CAST(CAST(sum(d) AS BIGINT) AS DOUBLE) AS s_d,
+                 CAST(CAST(sum(t) AS BIGINT) AS DOUBLE) AS s_t,
+                 CAST(CAST(sum(q*q) AS BIGINT) AS DOUBLE) AS ss_q,
+                 CAST(CAST(sum(p*p) AS BIGINT) AS DOUBLE) AS ss_p,
+                 CAST(CAST(sum(d*d) AS BIGINT) AS DOUBLE) AS ss_d,
+                 CAST(CAST(sum(t*t) AS BIGINT) AS DOUBLE) AS ss_t,
+                 CAST(CAST(sum(q*p) AS BIGINT) AS DOUBLE) AS sp_q_p,
+                 CAST(CAST(sum(q*d) AS BIGINT) AS DOUBLE) AS sp_q_d,
+                 CAST(CAST(sum(q*t) AS BIGINT) AS DOUBLE) AS sp_q_t,
+                 CAST(CAST(sum(p*d) AS BIGINT) AS DOUBLE) AS sp_p_d,
+                 CAST(CAST(sum(p*t) AS BIGINT) AS DOUBLE) AS sp_p_t,
+                 CAST(CAST(sum(d*t) AS BIGINT) AS DOUBLE) AS sp_d_t
+                FROM v)
+          SELECT var_a, var_b,
+            round((n * sp - s_a * s_b) /
+              (sqrt(n * ss_a - s_a * s_a) * sqrt(n * ss_b - s_b * s_b)), 6)
+              AS corr
+          FROM (
+            SELECT 'q' AS var_a, 'p' AS var_b, sp_q_p AS sp, s_q AS s_a, s_p AS s_b, ss_q AS ss_a, ss_p AS ss_b, n FROM m
+            UNION ALL SELECT 'q', 'd', sp_q_d, s_q, s_d, ss_q, ss_d, n FROM m
+            UNION ALL SELECT 'q', 't', sp_q_t, s_q, s_t, ss_q, ss_t, n FROM m
+            UNION ALL SELECT 'p', 'd', sp_p_d, s_p, s_d, ss_p, ss_d, n FROM m
+            UNION ALL SELECT 'p', 't', sp_p_t, s_p, s_t, ss_p, ss_t, n FROM m
+            UNION ALL SELECT 'd', 't', sp_d_t, s_d, s_t, ss_d, ss_t, n FROM m)
+          ORDER BY var_a, var_b""",
     "q162_skyline" ->
       """WITH o AS (SELECT o_orderkey,
                CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,

@@ -2144,6 +2144,42 @@ class PipelineSpec extends SparkSpec {
       s"bottom-32 mismatch: ${got.toSeq.diff(brute.toSeq)}")
   }
 
+  test("pivot matrix equals the long-form groupBy and covers every event") {
+    val wide = Pipeline.queries("q165_pivot_matrix")(spark, sf).collect()
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val total = wide.map(r => types.indices.map(i => r.getLong(i + 1)).sum).sum
+    assert(total == Tables(spark, sf).events.count(), "pivot must cover all events")
+    // long-form parity: every (dow, type) cell matches the plain groupBy
+    val ev = Tables(spark, sf).events
+    val dow = pmod(Tables.eventMicros(ev).cast("long")
+      .divide(lit(86400000000L)).cast("long") + 4, lit(7))
+    val long = ev.select(dow.as("dow"), col("event_type"))
+      .groupBy(col("dow"), col("event_type")).count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    wide.foreach { r =>
+      val d = r.getLong(0)
+      types.zipWithIndex.foreach { case (t, i) =>
+        assert(r.getLong(i + 1) == long.getOrElse((d, t), 0L),
+          s"cell ($d, $t) diverges from long form")
+      }
+    }
+  }
+
+  test("closed-form correlation matrix matches Spark's corr()") {
+    val got = Pipeline.queries("q166_corr_matrix")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val li = Tables(spark, sf).lineitem.select(
+      floor(col("l_quantity")).cast("long").as("q"),
+      floor(col("l_extendedprice")).cast("long").as("p"),
+      floor(col("l_discount") * 100).cast("long").as("d"),
+      floor(col("l_tax") * 100).cast("long").as("t"))
+    Seq("q", "p", "d", "t").combinations(2).foreach { case Seq(a, b) =>
+      val ref = li.agg(corr(col(a), col(b))).collect().head.getDouble(0)
+      assert(math.abs(got((a, b)) - ref) < 1e-6,
+        s"corr($a,$b): closed form ${got((a, b))} vs corr() $ref")
+    }
+  }
+
   test("ann recall audit equals the locally-joined q36/q57 intersection") {
     val audit = Pipeline.queries("q158_ann_recall_audit")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)

@@ -223,7 +223,27 @@ class PlanAuditSpec extends AnyFunSuite {
     // q159: the event stream collapses ONCE to (type,day) cells; the
     // two order-statistic aggregates reuse that hash(type,day)->
     // hash(type) chain and their results ride BroadcastExchanges back
-    "q159_mad_outliers" -> 4)
+    "q159_mad_outliers" -> 4,
+    // q160: the ONE token->register agg; every later exchange moves
+    // <=256-cells-per-source sketch rows
+    "q160_sketch_rollup" -> 3,
+    // q161: the ONE distinct-token scan builds the sketches; the pair
+    // stage and audit ride the sources-bounded sketch/type tables
+    "q161_kmv_overlap" -> 3,
+    // q162: the salt-partitioned local-skyline window + the survivor
+    // stage (global window + presentation sort on frontier-sized data)
+    "q162_skyline" -> 2,
+    // q163: 256-cell histogram agg + its single-partition cumsum +
+    // bin rollup — the corpus itself shuffles once (q147's posture)
+    "q163_equifreq_bins" -> 3,
+    // q164: ONE doc-rollup agg; top-k is TakeOrderedAndProject and the
+    // rank window runs on the k-row result
+    "q164_weighted_sample" -> 1,
+    // q165: the dow partial-agg shuffle + tiny-table presentation
+    "q165_pivot_matrix" -> 3,
+    // q166: ONE 1-row moments agg; the matrix unpivot is an explode
+    // over that row, no further movement
+    "q166_corr_matrix" -> 1)
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
