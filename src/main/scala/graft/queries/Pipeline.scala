@@ -90,6 +90,7 @@ object Pipeline {
     * collecting a broadcast-join side — and job 2 ships it to every
     * task as a plan literal. */
   private val bloomBits = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+  private val bloomJoinBits = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
 
   /** q114's converged fixed-point centroids, memoized per dataset dir
     * (same immutability assumption as embCount). Lloyd's iterations are
@@ -2567,6 +2568,122 @@ object Pipeline {
         .orderBy(col("var_a"), col("var_b"))
     },
 
+    "q167_fuzzy_join" -> { (s, dir) =>
+      // Fuzzy string self-join (edit distance <= 1) via DELETION-
+      // NEIGHBORHOOD blocking (the SymSpell candidate scheme) — the
+      // typo/variant detector behind vocab normalization and OCR
+      // cleanup, and the join family (similarity join on strings)
+      // Spark has no operator for. All-pairs levenshtein is |V|^2;
+      // instead each vocab word explodes to itself + its length
+      // single-deletion variants, and two words are candidates iff
+      // they share a variant — which covers every distance<=1 pair
+      // (substitution: both drop the differing char; indel: the short
+      // word IS a variant of the long one). The blocking is provably
+      // bounded: the words mapping to a variant v are v itself plus
+      // single-char insertions into v, so a bucket can never exceed
+      // |alphabet|*(len+1)+1 rows regardless of corpus size — the
+      // self-join fan-out is capped by CONSTRUCTION, not by a heuristic
+      // cap. Exact levenshtein then verifies candidates (distance-2
+      // del+ins pairs also collide; the verify drops them). Scale:
+      // everything runs at vocabulary TYPE level — one token-count
+      // shuffle, one variant shuffle, never a corpus-sized pair join.
+      val vocab = Tables(s, dir).documents
+        .select(explode(toks(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .filter(length(col("w")) >= 4 && col("cnt") >= 2)
+      val vars = vocab.select(col("w"), col("cnt"),
+        explode(concat(array(col("w")),
+          transform(sequence(lit(0), length(col("w")) - 1),
+            i => concat(col("w").substr(lit(1), i),
+              col("w").substr(i + lit(2), length(col("w"))))))).as("v"))
+      vars.as("a").join(vars.as("b"),
+          col("a.v") === col("b.v") && col("a.w") < col("b.w"))
+        .select(col("a.w").as("w1"), col("b.w").as("w2"),
+          col("a.cnt").as("cnt1"), col("b.cnt").as("cnt2"))
+        .distinct()
+        .filter(levenshtein(col("w1"), col("w2")) <= 1)
+        .orderBy(col("w1"), col("w2"))
+    },
+
+    "q168_seasonal_decompose" -> { (s, dir) =>
+      // Weekly seasonal index per event type via moving-average
+      // detrending — the classical-decomposition front half (trend =
+      // centered 7-day MA, seasonal = mean deviation by day-of-week),
+      // feeding anomaly detection that must not fire on weekends
+      // (complements q148's CUSUM and q159's MAD, which are season-
+      // blind). Exact integer end-to-end: the trend stays as its x7
+      // sum (never divided), deviations dev7 = 7*cnt - trend7 are
+      // integers, and the single division happens once at the output
+      // under a 4dp round on bit-identical integer sums. Scale shape:
+      // the event stream collapses ONCE to (type, day) cells; the MA
+      // window and dow rollup run on the calendar-bounded cell table
+      // (q148's posture). Edge days without a full 7-day window are
+      // excluded from the index (count-gated), not zero-filled.
+      val ev = Tables(s, dir).events
+      val cells = ev.select(col("event_type"),
+        Tables.eventMicros(ev).cast("long").divide(lit(86400000000L))
+          .cast("long").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+      val wma = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rangeBetween(-3, 3)
+      cells
+        .withColumn("trend7", when(count(lit(1)).over(wma) === 7,
+          sum(col("cnt")).over(wma)))
+        .filter(col("trend7").isNotNull)
+        .withColumn("dev7", lit(7) * col("cnt") - col("trend7"))
+        .groupBy(col("event_type"), pmod(col("day") + 4, lit(7)).as("dow"))
+        .agg(count(lit(1)).as("n_days"),
+          round(sum(col("dev7")).cast("double") / (lit(7.0) * count(lit(1))), 4)
+            .as("seasonal"))
+        .orderBy(col("event_type"), col("dow"))
+    },
+
+    "q169_bloom_join" -> { (s, dir) =>
+      // Bloom-reduced join (the runtime-filter / semi-join-reduction
+      // pattern): before lineitem joins the urgent-order dim, the dim
+      // keys collapse to a 128 KiB Bloom bitmap that rides into a
+      // MAP-ONLY probe filter — at 100 TB the fact table's join
+      // shuffle carries only rows that can possibly match (~20% here),
+      // and the bitmap stays constant-size however big the dim grows
+      // (vs a broadcast HashedRelation of the key set, which does
+      // not). No false negatives, so the exact join that follows sees
+      // every true match and drops the predictable trickle of false
+      // positives; the 1-row output reports the funnel (keys, bloom
+      // passes, true matches, revenue) so the reduction and the FP
+      // rate are both observable. The audit join is SHUFFLE_HASH on
+      // the bloom survivors — broadcasting the key set would assume
+      // exactly what the bloom exists to avoid (q105's argument).
+      val m = 1 << 20
+      val urgent = Tables(s, dir).orders
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val bits = memo(bloomJoinBits, dir) {
+        val pos = urgent.select(explode(array((0 until 3).map(j =>
+          md5_lower64(concat(lit(s"bf$j:"), col("o_orderkey").cast("string"))
+            .cast("binary")).bitwiseAND(lit((m - 1).toLong))): _*)).as("p"))
+          .distinct().collect()
+        val arr = new Array[Byte](m >>> 3)
+        pos.foreach { r =>
+          val p = r.getLong(0)
+          arr((p >>> 3).toInt) = (arr((p >>> 3).toInt) | (1 << (p & 7L).toInt)).toByte
+        }
+        arr
+      }
+      val li = Tables(s, dir).lineitem.select(col("l_orderkey"),
+        floor(col("l_extendedprice") * 100).cast("long").as("rev"))
+      li.filter(size(bloom_hits(lit(bits),
+          array(col("l_orderkey").cast("string")))) === 1)
+        .join(urgent.withColumn("hit", lit(1)).hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(count(lit(1)).as("n_pass_bloom"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("hit").isNotNull, col("rev")).otherwise(0L))
+            .as("revenue_cents"))
+        .crossJoin(broadcast(urgent.agg(count(lit(1)).as("n_urgent_keys"))))
+        .select(col("n_urgent_keys"), col("n_pass_bloom"), col("n_true"),
+          col("revenue_cents"))
+    },
+
     "q122_cms_heavy_hitters" -> { (s, dir) =>
       // Heavy-hitter token counts via a Count-Min sketch (depth 4 x
       // width 1024): the frequency table that stays 16 KiB whatever the
@@ -4052,6 +4169,54 @@ object Pipeline {
          SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""
 
   def oracle: Map[String, String] = Map(
+    "q167_fuzzy_join" ->
+      s"""WITH vb AS (SELECT tok AS w, count(*) AS cnt
+                      FROM (SELECT unnest($tokSql) AS tok FROM documents)
+                      WHERE length(tok) >= 4 GROUP BY tok HAVING count(*) >= 2),
+          vr AS (SELECT w, cnt,
+                   unnest(list_prepend(w, list_transform(range(length(w)),
+                     i -> substr(w, 1, CAST(i AS INT)) || substr(w, CAST(i + 2 AS INT))))) AS v
+                 FROM vb),
+          cand AS (SELECT DISTINCT a.w AS w1, b.w AS w2,
+                     a.cnt AS cnt1, b.cnt AS cnt2
+                   FROM vr a JOIN vr b ON a.v = b.v AND a.w < b.w)
+          SELECT w1, w2, cnt1, cnt2 FROM cand
+          WHERE levenshtein(w1, w2) <= 1 ORDER BY w1, w2""",
+    "q168_seasonal_decompose" ->
+      """WITH cells AS (SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+               count(*) AS cnt
+             FROM events GROUP BY 1, 2),
+          t AS (SELECT *,
+                 CASE WHEN count(*) OVER w7 = 7
+                      THEN sum(cnt) OVER w7 END AS trend7
+                FROM cells
+                WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                  RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+          SELECT event_type, (day + 4) % 7 AS dow,
+            count(*) AS n_days,
+            round(CAST(CAST(sum(7 * cnt - trend7) AS BIGINT) AS DOUBLE)
+              / (7.0 * count(*)), 4) AS seasonal
+          FROM t WHERE trend7 IS NOT NULL
+          GROUP BY 1, 2 ORDER BY event_type, dow""",
+    "q169_bloom_join" ->
+      """WITH u AS (SELECT o_orderkey FROM orders
+                    WHERE o_orderpriority = '1-URGENT'),
+          bits AS (SELECT DISTINCT
+                     CAST(md5_number_lower('bf' || j || ':' || o_orderkey) & 1048575 AS BIGINT) AS pos
+                   FROM u CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) jj),
+          li AS (SELECT l_orderkey,
+                   CAST(floor(l_extendedprice * 100) AS BIGINT) AS rev
+                 FROM lineitem),
+          pass AS (SELECT l_orderkey, rev FROM li
+                   WHERE CAST(md5_number_lower('bf0:' || l_orderkey) & 1048575 AS BIGINT) IN (SELECT pos FROM bits)
+                     AND CAST(md5_number_lower('bf1:' || l_orderkey) & 1048575 AS BIGINT) IN (SELECT pos FROM bits)
+                     AND CAST(md5_number_lower('bf2:' || l_orderkey) & 1048575 AS BIGINT) IN (SELECT pos FROM bits))
+          SELECT (SELECT count(*) FROM u) AS n_urgent_keys,
+            count(*) AS n_pass_bloom,
+            CAST(sum(CASE WHEN u.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+            CAST(sum(CASE WHEN u.o_orderkey IS NOT NULL THEN rev ELSE 0 END) AS BIGINT) AS revenue_cents
+          FROM pass LEFT JOIN u ON pass.l_orderkey = u.o_orderkey""",
     "q165_pivot_matrix" ->
       """WITH e AS (SELECT
                (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS dow,

@@ -2180,6 +2180,64 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy join: planted distance-1 pairs found, distance-2 collisions dropped") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q167").toString
+    // spark/sparks (indel), spark/spork (substitution), cash/hash,
+    // table/fable, table/tables; hash/hashes and fable/tables are
+    // distance 2 and must NOT appear (hashes shares no variant with
+    // hash; spork/sparks collide on nothing)
+    val words = Seq("spark", "sparks", "spork", "hash", "cash",
+      "table", "tables", "fable", "hashes")
+    Seq((1L, (words ++ words).mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Pipeline.queries("q167_fuzzy_join")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val want = Set(("cash", "hash"), ("fable", "table"),
+      ("spark", "sparks"), ("spark", "spork"), ("table", "tables"))
+    assert(got == want, s"got $got")
+    // the fixture vocabulary genuinely has no distance-1 pairs — the
+    // 0-row result is the correct answer, not a silent miss
+    assert(Pipeline.queries("q167_fuzzy_join")(spark, sf).count() == 0)
+  }
+
+  test("seasonal decomposition: weekly indexes balance to ~zero per type") {
+    val rows = Pipeline.queries("q168_seasonal_decompose")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // MA detrending makes weekly indexes near-balanced: per type, the
+    // day-weighted mean deviation is small relative to daily volume
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val wsum = rs.map(r => r._4 * r._3).sum
+      val days = rs.map(_._3).sum
+      assert(math.abs(wsum / days) < 2.0,
+        s"$t: weighted seasonal mean ${wsum / days} not near zero")
+    }
+  }
+
+  test("bloom join: no false negatives, funnel ordering, FP rate in envelope") {
+    val r = Pipeline.queries("q169_bloom_join")(spark, sf).collect().head
+    val (nKeys, nPass, nTrue, rev) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // exact ground truth via the plain join
+    val li = Tables(spark, sf).lineitem
+    val urgent = Tables(spark, sf).orders
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val truth = li.join(urgent, li("l_orderkey") === urgent("o_orderkey"))
+      .agg(count(lit(1)), sum(floor(col("l_extendedprice") * 100).cast("long")))
+      .collect().head
+    assert(nTrue == truth.getLong(0), "bloom path lost true matches")
+    assert(rev == truth.getLong(1), "revenue diverges from the plain join")
+    assert(nPass >= nTrue, "bloom passes must cover all true matches")
+    assert(nKeys > 0)
+    // m=2^20 bits, k=3, n<=|urgent| keys: FPR well under 1% here, so
+    // the pass set stays within 5% of the truth
+    assert(nPass - nTrue <= math.max(5L, nTrue / 20),
+      s"false positives $nPass-$nTrue outside envelope")
+  }
+
   test("ann recall audit equals the locally-joined q36/q57 intersection") {
     val audit = Pipeline.queries("q158_ann_recall_audit")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)

@@ -39,7 +39,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q161_kmv_overlap",
     // q163 crosses against the broadcast ONE-ROW (mn, mx, n) bounds
     // row — q124's pattern
-    "q163_equifreq_bins")
+    "q163_equifreq_bins",
+    // q169 crosses its 1-row funnel aggregate against the broadcast
+    // ONE-ROW key count — two scalars meeting, not data
+    "q169_bloom_join")
 
   test("no unplanned cartesian products or nested-loop joins") {
     val offenders = Seq.newBuilder[String]
@@ -243,7 +246,16 @@ class PlanAuditSpec extends AnyFunSuite {
     "q165_pivot_matrix" -> 3,
     // q166: ONE 1-row moments agg; the matrix unpivot is an explode
     // over that row, no further movement
-    "q166_corr_matrix" -> 1)
+    "q166_corr_matrix" -> 1,
+    // q167: token-count agg + the variant-bucket join shuffle — both
+    // at vocabulary TYPE scale, never corpus rows
+    "q167_fuzzy_join" -> 2,
+    // q168: the ONE (type,day) cell agg; MA window + dow rollup reuse
+    // the hash(event_type) chain on the calendar-bounded cell table
+    "q168_seasonal_decompose" -> 3,
+    // q169: map-only bloom probe, then the ONE audit-join shuffle of
+    // survivors (the point: unflagged fact rows never move)
+    "q169_bloom_join" -> 1)
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
