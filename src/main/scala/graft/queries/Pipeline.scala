@@ -2684,6 +2684,79 @@ object Pipeline {
           col("revenue_cents"))
     },
 
+    "q170_topk_bounded" -> { (s, dir) =>
+      // Batch group-wise top-k with BOUNDED aggregation state — the
+      // q02 window-rank answer re-expressed the way it must run at
+      // 100 TB: top-3 customers per nation via MinKAgg over the
+      // (balance desc, custkey) order packed isomorphically into one
+      // long (AnnStreams' encoding: cents biased non-negative in the
+      // high bits, key in the low 32). The window form sorts every
+      // nation's full customer list; this form's partial state is 3
+      // longs per nation per task, map-side combined, so the shuffle
+      // moves k*|nations|*|tasks| longs regardless of customer count.
+      // The rank window then runs over <= k*|nations| unpacked rows
+      // and the 25-row nation dim rides a broadcast. Packing bound:
+      // custkey < 2^32 and |cents| < 2^21 hold past sf1000.
+      val k = 3
+      val c = Tables(s, dir).customer.select(col("c_custkey"),
+        col("c_nationkey").cast("long").as("nk"),
+        floor(col("c_acctbal") * 100).cast("long").as("bal_c"))
+      val enc = (lit(4194304L) - col("bal_c")) * lit(1L << 32) + col("c_custkey")
+      val top = c.groupBy(col("nk")).agg(min_k(enc, k).as("top"))
+        .select(col("nk"), posexplode(col("top")).as(Seq("pos", "v")))
+        .select(col("nk"), (col("pos") + 1).cast("long").as("rk"),
+          pmod(col("v"), lit(1L << 32)).as("c_custkey"),
+          // integer shift, not a double divide: packed values pass 2^53
+          (lit(4194304L) - shiftrightunsigned(col("v"), 32)).as("bal_cents"))
+      top.join(broadcast(Tables(s, dir).nation
+          .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))),
+          Seq("nk"))
+        .select(col("n_name"), col("rk"), col("c_custkey"), col("bal_cents"))
+        .orderBy(col("n_name"), col("rk"))
+    },
+
+    "q171_holdout_ab" -> { (s, dir) =>
+      // Deterministic holdout experiment readout: users split 50/50 by
+      // id-hash (q83's assignment — no RNG, any engine or re-run
+      // reproduces the arms), outcome = heavy purchaser (>= 14
+      // purchase events — every fixture user purchases at least once,
+      // so plain did-purchase is degenerate at 100%); the 2x2
+      // contingency table and its chi-square statistic come out of
+      // exact integer counts with ONE double division at the end,
+      // null-guarded when a margin is empty (both engines). The event
+      // stream collapses once per user, the table is 2 rows, the
+      // statistic closed-form — the 100 TB cost is the single user
+      // rollup. (The assignment hash must be independent of q83's
+      // split salt, or the experiment silently correlates with
+      // train/test membership — different salt here.)
+      val ev = Tables(s, dir).events
+      val arm = pmod(md5_lower64(concat(lit("ab:"),
+        col("user_id").cast("string")).cast("binary")), lit(2L)).as("arm")
+      val users = ev.select(col("user_id"), arm,
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("cv"))
+        .groupBy(col("user_id"), col("arm"))
+        .agg(when(sum(col("cv")) >= 14, 1L).otherwise(0L).as("converted"))
+      val cells = users.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+      // chi2 = N (ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d)) over
+      // a=conv_0, b=nonconv_0, c=conv_1, d=nonconv_1
+      val w = cells.agg(
+        max(when(col("arm") === 0, col("n_users"))).as("n0"),
+        max(when(col("arm") === 0, col("n_conv"))).as("c0"),
+        max(when(col("arm") === 1, col("n_users"))).as("n1"),
+        max(when(col("arm") === 1, col("n_conv"))).as("c1"))
+      def d(c: Column) = c.cast("double")
+      val (a, b2, c2, d2) = (col("c0"), col("n0") - col("c0"),
+        col("c1"), col("n1") - col("c1"))
+      val n = col("n0") + col("n1")
+      val num = d(n) * pow(d(a) * d(d2) - d(b2) * d(c2), 2)
+      val den = d(a + b2) * d(c2 + d2) * d(a + c2) * d(b2 + d2)
+      w.select(col("n0"), col("c0"), col("n1"), col("c1"),
+        round(d(col("c0")) / d(col("n0")), 6).as("rate0"),
+        round(d(col("c1")) / d(col("n1")), 6).as("rate1"),
+        when(a + c2 > 0 && b2 + d2 > 0, round(num / den, 4)).as("chi2"))
+    },
+
     "q122_cms_heavy_hitters" -> { (s, dir) =>
       // Heavy-hitter token counts via a Count-Min sketch (depth 4 x
       // width 1024): the frequency table that stays 16 KiB whatever the
@@ -4169,6 +4242,40 @@ object Pipeline {
          SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""
 
   def oracle: Map[String, String] = Map(
+    "q170_topk_bounded" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer),
+          r AS (SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                  ORDER BY bal_cents DESC, c_custkey) AS rk FROM c)
+          SELECT n_name, CAST(rk AS BIGINT) AS rk, c_custkey, bal_cents
+          FROM r JOIN nation ON n_nationkey = c_nationkey
+          WHERE rk <= 3 ORDER BY n_name, rk""",
+    "q171_holdout_ab" ->
+      """WITH u AS (SELECT user_id,
+               CAST(md5_number_lower('ab:' || user_id) & 1 AS BIGINT) AS arm,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                    THEN 1 ELSE 0 END AS converted
+             FROM events GROUP BY 1, 2),
+          t AS (SELECT arm, count(*) AS n_users,
+                 CAST(sum(converted) AS BIGINT) AS n_conv
+                FROM u GROUP BY arm),
+          w AS (SELECT
+                 max(CASE WHEN arm = 0 THEN n_users END) AS n0,
+                 max(CASE WHEN arm = 0 THEN n_conv END) AS c0,
+                 max(CASE WHEN arm = 1 THEN n_users END) AS n1,
+                 max(CASE WHEN arm = 1 THEN n_conv END) AS c1
+                FROM t)
+          SELECT n0, c0, n1, c1,
+            round(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS rate0,
+            round(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS rate1,
+            CASE WHEN c0 + c1 > 0 AND (n0 - c0) + (n1 - c1) > 0 THEN
+              round(CAST(n0 + n1 AS DOUBLE)
+                * pow(CAST(c0 AS DOUBLE) * CAST(n1 - c1 AS DOUBLE)
+                    - CAST(n0 - c0 AS DOUBLE) * CAST(c1 AS DOUBLE), 2)
+                / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                   * CAST(c0 + c1 AS DOUBLE) * CAST((n0 - c0) + (n1 - c1) AS DOUBLE)),
+                4) END AS chi2
+          FROM w""",
     "q167_fuzzy_join" ->
       s"""WITH vb AS (SELECT tok AS w, count(*) AS cnt
                       FROM (SELECT unnest($tokSql) AS tok FROM documents)

@@ -2238,6 +2238,54 @@ class PipelineSpec extends SparkSpec {
       s"false positives $nPass-$nTrue outside envelope")
   }
 
+  test("bounded top-k per group equals the window-rank form, ties by key") {
+    val got = Pipeline.queries("q170_topk_bounded")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val c = Tables(spark, sf).customer.select(col("c_custkey"),
+      col("c_nationkey").cast("long").as("nk"),
+      floor(col("c_acctbal") * 100).cast("long").as("bal_c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("nk"))
+      .orderBy(col("bal_c").desc, col("c_custkey"))
+    val ref = c.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .join(broadcast(Tables(spark, sf).nation
+        .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))), Seq("nk"))
+      .select(col("n_name"), col("rk"), col("c_custkey"), col("bal_c"))
+      .orderBy(col("n_name"), col("rk")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == ref, "bounded-state top-k diverges from the window form")
+    // the fixture exercises the negative-balance half of the packing bias
+    assert(c.filter(col("bal_c") < 0).count() > 0,
+      "fixture has no negative balances — packing bias untested")
+  }
+
+  test("holdout readout: cells and chi-square match a brute recomputation") {
+    import graft.expressions.SketchKernel
+    val r = Pipeline.queries("q171_holdout_ab")(spark, sf).collect().head
+    val users = Tables(spark, sf).events
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val cells = users.map { case (uid, p) =>
+      val arm = SketchKernel.md5Lower64(s"ab:$uid".getBytes("UTF-8")) & 1L
+      (arm, if (p >= 14) 1L else 0L)
+    }
+    val (n0, c0) = (cells.count(_._1 == 0L).toLong,
+      cells.filter(_._1 == 0L).map(_._2).sum)
+    val (n1, c1) = (cells.count(_._1 == 1L).toLong,
+      cells.filter(_._1 == 1L).map(_._2).sum)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((n0, c0, n1, c1)), "contingency cells diverge")
+    val (a, b, c2, d) = (c0.toDouble, (n0 - c0).toDouble,
+      c1.toDouble, (n1 - c1).toDouble)
+    val chi2 = (n0 + n1).toDouble * math.pow(a * d - b * c2, 2) /
+      (n0.toDouble * n1.toDouble * (c0 + c1).toDouble * ((n0 - c0) + (n1 - c1)).toDouble)
+    assert(math.abs(r.getDouble(6) - chi2) < 1e-3,
+      s"chi2 ${r.getDouble(6)} vs brute $chi2")
+    // both outcome classes must be populated or the statistic is vacuous
+    assert(c0 + c1 > 0 && (n0 - c0) + (n1 - c1) > 0, "degenerate fixture split")
+  }
+
   test("ann recall audit equals the locally-joined q36/q57 intersection") {
     val audit = Pipeline.queries("q158_ann_recall_audit")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)

@@ -255,7 +255,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "q168_seasonal_decompose" -> 3,
     // q169: map-only bloom probe, then the ONE audit-join shuffle of
     // survivors (the point: unflagged fact rows never move)
-    "q169_bloom_join" -> 1)
+    "q169_bloom_join" -> 1,
+    // q170: the ONE MinKAgg shuffle (3 longs of state per nation);
+    // the unpack + rank run on <= k*|nations| rows, nation dim rides
+    // a BroadcastExchange
+    "q170_topk_bounded" -> 1,
+    // q171: user rollup + 2-row arm agg + the 1-row pivot
+    "q171_holdout_ab" -> 3)
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
