@@ -2757,6 +2757,103 @@ object Pipeline {
         when(a + c2 > 0 && b2 + d2 > 0, round(num / den, 4)).as("chi2"))
     },
 
+    "q172_basket_rules" -> { (s, dir) =>
+      // Association rules over daily user baskets (support /
+      // confidence / lift — the market-basket classic): basket =
+      // distinct event types a user fires in a day, pairs counted
+      // within basket. Shape: ONE (user, day, type) dedup shuffle,
+      // then the pair self-join runs INSIDE each basket, bounded by
+      // |types|^2 = 25 here — and in the general big-catalog case by
+      // a-priori pruning (only types above min-support join, the same
+      // frequent-first discipline; the pair table is (frequent items)^2
+      // whatever the event volume). Marginals broadcast back from a
+      // |types|-row agg; support/confidence/lift are single double
+      // divisions over exact integer counts, 6dp-rounded. Ordered
+      // pairs (a != b): confidence is directional, and the symmetric
+      // lift gets spec-checked for equality across the two directions.
+      val ev = Tables(s, dir).events
+      val baskets = ev.select(col("user_id"),
+        Tables.eventMicros(ev).cast("long").divide(lit(86400000000L))
+          .cast("long").as("day"),
+        col("event_type")).distinct()
+      // basket total rides a broadcast 1-row agg (q124's bounds
+      // pattern), never a driver-side action
+      val nB = baskets.select(col("user_id"), col("day")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val item = baskets.groupBy(col("event_type").as("a"))
+        .agg(count(lit(1)).as("n_a"))
+      val pair = baskets.as("x").join(baskets.as("y"),
+          col("x.user_id") === col("y.user_id") && col("x.day") === col("y.day")
+            && col("x.event_type") =!= col("y.event_type"))
+        .groupBy(col("x.event_type").as("a"), col("y.event_type").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+      def d(c: Column) = c.cast("double")
+      pair
+        .join(broadcast(item), Seq("a"))
+        .join(broadcast(item.select(col("a").as("b"), col("n_a").as("n_b"))),
+          Seq("b"))
+        .crossJoin(broadcast(nB))
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+          round(d(col("n_ab")) / d(col("n_baskets")), 6).as("support"),
+          round(d(col("n_ab")) / d(col("n_a")), 6).as("confidence"),
+          round(d(col("n_baskets")) * d(col("n_ab")) /
+            (d(col("n_a")) * d(col("n_b"))), 6).as("lift"))
+        .orderBy(col("a"), col("b"))
+    },
+
+    "q173_profile" -> { (s, dir) =>
+      // One-pass data profiling (the ANALYZE TABLE / data-catalog
+      // operator): per-column completeness, cardinality, and range for
+      // four lineitem columns WITHOUT per-column scans — the columns
+      // unpivot through one explode into a (col, value) stream, so
+      // nulls, min/max, and an HLL distinct estimate (q121's integer
+      // registers, exact-audited here by countDistinct) all come from
+      // a single read and one (col, idx)-cell shuffle. At 100 TB a
+      // profile that scans once per column reads the corpus N_cols
+      // times; this reads it once, and every post-scan table is
+      // <= cols x 256 cells. Values profile through their canonical
+      // string form (a catalog profiles heterogeneous columns through
+      // one schema; typed min/max stay derivable per family).
+      val li = Tables(s, dir).lineitem
+      val stacked = li.select(explode(array(
+        struct(lit("l_returnflag").as("c"), col("l_returnflag").as("v")),
+        struct(lit("l_linestatus").as("c"), col("l_linestatus").as("v")),
+        struct(lit("l_quantity").as("c"),
+          floor(col("l_quantity")).cast("long").cast("string").as("v")),
+        struct(lit("l_partkey").as("c"),
+          col("l_partkey").cast("string").as("v")))).as("cv"))
+        .select(col("cv.c").as("c"), col("cv.v").as("v"))
+      val base = stacked.groupBy(col("c")).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+        countDistinct(col("v")).as("distinct_exact"))
+      // HLL registers per column over the same stacked stream
+      val h = stacked.filter(col("v").isNotNull).select(col("c"),
+        md5_lower64(concat(lit("prof:"), col("v")).cast("binary")).as("h"))
+        .select(col("c"), col("h").bitwiseAND(lit(255L)).as("idx"),
+          shiftrightunsigned(col("h"), 8).bitwiseAND(lit(281474976710655L)).as("w"))
+      val regs = Seq(1, 2, 4, 8, 16, 32)
+        .foldLeft(h)((df, k) =>
+          df.withColumn("w", col("w").bitwiseOR(shiftrightunsigned(col("w"), k))))
+        .select(col("c"), col("idx"), (lit(49) - bit_count(col("w"))).as("rho"))
+        .groupBy(col("c"), col("idx")).agg(max(col("rho")).as("m"))
+      val est = regs.groupBy(col("c"))
+        .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - m AS INT))")) +
+          (lit(256L) - count(lit(1))) * lit(562949953421312L)).as("ssum"),
+          count(lit(1)).as("nr"))
+      val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+        lit(65536.0) * lit(562949953421312.0) / col("ssum")
+      val hll = est.select(col("c"), round(when(col("nr") < 256 && raw <= 640.0,
+          lit(256.0) * log(lit(256.0) / (lit(256L) - col("nr"))))
+          .otherwise(raw), 3).as("distinct_est"))
+      base.join(hll, Seq("c"))
+        .select(col("c"), col("n_rows"), col("n_null"),
+          col("distinct_exact"), col("distinct_est"),
+          col("min_v"), col("max_v"))
+        .orderBy(col("c"))
+    },
+
     "q122_cms_heavy_hitters" -> { (s, dir) =>
       // Heavy-hitter token counts via a Count-Min sketch (depth 4 x
       // width 1024): the frequency table that stays 16 KiB whatever the
@@ -4242,6 +4339,62 @@ object Pipeline {
          SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""
 
   def oracle: Map[String, String] = Map(
+    "q172_basket_rules" ->
+      """WITH b AS (SELECT DISTINCT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+               event_type FROM events),
+          nb AS (SELECT count(*) AS n_baskets
+                 FROM (SELECT DISTINCT user_id, day FROM b)),
+          it AS (SELECT event_type AS a, count(*) AS n_a FROM b GROUP BY 1),
+          pr AS (SELECT x.event_type AS a, y.event_type AS b,
+                   count(*) AS n_ab
+                 FROM b x JOIN b y ON x.user_id = y.user_id
+                   AND x.day = y.day AND x.event_type <> y.event_type
+                 GROUP BY 1, 2)
+          SELECT pr.a, pr.b, n_ab, ia.n_a AS n_a, ib.n_a AS n_b,
+            round(CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6) AS support,
+            round(CAST(n_ab AS DOUBLE) / CAST(ia.n_a AS DOUBLE), 6) AS confidence,
+            round(CAST(n_baskets AS DOUBLE) * CAST(n_ab AS DOUBLE)
+              / (CAST(ia.n_a AS DOUBLE) * CAST(ib.n_a AS DOUBLE)), 6) AS lift
+          FROM pr JOIN it ia ON ia.a = pr.a JOIN it ib ON ib.a = pr.b
+          CROSS JOIN nb ORDER BY pr.a, pr.b""",
+    "q173_profile" ->
+      """WITH st AS (
+            SELECT 'l_returnflag' AS c, l_returnflag AS v FROM lineitem
+            UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+            UNION ALL SELECT 'l_quantity',
+              CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR) FROM lineitem
+            UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem),
+          base AS (SELECT c, count(*) AS n_rows,
+                    CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                    min(v) AS min_v, max(v) AS max_v,
+                    count(DISTINCT v) AS distinct_exact
+                   FROM st GROUP BY c),
+          h0 AS (SELECT c,
+                  CAST(md5_number_lower('prof:' || v) & 255 AS BIGINT) AS idx,
+                  CAST((md5_number_lower('prof:' || v) >> 8) & 281474976710655 AS BIGINT) AS w
+                 FROM st WHERE v IS NOT NULL),
+          s1 AS (SELECT *, w | (w >> 1) AS w1 FROM h0),
+          s2 AS (SELECT *, w1 | (w1 >> 2) AS w2 FROM s1),
+          s3 AS (SELECT *, w2 | (w2 >> 4) AS w3 FROM s2),
+          s4 AS (SELECT *, w3 | (w3 >> 8) AS w4 FROM s3),
+          s5 AS (SELECT *, w4 | (w4 >> 16) AS w5 FROM s4),
+          s6 AS (SELECT *, w5 | (w5 >> 32) AS w6 FROM s5),
+          r AS (SELECT c, idx, max(49 - bit_count(w6)) AS m
+                FROM s6 GROUP BY c, idx),
+          sr AS (SELECT c,
+                  CAST(sum(1::BIGINT << CAST(49 - m AS INT)) AS BIGINT)
+                    + (256 - count(*)) * 562949953421312 AS ssum,
+                  count(*) AS nr
+                 FROM r GROUP BY c)
+          SELECT base.c, n_rows, n_null, distinct_exact,
+            round(CASE WHEN nr < 256
+                    AND 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 562949953421312.0 / ssum <= 640.0
+                   THEN 256.0 * ln(256.0 / (256 - nr))
+                   ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 562949953421312.0 / ssum
+              END, 3) AS distinct_est,
+            min_v, max_v
+          FROM base JOIN sr USING (c) ORDER BY base.c""",
     "q170_topk_bounded" ->
       """WITH c AS (SELECT c_custkey, c_nationkey,
                CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer),

@@ -2286,6 +2286,64 @@ class PipelineSpec extends SparkSpec {
     assert(c0 + c1 > 0 && (n0 - c0) + (n1 - c1) > 0, "degenerate fixture split")
   }
 
+  test("basket rules: symmetric lift, directional confidence, planted basket") {
+    val rows = Pipeline.queries("q172_basket_rules")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    rows.foreach { case ((a, b), (nab, na, nb2, sup, conf, lift)) =>
+      val rev = rows((b, a))
+      assert(rev._1 == nab, s"pair counts asymmetric for $a/$b")
+      assert(math.abs(rev._6 - lift) < 1e-9, s"lift not symmetric for $a/$b")
+      assert(math.abs(conf - nab.toDouble / na) < 1e-4)
+      assert(sup > 0 && sup <= 1 && conf > 0 && conf <= 1)
+      assert(nab <= math.min(na, nb2), "pair support exceeds a marginal")
+    }
+    // planted: 3 baskets — {x,y}, {x,y}, {x}. n_x=3, n_y=2, n_xy=2:
+    // conf(x->y)=2/3, conf(y->x)=1, lift = 3*2/(3*2) = 1.0
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q172").toString
+    val base = 86400000000L
+    val evs = Seq(
+      (1L, 1L * base, 10L, "x"), (2L, 1L * base + 1, 10L, "y"),
+      (3L, 2L * base, 10L, "x"), (4L, 2L * base + 1, 10L, "y"),
+      (5L, 3L * base, 10L, "x"))
+      .map { case (id, us, u, t) =>
+        (id, new java.sql.Timestamp(us / 1000), u, t, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    evs.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val p = Pipeline.queries("q172_basket_rules")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(6), r.getDouble(7)))).toMap
+    assert(math.abs(p(("x", "y"))._1 - 2.0 / 3) < 1e-6)
+    assert(math.abs(p(("y", "x"))._1 - 1.0) < 1e-6)
+    assert(math.abs(p(("x", "y"))._2 - 1.0) < 1e-6, "lift should be 1.0")
+  }
+
+  test("profile: exact stats match per-column recomputation, HLL in envelope") {
+    val rows = Pipeline.queries("q173_profile")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5), r.getString(6))).toMap
+    val li = Tables(spark, sf).lineitem
+    val n = li.count()
+    Seq("l_returnflag" -> col("l_returnflag"),
+      "l_linestatus" -> col("l_linestatus"),
+      "l_quantity" -> floor(col("l_quantity")).cast("long").cast("string"),
+      "l_partkey" -> col("l_partkey").cast("string")).foreach { case (name, c) =>
+      val (nr, nn, de, est, mn, mx) = rows(name)
+      assert(nr == n)
+      val ref = li.select(c.as("v")).agg(
+        sum(when(col("v").isNull, 1L).otherwise(0L)),
+        countDistinct(col("v")), min(col("v")), max(col("v"))).collect().head
+      assert(nn == ref.getLong(0), s"$name nulls")
+      assert(de == ref.getLong(1), s"$name distinct")
+      assert(mn == ref.getString(2) && mx == ref.getString(3), s"$name range")
+      assert(math.abs(est - de) / math.max(1.0, de.toDouble) < 0.15,
+        s"$name HLL $est vs exact $de outside 15%")
+    }
+  }
+
   test("ann recall audit equals the locally-joined q36/q57 intersection") {
     val audit = Pipeline.queries("q158_ann_recall_audit")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)

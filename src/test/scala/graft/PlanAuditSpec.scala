@@ -42,7 +42,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q163_equifreq_bins",
     // q169 crosses its 1-row funnel aggregate against the broadcast
     // ONE-ROW key count — two scalars meeting, not data
-    "q169_bloom_join")
+    "q169_bloom_join",
+    // q172 crosses the |types|^2-bounded pair table against the
+    // broadcast ONE-ROW basket total (q124's bounds pattern)
+    "q172_basket_rules")
 
   test("no unplanned cartesian products or nested-loop joins") {
     val offenders = Seq.newBuilder[String]
@@ -261,7 +264,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // a BroadcastExchange
     "q170_topk_bounded" -> 1,
     // q171: user rollup + 2-row arm agg + the 1-row pivot
-    "q171_holdout_ab" -> 3)
+    "q171_holdout_ab" -> 3,
+    // q172: the ONE basket dedup shuffle feeds the in-basket pair
+    // join; marginals/total ride broadcasts; + the tiny-table sort
+    "q172_basket_rules" -> 3,
+    // q173: the stacked stream's base agg + the (col,idx) register agg
+    // + the cols-row estimate rollup — one corpus read for N columns
+    "q173_profile" -> 3)
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
