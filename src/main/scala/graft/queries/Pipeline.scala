@@ -2417,20 +2417,8 @@ object Pipeline {
         // parquet ships NTZ; session TZ is pinned UTC, so the cast is
         // the identity epoch mapping DuckDB's epoch_us applies
         unix_micros(col("o_orderdate").cast("timestamp")).as("date_us"))
-      def skyline(df: DataFrame, parts: Seq[Column]): DataFrame = {
-        val w1 = Window.partitionBy(parts: _*).orderBy(col("price_c").desc)
-          .rangeBetween(Window.unboundedPreceding, -1)
-        val w2 = Window.partitionBy(parts :+ col("price_c"): _*)
-        df.withColumn("hi", max(col("date_us")).over(w1))
-          .withColumn("eqm", max(col("date_us")).over(w2))
-          .filter((col("hi").isNull || col("hi") < col("date_us")) &&
-            col("date_us") === col("eqm"))
-          .drop("hi", "eqm")
-      }
-      val local = skyline(
-        o.withColumn("salt", pmod(hash(col("o_orderkey")), lit(32))),
-        Seq(col("salt"))).drop("salt")
-      skyline(local, Nil)
+      graft.operators.Skyline.skyline(o, "price_c", "date_us",
+          col("o_orderkey"))
         .select(col("o_orderkey"), col("price_c"), col("date_us"))
         .orderBy(col("price_c").desc, col("o_orderkey"))
     },
@@ -2697,17 +2685,11 @@ object Pipeline {
       // The rank window then runs over <= k*|nations| unpacked rows
       // and the 25-row nation dim rides a broadcast. Packing bound:
       // custkey < 2^32 and |cents| < 2^21 hold past sf1000.
-      val k = 3
       val c = Tables(s, dir).customer.select(col("c_custkey"),
         col("c_nationkey").cast("long").as("nk"),
         floor(col("c_acctbal") * 100).cast("long").as("bal_c"))
-      val enc = (lit(4194304L) - col("bal_c")) * lit(1L << 32) + col("c_custkey")
-      val top = c.groupBy(col("nk")).agg(min_k(enc, k).as("top"))
-        .select(col("nk"), posexplode(col("top")).as(Seq("pos", "v")))
-        .select(col("nk"), (col("pos") + 1).cast("long").as("rk"),
-          pmod(col("v"), lit(1L << 32)).as("c_custkey"),
-          // integer shift, not a double divide: packed values pass 2^53
-          (lit(4194304L) - shiftrightunsigned(col("v"), 32)).as("bal_cents"))
+      val top = graft.operators.TopK.topK(c, "nk", "c_custkey", "bal_c", 3)
+        .withColumnRenamed("bal_c", "bal_cents")
       top.join(broadcast(Tables(s, dir).nation
           .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))),
           Seq("nk"))
