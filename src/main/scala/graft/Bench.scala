@@ -342,6 +342,15 @@ object Bench {
       }
     }.view.mapValues(_.map(_._2).filter(_ > 0).sum).toSeq.sortBy(_._1)
     println(s"""{"metric":"families","unit":"sec","queries":${jmap(families)}}""")
+    // LAST line: a compact (<1 KB) self-contained summary — total,
+    // family subtotals, and the 15 most expensive queries. Every
+    // BENCH_r*.json so far has "parsed": null because the driver's
+    // 2000-char tail window starts mid-way through the 4 KB+ contract
+    // line; a tail-anchored capture always holds this line whole, so
+    // structured per-round comparison no longer depends on where the
+    // window happens to cut. Full precision stays in bench_last.json.
+    val top15 = queryTimes.filter(_._2 > 0).sortBy(-_._2).take(15)
+    println(s"""{"metric":"summary","value":${fmt(total)},"unit":"sec","n_queries":${queryTimes.size},"families":${jmap(families)},"slowest":${jmap(top15)},"sf":"$sfDir"}""")
     netServer.stop(0)
     spark.stop()
   }

@@ -2836,6 +2836,108 @@ object Pipeline {
         .orderBy(col("c"))
     },
 
+    "q174_cumulative_distinct" -> { (s, dir) =>
+      // Cumulative unique-users curve (running distinct over time) —
+      // the growth chart whose naive form, COUNT(DISTINCT) OVER
+      // (ORDER BY day), re-deduplicates the entire history per day.
+      // Two scale answers, both here: EXACT via first-seen collapse
+      // (distinct-over-time == cumsum of first-appearance counts: one
+      // user rollup to min(day), one tiny cumsum), and SKETCHED via
+      // the HLL prefix-union property — cumulative union of daily
+      // register tables is a running MAX per register cell (the
+      // windowed form of q160's grain merge), so any day's estimate
+      // derives from <= days x 256 cells with NO rescan of history.
+      // The two curves ride side by side; their agreement is the
+      // audit. All windows run on day-bounded cell tables.
+      val ev = Tables(s, dir).events
+      val ud = ev.select(col("user_id"),
+        Tables.eventMicros(ev).cast("long").divide(lit(86400000000L))
+          .cast("long").as("day"))
+      val exact = ud.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("nf"))
+      // every active day appears in the output, not just first-seen days
+      val days = ud.select(col("day")).distinct()
+      val wcum = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val exactCurve = days.join(exact, Seq("day"), "left")
+        .na.fill(0L, Seq("nf"))
+        .withColumn("exact_cum", sum(col("nf")).over(wcum)).drop("nf")
+      val h = ud.distinct().select(col("day"),
+        md5_lower64(concat(lit("cu:"), col("user_id").cast("string"))
+          .cast("binary")).as("h"))
+        .select(col("day"), col("h").bitwiseAND(lit(255L)).as("idx"),
+          shiftrightunsigned(col("h"), 8).bitwiseAND(lit(281474976710655L)).as("w"))
+      val regs = Seq(1, 2, 4, 8, 16, 32)
+        .foldLeft(h)((df, k) =>
+          df.withColumn("w", col("w").bitwiseOR(shiftrightunsigned(col("w"), k))))
+        .select(col("day"), col("idx"), (lit(49) - bit_count(col("w"))).as("rho"))
+        .groupBy(col("day"), col("idx")).agg(max(col("rho")).as("m"))
+      // prefix-union: running max per register across days; absent
+      // (day, idx) pairs inherit via the day-spine cross join with the
+      // 256 cells (days x 256 bounded)
+      val spine = days.crossJoin(broadcast(
+        s.range(0, 256).select(col("id").as("idx"))))
+      val wpre = Window.partitionBy(col("idx")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = spine.join(regs, Seq("day", "idx"), "left")
+        .withColumn("mc", max(col("m")).over(wpre))
+        .filter(col("mc").isNotNull)
+      val est = cum.groupBy(col("day"))
+        .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - mc AS INT))")) +
+          (lit(256L) - count(lit(1))) * lit(562949953421312L)).as("ssum"),
+          count(lit(1)).as("nr"))
+      val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+        lit(65536.0) * lit(562949953421312.0) / col("ssum")
+      est.select(col("day"), round(when(col("nr") < 256 && raw <= 640.0,
+          lit(256.0) * log(lit(256.0) / (lit(256L) - col("nr"))))
+          .otherwise(raw), 3).as("hll_cum_est"))
+        .join(exactCurve, Seq("day"))
+        .select(col("day"), col("exact_cum"), col("hll_cum_est"))
+        .orderBy(col("day"))
+    },
+
+    "q175_blocklist_filter" -> { (s, dir) =>
+      // Blocklist phrase filtering — the safety/compliance gate every
+      // training pipeline runs: count occurrences of listed 1..2-token
+      // phrases per document and flag documents over threshold. The
+      // phrase list rides as a PLAN LITERAL into an isin filter over
+      // the token/shingle streams (broadcast-free, map-side; the list
+      // is config-scale however big the corpus), counts come from one
+      // explode + filter + doc rollup, and the rollup is the only
+      // shuffle. Phrases match at TOKEN level (exact word-sequence
+      // hits, not substring false positives: "data" never fires inside
+      // "database" — shingle equality is the tokenized-match contract).
+      val uni = Seq("data", "slow")
+      val bi = Seq("hash join", "table scan")
+      val docs = Tables(s, dir).documents
+      val t1 = docs.select(col("doc_id"), explode(toks(col("text"))).as("g"))
+        .filter(col("g").isin(uni: _*))
+      // occurrence counts need the NON-distinct bigram stream (the
+      // shingles kernel dedups within a doc), so bigrams come from a
+      // positional transform. The token array materializes in its OWN
+      // projection first: referencing the split expression inside the
+      // lambda would inline it per element_at — two split() calls per
+      // bigram, quadratic per doc (the round-11a plan-size lesson;
+      // measured 5.4 s -> sub-second at sf0.1)
+      val tk = docs.select(col("doc_id"), toks(col("text")).as("tk"))
+      val t2 = tk
+        .select(col("doc_id"), explode(when(size(col("tk")) >= 2,
+          transform(sequence(lit(1), size(col("tk")) - 1),
+            i => concat(element_at(col("tk"), i), lit(" "),
+              element_at(col("tk"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+        .filter(col("g").isin(bi: _*))
+      val hits = t1.unionAll(t2)
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_hits"),
+          count(lit(1)).as("n_phrases_hit"))
+      docs.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_hits", "n_phrases_hit"))
+        .withColumn("flagged", col("n_hits") >= 8)
+        .orderBy(col("doc_id"))
+    },
+
     "q122_cms_heavy_hitters" -> { (s, dir) =>
       // Heavy-hitter token counts via a Count-Min sketch (depth 4 x
       // width 1024): the frequency table that stays 16 KiB whatever the
@@ -4321,6 +4423,67 @@ object Pipeline {
          SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""
 
   def oracle: Map[String, String] = Map(
+    "q174_cumulative_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+             FROM events),
+          days AS (SELECT DISTINCT day FROM ud),
+          fs AS (SELECT user_id, min(day) AS day FROM ud GROUP BY 1),
+          nf AS (SELECT day, count(*) AS nf FROM fs GROUP BY 1),
+          exact AS (SELECT days.day,
+                     CAST(sum(coalesce(nf, 0)) OVER (ORDER BY days.day) AS BIGINT)
+                       AS exact_cum
+                    FROM days LEFT JOIN nf USING (day)),
+          h0 AS (SELECT day,
+                  CAST(md5_number_lower('cu:' || user_id) & 255 AS BIGINT) AS idx,
+                  CAST((md5_number_lower('cu:' || user_id) >> 8) & 281474976710655 AS BIGINT) AS w
+                 FROM ud),
+          s1 AS (SELECT *, w | (w >> 1) AS w1 FROM h0),
+          s2 AS (SELECT *, w1 | (w1 >> 2) AS w2 FROM s1),
+          s3 AS (SELECT *, w2 | (w2 >> 4) AS w3 FROM s2),
+          s4 AS (SELECT *, w3 | (w3 >> 8) AS w4 FROM s3),
+          s5 AS (SELECT *, w4 | (w4 >> 16) AS w5 FROM s4),
+          s6 AS (SELECT *, w5 | (w5 >> 32) AS w6 FROM s5),
+          r AS (SELECT day, idx, max(49 - bit_count(w6)) AS m
+                FROM s6 GROUP BY day, idx),
+          spine AS (SELECT day, idx FROM days
+                    CROSS JOIN (SELECT range AS idx FROM range(256))),
+          cum AS (SELECT spine.day, spine.idx,
+                   max(m) OVER (PARTITION BY spine.idx ORDER BY spine.day) AS mc
+                  FROM spine LEFT JOIN r ON r.day = spine.day AND r.idx = spine.idx),
+          est AS (SELECT day,
+                   CAST(sum(1::BIGINT << CAST(49 - mc AS INT)) AS BIGINT)
+                     + (256 - count(*)) * 562949953421312 AS ssum,
+                   count(*) AS nr
+                  FROM cum WHERE mc IS NOT NULL GROUP BY day)
+          SELECT exact.day, exact_cum,
+            round(CASE WHEN nr < 256
+                    AND 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 562949953421312.0 / ssum <= 640.0
+                   THEN 256.0 * ln(256.0 / (256 - nr))
+                   ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 562949953421312.0 / ssum
+              END, 3) AS hll_cum_est
+          FROM exact JOIN est USING (day) ORDER BY day""",
+    "q175_blocklist_filter" ->
+      s"""WITH t1 AS (SELECT doc_id, tok AS g FROM
+                   (SELECT doc_id, unnest($tokSql) AS tok FROM documents)
+                 WHERE tok IN ('data', 'slow')),
+          t2 AS (SELECT doc_id, g FROM
+                   (SELECT doc_id,
+                      unnest([lst[i] || ' ' || lst[i+1]
+                              for i in range(1, len(lst))]) AS g
+                    FROM (SELECT doc_id, $tokSql AS lst FROM documents)
+                    WHERE len(lst) >= 2)
+                 WHERE g IN ('hash join', 'table scan')),
+          u AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2),
+          pg AS (SELECT doc_id, g, count(*) AS n FROM u GROUP BY 1, 2),
+          hits AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_hits,
+                     count(*) AS n_phrases_hit
+                   FROM pg GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(n_hits, 0) AS n_hits,
+            coalesce(n_phrases_hit, 0) AS n_phrases_hit,
+            coalesce(n_hits, 0) >= 8 AS flagged
+          FROM (SELECT doc_id FROM documents) d
+          LEFT JOIN hits USING (doc_id) ORDER BY d.doc_id""",
     "q172_basket_rules" ->
       """WITH b AS (SELECT DISTINCT user_id,
                epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,

@@ -2344,6 +2344,56 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("cumulative distinct: exact curve is monotone and matches brute, HLL tracks it") {
+    val rows = Pipeline.queries("q174_cumulative_distinct")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // monotone non-decreasing, final value = total distinct users
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2, "exact curve must be monotone")
+      assert(a._3 <= b._3 + 1e-9, "prefix-union HLL curve must be monotone")
+    }
+    val totalUsers = Tables(spark, sf).events
+      .select(col("user_id")).distinct().count()
+    assert(rows.last._2 == totalUsers, "curve must end at total distinct")
+    // brute per-day check on a sample of days
+    val ev = Tables(spark, sf).events
+    val ud = ev.select(col("user_id"),
+      Tables.eventMicros(ev).cast("long").divide(lit(86400000000L))
+        .cast("long").as("day")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    Seq(rows.head._1, rows(rows.length / 2)._1, rows.last._1).foreach { d =>
+      val brute = ud.filter(_._2 <= d).map(_._1).distinct.length
+      val got = rows.find(_._1 == d).get._2
+      assert(got == brute, s"day $d: $got vs brute $brute")
+    }
+    rows.foreach { case (d, ex, est) =>
+      assert(math.abs(est - ex) / math.max(1.0, ex.toDouble) < 0.15,
+        s"day $d: HLL $est vs exact $ex outside 15%")
+    }
+  }
+
+  test("blocklist filter: planted occurrence counts, token-level matching") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q175").toString
+    Seq(
+      // 3x "data" (one inside "database" must NOT count), 2x "hash join"
+      (1L, "data base database data hash join and hash join again data"),
+      // phrase split across other tokens must NOT count
+      (2L, "hash and join table then scan"),
+      (3L, "slow slow slow slow slow slow slow slow"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Pipeline.queries("q175_blocklist_filter")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      (1L, 5L, 2L, false),   // 3x data + 2x "hash join"
+      (2L, 0L, 0L, false),
+      (3L, 8L, 1L, true)),   // 8x slow hits the threshold
+      got.mkString(","))
+  }
+
   test("ann recall audit equals the locally-joined q36/q57 intersection") {
     val audit = Pipeline.queries("q158_ann_recall_audit")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)

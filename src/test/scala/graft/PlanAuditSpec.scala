@@ -45,7 +45,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q169_bloom_join",
     // q172 crosses the |types|^2-bounded pair table against the
     // broadcast ONE-ROW basket total (q124's bounds pattern)
-    "q172_basket_rules")
+    "q172_basket_rules",
+    // q174 crosses the |days|-row spine against the broadcast 256-row
+    // register-cell range — days x 256 bounded, no corpus rows
+    "q174_cumulative_distinct")
 
   test("no unplanned cartesian products or nested-loop joins") {
     val offenders = Seq.newBuilder[String]
@@ -270,7 +273,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "q172_basket_rules" -> 3,
     // q173: the stacked stream's base agg + the (col,idx) register agg
     // + the cols-row estimate rollup — one corpus read for N columns
-    "q173_profile" -> 3)
+    "q173_profile" -> 3,
+    // q174: the (user,day) dedup + user first-seen rollup + the
+    // (day,idx) register agg — the cumsum/prefix-max windows run on
+    // days-bounded cell tables
+    "q174_cumulative_distinct" -> 4,
+    // q175: map-side isin filters; the per-(doc,phrase) and doc
+    // rollups + the left-join spine are the only movement
+    "q175_blocklist_filter" -> 3)
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
