@@ -2938,6 +2938,105 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    "q176_benford_audit" -> { (s, dir) =>
+      // Benford first-digit audit — the fraud / synthetic-data /
+      // unit-mixing screen: observed leading-digit distribution of
+      // order amounts vs log10(1 + 1/d), with per-digit chi-square
+      // contributions. ONE partial-agg shuffle to 9 cells; expected
+      // counts and contributions are closed-form doubles over the
+      // exact integer counts (ln/ln10 spelled out so both engines run
+      // the identical expression). The verdict column is a REPORT, not
+      // an assertion — TPC-H-style uniform amounts genuinely fail
+      // Benford, and that failure is exactly what the audit is for.
+      val dig = substring(floor(col("o_totalprice")).cast("long")
+        .cast("string"), 1, 1).cast("long")
+      val cells = Tables(s, dir).orders.select(dig.as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum(col("n")).as("nt"))
+      def d(c: Column) = c.cast("double")
+      val expN = d(col("nt")) * (log(lit(1.0) + lit(1.0) / d(col("digit"))) / log(lit(10.0)))
+      cells.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          round(expN, 3).as("expected_n"),
+          round(pow(d(col("n")) - expN, 2) / expN, 4).as("chi2_contrib"))
+        .orderBy(col("digit"))
+    },
+
+    "q177_dq_report" -> { (s, dir) =>
+      // Data-quality suite — the dq checks a warehouse runs nightly,
+      // as ONE report: referential orphans (anti-join counts), key
+      // uniqueness, null rates, calendar completeness. Every check is
+      // a bounded aggregate over one scan of its table (anti joins
+      // shuffle on the key — at production bucketing they co-locate);
+      // the report is a fixed-row union, and bad/total ratios are
+      // single double divisions over exact integers. Adding a check =
+      // adding a row source, not a pipeline.
+      val li = Tables(s, dir).lineitem
+      val o = Tables(s, dir).orders
+      val c = Tables(s, dir).customer
+      val ev = Tables(s, dir).events
+      def d(x: Column) = x.cast("double")
+      def row(name: String, bad: DataFrame, total: DataFrame): DataFrame =
+        bad.crossJoin(total).select(lit(name).as("check"),
+          col("n_bad"), col("n_total"),
+          round(d(col("n_bad")) / d(col("n_total")), 6).as("bad_frac"))
+      val orphanLi = row("lineitem_orphan_orderkey",
+        li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_bad")),
+        li.agg(count(lit(1)).as("n_total")))
+      val orphanO = row("orders_orphan_custkey",
+        o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n_bad")),
+        o.agg(count(lit(1)).as("n_total")))
+      val dupKeys = row("orders_duplicate_orderkey",
+        o.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_bad")),
+        o.agg(count(lit(1)).as("n_total")))
+      val nullVal = row("events_null_value",
+        ev.agg(sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_bad")),
+        ev.agg(count(lit(1)).as("n_total")))
+      val day = Tables.eventMicros(ev).cast("long").divide(lit(86400000000L))
+        .cast("long")
+      val gaps = row("events_missing_days",
+        ev.select(day.as("day")).agg(
+          (max(col("day")) - min(col("day")) + 1 - countDistinct(col("day")))
+            .as("n_bad")),
+        ev.select(day.as("day")).agg(
+          (max(col("day")) - min(col("day")) + 1).as("n_total")))
+      orphanLi.unionAll(orphanO).unionAll(dupKeys).unionAll(nullVal)
+        .unionAll(gaps)
+        .orderBy(col("check"))
+    },
+
+    "q178_joinsize_sketch" -> { (s, dir) =>
+      // Self-join-size (F2) estimation WITHOUT joining — the AMS
+      // second-moment machinery in CMS form: est = min over rows of
+      // sum(cell^2) upper-bounds the token-equality self-join row
+      // count (= sum over keys of cnt^2). This is the number that
+      // predicts a BLOCKING JOIN's blowup before you run it — "how
+      // many candidate pairs will the q31/q82 bucket join produce?" —
+      // asked of a 16 KiB sketch built in one scan instead of the
+      // join itself. The additive error is F1^2/w, negligible exactly
+      // when the distribution is skewed enough for the question to
+      // matter (hot keys dominate F2). Exact F2 rides along as the
+      // audit; CMS inner products never UNDERestimate (spec-pinned).
+      // (The two-table variant needs w ~ F1a*F1b/J for tightness —
+      // for small FK joins prefer sample-and-count; documented, not
+      // sketched here.)
+      val cells = cmsGrid(Tables(s, dir).documents)
+        .groupBy(col("d"), col("idx")).agg(count(lit(1)).as("cell"))
+      val est = cells
+        .groupBy(col("d")).agg(sum(col("cell") * col("cell")).as("ip"))
+        .agg(min(col("ip")).as("est_f2"))
+      val exact = Tables(s, dir).documents
+        .select(explode(toks(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("exact_f2"))
+      est.crossJoin(broadcast(exact))
+        .select(col("est_f2"), col("exact_f2"),
+          round((col("est_f2") - col("exact_f2")).cast("double") /
+            col("exact_f2").cast("double"), 4).as("overest_frac"))
+    },
+
     "q122_cms_heavy_hitters" -> { (s, dir) =>
       // Heavy-hitter token counts via a Count-Min sketch (depth 4 x
       // width 1024): the frequency table that stays 16 KiB whatever the
@@ -4423,6 +4522,71 @@ object Pipeline {
          SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""
 
   def oracle: Map[String, String] = Map(
+    "q176_benford_audit" ->
+      """WITH c AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                      AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                 count(*) AS n
+               FROM orders GROUP BY 1),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c)
+          SELECT digit, n,
+            round(CAST(nt AS DOUBLE)
+              * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)), 3) AS expected_n,
+            round(pow(CAST(n AS DOUBLE) - CAST(nt AS DOUBLE)
+                * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)), 2)
+              / (CAST(nt AS DOUBLE)
+                * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))), 4)
+              AS chi2_contrib
+          FROM c CROSS JOIN t ORDER BY digit""",
+    "q177_dq_report" ->
+      """WITH rows AS (
+            SELECT 'lineitem_orphan_orderkey' AS check,
+              (SELECT count(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey)) AS n_bad,
+              (SELECT count(*) FROM lineitem) AS n_total
+            UNION ALL
+            SELECT 'orders_orphan_custkey',
+              (SELECT count(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey)),
+              (SELECT count(*) FROM orders)
+            UNION ALL
+            SELECT 'orders_duplicate_orderkey',
+              (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders),
+              (SELECT count(*) FROM orders)
+            UNION ALL
+            SELECT 'events_null_value',
+              (SELECT CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               FROM events),
+              (SELECT count(*) FROM events)
+            UNION ALL
+            SELECT 'events_missing_days',
+              (SELECT max(day) - min(day) + 1 - count(DISTINCT day) FROM
+                (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+                 FROM events)),
+              (SELECT max(day) - min(day) + 1 FROM
+                (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+                 FROM events)))
+          SELECT "check", n_bad, n_total,
+            round(CAST(n_bad AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS bad_frac
+          FROM rows ORDER BY "check" """,
+    "q178_joinsize_sketch" ->
+      s"""WITH tk AS (SELECT unnest($tokSql) AS tok FROM documents),
+          hs AS (SELECT
+                   CAST(md5_number_lower('cms:' || tok) & 4294967295 AS BIGINT) AS h1,
+                   CAST((md5_number_lower('cms:' || tok) >> 32) | 1 AS BIGINT) AS h2
+                 FROM tk),
+          g AS (SELECT d, (h1 + d * h2) & 1023 AS idx, count(*) AS cell
+                FROM hs, range(0, 4) t(d) GROUP BY 1, 2),
+          ip AS (SELECT d, CAST(sum(cell * cell) AS BIGINT) AS ip
+                 FROM g GROUP BY d),
+          est AS (SELECT min(ip) AS est_f2 FROM ip),
+          ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2 FROM
+                  (SELECT count(*) AS c FROM tk GROUP BY tok))
+          SELECT est_f2, exact_f2,
+            round(CAST(est_f2 - exact_f2 AS DOUBLE)
+              / CAST(exact_f2 AS DOUBLE), 4) AS overest_frac
+          FROM est CROSS JOIN ex""",
     "q174_cumulative_distinct" ->
       """WITH ud AS (SELECT DISTINCT user_id,
                epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day

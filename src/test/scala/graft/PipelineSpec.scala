@@ -2394,6 +2394,79 @@ class PipelineSpec extends SparkSpec {
       got.mkString(","))
   }
 
+  test("benford audit: probabilities sum to one, counts cover, chi2 from brute") {
+    val rows = Pipeline.queries("q176_benford_audit")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (1L to 9L), "all nine digits present")
+    val n = Tables(spark, sf).orders.count()
+    assert(rows.map(_._2).sum == n, "digit counts must cover every order")
+    // expected counts sum to N (Benford probabilities sum to 1)
+    assert(math.abs(rows.map(_._3).sum - n) < 0.1)
+    // contributions match a direct recomputation
+    rows.foreach { case (d, obs, exp, contrib) =>
+      val want = math.pow(obs - exp, 2) / exp
+      assert(math.abs(contrib - want) < 0.01, s"digit $d contrib")
+    }
+  }
+
+  test("dq report: planted defects are counted, clean fixture reports zeros") {
+    val rows = Pipeline.queries("q177_dq_report")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the driver fixture is referentially intact
+    assert(rows("lineitem_orphan_orderkey")._1 == 0L)
+    assert(rows("orders_orphan_custkey")._1 == 0L)
+    assert(rows("orders_duplicate_orderkey")._1 == 0L)
+    // planted: orphaned lineitems and duplicate order keys
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q177").toString
+    Seq((1L, 1L, "O", 10.0, new java.sql.Timestamp(0L), "1-URGENT"),
+      (1L, 1L, "O", 10.0, new java.sql.Timestamp(0L), "1-URGENT"),
+      (2L, 99L, "O", 10.0, new java.sql.Timestamp(0L), "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1.0), (7L, 2.0), (8L, 3.0))
+      .toDF("l_orderkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "X")).toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, new java.sql.Timestamp(0L), 10L, "view", Some(1.0), "{}"),
+      (2L, new java.sql.Timestamp(3 * 86400000L), 10L, "view", None, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val p = Pipeline.queries("q177_dq_report")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(p("lineitem_orphan_orderkey") == ((2L, 3L)), p.toString) // keys 7, 8
+    assert(p("orders_orphan_custkey") == ((1L, 3L)))                // custkey 99
+    assert(p("orders_duplicate_orderkey") == ((1L, 3L)))            // key 1 twice
+    assert(p("events_null_value") == ((1L, 2L)))
+    assert(p("events_missing_days") == ((2L, 4L)))                  // days 1, 2 absent
+  }
+
+  test("f2 sketch: collision-free fixture is exact; planted heavy stream stays in envelope") {
+    val r = Pipeline.queries("q178_joinsize_sketch")(spark, sf).collect().head
+    assert(r.getLong(0) >= r.getLong(1), "CMS inner product must never underestimate")
+    // planted: 5000 distinct tokens force cell collisions; the
+    // overestimate must stay within the F1^2/w additive bound
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q178").toString
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 50).map { i =>
+      (i.toLong, (0 until 400).map(_ => s"t${rnd.nextInt(5000)}").mkString(" "))
+    }
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val p = Pipeline.queries("q178_joinsize_sketch")(spark, dir).collect().head
+    val (est, exact) = (p.getLong(0), p.getLong(1))
+    val f1 = 50L * 400L
+    assert(est >= exact, "underestimate on the planted stream")
+    assert(est - exact <= f1 * f1 / 1024 * 3,
+      s"overestimate ${est - exact} outside ~3x F1^2/w envelope")
+    assert(est > exact, "planted 5000-key stream should actually collide")
+  }
+
   test("ann recall audit equals the locally-joined q36/q57 intersection") {
     val audit = Pipeline.queries("q158_ann_recall_audit")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)

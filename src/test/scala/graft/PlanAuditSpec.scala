@@ -48,7 +48,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q172_basket_rules",
     // q174 crosses the |days|-row spine against the broadcast 256-row
     // register-cell range — days x 256 bounded, no corpus rows
-    "q174_cumulative_distinct")
+    "q174_cumulative_distinct",
+    // q176/q177/q178 cross tiny fixed-row reports against broadcast
+    // ONE-ROW totals (q124's bounds pattern) — scalars meeting scalars
+    "q176_benford_audit", "q177_dq_report", "q178_joinsize_sketch")
 
   test("no unplanned cartesian products or nested-loop joins") {
     val offenders = Seq.newBuilder[String]
@@ -280,7 +283,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "q174_cumulative_distinct" -> 4,
     // q175: map-side isin filters; the per-(doc,phrase) and doc
     // rollups + the left-join spine are the only movement
-    "q175_blocklist_filter" -> 3)
+    "q175_blocklist_filter" -> 3,
+    // q176: the 9-cell digit agg + its 1-row total + the tiny sort
+    "q176_benford_audit" -> 3,
+    // q177: anti-join/agg shuffles per check, all bounded reports
+    "q177_dq_report" -> 1,
+    // q178: the ONE cms-grid cell agg + per-row rollup; exact-F2
+    // audit reuses the token shuffle shape
+    "q178_joinsize_sketch" -> 2)
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
