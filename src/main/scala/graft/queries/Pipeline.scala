@@ -3037,6 +3037,86 @@ object Pipeline {
             col("exact_f2").cast("double"), 4).as("overest_frac"))
     },
 
+    "q179_props_variant" -> { (s, dir) =>
+      // Semi-structured column analytics over Spark 4 VariantType —
+      // the production answer to "aggregate a JSON sidecar at 100 TB":
+      // props parses ONCE into the binary variant encoding (vectorized
+      // parse_json; a shredded parquet variant column pushes the path
+      // access into the scan), variant_get extracts the typed field
+      // with no per-operator Jackson re-parse, and the result is an
+      // ordinary integer aggregation — (type, k-decade) histogram
+      // cells. Contrast with get_json_object chains, which re-parse
+      // the string per extraction. One partial-agg shuffle to
+      // |types| x 10 cells.
+      Tables(s, dir).events
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy(col("event_type"), expr("k div 10").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"), col("bucket"))
+    },
+
+    "q180_share_of_total" -> { (s, dir) =>
+      // Ratio-to-report window family (share-of-parent / share-of-
+      // total): revenue per (returnflag, linestatus) with its share
+      // inside the flag and of the grand total. The corpus pays ONE
+      // partial-agg shuffle to the tiny group table; both share
+      // windows run over those few rows (the parent totals are window
+      // sums, not re-aggregations of the data). Money stays integer
+      // cents; shares are single double divisions 6dp-rounded.
+      val g = Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long"))
+          .as("revenue_cents"))
+      val wf = Window.partitionBy(col("l_returnflag"))
+      val wt = Window.partitionBy()
+      def d(c: Column) = c.cast("double")
+      g.select(col("l_returnflag"), col("l_linestatus"), col("revenue_cents"),
+          round(d(col("revenue_cents")) / d(sum(col("revenue_cents")).over(wf)), 6)
+            .as("share_of_flag"),
+          round(d(col("revenue_cents")) / d(sum(col("revenue_cents")).over(wt)), 6)
+            .as("share_of_total"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    "q181_session_paths" -> { (s, dir) =>
+      // Top session paths — the journey-analytics counterpart to
+      // q141's first-order transitions: the full ordered event-type
+      // sequence per session (q85's 30-min gap sessions), truncated to
+      // the first 8 events (the cap that keeps path cardinality and
+      // row width bounded at any session length), counted and ranked.
+      // The event stream shuffles ONCE on user_id (lag window, session
+      // counter, rank window and the session rollup all reuse that
+      // hash); path strings only exist on the |sessions|-bounded
+      // table, and the final count + top-10 is TakeOrdered.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prev = lag(col("tus"), 1).over(w)
+      val e = Tables(s, dir).events
+      val sess = e.select(col("user_id"), col("event_id"),
+          Tables.eventMicros(e).as("tus"), col("event_type"))
+        .withColumn("new_sess",
+          when(prev.isNull || col("tus") - prev > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("new_sess")).over(run))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"), col("session_seq"))
+            .orderBy(col("tus"), col("event_id"))))
+        .filter(col("rn") <= 8)
+      val paths = sess
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(array_join(transform(array_sort(collect_list(
+          struct(col("rn"), col("event_type")))), _.getField("event_type")),
+          "->").as("path"))
+      paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(10)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n_sessions").desc, col("path"))).cast("long"))
+        .select(col("rk"), col("path"), col("n_sessions"))
+        .orderBy(col("rk"))
+    },
+
     "q122_cms_heavy_hitters" -> { (s, dir) =>
       // Heavy-hitter token counts via a Count-Min sketch (depth 4 x
       // width 1024): the frequency table that stays 16 KiB whatever the
@@ -4522,6 +4602,45 @@ object Pipeline {
          SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""
 
   def oracle: Map[String, String] = Map(
+    "q179_props_variant" ->
+      """WITH k AS (SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             FROM events)
+          SELECT event_type, k // 10 AS bucket, count(*) AS n,
+            CAST(sum(k) AS BIGINT) AS sum_k
+          FROM k WHERE k IS NOT NULL
+          GROUP BY 1, 2 ORDER BY event_type, bucket""",
+    "q180_share_of_total" ->
+      """WITH g AS (SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+             FROM lineitem GROUP BY 1, 2)
+          SELECT l_returnflag, l_linestatus, revenue_cents,
+            round(CAST(revenue_cents AS DOUBLE) /
+              CAST(CAST(sum(revenue_cents)
+                OVER (PARTITION BY l_returnflag) AS BIGINT) AS DOUBLE), 6)
+              AS share_of_flag,
+            round(CAST(revenue_cents AS DOUBLE) /
+              CAST(CAST(sum(revenue_cents) OVER () AS BIGINT) AS DOUBLE), 6)
+              AS share_of_total
+          FROM g ORDER BY l_returnflag, l_linestatus""",
+    "q181_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_type FROM events),
+          s1 AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                   OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+          s2 AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+                   ORDER BY tus, event_id) AS BIGINT) AS session_seq FROM s1),
+          s3 AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+                   ORDER BY tus, event_id) AS rn FROM s2),
+          p AS (SELECT user_id, session_seq,
+                 string_agg(event_type, '->' ORDER BY rn) AS path
+                FROM s3 WHERE rn <= 8 GROUP BY 1, 2),
+          c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY path),
+          t AS (SELECT *, CAST(row_number() OVER
+                  (ORDER BY n_sessions DESC, path) AS BIGINT) AS rk FROM c)
+          SELECT rk, path, n_sessions FROM t WHERE rk <= 10 ORDER BY rk""",
     "q176_benford_audit" ->
       """WITH c AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
                       AS VARCHAR), 1, 1) AS BIGINT) AS digit,

@@ -2467,6 +2467,56 @@ class PipelineSpec extends SparkSpec {
     assert(est > exact, "planted 5000-key stream should actually collide")
   }
 
+  test("variant props histogram equals the string-parse path") {
+    val got = Pipeline.queries("q179_props_variant")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // independent extraction via get_json_object (the string re-parse
+    // path the variant tier replaces)
+    val ref = Tables(spark, sf).events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("event_type"), expr("k div 10").as("b"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == ref, "variant path diverges from string-parse path")
+    assert(got.nonEmpty)
+  }
+
+  test("share-of-total: shares sum to one at both levels") {
+    val rows = Pipeline.queries("q180_share_of_total")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, "grand shares must sum to 1")
+    rows.groupBy(_._1).foreach { case (f, rs) =>
+      assert(math.abs(rs.map(_._3).sum - 1.0) < 1e-4, s"flag $f shares must sum to 1")
+    }
+    val total = Tables(spark, sf).lineitem
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long")))
+      .collect().head.getLong(0)
+    assert(rows.map(_._2).sum == total, "cents must be conserved")
+  }
+
+  test("session paths: planted timeline produces the expected ranked paths") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q181").toString
+    val m = 60000000L // one minute in micros
+    def ev(id: Long, u: Long, tus: Long, t: String) =
+      (id, new java.sql.Timestamp(tus / 1000), u, t, 0.0, "{}")
+    // user 10: view->click, then after a 40-min gap purchase (new session)
+    // user 20: view->click (same path as user 10's first session)
+    val evs = Seq(
+      ev(1, 10, 0, "view"), ev(2, 10, m, "click"),
+      ev(3, 10, 45 * m, "purchase"),
+      ev(4, 20, 0, "view"), ev(5, 20, 2 * m, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    evs.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Pipeline.queries("q181_session_paths")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "view->click", 2L), (2L, "purchase", 1L)), got.mkString(","))
+  }
+
   test("ann recall audit equals the locally-joined q36/q57 intersection") {
     val audit = Pipeline.queries("q158_ann_recall_audit")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)

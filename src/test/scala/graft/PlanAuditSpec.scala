@@ -290,7 +290,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "q177_dq_report" -> 1,
     // q178: the ONE cms-grid cell agg + per-row rollup; exact-F2
     // audit reuses the token shuffle shape
-    "q178_joinsize_sketch" -> 2)
+    "q178_joinsize_sketch" -> 2,
+    // q179: the ONE (type, bucket) partial agg + tiny sort
+    "q179_props_variant" -> 2,
+    // q180: the ONE group agg; share windows run on the 6-row table
+    "q180_share_of_total" -> 2,
+    // q181: the ONE user_id shuffle (lag/counter/rank/rollup all
+    // reuse it) + the path count; top-10 is TakeOrdered
+    "q181_session_paths" -> 2)
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
