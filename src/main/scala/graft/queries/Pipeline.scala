@@ -3117,6 +3117,86 @@ object Pipeline {
         .orderBy(col("rk"))
     },
 
+    "q182_bm25_ndcg" -> { (s, dir) =>
+      // Retrieval-quality evaluation (nDCG@10) of the q112 BM25
+      // ranker — the eval harness that closes the lexical loop the way
+      // q158's recall audit closes the ANN loop. Graded relevance =
+      // distinct query terms a doc contains (0..4, exact integer);
+      // DCG folds the RANKED list's gains under 1/log2(rank+1), IDCG
+      // re-ranks by relevance itself (doc_id tie-break, both engines),
+      // nDCG = the single division at the end. Plan adds only
+      // TakeOrdered top-10s and a 10-row fold to whatever the ranker
+      // costs — the corpus still filters to query terms before any
+      // shuffle. ln/ln2 spelled identically both engines.
+      val terms = Seq("dup", "vector", "hash", "merge")
+      val stats = memo(bm25Stats, dir) {
+        val r = Tables(s, dir).documents
+          .agg(count(lit(1)),
+            avg(size(toks(col("text"))).cast("double"))).head
+        (r.getLong(0), r.getDouble(1))
+      }
+      val (nDocs, avgdl) = stats
+      val matched = Tables(s, dir).documents
+        .select(col("doc_id"), size(toks(col("text"))).cast("double").as("dl"),
+          explode(toks(col("text"))).as("token"))
+        .filter(col("token").isin(terms: _*))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl"))
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("token"))).cast("double"))
+      val idf = log((lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0))
+      val contrib = idf * col("tf") * lit(2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)))
+      val scored = matched.groupBy(col("doc_id"))
+        .agg(round(sum(contrib), 6).as("score"),
+          countDistinct(col("token")).cast("long").as("rel"))
+      def gainSum(df: DataFrame, ord: Seq[Column]): DataFrame =
+        df.orderBy(ord: _*).limit(10)
+          .withColumn("rk", row_number().over(Window.orderBy(ord: _*)))
+          .agg(sum(col("rel").cast("double") /
+            (log(col("rk").cast("double") + lit(1.0)) / log(lit(2.0))))
+            .as("g"))
+      val dcg = gainSum(scored, Seq(col("score").desc, col("doc_id")))
+        .select(round(col("g"), 6).as("dcg"))
+      val idcg = gainSum(scored, Seq(col("rel").desc, col("doc_id")))
+        .select(round(col("g"), 6).as("idcg"))
+      dcg.crossJoin(broadcast(idcg))
+        .select(col("dcg"), col("idcg"),
+          round(col("dcg") / col("idcg"), 6).as("ndcg"))
+    },
+
+    "q183_compaction_plan" -> { (s, dir) =>
+      // Small-file compaction planning — the lakehouse maintenance
+      // operator: q125's 64 id-hash shards, packed into ~16
+      // target-sized output files by next-fit-decreasing over the
+      // shard-size table. Everything after the one manifest rollup
+      // runs on 64 rows: total/target come from a window sum, bins
+      // fall out of the closed form floor(exclusive-cumsum / target)
+      // (consecutive size-ordered shards group until the target
+      // fills — each bin overshoots by at most one shard, spec-pinned)
+      // — no driver loop, no iterative packer, deterministic under
+      // re-runs because the order key is (bytes desc, shard_id). The
+      // actual rewrite would hang off this frame as a
+      // partitionBy(bin) write.
+      val h = md5_lower64(concat(lit("shard:"), col("doc_id").cast("string"))
+        .cast("binary"))
+      val shards = Tables(s, dir).documents
+        .select(h.bitwiseAND(lit(63L)).as("shard_id"),
+          octet_length(col("text")).cast("long").as("b"))
+        .groupBy(col("shard_id")).agg(sum(col("b")).as("bytes"))
+      val wAll = Window.partitionBy()
+      val wOrd = Window.orderBy(col("bytes").desc, col("shard_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      shards
+        .withColumn("total", sum(col("bytes")).over(wAll))
+        .withColumn("target", expr("(total + 15) div 16"))
+        .withColumn("prefix", coalesce(sum(col("bytes")).over(wOrd), lit(0L)))
+        .select(col("shard_id"), col("bytes"),
+          expr("prefix div target").as("bin"))
+        .orderBy(col("bin"), col("bytes").desc, col("shard_id"))
+    },
+
     "q122_cms_heavy_hitters" -> { (s, dir) =>
       // Heavy-hitter token counts via a Count-Min sketch (depth 4 x
       // width 1024): the frequency table that stays 16 KiB whatever the
@@ -4602,6 +4682,47 @@ object Pipeline {
          SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""
 
   def oracle: Map[String, String] = Map(
+    "q182_bm25_ndcg" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS lst FROM documents),
+          s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                  avg(CAST(len(lst) AS DOUBLE)) AS avgdl FROM t),
+          x AS (SELECT doc_id, CAST(len(lst) AS DOUBLE) AS dl,
+                  unnest(lst) AS token FROM t),
+          m AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf, max(dl) AS dl
+                FROM x WHERE token IN ('dup', 'vector', 'hash', 'merge') GROUP BY 1, 2),
+          d AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM m GROUP BY 1),
+          c AS (SELECT m.doc_id, m.token,
+                  ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) * m.tf * 2.2
+                    / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / s.avgdl)) AS contrib
+                FROM m JOIN d USING (token) CROSS JOIN s),
+          sc AS (SELECT doc_id, round(sum(contrib), 6) AS score,
+                   CAST(count(DISTINCT token) AS BIGINT) AS rel
+                 FROM c GROUP BY doc_id),
+          dr AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+                 FROM sc),
+          ir AS (SELECT *, row_number() OVER (ORDER BY rel DESC, doc_id) AS rk
+                 FROM sc),
+          dcg AS (SELECT round(sum(CAST(rel AS DOUBLE)
+                    / (ln(CAST(rk AS DOUBLE) + 1.0) / ln(2.0))), 6) AS dcg
+                  FROM dr WHERE rk <= 10),
+          idcg AS (SELECT round(sum(CAST(rel AS DOUBLE)
+                    / (ln(CAST(rk AS DOUBLE) + 1.0) / ln(2.0))), 6) AS idcg
+                   FROM ir WHERE rk <= 10)
+          SELECT dcg, idcg, round(dcg / idcg, 6) AS ndcg
+          FROM dcg CROSS JOIN idcg""",
+    "q183_compaction_plan" ->
+      """WITH sh AS (SELECT
+               CAST(md5_number_lower('shard:' || doc_id) & 63 AS BIGINT) AS shard_id,
+               CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS bytes
+             FROM documents GROUP BY 1),
+          w AS (SELECT shard_id, bytes,
+                 CAST(sum(bytes) OVER () AS BIGINT) AS total,
+                 CAST(coalesce(sum(bytes) OVER (ORDER BY bytes DESC, shard_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS prefix
+                FROM sh)
+          SELECT shard_id, bytes, prefix // ((total + 15) // 16) AS bin
+          FROM w ORDER BY bin, bytes DESC, shard_id""",
     "q179_props_variant" ->
       """WITH k AS (SELECT event_type,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -2517,6 +2517,46 @@ class PipelineSpec extends SparkSpec {
     assert(got == Seq((1L, "view->click", 2L), (2L, "purchase", 1L)), got.mkString(","))
   }
 
+  test("bm25 ndcg: bounded in (0,1], dcg <= idcg, brute recomputation agrees") {
+    val r = Pipeline.queries("q182_bm25_ndcg")(spark, sf).collect().head
+    val (dcg, idcg, ndcg) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(dcg > 0 && idcg > 0 && dcg <= idcg + 1e-9)
+    assert(ndcg > 0 && ndcg <= 1.0 + 1e-9)
+    // brute: rerun q112's top-20, compute rel + DCG@10 in Scala
+    val terms = Set("dup", "vector", "hash", "merge")
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(row => (row.getLong(0), row.getString(1).trim.split("\\s+").toSeq))
+    val ranked = Pipeline.queries("q112_bm25_topk")(spark, sf).collect()
+      .map(row => row.getLong(0)).take(10)
+    val rel = docs.map { case (id, tk) => id -> tk.toSet.count(terms) }.toMap
+    val bruteDcg = ranked.zipWithIndex.map { case (id, i) =>
+      rel(id).toDouble / (math.log(i + 2.0) / math.log(2.0)) }.sum
+    assert(math.abs(dcg - bruteDcg) < 1e-4, s"dcg $dcg vs brute $bruteDcg")
+    val bruteIdcg = rel.toSeq.sortBy(t => (-t._2, t._1)).take(10).zipWithIndex
+      .map { case ((_, g), i) => g.toDouble / (math.log(i + 2.0) / math.log(2.0)) }
+      .sum
+    assert(math.abs(idcg - bruteIdcg) < 1e-4, s"idcg $idcg vs brute $bruteIdcg")
+  }
+
+  test("compaction plan: bins near target, bytes conserved, deterministic order") {
+    val rows = Pipeline.queries("q183_compaction_plan")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 64)
+    val total = rows.map(_._2).sum
+    val target = (total + 15) / 16
+    val maxShard = rows.map(_._2).max
+    rows.groupBy(_._3).foreach { case (bin, rs) =>
+      // next-fit bins overshoot the target by at most one shard
+      assert(rs.map(_._2).sum <= target + maxShard,
+        s"bin $bin exceeds target+maxShard")
+    }
+    // bins are contiguous in the size-desc packing order
+    val byOrder = rows.sortBy(t => (-t._2, t._1)).map(_._3)
+    assert(byOrder.sliding(2).forall(w => w.length < 2 || w(1) >= w(0)),
+      "bins not monotone")
+  }
+
   test("ann recall audit equals the locally-joined q36/q57 intersection") {
     val audit = Pipeline.queries("q158_ann_recall_audit")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)

@@ -51,7 +51,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q174_cumulative_distinct",
     // q176/q177/q178 cross tiny fixed-row reports against broadcast
     // ONE-ROW totals (q124's bounds pattern) — scalars meeting scalars
-    "q176_benford_audit", "q177_dq_report", "q178_joinsize_sketch")
+    "q176_benford_audit", "q177_dq_report", "q178_joinsize_sketch",
+    // q182 crosses its 1-row DCG against the broadcast 1-row IDCG
+    "q182_bm25_ndcg")
 
   test("no unplanned cartesian products or nested-loop joins") {
     val offenders = Seq.newBuilder[String]
@@ -297,7 +299,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q180_share_of_total" -> 2,
     // q181: the ONE user_id shuffle (lag/counter/rank/rollup all
     // reuse it) + the path count; top-10 is TakeOrdered
-    "q181_session_paths" -> 2)
+    "q181_session_paths" -> 2,
+    // q182: the query-term (doc, term) agg + doc rollup; both
+    // top-10s are TakeOrdered, the folds run on 10 rows
+    "q182_bm25_ndcg" -> 2,
+    // q183: the ONE 64-row manifest rollup; packing windows run on it
+    "q183_compaction_plan" -> 2)
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
