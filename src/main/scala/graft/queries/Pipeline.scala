@@ -3197,6 +3197,115 @@ object Pipeline {
         .orderBy(col("bin"), col("bytes").desc, col("shard_id"))
     },
 
+    "q184_ewma_anomaly" -> { (s, dir) =>
+      // EWMA traffic monitor (Roberts 1959): per-type daily volumes
+      // scored against an exponentially-weighted moving average of the
+      // STRICTLY EARLIER days — the decay form of q148's CUSUM, and the
+      // one whose streaming twin carries a single number of state per
+      // type (EventStreams). ewma_prev(d) = 0.25 * sum_{b<d} cnt_b *
+      // 0.75^(d-1-b) (decay by calendar distance, so day gaps weigh
+      // correctly); days with < 5 priors have no stable baseline and
+      // are skipped. 0.75^k is exactly representable for k <= 33 (3^k
+      // fits the mantissa), so the only FP noise is summation order,
+      // absorbed by round 6. Scale shape: the raw stream collapses to
+      // (type, day) cells in ONE count agg; the quadratic pair join
+      // runs on the bounded daily table (days^2 rows per type, never
+      // event rows). The flag compares against the ROUNDED ewma so both
+      // engines decide identically at the boundary.
+      val e = Tables(s, dir).events
+      val daily = e.select(col("event_type"), Tables.eventMicros(e).as("tus"))
+        .select(col("event_type"), expr("tus DIV 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+      val a = daily.as("a")
+      val b = daily.select(col("event_type").as("b_type"),
+        col("day").as("b_day"), col("cnt").as("b_cnt"))
+      a.join(b, col("a.event_type") === col("b_type") &&
+          col("b_day") < col("a.day"))
+        .groupBy(col("a.event_type").as("event_type"), col("a.day").as("day"),
+          col("a.cnt").as("cnt"))
+        .agg(count(lit(1)).as("n_prior"),
+          round(lit(0.25) * sum(col("b_cnt") *
+            pow(lit(0.75), col("a.day") - col("b_day") - 1)), 6).as("ewma_prev"))
+        .filter(col("n_prior") >= 5)
+        .select(col("event_type"), col("day"), col("cnt"), col("ewma_prev"),
+          round(col("cnt") / col("ewma_prev"), 6).as("ratio"),
+          (col("cnt") > lit(2.0) * col("ewma_prev")).as("flagged"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    "q185_decile_lift" -> { (s, dir) =>
+      // Decile lift / gains table — the model-eval readout for the
+      // q132 DSIR relevance score as a target-source classifier: rank
+      // all docs by score, cut into ntile(10) deciles, and report each
+      // decile's positive rate, lift over the base rate, and cumulative
+      // capture (the gains curve). Every reported number is a single
+      // division of EXACT integer products (n_pos*tot, n*tot_pos), so
+      // engine and oracle are bit-equal. Scale shape: scoring is the
+      // q132 map-only plan-literal lookup; the global ntile runs on the
+      // (doc, score) projection — at 100 TB you'd cut deciles from a
+      // q124-style quantile sketch of the score instead of a total
+      // order; the decile CONTRACT (equal-count bins, ties broken by
+      // doc_id) is what this query pins.
+      val docs = Tables(s, dir).documents
+      val tgt = docs.agg(min(col("source"))).head.getString(0)
+      val t = toks(col("text"))
+      val llr = dsirLlrCached(s, dir)
+      val scored = docs.filter(hasTokens).select(col("doc_id"),
+        (col("source") === tgt).as("y"),
+        round(dsir_sum(t, typedlit(llr.toSeq)) / size(t), 6).as("score"))
+      val wAll = Window.partitionBy()
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored
+        .withColumn("decile",
+          ntile(10).over(Window.orderBy(col("score").desc, col("doc_id")))
+            .cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"))
+        .withColumn("tot", sum(col("n")).over(wAll))
+        .withColumn("tot_pos", sum(col("n_pos")).over(wAll))
+        .select(col("decile"), col("n"), col("n_pos"),
+          round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"),
+          round((col("n_pos") * col("tot")).cast("double") /
+            (col("n") * col("tot_pos")), 6).as("lift"),
+          round(sum(col("n_pos")).over(wCum).cast("double") / col("tot_pos"), 6)
+            .as("cum_capture"))
+        .orderBy(col("decile"))
+    },
+
+    "q186_calibration_bins" -> { (s, dir) =>
+      // Calibration-curve bins + per-bin Brier score for the logistic
+      // transform of the DSIR score (p = 1/(1+exp(-8*score))) — the
+      // reliability diagram behind "is the classifier's confidence
+      // honest". Bin = floor(p*10) clamped to 9; per bin: mean
+      // predicted p, empirical positive rate, mean squared error.
+      // exp() runs on the ROUNDED score (identical input both engines);
+      // the only cross-engine FP risk is summation order inside
+      // avg(), absorbed by round 6. Scale shape: scoring and binning
+      // are map-only per-row; the only shuffle is the 10-cell bin agg
+      // with map-side partials.
+      val docs = Tables(s, dir).documents
+      val tgt = docs.agg(min(col("source"))).head.getString(0)
+      val t = toks(col("text"))
+      val llr = dsirLlrCached(s, dir)
+      val p = lit(1.0) / (lit(1.0) + exp(lit(-8.0) *
+        round(dsir_sum(t, typedlit(llr.toSeq)) / size(t), 6)))
+      docs.filter(hasTokens)
+        .select((col("source") === tgt).as("y"), p.as("p"))
+        .withColumn("bin", least(floor(col("p") * 10).cast("long"), lit(9L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+          round(avg(col("p")), 6).as("avg_p"),
+          round(avg(pow(col("p") - when(col("y"), 1.0).otherwise(0.0), 2)), 6)
+            .as("brier"))
+        .withColumn("emp_rate", round(col("n_pos").cast("double") / col("n"), 6))
+        .select(col("bin"), col("n"), col("n_pos"), col("avg_p"),
+          col("emp_rate"), col("brier"))
+        .orderBy(col("bin"))
+    },
+
     "q122_cms_heavy_hitters" -> { (s, dir) =>
       // Heavy-hitter token counts via a Count-Min sketch (depth 4 x
       // width 1024): the frequency table that stays 16 KiB whatever the
@@ -4681,7 +4790,74 @@ object Pipeline {
                CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk FROM p)
          SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""
 
+  /** q132's scoring stages as a reusable CTE body ending in
+    * `sc(doc_id, y, score)` — per-doc rounded DSIR llr average plus the
+    * target-source label — shared by the q185/q186 model-eval oracles
+    * (same tk/cn/tot/llr stages as the q132 oracle). */
+  private val dsirScoredCte =
+    s"""tk AS (SELECT doc_id, source,
+              CAST(md5_number_lower('dsir:' || tok) & 255 AS BIGINT) AS b
+            FROM (SELECT doc_id, source, unnest($tokSql) AS tok
+                  FROM documents WHERE $hasTokensSql)),
+          cn AS (SELECT b, count(*) AS cr,
+              sum(CASE WHEN source = (SELECT min(source) FROM documents)
+                  THEN 1 ELSE 0 END) AS ct
+            FROM tk GROUP BY b),
+          tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM cn),
+          llr AS (SELECT sp.range AS b,
+              ln((coalesce(cn.ct, 0) + 1.0) / ((SELECT nt FROM tot) + 256.0))
+            - ln((coalesce(cn.cr, 0) + 1.0) / ((SELECT nr FROM tot) + 256.0)) AS v
+            FROM range(0, 256) sp LEFT JOIN cn ON cn.b = sp.range),
+          sc AS (SELECT tk.doc_id,
+              tk.source = (SELECT min(source) FROM documents) AS y,
+              round(sum(llr.v) / count(*), 6) AS score
+            FROM tk JOIN llr ON tk.b = llr.b GROUP BY tk.doc_id, tk.source)"""
+
   def oracle: Map[String, String] = Map(
+    "q184_ewma_anomaly" ->
+      """WITH dc AS (SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+               count(*) AS cnt FROM events GROUP BY 1, 2),
+          j AS (SELECT a.event_type, a.day, a.cnt,
+                 count(*) AS n_prior,
+                 round(0.25 * sum(b.cnt * power(0.75, a.day - b.day - 1)), 6)
+                   AS ewma_prev
+                FROM dc a JOIN dc b
+                  ON a.event_type = b.event_type AND b.day < a.day
+                GROUP BY 1, 2, 3)
+          SELECT event_type, day, cnt, ewma_prev,
+                 round(cnt / ewma_prev, 6) AS ratio,
+                 cnt > 2.0 * ewma_prev AS flagged
+          FROM j WHERE n_prior >= 5 ORDER BY event_type, day""",
+    "q185_decile_lift" ->
+      s"""WITH $dsirScoredCte,
+          dd AS (SELECT *, CAST(ntile(10) OVER
+                   (ORDER BY score DESC, doc_id) AS BIGINT) AS decile FROM sc),
+          g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+                FROM dd GROUP BY decile),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+                 CAST(sum(n_pos) AS BIGINT) AS tot_pos FROM g)
+          SELECT decile, n, n_pos,
+                 round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate,
+                 round(CAST(n_pos * tot AS DOUBLE) / (n * tot_pos), 6) AS lift,
+                 round(CAST(sum(n_pos) OVER (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) / tot_pos, 6) AS cum_capture
+          FROM g CROSS JOIN t ORDER BY decile""",
+    "q186_calibration_bins" ->
+      s"""WITH $dsirScoredCte,
+          pp AS (SELECT y, 1.0 / (1.0 + exp(-8.0 * score)) AS p FROM sc),
+          bb AS (SELECT y, p, least(CAST(floor(p * 10) AS BIGINT), 9) AS bin
+                 FROM pp)
+          SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                 round(avg(p), 6) AS avg_p,
+                 round(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*), 6) AS emp_rate,
+                 round(avg(power(p - CASE WHEN y THEN 1.0 ELSE 0.0 END, 2)), 6)
+                   AS brier
+          FROM bb GROUP BY bin ORDER BY bin""",
     "q182_bm25_ndcg" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS lst FROM documents),
           s AS (SELECT CAST(count(*) AS DOUBLE) AS n,

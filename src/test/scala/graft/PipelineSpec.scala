@@ -2557,6 +2557,76 @@ class PipelineSpec extends SparkSpec {
       "bins not monotone")
   }
 
+  test("ewma anomaly: brute per-day recomputation agrees, priors gated") {
+    val rows = Pipeline.queries("q184_ewma_anomaly")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    // brute: daily counts from the raw events, EWMA over strict priors
+    val e = Tables(spark, sf).events
+    val daily = e.select(col("event_type"), Tables.eventMicros(e).as("tus"))
+      .select(col("event_type"), expr("tus DIV 86400000000").as("day"))
+      .groupBy("event_type", "day").count().collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    rows.foreach { case (typ, day, cnt, ewma, ratio, flagged) =>
+      assert(daily((typ, day)) == cnt)
+      val priors = daily.collect { case ((t, d), c) if t == typ && d < day => (d, c) }
+      assert(priors.size >= 5, s"$typ/$day passed the gate with ${priors.size} priors")
+      val brute = BigDecimal(0.25 * priors.map { case (d, c) =>
+        c * math.pow(0.75, (day - d - 1).toDouble) }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(ewma - brute) < 2e-6, s"$typ/$day ewma $ewma vs $brute")
+      assert(flagged == (cnt > 2.0 * ewma))
+      assert(math.abs(ratio - cnt / ewma) < 1e-5)
+    }
+    // every day with >= 5 priors is present — the gate drops only ramp-up
+    val expected = daily.keys.groupBy(_._1).values.map { ks =>
+      val days = ks.map(_._2).toSeq.sorted; days.drop(5).size
+    }.sum
+    assert(rows.length == expected, s"${rows.length} rows vs $expected eligible days")
+  }
+
+  test("decile lift: exact counts, gains monotone, lift consistent") {
+    val rows = Pipeline.queries("q185_decile_lift")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    val tot = rows.map(_._2).sum
+    val totPos = rows.map(_._3).sum
+    val scoredDocs = Tables(spark, sf).documents
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0).count()
+    assert(tot == scoredDocs)
+    assert(totPos > 0 && totPos < tot)
+    // ntile balance: bucket sizes differ by at most 1
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1)
+    rows.foreach { case (_, n, nPos, posRate, lift, _) =>
+      assert(math.abs(posRate - nPos.toDouble / n) < 1e-6)
+      assert(math.abs(lift - (nPos.toDouble * tot) / (n.toDouble * totPos)) < 1e-5)
+    }
+    // cumulative capture is monotone nondecreasing and ends at 1
+    val caps = rows.map(_._6)
+    assert(caps.sliding(2).forall(w => w.length < 2 || w(1) >= w(0) - 1e-9))
+    assert(math.abs(caps.last - 1.0) < 1e-6)
+  }
+
+  test("calibration bins: counts conserve, p stays inside its bin") {
+    val rows = Pipeline.queries("q186_calibration_bins")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val scoredDocs = Tables(spark, sf).documents
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0).count()
+    assert(rows.map(_._2).sum == scoredDocs)
+    rows.foreach { case (bin, n, nPos, avgP, empRate, brier) =>
+      assert(bin >= 0 && bin <= 9)
+      assert(nPos <= n)
+      // bin 9 also holds p = 1.0 (clamp), so its upper bound is closed
+      assert(avgP >= bin / 10.0 - 1e-6 && avgP <= (bin + 1) / 10.0 + 1e-6)
+      assert(math.abs(empRate - nPos.toDouble / n) < 1e-6)
+      assert(brier >= 0.0 && brier <= 1.0)
+    }
+  }
+
   test("ann recall audit equals the locally-joined q36/q57 intersection") {
     val audit = Pipeline.queries("q158_ann_recall_audit")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)

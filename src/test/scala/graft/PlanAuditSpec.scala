@@ -304,7 +304,16 @@ class PlanAuditSpec extends AnyFunSuite {
     // top-10s are TakeOrdered, the folds run on 10 rows
     "q182_bm25_ndcg" -> 2,
     // q183: the ONE 64-row manifest rollup; packing windows run on it
-    "q183_compaction_plan" -> 2)
+    "q183_compaction_plan" -> 2,
+    // q184: the two (type, day) agg sides of the pair self-join
+    // (ReuseExchange collapses them at runtime) + presentation sort;
+    // the quadratic join runs on the bounded daily table
+    "q184_ewma_anomaly" -> 3,
+    // q185: scoring is map-only; ntile's single-partition exchange is
+    // the ONLY one — every later stage runs on 10 decile rows
+    "q185_decile_lift" -> 1,
+    // q186: the 10-cell bin agg + presentation sort
+    "q186_calibration_bins" -> 2)
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
