@@ -3306,6 +3306,98 @@ object Pipeline {
         .orderBy(col("bin"))
     },
 
+    "q187_knn_graph_stats" -> { (s, dir) =>
+      // kNN-graph structure audit: build the cell-bounded k-nearest-
+      // neighbor graph over the embeddings (each vector's top-3
+      // cosine neighbors WITHIN its q57 IVF cell), symmetrize, and
+      // measure edges / wedges / triangles / global clustering — the
+      // transitivity diagnostic behind graph-based dedup and community
+      // detection (near-dup neighborhoods should be clique-like; a low
+      // coefficient means the neighbor threshold is mixing clusters).
+      // Scale shape: the only quadratic is WITHIN a cell, and at corpus
+      // scale K grows with the data so cells stay constant-size
+      // (q93/q115's ~125-vec contract); edges are <= 3 per vertex by
+      // construction, so the wedge join is degree-bounded (<= C(6,2)
+      // per vertex), never corpus-quadratic. Triangle counting is the
+      // standard closed-wedge form: each triangle closes exactly 3
+      // wedges (one per center), so n_triangles = closed/3 — integer
+      // on both engines.
+      val K = 16
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+        .withColumn("ss", dot_product(col("emb"), col("emb")))
+        .withColumn("cell", ivf_cell(col("emb"), K))
+      val nb = e.select(col("cell").as("b_cell"), col("vec_id").as("nb"),
+        col("emb").as("ne"), col("ss").as("nss"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nb"))
+      val knn = e.join(nb, col("cell") === col("b_cell") &&
+          col("vec_id") =!= col("nb"))
+        .withColumn("cos", round(dot_product(col("emb"), col("ne")) /
+          (sqrt(col("ss")) * sqrt(col("nss"))), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("vec_id"), col("nb"))
+      val edges = knn.select(least(col("vec_id"), col("nb")).as("u"),
+        greatest(col("vec_id"), col("nb")).as("v")).distinct()
+      val adj = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val wedges = adj.as("x").join(adj.as("y"),
+          col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+        .select(col("x.v").as("b"), col("y.v").as("c"))
+      val closed = wedges.join(edges,
+        wedges("b") === edges("u") && wedges("c") === edges("v"))
+      val nv = e.agg(count(lit(1)).cast("long").as("n_vertices"))
+      val ne2 = edges.agg(count(lit(1)).cast("long").as("n_edges"))
+      val nw = wedges.agg(count(lit(1)).cast("long").as("n_wedges"))
+      val nc = closed.agg(count(lit(1)).cast("long").as("n_closed"))
+      nv.crossJoin(broadcast(ne2)).crossJoin(broadcast(nw))
+        .crossJoin(broadcast(nc))
+        .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
+          expr("n_closed div 3").as("n_triangles"),
+          round(col("n_closed").cast("double") / col("n_wedges"), 6)
+            .as("clustering"))
+    },
+
+    "q188_gini_concentration" -> { (s, dir) =>
+      // Revenue-concentration report: Gini coefficient + top-1%/10%
+      // revenue shares of per-user purchase value — the inequality
+      // readout behind "do whales dominate the corpus/revenue".
+      // Money stays floor(value*100) integer cents; the Gini uses the
+      // rank form G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over
+      // the (cents, user_id)-sorted sequence, so every term is an
+      // exact integer product (fits a long through the sf10 ladder)
+      // and the only FP op is the final division, bit-equal on both
+      // engines. Top-k cutoffs are nearest-rank (ceil(n/100),
+      // ceil(n/10)) on the descending order. Scale shape: events
+      // collapse to the per-user rollup in ONE hash shuffle; the rank
+      // windows run over |purchasing users| rows (at true 100 TB scale
+      // the ladder is a q124-style value histogram; the rank contract
+      // here is what the sketch would approximate).
+      val per = Tables(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), floor(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("user_id")).agg(sum(col("c")).as("cents"))
+      val wAsc = Window.orderBy(col("cents"), col("user_id"))
+      val wDesc = Window.orderBy(col("cents").desc, col("user_id"))
+      val wAll = Window.partitionBy()
+      per
+        .withColumn("i", row_number().over(wAsc).cast("long"))
+        .withColumn("j", row_number().over(wDesc).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .agg(max(col("n")).as("n_users"),
+          sum(col("cents")).as("total_cents"),
+          sum(col("i") * col("cents")).as("iw"),
+          sum(when(col("j") * 100 <= col("n") + 99, col("cents"))
+            .otherwise(0L)).as("top1"),
+          sum(when(col("j") * 10 <= col("n") + 9, col("cents"))
+            .otherwise(0L)).as("top10"))
+        .select(col("n_users"), col("total_cents"),
+          round((lit(2L) * col("iw") - (col("n_users") + 1) * col("total_cents"))
+            .cast("double") / (col("n_users") * col("total_cents")).cast("double"), 6)
+            .as("gini"),
+          round(col("top1").cast("double") / col("total_cents"), 6).as("top1_share"),
+          round(col("top10").cast("double") / col("total_cents"), 6).as("top10_share"))
+    },
+
     "q122_cms_heavy_hitters" -> { (s, dir) =>
       // Heavy-hitter token counts via a Count-Min sketch (depth 4 x
       // width 1024): the frequency table that stays 16 KiB whatever the
@@ -4765,8 +4857,12 @@ object Pipeline {
     * IVF over the md5-Rademacher codebook — the oracle recomputes cell
     * assignment (argmax of 16 centroid dots, lower-id tie-break), the
     * nprobe=4 probe list, and the exact in-cell cosine top-5. */
-  private val annIvfSql =
-    """WITH c AS (SELECT vec_id, embedding,
+  /** q57's 16-cell Rademacher IVF assignment as a reusable CTE body
+    * ending in `data(vec_id, embedding, ss, cell)` (rk-1 cell per
+    * vector) with `asg` still visible for probe expansion — shared by
+    * the q57 and q187 oracles. */
+  private val ivfAsgCte =
+    """c AS (SELECT vec_id, embedding,
              list_transform(range(0, 16), k -> list_sum(list_transform(range(1, 65), i ->
                CAST(embedding[i] AS DOUBLE) *
                (CASE WHEN (md5_number_lower('ivf_' || k::VARCHAR || '_' || (i-1)::VARCHAR) & 1) = 1
@@ -4778,7 +4874,10 @@ object Pipeline {
                FROM c, range(0, 16) t(k)),
          asg AS (SELECT vec_id, embedding, ss, k AS cell,
                  row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, k) AS rk FROM d),
-         data AS (SELECT vec_id, embedding, ss, cell FROM asg WHERE rk = 1),
+         data AS (SELECT vec_id, embedding, ss, cell FROM asg WHERE rk = 1)"""
+
+  private val annIvfSql =
+    s"""WITH $ivfAsgCte,
          probes AS (SELECT vec_id AS qid, embedding AS qe, ss AS qss, cell
                     FROM asg WHERE vec_id < 10 AND rk <= 4),
          p AS (SELECT pr.qid, e.vec_id,
@@ -4858,6 +4957,54 @@ object Pipeline {
                  round(avg(power(p - CASE WHEN y THEN 1.0 ELSE 0.0 END, 2)), 6)
                    AS brier
           FROM bb GROUP BY bin ORDER BY bin""",
+    "q187_knn_graph_stats" ->
+      s"""WITH $ivfAsgCte,
+          knn AS (SELECT vec_id, nb FROM (
+              SELECT a.vec_id, b.vec_id AS nb,
+                row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                  round(list_sum(list_transform(range(1, 65), i ->
+                      CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                    / (sqrt(a.ss) * sqrt(b.ss)), 6) DESC, b.vec_id) AS rk
+              FROM data a JOIN data b
+                ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+            WHERE rk <= 3),
+          edges AS (SELECT DISTINCT least(vec_id, nb) AS u,
+                      greatest(vec_id, nb) AS v FROM knn),
+          adj AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+          wedges AS (SELECT x.v AS b, y.v AS c FROM adj x JOIN adj y
+                     ON x.u = y.u AND x.v < y.v),
+          closed AS (SELECT count(*) AS nc FROM wedges w
+                     JOIN edges e ON w.b = e.u AND w.c = e.v)
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vertices,
+                 (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+                 (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+                 CAST(nc // 3 AS BIGINT) AS n_triangles,
+                 round(CAST(nc AS DOUBLE) /
+                   (SELECT count(*) FROM wedges), 6) AS clustering
+          FROM closed""",
+    "q188_gini_concentration" ->
+      """WITH per AS (SELECT user_id,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+             FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+          r AS (SELECT cents,
+                 CAST(row_number() OVER (ORDER BY cents, user_id) AS BIGINT) AS i,
+                 CAST(row_number() OVER (ORDER BY cents DESC, user_id) AS BIGINT) AS j,
+                 CAST(count(*) OVER () AS BIGINT) AS n
+                FROM per),
+          g AS (SELECT max(n) AS n_users,
+                 CAST(sum(cents) AS BIGINT) AS total_cents,
+                 CAST(sum(i * cents) AS BIGINT) AS iw,
+                 CAST(sum(CASE WHEN j * 100 <= n + 99 THEN cents ELSE 0 END)
+                   AS BIGINT) AS top1,
+                 CAST(sum(CASE WHEN j * 10 <= n + 9 THEN cents ELSE 0 END)
+                   AS BIGINT) AS top10
+                FROM r)
+          SELECT n_users, total_cents,
+                 round(CAST(2 * iw - (n_users + 1) * total_cents AS DOUBLE)
+                   / CAST(n_users * total_cents AS DOUBLE), 6) AS gini,
+                 round(CAST(top1 AS DOUBLE) / total_cents, 6) AS top1_share,
+                 round(CAST(top10 AS DOUBLE) / total_cents, 6) AS top10_share
+          FROM g""",
     "q182_bm25_ndcg" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS lst FROM documents),
           s AS (SELECT CAST(count(*) AS DOUBLE) AS n,

@@ -2627,6 +2627,69 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("knn graph stats: brute recount of edges, wedges and triangles agrees") {
+    val r = Pipeline.queries("q187_knn_graph_stats")(spark, sf).collect().head
+    val (nv, neds, nw, nt, cc) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4))
+    // brute: collect vectors, assign cells, top-3 cosine within cell
+    val vecs = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(row => (row.getLong(0), row.getSeq[Float](1).map(_.toDouble).toArray))
+    assert(nv == vecs.length)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.map(i => a(i) * b(i)).sum
+    def cell(v: Array[Double]): Int = (0 until 16).map { k =>
+      val d = v.indices.map(i => v(i) * (if ((graft.expressions.SketchKernel
+        .md5Lower64(s"ivf_${k}_$i".getBytes("UTF-8")) & 1L) == 1L) 1.0 else -1.0)).sum
+      (k, d)
+    }.maxBy { case (k, d) => (d, -k) }._1
+    val byCell = vecs.groupBy { case (_, v) => cell(v) }
+    val knn = byCell.values.toSeq.flatMap { vs =>
+      vs.toSeq.flatMap { case (id, v) =>
+        vs.toSeq.filter(_._1 != id)
+          .map { case (nb, w) => (nb,
+            BigDecimal(dot(v, w) / (math.sqrt(dot(v, v)) * math.sqrt(dot(w, w))))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+          .sortBy { case (nb, c) => (-c, nb) }.take(3)
+          .map { case (nb, _) => (id, nb) }
+      }
+    }
+    val edges = knn.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(neds == edges.size, s"edges $neds vs brute ${edges.size}")
+    val adjacency = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).sorted }
+    val wedges = adjacency.values.map(ns => ns.size.toLong * (ns.size - 1) / 2).sum
+    assert(nw == wedges, s"wedges $nw vs brute $wedges")
+    val closed = adjacency.values.flatMap(ns =>
+      ns.combinations(2).filter(p => edges.contains((p(0), p(1))))).size
+    assert(nt == closed / 3, s"triangles $nt vs brute ${closed / 3}")
+    assert(math.abs(cc - BigDecimal(closed.toDouble / wedges)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(cc >= 0.0 && cc <= 1.0)
+  }
+
+  test("gini concentration: brute recomputation from per-user cents agrees") {
+    val r = Pipeline.queries("q188_gini_concentration")(spark, sf).collect().head
+    val (n, total, gini, s1, s10) = (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4))
+    val per = Tables(spark, sf).events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), floor(col("value") * 100).cast("long").as("c"))
+      .groupBy("user_id").agg(sum("c").as("cents")).collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+    assert(n == per.length && total == per.map(_._2).sum)
+    val asc = per.sortBy { case (u, c) => (c, u) }.map(_._2)
+    val iw = asc.zipWithIndex.map { case (c, i) => (i + 1L) * c }.sum
+    val bruteGini = (2.0 * iw - (n + 1.0) * total) / (n.toDouble * total)
+    assert(math.abs(gini - bruteGini) < 2e-6, s"gini $gini vs $bruteGini")
+    assert(gini >= 0.0 && gini < 1.0)
+    val desc = per.sortBy { case (u, c) => (-c, u) }.map(_._2)
+    val k1 = (n + 99) / 100; val k10 = (n + 9) / 10
+    assert(math.abs(s1 - desc.take(k1.toInt).sum.toDouble / total) < 2e-6)
+    assert(math.abs(s10 - desc.take(k10.toInt).sum.toDouble / total) < 2e-6)
+    assert(s1 <= s10 + 1e-9 && s10 <= 1.0)
+  }
+
   test("ann recall audit equals the locally-joined q36/q57 intersection") {
     val audit = Pipeline.queries("q158_ann_recall_audit")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)

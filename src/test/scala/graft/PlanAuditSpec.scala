@@ -53,7 +53,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // ONE-ROW totals (q124's bounds pattern) — scalars meeting scalars
     "q176_benford_audit", "q177_dq_report", "q178_joinsize_sketch",
     // q182 crosses its 1-row DCG against the broadcast 1-row IDCG
-    "q182_bm25_ndcg")
+    "q182_bm25_ndcg",
+    // q187's summary row crosses four broadcast ONE-ROW counts
+    "q187_knn_graph_stats")
 
   test("no unplanned cartesian products or nested-loop joins") {
     val offenders = Seq.newBuilder[String]
