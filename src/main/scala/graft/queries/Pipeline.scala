@@ -3398,6 +3398,61 @@ object Pipeline {
           round(col("top10").cast("double") / col("total_cents"), 6).as("top10_share"))
     },
 
+    "q189_kanon_audit" -> { (s, dir) =>
+      // k-anonymity audit (Sweeney 2002): equivalence-class sizes over
+      // the customer quasi-identifier tuple (nation, market segment,
+      // account-balance band) — the privacy gate a dataset release runs
+      // before publishing "anonymized" rows. A class with n < 4 means
+      // those customers are re-identifiable to within 3 candidates by
+      // an adversary who knows the three attributes. Band = floor(
+      // acctbal/1000): a FIXED-width per-row bucket (not ntile), so the
+      // audit is ONE hash aggregate with map-side partials and nothing
+      // global — the shape that holds at any customer count.
+      Tables(s, dir).customer
+        .select(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+        .groupBy(col("nation"), col("segment"), col("bal_band"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("at_risk", col("n") < 4)
+        .orderBy(col("nation"), col("segment"), col("bal_band"))
+    },
+
+    "q190_pmi_pairs" -> { (s, dir) =>
+      // Pointwise mutual information of token pairs co-occurring
+      // within a 3-token window (Church & Hanks 1990) — the collocation
+      // statistic behind phrase mining and tokenizer-merge scoring
+      // (q146's co-occurrence edges, scored instead of ranked). All
+      // counts are exact integers; PMI multiplies them as DOUBLES in a
+      // FIXED left-to-right order (products reach ~1e20 at the sf10
+      // ladder, past long range) so both engines compute bit-identical
+      // IEEE products before the single ln. Scale shape: the pair join
+      // is per-doc positional (distance <= 3, so fan-out is 3 rows per
+      // token, never doc-quadratic) on ONE doc_id shuffle; marginals
+      // are a vocabulary-sized broadcast; the top-20 is TakeOrdered.
+      val tk = Tables(s, dir).documents
+        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w")))
+      val b = tk.select(col("doc_id").as("d2"), col("pos").as("pos2"),
+        col("w").as("wb"))
+      val pairs = tk.join(b, col("doc_id") === col("d2") &&
+          col("pos2") > col("pos") && col("pos2") - col("pos") <= 3)
+        .select(least(col("w"), col("wb")).as("w1"),
+          greatest(col("w"), col("wb")).as("w2"))
+      val cp = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_pair"))
+      val cw = tk.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val tTok = tk.agg(count(lit(1)).as("t_tok"))
+      val tPair = pairs.agg(count(lit(1)).as("t_pair"))
+      cp.filter(col("c_pair") >= 20)
+        .join(broadcast(cw.select(col("w").as("w1"), col("cw").as("c1"))), "w1")
+        .join(broadcast(cw.select(col("w").as("w2"), col("cw").as("c2"))), "w2")
+        .crossJoin(broadcast(tTok)).crossJoin(broadcast(tPair))
+        .select(col("w1"), col("w2"), col("c_pair"),
+          round(log(col("c_pair").cast("double") * col("t_tok") * col("t_tok") /
+            (col("t_pair").cast("double") * col("c1") * col("c2"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+
     "q122_cms_heavy_hitters" -> { (s, dir) =>
       // Heavy-hitter token counts via a Count-Min sketch (depth 4 x
       // width 1024): the frequency table that stays 16 KiB whatever the
@@ -5005,6 +5060,33 @@ object Pipeline {
                  round(CAST(top1 AS DOUBLE) / total_cents, 6) AS top1_share,
                  round(CAST(top10 AS DOUBLE) / total_cents, 6) AS top10_share
           FROM g""",
+    "q189_kanon_audit" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                c_mktsegment AS segment,
+                CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+                CAST(count(*) AS BIGINT) AS n,
+                count(*) < 4 AS at_risk
+         FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q190_pmi_pairs" ->
+      s"""WITH tk AS (SELECT doc_id, generate_subscripts(l, 1) AS pos,
+                unnest(l) AS w
+              FROM (SELECT doc_id, $tokSql AS l FROM documents)),
+          pr AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+                 FROM tk a JOIN tk b ON a.doc_id = b.doc_id
+                   AND b.pos > a.pos AND b.pos - a.pos <= 3),
+          cp AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_pair
+                 FROM pr GROUP BY 1, 2),
+          cw AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM tk GROUP BY 1),
+          t AS (SELECT CAST(count(*) AS BIGINT) AS t_tok FROM tk),
+          tp AS (SELECT CAST(count(*) AS BIGINT) AS t_pair FROM pr),
+          j AS (SELECT cp.w1, cp.w2, cp.c_pair, a.cw AS c1, b.cw AS c2
+                FROM cp JOIN cw a ON cp.w1 = a.w JOIN cw b ON cp.w2 = b.w
+                WHERE cp.c_pair >= 20)
+          SELECT w1, w2, c_pair,
+                 round(ln(CAST(c_pair AS DOUBLE) * t_tok * t_tok /
+                   (CAST(t_pair AS DOUBLE) * c1 * c2)), 6) AS pmi
+          FROM j CROSS JOIN t CROSS JOIN tp
+          ORDER BY pmi DESC, w1, w2 LIMIT 20""",
     "q182_bm25_ndcg" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS lst FROM documents),
           s AS (SELECT CAST(count(*) AS DOUBLE) AS n,

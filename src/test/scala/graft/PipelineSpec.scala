@@ -2690,6 +2690,53 @@ class PipelineSpec extends SparkSpec {
     assert(s1 <= s10 + 1e-9 && s10 <= 1.0)
   }
 
+  test("kanon audit: class sizes conserve customers, at_risk matches n < 4") {
+    val rows = Pipeline.queries("q189_kanon_audit")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val total = Tables(spark, sf).customer.count()
+    assert(rows.map(_._4).sum == total)
+    assert(rows.forall { case (_, _, _, n, risk) => risk == (n < 4) })
+    // classes are distinct quasi-identifier tuples
+    assert(rows.map(t => (t._1, t._2, t._3)).distinct.length == rows.length)
+    // a planted lookup: every class size matches a direct filter count
+    val (nat, seg, band, n, _) = rows.maxBy(_._4)
+    val direct = Tables(spark, sf).customer
+      .filter(col("c_nationkey") === nat && col("c_mktsegment") === seg &&
+        floor(col("c_acctbal") / 1000.0) === band).count()
+    assert(direct == n)
+  }
+
+  test("pmi pairs: brute windowed co-occurrence recomputation agrees") {
+    val rows = Pipeline.queries("q190_pmi_pairs")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val docs = Tables(spark, sf).documents.select(col("text")).collect()
+      .map(_.getString(0).trim.split("\\s+").toSeq)
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+    var tPair = 0L
+    docs.foreach { ts =>
+      for (i <- ts.indices; j <- (i + 1) until math.min(i + 4, ts.length)) {
+        val k = if (ts(i) <= ts(j)) (ts(i), ts(j)) else (ts(j), ts(i))
+        pairCounts(k) = pairCounts.getOrElse(k, 0L) + 1; tPair += 1
+      }
+    }
+    val cw = docs.flatten.groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+    val tTok = docs.map(_.length.toLong).sum
+    rows.foreach { case (w1, w2, cPair, pmi) =>
+      assert(pairCounts((w1, w2)) == cPair && cPair >= 20)
+      val brute = math.log(cPair.toDouble * tTok * tTok /
+        (tPair.toDouble * cw(w1) * cw(w2)))
+      assert(math.abs(pmi - brute) < 2e-6, s"($w1,$w2) pmi $pmi vs $brute")
+    }
+    // the list is the global top-20: no unlisted pair beats the floor
+    val floorPmi = rows.map(_._4).min
+    val best = pairCounts.filter(_._2 >= 20).map { case ((a, b), c) =>
+      math.log(c.toDouble * tTok * tTok / (tPair.toDouble * cw(a) * cw(b)))
+    }.toSeq.sorted.reverse
+    if (best.length > 20) assert(best(20) <= floorPmi + 2e-6)
+  }
+
   test("ann recall audit equals the locally-joined q36/q57 intersection") {
     val audit = Pipeline.queries("q158_ann_recall_audit")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)

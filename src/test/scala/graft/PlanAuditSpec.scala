@@ -55,7 +55,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // q182 crosses its 1-row DCG against the broadcast 1-row IDCG
     "q182_bm25_ndcg",
     // q187's summary row crosses four broadcast ONE-ROW counts
-    "q187_knn_graph_stats")
+    "q187_knn_graph_stats",
+    // q190 crosses the pair table against two broadcast ONE-ROW totals
+    "q190_pmi_pairs")
 
   test("no unplanned cartesian products or nested-loop joins") {
     val offenders = Seq.newBuilder[String]
@@ -315,7 +317,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // the ONLY one — every later stage runs on 10 decile rows
     "q185_decile_lift" -> 1,
     // q186: the 10-cell bin agg + presentation sort
-    "q186_calibration_bins" -> 2)
+    "q186_calibration_bins" -> 2,
+    // q189: the ONE quasi-identifier hash agg + presentation sort
+    "q189_kanon_audit" -> 2,
+    // q190: the positional pair join's doc_id exchange feeds the pair
+    // agg; marginals/totals broadcast; top-20 is TakeOrdered
+    "q190_pmi_pairs" -> 4)
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
