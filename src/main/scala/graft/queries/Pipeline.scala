@@ -3453,6 +3453,99 @@ object Pipeline {
         .limit(20)
     },
 
+    "q191_cluster_outliers" -> { (s, dir) =>
+      // Distance-to-centroid outlier sweep — the embedding-space data-
+      // cleaning pass that follows clustering: within each q114 k-means
+      // cluster, flag vectors beyond the cluster's nearest-rank p95
+      // distance (mislabeled points, junk embeddings, cluster-boundary
+      // strays). Distances are q114's fixed-point integers, so the
+      // cutoff and the flag are EXACT on both engines — no FP at all.
+      // Scale shape: assignment is q114's map-only plan-literal pass;
+      // the rank window runs per-cluster on (id, cluster, dist)
+      // triples; output is the ~5% tail.
+      val asg = queries("q114_kmeans_cluster")(s, dir)
+      val wc = Window.partitionBy(col("cluster"))
+      val wr = Window.partitionBy(col("cluster")).orderBy(col("dist"), col("vec_id"))
+      asg
+        .withColumn("rn", row_number().over(wr).cast("long"))
+        .withColumn("n", count(lit(1)).over(wc))
+        .withColumn("p95",
+          max(when(lit(20) * col("rn") <= lit(19) * col("n") + 19, col("dist")))
+            .over(wc))
+        .filter(col("dist") > col("p95"))
+        .select(col("vec_id"), col("cluster"), col("dist"), col("p95"))
+        .orderBy(col("cluster"), col("dist").desc, col("vec_id"))
+    },
+
+    "q192_winsorized_stats" -> { (s, dir) =>
+      // Winsorized robust statistics per event type: nearest-rank
+      // p05/p95 cutoffs on integer cents, the clamped (winsorized)
+      // mean beside the raw mean, and how many observations the clamp
+      // touched — the outlier-robust preprocessing step before any
+      // value model. All-integer until the two final divisions (same
+      // contract as q142's order statistics). Scale shape: ONE
+      // event_type exchange carries the rank window, the cutoff
+      // windows and the final rollup (5 groups); at true scale the
+      // cutoffs come from the q124 histogram sketch — the nearest-rank
+      // CONTRACT here is what that sketch approximates.
+      val base = Tables(s, dir).events
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("c"))
+      val wt = Window.partitionBy(col("event_type"))
+      val wr = Window.partitionBy(col("event_type")).orderBy(col("c"), col("event_id"))
+      base
+        .withColumn("rn", row_number().over(wr).cast("long"))
+        .withColumn("n", count(lit(1)).over(wt))
+        .withColumn("lo",
+          max(when(lit(20) * col("rn") <= col("n") + 19, col("c"))).over(wt))
+        .withColumn("hi",
+          max(when(lit(20) * col("rn") <= lit(19) * col("n") + 19, col("c"))).over(wt))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("lo")).as("p05_cents"), max(col("hi")).as("p95_cents"),
+          round(sum(col("c")).cast("double") / count(lit(1)), 6).as("raw_mean"),
+          round(sum(greatest(least(col("c"), col("hi")), col("lo"))).cast("double")
+            / count(lit(1)), 6).as("win_mean"),
+          sum(when(col("c") < col("lo") || col("c") > col("hi"), 1L)
+            .otherwise(0L)).as("n_clamped"))
+        .orderBy(col("event_type"))
+    },
+
+    "q193_rfm_segments" -> { (s, dir) =>
+      // RFM segmentation — the classic customer-value grid: per
+      // purchasing user, Recency (last purchase day), Frequency
+      // (purchase count) and Monetary (total integer cents), each cut
+      // into ntile(4) quartile scores (user_id tie-break makes every
+      // order total), then the population rolled up per (r, f, m)
+      // cell — at most 64 segments whatever the user count. Scale
+      // shape: events collapse to the per-user rollup in ONE hash
+      // shuffle; the three global quartile windows run over |users|
+      // rows (at 100 TB the cuts come from a q124-style sketch; the
+      // ntile CONTRACT here is what it approximates); the final agg
+      // touches 64 cells. avg_cents is one exact integer division.
+      val e = Tables(s, dir).events
+      val per = e
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), Tables.eventMicros(e).as("tus"),
+          floor(col("value") * 100).cast("long").as("c"))
+        .select(col("user_id"), expr("tus DIV 86400000000").as("day"), col("c"))
+        .groupBy(col("user_id"))
+        .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
+          sum(col("c")).as("cents"))
+      per
+        .withColumn("r_score", ntile(4)
+          .over(Window.orderBy(col("last_day"), col("user_id"))).cast("long"))
+        .withColumn("f_score", ntile(4)
+          .over(Window.orderBy(col("freq"), col("user_id"))).cast("long"))
+        .withColumn("m_score", ntile(4)
+          .over(Window.orderBy(col("cents"), col("user_id"))).cast("long"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("total_cents"))
+        .withColumn("avg_cents",
+          round(col("total_cents").cast("double") / col("n_users"), 6))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    },
+
     "q122_cms_heavy_hitters" -> { (s, dir) =>
       // Heavy-hitter token counts via a Count-Min sketch (depth 4 x
       // width 1024): the frequency table that stays 16 KiB whatever the
@@ -4944,6 +5037,48 @@ object Pipeline {
                CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk FROM p)
          SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""
 
+  /** q114's fixed-point Lloyd's rounds unrolled as a full SELECT
+    * (vec_id, cluster, dist) — the oracle for q114 itself and, wrapped
+    * as a CTE, the assignment input to the q191 outlier oracle. */
+  private val kmeansAsgSql =
+    """WITH q AS (SELECT vec_id, list_transform(range(1, 65), i ->
+             CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings),
+         c0 AS (SELECT vec_id AS cl, qv AS cv FROM q WHERE vec_id < 8),
+         a0 AS (SELECT vec_id, qv, cl,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+                FROM (SELECT x.vec_id, x.qv, c.cl,
+                       list_sum(list_transform(range(1, 65), i ->
+                         (x.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) *
+                         (x.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))) AS dist
+                      FROM q x, c0 c)),
+         c1 AS (SELECT cl, list(cv ORDER BY i) AS cv FROM (
+                 SELECT a.cl, i,
+                   CAST(floor(sum(a.qv[CAST(i AS INT)]) * 1.0 / count(*) + 0.5) AS BIGINT) AS cv
+                 FROM a0 a, range(1, 65) t(i) WHERE a.rk = 1 GROUP BY a.cl, i)
+                GROUP BY cl),
+         a1 AS (SELECT vec_id, qv, cl,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+                FROM (SELECT x.vec_id, x.qv, c.cl,
+                       list_sum(list_transform(range(1, 65), i ->
+                         (x.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) *
+                         (x.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))) AS dist
+                      FROM q x, c1 c)),
+         c2 AS (SELECT cl, list(cv ORDER BY i) AS cv FROM (
+                 SELECT a.cl, i,
+                   CAST(floor(sum(a.qv[CAST(i AS INT)]) * 1.0 / count(*) + 0.5) AS BIGINT) AS cv
+                 FROM a1 a, range(1, 65) t(i) WHERE a.rk = 1 GROUP BY a.cl, i)
+                GROUP BY cl),
+         a2 AS (SELECT vec_id, cl, dist,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+                FROM (SELECT x.vec_id, c.cl,
+                       list_sum(list_transform(range(1, 65), i ->
+                         (x.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) *
+                         (x.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))) AS dist
+                      FROM q x, c2 c))
+         SELECT vec_id, cl AS cluster, CAST(dist AS BIGINT) AS dist
+         FROM a2 WHERE rk = 1 ORDER BY vec_id"""
+
   /** q132's scoring stages as a reusable CTE body ending in
     * `sc(doc_id, y, score)` — per-doc rounded DSIR llr average plus the
     * target-source label — shared by the q185/q186 model-eval oracles
@@ -5060,6 +5195,57 @@ object Pipeline {
                  round(CAST(top1 AS DOUBLE) / total_cents, 6) AS top1_share,
                  round(CAST(top10 AS DOUBLE) / total_cents, 6) AS top10_share
           FROM g""",
+    "q191_cluster_outliers" ->
+      s"""WITH asg AS ($kmeansAsgSql),
+          w AS (SELECT vec_id, cluster, dist,
+                 CAST(row_number() OVER (PARTITION BY cluster
+                   ORDER BY dist, vec_id) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n
+                FROM asg),
+          p AS (SELECT cluster,
+                 max(CASE WHEN 20 * rn <= 19 * n + 19 THEN dist END) AS p95
+                FROM w GROUP BY cluster)
+          SELECT w.vec_id, w.cluster, w.dist, CAST(p.p95 AS BIGINT) AS p95
+          FROM w JOIN p USING (cluster) WHERE w.dist > p.p95
+          ORDER BY cluster, dist DESC, vec_id""",
+    "q192_winsorized_stats" ->
+      """WITH b AS (SELECT event_type, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+          w AS (SELECT event_type, c,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                   ORDER BY c, event_id) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+                FROM b),
+          cut AS (SELECT event_type,
+                 max(CASE WHEN 20 * rn <= n + 19 THEN c END) AS lo,
+                 max(CASE WHEN 20 * rn <= 19 * n + 19 THEN c END) AS hi
+                FROM w GROUP BY event_type)
+          SELECT w.event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(max(cut.lo) AS BIGINT) AS p05_cents,
+                 CAST(max(cut.hi) AS BIGINT) AS p95_cents,
+                 round(CAST(sum(w.c) AS DOUBLE) / count(*), 6) AS raw_mean,
+                 round(CAST(sum(greatest(least(w.c, cut.hi), cut.lo)) AS DOUBLE)
+                   / count(*), 6) AS win_mean,
+                 CAST(sum(CASE WHEN w.c < cut.lo OR w.c > cut.hi
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+          FROM w JOIN cut USING (event_type)
+          GROUP BY w.event_type ORDER BY w.event_type""",
+    "q193_rfm_segments" ->
+      """WITH per AS (SELECT user_id,
+               max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS last_day,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+             FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+          sc AS (SELECT cents,
+                 CAST(ntile(4) OVER (ORDER BY last_day, user_id) AS BIGINT) AS r_score,
+                 CAST(ntile(4) OVER (ORDER BY freq, user_id) AS BIGINT) AS f_score,
+                 CAST(ntile(4) OVER (ORDER BY cents, user_id) AS BIGINT) AS m_score
+                FROM per)
+          SELECT r_score, f_score, m_score,
+                 CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(cents) AS BIGINT) AS total_cents,
+                 round(CAST(sum(cents) AS DOUBLE) / count(*), 6) AS avg_cents
+          FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "q189_kanon_audit" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nation,
                 c_mktsegment AS segment,
@@ -6296,44 +6482,7 @@ object Pipeline {
     // Fixed-point Lloyd's, three assignment rounds unrolled as CTEs:
     // quantize to 1e-4 longs, init = k lowest vec_ids, centroid update
     // = per-dim rounded integer mean, tie-break lowest cluster id.
-    "q114_kmeans_cluster" ->
-      """WITH q AS (SELECT vec_id, list_transform(range(1, 65), i ->
-             CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
-           FROM embeddings),
-         c0 AS (SELECT vec_id AS cl, qv AS cv FROM q WHERE vec_id < 8),
-         a0 AS (SELECT vec_id, qv, cl,
-                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
-                FROM (SELECT x.vec_id, x.qv, c.cl,
-                       list_sum(list_transform(range(1, 65), i ->
-                         (x.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) *
-                         (x.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))) AS dist
-                      FROM q x, c0 c)),
-         c1 AS (SELECT cl, list(cv ORDER BY i) AS cv FROM (
-                 SELECT a.cl, i,
-                   CAST(floor(sum(a.qv[CAST(i AS INT)]) * 1.0 / count(*) + 0.5) AS BIGINT) AS cv
-                 FROM a0 a, range(1, 65) t(i) WHERE a.rk = 1 GROUP BY a.cl, i)
-                GROUP BY cl),
-         a1 AS (SELECT vec_id, qv, cl,
-                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
-                FROM (SELECT x.vec_id, x.qv, c.cl,
-                       list_sum(list_transform(range(1, 65), i ->
-                         (x.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) *
-                         (x.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))) AS dist
-                      FROM q x, c1 c)),
-         c2 AS (SELECT cl, list(cv ORDER BY i) AS cv FROM (
-                 SELECT a.cl, i,
-                   CAST(floor(sum(a.qv[CAST(i AS INT)]) * 1.0 / count(*) + 0.5) AS BIGINT) AS cv
-                 FROM a1 a, range(1, 65) t(i) WHERE a.rk = 1 GROUP BY a.cl, i)
-                GROUP BY cl),
-         a2 AS (SELECT vec_id, cl, dist,
-                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
-                FROM (SELECT x.vec_id, c.cl,
-                       list_sum(list_transform(range(1, 65), i ->
-                         (x.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) *
-                         (x.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))) AS dist
-                      FROM q x, c2 c))
-         SELECT vec_id, cl AS cluster, CAST(dist AS BIGINT) AS dist
-         FROM a2 WHERE rk = 1 ORDER BY vec_id""",
+    "q114_kmeans_cluster" -> kmeansAsgSql,
 
     // q57's cell/probe machinery turned cross-set: corpus = rk 1 cell,
     // eval split probes its 4 closest cells, exact cosine on candidates.

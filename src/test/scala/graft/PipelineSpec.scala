@@ -2737,6 +2737,83 @@ class PipelineSpec extends SparkSpec {
     if (best.length > 20) assert(best(20) <= floorPmi + 2e-6)
   }
 
+  test("cluster outliers: exactly the dist > nearest-rank-p95 tail of q114") {
+    val asg = Pipeline.queries("q114_kmeans_cluster")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val out = Pipeline.queries("q191_cluster_outliers")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byCl = asg.groupBy(_._2)
+    val expected = byCl.toSeq.flatMap { case (cl, vs) =>
+      val sorted = vs.sortBy(t => (t._3, t._1))
+      val k = (19 * vs.length + 19) / 20
+      val p95 = sorted(k - 1)._3
+      vs.toSeq.filter(_._3 > p95).map(t => (t._1, cl, t._3, p95))
+    }.toSet
+    assert(out.toSet == expected, s"${out.length} vs ${expected.size}")
+    // the tail is small by construction (~5%)
+    assert(out.length <= asg.length / 10)
+  }
+
+  test("winsorized stats: brute per-type recomputation agrees") {
+    val rows = Pipeline.queries("q192_winsorized_stats")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    val data = Tables(spark, sf).events
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(rows.map(_._1).toSet == data.keySet)
+    rows.foreach { case (typ, n, p05, p95, rawMean, winMean, nClamped) =>
+      val cs = data(typ).sortBy(t => (t._3, t._2)).map(_._3)
+      assert(n == cs.length)
+      val lo = cs(((n + 19) / 20).toInt - 1)
+      val hi = cs(((19 * n + 19) / 20).toInt - 1)
+      assert(p05 == lo && p95 == hi, s"$typ cutoffs ($p05,$p95) vs ($lo,$hi)")
+      assert(math.abs(rawMean - cs.sum.toDouble / n) < 2e-6)
+      val wsum = cs.map(c => math.max(lo, math.min(hi, c))).sum
+      assert(math.abs(winMean - wsum.toDouble / n) < 2e-6)
+      assert(nClamped == cs.count(c => c < lo || c > hi))
+      assert(winMean >= lo - 1e-9 && winMean <= hi + 1e-9)
+    }
+  }
+
+  test("rfm segments: brute quartile recomputation agrees, users conserve") {
+    val rows = Pipeline.queries("q193_rfm_segments")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty && rows.length <= 64)
+    val e = Tables(spark, sf).events
+    val per = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), Tables.eventMicros(e).as("tus"),
+        floor(col("value") * 100).cast("long").as("c"))
+      .select(col("user_id"), expr("tus DIV 86400000000").as("day"), col("c"))
+      .groupBy("user_id")
+      .agg(max("day").as("ld"), count(lit(1)).as("f"), sum("c").as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._4).sum == per.length)
+    assert(rows.map(_._5).sum == per.map(_._4).sum)
+    def quartile(order: Seq[Long]): Map[Long, Long] = {
+      // ntile(4): first (n mod 4) buckets get ceil(n/4)
+      val n = order.length
+      val (q, rem) = (n / 4, n % 4)
+      order.zipWithIndex.map { case (u, i) =>
+        val big = (q + 1) * rem
+        u -> (if (i < big) i / (q + 1) + 1L else (i - big) / q + rem + 1L)
+      }.toMap
+    }
+    val r = quartile(per.sortBy(t => (t._2, t._1)).map(_._1))
+    val f = quartile(per.sortBy(t => (t._3, t._1)).map(_._1))
+    val m = quartile(per.sortBy(t => (t._4, t._1)).map(_._1))
+    val brute = per.groupBy(t => (r(t._1), f(t._1), m(t._1)))
+      .map { case (k, vs) => k -> (vs.length.toLong, vs.map(_._4).sum) }
+    rows.foreach { case (rs, fs, ms, n, cents, avg) =>
+      val (bn, bc) = brute((rs, fs, ms))
+      assert(n == bn && cents == bc, s"segment ($rs,$fs,$ms)")
+      assert(math.abs(avg - cents.toDouble / n) < 1e-6)
+    }
+  }
+
   test("ann recall audit equals the locally-joined q36/q57 intersection") {
     val audit = Pipeline.queries("q158_ann_recall_audit")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)

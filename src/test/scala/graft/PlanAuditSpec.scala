@@ -322,7 +322,16 @@ class PlanAuditSpec extends AnyFunSuite {
     "q189_kanon_audit" -> 2,
     // q190: the positional pair join's doc_id exchange feeds the pair
     // agg; marginals/totals broadcast; top-20 is TakeOrdered
-    "q190_pmi_pairs" -> 4)
+    "q190_pmi_pairs" -> 4,
+    // q191: assignment is map-only (plan-literal centroids); the
+    // cluster rank window + tail filter + presentation sort
+    "q191_cluster_outliers" -> 3,
+    // q192: ONE event_type exchange carries windows and rollup,
+    // + presentation sort
+    "q192_winsorized_stats" -> 2,
+    // q193: the per-user rollup, the quartile windows' single
+    // partition, the 64-cell agg + presentation sort ride on it
+    "q193_rfm_segments" -> 3)
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
