@@ -246,6 +246,52 @@ object EventStreams {
       }
   }
 
+  /** One daily volume cell for the streaming EWMA monitor. */
+  final case class EwmaCell(event_type: String, day: Long, cnt: Long)
+  /** One EWMA point: the pre-update baseline and flag for `day`. */
+  final case class EwmaOut(event_type: String, day: Long, cnt: Long,
+    ewma_prev: Double, flagged: Boolean)
+  /** EWMA recursion state: the decayed sum anchored at lastDay, plus
+    * how many prior days have been folded. */
+  final case class EwmaState(sum: Double, lastDay: Long, nPrior: Long)
+
+  /** Streaming twin of batch q184: the per-type EWMA baseline
+    * maintained incrementally as ONE decayed sum — sum_d = sum_{b<=d}
+    * cnt_b * 0.75^(d-b), carried forward by multiplying 0.75^(gap) on
+    * each arrival (day gaps decay correctly, same calendar-distance
+    * contract as the batch pair join). ewma_prev for an arriving day d
+    * is 0.25 * sum * 0.75^(d-1-lastDay); days with fewer than 5 priors
+    * are warm-up and emit nothing, matching the batch gate. The flag
+    * compares against the ROUNDED baseline exactly like batch q184.
+    * State per type: one double + two longs. Days must arrive in order
+    * per type across batches (the append-mode as-of caveat); within a
+    * micro-batch cells fold in day order. */
+  def ewma(cells: Dataset[EwmaCell]): Dataset[EwmaOut] = {
+    import cells.sparkSession.implicits._
+    cells
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (ty: String, rows: Iterator[EwmaCell], state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(0.0, Long.MinValue, 0L))
+          val out = Vector.newBuilder[EwmaOut]
+          rows.toVector.sortBy(_.day).foreach { r =>
+            if (st.nPrior >= 5) {
+              val prev = BigDecimal(0.25 * st.sum *
+                math.pow(0.75, (r.day - 1 - st.lastDay).toDouble))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              out += EwmaOut(ty, r.day, r.cnt, prev, r.cnt > 2.0 * prev)
+            }
+            val carried =
+              if (st.nPrior == 0L) 0.0
+              else st.sum * math.pow(0.75, (r.day - st.lastDay).toDouble)
+            st = EwmaState(carried + r.cnt, r.day, st.nPrior + 1)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** The same per-user cursor on the transformWithState API (Spark 4.1
     * StatefulProcessor): typed ValueState in the state store, optional
     * TTL so an idle user's cursor is evicted instead of living forever

@@ -310,6 +310,44 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ewma matches batch q184 across a micro-batch boundary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams.EwmaCell
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the fixture's real per-type daily cells, split mid-series: the
+    // decayed-sum state must carry the baseline over the boundary and
+    // reproduce q184's pair-join values (warm-up days emit nothing)
+    val e = Tables(spark, sf).events
+    val cells = e.select(col("event_type"), Tables.eventMicros(e).as("tus"))
+      .select(col("event_type"), expr("tus DIV 86400000000").as("day"))
+      .groupBy("event_type", "day").count().collect()
+      .map(r => EwmaCell(r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(c => (c.event_type, c.day))
+    val cut = cells.map(_.day).distinct.sorted.apply(cells.map(_.day).distinct.length / 2)
+    val in = MemoryStream[EwmaCell]
+    val q = graft.streaming.EventStreams.ewma(in.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("ewma_out").start()
+    try {
+      in.addData(cells.filter(_.day < cut).toIndexedSeq: _*)
+      q.processAllAvailable()
+      in.addData(cells.filter(_.day >= cut).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT event_type, day, cnt, ewma_prev, flagged FROM ewma_out ORDER BY 1, 2")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getBoolean(4))).toSeq
+      val batch = graft.queries.Pipeline.queries("q184_ewma_anomaly")(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getBoolean(5))).toSeq
+      assert(got.length == batch.length, s"${got.length} vs ${batch.length}")
+      got.zip(batch).foreach { case ((t1, d1, c1, e1, f1), (t2, d2, c2, e2, f2)) =>
+        assert(t1 == t2 && d1 == d2 && c1 == c2, s"row key ($t1,$d1)")
+        assert(math.abs(e1 - e2) < 2e-6, s"($t1,$d1) ewma $e1 vs $e2")
+        assert(f1 == f2)
+      }
+    } finally q.stop()
+  }
+
   test("streaming zone maps converge to exactly the batch q144 rows") {
     // every zone-map column is a mergeable partial agg, so the batch
     // Columns plan runs over readStream in complete mode — the
