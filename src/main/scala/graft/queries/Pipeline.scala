@@ -3546,6 +3546,93 @@ object Pipeline {
         .orderBy(col("r_score"), col("f_score"), col("m_score"))
     },
 
+    "q194_ctfidf_keywords" -> { (s, dir) =>
+      // Class-based TF-IDF keywords (the c-TF-IDF of Grootendorst's
+      // BERTopic, 2022): per SOURCE, the tokens whose in-class rate
+      // most exceeds their corpus rate — score = (tf_class/total_class)
+      // * ln(1 + avg_class_tokens/corpus_tf) — the corpus-exploration
+      // readout "what is each source about" (q146 ranks tokens within
+      // a doc; this ranks them across classes). Counts are exact
+      // integers; the two divisions and one ln are spelled identically
+      // on both engines and rounded at 6. Scale shape: ONE
+      // (source, token) shuffle with map-side partials; the corpus
+      // marginal is a vocabulary-sized broadcast; per-class totals ride
+      // a window over the class cells; top-5 per class is a rank
+      // window over |classes| x |vocab| cells, never raw tokens.
+      val tk = Tables(s, dir).documents
+        .select(col("source"), explode(toks(col("text"))).as("token"))
+      val cls = tk.groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("tfc"))
+        .withColumn("totc",
+          sum(col("tfc")).over(Window.partitionBy(col("source"))))
+      val corpus = tk.groupBy(col("token")).agg(count(lit(1)).as("ft"))
+      val tots = tk.agg(count(lit(1)).as("t_tok"),
+        countDistinct(col("source")).as("n_cls"))
+      val wr = Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("token"))
+      cls.join(broadcast(corpus), "token")
+        .crossJoin(broadcast(tots))
+        .withColumn("score",
+          round(col("tfc").cast("double") / col("totc") *
+            log(lit(1.0) + col("t_tok").cast("double") /
+              (col("n_cls") * col("ft"))), 6))
+        .withColumn("rk", row_number().over(wr).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk"), col("token"), col("score"))
+        .orderBy(col("source"), col("rk"))
+    },
+
+    "q195_token_burstiness" -> { (s, dir) =>
+      // Token burstiness (Church & Gale 1995): the variance-to-mean
+      // ratio of a token's per-document count — VMR 1 is Poisson
+      // background, VMR >> 1 marks content words that arrive in bursts
+      // (and candidate boilerplate when paired with high df). Over ALL
+      // N docs (absent docs contribute 0), so
+      // VMR = (N*sum(x^2) - tf^2) / (N*tf) from three exact integer
+      // sums — products stay inside a long through the sf10 ladder;
+      // one division + round at the end. Scale shape: ONE (doc, token)
+      // count agg, then a vocabulary-sized token rollup; the doc total
+      // is a broadcast ONE-ROW literal.
+      val perDoc = Tables(s, dir).documents
+        .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("x"))
+      val nDocs = Tables(s, dir).documents.agg(count(lit(1)).as("n_docs"))
+      perDoc.groupBy(col("token"))
+        .agg(sum(col("x")).as("tf"), count(lit(1)).as("df"),
+          sum(col("x") * col("x")).as("sx2"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("token"), col("tf"), col("df"),
+          round((col("n_docs") * col("sx2") - col("tf") * col("tf"))
+            .cast("double") / (col("n_docs") * col("tf")).cast("double"), 6)
+            .as("vmr"))
+        .orderBy(col("vmr").desc, col("token"))
+    },
+
+    "q196_embedding_dim_stats" -> { (s, dir) =>
+      // Per-dimension embedding health check: n / mean / population std
+      // / min / max for each of the 64 dimensions — the feature-drift
+      // and dead-dimension audit a vector pipeline runs before
+      // training or indexing (a constant dim kills PQ subspaces; a
+      // shifted mean breaks cosine thresholds). One posexplode scan
+      // into a 64-cell agg with map-side partials — nothing global,
+      // holds at any corpus size. Values cast to double before any
+      // sum; mean/std spelled identically both engines and rounded
+      // at 6 (summation order is the only FP freedom).
+      Tables(s, dir).embeddings
+        .select(posexplode(transform(col("embedding"), _.cast("double")))
+          .as(Seq("dim", "v")))
+        .groupBy(col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).as("sx"), sum(col("v") * col("v")).as("sx2"),
+          round(min(col("v")), 6).as("vmin"), round(max(col("v")), 6).as("vmax"))
+        .select(col("dim"), col("n"),
+          round(col("sx") / col("n"), 6).as("mean"),
+          round(sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / col("n")), 6)
+            .as("std"),
+          col("vmin"), col("vmax"))
+        .orderBy(col("dim"))
+    },
+
     "q122_cms_heavy_hitters" -> { (s, dir) =>
       // Heavy-hitter token counts via a Count-Min sketch (depth 4 x
       // width 1024): the frequency table that stays 16 KiB whatever the
@@ -5195,6 +5282,52 @@ object Pipeline {
                  round(CAST(top1 AS DOUBLE) / total_cents, 6) AS top1_share,
                  round(CAST(top10 AS DOUBLE) / total_cents, 6) AS top10_share
           FROM g""",
+    "q194_ctfidf_keywords" ->
+      s"""WITH tk AS (SELECT source, unnest($tokSql) AS token FROM documents),
+          cls AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tfc
+                  FROM tk GROUP BY 1, 2),
+          cw AS (SELECT source, token, tfc,
+                  CAST(sum(tfc) OVER (PARTITION BY source) AS BIGINT) AS totc
+                 FROM cls),
+          corpus AS (SELECT token, CAST(count(*) AS BIGINT) AS ft
+                     FROM tk GROUP BY 1),
+          tots AS (SELECT CAST(count(*) AS BIGINT) AS t_tok,
+                    CAST(count(DISTINCT source) AS BIGINT) AS n_cls FROM tk),
+          sc AS (SELECT cw.source, cw.token,
+                  round(CAST(cw.tfc AS DOUBLE) / cw.totc *
+                    ln(1.0 + CAST(t.t_tok AS DOUBLE) / (t.n_cls * c.ft)), 6)
+                    AS score
+                 FROM cw JOIN corpus c ON cw.token = c.token CROSS JOIN tots t),
+          r AS (SELECT source, token, score,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY score DESC, token) AS BIGINT) AS rk FROM sc)
+          SELECT source, rk, token, score FROM r WHERE rk <= 5
+          ORDER BY source, rk""",
+    "q195_token_burstiness" ->
+      s"""WITH pd AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS x
+              FROM (SELECT doc_id, unnest($tokSql) AS token FROM documents)
+              GROUP BY 1, 2),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+          t AS (SELECT token, CAST(sum(x) AS BIGINT) AS tf,
+                 CAST(count(*) AS BIGINT) AS df,
+                 CAST(sum(x * x) AS BIGINT) AS sx2
+                FROM pd GROUP BY 1)
+          SELECT token, tf, df,
+                 round(CAST(n_docs * sx2 - tf * tf AS DOUBLE)
+                   / CAST(n_docs * tf AS DOUBLE), 6) AS vmr
+          FROM t CROSS JOIN n ORDER BY vmr DESC, token""",
+    "q196_embedding_dim_stats" ->
+      """WITH v AS (SELECT dim - 1 AS dim, CAST(embedding[CAST(dim AS INT)] AS DOUBLE) AS v
+              FROM embeddings, range(1, 65) t(dim)),
+          a AS (SELECT CAST(dim AS BIGINT) AS dim,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(v) AS sx, sum(v * v) AS sx2,
+                 round(min(v), 6) AS vmin, round(max(v), 6) AS vmax
+                FROM v GROUP BY 1)
+          SELECT dim, n, round(sx / n, 6) AS mean,
+                 round(sqrt((sx2 - sx * sx / n) / n), 6) AS std,
+                 vmin, vmax
+          FROM a ORDER BY dim""",
     "q191_cluster_outliers" ->
       s"""WITH asg AS ($kmeansAsgSql),
           w AS (SELECT vec_id, cluster, dist,

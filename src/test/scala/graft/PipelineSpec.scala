@@ -2814,6 +2814,72 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ctfidf keywords: brute class-rate recomputation agrees, 5 per class") {
+    val rows = Pipeline.queries("q194_ctfidf_keywords")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val docs = Tables(spark, sf).documents
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).trim.split("\\s+").toSeq))
+    val byClass = docs.groupBy(_._1).map { case (s2, ds) => s2 -> ds.flatMap(_._2) }
+    val corpus = docs.flatMap(_._2).groupBy(identity).map { case (t, o) => t -> o.length }
+    val tTok = docs.map(_._2.length).sum
+    val nCls = byClass.size
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length), s"$src ranks")
+      assert(rs.length == math.min(5, byClass(src).distinct.length))
+      rs.foreach { case (_, _, tok, score) =>
+        val tfc = byClass(src).count(_ == tok)
+        val brute = tfc.toDouble / byClass(src).length *
+          math.log(1.0 + tTok.toDouble / (nCls.toLong * corpus(tok)))
+        assert(math.abs(score - brute) < 2e-6, s"$src/$tok $score vs $brute")
+      }
+      // top-5 really is the max: no unlisted token beats the floor
+      val floorScore = rs.map(_._4).min
+      val all = byClass(src).distinct.map { tok =>
+        byClass(src).count(_ == tok).toDouble / byClass(src).length *
+          math.log(1.0 + tTok.toDouble / (nCls.toLong * corpus(tok)))
+      }.sorted.reverse
+      if (all.length > 5) assert(all(5) <= floorScore + 2e-6)
+    }
+  }
+
+  test("token burstiness: brute VMR recomputation agrees, content words burst") {
+    val rows = Pipeline.queries("q195_token_burstiness")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docs = Tables(spark, sf).documents.select(col("text")).collect()
+      .map(_.getString(0).trim.split("\\s+").toSeq)
+    val n = docs.length.toLong
+    val vocab = docs.flatten.distinct
+    assert(rows.length == vocab.length)
+    rows.foreach { case (tok, tf, df, vmr) =>
+      val xs = docs.map(_.count(_ == tok).toLong).filter(_ > 0)
+      assert(tf == xs.sum && df == xs.length)
+      val brute = (n * xs.map(x => x * x).sum - tf * tf).toDouble / (n * tf)
+      assert(math.abs(vmr - brute) < 2e-6, s"$tok vmr $vmr vs $brute")
+    }
+    // order is vmr desc with token tie-break
+    assert(rows.sliding(2).forall(w => w.length < 2 || w(0)._4 > w(1)._4 ||
+      (w(0)._4 == w(1)._4 && w(0)._1 < w(1)._1)))
+  }
+
+  test("embedding dim stats: brute per-dimension recomputation agrees") {
+    val rows = Pipeline.queries("q196_embedding_dim_stats")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == 64 && rows.map(_._1).toSeq == (0L until 64L))
+    val vecs = Tables(spark, sf).embeddings.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    rows.foreach { case (dim, n, mean, std, vmin, vmax) =>
+      val vs = vecs.map(_(dim.toInt))
+      assert(n == vs.length)
+      assert(math.abs(mean - vs.sum / n) < 2e-6)
+      val bstd = math.sqrt((vs.map(v => v * v).sum - vs.sum * vs.sum / n) / n)
+      assert(math.abs(std - bstd) < 2e-6, s"dim $dim std $std vs $bstd")
+      assert(math.abs(vmin - vs.min) < 2e-6 && math.abs(vmax - vs.max) < 2e-6)
+      assert(vmin <= mean && mean <= vmax && std >= 0.0)
+    }
+  }
+
   test("ann recall audit equals the locally-joined q36/q57 intersection") {
     val audit = Pipeline.queries("q158_ann_recall_audit")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)

@@ -57,7 +57,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // q187's summary row crosses four broadcast ONE-ROW counts
     "q187_knn_graph_stats",
     // q190 crosses the pair table against two broadcast ONE-ROW totals
-    "q190_pmi_pairs")
+    "q190_pmi_pairs",
+    // q194/q195 cross class/token cells against broadcast ONE-ROW totals
+    "q194_ctfidf_keywords", "q195_token_burstiness")
 
   test("no unplanned cartesian products or nested-loop joins") {
     val offenders = Seq.newBuilder[String]
@@ -331,7 +333,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "q192_winsorized_stats" -> 2,
     // q193: the per-user rollup, the quartile windows' single
     // partition, the 64-cell agg + presentation sort ride on it
-    "q193_rfm_segments" -> 3)
+    "q193_rfm_segments" -> 3,
+    // q194: the (source, token) agg (class-total window reuses it) +
+    // the vocab marginal agg + presentation sort; totals broadcast
+    "q194_ctfidf_keywords" -> 3,
+    // q195: the (doc, token) agg + vocab rollup; doc total broadcast
+    "q195_token_burstiness" -> 2,
+    // q196: the 64-cell dim agg + presentation sort
+    "q196_embedding_dim_stats" -> 2)
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
