@@ -3314,15 +3314,18 @@ object Pipeline {
       // transitivity diagnostic behind graph-based dedup and community
       // detection (near-dup neighborhoods should be clique-like; a low
       // coefficient means the neighbor threshold is mixing clusters).
-      // Scale shape: the only quadratic is WITHIN a cell, and at corpus
-      // scale K grows with the data so cells stay constant-size
-      // (q93/q115's ~125-vec contract); edges are <= 3 per vertex by
-      // construction, so the wedge join is degree-bounded (<= C(6,2)
-      // per vertex), never corpus-quadratic. Triangle counting is the
-      // standard closed-wedge form: each triangle closes exactly 3
-      // wedges (one per center), so n_triangles = closed/3 — integer
-      // on both engines.
-      val K = 16
+      // Scale shape: the only quadratic is WITHIN a cell, and K GROWS
+      // with the corpus (max(16, n/125), q93/q115's contract) so cells
+      // stay ~constant-size and per-vector work is flat — the fixed
+      // K=16 form measured 17x for 10x data on the sf1 ladder before
+      // this was made adaptive (PERF_NOTES round-11h); edges are <= 3
+      // per vertex by construction, so the wedge join is
+      // degree-bounded (<= C(6,2) per vertex), never corpus-quadratic.
+      // Triangle counting is the standard closed-wedge form: each
+      // triangle closes exactly 3 wedges (one per center), so
+      // n_triangles = closed/3 — integer on both engines.
+      val n: Long = memo(embCount, dir)(Tables(s, dir).embeddings.count())
+      val K = math.max(16L, n / 125L).toInt
       val e = Tables(s, dir).embeddings
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
         .withColumn("ss", dot_product(col("emb"), col("emb")))
@@ -3631,6 +3634,63 @@ object Pipeline {
             .as("std"),
           col("vmin"), col("vmax"))
         .orderBy(col("dim"))
+    },
+
+    "q197_source_diversity" -> { (s, dir) =>
+      // Per-source lexical diversity — the corpus-mixing readout
+      // (diverse sources up-weighted, repetitive ones down-weighted in
+      // a data mixture): Shannon entropy in the sum-of-c*ln(c) form
+      // H = ln(N) - sum(c*ln(c))/N (one ln per VOCAB CELL, never per
+      // token — the q132 trick), Simpson concentration
+      // sum(c*(c-1))/(N*(N-1)) from exact integers, and type-token
+      // ratio. Scale shape: ONE (source, token) count agg with
+      // map-side partials, then a |sources|-row rollup; nothing
+      // global, no windows.
+      Tables(s, dir).documents
+        .select(col("source"), explode(toks(col("text"))).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("clnc"),
+          sum(col("c") * (col("c") - 1)).as("cc1"))
+        .select(col("source"), col("n_tokens"), col("vocab"),
+          round(log(col("n_tokens").cast("double")) -
+            col("clnc") / col("n_tokens"), 6).as("shannon"),
+          round(col("cc1").cast("double") /
+            (col("n_tokens") * (col("n_tokens") - 1)).cast("double"), 6)
+            .as("simpson"),
+          round(col("vocab").cast("double") / col("n_tokens"), 6).as("ttr"))
+        .orderBy(col("source"))
+    },
+
+    "q198_zipf_fit" -> { (s, dir) =>
+      // Zipf's-law fit over the corpus vocabulary: OLS slope and R^2 of
+      // ln(freq) against ln(rank) — the distributional sanity check a
+      // curation pipeline runs on tokenizer output (natural text slopes
+      // ~ -1; synthetic/boilerplate corpora flatten). Ranks are exact
+      // integers (freq desc, token tie-break); the five OLS sums run
+      // over VOCABULARY cells (q150's closed form in log space), so the
+      // only FP freedom is the order of a |vocab|-term sum, absorbed by
+      // round 6. Scale shape: one token count agg, one |vocab| window
+      // rank, one single-row rollup.
+      val vocab = Tables(s, dir).documents
+        .select(explode(toks(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .withColumn("rnk", row_number()
+          .over(Window.orderBy(col("freq").desc, col("token"))).cast("long"))
+        .select(log(col("rnk").cast("double")).as("x"),
+          log(col("freq").cast("double")).as("y"))
+      vocab
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("n").as("n_types"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
+          round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+             (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
     },
 
     "q122_cms_heavy_hitters" -> { (s, dir) =>
@@ -5235,7 +5295,22 @@ object Pipeline {
                    AS brier
           FROM bb GROUP BY bin ORDER BY bin""",
     "q187_knn_graph_stats" ->
-      s"""WITH $ivfAsgCte,
+      s"""WITH kk AS (SELECT greatest(16, CAST(count(*) // 125 AS INT)) AS nk
+                      FROM embeddings),
+          c AS (SELECT vec_id, embedding,
+             list_transform(range(0, nk), k -> list_sum(list_transform(range(1, 65), i ->
+               CAST(embedding[i] AS DOUBLE) *
+               (CASE WHEN (md5_number_lower('ivf_' || k::VARCHAR || '_' || (i-1)::VARCHAR) & 1) = 1
+                     THEN 1.0 ELSE -1.0 END)))) AS dots,
+             list_sum(list_transform(range(1, 65), i ->
+               CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS ss
+           FROM embeddings, kk),
+          d AS (SELECT vec_id, embedding, ss, k, dots[CAST(k AS INT) + 1] AS dot
+                FROM (SELECT vec_id, embedding, ss, dots, unnest(range(0, nk)) AS k
+                      FROM c, kk)),
+          asg AS (SELECT vec_id, embedding, ss, k AS cell,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, k) AS rk FROM d),
+          data AS (SELECT vec_id, embedding, ss, cell FROM asg WHERE rk = 1),
           knn AS (SELECT vec_id, nb FROM (
               SELECT a.vec_id, b.vec_id AS nb,
                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
@@ -5281,6 +5356,37 @@ object Pipeline {
                    / CAST(n_users * total_cents AS DOUBLE), 6) AS gini,
                  round(CAST(top1 AS DOUBLE) / total_cents, 6) AS top1_share,
                  round(CAST(top10 AS DOUBLE) / total_cents, 6) AS top10_share
+          FROM g""",
+    "q197_source_diversity" ->
+      s"""WITH c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT source, unnest($tokSql) AS token FROM documents)
+              GROUP BY 1, 2),
+          a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS vocab,
+                 sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc,
+                 CAST(sum(c * (c - 1)) AS BIGINT) AS cc1
+                FROM c GROUP BY 1)
+          SELECT source, n_tokens, vocab,
+                 round(ln(CAST(n_tokens AS DOUBLE)) - clnc / n_tokens, 6)
+                   AS shannon,
+                 round(CAST(cc1 AS DOUBLE)
+                   / CAST(n_tokens * (n_tokens - 1) AS DOUBLE), 6) AS simpson,
+                 round(CAST(vocab AS DOUBLE) / n_tokens, 6) AS ttr
+          FROM a ORDER BY source""",
+    "q198_zipf_fit" ->
+      s"""WITH f AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+              FROM (SELECT unnest($tokSql) AS token FROM documents)
+              GROUP BY 1),
+          xy AS (SELECT ln(CAST(row_number() OVER
+                   (ORDER BY freq DESC, token) AS DOUBLE)) AS x,
+                 ln(CAST(freq AS DOUBLE)) AS y FROM f),
+          g AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+                FROM xy)
+          SELECT n AS n_types,
+                 round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+                 round(power(n * sxy - sx * sy, 2) /
+                   ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
           FROM g""",
     "q194_ctfidf_keywords" ->
       s"""WITH tk AS (SELECT source, unnest($tokSql) AS token FROM documents),

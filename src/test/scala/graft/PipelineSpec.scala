@@ -2636,9 +2636,10 @@ class PipelineSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding")).collect()
       .map(row => (row.getLong(0), row.getSeq[Float](1).map(_.toDouble).toArray))
     assert(nv == vecs.length)
+    val kCells = math.max(16, vecs.length / 125)
     def dot(a: Array[Double], b: Array[Double]) =
       a.indices.map(i => a(i) * b(i)).sum
-    def cell(v: Array[Double]): Int = (0 until 16).map { k =>
+    def cell(v: Array[Double]): Int = (0 until kCells).map { k =>
       val d = v.indices.map(i => v(i) * (if ((graft.expressions.SketchKernel
         .md5Lower64(s"ivf_${k}_$i".getBytes("UTF-8")) & 1L) == 1L) 1.0 else -1.0)).sum
       (k, d)
@@ -2878,6 +2879,51 @@ class PipelineSpec extends SparkSpec {
       assert(math.abs(vmin - vs.min) < 2e-6 && math.abs(vmax - vs.max) < 2e-6)
       assert(vmin <= mean && mean <= vmax && std >= 0.0)
     }
+  }
+
+  test("source diversity: brute entropy/simpson/ttr recomputation agrees") {
+    val rows = Pipeline.queries("q197_source_diversity")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val docs = Tables(spark, sf).documents
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).trim.split("\\s+").toSeq))
+      .groupBy(_._1).map { case (s2, ds) => s2 -> ds.flatMap(_._2) }
+    assert(rows.map(_._1).toSet == docs.keySet)
+    rows.foreach { case (src, nTok, vocab, shannon, simpson, ttr) =>
+      val toks2 = docs(src)
+      val counts = toks2.groupBy(identity).map(_._2.length.toLong)
+      assert(nTok == toks2.length && vocab == counts.size)
+      val n = nTok.toDouble
+      val bh = math.log(n) - counts.map(c => c * math.log(c.toDouble)).sum / n
+      assert(math.abs(shannon - bh) < 2e-6, s"$src H $shannon vs $bh")
+      val bs = counts.map(c => c * (c - 1)).sum.toDouble / (nTok * (nTok - 1))
+      assert(math.abs(simpson - bs) < 2e-6)
+      assert(math.abs(ttr - vocab.toDouble / nTok) < 2e-6)
+      assert(shannon >= 0 && simpson >= 0 && simpson <= 1)
+    }
+  }
+
+  test("zipf fit: brute log-log OLS agrees, slope negative, r2 in [0,1]") {
+    val r = Pipeline.queries("q198_zipf_fit")(spark, sf).collect().head
+    val (n, slope, r2) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    val freqs = Tables(spark, sf).documents.select(col("text")).collect()
+      .flatMap(_.getString(0).trim.split("\\s+"))
+      .groupBy(identity).toSeq.map { case (t, o) => (t, o.length.toLong) }
+      .sortBy { case (t, f) => (-f, t) }
+    assert(n == freqs.length)
+    val xy = freqs.zipWithIndex.map { case ((_, f), i) =>
+      (math.log((i + 1).toDouble), math.log(f.toDouble)) }
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val syy = xy.map(p => p._2 * p._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val bSlope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val bR2 = math.pow(n * sxy - sx * sy, 2) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(math.abs(slope - bSlope) < 2e-6, s"slope $slope vs $bSlope")
+    assert(math.abs(r2 - bR2) < 2e-6)
+    assert(slope < 0 && r2 >= 0 && r2 <= 1)
   }
 
   test("ann recall audit equals the locally-joined q36/q57 intersection") {

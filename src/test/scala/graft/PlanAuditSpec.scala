@@ -340,7 +340,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // q195: the (doc, token) agg + vocab rollup; doc total broadcast
     "q195_token_burstiness" -> 2,
     // q196: the 64-cell dim agg + presentation sort
-    "q196_embedding_dim_stats" -> 2)
+    "q196_embedding_dim_stats" -> 2,
+    // q197: the (source, token) agg + |sources| rollup + sort
+    "q197_source_diversity" -> 3,
+    // q198: the token agg + the |vocab| rank window's single
+    // partition; the OLS rollup rides on it
+    "q198_zipf_fit" -> 2)
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
