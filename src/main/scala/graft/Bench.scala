@@ -328,10 +328,6 @@ object Bench {
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(queryTimes)},"sf":"$sfDir"}""")
-    val shapeTimes = all.filterNot(kv => queryNames(kv._1))
-    if (shapeTimes.nonEmpty)
-      println(s"""{"metric":"shapes","unit":"sec","queries":${jmap(shapeTimes)}}""")
     val families = queryTimes.groupBy { case (k, _) =>
       "q(\\d+)".r.findFirstMatchIn(k).map(_.group(1).toInt).getOrElse(999) match {
         case n if n <= 19 => "relational"
@@ -341,16 +337,25 @@ object Bench {
         case _            => "scale_ops"
       }
     }.view.mapValues(_.map(_._2).filter(_ > 0).sum).toSeq.sortBy(_._1)
-    println(s"""{"metric":"families","unit":"sec","queries":${jmap(families)}}""")
-    // LAST line: a compact (<1 KB) self-contained summary — total,
-    // family subtotals, and the 15 most expensive queries. Every
-    // BENCH_r*.json so far has "parsed": null because the driver's
-    // 2000-char tail window starts mid-way through the 4 KB+ contract
-    // line; a tail-anchored capture always holds this line whole, so
-    // structured per-round comparison no longer depends on where the
-    // window happens to cut. Full precision stays in bench_last.json.
+    // The compact (<1 KB) self-contained summary — total, family
+    // subtotals, the 15 most expensive queries — prints FIRST AND LAST:
+    // the driver keeps a ~2000-char window of output, and rounds have
+    // shown it anchored at either end (BENCH_r10's capture is a HEAD
+    // slice that cuts mid-contract-line; the round-10 fix assumed a
+    // tail anchor). With the query map past 5 KB at 198 queries, no
+    // single-line layout fits the window — but a <1 KB summary at BOTH
+    // ends guarantees one complete parseable line whichever end the
+    // capture keeps. Full precision stays in bench_last.json.
     val top15 = queryTimes.filter(_._2 > 0).sortBy(-_._2).take(15)
-    println(s"""{"metric":"summary","value":${fmt(total)},"unit":"sec","n_queries":${queryTimes.size},"families":${jmap(families)},"slowest":${jmap(top15)},"sf":"$sfDir"}""")
+    val summary =
+      s"""{"metric":"summary","value":${fmt(total)},"unit":"sec","n_queries":${queryTimes.size},"families":${jmap(families)},"slowest":${jmap(top15)},"sf":"$sfDir"}"""
+    println(summary)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(queryTimes)},"sf":"$sfDir"}""")
+    val shapeTimes = all.filterNot(kv => queryNames(kv._1))
+    if (shapeTimes.nonEmpty)
+      println(s"""{"metric":"shapes","unit":"sec","queries":${jmap(shapeTimes)}}""")
+    println(s"""{"metric":"families","unit":"sec","queries":${jmap(families)}}""")
+    println(summary)
     netServer.stop(0)
     spark.stop()
   }
