@@ -3437,7 +3437,11 @@ object Pipeline {
         .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w")))
       val b = tk.select(col("doc_id").as("d2"), col("pos").as("pos2"),
         col("w").as("wb"))
-      val pairs = tk.join(b, col("doc_id") === col("d2") &&
+      // merge hint: explode wrecks size stats, and at the sf10 ladder
+      // the planner tried to BROADCAST one side of this self-join
+      // (driver OOM) — sort-merge on doc_id is the shape that holds at
+      // any corpus size (both sides shuffle once on the join key)
+      val pairs = tk.hint("merge").join(b, col("doc_id") === col("d2") &&
           col("pos2") > col("pos") && col("pos2") - col("pos") <= 3)
         .select(least(col("w"), col("wb")).as("w1"),
           greatest(col("w"), col("wb")).as("w2"))
