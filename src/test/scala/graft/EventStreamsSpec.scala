@@ -348,6 +348,33 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ewma flags a planted spike and stays quiet before it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams.EwmaCell
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // steady 10/day for 5 warm-up days, then a 3x spike: the first 5
+    // days emit nothing (warm-up), day 5 is quiet (10 < 2*ewma), day 6
+    // fires (30 > 2*ewma ~ 5.6... with the unnormalized 0.25-weight
+    // baseline ewma(5 steady days) = 0.25*10*(1-0.75^5)/0.25 ~ 7.6)
+    val counts = Seq(10L, 10L, 10L, 10L, 10L, 10L, 30L)
+    val in = MemoryStream[EwmaCell]
+    val q = graft.streaming.EventStreams.ewma(in.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("ewma_spike").start()
+    try {
+      in.addData(counts.zipWithIndex.map { case (c, d) => EwmaCell("a", d.toLong, c) }: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT day, cnt, ewma_prev, flagged FROM ewma_spike ORDER BY day")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+      assert(got.map(_._1) == Seq(5L, 6L), "warm-up days must not emit")
+      assert(!got(0)._4, "steady day must not flag")
+      assert(got(1)._4, s"3x spike must flag (ewma ${got(1)._3})")
+      // the brute closed form for day 6's baseline
+      val brute = 0.25 * (0 to 5).map(d => counts(d) * math.pow(0.75, 5 - d)).sum
+      assert(math.abs(got(1)._3 - BigDecimal(brute)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    } finally q.stop()
+  }
+
   test("streaming zone maps converge to exactly the batch q144 rows") {
     // every zone-map column is a mergeable partial agg, so the batch
     // Columns plan runs over readStream in complete mode — the
