@@ -3697,6 +3697,72 @@ object Pipeline {
              (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
     },
 
+    "q199_scd2_intervals" -> { (s, dir) =>
+      // SCD2 dimension-history build — the ETL op that turns a change
+      // log into validity intervals (Kimball type-2): per customer,
+      // consecutive runs of the same order priority collapse into
+      // [valid_from, valid_to) rows, valid_to = the next run's start
+      // (null while current). Change detection is a lag, run
+      // numbering a conditional cumsum, interval bounds a group-min,
+      // and valid_to a lead — ALL on the same hash(custkey) exchange
+      // (every window/group key starts with o_custkey, the q85 subset
+      // rule), so the order log shuffles ONCE however large it is.
+      // The q156 CDC merge consumes what this op produces.
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("od"), col("o_orderkey"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wIv = Window.partitionBy(col("o_custkey")).orderBy(col("run_id"))
+      Tables(s, dir).orders
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("od"), col("o_orderpriority"))
+        .withColumn("chg",
+          when(lag(col("o_orderpriority"), 1).over(w).isNull ||
+            lag(col("o_orderpriority"), 1).over(w) =!= col("o_orderpriority"), 1L)
+            .otherwise(0L))
+        .withColumn("run_id", sum(col("chg")).over(run))
+        .groupBy(col("o_custkey"), col("run_id"))
+        .agg(min(col("o_orderpriority")).as("priority"),
+          min(col("od")).as("valid_from"),
+          count(lit(1)).as("n_orders"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wIv))
+        .select(col("o_custkey").as("custkey"), col("run_id"), col("priority"),
+          col("valid_from"), col("valid_to"), col("n_orders"))
+        .orderBy(col("custkey"), col("run_id"))
+    },
+
+    "q200_wow_revenue" -> { (s, dir) =>
+      // Week-over-week revenue by region — the canonical BI
+      // period-over-period report, and the broadcast-dim-chain
+      // showcase: orders join customer -> nation -> region as THREE
+      // broadcast hash joins (dims are tiny at any fact scale — the
+      // 100 TB star-schema posture), facts collapse to (region, week)
+      // cells in ONE agg, and the lag/delta windows run on that
+      // calendar-bounded table. Money stays integer cents; the delta
+      // is one double division on exact integers, null on the first
+      // week of each region (both engines).
+      val t = Tables(s, dir)
+      val wk = Window.partitionBy(col("region")).orderBy(col("week"))
+      t.orders
+        .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation.select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region.select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("region"),
+          expr("datediff(od, DATE'1970-01-01') div 7").as("week"), col("cents"))
+        .groupBy(col("region"), col("week"))
+        .agg(sum(col("cents")).as("cents"))
+        .withColumn("prev_cents", lag(col("cents"), 1).over(wk))
+        .withColumn("wow_pct",
+          when(col("prev_cents").isNotNull && col("prev_cents") =!= 0,
+            round((col("cents") - col("prev_cents")).cast("double") /
+              col("prev_cents"), 6)))
+        .orderBy(col("region"), col("week"))
+    },
+
     "q122_cms_heavy_hitters" -> { (s, dir) =>
       // Heavy-hitter token counts via a Count-Min sketch (depth 4 x
       // width 1024): the frequency table that stays 16 KiB whatever the
@@ -5361,6 +5427,46 @@ object Pipeline {
                  round(CAST(top1 AS DOUBLE) / total_cents, 6) AS top1_share,
                  round(CAST(top10 AS DOUBLE) / total_cents, 6) AS top10_share
           FROM g""",
+    "q199_scd2_intervals" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+               CAST(o_orderdate AS DATE) AS od, o_orderpriority
+             FROM orders),
+          l AS (SELECT *, lag(o_orderpriority) OVER
+                 (PARTITION BY o_custkey ORDER BY od, o_orderkey) AS prev
+                FROM o),
+          c AS (SELECT *, CASE WHEN prev IS NULL OR prev <> o_orderpriority
+                 THEN 1 ELSE 0 END AS chg FROM l),
+          r AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+                 ORDER BY od, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS run_id FROM c),
+          iv AS (SELECT o_custkey AS custkey, run_id,
+                  min(o_orderpriority) AS priority,
+                  min(od) AS valid_from,
+                  CAST(count(*) AS BIGINT) AS n_orders
+                 FROM r GROUP BY 1, 2)
+          SELECT custkey, run_id, priority, valid_from,
+                 lead(valid_from) OVER (PARTITION BY custkey ORDER BY run_id)
+                   AS valid_to, n_orders
+          FROM iv ORDER BY custkey, run_id""",
+    "q200_wow_revenue" ->
+      """WITH f AS (SELECT r_name AS region,
+               (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS week,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+             FROM orders
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey),
+          g AS (SELECT region, CAST(week AS BIGINT) AS week,
+                 CAST(sum(cents) AS BIGINT) AS cents
+                FROM f GROUP BY 1, 2),
+          l AS (SELECT *, lag(cents) OVER (PARTITION BY region ORDER BY week)
+                 AS prev_cents FROM g)
+          SELECT region, week, cents, prev_cents,
+                 CASE WHEN prev_cents IS NOT NULL AND prev_cents <> 0
+                   THEN round(CAST(cents - prev_cents AS DOUBLE) / prev_cents, 6)
+                 END AS wow_pct
+          FROM l ORDER BY region, week""",
     "q197_source_diversity" ->
       s"""WITH c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
               FROM (SELECT source, unnest($tokSql) AS token FROM documents)

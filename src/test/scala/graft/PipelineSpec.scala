@@ -2926,6 +2926,69 @@ class PipelineSpec extends SparkSpec {
     assert(slope < 0 && r2 >= 0 && r2 <= 1)
   }
 
+  test("scd2 intervals: runs partition each customer's history, no gaps") {
+    val rows = Pipeline.queries("q199_scd2_intervals")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDate(3),
+        Option(r.getDate(4)), r.getLong(5)))
+    val orders = Tables(spark, sf).orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date"), col("o_orderpriority")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(2), r.getString(3)))
+    assert(rows.map(_._6).sum == orders.length, "every order lands in a run")
+    rows.groupBy(_._1).foreach { case (cust, ivs) =>
+      val sorted = ivs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length), s"$cust run ids")
+      // only the last interval is open; valid_to chains to the next start
+      sorted.sliding(2).foreach { pair =>
+        if (pair.length == 2)
+          assert(pair(0)._5.contains(pair(1)._4), s"$cust interval chain")
+      }
+      assert(sorted.last._5.isEmpty, s"$cust last interval must be open")
+      // adjacent runs carry different priorities (otherwise not a change)
+      sorted.sliding(2).foreach { pair =>
+        if (pair.length == 2) assert(pair(0)._3 != pair(1)._3, s"$cust run merge")
+      }
+      // brute replay of one customer's history
+      val hist = orders.filter(_._1 == cust)
+        .sortBy(t => (t._3.getTime, t._2)).map(_._4)
+      val runs = hist.foldLeft(Vector.empty[(String, Long)]) { (acc, p) =>
+        if (acc.nonEmpty && acc.last._1 == p) acc.init :+ (p, acc.last._2 + 1)
+        else acc :+ (p, 1L)
+      }
+      assert(sorted.map(t => (t._3, t._6)).toSeq == runs, s"$cust runs")
+    }
+  }
+
+  test("wow revenue: brute weekly rollup and deltas agree") {
+    val rows = Pipeline.queries("q200_wow_revenue")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(rows.nonEmpty)
+    val t = Tables(spark, sf)
+    val brute = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .join(t.region, col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"),
+        expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') div 7"),
+        floor(col("o_totalprice") * 100).cast("long")).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(rows.map(r => ((r._1, r._2), r._3)).toMap == brute)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.head._4.isEmpty && sorted.head._5.isEmpty, "first week null")
+      sorted.sliding(2).foreach { pair =>
+        if (pair.length == 2) {
+          assert(pair(1)._4.contains(pair(0)._3), "prev chains")
+          val exp = (pair(1)._3 - pair(0)._3).toDouble / pair(0)._3
+          assert(math.abs(pair(1)._5.get - exp) < 2e-6)
+        }
+      }
+    }
+  }
+
   test("ann recall audit equals the locally-joined q36/q57 intersection") {
     val audit = Pipeline.queries("q158_ann_recall_audit")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)

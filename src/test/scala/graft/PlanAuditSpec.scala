@@ -345,7 +345,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "q197_source_diversity" -> 3,
     // q198: the token agg + the |vocab| rank window's single
     // partition; the OLS rollup rides on it
-    "q198_zipf_fit" -> 2)
+    "q198_zipf_fit" -> 2,
+    // q199: the ONE custkey exchange (lag/cumsum/group/lead all reuse
+    // it, every key starts with o_custkey) + presentation sort
+    "q199_scd2_intervals" -> 2,
+    // q200: dims broadcast; the (region, week) agg + the lag window's
+    // region exchange + presentation sort
+    "q200_wow_revenue" -> 3)
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
