@@ -3763,6 +3763,103 @@ object Pipeline {
         .orderBy(col("region"), col("week"))
     },
 
+    "q201_neyman_allocation" -> { (s, dir) =>
+      // Neyman optimal allocation (Neyman 1934) — how to split a fixed
+      // labeling/eval budget across strata: n_h proportional to
+      // N_h * sigma_h minimizes the estimator variance (vs q157's
+      // count-proportional water-filling, which ignores within-stratum
+      // spread). Per event type: N, population sigma of integer cents
+      // (exact integer moments, ONE sqrt), weight w = N*sigma, ideal
+      // share, and an integer allocation of budget=1000 by LARGEST
+      // REMAINDER (floor everything, hand the leftover units to the
+      // largest fractional parts, ties by type) — deterministic, sums
+      // to the budget exactly on both engines. Scale shape: one
+      // moments agg to |types| cells; every window after runs on that
+      // tiny table.
+      val budget = 1000L
+      val m = Tables(s, dir).events
+        .select(col("event_type"), floor(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+          sum(col("c") * col("c")).as("sx2"))
+        .withColumn("sigma",
+          sqrt((col("sx2").cast("double") - col("sx").cast("double") *
+            col("sx") / col("n")) / col("n")))
+        .withColumn("w", col("n") * col("sigma"))
+      val wAll = Window.partitionBy()
+      val wRem = Window.orderBy(col("frac").desc, col("event_type"))
+      m.withColumn("wsum", sum(col("w")).over(wAll))
+        .withColumn("ideal", col("w") / col("wsum") * budget)
+        .withColumn("base", floor(col("ideal")).cast("long"))
+        .withColumn("frac", col("ideal") - col("base"))
+        .withColumn("left", lit(budget) - sum(col("base")).over(wAll))
+        .withColumn("rk", row_number().over(wRem).cast("long"))
+        .select(col("event_type"), col("n"), round(col("sigma"), 6).as("sigma"),
+          round(col("ideal"), 6).as("ideal"),
+          (col("base") + when(col("rk") <= col("left"), 1L).otherwise(0L))
+            .as("alloc"))
+        .orderBy(col("event_type"))
+    },
+
+    "q202_bootstrap_ci" -> { (s, dir) =>
+      // Poisson bootstrap (Chamandy et al. 2012, "Estimating
+      // uncertainty for massive data streams" — the Google form of the
+      // bootstrap that needs NO resampling pass): every row gets an
+      // independent Poisson(1) weight per replicate, so each of B=40
+      // replicate means is just a weighted aggregate computed in the
+      // SAME scan. Weights are DETERMINISTIC — u = 53 md5 bits of
+      // (event_id, b) mapped through the hardcoded Poisson(1) CDF
+      // thresholds (identical double literals both engines), so
+      // re-runs and the oracle reproduce every weight exactly. Each
+      // replicate's mean is one division of exact integer sums
+      // (k <= 6, so sum(k*c) stays a long); the CI is the nearest-rank
+      // 2.5%/97.5% order statistic over the 40 replicate means. Scale
+      // shape: one scan projects 40 (b, k) pairs per row that
+      // map-side-combine to |types| x 40 cells; the rank windows run
+      // on those 200 rows. No data movement beyond one partial-agg
+      // shuffle — the whole point of the Poisson form.
+      val b40 = 40
+      val u = md5_lower64(concat(lit("bs:"), col("event_id").cast("string"),
+          lit(":"), col("b").cast("string")).cast("binary"))
+        .bitwiseAND(lit(9007199254740991L)).cast("double") /
+        lit(9007199254740992.0)
+      val k = when(u < 0.36787944117144233, 0L)
+        .when(u < 0.7357588823428847, 1L)
+        .when(u < 0.9196986029286058, 2L)
+        .when(u < 0.9810118431238462, 3L)
+        .when(u < 0.9963401531726563, 4L)
+        .when(u < 0.9994058151824183, 5L)
+        .otherwise(6L)
+      val reps = Tables(s, dir).events
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("c"))
+        .select(col("event_type"), col("event_id"), col("c"),
+          explode(sequence(lit(0), lit(b40 - 1))).as("b"))
+        .select(col("event_type"), col("b"), col("c"), k.as("k"))
+        .groupBy(col("event_type"), col("b"))
+        .agg(sum(col("k") * col("c")).as("wx"), sum(col("k")).as("w"))
+        .select(col("event_type"), col("b"),
+          round(col("wx").cast("double") / col("w"), 6).as("rep_mean"))
+      val wt = Window.partitionBy(col("event_type"))
+      val wr = Window.partitionBy(col("event_type"))
+        .orderBy(col("rep_mean"), col("b"))
+      val base = Tables(s, dir).events
+        .select(col("event_type"), floor(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c")).cast("double") / count(lit(1)), 6).as("mean"))
+      reps
+        .withColumn("rn", row_number().over(wr).cast("long"))
+        .withColumn("lo", max(when(col("rn") === 1, col("rep_mean"))).over(wt))
+        .withColumn("hi", max(when(col("rn") === 39, col("rep_mean"))).over(wt))
+        .groupBy(col("event_type"))
+        .agg(max(col("lo")).as("ci_lo"), max(col("hi")).as("ci_hi"))
+        .join(broadcast(base), "event_type")
+        .select(col("event_type"), col("n"), col("mean"),
+          col("ci_lo"), col("ci_hi"))
+        .orderBy(col("event_type"))
+    },
+
     "q122_cms_heavy_hitters" -> { (s, dir) =>
       // Heavy-hitter token counts via a Count-Min sketch (depth 4 x
       // width 1024): the frequency table that stays 16 KiB whatever the
@@ -5427,6 +5524,58 @@ object Pipeline {
                  round(CAST(top1 AS DOUBLE) / total_cents, 6) AS top1_share,
                  round(CAST(top10 AS DOUBLE) / total_cents, 6) AS top10_share
           FROM g""",
+    "q202_bootstrap_ci" ->
+      """WITH e AS (SELECT event_type, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+          x AS (SELECT event_type, b, c,
+                 CAST(md5_number_lower('bs:' || event_id || ':' || b)
+                   & 9007199254740991 AS DOUBLE) / 9007199254740992.0 AS u
+                FROM e, range(0, 40) t(b)),
+          kk AS (SELECT event_type, b, c,
+                 CASE WHEN u < 0.36787944117144233 THEN 0
+                      WHEN u < 0.7357588823428847 THEN 1
+                      WHEN u < 0.9196986029286058 THEN 2
+                      WHEN u < 0.9810118431238462 THEN 3
+                      WHEN u < 0.9963401531726563 THEN 4
+                      WHEN u < 0.9994058151824183 THEN 5
+                      ELSE 6 END AS k
+                FROM x),
+          r AS (SELECT event_type, b,
+                 round(CAST(sum(k * c) AS DOUBLE) / CAST(sum(k) AS BIGINT), 6)
+                   AS rep_mean
+                FROM kk GROUP BY 1, 2),
+          o AS (SELECT event_type, rep_mean,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                   ORDER BY rep_mean, b) AS BIGINT) AS rn FROM r),
+          ci AS (SELECT event_type,
+                  max(CASE WHEN rn = 1 THEN rep_mean END) AS ci_lo,
+                  max(CASE WHEN rn = 39 THEN rep_mean END) AS ci_hi
+                 FROM o GROUP BY 1),
+          base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                    round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS mean
+                   FROM e GROUP BY 1)
+          SELECT event_type, n, mean, ci_lo, ci_hi
+          FROM ci JOIN base USING (event_type) ORDER BY event_type""",
+    "q201_neyman_allocation" ->
+      """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS sx, CAST(sum(c * c) AS BIGINT) AS sx2
+             FROM (SELECT event_type,
+                     CAST(floor(value * 100) AS BIGINT) AS c FROM events)
+             GROUP BY 1),
+          s AS (SELECT *, sqrt((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                   / n) AS sigma FROM m),
+          w AS (SELECT *, n * sigma AS w, sum(n * sigma) OVER () AS wsum FROM s),
+          i AS (SELECT *, w / wsum * 1000 AS ideal,
+                 CAST(floor(w / wsum * 1000) AS BIGINT) AS base FROM w),
+          f AS (SELECT *, ideal - base AS frac,
+                 CAST(1000 - sum(base) OVER () AS BIGINT) AS leftover,
+                 CAST(row_number() OVER (ORDER BY ideal - base DESC, event_type)
+                   AS BIGINT) AS rk
+                FROM i)
+          SELECT event_type, n, round(sigma, 6) AS sigma,
+                 round(ideal, 6) AS ideal,
+                 base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+          FROM f ORDER BY event_type""",
     "q199_scd2_intervals" ->
       """WITH o AS (SELECT o_custkey, o_orderkey,
                CAST(o_orderdate AS DATE) AS od, o_orderpriority

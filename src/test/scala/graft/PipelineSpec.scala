@@ -2989,6 +2989,63 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("neyman allocation: sums to budget, proportional, brute sigma agrees") {
+    val rows = Pipeline.queries("q201_neyman_allocation")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(rows.map(_._5).sum == 1000L, "largest-remainder must hit the budget")
+    val data = Tables(spark, sf).events
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    rows.foreach { case (typ, n, sigma, ideal, alloc) =>
+      val cs = data(typ).map(_._2)
+      assert(n == cs.length)
+      val mean = cs.sum.toDouble / n
+      val bSigma = math.sqrt(cs.map(c => c.toDouble * c).sum / n - mean * mean)
+      assert(math.abs(sigma - bSigma) < 1e-4, s"$typ sigma $sigma vs $bSigma")
+      // integerization stays within 1 of the ideal share
+      assert(math.abs(alloc - ideal) < 1.0 + 1e-9, s"$typ alloc $alloc vs $ideal")
+    }
+    // weights really drive the split: ideal shares track n*sigma
+    val ws = rows.map(r => r._2 * r._3)
+    val tot = ws.sum
+    rows.zip(ws).foreach { case ((typ, _, _, ideal, _), w) =>
+      assert(math.abs(ideal - w / tot * 1000) < 1e-3, s"$typ share")
+    }
+  }
+
+  test("bootstrap ci: deterministic weights, brute replicate recomputation") {
+    val rows = Pipeline.queries("q202_bootstrap_ci")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    val data = Tables(spark, sf).events
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val ts = Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+    def kOf(id: Long, b: Int): Long = {
+      val u = (graft.expressions.SketchKernel.md5Lower64(
+        s"bs:$id:$b".getBytes("UTF-8")) & 9007199254740991L).toDouble /
+        9007199254740992.0
+      val i = ts.indexWhere(u < _); if (i < 0) 6L else i.toLong
+    }
+    rows.foreach { case (typ, n, mean, lo, hi) =>
+      val evs = data(typ)
+      assert(n == evs.length)
+      assert(math.abs(mean - evs.map(_._3).sum.toDouble / n) < 2e-6)
+      val reps = (0 until 40).map { b =>
+        val ks = evs.map(e => (kOf(e._2, b), e._3))
+        BigDecimal(ks.map(t => t._1 * t._2).sum.toDouble / ks.map(_._1).sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.sorted
+      assert(math.abs(lo - reps.head) < 1e-9, s"$typ lo $lo vs ${reps.head}")
+      assert(math.abs(hi - reps(38)) < 1e-9, s"$typ hi $hi vs ${reps(38)}")
+      assert(lo <= mean && mean <= hi, s"$typ mean outside CI")
+    }
+  }
+
   test("ann recall audit equals the locally-joined q36/q57 intersection") {
     val audit = Pipeline.queries("q158_ann_recall_audit")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)

@@ -351,7 +351,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "q199_scd2_intervals" -> 2,
     // q200: dims broadcast; the (region, week) agg + the lag window's
     // region exchange + presentation sort
-    "q200_wow_revenue" -> 3)
+    "q200_wow_revenue" -> 3,
+    // q201: the moments agg to |types| cells; allocation windows run
+    // on that tiny table (single partition)
+    "q201_neyman_allocation" -> 2,
+    // q202: the |types| x 40 replicate agg + the base-mean agg; rank
+    // windows run on 200 cells, base broadcast back
+    "q202_bootstrap_ci" -> 2)
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
