@@ -3624,20 +3624,10 @@ object Pipeline {
       // into a 64-cell agg with map-side partials — nothing global,
       // holds at any corpus size. Values cast to double before any
       // sum; mean/std spelled identically both engines and rounded
-      // at 6 (summation order is the only FP freedom).
-      Tables(s, dir).embeddings
-        .select(posexplode(transform(col("embedding"), _.cast("double")))
-          .as(Seq("dim", "v")))
-        .groupBy(col("dim").cast("long").as("dim"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("v")).as("sx"), sum(col("v") * col("v")).as("sx2"),
-          round(min(col("v")), 6).as("vmin"), round(max(col("v")), 6).as("vmax"))
-        .select(col("dim"), col("n"),
-          round(col("sx") / col("n"), 6).as("mean"),
-          round(sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / col("n")), 6)
-            .as("std"),
-          col("vmin"), col("vmax"))
-        .orderBy(col("dim"))
+      // at 6 (summation order is the only FP freedom). Every column is
+      // a mergeable partial, so the same plan runs over readStream in
+      // complete mode as a LIVE drift monitor (spec-pinned).
+      dimStats(Tables(s, dir).embeddings).orderBy(col("dim"))
     },
 
     "q197_source_diversity" -> { (s, dir) =>
@@ -5350,6 +5340,25 @@ object Pipeline {
          r AS (SELECT qid, vec_id, cos,
                CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk FROM p)
          SELECT qid, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""
+
+  /** q196's per-dimension stats as a reusable plan over any
+    * (embedding: array) frame. Every output is built from mergeable
+    * partials (count/sum/sumsq/min/max), so the identical Columns run
+    * over readStream in complete mode — the live embedding-drift
+    * monitor (EventStreamsSpec pins stream/batch convergence). */
+  private[graft] def dimStats(embs: DataFrame): DataFrame =
+    embs
+      .select(posexplode(transform(col("embedding"), _.cast("double")))
+        .as(Seq("dim", "v")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("sx"), sum(col("v") * col("v")).as("sx2"),
+        round(min(col("v")), 6).as("vmin"), round(max(col("v")), 6).as("vmax"))
+      .select(col("dim"), col("n"),
+        round(col("sx") / col("n"), 6).as("mean"),
+        round(sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / col("n")), 6)
+          .as("std"),
+        col("vmin"), col("vmax"))
 
   /** q114's fixed-point Lloyd's rounds unrolled as a full SELECT
     * (vec_id, cluster, dist) — the oracle for q114 itself and, wrapped

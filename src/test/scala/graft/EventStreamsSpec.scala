@@ -375,6 +375,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dim stats converge to exactly the batch q196 rows") {
+    // every q196 column is a mergeable partial agg, so the batch plan
+    // runs over readStream in complete mode — the live embedding-drift
+    // monitor for a vector ingest pipeline.
+    val ePath = s"$sf/embeddings.parquet"
+    val eDir = java.nio.file.Files.createTempDirectory("graft-emb-stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(ePath),
+      eDir.resolve("embeddings.parquet"))
+    val batchEmb = spark.read.parquet(ePath)
+    val stream = spark.readStream.schema(batchEmb.schema).parquet(eDir.toString)
+    val q = graft.queries.Pipeline.dimStats(stream)
+      .writeStream.outputMode("complete").format("memory").queryName("ds_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM ds_out").collect()
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      val batch = graft.queries.Pipeline.queries("q196_embedding_dim_stats")(spark, sf)
+        .collect().map(_.toSeq)
+      assert(got.length == 64 && got.toSeq == batch.toSeq)
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(eDir.toFile)
+    }
+  }
+
   test("streaming zone maps converge to exactly the batch q144 rows") {
     // every zone-map column is a mergeable partial agg, so the batch
     // Columns plan runs over readStream in complete mode — the
