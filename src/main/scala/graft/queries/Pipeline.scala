@@ -3318,7 +3318,7 @@ object Pipeline {
       // with the corpus (max(16, n/125), q93/q115's contract) so cells
       // stay ~constant-size and per-vector work is flat — the fixed
       // K=16 form measured 17x for 10x data on the sf1 ladder before
-      // this was made adaptive (PERF_NOTES round-11h); edges are <= 3
+      // this was made adaptive (PERF_NOTES round-12a); edges are <= 3
       // per vertex by construction, so the wedge join is
       // degree-bounded (<= C(6,2) per vertex), never corpus-quadratic.
       // Triangle counting is the standard closed-wedge form: each
