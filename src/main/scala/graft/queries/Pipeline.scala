@@ -3850,6 +3850,76 @@ object Pipeline {
         .orderBy(col("event_type"))
     },
 
+    "q203_diff_in_diff" -> { (s, dir) =>
+      // Difference-in-differences readout — the experiment-analysis
+      // estimator when arms differ at baseline: DiD =
+      // (treat_post - treat_pre) - (ctrl_post - ctrl_pre) over mean
+      // purchase cents, arms from q171's deterministic id-hash (same
+      // "ab:" salt so the two readouts describe the SAME experiment),
+      // periods split at the integer midpoint of the observed day
+      // span (one 2-scalar agg, broadcast back as plan input). Every
+      // cell mean is one division of exact integer sums; the double
+      // subtractions combine identically-computed values, so both
+      // engines agree bit-for-bit before the 6dp round. Scale shape:
+      // purchases collapse to FOUR (arm, period) cells in one
+      // map-side-combined agg; the driver only moves the day bounds.
+      val e = Tables(s, dir).events
+      val arm = pmod(md5_lower64(concat(lit("ab:"),
+        col("user_id").cast("string")).cast("binary")), lit(2L))
+      val days = e.select(Tables.eventMicros(e).as("tus"))
+        .select(expr("tus DIV 86400000000").as("day"))
+        .agg(min(col("day")), max(col("day"))).head
+      val cutoff = (days.getLong(0) + days.getLong(1) + 1L) / 2L
+      val cells = e.filter(col("event_type") === "purchase")
+        .select(arm.as("arm"), Tables.eventMicros(e).as("tus"),
+          floor(col("value") * 100).cast("long").as("c"))
+        .select(col("arm"),
+          (expr("tus DIV 86400000000") >= cutoff).as("post"), col("c"))
+        .groupBy(col("arm"), col("post"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+        .withColumn("m", col("sc").cast("double") / col("n"))
+      def cell(a: Int, p: Boolean) =
+        max(when(col("arm") === a && col("post") === p, col("m")))
+      cells.agg(sum(col("n")).as("n_purchases"),
+          cell(1, false).as("treat_pre"), cell(1, true).as("treat_post"),
+          cell(0, false).as("ctrl_pre"), cell(0, true).as("ctrl_post"))
+        .select(col("n_purchases"),
+          round(col("treat_pre"), 6).as("treat_pre"),
+          round(col("treat_post"), 6).as("treat_post"),
+          round(col("ctrl_pre"), 6).as("ctrl_pre"),
+          round(col("ctrl_post"), 6).as("ctrl_post"),
+          round((col("treat_post") - col("treat_pre")) -
+            (col("ctrl_post") - col("ctrl_pre")), 6).as("did_cents"))
+    },
+
+    "q204_capture_recapture" -> { (s, dir) =>
+      // Capture-recapture (Lincoln-Petersen) corpus-universe estimate —
+      // "how many DISTINCT documents would full dedup leave" from two
+      // small independent hash samples instead of a full exact count:
+      // draw sample A (md5 "cap_a:" of the content fingerprint, low 3
+      // bits = 0 -> ~1/8) and sample B (independent "cap_b:" salt),
+      // count distinct fingerprints in each and in the overlap, then
+      // N_hat = |A|*|B|/|A∩B| (Chapman's +1 bias correction, exact
+      // integers until the one division). The exact distinct count
+      // rides alongside as the audit (q121's sketch-vs-exact posture).
+      // Scale shape: two map-side sample filters + distinct aggs over
+      // ~1/8 of fingerprints each; the full-corpus exact audit is the
+      // expensive column, the estimator never touches unsampled rows.
+      val d = Tables(s, dir).documents
+        .select(md5(col("text").cast("binary")).as("fp"))
+      val inA = md5_lower64(concat(lit("cap_a:"), col("fp"))
+        .cast("binary")).bitwiseAND(lit(7L)) === 0L
+      val inB = md5_lower64(concat(lit("cap_b:"), col("fp"))
+        .cast("binary")).bitwiseAND(lit(7L)) === 0L
+      d.agg(countDistinct(col("fp")).as("exact_distinct"),
+          countDistinct(when(inA, col("fp"))).as("n_a"),
+          countDistinct(when(inB, col("fp"))).as("n_b"),
+          countDistinct(when(inA && inB, col("fp"))).as("n_ab"))
+        .select(col("exact_distinct"), col("n_a"), col("n_b"), col("n_ab"),
+          round((col("n_a") + 1).cast("double") * (col("n_b") + 1) /
+            (col("n_ab") + 1) - 1.0, 6).as("n_hat"))
+    },
+
     "q122_cms_heavy_hitters" -> { (s, dir) =>
       // Heavy-hitter token counts via a Count-Min sketch (depth 4 x
       // width 1024): the frequency table that stays 16 KiB whatever the
@@ -5565,6 +5635,50 @@ object Pipeline {
                    FROM e GROUP BY 1)
           SELECT event_type, n, mean, ci_lo, ci_hi
           FROM ci JOIN base USING (event_type) ORDER BY event_type""",
+    "q203_diff_in_diff" ->
+      """WITH d AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+               AS mn, max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS mx
+             FROM events),
+          p AS (SELECT CAST(md5_number_lower('ab:' || user_id) & 1 AS BIGINT)
+                   AS arm,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                   >= (SELECT (mn + mx + 1) // 2 FROM d) AS post,
+                 CAST(floor(value * 100) AS BIGINT) AS c
+                FROM events WHERE event_type = 'purchase'),
+          cells AS (SELECT arm, post, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(c) AS BIGINT) AS sc FROM p GROUP BY 1, 2),
+          m AS (SELECT arm, post, n, CAST(sc AS DOUBLE) / n AS m FROM cells),
+          w AS (SELECT CAST(sum(n) AS BIGINT) AS n_purchases,
+                 max(CASE WHEN arm = 1 AND NOT post THEN m END) AS treat_pre,
+                 max(CASE WHEN arm = 1 AND post THEN m END) AS treat_post,
+                 max(CASE WHEN arm = 0 AND NOT post THEN m END) AS ctrl_pre,
+                 max(CASE WHEN arm = 0 AND post THEN m END) AS ctrl_post
+                FROM m)
+          SELECT n_purchases, round(treat_pre, 6) AS treat_pre,
+                 round(treat_post, 6) AS treat_post,
+                 round(ctrl_pre, 6) AS ctrl_pre,
+                 round(ctrl_post, 6) AS ctrl_post,
+                 round((treat_post - treat_pre) - (ctrl_post - ctrl_pre), 6)
+                   AS did_cents
+          FROM w""",
+    "q204_capture_recapture" ->
+      """WITH f AS (SELECT md5(text) AS fp FROM documents),
+          g AS (SELECT CAST(count(DISTINCT fp) AS BIGINT) AS exact_distinct,
+                 CAST(count(DISTINCT CASE WHEN
+                   (md5_number_lower('cap_a:' || fp) & 7) = 0 THEN fp END)
+                   AS BIGINT) AS n_a,
+                 CAST(count(DISTINCT CASE WHEN
+                   (md5_number_lower('cap_b:' || fp) & 7) = 0 THEN fp END)
+                   AS BIGINT) AS n_b,
+                 CAST(count(DISTINCT CASE WHEN
+                   (md5_number_lower('cap_a:' || fp) & 7) = 0 AND
+                   (md5_number_lower('cap_b:' || fp) & 7) = 0 THEN fp END)
+                   AS BIGINT) AS n_ab
+                FROM f)
+          SELECT exact_distinct, n_a, n_b, n_ab,
+                 round(CAST(n_a + 1 AS DOUBLE) * (n_b + 1) / (n_ab + 1) - 1.0, 6)
+                   AS n_hat
+          FROM g""",
     "q201_neyman_allocation" ->
       """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(c) AS BIGINT) AS sx, CAST(sum(c * c) AS BIGINT) AS sx2

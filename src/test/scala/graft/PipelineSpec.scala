@@ -3046,6 +3046,58 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("diff in diff: brute cell means and estimate agree, arms match q171") {
+    val r = Pipeline.queries("q203_diff_in_diff")(spark, sf).collect().head
+    val (nP, tPre, tPost, cPre, cPost, did) = (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    val e = Tables(spark, sf).events
+    val raw = e.select(col("user_id"), col("event_type"),
+        Tables.eventMicros(e).as("tus"),
+        floor(col("value") * 100).cast("long").as("c")).collect()
+      .map(row => (row.getLong(0), row.getString(1), row.getLong(2) / 86400000000L,
+        row.getLong(3)))
+    val (mn, mx) = (raw.map(_._3).min, raw.map(_._3).max)
+    val cutoff = (mn + mx + 1) / 2
+    def armOf(u: Long): Long =
+      graft.expressions.SketchKernel.md5Lower64(s"ab:$u".getBytes("UTF-8")) & 1L
+    val purch = raw.filter(_._2 == "purchase")
+    assert(nP == purch.length)
+    def cellMean(a: Long, post: Boolean): Double = {
+      val cs = purch.filter(p => armOf(p._1) == a && (p._3 >= cutoff) == post)
+      cs.map(_._4).sum.toDouble / cs.length
+    }
+    assert(math.abs(tPre - cellMean(1, post = false)) < 2e-6)
+    assert(math.abs(tPost - cellMean(1, post = true)) < 2e-6)
+    assert(math.abs(cPre - cellMean(0, post = false)) < 2e-6)
+    assert(math.abs(cPost - cellMean(0, post = true)) < 2e-6)
+    assert(math.abs(did - ((cellMean(1, true) - cellMean(1, false)) -
+      (cellMean(0, true) - cellMean(0, false)))) < 5e-6)
+  }
+
+  test("capture recapture: brute sample recount, estimator sane on dup-free corpus") {
+    val r = Pipeline.queries("q204_capture_recapture")(spark, sf).collect().head
+    val (exact, nA, nB, nAB, nHat) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4))
+    val fps = Tables(spark, sf).documents.select(col("text")).collect()
+      .map(row => {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(row.getString(0).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }).distinct
+    assert(exact == fps.length)
+    def in(salt: String, fp: String): Boolean =
+      (graft.expressions.SketchKernel.md5Lower64(
+        s"$salt$fp".getBytes("UTF-8")) & 7L) == 0L
+    val a = fps.filter(in("cap_a:", _)).toSet
+    val b = fps.filter(in("cap_b:", _)).toSet
+    assert(nA == a.size && nB == b.size && nAB == (a & b).size)
+    val brute = (nA + 1.0) * (nB + 1) / (nAB + 1) - 1.0
+    assert(math.abs(nHat - brute) < 2e-6)
+    // Chapman is biased low when overlap is tiny; at minimum it must be
+    // >= the larger sample and finite
+    assert(nHat >= math.max(nA, nB) - 1e-9)
+  }
+
   test("ann recall audit equals the locally-joined q36/q57 intersection") {
     val audit = Pipeline.queries("q158_ann_recall_audit")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)

@@ -357,7 +357,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q201_neyman_allocation" -> 2,
     // q202: the |types| x 40 replicate agg + the base-mean agg; rank
     // windows run on 200 cells, base broadcast back
-    "q202_bootstrap_ci" -> 2)
+    "q202_bootstrap_ci" -> 2,
+    // q203: the FOUR (arm, period) cells + the 1-row readout fold
+    "q203_diff_in_diff" -> 2,
+    // q204: the distinct-fingerprint aggs (two-phase distinct rewrite)
+    "q204_capture_recapture" -> 2)
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
