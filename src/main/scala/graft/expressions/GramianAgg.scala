@@ -65,7 +65,12 @@ case class GramianAgg(
     val v = child.eval(row)
     if (v != null) {
       val a = v.asInstanceOf[ArrayData]
-      if (a.numElements() == d) b.add(a)
+      // fail LOUDLY on a wrong-dimension vector (TopK's posture for
+      // contract violations) — silently skipping would yield an
+      // all-zero Gramian and a wrong eigensolve downstream
+      require(a.numElements() == d,
+        s"gramian input vector has ${a.numElements()} elements, expected $d")
+      b.add(a)
     }
     b
   }

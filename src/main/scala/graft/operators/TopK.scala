@@ -18,8 +18,9 @@ import graft.functions.min_k
   *
   * Packing contract (caller-checked by require):
   * - key in [0, 2^32): rides the low 32 bits
-  * - value in (-2^21, 2^21]: biased by 2^22 into the high bits, so
-  *   ascending packed order == (value desc, key asc)
+  * - value in (-2^22, 2^22]: biased by 2^23 total offset (2 * Bias,
+  *   Bias = 1L << 22) into the high bits, so ascending packed order
+  *   == (value desc, key asc)
   * Decode is integer shifts — packed longs pass 2^53, a double divide
   * would corrupt them.
   */

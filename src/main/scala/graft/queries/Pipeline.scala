@@ -2501,9 +2501,9 @@ object Pipeline {
       // (epoch day 0 = Thursday; +4 makes Sunday 0), no timezone
       // functions — identical on both engines.
       val ev = Tables(s, dir).events
-      val dow = pmod(Tables.eventMicros(ev).cast("long")
-        .divide(lit(86400000000L)).cast("long") + 4, lit(7))
-      ev.select(dow.as("dow"), col("event_type"))
+      ev.select(Tables.eventMicros(ev).as("tus"), col("event_type"))
+        .select(pmod(expr("tus DIV 86400000000") + 4, lit(7)).as("dow"),
+          col("event_type"))
         .groupBy(col("dow"))
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
@@ -2608,9 +2608,8 @@ object Pipeline {
       // (q148's posture). Edge days without a full 7-day window are
       // excluded from the index (count-gated), not zero-filled.
       val ev = Tables(s, dir).events
-      val cells = ev.select(col("event_type"),
-        Tables.eventMicros(ev).cast("long").divide(lit(86400000000L))
-          .cast("long").as("day"))
+      val cells = ev.select(col("event_type"), Tables.eventMicros(ev).as("tus"))
+        .select(col("event_type"), expr("tus DIV 86400000000").as("day"))
         .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
       val wma = Window.partitionBy(col("event_type")).orderBy(col("day"))
         .rangeBetween(-3, 3)
@@ -2755,9 +2754,9 @@ object Pipeline {
       // lift gets spec-checked for equality across the two directions.
       val ev = Tables(s, dir).events
       val baskets = ev.select(col("user_id"),
-        Tables.eventMicros(ev).cast("long").divide(lit(86400000000L))
-          .cast("long").as("day"),
-        col("event_type")).distinct()
+        Tables.eventMicros(ev).as("tus"), col("event_type"))
+        .select(col("user_id"), expr("tus DIV 86400000000").as("day"),
+          col("event_type")).distinct()
       // basket total rides a broadcast 1-row agg (q124's bounds
       // pattern), never a driver-side action
       val nB = baskets.select(col("user_id"), col("day")).distinct()
@@ -2850,9 +2849,8 @@ object Pipeline {
       // The two curves ride side by side; their agreement is the
       // audit. All windows run on day-bounded cell tables.
       val ev = Tables(s, dir).events
-      val ud = ev.select(col("user_id"),
-        Tables.eventMicros(ev).cast("long").divide(lit(86400000000L))
-          .cast("long").as("day"))
+      val ud = ev.select(col("user_id"), Tables.eventMicros(ev).as("tus"))
+        .select(col("user_id"), expr("tus DIV 86400000000").as("day"))
       val exact = ud.groupBy(col("user_id")).agg(min(col("day")).as("day"))
         .groupBy(col("day")).agg(count(lit(1)).as("nf"))
       // every active day appears in the output, not just first-seen days
@@ -2994,13 +2992,13 @@ object Pipeline {
       val nullVal = row("events_null_value",
         ev.agg(sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_bad")),
         ev.agg(count(lit(1)).as("n_total")))
-      val day = Tables.eventMicros(ev).cast("long").divide(lit(86400000000L))
-        .cast("long")
+      val dayRows = ev.select(Tables.eventMicros(ev).as("tus"))
+        .select(expr("tus DIV 86400000000").as("day"))
       val gaps = row("events_missing_days",
-        ev.select(day.as("day")).agg(
+        dayRows.agg(
           (max(col("day")) - min(col("day")) + 1 - countDistinct(col("day")))
             .as("n_bad")),
-        ev.select(day.as("day")).agg(
+        dayRows.agg(
           (max(col("day")) - min(col("day")) + 1).as("n_total")))
       orphanLi.unionAll(orphanO).unionAll(dupKeys).unionAll(nullVal)
         .unionAll(gaps)
@@ -3828,8 +3826,14 @@ object Pipeline {
         .select(col("event_type"), col("b"), col("c"), k.as("k"))
         .groupBy(col("event_type"), col("b"))
         .agg(sum(col("k") * col("c")).as("wx"), sum(col("k")).as("w"))
+        // an all-zero-weight replicate (P ~ e^-n per (type, b) —
+        // unreachable at fixture scale) would make wx/w null and
+        // silently shift the rn=1/rn=39 CI picks: fail loudly instead
         .select(col("event_type"), col("b"),
-          round(col("wx").cast("double") / col("w"), 6).as("rep_mean"))
+          when(col("w") > 0, round(col("wx").cast("double") / col("w"), 6))
+            .otherwise(raise_error(concat(lit("q202: degenerate replicate "),
+              col("event_type"), lit("/"), col("b").cast("string"),
+              lit(" has zero total weight")))).as("rep_mean"))
       val wt = Window.partitionBy(col("event_type"))
       val wr = Window.partitionBy(col("event_type"))
         .orderBy(col("rep_mean"), col("b"))

@@ -275,7 +275,13 @@ object EventStreams {
         (ty: String, rows: Iterator[EwmaCell], state: GroupState[EwmaState]) =>
           var st = state.getOption.getOrElse(EwmaState(0.0, Long.MinValue, 0L))
           val out = Vector.newBuilder[EwmaOut]
-          rows.toVector.sortBy(_.day).foreach { r =>
+          // a re-delivered or batch-split day would pass the ordering
+          // assumption (r.day == st.lastDay) yet fold its count into
+          // the decayed sum a second time, silently corrupting the
+          // baseline — drop already-folded days instead (at-least-once
+          // delivery becomes effectively-once for the state fold)
+          rows.toVector.sortBy(_.day)
+            .foreach { r => if (r.day > st.lastDay) {
             if (st.nPrior >= 5) {
               val prev = BigDecimal(0.25 * st.sum *
                 math.pow(0.75, (r.day - 1 - st.lastDay).toDouble))
@@ -286,7 +292,7 @@ object EventStreams {
               if (st.nPrior == 0L) 0.0
               else st.sum * math.pow(0.75, (r.day - st.lastDay).toDouble)
             st = EwmaState(carried + r.cnt, r.day, st.nPrior + 1)
-          }
+          } }
           state.update(st)
           out.result().iterator
       }
