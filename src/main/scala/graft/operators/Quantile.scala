@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global (or per-group) ORDER STATISTICS without a
+  * single-partition sort — the scale-safe replacement for
+  * `row_number()/ntile() over (order by v)` when the window's input
+  * is corpus-scale.
+  *
+  * `ranked` computes the exact 1-based rank of every row under
+  * `(value asc, id asc)` — the same total order a global
+  * `row_number()` window would produce over an integer value column
+  * with an integer tie-break id — via the classical distributed
+  * ranking construction (range-partition, sort locally, add prefix
+  * offsets; the TeraSort shape, O'Malley 2008):
+  *
+  *   pass 0  per-group (min, max) of `value` — a 1-row-per-group agg,
+  *           broadcast back; level-1 cell = equal-width integer bucket
+  *           `(v - mn) DIV ceil(range / cells)`.
+  *   pass 1  per-cell (vlo, vhi, idlo, idhi) — at most `cells` rows
+  *           per group, broadcast back. Level-2 bucket: a cell that
+  *           holds a SINGLE distinct value (the heavy-tie case ntile
+  *           tie-breaks by id — 40% of users sharing freq=1 would
+  *           otherwise sort on one task) splits by equal-width id
+  *           ranges; a multi-valued cell refines by value over its
+  *           ACTUAL [vlo, vhi] span, dividing the occupied range by
+  *           `cells` again.
+  *   pass 2  per final (cell, subcell) counts — at most `cells`^2
+  *           bounded rows per group — cumulated by a window over that
+  *           bounded bucket table into exclusive prefix offsets plus
+  *           the group total `n`, broadcast back.
+  *   rank    `row_number()` partitioned by (group, cell, subcell),
+  *           ordered by (value, id), plus the bucket's offset.
+  *
+  * The bucket order (cell, subcell) is (value, id)-monotone by
+  * construction — cells are value-ranges; a subcell either refines
+  * the value range or, when the cell is single-valued, the id range —
+  * so local rank + offset IS the exact global rank. Every shuffle
+  * partition holds one bucket: ~n/cells rows for smooth values,
+  * ~n/cells^2 after refinement, and heavy ties spread across id
+  * buckets instead of one task. The residual ceiling (documented, not
+  * hit by any inventory query): a single value whose multiplicity
+  * exceeds n/cells AND that shares its level-1 cell with other values
+  * refines by value, not id, so its rows land in one subcell; a third
+  * refinement level would dissolve it the same way.
+  *
+  * Inputs scan `cells + 2` times more than the ntile form (three
+  * bounded aggs + the rank pass instead of one window) — but each
+  * extra pass is an identical subtree that Spark's ReuseExchange
+  * computes once, and no partition anywhere exceeds ~n/cells rows:
+  * the plan that survives a 100x scale-up.
+  *
+  * Contract: `value` and `id` are non-null integers (LONG-castable);
+  * `max(value) - min(value)` and `max(id) - min(id)` must fit a long
+  * (true for any mix of cents, epoch-days, epoch-micros and row ids);
+  * `id` need not be unique — equal (value, id) rows get arbitrary but
+  * consecutive ranks, exactly like `row_number()`.
+  */
+object Quantile {
+
+  /** All input columns, plus `rankCol` (exact 1-based rank by
+    * (`value` asc, `id` asc) within `group`) and `nCol` (group row
+    * count). `group` empty = one global ordering. */
+  def ranked(df: DataFrame, group: Seq[String], value: String, id: String,
+      rankCol: String = "rn", nCol: String = "n",
+      cells: Int = 256): DataFrame =
+    rankedWeighted(df, group, value, id, None, rankCol, nCol, null, cells)
+
+  /** `ranked` plus the exact EXCLUSIVE running sum of `weight` in
+    * rank order (`prefixCol` = sum of `weight` over all
+    * strictly-lower-ranked rows in the group) — the scale-safe form
+    * of `sum(w) over (order by v rows unbounded preceding to -1)`:
+    * the bucket offsets carry prefix WEIGHT alongside prefix count,
+    * and the local window sums only its own bounded bucket. Greedy
+    * bin-packing and budget-fill admission ride on this. */
+  def prefixSum(df: DataFrame, group: Seq[String], value: String,
+      id: String, weight: String, prefixCol: String = "prev_cum",
+      rankCol: String = "rn", nCol: String = "n",
+      cells: Int = 256): DataFrame =
+    rankedWeighted(df, group, value, id, Some(weight), rankCol, nCol,
+      prefixCol, cells)
+
+  private def rankedWeighted(df: DataFrame, group: Seq[String],
+      value: String, id: String, weight: Option[String], rankCol: String,
+      nCol: String, prefixCol: String, cells: Int): DataFrame = {
+    require(cells >= 2, s"cells must be >= 2, got $cells")
+    val C = cells.toLong
+    val gcols = group.map(col)
+    val v = s"CAST($value AS BIGINT)"
+    val i = s"CAST($id AS BIGINT)"
+
+    // pass 0: per-group value bounds (1 row per group, broadcast)
+    val b0 = (if (group.isEmpty) df.groupBy() else df.groupBy(gcols: _*))
+      .agg(expr(s"min($v)").as("__q_mn"), expr(s"max($v)").as("__q_mx"))
+    val d0 = if (group.isEmpty) df.crossJoin(broadcast(b0))
+             else df.join(broadcast(b0), group)
+    // equal-width level-1 cell over [mn, mx]; width = ceil(range / C)
+    val d1 = d0.withColumn("__q_c1",
+      expr(s"($v - __q_mn) DIV ((__q_mx - __q_mn + $C) DIV $C)"))
+
+    // pass 1: per-cell spans (<= cells rows per group, broadcast)
+    val st1 = d1.groupBy((gcols :+ col("__q_c1")): _*)
+      .agg(expr(s"min($v)").as("__q_vlo"), expr(s"max($v)").as("__q_vhi"),
+        expr(s"min($i)").as("__q_ilo"), expr(s"max($i)").as("__q_ihi"))
+    // single-valued cell -> split the TIE by id ranges; multi-valued
+    // cell -> refine by value over the cell's actual span
+    val d2 = d1.join(broadcast(st1), group :+ "__q_c1")
+      .withColumn("__q_c2", expr(s"""CASE WHEN __q_vlo = __q_vhi
+        THEN ($i - __q_ilo) DIV ((__q_ihi - __q_ilo + $C) DIV $C)
+        ELSE ($v - __q_vlo) DIV ((__q_vhi - __q_vlo + $C) DIV $C) END"""))
+
+    // pass 2: exact exclusive prefix offsets over the bounded
+    // (<= cells^2 per group) bucket table + the group total; with a
+    // weight column, prefix WEIGHT rides beside prefix count
+    val wOff = Window.partitionBy(gcols: _*)
+      .orderBy(col("__q_c1"), col("__q_c2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val aggs = count(lit(1)).as("__q_cnt") +:
+      weight.map(wn => sum(expr(s"CAST($wn AS BIGINT)")).as("__q_wsum")).toSeq
+    val off0 = d2.groupBy((gcols ++ Seq(col("__q_c1"), col("__q_c2"))): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("__q_off", coalesce(sum(col("__q_cnt")).over(wOff), lit(0L)))
+      .withColumn(nCol, sum(col("__q_cnt")).over(Window.partitionBy(gcols: _*)))
+    val off = weight.fold(off0)(_ => off0.withColumn("__q_woff",
+        coalesce(sum(col("__q_wsum")).over(wOff), lit(0L)))
+      .drop("__q_wsum")).drop("__q_cnt")
+
+    // rank pass: local sort within each bounded bucket + its offset
+    val wLoc = Window
+      .partitionBy((gcols ++ Seq(col("__q_c1"), col("__q_c2"))): _*)
+      .orderBy(expr(v), expr(i))
+    val joined = d2.join(broadcast(off), (group ++ Seq("__q_c1", "__q_c2")).toSeq)
+      .withColumn(rankCol,
+        (row_number().over(wLoc).cast("long") + col("__q_off")))
+    weight.fold(joined) { wn =>
+      joined.withColumn(prefixCol, col("__q_woff") + coalesce(
+        sum(expr(s"CAST($wn AS BIGINT)"))
+          .over(wLoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .drop("__q_woff")
+    }
+      .drop("__q_mn", "__q_mx", "__q_c1", "__q_vlo", "__q_vhi",
+        "__q_ilo", "__q_ihi", "__q_c2", "__q_off")
+  }
+
+  /** ANSI `ntile(k)` of rank `rankCol` among `nCol` rows, in closed
+    * form (the first `n mod k` buckets get `n div k + 1` rows) — so a
+    * `ranked` rank turns into the exact quartile/decile a global
+    * `ntile(k) over (order by ...)` window would assign, without the
+    * window. Both arguments are column NAMES (the expression is SQL
+    * text so the integer DIVs stay integer). */
+  def ntileOf(rankCol: String, nCol: String, k: Int): Column = {
+    require(k >= 1, s"ntile k must be >= 1, got $k")
+    val q = s"($nCol DIV $k)"
+    val r = s"($nCol % $k)"
+    expr(s"""CASE WHEN $rankCol <= $r * ($q + 1)
+      THEN ($rankCol + $q) DIV ($q + 1)
+      ELSE $r + ($rankCol - $r * ($q + 1) + $q - 1) DIV $q END""")
+  }
+}

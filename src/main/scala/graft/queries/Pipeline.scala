@@ -1495,16 +1495,20 @@ object Pipeline {
       // tokens-before-me DIV budget — the doc that crosses a boundary
       // belongs to the bin it started in). A GLOBAL pack is inherently
       // serial, so the operator packs per shard (source) by design —
-      // shards pack in parallel, one shuffle on source for the window.
+      // shards pack in parallel, and the running offset is the EXACT
+      // distributed prefix sum (operators/Quantile.prefixSum: bucket
+      // the doc_id order into range cells, cumulate per-cell token
+      // totals over the bounded cell table, local running sum within
+      // each cell) — a shard's docs never serialize into ONE window
+      // partition, which is what `sum over (partition by source)` did.
       // Budget 256 tokens keeps multiple bins per shard at test scale;
       // at 100 TB budget is the model context and shards are whatever
       // corpus partitioning exists upstream.
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables(s, dir).documents
+      val base = Tables(s, dir).documents
         .select(col("doc_id"), col("source"),
           size(toks(col("text"))).cast("long").as("n_tokens"))
-        .withColumn("prev_cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      graft.operators.Quantile.prefixSum(
+          base, Seq("source"), "doc_id", "doc_id", "n_tokens")
         .select(col("doc_id"), col("source"), col("n_tokens"),
           expr("prev_cum DIV 256").as("bin"),
           (col("prev_cum") % 256).as("bin_offset"))
@@ -1864,16 +1868,18 @@ object Pipeline {
       // re-runs and backfills admit the identical set. The hash masks
       // to 63 bits: Spark orders signed longs, DuckDB's
       // md5_number_lower is UBIGINT — the mask makes both orders the
-      // nonnegative order. One window shuffle on lang.
+      // nonnegative order. The running token total is the EXACT
+      // distributed prefix sum in (h, doc_id) order
+      // (operators/Quantile.prefixSum) — a language's docs never
+      // serialize into one window partition.
       val h = md5_lower64(concat(lit("fill:"),
         col("doc_id").cast("string")).cast("binary"))
         .bitwiseAND(lit(Long.MaxValue))
-      val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables(s, dir).documents
+      val base = Tables(s, dir).documents
         .select(col("doc_id"), col("lang"),
           size(toks(col("text"))).cast("long").as("n_tokens"), h.as("h"))
-        .withColumn("prev_cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      graft.operators.Quantile.prefixSum(
+          base, Seq("lang"), "h", "doc_id", "n_tokens")
         .filter(col("prev_cum") < 5000)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("prev_cum"))
         .orderBy(col("doc_id"))
@@ -3239,11 +3245,15 @@ object Pipeline {
       // capture (the gains curve). Every reported number is a single
       // division of EXACT integer products (n_pos*tot, n*tot_pos), so
       // engine and oracle are bit-equal. Scale shape: scoring is the
-      // q132 map-only plan-literal lookup; the global ntile runs on the
-      // (doc, score) projection — at 100 TB you'd cut deciles from a
-      // q124-style quantile sketch of the score instead of a total
-      // order; the decile CONTRACT (equal-count bins, ties broken by
-      // doc_id) is what this query pins.
+      // q132 map-only plan-literal lookup; the decile cut is the
+      // EXACT distributed rank (operators/Quantile: range-bucket +
+      // per-bucket local sort + broadcast prefix offsets) — no
+      // single-partition ntile window anywhere, yet the same
+      // equal-count, doc_id-tie-broken decile CONTRACT a global
+      // ntile(10) pins. The 6dp score maps losslessly to integer
+      // micro-units (two distinct 6dp doubles stay >= 1 apart after
+      // *1e6, FP error ~1e-10), negated so ascending rank = score
+      // descending; the windows after the cut run on 10 decile rows.
       val docs = Tables(s, dir).documents
       val tgt = docs.agg(min(col("source"))).head.getString(0)
       val t = toks(col("text"))
@@ -3251,13 +3261,13 @@ object Pipeline {
       val scored = docs.filter(hasTokens).select(col("doc_id"),
         (col("source") === tgt).as("y"),
         round(dsir_sum(t, typedlit(llr.toSeq)) / size(t), 6).as("score"))
+        .withColumn("sneg", -round(col("score") * 1e6).cast("long"))
       val wAll = Window.partitionBy()
       val wCum = Window.orderBy(col("decile"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      scored
+      graft.operators.Quantile.ranked(scored, Seq.empty, "sneg", "doc_id")
         .withColumn("decile",
-          ntile(10).over(Window.orderBy(col("score").desc, col("doc_id")))
-            .cast("long"))
+          graft.operators.Quantile.ntileOf("rn", "n", 10).cast("long"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"))
@@ -3369,21 +3379,22 @@ object Pipeline {
       // and the only FP op is the final division, bit-equal on both
       // engines. Top-k cutoffs are nearest-rank (ceil(n/100),
       // ceil(n/10)) on the descending order. Scale shape: events
-      // collapse to the per-user rollup in ONE hash shuffle; the rank
-      // windows run over |purchasing users| rows (at true 100 TB scale
-      // the ladder is a q124-style value histogram; the rank contract
-      // here is what the sketch would approximate).
+      // collapse to the per-user rollup in ONE hash shuffle; ranks
+      // come from the EXACT distributed ranking (operators/Quantile —
+      // range-bucket + local sort + prefix offsets), so no partition
+      // ever holds more than ~|users|/cells rows. The descending rank
+      // is taken as j = n - i + 1 (user_id-reversed within a cents
+      // tie, but every aggregate here is tie-blind: sum(i*x) over a
+      // tie group and the top-k cents sums are invariant under
+      // permuting equal values, so this matches the oracle's
+      // user-ascending row_number bit for bit).
       val per = Tables(s, dir).events
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), floor(col("value") * 100).cast("long").as("c"))
         .groupBy(col("user_id")).agg(sum(col("c")).as("cents"))
-      val wAsc = Window.orderBy(col("cents"), col("user_id"))
-      val wDesc = Window.orderBy(col("cents").desc, col("user_id"))
-      val wAll = Window.partitionBy()
-      per
-        .withColumn("i", row_number().over(wAsc).cast("long"))
-        .withColumn("j", row_number().over(wDesc).cast("long"))
-        .withColumn("n", count(lit(1)).over(wAll))
+      graft.operators.Quantile.ranked(per, Seq.empty, "cents", "user_id",
+          rankCol = "i")
+        .withColumn("j", col("n") - col("i") + 1)
         .agg(max(col("n")).as("n_users"),
           sum(col("cents")).as("total_cents"),
           sum(col("i") * col("cents")).as("iw"),
@@ -3466,17 +3477,19 @@ object Pipeline {
       // strays). Distances are q114's fixed-point integers, so the
       // cutoff and the flag are EXACT on both engines — no FP at all.
       // Scale shape: assignment is q114's map-only plan-literal pass;
-      // the rank window runs per-cluster on (id, cluster, dist)
-      // triples; output is the ~5% tail.
+      // the per-cluster p95 is the EXACT distributed rank
+      // (operators/Quantile — |clusters| is a small constant, so a
+      // cluster-partitioned window would put the whole corpus through
+      // k partitions; the range-bucketed rank never does), and the
+      // one-row-per-cluster cutoff table broadcasts back for the tail
+      // filter.
       val asg = queries("q114_kmeans_cluster")(s, dir)
-      val wc = Window.partitionBy(col("cluster"))
-      val wr = Window.partitionBy(col("cluster")).orderBy(col("dist"), col("vec_id"))
-      asg
-        .withColumn("rn", row_number().over(wr).cast("long"))
-        .withColumn("n", count(lit(1)).over(wc))
-        .withColumn("p95",
-          max(when(lit(20) * col("rn") <= lit(19) * col("n") + 19, col("dist")))
-            .over(wc))
+      val ranked = graft.operators.Quantile.ranked(
+        asg, Seq("cluster"), "dist", "vec_id")
+      val cuts = ranked
+        .filter(col("rn") === expr("(19 * n + 19) DIV 20"))
+        .groupBy(col("cluster")).agg(max(col("dist")).as("p95"))
+      ranked.join(broadcast(cuts), "cluster")
         .filter(col("dist") > col("p95"))
         .select(col("vec_id"), col("cluster"), col("dist"), col("p95"))
         .orderBy(col("cluster"), col("dist").desc, col("vec_id"))
@@ -3488,23 +3501,27 @@ object Pipeline {
       // mean beside the raw mean, and how many observations the clamp
       // touched — the outlier-robust preprocessing step before any
       // value model. All-integer until the two final divisions (same
-      // contract as q142's order statistics). Scale shape: ONE
-      // event_type exchange carries the rank window, the cutoff
-      // windows and the final rollup (5 groups); at true scale the
-      // cutoffs come from the q124 histogram sketch — the nearest-rank
-      // CONTRACT here is what that sketch approximates.
+      // contract as q142's order statistics). Scale shape: ranks come
+      // from the EXACT distributed ranking (operators/Quantile), so
+      // the raw events NEVER funnel into |event_type| ~ 5 partitions —
+      // every sort partition is a bounded (type, cell) bucket; the
+      // rank rows at the two nearest-rank targets collapse to a
+      // 2-values-per-type cutoff table that broadcasts back onto the
+      // same ranked scan for the clamp rollup.
       val base = Tables(s, dir).events
         .select(col("event_type"), col("event_id"),
           floor(col("value") * 100).cast("long").as("c"))
-      val wt = Window.partitionBy(col("event_type"))
-      val wr = Window.partitionBy(col("event_type")).orderBy(col("c"), col("event_id"))
-      base
-        .withColumn("rn", row_number().over(wr).cast("long"))
-        .withColumn("n", count(lit(1)).over(wt))
-        .withColumn("lo",
-          max(when(lit(20) * col("rn") <= col("n") + 19, col("c"))).over(wt))
-        .withColumn("hi",
-          max(when(lit(20) * col("rn") <= lit(19) * col("n") + 19, col("c"))).over(wt))
+      val ranked = graft.operators.Quantile.ranked(
+        base, Seq("event_type"), "c", "event_id")
+      val cuts = ranked
+        .filter(col("rn") === expr("(n + 19) DIV 20") ||
+          col("rn") === expr("(19 * n + 19) DIV 20"))
+        .groupBy(col("event_type"))
+        .agg(max(when(col("rn") === expr("(n + 19) DIV 20"), col("c")))
+            .as("lo"),
+          max(when(col("rn") === expr("(19 * n + 19) DIV 20"), col("c")))
+            .as("hi"))
+      ranked.join(broadcast(cuts), "event_type")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           max(col("lo")).as("p05_cents"), max(col("hi")).as("p95_cents"),
@@ -3520,14 +3537,19 @@ object Pipeline {
       // RFM segmentation — the classic customer-value grid: per
       // purchasing user, Recency (last purchase day), Frequency
       // (purchase count) and Monetary (total integer cents), each cut
-      // into ntile(4) quartile scores (user_id tie-break makes every
+      // into exact quartile scores (user_id tie-break makes every
       // order total), then the population rolled up per (r, f, m)
       // cell — at most 64 segments whatever the user count. Scale
       // shape: events collapse to the per-user rollup in ONE hash
-      // shuffle; the three global quartile windows run over |users|
-      // rows (at 100 TB the cuts come from a q124-style sketch; the
-      // ntile CONTRACT here is what it approximates); the final agg
-      // touches 64 cells. avg_cents is one exact integer division.
+      // shuffle; the three quartile cuts ride ONE unpivoted
+      // (dimension, value, user) pass through the EXACT distributed
+      // ranking (operators/Quantile, grouped by dimension — its
+      // id-split level matters here: freq's handful of distinct
+      // values would put 40% of users in one sort partition under a
+      // value-only bucketing), the closed-form ntile maps rank to
+      // quartile, and one user_id pivot-back reassembles the (r,f,m)
+      // triple. The final agg touches 64 cells. avg_cents is one
+      // exact integer division.
       val e = Tables(s, dir).events
       val per = e
         .filter(col("event_type") === "purchase")
@@ -3537,13 +3559,22 @@ object Pipeline {
         .groupBy(col("user_id"))
         .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
           sum(col("c")).as("cents"))
-      per
-        .withColumn("r_score", ntile(4)
-          .over(Window.orderBy(col("last_day"), col("user_id"))).cast("long"))
-        .withColumn("f_score", ntile(4)
-          .over(Window.orderBy(col("freq"), col("user_id"))).cast("long"))
-        .withColumn("m_score", ntile(4)
-          .over(Window.orderBy(col("cents"), col("user_id"))).cast("long"))
+      val dims = per.select(col("user_id"), col("cents"), explode(array(
+          struct(lit("r").as("dim"), col("last_day").as("v")),
+          struct(lit("f").as("dim"), col("freq").as("v")),
+          struct(lit("m").as("dim"), col("cents").as("v")))).as("x"))
+        .select(col("user_id"), col("cents"), col("x.dim").as("dim"),
+          col("x.v").as("v"))
+      val scored = graft.operators.Quantile.ranked(
+          dims, Seq("dim"), "v", "user_id")
+        .withColumn("score",
+          graft.operators.Quantile.ntileOf("rn", "n", 4).cast("long"))
+      scored
+        .groupBy(col("user_id"))
+        .agg(max(when(col("dim") === "r", col("score"))).as("r_score"),
+          max(when(col("dim") === "f", col("score"))).as("f_score"),
+          max(when(col("dim") === "m", col("score"))).as("m_score"),
+          first(col("cents")).as("cents"))
         .groupBy(col("r_score"), col("f_score"), col("m_score"))
         .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("total_cents"))
         .withColumn("avg_cents",
@@ -4036,32 +4067,44 @@ object Pipeline {
       // (interpolated percentiles of ~5e11-microsecond latencies
       // diverge at the double's ulp, which at that magnitude is larger
       // than any decimal rounding grid — measured before this form).
-      // The sort happens inside ONE single-row agg over the |users|
-      // rollup (sorted array in the final agg — at fact-scale inputs
-      // the q18/q124 percentile forms apply instead). Same one-shuffle
-      // funnel chain as q139 (shared funnelTimes).
+      // Scale shape: the two latency measures unpivot into ONE
+      // (measure, latency, user) stream through the EXACT distributed
+      // ranking (operators/Quantile, grouped by measure) — no
+      // collect_list-into-one-row, no measure-partition window; the
+      // value at each nearest-rank target folds to the single report
+      // row by conditional aggregation. Same one-shuffle funnel chain
+      // as q139 (shared funnelTimes). Zero converted users => the
+      // rank targets match nothing and the conditional max is NULL,
+      // the oracle's quantile-of-empty — matched instead of thrown.
       val seven = 7L * 86400000000L
       val cl = when(col("t2").isNotNull && col("t2") - col("t1") <= seven,
         col("t2") - col("t1"))
       val pl = when(col("t3").isNotNull && col("t3") - col("t1") <= seven,
         col("t3") - col("t1"))
-      // zero converted users => nearest-rank index 0, which
-      // element_at rejects (SQL arrays are 1-based); the oracle's
-      // quantile over an empty set is NULL — match it instead of
-      // throwing.
-      def rank(arr: Column, n: Column, num: Int, den: Int): Column =
-        when(n === 0, lit(null)).otherwise(element_at(arr,
-          greatest(lit(1), ((n * num + (den - 1)) / den)).cast("int")))
-      funnelTimes(Tables(s, dir).events)
-        .select(cl.as("cl"), pl.as("pl"))
-        .agg(sort_array(collect_list(col("cl"))).as("cls"),
-          sort_array(collect_list(col("pl"))).as("pls"))
-        .select(size(col("cls")).cast("long").as("n_click_conv"),
-          rank(col("cls"), size(col("cls")), 1, 2).as("click_p50_us"),
-          rank(col("cls"), size(col("cls")), 9, 10).as("click_p90_us"),
-          size(col("pls")).cast("long").as("n_purchase_conv"),
-          rank(col("pls"), size(col("pls")), 1, 2).as("purchase_p50_us"),
-          rank(col("pls"), size(col("pls")), 9, 10).as("purchase_p90_us"))
+      val lat = funnelTimes(Tables(s, dir).events)
+        .select(col("user_id"), explode(array(
+          struct(lit("c").as("m"), cl.as("v")),
+          struct(lit("p").as("m"), pl.as("v")))).as("x"))
+        .select(col("user_id"), col("x.m").as("m"), col("x.v").as("v"))
+        .filter(col("v").isNotNull)
+      graft.operators.Quantile.ranked(lat, Seq("m"), "v", "user_id")
+        .agg(
+          coalesce(max(when(col("m") === "c", col("n"))), lit(0L))
+            .as("n_click_conv"),
+          max(when(col("m") === "c" &&
+            col("rn") === expr("(n + 1) DIV 2"), col("v")))
+            .as("click_p50_us"),
+          max(when(col("m") === "c" &&
+            col("rn") === expr("(9 * n + 9) DIV 10"), col("v")))
+            .as("click_p90_us"),
+          coalesce(max(when(col("m") === "p", col("n"))), lit(0L))
+            .as("n_purchase_conv"),
+          max(when(col("m") === "p" &&
+            col("rn") === expr("(n + 1) DIV 2"), col("v")))
+            .as("purchase_p50_us"),
+          max(when(col("m") === "p" &&
+            col("rn") === expr("(9 * n + 9) DIV 10"), col("v")))
+            .as("purchase_p90_us"))
     },
 
     "q141_event_transitions" -> { (s, dir) =>

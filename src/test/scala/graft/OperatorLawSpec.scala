@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Skyline, TopK}
+import graft.operators.{Quantile, Skyline, TopK}
 import org.apache.spark.sql.functions._
 
 /** Randomized-agreement laws for the reusable operators: each result
@@ -53,6 +53,73 @@ class OperatorLawSpec extends SparkSpec {
           .map { case ((_, k, v), i) => (g, i + 1L, k, v) }
       }.sortBy(t => (t._1, t._2))
       assert(got == brute, s"trial $trial diverges")
+    }
+  }
+
+  test("quantile ranked equals sort-based row_number, heavy ties and negatives included") {
+    for ((cells, trial) <- Seq(256, 7, 2).zipWithIndex) {
+      // value range 6 over 500 rows: every value is a massive tie
+      // group, the exact shape the id-split level exists for; a
+      // non-unique id (i % 97) exercises the (v, id)-duplicate edge
+      val rows = (0 until 500).map(i =>
+        (rnd.nextInt(3).toLong, (rnd.nextInt(6) - 3).toLong, (i % 97).toLong))
+      val df = rows.toDF("g", "v", "k")
+      val got = Quantile.ranked(df, Seq("g"), "v", "k", cells = cells)
+        .select(col("g"), col("v"), col("k"), col("rn"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      // brute: per group, ranks are 1..n in (v, k) order; equal (v, k)
+      // rows are interchangeable, so compare the (v, k) sequence that
+      // the rank order induces, not per-row rank assignments
+      val brute = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        val n = rs.size.toLong
+        rs.map(r => (r._2, r._3)).sorted.zipWithIndex
+          .map { case ((v, k), i) => (g, v, k, i + 1L, n) }
+      }.sortBy(t => (t._1, t._4))
+      assert(got == brute, s"cells=$cells trial $trial diverges")
+    }
+  }
+
+  test("quantile ranked global (no group) and wide-range values agree with sort") {
+    val rows = (0 until 400).map(i =>
+      (rnd.nextLong() % 1000000000000L, i.toLong))
+    val df = rows.toDF("v", "k")
+    val got = Quantile.ranked(df, Seq.empty, "v", "k")
+      .select(col("v"), col("k"), col("rn")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3).map(t => (t._1, t._2)).toSeq
+    assert(got == rows.sorted, "global ranking diverges from sort")
+  }
+
+  test("quantile prefixSum equals the running-sum window, ties included") {
+    for (trial <- 0 until 3) {
+      val rows = (0 until 300).map(i =>
+        (rnd.nextInt(2).toLong, rnd.nextInt(9).toLong, i.toLong,
+          rnd.nextInt(50).toLong))
+      val df = rows.toDF("g", "v", "k", "w")
+      val got = Quantile.prefixSum(df, Seq("g"), "v", "k", "w")
+        .select(col("g"), col("k"), col("prev_cum")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val brute = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        val sorted = rs.sortBy(r => (r._2, r._3))
+        sorted.zipWithIndex.map { case ((_, _, k, _), i) =>
+          (g, k) -> sorted.take(i).map(_._4).sum }
+      }.toMap
+      assert(got == brute, s"trial $trial: prefix sums diverge")
+    }
+  }
+
+  test("quantile ntileOf equals the ntile window for every k and n") {
+    for (k <- Seq(1, 2, 4, 7, 10); n <- Seq(1, 3, 9, 10, 11, 40)) {
+      val df = (1 to n).map(i => (i.toLong, n.toLong)).toDF("rn", "n")
+      val got = df.select(col("rn"),
+          Quantile.ntileOf("rn", "n", k).cast("long").as("b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("rn"))
+      val ref = df.select(col("rn"), ntile(k).over(w).cast("long").as("b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(got.sameElements(ref), s"k=$k n=$n: ${got.toSeq} vs ${ref.toSeq}")
     }
   }
 

@@ -59,7 +59,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // q190 crosses the pair table against two broadcast ONE-ROW totals
     "q190_pmi_pairs",
     // q194/q195 cross class/token cells against broadcast ONE-ROW totals
-    "q194_ctfidf_keywords", "q195_token_burstiness")
+    "q194_ctfidf_keywords", "q195_token_burstiness",
+    // q185/q188's Quantile.ranked (global grouping) crosses against
+    // the broadcast ONE-ROW (mn, mx) bounds row — q124's pattern
+    "q185_decile_lift", "q188_gini_concentration")
 
   test("no unplanned cartesian products or nested-loop joins") {
     val offenders = Seq.newBuilder[String]
@@ -175,8 +178,12 @@ class PlanAuditSpec extends AnyFunSuite {
   // sharing the user_id hash) fails here, not in production.
   private val exchangeBudget = Map(
     "q15_hourly_agg" -> 2, "q30_exact_dedup" -> 2, "q84_vocab_topk" -> 2,
-    "q85_sessionize" -> 2, "q88_sequence_pack" -> 2,
-    "q101_token_budget_fill" -> 2, "q106_chunk_windows" -> 1,
+    "q85_sessionize" -> 2,
+    // q88/q101: Quantile.prefixSum's bounded-bucket passes replace
+    // the per-shard/per-lang running-sum window that serialized each
+    // shard into one partition
+    "q88_sequence_pack" -> 6,
+    "q101_token_budget_fill" -> 6, "q106_chunk_windows" -> 1,
     "q107_asof_join" -> 2,
     // q109: lang-count agg + the tiny counts window + presentation
     // sort — the corpus itself never hash-shuffles
@@ -197,9 +204,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "q136_stupid_backoff" -> 4,
     // q138: user shuffle (window + dedup share it) + matrix agg + sort
     "q138_cohort_retention" -> 3,
-    // q139/q142: ONE user shuffle + the single-row rollup
+    // q139: ONE user shuffle + the single-row rollup
     "q139_event_funnel" -> 2,
-    "q142_funnel_latency" -> 2,
+    // q142: the user shuffle + Quantile's exact-rank passes (bounds
+    // agg, per-cell stats agg, bucket-count agg, rank buckets — every
+    // partition (measure, cell)-bounded) + the 1-row report fold; the
+    // corpus-scale collect_list-into-one-row is gone
+    "q142_funnel_latency" -> 7,
     // q140: (user,day) dedup + day agg + (user,wday) dedup + wday agg
     // + the tiny agg join + sort — everything after the first dedup is
     // (users x days)-bounded
@@ -315,9 +326,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // (ReuseExchange collapses them at runtime) + presentation sort;
     // the quadratic join runs on the bounded daily table
     "q184_ewma_anomaly" -> 3,
-    // q185: scoring is map-only; ntile's single-partition exchange is
-    // the ONLY one — every later stage runs on 10 decile rows
-    "q185_decile_lift" -> 1,
+    // q185: scoring is map-only; the decile cut is Quantile's exact
+    // distributed rank (4 bounded-bucket exchanges replace the former
+    // corpus-wide single-partition ntile) — later stages run on 10
+    // decile rows
+    "q185_decile_lift" -> 7,
+    // q188: the per-user rollup + Quantile's exact-rank passes — the
+    // two former global rank windows over |users| rows are gone
+    "q188_gini_concentration" -> 7,
     // q186: the 10-cell bin agg + presentation sort
     "q186_calibration_bins" -> 2,
     // q189: the ONE quasi-identifier hash agg + presentation sort
@@ -326,14 +342,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // agg; marginals/totals broadcast; top-20 is TakeOrdered
     "q190_pmi_pairs" -> 4,
     // q191: assignment is map-only (plan-literal centroids); the
-    // cluster rank window + tail filter + presentation sort
-    "q191_cluster_outliers" -> 3,
-    // q192: ONE event_type exchange carries windows and rollup,
-    // + presentation sort
-    "q192_winsorized_stats" -> 2,
-    // q193: the per-user rollup, the quartile windows' single
-    // partition, the 64-cell agg + presentation sort ride on it
-    "q193_rfm_segments" -> 3,
+    // Quantile exact-rank passes (cluster-partitioned windows would
+    // funnel the corpus into k partitions) + broadcast cutoffs + sort
+    "q191_cluster_outliers" -> 7,
+    // q192: Quantile's exact-rank passes partitioned by (type, cell)
+    // — raw events no longer funnel into |event_type| ~ 5 partitions;
+    // the cutoff table broadcasts back + rollup + presentation sort
+    "q192_winsorized_stats" -> 8,
+    // q193: the per-user rollup + ONE unpivoted Quantile pass over
+    // (dim, value, user) + the user_id pivot-back + 64-cell agg +
+    // presentation sort — the three corpus-wide ntile windows are gone
+    "q193_rfm_segments" -> 9,
     // q194: the (source, token) agg (class-total window reuses it) +
     // the vocab marginal agg + presentation sort; totals broadcast
     "q194_ctfidf_keywords" -> 3,
@@ -362,6 +381,140 @@ class PlanAuditSpec extends AnyFunSuite {
     "q203_diff_in_diff" -> 2,
     // q204: the distinct-fingerprint aggs (two-phase distinct rewrite)
     "q204_capture_recapture" -> 2)
+
+  // ──────────────────────────────────────────────────────────────────
+  // The round-11 `weak` bug class, pinned mechanically: no query may
+  // funnel corpus-scale rows into a single-partition (or merely
+  // type-partitioned) window/sort — the global-ntile ceiling the
+  // operators/Quantile rewrite removed. Detection walks the PHYSICAL
+  // plan: a SinglePartition shuffle, or a Window partitioned only by
+  // low-cardinality dimension keys, must sit on a provably BOUNDED
+  // subtree — one where every path to a corpus-table scan passes an
+  // aggregate grouped by bounded keys, a limit, or a broadcast.
+
+  import org.apache.spark.sql.execution.{SparkPlan, FileSourceScanExec,
+    LocalTableScanExec, TakeOrderedAndProjectExec, GlobalLimitExec,
+    LocalLimitExec, CollectLimitExec}
+  import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+  import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+  import org.apache.spark.sql.execution.window.WindowExec
+  import org.apache.spark.sql.execution.aggregate.{HashAggregateExec,
+    ObjectHashAggregateExec, SortAggregateExec}
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+  import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+
+  // dimension-like keys: bounded CARDINALITY (event types, sources,
+  // calendar cells, report labels, score cells) — an agg grouped only
+  // by these yields a bounded table, but a window partitioned ONLY by
+  // these over raw corpus rows is exactly the q192 ceiling this rule
+  // exists to catch
+  private val dimKeyNames = Set("event_type", "source", "lang", "day",
+    "dow", "wday", "week", "dim", "m", "bin", "decile", "cluster", "arm",
+    "period", "check", "segment", "nation", "region", "b", "r_score",
+    "f_score", "m_score", "from_type", "to_type", "next_type",
+    "event_name", "l_returnflag", "l_linestatus")
+  // bucket keys: bounded per-partition SIZE by construction (range
+  // cells, salt buckets, shard ids) — safe to partition a window by
+  // over any input, and they bound an agg's output to |cells| rows
+  private def isBucketKey(n: String): Boolean =
+    n.startsWith("__q_") || n.startsWith("cell") || n.startsWith("bucket") ||
+      n.startsWith("shard") || n.startsWith("salt") || n == "c1" || n == "c2"
+  private def attrNames(es: Seq[Expression]): Seq[String] =
+    es.flatMap(_.collect { case a: Attribute => a.name })
+  private def boundedKeys(names: Seq[String]): Boolean =
+    names.forall(n => dimKeyNames(n) || isBucketKey(n))
+
+  // provably bounded subtree: every path from here to a corpus-table
+  // scan passes a bounded-key aggregate, a limit, or a broadcast
+  private def boundedPlan(p: SparkPlan): Boolean = p match {
+    case a: HashAggregateExec =>
+      a.groupingExpressions.isEmpty ||
+        boundedKeys(attrNames(a.groupingExpressions)) || boundedPlan(a.child)
+    case a: ObjectHashAggregateExec =>
+      a.groupingExpressions.isEmpty ||
+        boundedKeys(attrNames(a.groupingExpressions)) || boundedPlan(a.child)
+    case a: SortAggregateExec =>
+      a.groupingExpressions.isEmpty ||
+        boundedKeys(attrNames(a.groupingExpressions)) || boundedPlan(a.child)
+    case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
+         _: LocalLimitExec | _: CollectLimitExec => true
+    case _: BroadcastExchangeExec => true
+    case _: LocalTableScanExec => true
+    case s: FileSourceScanExec =>
+      val loc = s.relation.location.rootPaths.headOption
+        .map(_.toString).getOrElse("")
+      // only the true dimension tables are bounded at 100 TB
+      loc.endsWith("region.parquet") || loc.endsWith("nation.parquet")
+    case other =>
+      other.children.nonEmpty && other.children.forall(boundedPlan)
+  }
+
+  /** Offender descriptions for one physical plan (empty = clean). */
+  private def singlePartOffenders(plan: SparkPlan): Seq[String] =
+    plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning == SinglePartition &&
+            !boundedPlan(e.child) =>
+        s"SinglePartition exchange over unbounded input (${e.child.nodeName})"
+      case w: WindowExec
+          if (w.partitionSpec.isEmpty ||
+            (attrNames(w.partitionSpec).forall(dimKeyNames) &&
+              !attrNames(w.partitionSpec).exists(isBucketKey))) &&
+            !boundedPlan(w.child) =>
+        val spec =
+          if (w.partitionSpec.isEmpty) "global"
+          else attrNames(w.partitionSpec).mkString(",")
+        s"Window partitioned by [$spec] over unbounded input"
+    }
+
+  // queries whose flagged node is provably bounded by an argument the
+  // walker cannot see — each with that argument, the nestedLoopAllowed
+  // discipline
+  private val singlePartAllowed: Map[String, String] = Map(
+    "q128_stratified_sample" ->
+      ("the rank window's input is filtered to prio <= the broadcast " +
+        "k-th-lowest cutoff: <= k + md5-collision rows per stratum"),
+    "q135_pmi_collocations" ->
+      ("the marginal windows run on the bigram TYPE table (distinct " +
+        "token pairs) — vocabulary-bounded, never corpus rows"),
+    "q162_skyline" ->
+      ("the global window runs on salt-bucket-local skyline survivors " +
+        "— frontier-sized by the operator's contract (OperatorLawSpec " +
+        "pins bucket-count invariance)"),
+    "q194_ctfidf_keywords" ->
+      ("the class-total and top-5 windows run on (source, token) " +
+        "cells — |classes| x vocabulary, never raw token occurrences"),
+    "q198_zipf_fit" ->
+      ("the rank window runs on the |vocab| token-type table (the " +
+        "corpus collapses in the preceding token agg); a string token " +
+        "key has no integer order for the Quantile bucket form"))
+
+  test("no corpus-scale single-partition or dim-partitioned window/sort") {
+    val offenders = Seq.newBuilder[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val found = singlePartOffenders(fn(spark, sf).queryExecution.sparkPlan)
+      if (found.nonEmpty && !singlePartAllowed.contains(name))
+        offenders += s"$name: ${found.mkString("; ")}"
+    }
+    assert(offenders.result().isEmpty,
+      s"corpus-scale narrow windows/sorts in:\n${offenders.result().mkString("\n")}")
+  }
+
+  test("a deliberately reintroduced corpus-scale ntile/rank IS caught") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, sf).events
+    // the exact shape the q185/q193 rewrite removed: global ntile
+    val g = ev.withColumn("d",
+      ntile(10).over(W.orderBy(col("value"), col("event_id"))))
+    assert(singlePartOffenders(g.queryExecution.sparkPlan).nonEmpty,
+      "global ntile over raw events escaped the detector")
+    // ...and the q192 shape: a rank window partitioned only by type
+    val t = ev.withColumn("rn", row_number().over(
+      W.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))))
+    assert(singlePartOffenders(t.queryExecution.sparkPlan).nonEmpty,
+      "type-partitioned rank over raw events escaped the detector")
+  }
 
   test("documented single-shuffle queries stay inside their exchange budget") {
     val offenders = Seq.newBuilder[String]
