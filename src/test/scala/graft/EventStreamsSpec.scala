@@ -1129,6 +1129,74 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState SCD2 build matches batch q199 intervals") {
+    import graft.streaming.ScdStreams
+    import graft.streaming.ScdStreams.{OrderRow, ScdInterval}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ord = Tables(spark, sf).orders
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+            .cast("int"),
+          col("o_orderpriority"))
+        .collect()
+        .map(r => OrderRow(r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getString(3)))
+        .sortBy(r => (r.od, r.orderkey))
+      val in = MemoryStream[OrderRow]
+      val q = ScdStreams.buildIntervals(in.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("scd_out").start()
+      try {
+        // three arbitrary batch boundaries; global (od, orderkey) sort
+        // makes delivery in-order PER KEY across batches (the op's
+        // contract), exercising run continuation and cross-batch close
+        val (a, rest) = ord.splitAt(ord.length / 3)
+        val (b, c) = rest.splitAt(rest.length / 3)
+        Seq(a, b, c).foreach { chunk =>
+          in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+        }
+        // redeliver an already-applied slice: every row is at or below
+        // the per-key cursor, so state must not move (no split runs,
+        // no double-counted n_orders)
+        in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+        val session = spark
+        import session.implicits._
+        val rows = spark.sql("SELECT * FROM scd_out").as[ScdInterval].collect()
+        val closedRows = rows.filter(_.closed)
+        assert(closedRows.map(r => (r.custkey, r.run_id)).distinct.length ==
+          closedRows.length, "a closed run emitted twice")
+        // latest open row per key = max (run_id, n_orders): later
+        // batches only ever grow the open run or supersede it
+        val open = rows.filterNot(_.closed).groupBy(_.custkey)
+          .map(_._2.maxBy(r => (r.run_id, r.n_orders)))
+        val streamed = (closedRows ++ open)
+          .map(i => (i.custkey, i.run_id, i.priority, i.valid_from.toLong,
+            i.valid_to.map(_.toLong), i.n_orders)).toSet
+        val batch = graft.queries.Pipeline
+          .queries("q199_scd2_intervals")(spark, sf).collect()
+          .map { r =>
+            def d(i: Int): Option[Long] =
+              Option(r.getDate(i)).map(_.toLocalDate.toEpochDay)
+            (r.getLong(0), r.getLong(1), r.getString(2), d(3).get, d(4),
+              r.getLong(5))
+          }.toSet
+        assert(streamed == batch,
+          s"streamed ${streamed.size} vs batch ${batch.size} intervals")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("skylineOf planted: dominated points pruned across batch merges") {
     import graft.streaming.SkylineStreams
     import graft.streaming.SkylineStreams.Pt
