@@ -205,6 +205,106 @@ object MediaKernel {
     b.array()
   }
 
+  /** The planted PCM sample stream: sample k of a payload seeded by
+    * `seed` is ((seed + k) * 2654435761) mod 65536 - 32768 — a full-
+    * range 16-bit value the oracle recomputes arithmetically, so an
+    * encode/decode bug cannot cancel out (same posture as q127's
+    * header fields). */
+  private def pcmSample(seed: Long, k: Long): Int =
+    (((seed + k) * 2654435761L) % 65536L - 32768L).toInt
+
+  /** Build a COMPLETE 16-bit PCM WAV: RIFF/WAVE, fmt, `nSamples`
+    * deterministic samples ([[pcmSample]]) in a data chunk — the
+    * payload [[wavPcmWindows]] decodes for real. Seeds with
+    * seed mod 7 == 3 carry a LIST/INFO chunk between fmt and data, so
+    * any consumer assuming PCM starts at byte 44 breaks: locating the
+    * data chunk requires the generic RIFF walk. */
+  def wavEncodePcm(sampleRate: Long, channels: Long, nSamples: Long,
+      seed: Long): Array[Byte] = {
+    val n = nSamples.toInt
+    val dataBytes = n * 2
+    val withList = seed % 7 == 3
+    val listBytes = if (withList) 8 + 4 else 0
+    val riffSize = 4 + (8 + 16) + listBytes + (8 + dataBytes)
+    val blockAlign = channels * 2
+    val b = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                                // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate.toInt)
+      .putInt((sampleRate * blockAlign).toInt)
+      .putShort(blockAlign.toShort)
+      .putShort(16)
+    if (withList)
+      b.put("LIST".getBytes("US-ASCII")).putInt(4)
+        .put("INFO".getBytes("US-ASCII"))
+    b.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var k = 0
+    while (k < n) { b.putShort(pcmSample(seed, k).toShort); k += 1 }
+    b.array()
+  }
+
+  /** REAL sample decode: walk the RIFF chunks (odd-size padding, LIST
+    * chunks skipped — byte 44 is NOT assumed), require 16-bit PCM,
+    * read the little-endian samples and aggregate them into windows of
+    * `win` samples. Per window: (window_id, n_samples, sum_amp,
+    * peak_amp) — all exact integers, the frame-level feature a real
+    * audio pipeline computes after decimation (q123's stride sampler
+    * with the decode made real). Null for anything that isn't a
+    * well-formed 16-bit PCM WAV; a sampleless payload yields an empty
+    * array. A short tail window reports its true n_samples. */
+  def wavPcmWindows(p: Array[Byte], win: Long)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (p == null || win <= 0 || !isWav(p)) return null
+    var pos = 12
+    var bits = -1
+    var dataPos = -1
+    var dataLen = 0L
+    while (pos + 8 <= p.length && dataPos < 0) {
+      // Long chunk size: same Int-wrap guard as the mediaInfo walks
+      val sz = le32(p, pos + 4)
+      if (sz > p.length.toLong - pos - 8) return null
+      if (p(pos) == 'f' && p(pos + 1) == 'm' &&
+          p(pos + 2) == 't' && p(pos + 3) == ' ') {
+        if (sz < 16 || le16(p, pos + 8) != 1) return null // PCM only
+        bits = le16(p, pos + 22)
+      } else if (p(pos) == 'd' && p(pos + 1) == 'a' &&
+          p(pos + 2) == 't' && p(pos + 3) == 'a') {
+        dataPos = pos + 8; dataLen = sz
+      }
+      pos += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    if (bits != 16 || dataPos < 0) return null
+    val n = (dataLen / 2).toInt
+    val w = math.min(win, Int.MaxValue.toLong).toInt
+    val nWin = if (n == 0) 0 else (n + w - 1) / w
+    val rows = new Array[Any](nWin)
+    var widx = 0
+    while (widx < nWin) {
+      var k = widx * w
+      val end = math.min(n, k + w)
+      val cnt = end - k
+      var sum = 0L
+      var peak = 0L
+      while (k < end) {
+        // sign-extend the LE 16-bit sample
+        val v = le16(p, dataPos + 2 * k).toShort.toLong
+        sum += v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        k += 1
+      }
+      val r = new GenericInternalRow(4)
+      r.setLong(0, widx.toLong); r.setLong(1, cnt.toLong)
+      r.setLong(2, sum); r.setLong(3, peak)
+      rows(widx) = r
+      widx += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
   /** Build a spec-valid JPEG header: SOI, APP0/JFIF, SOF0 frame header
     * with the dimensions and component count, EOI — the marker
     * structure any JPEG reader's header pass accepts (no entropy

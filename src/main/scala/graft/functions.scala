@@ -412,6 +412,31 @@ object functions {
     call(MD, Bin, "wavEncode", Seq(LongType, LongType, LongType),
       sampleRate, channels, bitsPerSample)
 
+  /** Complete 16-bit PCM WAV builder: header + `nSamples` deterministic
+    * samples seeded by `seed` (sample k = ((seed+k)*2654435761) mod
+    * 65536 - 32768 — oracle-recomputable). Seeds with seed mod 7 == 3
+    * interleave a LIST chunk before data, so decoding requires the
+    * generic RIFF walk, not a fixed 44-byte offset. */
+  def wav_encode_pcm(sampleRate: Column, channels: Column, nSamples: Column,
+      seed: Column): Column =
+    call(MD, Bin, "wavEncodePcm", Seq(LongType, LongType, LongType, LongType),
+      sampleRate, channels, nSamples, seed)
+
+  val pcmWindowType: StructType = StructType(Seq(
+    StructField("window_id", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sum_amp", LongType, nullable = false),
+    StructField("peak_amp", LongType, nullable = false)))
+
+  /** Real WAV sample decode + per-window aggregation: RIFF chunk walk
+    * to the 16-bit PCM data, then windows of `win` samples reduced to
+    * exact integer (window_id, n_samples, sum_amp, peak_amp) — the
+    * frame featurizer q123's stride sampler was a stand-in for. Null
+    * for non-PCM-16 payloads. */
+  def wav_pcm_windows(payload: Column, win: Column): Column =
+    call(MD, ArrayType(pcmWindowType, containsNull = false), "wavPcmWindows",
+      Seq(Bin, LongType), payload, win)
+
   /** Multimodal feature stand-in: deterministic 16-bin byte histogram
     * over an opaque binary column (the full pixel/sample decode is out
     * of scope in this container; header decode is [[media_info]]). */

@@ -3927,6 +3927,55 @@ object Pipeline {
             (col("ctrl_post") - col("ctrl_pre")), 6).as("did_cents"))
     },
 
+    "q205_audio_pcm_windows" -> { (s, dir) =>
+      // REAL audio sample decode + per-window frame features — the
+      // step that finishes what q123's stride sampler stands in for
+      // and q127's header triage stops short of: each audio doc
+      // (doc_id mod 3 == 1, q127's WAV arm) carries a COMPLETE 16-bit
+      // PCM WAV whose samples derive deterministically from doc_id
+      // (sample k = ((doc_id+k)*2654435761) mod 65536 - 32768), and
+      // wav_pcm_windows DECODES it: generic RIFF chunk walk to the
+      // data chunk (docs with doc_id mod 7 == 3 interleave a LIST/INFO
+      // chunk, so a fixed byte-44 assumption would misread them —
+      // MediaSpec pins that case), then windows of 32 samples reduced
+      // to exact integer (n_samples, sum_amp, peak_amp) — the
+      // per-window PCM means/peaks a loudness/silence-trim pass needs.
+      // sample_rate/channels come from the media_info PARSE of the
+      // same payload, and the oracle recomputes every output
+      // arithmetically from (doc_id, n_chars) — fully independent of
+      // both codec sides, so an encode/decode bug cannot cancel out.
+      // Plan: per-row kernel projection + bounded explode (~n/32 rows
+      // per doc), zero shuffles beyond the presentation sort — the
+      // map-only decode pass of a 100 TB multimodal pipeline.
+      val sr = when(col("doc_id") % 5 === 0, 8000L)
+        .when(col("doc_id") % 5 === 1, 16000L)
+        .when(col("doc_id") % 5 === 2, 22050L)
+        .when(col("doc_id") % 5 === 3, 44100L).otherwise(48000L)
+      val ch = when(col("doc_id") % 4 === 1, 1L).otherwise(2L)
+      val payload = wav_encode_pcm(sr.cast("long"), ch.cast("long"),
+        (col("n_chars") % 200 + 17).cast("long"), col("doc_id"))
+      // range-sort the NARROW (doc_id, n_chars) rows first; the codec
+      // kernels and the explode evaluate above the exchange (q123's
+      // shape), and the generator emits windows in window_id order per
+      // doc, so (doc_id, window_id) order holds without a wide sort
+      Tables(s, dir).documents
+        .filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"), payload.as("payload"))
+        .select(col("doc_id"), media_info(col("payload")).as("m"),
+          wav_pcm_windows(col("payload"), lit(32L)).as("ws"))
+        // explode_outer: the plain explode would INFER size(ws)>0 and
+        // push it (kernels and all) below the range exchange — exactly
+        // the shape the kernels-above-sort audit bans; every payload
+        // here decodes to >=1 window, so the rows are identical
+        .select(col("doc_id"), col("m.sample_rate").as("sample_rate"),
+          col("m.channels").as("channels"), explode_outer(col("ws")).as("w"))
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("w.window_id").as("window_id"), col("w.n_samples").as("n_samples"),
+          col("w.sum_amp").as("sum_amp"), col("w.peak_amp").as("peak_amp"))
+    },
+
     "q204_capture_recapture" -> { (s, dir) =>
       // Capture-recapture (Lincoln-Petersen) corpus-universe estimate —
       // "how many DISTINCT documents would full dedup leave" from two
@@ -4964,10 +5013,10 @@ object Pipeline {
       // decode), and emit per sampled frame the offset, actual length
       // (tail frames run short) and the 16-bin byte-histogram feature
       // vector. Per-row explode over byte offsets, zero shuffles,
-      // output-bound fan-out — a heavier per-frame featurizer (or
-      // q127's MediaKernel header decode, the real parser) drops in
-      // without touching the plan. Payload slicing is byte-addressed
-      // (substring on BinaryType).
+      // output-bound fan-out. The same plan shape with the decode made
+      // REAL is q205_audio_pcm_windows: MediaKernel's RIFF walk reads
+      // the actual 16-bit PCM samples per window. Payload slicing here
+      // is byte-addressed (substring on BinaryType).
       Tables(s, dir).documents.orderBy(col("doc_id"))
         .select(col("doc_id"), col("text").cast("binary").as("payload"),
           octet_length(col("text")).cast("long").as("n_bytes"))
@@ -5708,6 +5757,29 @@ object Pipeline {
                  round((treat_post - treat_pre) - (ctrl_post - ctrl_pre), 6)
                    AS did_cents
           FROM w""",
+    // every column recomputed arithmetically from (doc_id, n_chars):
+    // the planted sample formula, window cuts at 32 samples, and the
+    // mod-derived format fields — independent of both codec sides
+    "q205_audio_pcm_windows" ->
+      """WITH a AS (SELECT doc_id, n_chars % 200 + 17 AS ns FROM documents
+               WHERE doc_id % 3 = 1),
+          s AS (SELECT doc_id, unnest(range(0, ns)) AS k FROM a),
+          v AS (SELECT doc_id, k // 32 AS window_id,
+                 ((doc_id + k) * 2654435761) % 65536 - 32768 AS v FROM s),
+          w AS (SELECT doc_id, CAST(window_id AS BIGINT) AS window_id,
+                 CAST(count(*) AS BIGINT) AS n_samples,
+                 CAST(sum(v) AS BIGINT) AS sum_amp,
+                 CAST(max(abs(v)) AS BIGINT) AS peak_amp
+                FROM v GROUP BY doc_id, window_id)
+          SELECT doc_id,
+            CAST(CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END
+              AS BIGINT) AS sample_rate,
+            CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END AS BIGINT)
+              AS channels,
+            window_id, n_samples, sum_amp, peak_amp
+          FROM w ORDER BY doc_id, window_id""",
+
     "q204_capture_recapture" ->
       """WITH f AS (SELECT md5(text) AS fp FROM documents),
           g AS (SELECT CAST(count(DISTINCT fp) AS BIGINT) AS exact_distinct,

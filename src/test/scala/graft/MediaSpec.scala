@@ -85,6 +85,64 @@ class MediaSpec extends AnyFunSuite {
     assert(t.getString(0) == "jpeg" && t.isNullAt(1) && !t.getBoolean(8))
   }
 
+  private def pcmWindows(p: Array[Byte], win: Long): Seq[(Long, Long, Long, Long)] = {
+    val a = graft.expressions.MediaKernel.wavPcmWindows(p, win)
+    if (a == null) null
+    else (0 until a.numElements()).map { i =>
+      val r = a.getStruct(i, 4)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+  }
+
+  test("wavPcmWindows decodes REAL samples, matching the planted formula") {
+    // seed 5 (5 % 7 != 3): plain RIFF/fmt/data layout
+    val p = graft.expressions.MediaKernel.wavEncodePcm(16000L, 1L, 70L, 5L)
+    // the whole payload still parses as a WAV through the header path
+    val m = info(p)
+    assert(m.getString(0) == "wav" && m.getLong(5) == 16000L && m.getBoolean(8))
+    val got = pcmWindows(p, 32L)
+    def sample(seed: Long, k: Long): Long =
+      ((seed + k) * 2654435761L) % 65536L - 32768L
+    val want = (0L until 70L).map(k => (k / 32L, sample(5L, k)))
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (w, ks) =>
+        (w, ks.size.toLong, ks.map(_._2).sum, ks.map(t => math.abs(t._2)).max)
+      }
+    assert(got == want, "independent sample-formula recompute")
+    // tail window reports its true n_samples (70 = 32 + 32 + 6)
+    assert(got.last._2 == 6L)
+  }
+
+  test("LIST chunk before data: RIFF walk required, byte-44 assumption breaks") {
+    // seed 10 (10 % 7 == 3): a LIST/INFO chunk sits between fmt and
+    // data, so PCM does NOT start at byte 44
+    val p = graft.expressions.MediaKernel.wavEncodePcm(8000L, 2L, 40L, 10L)
+    def sample(seed: Long, k: Long): Long =
+      ((seed + k) * 2654435761L) % 65536L - 32768L
+    val got = pcmWindows(p, 64L)
+    assert(got.size == 1 && got.head._2 == 40L)
+    assert(got.head._3 == (0L until 40L).map(sample(10L, _)).sum)
+    // the naive fixed-offset read lands inside the LIST chunk: bytes
+    // 44-45 here are 'I','N' of the INFO fourcc, not sample 0
+    val naive = ((p(45) & 0xff) << 8 | (p(44) & 0xff)).toShort.toLong
+    assert(naive != sample(10L, 0L), "fixed 44-byte offset misreads this file")
+  }
+
+  test("wavPcmWindows rejects what it cannot decode") {
+    // 8-bit PCM header (realWav): not 16-bit -> null
+    assert(pcmWindows(realWav, 32L) == null)
+    // not a WAV at all / null / nonpositive window -> null
+    assert(pcmWindows(realPng, 32L) == null)
+    assert(pcmWindows(null, 32L) == null)
+    val p = graft.expressions.MediaKernel.wavEncodePcm(8000L, 1L, 8L, 1L)
+    assert(pcmWindows(p, 0L) == null)
+    // sampleless 16-bit payload -> empty array, not null
+    assert(pcmWindows(graft.expressions.MediaKernel.wavEncodePcm(
+      8000L, 1L, 0L, 1L), 32L) == Seq.empty)
+    // declared chunk size overrunning the payload -> null (wrap guard)
+    val trunc = p.take(p.length - 4)
+    assert(pcmWindows(trunc, 32L) == null)
+  }
+
   test("encoder output is parser-consistent AND byte-stable") {
     val session = spark
     import session.implicits._

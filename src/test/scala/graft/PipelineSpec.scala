@@ -3098,6 +3098,32 @@ class PipelineSpec extends SparkSpec {
     assert(nHat >= math.max(nA, nB) - 1e-9)
   }
 
+  test("audio pcm windows: brute decode-free recompute from (doc_id, n_chars)") {
+    val got = Pipeline.queries("q205_audio_pcm_windows")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    def sample(seed: Long, k: Long): Long =
+      ((seed + k) * 2654435761L) % 65536L - 32768L
+    val want = Tables(spark, sf).documents
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._1 % 3 == 1).sortBy(_._1).toSeq.flatMap { case (id, nc) =>
+        val sr = (id % 5) match {
+          case 0 => 8000L; case 1 => 16000L; case 2 => 22050L
+          case 3 => 44100L; case _ => 48000L
+        }
+        val ch = if (id % 4 == 1) 1L else 2L
+        val n = nc % 200 + 17
+        (0L until n).map(k => (k / 32L, sample(id, k)))
+          .groupBy(_._1).toSeq.sortBy(_._1).map { case (w, ks) =>
+            (id, sr, ch, w, ks.size.toLong, ks.map(_._2).sum,
+              ks.map(t => math.abs(t._2)).max)
+          }
+      }
+    assert(got.length == want.length)
+    assert(got == want, "every window recomputed without either codec side")
+  }
+
   test("ann recall audit equals the locally-joined q36/q57 intersection") {
     val audit = Pipeline.queries("q158_ann_recall_audit")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)

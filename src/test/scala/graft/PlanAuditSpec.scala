@@ -380,7 +380,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // q203: the FOUR (arm, period) cells + the 1-row readout fold
     "q203_diff_in_diff" -> 2,
     // q204: the distinct-fingerprint aggs (two-phase distinct rewrite)
-    "q204_capture_recapture" -> 2)
+    "q204_capture_recapture" -> 2,
+    // q205: map-only encode/decode/explode; only the presentation sort
+    "q205_audio_pcm_windows" -> 1)
 
   // ──────────────────────────────────────────────────────────────────
   // The round-11 `weak` bug class, pinned mechanically: no query may
