@@ -1,0 +1,548 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family: exact/canonical/rolling fingerprints,
+  * MinHash-LSH + clusters, SimHash, n-gram Jaccard, span/winnow,
+  * block dedup, incremental, star components, capture-recapture.
+  *
+  * Split from Pipeline.scala (round 12 housekeeping): query/oracle
+  * entries only — every shared helper, memo cache and SQL CTE stays in
+  * [[Pipeline]] (widened to private[queries]) so behavior and plan
+  * shapes are byte-identical. */
+private[graft] object DedupQueries {
+  import Pipeline._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- deduplication -------------------------------------------------
+    "q30_exact_dedup" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy(col("content_hash"))
+    },
+
+
+    "q31_minhash_lsh_dedup" -> { (s, dir) =>
+      minhashDupPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
+    },
+
+
+    "q82_ngram_jaccard_join" -> { (s, dir) =>
+      // Exact n-gram Jaccard similarity join via df-ordered PREFIX
+      // FILTERING (the classic set-similarity-join family: sort each
+      // set by a global token order, index only each set's first
+      // |x| - ceil(t*|x|) + 1 tokens). q31 answers the same question
+      // approximately with fixed-size MinHash signatures; this
+      // operator is EXACT at threshold t with a lossless candidate
+      // filter: J(x,y) >= t implies |intersect| >= ceil(t*|x|), so
+      // two qualifying sets must share a token inside those prefixes.
+      // 100 TB shape: per-row ordering and prefix extraction (no
+      // corpus-wide shuffle before the index), ONE shuffle of the
+      // ~20%-of-tokens prefix index by token, a capped self-join on
+      // postings, and exact verification on candidates only (never
+      // O(n^2)); AQE broadcasts the small candidate side of the
+      // verify joins.
+      // t = 4/5; the filter thresholds below use ceil(a/b) =
+      // floor((a+b-1)/b) on small integers — a correctly-rounded double
+      // quotient of ints < 2^49 floors exactly, so no rounding can make
+      // a lossless filter lossy.
+      val docs = shingled(Tables(s, dir)).filter(size(col("sh")) > 0)
+      // Global token order: (xxhash64(token), token) — computed PER
+      // ROW, no df pass, no shuffle, no broadcast. Correctness does
+      // not depend on the choice of order (any consistent total order
+      // keeps the prefix filter lossless); order only tunes candidate
+      // counts. The classic df-ascending order was measured against
+      // this on the test corpus and pruned candidates by just ~6%
+      // (70.8k vs 75.2k at sf0.1) while costing an extra corpus-wide
+      // frequency pass — the 64-representative cap below already
+      // bounds per-token fan-out under boilerplate skew, which is the
+      // job df-ordering classically does. A corpus whose near-dup
+      // signal hides behind globally-frequent shingles can swap in a
+      // rank join here without touching any filter math.
+      val ordered = docs.select(col("doc_id"), size(col("sh")).as("len"),
+        transform(array_sort(transform(col("sh"),
+          g => struct(xxhash64(g).as("k2"), g.as("g")))),
+          _.getField("g")).as("og"))
+      // J(x,y) >= t implies |intersect| >= ceil(t*|x|), so the first
+      // |x| - ceil(t*|x|) + 1 tokens of each side must share one.
+      val prefixLen =
+        (col("len") - floor((col("len") * 4 + 4) / 5) + 1).cast("int")
+      val prefix = ordered.select(col("doc_id"), col("len"),
+        posexplode(slice(col("og"), lit(1), prefixLen)).as(Seq("p", "g")))
+      // Posting lists via the shared capped generator (single shuffle of
+      // the prefix index; 64-representative degenerate-corpus guard as in
+      // q31 — a corpus of 64+ identical docs would make every posting
+      // list the corpus; identical docs share identical prefixes, so kept
+      // members still pair; run q30 first to strip exact copies beyond
+      // the cap's design point). Two more lossless pre-verification
+      // filters on the generated pairs:
+      //  - length: J >= 4/5 forces 5*min(|x|,|y|) >= 4*max(|x|,|y|);
+      //  - positional: a pair matched at (0-based) prefix positions
+      //    (pa, pb) can overlap at most
+      //    min(pa, pb) + 1 + min(|x|-pa-1, |y|-pb-1), which must reach
+      //    alpha = ceil(t/(1+t)*(|x|+|y|)) = ceil(4*(|x|+|y|)/9).
+      val alpha = floor(((col("a.len") + col("b.len")) * 4 + 8) / 9)
+      val cand = cappedBucketPairs(prefix, col("g"),
+          struct(col("doc_id"), col("len"), col("p")), "doc_id")
+        .filter(col("a.len") * 4 <= col("b.len") * 5
+          && col("b.len") * 4 <= col("a.len") * 5
+          && least(col("a.p"), col("b.p")) + 1 +
+               least(col("a.len") - col("a.p") - 1,
+                 col("b.len") - col("b.p") - 1) >= alpha)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      // Verification computes the oracle's exact double: sets are
+      // distinct, so |union| = |x| + |y| - |intersect| without
+      // materializing array_union.
+      cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+
+    "q32_canonical_fingerprint" -> { (s, dir) =>
+      Tables(s, dir).documents.orderBy(col("doc_id"))
+        .select(col("doc_id"),
+          md5(array_join(array_sort(array_distinct(toks(col("text")))), " ")
+            .cast("binary")).as("fingerprint"))
+    },
+
+
+    // --- sketch families (md5-derived so the DuckDB oracle recomputes
+    // --- the identical signatures; see SketchKernel.md5Lower64) --------
+    "q38_simhash_neardup" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), simhash64(toks(col("text"))).as("sig"))
+      val bands = docs.select(col("doc_id"), col("sig"),
+        explode(expr(
+          """transform(sequence(0, 3), b -> struct(b AS band_id,
+            shiftrightunsigned(sig, cast(b * 16 AS int)) & 65535 AS key))""")).as("bd"))
+      // Same skew protection as q31: near-dup clusters share all four
+      // band keys, so an uncapped bucket pairing is quadratic in cluster
+      // size (measured 16.3x at a 10x scale-up with 10-copy clusters —
+      // BENCH_sf1.json). The shared capped generator keeps the first 64
+      // members per (band, key) bucket; identical sigs keep the same
+      // representatives in every band, so intra-cluster pairs survive
+      // while fan-out is <= 64^2.
+      cappedBucketPairs(bands, col("bd"),
+          struct(col("doc_id"), col("sig")), "doc_id")
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+
+    "q39_rolling_fingerprint" -> { (s, dir) =>
+      Tables(s, dir).documents.orderBy(col("doc_id"))
+        .select(col("doc_id"), rolling_fingerprint(toks(col("text"))).as("fp"))
+    },
+
+
+    "q86_dup_clusters" -> { (s, dir) =>
+      // The pairs -> clusters -> keeper step every dedup pipeline needs:
+      // connected components over the verified near-dup pairs (q31's
+      // edge set), each doc labeled with its component's minimum doc_id
+      // (the canonical keeper). Iterative min-label propagation — each
+      // round is one shuffle join on the (tiny relative to the corpus)
+      // dup graph, labels converge in O(diameter) rounds, and near-dup
+      // components are cliquish (diameter ~2-3; identical docs are full
+      // cliques). The driver-side loop is iteration CONTROL, not data
+      // (GraphX/Pregel does the same); localCheckpoint truncates the
+      // per-round lineage so the plan doesn't grow exponentially. At
+      // 100 TB the edge set is the near-dup graph only — propagation
+      // shuffles (doc_id, label) pairs, never documents.
+      val edges = minhashDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true)
+      val und = edges.union(
+        edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      var labels = und.select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")).localCheckpoint(true)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val nbrMin = und
+          .join(labels.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+          .groupBy(col("doc_b").as("doc_id")).agg(min(col("label")).as("nbr"))
+        val next = labels.withColumnRenamed("label", "old")
+          .join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("old"),
+            least(col("old"), coalesce(col("nbr"), col("old"))).as("label"))
+          .localCheckpoint(true)
+        converged = next.filter(col("label") =!= col("old")).isEmpty
+        labels = next.select(col("doc_id"), col("label"))
+        iter += 1
+      }
+      require(converged, s"q86 label propagation did not converge in $iter rounds")
+      labels
+        .select(col("doc_id"), col("label").as("cluster_id"),
+          (col("doc_id") === col("label")).as("is_keeper"))
+        .orderBy(col("doc_id"))
+    },
+
+
+    "q143_components_star" -> { (s, dir) =>
+      // q86's contract (near-dup pairs -> components -> canonical
+      // keeper) computed by ALTERNATING LARGE-STAR/SMALL-STAR
+      // (Kiveris et al. 2014) instead of min-label propagation. Same
+      // edge set, same output, different convergence guarantee:
+      // label prop needs O(diameter) rounds (and q86 caps at 20 — a
+      // 40-link chain component would fail it), star contracts any
+      // component in O(log^2 n) rounds regardless of shape. Components
+      // emerge rooted at their minimum doc_id, so the keeper falls out
+      // of the star root with no extra pass. PipelineSpec pins exact
+      // agreement with q86 on the fixture AND convergence on a planted
+      // 64-link chain that label prop's cap cannot absorb.
+      val edges = minhashDupPairs(s, dir)
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      graft.operators.Components.components(edges)
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"),
+          (col("node") === col("component")).as("is_keeper"))
+        .orderBy(col("doc_id"))
+    },
+
+
+    "q108_incremental_dedup" -> { (s, dir) =>
+      // Incremental ingest dedup: the new batch (doc_id % 10 == 0 as
+      // the arriving split) probes the existing corpus's band index —
+      // see incrementalDedup. The oracle is the brute-force
+      // new x existing exact-Jaccard join, so this also re-certifies
+      // LSH completeness at J >= 0.9 on the probe shape.
+      val docs = shingled(Tables(s, dir))
+      incrementalDedup(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0))
+        .orderBy(col("new_doc"))
+    },
+
+
+    "q102_dup_source_matrix" -> { (s, dir) =>
+      // Corpus forensics: the near-dup pair graph projected onto
+      // SOURCES — how many verified near-dup pairs live inside each
+      // source and span each source pair (which feeds copy from each
+      // other, which scraper double-ingests). Reuses q31's verified
+      // edge set; the (doc -> source) joins broadcast the tiny
+      // projection, the matrix group-by is at |sources|^2 cardinality.
+      // The unordered source pair is canonicalized (least, greatest)
+      // so A->B and B->A collapse into one cell.
+      val pairs = minhashDupPairs(s, dir)
+      val src = Tables(s, dir).documents.select(col("doc_id"), col("source"))
+      pairs
+        .join(broadcast(src.select(col("doc_id").as("doc_a"),
+          col("source").as("src_a"))), Seq("doc_a"))
+        .join(broadcast(src.select(col("doc_id").as("doc_b"),
+          col("source").as("src_b"))), Seq("doc_b"))
+        .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("jaccard")), 6).as("avg_jaccard"))
+        .withColumn("cross_source", col("source_a") =!= col("source_b"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
+
+    "q100_winnow_overlap" -> { (s, dir) =>
+      // q94's cross-doc span detection at index scale: winnowing
+      // (Schleimer et al. 2003) selects each w-window's minimal k-gram
+      // hash, a deterministic ~2/(w+1) subsample that still guarantees
+      // any shared run of >= w+k-1 tokens contributes a common
+      // fingerprint — the index shuffles a fraction of the grams for
+      // the same detection guarantee. Same plan shape as q94: per-gram
+      // doc counts via one window over the fingerprint shuffle, then
+      // the per-doc rollup; never a pair join.
+      val fp = Tables(s, dir).documents
+        .select(col("doc_id"),
+          explode(winnow_fingerprints(toks(col("text")), 4, 4)).as("fp"))
+        .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      fp.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"),
+          sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared_fp"))
+        .select(col("doc_id"), col("n_fp"), col("n_shared_fp"),
+          (col("n_shared_fp").cast("double") / col("n_fp")).as("shared_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+
+    "q94_span_dedup" -> { (s, dir) =>
+      // Cross-document repeated-span detection (the scalable form of
+      // exact-substring dedup, Lee et al. 2022): count, per doc, how
+      // many of its distinct 8-token windows also occur in another
+      // document. Unlike q31/q82 (whole-doc similarity) this finds
+      // shared SPANS between otherwise-unrelated docs (boilerplate,
+      // license headers, quoted passages). Plan shape: per-gram doc
+      // counts via a window over ONE gram shuffle (no groupBy+join-back
+      // second shuffle), then the per-doc rollup — never a pair join,
+      // which is what keeps exact span dedup tractable at corpus scale.
+      val sh8 = Tables(s, dir).documents
+        .select(col("doc_id"), explode(shingles(toks(col("text")), 8)).as("g"))
+        .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("g"))))
+      sh8.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_windows"), col("n_shared"),
+          (col("n_shared").cast("double") / col("n_windows")).as("shared_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+
+    "q204_capture_recapture" -> { (s, dir) =>
+      // Capture-recapture (Lincoln-Petersen) corpus-universe estimate —
+      // "how many DISTINCT documents would full dedup leave" from two
+      // small independent hash samples instead of a full exact count:
+      // draw sample A (md5 "cap_a:" of the content fingerprint, low 3
+      // bits = 0 -> ~1/8) and sample B (independent "cap_b:" salt),
+      // count distinct fingerprints in each and in the overlap, then
+      // N_hat = |A|*|B|/|A∩B| (Chapman's +1 bias correction, exact
+      // integers until the one division). The exact distinct count
+      // rides alongside as the audit (q121's sketch-vs-exact posture).
+      // Scale shape: two map-side sample filters + distinct aggs over
+      // ~1/8 of fingerprints each; the full-corpus exact audit is the
+      // expensive column, the estimator never touches unsampled rows.
+      val d = Tables(s, dir).documents
+        .select(md5(col("text").cast("binary")).as("fp"))
+      val inA = md5_lower64(concat(lit("cap_a:"), col("fp"))
+        .cast("binary")).bitwiseAND(lit(7L)) === 0L
+      val inB = md5_lower64(concat(lit("cap_b:"), col("fp"))
+        .cast("binary")).bitwiseAND(lit(7L)) === 0L
+      d.agg(countDistinct(col("fp")).as("exact_distinct"),
+          countDistinct(when(inA, col("fp"))).as("n_a"),
+          countDistinct(when(inB, col("fp"))).as("n_b"),
+          countDistinct(when(inA && inB, col("fp"))).as("n_ab"))
+        .select(col("exact_distinct"), col("n_a"), col("n_b"), col("n_ab"),
+          round((col("n_a") + 1).cast("double") * (col("n_b") + 1) /
+            (col("n_ab") + 1) - 1.0, 6).as("n_hat"))
+    },
+
+
+    "q117_block_dedup" -> { (s, dir) =>
+      // The REWRITE stage of exact dedup (Dolma/C4 paragraph dedup):
+      // q94 reports shared spans, this one removes them and emits the
+      // cleaned corpus. Docs segment into fixed 16-token blocks (the
+      // fixture has no paragraph breaks; on real data the segmenter
+      // splits on blank lines first) and a block survives only at its
+      // FIRST corpus occurrence — global keep-first by (doc_id, idx)
+      // via one row_number window over the block key. Reassembly is the
+      // per-doc rollup: surviving blocks re-join in index order. Two
+      // shuffles total at any scale (block key, then doc_id), never a
+      // pair join; the window state per block key is one counter. At
+      // 100 TB the block column would hash to a 16-byte digest before
+      // the shuffle to cut exchange volume — semantics identical.
+      val d = docBlocks(Tables(s, dir).documents)
+      val w = Window.partitionBy(col("blk")).orderBy(col("doc_id"), col("idx"))
+      d.withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"),
+          array_join(transform(array_sort(collect_list(
+            when(col("rn") === 1, struct(col("idx"), col("blk"))))),
+            _.getField("blk")), " ").as("clean_text"))
+        .orderBy(col("doc_id"))
+    },
+  )
+
+  def oracle: Map[String, String] = Map(
+
+    "q204_capture_recapture" ->
+      """WITH f AS (SELECT md5(text) AS fp FROM documents),
+          g AS (SELECT CAST(count(DISTINCT fp) AS BIGINT) AS exact_distinct,
+                 CAST(count(DISTINCT CASE WHEN
+                   (md5_number_lower('cap_a:' || fp) & 7) = 0 THEN fp END)
+                   AS BIGINT) AS n_a,
+                 CAST(count(DISTINCT CASE WHEN
+                   (md5_number_lower('cap_b:' || fp) & 7) = 0 THEN fp END)
+                   AS BIGINT) AS n_b,
+                 CAST(count(DISTINCT CASE WHEN
+                   (md5_number_lower('cap_a:' || fp) & 7) = 0 AND
+                   (md5_number_lower('cap_b:' || fp) & 7) = 0 THEN fp END)
+                   AS BIGINT) AS n_ab
+                FROM f)
+          SELECT exact_distinct, n_a, n_b, n_ab,
+                 round(CAST(n_a + 1 AS DOUBLE) * (n_b + 1) / (n_ab + 1) - 1.0, 6)
+                   AS n_hat
+          FROM g""",
+
+    "q30_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY content_hash""",
+
+    "q31_minhash_lsh_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $shSql AS sh
+                     FROM (SELECT doc_id, $tokSql AS lst FROM documents) WHERE len(lst) >= 3)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+          FROM t a JOIN t b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9
+          ORDER BY doc_a, doc_b""",
+
+    "q82_ngram_jaccard_join" ->
+      s"""WITH t AS (SELECT doc_id, $shSql AS sh
+                     FROM (SELECT doc_id, $tokSql AS lst FROM documents) WHERE len(lst) >= 3)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+          FROM t a JOIN t b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+          ORDER BY doc_a, doc_b""",
+
+
+    "q86_dup_clusters" -> dupComponentsSql,
+
+    // q143 computes the identical contract by alternating star — one
+    // oracle serves both engines' algorithms.
+    "q143_components_star" -> dupComponentsSql,
+
+    "q108_incremental_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $shSql AS sh
+                     FROM (SELECT doc_id, $tokSql AS lst FROM documents) WHERE len(lst) >= 3),
+          v AS (SELECT a.doc_id AS new_doc, b.doc_id AS idx_doc,
+                  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+                FROM t a JOIN t b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+          r AS (SELECT new_doc, idx_doc, jaccard,
+                  row_number() OVER (PARTITION BY new_doc
+                    ORDER BY jaccard DESC, idx_doc DESC) AS rn,
+                  count(*) OVER (PARTITION BY new_doc) AS n_dups
+                FROM v)
+          SELECT n.doc_id AS new_doc,
+            CAST(coalesce(r.n_dups, 0) AS BIGINT) AS n_dups,
+            r.idx_doc AS best_match, r.jaccard AS best_jaccard,
+            (r.new_doc IS NULL) AS admit
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) n
+          LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON n.doc_id = r.new_doc
+          ORDER BY new_doc""",
+
+    "q102_dup_source_matrix" ->
+      s"""WITH t AS (SELECT doc_id, $shSql AS sh
+                     FROM (SELECT doc_id, $tokSql AS lst FROM documents) WHERE len(lst) >= 3),
+          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+                FROM t a JOIN t b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+          j AS (SELECT least(da.source, db.source) AS source_a,
+                  greatest(da.source, db.source) AS source_b, jaccard
+                FROM p JOIN documents da ON p.doc_a = da.doc_id
+                       JOIN documents db ON p.doc_b = db.doc_id)
+          SELECT source_a, source_b, count(*) AS n_pairs,
+            round(avg(jaccard), 6) AS avg_jaccard,
+            source_a <> source_b AS cross_source
+          FROM j GROUP BY source_a, source_b ORDER BY source_a, source_b""",
+
+    // The oracle replays winnowing itself: k-gram UBIGINT hashes, then
+    // each window's leftmost list_min via list_position.
+    "q100_winnow_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS lst FROM documents),
+          h AS (SELECT doc_id,
+                  [md5_number_lower(lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2] || ' ' || lst[i+3])
+                   for i in range(1, len(lst) - 2)] AS hs
+                FROM t WHERE len(lst) >= 7),
+          sel AS (SELECT doc_id, list_distinct(
+                    [hs[j + list_position(hs[j:j+3], list_min(hs[j:j+3])) - 1]
+                     for j in range(1, len(hs) - 2)]) AS fps FROM h),
+          g AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+          c AS (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_docs FROM g)
+          SELECT doc_id, count(*) AS n_fp,
+            CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fp,
+            CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*) AS shared_frac
+          FROM c GROUP BY doc_id ORDER BY doc_id""",
+
+    "q94_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS lst FROM documents),
+          s AS (SELECT doc_id, list_distinct([array_to_string(lst[i:i+7], ' ')
+                  for i in range(1, len(lst) - 6)]) AS sh
+                FROM t WHERE len(lst) >= 8),
+          g AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          c AS (SELECT g, count(*) AS n_docs FROM g GROUP BY g)
+          SELECT doc_id, count(*) AS n_windows,
+            CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+            CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*) AS shared_frac
+          FROM g JOIN c USING (g)
+          GROUP BY doc_id ORDER BY doc_id""",
+
+    "q32_canonical_fingerprint" ->
+      s"""SELECT doc_id,
+          md5(array_to_string(list_sort(list_distinct($tokSql)), ' ')) AS fingerprint
+          FROM documents ORDER BY doc_id""",
+
+    // DuckDB recomputes the simhash signatures from scratch (md5-lower-64
+    // token hashes == md5_number_lower) and replicates the 4x16-bit band
+    // condition exactly — the oracle checks LSH candidate generation AND
+    // hamming verification, not just the verify stage.
+    "q38_simhash_neardup" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS lst FROM documents),
+          s AS (SELECT doc_id, list_transform(lst, tok -> md5_number_lower(tok)) AS hs FROM t),
+          g AS (SELECT doc_id, list_sum(list_transform(range(0, 64), k ->
+                  CASE WHEN 2 * len(list_filter(hs, h -> ((h >> k) & 1) = 1)) > len(hs)
+                       THEN (1::HUGEINT << k) ELSE 0::HUGEINT END))::HUGEINT AS sig FROM s),
+          bands AS (SELECT doc_id, sig, b AS band_id,
+                      ((sig >> CAST(b * 16 AS INT)) & 65535) AS key
+                    FROM g, range(0, 4) t2(b)),
+          capped AS (SELECT * FROM (SELECT bands.*,
+                       row_number() OVER (PARTITION BY band_id, key ORDER BY doc_id) AS rk
+                     FROM bands) WHERE rk <= 64),
+          pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.sig AS sig_a, b.sig AS sig_b
+                    FROM capped a JOIN capped b
+                      ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+          FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 6
+          ORDER BY doc_a, doc_b""",
+
+    // FNV-1a chained over token bytes + 0x1f boundary markers, replayed
+    // byte-for-byte in DuckDB via hex expansion + HUGEINT mod-2^64 fold.
+    "q39_rolling_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS lst FROM documents),
+          b AS (SELECT doc_id, flatten(list_transform(lst, tok ->
+                  list_append(
+                    list_transform(range(1, octet_length(encode(tok)) + 1), i ->
+                      (strpos('0123456789abcdef', substr(lower(hex(encode(tok))), 2*i-1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substr(lower(hex(encode(tok))), 2*i, 1)) - 1)),
+                    31))) AS bs
+                FROM t),
+          f AS (SELECT doc_id, list_reduce(list_prepend(14695981039346656037::HUGEINT, bs),
+                  (acc, x) -> (xor(acc::HUGEINT, x::HUGEINT) * 1099511628211) % 18446744073709551616::HUGEINT) AS h
+                FROM b)
+          SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                 THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fp
+          FROM f ORDER BY doc_id""",
+
+
+    // 16-token blocks, global keep-first by (doc_id, idx), reassembly
+    // in index order; string_agg skips the NULLed dropped blocks.
+    "q117_block_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+          b0 AS (SELECT doc_id, toks,
+                  unnest(range(0, CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS idx
+                 FROM t WHERE len(toks) > 0),
+          b AS (SELECT doc_id, idx,
+                  array_to_string(list_slice(toks,
+                    CAST(idx AS INT) * 16 + 1, CAST(idx AS INT) * 16 + 16), ' ') AS blk
+                FROM b0),
+          k AS (SELECT doc_id, idx, blk,
+                row_number() OVER (PARTITION BY blk ORDER BY doc_id, idx) AS rn FROM b)
+          SELECT doc_id, count(*) AS n_blocks,
+            CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+            coalesce(string_agg(CASE WHEN rn = 1 THEN blk END, ' ' ORDER BY idx), '') AS clean_text
+          FROM k GROUP BY doc_id ORDER BY doc_id""",
+  )
+}
