@@ -19,6 +19,341 @@ private[graft] object BiQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q206_kaplan_meier" -> { (s, dir) =>
+      // Kaplan-Meier survival of customer "lifetime" — the standard
+      // censoring-aware churn readout a naive avg-lifetime report gets
+      // wrong: per customer, lifetime = last_order_day - first_order_day
+      // + 1; a customer whose last order sits more than 90 days before
+      // the corpus end CHURNED at that lifetime, anyone still ordering
+      // near the end is CENSORED (their lifetime is a lower bound, so
+      // they leave the risk set without counting as an event). At each
+      // event lifetime t: n_risk = customers with lifetime >= t,
+      // S(t) = prod_{t_i<=t} (1 - d_i/n_i), computed as
+      // exp(sum(ln(term))) with an explicit any-zero-term guard (ln(0)
+      // is null/error — both engines spell the identical CASE).
+      // Scale shape: orders collapse to per-customer (first, last) in
+      // ONE custkey shuffle, then to the per-lifetime table — bounded
+      // by the observed calendar span (~2.4k days), like a date
+      // dimension — where the running windows live; the driver moves
+      // only the 1-row max day.
+      val maxDay = Tables(s, dir).orders
+        .select(unix_micros(col("o_orderdate").cast("timestamp")).as("dus"))
+        .select(expr("dus DIV 86400000000").as("day"))
+        .agg(max(col("day"))).head.getLong(0)
+      val perUser = Tables(s, dir).orders
+        .select(col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("dus"))
+        .select(col("o_custkey"), expr("dus DIV 86400000000").as("day"))
+        .groupBy(col("o_custkey"))
+        .agg(min(col("day")).as("fd"), max(col("day")).as("ld"))
+        .select((col("ld") - col("fd") + 1).as("duration"),
+          (col("ld") < maxDay - 90).as("churn"))
+      val byT = perUser.groupBy(col("duration"))
+        .agg(sum(when(col("churn"), 1L).otherwise(0L)).as("d_events"),
+          count(lit(1)).as("leaving"))
+      val wPrev = Window.orderBy(col("duration"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy(col("duration"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byT
+        .withColumn("n_risk",
+          sum(col("leaving")).over(Window.orderBy(col("duration"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .filter(col("d_events") > 0)
+        .withColumn("term",
+          (col("n_risk") - col("d_events")).cast("double") / col("n_risk"))
+        .withColumn("lnterm", when(col("term") > 0, log(col("term")))
+          .otherwise(lit(0.0)))
+        .withColumn("anyzero", max(when(col("term") <= 0, 1L).otherwise(0L))
+          .over(wCum))
+        .select(col("duration"), col("n_risk"), col("d_events"),
+          when(col("anyzero") === 1, lit(0.0))
+            .otherwise(round(exp(sum(col("lnterm")).over(wCum)), 6))
+            .as("survival"))
+        .orderBy(col("duration"))
+    },
+
+    "q207_cuped" -> { (s, dir) =>
+      // CUPED variance-reduced experiment readout (Deng et al. 2013,
+      // WSDM — "Improving the Sensitivity of Online Controlled
+      // Experiments by Utilizing Pre-Experiment Data"): per user,
+      // X = pre-period purchase cents, Y = post-period purchase cents
+      // (periods split at the integer midpoint of the observed day
+      // span, arms from q171/q203's deterministic "ab:" id-hash so all
+      // three readouts describe the SAME experiment). theta =
+      // cov(X,Y)/var(X) POOLED across arms; each arm reports its raw
+      // post mean and the adjusted mean Ybar_a - theta*(Xbar_a - Xbar).
+      // rho2 = cov^2/(var X * var Y) is the variance-reduction factor.
+      // All five moment sums are EXACT integers (x,y <= ~1e6 cents per
+      // user, x*y <= 1e12, summed over <=1e6 ladder users ~ 1e18 —
+      // fits a long; the 100 TB form would widen to DECIMAL), and
+      // every double is derived from those longs with one fixed
+      // spelling, so both engines agree bit-for-bit before the 6dp
+      // round. Scale shape: purchases collapse to per-user (x, y) in
+      // ONE user shuffle, then to per-arm + pooled 1-row moment aggs.
+      val e = Tables(s, dir).events
+      val days = e.select(Tables.eventMicros(e).as("tus"))
+        .select(expr("tus DIV 86400000000").as("day"))
+        .agg(min(col("day")), max(col("day"))).head
+      val cutoff = (days.getLong(0) + days.getLong(1) + 1L) / 2L
+      val arm = pmod(md5_lower64(concat(lit("ab:"),
+        col("user_id").cast("string")).cast("binary")), lit(2L))
+      val perUser = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), Tables.eventMicros(e).as("tus"),
+          floor(col("value") * 100).cast("long").as("c"))
+        .select(col("user_id"),
+          (expr("tus DIV 86400000000") >= cutoff).as("post"), col("c"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(!col("post"), col("c")).otherwise(0L)).as("x"),
+          sum(when(col("post"), col("c")).otherwise(0L)).as("y"))
+        .withColumn("arm", arm)
+      val pooled = perUser.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+        .select(col("n"),
+          (col("sx").cast("double") / col("n")).as("mx"),
+          (col("sy").cast("double") / col("n")).as("my"),
+          (col("sxy").cast("double") / col("n")).as("mxy"),
+          (col("sxx").cast("double") / col("n")).as("mxx"),
+          (col("syy").cast("double") / col("n")).as("myy"))
+        .select(col("mx"),
+          (col("mxy") - col("mx") * col("my")).as("cxy"),
+          (col("mxx") - col("mx") * col("mx")).as("vx"),
+          (col("myy") - col("my") * col("my")).as("vy"))
+        .select(col("mx"), (col("cxy") / col("vx")).as("theta"),
+          (col("cxy") * col("cxy") / (col("vx") * col("vy"))).as("rho2"))
+      perUser.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"), sum(col("x")).as("ax"),
+          sum(col("y")).as("ay"))
+        .crossJoin(broadcast(pooled))
+        .select(col("arm"), col("n_users"),
+          round(col("ay").cast("double") / col("n_users"), 6).as("mean_post"),
+          round(col("ay").cast("double") / col("n_users") - col("theta") *
+            (col("ax").cast("double") / col("n_users") - col("mx")), 6)
+            .as("adj_mean"),
+          round(col("theta"), 6).as("theta"),
+          round(col("rho2"), 6).as("rho2"))
+        .orderBy(col("arm"))
+    },
+
+    "q208_mann_whitney" -> { (s, dir) =>
+      // Mann-Whitney U (Wilcoxon rank-sum) between the two "ab:" arms
+      // over purchase cents — the nonparametric significance readout
+      // when t-test normality can't be assumed. Average ranks for
+      // ties: collapsing to the per-VALUE table (cnt, cnt_arm1) makes
+      // the tied-rank sum exact integers — 2*R1 = sum over values of
+      // cnt1 * (2*rank_before + cnt + 1) — and the tie-corrected
+      // variance term sum(t^3 - t) stays an exact BIGINT (largest tie
+      // multiplicity t must stay < ~2e6 for the long bound; ladder max
+      // is ~1e3). U, z are doubles derived from those exact integers
+      // with one fixed spelling. Scale shape: purchases collapse to
+      // the value-level table in ONE hash shuffle; the exclusive
+      // prefix count over that (unbounded-cardinality) table comes
+      // from operators/Quantile.prefixSum — range-bucketed exact
+      // prefix sums, no single-partition window anywhere.
+      val arm = pmod(md5_lower64(concat(lit("ab:"),
+        col("user_id").cast("string")).cast("binary")), lit(2L))
+      val byVal = Tables(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .select(arm.as("arm"), floor(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("c"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cnt1"))
+      graft.operators.Quantile.prefixSum(byVal, Seq.empty, "c", "c",
+          weight = "cnt", prefixCol = "rank_before")
+        .agg(sum(col("cnt1") * (lit(2L) * col("rank_before") + col("cnt")
+            + 1L)).as("two_r1"),
+          sum(col("cnt1")).as("n1"), sum(col("cnt")).as("nn"),
+          sum(col("cnt") * (col("cnt") - 1L) * (col("cnt") + 1L)).as("tie"))
+        .select(col("n1"), (col("nn") - col("n1")).as("n2"), col("nn"),
+          col("two_r1"), col("tie"))
+        .select(col("n1"), col("n2"),
+          ((col("two_r1").cast("double") - col("n1").cast("double") *
+            (col("n1") + 1L)) / 2.0).as("u1"),
+          (col("n1").cast("double") * col("n2") / 2.0).as("mu"),
+          (col("n1").cast("double") * col("n2") / 12.0 *
+            ((col("nn") + 1L).cast("double") - col("tie").cast("double") /
+              (col("nn").cast("double") * (col("nn") - 1L).cast("double"))))
+            .as("vu"))
+        .select(col("n1"), col("n2"), round(col("u1"), 6).as("u1"),
+          round((col("u1") - col("mu")) / sqrt(col("vu")), 6).as("z"))
+    },
+
+    "q209_lorenz_curve" -> { (s, dir) =>
+      // Lorenz curve of revenue concentration — the full-curve
+      // companion to q188's Gini scalar: users ranked by purchase
+      // cents ascending (user_id tie-break), cut into exact ANSI
+      // deciles, and per decile the cumulative share of total revenue
+      // held by the bottom d/10 of users. Integer cents throughout;
+      // the only doubles are the final share divisions. Scale shape:
+      // ONE user shuffle to the per-user rollup; ranks and deciles
+      // from operators/Quantile (range-bucketed exact ranking, no
+      // global sort); the cumulative window runs on the 10-row decile
+      // table.
+      val per = Tables(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), floor(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("user_id")).agg(sum(col("c")).as("cents"))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      graft.operators.Quantile.ranked(per, Seq.empty, "cents", "user_id",
+          rankCol = "i")
+        .withColumn("decile",
+          graft.operators.Quantile.ntileOf("i", "n", 10).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("decile_cents"))
+        .select(col("decile"), col("n_users"), col("decile_cents"),
+          round(sum(col("decile_cents")).over(wCum).cast("double") /
+            sum(col("decile_cents")).over(wAll).cast("double"), 6)
+            .as("cum_share"))
+        .orderBy(col("decile"))
+    },
+
+    "q211_sprt" -> { (s, dir) =>
+      // Wald's Sequential Probability Ratio Test walked day by day —
+      // the "can we stop the experiment early" readout: on the
+      // treatment arm ("ab:" hash = 1), each day contributes
+      // conv*ln(p1/p0) + (trials-conv)*ln((1-p1)/(1-p0)) to the
+      // cumulative log-likelihood ratio for H1: p=0.25 vs H0: p=0.2
+      // (pre-registered constants, as SPRT requires — NOT data-derived),
+      // and the day's decision compares the running LLR to the
+      // alpha=beta=0.05 bounds +/-ln(19). Counts are exact integers;
+      // the LLR cumsum runs in day order over the bounded day table,
+      // so both engines add the same terms in the same order.
+      // Scale shape: events collapse to |days| cells in ONE
+      // map-side-combined agg; every window runs on that bounded table.
+      val e = Tables(s, dir).events
+      val arm = pmod(md5_lower64(concat(lit("ab:"),
+        col("user_id").cast("string")).cast("binary")), lit(2L))
+      val wCum = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      e.select(arm.as("arm"), Tables.eventMicros(e).as("tus"),
+          (col("event_type") === "purchase").as("conv"))
+        .filter(col("arm") === 1)
+        .select(expr("tus DIV 86400000000").as("day"), col("conv"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("trials"),
+          sum(when(col("conv"), 1L).otherwise(0L)).as("conversions"))
+        .withColumn("llr", round(sum(
+          col("conversions").cast("double") * log(lit(0.25) / lit(0.2)) +
+            (col("trials") - col("conversions")).cast("double") *
+              log(lit(0.75) / lit(0.8))).over(wCum), 6))
+        .select(col("day"), col("trials"), col("conversions"), col("llr"),
+          when(col("llr") >= log(lit(19.0)), "accept_h1")
+            .when(col("llr") <= -log(lit(19.0)), "accept_h0")
+            .otherwise("continue").as("decision"))
+        .orderBy(col("day"))
+    },
+
+    "q214_post_stratification" -> { (s, dir) =>
+      // Post-stratified treatment-effect estimate — the
+      // observational-bias guard when arms are imbalanced on a
+      // pre-metric: users cut into exact quintiles of PRE-period
+      // spend (operators/Quantile ranks + the ANSI ntile closed form,
+      // never a global sort), the per-stratum arm contrast
+      // ate_s = mean(y|treat) - mean(y|ctrl), and the overall estimate
+      // reweights each stratum by its population share — versus the
+      // raw contrast that confounds arm with stratum mix. Same "ab:"
+      // arms / midpoint periods as q207, so the readouts compose. All
+      // means are single divisions of exact integer cent sums; the
+      // weighted fold runs over 5 stratum rows. Scale shape: ONE user
+      // shuffle to (x, y, arm), Quantile's bounded-cell ranking, then
+      // a 10-cell agg.
+      val e = Tables(s, dir).events
+      val days = e.select(Tables.eventMicros(e).as("tus"))
+        .select(expr("tus DIV 86400000000").as("day"))
+        .agg(min(col("day")), max(col("day"))).head
+      val cutoff = (days.getLong(0) + days.getLong(1) + 1L) / 2L
+      val arm = pmod(md5_lower64(concat(lit("ab:"),
+        col("user_id").cast("string")).cast("binary")), lit(2L))
+      val perUser = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), Tables.eventMicros(e).as("tus"),
+          floor(col("value") * 100).cast("long").as("c"))
+        .select(col("user_id"),
+          (expr("tus DIV 86400000000") >= cutoff).as("post"), col("c"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(!col("post"), col("c")).otherwise(0L)).as("x"),
+          sum(when(col("post"), col("c")).otherwise(0L)).as("y"))
+        .withColumn("arm", arm)
+      val strat = graft.operators.Quantile.ranked(perUser, Seq.empty,
+          "x", "user_id", rankCol = "i")
+        .withColumn("stratum",
+          graft.operators.Quantile.ntileOf("i", "n", 5).cast("long"))
+        .groupBy(col("stratum"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),
+          sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy1"),
+          sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sy0"))
+        // a one-arm stratum (possible at tiny cohort sizes) reports
+        // null means and is weighted OUT of the overall estimate —
+        // both engines spell the identical CASE guards
+        .withColumn("valid",
+          col("n_treat") > 0 && col("n_users") - col("n_treat") > 0)
+        .withColumn("mean_treat", when(col("n_treat") > 0,
+          round(col("sy1").cast("double") / col("n_treat"), 6)))
+        .withColumn("mean_ctrl", when(col("n_users") - col("n_treat") > 0,
+          round(col("sy0").cast("double") /
+            (col("n_users") - col("n_treat")), 6)))
+        .withColumn("ate_s", when(col("valid"),
+          round(col("sy1").cast("double") / col("n_treat")
+            - col("sy0").cast("double") /
+              (col("n_users") - col("n_treat")), 6)))
+      val wAll = Window.orderBy(col("stratum"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      strat
+        .withColumn("ate_weighted", round(
+          sum(when(col("valid"),
+            (col("sy1").cast("double") / col("n_treat") -
+              col("sy0").cast("double") / (col("n_users") - col("n_treat"))) *
+              col("n_users")).otherwise(lit(0.0))).over(wAll) /
+            sum(when(col("valid"), col("n_users")).otherwise(0L)).over(wAll),
+          6))
+        .select(col("stratum"), col("n_users"), col("n_treat"),
+          col("mean_treat"), col("mean_ctrl"), col("ate_s"),
+          col("ate_weighted"))
+        .orderBy(col("stratum"))
+    },
+
+    "q215_cohort_ltv" -> { (s, dir) =>
+      // Cohort lifetime-value curves — the panel behind "do newer
+      // cohorts monetize faster": customers cohorted by FIRST-order
+      // year, revenue cents folded per (cohort, age-in-years), the
+      // running cumulative divided by the cohort's FULL size (a
+      // cohort-level constant, so late-age rows still average over
+      // everyone, the standard LTV convention). Integer cents
+      // throughout; the only doubles are the final per-customer
+      // divisions. Scale shape: ONE custkey shuffle (first order +
+      // cohort size), the order join reuses that partitioning, the
+      // (cohort x age) fold is a few-dozen-cell agg and every window
+      // runs on it.
+      val ords = Tables(s, dir).orders
+        .select(col("o_custkey"),
+          year(col("o_orderdate").cast("date")).cast("long").as("yr"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val firstYr = ords.groupBy(col("o_custkey"))
+        .agg(min(col("yr")).as("cohort_year"))
+      val cohortSize = firstYr.groupBy(col("cohort_year"))
+        .agg(count(lit(1)).as("n_customers"))
+      val wCum = Window.partitionBy(col("cohort_year")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ords.join(firstYr, Seq("o_custkey"))
+        .select(col("cohort_year"), (col("yr") - col("cohort_year")).as("age"),
+          col("cents"))
+        .groupBy(col("cohort_year"), col("age"))
+        .agg(sum(col("cents")).as("rev_cents"))
+        .join(broadcast(cohortSize), Seq("cohort_year"))
+        .withColumn("cum_rev_cents", sum(col("rev_cents")).over(wCum))
+        .select(col("cohort_year"), col("age"), col("n_customers"),
+          col("rev_cents"), col("cum_rev_cents"),
+          round(col("cum_rev_cents").cast("double") / col("n_customers"), 6)
+            .as("avg_cum_ltv_cents"))
+        .orderBy(col("cohort_year"), col("age"))
+    },
+
     "q85_sessionize" -> { (s, dir) =>
       // Gap-based sessionization (30-min idle timeout) on the event
       // timeline at microsecond precision (Tables.eventMicros normalizes
@@ -1165,6 +1500,228 @@ private[graft] object BiQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q206_kaplan_meier" ->
+      """WITH u AS (SELECT o_custkey,
+               min(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+                 AS fd,
+               max(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+                 AS ld
+             FROM orders GROUP BY o_custkey),
+          m AS (SELECT max(ld) AS maxday FROM u),
+          pu AS (SELECT ld - fd + 1 AS duration,
+                  ld < (SELECT maxday FROM m) - 90 AS churn FROM u),
+          bt AS (SELECT duration,
+                  CAST(sum(CASE WHEN churn THEN 1 ELSE 0 END) AS BIGINT)
+                    AS d_events,
+                  CAST(count(*) AS BIGINT) AS leaving
+                 FROM pu GROUP BY duration),
+          r AS (SELECT duration, d_events,
+                 CAST(sum(leaving) OVER (ORDER BY duration
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS n_risk
+                FROM bt),
+          t AS (SELECT duration, n_risk, d_events,
+                 CAST(n_risk - d_events AS DOUBLE) / n_risk AS term
+                FROM r WHERE d_events > 0),
+          k AS (SELECT duration, n_risk, d_events,
+                 CASE WHEN term > 0 THEN ln(term) ELSE 0 END AS lnterm,
+                 CASE WHEN term <= 0 THEN 1 ELSE 0 END AS zf
+                FROM t)
+          SELECT duration, n_risk, d_events,
+            CASE WHEN max(zf) OVER (ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+              THEN 0.0
+              ELSE round(exp(sum(lnterm) OVER (ORDER BY duration
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+            END AS survival
+          FROM k ORDER BY duration""",
+
+    "q207_cuped" ->
+      """WITH d AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+               AS mn, max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS mx
+             FROM events),
+          p AS (SELECT user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                   >= (SELECT (mn + mx + 1) // 2 FROM d) AS post,
+                 CAST(floor(value * 100) AS BIGINT) AS c
+                FROM events WHERE event_type = 'purchase'),
+          pu AS (SELECT user_id,
+                  CAST(sum(CASE WHEN NOT post THEN c ELSE 0 END) AS BIGINT)
+                    AS x,
+                  CAST(sum(CASE WHEN post THEN c ELSE 0 END) AS BIGINT) AS y,
+                  CAST(md5_number_lower('ab:' || user_id) & 1 AS BIGINT)
+                    AS arm
+                 FROM p GROUP BY user_id),
+          mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy FROM pu),
+          mm AS (SELECT n, CAST(sx AS DOUBLE) / n AS mx,
+                  CAST(sy AS DOUBLE) / n AS my, CAST(sxy AS DOUBLE) / n AS mxy,
+                  CAST(sxx AS DOUBLE) / n AS mxx, CAST(syy AS DOUBLE) / n AS myy
+                 FROM mom),
+          cv AS (SELECT mx, mxy - mx * my AS cxy, mxx - mx * mx AS vx,
+                  myy - my * my AS vy FROM mm),
+          th AS (SELECT mx, cxy / vx AS theta,
+                  cxy * cxy / (vx * vy) AS rho2 FROM cv),
+          a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(x) AS BIGINT) AS ax, CAST(sum(y) AS BIGINT) AS ay
+                FROM pu GROUP BY arm)
+          SELECT arm, n_users,
+            round(CAST(ay AS DOUBLE) / n_users, 6) AS mean_post,
+            round(CAST(ay AS DOUBLE) / n_users - theta *
+              (CAST(ax AS DOUBLE) / n_users - mx), 6) AS adj_mean,
+            round(theta, 6) AS theta, round(rho2, 6) AS rho2
+          FROM a, th ORDER BY arm""",
+
+    "q211_sprt" ->
+      """WITH p AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                   AS day,
+                 event_type = 'purchase' AS conv
+                FROM events
+                WHERE CAST(md5_number_lower('ab:' || user_id) & 1
+                  AS BIGINT) = 1),
+          d AS (SELECT day, CAST(count(*) AS BIGINT) AS trials,
+                 CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT)
+                   AS conversions
+                FROM p GROUP BY day),
+          c AS (SELECT day, trials, conversions,
+                 round(sum(CAST(conversions AS DOUBLE) * ln(0.25 / 0.2) +
+                   CAST(trials - conversions AS DOUBLE) * ln(0.75 / 0.8))
+                   OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                   AS llr
+                FROM d)
+          SELECT day, trials, conversions, llr,
+            CASE WHEN llr >= ln(19.0) THEN 'accept_h1'
+                 WHEN llr <= -ln(19.0) THEN 'accept_h0'
+                 ELSE 'continue' END AS decision
+          FROM c ORDER BY day""",
+
+    "q214_post_stratification" ->
+      """WITH d AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+               AS mn, max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS mx
+             FROM events),
+          p AS (SELECT user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                   >= (SELECT (mn + mx + 1) // 2 FROM d) AS post,
+                 CAST(floor(value * 100) AS BIGINT) AS c
+                FROM events WHERE event_type = 'purchase'),
+          pu AS (SELECT user_id,
+                  CAST(sum(CASE WHEN NOT post THEN c ELSE 0 END) AS BIGINT)
+                    AS x,
+                  CAST(sum(CASE WHEN post THEN c ELSE 0 END) AS BIGINT) AS y,
+                  CAST(md5_number_lower('ab:' || user_id) & 1 AS BIGINT)
+                    AS arm
+                 FROM p GROUP BY user_id),
+          sq AS (SELECT y, arm,
+                  CAST(ntile(5) OVER (ORDER BY x, user_id) AS BIGINT)
+                    AS stratum
+                 FROM pu),
+          g AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_treat,
+                 CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+                   AS sy1,
+                 CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+                   AS sy0
+                FROM sq GROUP BY stratum),
+          v AS (SELECT *, n_treat > 0 AND n_users - n_treat > 0 AS valid
+                FROM g)
+          SELECT stratum, n_users, n_treat,
+            CASE WHEN n_treat > 0
+              THEN round(CAST(sy1 AS DOUBLE) / n_treat, 6) END AS mean_treat,
+            CASE WHEN n_users - n_treat > 0
+              THEN round(CAST(sy0 AS DOUBLE) / (n_users - n_treat), 6)
+              END AS mean_ctrl,
+            CASE WHEN valid THEN round(CAST(sy1 AS DOUBLE) / n_treat -
+              CAST(sy0 AS DOUBLE) / (n_users - n_treat), 6) END AS ate_s,
+            round(sum(CASE WHEN valid THEN (CAST(sy1 AS DOUBLE) / n_treat -
+                CAST(sy0 AS DOUBLE) / (n_users - n_treat)) * n_users
+                ELSE 0.0 END)
+                OVER (ORDER BY stratum ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND UNBOUNDED FOLLOWING) /
+              sum(CASE WHEN valid THEN n_users ELSE 0 END)
+                OVER (ORDER BY stratum ROWS BETWEEN UNBOUNDED
+                PRECEDING AND UNBOUNDED FOLLOWING), 6) AS ate_weighted
+          FROM v ORDER BY stratum""",
+
+    "q215_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+               CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+             FROM orders),
+          fy AS (SELECT o_custkey, min(yr) AS cohort_year FROM o
+                 GROUP BY o_custkey),
+          cs AS (SELECT cohort_year, CAST(count(*) AS BIGINT) AS n_customers
+                 FROM fy GROUP BY cohort_year),
+          ra AS (SELECT cohort_year, yr - cohort_year AS age,
+                  CAST(sum(cents) AS BIGINT) AS rev_cents
+                 FROM o JOIN fy USING (o_custkey)
+                 GROUP BY cohort_year, yr - cohort_year),
+          cm AS (SELECT cohort_year, age, rev_cents,
+                  CAST(sum(rev_cents) OVER (PARTITION BY cohort_year
+                    ORDER BY age ROWS BETWEEN UNBOUNDED PRECEDING AND
+                    CURRENT ROW) AS BIGINT) AS cum_rev_cents
+                 FROM ra)
+          SELECT cohort_year, age, n_customers, rev_cents, cum_rev_cents,
+            round(CAST(cum_rev_cents AS DOUBLE) / n_customers, 6)
+              AS avg_cum_ltv_cents
+          FROM cm JOIN cs USING (cohort_year)
+          ORDER BY cohort_year, age""",
+
+    "q208_mann_whitney" ->
+      """WITH p AS (SELECT CAST(md5_number_lower('ab:' || user_id) & 1
+                   AS BIGINT) AS arm,
+                 CAST(floor(value * 100) AS BIGINT) AS c
+                FROM events WHERE event_type = 'purchase'),
+          bv AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS cnt1
+                 FROM p GROUP BY c),
+          r AS (SELECT cnt, cnt1,
+                 CAST(coalesce(sum(cnt) OVER (ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS rank_before
+                FROM bv),
+          agg AS (SELECT
+                 CAST(sum(cnt1 * (2 * rank_before + cnt + 1)) AS BIGINT)
+                   AS two_r1,
+                 CAST(sum(cnt1) AS BIGINT) AS n1,
+                 CAST(sum(cnt) AS BIGINT) AS nn,
+                 CAST(sum(cnt * (cnt - 1) * (cnt + 1)) AS BIGINT) AS tie
+                FROM r),
+          d AS (SELECT n1, nn - n1 AS n2, nn,
+                 (CAST(two_r1 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1))
+                   / 2.0 AS u1,
+                 CAST(n1 AS DOUBLE) * (nn - n1) / 2.0 AS mu,
+                 CAST(n1 AS DOUBLE) * (nn - n1) / 12.0 *
+                   (CAST(nn + 1 AS DOUBLE) - CAST(tie AS DOUBLE) /
+                     (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE))) AS vu
+                FROM agg)
+          SELECT n1, n2, round(u1, 6) AS u1,
+                 round((u1 - mu) / sqrt(vu), 6) AS z
+          FROM d""",
+
+    "q209_lorenz_curve" ->
+      """WITH per AS (SELECT user_id,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+             FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+          dq AS (SELECT cents, user_id,
+                  CAST(ntile(10) OVER (ORDER BY cents, user_id) AS BIGINT)
+                    AS decile
+                 FROM per),
+          g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(cents) AS BIGINT) AS decile_cents
+                FROM dq GROUP BY decile)
+          SELECT decile, n_users, decile_cents,
+            round(CAST(sum(decile_cents) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+              CAST(sum(decile_cents) OVER () AS DOUBLE), 6) AS cum_share
+          FROM g ORDER BY decile""",
+
     "q184_ewma_anomaly" ->
       """WITH dc AS (SELECT event_type,
                epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,

@@ -18,6 +18,35 @@ private[graft] object DedupQueries {
   import Pipeline._
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q212_ngram_novelty" -> { (s, dir) =>
+      // Per-document n-gram NOVELTY — the memorization-risk /
+      // contribution readout dedup thresholds are tuned against: of a
+      // doc's distinct 3-gram shingles (q31's shingled helper), what
+      // fraction appears here FIRST (min doc_id over the corpus ==
+      // this doc, ingestion order)? Novelty ~1 = fresh content,
+      // ~0 = the doc restates earlier grams — exactly the signal
+      // span-dedup (q94) destroys and a curation pass wants BEFORE
+      // destroying it. All counts exact integers; the ratio is the
+      // only double. Scale shape: gram-type min agg + one gram join
+      // back (both token-volume bound, the q94/q100 family shape) +
+      // the per-doc rollup; never all-pairs. Docs with <3 tokens have
+      // no shingles and drop out of both engines identically.
+      val ex = shingled(Tables(s, dir))
+        .select(col("doc_id"), explode(col("sh")).as("gram"))
+      val first = ex.groupBy(col("gram"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      ex.join(first, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams"), 6)
+            .as("novelty"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- deduplication -------------------------------------------------
     "q30_exact_dedup" -> { (s, dir) =>
       Tables(s, dir).documents
@@ -353,6 +382,18 @@ private[graft] object DedupQueries {
   )
 
   def oracle: Map[String, String] = Map(
+
+    "q212_ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $shSql AS sh
+              FROM (SELECT doc_id, $tokSql AS lst FROM documents)),
+          ex AS (SELECT doc_id, unnest(sh) AS gram FROM t),
+          fd AS (SELECT gram, min(doc_id) AS first_doc FROM ex GROUP BY gram)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+            CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel,
+            round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*), 6) AS novelty
+          FROM ex JOIN fd USING (gram) GROUP BY doc_id ORDER BY doc_id""",
 
     "q204_capture_recapture" ->
       """WITH f AS (SELECT md5(text) AS fp FROM documents),

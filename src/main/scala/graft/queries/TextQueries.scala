@@ -19,6 +19,83 @@ private[graft] object TextQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q210_heaps_law" -> { (s, dir) =>
+      // Heaps'-law fit of vocabulary growth — q198's Zipf companion
+      // and the capacity-planning readout behind "how big does the
+      // tokenizer vocab get at 100x the corpus": V(n) ~ K * n^beta,
+      // fit by OLS on ln(vocab) vs ln(docs) at 16 corpus-prefix
+      // checkpoints (prefix = doc_id order, the ingestion order). The
+      // vocabulary unit is the 3-gram shingle TYPE (q31's shingled
+      // helper) — the fixture's word vocabulary saturates at 31 types
+      // inside the first checkpoint, while gram types keep growing the
+      // way a real tokenizer vocab does. Each gram contributes to a
+      // checkpoint iff its FIRST occurrence (min doc_id — one
+      // gram-type shuffle) precedes the cut, so every count is an
+      // exact integer and the only FP freedom is the 16-term OLS sum,
+      // absorbed by round 6. Scale shape: one gram agg + one doc-count
+      // agg, each cross-joined to the broadcast 16-row checkpoint
+      // table; the driver moves only the 1-row max doc_id.
+      val maxId = Tables(s, dir).documents
+        .agg(max(col("doc_id"))).head.getLong(0)
+      val ckpts = s.range(1, 17)
+        .select(col("id").as("ckpt"),
+          expr(s"(($maxId + 1) * id) DIV 16").as("cut"))
+      val firstDoc = shingled(Tables(s, dir))
+        .select(col("doc_id"), explode(col("sh")).as("gram"))
+        .groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+      val vocabAt = firstDoc.crossJoin(broadcast(ckpts))
+        .filter(col("first_doc") < col("cut"))
+        .groupBy(col("ckpt")).agg(count(lit(1)).as("vocab"))
+      val docsAt = Tables(s, dir).documents.select(col("doc_id"))
+        .crossJoin(broadcast(ckpts))
+        .filter(col("doc_id") < col("cut"))
+        .groupBy(col("ckpt")).agg(count(lit(1)).as("docs"))
+      docsAt.join(vocabAt, Seq("ckpt"))
+        .select(log(col("docs").cast("double")).as("x"),
+          log(col("vocab").cast("double")).as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("n").as("n_checkpoints"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("heaps_beta"),
+          round(exp((col("sy") - (col("n") * col("sxy") - col("sx") *
+            col("sy")) / (col("n") * col("sxx") - col("sx") * col("sx")) *
+            col("sx")) / col("n")), 6).as("heaps_k"),
+          round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+             (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+    },
+
+    "q213_readability" -> { (s, dir) =>
+      // Flesch-style readability scoring — the per-document curation
+      // signal legibility filters key on: words (whitespace tokens),
+      // sentences ([.!?]+ runs, floored at 1 so fragments don't
+      // div-0), and a vowel-run syllable proxy (the container has no
+      // dictionary; vowel groups are the standard approximation), all
+      // exact integer counts from codegen'd regexes. The score
+      // 206.835 - 1.015*(w/s) - 84.6*(syl/w) is one fixed double
+      // spelling, and the easy/medium/hard band compares the ROUNDED
+      // score so the bucket edge is deterministic cross-engine. Scale
+      // shape: q33's — narrow range sort, then a map-only projection.
+      val w = size(toks(col("text"))).cast("long")
+      val sRaw = size(regexp_extract_all(col("text"), lit("[.!?]+"),
+        lit(0))).cast("long")
+      val sents = when(sRaw === 0, 1L).otherwise(sRaw)
+      val syl = size(regexp_extract_all(col("text"),
+        lit("[aeiouAEIOU]+"), lit(0))).cast("long")
+      Tables(s, dir).documents.filter(hasTokens).orderBy(col("doc_id"))
+        .select(col("doc_id"), w.as("n_words"), sents.as("n_sentences"),
+          syl.as("n_syllables"),
+          round(lit(206.835) - lit(1.015) * (w.cast("double") /
+            sents.cast("double")) - lit(84.6) * (syl.cast("double") /
+            w.cast("double")), 6).as("flesch"))
+        .withColumn("band", when(col("flesch") >= 60, "easy")
+          .when(col("flesch") >= 30, "medium").otherwise("hard"))
+    },
+
     // --- text analysis -------------------------------------------------
     "q33_quality_score" -> { (s, dir) =>
       val t = toks(col("text"))
@@ -830,6 +907,57 @@ private[graft] object TextQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q210_heaps_law" ->
+      s"""WITH mx AS (SELECT max(doc_id) AS maxid FROM documents),
+          ck AS (SELECT CAST(range + 1 AS BIGINT) AS ckpt,
+                  ((SELECT maxid FROM mx) + 1) * (range + 1) // 16 AS cut
+                 FROM range(16)),
+          fd AS (SELECT gram, min(doc_id) AS first_doc
+                 FROM (SELECT doc_id, unnest(sh) AS gram
+                       FROM (SELECT doc_id, $shSql AS sh
+                             FROM (SELECT doc_id, $tokSql AS lst
+                                   FROM documents)))
+                 GROUP BY gram),
+          va AS (SELECT ckpt, CAST(count(*) AS BIGINT) AS vocab
+                 FROM fd, ck WHERE first_doc < cut GROUP BY ckpt),
+          da AS (SELECT ckpt, CAST(count(*) AS BIGINT) AS docs
+                 FROM documents, ck WHERE doc_id < cut GROUP BY ckpt),
+          xy AS (SELECT ln(CAST(docs AS DOUBLE)) AS x,
+                  ln(CAST(vocab AS DOUBLE)) AS y
+                 FROM da JOIN va USING (ckpt)),
+          g AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+                 sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy,
+                 sum(x * y) AS sxy FROM xy)
+          SELECT n AS n_checkpoints,
+                 round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                   AS heaps_beta,
+                 round(exp((sy - (n * sxy - sx * sy) /
+                   (n * sxx - sx * sx) * sx) / n), 6) AS heaps_k,
+                 round(power(n * sxy - sx * sy, 2) /
+                   ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+          FROM g""",
+
+    "q213_readability" ->
+      s"""WITH b AS (SELECT doc_id,
+               CAST(len($tokSql) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS sr,
+               CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+'))
+                 AS BIGINT) AS n_syllables
+              FROM documents WHERE $hasTokensSql),
+          c AS (SELECT doc_id, n_words,
+                 CASE WHEN sr = 0 THEN 1 ELSE sr END AS n_sentences,
+                 n_syllables FROM b),
+          f AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+                 round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) /
+                   CAST(n_sentences AS DOUBLE)) - 84.6 *
+                   (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+                   6) AS flesch
+                FROM c)
+          SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+            CASE WHEN flesch >= 60 THEN 'easy'
+                 WHEN flesch >= 30 THEN 'medium' ELSE 'hard' END AS band
+          FROM f ORDER BY doc_id""",
+
     "q198_zipf_fit" ->
       s"""WITH f AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
               FROM (SELECT unnest($tokSql) AS token FROM documents)

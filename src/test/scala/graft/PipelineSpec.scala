@@ -3124,6 +3124,330 @@ class PipelineSpec extends SparkSpec {
     assert(got == want, "every window recomputed without either codec side")
   }
 
+  private def armOfUser(u: Long): Long =
+    graft.expressions.SketchKernel.md5Lower64(s"ab:$u".getBytes("UTF-8")) & 1L
+
+  private def purchasesByUser(): Map[Long, Seq[(Long, Long)]] = {
+    // user -> [(day, cents)] over purchase events
+    val e = Tables(spark, sf).events
+    e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), Tables.eventMicros(e).as("tus"),
+        floor(col("value") * 100).cast("long").as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 86400000000L, r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+  }
+
+  test("kaplan meier: brute survival product over customer lifetimes") {
+    val got = Pipeline.queries("q206_kaplan_meier")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val perCust = Tables(spark, sf).orders
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("dus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 86400000000L))
+      .groupBy(_._1).toSeq.map { case (_, rows) =>
+        val ds = rows.map(_._2)
+        (ds.max - ds.min + 1, ds.max)
+      }
+    val maxDay = perCust.map(_._2).max
+    val lifetimes = perCust.map { case (dur, ld) => (dur, ld < maxDay - 90) }
+    val byT = lifetimes.groupBy(_._1).toSeq.sortBy(_._1)
+    var surv = 1.0
+    val want = byT.flatMap { case (t, rows) =>
+      val nRisk = lifetimes.count(_._1 >= t)
+      val d = rows.count(_._2)
+      if (d == 0) None
+      else {
+        surv *= (nRisk - d).toDouble / nRisk
+        Some((t, nRisk.toLong, d.toLong,
+          BigDecimal(surv).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
+      }
+    }
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3, s"$g vs $w")
+      assert(math.abs(g._4 - w._4) < 2e-6, s"survival $g vs $w")
+    }
+    // survival is monotone non-increasing from 1
+    assert(got.head._4 <= 1.0 + 1e-9)
+    got.sliding(2).foreach(p =>
+      if (p.length == 2) assert(p(1)._4 <= p(0)._4 + 1e-9))
+  }
+
+  test("cuped: brute moments, theta shrinks within-arm residual variance") {
+    val rows = Pipeline.queries("q207_cuped")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val days = purchasesByUser().values.flatten.map(_._1)
+    val cutoff = (days.min + days.max + 1) / 2
+    val pu = purchasesByUser().map { case (u, evs) =>
+      (armOfUser(u), evs.filter(_._1 < cutoff).map(_._2).sum,
+        evs.filter(_._1 >= cutoff).map(_._2).sum)
+    }.toSeq
+    val n = pu.size.toLong
+    val (sx, sy) = (pu.map(_._2).sum, pu.map(_._3).sum)
+    val (sxy, sxx, syy) = (pu.map(t => t._2 * t._3).sum,
+      pu.map(t => t._2 * t._2).sum, pu.map(t => t._3 * t._3).sum)
+    val (mx, my) = (sx.toDouble / n, sy.toDouble / n)
+    val cxy = sxy.toDouble / n - mx * my
+    val vx = sxx.toDouble / n - mx * mx
+    val vy = syy.toDouble / n - my * my
+    val theta = cxy / vx
+    val rho2 = cxy * cxy / (vx * vy)
+    rows.foreach { r =>
+      val au = pu.filter(_._1 == r._1)
+      assert(r._2 == au.size)
+      val myA = au.map(_._3).sum.toDouble / au.size
+      val mxA = au.map(_._2).sum.toDouble / au.size
+      assert(math.abs(r._3 - myA) < 2e-6)
+      assert(math.abs(r._4 - (myA - theta * (mxA - mx))) < 2e-6)
+      assert(math.abs(r._5 - theta) < 2e-6)
+      assert(math.abs(r._6 - rho2) < 2e-6)
+    }
+    assert(rho2 > 0 && rho2 <= 1.0)
+  }
+
+  test("mann whitney: brute average-rank U statistic with tie correction") {
+    val r = Pipeline.queries("q208_mann_whitney")(spark, sf).collect().head
+    val (n1, n2, u1, z) = (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getDouble(3))
+    val e = Tables(spark, sf).events
+    val obs = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), floor(col("value") * 100).cast("long").as("c"))
+      .collect().map(r2 => (armOfUser(r2.getLong(0)), r2.getLong(1)))
+    assert(n1 == obs.count(_._1 == 1L) && n2 == obs.count(_._1 == 0L))
+    // average ranks over the sorted pooled sample
+    val sorted = obs.map(_._2).sorted
+    val rankOf = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, g) => (v, g.map(_._2 + 1).sum.toDouble / g.length) }
+    val r1 = obs.filter(_._1 == 1L).map(o => rankOf(o._2)).sum
+    val bruteU = r1 - n1.toDouble * (n1 + 1) / 2
+    assert(math.abs(u1 - bruteU) < 1e-6, s"$u1 vs $bruteU")
+    val n = (n1 + n2).toDouble
+    val tie = obs.groupBy(_._2).values
+      .map(g => { val t = g.length.toDouble; t * t * t - t }).sum
+    val mu = n1.toDouble * n2 / 2
+    val vu = n1.toDouble * n2 / 12 * ((n + 1) - tie / (n * (n - 1)))
+    assert(math.abs(z - (bruteU - mu) / math.sqrt(vu)) < 1e-5)
+  }
+
+  test("lorenz curve: brute decile shares, monotone means, ending at 1") {
+    val got = Pipeline.queries("q209_lorenz_curve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val per = purchasesByUser().toSeq
+      .map { case (u, evs) => (u, evs.map(_._2).sum) }
+      .sortBy(t => (t._2, t._1))
+    val n = per.size
+    val q = n / 10; val rem = n % 10
+    val deciles = per.zipWithIndex.map { case ((_, c), i) =>
+      val rn = i + 1
+      val d = if (rn <= rem * (q + 1)) (rn + q) / (q + 1)
+              else rem + (rn - rem * (q + 1) + q - 1) / q
+      (d.toLong, c)
+    }
+    val byD = deciles.groupBy(_._1).toSeq.sortBy(_._1)
+    val total = per.map(_._2).sum.toDouble
+    var cum = 0L
+    val want = byD.map { case (d, rows) =>
+      cum += rows.map(_._2).sum
+      (d, rows.size.toLong, rows.map(_._2).sum, cum / total)
+    }
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3, s"$g vs $w")
+      assert(math.abs(g._4 - w._4) < 2e-6)
+    }
+    assert(math.abs(got.last._4 - 1.0) < 1e-9, "shares end at 1")
+    // sorted-ascending buckets: per-user decile MEANS are non-decreasing
+    // (raw share increments can dip where ANSI ntile gives the earlier
+    // decile one extra user, so compare means, not sums)
+    val means = got.map(g => g._3.toDouble / g._2)
+    means.sliding(2).foreach(p =>
+      if (p.length == 2) assert(p(1) >= p(0) - 1e-9, "mean monotonicity"))
+  }
+
+  test("heaps law: brute gram first-occurrence growth and OLS fit") {
+    val r = Pipeline.queries("q210_heaps_law")(spark, sf).collect().head
+    val (nCk, beta, k, r2) = (r.getLong(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(3))
+    assert(nCk == 16L)
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(row => (row.getLong(0), row.getString(1)))
+    val firstDoc = scala.collection.mutable.Map[String, Long]()
+    docs.sortBy(_._1).foreach { case (id, text) =>
+      val ts = text.trim.split("\\s+").toSeq
+      ts.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+        .foreach { g: String =>
+          if (!firstDoc.contains(g)) firstDoc(g) = id }
+    }
+    val maxId = docs.map(_._1).max
+    val pts = (1 to 16).map { kk =>
+      val cut = (maxId + 1) * kk / 16
+      (docs.count(_._1 < cut).toDouble,
+        firstDoc.values.count(_ < cut).toDouble)
+    }
+    val xs = pts.map(p => math.log(p._1)); val ys = pts.map(p => math.log(p._2))
+    val n = 16.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val (sxx, syy, sxy) = (xs.map(x => x * x).sum, ys.map(y => y * y).sum,
+      xs.zip(ys).map(t => t._1 * t._2).sum)
+    val bruteBeta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(beta - bruteBeta) < 1e-4, s"$beta vs $bruteBeta")
+    assert(math.abs(k - math.exp((sy - bruteBeta * sx) / n)) < 1e-2)
+    assert(math.abs(r2 - math.pow(n * sxy - sx * sy, 2) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))) < 1e-4)
+    assert(beta > 0 && beta < 1, "sub-linear vocabulary growth")
+  }
+
+  test("sprt: brute LLR walk and decision bands") {
+    val got = Pipeline.queries("q211_sprt")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4)))
+    val e = Tables(spark, sf).events
+    val raw = e.select(col("user_id"), Tables.eventMicros(e).as("tus"),
+        (col("event_type") === "purchase").as("conv")).collect()
+      .filter(r2 => armOfUser(r2.getLong(0)) == 1L)
+      .map(r2 => (r2.getLong(1) / 86400000000L, r2.getBoolean(2)))
+    val byDay = raw.groupBy(_._1).toSeq.sortBy(_._1)
+    var llr = 0.0
+    val c1 = math.log(0.25 / 0.2); val c2 = math.log(0.75 / 0.8)
+    val want = byDay.map { case (d, evs) =>
+      val conv = evs.count(_._2).toLong
+      llr += conv * c1 + (evs.length - conv) * c2
+      (d, evs.length.toLong, conv, llr)
+    }
+    assert(got.length == want.length)
+    val bound = math.log(19.0)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3, s"$g vs $w")
+      assert(math.abs(g._4 - w._4) < 2e-6)
+      val dec = if (g._4 >= bound) "accept_h1"
+                else if (g._4 <= -bound) "accept_h0" else "continue"
+      assert(g._5 == dec)
+    }
+  }
+
+  test("ngram novelty: brute first-occurrence ratio, doc 0 fully novel") {
+    val got = Pipeline.queries("q212_ngram_novelty")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(row => (row.getLong(0), row.getString(1)))
+    val grams = docs.map { case (id, text) =>
+      (id, text.trim.split("\\s+").toSeq.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet)
+    }
+    val firstDoc = grams.flatMap { case (id, gs) => gs.map(g => (g, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = grams.filter(_._2.nonEmpty).sortBy(_._1).map { case (id, gs) =>
+      val novel = gs.count(g => firstDoc(g) == id)
+      (id, gs.size.toLong, novel.toLong, novel.toDouble / gs.size)
+    }
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3, s"$g vs $w")
+      assert(math.abs(g._4 - w._4) < 2e-6)
+    }
+    // the first doc's grams are all first occurrences by definition
+    assert(got.head._4 == 1.0)
+  }
+
+  test("readability: brute regex recompute, bands respect rounded edges") {
+    val got = Pipeline.queries("q213_readability")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5)))
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(row => (row.getLong(0), row.getString(1)))
+      .filter(d => d._2 != null && d._2.trim.nonEmpty).sortBy(_._1)
+    assert(got.length == docs.length)
+    got.zip(docs).foreach { case (g, (id, text)) =>
+      assert(g._1 == id)
+      val w = text.trim.split("\\s+").length.toLong
+      val sRaw = "[.!?]+".r.findAllIn(text).length.toLong
+      val sents = if (sRaw == 0) 1L else sRaw
+      val syl = "[aeiouAEIOU]+".r.findAllIn(text).length.toLong
+      assert(g._2 == w && g._3 == sents && g._4 == syl, s"counts for doc $id")
+      val flesch = BigDecimal(206.835 - 1.015 * (w.toDouble / sents) -
+        84.6 * (syl.toDouble / w))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(g._5 - flesch) < 2e-6)
+      val band = if (g._5 >= 60) "easy" else if (g._5 >= 30) "medium"
+                 else "hard"
+      assert(g._6 == band)
+    }
+  }
+
+  test("post stratification: brute quintile contrast and weighted fold") {
+    val got = Pipeline.queries("q214_post_stratification")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getDouble(6)))
+    val days = purchasesByUser().values.flatten.map(_._1)
+    val cutoff = (days.min + days.max + 1) / 2
+    val pu = purchasesByUser().toSeq.map { case (u, evs) =>
+      (u, evs.filter(_._1 < cutoff).map(_._2).sum,
+        evs.filter(_._1 >= cutoff).map(_._2).sum, armOfUser(u))
+    }.sortBy(t => (t._2, t._1))
+    val n = pu.size; val q = n / 5; val rem = n % 5
+    val strata = pu.zipWithIndex.map { case ((_, _, y, arm), i) =>
+      val rn = i + 1
+      val st = if (rn <= rem * (q + 1)) (rn + q) / (q + 1)
+               else rem + (rn - rem * (q + 1) + q - 1) / q
+      (st.toLong, y, arm)
+    }.groupBy(_._1).toSeq.sortBy(_._1)
+    var wSum = 0.0; var wN = 0L
+    val want = strata.map { case (st, rows) =>
+      val t = rows.filter(_._3 == 1L); val c = rows.filter(_._3 == 0L)
+      // one-arm strata report no contrast and are weighted out
+      val ate = if (t.nonEmpty && c.nonEmpty)
+        Some(t.map(_._2).sum.toDouble / t.size -
+          c.map(_._2).sum.toDouble / c.size)
+      else None
+      ate.foreach { a => wSum += a * rows.size; wN += rows.size }
+      (st, rows.size.toLong, t.size.toLong, ate)
+    }
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3, s"$g vs $w")
+      assert(g._4.isDefined == w._4.isDefined, s"validity $g vs $w")
+      (g._4, w._4) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 2e-6)
+        case _ =>
+      }
+      assert(math.abs(g._5 - wSum / wN) < 2e-6)
+    }
+  }
+
+  test("cohort ltv: brute cohort fold, curves cumulative and monotone") {
+    val got = Pipeline.queries("q215_cohort_ltv")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val ords = Tables(spark, sf).orders
+      .select(col("o_custkey"), year(col("o_orderdate").cast("date"))
+        .cast("long").as("yr"),
+        floor(col("o_totalprice") * 100).cast("long").as("c")).collect()
+      .map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2)))
+    val firstYr = ords.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val sizes = firstYr.values.groupBy(identity).view.mapValues(_.size).toMap
+    val cells = ords.map(o => ((firstYr(o._1), o._2 - firstYr(o._1)), o._3))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val want = cells.keys.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (cy, ks) =>
+        var cum = 0L
+        ks.toSeq.sortBy(_._2).map { case (_, age) =>
+          cum += cells((cy, age))
+          (cy, age, sizes(cy).toLong, cells((cy, age)), cum,
+            cum.toDouble / sizes(cy))
+        }
+    }
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3 &&
+        g._4 == w._4 && g._5 == w._5, s"$g vs $w")
+      assert(math.abs(g._6 - w._6) < 2e-6)
+    }
+  }
+
   test("ann recall audit equals the locally-joined q36/q57 intersection") {
     val audit = Pipeline.queries("q158_ann_recall_audit")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)

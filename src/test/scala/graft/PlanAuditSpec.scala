@@ -62,7 +62,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "q194_ctfidf_keywords", "q195_token_burstiness",
     // q185/q188's Quantile.ranked (global grouping) crosses against
     // the broadcast ONE-ROW (mn, mx) bounds row — q124's pattern
-    "q185_decile_lift", "q188_gini_concentration")
+    "q185_decile_lift", "q188_gini_concentration",
+    // q208/q209/q214 ride the same global-grouping Quantile bounds
+    // cross; q207 crosses per-arm rows against the broadcast ONE-ROW
+    // pooled-moments row; q210 crosses the gram/doc tables against the
+    // broadcast 16-ROW checkpoint table
+    "q207_cuped", "q208_mann_whitney", "q209_lorenz_curve",
+    "q210_heaps_law", "q214_post_stratification")
 
   test("no unplanned cartesian products or nested-loop joins") {
     val offenders = Seq.newBuilder[String]
@@ -382,7 +388,36 @@ class PlanAuditSpec extends AnyFunSuite {
     // q204: the distinct-fingerprint aggs (two-phase distinct rewrite)
     "q204_capture_recapture" -> 2,
     // q205: map-only encode/decode/explode; only the presentation sort
-    "q205_audio_pcm_windows" -> 1)
+    "q205_audio_pcm_windows" -> 1,
+    // q206: the custkey rollup + the |duration|-cell agg + presentation
+    // sort; survival windows run on the bounded duration table
+    "q206_kaplan_meier" -> 3,
+    // q207: the per-user rollup + the per-arm agg + presentation sort;
+    // pooled moments broadcast back as a 1-row cross
+    "q207_cuped" -> 3,
+    // q208: the value-level agg + Quantile.prefixSum's bounded-cell
+    // passes over it + the 1-row readout fold
+    "q208_mann_whitney" -> 6,
+    // q209: the per-user rollup + Quantile's exact-rank passes + the
+    // 10-cell decile agg (windows run on it)
+    "q209_lorenz_curve" -> 8,
+    // q210: the gram first-occurrence agg + the 16-cell checkpoint
+    // fold (doc side reuses the broadcast checkpoints)
+    "q210_heaps_law" -> 2,
+    // q211: the |days| cell agg + presentation sort; the LLR window
+    // runs on the bounded day table
+    "q211_sprt" -> 2,
+    // q212: the gram min agg + the gram join back + the per-doc
+    // rollup/sort (token-volume bound, q94's family)
+    "q212_ngram_novelty" -> 3,
+    // q213: map-only regex counts; only the presentation sort
+    "q213_readability" -> 1,
+    // q214: the per-user rollup + Quantile's exact-rank passes + the
+    // 5-cell stratum agg (windows run on it)
+    "q214_post_stratification" -> 8,
+    // q215: the custkey first-order rollup reused by the order join +
+    // the (cohort x age) cell agg + cohort sizes broadcast + sort
+    "q215_cohort_ltv" -> 4)
 
   // ──────────────────────────────────────────────────────────────────
   // The round-11 `weak` bug class, pinned mechanically: no query may
@@ -414,7 +449,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "dow", "wday", "week", "dim", "m", "bin", "decile", "cluster", "arm",
     "period", "check", "segment", "nation", "region", "b", "r_score",
     "f_score", "m_score", "from_type", "to_type", "next_type",
-    "event_name", "l_returnflag", "l_linestatus")
+    "event_name", "l_returnflag", "l_linestatus",
+    // round-13 additions, each a provably bounded domain: customer
+    // lifetime in days (<= calendar span, q206), the fixed 16-row
+    // corpus-prefix checkpoints (q210), ntile(5) strata (q214), and
+    // order-calendar years / ages-in-years (q215)
+    "duration", "ckpt", "stratum", "cohort_year", "age")
   // bucket keys: bounded per-partition SIZE by construction (range
   // cells, salt buckets, shard ids) — safe to partition a window by
   // over any input, and they bound an agg's output to |cells| rows
