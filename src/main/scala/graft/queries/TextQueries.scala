@@ -64,9 +64,15 @@ private[graft] object TextQueries {
           round(exp((col("sy") - (col("n") * col("sxy") - col("sx") *
             col("sy")) / (col("n") * col("sxx") - col("sx") * col("sx")) *
             col("sx")) / col("n")), 6).as("heaps_k"),
-          round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
-            ((col("n") * col("sxx") - col("sx") * col("sx")) *
-             (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+          // a fully saturated vocabulary (every checkpoint sees the
+          // same gram count — the 100x-replicated ladder corpus does
+          // this) has zero y-variance: the fit is degenerate and r2 is
+          // NULL rather than a division crash
+          when(col("n") * col("syy") - col("sy") * col("sy") > 0,
+            round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+              ((col("n") * col("sxx") - col("sx") * col("sx")) *
+               (col("n") * col("syy") - col("sy") * col("sy"))), 6))
+            .as("r2"))
     },
 
     "q213_readability" -> { (s, dir) =>
@@ -933,8 +939,10 @@ private[graft] object TextQueries {
                    AS heaps_beta,
                  round(exp((sy - (n * sxy - sx * sy) /
                    (n * sxx - sx * sx) * sx) / n), 6) AS heaps_k,
-                 round(power(n * sxy - sx * sy, 2) /
-                   ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+                 CASE WHEN n * syy - sy * sy > 0
+                   THEN round(power(n * sxy - sx * sy, 2) /
+                     ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                 END AS r2
           FROM g""",
 
     "q213_readability" ->
