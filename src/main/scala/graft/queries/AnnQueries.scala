@@ -19,6 +19,52 @@ private[graft] object AnnQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q216_mrl_truncation" -> { (s, dir) =>
+      // Matryoshka-style truncation audit (Kusupati et al. 2022): how
+      // much recall@5 survives searching on only the FIRST d dims of
+      // the embedding (d = 8/16/32 vs the full-64 exact top-5)? The
+      // readout that decides whether a cheap prefix-dim index tier is
+      // safe — the storage/recall trade every MRL deployment measures
+      // before shipping. Cosines on the sliced prefixes use the same
+      // kernel arithmetic as q36 (bit-exact vs the oracle's
+      // per-element fold, rounded 6dp before ranking); hits/recall are
+      // exact integers per (dim, query). Scale shape: q36's audited
+      // brute harness — corpus x broadcast 10-query sample x 3 dims,
+      // per-(qid,dim) top-5 windows; at 100 TB the query side stays a
+      // sample and the corpus side would ride an index (q57/q118),
+      // exactly as q158's posture documents.
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("emb"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qe"))
+      val dims = s.range(0, 3)
+        .select(expr("CAST(8 * CAST(pow(2, id) AS BIGINT) AS BIGINT)")
+          .as("dim"))
+      val w = Window.partitionBy(col("qid"), col("dim"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val pref = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .crossJoin(broadcast(dims))
+        .withColumn("cos", round(cosine(
+          slice(col("qe"), lit(1), col("dim").cast("int")),
+          slice(col("emb"), lit(1), col("dim").cast("int"))), 6))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("dim"), col("qid"), col("vec_id"))
+      val exact = queries("q36_ann_topk")(s, dir)
+        .select(col("qid"), col("vec_id"))
+      val hits = pref.join(exact, Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("dim"), col("qid")).agg(count(lit(1)).as("hits"))
+      pref.groupBy(col("dim"), col("qid")).agg(count(lit(1)).as("k"))
+        .join(hits, Seq("dim", "qid"), "left")
+        .select(col("dim"), col("qid"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)).cast("double") / col("k"), 6)
+            .as("recall"))
+        .orderBy(col("dim"), col("qid"))
+    },
+
     // --- similarity search --------------------------------------------
     "q36_ann_topk" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
@@ -731,6 +777,53 @@ private[graft] object AnnQueries {
            CAST(coalesce(n_dups, 0) AS BIGINT) AS n_dups,
            coalesce(n_dups, 0) = 0 AS kept
          FROM a LEFT JOIN p USING (vec_id) ORDER BY vec_id""",
+
+    "q216_mrl_truncation" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          dims AS (SELECT CAST(unnest([8, 16, 32]) AS BIGINT) AS dim),
+          p AS (SELECT dim, q.vec_id AS qid, e.vec_id,
+            round(
+              list_sum(list_transform(range(1, CAST(dim + 1 AS INT)),
+                i -> CAST(q.embedding[i] AS DOUBLE) *
+                     CAST(e.embedding[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(range(1, CAST(dim + 1 AS INT)),
+                  i -> CAST(q.embedding[i] AS DOUBLE) *
+                       CAST(q.embedding[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(range(1, CAST(dim + 1 AS INT)),
+                  i -> CAST(e.embedding[i] AS DOUBLE) *
+                       CAST(e.embedding[i] AS DOUBLE))))), 6) AS cos
+            FROM e q JOIN e ON q.vec_id < 10 AND e.vec_id <> q.vec_id,
+                 dims),
+          r AS (SELECT dim, qid, vec_id,
+                 row_number() OVER (PARTITION BY dim, qid
+                   ORDER BY cos DESC, vec_id) AS rnk FROM p),
+          pref AS (SELECT dim, qid, vec_id FROM r WHERE rnk <= 5),
+          full64 AS (SELECT p2.qid, p2.vec_id FROM (
+              SELECT q.vec_id AS qid, e.vec_id,
+                round(
+                  list_sum(list_transform(range(1, 65),
+                    i -> CAST(q.embedding[i] AS DOUBLE) *
+                         CAST(e.embedding[i] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(range(1, 65),
+                      i -> CAST(q.embedding[i] AS DOUBLE) *
+                           CAST(q.embedding[i] AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(range(1, 65),
+                      i -> CAST(e.embedding[i] AS DOUBLE) *
+                           CAST(e.embedding[i] AS DOUBLE))))), 6) AS cos
+              FROM e q JOIN e ON q.vec_id < 10 AND e.vec_id <> q.vec_id) p2
+            QUALIFY row_number() OVER (PARTITION BY p2.qid
+              ORDER BY p2.cos DESC, p2.vec_id) <= 5),
+          h AS (SELECT dim, qid, CAST(count(*) AS BIGINT) AS hits
+                FROM pref SEMI JOIN full64
+                  ON pref.qid = full64.qid AND pref.vec_id = full64.vec_id
+                GROUP BY dim, qid),
+          kk AS (SELECT dim, qid, CAST(count(*) AS BIGINT) AS k
+                 FROM pref GROUP BY dim, qid)
+          SELECT kk.dim, kk.qid,
+            CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+            round(CAST(coalesce(h.hits, 0) AS DOUBLE) / kk.k, 6) AS recall
+          FROM kk LEFT JOIN h ON kk.dim = h.dim AND kk.qid = h.qid
+          ORDER BY kk.dim, kk.qid""",
 
     "q36_ann_topk" -> annExactSql,
 

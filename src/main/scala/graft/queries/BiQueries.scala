@@ -354,6 +354,49 @@ private[graft] object BiQueries {
         .orderBy(col("cohort_year"), col("age"))
     },
 
+    "q217_revenue_autocorr" -> { (s, dir) =>
+      // Lag-1 and lag-7 autocorrelation of daily revenue — the
+      // seasonality screen run before trusting q168's decomposition or
+      // q184's EWMA baseline: high lag-7 r says "weekly cycle, use a
+      // seasonal model". Revenue per day is an exact integer cents
+      // sum; each lag's Pearson r is computed from per-pair moments
+      // with products taken as DOUBLES (day revenue at the sf10 ladder
+      // is ~5e9 cents, so an integer x*y would overflow a long at
+      // 100x; the r is scale-free, so the ~1e-15 relative FP noise is
+      // absorbed by the 6dp round). Pairs align a day with day-k via
+      // a lag window in day order. Scale shape: ONE map-side-combined
+      // agg to the |days| table; everything after runs on that bounded
+      // calendar spine.
+      val e = Tables(s, dir).events
+      val daily = e.filter(col("event_type") === "purchase")
+        .select(Tables.eventMicros(e).as("tus"),
+          floor(col("value") * 100).cast("long").as("c"))
+        .select(expr("tus DIV 86400000000").as("day"), col("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("rev"))
+      val lags = s.range(0, 2)
+        .select(when(col("id") === 0, 1L).otherwise(7L).as("lag"))
+      // pairs align by calendar DAY (day - k present in the spine),
+      // not by row offset, so a missing day breaks the pair instead of
+      // silently pairing across the gap
+      daily.crossJoin(broadcast(lags))
+        .withColumn("day_lag", col("day") - col("lag"))
+        .join(daily.select(col("day").as("day_lag"),
+          col("rev").as("rev_lag")), Seq("day_lag"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("rev").cast("double")).as("sx"),
+          sum(col("rev_lag").cast("double")).as("sy"),
+          sum(col("rev").cast("double") * col("rev_lag")).as("sxy"),
+          sum(col("rev").cast("double") * col("rev")).as("sxx"),
+          sum(col("rev_lag").cast("double") * col("rev_lag")).as("syy"))
+        .select(col("lag"), col("n_pairs"),
+          round((col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n_pairs") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n_pairs") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("r"))
+        .orderBy(col("lag"))
+    },
+
     "q85_sessionize" -> { (s, dir) =>
       // Gap-based sessionization (30-min idle timeout) on the event
       // timeline at microsecond precision (Tables.eventMicros normalizes
@@ -1574,6 +1617,27 @@ private[graft] object BiQueries {
               (CAST(ax AS DOUBLE) / n_users - mx), 6) AS adj_mean,
             round(theta, 6) AS theta, round(rho2, 6) AS rho2
           FROM a, th ORDER BY arm""",
+
+    "q217_revenue_autocorr" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                 AS day,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS rev
+             FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          lags AS (SELECT CAST(unnest([1, 7]) AS BIGINT) AS lag),
+          pr AS (SELECT lag, a.rev AS x, b.rev AS y
+                 FROM daily a, lags
+                 JOIN daily b ON b.day = a.day - lag),
+          g AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                 sum(CAST(x AS DOUBLE)) AS sx, sum(CAST(y AS DOUBLE)) AS sy,
+                 sum(CAST(x AS DOUBLE) * y) AS sxy,
+                 sum(CAST(x AS DOUBLE) * x) AS sxx,
+                 sum(CAST(y AS DOUBLE) * y) AS syy
+                FROM pr GROUP BY lag)
+          SELECT lag, n_pairs,
+            round((n_pairs * sxy - sx * sy) /
+              (sqrt(n_pairs * sxx - sx * sx) *
+               sqrt(n_pairs * syy - sy * sy)), 6) AS r
+          FROM g ORDER BY lag""",
 
     "q211_sprt" ->
       """WITH p AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000

@@ -298,6 +298,57 @@ object EventStreams {
       }
   }
 
+  /** One daily (trials, conversions) cell for the streaming SPRT. */
+  final case class SprtCell(day: Long, trials: Long, conversions: Long)
+  /** One SPRT point: the post-update LLR and decision for `day`. */
+  final case class SprtOut(day: Long, trials: Long, conversions: Long,
+    llr: Double, decision: String)
+  /** SPRT recursion state: the running LLR anchored at lastDay. */
+  final case class SprtState(llr: Double, lastDay: Long)
+
+  /** Streaming twin of batch q211: Wald's SPRT walked incrementally —
+    * each arriving day folds conv*ln(p1/p0) +
+    * (trials-conv)*ln((1-p1)/(1-p0)) into ONE running LLR (H1: p=0.25
+    * vs H0: p=0.2, the batch query's pre-registered constants) and
+    * emits the day's decision against the +/-ln(19) bounds. The terms
+    * fold in day order (within a batch by sort, across batches by the
+    * append-mode in-order caveat), so the double sequence is
+    * bit-identical to the batch cumsum; re-delivered or batch-split
+    * days are dropped after the first fold (the ewma dedup contract).
+    * State per stream: one double + one long. */
+  def sprt(cells: Dataset[SprtCell]): Dataset[SprtOut] = {
+    import cells.sparkSession.implicits._
+    val c1 = math.log(0.25 / 0.2)
+    val c2 = math.log(0.75 / 0.8)
+    val bound = math.log(19.0)
+    cells
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[SprtState, SprtOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[SprtCell], state: GroupState[SprtState]) =>
+          var st = state.getOption.getOrElse(SprtState(0.0, Long.MinValue))
+          val out = Vector.newBuilder[SprtOut]
+          rows.toVector.sortBy(_.day).foreach { r =>
+            if (r.day > st.lastDay) {
+              // the day's term is built BEFORE it joins the running sum
+              // (conv*c1 + rest*c2, then llr + term) — the same
+              // association the batch window's per-row expression uses,
+              // so the double sequence matches bit for bit
+              val term = r.conversions * c1 + (r.trials - r.conversions) * c2
+              st = SprtState(st.llr + term, r.day)
+              val rounded = BigDecimal(st.llr)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              val dec = if (rounded >= bound) "accept_h1"
+                        else if (rounded <= -bound) "accept_h0"
+                        else "continue"
+              out += SprtOut(r.day, r.trials, r.conversions, rounded, dec)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** The same per-user cursor on the transformWithState API (Spark 4.1
     * StatefulProcessor): typed ValueState in the state store, optional
     * TTL so an idle user's cursor is evicted instead of living forever

@@ -310,6 +310,44 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sprt matches batch q211 across batches and a redelivery") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams.SprtCell
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the fixture's real treatment-arm daily cells, split mid-series
+    // with the last pre-cut day RE-DELIVERED in the second batch: the
+    // running-LLR state must carry over and the duplicate must be
+    // dropped, reproducing batch q211 exactly
+    val e = Tables(spark, sf).events
+    val cells = e.select(col("user_id"), Tables.eventMicros(e).as("tus"),
+        (col("event_type") === "purchase").as("conv")).collect()
+      .filter(r => (graft.expressions.SketchKernel.md5Lower64(
+        s"ab:${r.getLong(0)}".getBytes("UTF-8")) & 1L) == 1L)
+      .map(r => (r.getLong(1) / 86400000000L, r.getBoolean(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (d, evs) =>
+        SprtCell(d, evs.length.toLong, evs.count(_._2).toLong) }
+    val cut = cells.length / 2
+    val in = MemoryStream[SprtCell]
+    val q = graft.streaming.EventStreams.sprt(in.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sprt_out").start()
+    try {
+      in.addData(cells.take(cut): _*)
+      q.processAllAvailable()
+      in.addData(cells(cut - 1) +: cells.drop(cut): _*) // redelivery
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT day, trials, conversions, llr, decision FROM sprt_out ORDER BY day")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getString(4))).toSeq
+      val batch = graft.queries.Pipeline.queries("q211_sprt")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getString(4))).toSeq
+      assert(got == batch, "streaming twin == batch q211, bit for bit")
+    } finally q.stop()
+  }
+
   test("streaming ewma matches batch q184 across a micro-batch boundary") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStreams.EwmaCell

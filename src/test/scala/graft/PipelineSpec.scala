@@ -3448,6 +3448,65 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("mrl truncation: brute prefix-dim recall against local full top-5") {
+    val got = Pipeline.queries("q216_mrl_truncation")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val embs = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double], d: Int): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < d) { dp += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      BigDecimal(dp / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def top5(qid: Long, qe: Array[Double], d: Int): Set[Long] =
+      embs.filter(_._1 != qid)
+        .map { case (id, e) => (id, cos(qe, e, d)) }
+        .sortBy(t => (-t._2, t._1)).take(5).map(_._1).toSet
+    val queries10 = embs.filter(_._1 < 10)
+    val want = for (d <- Seq(8, 16, 32); (qid, qe) <- queries10) yield {
+      val hits = (top5(qid, qe, d) & top5(qid, qe, 64)).size.toLong
+      (d.toLong, qid, hits, hits.toDouble / 5)
+    }
+    assert(got.length == want.size)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3, s"$g vs $w")
+      assert(math.abs(g._4 - w._4) < 1e-9)
+    }
+    // wider prefixes can only help on average
+    val avg = got.groupBy(_._1).view.mapValues(v =>
+      v.map(_._4).sum / v.length).toMap
+    assert(avg(32L) >= avg(8L) - 1e-9, "recall grows with prefix width")
+  }
+
+  test("revenue autocorr: brute day-aligned pearson at both lags") {
+    val got = Pipeline.queries("q217_revenue_autocorr")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val daily = purchasesByUser().values.flatten.toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val want = Seq(1L, 7L).map { k =>
+      val pairs = daily.toSeq.sortBy(_._1).flatMap { case (d, x) =>
+        daily.get(d - k).map(y => (x.toDouble, y.toDouble))
+      }
+      val n = pairs.length
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val (sxy, sxx, syy) = (pairs.map(t => t._1 * t._2).sum,
+        pairs.map(t => t._1 * t._1).sum, pairs.map(t => t._2 * t._2).sum)
+      val r = (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) *
+        math.sqrt(n * syy - sy * sy))
+      (k, n.toLong, r)
+    }
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2, s"$g vs $w")
+      assert(math.abs(g._3 - w._3) < 2e-6)
+      assert(g._3 >= -1.0 - 1e-9 && g._3 <= 1.0 + 1e-9)
+    }
+  }
+
   test("ann recall audit equals the locally-joined q36/q57 intersection") {
     val audit = Pipeline.queries("q158_ann_recall_audit")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)

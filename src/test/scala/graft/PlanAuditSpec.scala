@@ -68,7 +68,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // pooled-moments row; q210 crosses the gram/doc tables against the
     // broadcast 16-ROW checkpoint table
     "q207_cuped", "q208_mann_whitney", "q209_lorenz_curve",
-    "q210_heaps_law", "q214_post_stratification")
+    "q210_heaps_law", "q214_post_stratification",
+    // q216 crosses the corpus against the broadcast 10-query sample x
+    // 3-row dim table (q36's audited brute-harness posture); q217
+    // crosses the |days| spine against the broadcast 2-row lag table
+    "q216_mrl_truncation", "q217_revenue_autocorr")
 
   test("no unplanned cartesian products or nested-loop joins") {
     val offenders = Seq.newBuilder[String]
@@ -417,7 +421,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q214_post_stratification" -> 8,
     // q215: the custkey first-order rollup reused by the order join +
     // the (cohort x age) cell agg + cohort sizes broadcast + sort
-    "q215_cohort_ltv" -> 4)
+    "q215_cohort_ltv" -> 4,
+    // q216: the (qid, dim) top-5 windows + the hits/k rollups over
+    // 30-cell tables + presentation sort (query/dim sides broadcast)
+    "q216_mrl_truncation" -> 5,
+    // q217: the |days| cell agg + the 2-cell lag rollup + sort
+    "q217_revenue_autocorr" -> 3)
 
   // ──────────────────────────────────────────────────────────────────
   // The round-11 `weak` bug class, pinned mechanically: no query may
