@@ -47,6 +47,57 @@ private[graft] object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    "q218_dup_pagerank" -> { (s, dir) =>
+      // PageRank centrality over the near-duplicate graph — the
+      // prototype-selection readout: inside a dup cluster, the
+      // highest-rank doc is the one most "representative" of the
+      // cluster (connected to the most near-copies), the principled
+      // keeper choice when min-doc_id keepers (q86) would keep an
+      // outlier. Same q31 edge set (banded LSH candidates + exact
+      // Jaccard >= 0.9 verify, never all-pairs); d = 0.85, 5 rounds of
+      // q146's FIXED-POINT integer arithmetic (1e6 = 1.0, per-edge
+      // floor division, exact integer sums), so the trajectory is
+      // bit-reproducible and the oracle unrolls it exactly. Unlike
+      // q146's driver-side 128-node graph, the dup graph is
+      // corpus-scale, so every round is a DISTRIBUTED edge join +
+      // integer sum — the honest iterative-graph shape (q143's star
+      // components with arithmetic instead of min). Per-edge terms are
+      // <= 1e6 * jaccard-degree; the 850000x product stays far inside
+      // a long through the sf10 ladder's 64-capped buckets.
+      // the edge build (band join + exact verify) is checkpointed ONCE
+      // so the five rounds read a materialized edge table instead of
+      // re-deriving the LSH pipeline per round (Components.scala's
+      // loop contract; the uncheckpointed form re-ran the edge build
+      // 6x and blew past 10 min at the sf10 ladder); each round's
+      // ranks checkpoint eagerly too, keeping round cost flat
+      val pairs = minhashDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val und = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
+        .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
+        .localCheckpoint(true)
+      val deg = und.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+      val edges = und.join(deg, Seq("s")).localCheckpoint(true)
+      val nodes = deg.select(col("s").as("v")).localCheckpoint(true)
+      var ranks = nodes.select(col("v"), lit(1000000L).as("sc"))
+      for (_ <- 1 to 5) {
+        val contrib = edges
+          .join(ranks.select(col("v").as("s"), col("sc")), Seq("s"))
+          .select(col("d"), expr("sc DIV deg").as("t"))
+          .groupBy(col("d")).agg(sum(col("t")).as("t"))
+        ranks = nodes
+          .join(contrib.select(col("d").as("v"), col("t")), Seq("v"), "left")
+          .select(col("v"), (lit(150000L) +
+            expr("850000 * coalesce(t, 0) DIV 1000000")).as("sc"))
+          .localCheckpoint(true)
+      }
+      // top-20 via TakeOrdered (never a global rank window over the
+      // corpus-scale node table); the row_number only ranks 20 rows
+      val w = Window.orderBy(col("sc").desc, col("v"))
+      ranks.orderBy(col("sc").desc, col("v")).limit(20)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("rank"), col("v").as("doc_id"), col("sc").as("score"))
+        .orderBy(col("rank"))
+    },
+
     // --- deduplication -------------------------------------------------
     "q30_exact_dedup" -> { (s, dir) =>
       Tables(s, dir).documents
@@ -383,6 +434,8 @@ private[graft] object DedupQueries {
 
   def oracle: Map[String, String] = Map(
 
+    "q218_dup_pagerank" -> dupPagerankOracleSql(5),
+
     "q212_ngram_novelty" ->
       s"""WITH t AS (SELECT doc_id, $shSql AS sh
               FROM (SELECT doc_id, $tokSql AS lst FROM documents)),
@@ -586,4 +639,41 @@ private[graft] object DedupQueries {
             coalesce(string_agg(CASE WHEN rn = 1 THEN blk END, ' ' ORDER BY idx), '') AS clean_text
           FROM k GROUP BY doc_id ORDER BY doc_id""",
   )
+
+  /** q218's oracle, generated for T rounds: the q31 exact-Jaccard pair
+    * set (all-pairs in SQL — the banded candidates are proven
+    * equivalent at threshold 0.9 by q31/q86), symmetrized with degrees,
+    * then T unrolled fixed-point PageRank iterations with the same
+    * per-edge floor division as the Spark loop. DuckDB's sum widens to
+    * HUGEINT mid-iteration (exact); every round's score is CAST back
+    * to BIGINT. */
+  private def dupPagerankOracleSql(rounds: Int): String = {
+    def iter(r: Int) =
+      s"""r$r AS (SELECT n.v,
+            CAST(150000 + 850000 * coalesce(c.t, 0) // 1000000 AS BIGINT)
+              AS sc
+           FROM nodes n LEFT JOIN (
+             SELECT e.d AS v, CAST(sum(r.sc // e.deg) AS BIGINT) AS t
+             FROM edges e JOIN r${r - 1} r ON r.v = e.s GROUP BY e.d) c
+           ON n.v = c.v)"""
+    s"""WITH t AS (SELECT doc_id, $shSql AS sh
+            FROM (SELECT doc_id, $tokSql AS lst FROM documents)
+            WHERE len(lst) >= 3),
+        pairs AS (SELECT a.doc_id AS s, b.doc_id AS d
+                  FROM t a JOIN t b ON a.doc_id < b.doc_id
+                  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+        und AS (SELECT s, d FROM pairs UNION ALL SELECT d, s FROM pairs),
+        deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM und
+                GROUP BY s),
+        edges AS (SELECT und.s, und.d, deg.deg FROM und
+                  JOIN deg ON deg.s = und.s),
+        nodes AS (SELECT s AS v FROM deg),
+        r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS sc FROM nodes),
+        ${(1 to rounds).map(iter).mkString(",\n        ")}
+        SELECT CAST(row_number() OVER (ORDER BY sc DESC, v) AS BIGINT)
+            AS rank,
+          v AS doc_id, sc AS score
+        FROM r$rounds ORDER BY sc DESC, v LIMIT 20"""
+  }
 }

@@ -3507,6 +3507,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dup pagerank: brute fixed-point trajectory over the q31 edge set") {
+    val got = Pipeline.queries("q218_dup_pagerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = Pipeline.queries("q31_minhash_lsh_dedup")(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = pairs.flatMap(p => Seq(p, p.swap))
+    val deg = und.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var sc = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val contrib = und.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => sc(u) / deg(u) }.sum
+      }
+      sc = deg.keys.map(v =>
+        v -> (150000L + 850000L * contrib.getOrElse(v, 0L) / 1000000L)).toMap
+    }
+    val want = sc.toSeq.sortBy { case (v, s0) => (-s0, v) }.take(20)
+      .zipWithIndex.map { case ((v, s0), i) => ((i + 1).toLong, v, s0) }
+    assert(got.toSeq == want, "distributed rounds == local trajectory")
+    // scores stay in the fixed-point PageRank range [0.15, deg-bounded]
+    assert(got.forall(_._3 >= 150000L))
+  }
+
   test("ann recall audit equals the locally-joined q36/q57 intersection") {
     val audit = Pipeline.queries("q158_ann_recall_audit")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)

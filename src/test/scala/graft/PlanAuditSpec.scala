@@ -426,7 +426,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // 30-cell tables + presentation sort (query/dim sides broadcast)
     "q216_mrl_truncation" -> 5,
     // q217: the |days| cell agg + the 2-cell lag rollup + sort
-    "q217_revenue_autocorr" -> 3)
+    "q217_revenue_autocorr" -> 3,
+    // q218: the q31 band/verify edge build + degree agg; the five
+    // PageRank rounds REUSE the edge/rank hash partitioning (AQE folds
+    // the per-round joins onto the same exchanges), top-20 TakeOrdered
+    "q218_dup_pagerank" -> 6)
 
   // ──────────────────────────────────────────────────────────────────
   // The round-11 `weak` bug class, pinned mechanically: no query may
