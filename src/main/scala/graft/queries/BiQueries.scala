@@ -397,6 +397,47 @@ private[graft] object BiQueries {
         .orderBy(col("lag"))
     },
 
+    "q219_mde_power" -> { (s, dir) =>
+      // Minimum detectable effect at 80% power / 5% two-sided alpha —
+      // the pre-experiment sizing readout (how small a lift could this
+      // user base even detect?): MDE = (z_{a/2} + z_b) * sqrt(s^2 *
+      // (1/n1 + 1/n0)) over per-user purchase cents, arms from the
+      // same "ab:" hash as q171/q203/q207 so the whole experiment
+      // family describes one assignment. The z constants are the
+      // pre-registered literals 1.959964 and 0.841621 (both engines
+      // spell them identically — no inverse-CDF in either engine);
+      // sample variance comes from exact integer sums via one fixed
+      // double spelling (the n*Syy integer product would overflow a
+      // long at the sf10 ladder, the q207 pattern). Scale shape: ONE
+      // user shuffle, then a 2-cell arm agg folded to a 1-row readout.
+      val arm = pmod(md5_lower64(concat(lit("ab:"),
+        col("user_id").cast("string")).cast("binary")), lit(2L))
+      val perUser = Tables(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), floor(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("user_id")).agg(sum(col("c")).as("y"))
+        .withColumn("arm", arm)
+      perUser
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"))
+        .select(col("n1").as("n_treat"), (col("n") - col("n1")).as("n_ctrl"),
+          col("n"), (col("sy").cast("double") / col("n")).as("my"),
+          ((col("syy").cast("double") / col("n") -
+            (col("sy").cast("double") / col("n")) *
+            (col("sy").cast("double") / col("n"))) *
+            (col("n").cast("double") / (col("n") - 1L))).as("s2"))
+        .select(col("n_treat"), col("n_ctrl"),
+          round(col("my"), 6).as("mean_cents"),
+          round(sqrt(col("s2")), 6).as("sd_cents"),
+          round((lit(1.959964) + lit(0.841621)) * sqrt(col("s2") *
+            (lit(1.0) / col("n_treat") + lit(1.0) / col("n_ctrl"))), 6)
+            .as("mde_abs_cents"),
+          round((lit(1.959964) + lit(0.841621)) * sqrt(col("s2") *
+            (lit(1.0) / col("n_treat") + lit(1.0) / col("n_ctrl"))) /
+            col("my"), 6).as("mde_rel"))
+    },
+
     "q85_sessionize" -> { (s, dir) =>
       // Gap-based sessionization (30-min idle timeout) on the event
       // timeline at microsecond precision (Tables.eventMicros normalizes
@@ -1617,6 +1658,30 @@ private[graft] object BiQueries {
               (CAST(ax AS DOUBLE) / n_users - mx), 6) AS adj_mean,
             round(theta, 6) AS theta, round(rho2, 6) AS rho2
           FROM a, th ORDER BY arm""",
+
+    "q219_mde_power" ->
+      """WITH pu AS (SELECT user_id,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y,
+               CAST(md5_number_lower('ab:' || user_id) & 1 AS BIGINT) AS arm
+             FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+          g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(y * y) AS BIGINT) AS syy FROM pu),
+          m AS (SELECT n1 AS n_treat, n - n1 AS n_ctrl, n,
+                 CAST(sy AS DOUBLE) / n AS my,
+                 (CAST(syy AS DOUBLE) / n -
+                   (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) *
+                   (CAST(n AS DOUBLE) / (n - 1)) AS s2
+                FROM g)
+          SELECT n_treat, n_ctrl, round(my, 6) AS mean_cents,
+            round(sqrt(s2), 6) AS sd_cents,
+            round((1.959964 + 0.841621) * sqrt(s2 *
+              (1.0 / n_treat + 1.0 / n_ctrl)), 6) AS mde_abs_cents,
+            round((1.959964 + 0.841621) * sqrt(s2 *
+              (1.0 / n_treat + 1.0 / n_ctrl)) / my, 6) AS mde_rel
+          FROM m""",
 
     "q217_revenue_autocorr" ->
       """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000

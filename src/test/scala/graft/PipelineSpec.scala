@@ -3530,6 +3530,27 @@ class PipelineSpec extends SparkSpec {
     assert(got.forall(_._3 >= 150000L))
   }
 
+  test("mde power: brute moments, symmetric in arms, shrinks with n") {
+    val r = Pipeline.queries("q219_mde_power")(spark, sf).collect().head
+    val (n1, n0, mean, sd, mdeAbs, mdeRel) = (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    val ys = purchasesByUser().toSeq.map { case (u, evs) =>
+      (armOfUser(u), evs.map(_._2).sum) }
+    assert(n1 == ys.count(_._1 == 1L) && n0 == ys.count(_._1 == 0L))
+    val n = ys.size
+    val my = ys.map(_._2).sum.toDouble / n
+    val s2 = (ys.map(t => t._2.toDouble * t._2).sum / n - my * my) *
+      (n.toDouble / (n - 1))
+    assert(math.abs(mean - my) < 2e-6)
+    assert(math.abs(sd - math.sqrt(s2)) < 2e-6)
+    val brute = (1.959964 + 0.841621) *
+      math.sqrt(s2 * (1.0 / n1 + 1.0 / n0))
+    assert(math.abs(mdeAbs - brute) < 2e-6)
+    assert(math.abs(mdeRel - brute / my) < 2e-6)
+    // sanity: the detectable lift is positive and a sensible fraction
+    assert(mdeAbs > 0 && mdeRel > 0)
+  }
+
   test("ann recall audit equals the locally-joined q36/q57 intersection") {
     val audit = Pipeline.queries("q158_ann_recall_audit")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)

@@ -430,7 +430,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // q218: the q31 band/verify edge build + degree agg; the five
     // PageRank rounds REUSE the edge/rank hash partitioning (AQE folds
     // the per-round joins onto the same exchanges), top-20 TakeOrdered
-    "q218_dup_pagerank" -> 6)
+    "q218_dup_pagerank" -> 6,
+    // q219: the per-user rollup + the 1-row moment fold
+    "q219_mde_power" -> 2)
 
   // ──────────────────────────────────────────────────────────────────
   // The round-11 `weak` bug class, pinned mechanically: no query may
