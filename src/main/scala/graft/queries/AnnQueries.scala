@@ -65,6 +65,43 @@ private[graft] object AnnQueries {
         .orderBy(col("dim"), col("qid"))
     },
 
+    "q220_source_semantic_matrix" -> { (s, dir) =>
+      // Per-source embedding-CENTROID similarity matrix — the semantic
+      // complement of q151's lexical divergence: which sources cover
+      // the same embedding region (dedup/mixture candidates) and which
+      // are semantically distinct? Embeddings pair to documents by id
+      // (q120's fixture layout); centroids are per-(source, dim) mean
+      // of the raw floats cast to double (q196's posture: summation
+      // order is the only FP freedom, absorbed by the 6dp round on the
+      // scale-free cosine), assembled into dim-ordered arrays, and the
+      // pairwise cosine uses the same kernel fold the oracle replays
+      // element by element (q36 parity). Scale shape: ONE
+      // (source, dim) agg — 64 x |sources| cells with map-side
+      // partials — then a |sources|^2-bounded self-join of broadcast
+      // centroid rows; the corpus is scanned once whatever its size.
+      val cent = Tables(s, dir).embeddings
+        .join(Tables(s, dir).documents
+          .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+        .select(col("source"), posexplode(col("embedding")))
+        .groupBy(col("source"), col("pos"))
+        .agg(sum(col("col").cast("double")).as("sv"),
+          count(lit(1)).as("cnt"))
+        .select(col("source"), col("pos"),
+          (col("sv") / col("cnt")).as("c"), col("cnt"))
+        .groupBy(col("source"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          _.getField("c")).as("cent"), max(col("cnt")).as("n_vecs"))
+      val a = cent.select(col("source").as("source_a"),
+        col("cent").as("ca"), col("n_vecs").as("n_a"))
+      val b = cent.select(col("source").as("source_b"),
+        col("cent").as("cb"), col("n_vecs").as("n_b"))
+      a.crossJoin(broadcast(b))
+        .filter(col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          round(cosine(col("ca"), col("cb")), 6).as("cos"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
     // --- similarity search --------------------------------------------
     "q36_ann_topk" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
@@ -777,6 +814,29 @@ private[graft] object AnnQueries {
            CAST(coalesce(n_dups, 0) AS BIGINT) AS n_dups,
            coalesce(n_dups, 0) = 0 AS kept
          FROM a LEFT JOIN p USING (vec_id) ORDER BY vec_id""",
+
+    "q220_source_semantic_matrix" ->
+      """WITH m AS (SELECT d.source, e.embedding FROM embeddings e
+              JOIN documents d ON d.doc_id = e.vec_id),
+          c AS (SELECT source, i AS dim,
+                 sum(CAST(embedding[i] AS DOUBLE)) / count(*) AS c,
+                 CAST(count(*) AS BIGINT) AS cnt
+                FROM m, unnest(range(1, 65)) t(i)
+                GROUP BY source, i),
+          ct AS (SELECT source, list(c ORDER BY dim) AS cent,
+                  max(cnt) AS n_vecs
+                 FROM c GROUP BY source)
+          SELECT a.source AS source_a, b.source AS source_b,
+            a.n_vecs AS n_a, b.n_vecs AS n_b,
+            round(
+              list_sum(list_transform(range(1, 65),
+                i -> a.cent[i] * b.cent[i]))
+              / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> a.cent[i] * a.cent[i])))
+               * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> b.cent[i] * b.cent[i])))), 6) AS cos
+          FROM ct a JOIN ct b ON a.source < b.source
+          ORDER BY source_a, source_b""",
 
     "q216_mrl_truncation" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -3551,6 +3551,42 @@ class PipelineSpec extends SparkSpec {
     assert(mdeAbs > 0 && mdeRel > 0)
   }
 
+  test("source semantic matrix: brute centroids, diagonal-free, symmetric range") {
+    val got = Pipeline.queries("q220_source_semantic_matrix")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val src = Tables(spark, sf).documents
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val vecs = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (src(r.getLong(0)),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val bySrc = vecs.groupBy(_._1)
+    val cents = bySrc.view.mapValues { vs =>
+      val n = vs.length
+      (Array.tabulate(64)(d => vs.map(_._2(d)).sum / n), n.toLong)
+    }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) { dp += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val srcs = cents.keys.toSeq.sorted
+    val want = for (i <- srcs.indices; j <- i + 1 until srcs.length) yield {
+      val (ca, na) = cents(srcs(i)); val (cb, nb) = cents(srcs(j))
+      (srcs(i), srcs(j), na, nb, cos(ca, cb))
+    }
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3 && g._4 == w._4,
+        s"$g vs $w")
+      assert(math.abs(g._5 - w._5) < 2e-6)
+      assert(g._5 >= -1.0 - 1e-9 && g._5 <= 1.0 + 1e-9)
+    }
+  }
+
   test("ann recall audit equals the locally-joined q36/q57 intersection") {
     val audit = Pipeline.queries("q158_ann_recall_audit")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)

@@ -72,7 +72,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // q216 crosses the corpus against the broadcast 10-query sample x
     // 3-row dim table (q36's audited brute-harness posture); q217
     // crosses the |days| spine against the broadcast 2-row lag table
-    "q216_mrl_truncation", "q217_revenue_autocorr")
+    "q216_mrl_truncation", "q217_revenue_autocorr",
+    // q220 crosses the |sources|-row centroid table against its own
+    // broadcast copy — |sources|^2 bounded (q151/q161's matrix shape)
+    "q220_source_semantic_matrix")
 
   test("no unplanned cartesian products or nested-loop joins") {
     val offenders = Seq.newBuilder[String]
@@ -432,7 +435,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // the per-round joins onto the same exchanges), top-20 TakeOrdered
     "q218_dup_pagerank" -> 6,
     // q219: the per-user rollup + the 1-row moment fold
-    "q219_mde_power" -> 2)
+    "q219_mde_power" -> 2,
+    // q220: the (source, dim) centroid agg + the |sources| array
+    // rollup + presentation sort; the pair join is broadcast
+    "q220_source_semantic_matrix" -> 3)
 
   // ──────────────────────────────────────────────────────────────────
   // The round-11 `weak` bug class, pinned mechanically: no query may
