@@ -98,6 +98,38 @@ private[graft] object DedupQueries {
         .orderBy(col("rank"))
     },
 
+    "q221_dedup_threshold_sweep" -> { (s, dir) =>
+      // Dedup-threshold sensitivity report — the tuning readout run
+      // before committing a Jaccard cutoff: from ONE banded candidate
+      // pass (q31's machinery), how do pair volume, touched-doc count
+      // and mean similarity move as the threshold tightens through
+      // 0.90/0.92/0.95/0.98? Thresholds stay >= 0.9 because that is
+      // the recall regime the 0.9-tuned bands are proven equivalent to
+      // all-pairs in (q31/q86's bet — the oracle IS all-pairs); a
+      // looser sweep would need re-banding. The jaccard is the same
+      // exact integer-ratio double on both engines, so threshold
+      // comparisons are deterministic. Scale shape: the edge build is
+      // computed once and swept against a broadcast 4-row threshold
+      // table — bounded explode, three cell-level aggs, no extra
+      // corpus pass.
+      val pairs = minhashDupPairs(s, dir)
+      val thr = s.range(0, 4).select(
+        expr("element_at(array(0.90D, 0.92D, 0.95D, 0.98D), " +
+          "CAST(id + 1 AS INT))").as("threshold"))
+      val sw = pairs.crossJoin(broadcast(thr))
+        .filter(col("jaccard") >= col("threshold"))
+      val base = sw.groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("jaccard")) / count(lit(1)), 6).as("mean_jaccard"))
+      val docs = sw.select(col("threshold"), explode(array(col("doc_a"),
+          col("doc_b"))).as("doc_id")).distinct()
+        .groupBy(col("threshold")).agg(count(lit(1)).as("n_docs"))
+      base.join(docs, Seq("threshold"))
+        .select(col("threshold"), col("n_pairs"), col("n_docs"),
+          col("mean_jaccard"))
+        .orderBy(col("threshold"))
+    },
+
     // --- deduplication -------------------------------------------------
     "q30_exact_dedup" -> { (s, dir) =>
       Tables(s, dir).documents
@@ -435,6 +467,29 @@ private[graft] object DedupQueries {
   def oracle: Map[String, String] = Map(
 
     "q218_dup_pagerank" -> dupPagerankOracleSql(5),
+
+    "q221_dedup_threshold_sweep" ->
+      s"""WITH t AS (SELECT doc_id, $shSql AS sh
+              FROM (SELECT doc_id, $tokSql AS lst FROM documents)
+              WHERE len(lst) >= 3),
+          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+                FROM t a JOIN t b ON a.doc_id < b.doc_id),
+          thr AS (SELECT CAST(unnest([0.90, 0.92, 0.95, 0.98]) AS DOUBLE)
+                   AS threshold),
+          sw AS (SELECT threshold, doc_a, doc_b, jaccard
+                 FROM p, thr WHERE jaccard >= threshold),
+          b AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs,
+                 round(sum(jaccard) / count(*), 6) AS mean_jaccard
+                FROM sw GROUP BY threshold),
+          d AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_docs
+                FROM (SELECT DISTINCT threshold, doc_id
+                      FROM (SELECT threshold, unnest([doc_a, doc_b])
+                              AS doc_id FROM sw))
+                GROUP BY threshold)
+          SELECT threshold, n_pairs, n_docs, mean_jaccard
+          FROM b JOIN d USING (threshold) ORDER BY threshold""",
 
     "q212_ngram_novelty" ->
       s"""WITH t AS (SELECT doc_id, $shSql AS sh

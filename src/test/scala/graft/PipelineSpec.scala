@@ -3587,6 +3587,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dedup threshold sweep: brute recount from q31 pairs, monotone") {
+    val got = Pipeline.queries("q221_dedup_threshold_sweep")(spark, sf)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val pairs = Pipeline.queries("q31_minhash_lsh_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = Seq(0.90, 0.92, 0.95, 0.98).map { t =>
+      val sel = pairs.filter(_._3 >= t)
+      val docs = sel.flatMap(p => Seq(p._1, p._2)).distinct.length
+      (t, sel.length.toLong, docs.toLong,
+        if (sel.isEmpty) 0.0 else sel.map(_._3).sum / sel.length)
+    }
+    assert(got.length == want.count(_._2 > 0) ||
+      got.length == want.length)
+    got.zip(want.filter(w => got.exists(_._1 == w._1))).foreach {
+      case (g, w) =>
+        assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3, s"$g vs $w")
+        assert(math.abs(g._4 - w._4) < 2e-6)
+    }
+    // pair volume and doc coverage shrink as the threshold tightens
+    got.sliding(2).foreach(p => if (p.length == 2) {
+      assert(p(1)._2 <= p(0)._2 && p(1)._3 <= p(0)._3)
+    })
+  }
+
   test("ann recall audit equals the locally-joined q36/q57 intersection") {
     val audit = Pipeline.queries("q158_ann_recall_audit")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)

@@ -75,7 +75,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q216_mrl_truncation", "q217_revenue_autocorr",
     // q220 crosses the |sources|-row centroid table against its own
     // broadcast copy — |sources|^2 bounded (q151/q161's matrix shape)
-    "q220_source_semantic_matrix")
+    "q220_source_semantic_matrix",
+    // q221 crosses the verified pair set against the broadcast 4-row
+    // threshold table (bounded explode, both report branches)
+    "q221_dedup_threshold_sweep")
 
   test("no unplanned cartesian products or nested-loop joins") {
     val offenders = Seq.newBuilder[String]
@@ -438,7 +441,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q219_mde_power" -> 2,
     // q220: the (source, dim) centroid agg + the |sources| array
     // rollup + presentation sort; the pair join is broadcast
-    "q220_source_semantic_matrix" -> 3)
+    "q220_source_semantic_matrix" -> 3,
+    // q221: the q31 band/verify edge build feeding two report
+    // branches (per-threshold pair agg; distinct-doc agg) + sort
+    "q221_dedup_threshold_sweep" -> 4)
 
   // ──────────────────────────────────────────────────────────────────
   // The round-11 `weak` bug class, pinned mechanically: no query may
