@@ -73,3 +73,23 @@ for s in spread:
     print("[bench.sh] spread>20%: " + s, file=sys.stderr)
 print(json.dumps(line))
 PYEOF
+
+# Gate every FULL baseline refresh (VERDICT r12 next-round #6): a
+# >=1.4x AND >=0.25s regression vs the committed bench_full.json
+# blocks the refresh — the new medians are parked in
+# bench_full.rejected.json and the committed baseline restored —
+# unless PERFGATE_ADJUDICATED=1, which records that PERF_NOTES.md
+# carries an adjudication block for the regression (deliberate plan
+# rewrites legitimately slow a family at toy scale; see round-13b).
+if [ -z "${SPARK_GRAFT_ONLY:-}" ]; then
+  if ! python3 tools/perfgate.py >&2; then
+    if [ "${PERFGATE_ADJUDICATED:-0}" = "1" ]; then
+      echo "[bench.sh] perfgate FAILED but PERFGATE_ADJUDICATED=1 — baseline refreshed; PERF_NOTES.md must adjudicate" >&2
+    else
+      cp bench_full.json bench_full.rejected.json
+      git checkout -- bench_full.json
+      echo "[bench.sh] perfgate FAILED — refresh REFUSED (new medians in bench_full.rejected.json; adjudicate in PERF_NOTES.md then re-run with PERFGATE_ADJUDICATED=1)" >&2
+      exit 1
+    fi
+  fi
+fi

@@ -55,6 +55,13 @@ if added:
 if removed:
     print(f"[perfgate] removed keys: {', '.join(removed)}")
 
+# empty-common guard: first baseline, wholesale renames, or all-zero
+# medians leave nothing to compare — report and pass instead of
+# crashing on median-of-empty / divide-by-zero
+if not rows:
+    print("[perfgate] no comparable keys; nothing to gate")
+    sys.exit(0)
+
 tot_old = sum(old[k] for k in common)
 tot_cur = sum(cur[k] for k in common)
 print(f"[perfgate] common-key total {tot_old:.1f} -> {tot_cur:.1f} s"
