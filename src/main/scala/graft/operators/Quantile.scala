@@ -16,47 +16,84 @@ import org.apache.spark.sql.functions._
   * ranking construction (range-partition, sort locally, add prefix
   * offsets; the TeraSort shape, O'Malley 2008):
   *
-  *   pass 0  per-group (min, max) of `value` — a 1-row-per-group agg,
-  *           broadcast back; level-1 cell = equal-width integer bucket
-  *           `(v - mn) DIV ceil(range / cells)`.
+  *   pass 0  per-group (min, max, count) of `value` — a 1-row-per-
+  *           group agg, broadcast back; level-1 cell = equal-width
+  *           integer bucket `(v - mn) DIV ceil(range / cells)`.
   *   pass 1  per-cell (vlo, vhi, idlo, idhi) — at most `cells` rows
   *           per group, broadcast back. Level-2 bucket: a cell that
   *           holds a SINGLE distinct value (the heavy-tie case ntile
   *           tie-breaks by id — 40% of users sharing freq=1 would
   *           otherwise sort on one task) splits by equal-width id
-  *           ranges; a multi-valued cell refines by value over its
-  *           ACTUAL [vlo, vhi] span, dividing the occupied range by
-  *           `cells` again.
-  *   pass 2  per final (cell, subcell) counts — at most `cells`^2
-  *           bounded rows per group — cumulated by a window over that
-  *           bounded bucket table into exclusive prefix offsets plus
-  *           the group total `n`, broadcast back.
-  *   rank    `row_number()` partitioned by (group, cell, subcell),
-  *           ordered by (value, id), plus the bucket's offset.
+  *           ranges; a NARROW multi-valued cell (actual span < cells)
+  *           maps each value to its exact offset `v - vlo` — at most
+  *           `cells` single-valued subcells, so a heavy value can
+  *           never hide among neighbors there; a wide cell refines by
+  *           value over its ACTUAL [vlo, vhi] span, dividing the
+  *           occupied range by `cells` again.
+  *   pass 2  per-subcell (vlo, vhi, idlo, idhi, count) — at most
+  *           `cells`^2 bounded rows per group, broadcast back. Level-3
+  *           bucket, the residual-ceiling dissolver: a subcell that is
+  *           SINGLE-valued *and* heavy (count > n/cells — a value
+  *           whose multiplicity exceeds the partition target but that
+  *           shared its level-1 cell with other values, so level 2
+  *           refined by value and parked all its rows together) splits
+  *           by equal-width id ranges exactly like the level-2 tie
+  *           split. Everything else keeps level-3 bucket 0, so the
+  *           bucket table only grows where mass actually concentrates:
+  *           at most `cells` heavy values per group (each holds more
+  *           than n/cells rows) times `cells` id ranges, bounding the
+  *           occupied (cell, subcell, subsubcell) table at
+  *           ~2*`cells`^2 rows per group.
+  *   pass 3  per final (cell, subcell, subsubcell) counts — bounded as
+  *           above — cumulated by a window over that bounded bucket
+  *           table into exclusive prefix offsets plus the group total
+  *           `n`, broadcast back.
+  *   rank    `row_number()` partitioned by (group, cell, subcell,
+  *           subsubcell), ordered by (value, id), plus the bucket's
+  *           offset.
   *
-  * The bucket order (cell, subcell) is (value, id)-monotone by
-  * construction — cells are value-ranges; a subcell either refines
-  * the value range or, when the cell is single-valued, the id range —
-  * so local rank + offset IS the exact global rank. Every shuffle
-  * partition holds one bucket: ~n/cells rows for smooth values,
-  * ~n/cells^2 after refinement, and heavy ties spread across id
-  * buckets instead of one task. The residual ceiling (documented, not
-  * hit by any inventory query): a single value whose multiplicity
-  * exceeds n/cells AND that shares its level-1 cell with other values
-  * refines by value, not id, so its rows land in one subcell; a third
-  * refinement level would dissolve it the same way.
+  * The bucket order (cell, subcell, subsubcell) is (value, id)-
+  * monotone by construction — cells are value-ranges; each refinement
+  * level either refines the value range or, when its bucket is
+  * single-valued, the id range — so local rank + offset IS the exact
+  * global rank. Every shuffle partition holds one bucket: ~n/cells
+  * rows for smooth values, ~n/cells^2 after refinement, and heavy
+  * ties spread across id buckets instead of one task — including a
+  * heavy value co-celled with neighbors, which level 3 id-splits
+  * (OperatorLawSpec plants one at 10x the n/cells target, both in a
+  * wide and a narrow cell, and asserts the max bucket size). The
+  * residual after three levels (fourth-order, documented): a heavy
+  * value escapes only if its level-2 subcell is still multi-valued,
+  * which needs a cell span >= cells (so the exact-offset branch did
+  * not fire — value range > cells^2, i.e. > 65k at the default) AND a
+  * neighbor value within span/cells of the heavy one; then the pair
+  * shares one subcell that level 3 leaves intact. A fourth refinement
+  * level (or quantile-sampled instead of equal-width boundaries)
+  * would dissolve that too; no inventory query or realistic fixture
+  * reaches it — it requires ~65k-wide dense integer domains with
+  * near-colliding multiplicity spikes.
   *
-  * Inputs scan `cells + 2` times more than the ntile form (three
-  * bounded aggs + the rank pass instead of one window) — but each
-  * extra pass is an identical subtree that Spark's ReuseExchange
-  * computes once, and no partition anywhere exceeds ~n/cells rows:
-  * the plan that survives a 100x scale-up.
+  * Inputs scan 5x (four bounded aggs + the rank pass) instead of the
+  * ntile form's once — but each extra pass is an identical subtree
+  * that Spark's ReuseExchange computes once, and no partition
+  * anywhere exceeds ~n/cells rows: the plan that survives a 100x
+  * scale-up.
   *
   * Contract: `value` and `id` are non-null integers (LONG-castable);
   * `max(value) - min(value)` and `max(id) - min(id)` must fit a long
   * (true for any mix of cents, epoch-days, epoch-micros and row ids);
   * `id` need not be unique — equal (value, id) rows get arbitrary but
-  * consecutive ranks, exactly like `row_number()`.
+  * consecutive ranks, exactly like `row_number()`. GROUP CARDINALITY:
+  * the span and offset tables are broadcast, and they hold up to
+  * ~2*cells^2 rows PER GROUP — at the default cells=256 that is
+  * ~131k rows/group, so `group` must be a bounded dimension
+  * (|groups| <= ~10^3 at the default; every inventory caller uses
+  * event types / months / global). A corpus-cardinality group key
+  * needs `cells` lowered until |groups|*cells^2 rows still broadcast
+  * (or a different operator: per-group ranking over millions of tiny
+  * groups is a plain partitionBy(group) window, no Quantile needed).
+  * Column names: `rankCol`/`nCol`/`prefixCol` and the `__q_*` helper
+  * prefix must not collide with input columns (require()d).
   */
 object Quantile {
 
@@ -82,18 +119,39 @@ object Quantile {
     rankedWeighted(df, group, value, id, Some(weight), rankCol, nCol,
       prefixCol, cells)
 
+  /** Test hook: `ranked` with the internal `__q_c1`/`__q_c2`/`__q_c3`
+    * bucket ids retained, so OperatorLawSpec can assert the
+    * max-rows-per-bucket bound the scaladoc claims (every final
+    * shuffle/window partition is one bucket). */
+  private[graft] def rankedBuckets(df: DataFrame, group: Seq[String],
+      value: String, id: String, cells: Int): DataFrame =
+    rankedWeighted(df, group, value, id, None, "rn", "n", null, cells,
+      keepBuckets = true)
+
   private def rankedWeighted(df: DataFrame, group: Seq[String],
       value: String, id: String, weight: Option[String], rankCol: String,
-      nCol: String, prefixCol: String, cells: Int): DataFrame = {
+      nCol: String, prefixCol: String, cells: Int,
+      keepBuckets: Boolean = false): DataFrame = {
     require(cells >= 2, s"cells must be >= 2, got $cells")
+    val outCols = Seq(rankCol, nCol) ++ Option(prefixCol)
+    require(outCols.distinct.size == outCols.size,
+      s"output columns must be distinct, got $outCols")
+    outCols.foreach(c => require(!df.columns.contains(c),
+      s"output column '$c' collides with an input column; rename one " +
+        s"(input: ${df.columns.mkString(", ")})"))
+    df.columns.filter(_.startsWith("__q_")).foreach(c =>
+      require(false, s"input column '$c' collides with Quantile's " +
+        "reserved __q_* helper prefix"))
     val C = cells.toLong
     val gcols = group.map(col)
     val v = s"CAST($value AS BIGINT)"
     val i = s"CAST($id AS BIGINT)"
 
-    // pass 0: per-group value bounds (1 row per group, broadcast)
+    // pass 0: per-group value bounds + row count (1 row per group,
+    // broadcast); the count feeds level 3's heavy-subcell test
     val b0 = (if (group.isEmpty) df.groupBy() else df.groupBy(gcols: _*))
-      .agg(expr(s"min($v)").as("__q_mn"), expr(s"max($v)").as("__q_mx"))
+      .agg(expr(s"min($v)").as("__q_mn"), expr(s"max($v)").as("__q_mx"),
+        count(lit(1)).as("__q_n0"))
     val d0 = if (group.isEmpty) df.crossJoin(broadcast(b0))
              else df.join(broadcast(b0), group)
     // equal-width level-1 cell over [mn, mx]; width = ceil(range / C)
@@ -104,22 +162,46 @@ object Quantile {
     val st1 = d1.groupBy((gcols :+ col("__q_c1")): _*)
       .agg(expr(s"min($v)").as("__q_vlo"), expr(s"max($v)").as("__q_vhi"),
         expr(s"min($i)").as("__q_ilo"), expr(s"max($i)").as("__q_ihi"))
-    // single-valued cell -> split the TIE by id ranges; multi-valued
-    // cell -> refine by value over the cell's actual span
+    // single-valued cell -> split the TIE by id ranges; a NARROW
+    // multi-valued cell (span < cells) -> exact value offset, which
+    // guarantees every subcell is single-valued so level 3 can always
+    // id-split a heavy value hiding among neighbors; a wide cell ->
+    // refine by value over the cell's actual span
     val d2 = d1.join(broadcast(st1), group :+ "__q_c1")
       .withColumn("__q_c2", expr(s"""CASE WHEN __q_vlo = __q_vhi
         THEN ($i - __q_ilo) DIV ((__q_ihi - __q_ilo + $C) DIV $C)
+        WHEN __q_vhi - __q_vlo < $C THEN $v - __q_vlo
         ELSE ($v - __q_vlo) DIV ((__q_vhi - __q_vlo + $C) DIV $C) END"""))
+      .drop("__q_vlo", "__q_vhi", "__q_ilo", "__q_ihi")
 
-    // pass 2: exact exclusive prefix offsets over the bounded
-    // (<= cells^2 per group) bucket table + the group total; with a
+    // pass 2: per-subcell spans + count (<= cells^2 rows per group,
+    // broadcast). Level 3 splits ONLY the heavy single-valued
+    // subcells (count*cells > n, i.e. count > n/cells): the residual
+    // case where a heavy value shared its level-1 cell, so level 2
+    // refined by value and could not spread the tie. Everything else
+    // keeps __q_c3 = 0, so the occupied bucket table stays
+    // ~2*cells^2 per group (see the scaladoc bound).
+    val st2 = d2.groupBy((gcols ++ Seq(col("__q_c1"), col("__q_c2"))): _*)
+      .agg(expr(s"min($v)").as("__q_vlo2"), expr(s"max($v)").as("__q_vhi2"),
+        expr(s"min($i)").as("__q_ilo2"), expr(s"max($i)").as("__q_ihi2"),
+        count(lit(1)).as("__q_cnt2"))
+    val d3 = d2.join(broadcast(st2), group ++ Seq("__q_c1", "__q_c2"))
+      .withColumn("__q_c3", expr(s"""CASE WHEN __q_vlo2 = __q_vhi2
+          AND __q_cnt2 * $C > __q_n0
+        THEN ($i - __q_ilo2) DIV ((__q_ihi2 - __q_ilo2 + $C) DIV $C)
+        ELSE 0 END"""))
+      .drop("__q_vlo2", "__q_vhi2", "__q_ilo2", "__q_ihi2", "__q_cnt2")
+
+    // pass 3: exact exclusive prefix offsets over the bounded
+    // (~2*cells^2 per group) bucket table + the group total; with a
     // weight column, prefix WEIGHT rides beside prefix count
+    val bucketCols = Seq(col("__q_c1"), col("__q_c2"), col("__q_c3"))
     val wOff = Window.partitionBy(gcols: _*)
-      .orderBy(col("__q_c1"), col("__q_c2"))
+      .orderBy(bucketCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val aggs = count(lit(1)).as("__q_cnt") +:
       weight.map(wn => sum(expr(s"CAST($wn AS BIGINT)")).as("__q_wsum")).toSeq
-    val off0 = d2.groupBy((gcols ++ Seq(col("__q_c1"), col("__q_c2"))): _*)
+    val off0 = d3.groupBy((gcols ++ bucketCols): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("__q_off", coalesce(sum(col("__q_cnt")).over(wOff), lit(0L)))
       .withColumn(nCol, sum(col("__q_cnt")).over(Window.partitionBy(gcols: _*)))
@@ -129,19 +211,20 @@ object Quantile {
 
     // rank pass: local sort within each bounded bucket + its offset
     val wLoc = Window
-      .partitionBy((gcols ++ Seq(col("__q_c1"), col("__q_c2"))): _*)
+      .partitionBy((gcols ++ bucketCols): _*)
       .orderBy(expr(v), expr(i))
-    val joined = d2.join(broadcast(off), (group ++ Seq("__q_c1", "__q_c2")).toSeq)
+    val joined = d3.join(broadcast(off),
+        (group ++ Seq("__q_c1", "__q_c2", "__q_c3")).toSeq)
       .withColumn(rankCol,
         (row_number().over(wLoc).cast("long") + col("__q_off")))
-    weight.fold(joined) { wn =>
+    val out = weight.fold(joined) { wn =>
       joined.withColumn(prefixCol, col("__q_woff") + coalesce(
         sum(expr(s"CAST($wn AS BIGINT)"))
           .over(wLoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .drop("__q_woff")
-    }
-      .drop("__q_mn", "__q_mx", "__q_c1", "__q_vlo", "__q_vhi",
-        "__q_ilo", "__q_ihi", "__q_c2", "__q_off")
+    }.drop("__q_mn", "__q_mx", "__q_n0", "__q_off")
+    if (keepBuckets) out
+    else out.drop("__q_c1", "__q_c2", "__q_c3")
   }
 
   /** ANSI `ntile(k)` of rank `rankCol` among `nCol` rows, in closed

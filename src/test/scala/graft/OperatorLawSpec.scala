@@ -92,6 +92,48 @@ class OperatorLawSpec extends SparkSpec {
     assert(got == rows.sorted, "global ranking diverges from sort")
   }
 
+  test("quantile level 3 id-splits a heavy value co-celled with neighbors") {
+    // The round-12 documented residual, planted adversarially: one
+    // value at 10x the n/cells partition target sharing its level-1
+    // cell with neighbor values. Pre-level-3, all its rows landed in
+    // ONE value-refined subcell (a 2560-row partition); now the
+    // heavy-subcell test (count*cells > n) must id-split it. Two
+    // plants: a WIDE cell (span >= cells, the equal-width level-2
+    // path) and a NARROW cell (span < cells, the exact-offset path).
+    val C = 16
+    // wide: range 0..1599 -> cell width 100; cell 0 spans [0, 99]
+    // (span 90 >= C) with the heavy value at 50 and neighbors at the
+    // other multiples of 10; level-2 subcell width ceil(106/16)=7
+    // isolates 50 from its nearest neighbors (40, 60)
+    val wide = Seq.fill(2560)(50L) ++
+      (0 until 144).flatMap(_ => Seq(0L, 10L, 20L, 30L, 40L, 60L, 70L, 80L, 90L)) ++
+      (0 until 240).map(i => 100L + (i % 1500))
+    // narrow: values 0..14 in cell 0 (span < C -> exact offsets),
+    // heavy at 7, then a far tail so the cell itself is co-celled
+    val narrow = Seq.fill(2560)(7L) ++
+      (0 until 1296).map(i => (i % 15).toLong) ++
+      (0 until 240).map(i => 1000L + (i % 500))
+    for ((vals, label) <- Seq((wide, "wide"), (narrow, "narrow"))) {
+      val n = vals.size
+      val rows = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+      val df = rows.toDF("v", "k")
+      val bucketed = Quantile.rankedBuckets(df, Seq.empty, "v", "k", C)
+      // correctness: still the exact sort order
+      val got = bucketed.select(col("v"), col("k"), col("rn")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._3).map(t => (t._1, t._2)).toSeq
+      assert(got == rows.sorted, s"$label: ranking diverges from sort")
+      // scale: no (c1, c2, c3) bucket — i.e. no final shuffle/window
+      // partition — may hold the undissolved 2560-row spike; the id
+      // split caps it at ~multiplicity/C plus rounding slack
+      val maxBucket = bucketed
+        .groupBy(col("__q_c1"), col("__q_c2"), col("__q_c3"))
+        .count().agg(max(col("count"))).collect()(0).getLong(0)
+      assert(maxBucket <= 2560 / C + n / C,
+        s"$label: a $maxBucket-row bucket survived (n=$n, target ~${n / C})")
+    }
+  }
+
   test("quantile prefixSum equals the running-sum window, ties included") {
     for (trial <- 0 until 3) {
       val rows = (0 until 300).map(i =>

@@ -197,9 +197,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q85_sessionize" -> 2,
     // q88/q101: Quantile.prefixSum's bounded-bucket passes replace
     // the per-shard/per-lang running-sum window that serialized each
-    // shard into one partition
-    "q88_sequence_pack" -> 6,
-    "q101_token_budget_fill" -> 6, "q106_chunk_windows" -> 1,
+    // shard into one partition. (Round 13 bumped every Quantile rider
+    // by one exchange: the level-3 per-subcell span pass that
+    // dissolves the heavy-co-celled-value residual — see
+    // operators/Quantile.scala pass 2.)
+    "q88_sequence_pack" -> 7,
+    "q101_token_budget_fill" -> 7, "q106_chunk_windows" -> 1,
     "q107_asof_join" -> 2,
     // q109: lang-count agg + the tiny counts window + presentation
     // sort — the corpus itself never hash-shuffles
@@ -226,7 +229,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // agg, per-cell stats agg, bucket-count agg, rank buckets — every
     // partition (measure, cell)-bounded) + the 1-row report fold; the
     // corpus-scale collect_list-into-one-row is gone
-    "q142_funnel_latency" -> 7,
+    "q142_funnel_latency" -> 8,
     // q140: (user,day) dedup + day agg + (user,wday) dedup + wday agg
     // + the tiny agg join + sort — everything after the first dedup is
     // (users x days)-bounded
@@ -346,10 +349,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // distributed rank (4 bounded-bucket exchanges replace the former
     // corpus-wide single-partition ntile) — later stages run on 10
     // decile rows
-    "q185_decile_lift" -> 7,
+    "q185_decile_lift" -> 8,
     // q188: the per-user rollup + Quantile's exact-rank passes — the
     // two former global rank windows over |users| rows are gone
-    "q188_gini_concentration" -> 7,
+    "q188_gini_concentration" -> 8,
     // q186: the 10-cell bin agg + presentation sort
     "q186_calibration_bins" -> 2,
     // q189: the ONE quasi-identifier hash agg + presentation sort
@@ -360,15 +363,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // q191: assignment is map-only (plan-literal centroids); the
     // Quantile exact-rank passes (cluster-partitioned windows would
     // funnel the corpus into k partitions) + broadcast cutoffs + sort
-    "q191_cluster_outliers" -> 7,
+    "q191_cluster_outliers" -> 8,
     // q192: Quantile's exact-rank passes partitioned by (type, cell)
     // — raw events no longer funnel into |event_type| ~ 5 partitions;
     // the cutoff table broadcasts back + rollup + presentation sort
-    "q192_winsorized_stats" -> 8,
+    "q192_winsorized_stats" -> 9,
     // q193: the per-user rollup + ONE unpivoted Quantile pass over
     // (dim, value, user) + the user_id pivot-back + 64-cell agg +
     // presentation sort — the three corpus-wide ntile windows are gone
-    "q193_rfm_segments" -> 9,
+    "q193_rfm_segments" -> 10,
     // q194: the (source, token) agg (class-total window reuses it) +
     // the vocab marginal agg + presentation sort; totals broadcast
     "q194_ctfidf_keywords" -> 3,
@@ -407,10 +410,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q207_cuped" -> 3,
     // q208: the value-level agg + Quantile.prefixSum's bounded-cell
     // passes over it + the 1-row readout fold
-    "q208_mann_whitney" -> 6,
+    "q208_mann_whitney" -> 7,
     // q209: the per-user rollup + Quantile's exact-rank passes + the
     // 10-cell decile agg (windows run on it)
-    "q209_lorenz_curve" -> 8,
+    "q209_lorenz_curve" -> 9,
     // q210: the gram first-occurrence agg + the 16-cell checkpoint
     // fold (doc side reuses the broadcast checkpoints)
     "q210_heaps_law" -> 2,
@@ -424,7 +427,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q213_readability" -> 1,
     // q214: the per-user rollup + Quantile's exact-rank passes + the
     // 5-cell stratum agg (windows run on it)
-    "q214_post_stratification" -> 8,
+    "q214_post_stratification" -> 9,
     // q215: the custkey first-order rollup reused by the order join +
     // the (cohort x age) cell agg + cohort sizes broadcast + sort
     "q215_cohort_ltv" -> 4,
