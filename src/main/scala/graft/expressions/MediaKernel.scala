@@ -159,19 +159,7 @@ object MediaKernel {
   def pngEncode(width: Long, height: Long, bitDepth: Long, colorType: Long): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(64)
     out.write(PNG_SIG, 0, 8)
-    def chunk(typ: String, data: Array[Byte]): Unit = {
-      val len = data.length
-      out.write((len >>> 24) & 0xff); out.write((len >>> 16) & 0xff)
-      out.write((len >>> 8) & 0xff); out.write(len & 0xff)
-      val tb = typ.getBytes("US-ASCII")
-      out.write(tb, 0, 4)
-      out.write(data, 0, len)
-      val crc = new java.util.zip.CRC32()
-      crc.update(tb); crc.update(data)
-      val c = crc.getValue
-      out.write(((c >>> 24) & 0xff).toInt); out.write(((c >>> 16) & 0xff).toInt)
-      out.write(((c >>> 8) & 0xff).toInt); out.write((c & 0xff).toInt)
-    }
+    def chunk(typ: String, data: Array[Byte]): Unit = writeChunk(out, typ, data)
     val ihdr = new Array[Byte](13)
     def putBe32(a: Array[Byte], i: Int, v: Long): Unit = {
       a(i) = ((v >>> 24) & 0xff).toByte; a(i + 1) = ((v >>> 16) & 0xff).toByte
@@ -303,6 +291,259 @@ object MediaKernel {
       widx += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  private def writeChunk(out: java.io.ByteArrayOutputStream, typ: String,
+      data: Array[Byte]): Unit = {
+    val len = data.length
+    out.write((len >>> 24) & 0xff); out.write((len >>> 16) & 0xff)
+    out.write((len >>> 8) & 0xff); out.write(len & 0xff)
+    val tb = typ.getBytes("US-ASCII")
+    out.write(tb, 0, 4)
+    out.write(data, 0, len)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(data)
+    val c = crc.getValue
+    out.write(((c >>> 24) & 0xff).toInt); out.write(((c >>> 16) & 0xff).toInt)
+    out.write(((c >>> 8) & 0xff).toInt); out.write((c & 0xff).toInt)
+  }
+
+  /** PNG spec §9.4 Paeth predictor — exact integer form. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** The planted gray pixel stream: pixel (x, y) of a payload seeded
+    * by `seed` is ((seed + y*w + x) * 2654435761) mod 256, plus a
+    * brightness offset mod 256 — the same oracle-recomputable
+    * construction as [[pcmSample]], so an encode/decode bug cannot
+    * cancel out. */
+  private def grayPixel(seed: Long, idx: Long, bright: Long): Int =
+    ((((seed + idx) * 2654435761L) % 256L + bright) % 256L).toInt
+
+  /** Build a COMPLETE 8-bit grayscale PNG: signature, IHDR, a real
+    * zlib-deflated IDAT carrying `width`x`height` deterministic
+    * pixels ([[grayPixel]]), IEND. Scanline y is filtered with type
+    * y mod 5, so a decoder must implement ALL FIVE spec filters
+    * (None/Sub/Up/Average/Paeth) to read any image taller than 4
+    * rows — a byte-44-style shortcut cannot work. */
+  def pngEncodeGray(width: Long, height: Long, seed: Long,
+      bright: Long): Array[Byte] = {
+    val w = width.toInt; val h = height.toInt
+    require(w > 0 && h > 0 && w.toLong * h <= (1L << 24),
+      s"pngEncodeGray: unsupported dims ${w}x$h")
+    val raw = new Array[Byte]((1 + w) * h)
+    var y = 0
+    while (y < h) {
+      val rowOff = (1 + w) * y
+      val ft = y % 5
+      raw(rowOff) = ft.toByte
+      var x = 0
+      while (x < w) {
+        val cur = grayPixel(seed, y.toLong * w + x, bright)
+        val left = if (x > 0) grayPixel(seed, y.toLong * w + x - 1, bright) else 0
+        val up = if (y > 0) grayPixel(seed, (y - 1).toLong * w + x, bright) else 0
+        val ul = if (x > 0 && y > 0)
+          grayPixel(seed, (y - 1).toLong * w + x - 1, bright) else 0
+        val filtered = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, ul)
+        }
+        raw(rowOff + 1 + x) = (filtered & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val zout = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    while (!deflater.finished())
+      zout.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream(zout.size + 64)
+    out.write(PNG_SIG, 0, 8)
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = ((w >>> 24) & 0xff).toByte; ihdr(1) = ((w >>> 16) & 0xff).toByte
+    ihdr(2) = ((w >>> 8) & 0xff).toByte; ihdr(3) = (w & 0xff).toByte
+    ihdr(4) = ((h >>> 24) & 0xff).toByte; ihdr(5) = ((h >>> 16) & 0xff).toByte
+    ihdr(6) = ((h >>> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
+    ihdr(8) = 8; ihdr(9) = 0; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    writeChunk(out, "IHDR", ihdr)
+    writeChunk(out, "IDAT", zout.toByteArray)
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** REAL pixel decode: signature + chunk walk (ancillary chunks
+    * skipped — tEXt/pHYs from real encoders parse through), IHDR
+    * (8-bit depth; gray / truecolor / truecolor-alpha; no interlace),
+    * ALL IDAT chunks concatenated and inflated, per-scanline unfilter
+    * (all five spec filter types, bpp-aware), then luminance: gray
+    * passes through, RGB(A) collapses as (r+g+b)/3 integer division
+    * (alpha ignored). Returns (width, height, gray bytes row-major)
+    * or null for anything unsupported/corrupt — including images over
+    * 16M pixels (decompression-bomb guard: at 100 TB a hostile
+    * payload must fail the row, not the executor). */
+  private[graft] def pngDecodeGray(p: Array[Byte]): (Int, Int, Array[Int]) = {
+    if (p == null || !isPng(p)) return null
+    var w = 0; var h = 0; var depth = -1; var color = -1; var interlace = -1
+    val idat = new java.io.ByteArrayOutputStream(1024)
+    var pos = 8
+    var sawIhdr = false
+    var done = false
+    while (!done && pos + 8 <= p.length) {
+      val len = be32(p, pos)
+      if (len > p.length.toLong - pos - 12) return null
+      val t0 = p(pos + 4); val t1 = p(pos + 5); val t2 = p(pos + 6); val t3 = p(pos + 7)
+      if (t0 == 'I' && t1 == 'H' && t2 == 'D' && t3 == 'R') {
+        if (len < 13) return null
+        w = be32(p, pos + 8).toInt; h = be32(p, pos + 12).toInt
+        depth = p(pos + 16) & 0xff; color = p(pos + 17) & 0xff
+        interlace = p(pos + 20) & 0xff
+        sawIhdr = true
+      } else if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
+        idat.write(p, pos + 8, len.toInt)
+      } else if (t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D') {
+        done = true
+      }
+      pos += 12 + len.toInt
+    }
+    if (!sawIhdr || depth != 8 || interlace != 0) return null
+    val bpp = color match {
+      case 0 => 1; case 2 => 3; case 6 => 4; case _ => return null
+    }
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return null
+    val stride = 1 + w * bpp
+    val raw = new Array[Byte](stride * h)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return null // truncated stream
+        got += n
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException => return null
+    } finally inf.end()
+    if (got < raw.length) return null
+    // unfilter in place (PNG spec §9: per-byte, bpp-offset left refs)
+    var y = 0
+    while (y < h) {
+      val rowOff = stride * y
+      val ft = raw(rowOff) & 0xff
+      if (ft > 4) return null
+      var x = 0
+      while (x < w * bpp) {
+        val i = rowOff + 1 + x
+        val left = if (x >= bpp) raw(i - bpp) & 0xff else 0
+        val up = if (y > 0) raw(i - stride) & 0xff else 0
+        val ul = if (x >= bpp && y > 0) raw(i - stride - bpp) & 0xff else 0
+        val recon = ft match {
+          case 0 => raw(i) & 0xff
+          case 1 => (raw(i) & 0xff) + left
+          case 2 => (raw(i) & 0xff) + up
+          case 3 => (raw(i) & 0xff) + (left + up) / 2
+          case 4 => (raw(i) & 0xff) + paeth(left, up, ul)
+        }
+        raw(i) = (recon & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val gray = new Array[Int](w * h)
+    y = 0
+    while (y < h) {
+      val rowOff = stride * y + 1
+      var x = 0
+      while (x < w) {
+        gray(y * w + x) =
+          if (bpp == 1) raw(rowOff + x) & 0xff
+          else ((raw(rowOff + x * bpp) & 0xff) + (raw(rowOff + x * bpp + 1) & 0xff) +
+            (raw(rowOff + x * bpp + 2) & 0xff)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, gray)
+  }
+
+  /** Per-scanline luminance features over a decoded PNG: one row per
+    * scanline y — (y, n_px, sum_lum, min_lum, max_lum), all exact
+    * integers (the image twin of [[wavPcmWindows]]). Null for
+    * anything [[pngDecodeGray]] rejects. */
+  def pngRowStats(p: Array[Byte])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val dec = pngDecodeGray(p)
+    if (dec == null) return null
+    val (w, h, gray) = dec
+    val rows = new Array[Any](h)
+    var y = 0
+    while (y < h) {
+      var sum = 0L; var mn = 255L; var mx = 0L
+      var x = 0
+      while (x < w) {
+        val v = gray(y * w + x).toLong
+        sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+        x += 1
+      }
+      val r = new GenericInternalRow(5)
+      r.setLong(0, y.toLong); r.setLong(1, w.toLong)
+      r.setLong(2, sum); r.setLong(3, mn); r.setLong(4, mx)
+      rows(y) = r
+      y += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  /** Perceptual difference hash (dHash, 64-bit) over a decoded PNG:
+    * block-average the image onto a 9x8 luminance grid (cell of pixel
+    * (x, y) is ((x*9) DIV w, (y*8) DIV h); mean = sum DIV count — all
+    * integer, so an oracle recomputes it exactly), then bit cy*8+cx =
+    * 1 iff mean(cx, cy) < mean(cx+1, cy). Brightness-shift tolerant
+    * by construction (comparisons survive a constant offset except at
+    * the mod-256 wrap), which is what makes it a near-dup key rather
+    * than a content hash. Null when the decode fails or the image is
+    * smaller than the 9x8 grid. */
+  def pngDhash(p: Array[Byte]): java.lang.Long = {
+    val dec = pngDecodeGray(p)
+    if (dec == null) return null
+    val (w, h, gray) = dec
+    if (w < 9 || h < 8) return null
+    val sums = new Array[Long](9 * 8)
+    val cnts = new Array[Long](9 * 8)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val c = cy * 9 + x * 9 / w
+        sums(c) += gray(y * w + x)
+        cnts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val a = sums(cy * 9 + cx) / cnts(cy * 9 + cx)
+        val b = sums(cy * 9 + cx + 1) / cnts(cy * 9 + cx + 1)
+        if (a < b) hash |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    java.lang.Long.valueOf(hash)
   }
 
   /** Build a spec-valid JPEG header: SOI, APP0/JFIF, SOF0 frame header

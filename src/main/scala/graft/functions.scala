@@ -437,6 +437,40 @@ object functions {
     call(MD, ArrayType(pcmWindowType, containsNull = false), "wavPcmWindows",
       Seq(Bin, LongType), payload, win)
 
+  /** Complete 8-bit grayscale PNG builder: real zlib-deflated IDAT
+    * carrying deterministic pixels (pixel (x,y) = ((seed + y*w + x) *
+    * 2654435761) mod 256 + bright mod 256 — oracle-recomputable),
+    * scanline y filtered with type y mod 5 so decoding exercises all
+    * five PNG filters. */
+  def png_encode_gray(width: Column, height: Column, seed: Column,
+      bright: Column): Column =
+    call(MD, Bin, "pngEncodeGray", Seq(LongType, LongType, LongType, LongType),
+      width, height, seed, bright)
+
+  val pngRowType: StructType = StructType(Seq(
+    StructField("y", LongType, nullable = false),
+    StructField("n_px", LongType, nullable = false),
+    StructField("sum_lum", LongType, nullable = false),
+    StructField("min_lum", LongType, nullable = false),
+    StructField("max_lum", LongType, nullable = false)))
+
+  /** Real PNG pixel decode + per-scanline aggregation: chunk walk,
+    * IDAT inflate, per-scanline unfilter (all five spec filters),
+    * luminance collapse, then one exact-integer row per scanline
+    * (y, n_px, sum_lum, min_lum, max_lum) — the image twin of
+    * [[wav_pcm_windows]]. Null for non-8-bit/interlaced/corrupt
+    * payloads and >16M-pixel bombs. */
+  def png_row_stats(payload: Column): Column =
+    call(MD, ArrayType(pngRowType, containsNull = false), "pngRowStats",
+      Seq(Bin), payload)
+
+  /** 64-bit perceptual difference hash (dHash) over a decoded PNG:
+    * 9x8 integer block-mean grid, bit cy*8+cx = mean(cx,cy) <
+    * mean(cx+1,cy). Null when decode fails or the image is smaller
+    * than the grid. */
+  def png_dhash(payload: Column): Column =
+    call(MD, LongType, "pngDhash", Seq(Bin), payload)
+
   /** Multimodal feature stand-in: deterministic 16-bin byte histogram
     * over an opaque binary column (the full pixel/sample decode is out
     * of scope in this container; header decode is [[media_info]]). */

@@ -766,6 +766,47 @@ private[graft] object CurationQueries {
     },
 
 
+    "q222_image_row_stats" -> { (s, dir) =>
+      // REAL image pixel decode + per-scanline luminance features —
+      // the image twin of q205's audio arm, closing the multimodal
+      // asymmetry (images used to stop at header triage): each image
+      // doc (doc_id mod 3 == 0, q127's PNG arm) carries a COMPLETE
+      // 8-bit grayscale PNG whose pixels derive deterministically from
+      // doc_id (pixel (x,y) = ((doc_id + y*w + x) * 2654435761) mod
+      // 256), zlib-deflated for real with scanline filter y mod 5 —
+      // so png_row_stats must inflate the IDAT and run ALL FIVE spec
+      // unfilters to read it (MediaSpec additionally pins the decoder
+      // against live ImageIO-encoded PNGs). Output: per scanline the
+      // exact integer (n_px, sum_lum, min_lum, max_lum) a
+      // brightness/contrast triage pass needs; width/height come from
+      // the media_info PARSE of the same payload, and the oracle
+      // recomputes every value arithmetically from doc_id — fully
+      // independent of both codec sides. Plan: per-row kernel
+      // projection + bounded explode (h <= 15 rows per doc), zero
+      // shuffles beyond the presentation sort — the map-only decode
+      // pass of a 100 TB multimodal pipeline.
+      val payload = png_encode_gray(
+        (col("doc_id") % 16 + 16).cast("long"),
+        (col("doc_id") % 8 + 8).cast("long"), col("doc_id"), lit(0L))
+      Tables(s, dir).documents
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"), payload.as("payload"))
+        .select(col("doc_id"), media_info(col("payload")).as("m"),
+          png_row_stats(col("payload")).as("rs"))
+        // explode_outer: plain explode would infer size(rs) > 0 and
+        // push the kernels below the range exchange (q205's note);
+        // every payload here decodes to >= 8 scanlines
+        .select(col("doc_id"), col("m.width").as("width"),
+          col("m.height").as("height"), explode_outer(col("rs")).as("r"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("r.y").as("y"), col("r.n_px").as("n_px"),
+          col("r.sum_lum").as("sum_lum"), col("r.min_lum").as("min_lum"),
+          col("r.max_lum").as("max_lum"))
+    },
+
+
     "q151_source_divergence" -> { (s, dir) =>
       // Corpus-drift matrix: Jensen-Shannon divergence between every
       // source pair's unigram distribution, estimated over 256 hashed
@@ -1009,32 +1050,30 @@ private[graft] object CurationQueries {
 
 
     "q123_multimodal_frames" -> { (s, dir) =>
-      // Frame sampling over opaque media payloads — the video/audio
-      // plumbing q40 starts: treat the binary payload as fixed 64-byte
-      // frames, SAMPLE every second frame (stride 128 bytes — the
-      // decimation a real pipeline does before expensive per-frame
-      // decode), and emit per sampled frame the offset, actual length
-      // (tail frames run short) and the 16-bin byte-histogram feature
-      // vector. Per-row explode over byte offsets, zero shuffles,
-      // output-bound fan-out. The same plan shape with the decode made
-      // REAL is q205_audio_pcm_windows: MediaKernel's RIFF walk reads
-      // the actual 16-bit PCM samples per window. Payload slicing here
-      // is byte-addressed (substring on BinaryType).
+      // Frame sampling with the decode made REAL (the round-9 stride
+      // sampler computed byte histograms over raw payload slices as a
+      // stand-in; q205 made audio real, this closes the image side):
+      // each doc carries a complete deflated grayscale PNG (pixels
+      // planted from doc_id — see q222), png_row_stats DECODES it
+      // (IDAT inflate + all-five-filter unfilter), and the query keeps
+      // every SECOND scanline — the stride decimation a real pipeline
+      // does before expensive per-frame featurization — emitting the
+      // exact integer luminance stats per sampled frame. Plan
+      // unchanged from the stand-in: narrow range sort, per-row kernel
+      // projection above it, bounded explode (<= 16 sampled rows per
+      // doc), zero data shuffles.
+      val payload = png_encode_gray(
+        (col("doc_id") % 32 + 32).cast("long"),
+        (col("doc_id") % 16 + 16).cast("long"), col("doc_id"), lit(0L))
       Tables(s, dir).documents.orderBy(col("doc_id"))
-        .select(col("doc_id"), col("text").cast("binary").as("payload"),
-          octet_length(col("text")).cast("long").as("n_bytes"))
-        .filter(col("n_bytes") > 0)
-        .select(col("doc_id"), col("payload"),
-          posexplode(transform(
-            sequence(lit(0), floor((col("n_bytes") - 1) / lit(128)).cast("int")),
-            k => k * 128)).as(Seq("frame_id", "off")))
-        .select(col("doc_id"), col("frame_id").cast("long").as("frame_id"),
-          col("off").cast("long").as("off"),
-          expr("substring(payload, off + 1, 64)").as("frame"))
-        .select(col("doc_id"), col("frame_id"), col("off"),
-          octet_length(col("frame")).cast("long").as("frame_bytes"),
-          array_join(transform(byte_histogram_counts(col("frame")),
-            _.cast("string")), ",").as("features"))
+        .select(col("doc_id"))
+        .select(col("doc_id"), png_row_stats(payload).as("rs"))
+        .select(col("doc_id"), explode_outer(col("rs")).as("r"))
+        .filter(col("r.y") % 2 === 0)
+        .select(col("doc_id"), expr("r.y DIV 2").as("frame_id"),
+          col("r.y").as("y"), col("r.n_px").as("n_px"),
+          col("r.sum_lum").as("sum_lum"), col("r.min_lum").as("min_lum"),
+          col("r.max_lum").as("max_lum"))
     },
 
 
@@ -1644,27 +1683,40 @@ private[graft] object CurationQueries {
           FROM d GROUP BY shard_id ORDER BY shard_id""",
 
 
-    // Frame sampling rebuilt: same stride-128 offsets, then q40's
-    // high-nibble hex histogram per frame. DuckDB v1.0 has no BLOB
-    // substring, so the oracle slices the STRING and encodes the slice
-    // — byte-identical here because the fixture text is ASCII (the
-    // engine side stays byte-addressed on BinaryType regardless).
+    // Frame sampling with the decode real: the oracle recomputes every
+    // sampled scanline's stats arithmetically from the planted pixel
+    // formula — never touching PNG bytes — so a deflate/inflate or
+    // filter/unfilter bug on either codec side cannot cancel out.
     "q123_multimodal_frames" ->
-      """WITH p AS (SELECT doc_id, text,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n
-             FROM documents WHERE octet_length(encode(text)) > 0),
-          f0 AS (SELECT doc_id, text,
-                 unnest(range(0, (n - 1) // 128 + 1)) AS k FROM p),
-          f AS (SELECT doc_id, k AS frame_id, k * 128 AS off,
-                encode(substring(text, CAST(k * 128 + 1 AS INT), 64)) AS frame
-                FROM f0),
-          h AS (SELECT doc_id, frame_id, off,
-                CAST(octet_length(frame) AS BIGINT) AS frame_bytes,
-                regexp_replace(hex(frame), '(.)(.)', '\1', 'g') AS hn FROM f)
-          SELECT doc_id, frame_id, off, frame_bytes,
-            array_to_string(list_transform(range(0, 16), b ->
-              length(hn) - length(replace(hn, substr('0123456789ABCDEF', CAST(b AS INT) + 1, 1), ''))), ',') AS features
-          FROM h ORDER BY doc_id, frame_id""",
+      """WITH a AS (SELECT doc_id, 32 + doc_id % 32 AS w,
+               16 + doc_id % 16 AS h FROM documents),
+          px AS (SELECT doc_id, w, unnest(range(0, w * h)) AS i FROM a),
+          v AS (SELECT doc_id, i // w AS y,
+                 ((doc_id + i) * 2654435761) % 256 AS lum FROM px
+                WHERE (i // w) % 2 = 0)
+          SELECT doc_id, CAST(y // 2 AS BIGINT) AS frame_id,
+            CAST(y AS BIGINT) AS y, CAST(count(*) AS BIGINT) AS n_px,
+            CAST(sum(lum) AS BIGINT) AS sum_lum,
+            CAST(min(lum) AS BIGINT) AS min_lum,
+            CAST(max(lum) AS BIGINT) AS max_lum
+          FROM v GROUP BY doc_id, y ORDER BY doc_id, y""",
+
+    // every column recomputed arithmetically from doc_id: the planted
+    // pixel formula, per-scanline cuts, and the mod-derived dims —
+    // independent of both PNG codec sides (q205's posture)
+    "q222_image_row_stats" ->
+      """WITH a AS (SELECT doc_id, 16 + doc_id % 16 AS w,
+               8 + doc_id % 8 AS h FROM documents WHERE doc_id % 3 = 0),
+          px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM a),
+          v AS (SELECT doc_id, w, h, i // w AS y,
+                 ((doc_id + i) * 2654435761) % 256 AS lum FROM px)
+          SELECT doc_id, CAST(max(w) AS BIGINT) AS width,
+            CAST(max(h) AS BIGINT) AS height,
+            CAST(y AS BIGINT) AS y, CAST(count(*) AS BIGINT) AS n_px,
+            CAST(sum(lum) AS BIGINT) AS sum_lum,
+            CAST(min(lum) AS BIGINT) AS min_lum,
+            CAST(max(lum) AS BIGINT) AS max_lum
+          FROM v GROUP BY doc_id, y ORDER BY doc_id, y""",
 
 
     // Snapshot diff by content hash: the same derived old/new versions,

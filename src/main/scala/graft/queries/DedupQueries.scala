@@ -263,6 +263,39 @@ private[graft] object DedupQueries {
     },
 
 
+    "q223_image_dhash_neardup" -> { (s, dir) =>
+      // Perceptual-hash IMAGE near-dup — q38's SimHash machinery with
+      // the signature replaced by a REAL pixel-level feature: each doc
+      // carries a complete deflated grayscale PNG planted from its
+      // GROUP id (doc_id DIV 8 — group members share dims and base
+      // pixels but differ by a per-doc brightness shift, so decoded
+      // images are near- but not byte-identical), png_dhash DECODES it
+      // (IDAT inflate + unfilter) and block-averages onto the 9x8
+      // dHash grid. Banding/capping/verification are exactly q38's:
+      // 4 x 16-bit bands, the shared 64-capped bucket pairer (never
+      // all-pairs), exact Hamming verify <= 12. One map-only
+      // decode+hash scan (8 bytes/doc shipped), one band shuffle —
+      // the image-dedup plan a 100 TB multimodal corpus needs.
+      val imgs = Tables(s, dir).documents
+        .select(col("doc_id"), expr("doc_id DIV 8").as("gid"))
+        .select(col("doc_id"), png_dhash(png_encode_gray(
+          (col("gid") % 16 + 16).cast("long"),
+          (col("gid") % 8 + 8).cast("long"),
+          col("gid"), (col("doc_id") % 8) * 3)).as("sig"))
+      val bands = imgs.select(col("doc_id"), col("sig"),
+        explode(expr(
+          """transform(sequence(0, 3), b -> struct(b AS band_id,
+            shiftrightunsigned(sig, cast(b * 16 AS int)) & 65535 AS key))""")).as("bd"))
+      cappedBucketPairs(bands, col("bd"),
+          struct(col("doc_id"), col("sig")), "doc_id")
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          hamming64(col("a.sig"), col("b.sig")).cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 12)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+
     "q86_dup_clusters" -> { (s, dir) =>
       // The pairs -> clusters -> keeper step every dedup pipeline needs:
       // connected components over the verified near-dup pairs (q31's
@@ -655,6 +688,55 @@ private[graft] object DedupQueries {
                       ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id)
           SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
           FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 6
+          ORDER BY doc_a, doc_b""",
+
+    // dHash + banding + capped pairing recomputed end-to-end from the
+    // planted pixel formula (never touching PNG bytes): pixels -> 9x8
+    // integer block means -> comparison bits -> signed 64-bit pack ->
+    // 16-bit band keys -> the same 64-capped bucket pairing as q38 ->
+    // exact Hamming over xor
+    "q223_image_dhash_neardup" ->
+      """WITH dm AS (SELECT doc_id, (doc_id // 8) % 16 + 16 AS w,
+               (doc_id // 8) % 8 + 8 AS h, doc_id // 8 AS seed,
+               (doc_id % 8) * 3 AS bright FROM documents),
+          px AS (SELECT doc_id, w, h, seed, bright,
+                  unnest(range(0, w * h)) AS i FROM dm),
+          v AS (SELECT doc_id, ((i % w) * 9) // w AS cx,
+                 ((i // w) * 8) // h AS cy,
+                 (((seed + i) * 2654435761) % 256 + bright) % 256 AS lum
+                FROM px),
+          cell AS (SELECT doc_id, cy, cx, sum(lum) // count(*) AS m
+                   FROM v GROUP BY doc_id, cy, cx),
+          bit AS (SELECT l.doc_id, l.cy * 8 + l.cx AS b
+                  FROM cell l JOIN cell r ON l.doc_id = r.doc_id
+                    AND l.cy = r.cy AND r.cx = l.cx + 1
+                  WHERE l.m < r.m),
+          sig AS (SELECT dm.doc_id, CAST(COALESCE(sum(CASE WHEN b = 63
+                   THEN -9223372036854775807 - 1
+                   ELSE 1::BIGINT << CAST(b AS INT) END), 0) AS BIGINT) AS sig
+                  FROM dm LEFT JOIN bit ON bit.doc_id = dm.doc_id
+                  GROUP BY dm.doc_id),
+          bk AS (SELECT doc_id, b // 16 AS band_id,
+                  CAST(sum(1::BIGINT << CAST(b % 16 AS INT)) AS BIGINT) AS key
+                 FROM bit GROUP BY doc_id, b // 16),
+          ab AS (SELECT s.doc_id, s.sig, t.b AS band_id
+                 FROM sig s CROSS JOIN range(0, 4) t(b)),
+          bands AS (SELECT ab.doc_id, ab.sig, ab.band_id,
+                     COALESCE(bk.key, 0) AS key
+                    FROM ab LEFT JOIN bk ON bk.doc_id = ab.doc_id
+                      AND bk.band_id = ab.band_id),
+          capped AS (SELECT * FROM (SELECT bands.*,
+                       row_number() OVER (PARTITION BY band_id, key
+                         ORDER BY doc_id) AS rk
+                     FROM bands) WHERE rk <= 64),
+          pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.sig AS sig_a, b.sig AS sig_b
+                    FROM capped a JOIN capped b
+                      ON a.band_id = b.band_id AND a.key = b.key
+                        AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b,
+            CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+          FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 12
           ORDER BY doc_a, doc_b""",
 
     // FNV-1a chained over token bytes + 0x1f boundary markers, replayed

@@ -143,6 +143,120 @@ class MediaSpec extends AnyFunSuite {
     assert(pcmWindows(trunc, 32L) == null)
   }
 
+  // ── PNG pixel decode (round 13): IDAT inflate + unfilter ──────────
+
+  private def grayOf(p: Array[Byte]): (Int, Int, Array[Int]) =
+    graft.expressions.MediaKernel.pngDecodeGray(p)
+
+  private def plantedPixel(seed: Long, idx: Long, bright: Long): Int =
+    ((((seed + idx) * 2654435761L) % 256L + bright) % 256L).toInt
+
+  test("pngEncodeGray -> pngDecodeGray round-trips the planted pixel formula") {
+    // h = 12 >= 10 means scanline filters y%5 cover all five spec
+    // filter types (None/Sub/Up/Average/Paeth) at least twice
+    val p = graft.expressions.MediaKernel.pngEncodeGray(20L, 12L, 7L, 0L)
+    // the header path still agrees
+    val m = info(p)
+    assert(m.getString(0) == "png" && m.getLong(1) == 20L &&
+      m.getLong(2) == 12L && m.getLong(3) == 8L && m.getLong(4) == 0L &&
+      m.getBoolean(8))
+    val (w, h, gray) = grayOf(p)
+    assert(w == 20 && h == 12)
+    for (i <- 0 until w * h)
+      assert(gray(i) == plantedPixel(7L, i, 0L), s"pixel $i diverges")
+    // brightness offset wraps mod 256
+    val (_, _, g2) = grayOf(
+      graft.expressions.MediaKernel.pngEncodeGray(20L, 12L, 7L, 5L))
+    for (i <- 0 until w * h)
+      assert(g2(i) == plantedPixel(7L, i, 5L), s"bright pixel $i diverges")
+  }
+
+  test("decodes a LIVE ImageIO-encoded PNG, gray and RGB (real zlib, real filters)") {
+    // grayscale: the JDK writer picks its own filter strategy and zlib
+    // stream — nothing about these bytes comes from pngEncodeGray
+    val gimg = new java.awt.image.BufferedImage(
+      11, 9, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 9; x <- 0 until 11)
+      gimg.getRaster.setSample(x, y, 0, (x * 23 + y * 71) % 256)
+    val gbos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gimg, "png", gbos), "JDK PNG writer")
+    val (gw, gh, g) = grayOf(gbos.toByteArray)
+    assert(gw == 11 && gh == 9)
+    for (y <- 0 until 9; x <- 0 until 11)
+      assert(g(y * 11 + x) == (x * 23 + y * 71) % 256, s"gray ($x,$y)")
+    // truecolor: luminance collapses as (r+g+b)/3
+    val cimg = new java.awt.image.BufferedImage(
+      5, 4, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 4; x <- 0 until 5)
+      cimg.setRGB(x, y, new java.awt.Color(x * 40, y * 50, (x + y) * 20).getRGB)
+    val cbos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(cimg, "png", cbos))
+    val (cw, ch, c) = grayOf(cbos.toByteArray)
+    assert(cw == 5 && ch == 4)
+    for (y <- 0 until 4; x <- 0 until 5)
+      assert(c(y * 5 + x) == (x * 40 + y * 50 + (x + y) * 20) / 3, s"rgb ($x,$y)")
+    // and the real-world RGBA tracking pixel (color type 6) decodes to
+    // the same luminance ImageIO itself reads from those bytes
+    val (rw, rh, r) = grayOf(realPng)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(realPng)).getRGB(0, 0)
+    val want = (((ref >> 16) & 0xff) + ((ref >> 8) & 0xff) + (ref & 0xff)) / 3
+    assert(rw == 1 && rh == 1 && r(0) == want)
+  }
+
+  test("pngDecodeGray rejects what it cannot decode, without throwing") {
+    assert(grayOf(null) == null)
+    assert(grayOf(realWav) == null, "not a PNG")
+    val p = graft.expressions.MediaKernel.pngEncodeGray(16L, 8L, 1L, 0L)
+    assert(grayOf(p.take(40)) == null, "truncated mid-IDAT")
+    // corrupt the zlib stream inside IDAT
+    val corrupt = p.clone()
+    corrupt(45) = (corrupt(45) ^ 0x55).toByte
+    assert(grayOf(corrupt) == null || grayOf(corrupt) != null,
+      "must not throw") // either null or garbage-tolerant, never an exception
+    // header-only PNG from pngEncode (empty IDAT): no pixel data
+    assert(grayOf(graft.expressions.MediaKernel.pngEncode(4L, 4L, 8L, 0L)) == null)
+    // 16M-pixel bomb guard
+    val bomb = graft.expressions.MediaKernel.pngEncode(65536L, 65536L, 8L, 0L)
+    assert(grayOf(bomb) == null)
+  }
+
+  test("pngRowStats and pngDhash match a direct recompute of the planted grid") {
+    val (w, h, seed) = (18, 10, 3L)
+    val p = graft.expressions.MediaKernel.pngEncodeGray(w.toLong, h.toLong, seed, 0L)
+    val st = graft.expressions.MediaKernel.pngRowStats(p)
+    assert(st.numElements() == h)
+    for (y <- 0 until h) {
+      val row = st.getStruct(y, 5)
+      val px = (0 until w).map(x => plantedPixel(seed, y.toLong * w + x, 0L))
+      assert(row.getLong(0) == y && row.getLong(1) == w &&
+        row.getLong(2) == px.sum && row.getLong(3) == px.min &&
+        row.getLong(4) == px.max, s"row $y stats diverge")
+    }
+    // dhash: recompute the 9x8 block-mean grid independently
+    val sums = Array.fill(8, 9)(0L); val cnts = Array.fill(8, 9)(0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      sums(y * 8 / h)(x * 9 / w) += plantedPixel(seed, y.toLong * w + x, 0L)
+      cnts(y * 8 / h)(x * 9 / w) += 1
+    }
+    var want = 0L
+    for (cy <- 0 until 8; cx <- 0 until 8)
+      if (sums(cy)(cx) / cnts(cy)(cx) < sums(cy)(cx + 1) / cnts(cy)(cx + 1))
+        want |= 1L << (cy * 8 + cx)
+    assert(graft.expressions.MediaKernel.pngDhash(p) == want)
+    // identical image -> hamming 0; constant brightness shift -> small
+    // hamming (comparisons survive except at the mod-256 wrap)
+    val pSame = graft.expressions.MediaKernel.pngEncodeGray(w.toLong, h.toLong, seed, 0L)
+    assert(graft.expressions.MediaKernel.pngDhash(pSame) == want)
+    val pBright = graft.expressions.MediaKernel.pngEncodeGray(w.toLong, h.toLong, seed, 9L)
+    val hb = java.lang.Long.bitCount(
+      graft.expressions.MediaKernel.pngDhash(pBright) ^ want)
+    assert(hb <= 16, s"brightness shift moved $hb dhash bits")
+    // smaller than the 9x8 grid -> null
+    assert(graft.expressions.MediaKernel.pngDhash(
+      graft.expressions.MediaKernel.pngEncodeGray(8L, 8L, 1L, 0L)) == null)
+  }
+
   test("encoder output is parser-consistent AND byte-stable") {
     val session = spark
     import session.implicits._

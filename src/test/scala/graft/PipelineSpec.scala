@@ -963,30 +963,73 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("multimodal frames: stride sampling covers offsets, tails run short") {
-    val session = spark
-    import session.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("q123mf").toString
-    Seq((1L, "a" * 300, "s", "en", 300L), (2L, "xyz", "s", "en", 3L))
-      .toDF("doc_id", "text", "source", "lang", "n_chars")
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val rows = Pipeline.queries("q123_multimodal_frames")(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getString(4)))
-    val d1 = rows.filter(_._1 == 1L).sortBy(_._2)
-    // 300 bytes, stride 128: sampled frames at 0, 128, 256; tail = 44
-    assert(d1.map(f => (f._2, f._3, f._4)).toSeq ==
-      Seq((0L, 0L, 64L), (1L, 128L, 64L), (2L, 256L, 44L)))
-    // histogram counts sum to the frame length ('a' = 0x61 -> bin 6)
-    d1.foreach { f =>
-      val bins = f._5.split(",").map(_.toLong)
-      assert(bins.sum == f._4 && bins(6) == f._4)
-    }
-    val d2 = rows.filter(_._1 == 2L)
-    assert(d2.length == 1 && d2(0)._4 == 3L, "short doc keeps one short frame")
-    // corpus invariant: every frame's histogram sums to its byte length
-    Pipeline.queries("q123_multimodal_frames")(spark, sf).collect().foreach { r =>
-      assert(r.getString(4).split(",").map(_.toLong).sum == r.getLong(3))
+  private def plantedPixel(seed: Long, idx: Long, bright: Long): Long =
+    (((seed + idx) * 2654435761L) % 256L + bright) % 256L
+
+  test("multimodal frames: stride-2 scanline sampling over REAL decoded pixels") {
+    val rows = Pipeline.queries("q123_multimodal_frames")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val want = Tables(spark, sf).documents.select(col("doc_id")).collect()
+      .map(_.getLong(0)).sorted.toSeq.flatMap { id =>
+        val w = 32 + id % 32; val h = 16 + id % 16
+        (0L until h).filter(_ % 2 == 0).map { y =>
+          val px = (0L until w).map(x => plantedPixel(id, y * w + x, 0L))
+          (id, y / 2, y, w, px.sum, px.min, px.max)
+        }
+      }
+    assert(rows.length == want.length)
+    assert(rows == want, "every sampled frame recomputed without either codec side")
+  }
+
+  test("image row stats: brute decode-free recompute from doc_id") {
+    val got = Pipeline.queries("q222_image_row_stats")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    val want = Tables(spark, sf).documents.select(col("doc_id")).collect()
+      .map(_.getLong(0)).filter(_ % 3 == 0).sorted.toSeq.flatMap { id =>
+        val w = 16 + id % 16; val h = 8 + id % 8
+        (0L until h).map { y =>
+          val px = (0L until w).map(x => plantedPixel(id, y * w + x, 0L))
+          (id, w, h, y, w, px.sum, px.min, px.max)
+        }
+      }
+    assert(got.length == want.length)
+    assert(got == want, "every scanline recomputed without either codec side")
+  }
+
+  test("image dhash near-dup: brute banding over independently decoded hashes") {
+    // recompute each doc's dHash by calling the DECODER directly on the
+    // encoder's bytes, re-band, re-cap at 64, re-pair — the full pipeline
+    // replayed driver-side, then compared as a set
+    val got = Pipeline.queries("q223_image_dhash_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ids = Tables(spark, sf).documents.select(col("doc_id")).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val sigs = ids.map { id =>
+      val gid = id / 8
+      val p = graft.expressions.MediaKernel.pngEncodeGray(
+        gid % 16 + 16, gid % 8 + 8, gid, (id % 8) * 3)
+      id -> graft.expressions.MediaKernel.pngDhash(p).longValue()
+    }.toMap
+    val buckets = sigs.toSeq.flatMap { case (id, sig) =>
+      (0 until 4).map(b => ((b, (sig >>> (b * 16)) & 0xffffL), id))
+    }.groupBy(_._1).values
+    val want = buckets.flatMap { members =>
+      val kept = members.map(_._2).sorted.take(64)
+      for (a <- kept; b <- kept if a < b) yield (a, b)
+    }.toSet.map { p: (Long, Long) =>
+      (p._1, p._2, java.lang.Long.bitCount(sigs(p._1) ^ sigs(p._2)).toLong)
+    }.filter(_._3 <= 12L)
+    assert(got == want, s"pair sets diverge: ${got.size} vs ${want.size}")
+    // the plant guarantees work to do: same-group docs differ only by
+    // brightness, so near-dup pairs exist, and cross-group images are
+    // far enough apart that not everything pairs
+    assert(got.nonEmpty)
+    assert(got.size < ids.size * (ids.size - 1) / 2)
+    // every same-group pair that banding surfaced has LOW hamming
+    got.filter(p => p._1 / 8 == p._2 / 8).foreach { p =>
+      assert(p._3 <= 12L)
     }
   }
 

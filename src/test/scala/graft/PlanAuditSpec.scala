@@ -402,6 +402,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "q204_capture_recapture" -> 2,
     // q205: map-only encode/decode/explode; only the presentation sort
     "q205_audio_pcm_windows" -> 1,
+    // q123/q222: map-only PNG decode + bounded explode; only the
+    // presentation sort (the image twins of q205)
+    "q123_multimodal_frames" -> 1,
+    "q222_image_row_stats" -> 1,
+    // q223: the capped band-bucket agg + the pair distinct + sort —
+    // the decode+dhash pass itself is shuffle-free (8 bytes/doc ship)
+    "q223_image_dhash_neardup" -> 3,
     // q206: the custkey rollup + the |duration|-cell agg + presentation
     // sort; survival windows run on the bounded duration table
     "q206_kaplan_meier" -> 3,
