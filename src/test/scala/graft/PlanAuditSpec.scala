@@ -504,17 +504,30 @@ class PlanAuditSpec extends AnyFunSuite {
     names.forall(n => dimKeyNames(n) || isBucketKey(n))
 
   // provably bounded subtree: every path from here to a corpus-table
-  // scan passes a bounded-key aggregate, a limit, or a broadcast
-  private def boundedPlan(p: SparkPlan): Boolean = p match {
+  // scan passes a bounded-key aggregate, a limit, or a broadcast.
+  // `credits` (nullable) records the grouping-name sets of every
+  // aggregate this walk credits as bounding VIA THE NAME LIST — the
+  // measured back-stop test executes those queries and asserts the
+  // credited aggregates' actual output row counts, so a corpus-scale
+  // column merely RENAMED to a dim key cannot drift through.
+  private def boundedPlan(p: SparkPlan): Boolean = boundedPlanC(p, null)
+  private def aggCredit(ges: Seq[Expression], child: SparkPlan,
+      credits: scala.collection.mutable.Buffer[Seq[String]]): Boolean = {
+    val names = attrNames(ges)
+    if (ges.isEmpty) true
+    else if (boundedKeys(names)) {
+      if (credits != null && names.exists(dimKeyNames)) credits += names
+      true
+    } else boundedPlanC(child, credits)
+  }
+  private def boundedPlanC(p: SparkPlan,
+      credits: scala.collection.mutable.Buffer[Seq[String]]): Boolean = p match {
     case a: HashAggregateExec =>
-      a.groupingExpressions.isEmpty ||
-        boundedKeys(attrNames(a.groupingExpressions)) || boundedPlan(a.child)
+      aggCredit(a.groupingExpressions, a.child, credits)
     case a: ObjectHashAggregateExec =>
-      a.groupingExpressions.isEmpty ||
-        boundedKeys(attrNames(a.groupingExpressions)) || boundedPlan(a.child)
+      aggCredit(a.groupingExpressions, a.child, credits)
     case a: SortAggregateExec =>
-      a.groupingExpressions.isEmpty ||
-        boundedKeys(attrNames(a.groupingExpressions)) || boundedPlan(a.child)
+      aggCredit(a.groupingExpressions, a.child, credits)
     case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
          _: LocalLimitExec | _: CollectLimitExec => true
     case _: BroadcastExchangeExec => true
@@ -525,7 +538,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // only the true dimension tables are bounded at 100 TB
       loc.endsWith("region.parquet") || loc.endsWith("nation.parquet")
     case other =>
-      other.children.nonEmpty && other.children.forall(boundedPlan)
+      other.children.nonEmpty &&
+        other.children.forall(c => boundedPlanC(c, credits))
   }
 
   /** Offender descriptions for one physical plan (empty = clean). */
@@ -577,6 +591,121 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(offenders.result().isEmpty,
       s"corpus-scale narrow windows/sorts in:\n${offenders.result().mkString("\n")}")
+  }
+
+  // ── measured back-stop for the name-based classifier (round 13) ──
+  // dimKeyNames is a hand-grown list; the structural walk trusts it.
+  // The drift risk: a corpus-cardinality column RENAMED to "day" (or
+  // any listed name) makes an aggregate grouped by it look bounding,
+  // and a global window above that agg sails through. Back-stop: for
+  // every query where the walk ACCEPTED a suspicious window/exchange
+  // because of a dimKey-named aggregate, execute the query at test SF
+  // and read that aggregate's actual numOutputRows metric — a credited
+  // FINAL aggregate may not exceed the arity-aware row bound. Single
+  // dim keys all have domains <= ~512 (event types, sources, deciles,
+  // calendar days/weeks of the fixture span), so one key gets 512;
+  // a PRODUCT of bounded dims multiplies (q200's (region, week) is
+  // legitimately ~5 x 370 cells, SF-invariant), so multi-key aggs get
+  // 4096. A corpus key sneaking in under a single dim name blows past
+  // 512 (events alone is 1000 rows at sf0.001 and SCALES with SF while
+  // true dims do not); the residual gap — a corpus key hiding inside a
+  // multi-key agg under 4096 rows — is documented, not silent.
+  private def dimAggRowBound(arity: Int): Long = if (arity <= 1) 512L else 4096L
+
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => p.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
+  /** Grouping-name sets of dimKey aggregates the walk credits under a
+    * suspicious (single-partition / dim-partitioned-window) node —
+    * empty means nothing name-credited, so no execution needed. */
+  private def dimCreditedSets(plan: SparkPlan): Seq[Seq[String]] = {
+    val credits = scala.collection.mutable.Buffer.empty[Seq[String]]
+    plan.foreach {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+        boundedPlanC(e.child, credits)
+      case w: WindowExec
+          if w.partitionSpec.isEmpty ||
+            (attrNames(w.partitionSpec).forall(dimKeyNames) &&
+              !attrNames(w.partitionSpec).exists(isBucketKey)) =>
+        boundedPlanC(w.child, credits)
+      case _ =>
+    }
+    credits.distinct.toSeq
+  }
+
+  /** After execution: every FINAL-mode aggregate grouped solely by
+    * dim-list names must have produced rows within the arity bound. */
+  private def measuredDimAggOffenders(
+      qe: org.apache.spark.sql.execution.QueryExecution): Seq[String] = {
+    def check(ges: Seq[Expression], reqDist: Option[Seq[Expression]],
+        metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric])
+        : Seq[String] = {
+      val names = attrNames(ges)
+      if (ges.isEmpty || !names.forall(dimKeyNames) || reqDist.isEmpty) Nil
+      else {
+        val bound = dimAggRowBound(names.distinct.size)
+        metrics.get("numOutputRows").map(_.value).filter(_ > bound)
+          .map(n => s"dim agg [${names.mkString(",")}] produced $n rows" +
+            s" (bound $bound)").toSeq
+      }
+    }
+    allNodes(qe.executedPlan).flatMap {
+      case a: HashAggregateExec => check(a.groupingExpressions,
+        a.requiredChildDistributionExpressions, a.metrics)
+      case a: ObjectHashAggregateExec => check(a.groupingExpressions,
+        a.requiredChildDistributionExpressions, a.metrics)
+      case a: SortAggregateExec => check(a.groupingExpressions,
+        a.requiredChildDistributionExpressions, a.metrics)
+      case _ => Nil
+    }
+  }
+
+  test("name-credited bounded aggregates are ACTUALLY bounded at test SF") {
+    val offenders = Seq.newBuilder[String]
+    var executed = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      if (dimCreditedSets(df.queryExecution.sparkPlan).nonEmpty) {
+        df.collect() // populate metrics on this QueryExecution
+        executed += 1
+        measuredDimAggOffenders(df.queryExecution)
+          .foreach(o => offenders += s"$name: $o")
+      }
+    }
+    assert(executed > 0, "no query exercises the name-credited path; " +
+      "the back-stop is dead code — rewire it")
+    assert(offenders.result().isEmpty,
+      s"dim-named aggregates with corpus-scale output:\n${offenders.result().mkString("\n")}")
+  }
+
+  test("a corpus-scale column RENAMED to a dim key IS caught by the measured bound") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, sf).events
+    // event_id is corpus-cardinality; name its agg key "day" and put a
+    // global window on top — the exact drift the name list cannot see
+    val g = ev.select(col("event_id").as("day"), col("value"))
+      .groupBy(col("day")).agg(sum(col("value")).as("s"))
+      .withColumn("r", row_number().over(W.orderBy(col("s"))))
+    // the structural walk ALONE accepts it (the round-12 gap)...
+    assert(singlePartOffenders(g.queryExecution.sparkPlan).isEmpty,
+      "structural walk unexpectedly flags the canary (name list changed?)")
+    assert(dimCreditedSets(g.queryExecution.sparkPlan).nonEmpty,
+      "canary should be name-credited")
+    // ...and the measured back-stop catches it
+    g.collect()
+    assert(measuredDimAggOffenders(g.queryExecution).nonEmpty,
+      "renamed corpus key escaped the measured bound")
   }
 
   test("a deliberately reintroduced corpus-scale ntile/rank IS caught") {
