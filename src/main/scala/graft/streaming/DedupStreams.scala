@@ -221,6 +221,45 @@ object DedupStreams {
       }
   }
 
+  /** A candidate document for budget-fill admission. `h` is the masked
+    * md5 admission-order hash — compute it with the SAME column
+    * expression as batch q101 so the two forms order identically. */
+  final case class FillDoc(doc_id: Long, lang: String, n_tokens: Long, h: Long)
+  /** An admitted document with its exact pre-admission running total —
+    * the streaming twin of a batch q101 row. */
+  final case class FillAdmission(doc_id: Long, lang: String,
+      n_tokens: Long, prev_cum: Long)
+
+  /** Streaming token-budget fill: the incremental form of batch q101.
+    * State per language is ONE long — the running token total over
+    * EVERY doc seen, admitted or not, exactly the batch prefix-sum
+    * semantics — so a continuously-ingested corpus admits docs into
+    * the per-language token budget immediately and state never grows
+    * with history. Docs apply in (h, doc_id) order within each
+    * micro-batch (the batch admission order); across micro-batches
+    * arrival order stands in for hash order, the same ingest-order
+    * contract as [[packSequences]] — identical output to batch q101
+    * when ingest is hash-ordered or fits one batch
+    * (EventStreamsSpec pins the parity). */
+  def fillBudget(docs: Dataset[FillDoc], budget: Long = 5000L): Dataset[FillAdmission] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.lang)
+      .flatMapGroupsWithState[Long, FillAdmission](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (lang: String, rows: Iterator[FillDoc], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toVector.sortBy(d => (d.h, d.doc_id)).flatMap { d =>
+            val adm = if (cum < budget)
+              Some(FillAdmission(d.doc_id, lang, d.n_tokens, cum))
+            else None
+            cum += d.n_tokens
+            adm
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   /** Streaming benchmark decontamination: the online form of batch q90.
     * `docs` is a stream of (doc_id, event_time, sh: array<string>);
     * `evalGrams` is the STATIC distinct shingle set of the held-out

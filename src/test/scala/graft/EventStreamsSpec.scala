@@ -214,6 +214,98 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup twins on the RocksDB store: parity intact, state bounded at sf1 scale") {
+    // The dedup twins' keyed state is the 100 TB scale risk: the
+    // default HDFS-backed store keeps every version on the executor
+    // heap, RocksDB + changelog checkpointing is the production
+    // posture (state off-heap, per-batch deltas to the checkpoint).
+    // This variant reruns the twins on RocksDB and asserts (1) the
+    // minhash twin still covers the batch q31 pairs — the provider
+    // cannot change semantics — and (2) at sf1 corpus scale (the
+    // fixture replicated 100x, mksf's shape: per-copy id offsets +
+    // per-copy token suffix so signatures are near- but not
+    // byte-identical) the simhash twin's state stays inside its
+    // by-construction ceiling: occupied (band, key) buckets <= 4*2^16
+    // groups, each holding <= maxPerBucket 16-byte members.
+    import graft.functions.{minhash_sig, shingles, simhash64, tokens}
+    import graft.streaming.DedupStreams
+    import scala.jdk.CollectionConverters._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val clKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevProv = spark.conf.getOption(provKey)
+    val prevCl = spark.conf.getOption(clKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    spark.conf.set(clKey, "true")
+    try {
+      val docsSchema = spark.read.parquet(docsDir).schema
+      // (1) provider cannot change semantics: q31 coverage, as in the
+      // default-provider test above
+      val mhStream = spark.readStream.schema(docsSchema).parquet(docsDir)
+        .select(col("doc_id"), minhash_sig(shingles(tokens(col("text")), 3)).as("sig"))
+      val mhBanded = DedupStreams.minhashBandSigs(mhStream)
+        .as[DedupStreams.MinhashBanded]
+      val q1 = DedupStreams.minhashNearDup(mhBanded, maxPerBucket = 512,
+          minJaccard = 0.75)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("mh_rocks").start()
+      try {
+        q1.processAllAvailable()
+        val got = spark.sql("SELECT DISTINCT matched_doc, doc_id FROM mh_rocks")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val batch = graft.queries.Pipeline.queries("q31_minhash_lsh_dedup")(spark, sf)
+          .select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(batch.nonEmpty && batch.subsetOf(got),
+          s"RocksDB run missed batch pairs: ${(batch -- got).take(3)}")
+        val ops = q1.lastProgress.stateOperators
+        assert(ops.nonEmpty && ops.exists(_.customMetrics.keySet.asScala
+            .exists(_.startsWith("rocksdb"))),
+          "no rocksdb custom metrics — provider not actually in use")
+      } finally q1.stop()
+
+      // (2) sf1-scale state bound on the simhash twin
+      val bigDir = java.nio.file.Files.createTempDirectory("graft-docs-sf1").toString
+      val base = spark.read.parquet(docsDir).select(col("doc_id"), col("text"))
+      val off = base.agg(max(col("doc_id"))).head().getLong(0) + 1
+      base.select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), lit(99L))).as("c"))
+        .select((col("doc_id") + col("c") * off).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("c")).as("text"))
+        .write.mode("overwrite").parquet(bigDir)
+      val stream = spark.readStream.schema(spark.read.parquet(bigDir).schema)
+        .parquet(bigDir)
+        .select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
+      val banded = DedupStreams.bandSigs(stream).as[DedupStreams.BandedSig]
+      val q2 = DedupStreams.simhashNearDup(banded, maxPerBucket = 8)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sh_rocks").start()
+      try {
+        q2.processAllAvailable()
+        assert(spark.sql("SELECT count(*) FROM sh_rocks").head().getLong(0) > 0,
+          "replicated near-dup clusters must pair")
+        val op = q2.lastProgress.stateOperators.head
+        // state groups = occupied (band, key) buckets: hard ceiling
+        // 4 * 2^16 whatever the corpus size; > 500 proves the sf1
+        // corpus actually fanned in
+        assert(op.numRowsTotal <= 4L * 65536L,
+          s"${op.numRowsTotal} state groups exceed the band-keyspace ceiling")
+        assert(op.numRowsTotal > 500,
+          s"only ${op.numRowsTotal} state groups — fixture did not scale")
+        assert(op.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")),
+          "no rocksdb custom metrics on the sf1 run")
+      } finally q2.stop()
+    } finally {
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p); case None => spark.conf.unset(provKey)
+      }
+      prevCl match {
+        case Some(p) => spark.conf.set(clKey, p); case None => spark.conf.unset(clKey)
+      }
+    }
+  }
+
   test("streaming decontaminate flags exactly the batch q90 docs") {
     import graft.functions.{shingles, tokens}
     val docsSchema = spark.read.parquet(docsDir).schema
@@ -876,6 +968,32 @@ class EventStreamsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
           r.getLong(3), r.getLong(4))).toSet
       assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("streaming token-budget fill admits exactly the batch q101 set") {
+    import graft.functions.{tokens, md5_lower64}
+    val docsSchema = spark.read.parquet(docsDir).schema
+    // the SAME admission-hash column as batch q101
+    val h = md5_lower64(concat(lit("fill:"),
+      col("doc_id").cast("string")).cast("binary"))
+      .bitwiseAND(lit(Long.MaxValue))
+    val stream = spark.readStream.schema(docsSchema).parquet(docsDir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"), h.as("h"))
+      .as[graft.streaming.DedupStreams.FillDoc]
+    val q = graft.streaming.DedupStreams.fillBudget(stream)
+      .writeStream.outputMode("append").format("memory").queryName("fill_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT doc_id, lang, n_tokens, prev_cum FROM fill_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val batch = graft.queries.Pipeline.queries("q101_token_budget_fill")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(batch.nonEmpty && got == batch)
     } finally q.stop()
   }
 
