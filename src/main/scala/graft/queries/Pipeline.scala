@@ -849,7 +849,8 @@ object Pipeline {
     * map entries and imports every helper from here. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     DedupQueries.queries ++ AnnQueries.queries ++ SketchQueries.queries ++
-      TextQueries.queries ++ CurationQueries.queries ++ BiQueries.queries
+      TextQueries.queries ++ CurationQueries.queries ++ BiQueries.queries ++
+      StatQueries.queries
 
   private[queries] val tokSql = """string_split_regex(trim(text), '\s+')"""
 
@@ -1301,5 +1302,6 @@ object Pipeline {
 
   def oracle: Map[String, String] =
     DedupQueries.oracle ++ AnnQueries.oracle ++ SketchQueries.oracle ++
-      TextQueries.oracle ++ CurationQueries.oracle ++ BiQueries.oracle
+      TextQueries.oracle ++ CurationQueries.oracle ++ BiQueries.oracle ++
+      StatQueries.oracle
 }

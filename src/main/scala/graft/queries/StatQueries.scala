@@ -1,0 +1,690 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Experiment-statistics family over the events table: A/B readouts,
+  * CUPED, bootstrap CIs, diff-in-diff, Mann-Whitney, SPRT,
+  * post-stratified ATE, MDE/power.
+  *
+  * Split from BiQueries.scala (round 13 housekeeping, same rule as the
+  * round-12 Pipeline split): query/oracle entries only, moved verbatim
+  * — every shared helper, memo cache and SQL CTE stays in [[Pipeline]]
+  * so behavior and plan shapes are byte-identical. */
+private[graft] object StatQueries {
+  import Pipeline._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q171_holdout_ab" -> { (s, dir) =>
+      // Deterministic holdout experiment readout: users split 50/50 by
+      // id-hash (q83's assignment — no RNG, any engine or re-run
+      // reproduces the arms), outcome = heavy purchaser (>= 14
+      // purchase events — every fixture user purchases at least once,
+      // so plain did-purchase is degenerate at 100%); the 2x2
+      // contingency table and its chi-square statistic come out of
+      // exact integer counts with ONE double division at the end,
+      // null-guarded when a margin is empty (both engines). The event
+      // stream collapses once per user, the table is 2 rows, the
+      // statistic closed-form — the 100 TB cost is the single user
+      // rollup. (The assignment hash must be independent of q83's
+      // split salt, or the experiment silently correlates with
+      // train/test membership — different salt here.)
+      val ev = Tables(s, dir).events
+      val arm = pmod(md5_lower64(concat(lit("ab:"),
+        col("user_id").cast("string")).cast("binary")), lit(2L)).as("arm")
+      val users = ev.select(col("user_id"), arm,
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("cv"))
+        .groupBy(col("user_id"), col("arm"))
+        .agg(when(sum(col("cv")) >= 14, 1L).otherwise(0L).as("converted"))
+      val cells = users.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+      // chi2 = N (ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d)) over
+      // a=conv_0, b=nonconv_0, c=conv_1, d=nonconv_1
+      val w = cells.agg(
+        max(when(col("arm") === 0, col("n_users"))).as("n0"),
+        max(when(col("arm") === 0, col("n_conv"))).as("c0"),
+        max(when(col("arm") === 1, col("n_users"))).as("n1"),
+        max(when(col("arm") === 1, col("n_conv"))).as("c1"))
+      def d(c: Column) = c.cast("double")
+      val (a, b2, c2, d2) = (col("c0"), col("n0") - col("c0"),
+        col("c1"), col("n1") - col("c1"))
+      val n = col("n0") + col("n1")
+      val num = d(n) * pow(d(a) * d(d2) - d(b2) * d(c2), 2)
+      val den = d(a + b2) * d(c2 + d2) * d(a + c2) * d(b2 + d2)
+      w.select(col("n0"), col("c0"), col("n1"), col("c1"),
+        round(d(col("c0")) / d(col("n0")), 6).as("rate0"),
+        round(d(col("c1")) / d(col("n1")), 6).as("rate1"),
+        when(a + c2 > 0 && b2 + d2 > 0, round(num / den, 4)).as("chi2"))
+    },
+
+
+    "q202_bootstrap_ci" -> { (s, dir) =>
+      // Poisson bootstrap (Chamandy et al. 2012, "Estimating
+      // uncertainty for massive data streams" — the Google form of the
+      // bootstrap that needs NO resampling pass): every row gets an
+      // independent Poisson(1) weight per replicate, so each of B=40
+      // replicate means is just a weighted aggregate computed in the
+      // SAME scan. Weights are DETERMINISTIC — u = 53 md5 bits of
+      // (event_id, b) mapped through the hardcoded Poisson(1) CDF
+      // thresholds (identical double literals both engines), so
+      // re-runs and the oracle reproduce every weight exactly. Each
+      // replicate's mean is one division of exact integer sums
+      // (k <= 6, so sum(k*c) stays a long); the CI is the nearest-rank
+      // 2.5%/97.5% order statistic over the 40 replicate means. Scale
+      // shape: one scan projects 40 (b, k) pairs per row that
+      // map-side-combine to |types| x 40 cells; the rank windows run
+      // on those 200 rows. No data movement beyond one partial-agg
+      // shuffle — the whole point of the Poisson form.
+      val b40 = 40
+      val u = md5_lower64(concat(lit("bs:"), col("event_id").cast("string"),
+          lit(":"), col("b").cast("string")).cast("binary"))
+        .bitwiseAND(lit(9007199254740991L)).cast("double") /
+        lit(9007199254740992.0)
+      val k = when(u < 0.36787944117144233, 0L)
+        .when(u < 0.7357588823428847, 1L)
+        .when(u < 0.9196986029286058, 2L)
+        .when(u < 0.9810118431238462, 3L)
+        .when(u < 0.9963401531726563, 4L)
+        .when(u < 0.9994058151824183, 5L)
+        .otherwise(6L)
+      val reps = Tables(s, dir).events
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("c"))
+        .select(col("event_type"), col("event_id"), col("c"),
+          explode(sequence(lit(0), lit(b40 - 1))).as("b"))
+        .select(col("event_type"), col("b"), col("c"), k.as("k"))
+        .groupBy(col("event_type"), col("b"))
+        .agg(sum(col("k") * col("c")).as("wx"), sum(col("k")).as("w"))
+        // an all-zero-weight replicate (P ~ e^-n per (type, b) —
+        // unreachable at fixture scale) would make wx/w null and
+        // silently shift the rn=1/rn=39 CI picks: fail loudly instead
+        .select(col("event_type"), col("b"),
+          when(col("w") > 0, round(col("wx").cast("double") / col("w"), 6))
+            .otherwise(raise_error(concat(lit("q202: degenerate replicate "),
+              col("event_type"), lit("/"), col("b").cast("string"),
+              lit(" has zero total weight")))).as("rep_mean"))
+      val wt = Window.partitionBy(col("event_type"))
+      val wr = Window.partitionBy(col("event_type"))
+        .orderBy(col("rep_mean"), col("b"))
+      val base = Tables(s, dir).events
+        .select(col("event_type"), floor(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c")).cast("double") / count(lit(1)), 6).as("mean"))
+      reps
+        .withColumn("rn", row_number().over(wr).cast("long"))
+        .withColumn("lo", max(when(col("rn") === 1, col("rep_mean"))).over(wt))
+        .withColumn("hi", max(when(col("rn") === 39, col("rep_mean"))).over(wt))
+        .groupBy(col("event_type"))
+        .agg(max(col("lo")).as("ci_lo"), max(col("hi")).as("ci_hi"))
+        .join(broadcast(base), "event_type")
+        .select(col("event_type"), col("n"), col("mean"),
+          col("ci_lo"), col("ci_hi"))
+        .orderBy(col("event_type"))
+    },
+
+
+    "q203_diff_in_diff" -> { (s, dir) =>
+      // Difference-in-differences readout — the experiment-analysis
+      // estimator when arms differ at baseline: DiD =
+      // (treat_post - treat_pre) - (ctrl_post - ctrl_pre) over mean
+      // purchase cents, arms from q171's deterministic id-hash (same
+      // "ab:" salt so the two readouts describe the SAME experiment),
+      // periods split at the integer midpoint of the observed day
+      // span (one 2-scalar agg, broadcast back as plan input). Every
+      // cell mean is one division of exact integer sums; the double
+      // subtractions combine identically-computed values, so both
+      // engines agree bit-for-bit before the 6dp round. Scale shape:
+      // purchases collapse to FOUR (arm, period) cells in one
+      // map-side-combined agg; the driver only moves the day bounds.
+      val e = Tables(s, dir).events
+      val arm = pmod(md5_lower64(concat(lit("ab:"),
+        col("user_id").cast("string")).cast("binary")), lit(2L))
+      val days = e.select(Tables.eventMicros(e).as("tus"))
+        .select(expr("tus DIV 86400000000").as("day"))
+        .agg(min(col("day")), max(col("day"))).head
+      val cutoff = (days.getLong(0) + days.getLong(1) + 1L) / 2L
+      val cells = e.filter(col("event_type") === "purchase")
+        .select(arm.as("arm"), Tables.eventMicros(e).as("tus"),
+          floor(col("value") * 100).cast("long").as("c"))
+        .select(col("arm"),
+          (expr("tus DIV 86400000000") >= cutoff).as("post"), col("c"))
+        .groupBy(col("arm"), col("post"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+        .withColumn("m", col("sc").cast("double") / col("n"))
+      def cell(a: Int, p: Boolean) =
+        max(when(col("arm") === a && col("post") === p, col("m")))
+      cells.agg(sum(col("n")).as("n_purchases"),
+          cell(1, false).as("treat_pre"), cell(1, true).as("treat_post"),
+          cell(0, false).as("ctrl_pre"), cell(0, true).as("ctrl_post"))
+        .select(col("n_purchases"),
+          round(col("treat_pre"), 6).as("treat_pre"),
+          round(col("treat_post"), 6).as("treat_post"),
+          round(col("ctrl_pre"), 6).as("ctrl_pre"),
+          round(col("ctrl_post"), 6).as("ctrl_post"),
+          round((col("treat_post") - col("treat_pre")) -
+            (col("ctrl_post") - col("ctrl_pre")), 6).as("did_cents"))
+    },
+
+
+    "q207_cuped" -> { (s, dir) =>
+      // CUPED variance-reduced experiment readout (Deng et al. 2013,
+      // WSDM — "Improving the Sensitivity of Online Controlled
+      // Experiments by Utilizing Pre-Experiment Data"): per user,
+      // X = pre-period purchase cents, Y = post-period purchase cents
+      // (periods split at the integer midpoint of the observed day
+      // span, arms from q171/q203's deterministic "ab:" id-hash so all
+      // three readouts describe the SAME experiment). theta =
+      // cov(X,Y)/var(X) POOLED across arms; each arm reports its raw
+      // post mean and the adjusted mean Ybar_a - theta*(Xbar_a - Xbar).
+      // rho2 = cov^2/(var X * var Y) is the variance-reduction factor.
+      // All five moment sums are EXACT integers (x,y <= ~1e6 cents per
+      // user, x*y <= 1e12, summed over <=1e6 ladder users ~ 1e18 —
+      // fits a long; the 100 TB form would widen to DECIMAL), and
+      // every double is derived from those longs with one fixed
+      // spelling, so both engines agree bit-for-bit before the 6dp
+      // round. Scale shape: purchases collapse to per-user (x, y) in
+      // ONE user shuffle, then to per-arm + pooled 1-row moment aggs.
+      val e = Tables(s, dir).events
+      val days = e.select(Tables.eventMicros(e).as("tus"))
+        .select(expr("tus DIV 86400000000").as("day"))
+        .agg(min(col("day")), max(col("day"))).head
+      val cutoff = (days.getLong(0) + days.getLong(1) + 1L) / 2L
+      val arm = pmod(md5_lower64(concat(lit("ab:"),
+        col("user_id").cast("string")).cast("binary")), lit(2L))
+      val perUser = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), Tables.eventMicros(e).as("tus"),
+          floor(col("value") * 100).cast("long").as("c"))
+        .select(col("user_id"),
+          (expr("tus DIV 86400000000") >= cutoff).as("post"), col("c"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(!col("post"), col("c")).otherwise(0L)).as("x"),
+          sum(when(col("post"), col("c")).otherwise(0L)).as("y"))
+        .withColumn("arm", arm)
+      val pooled = perUser.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+        .select(col("n"),
+          (col("sx").cast("double") / col("n")).as("mx"),
+          (col("sy").cast("double") / col("n")).as("my"),
+          (col("sxy").cast("double") / col("n")).as("mxy"),
+          (col("sxx").cast("double") / col("n")).as("mxx"),
+          (col("syy").cast("double") / col("n")).as("myy"))
+        .select(col("mx"),
+          (col("mxy") - col("mx") * col("my")).as("cxy"),
+          (col("mxx") - col("mx") * col("mx")).as("vx"),
+          (col("myy") - col("my") * col("my")).as("vy"))
+        .select(col("mx"), (col("cxy") / col("vx")).as("theta"),
+          (col("cxy") * col("cxy") / (col("vx") * col("vy"))).as("rho2"))
+      perUser.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"), sum(col("x")).as("ax"),
+          sum(col("y")).as("ay"))
+        .crossJoin(broadcast(pooled))
+        .select(col("arm"), col("n_users"),
+          round(col("ay").cast("double") / col("n_users"), 6).as("mean_post"),
+          round(col("ay").cast("double") / col("n_users") - col("theta") *
+            (col("ax").cast("double") / col("n_users") - col("mx")), 6)
+            .as("adj_mean"),
+          round(col("theta"), 6).as("theta"),
+          round(col("rho2"), 6).as("rho2"))
+        .orderBy(col("arm"))
+    },
+
+
+    "q208_mann_whitney" -> { (s, dir) =>
+      // Mann-Whitney U (Wilcoxon rank-sum) between the two "ab:" arms
+      // over purchase cents — the nonparametric significance readout
+      // when t-test normality can't be assumed. Average ranks for
+      // ties: collapsing to the per-VALUE table (cnt, cnt_arm1) makes
+      // the tied-rank sum exact integers — 2*R1 = sum over values of
+      // cnt1 * (2*rank_before + cnt + 1) — and the tie-corrected
+      // variance term sum(t^3 - t) stays an exact BIGINT (largest tie
+      // multiplicity t must stay < ~2e6 for the long bound; ladder max
+      // is ~1e3). U, z are doubles derived from those exact integers
+      // with one fixed spelling. Scale shape: purchases collapse to
+      // the value-level table in ONE hash shuffle; the exclusive
+      // prefix count over that (unbounded-cardinality) table comes
+      // from operators/Quantile.prefixSum — range-bucketed exact
+      // prefix sums, no single-partition window anywhere.
+      val arm = pmod(md5_lower64(concat(lit("ab:"),
+        col("user_id").cast("string")).cast("binary")), lit(2L))
+      val byVal = Tables(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .select(arm.as("arm"), floor(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("c"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cnt1"))
+      graft.operators.Quantile.prefixSum(byVal, Seq.empty, "c", "c",
+          weight = "cnt", prefixCol = "rank_before")
+        .agg(sum(col("cnt1") * (lit(2L) * col("rank_before") + col("cnt")
+            + 1L)).as("two_r1"),
+          sum(col("cnt1")).as("n1"), sum(col("cnt")).as("nn"),
+          sum(col("cnt") * (col("cnt") - 1L) * (col("cnt") + 1L)).as("tie"))
+        .select(col("n1"), (col("nn") - col("n1")).as("n2"), col("nn"),
+          col("two_r1"), col("tie"))
+        .select(col("n1"), col("n2"),
+          ((col("two_r1").cast("double") - col("n1").cast("double") *
+            (col("n1") + 1L)) / 2.0).as("u1"),
+          (col("n1").cast("double") * col("n2") / 2.0).as("mu"),
+          (col("n1").cast("double") * col("n2") / 12.0 *
+            ((col("nn") + 1L).cast("double") - col("tie").cast("double") /
+              (col("nn").cast("double") * (col("nn") - 1L).cast("double"))))
+            .as("vu"))
+        .select(col("n1"), col("n2"), round(col("u1"), 6).as("u1"),
+          round((col("u1") - col("mu")) / sqrt(col("vu")), 6).as("z"))
+    },
+
+
+    "q211_sprt" -> { (s, dir) =>
+      // Wald's Sequential Probability Ratio Test walked day by day —
+      // the "can we stop the experiment early" readout: on the
+      // treatment arm ("ab:" hash = 1), each day contributes
+      // conv*ln(p1/p0) + (trials-conv)*ln((1-p1)/(1-p0)) to the
+      // cumulative log-likelihood ratio for H1: p=0.25 vs H0: p=0.2
+      // (pre-registered constants, as SPRT requires — NOT data-derived),
+      // and the day's decision compares the running LLR to the
+      // alpha=beta=0.05 bounds +/-ln(19). Counts are exact integers;
+      // the LLR cumsum runs in day order over the bounded day table,
+      // so both engines add the same terms in the same order.
+      // Scale shape: events collapse to |days| cells in ONE
+      // map-side-combined agg; every window runs on that bounded table.
+      val e = Tables(s, dir).events
+      val arm = pmod(md5_lower64(concat(lit("ab:"),
+        col("user_id").cast("string")).cast("binary")), lit(2L))
+      val wCum = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      e.select(arm.as("arm"), Tables.eventMicros(e).as("tus"),
+          (col("event_type") === "purchase").as("conv"))
+        .filter(col("arm") === 1)
+        .select(expr("tus DIV 86400000000").as("day"), col("conv"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("trials"),
+          sum(when(col("conv"), 1L).otherwise(0L)).as("conversions"))
+        .withColumn("llr", round(sum(
+          col("conversions").cast("double") * log(lit(0.25) / lit(0.2)) +
+            (col("trials") - col("conversions")).cast("double") *
+              log(lit(0.75) / lit(0.8))).over(wCum), 6))
+        .select(col("day"), col("trials"), col("conversions"), col("llr"),
+          when(col("llr") >= log(lit(19.0)), "accept_h1")
+            .when(col("llr") <= -log(lit(19.0)), "accept_h0")
+            .otherwise("continue").as("decision"))
+        .orderBy(col("day"))
+    },
+
+
+    "q214_post_stratification" -> { (s, dir) =>
+      // Post-stratified treatment-effect estimate — the
+      // observational-bias guard when arms are imbalanced on a
+      // pre-metric: users cut into exact quintiles of PRE-period
+      // spend (operators/Quantile ranks + the ANSI ntile closed form,
+      // never a global sort), the per-stratum arm contrast
+      // ate_s = mean(y|treat) - mean(y|ctrl), and the overall estimate
+      // reweights each stratum by its population share — versus the
+      // raw contrast that confounds arm with stratum mix. Same "ab:"
+      // arms / midpoint periods as q207, so the readouts compose. All
+      // means are single divisions of exact integer cent sums; the
+      // weighted fold runs over 5 stratum rows. Scale shape: ONE user
+      // shuffle to (x, y, arm), Quantile's bounded-cell ranking, then
+      // a 10-cell agg.
+      val e = Tables(s, dir).events
+      val days = e.select(Tables.eventMicros(e).as("tus"))
+        .select(expr("tus DIV 86400000000").as("day"))
+        .agg(min(col("day")), max(col("day"))).head
+      val cutoff = (days.getLong(0) + days.getLong(1) + 1L) / 2L
+      val arm = pmod(md5_lower64(concat(lit("ab:"),
+        col("user_id").cast("string")).cast("binary")), lit(2L))
+      val perUser = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), Tables.eventMicros(e).as("tus"),
+          floor(col("value") * 100).cast("long").as("c"))
+        .select(col("user_id"),
+          (expr("tus DIV 86400000000") >= cutoff).as("post"), col("c"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(!col("post"), col("c")).otherwise(0L)).as("x"),
+          sum(when(col("post"), col("c")).otherwise(0L)).as("y"))
+        .withColumn("arm", arm)
+      val strat = graft.operators.Quantile.ranked(perUser, Seq.empty,
+          "x", "user_id", rankCol = "i")
+        .withColumn("stratum",
+          graft.operators.Quantile.ntileOf("i", "n", 5).cast("long"))
+        .groupBy(col("stratum"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),
+          sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy1"),
+          sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sy0"))
+        // a one-arm stratum (possible at tiny cohort sizes) reports
+        // null means and is weighted OUT of the overall estimate —
+        // both engines spell the identical CASE guards
+        .withColumn("valid",
+          col("n_treat") > 0 && col("n_users") - col("n_treat") > 0)
+        .withColumn("mean_treat", when(col("n_treat") > 0,
+          round(col("sy1").cast("double") / col("n_treat"), 6)))
+        .withColumn("mean_ctrl", when(col("n_users") - col("n_treat") > 0,
+          round(col("sy0").cast("double") /
+            (col("n_users") - col("n_treat")), 6)))
+        .withColumn("ate_s", when(col("valid"),
+          round(col("sy1").cast("double") / col("n_treat")
+            - col("sy0").cast("double") /
+              (col("n_users") - col("n_treat")), 6)))
+      val wAll = Window.orderBy(col("stratum"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      strat
+        .withColumn("ate_weighted", round(
+          sum(when(col("valid"),
+            (col("sy1").cast("double") / col("n_treat") -
+              col("sy0").cast("double") / (col("n_users") - col("n_treat"))) *
+              col("n_users")).otherwise(lit(0.0))).over(wAll) /
+            sum(when(col("valid"), col("n_users")).otherwise(0L)).over(wAll),
+          6))
+        .select(col("stratum"), col("n_users"), col("n_treat"),
+          col("mean_treat"), col("mean_ctrl"), col("ate_s"),
+          col("ate_weighted"))
+        .orderBy(col("stratum"))
+    },
+
+
+    "q219_mde_power" -> { (s, dir) =>
+      // Minimum detectable effect at 80% power / 5% two-sided alpha —
+      // the pre-experiment sizing readout (how small a lift could this
+      // user base even detect?): MDE = (z_{a/2} + z_b) * sqrt(s^2 *
+      // (1/n1 + 1/n0)) over per-user purchase cents, arms from the
+      // same "ab:" hash as q171/q203/q207 so the whole experiment
+      // family describes one assignment. The z constants are the
+      // pre-registered literals 1.959964 and 0.841621 (both engines
+      // spell them identically — no inverse-CDF in either engine);
+      // sample variance comes from exact integer sums via one fixed
+      // double spelling (the n*Syy integer product would overflow a
+      // long at the sf10 ladder, the q207 pattern). Scale shape: ONE
+      // user shuffle, then a 2-cell arm agg folded to a 1-row readout.
+      val arm = pmod(md5_lower64(concat(lit("ab:"),
+        col("user_id").cast("string")).cast("binary")), lit(2L))
+      val perUser = Tables(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), floor(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("user_id")).agg(sum(col("c")).as("y"))
+        .withColumn("arm", arm)
+      perUser
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"))
+        .select(col("n1").as("n_treat"), (col("n") - col("n1")).as("n_ctrl"),
+          col("n"), (col("sy").cast("double") / col("n")).as("my"),
+          ((col("syy").cast("double") / col("n") -
+            (col("sy").cast("double") / col("n")) *
+            (col("sy").cast("double") / col("n"))) *
+            (col("n").cast("double") / (col("n") - 1L))).as("s2"))
+        .select(col("n_treat"), col("n_ctrl"),
+          round(col("my"), 6).as("mean_cents"),
+          round(sqrt(col("s2")), 6).as("sd_cents"),
+          round((lit(1.959964) + lit(0.841621)) * sqrt(col("s2") *
+            (lit(1.0) / col("n_treat") + lit(1.0) / col("n_ctrl"))), 6)
+            .as("mde_abs_cents"),
+          round((lit(1.959964) + lit(0.841621)) * sqrt(col("s2") *
+            (lit(1.0) / col("n_treat") + lit(1.0) / col("n_ctrl"))) /
+            col("my"), 6).as("mde_rel"))
+    },
+  )
+
+  def oracle: Map[String, String] = Map(
+
+    "q171_holdout_ab" ->
+      """WITH u AS (SELECT user_id,
+               CAST(md5_number_lower('ab:' || user_id) & 1 AS BIGINT) AS arm,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                    THEN 1 ELSE 0 END AS converted
+             FROM events GROUP BY 1, 2),
+          t AS (SELECT arm, count(*) AS n_users,
+                 CAST(sum(converted) AS BIGINT) AS n_conv
+                FROM u GROUP BY arm),
+          w AS (SELECT
+                 max(CASE WHEN arm = 0 THEN n_users END) AS n0,
+                 max(CASE WHEN arm = 0 THEN n_conv END) AS c0,
+                 max(CASE WHEN arm = 1 THEN n_users END) AS n1,
+                 max(CASE WHEN arm = 1 THEN n_conv END) AS c1
+                FROM t)
+          SELECT n0, c0, n1, c1,
+            round(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS rate0,
+            round(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS rate1,
+            CASE WHEN c0 + c1 > 0 AND (n0 - c0) + (n1 - c1) > 0 THEN
+              round(CAST(n0 + n1 AS DOUBLE)
+                * pow(CAST(c0 AS DOUBLE) * CAST(n1 - c1 AS DOUBLE)
+                    - CAST(n0 - c0 AS DOUBLE) * CAST(c1 AS DOUBLE), 2)
+                / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                   * CAST(c0 + c1 AS DOUBLE) * CAST((n0 - c0) + (n1 - c1) AS DOUBLE)),
+                4) END AS chi2
+          FROM w""",
+
+    "q202_bootstrap_ci" ->
+      """WITH e AS (SELECT event_type, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+          x AS (SELECT event_type, b, c,
+                 CAST(md5_number_lower('bs:' || event_id || ':' || b)
+                   & 9007199254740991 AS DOUBLE) / 9007199254740992.0 AS u
+                FROM e, range(0, 40) t(b)),
+          kk AS (SELECT event_type, b, c,
+                 CASE WHEN u < 0.36787944117144233 THEN 0
+                      WHEN u < 0.7357588823428847 THEN 1
+                      WHEN u < 0.9196986029286058 THEN 2
+                      WHEN u < 0.9810118431238462 THEN 3
+                      WHEN u < 0.9963401531726563 THEN 4
+                      WHEN u < 0.9994058151824183 THEN 5
+                      ELSE 6 END AS k
+                FROM x),
+          r AS (SELECT event_type, b,
+                 round(CAST(sum(k * c) AS DOUBLE) / CAST(sum(k) AS BIGINT), 6)
+                   AS rep_mean
+                FROM kk GROUP BY 1, 2),
+          o AS (SELECT event_type, rep_mean,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                   ORDER BY rep_mean, b) AS BIGINT) AS rn FROM r),
+          ci AS (SELECT event_type,
+                  max(CASE WHEN rn = 1 THEN rep_mean END) AS ci_lo,
+                  max(CASE WHEN rn = 39 THEN rep_mean END) AS ci_hi
+                 FROM o GROUP BY 1),
+          base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                    round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS mean
+                   FROM e GROUP BY 1)
+          SELECT event_type, n, mean, ci_lo, ci_hi
+          FROM ci JOIN base USING (event_type) ORDER BY event_type""",
+
+    "q203_diff_in_diff" ->
+      """WITH d AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+               AS mn, max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS mx
+             FROM events),
+          p AS (SELECT CAST(md5_number_lower('ab:' || user_id) & 1 AS BIGINT)
+                   AS arm,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                   >= (SELECT (mn + mx + 1) // 2 FROM d) AS post,
+                 CAST(floor(value * 100) AS BIGINT) AS c
+                FROM events WHERE event_type = 'purchase'),
+          cells AS (SELECT arm, post, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(c) AS BIGINT) AS sc FROM p GROUP BY 1, 2),
+          m AS (SELECT arm, post, n, CAST(sc AS DOUBLE) / n AS m FROM cells),
+          w AS (SELECT CAST(sum(n) AS BIGINT) AS n_purchases,
+                 max(CASE WHEN arm = 1 AND NOT post THEN m END) AS treat_pre,
+                 max(CASE WHEN arm = 1 AND post THEN m END) AS treat_post,
+                 max(CASE WHEN arm = 0 AND NOT post THEN m END) AS ctrl_pre,
+                 max(CASE WHEN arm = 0 AND post THEN m END) AS ctrl_post
+                FROM m)
+          SELECT n_purchases, round(treat_pre, 6) AS treat_pre,
+                 round(treat_post, 6) AS treat_post,
+                 round(ctrl_pre, 6) AS ctrl_pre,
+                 round(ctrl_post, 6) AS ctrl_post,
+                 round((treat_post - treat_pre) - (ctrl_post - ctrl_pre), 6)
+                   AS did_cents
+          FROM w""",
+
+    "q207_cuped" ->
+      """WITH d AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+               AS mn, max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS mx
+             FROM events),
+          p AS (SELECT user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                   >= (SELECT (mn + mx + 1) // 2 FROM d) AS post,
+                 CAST(floor(value * 100) AS BIGINT) AS c
+                FROM events WHERE event_type = 'purchase'),
+          pu AS (SELECT user_id,
+                  CAST(sum(CASE WHEN NOT post THEN c ELSE 0 END) AS BIGINT)
+                    AS x,
+                  CAST(sum(CASE WHEN post THEN c ELSE 0 END) AS BIGINT) AS y,
+                  CAST(md5_number_lower('ab:' || user_id) & 1 AS BIGINT)
+                    AS arm
+                 FROM p GROUP BY user_id),
+          mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy FROM pu),
+          mm AS (SELECT n, CAST(sx AS DOUBLE) / n AS mx,
+                  CAST(sy AS DOUBLE) / n AS my, CAST(sxy AS DOUBLE) / n AS mxy,
+                  CAST(sxx AS DOUBLE) / n AS mxx, CAST(syy AS DOUBLE) / n AS myy
+                 FROM mom),
+          cv AS (SELECT mx, mxy - mx * my AS cxy, mxx - mx * mx AS vx,
+                  myy - my * my AS vy FROM mm),
+          th AS (SELECT mx, cxy / vx AS theta,
+                  cxy * cxy / (vx * vy) AS rho2 FROM cv),
+          a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(x) AS BIGINT) AS ax, CAST(sum(y) AS BIGINT) AS ay
+                FROM pu GROUP BY arm)
+          SELECT arm, n_users,
+            round(CAST(ay AS DOUBLE) / n_users, 6) AS mean_post,
+            round(CAST(ay AS DOUBLE) / n_users - theta *
+              (CAST(ax AS DOUBLE) / n_users - mx), 6) AS adj_mean,
+            round(theta, 6) AS theta, round(rho2, 6) AS rho2
+          FROM a, th ORDER BY arm""",
+
+    "q208_mann_whitney" ->
+      """WITH p AS (SELECT CAST(md5_number_lower('ab:' || user_id) & 1
+                   AS BIGINT) AS arm,
+                 CAST(floor(value * 100) AS BIGINT) AS c
+                FROM events WHERE event_type = 'purchase'),
+          bv AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS cnt1
+                 FROM p GROUP BY c),
+          r AS (SELECT cnt, cnt1,
+                 CAST(coalesce(sum(cnt) OVER (ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS rank_before
+                FROM bv),
+          agg AS (SELECT
+                 CAST(sum(cnt1 * (2 * rank_before + cnt + 1)) AS BIGINT)
+                   AS two_r1,
+                 CAST(sum(cnt1) AS BIGINT) AS n1,
+                 CAST(sum(cnt) AS BIGINT) AS nn,
+                 CAST(sum(cnt * (cnt - 1) * (cnt + 1)) AS BIGINT) AS tie
+                FROM r),
+          d AS (SELECT n1, nn - n1 AS n2, nn,
+                 (CAST(two_r1 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1))
+                   / 2.0 AS u1,
+                 CAST(n1 AS DOUBLE) * (nn - n1) / 2.0 AS mu,
+                 CAST(n1 AS DOUBLE) * (nn - n1) / 12.0 *
+                   (CAST(nn + 1 AS DOUBLE) - CAST(tie AS DOUBLE) /
+                     (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE))) AS vu
+                FROM agg)
+          SELECT n1, n2, round(u1, 6) AS u1,
+                 round((u1 - mu) / sqrt(vu), 6) AS z
+          FROM d""",
+
+    "q211_sprt" ->
+      """WITH p AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                   AS day,
+                 event_type = 'purchase' AS conv
+                FROM events
+                WHERE CAST(md5_number_lower('ab:' || user_id) & 1
+                  AS BIGINT) = 1),
+          d AS (SELECT day, CAST(count(*) AS BIGINT) AS trials,
+                 CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT)
+                   AS conversions
+                FROM p GROUP BY day),
+          c AS (SELECT day, trials, conversions,
+                 round(sum(CAST(conversions AS DOUBLE) * ln(0.25 / 0.2) +
+                   CAST(trials - conversions AS DOUBLE) * ln(0.75 / 0.8))
+                   OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                   AS llr
+                FROM d)
+          SELECT day, trials, conversions, llr,
+            CASE WHEN llr >= ln(19.0) THEN 'accept_h1'
+                 WHEN llr <= -ln(19.0) THEN 'accept_h0'
+                 ELSE 'continue' END AS decision
+          FROM c ORDER BY day""",
+
+    "q214_post_stratification" ->
+      """WITH d AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+               AS mn, max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS mx
+             FROM events),
+          p AS (SELECT user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                   >= (SELECT (mn + mx + 1) // 2 FROM d) AS post,
+                 CAST(floor(value * 100) AS BIGINT) AS c
+                FROM events WHERE event_type = 'purchase'),
+          pu AS (SELECT user_id,
+                  CAST(sum(CASE WHEN NOT post THEN c ELSE 0 END) AS BIGINT)
+                    AS x,
+                  CAST(sum(CASE WHEN post THEN c ELSE 0 END) AS BIGINT) AS y,
+                  CAST(md5_number_lower('ab:' || user_id) & 1 AS BIGINT)
+                    AS arm
+                 FROM p GROUP BY user_id),
+          sq AS (SELECT y, arm,
+                  CAST(ntile(5) OVER (ORDER BY x, user_id) AS BIGINT)
+                    AS stratum
+                 FROM pu),
+          g AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_treat,
+                 CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+                   AS sy1,
+                 CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+                   AS sy0
+                FROM sq GROUP BY stratum),
+          v AS (SELECT *, n_treat > 0 AND n_users - n_treat > 0 AS valid
+                FROM g)
+          SELECT stratum, n_users, n_treat,
+            CASE WHEN n_treat > 0
+              THEN round(CAST(sy1 AS DOUBLE) / n_treat, 6) END AS mean_treat,
+            CASE WHEN n_users - n_treat > 0
+              THEN round(CAST(sy0 AS DOUBLE) / (n_users - n_treat), 6)
+              END AS mean_ctrl,
+            CASE WHEN valid THEN round(CAST(sy1 AS DOUBLE) / n_treat -
+              CAST(sy0 AS DOUBLE) / (n_users - n_treat), 6) END AS ate_s,
+            round(sum(CASE WHEN valid THEN (CAST(sy1 AS DOUBLE) / n_treat -
+                CAST(sy0 AS DOUBLE) / (n_users - n_treat)) * n_users
+                ELSE 0.0 END)
+                OVER (ORDER BY stratum ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND UNBOUNDED FOLLOWING) /
+              sum(CASE WHEN valid THEN n_users ELSE 0 END)
+                OVER (ORDER BY stratum ROWS BETWEEN UNBOUNDED
+                PRECEDING AND UNBOUNDED FOLLOWING), 6) AS ate_weighted
+          FROM v ORDER BY stratum""",
+
+    "q219_mde_power" ->
+      """WITH pu AS (SELECT user_id,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y,
+               CAST(md5_number_lower('ab:' || user_id) & 1 AS BIGINT) AS arm
+             FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+          g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(y * y) AS BIGINT) AS syy FROM pu),
+          m AS (SELECT n1 AS n_treat, n - n1 AS n_ctrl, n,
+                 CAST(sy AS DOUBLE) / n AS my,
+                 (CAST(syy AS DOUBLE) / n -
+                   (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) *
+                   (CAST(n AS DOUBLE) / (n - 1)) AS s2
+                FROM g)
+          SELECT n_treat, n_ctrl, round(my, 6) AS mean_cents,
+            round(sqrt(s2), 6) AS sd_cents,
+            round((1.959964 + 0.841621) * sqrt(s2 *
+              (1.0 / n_treat + 1.0 / n_ctrl)), 6) AS mde_abs_cents,
+            round((1.959964 + 0.841621) * sqrt(s2 *
+              (1.0 / n_treat + 1.0 / n_ctrl)) / my, 6) AS mde_rel
+          FROM m""",
+  )
+}
