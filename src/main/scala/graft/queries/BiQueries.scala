@@ -989,6 +989,82 @@ private[graft] object BiQueries {
     },
 
 
+    "q225_shapley_attribution" -> { (s, dir) =>
+      // EXACT Shapley-value conversion attribution (the game-theoretic
+      // successor to q149's last-touch rule — GA4-style "data-driven
+      // attribution", Shapley 1953): channels are the non-purchase
+      // event types; a user's coalition is the SET of channels they
+      // touched; the game's worth v(S) = converting users whose
+      // touched set is inside S (cumulative-reach game). Shapley value
+      // of channel i = sum over coalitions S not containing i of
+      // |S|!(n-|S|-1)!/n! * (v(S+i) - v(S)) — each channel's average
+      // marginal conversions over all orderings, the unique efficient/
+      // symmetric split (sum of values = v(all) - v({})).
+      // Only touches STRICTLY BEFORE the user's first purchase count
+      // (pre-conversion attribution — post-purchase activity is not a
+      // cause; non-converters count all touches), which also keeps
+      // coalitions sparse instead of everyone-touched-everything.
+      // Scale shape: ONE user_id shuffle carries both the first-
+      // purchase window and the per-user (channel bitmask, converted)
+      // rollup, then the <= 2^n exact-set table; every coalition table
+      // after that is literal-sized (n <= 12 channels by the factorial
+      // table => <= 4096 rows), all crosses broadcast-of-tiny. Math is
+      // exact integers end to end — weights as factorial products,
+      // marginals as bigint counts (|num| <= n! * n_users < 2^63 for
+      // any real corpus) — with ONE double division at the end (6dp).
+      val fct = (e: String) => s"""(CASE $e WHEN 0 THEN 1 WHEN 1 THEN 1
+        WHEN 2 THEN 2 WHEN 3 THEN 6 WHEN 4 THEN 24 WHEN 5 THEN 120
+        WHEN 6 THEN 720 WHEN 7 THEN 5040 WHEN 8 THEN 40320
+        WHEN 9 THEN 362880 WHEN 10 THEN 3628800 WHEN 11 THEN 39916800
+        WHEN 12 THEN 479001600 ELSE CAST(NULL AS BIGINT) END)"""
+      val ev = Tables(s, dir).events
+      val chans = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_type")).distinct()
+        .withColumn("bit",
+          (row_number().over(Window.orderBy(col("event_type"))) - 1)
+            .cast("long"))
+      val wu = Window.partitionBy(col("user_id"))
+      val per = ev.select(col("user_id"), col("event_type"),
+          Tables.eventMicros(ev).as("tus"))
+        .withColumn("fp",
+          min(when(col("event_type") === "purchase", col("tus"))).over(wu))
+        .join(broadcast(chans), Seq("event_type"), "left")
+        .groupBy(col("user_id"))
+        .agg(coalesce(bit_or(when(col("fp").isNull || col("tus") < col("fp"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))), lit(0L))
+          .as("mask"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+      val em = per.groupBy(col("mask")).agg(sum(col("conv")).as("c"))
+      val coal = chans.agg(count(lit(1)).as("nch"))
+        .select(col("nch"), explode(sequence(lit(0L),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(nch AS INT)) - 1"))).as("S"))
+      // v(S) = sum of exact-set conversions over subsets of S; the
+      // left join keeps v(S) = 0 for coalitions no user's set matches
+      val vAgg = coal.select(col("S"))
+        .crossJoin(broadcast(em)).filter(expr("(mask & ~S) = 0"))
+        .groupBy(col("S")).agg(sum(col("c")).as("vv"))
+      val v = coal.join(broadcast(vAgg), Seq("S"), "left")
+        .select(col("S"), col("nch"), coalesce(col("vv"), lit(0L)).as("v"))
+      chans.crossJoin(broadcast(v))
+        .filter(expr(
+          "(S & shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))) = 0"))
+        .withColumn("S2",
+          expr("S | shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+        .join(broadcast(v.select(col("S").as("S2"), col("v").as("v2"))), "S2")
+        .withColumn("s_size", expr("CAST(bit_count(S) AS BIGINT)"))
+        .withColumn("w",
+          expr(s"${fct("s_size")} * ${fct("(nch - s_size - 1)")}"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("w") * (col("v2") - col("v"))).as("num"),
+          max(col("nch")).as("nch"))
+        .select(col("event_type").as("channel"),
+          round(col("num").cast("double") / expr(fct("nch")), 6)
+            .as("shapley_conversions"))
+        .orderBy(col("channel"))
+    },
+
+
     "q150_daily_trend" -> { (s, dir) =>
       // Per-type traffic TREND: ordinary-least-squares slope of daily
       // event counts over the day index, from the closed-form sums —
@@ -1713,6 +1789,54 @@ private[graft] object BiQueries {
           FROM s JOIN p ON s.event_type = p.event_type AND s.s = p.peak
           GROUP BY s.event_type ORDER BY s.event_type""",
 
+
+    // the identical coalition construction: bit order = alphabetical
+    // channel order, v(S) via the same left join (empty coalitions keep
+    // v = 0), factorial weights from the same literal table, one double
+    // division at the end
+    "q225_shapley_attribution" ->
+      """WITH ch AS (SELECT event_type,
+               CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS bit
+             FROM (SELECT DISTINCT event_type FROM events
+                   WHERE event_type <> 'purchase')),
+          e2 AS (SELECT user_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                   min(CASE WHEN event_type = 'purchase'
+                     THEN epoch_us(CAST(ts AS TIMESTAMP)) END)
+                     OVER (PARTITION BY user_id) AS fp
+                 FROM events),
+          per AS (SELECT user_id,
+                   coalesce(bit_or(CASE WHEN ch.bit IS NOT NULL
+                       AND (fp IS NULL OR tus < fp)
+                     THEN (1::BIGINT << CAST(ch.bit AS INT)) END), 0) AS mask,
+                   max(CASE WHEN e2.event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+                  FROM e2 LEFT JOIN ch ON e2.event_type = ch.event_type
+                  GROUP BY user_id),
+          em AS (SELECT mask, CAST(sum(conv) AS BIGINT) AS c FROM per GROUP BY mask),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS nch FROM ch),
+          coal AS (SELECT nch, unnest(range(0, (1::BIGINT << CAST(nch AS INT)))) AS S
+                   FROM n),
+          va AS (SELECT coal.S, CAST(sum(em.c) AS BIGINT) AS vv
+                 FROM coal JOIN em ON (em.mask & ~coal.S) = 0 GROUP BY coal.S),
+          v AS (SELECT coal.S, coal.nch, coalesce(va.vv, 0) AS v
+                FROM coal LEFT JOIN va ON va.S = coal.S),
+          f(x, fx) AS (VALUES (0, 1), (1, 1), (2, 2), (3, 6), (4, 24),
+            (5, 120), (6, 720), (7, 5040), (8, 40320), (9, 362880),
+            (10, 3628800), (11, 39916800), (12, 479001600)),
+          m AS (SELECT ch.event_type, v.S, v.nch, v.v, v2.v AS v2,
+                 CAST(bit_count(v.S) AS BIGINT) AS s_size
+                FROM ch JOIN v ON (v.S & (1::BIGINT << CAST(ch.bit AS INT))) = 0
+                JOIN v v2 ON v2.S = (v.S | (1::BIGINT << CAST(ch.bit AS INT)))),
+          t AS (SELECT event_type,
+                 CAST(sum(CAST(fa.fx AS BIGINT) * fb.fx * (v2 - v)) AS BIGINT) AS num,
+                 max(nch) AS nch
+                FROM m JOIN f fa ON fa.x = m.s_size
+                JOIN f fb ON fb.x = m.nch - m.s_size - 1
+                GROUP BY event_type)
+          SELECT event_type AS channel,
+            round(CAST(num AS DOUBLE) /
+              (SELECT fx FROM f WHERE x = t.nch), 6) AS shapley_conversions
+          FROM t ORDER BY channel""",
 
     "q149_attribution" ->
       """WITH e AS (SELECT user_id, event_id, event_type, value,

@@ -223,6 +223,65 @@ private[graft] object DedupQueries {
     },
 
 
+    "q224_containment_join" -> { (s, dir) =>
+      // Asymmetric near-CONTAINMENT join: (contained, container) pairs
+      // with |A∩B| / |A| >= 0.9 — the boilerplate/quotation/subset-
+      // document detector that jaccard dedup (q31/q82) structurally
+      // misses: 50 shingles pasted inside a 500-shingle doc is
+      // jaccard ~0.1 but containment 1.0. Same lossless prefix-filter
+      // family as q82, made asymmetric: if C(A->B) >= t, A and B share
+      // a shingle inside A's first |A| - ceil(t*|A|) + 1 shingles in
+      // any fixed global order (pigeonhole on |A \ B|), while the
+      // container's witness can sit ANYWHERE, so the container side
+      // indexes all its shingles — the candidate index costs one
+      // shingle-TYPE shuffle (q111's inverted-index shape); the
+      // contained side posts only its ~10% prefix. Both posting lists
+      // ride the 64-lowest-id cap (q31's degenerate-corpus guard; max
+      // shingle df at sf0.1 is 25, so the cap is headroom here), pairs
+      // pass the lossless container-length test 10*|B| >= 9*|A|
+      // (|B| >= |A∩B| >= ceil(t*|A|)), and exact verification joins
+      // candidates only — never all-pairs. Contained side needs >= 5
+      // shingles (a 1-shingle doc is "contained" everywhere — noise);
+      // that also bounds containers losslessly, since a <5-shingle doc
+      // cannot hold the needed intersection.
+      val docs = shingled(Tables(s, dir)).filter(size(col("sh")) >= 5)
+      val ordered = docs.select(col("doc_id"), size(col("sh")).as("len"),
+        transform(array_sort(transform(col("sh"),
+          g => struct(xxhash64(g).as("k2"), g.as("g")))),
+          _.getField("g")).as("og"))
+      // C >= 9/10 implies |A \ B| <= |A| - ceil(9|A|/10), so one of the
+      // first |A| - ceil(9|A|/10) + 1 ordered shingles must be in B
+      val prefixLen =
+        (col("len") - floor((col("len") * 9 + 9) / 10) + 1).cast("int")
+      val pre = ordered.select(col("doc_id"), col("len"),
+        explode(slice(col("og"), lit(1), prefixLen)).as("g"))
+      val full = docs.select(col("doc_id"), size(col("sh")).as("len"),
+        explode(col("sh")).as("g"))
+      def capped(df: DataFrame, out: String) = df.groupBy(col("g"))
+        .agg(slice(array_sort(collect_list(struct(col("doc_id"), col("len")))),
+          1, 64).as(out))
+      val cand = capped(pre, "ma").join(capped(full, "mb"), "g")
+        .select(explode(col("ma")).as("a"), col("mb"))
+        .select(col("a"), explode(col("mb")).as("b"))
+        .filter(col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.len") * 10 >= col("a.len") * 9)
+        .select(col("a.doc_id").as("contained_doc"),
+          col("b.doc_id").as("container_doc"))
+        .distinct()
+      cand
+        .join(docs.select(col("doc_id").as("contained_doc"), col("sh").as("sh_a")),
+          "contained_doc")
+        .join(docs.select(col("doc_id").as("container_doc"), col("sh").as("sh_b")),
+          "container_doc")
+        .withColumn("containment",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(col("sh_a")))
+        .filter(col("containment") >= 0.9)
+        .select(col("contained_doc"), col("container_doc"), col("containment"))
+        .orderBy(col("contained_doc"), col("container_doc"))
+    },
+
+
     "q32_canonical_fingerprint" -> { (s, dir) =>
       Tables(s, dir).documents.orderBy(col("doc_id"))
         .select(col("doc_id"),
@@ -581,6 +640,22 @@ private[graft] object DedupQueries {
               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
           ORDER BY doc_a, doc_b""",
 
+
+    // all-pairs exact containment in SQL: the prefix filter and the
+    // container-length test are proven lossless (scaladoc), and the
+    // 64-cap has 2.5x headroom over the fixture's max shingle df — the
+    // q82 posture, so the oracle is fully independent of the
+    // candidate machinery
+    "q224_containment_join" ->
+      s"""WITH t AS (SELECT doc_id, $shSql AS sh
+                     FROM (SELECT doc_id, $tokSql AS lst FROM documents) WHERE len(lst) >= 3),
+          d AS (SELECT doc_id, sh FROM t WHERE len(sh) >= 5)
+          SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+              AS containment
+          FROM d a JOIN d b ON a.doc_id <> b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.9
+          ORDER BY contained_doc, container_doc""",
 
     "q86_dup_clusters" -> dupComponentsSql,
 

@@ -75,6 +75,63 @@ class PipelineSpec extends SparkSpec {
     assert(pairs == expected, s"got ${pairs.size} pairs, want ${expected.size}")
   }
 
+  test("containment join finds a doc pasted inside a bigger one — asymmetric, jaccard-blind") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q224cj").toString
+    val small = (1 to 40).map(i => s"w$i").mkString(" ")
+    val filler = (100 to 400).map(i => s"x$i").mkString(" ")
+    Seq((1L, small), (2L, small + " " + filler), (3L, (1000 to 1100).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.queries("q224_containment_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // small ⊂ big: containment exactly 1.0, ONE direction only — and
+    // nothing pairs with the unrelated doc
+    assert(rows == Seq((1L, 2L, 1.0)), s"got $rows")
+    // the pair is invisible to symmetric jaccard dedup at its threshold
+    val jac = Pipeline.queries("q82_ngram_jaccard_join")(spark, dir).collect()
+    assert(jac.isEmpty, "q82 should not see a ~0.11-jaccard pair")
+  }
+
+  test("shapley attribution equals the brute permutation average and is efficient") {
+    val got = Pipeline.queries("q225_shapley_attribution")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // independent recompute: per-user pre-first-purchase channel sets,
+    // then Shapley as the LITERAL average marginal over all n!
+    // channel orderings (the definition, not the coalition formula)
+    val ev = Tables(spark, sf).events
+    val raw = ev.select(col("user_id"), col("event_type"),
+        Tables.eventMicros(ev).as("tus"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = raw.groupBy(_._1)
+    val channels = raw.map(_._2).distinct.filter(_ != "purchase").sorted.toSeq
+    val sets = byUser.toSeq.map { case (_, rs) =>
+      val fp = rs.filter(_._2 == "purchase").map(_._3).minOption
+      val touched = rs.filter(r => r._2 != "purchase" &&
+        fp.forall(r._3 < _)).map(_._2).toSet
+      (touched, rs.exists(_._2 == "purchase"))
+    }
+    def v(coal: Set[String]): Long =
+      sets.count { case (t, conv) => conv && t.subsetOf(coal) }.toLong
+    val perms = channels.permutations.toSeq
+    val brute = channels.map { c =>
+      val marginals = perms.map { p =>
+        val before = p.takeWhile(_ != c).toSet
+        v(before + c) - v(before)
+      }
+      c -> marginals.sum.toDouble / perms.size
+    }.toMap
+    assert(got.keySet == brute.keySet)
+    brute.foreach { case (c, phi) =>
+      assert(math.abs(got(c) - phi) < 1e-6, s"$c: ${got(c)} vs brute $phi")
+    }
+    // efficiency: the values split exactly v(all) - v(empty)
+    val total = got.values.sum
+    assert(math.abs(total - (v(channels.toSet) - v(Set.empty))) < 1e-4,
+      s"sum ${total} != v(all) - v(empty)")
+  }
+
   test("simhash near-dup pairs cover the high-jaccard pairs") {
     val sim = Pipeline.queries("q38_simhash_neardup")(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -54,6 +54,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q176_benford_audit", "q177_dq_report", "q178_joinsize_sketch",
     // q182 crosses its 1-row DCG against the broadcast 1-row IDCG
     "q182_bm25_ndcg",
+    // q225 crosses literal-sized coalition tables: |channels| (<= 12)
+    // x 2^|channels| rows and the <= 2^n exact-set table against their
+    // own broadcasts — the corpus collapsed in the one user shuffle
+    // upstream; every nested-loop input is bounded by the factorial
+    // table's n <= 12
+    "q225_shapley_attribution",
     // q187's summary row crosses four broadcast ONE-ROW counts
     "q187_knn_graph_stats",
     // q190 crosses the pair table against two broadcast ONE-ROW totals
