@@ -648,6 +648,82 @@ private[graft] object CurationQueries {
     },
 
 
+    "q226_media_triage" -> { (s, dir) =>
+      // Per-(source, container) corpus-health report — the triage
+      // dashboard a multimodal ingest runs before any expensive decode
+      // (q127 finds each payload's fields; this rolls the corpus up to
+      // "which source is shipping corrupt media"). Payloads are q127's
+      // plant, with docs doc_id mod 11 == 5 TRUNCATED to 20 bytes: the
+      // container magic still sniffs (8-byte PNG sig, 12-byte RIFF,
+      // 4-byte JPEG SOI), but every chunk/marker walk hits the bounds
+      // guard and reports valid = false with null fields — exactly the
+      // corrupt-upload shape a crawler produces. Plan: per-row kernel
+      // parse + ONE bounded (source x container) agg with map-side
+      // partials — nothing global, the map-only triage pass at 100 TB.
+      val p0 = when(col("doc_id") % 3 === 0,
+        png_encode((col("n_chars") % 1023 + 1).cast("long"),
+          (col("doc_id") % 767 + 1).cast("long"), lit(8L),
+          when(col("doc_id") % 4 === 0, 6L).otherwise(2L).cast("long")))
+        .when(col("doc_id") % 3 === 1, wav_encode(
+          when(col("doc_id") % 5 === 0, 8000L)
+            .when(col("doc_id") % 5 === 1, 16000L)
+            .when(col("doc_id") % 5 === 2, 22050L)
+            .when(col("doc_id") % 5 === 3, 44100L).otherwise(48000L).cast("long"),
+          when(col("doc_id") % 4 === 1, 1L).otherwise(2L).cast("long"),
+          when(col("doc_id") % 8 < 4, 8L).otherwise(16L).cast("long")))
+        .otherwise(jpeg_encode((col("n_chars") % 511 + 1).cast("long"),
+          (col("doc_id") % 383 + 1).cast("long"),
+          when(col("doc_id") % 2 === 0, 3L).otherwise(1L).cast("long")))
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars"), col("source"))
+        .withColumn("p0", p0)
+        .withColumn("payload", when(col("doc_id") % 11 === 5,
+          expr("substring(p0, 1, 20)")).otherwise(col("p0")))
+        .select(col("source"), media_info(col("payload")).as("m"))
+        .select(col("source"), col("m.container").as("container"),
+          col("m.valid").as("valid"), col("m.width").as("width"),
+          col("m.height").as("height"), col("m.sample_rate").as("sample_rate"))
+        .groupBy(col("source"), col("container"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+          sum(col("width")).as("sum_width"),
+          sum(col("height")).as("sum_height"),
+          sum(col("sample_rate")).as("sum_sample_rate"))
+        .orderBy(col("source"), col("container"))
+    },
+
+
+    "q227_l_diversity" -> { (s, dir) =>
+      // l-diversity audit (Machanavajjhala 2007) — the successor check
+      // to q189's k-anonymity: a class can be large (k-anonymous) yet
+      // leak everything if all its members SHARE the sensitive value.
+      // Quasi-identifiers here are (nation, segment); the sensitive
+      // attribute is the account-balance band. Per class: size n,
+      // distinct sensitive values l, and entropy l-diversity
+      // H = ln(n) - sum(c*ln c)/n over the sensitive distribution
+      // (q197's one-ln-per-CELL form — never per row), flagged when
+      // l < 3. Scale shape: ONE (quasi x sensitive) hash agg with
+      // map-side partials collapses the corpus, then a bounded
+      // per-class rollup — no windows, nothing global.
+      val cells = Tables(s, dir).customer
+        .select(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+        .groupBy(col("nation"), col("segment"), col("bal_band"))
+        .agg(count(lit(1)).as("c"))
+      cells.groupBy(col("nation"), col("segment"))
+        .agg(sum(col("c")).as("n"),
+          count(lit(1)).as("l_distinct"),
+          sum(col("c").cast("double") * log(col("c").cast("double")))
+            .as("clnc"))
+        .select(col("nation"), col("segment"), col("n"), col("l_distinct"),
+          round(log(col("n").cast("double")) - col("clnc") / col("n"), 6)
+            .as("entropy"),
+          (col("l_distinct") < 3).as("at_risk"))
+        .orderBy(col("nation"), col("segment"))
+    },
+
+
     "q197_source_diversity" -> { (s, dir) =>
       // Per-source lexical diversity — the corpus-mixing readout
       // (diverse sources up-weighted, repetitive ones down-weighted in
@@ -1609,6 +1685,47 @@ private[graft] object CurationQueries {
     // so a shared endianness/layout bug on the Spark side cannot cancel.
     // payload_bytes pins the encoder's structural layout (PNG: 8 sig +
     // 25 IHDR + 12 IDAT + 12 IEND = 57; WAV: canonical 44).
+    // the mod-derived field formulas are q127's; truncated docs
+    // (doc_id mod 11 = 5) keep their sniffed container but lose all
+    // fields and validity — recomputed arithmetically, the parser
+    // never consulted
+    "q226_media_triage" ->
+      """WITH m AS (SELECT source,
+           CASE WHEN doc_id % 3 = 0 THEN 'png'
+                WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'jpeg' END AS container,
+           (doc_id % 11 <> 5) AS ok,
+           CASE WHEN doc_id % 11 <> 5 AND doc_id % 3 = 0 THEN n_chars % 1023 + 1
+                WHEN doc_id % 11 <> 5 AND doc_id % 3 = 2 THEN n_chars % 511 + 1
+             END AS width,
+           CASE WHEN doc_id % 11 <> 5 AND doc_id % 3 = 0 THEN doc_id % 767 + 1
+                WHEN doc_id % 11 <> 5 AND doc_id % 3 = 2 THEN doc_id % 383 + 1
+             END AS height,
+           CASE WHEN doc_id % 11 <> 5 AND doc_id % 3 = 1 THEN
+             CASE WHEN doc_id % 5 = 0 THEN 8000 WHEN doc_id % 5 = 1 THEN 16000
+                  WHEN doc_id % 5 = 2 THEN 22050 WHEN doc_id % 5 = 3 THEN 44100
+                  ELSE 48000 END END AS sample_rate
+          FROM documents)
+         SELECT source, container, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(sum(width) AS BIGINT) AS sum_width,
+           CAST(sum(height) AS BIGINT) AS sum_height,
+           CAST(sum(sample_rate) AS BIGINT) AS sum_sample_rate
+         FROM m GROUP BY source, container ORDER BY source, container""",
+
+    "q227_l_diversity" ->
+      """WITH cells AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+               c_mktsegment AS segment,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               CAST(count(*) AS BIGINT) AS c
+             FROM customer GROUP BY 1, 2, 3)
+         SELECT nation, segment, CAST(sum(c) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS l_distinct,
+           round(ln(CAST(sum(c) AS DOUBLE)) -
+             sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c), 6)
+             AS entropy,
+           (count(*) < 3) AS at_risk
+         FROM cells GROUP BY nation, segment ORDER BY nation, segment""",
+
     "q127_media_decode" ->
       """SELECT doc_id,
            CASE WHEN doc_id % 3 = 0 THEN 'png'

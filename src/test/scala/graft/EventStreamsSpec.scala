@@ -214,6 +214,36 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming IMAGE near-dup: dhash bands ride the simhash twin, matching batch q223") {
+    // the banded near-dup state machine is signature-agnostic — feed
+    // it the perceptual-hash bands and the image family streams with
+    // ZERO new streaming code (the q223 batch query's decode + dhash
+    // columns compose with readStream unchanged)
+    import graft.functions.{png_dhash, png_encode_gray}
+    import graft.streaming.DedupStreams
+    val docsSchema = spark.read.parquet(docsDir).schema
+    val stream = spark.readStream.schema(docsSchema).parquet(docsDir)
+      .select(col("doc_id"), expr("doc_id DIV 8").as("gid"))
+      .select(col("doc_id"), png_dhash(png_encode_gray(
+        (col("gid") % 16 + 16).cast("long"), (col("gid") % 8 + 8).cast("long"),
+        col("gid"), (col("doc_id") % 8) * 3)).as("sig"))
+    val banded = DedupStreams.bandSigs(stream).as[DedupStreams.BandedSig]
+    val q = DedupStreams.simhashNearDup(banded, maxPerBucket = 512, maxHamming = 12)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("img_neardup").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT DISTINCT least(doc_id, matched_doc) AS a,
+                  greatest(doc_id, matched_doc) AS b FROM img_neardup""")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.queries.Pipeline.queries("q223_image_dhash_neardup")(spark, sf)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.nonEmpty && got == batch)
+    } finally q.stop()
+  }
+
   test("near-dup twins on the RocksDB store: parity intact, state bounded at sf1 scale") {
     // The dedup twins' keyed state is the 100 TB scale risk: the
     // default HDFS-backed store keeps every version on the executor
