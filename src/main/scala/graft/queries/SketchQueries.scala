@@ -160,6 +160,64 @@ private[graft] object SketchQueries {
     },
 
 
+    "q228_sliding_hll_7day" -> { (s, dir) =>
+      // Trailing-7-day distinct USERS per day from day-grain HLL
+      // sketches — the sliding-window face of q160's rollup algebra,
+      // and the reason a reporting stack stores sketches at the finest
+      // grain: any window (7d, 28d, MTD) derives from the same 256
+      // bytes/day by register max, ZERO rescans of the event stream.
+      // Build: one event scan -> per-(day, idx) max-rho registers
+      // (q121's md5 construction over user ids); densify onto the
+      // (days x 256) spine — calendar-bounded, a dimension table — and
+      // merge each day's trailing week with ONE range window per
+      // register lane (partitioned by idx: 256 lanes, each |days|
+      // rows). Estimator identical to q121's integer-form Flajolet
+      // (small-range correction included). The exact trailing
+      // distinct-user audit rides along via a 7x day-offset explode of
+      // the deduped (day, user) table — equi-join, no range join.
+      val e = Tables(s, dir).events
+      val ud = e.select(Tables.eventMicros(e).as("tus"), col("user_id"))
+        .select(expr("tus DIV 86400000000").as("day"), col("user_id"))
+      val h = md5_lower64(concat(lit("uhll:"),
+        col("user_id").cast("string")).cast("binary"))
+      val d0 = ud.select(col("day"), h.as("h"))
+        .select(col("day"), col("h").bitwiseAND(lit(255L)).as("idx"),
+          shiftrightunsigned(col("h"), 8)
+            .bitwiseAND(lit(281474976710655L)).as("w"))
+      val regs = Seq(1, 2, 4, 8, 16, 32)
+        .foldLeft(d0)((df, k) =>
+          df.withColumn("w", col("w").bitwiseOR(shiftrightunsigned(col("w"), k))))
+        .select(col("day"), col("idx"), (lit(49) - bit_count(col("w"))).as("rho"))
+        .groupBy(col("day"), col("idx")).agg(max(col("rho")).as("m"))
+      val days = ud.select(col("day")).distinct()
+      val spine = days.select(col("day"),
+        explode(sequence(lit(0L), lit(255L))).as("idx"))
+      val wWin = Window.partitionBy(col("idx")).orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      val sreg = spine.join(regs, Seq("day", "idx"), "left")
+        .withColumn("mm", max(col("m")).over(wWin))
+        .groupBy(col("day"))
+        .agg(sum(when(col("mm").isNull, lit(562949953421312L))
+            .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - mm AS INT))")))
+          .as("s"),
+          sum(when(col("mm").isNotNull, 1L).otherwise(0L)).as("nr"))
+      val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+        lit(65536.0) * lit(562949953421312.0) / col("s")
+      val exact = ud.distinct()
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .join(days, "day")
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("distinct_exact"))
+      exact.join(sreg, Seq("day"))
+        .select(col("day"), col("distinct_exact"),
+          round(when(col("nr") < 256 && raw <= 640.0,
+            lit(256.0) * log(lit(256.0) / (lit(256L) - col("nr"))))
+            .otherwise(raw), 3).as("hll_est"))
+        .orderBy(col("day"))
+    },
+
+
     "q161_kmv_overlap" -> { (s, dir) =>
       // Pairwise source vocabulary OVERLAP via k-minimum-values
       // sketches (Bar-Yossef et al. 2002 / the theta-sketch family) —
@@ -782,6 +840,49 @@ private[graft] object SketchQueries {
                   END, 3) AS hll_est
           FROM ex JOIN sreg USING (source) ORDER BY source""",
 
+
+    // q121's register construction over user ids at day grain, the
+    // trailing-week merge as a range'd max per register lane, and the
+    // identical two-branch Flajolet estimator; exact trailing
+    // distincts via the same 7x day-offset fan-out
+    "q228_sliding_hll_7day" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+               user_id FROM events),
+          days AS (SELECT DISTINCT day FROM e),
+          h0 AS (SELECT day,
+                 CAST(md5_number_lower('uhll:' || CAST(user_id AS VARCHAR)) & 255 AS BIGINT) AS idx,
+                 CAST((md5_number_lower('uhll:' || CAST(user_id AS VARCHAR)) >> 8) & 281474976710655 AS BIGINT) AS w
+                 FROM e),
+          s1 AS (SELECT *, w | (w >> 1) AS w1 FROM h0),
+          s2 AS (SELECT *, w1 | (w1 >> 2) AS w2 FROM s1),
+          s3 AS (SELECT *, w2 | (w2 >> 4) AS w3 FROM s2),
+          s4 AS (SELECT *, w3 | (w3 >> 8) AS w4 FROM s3),
+          s5 AS (SELECT *, w4 | (w4 >> 16) AS w5 FROM s4),
+          s6 AS (SELECT *, w5 | (w5 >> 32) AS w6 FROM s5),
+          r AS (SELECT day, idx, max(49 - bit_count(w6)) AS m
+                FROM s6 GROUP BY day, idx),
+          spine AS (SELECT d.day, CAST(t.idx AS BIGINT) AS idx
+                    FROM days d CROSS JOIN range(0, 256) t(idx)),
+          mg AS (SELECT s.day, s.idx, max(r.m) AS mm
+                 FROM spine s LEFT JOIN r ON r.idx = s.idx
+                   AND r.day BETWEEN s.day - 6 AND s.day
+                 GROUP BY s.day, s.idx),
+          sreg AS (SELECT day,
+                   CAST(sum(CASE WHEN mm IS NULL THEN 562949953421312
+                     ELSE 1::BIGINT << CAST(49 - mm AS INT) END) AS BIGINT) AS s,
+                   CAST(sum(CASE WHEN mm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nr
+                   FROM mg GROUP BY day),
+          ex AS (SELECT w.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS distinct_exact
+                 FROM (SELECT DISTINCT day, user_id FROM e) e
+                 JOIN days w ON w.day BETWEEN e.day AND e.day + 6
+                 GROUP BY w.day)
+          SELECT ex.day, ex.distinct_exact,
+            round(CASE WHEN nr < 256
+                        AND 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 562949953421312.0 / s <= 640.0
+                       THEN 256.0 * ln(256.0 / (256 - nr))
+                       ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 562949953421312.0 / s
+                  END, 3) AS hll_est
+          FROM ex JOIN sreg USING (day) ORDER BY day""",
 
     // 64-permutation MinHash with the identical universal-hash grid
     // ((a_p*h + b_p) mod 2^31-1, constants from md5 of "mha:"/"mhb:"),

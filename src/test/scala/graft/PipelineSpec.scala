@@ -1090,6 +1090,45 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sliding hll: every day's estimate equals a direct register build on its window") {
+    val got = Pipeline.queries("q228_sliding_hll_7day")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val ev = Tables(spark, sf).events
+    val ud = ev.select(Tables.eventMicros(ev).as("tus"), col("user_id"))
+      .collect().map(r => (r.getLong(0) / 86400000000L, r.getLong(1)))
+      .distinct.toSeq
+    val days = ud.map(_._1).distinct.sorted
+    def smear(w0: Long): Long =
+      Seq(1, 2, 4, 8, 16, 32).foldLeft(w0)((w, k) => w | (w >>> k))
+    def est(users: Iterable[Long]): Double = {
+      val regs = new Array[Long](256)
+      users.foreach { u =>
+        val h = graft.expressions.SketchKernel.md5Lower64(
+          s"uhll:$u".getBytes("UTF-8"))
+        val idx = (h & 255L).toInt
+        val rho = 49L - java.lang.Long.bitCount(smear((h >>> 8) & 281474976710655L))
+        regs(idx) = math.max(regs(idx), rho)
+      }
+      val s = regs.map(m => if (m == 0) 562949953421312L else 1L << (49 - m)).sum
+      val nr = regs.count(_ > 0)
+      val raw = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 562949953421312.0 / s
+      val e = if (nr < 256 && raw <= 640.0)
+        256.0 * math.log(256.0 / (256 - nr)) else raw
+      // Spark's round() is HALF_UP, not rint's HALF_EVEN
+      BigDecimal(e).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = days.map { d =>
+      val win = ud.filter(t => t._1 >= d - 6 && t._1 <= d).map(_._2)
+      (d, win.distinct.size.toLong, est(win))
+    }
+    assert(got == want,
+      "window-merged registers diverge from a direct build on each window")
+    // and the estimate is inside HLL's error envelope on every day
+    got.foreach { case (d, exact, e) =>
+      assert(math.abs(e - exact) / exact < 0.26, s"day $d: $e vs $exact")
+    }
+  }
+
   test("hll distinct: estimate tracks the exact audit within sketch error") {
     val rows = Pipeline.queries("q121_hll_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
