@@ -471,9 +471,12 @@ object functions {
   def png_dhash(payload: Column): Column =
     call(MD, LongType, "pngDhash", Seq(Bin), payload)
 
-  /** Multimodal feature stand-in: deterministic 16-bin byte histogram
-    * over an opaque binary column (the full pixel/sample decode is out
-    * of scope in this container; header decode is [[media_info]]). */
+  /** Container-agnostic BYTE-level feature: deterministic 16-bin byte
+    * histogram over an opaque binary column — the cheap first-tier
+    * signal (compression sniffing, format clustering) that runs before
+    * any codec. Real decodes are the next tiers: [[media_info]]
+    * (headers), [[wav_pcm_windows]] (audio samples), [[png_row_stats]]
+    * / [[png_dhash]] (image pixels). */
   def byte_histogram16(bytes: Column): Column =
     call(K, ArrayType(FloatType, containsNull = false), "byteHistogram16", Seq(Bin), bytes)
 

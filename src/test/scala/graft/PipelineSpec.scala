@@ -153,7 +153,7 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("multimodal feature stub: 16-bin histogram counts sum to n_bytes") {
+  test("byte-level multimodal feature: 16-bin histogram counts sum to n_bytes") {
     val r = Pipeline.queries("q40_multimodal_features")(spark, sf).head
     val feats = r.getAs[String]("features").split(",").map(_.toLong)
     assert(feats.length == 16)
