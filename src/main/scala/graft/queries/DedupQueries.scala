@@ -335,23 +335,31 @@ private[graft] object DedupQueries {
       // all-pairs), exact Hamming verify <= 12. One map-only
       // decode+hash scan (8 bytes/doc shipped), one band shuffle —
       // the image-dedup plan a 100 TB multimodal corpus needs.
-      val imgs = Tables(s, dir).documents
-        .select(col("doc_id"), expr("doc_id DIV 8").as("gid"))
-        .select(col("doc_id"), png_dhash(png_encode_gray(
-          (col("gid") % 16 + 16).cast("long"),
-          (col("gid") % 8 + 8).cast("long"),
-          col("gid"), (col("doc_id") % 8) * 3)).as("sig"))
-      val bands = imgs.select(col("doc_id"), col("sig"),
-        explode(expr(
-          """transform(sequence(0, 3), b -> struct(b AS band_id,
-            shiftrightunsigned(sig, cast(b * 16 AS int)) & 65535 AS key))""")).as("bd"))
-      cappedBucketPairs(bands, col("bd"),
-          struct(col("doc_id"), col("sig")), "doc_id")
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          hamming64(col("a.sig"), col("b.sig")).cast("long").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 12)
-        .orderBy(col("doc_a"), col("doc_b"))
+      imageDhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
+    },
+
+
+    "q229_image_dup_clusters" -> { (s, dir) =>
+      // The pairs -> clusters -> keeper step for the IMAGE family —
+      // what q86/q143 do for text near-dups, completing the image
+      // dedup arc (decode q222, candidate+verify q223, resolution
+      // here): alternating-star connected components over the dHash
+      // near-dup edge set, each image labeled with its component's
+      // minimum doc_id (the canonical keeper) plus the cluster size a
+      // keep-one-per-cluster rewrite needs. Scale shape inherited
+      // wholesale: the edge set is the near-dup graph only (never
+      // payloads), star contracts in O(log^2 n) shuffle-bounded
+      // rounds, driver loop is control-only.
+      val edges = imageDhashPairs(s, dir)
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      graft.operators.Components.components(edges)
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).as("is_keeper"),
+          col("cluster_size"))
+        .orderBy(col("doc_id"))
     },
 
 
@@ -555,6 +563,71 @@ private[graft] object DedupQueries {
         .orderBy(col("doc_id"))
     },
   )
+
+  /** q223's verified image near-dup pairs (doc_a < doc_b, Hamming <=
+    * 12 over decoded dHashes), also the edge set for q229's cluster
+    * resolution — the image twin of [[Pipeline.minhashDupPairs]]. */
+  private def imageDhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val imgs = Tables(s, dir).documents
+      .select(col("doc_id"), expr("doc_id DIV 8").as("gid"))
+      .select(col("doc_id"), png_dhash(png_encode_gray(
+        (col("gid") % 16 + 16).cast("long"),
+        (col("gid") % 8 + 8).cast("long"),
+        col("gid"), (col("doc_id") % 8) * 3)).as("sig"))
+    val bands = imgs.select(col("doc_id"), col("sig"),
+      explode(expr(
+        """transform(sequence(0, 3), b -> struct(b AS band_id,
+          shiftrightunsigned(sig, cast(b * 16 AS int)) & 65535 AS key))""")).as("bd"))
+    cappedBucketPairs(bands, col("bd"),
+        struct(col("doc_id"), col("sig")), "doc_id")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming64(col("a.sig"), col("b.sig")).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 12)
+  }
+
+  /** The q223 edge construction as shared oracle CTEs (ending in
+    * `ipairs`), so the pair query and the cluster query certify
+    * against the same SQL edges. */
+  private val imageDhashEdgeCtes =
+    """dm AS (SELECT doc_id, (doc_id // 8) % 16 + 16 AS w,
+               (doc_id // 8) % 8 + 8 AS h, doc_id // 8 AS seed,
+               (doc_id % 8) * 3 AS bright FROM documents),
+          px AS (SELECT doc_id, w, h, seed, bright,
+                  unnest(range(0, w * h)) AS i FROM dm),
+          v AS (SELECT doc_id, ((i % w) * 9) // w AS cx,
+                 ((i // w) * 8) // h AS cy,
+                 (((seed + i) * 2654435761) % 256 + bright) % 256 AS lum
+                FROM px),
+          cell AS (SELECT doc_id, cy, cx, sum(lum) // count(*) AS m
+                   FROM v GROUP BY doc_id, cy, cx),
+          bit AS (SELECT l.doc_id, l.cy * 8 + l.cx AS b
+                  FROM cell l JOIN cell r ON l.doc_id = r.doc_id
+                    AND l.cy = r.cy AND r.cx = l.cx + 1
+                  WHERE l.m < r.m),
+          sig AS (SELECT dm.doc_id, CAST(COALESCE(sum(CASE WHEN b = 63
+                   THEN -9223372036854775807 - 1
+                   ELSE 1::BIGINT << CAST(b AS INT) END), 0) AS BIGINT) AS sig
+                  FROM dm LEFT JOIN bit ON bit.doc_id = dm.doc_id
+                  GROUP BY dm.doc_id),
+          bk AS (SELECT doc_id, b // 16 AS band_id,
+                  CAST(sum(1::BIGINT << CAST(b % 16 AS INT)) AS BIGINT) AS key
+                 FROM bit GROUP BY doc_id, b // 16),
+          ab AS (SELECT s.doc_id, s.sig, t.b AS band_id
+                 FROM sig s CROSS JOIN range(0, 4) t(b)),
+          bands AS (SELECT ab.doc_id, ab.sig, ab.band_id,
+                     COALESCE(bk.key, 0) AS key
+                    FROM ab LEFT JOIN bk ON bk.doc_id = ab.doc_id
+                      AND bk.band_id = ab.band_id),
+          capped AS (SELECT * FROM (SELECT bands.*,
+                       row_number() OVER (PARTITION BY band_id, key
+                         ORDER BY doc_id) AS rk
+                     FROM bands) WHERE rk <= 64),
+          ipairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.sig AS sig_a, b.sig AS sig_b
+                    FROM capped a JOIN capped b
+                      ON a.band_id = b.band_id AND a.key = b.key
+                        AND a.doc_id < b.doc_id)"""
 
   def oracle: Map[String, String] = Map(
 
@@ -771,48 +844,29 @@ private[graft] object DedupQueries {
     // 16-bit band keys -> the same 64-capped bucket pairing as q38 ->
     // exact Hamming over xor
     "q223_image_dhash_neardup" ->
-      """WITH dm AS (SELECT doc_id, (doc_id // 8) % 16 + 16 AS w,
-               (doc_id // 8) % 8 + 8 AS h, doc_id // 8 AS seed,
-               (doc_id % 8) * 3 AS bright FROM documents),
-          px AS (SELECT doc_id, w, h, seed, bright,
-                  unnest(range(0, w * h)) AS i FROM dm),
-          v AS (SELECT doc_id, ((i % w) * 9) // w AS cx,
-                 ((i // w) * 8) // h AS cy,
-                 (((seed + i) * 2654435761) % 256 + bright) % 256 AS lum
-                FROM px),
-          cell AS (SELECT doc_id, cy, cx, sum(lum) // count(*) AS m
-                   FROM v GROUP BY doc_id, cy, cx),
-          bit AS (SELECT l.doc_id, l.cy * 8 + l.cx AS b
-                  FROM cell l JOIN cell r ON l.doc_id = r.doc_id
-                    AND l.cy = r.cy AND r.cx = l.cx + 1
-                  WHERE l.m < r.m),
-          sig AS (SELECT dm.doc_id, CAST(COALESCE(sum(CASE WHEN b = 63
-                   THEN -9223372036854775807 - 1
-                   ELSE 1::BIGINT << CAST(b AS INT) END), 0) AS BIGINT) AS sig
-                  FROM dm LEFT JOIN bit ON bit.doc_id = dm.doc_id
-                  GROUP BY dm.doc_id),
-          bk AS (SELECT doc_id, b // 16 AS band_id,
-                  CAST(sum(1::BIGINT << CAST(b % 16 AS INT)) AS BIGINT) AS key
-                 FROM bit GROUP BY doc_id, b // 16),
-          ab AS (SELECT s.doc_id, s.sig, t.b AS band_id
-                 FROM sig s CROSS JOIN range(0, 4) t(b)),
-          bands AS (SELECT ab.doc_id, ab.sig, ab.band_id,
-                     COALESCE(bk.key, 0) AS key
-                    FROM ab LEFT JOIN bk ON bk.doc_id = ab.doc_id
-                      AND bk.band_id = ab.band_id),
-          capped AS (SELECT * FROM (SELECT bands.*,
-                       row_number() OVER (PARTITION BY band_id, key
-                         ORDER BY doc_id) AS rk
-                     FROM bands) WHERE rk <= 64),
-          pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                      a.sig AS sig_a, b.sig AS sig_b
-                    FROM capped a JOIN capped b
-                      ON a.band_id = b.band_id AND a.key = b.key
-                        AND a.doc_id < b.doc_id)
+      s"""WITH $imageDhashEdgeCtes
           SELECT doc_a, doc_b,
             CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
-          FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 12
+          FROM ipairs WHERE bit_count(xor(sig_a, sig_b)) <= 12
           ORDER BY doc_a, doc_b""",
+
+    // the q86/q143 components contract over the q223 edge CTEs: min
+    // label by transitive reach, keeper = component root, plus the
+    // cluster-size window
+    "q229_image_dup_clusters" ->
+      s"""WITH RECURSIVE $imageDhashEdgeCtes,
+          fp AS (SELECT doc_a AS s, doc_b AS d FROM ipairs
+                 WHERE bit_count(xor(sig_a, sig_b)) <= 12),
+          und AS (SELECT s, d FROM fp UNION ALL SELECT d, s FROM fp),
+          reach AS (SELECT s AS src, s AS dst FROM und
+                    UNION
+                    SELECT r.src, u.d FROM reach r JOIN und u ON u.s = r.dst),
+          comp AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                   FROM reach GROUP BY src)
+          SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_keeper,
+            CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+              AS cluster_size
+          FROM comp ORDER BY doc_id""",
 
     // FNV-1a chained over token bytes + 0x1f boundary markers, replayed
     // byte-for-byte in DuckDB via hex expansion + HUGEINT mod-2^64 fold.

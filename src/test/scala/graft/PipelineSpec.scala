@@ -132,6 +132,29 @@ class PipelineSpec extends SparkSpec {
       s"sum ${total} != v(all) - v(empty)")
   }
 
+  test("image dup clusters equal a driver-side union-find over the q223 pairs") {
+    val pairs = Pipeline.queries("q223_image_dhash_neardup")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val byRoot = parent.keys.toSeq.groupBy(find)
+    val want = byRoot.values.flatMap { members =>
+      val root = members.min
+      members.map(m => (m, root, m == root, members.size.toLong))
+    }.toSeq.sortBy(_._1)
+    val got = Pipeline.queries("q229_image_dup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getLong(3))).toSeq
+    assert(got == want, "components diverge from union-find ground truth")
+    assert(got.nonEmpty && got.exists(_._4 >= 8),
+      "the planted 8-doc groups should form clusters")
+  }
+
   test("simhash near-dup pairs cover the high-jaccard pairs") {
     val sim = Pipeline.queries("q38_simhash_neardup")(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
