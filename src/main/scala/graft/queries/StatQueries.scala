@@ -19,6 +19,130 @@ private[graft] object StatQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q231_mann_kendall" -> { (s, dir) =>
+      // Mann-Kendall trend test + Theil-Sen slope over daily purchase
+      // revenue — the nonparametric "is this metric actually trending"
+      // readout (Mann 1945, Kendall 1975; Sen 1968 for the slope): S =
+      // sum over day pairs of sign(rev_j - rev_i), the tie-corrected
+      // variance var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18,
+      // the continuity-corrected z, Kendall's tau = S / (n(n-1)/2),
+      // and the Theil-Sen slope = median of the n(n-1)/2 pairwise
+      // slopes (cents/day; median = mean of the two middle order
+      // statistics, exact via row_number over the pair table). Counts
+      // and S are exact integers; every double derives from them with
+      // one fixed spelling. Scale shape: the event stream collapses to
+      // |days| cells in ONE map-side-combined agg; the pair "join" is
+      // the calendar-bounded daily table crossed against its own
+      // broadcast under d1 < d2 (q184's bounded-pair posture,
+      // |days|^2/2 rows, SF-invariant), and every window runs on that
+      // bounded pair table — corpus rows never move twice.
+      val e = Tables(s, dir).events
+      val daily = e.filter(col("event_type") === "purchase")
+        .select(Tables.eventMicros(e).as("tus"),
+          floor(col("value") * 100).cast("long").as("c"))
+        .select(expr("tus DIV 86400000000").as("day"), col("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("rev"))
+      val pairs = daily.select(col("day").as("d1"), col("rev").as("r1"))
+        .join(broadcast(daily.select(col("day").as("d2"), col("rev").as("r2"))),
+          col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          when(col("r2") > col("r1"), 1L)
+            .when(col("r2") < col("r1"), -1L).otherwise(0L).as("sg"),
+          ((col("r2") - col("r1")).cast("double") / (col("d2") - col("d1")))
+            .as("slope"))
+      val ranked = pairs.withColumn("rn",
+        row_number().over(Window.orderBy(col("slope"), col("d1"), col("d2")))
+          .cast("long"))
+      val nrow = daily.agg(count(lit(1)).as("nd"))
+      val ties = daily.groupBy(col("rev")).agg(count(lit(1)).as("t"))
+        .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+          .as("sum_t"))
+      val sAgg = ranked.agg(sum(col("sg")).as("s_stat"), count(lit(1)).as("m"))
+      val med = ranked.crossJoin(broadcast(nrow))
+        .filter(col("rn") === expr("(nd * (nd - 1) DIV 2 + 1) DIV 2") ||
+          col("rn") === expr("(nd * (nd - 1) DIV 2 + 2) DIV 2"))
+        .agg(avg(col("slope")).as("sen_slope"))
+      sAgg.crossJoin(broadcast(nrow)).crossJoin(broadcast(ties))
+        .crossJoin(broadcast(med))
+        .withColumn("var_s_raw",
+          expr("CAST(nd * (nd - 1) * (2 * nd + 5) - sum_t AS DOUBLE) / 18.0"))
+        .select(col("nd").as("n_days"), col("s_stat"),
+          round(col("s_stat").cast("double") / col("m"), 6).as("tau"),
+          round(col("var_s_raw"), 6).as("var_s"),
+          round(when(col("s_stat") > 0,
+              (col("s_stat").cast("double") - 1) / sqrt(col("var_s_raw")))
+            .when(col("s_stat") < 0,
+              (col("s_stat").cast("double") + 1) / sqrt(col("var_s_raw")))
+            .otherwise(lit(0.0)), 6).as("z"),
+          round(col("sen_slope"), 6).as("sen_slope"))
+    },
+
+
+    "q232_fdr_bh" -> { (s, dir) =>
+      // Multiple-testing control across the experiment's metric family
+      // — Welch z per event_type between the "ab:" arms, normal
+      // p-values via the Zelen-Severo 26.2.17 polynomial (identical
+      // literals both engines; neither has an inverse normal CDF), and
+      // Benjamini-Hochberg FDR at alpha = 0.05: rank the m metrics by
+      // p ascending, find the largest rank k with p(k) <= alpha*k/m,
+      // reject ranks <= k. The readout that stops "test 5 metrics,
+      // ship the one that hit p<0.05" false discoveries. All moment
+      // sums are exact integer cents (q219's pattern); every double
+      // derives from them with one fixed spelling, and the BH
+      // comparison runs on UNROUNDED doubles computed identically in
+      // both engines. Scale shape: the event stream collapses to
+      // |types| x 2 moment cells in ONE map-side-combined agg; the
+      // ranking windows run on the |types|-row metric table.
+      val arm = pmod(md5_lower64(concat(lit("ab:"),
+        col("user_id").cast("string")).cast("binary")), lit(2L))
+      val e = Tables(s, dir).events
+      val m = e.select(col("event_type"), arm.as("arm"),
+          floor(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("event_type"), col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+          sum(col("c") * col("c")).as("scc"))
+        .groupBy(col("event_type"))
+        .agg(max(when(col("arm") === 1, col("n"))).as("n1"),
+          max(when(col("arm") === 1, col("sc"))).as("sc1"),
+          max(when(col("arm") === 1, col("scc"))).as("scc1"),
+          max(when(col("arm") === 0, col("n"))).as("n0"),
+          max(when(col("arm") === 0, col("sc"))).as("sc0"),
+          max(when(col("arm") === 0, col("scc"))).as("scc0"))
+      def mean(sc: Column, n: Column) = sc.cast("double") / n
+      def s2(scc: Column, sc: Column, n: Column) =
+        (scc.cast("double") / n - (sc.cast("double") / n) *
+          (sc.cast("double") / n)) * (n.cast("double") / (n - 1L))
+      val zc = (mean(col("sc1"), col("n1")) - mean(col("sc0"), col("n0"))) /
+        sqrt(s2(col("scc1"), col("sc1"), col("n1")) / col("n1") +
+          s2(col("scc0"), col("sc0"), col("n0")) / col("n0"))
+      // 1 - Phi(x) = phi(x) * poly(1/(1 + 0.2316419 x)), Zelen-Severo
+      // 26.2.17 — the identical Horner spelling lives in the oracle
+      val tC = lit(1.0) / (lit(1.0) + lit(0.2316419) * abs(col("z_raw")))
+      val horner = ((((lit(1.330274429) * tC - lit(1.821255978)) * tC +
+        lit(1.781477937)) * tC - lit(0.356563782)) * tC +
+        lit(0.319381530)) * tC
+      val pC = lit(2.0) * (lit(0.3989422804014327) *
+        exp(-abs(col("z_raw")) * abs(col("z_raw")) / lit(2.0)) * horner)
+      val wAll = Window.orderBy(col("p_raw"), col("event_type"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      m.withColumn("z_raw", zc)
+        .withColumn("p_raw", pC)
+        .withColumn("p_rank", row_number().over(
+          Window.orderBy(col("p_raw"), col("event_type"))).cast("long"))
+        .withColumn("mm", count(lit(1)).over(wAll))
+        .withColumn("crit_raw",
+          lit(0.05) * col("p_rank").cast("double") / col("mm"))
+        .withColumn("kmax", max(when(col("p_raw") <= col("crit_raw"),
+          col("p_rank"))).over(wAll))
+        .select(col("event_type"), col("n1").as("n_treat"),
+          col("n0").as("n_ctrl"), round(col("z_raw"), 6).as("z"),
+          round(col("p_raw"), 6).as("p"), col("p_rank"),
+          round(col("crit_raw"), 6).as("crit"),
+          (col("p_rank") <= coalesce(col("kmax"), lit(0L))).as("significant"))
+        .orderBy(col("p_rank"))
+    },
+
+
     "q171_holdout_ab" -> { (s, dir) =>
       // Deterministic holdout experiment readout: users split 50/50 by
       // id-hash (q83's assignment — no RNG, any engine or re-run
@@ -431,6 +555,99 @@ private[graft] object StatQueries {
   )
 
   def oracle: Map[String, String] = Map(
+
+    // Mann-Kendall rebuilt: the same daily cells, the bounded d1 < d2
+    // pair table, exact integer S / tie sums, and the identical double
+    // spellings for tau, var, the continuity-corrected z and the
+    // two-middle-order-statistics Theil-Sen median.
+    "q231_mann_kendall" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+               AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS rev
+            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM daily),
+          pr AS (SELECT a.day AS d1, b.day AS d2,
+                 CASE WHEN b.rev > a.rev THEN 1
+                      WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sg,
+                 CAST(b.rev - a.rev AS DOUBLE) / (b.day - a.day) AS slope
+                FROM daily a JOIN daily b ON a.day < b.day),
+          rk AS (SELECT sg, slope,
+                 CAST(row_number() OVER (ORDER BY slope, d1, d2) AS BIGINT)
+                   AS rn FROM pr),
+          ag AS (SELECT CAST(sum(sg) AS BIGINT) AS s_stat,
+                 CAST(count(*) AS BIGINT) AS m FROM rk),
+          tie AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                   AS sum_t
+                FROM (SELECT CAST(count(*) AS BIGINT) AS t
+                      FROM daily GROUP BY rev) tt),
+          med AS (SELECT avg(slope) AS sen_slope FROM rk, nd
+                WHERE rn = (nd.nd * (nd.nd - 1) // 2 + 1) // 2
+                   OR rn = (nd.nd * (nd.nd - 1) // 2 + 2) // 2),
+          v AS (SELECT nd.nd, ag.s_stat, ag.m, med.sen_slope,
+                 CAST(nd.nd * (nd.nd - 1) * (2 * nd.nd + 5) - tie.sum_t
+                   AS DOUBLE) / 18.0 AS var_s_raw
+                FROM nd, ag, tie, med)
+          SELECT nd AS n_days, s_stat,
+            round(CAST(s_stat AS DOUBLE) / m, 6) AS tau,
+            round(var_s_raw, 6) AS var_s,
+            round(CASE WHEN s_stat > 0
+                THEN (CAST(s_stat AS DOUBLE) - 1) / sqrt(var_s_raw)
+                WHEN s_stat < 0
+                THEN (CAST(s_stat AS DOUBLE) + 1) / sqrt(var_s_raw)
+                ELSE 0.0 END, 6) AS z,
+            round(sen_slope, 6) AS sen_slope
+          FROM v""",
+
+    // BH-FDR rebuilt: the same (type, arm) integer moment cells, the
+    // identical Welch-z / Zelen-Severo-polynomial double spellings, and
+    // the same rank / alpha*k/m comparison on unrounded doubles.
+    "q232_fdr_bh" ->
+      """WITH cells AS (SELECT event_type,
+               CAST(md5_number_lower('ab:' || user_id) & 1 AS BIGINT) AS arm,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)
+                 * CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS scc
+             FROM events GROUP BY 1, 2),
+          g AS (SELECT event_type,
+                 max(CASE WHEN arm = 1 THEN n END) AS n1,
+                 max(CASE WHEN arm = 1 THEN sc END) AS sc1,
+                 max(CASE WHEN arm = 1 THEN scc END) AS scc1,
+                 max(CASE WHEN arm = 0 THEN n END) AS n0,
+                 max(CASE WHEN arm = 0 THEN sc END) AS sc0,
+                 max(CASE WHEN arm = 0 THEN scc END) AS scc0
+                FROM cells GROUP BY event_type),
+          zz AS (SELECT event_type, n1, n0,
+                 (CAST(sc1 AS DOUBLE) / n1 - CAST(sc0 AS DOUBLE) / n0) /
+                   sqrt((CAST(scc1 AS DOUBLE) / n1
+                       - (CAST(sc1 AS DOUBLE) / n1) * (CAST(sc1 AS DOUBLE) / n1))
+                       * (CAST(n1 AS DOUBLE) / (n1 - 1)) / n1
+                     + (CAST(scc0 AS DOUBLE) / n0
+                       - (CAST(sc0 AS DOUBLE) / n0) * (CAST(sc0 AS DOUBLE) / n0))
+                       * (CAST(n0 AS DOUBLE) / (n0 - 1)) / n0) AS z_raw
+                FROM g),
+          tt AS (SELECT event_type, n1, n0, z_raw,
+                 1.0 / (1.0 + 0.2316419 * abs(z_raw)) AS t FROM zz),
+          pv AS (SELECT event_type, n1, n0, z_raw,
+                 2.0 * (0.3989422804014327
+                   * exp(-abs(z_raw) * abs(z_raw) / 2.0)
+                   * (((((1.330274429 * t - 1.821255978) * t
+                     + 1.781477937) * t - 0.356563782) * t
+                     + 0.319381530) * t)) AS p_raw
+                FROM tt),
+          rk AS (SELECT *,
+                 CAST(row_number() OVER (ORDER BY p_raw, event_type)
+                   AS BIGINT) AS p_rank,
+                 CAST(count(*) OVER () AS BIGINT) AS mm FROM pv),
+          bh AS (SELECT *, 0.05 * CAST(p_rank AS DOUBLE) / mm AS crit_raw
+                FROM rk),
+          km AS (SELECT *, max(CASE WHEN p_raw <= crit_raw THEN p_rank END)
+                   OVER () AS kmax FROM bh)
+          SELECT event_type, n1 AS n_treat, n0 AS n_ctrl,
+            round(z_raw, 6) AS z, round(p_raw, 6) AS p, p_rank,
+            round(crit_raw, 6) AS crit,
+            p_rank <= coalesce(kmax, 0) AS significant
+          FROM km ORDER BY p_rank""",
 
     "q171_holdout_ab" ->
       """WITH u AS (SELECT user_id,

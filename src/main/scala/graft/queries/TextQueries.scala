@@ -19,6 +19,49 @@ private[graft] object TextQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q230_kneser_ney" -> { (s, dir) =>
+      // Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; the
+      // interpolated form of Chen & Goodman 1999 with a fixed absolute
+      // discount D = 0.75) — the LM-smoothing counterpart to q136's
+      // stupid backoff: the lower-order model is the CONTINUATION
+      // distribution (how many distinct left contexts a word
+      // completes), not raw unigram frequency — the correction that
+      // keeps frequent-but-single-context tokens ("Francisco") from
+      // dominating the backoff mass. Every statistic lives on the
+      // bigram TYPE table built by ONE pair-type agg (q135's posture:
+      // the shuffle carries distinct pairs, never the token stream):
+      // c(a,b) = cnt; c(a) and the continuation fan-out N1+(a.) are
+      // two sums over the SAME hash(a) window; N1+(.b) one over
+      // hash(b); the type total N1+(..) rides in as a broadcast 1-row
+      // frame (q124's bounds pattern). p_kn(b|a) = (c(a,b) - D)/c(a)
+      // + D*N1+(a.)/c(a) * N1+(.b)/N1+(..) over exact integer counts
+      // (c(a,b) >= 1 > D keeps the discounted term positive), rounded
+      // 6dp; output = top-20 by (cnt desc, a, b) via TakeOrdered.
+      // 100 TB shape: everything after the one pair-type shuffle is
+      // vocabulary^2-bounded, exactly q135's scale posture.
+      val prs = Tables(s, dir).documents
+        .select(explode(zip_with(
+          slice(toks(col("text")), lit(1), greatest(size(toks(col("text"))) - 1, lit(0))),
+          slice(toks(col("text")), lit(2), greatest(size(toks(col("text"))) - 1, lit(0))),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val total = prs.agg(count(lit(1)).as("tt"))
+      val wA = Window.partitionBy(col("a"))
+      val wB = Window.partitionBy(col("b"))
+      prs
+        .withColumn("ca", sum(col("cnt")).over(wA))
+        .withColumn("na", count(lit(1)).over(wA))
+        .withColumn("nb", count(lit(1)).over(wB))
+        .crossJoin(broadcast(total))
+        .select(col("a"), col("b"), col("cnt"), col("ca"), col("na"), col("nb"),
+          round((col("cnt").cast("double") - lit(0.75)) / col("ca") +
+            lit(0.75) * col("na").cast("double") / col("ca") *
+              (col("nb").cast("double") / col("tt")), 6).as("pkn"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(20)
+    },
+
+
     "q210_heaps_law" -> { (s, dir) =>
       // Heaps'-law fit of vocabulary growth — q198's Zipf companion
       // and the capacity-planning readout behind "how big does the
@@ -1365,6 +1408,28 @@ private[graft] object TextQueries {
                    ELSE 0.16 * (c_c + 1.0) / ((SELECT n FROM n) + 1) END)), 6)
               AS avg_backoff_bits
           FROM w WHERE NOT tr GROUP BY doc_id ORDER BY doc_id""",
+
+
+    // Kneser-Ney rebuilt: the same bigram-type table, the c(a)/N1+(a.)
+    // /N1+(.b) window marginals, the scalar type total, and the
+    // identical double spelling of the interpolated-discount formula.
+    "q230_kneser_ney" ->
+      s"""WITH pr AS (SELECT pr.a AS a, pr.b AS b
+            FROM (SELECT unnest(list_transform(range(1, len(lst)), i ->
+                struct_pack(a := lst[CAST(i AS INT)], b := lst[CAST(i AS INT) + 1]))) AS pr
+              FROM (SELECT $tokSql AS lst FROM documents) WHERE len(lst) >= 2)),
+          c AS (SELECT a, b, count(*) AS cnt FROM pr GROUP BY 1, 2),
+          m AS (SELECT a, b, cnt,
+              sum(cnt) OVER (PARTITION BY a) AS ca,
+              count(*) OVER (PARTITION BY a) AS na,
+              count(*) OVER (PARTITION BY b) AS nb,
+              (SELECT count(*) FROM c) AS tt FROM c)
+          SELECT a, b, CAST(cnt AS BIGINT) AS cnt, CAST(ca AS BIGINT) AS ca,
+            CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+            round((CAST(cnt AS DOUBLE) - 0.75) / ca
+              + 0.75 * CAST(na AS DOUBLE) / ca * (CAST(nb AS DOUBLE) / tt), 6)
+              AS pkn
+          FROM m ORDER BY cnt DESC, a, b LIMIT 20""",
 
 
     // PMI rebuilt: the same bigram-type counts, window marginals and

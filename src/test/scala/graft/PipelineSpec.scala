@@ -3869,4 +3869,130 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(again.sorted.toSeq == out.sorted.toSeq)
   }
+
+  test("kneser-ney: brute bigram-type recompute; a context's mass sums to 1") {
+    val got = Pipeline.queries("q230_kneser_ney")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    val texts = Tables(spark, sf).documents.select(col("text")).collect()
+      .map(_.getString(0))
+    val pairs = texts.flatMap { t =>
+      val w = t.trim.split("\\s+")
+      if (w.length < 2) Seq.empty[(String, String)]
+      else w.sliding(2).map(p => (p(0), p(1))).toSeq
+    }
+    val cnt = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ca = pairs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val na = cnt.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nb = cnt.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tt = cnt.size.toLong
+    def pkn(a: String, b: String): Double =
+      (cnt((a, b)) - 0.75) / ca(a) +
+        0.75 * na(a) / ca(a) * (nb(b).toDouble / tt)
+    val want = cnt.toSeq.map { case ((a, b), c) => (a, b, c) }
+      .sortBy { case (a, b, c) => (-c, a, b) }.take(20)
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, (a, b, c)) =>
+      assert((g._1, g._2, g._3) == (a, b, c), s"$g vs ($a,$b,$c)")
+      assert(g._4 == ca(a) && g._5 == na(a) && g._6 == nb(b), s"marginals $g")
+      assert(math.abs(g._7 - pkn(a, b)) < 1e-6, s"pkn $g vs ${pkn(a, b)}")
+    }
+    // the KN normalization law: for a fixed context a, the seen
+    // discounted terms plus the redistributed continuation mass over
+    // the ENTIRE vocabulary sum to exactly 1
+    val a0 = got.head._1
+    val seen = cnt.keys.filter(_._1 == a0).map(_._2).toSeq
+    val sumSeen = seen.map(b => (cnt((a0, b)) - 0.75) / ca(a0)).sum
+    val sumCont = 0.75 * na(a0) / ca(a0) * (nb.values.sum.toDouble / tt)
+    assert(math.abs(sumSeen + sumCont - 1.0) < 1e-9, "context mass != 1")
+  }
+
+  test("mann-kendall: brute pairwise recompute; planted monotone series") {
+    val r = Pipeline.queries("q231_mann_kendall")(spark, sf).collect().head
+    val daily = purchasesByUser().toSeq.flatMap(_._2)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val n = daily.size
+    assert(r.getLong(0) == n)
+    val prs = for (i <- 0 until n; j <- i + 1 until n) yield (daily(i), daily(j))
+    val s = prs.map { case ((_, r1), (_, r2)) =>
+      if (r2 > r1) 1L else if (r2 < r1) -1L else 0L }.sum
+    assert(r.getLong(1) == s, s"S ${r.getLong(1)} vs $s")
+    val m = prs.size.toDouble
+    assert(math.abs(r.getDouble(2) - s / m) < 1e-6, "tau")
+    val sumT = daily.groupBy(_._2).values
+      .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+    val varS = (n.toLong * (n - 1) * (2L * n + 5) - sumT) / 18.0
+    assert(math.abs(r.getDouble(3) - varS) < 1e-4, "var_s")
+    val z = if (s > 0) (s - 1) / math.sqrt(varS)
+            else if (s < 0) (s + 1) / math.sqrt(varS) else 0.0
+    assert(math.abs(r.getDouble(4) - z) < 1e-6, "z")
+    val slopes = prs.map { case ((d1, r1), (d2, r2)) =>
+      (r2 - r1).toDouble / (d2 - d1) }.sorted
+    val mi = slopes.size
+    val sen = (slopes((mi + 1) / 2 - 1) + slopes((mi + 2) / 2 - 1)) / 2
+    assert(math.abs(r.getDouble(5) - sen) < 1e-6, "sen slope")
+
+    // planted strictly-increasing series: S = n(n-1)/2, tau = 1,
+    // every pairwise slope = 100 cents/day
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q231mk").toString
+    (0 until 6).map(d => (java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(d * 86400L)), "purchase",
+        (d + 1).toDouble))
+      .toDF("ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val p = Pipeline.queries("q231_mann_kendall")(spark, dir).collect().head
+    assert(p.getLong(0) == 6 && p.getLong(1) == 15)
+    assert(math.abs(p.getDouble(2) - 1.0) < 1e-9, "planted tau")
+    // the engine reports var_s rounded to 6dp (510/18 = 28.3(3))
+    assert(math.abs(p.getDouble(3) - 6.0 * 5 * 17 / 18) < 1e-6, "planted var")
+    assert(math.abs(p.getDouble(5) - 100.0) < 1e-9, "planted sen slope")
+  }
+
+  test("bh-fdr: brute welch z, normal tail and benjamini-hochberg cutoffs") {
+    val got = Pipeline.queries("q232_fdr_bh")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6), r.getBoolean(7)))
+    val rows = Tables(spark, sf).events
+      .select(col("event_type"), col("user_id"),
+        floor(col("value") * 100).cast("long").as("c")).collect()
+      .map(r2 => (r2.getString(0), armOfUser(r2.getLong(1)), r2.getLong(2)))
+    def phiTail(x: Double): Double = {
+      val t = 1.0 / (1.0 + 0.2316419 * math.abs(x))
+      val poly = ((((1.330274429 * t - 1.821255978) * t + 1.781477937) * t
+        - 0.356563782) * t + 0.319381530) * t
+      0.3989422804014327 * math.exp(-math.abs(x) * math.abs(x) / 2.0) * poly
+    }
+    val stats = rows.map(_._1).distinct.sorted.map { ty =>
+      val g1 = rows.filter(r2 => r2._1 == ty && r2._2 == 1L).map(_._3)
+      val g0 = rows.filter(r2 => r2._1 == ty && r2._2 == 0L).map(_._3)
+      def mean(g: Array[Long]) = g.sum.toDouble / g.length
+      def s2(g: Array[Long]) = {
+        val mm = mean(g)
+        g.map(x => (x - mm) * (x - mm)).sum / (g.length - 1.0)
+      }
+      val z = (mean(g1) - mean(g0)) /
+        math.sqrt(s2(g1) / g1.length + s2(g0) / g0.length)
+      (ty, g1.length.toLong, g0.length.toLong, z, 2.0 * phiTail(z))
+    }
+    val ranked = stats.sortBy(s => (s._5, s._1)).zipWithIndex
+      .map { case (s, i) => (s, i + 1L) }
+    val mc = ranked.size
+    val kmax = ranked.filter { case (s, rk) => s._5 <= 0.05 * rk / mc }
+      .map(_._2).maxOption.getOrElse(0L)
+    assert(got.length == mc && mc >= 2)
+    got.zip(ranked).foreach { case (g, (s, rk)) =>
+      assert(g._1 == s._1 && g._2 == s._2 && g._3 == s._3, s"$g vs $s")
+      assert(math.abs(g._4 - s._4) < 2e-6, s"z ${g._4} vs ${s._4}")
+      assert(math.abs(g._5 - s._5) < 1e-6, s"p ${g._5} vs ${s._5}")
+      assert(g._6 == rk, s"rank ${g._6} vs $rk")
+      assert(math.abs(g._7 - 0.05 * rk / mc) < 1e-9, "crit")
+      assert(g._8 == (rk <= kmax), s"significance flag at rank $rk")
+    }
+    // BH rejects a PREFIX of the p-ordered metrics, never a gap
+    val flags = got.sortBy(_._6).map(_._8)
+    assert(flags.sliding(2).forall(w => w.length < 2 || w(0) || !w(1)),
+      "rejections must be a rank prefix")
+  }
 }

@@ -84,7 +84,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "q220_source_semantic_matrix",
     // q221 crosses the verified pair set against the broadcast 4-row
     // threshold table (bounded explode, both report branches)
-    "q221_dedup_threshold_sweep")
+    "q221_dedup_threshold_sweep",
+    // q230 crosses the bigram-type table against the broadcast ONE-ROW
+    // type total (q135's bounds pattern)
+    "q230_kneser_ney",
+    // q231 crosses the |days|-bounded daily table against its own
+    // broadcast under d1 < d2 (q184's bounded pair posture) plus the
+    // 1-row readout folds — SF-invariant, never corpus rows
+    "q231_mann_kendall")
 
   test("no unplanned cartesian products or nested-loop joins") {
     val offenders = Seq.newBuilder[String]
@@ -460,7 +467,18 @@ class PlanAuditSpec extends AnyFunSuite {
     "q220_source_semantic_matrix" -> 3,
     // q221: the q31 band/verify edge build feeding two report
     // branches (per-threshold pair agg; distinct-doc agg) + sort
-    "q221_dedup_threshold_sweep" -> 4)
+    "q221_dedup_threshold_sweep" -> 4,
+    // q230: the ONE bigram-type agg + the hash(b) marginal re-shuffle
+    // (the a-marginals reuse the pair agg's partitioning); type total
+    // broadcasts, top-20 is TakeOrdered
+    "q230_kneser_ney" -> 2,
+    // q231: the ONE |days| cell agg (pair cross, tie agg and readout
+    // folds all ride broadcasts of it) + the pair table's bounded
+    // median window
+    "q231_mann_kendall" -> 2,
+    // q232: the (type, arm) moment agg + the type pivot + the
+    // |types|-row ranking windows' single partition
+    "q232_fdr_bh" -> 3)
 
   // ──────────────────────────────────────────────────────────────────
   // The round-11 `weak` bug class, pinned mechanically: no query may
@@ -576,6 +594,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q135_pmi_collocations" ->
       ("the marginal windows run on the bigram TYPE table (distinct " +
         "token pairs) — vocabulary-bounded, never corpus rows"),
+    "q230_kneser_ney" ->
+      ("q135's posture: the c(a)/N1+ marginal windows run on the " +
+        "bigram TYPE table — vocabulary-bounded, never corpus rows " +
+        "(the flag is the 'b' column name colliding with q202's " +
+        "replicate-index dim key)"),
     "q162_skyline" ->
       ("the global window runs on salt-bucket-local skyline survivors " +
         "— frontier-sized by the operator's contract (OperatorLawSpec " +
