@@ -19,6 +19,64 @@ private[graft] object SketchQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q236_kmv_unique_vocab" -> { (s, dir) =>
+      // Per-source UNIQUE vocabulary (tokens no other source has) via
+      // KMV set DIFFERENCE — the third set operation of the
+      // theta-sketch family (q121 union, q161 intersection): for each
+      // source A, build the rest-of-corpus sketch as the bottom-k of
+      // the union of every OTHER source's sketch (sketch-level merge,
+      // no token rescans — the same algebra q160 rolls up with), then
+      // |A \ rest| ~= (fraction of the union sketch's elements in A's
+      // sketch but NOT the rest sketch) * |U|_est. The curation
+      // readout behind "which source actually contributes vocabulary".
+      // When every sketch is unsaturated (ku < k) the whole estimate
+      // collapses to exact set arithmetic (q161's contract — the spec
+      // pins it); the exact unique count rides along as the audit via
+      // one token-TYPE pass (tokens with source-count 1). Scale shape:
+      // ONE distinct (source, token) scan builds sketches of 128
+      // longs/source; the rest-union and difference run entirely on
+      // the |sources|^2-bounded sketch table. The vocabulary unit is
+      // the 3-gram shingle TYPE (q160/q210's choice — the fixture's
+      // word vocab saturates at 31 shared types, so word-level unique
+      // counts are degenerately zero; gram types behave like a real
+      // tokenizer vocabulary).
+      val k = 128
+      val docs = Tables(s, dir).documents
+      val d = docs.select(col("source"),
+          explode(shingles(toks(col("text")), 3)).as("tok"))
+        .distinct()
+      val h = md5_lower64(concat(lit("kmv:"), col("tok")).cast("binary"))
+        .bitwiseAND(lit(281474976710655L))
+      val sk = d.select(col("source"), h.as("h"))
+        .groupBy(col("source")).agg(min_k(col("h"), k).as("sk"))
+      val nd = d.groupBy(col("source")).agg(count(lit(1)).as("nd_vocab"))
+      val rest = sk.as("a").join(broadcast(sk.as("b")),
+          col("a.source") =!= col("b.source"))
+        .select(col("a.source").as("source"), explode(col("b.sk")).as("h"))
+        .distinct()
+        .groupBy(col("source")).agg(min_k(col("h"), k).as("rsk"))
+      val uniq = d.groupBy(col("tok"))
+        .agg(count(lit(1)).as("ns"), min(col("source")).as("source"))
+        .filter(col("ns") === 1)
+        .groupBy(col("source")).agg(count(lit(1)).as("unique_exact"))
+      val p = sk.join(rest, Seq("source"))
+        .withColumn("un", slice(array_sort(array_union(col("sk"), col("rsk"))), 1, k))
+        .withColumn("ku", size(col("un")).cast("long"))
+        .withColumn("tau", element_at(col("un"), size(col("un"))))
+        .withColumn("ma", size(filter(col("un"),
+          x => array_contains(col("sk"), x) && !array_contains(col("rsk"), x)))
+          .cast("long"))
+      val uEst = when(col("ku") < k, col("ku").cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(281474976710656.0) / col("tau"))
+      p.join(nd, Seq("source"))
+        .join(uniq, Seq("source"), "left")
+        .na.fill(0L, Seq("unique_exact"))
+        .select(col("source"), col("nd_vocab"), col("unique_exact"),
+          round(col("ma").cast("double") / col("ku") * uEst, 3).as("unique_est"))
+        .orderBy(col("source"))
+    },
+
+
     "q105_bloom_decontaminate" -> { (s, dir) =>
       // q90's decontamination at the scale where even the eval-suite
       // shingle SET is too big to broadcast: a Bloom filter (m = 2^20
@@ -592,6 +650,49 @@ private[graft] object SketchQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    // KMV difference rebuilt: the same per-source bottom-128 sketches,
+    // the rest-union merged at sketch level, the identical
+    // only-in-A-fraction times union-estimate spelling, and the exact
+    // source-count-1 audit.
+    "q236_kmv_unique_vocab" ->
+      s"""WITH tk AS (SELECT DISTINCT source, tok FROM
+                   (SELECT source, unnest(sh) AS tok FROM
+                     (SELECT source, $shSql AS sh
+                      FROM (SELECT source, $tokSql AS lst FROM documents)
+                      WHERE len(lst) >= 3))),
+          h AS (SELECT source,
+                 CAST(md5_number_lower('kmv:' || tok) & 281474976710655 AS BIGINT) AS h
+                FROM tk),
+          sk AS (SELECT source, list_sort(list(DISTINCT h))[1:128] AS sk
+                 FROM h GROUP BY source),
+          nd AS (SELECT source, CAST(count(*) AS BIGINT) AS nd_vocab
+                 FROM tk GROUP BY source),
+          rest AS (SELECT source, list_sort(list(DISTINCT hh))[1:128] AS rsk
+                 FROM (SELECT a.source AS source, unnest(b.sk) AS hh
+                       FROM sk a JOIN sk b ON a.source <> b.source)
+                 GROUP BY source),
+          p AS (SELECT sk.source, sk.sk, rest.rsk,
+                  list_sort(list_distinct(list_concat(sk.sk, rest.rsk)))[1:128]
+                    AS un
+                FROM sk JOIN rest USING (source)),
+          c AS (SELECT source, len(un) AS ku, un[len(un)] AS tau,
+                  len(list_filter(un, x -> list_contains(sk, x)
+                                       AND NOT list_contains(rsk, x))) AS ma
+                FROM p),
+          e AS (SELECT source, ku, ma,
+                  CASE WHEN ku < 128 THEN CAST(ku AS DOUBLE)
+                       ELSE 35747322042253312.0 / tau END AS u_est
+                FROM c),
+          ux AS (SELECT source, CAST(count(*) AS BIGINT) AS unique_exact
+                 FROM (SELECT tok, min(source) AS source,
+                       count(*) AS ns FROM tk GROUP BY tok) t
+                 WHERE ns = 1 GROUP BY source)
+          SELECT e.source, nd.nd_vocab,
+            coalesce(ux.unique_exact, 0) AS unique_exact,
+            round(CAST(ma AS DOUBLE) / ku * u_est, 3) AS unique_est
+          FROM e JOIN nd USING (source) LEFT JOIN ux USING (source)
+          ORDER BY source""",
+
     "q178_joinsize_sketch" ->
       s"""WITH tk AS (SELECT unnest($tokSql) AS tok FROM documents),
           hs AS (SELECT

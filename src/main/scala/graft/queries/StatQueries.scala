@@ -143,6 +143,52 @@ private[graft] object StatQueries {
     },
 
 
+    "q233_qte_deciles" -> { (s, dir) =>
+      // Quantile treatment effects — the distributional readout a mean
+      // contrast (q207/q214) hides: cut EACH arm into deciles of
+      // per-user post-period purchase cents (exact per-arm order
+      // statistics via operators/Quantile grouped by arm + the ANSI
+      // ntile closed form — never a global sort), then contrast
+      // matching deciles: qte_d = mean(y | treat, decile d) -
+      // mean(y | ctrl, decile d). Detects "the treatment only moved
+      // the top decile" effects. Same "ab:" arms as the rest of the
+      // experiment family so the readouts compose. All means are
+      // single divisions of exact integer cent sums. Scale shape: ONE
+      // user shuffle, Quantile's bounded-cell passes (|groups| = 2),
+      // then a 10-cell decile agg.
+      val arm = pmod(md5_lower64(concat(lit("ab:"),
+        col("user_id").cast("string")).cast("binary")), lit(2L))
+      val perUser = Tables(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), floor(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("user_id")).agg(sum(col("c")).as("y"))
+        .withColumn("arm", arm)
+      graft.operators.Quantile.ranked(perUser, Seq("arm"), "y", "user_id",
+          rankCol = "i")
+        .withColumn("decile",
+          graft.operators.Quantile.ntileOf("i", "n", 10).cast("long"))
+        .groupBy(col("decile"))
+        .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_ctrl"),
+          sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy1"),
+          sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sy0"))
+        // a one-arm decile is possible only at planted-tiny cohorts;
+        // report null means there rather than divide by zero (q214's
+        // guard discipline)
+        .select(col("decile"), col("n_treat"), col("n_ctrl"),
+          when(col("n_treat") > 0,
+            round(col("sy1").cast("double") / col("n_treat"), 6))
+            .as("mean_treat"),
+          when(col("n_ctrl") > 0,
+            round(col("sy0").cast("double") / col("n_ctrl"), 6))
+            .as("mean_ctrl"),
+          when(col("n_treat") > 0 && col("n_ctrl") > 0,
+            round(col("sy1").cast("double") / col("n_treat")
+              - col("sy0").cast("double") / col("n_ctrl"), 6)).as("qte"))
+        .orderBy(col("decile"))
+    },
+
+
     "q171_holdout_ab" -> { (s, dir) =>
       // Deterministic holdout experiment readout: users split 50/50 by
       // id-hash (q83's assignment — no RNG, any engine or re-run
@@ -648,6 +694,39 @@ private[graft] object StatQueries {
             round(crit_raw, 6) AS crit,
             p_rank <= coalesce(kmax, 0) AS significant
           FROM km ORDER BY p_rank""",
+
+    // QTE rebuilt: the same per-user cents, a plain per-arm ntile(10)
+    // window standing in for the Quantile operator (a genuine
+    // cross-check — different construction, same exact deciles), the
+    // same guarded integer-mean contrasts.
+    "q233_qte_deciles" ->
+      """WITH pu AS (SELECT user_id,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y,
+               CAST(md5_number_lower('ab:' || user_id) & 1 AS BIGINT) AS arm
+             FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+          d AS (SELECT y, arm,
+                 CAST(ntile(10) OVER (PARTITION BY arm
+                   ORDER BY y, user_id) AS BIGINT) AS decile
+                FROM pu),
+          g AS (SELECT decile,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_treat,
+                 CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ctrl,
+                 CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+                   AS sy1,
+                 CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+                   AS sy0
+                FROM d GROUP BY decile)
+          SELECT decile, n_treat, n_ctrl,
+            CASE WHEN n_treat > 0
+              THEN round(CAST(sy1 AS DOUBLE) / n_treat, 6) END AS mean_treat,
+            CASE WHEN n_ctrl > 0
+              THEN round(CAST(sy0 AS DOUBLE) / n_ctrl, 6) END AS mean_ctrl,
+            CASE WHEN n_treat > 0 AND n_ctrl > 0
+              THEN round(CAST(sy1 AS DOUBLE) / n_treat
+                - CAST(sy0 AS DOUBLE) / n_ctrl, 6) END AS qte
+          FROM g ORDER BY decile""",
 
     "q171_holdout_ab" ->
       """WITH u AS (SELECT user_id,

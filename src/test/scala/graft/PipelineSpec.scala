@@ -3995,4 +3995,90 @@ class PipelineSpec extends SparkSpec {
     assert(flags.sliding(2).forall(w => w.length < 2 || w(0) || !w(1)),
       "rejections must be a rank prefix")
   }
+
+  test("qte deciles: brute per-arm ANSI ntile recompute") {
+    val got = Pipeline.queries("q233_qte_deciles")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    val per = purchasesByUser().toSeq
+      .map { case (u, evs) => (u, evs.map(_._2).sum, armOfUser(u)) }
+    def deciles(rows: Seq[(Long, Long, Long)]): Seq[(Long, Long)] = {
+      // (y, decile) under ANSI ntile(10) over (y asc, user asc)
+      val sorted = rows.sortBy(t => (t._2, t._1))
+      val n = sorted.size; val q = n / 10; val rem = n % 10
+      sorted.zipWithIndex.map { case ((_, y, _), i) =>
+        val rn = i + 1
+        val d = if (rn <= rem * (q + 1)) (rn + q) / (q + 1)
+                else rem + (rn - rem * (q + 1) + q - 1) / q
+        (y, d.toLong)
+      }
+    }
+    val all = per.groupBy(_._3).toSeq.flatMap { case (arm, rows) =>
+      deciles(rows).map { case (y, d) => (arm, y, d) } }
+    val byD = all.groupBy(_._3).toSeq.sortBy(_._1)
+    assert(got.length == byD.length && got.length == 10)
+    got.zip(byD).foreach { case (g, (d, rows)) =>
+      val t = rows.filter(_._1 == 1L); val c = rows.filter(_._1 == 0L)
+      assert(g._1 == d && g._2 == t.size && g._3 == c.size, s"counts $g")
+      val mt = if (t.nonEmpty) Some(t.map(_._2).sum.toDouble / t.size) else None
+      val mc = if (c.nonEmpty) Some(c.map(_._2).sum.toDouble / c.size) else None
+      def close(a: Option[Double], b: Option[Double]) = (a, b) match {
+        case (Some(x), Some(y)) => math.abs(x - y) < 1e-6
+        case (None, None) => true
+        case _ => false
+      }
+      assert(close(g._4, mt) && close(g._5, mc), s"means $g vs ($mt, $mc)")
+      val qte = for (x <- mt; y <- mc) yield x - y
+      assert(close(g._6, qte), s"qte $g vs $qte")
+    }
+  }
+
+  test("kmv unique-vocab: brute sketch-difference recompute; unsaturated = exact") {
+    val got = Pipeline.queries("q236_kmv_unique_vocab")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val rows = Tables(spark, sf).documents
+      .select(col("source"), shingles(tokens(col("text")), 3).as("sh"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    val bySrc = rows.groupBy(_._1).view
+      .mapValues(_.flatMap(_._2).toSet).toMap
+    def h(t: String): Long =
+      graft.expressions.SketchKernel.md5Lower64(s"kmv:$t".getBytes("UTF-8")) &
+        281474976710655L
+    val sk = bySrc.view.mapValues(s => s.map(h).toSeq.sorted.take(128)).toMap
+    assert(got.nonEmpty && got.exists(_._3 > 0), "fixture has unique grams")
+    got.foreach { case (src, nd, uniq, est) =>
+      assert(nd == bySrc(src).size.toLong, s"$src vocab")
+      val exactUniq = bySrc(src).count(t =>
+        !bySrc.exists { case (o, s2) => o != src && s2.contains(t) })
+      assert(uniq == exactUniq, s"$src unique: $uniq vs $exactUniq")
+      val rest = sk.filter(_._1 != src).values.flatten.toSet.toSeq
+        .sorted.take(128)
+      val un = (sk(src) ++ rest).distinct.sorted.take(128)
+      val ku = un.size
+      val ma = un.count(x => sk(src).contains(x) && !rest.contains(x))
+      val uEst = if (ku < 128) ku.toDouble
+                 else 127.0 * 281474976710656.0 / un.last
+      val want = ma.toDouble / ku * uEst
+      assert(math.abs(est - want) < 1e-3, s"$src: est $est vs brute $want")
+    }
+    // planted UNSATURATED corpus (6 gram types < k): the sketches hold
+    // the full sets, so the difference estimate is exactly the answer
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q236kmv").toString
+    Seq((1L, "a b c d e f", "s1"), (2L, "c d e f g h", "s2"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val p = Pipeline.queries("q236_kmv_unique_vocab")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // each source: 4 grams, 2 shared ("c d e", "d e f") -> 2 unique
+    assert(p.map(_._1).toSeq == Seq("s1", "s2"))
+    p.foreach { case (srcN, nd, uniq, est) =>
+      assert(nd == 4L && uniq == 2L, s"$srcN $nd $uniq")
+      assert(math.abs(est - 2.0) < 1e-9, s"$srcN est $est not exact")
+    }
+  }
 }

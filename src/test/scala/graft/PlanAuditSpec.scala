@@ -91,7 +91,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // q231 crosses the |days|-bounded daily table against its own
     // broadcast under d1 < d2 (q184's bounded pair posture) plus the
     // 1-row readout folds — SF-invariant, never corpus rows
-    "q231_mann_kendall")
+    "q231_mann_kendall",
+    // q236 pairs the <=|sources|-row sketch table against its own
+    // broadcast under src != src (q161's matrix posture); grams only
+    // ever shuffle in the one scan that built the sketches
+    "q236_kmv_unique_vocab")
 
   test("no unplanned cartesian products or nested-loop joins") {
     val offenders = Seq.newBuilder[String]
@@ -478,7 +482,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "q231_mann_kendall" -> 2,
     // q232: the (type, arm) moment agg + the type pivot + the
     // |types|-row ranking windows' single partition
-    "q232_fdr_bh" -> 3)
+    "q232_fdr_bh" -> 3,
+    // q233: the per-user rollup + Quantile's per-arm exact-rank passes
+    // + the 10-cell decile agg (q214's rider posture)
+    "q233_qte_deciles" -> 9,
+    // q236: the ONE distinct (source, gram) scan -> sketch agg; the
+    // rest-union explode/agg and the unique-gram audit run at sketch /
+    // gram-TYPE scale
+    "q236_kmv_unique_vocab" -> 4)
 
   // ──────────────────────────────────────────────────────────────────
   // The round-11 `weak` bug class, pinned mechanically: no query may
