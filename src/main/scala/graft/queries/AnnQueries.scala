@@ -276,6 +276,57 @@ private[graft] object AnnQueries {
     },
 
 
+    "q234_kcenter_coreset" -> { (s, dir) =>
+      // CORESET selection by Gonzalez's greedy k-center (Gonzalez 1985;
+      // the 2-approximation for max-min diversity) — the curation pass
+      // behind "pick k maximally-diverse exemplars" for active
+      // labeling / eval-set seeding, complementary to q114's k-means
+      // (which minimizes mean distortion; k-center minimizes the WORST
+      // point's distance). Same fixed-point discipline as q114:
+      // vectors quantize to 1e-4-resolution longs up front, every
+      // distance is an exact integer, ties break to the lowest vec_id,
+      // so the selection is bit-reproducible under any partitioning.
+      // Driver control loop (q114's shape): seed = lowest vec_id, then
+      // each round ONE map-only min-distance pass with the selected
+      // centers as plan literals (<= k*d = 512 longs) + a
+      // TakeOrdered-1 argmax — the driver moves k rows total, never
+      // data. radius2 = max-min distance after admitting each center:
+      // the coverage guarantee, monotone non-increasing (spec-pinned).
+      // 100 TB shape: k scans (cache the quantized projection to make
+      // them cheap), zero shuffles beyond the 1-row argmax reductions.
+      val k = 8
+      val q = Tables(s, dir).embeddings
+        .select(col("vec_id"), transform(col("embedding"),
+          x => floor(x.cast("double") * 10000d + 0.5).cast("long")).as("qv"))
+      def dmin(cents: Seq[Array[Long]]): Column = {
+        val ds = cents.map(v =>
+          aggregate(zip_with(col("qv"), lit(v), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x))
+        if (ds.size == 1) ds.head else least(ds: _*)
+      }
+      val sel: Seq[(Long, Long)] = memo(kcenterSel, dir) {
+        val seed = q.orderBy(col("vec_id")).limit(1).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).head
+        val cents = scala.collection.mutable.ArrayBuffer(seed)
+        val radii = scala.collection.mutable.ArrayBuffer.empty[Long]
+        for (i <- 0 until k) {
+          val far = q.withColumn("dm", dmin(cents.map(_._2).toSeq))
+            .orderBy(col("dm").desc, col("vec_id")).limit(1).collect().head
+          radii += far.getLong(2)
+          if (i < k - 1)
+            cents += ((far.getLong(0), far.getSeq[Long](1).toArray))
+        }
+        cents.map(_._1).zip(radii).toSeq
+      }
+      val session = s
+      import session.implicits._
+      sel.zipWithIndex
+        .map { case ((id, r2), i) => (i.toLong, id, r2) }
+        .toDF("sel_order", "vec_id", "radius2")
+        .orderBy(col("sel_order"))
+    },
+
+
     "q114_kmeans_cluster" -> { (s, dir) =>
       // Topic clustering over embeddings: Lloyd's k-means, the
       // canonical ITERATIVE workload (MLlib KMeans has the same plan
@@ -940,6 +991,11 @@ private[graft] object AnnQueries {
     // quantize to 1e-4 longs, init = k lowest vec_ids, centroid update
     // = per-dim rounded integer mean, tie-break lowest cluster id.
     "q114_kmeans_cluster" -> kmeansAsgSql,
+
+    // Greedy k-center unrolled as 8 CTE rounds over the same quantized
+    // integer vectors — seed, min-distance updates, lowest-id argmax
+    // ties, per-round coverage radius (Pipeline.kcenterOracleSql).
+    "q234_kcenter_coreset" -> kcenterOracleSql(8),
 
 
     // q57's cell/probe machinery turned cross-set: corpus = rk 1 cell,

@@ -111,6 +111,16 @@ object Pipeline {
   private[queries] val pqCodebook = new java.util.concurrent.ConcurrentHashMap[
     String, IndexedSeq[Seq[(Long, Array[Long])]]]()
 
+  /** q234's greedy k-center selection [(vec_id, radius2-after)] in
+    * selection order, memoized per dataset dir (same immutability
+    * assumption as embCount). Gonzalez's greedy is a driver control
+    * loop like q114's Lloyd iterations: each round is one map-only
+    * min-distance pass (centers as plan literals) + a TakeOrdered-1
+    * argmax — only k (vec_id, dist, vector) rows ever reach the
+    * driver, never data rows. */
+  private[queries] val kcenterSel =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Long)]]()
+
   /** q155's (mean, top-component) pair, memoized per dataset dir (same
     * immutability assumption as embCount). The power iteration is a
     * driver control loop on the 64x64 INTEGER covariance matrix — only
@@ -1129,6 +1139,38 @@ object Pipeline {
     * types in OUTPUT only. The normalizing division keeps both operands
     * nonnegative (sign split) so DuckDB `//` and the engine's BigInt
     * truncating division agree on negatives. */
+  /** q234's oracle: Gonzalez's greedy k-center unrolled as CTE rounds
+    * (the bpeCtes discipline) over the same 1e-4-quantized integer
+    * vectors — seed = lowest vec_id, then k-1 rounds of (min-distance
+    * update, argmax with lowest-id ties), radius-after tracked per
+    * round by a max over the running min-distance table. */
+  private[queries] def kcenterOracleSql(k: Int): String = {
+    def dist(p: String, c: String) =
+      s"CAST(list_sum(list_transform(range(1, 65), i -> " +
+        s"($p.v[CAST(i AS INT)] - $c.v[CAST(i AS INT)]) * " +
+        s"($p.v[CAST(i AS INT)] - $c.v[CAST(i AS INT)]))) AS BIGINT)"
+    val rounds = (1 until k).map { i =>
+      val (pd, ps) = (s"d${i - 1}", s"s$i")
+      s"""$ps AS (SELECT vec_id, v FROM d${i - 1}
+            ORDER BY dm DESC, vec_id LIMIT 1),
+          d$i AS (SELECT $pd.vec_id, $pd.v,
+            least($pd.dm, ${dist(pd, ps)}) AS dm FROM $pd, $ps),
+          r$i AS (SELECT CAST(max(dm) AS BIGINT) AS r FROM d$i)"""
+    }.mkString(",\n          ")
+    val branches = (0 until k).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS sel_order,
+            (SELECT vec_id FROM s$i) AS vec_id,
+            (SELECT r FROM r$i) AS radius2""").mkString("\n          UNION ALL ")
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings),
+        s0 AS (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 1),
+        d0 AS (SELECT q.vec_id, q.v, ${dist("q", "s0")} AS dm FROM q, s0),
+        r0 AS (SELECT CAST(max(dm) AS BIGINT) AS r FROM d0),
+        $rounds
+        SELECT * FROM ($branches) ORDER BY sel_order"""
+  }
+
   private[queries] def pcaOracleSql(rounds: Int): String = {
     // MATERIALIZED everywhere a CTE is referenced more than once (or
     // sits under the iteration chain): DuckDB INLINES plain CTEs, so

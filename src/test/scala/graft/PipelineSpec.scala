@@ -4081,4 +4081,35 @@ class PipelineSpec extends SparkSpec {
       assert(math.abs(est - 2.0) < 1e-9, s"$srcN est $est not exact")
     }
   }
+
+  test("k-center coreset: brute greedy recompute; coverage radius shrinks") {
+    val got = Pipeline.queries("q234_kcenter_coreset")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val vecs = Tables(spark, sf).embeddings
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") * 10000d + 0.5).cast("long")).as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val centers = scala.collection.mutable.ArrayBuffer(vecs.head)
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val dm = scala.collection.mutable.Map(
+      vecs.map(v => v._1 -> d2(v._2, vecs.head._2)): _*)
+    for (i <- 0 until 8) {
+      // argmax of running min-distance, lowest vec_id on ties
+      val far = vecs.maxBy(v => (dm(v._1), -v._1))
+      want += ((i.toLong, centers(i)._1, dm(far._1)))
+      if (i < 7) {
+        centers += far
+        vecs.foreach(v => dm(v._1) = math.min(dm(v._1), d2(v._2, far._2)))
+      }
+    }
+    assert(got.toSeq == want.toSeq,
+      s"greedy selection diverges:\n${got.toSeq}\nvs\n${want.toSeq}")
+    // the coverage guarantee: admitting each center never widens the
+    // max-min radius
+    got.map(_._3).sliding(2).foreach(w =>
+      if (w.length == 2) assert(w(1) <= w(0), "radius must shrink"))
+  }
 }

@@ -489,7 +489,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // q236: the ONE distinct (source, gram) scan -> sketch agg; the
     // rest-union explode/agg and the unique-gram audit run at sketch /
     // gram-TYPE scale
-    "q236_kmv_unique_vocab" -> 4)
+    "q236_kmv_unique_vocab" -> 4,
+    // q234: the k selection scans are memoized control-plane (q114's
+    // posture — map-only passes + TakeOrdered-1 argmaxes); the emitted
+    // plan is the 8-row local table + its presentation sort
+    "q234_kcenter_coreset" -> 1)
 
   // ──────────────────────────────────────────────────────────────────
   // The round-11 `weak` bug class, pinned mechanically: no query may
