@@ -244,9 +244,12 @@ object MediaKernel {
     * with the decode made real). Null for anything that isn't a
     * well-formed 16-bit PCM WAV; a sampleless payload yields an empty
     * array. A short tail window reports its true n_samples. */
-  def wavPcmWindows(p: Array[Byte], win: Long)
-      : org.apache.spark.sql.catalyst.util.ArrayData = {
-    if (p == null || win <= 0 || !isWav(p)) return null
+  /** Shared RIFF walk for the PCM decoders: locate the 16-bit PCM data
+    * chunk (odd-size padding, LIST chunks skipped — byte 44 is NOT
+    * assumed). Returns (dataPos, nSamples) or null for anything that
+    * is not a well-formed 16-bit PCM WAV. */
+  private def pcm16Data(p: Array[Byte]): (Int, Int) = {
+    if (p == null || !isWav(p)) return null
     var pos = 12
     var bits = -1
     var dataPos = -1
@@ -266,7 +269,15 @@ object MediaKernel {
       pos += 8 + sz.toInt + (sz.toInt & 1)
     }
     if (bits != 16 || dataPos < 0) return null
-    val n = (dataLen / 2).toInt
+    (dataPos, (dataLen / 2).toInt)
+  }
+
+  def wavPcmWindows(p: Array[Byte], win: Long)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (win <= 0) return null
+    val pd = pcm16Data(p)
+    if (pd == null) return null
+    val (dataPos, n) = pd
     val w = math.min(win, Int.MaxValue.toLong).toInt
     val nWin = if (n == 0) 0 else (n + w - 1) / w
     val rows = new Array[Any](nWin)
@@ -287,6 +298,50 @@ object MediaKernel {
       val r = new GenericInternalRow(4)
       r.setLong(0, widx.toLong); r.setLong(1, cnt.toLong)
       r.setLong(2, sum); r.setLong(3, peak)
+      rows(widx) = r
+      widx += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  /** Noisiness featurizer over the same decoded PCM stream: per window
+    * of `win` samples the exact integer (window_id, n_samples, zcr,
+    * sum_abs) — zero-crossing count (a crossing at sample k > 0 iff
+    * sign-class(v_k) != sign-class(v_{k-1}) with v >= 0 as the
+    * non-negative class; crossings belong to the window holding k,
+    * including across a window boundary) and L1 loudness. ZCR is the
+    * spectral-free voiced/unvoiced discriminator; with sum_abs it is
+    * the triage a silence-trim / noise-filter pass runs before any
+    * codec-specific analysis. Same RIFF-walk contract as
+    * [[wavPcmWindows]]: null for non-PCM-16 payloads. */
+  def wavZcrWindows(p: Array[Byte], win: Long)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (win <= 0) return null
+    val pd = pcm16Data(p)
+    if (pd == null) return null
+    val (dataPos, n) = pd
+    val w = math.min(win, Int.MaxValue.toLong).toInt
+    val nWin = if (n == 0) 0 else (n + w - 1) / w
+    val rows = new Array[Any](nWin)
+    var widx = 0
+    while (widx < nWin) {
+      var k = widx * w
+      val end = math.min(n, k + w)
+      val cnt = end - k
+      var zcr = 0L
+      var l1 = 0L
+      while (k < end) {
+        val v = le16(p, dataPos + 2 * k).toShort.toLong
+        if (k > 0) {
+          val pv = le16(p, dataPos + 2 * (k - 1)).toShort.toLong
+          if ((v >= 0) != (pv >= 0)) zcr += 1
+        }
+        l1 += math.abs(v)
+        k += 1
+      }
+      val r = new GenericInternalRow(4)
+      r.setLong(0, widx.toLong); r.setLong(1, cnt.toLong)
+      r.setLong(2, zcr); r.setLong(3, l1)
       rows(widx) = r
       widx += 1
     }

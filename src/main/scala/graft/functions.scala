@@ -437,6 +437,21 @@ object functions {
     call(MD, ArrayType(pcmWindowType, containsNull = false), "wavPcmWindows",
       Seq(Bin, LongType), payload, win)
 
+  val zcrWindowType: StructType = StructType(Seq(
+    StructField("window_id", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("zcr", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false)))
+
+  /** Noisiness featurizer over the same decoded PCM: per window the
+    * exact integer (window_id, n_samples, zcr, sum_abs) — sign
+    * crossings (crossing at k iff sign-class differs from sample k-1,
+    * owned by k's window) and L1 loudness. Null for non-PCM-16
+    * payloads. */
+  def wav_zcr_windows(payload: Column, win: Column): Column =
+    call(MD, ArrayType(zcrWindowType, containsNull = false), "wavZcrWindows",
+      Seq(Bin, LongType), payload, win)
+
   /** Complete 8-bit grayscale PNG builder: real zlib-deflated IDAT
     * carrying deterministic pixels (pixel (x,y) = ((seed + y*w + x) *
     * 2654435761) mod 256 + bright mod 256 — oracle-recomputable),

@@ -842,6 +842,58 @@ private[graft] object CurationQueries {
     },
 
 
+    "q235_audio_noisiness" -> { (s, dir) =>
+      // Per-doc audio NOISINESS triage over the same real PCM decode
+      // as q205: zero-crossing rate (the spectral-free voiced/
+      // unvoiced/noise discriminator — white noise crosses ~every
+      // other sample, voiced speech far less) + L1 loudness per
+      // 32-sample window, rolled up per doc with the exact transition
+      // ratio zcr/(n-1) and the count of high-ZCR windows (zcr*32 >=
+      // 30*n_samples — the planted stride flips sign on ~95% of
+      // steps, so a 30/32 cutoff is the one that actually
+      // discriminates between windows on this corpus; a natural-audio
+      // deployment would set it near 1/2). The pass a pipeline runs to drop
+      // noise-only audio before any expensive codec-specific analysis.
+      // The rollup is a HIGHER-ORDER fold over the kernel's window
+      // array — no explode, no groupBy: the whole query is ONE
+      // map-only codegen'd projection per doc (q205's zero-shuffle
+      // posture, the plan audit pins it), and the oracle recomputes
+      // every crossing arithmetically from (doc_id, n_chars) via the
+      // planted sample formula — independent of both codec sides.
+      val sr = when(col("doc_id") % 5 === 0, 8000L)
+        .when(col("doc_id") % 5 === 1, 16000L)
+        .when(col("doc_id") % 5 === 2, 22050L)
+        .when(col("doc_id") % 5 === 3, 44100L).otherwise(48000L)
+      val ch = when(col("doc_id") % 4 === 1, 1L).otherwise(2L)
+      val payload = wav_encode_pcm(sr.cast("long"), ch.cast("long"),
+        (col("n_chars") % 200 + 17).cast("long"), col("doc_id"))
+      val ws = col("ws")
+      Tables(s, dir).documents
+        .filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"), payload.as("payload"))
+        .select(col("doc_id"),
+          wav_zcr_windows(col("payload"), lit(32L)).as("ws"))
+        .select(col("doc_id"),
+          size(ws).cast("long").as("n_windows"),
+          aggregate(ws, lit(0L),
+            (acc, w) => acc + w.getField("n_samples")).as("n_samples"),
+          aggregate(ws, lit(0L),
+            (acc, w) => acc + w.getField("zcr")).as("zcr"),
+          size(filter(ws, w =>
+              w.getField("zcr") * 32 >= w.getField("n_samples") * 30))
+            .cast("long").as("high_zcr_windows"),
+          array_max(transform(ws, w => w.getField("sum_abs")))
+            .as("max_window_l1"))
+        .select(col("doc_id"), col("n_windows"), col("n_samples"),
+          col("zcr"), col("high_zcr_windows"), col("max_window_l1"),
+          when(col("n_samples") > 1,
+            round(col("zcr").cast("double") / (col("n_samples") - 1L), 6))
+            .as("noisiness"))
+    },
+
+
     "q222_image_row_stats" -> { (s, dir) =>
       // REAL image pixel decode + per-scanline luminance features —
       // the image twin of q205's audio arm, closing the multimodal
@@ -1204,6 +1256,39 @@ private[graft] object CurationQueries {
               AS channels,
             window_id, n_samples, sum_amp, peak_amp
           FROM w ORDER BY doc_id, window_id""",
+
+    // Noisiness rebuilt sample-by-sample: the same planted PCM stream,
+    // a lag window for the sign crossings (owned by the window holding
+    // the RIGHT sample, first sample never a crossing), window rollup,
+    // doc rollup, identical transition-ratio spelling.
+    "q235_audio_noisiness" ->
+      """WITH a AS (SELECT doc_id, n_chars % 200 + 17 AS ns FROM documents
+               WHERE doc_id % 3 = 1),
+          s AS (SELECT doc_id, unnest(range(0, ns)) AS k FROM a),
+          v AS (SELECT doc_id, k, k // 32 AS window_id,
+                 ((doc_id + k) * 2654435761) % 65536 - 32768 AS v FROM s),
+          x AS (SELECT doc_id, window_id, v,
+                 lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv FROM v),
+          w AS (SELECT doc_id, window_id,
+                 CAST(count(*) AS BIGINT) AS n_samples,
+                 CAST(sum(CASE WHEN pv IS NOT NULL
+                     AND ((v >= 0) <> (pv >= 0)) THEN 1 ELSE 0 END)
+                   AS BIGINT) AS zcr,
+                 CAST(sum(abs(v)) AS BIGINT) AS l1
+                FROM x GROUP BY doc_id, window_id),
+          d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+                 CAST(sum(n_samples) AS BIGINT) AS n_samples,
+                 CAST(sum(zcr) AS BIGINT) AS zcr,
+                 CAST(sum(CASE WHEN zcr * 32 >= n_samples * 30
+                   THEN 1 ELSE 0 END) AS BIGINT) AS high_zcr_windows,
+                 CAST(max(l1) AS BIGINT) AS max_window_l1
+                FROM w GROUP BY doc_id)
+          SELECT doc_id, n_windows, n_samples, zcr, high_zcr_windows,
+            max_window_l1,
+            CASE WHEN n_samples > 1
+              THEN round(CAST(zcr AS DOUBLE) / (n_samples - 1), 6) END
+              AS noisiness
+          FROM d ORDER BY doc_id""",
 
     "q201_neyman_allocation" ->
       """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,

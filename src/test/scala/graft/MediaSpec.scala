@@ -127,6 +127,42 @@ class MediaSpec extends AnyFunSuite {
     assert(naive != sample(10L, 0L), "fixed 44-byte offset misreads this file")
   }
 
+  private def zcrWindows(p: Array[Byte], win: Long): Seq[(Long, Long, Long, Long)] = {
+    val a = graft.expressions.MediaKernel.wavZcrWindows(p, win)
+    if (a == null) null
+    else (0 until a.numElements()).map { i =>
+      val r = a.getStruct(i, 4)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+  }
+
+  test("wavZcrWindows matches a sample-formula recompute (incl. LIST layout)") {
+    def sample(seed: Long, k: Long): Long =
+      ((seed + k) * 2654435761L) % 65536L - 32768L
+    // seed 10 (10 % 7 == 3) exercises the LIST layout; 70 samples at
+    // win 32 gives a short tail window and cross-window crossings
+    for (seed <- Seq(5L, 10L)) {
+      val p = graft.expressions.MediaKernel.wavEncodePcm(8000L, 1L, 70L, seed)
+      val got = zcrWindows(p, 32L)
+      val want = (0L until 70L).map { k =>
+        val cross = k > 0 &&
+          (sample(seed, k) >= 0) != (sample(seed, k - 1) >= 0)
+        (k / 32L, if (cross) 1L else 0L, math.abs(sample(seed, k)))
+      }.groupBy(_._1).toSeq.sortBy(_._1).map { case (w, ks) =>
+        (w, ks.size.toLong, ks.map(_._2).sum, ks.map(_._3).sum)
+      }
+      assert(got == want, s"seed $seed independent recompute")
+      assert(got.map(_._3).sum > 0, "planted stride must cross somewhere")
+    }
+    // same rejection contract as wavPcmWindows
+    assert(zcrWindows(realPng, 32L) == null)
+    assert(zcrWindows(null, 32L) == null)
+    assert(zcrWindows(graft.expressions.MediaKernel.wavEncodePcm(
+      8000L, 1L, 8L, 1L), 0L) == null)
+    assert(zcrWindows(graft.expressions.MediaKernel.wavEncodePcm(
+      8000L, 1L, 0L, 1L), 32L) == Seq.empty)
+  }
+
   test("wavPcmWindows rejects what it cannot decode") {
     // 8-bit PCM header (realWav): not 16-bit -> null
     assert(pcmWindows(realWav, 32L) == null)

@@ -4112,4 +4112,35 @@ class PipelineSpec extends SparkSpec {
     got.map(_._3).sliding(2).foreach(w =>
       if (w.length == 2) assert(w(1) <= w(0), "radius must shrink"))
   }
+
+  test("audio noisiness: every ZCR window recomputed without either codec side") {
+    val got = Pipeline.queries("q235_audio_noisiness")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    def sample(seed: Long, k: Long): Long =
+      ((seed + k) * 2654435761L) % 65536L - 32768L
+    val meta = Tables(spark, sf).documents
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1) % 200 + 17)).sortBy(_._1)
+    assert(got.length == meta.length && got.nonEmpty)
+    got.zip(meta).foreach { case (g, (id, ns)) =>
+      assert(g._1 == id)
+      val wins = (0L until ns).map { k =>
+        val cross = k > 0 && (sample(id, k) >= 0) != (sample(id, k - 1) >= 0)
+        (k / 32L, if (cross) 1L else 0L, math.abs(sample(id, k)))
+      }.groupBy(_._1).toSeq.map { case (_, ks) =>
+        (ks.size.toLong, ks.map(_._2).sum, ks.map(_._3).sum)
+      }
+      val zcr = wins.map(_._2).sum
+      assert(g._2 == wins.size && g._3 == ns && g._4 == zcr, s"doc $id $g")
+      assert(g._5 == wins.count(w => w._2 * 32 >= w._1 * 30), s"doc $id flags")
+      assert(g._6 == wins.map(_._3).max, s"doc $id l1")
+      assert(math.abs(g._7 - zcr.toDouble / (ns - 1)) < 1e-6, s"doc $id ratio")
+    }
+    // the high-ZCR cutoff genuinely discriminates on this corpus
+    assert(got.exists(_._5 == 0) || got.exists(g => g._5 < g._2),
+      "flag must not be all-ones")
+    assert(got.exists(_._5 > 0), "flag must not be all-zeros")
+  }
 }

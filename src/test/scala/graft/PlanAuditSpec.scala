@@ -419,6 +419,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q204_capture_recapture" -> 2,
     // q205: map-only encode/decode/explode; only the presentation sort
     "q205_audio_pcm_windows" -> 1,
+    // q235: the ZCR rollup is a higher-order fold over the kernel's
+    // window array — no explode, no groupBy; only the presentation sort
+    "q235_audio_noisiness" -> 1,
     // q123/q222: map-only PNG decode + bounded explode; only the
     // presentation sort (the image twins of q205)
     "q123_multimodal_frames" -> 1,
