@@ -17,7 +17,81 @@ import org.apache.spark.sql.functions._
 private[graft] object AnnQueries {
   import Pipeline._
 
+  /** The cell-bounded kNN graph shared by q187's structure audit and
+    * q237's label propagation: each vector's top-3 cosine neighbors
+    * WITHIN its q57 IVF cell, symmetrized to distinct undirected
+    * (u < v) edges. K grows with the corpus (max(16, n/125) —
+    * q93/q115's contract) so cells stay ~constant-size; edges are
+    * <= 3 per vertex by construction. */
+  private def knnEdges(s: SparkSession, dir: String): DataFrame = {
+    val n: Long = memo(embCount, dir)(Tables(s, dir).embeddings.count())
+    val K = math.max(16L, n / 125L).toInt
+    val e = Tables(s, dir).embeddings
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+      .withColumn("ss", dot_product(col("emb"), col("emb")))
+      .withColumn("cell", ivf_cell(col("emb"), K))
+    val nb = e.select(col("cell").as("b_cell"), col("vec_id").as("nb"),
+      col("emb").as("ne"), col("ss").as("nss"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nb"))
+    val knn = e.join(nb, col("cell") === col("b_cell") &&
+        col("vec_id") =!= col("nb"))
+      .withColumn("cos", round(dot_product(col("emb"), col("ne")) /
+        (sqrt(col("ss")) * sqrt(col("nss"))), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("vec_id"), col("nb"))
+    knn.select(least(col("vec_id"), col("nb")).as("u"),
+      greatest(col("vec_id"), col("nb")).as("v")).distinct()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q237_label_propagation" -> { (s, dir) =>
+      // Semi-supervised label propagation over the kNN graph (Zhu &
+      // Ghahramani 2002's hard-clamp variant) — the curation pass that
+      // stretches a small labeled seed set across an unlabeled corpus:
+      // seeds (vec_id mod 5 == 0) keep their label; for T = 3 rounds,
+      // every still-unlabeled vertex adopts the MAJORITY label among
+      // its labeled neighbors (count desc, lowest label on ties —
+      // deterministic), and once assigned a label is frozen. Output
+      // per vector: seed flag, propagated label, the round it arrived,
+      // and the audit against the held-back true label — the
+      // readout that says whether embedding geometry actually carries
+      // the label signal. Scale shape: the kNN edge build (q187's,
+      // shared) is localCheckpoint'ed ONCE so the three rounds reuse
+      // it (q218's iterative-loop discipline); each round is one
+      // degree-bounded join + a <= 6-rows-per-vertex majority window;
+      // the frontier table the rounds grow holds (id, label, round)
+      // triples only.
+      val edges = knnEdges(s, dir)
+      val adj = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint()
+      val emb = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("label").as("true_label"))
+      var labeled = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("true_label").as("lab"),
+          lit(0L).as("round_assigned"))
+      for (t <- 1 to 3) {
+        val votes = adj
+          .join(labeled.select(col("vec_id").as("v"), col("lab")), Seq("v"))
+          .join(labeled.select(col("vec_id").as("u")), Seq("u"), "left_anti")
+          .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("c"))
+        val wv = Window.partitionBy(col("u"))
+          .orderBy(col("c").desc, col("lab"))
+        val newly = votes.withColumn("rk", row_number().over(wv))
+          .filter(col("rk") === 1)
+          .select(col("u").as("vec_id"), col("lab"),
+            lit(t.toLong).as("round_assigned"))
+        labeled = labeled.union(newly)
+      }
+      emb.join(labeled, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("round_assigned") === 0L, lit(false)).as("is_seed"),
+          col("lab").as("label_out"), col("round_assigned"),
+          when(col("lab").isNotNull, col("lab") === col("true_label"))
+            .as("correct"))
+        .orderBy(col("vec_id"))
+    },
 
     "q216_mrl_truncation" -> { (s, dir) =>
       // Matryoshka-style truncation audit (Kusupati et al. 2022): how
@@ -445,31 +519,16 @@ private[graft] object AnnQueries {
       // Triangle counting is the standard closed-wedge form: each
       // triangle closes exactly 3 wedges (one per center), so
       // n_triangles = closed/3 — integer on both engines.
-      val n: Long = memo(embCount, dir)(Tables(s, dir).embeddings.count())
-      val K = math.max(16L, n / 125L).toInt
-      val e = Tables(s, dir).embeddings
-        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
-        .withColumn("ss", dot_product(col("emb"), col("emb")))
-        .withColumn("cell", ivf_cell(col("emb"), K))
-      val nb = e.select(col("cell").as("b_cell"), col("vec_id").as("nb"),
-        col("emb").as("ne"), col("ss").as("nss"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nb"))
-      val knn = e.join(nb, col("cell") === col("b_cell") &&
-          col("vec_id") =!= col("nb"))
-        .withColumn("cos", round(dot_product(col("emb"), col("ne")) /
-          (sqrt(col("ss")) * sqrt(col("nss"))), 6))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("vec_id"), col("nb"))
-      val edges = knn.select(least(col("vec_id"), col("nb")).as("u"),
-        greatest(col("vec_id"), col("nb")).as("v")).distinct()
+      val edges = knnEdges(s, dir)
       val adj = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val wedges = adj.as("x").join(adj.as("y"),
           col("x.u") === col("y.u") && col("x.v") < col("y.v"))
         .select(col("x.v").as("b"), col("y.v").as("c"))
       val closed = wedges.join(edges,
         wedges("b") === edges("u") && wedges("c") === edges("v"))
-      val nv = e.agg(count(lit(1)).cast("long").as("n_vertices"))
+      val nv = Tables(s, dir).embeddings
+        .select(col("vec_id"))
+        .agg(count(lit(1)).cast("long").as("n_vertices"))
       val ne2 = edges.agg(count(lit(1)).cast("long").as("n_edges"))
       val nw = wedges.agg(count(lit(1)).cast("long").as("n_wedges"))
       val nc = closed.agg(count(lit(1)).cast("long").as("n_closed"))
@@ -738,33 +797,7 @@ private[graft] object AnnQueries {
 
   def oracle: Map[String, String] = Map(
     "q187_knn_graph_stats" ->
-      s"""WITH kk AS (SELECT greatest(16, CAST(count(*) // 125 AS INT)) AS nk
-                      FROM embeddings),
-          c AS (SELECT vec_id, embedding,
-             list_transform(range(0, nk), k -> list_sum(list_transform(range(1, 65), i ->
-               CAST(embedding[i] AS DOUBLE) *
-               (CASE WHEN (md5_number_lower('ivf_' || k::VARCHAR || '_' || (i-1)::VARCHAR) & 1) = 1
-                     THEN 1.0 ELSE -1.0 END)))) AS dots,
-             list_sum(list_transform(range(1, 65), i ->
-               CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS ss
-           FROM embeddings, kk),
-          d AS (SELECT vec_id, embedding, ss, k, dots[CAST(k AS INT) + 1] AS dot
-                FROM (SELECT vec_id, embedding, ss, dots, unnest(range(0, nk)) AS k
-                      FROM c, kk)),
-          asg AS (SELECT vec_id, embedding, ss, k AS cell,
-                  row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, k) AS rk FROM d),
-          data AS (SELECT vec_id, embedding, ss, cell FROM asg WHERE rk = 1),
-          knn AS (SELECT vec_id, nb FROM (
-              SELECT a.vec_id, b.vec_id AS nb,
-                row_number() OVER (PARTITION BY a.vec_id ORDER BY
-                  round(list_sum(list_transform(range(1, 65), i ->
-                      CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-                    / (sqrt(a.ss) * sqrt(b.ss)), 6) DESC, b.vec_id) AS rk
-              FROM data a JOIN data b
-                ON a.cell = b.cell AND a.vec_id <> b.vec_id)
-            WHERE rk <= 3),
-          edges AS (SELECT DISTINCT least(vec_id, nb) AS u,
-                      greatest(vec_id, nb) AS v FROM knn),
+      s"""WITH $knnEdgesCtes,
           adj AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
           wedges AS (SELECT x.v AS b, y.v AS c FROM adj x JOIN adj y
                      ON x.u = y.u AND x.v < y.v),
@@ -991,6 +1024,11 @@ private[graft] object AnnQueries {
     // quantize to 1e-4 longs, init = k lowest vec_ids, centroid update
     // = per-dim rounded integer mean, tie-break lowest cluster id.
     "q114_kmeans_cluster" -> kmeansAsgSql,
+
+    // Hard-clamp label propagation unrolled: the shared kNN CTEs, then
+    // three majority-vote rounds with frozen assignments
+    // (Pipeline.labelPropOracleSql).
+    "q237_label_propagation" -> labelPropOracleSql(3),
 
     // Greedy k-center unrolled as 8 CTE rounds over the same quantized
     // integer vectors — seed, min-distance updates, lowest-id argmax

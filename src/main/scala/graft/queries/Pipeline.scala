@@ -1139,6 +1139,66 @@ object Pipeline {
     * types in OUTPUT only. The normalizing division keeps both operands
     * nonnegative (sign split) so DuckDB `//` and the engine's BigInt
     * truncating division agree on negatives. */
+  /** The kNN-graph CTE prefix shared by the q187 and q237 oracles:
+    * adaptive-K IVF cells, within-cell top-3 cosine neighbors,
+    * symmetrized distinct (u < v) `edges` — the SQL mirror of
+    * AnnQueries.knnEdges. */
+  private[queries] val knnEdgesCtes: String =
+    """kk AS (SELECT greatest(16, CAST(count(*) // 125 AS INT)) AS nk
+                      FROM embeddings),
+          c AS (SELECT vec_id, embedding,
+             list_transform(range(0, nk), k -> list_sum(list_transform(range(1, 65), i ->
+               CAST(embedding[i] AS DOUBLE) *
+               (CASE WHEN (md5_number_lower('ivf_' || k::VARCHAR || '_' || (i-1)::VARCHAR) & 1) = 1
+                     THEN 1.0 ELSE -1.0 END)))) AS dots,
+             list_sum(list_transform(range(1, 65), i ->
+               CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS ss
+           FROM embeddings, kk),
+          d AS (SELECT vec_id, embedding, ss, k, dots[CAST(k AS INT) + 1] AS dot
+                FROM (SELECT vec_id, embedding, ss, dots, unnest(range(0, nk)) AS k
+                      FROM c, kk)),
+          asg AS (SELECT vec_id, embedding, ss, k AS cell,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, k) AS rk FROM d),
+          data AS (SELECT vec_id, embedding, ss, cell FROM asg WHERE rk = 1),
+          knn AS (SELECT vec_id, nb FROM (
+              SELECT a.vec_id, b.vec_id AS nb,
+                row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                  round(list_sum(list_transform(range(1, 65), i ->
+                      CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                    / (sqrt(a.ss) * sqrt(b.ss)), 6) DESC, b.vec_id) AS rk
+              FROM data a JOIN data b
+                ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+            WHERE rk <= 3),
+          edges AS (SELECT DISTINCT least(vec_id, nb) AS u,
+                      greatest(vec_id, nb) AS v FROM knn)"""
+
+  /** q237's oracle: the hard-clamp label-propagation rounds unrolled
+    * as CTEs over [[knnEdgesCtes]] — frozen seeds, per-round majority
+    * vote with (count desc, lowest label) ties, never-relabeled. */
+  private[queries] def labelPropOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { t =>
+      s"""v$t AS (SELECT a.u, l.lab, count(*) AS c
+            FROM adj a JOIN l${t - 1} l ON a.v = l.vec_id
+            WHERE a.u NOT IN (SELECT vec_id FROM l${t - 1})
+            GROUP BY a.u, l.lab),
+          n$t AS (SELECT u AS vec_id, lab, CAST($t AS BIGINT) AS round_assigned
+            FROM (SELECT u, lab, row_number() OVER (PARTITION BY u
+                ORDER BY c DESC, lab) AS rk FROM v$t) WHERE rk = 1),
+          l$t AS (SELECT * FROM l${t - 1} UNION ALL SELECT * FROM n$t)"""
+    }.mkString(",\n          ")
+    s"""WITH $knnEdgesCtes,
+          adj AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+          l0 AS (SELECT vec_id, label AS lab, CAST(0 AS BIGINT) AS round_assigned
+                 FROM embeddings WHERE vec_id % 5 = 0),
+          $steps
+          SELECT e.vec_id,
+            coalesce(lf.round_assigned = 0, FALSE) AS is_seed,
+            lf.lab AS label_out, lf.round_assigned,
+            CASE WHEN lf.lab IS NOT NULL THEN lf.lab = e.label END AS correct
+          FROM embeddings e LEFT JOIN l$rounds lf ON e.vec_id = lf.vec_id
+          ORDER BY e.vec_id"""
+  }
+
   /** q234's oracle: Gonzalez's greedy k-center unrolled as CTE rounds
     * (the bpeCtes discipline) over the same 1e-4-quantized integer
     * vectors — seed = lowest vec_id, then k-1 rounds of (min-distance

@@ -4143,4 +4143,75 @@ class PipelineSpec extends SparkSpec {
       "flag must not be all-ones")
     assert(got.exists(_._5 > 0), "flag must not be all-zeros")
   }
+
+  test("label propagation: brute kNN graph + 3 frozen majority rounds") {
+    val got = Pipeline.queries("q237_label_propagation")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getBoolean(4))))
+    val embs = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getInt(2)))
+    val n = embs.length
+    val bigK = math.max(16L, n.toLong / 125L).toInt
+    def md5s(x: String): Long =
+      graft.expressions.SketchKernel.md5Lower64(x.getBytes("UTF-8"))
+    val rad = Array.tabulate(bigK, 64)((k, i) =>
+      if ((md5s(s"ivf_${k}_${i}") & 1L) == 1L) 1.0 else -1.0)
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ss = embs.map(e => e._2.map(x => x * x).sum)
+    val cellOf = embs.map { case (_, v, _) =>
+      (0 until bigK).map(k => ((0 until 64).map(i => v(i) * rad(k)(i)).sum, k))
+        .maxBy(t => (t._1, -t._2))._2
+    }
+    // within-cell top-3 cosine neighbors, symmetrized
+    val idx = embs.indices
+    val edges = scala.collection.mutable.Set.empty[(Long, Long)]
+    idx.groupBy(cellOf).values.foreach { members =>
+      members.foreach { a =>
+        val top = members.filter(_ != a).map { b =>
+          val dot = (0 until 64).map(i => embs(a)._2(i) * embs(b)._2(i)).sum
+          (round6(dot / (math.sqrt(ss(a)) * math.sqrt(ss(b)))), embs(b)._1)
+        }.sortBy(t => (-t._1, t._2)).take(3)
+        top.foreach { case (_, nb) =>
+          val (u, v) = (math.min(embs(a)._1, nb), math.max(embs(a)._1, nb))
+          edges += ((u, v))
+        }
+      }
+    }
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val trueLab = embs.map(e => e._1 -> e._3).toMap
+    val lab = scala.collection.mutable.Map.empty[Long, (Int, Long)]
+    embs.map(_._1).filter(_ % 5 == 0).foreach(id => lab(id) = (trueLab(id), 0L))
+    for (t <- 1 to 3) {
+      val newly = adj.keys.filter(!lab.contains(_)).flatMap { u =>
+        val votes = adj(u).filter(lab.contains).map(v => lab(v)._1)
+        if (votes.isEmpty) None
+        else {
+          val best = votes.groupBy(identity).toSeq
+            .map { case (l, vs) => (l, vs.size) }
+            .maxBy { case (l, c) => (c, -l) }._1
+          Some(u -> ((best, t.toLong)))
+        }
+      }.toSeq
+      newly.foreach { case (u, lv) => lab(u) = lv }
+    }
+    assert(got.length == n)
+    got.foreach { case (id, isSeed, labOut, rnd, correct) =>
+      assert(isSeed == (id % 5 == 0 && lab.contains(id) && lab(id)._2 == 0L),
+        s"seed flag $id")
+      val want = lab.get(id)
+      assert(labOut == want.map(_._1) && rnd == want.map(_._2),
+        s"vertex $id: ($labOut, $rnd) vs $want")
+      assert(correct == want.map(_._1 == trueLab(id)), s"audit $id")
+    }
+    // propagation genuinely spreads: some non-seed gets labeled in
+    // round 1 and assignments never change once made (frozen by
+    // construction of the brute — the engine must agree everywhere)
+    assert(got.exists(g => !g._2 && g._4.contains(1L)), "round-1 spread")
+  }
 }

@@ -496,7 +496,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // q234: the k selection scans are memoized control-plane (q114's
     // posture — map-only passes + TakeOrdered-1 argmaxes); the emitted
     // plan is the 8-row local table + its presentation sort
-    "q234_kcenter_coreset" -> 1)
+    "q234_kcenter_coreset" -> 1,
+    // q237: the kNN edge build is localCheckpoint'ed once; the three
+    // vote rounds reuse its partitioning (per-round vote join + agg +
+    // degree-bounded majority window over the checkpoint) + the final
+    // audit join + presentation sort
+    "q237_label_propagation" -> 10)
 
   // ──────────────────────────────────────────────────────────────────
   // The round-11 `weak` bug class, pinned mechanically: no query may
