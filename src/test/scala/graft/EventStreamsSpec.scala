@@ -1396,4 +1396,62 @@ class EventStreamsSpec extends SparkSpec {
     val f3 = SkylineStreams.skylineOf(f2 ++ Seq(Pt(6, 250, 30), Pt(7, 250, 30)))
     assert(f3 == List(Pt(3, 300, 25), Pt(6, 250, 30), Pt(7, 250, 30)), s"got $f3")
   }
+
+  test("streaming sliding-HLL registers match batch q228 through the estimator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SketchStreams.RegCell
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // rebuild q228's day-grain registers independently: md5 of
+    // "uhll:<user>", idx = low 8 bits, rho = 49 - bitlength(next 48)
+    val e = Tables(spark, sf).events
+    val du = e.select(Tables.eventMicros(e).as("tus"), col("user_id"))
+      .collect().map(r => (r.getLong(0) / 86400000000L, r.getLong(1))).distinct
+    def reg(u: Long): (Long, Long) = {
+      val h = graft.expressions.SketchKernel.md5Lower64(
+        s"uhll:$u".getBytes("UTF-8"))
+      val w = (h >>> 8) & 281474976710655L
+      (h & 255L, 49L - (64 - java.lang.Long.numberOfLeadingZeros(w)))
+    }
+    val byDayIdx = du.map { case (d, u) => val (i, r) = reg(u); ((d, i), r) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val days = du.map(_._1).distinct.sorted
+    val cells = for (d <- days; i <- 0L until 256L)
+      yield RegCell(d, i, byDayIdx.get((d, i)))
+    val cut = days.length / 2
+    val (c1, c2) = cells.partition(_.day < days(cut))
+    val in = MemoryStream[RegCell]
+    val q = graft.streaming.SketchStreams.slidingHllRegisters(in.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hll7_out").start()
+    try {
+      in.addData(c1: _*)
+      q.processAllAvailable()
+      // re-deliver the last pre-cut day's lanes, then the rest: the
+      // max-merge must absorb the duplicates without re-emission
+      in.addData(c1.filter(_.day == days(cut - 1)) ++ c2: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT day, idx, mm FROM hll7_out")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      assert(got.size == days.length * 256, "one emission per spine cell")
+      // fold the emitted trailing registers through q121's estimator
+      val est = days.map { d =>
+        val mms = (0L until 256L).map(i => got((d, i)))
+        val s = mms.map(_.fold(562949953421312L)(m =>
+          1L << (49 - m).toInt)).sum
+        val nr = mms.count(_.isDefined)
+        val raw = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+          562949953421312.0 / s
+        val v = if (nr < 256 && raw <= 640.0)
+          256.0 * math.log(256.0 / (256 - nr)) else raw
+        d -> BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+      val batch = graft.queries.Pipeline
+        .queries("q228_sliding_hll_7day")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+      assert(est.keySet == batch.keySet)
+      est.foreach { case (d, v) =>
+        assert(v == batch(d), s"day $d: $v vs ${batch(d)}") }
+    } finally q.stop()
+  }
 }
