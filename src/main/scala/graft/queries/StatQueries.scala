@@ -189,6 +189,96 @@ private[graft] object StatQueries {
     },
 
 
+    "q238_cmh_strata" -> { (s, dir) =>
+      // Cochran-Mantel-Haenszel common-effect readout across strata
+      // (Mantel & Haenszel 1959) — the confounding guard when the
+      // conversion base rate varies by stratum (here day-of-week):
+      // per-stratum 2x2 arm-by-conversion tables from the "ab:" arms,
+      // the Mantel-Haenszel common odds ratio sum(a*d/T)/sum(b*c/T),
+      // and the CMH chi-square (sum(a - E))^2 / sum(V) with
+      // E = n1(a+c)/T and the hypergeometric V (no continuity
+      // correction — one fixed spelling both engines). Every cell is
+      // an exact integer; the per-stratum odds ratio rides beside the
+      // pooled readout so Simpson-style sign flips are visible.
+      // Scale shape: the event stream collapses to |dow| x 2 cells in
+      // ONE map-side-combined agg; the pooled sums are windows over
+      // the 7-row stratum table.
+      val arm = pmod(md5_lower64(concat(lit("ab:"),
+        col("user_id").cast("string")).cast("binary")), lit(2L))
+      val e = Tables(s, dir).events
+      val cells = e.select(arm.as("arm"), Tables.eventMicros(e).as("tus"),
+          (col("event_type") === "purchase").as("conv"))
+        .select(col("arm"), expr("(tus DIV 86400000000) % 7").as("dow"),
+          col("conv"))
+        .groupBy(col("dow"), col("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("conv"), 1L).otherwise(0L)).as("cv"))
+        .groupBy(col("dow"))
+        .agg(max(when(col("arm") === 1, col("cv"))).as("a"),
+          max(when(col("arm") === 1, col("n") - col("cv"))).as("b"),
+          max(when(col("arm") === 0, col("cv"))).as("c"),
+          max(when(col("arm") === 0, col("n") - col("cv"))).as("d"))
+      def dd(c: Column) = c.cast("double")
+      val t = col("a") + col("b") + col("c") + col("d")
+      val wAll = Window.orderBy(col("dow"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      cells
+        .withColumn("aE", dd(col("a")) -
+          dd(col("a") + col("b")) * dd(col("a") + col("c")) / t)
+        .withColumn("v", dd(col("a") + col("b")) * dd(col("c") + col("d")) *
+          dd(col("a") + col("c")) * dd(col("b") + col("d")) /
+          (dd(t) * dd(t) * dd(t - 1L)))
+        .withColumn("num", sum(col("aE")).over(wAll))
+        .withColumn("den", sum(col("v")).over(wAll))
+        .withColumn("orn", sum(dd(col("a")) * dd(col("d")) / t).over(wAll))
+        .withColumn("ord", sum(dd(col("b")) * dd(col("c")) / t).over(wAll))
+        .select(col("dow"), col("a"), col("b"), col("c"), col("d"),
+          round(dd(col("a")) * dd(col("d")) /
+            (dd(col("b")) * dd(col("c"))), 6).as("or_stratum"),
+          round(col("orn") / col("ord"), 6).as("or_mh"),
+          round(col("num") * col("num") / col("den"), 6).as("cmh_chi2"))
+        .orderBy(col("dow"))
+    },
+
+
+    "q239_jackknife_ratio" -> { (s, dir) =>
+      // Leave-one-day-out jackknife CI for a RATIO metric (Quenouille/
+      // Tukey; the delta-method-free uncertainty readout ratio metrics
+      // need because E[X/Y] != E[X]/E[Y]): the corpus metric is mean
+      // purchase cents per purchase EVENT, replicates drop one day at
+      // a time — r_i = (S - s_i)/(N - n_i) from exact integer day
+      // cells — and var_jk = (k-1)/k * sum((r_i - rbar)^2). Output:
+      // the point ratio, jackknife SE and the +/-1.959964*se interval.
+      // Scale shape: ONE |days| cell agg; the totals ride a broadcast
+      // 1-row cross and every replicate is arithmetic on the bounded
+      // day table (the bootstrap-free sibling of q202).
+      val e = Tables(s, dir).events
+      val daily = e.filter(col("event_type") === "purchase")
+        .select(Tables.eventMicros(e).as("tus"),
+          floor(col("value") * 100).cast("long").as("c"))
+        .select(expr("tus DIV 86400000000").as("day"), col("c"))
+        .groupBy(col("day"))
+        .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
+      val tot = daily.agg(sum(col("s")).as("ts"), sum(col("n")).as("tn"),
+        count(lit(1)).as("k"))
+      val reps = daily.crossJoin(broadcast(tot))
+        .select(col("day"), col("ts"), col("tn"), col("k"),
+          ((col("ts") - col("s")).cast("double") / (col("tn") - col("n")))
+            .as("r"))
+      val rb = reps.agg(avg(col("r")).as("rbar"))
+      val se = sqrt((col("k_days") - 1L).cast("double") / col("k_days") *
+        col("ssq"))
+      reps.crossJoin(broadcast(rb))
+        .agg(max(col("k")).as("k_days"),
+          max(col("ts").cast("double") / col("tn")).as("ratio_raw"),
+          sum((col("r") - col("rbar")) * (col("r") - col("rbar"))).as("ssq"))
+        .select(col("k_days"), round(col("ratio_raw"), 6).as("ratio"),
+          round(se, 6).as("se_jackknife"),
+          round(col("ratio_raw") - lit(1.959964) * se, 6).as("ci_lo"),
+          round(col("ratio_raw") + lit(1.959964) * se, 6).as("ci_hi"))
+    },
+
+
     "q171_holdout_ab" -> { (s, dir) =>
       // Deterministic holdout experiment readout: users split 50/50 by
       // id-hash (q83's assignment — no RNG, any engine or re-run
@@ -727,6 +817,75 @@ private[graft] object StatQueries {
               THEN round(CAST(sy1 AS DOUBLE) / n_treat
                 - CAST(sy0 AS DOUBLE) / n_ctrl, 6) END AS qte
           FROM g ORDER BY decile""",
+
+    // CMH rebuilt: the same (dow, arm) integer cells, the identical
+    // E/V/odds-ratio double spellings, pooled sums as full-frame
+    // windows over the 7-row stratum table.
+    "q238_cmh_strata" ->
+      """WITH p AS (SELECT CAST(md5_number_lower('ab:' || user_id) & 1
+                   AS BIGINT) AS arm,
+                 (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 7 AS dow,
+                 event_type = 'purchase' AS conv
+                FROM events),
+          c2 AS (SELECT dow, arm, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS cv
+                 FROM p GROUP BY 1, 2),
+          g AS (SELECT dow,
+                 max(CASE WHEN arm = 1 THEN cv END) AS a,
+                 max(CASE WHEN arm = 1 THEN n - cv END) AS b,
+                 max(CASE WHEN arm = 0 THEN cv END) AS c,
+                 max(CASE WHEN arm = 0 THEN n - cv END) AS d
+                FROM c2 GROUP BY dow),
+          x AS (SELECT *, a + b + c + d AS t FROM g),
+          y AS (SELECT *,
+                 CAST(a AS DOUBLE) - CAST(a + b AS DOUBLE)
+                   * CAST(a + c AS DOUBLE) / t AS aE,
+                 CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                   * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+                   / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+                     * CAST(t - 1 AS DOUBLE)) AS v,
+                 CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / t AS orn_i,
+                 CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / t AS ord_i
+                FROM x),
+          z AS (SELECT *,
+                 sum(aE) OVER () AS num, sum(v) OVER () AS den,
+                 sum(orn_i) OVER () AS orn, sum(ord_i) OVER () AS ord
+                FROM y)
+          SELECT dow, a, b, c, d,
+            round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+              / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)), 6) AS or_stratum,
+            round(orn / ord, 6) AS or_mh,
+            round(num * num / den, 6) AS cmh_chi2
+          FROM z ORDER BY dow""",
+
+    // Jackknife rebuilt: the same day cells, leave-one-out replicate
+    // ratios from integer totals, the identical (k-1)/k variance and
+    // z-interval double spellings.
+    "q239_jackknife_ratio" ->
+      """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+               AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          tot AS (SELECT CAST(sum(s) AS BIGINT) AS ts,
+                  CAST(sum(n) AS BIGINT) AS tn,
+                  CAST(count(*) AS BIGINT) AS k FROM daily),
+          reps AS (SELECT ts, tn, k,
+                  CAST(ts - s AS DOUBLE) / (tn - n) AS r
+                 FROM daily, tot),
+          rb AS (SELECT avg(r) AS rbar FROM reps),
+          agg AS (SELECT max(k) AS k_days,
+                  max(CAST(ts AS DOUBLE) / tn) AS ratio_raw,
+                  sum((r - rbar) * (r - rbar)) AS ssq
+                 FROM reps, rb)
+          SELECT k_days, round(ratio_raw, 6) AS ratio,
+            round(sqrt(CAST(k_days - 1 AS DOUBLE) / k_days * ssq), 6)
+              AS se_jackknife,
+            round(ratio_raw - 1.959964
+              * sqrt(CAST(k_days - 1 AS DOUBLE) / k_days * ssq), 6) AS ci_lo,
+            round(ratio_raw + 1.959964
+              * sqrt(CAST(k_days - 1 AS DOUBLE) / k_days * ssq), 6) AS ci_hi
+          FROM agg""",
 
     "q171_holdout_ab" ->
       """WITH u AS (SELECT user_id,

@@ -4214,4 +4214,65 @@ class PipelineSpec extends SparkSpec {
     // construction of the brute — the engine must agree everywhere)
     assert(got.exists(g => !g._2 && g._4.contains(1L)), "round-1 spread")
   }
+
+  test("cmh strata: brute 2x2 tables; MH odds ratio inside the stratum range") {
+    val got = Pipeline.queries("q238_cmh_strata")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    val e = Tables(spark, sf).events
+    val rows = e.select(col("user_id"), Tables.eventMicros(e).as("tus"),
+        (col("event_type") === "purchase").as("conv")).collect()
+      .map(r => (armOfUser(r.getLong(0)), (r.getLong(1) / 86400000000L) % 7,
+        r.getBoolean(2)))
+    val strata = rows.groupBy(_._2).toSeq.sortBy(_._1).map { case (dow, rs) =>
+      val a = rs.count(r => r._1 == 1L && r._3).toLong
+      val b = rs.count(r => r._1 == 1L && !r._3).toLong
+      val c = rs.count(r => r._1 == 0L && r._3).toLong
+      val d = rs.count(r => r._1 == 0L && !r._3).toLong
+      (dow, a, b, c, d)
+    }
+    assert(got.map(g => (g._1, g._2, g._3, g._4, g._5)).toSeq == strata)
+    val num = strata.map { case (_, a, b, c, d) =>
+      val t = (a + b + c + d).toDouble
+      a.toDouble - (a + b).toDouble * (a + c) / t }.sum
+    val den = strata.map { case (_, a, b, c, d) =>
+      val t = (a + b + c + d).toDouble
+      (a + b).toDouble * (c + d) * (a + c) * (b + d) / (t * t * (t - 1)) }.sum
+    val orn = strata.map { case (_, a, b, c, d) =>
+      a.toDouble * d / (a + b + c + d) }.sum
+    val ord = strata.map { case (_, a, b, c, d) =>
+      b.toDouble * c / (a + b + c + d) }.sum
+    got.foreach { g =>
+      assert(math.abs(g._7 - orn / ord) < 1e-5, s"or_mh ${g._7}")
+      assert(math.abs(g._8 - num * num / den) < 1e-4, s"cmh ${g._8}")
+    }
+    // the MH common odds ratio is a positive-weighted average of the
+    // stratum odds ratios, so it must lie within their range
+    val ors = got.map(_._6)
+    assert(got.head._7 >= ors.min - 1e-9 && got.head._7 <= ors.max + 1e-9,
+      "or_mh outside stratum range")
+  }
+
+  test("jackknife ratio: brute leave-one-day-out recompute; CI brackets") {
+    val r = Pipeline.queries("q239_jackknife_ratio")(spark, sf).collect().head
+    val daily = purchasesByUser().toSeq.flatMap(_._2)
+      .groupBy(_._1).view.mapValues(v => (v.map(_._2).sum, v.size.toLong))
+      .toSeq.sortBy(_._1)
+    val k = daily.size
+    val ts = daily.map(_._2._1).sum
+    val tn = daily.map(_._2._2).sum
+    assert(r.getLong(0) == k)
+    val ratio = ts.toDouble / tn
+    assert(math.abs(r.getDouble(1) - ratio) < 1e-6)
+    val reps = daily.map { case (_, (s2, n2)) =>
+      (ts - s2).toDouble / (tn - n2) }
+    val rbar = reps.sum / k
+    val ssq = reps.map(x => (x - rbar) * (x - rbar)).sum
+    val se = math.sqrt((k - 1).toDouble / k * ssq)
+    assert(math.abs(r.getDouble(2) - se) < 1e-5, s"se ${r.getDouble(2)} vs $se")
+    assert(math.abs(r.getDouble(3) - (ratio - 1.959964 * se)) < 1e-4)
+    assert(math.abs(r.getDouble(4) - (ratio + 1.959964 * se)) < 1e-4)
+    assert(r.getDouble(3) <= r.getDouble(1) && r.getDouble(1) <= r.getDouble(4),
+      "CI must bracket the point estimate")
+  }
 }

@@ -95,7 +95,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // q236 pairs the <=|sources|-row sketch table against its own
     // broadcast under src != src (q161's matrix posture); grams only
     // ever shuffle in the one scan that built the sketches
-    "q236_kmv_unique_vocab")
+    "q236_kmv_unique_vocab",
+    // q239 crosses the |days|-row replicate table against broadcast
+    // ONE-ROW totals/mean (q124's bounds pattern)
+    "q239_jackknife_ratio")
 
   test("no unplanned cartesian products or nested-loop joins") {
     val offenders = Seq.newBuilder[String]
@@ -501,7 +504,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // vote rounds reuse its partitioning (per-round vote join + agg +
     // degree-bounded majority window over the checkpoint) + the final
     // audit join + presentation sort
-    "q237_label_propagation" -> 10)
+    "q237_label_propagation" -> 10,
+    // q238: the (dow, arm) cell agg + the dow pivot + the 7-row
+    // pooled-sum windows' single partition
+    "q238_cmh_strata" -> 3,
+    // q239: the ONE |days| cell agg; totals/mean/replicates all ride
+    // broadcasts of it + the 1-row folds
+    "q239_jackknife_ratio" -> 4)
 
   // ──────────────────────────────────────────────────────────────────
   // The round-11 `weak` bug class, pinned mechanically: no query may
