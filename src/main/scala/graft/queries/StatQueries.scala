@@ -279,6 +279,73 @@ private[graft] object StatQueries {
     },
 
 
+    "q240_matched_att" -> { (s, dir) =>
+      // Caliper-matched treatment effect on the treated (the
+      // propensity-matching estimator family, Rosenbaum & Rubin 1983;
+      // here 1-D exact matching on the pre-period covariate): each
+      // treat user matches its NEAREST control by pre-period spend
+      // within a pre-registered caliper of 1000 cents (ties: lowest
+      // control id), unmatched treat users are dropped and REPORTED —
+      // the readout q214's stratification approximates with 5 coarse
+      // bins. ATT = mean(y_treat - y_matched_control) over exact
+      // integer cents. Scale shape: ONE user shuffle to (x, y, arm);
+      // the candidate join is bucket-banded — controls replicate to
+      // the 3 caliper-width buckets a within-caliper treat could
+      // occupy, the join is EQUI on bucket, and best-match selection
+      // is a map-side-combinable min(struct) AGGREGATION (not a
+      // window), so a hot covariate value cannot serialize a task.
+      // Never all-pairs: candidates are caliper-bounded by
+      // construction.
+      val cal = 1000L
+      val e = Tables(s, dir).events
+      val days = e.select(Tables.eventMicros(e).as("tus"))
+        .select(expr("tus DIV 86400000000").as("day"))
+        .agg(min(col("day")), max(col("day"))).head
+      val cutoff = (days.getLong(0) + days.getLong(1) + 1L) / 2L
+      val arm = pmod(md5_lower64(concat(lit("ab:"),
+        col("user_id").cast("string")).cast("binary")), lit(2L))
+      val perUser = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), Tables.eventMicros(e).as("tus"),
+          floor(col("value") * 100).cast("long").as("c"))
+        .select(col("user_id"),
+          (expr("tus DIV 86400000000") >= cutoff).as("post"), col("c"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(!col("post"), col("c")).otherwise(0L)).as("x"),
+          sum(when(col("post"), col("c")).otherwise(0L)).as("y"))
+        .withColumn("arm", arm)
+      val treat = perUser.filter(col("arm") === 1)
+        .select(col("user_id").as("tid"), col("x").as("tx"), col("y").as("ty"))
+      val ctrl = perUser.filter(col("arm") === 0)
+        .select(col("user_id").as("cid"), col("x").as("cx"), col("y").as("cy"))
+        .select(col("cid"), col("cx"), col("cy"),
+          explode(array(lit(-1L), lit(0L), lit(1L))).as("d"))
+        .select(col("cid"), col("cx"), col("cy"),
+          (expr(s"cx DIV $cal") + col("d")).as("bkt"))
+      val best = treat
+        .join(ctrl, expr(s"tx DIV $cal") === col("bkt") &&
+          abs(col("tx") - col("cx")) <= cal)
+        .groupBy(col("tid"))
+        .agg(max(col("ty")).as("ty"),
+          min(struct(abs(col("tx") - col("cx")).as("adx"),
+            col("cid").as("cid"), col("cy").as("cy"))).as("m"))
+      val nT = perUser.agg(
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_ctrl"))
+      best
+        .agg(count(lit(1)).as("n_matched"),
+          sum(col("ty") - col("m.cy")).as("sdiff"),
+          sum(col("m.adx")).as("sadx"))
+        .crossJoin(broadcast(nT))
+        .select(col("n_treat"), col("n_ctrl"), col("n_matched"),
+          round(col("n_matched").cast("double") / col("n_treat"), 6)
+            .as("match_rate"),
+          round(col("sdiff").cast("double") / col("n_matched"), 6)
+            .as("att_cents"),
+          round(col("sadx").cast("double") / col("n_matched"), 6)
+            .as("mean_abs_dx"))
+    },
+
+
     "q171_holdout_ab" -> { (s, dir) =>
       // Deterministic holdout experiment readout: users split 50/50 by
       // id-hash (q83's assignment — no RNG, any engine or re-run
@@ -817,6 +884,53 @@ private[graft] object StatQueries {
               THEN round(CAST(sy1 AS DOUBLE) / n_treat
                 - CAST(sy0 AS DOUBLE) / n_ctrl, 6) END AS qte
           FROM g ORDER BY decile""",
+
+    // Matching rebuilt: the same per-user cells, controls replicated to
+    // their 3 caliper buckets, the same equi-join + caliper filter, a
+    // row_number standing in for the engine's min(struct) best-match
+    // (identical (adx, cid) order), exact integer difference sums.
+    "q240_matched_att" ->
+      """WITH d AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+               AS mn, max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS mx
+             FROM events),
+          p AS (SELECT user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                   >= (SELECT (mn + mx + 1) // 2 FROM d) AS post,
+                 CAST(floor(value * 100) AS BIGINT) AS c
+                FROM events WHERE event_type = 'purchase'),
+          pu AS (SELECT user_id,
+                  CAST(sum(CASE WHEN NOT post THEN c ELSE 0 END) AS BIGINT)
+                    AS x,
+                  CAST(sum(CASE WHEN post THEN c ELSE 0 END) AS BIGINT) AS y,
+                  CAST(md5_number_lower('ab:' || user_id) & 1 AS BIGINT)
+                    AS arm
+                 FROM p GROUP BY user_id),
+          t AS (SELECT user_id AS tid, x AS tx, y AS ty FROM pu
+                WHERE arm = 1),
+          c AS (SELECT user_id AS cid, x AS cx, y AS cy FROM pu
+                WHERE arm = 0),
+          ce AS (SELECT cid, cx, cy, cx // 1000 + dd AS bkt FROM c
+                 CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dd) u),
+          cand AS (SELECT t.tid, t.ty, ce.cid, ce.cy,
+                    abs(t.tx - ce.cx) AS adx
+                   FROM t JOIN ce ON t.tx // 1000 = ce.bkt
+                   WHERE abs(t.tx - ce.cx) <= 1000),
+          best AS (SELECT tid, ty, cid, cy, adx FROM (
+                    SELECT *, row_number() OVER (PARTITION BY tid
+                      ORDER BY adx, cid) AS rk FROM cand) WHERE rk = 1),
+          nt AS (SELECT
+                  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_treat,
+                  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_ctrl FROM pu),
+          ag AS (SELECT CAST(count(*) AS BIGINT) AS n_matched,
+                  CAST(sum(ty - cy) AS BIGINT) AS sdiff,
+                  CAST(sum(adx) AS BIGINT) AS sadx FROM best)
+          SELECT n_treat, n_ctrl, n_matched,
+            round(CAST(n_matched AS DOUBLE) / n_treat, 6) AS match_rate,
+            round(CAST(sdiff AS DOUBLE) / n_matched, 6) AS att_cents,
+            round(CAST(sadx AS DOUBLE) / n_matched, 6) AS mean_abs_dx
+          FROM ag, nt""",
 
     // CMH rebuilt: the same (dow, arm) integer cells, the identical
     // E/V/odds-ratio double spellings, pooled sums as full-frame

@@ -4275,4 +4275,40 @@ class PipelineSpec extends SparkSpec {
     assert(r.getDouble(3) <= r.getDouble(1) && r.getDouble(1) <= r.getDouble(4),
       "CI must bracket the point estimate")
   }
+
+  test("matched att: brute nearest-control-within-caliper recompute") {
+    val r = Pipeline.queries("q240_matched_att")(spark, sf).collect().head
+    val e = Tables(spark, sf).events
+    val allDays = e.select(Tables.eventMicros(e).as("tus")).collect()
+      .map(_.getLong(0) / 86400000000L)
+    val cutoff = (allDays.min + allDays.max + 1L) / 2L
+    val pu = purchasesByUser().toSeq.map { case (u, evs) =>
+      val x = evs.filter(_._1 < cutoff).map(_._2).sum
+      val y = evs.filter(_._1 >= cutoff).map(_._2).sum
+      (u, x, y, armOfUser(u))
+    }
+    val treat = pu.filter(_._4 == 1L)
+    val ctrl = pu.filter(_._4 == 0L)
+    assert(r.getLong(0) == treat.size && r.getLong(1) == ctrl.size)
+    val matches = treat.flatMap { case (tid, tx, ty, _) =>
+      val cands = ctrl.filter(c => math.abs(c._2 - tx) <= 1000L)
+      if (cands.isEmpty) None
+      else {
+        val best = cands.minBy(c => (math.abs(c._2 - tx), c._1))
+        Some((tid, ty, best._1, best._3, math.abs(best._2 - tx)))
+      }
+    }
+    assert(r.getLong(2) == matches.size, "n_matched")
+    assert(math.abs(r.getDouble(3) -
+      matches.size.toDouble / treat.size) < 1e-6, "match_rate")
+    assert(math.abs(r.getDouble(4) -
+      matches.map(m => m._2 - m._4).sum.toDouble / matches.size) < 1e-6,
+      "att")
+    assert(math.abs(r.getDouble(5) -
+      matches.map(_._5).sum.toDouble / matches.size) < 1e-6, "mean dx")
+    // caliper law: every brute match (and therefore every engine
+    // match, since counts+sums agree exactly) is within 1000 cents
+    assert(matches.forall(_._5 <= 1000L), "caliper violated")
+    assert(matches.nonEmpty && matches.size <= treat.size)
+  }
 }

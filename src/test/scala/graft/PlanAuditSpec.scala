@@ -98,7 +98,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q236_kmv_unique_vocab",
     // q239 crosses the |days|-row replicate table against broadcast
     // ONE-ROW totals/mean (q124's bounds pattern)
-    "q239_jackknife_ratio")
+    "q239_jackknife_ratio",
+    // q240 crosses its 1-row match rollup against the broadcast
+    // ONE-ROW arm counts (q124's bounds pattern); the candidate join
+    // itself is EQUI on caliper buckets
+    "q240_matched_att")
 
   test("no unplanned cartesian products or nested-loop joins") {
     val offenders = Seq.newBuilder[String]
@@ -510,7 +514,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q238_cmh_strata" -> 3,
     // q239: the ONE |days| cell agg; totals/mean/replicates all ride
     // broadcasts of it + the 1-row folds
-    "q239_jackknife_ratio" -> 4)
+    "q239_jackknife_ratio" -> 4,
+    // q240: the ONE per-user rollup (treat/ctrl/arm-count branches all
+    // reuse it); the bucket-banded candidate join is broadcast at this
+    // sf and the best-match min(struct) agg map-side-combines
+    "q240_matched_att" -> 2)
 
   // ──────────────────────────────────────────────────────────────────
   // The round-11 `weak` bug class, pinned mechanically: no query may
