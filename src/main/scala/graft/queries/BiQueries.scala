@@ -921,6 +921,43 @@ private[graft] object BiQueries {
     },
 
 
+    "q241_page_hinkley" -> { (s, dir) =>
+      // Page-Hinkley drift detection over per-type daily revenue —
+      // the sequential mean-shift monitor for the case q148's CUSUM
+      // doesn't cover: no trained baseline, the reference level is the
+      // RUNNING mean itself. Per (type, day): mean_t = exact prefix
+      // integer sum / count (one double division per row), dev_t =
+      // x_t - mean_t, U_t = cumsum(dev), PH_t = U_t - min_{i<=t} U_i,
+      // alarm when the unrounded PH exceeds the pre-registered
+      // lambda = 100000 cents. Devs fold in day order on both engines
+      // (the q211 cumsum contract), so the double sequence is
+      // bit-identical. Scale shape: the event stream collapses to
+      // (type, day) cells in ONE map-side-combined agg; the three
+      // stacked windows share the hash(event_type) exchange on the
+      // calendar-bounded table. The streaming twin
+      // (EventStreams.pageHinkley) carries (n, sum, U, Umin) per type
+      // — four scalars — and is parity-specced bit-for-bit.
+      val e = Tables(s, dir).events
+      val wo = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val daily = e.select(col("event_type"), Tables.eventMicros(e).as("tus"),
+          floor(col("value") * 100).cast("long").as("c"))
+        .select(col("event_type"), expr("tus DIV 86400000000").as("day"),
+          col("c"))
+        .groupBy(col("event_type"), col("day")).agg(sum(col("c")).as("x"))
+      daily
+        .withColumn("mean_t", sum(col("x")).over(wo).cast("double") /
+          count(lit(1)).over(wo))
+        .withColumn("u", sum(col("x").cast("double") - col("mean_t")).over(wo))
+        .withColumn("ph", col("u") - min(col("u")).over(wo))
+        .select(col("event_type"), col("day"), col("x"),
+          round(col("mean_t"), 6).as("running_mean"),
+          round(col("ph"), 6).as("ph_stat"),
+          (col("ph") > lit(100000.0)).as("alarm"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+
     "q148_cusum_anomaly" -> { (s, dir) =>
       // CUSUM changepoint detection (Page 1954) over per-type daily
       // event volumes — "which day did traffic for X structurally
@@ -1766,6 +1803,29 @@ private[graft] object BiQueries {
 
     // Rolling actives rebuilt: the same contribution explode and
     // double dedup.
+    // Page-Hinkley rebuilt: the same (type, day) integer revenue
+    // cells, the identical running-mean / dev-cumsum / running-min
+    // double spellings in day order, the same unrounded-lambda alarm.
+    "q241_page_hinkley" ->
+      """WITH daily AS (SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2),
+          m AS (SELECT event_type, day, x,
+                 CAST(sum(x) OVER w AS DOUBLE) / (count(*) OVER w) AS mean_t
+                FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          u AS (SELECT *, sum(CAST(x AS DOUBLE) - mean_t) OVER w AS u
+                FROM m WINDOW w AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          p AS (SELECT *, u - min(u) OVER w AS ph
+                FROM u WINDOW w AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          SELECT event_type, day, x, round(mean_t, 6) AS running_mean,
+            round(ph, 6) AS ph_stat, ph > 100000.0 AS alarm
+          FROM p ORDER BY event_type, day""",
+
+
     // CUSUM via the closed window form: S = cum - least(runmin(cum), 0).
     // DuckDB's window sums widen to HUGEINT mid-CTE (exact); outputs
     // are CAST back to BIGINT.

@@ -349,6 +349,57 @@ object EventStreams {
       }
   }
 
+  /** One daily (type, day, revenue-cents) cell for the streaming
+    * Page-Hinkley monitor. */
+  final case class PhCell(eventType: String, day: Long, x: Long)
+  /** One Page-Hinkley point: the post-update statistic for `day`. */
+  final case class PhOut(eventType: String, day: Long, x: Long,
+    runningMean: Double, phStat: Double, alarm: Boolean)
+  /** PH recursion state: prefix count + exact integer prefix sum (the
+    * running mean derives from them, never drifts), the dev cumsum U,
+    * its running minimum, and the dedup anchor. */
+  final case class PhState(n: Long, sx: Long, u: Double, umin: Double,
+    lastDay: Long)
+
+  /** Streaming twin of batch q241: Page-Hinkley walked incrementally —
+    * each arriving (type, day) cell updates the exact integer prefix
+    * (n, sum), derives mean = sum/n (one double division, identical to
+    * the batch window's exact-prefix-sum spelling), folds
+    * dev = x - mean into the running U, tracks min U, and emits
+    * PH = U - minU with the same unrounded lambda = 100000 alarm.
+    * Days fold in order (within a batch by sort, across batches by the
+    * append-mode in-order caveat); re-delivered days are dropped after
+    * the first fold (the ewma dedup contract). State per type: four
+    * scalars + the anchor. */
+  def pageHinkley(cells: Dataset[PhCell]): Dataset[PhOut] = {
+    import cells.sparkSession.implicits._
+    cells
+      .groupByKey(_.eventType)
+      .flatMapGroupsWithState[PhState, PhOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: String, rows: Iterator[PhCell], state: GroupState[PhState]) =>
+          var st = state.getOption.getOrElse(
+            PhState(0L, 0L, 0.0, Double.MaxValue, Long.MinValue))
+          val out = Vector.newBuilder[PhOut]
+          rows.toVector.sortBy(_.day).foreach { r =>
+            if (r.day > st.lastDay) {
+              val n = st.n + 1
+              val sx = st.sx + r.x
+              val mean = sx.toDouble / n
+              val u = st.u + (r.x.toDouble - mean)
+              val umin = math.min(st.umin, u)
+              st = PhState(n, sx, u, umin, r.day)
+              val ph = u - umin
+              def r6(v: Double) = BigDecimal(v)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              out += PhOut(k, r.day, r.x, r6(mean), r6(ph), ph > 100000.0)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** The same per-user cursor on the transformWithState API (Spark 4.1
     * StatefulProcessor): typed ValueState in the state store, optional
     * TTL so an idle user's cursor is evicted instead of living forever

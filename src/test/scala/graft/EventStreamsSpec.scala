@@ -470,6 +470,47 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming page-hinkley matches batch q241 across batches and a redelivery") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams.PhCell
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = Tables(spark, sf).events
+    val cells = e.select(col("event_type"), Tables.eventMicros(e).as("tus"),
+        floor(col("value") * 100).cast("long").as("c")).collect()
+      .map(r => ((r.getString(0), r.getLong(1) / 86400000000L), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .map { case ((ty, d), rows) => PhCell(ty, d, rows.map(_._2).sum) }
+      .sortBy(c => (c.eventType, c.day))
+    val daysAll = cells.map(_.day).distinct.sorted
+    val cutDay = daysAll(daysAll.length / 2)
+    val (c1, c2) = cells.partition(_.day < cutDay)
+    val in = MemoryStream[PhCell]
+    val q = graft.streaming.EventStreams.pageHinkley(in.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ph_out").start()
+    try {
+      in.addData(c1: _*)
+      q.processAllAvailable()
+      // re-deliver every type's last pre-cut day, then the rest: the
+      // dedup anchor must drop the duplicates mid-recursion
+      val redeliver = c1.groupBy(_.eventType).values
+        .map(_.maxBy(_.day)).toSeq
+      in.addData(redeliver ++ c2: _*)
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT eventType, day, x, runningMean, phStat, alarm FROM ph_out " +
+          "ORDER BY eventType, day")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toSeq
+      val batch = graft.queries.Pipeline.queries("q241_page_hinkley")(spark, sf)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toSeq
+      assert(got == batch, "streaming twin == batch q241, bit for bit")
+      // PH is nonnegative by construction and resets at new minima
+      assert(batch.forall(_._5 >= 0.0))
+    } finally q.stop()
+  }
+
   test("streaming ewma matches batch q184 across a micro-batch boundary") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStreams.EwmaCell

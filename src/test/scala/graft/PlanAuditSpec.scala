@@ -518,7 +518,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // q240: the ONE per-user rollup (treat/ctrl/arm-count branches all
     // reuse it); the bucket-banded candidate join is broadcast at this
     // sf and the best-match min(struct) agg map-side-combines
-    "q240_matched_att" -> 2)
+    "q240_matched_att" -> 2,
+    // q241: the (type, day) cell agg + the shared hash(event_type)
+    // window exchange + presentation sort
+    "q241_page_hinkley" -> 3)
 
   // ──────────────────────────────────────────────────────────────────
   // The round-11 `weak` bug class, pinned mechanically: no query may
