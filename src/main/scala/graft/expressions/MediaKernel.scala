@@ -535,8 +535,11 @@ object MediaKernel {
     * integers (the image twin of [[wavPcmWindows]]). Null for
     * anything [[pngDecodeGray]] rejects. */
   def pngRowStats(p: Array[Byte])
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    rowStatsOf(pngDecodeGray(p))
+
+  private def rowStatsOf(dec: (Int, Int, Array[Int]))
       : org.apache.spark.sql.catalyst.util.ArrayData = {
-    val dec = pngDecodeGray(p)
     if (dec == null) return null
     val (w, h, gray) = dec
     val rows = new Array[Any](h)
@@ -567,8 +570,10 @@ object MediaKernel {
     * the mod-256 wrap), which is what makes it a near-dup key rather
     * than a content hash. Null when the decode fails or the image is
     * smaller than the 9x8 grid. */
-  def pngDhash(p: Array[Byte]): java.lang.Long = {
-    val dec = pngDecodeGray(p)
+  def pngDhash(p: Array[Byte]): java.lang.Long =
+    dhashOf(pngDecodeGray(p))
+
+  private def dhashOf(dec: (Int, Int, Array[Int])): java.lang.Long = {
     if (dec == null) return null
     val (w, h, gray) = dec
     if (w < 9 || h < 8) return null
@@ -600,6 +605,539 @@ object MediaKernel {
     }
     java.lang.Long.valueOf(hash)
   }
+
+  // =====================================================================
+  // JPEG baseline-sequential PIXEL decode (ITU T.81 §F.2) — the format
+  // real web corpora are made of. Pure JVM: DQT (8/16-bit), generic DHT
+  // canonical-Huffman build, SOF0/SOF1 frame parse, interleaved-scan
+  // entropy decode with byte stuffing and restart markers, dequantize,
+  // per-block double-precision IDCT. LUMA-ONLY reconstruction: chroma
+  // blocks are entropy-decoded (the bitstream can't be skipped) but
+  // never IDCT'd — the dedup/triage features downstream are luminance
+  // features, so at 100 TB this skips ~2/3 of the IDCT work on 4:4:4
+  // and ~1/3 on 4:2:0 payloads.
+  // =====================================================================
+
+  /** Zigzag position -> natural (row-major) coefficient index,
+    * T.81 figure A.6. */
+  private val ZIGZAG: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** IDCT basis M(a*8+b) = C(b)/2 * cos((2a+1) b pi / 16), so
+    * s = M F M^T — the textbook separable form. */
+  private val IDCT_M: Array[Double] = {
+    val m = new Array[Double](64)
+    var a = 0
+    while (a < 8) {
+      var b2 = 0
+      while (b2 < 8) {
+        val c = if (b2 == 0) 1.0 / math.sqrt(2.0) else 1.0
+        m(a * 8 + b2) = c / 2.0 * math.cos((2 * a + 1) * b2 * math.Pi / 16.0)
+        b2 += 1
+      }
+      a += 1
+    }
+    m
+  }
+
+  /** Canonical Huffman decode tables per T.81 F.2.2.3 (mincode/
+    * maxcode/valptr indexed by code length 1..16). */
+  private final class HTab(bits: Array[Int], val vals: Array[Int]) {
+    val mincode = new Array[Int](17)
+    val maxcode = new Array[Int](17)
+    val valptr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (bits(l) == 0) maxcode(l) = -1
+        else {
+          valptr(l) = k; mincode(l) = code
+          k += bits(l); code += bits(l)
+          maxcode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  /** Entropy-segment bit reader: MSB-first, 0xFF00 unstuffing, marker
+    * capture (a non-stuffed 0xFF xx ends the bit stream and parks the
+    * marker for [[expectRst]]). nextBit returns -1 at end-of-data —
+    * every caller treats that as a corrupt payload, never an index
+    * error. */
+  private final class JBits(p: Array[Byte], var pos: Int) {
+    private var bitBuf = 0
+    private var bitCnt = 0
+    var marker = 0
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        if (marker != 0 || pos >= p.length) return -1
+        var b = p(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          if (pos >= p.length) return -1
+          val b2 = p(pos) & 0xff; pos += 1
+          if (b2 != 0) { marker = b2; return -1 }
+        }
+        bitBuf = b; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >>> bitCnt) & 1
+    }
+    /** T.81 RECEIVE: s raw bits, Int.MinValue on truncation. */
+    def receive(s: Int): Int = {
+      var v = 0; var i = 0
+      while (i < s) {
+        val b = nextBit(); if (b < 0) return Int.MinValue
+        v = (v << 1) | b; i += 1
+      }
+      v
+    }
+    /** Byte-align and consume the expected RSTn marker (fill 0xFF
+      * bytes tolerated per §B.1.1.2). */
+    def expectRst(): Boolean = {
+      bitCnt = 0
+      if (marker == 0) {
+        if (pos + 1 >= p.length || (p(pos) & 0xff) != 0xff) return false
+        var q = pos + 1
+        while (q < p.length && (p(q) & 0xff) == 0xff) q += 1
+        if (q >= p.length) return false
+        marker = p(q) & 0xff; pos = q + 1
+      }
+      val ok = marker >= 0xd0 && marker <= 0xd7
+      if (ok) marker = 0
+      ok
+    }
+  }
+
+  /** T.81 EXTEND: map s received bits to the signed coefficient. */
+  private def jExtend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private def huffDecode(bits: JBits, t: HTab): Int = {
+    var code = bits.nextBit(); if (code < 0) return -1
+    var l = 1
+    while (l <= 16 && code > t.maxcode(l)) {
+      val b = bits.nextBit(); if (b < 0) return -1
+      code = (code << 1) | b; l += 1
+    }
+    if (l > 16) return -1
+    val idx = t.valptr(l) + code - t.mincode(l)
+    if (idx < 0 || idx >= t.vals.length) return -1
+    t.vals(idx)
+  }
+
+  /** Decode one block's coefficients (dequantized, natural order) into
+    * `coef`; DC prediction updates in `pred(c)`. False on any
+    * truncation/corruption. */
+  private def jDecodeBlock(bits: JBits, dct: HTab, act: HTab,
+      qtab: Array[Int], pred: Array[Int], c: Int,
+      coef: Array[Int]): Boolean = {
+    java.util.Arrays.fill(coef, 0)
+    val t = huffDecode(bits, dct)
+    if (t < 0 || t > 15) return false
+    val dv = bits.receive(t)
+    if (dv == Int.MinValue) return false
+    pred(c) += jExtend(dv, t)
+    coef(0) = pred(c) * qtab(0)
+    var k = 1
+    while (k < 64) {
+      val rs = huffDecode(bits, act)
+      if (rs < 0) return false
+      val r = rs >> 4; val s = rs & 15
+      if (s == 0) {
+        if (r == 15) k += 16 // ZRL
+        else return true     // EOB
+      } else {
+        k += r
+        if (k > 63) return false
+        val v = bits.receive(s)
+        if (v == Int.MinValue) return false
+        coef(ZIGZAG(k)) = jExtend(v, s) * qtab(k)
+        k += 1
+      }
+    }
+    true
+  }
+
+  /** Separable IDCT + level shift + clamp into `out` (row-major). */
+  private def idct8x8(coef: Array[Int], out: Array[Int]): Unit = {
+    val tmp = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += IDCT_M(x * 8 + u) * coef(v * 8 + u); u += 1 }
+        tmp(v * 8 + x) = s
+        x += 1
+      }
+      v += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var v2 = 0
+        while (v2 < 8) { s += IDCT_M(y * 8 + v2) * tmp(v2 * 8 + x); v2 += 1 }
+        val px = math.round(s).toInt + 128
+        out(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** REAL JPEG pixel decode, baseline/extended sequential Huffman
+    * (SOF0/SOF1): full marker parse, canonical Huffman build from DHT,
+    * interleaved single-scan entropy decode (byte stuffing, DRI/RSTn
+    * with DC-predictor resets), dequantize, IDCT of the LUMA component
+    * only (chroma blocks are entropy-decoded to advance the stream,
+    * never reconstructed). Returns (width, height, luma bytes
+    * row-major) or null for anything unsupported/corrupt: progressive
+    * (SOF2+) and arithmetic-coded frames, non-8-bit precision,
+    * multi-scan files, frames whose first component is not at maximum
+    * sampling, truncated streams, and >16M-pixel decompression bombs
+    * (a hostile payload must fail the ROW, not the executor). The
+    * grayscale output convention is the Y channel itself (Rec.601 luma
+    * for color JPEGs — what the encoder stored), vs the PNG path's
+    * (r+g+b)/3 collapse of lossless RGB. */
+  private[graft] def jpegDecodeGray(p: Array[Byte]): (Int, Int, Array[Int]) = {
+    if (p == null || !isJpeg(p)) return null
+    try jpegDecodeGray0(p)
+    catch {
+      // the marker walk bounds-checks every read, but a hostile
+      // payload reaching a missed corner must fail the row, not the
+      // task — same posture as pngDecodeGray's DataFormatException arm
+      case _: ArrayIndexOutOfBoundsException => null
+      case _: NegativeArraySizeException => null
+    }
+  }
+
+  private def jpegDecodeGray0(p: Array[Byte]): (Int, Int, Array[Int]) = {
+    val qt = Array.ofDim[Int](4, 64) // zigzag order
+    val qtSeen = new Array[Boolean](4)
+    val htabs = Array.ofDim[HTab](2, 4)
+    var w = 0; var h = 0; var ncomp = 0
+    var compH: Array[Int] = null; var compV: Array[Int] = null
+    var compQ: Array[Int] = null; var compId: Array[Int] = null
+    var scanDc: Array[Int] = null; var scanAc: Array[Int] = null
+    var restartInterval = 0
+    var sawSof = false
+    var sosPos = -1
+    var pos = 2
+    while (sosPos < 0) {
+      if (pos + 2 > p.length) return null
+      if ((p(pos) & 0xff) != 0xff) return null
+      val m = p(pos + 1) & 0xff
+      if (m == 0xff) pos += 1 // fill byte
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) pos += 2
+      else if (m == 0xd9) return null // EOI before SOS
+      else {
+        if (pos + 4 > p.length) return null
+        val segLen = be16(p, pos + 2)
+        if (segLen < 2 || segLen > p.length - pos - 2) return null
+        var dp = pos + 4
+        val dEnd = pos + 2 + segLen
+        if (m == 0xdb) { // DQT
+          while (dp < dEnd) {
+            val pq = (p(dp) & 0xff) >> 4; val tq = p(dp) & 0x0f
+            if (tq > 3 || pq > 1) return null
+            val need = if (pq == 0) 64 else 128
+            if (dp + 1 + need > dEnd) return null
+            var i = 0
+            while (i < 64) {
+              qt(tq)(i) =
+                if (pq == 0) p(dp + 1 + i) & 0xff
+                else be16(p, dp + 1 + 2 * i)
+              i += 1
+            }
+            qtSeen(tq) = true
+            dp += 1 + need
+          }
+        } else if (m == 0xc4) { // DHT
+          while (dp < dEnd) {
+            val tc = (p(dp) & 0xff) >> 4; val th = p(dp) & 0x0f
+            if (tc > 1 || th > 3 || dp + 17 > dEnd) return null
+            val bits = new Array[Int](17)
+            var total = 0
+            var l = 1
+            while (l <= 16) {
+              bits(l) = p(dp + l) & 0xff; total += bits(l); l += 1
+            }
+            if (total > 256 || dp + 17 + total > dEnd) return null
+            val vals = new Array[Int](total)
+            var i = 0
+            while (i < total) { vals(i) = p(dp + 17 + i) & 0xff; i += 1 }
+            htabs(tc)(th) = new HTab(bits, vals)
+            dp += 17 + total
+          }
+        } else if (m == 0xc0 || m == 0xc1) { // SOF0/SOF1
+          if (sawSof || segLen < 8) return null
+          if ((p(dp) & 0xff) != 8) return null // precision
+          h = be16(p, dp + 1); w = be16(p, dp + 3)
+          ncomp = p(dp + 5) & 0xff
+          if (ncomp < 1 || ncomp > 4 || segLen != 8 + 3 * ncomp) return null
+          compH = new Array[Int](ncomp); compV = new Array[Int](ncomp)
+          compQ = new Array[Int](ncomp); compId = new Array[Int](ncomp)
+          var c = 0
+          while (c < ncomp) {
+            compId(c) = p(dp + 6 + 3 * c) & 0xff
+            val hv = p(dp + 7 + 3 * c) & 0xff
+            compH(c) = hv >> 4; compV(c) = hv & 0x0f
+            compQ(c) = p(dp + 8 + 3 * c) & 0xff
+            if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 ||
+              compV(c) > 4 || compQ(c) > 3) return null
+            c += 1
+          }
+          sawSof = true
+        } else if (isSof(m)) return null // progressive/arithmetic/lossless
+        else if (m == 0xdd) { // DRI
+          if (segLen != 4) return null
+          restartInterval = be16(p, dp)
+        } else if (m == 0xda) { // SOS
+          if (!sawSof) return null
+          val ns = p(dp) & 0xff
+          // one interleaved scan only (what every baseline JFIF
+          // encoder, ImageIO included, emits)
+          if (ns != ncomp || segLen != 6 + 2 * ns) return null
+          scanDc = new Array[Int](ncomp); scanAc = new Array[Int](ncomp)
+          var i = 0
+          while (i < ns) {
+            val cs = p(dp + 1 + 2 * i) & 0xff
+            var ci = -1
+            var c = 0
+            while (c < ncomp) { if (compId(c) == cs) ci = c; c += 1 }
+            if (ci != i) return null // components in frame order
+            val tdta = p(dp + 2 + 2 * i) & 0xff
+            scanDc(ci) = tdta >> 4; scanAc(ci) = tdta & 0x0f
+            if (scanDc(ci) > 3 || scanAc(ci) > 3) return null
+            i += 1
+          }
+          sosPos = dEnd
+        }
+        // else: APPn / COM / unknown — skip
+        if (sosPos < 0) pos = dEnd
+      }
+    }
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return null
+    var hmax = 1; var vmax = 1
+    var c = 0
+    while (c < ncomp) {
+      if (compH(c) > hmax) hmax = compH(c)
+      if (compV(c) > vmax) vmax = compV(c)
+      c += 1
+    }
+    // luma-only reconstruction requires the first component at full
+    // resolution — true of every YCbCr/grayscale JFIF in the wild
+    if (compH(0) != hmax || compV(0) != vmax) return null
+    c = 0
+    while (c < ncomp) {
+      if (!qtSeen(compQ(c)) || htabs(0)(scanDc(c)) == null ||
+        htabs(1)(scanAc(c)) == null) return null
+      c += 1
+    }
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val gray = new Array[Int](w * h)
+    val bits = new JBits(p, sosPos)
+    val pred = new Array[Int](ncomp)
+    val coef = new Array[Int](64)
+    val blk = new Array[Int](64)
+    val totalMcus = mcusX.toLong * mcusY
+    var mcu = 0L
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!bits.expectRst()) return null
+        java.util.Arrays.fill(pred, 0)
+      }
+      val my = (mcu / mcusX).toInt; val mx = (mcu % mcusX).toInt
+      c = 0
+      while (c < ncomp) {
+        val qtab = qt(compQ(c))
+        val dct = htabs(0)(scanDc(c)); val act = htabs(1)(scanAc(c))
+        var bv = 0
+        while (bv < compV(c)) {
+          var bh = 0
+          while (bh < compH(c)) {
+            if (!jDecodeBlock(bits, dct, act, qtab, pred, c, coef))
+              return null
+            if (c == 0) {
+              idct8x8(coef, blk)
+              val px0 = (mx * compH(0) + bh) * 8
+              val py0 = (my * compV(0) + bv) * 8
+              var yy = 0
+              while (yy < 8) {
+                val py = py0 + yy
+                if (py < h) {
+                  var xx = 0
+                  while (xx < 8) {
+                    val px = px0 + xx
+                    if (px < w) gray(py * w + px) = blk(yy * 8 + xx)
+                    xx += 1
+                  }
+                }
+                yy += 1
+              }
+            }
+            bh += 1
+          }
+          bv += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+    (w, h, gray)
+  }
+
+  /** The planted JPEG block stream: 8x8 block bi (raster order) of a
+    * payload seeded by `seed` is the FLAT value (((x*x + x) *
+    * 2654435761) DIV 65536) mod 256 + bright mod 256 with x =
+    * (seed + bi) mod 32768 — flat blocks survive quantize/dequantize
+    * EXACTLY under an all-ones table (DC = 8 * (v - 128) is integral;
+    * AC all zero), so the decode is oracle-recomputable arithmetically
+    * even though JPEG is lossy in general. The QUADRATIC argument
+    * matters: any f(seed + bi) with f multiplicative-hash-then-mod
+    * steps near-linearly block to block (low byte: exactly +177;
+    * bits 16-23: +55/56), which collapses the dHash comparison
+    * pattern across seeds — x*x+x decorrelates the steps (verified:
+    * zero cross-seed dHash pairs at d <= 12 over the fixture's gid
+    * range). The mod-32768 clamp keeps (x*x + x) * 2654435761 inside
+    * a signed 64-bit long at ANY corpus scale — both engines must
+    * agree, and DuckDB would widen where a Spark long wraps. */
+  private def jpegBlockVal(seed: Long, bi: Long, bright: Long): Int = {
+    val x = (seed + bi) % 32768L
+    ((((x * x + x) * 2654435761L) >> 16) % 256L + bright) % 256L
+  }.toInt
+
+  /** MSB-first bit writer with JPEG byte stuffing (0xFF -> 0xFF 0x00)
+    * and all-ones final-byte padding (§F.1.2.3). */
+  private final class JBitsOut(out: java.io.ByteArrayOutputStream) {
+    private var buf = 0
+    private var cnt = 0
+    def putBit(b: Int): Unit = {
+      buf = (buf << 1) | b; cnt += 1
+      if (cnt == 8) {
+        out.write(buf)
+        if (buf == 0xff) out.write(0)
+        buf = 0; cnt = 0
+      }
+    }
+    def put(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { putBit((v >>> i) & 1); i -= 1 }
+    }
+    def flush(): Unit = while (cnt != 0) putBit(1)
+  }
+
+  /** Build a COMPLETE baseline JPEG: SOI, all-ones DQT, SOF0, minimal
+    * canonical DHTs (12 DC categories at length 4; a single length-1
+    * EOB code for AC), SOS, a REAL Huffman-coded entropy stream of
+    * ceil(w/8)*ceil(h/8) flat [[jpegBlockVal]] blocks (DC
+    * differentially coded per the spec, byte stuffing live), EOI.
+    * Decoding requires the full baseline machinery — DHT canonical
+    * build, DC prediction, EXTEND, dequantize, IDCT — yet the pixel
+    * field is exactly the block formula, so an arithmetic oracle can
+    * certify the decode end-to-end (the JPEG twin of
+    * [[pngEncodeGray]]). */
+  def jpegEncodeGrayFlat(width: Long, height: Long, seed: Long,
+      bright: Long): Array[Byte] =
+    jpegEncodeGrayFlatRst(width, height, seed, bright, 0L)
+
+  /** [[jpegEncodeGrayFlat]] with a restart interval: DRI segment +
+    * RSTn markers every `restartInterval` MCUs (predictor resets,
+    * 1-padded byte alignment per §F.1.2.3) — exercises the decoder's
+    * restart path with a real bitstream (spec-only; the query tier
+    * plants restart-free payloads). */
+  def jpegEncodeGrayFlatRst(width: Long, height: Long, seed: Long,
+      bright: Long, restartInterval: Long): Array[Byte] = {
+    val w = width.toInt; val h = height.toInt
+    require(w > 0 && h > 0 && w.toLong * h <= (1L << 24),
+      s"jpegEncodeGrayFlat: unsupported dims ${w}x$h")
+    val rst = restartInterval.toInt
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val out = new java.io.ByteArrayOutputStream(64 + bw * bh * 3)
+    def b8(v: Int): Unit = out.write(v & 0xff)
+    def be(v: Int): Unit = { b8(v >>> 8); b8(v) }
+    b8(0xff); b8(0xd8)                    // SOI
+    b8(0xff); b8(0xdb); be(2 + 1 + 64)    // DQT: pq=0 tq=0, all ones
+    b8(0x00)
+    var i = 0
+    while (i < 64) { b8(1); i += 1 }
+    b8(0xff); b8(0xc0); be(8 + 3)         // SOF0
+    b8(8); be(h); be(w); b8(1)
+    b8(1); b8(0x11); b8(0)                // comp 1, 1x1, qtable 0
+    b8(0xff); b8(0xc4); be(2 + 1 + 16 + 12) // DHT DC0: 12 codes @ len 4
+    b8(0x00)
+    var l = 1
+    while (l <= 16) { b8(if (l == 4) 12 else 0); l += 1 }
+    i = 0
+    while (i < 12) { b8(i); i += 1 }
+    b8(0xff); b8(0xc4); be(2 + 1 + 16 + 1) // DHT AC0: EOB @ len 1
+    b8(0x10)
+    l = 1
+    while (l <= 16) { b8(if (l == 1) 1 else 0); l += 1 }
+    b8(0x00)
+    if (rst > 0) { b8(0xff); b8(0xdd); be(4); be(rst) } // DRI
+    b8(0xff); b8(0xda); be(6 + 2)         // SOS
+    b8(1); b8(1); b8(0x00); b8(0); b8(63); b8(0)
+    val bits = new JBitsOut(out)
+    var pred = 0
+    var bi = 0
+    var rstN = 0
+    val nBlocks = bw * bh
+    while (bi < nBlocks) {
+      if (rst > 0 && bi > 0 && bi % rst == 0) {
+        bits.flush() // 1-padding byte-aligns; the writer is empty after
+        b8(0xff); b8(0xd0 + rstN)
+        rstN = (rstN + 1) % 8
+        pred = 0
+      }
+      val v = jpegBlockVal(seed, bi, bright)
+      val dc = 8 * (v - 128)
+      val diff = dc - pred
+      pred = dc
+      var s = 0; var ad = math.abs(diff)
+      while (ad > 0) { s += 1; ad >>= 1 }
+      bits.put(s, 4)                      // canonical len-4 code == s
+      if (s > 0)
+        bits.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      bits.putBit(0)                      // EOB
+      bi += 1
+    }
+    bits.flush()
+    b8(0xff); b8(0xd9)                    // EOI
+    out.toByteArray
+  }
+
+  /** Format-dispatching pixel decode: PNG or baseline JPEG by magic
+    * bytes, null otherwise — the single entry the image feature
+    * kernels route through so a mixed-format corpus needs one plan. */
+  private[graft] def imageDecodeGray(p: Array[Byte]): (Int, Int, Array[Int]) =
+    if (p == null) null
+    else if (isPng(p)) pngDecodeGray(p)
+    else if (isJpeg(p)) jpegDecodeGray(p)
+    else null
+
+  /** [[pngRowStats]]'s per-scanline features over EITHER format
+    * (PNG inflate+unfilter or JPEG Huffman+IDCT luma). */
+  def imageRowStats(p: Array[Byte])
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    rowStatsOf(imageDecodeGray(p))
+
+  /** [[pngDhash]]'s 64-bit perceptual hash over EITHER format. */
+  def imageDhash(p: Array[Byte]): java.lang.Long =
+    dhashOf(imageDecodeGray(p))
 
   /** Build a spec-valid JPEG header: SOI, APP0/JFIF, SOF0 frame header
     * with the dimensions and component count, EOI — the marker

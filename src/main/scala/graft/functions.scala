@@ -486,6 +486,31 @@ object functions {
   def png_dhash(payload: Column): Column =
     call(MD, LongType, "pngDhash", Seq(Bin), payload)
 
+  /** Complete baseline JPEG builder: real Huffman-coded entropy stream
+    * of flat 8x8 blocks (block bi carries (((x*x + x) * 2654435761)
+    * DIV 65536) mod 256 + bright mod 256, x = (seed + bi) mod 32768 —
+    * see MediaKernel.jpegBlockVal for why the argument is quadratic)
+    * under an all-ones quant table, so the lossy codec round-trips
+    * EXACTLY and an arithmetic oracle certifies the decode — the JPEG
+    * twin of [[png_encode_gray]]. */
+  def jpeg_encode_gray_flat(width: Column, height: Column, seed: Column,
+      bright: Column): Column =
+    call(MD, Bin, "jpegEncodeGrayFlat",
+      Seq(LongType, LongType, LongType, LongType),
+      width, height, seed, bright)
+
+  /** [[png_row_stats]] over EITHER image format (PNG inflate+unfilter
+    * or baseline-JPEG Huffman+dequant+IDCT luma), dispatched on magic
+    * bytes — one plan for a mixed-format corpus. */
+  def image_row_stats(payload: Column): Column =
+    call(MD, ArrayType(pngRowType, containsNull = false), "imageRowStats",
+      Seq(Bin), payload)
+
+  /** [[png_dhash]]'s 64-bit perceptual hash over EITHER image format
+    * (JPEG luma = the Y channel; PNG RGB collapses (r+g+b)/3). */
+  def image_dhash(payload: Column): Column =
+    call(MD, LongType, "imageDhash", Seq(Bin), payload)
+
   /** Container-agnostic BYTE-level feature: deterministic 16-bin byte
     * histogram over an opaque binary column — the cheap first-tier
     * signal (compression sniffing, format clustering) that runs before

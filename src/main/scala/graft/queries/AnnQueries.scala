@@ -379,18 +379,24 @@ private[graft] object AnnQueries {
         if (ds.size == 1) ds.head else least(ds: _*)
       }
       val sel: Seq[(Long, Long)] = memo(kcenterSel, dir) {
-        val seed = q.orderBy(col("vec_id")).limit(1).collect()
-          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).head
-        val cents = scala.collection.mutable.ArrayBuffer(seed)
-        val radii = scala.collection.mutable.ArrayBuffer.empty[Long]
-        for (i <- 0 until k) {
-          val far = q.withColumn("dm", dmin(cents.map(_._2).toSeq))
-            .orderBy(col("dm").desc, col("vec_id")).limit(1).collect().head
-          radii += far.getLong(2)
-          if (i < k - 1)
-            cents += ((far.getLong(0), far.getSeq[Long](1).toArray))
-        }
-        cents.map(_._1).zip(radii).toSeq
+        // the k argmax scans all read the same quantized projection —
+        // persist it for the loop (q114's iterative-loop discipline)
+        // instead of re-deriving it from parquet k+1 times
+        q.persist()
+        try {
+          val seed = q.orderBy(col("vec_id")).limit(1).collect()
+            .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).head
+          val cents = scala.collection.mutable.ArrayBuffer(seed)
+          val radii = scala.collection.mutable.ArrayBuffer.empty[Long]
+          for (i <- 0 until k) {
+            val far = q.withColumn("dm", dmin(cents.map(_._2).toSeq))
+              .orderBy(col("dm").desc, col("vec_id")).limit(1).collect().head
+            radii += far.getLong(2)
+            if (i < k - 1)
+              cents += ((far.getLong(0), far.getSeq[Long](1).toArray))
+          }
+          cents.map(_._1).zip(radii).toSeq
+        } finally q.unpersist()
       }
       val session = s
       import session.implicits._

@@ -935,6 +935,43 @@ private[graft] object CurationQueries {
     },
 
 
+    "q242_jpeg_row_stats" -> { (s, dir) =>
+      // REAL JPEG pixel decode — the format arm q222 could not cover
+      // (PNG inflate is lossless; JPEG needs the full baseline
+      // machinery): each doc (doc_id mod 3 == 1, q127's JPEG arm)
+      // carries a COMPLETE baseline JPEG — real DHT canonical Huffman
+      // stream, DC prediction, byte stuffing — whose 8x8 blocks are
+      // FLAT with the MediaKernel.jpegBlockVal quadratic-mix value
+      // under an all-ones quant table, so the codec round-trips
+      // EXACTLY
+      // and the oracle recomputes every decoded pixel arithmetically
+      // from doc_id (fully independent of both codec sides).
+      // image_row_stats dispatches on magic bytes and must run
+      // Huffman decode + dequant + IDCT to produce the same
+      // per-scanline (n_px, sum_lum, min_lum, max_lum) contract as
+      // q222's PNG arm. Plan shape identical to q222: per-row kernel
+      // projection + bounded explode (h <= 15 scanlines per doc),
+      // zero data shuffles — and luma-only reconstruction means the
+      // chroma IDCT work a color corpus would imply never runs.
+      val payload = jpeg_encode_gray_flat(
+        (col("doc_id") % 16 + 16).cast("long"),
+        (col("doc_id") % 8 + 8).cast("long"), col("doc_id"), lit(0L))
+      Tables(s, dir).documents
+        .filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"), payload.as("payload"))
+        .select(col("doc_id"), media_info(col("payload")).as("m"),
+          image_row_stats(col("payload")).as("rs"))
+        .select(col("doc_id"), col("m.width").as("width"),
+          col("m.height").as("height"), explode_outer(col("rs")).as("r"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("r.y").as("y"), col("r.n_px").as("n_px"),
+          col("r.sum_lum").as("sum_lum"), col("r.min_lum").as("min_lum"),
+          col("r.max_lum").as("max_lum"))
+    },
+
+
     "q151_source_divergence" -> { (s, dir) =>
       // Corpus-drift matrix: Jensen-Shannon divergence between every
       // source pair's unigram distribution, estimated over 256 hashed
@@ -1912,6 +1949,27 @@ private[graft] object CurationQueries {
           px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM a),
           v AS (SELECT doc_id, w, h, i // w AS y,
                  ((doc_id + i) * 2654435761) % 256 AS lum FROM px)
+          SELECT doc_id, CAST(max(w) AS BIGINT) AS width,
+            CAST(max(h) AS BIGINT) AS height,
+            CAST(y AS BIGINT) AS y, CAST(count(*) AS BIGINT) AS n_px,
+            CAST(sum(lum) AS BIGINT) AS sum_lum,
+            CAST(min(lum) AS BIGINT) AS min_lum,
+            CAST(max(lum) AS BIGINT) AS max_lum
+          FROM v GROUP BY doc_id, y ORDER BY doc_id, y""",
+
+    // JPEG arm: the decoded pixel field is the flat-block formula —
+    // block (x//8, y//8) of the ceil(w/8)-wide block grid — which the
+    // all-ones quant table preserves exactly through the lossy codec
+    "q242_jpeg_row_stats" ->
+      """WITH a AS (SELECT doc_id, 16 + doc_id % 16 AS w,
+               8 + doc_id % 8 AS h FROM documents WHERE doc_id % 3 = 1),
+          px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM a),
+          bx AS (SELECT doc_id, w, h, i,
+                 (doc_id + ((i // w) // 8) * ((w + 7) // 8)
+                   + (i % w) // 8) % 32768 AS x FROM px),
+          v AS (SELECT doc_id, w, h, i // w AS y,
+                 (((x * x + x) * 2654435761) // 65536) % 256 AS lum
+                FROM bx)
           SELECT doc_id, CAST(max(w) AS BIGINT) AS width,
             CAST(max(h) AS BIGINT) AS height,
             CAST(y AS BIGINT) AS y, CAST(count(*) AS BIGINT) AS n_px,

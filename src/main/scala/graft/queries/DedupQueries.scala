@@ -244,40 +244,8 @@ private[graft] object DedupQueries {
       // shingles (a 1-shingle doc is "contained" everywhere — noise);
       // that also bounds containers losslessly, since a <5-shingle doc
       // cannot hold the needed intersection.
-      val docs = shingled(Tables(s, dir)).filter(size(col("sh")) >= 5)
-      val ordered = docs.select(col("doc_id"), size(col("sh")).as("len"),
-        transform(array_sort(transform(col("sh"),
-          g => struct(xxhash64(g).as("k2"), g.as("g")))),
-          _.getField("g")).as("og"))
-      // C >= 9/10 implies |A \ B| <= |A| - ceil(9|A|/10), so one of the
-      // first |A| - ceil(9|A|/10) + 1 ordered shingles must be in B
-      val prefixLen =
-        (col("len") - floor((col("len") * 9 + 9) / 10) + 1).cast("int")
-      val pre = ordered.select(col("doc_id"), col("len"),
-        explode(slice(col("og"), lit(1), prefixLen)).as("g"))
-      val full = docs.select(col("doc_id"), size(col("sh")).as("len"),
-        explode(col("sh")).as("g"))
-      def capped(df: DataFrame, out: String) = df.groupBy(col("g"))
-        .agg(slice(array_sort(collect_list(struct(col("doc_id"), col("len")))),
-          1, 64).as(out))
-      val cand = capped(pre, "ma").join(capped(full, "mb"), "g")
-        .select(explode(col("ma")).as("a"), col("mb"))
-        .select(col("a"), explode(col("mb")).as("b"))
-        .filter(col("a.doc_id") =!= col("b.doc_id") &&
-          col("b.len") * 10 >= col("a.len") * 9)
-        .select(col("a.doc_id").as("contained_doc"),
-          col("b.doc_id").as("container_doc"))
-        .distinct()
-      cand
-        .join(docs.select(col("doc_id").as("contained_doc"), col("sh").as("sh_a")),
-          "contained_doc")
-        .join(docs.select(col("doc_id").as("container_doc"), col("sh").as("sh_b")),
-          "container_doc")
-        .withColumn("containment",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(col("sh_a")))
-        .filter(col("containment") >= 0.9)
-        .select(col("contained_doc"), col("container_doc"), col("containment"))
+      val docs = shingled(Tables(s, dir))
+      containmentPairs(docs, docs)
         .orderBy(col("contained_doc"), col("container_doc"))
     },
 
@@ -293,6 +261,17 @@ private[graft] object DedupQueries {
     // --- sketch families (md5-derived so the DuckDB oracle recomputes
     // --- the identical signatures; see SketchKernel.md5Lower64) --------
     "q38_simhash_neardup" -> { (s, dir) =>
+      // RECALL CONTRACT (shared by every 4 x 16-bit banding user:
+      // q38 here, q223, q243): an exact-match band surfaces a pair
+      // only if one band is error-free, which the pigeonhole
+      // guarantees ONLY for Hamming distance <= 3. A true pair at
+      // d in [4, threshold] whose bit errors touch all four bands is
+      // missed — by both engines identically (the oracle replays the
+      // banding), adversarially pinned in PipelineSpec's
+      // "banded-Hamming RECALL CONTRACT" case. This is the standard
+      // LSH trade (q31's equivalence-regime posture): complete recall
+      // at the threshold would need 8x8-bit bands (d <= 7) or
+      // multi-probe, at 2x/row the band shuffle volume.
       val docs = Tables(s, dir).documents
         .select(col("doc_id"), simhash64(toks(col("text"))).as("sig"))
       val bands = docs.select(col("doc_id"), col("sig"),
@@ -332,17 +311,41 @@ private[graft] object DedupQueries {
       // (IDAT inflate + unfilter) and block-averages onto the 9x8
       // dHash grid. Banding/capping/verification are exactly q38's:
       // 4 x 16-bit bands, the shared 64-capped bucket pairer (never
-      // all-pairs), exact Hamming verify <= 12. One map-only
+      // all-pairs), exact Hamming verify <= 12 — under q38's recall
+      // contract: banding GUARANTEES candidates only at d <= 3; a
+      // d in [4,12] pair with errors in all four bands is
+      // documented-missed (see the q38 note + the adversarial spec
+      // pin). One map-only
       // decode+hash scan (8 bytes/doc shipped), one band shuffle —
       // the image-dedup plan a 100 TB multimodal corpus needs.
       imageDhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
     },
 
 
+    "q243_jpeg_dhash_neardup" -> { (s, dir) =>
+      // q223's perceptual near-dup routed over the format real web
+      // corpora are made of: each doc carries a COMPLETE baseline
+      // JPEG (real Huffman entropy stream, DC prediction, byte
+      // stuffing) planted from its group id — group members share
+      // dims and the flat-block pixel field, differ by a per-doc
+      // brightness shift — and image_dhash must run the full decode
+      // (DHT build + Huffman + dequant + IDCT, luma only) before the
+      // 9x8 dHash grid. Banding/capping/verification identical to
+      // q223: 4 x 16-bit bands, shared 64-capped pairer, exact
+      // Hamming verify. Recall contract: the 4x16 banding pigeonhole-
+      // guarantees a clean band only for d <= 3; pairs at d in [4,12]
+      // surface only when one band dodges every flipped bit (both
+      // engines replay the same banding, so the contract is shared —
+      // see the q38 note). Scale shape unchanged: map-only
+      // decode+hash (8 bytes/doc shipped), one band shuffle.
+      jpegDhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
+    },
+
+
     "q229_image_dup_clusters" -> { (s, dir) =>
       // The pairs -> clusters -> keeper step for the IMAGE family —
       // what q86/q143 do for text near-dups, completing the image
-      // dedup arc (decode q222, candidate+verify q223, resolution
+      // dedup arc (decode q222, candidate+verify q223/q243, resolution
       // here): alternating-star connected components over the dHash
       // near-dup edge set, each image labeled with its component's
       // minimum doc_id (the canonical keeper) plus the cluster size a
@@ -564,6 +567,80 @@ private[graft] object DedupQueries {
     },
   )
 
+  /** The q224 contained-side posting set: each doc posts (doc_id, len,
+    * g) for the shingles in its ordered PREFIX only — shingles sorted
+    * by the fixed global xxhash64 order, first
+    * |A| - ceil(0.9*|A|) + 1 of them. C(A->B) >= 9/10 implies
+    * |A \ B| <= |A| - ceil(9|A|/10), so by pigeonhole one of those
+    * prefix shingles must be in B — the lossless witness set the
+    * containment join (batch q224 and its streaming twin,
+    * [[graft.streaming.DedupStreams.containmentProbe]]) probes with.
+    * Docs with < 5 shingles are dropped on BOTH sides (a 1-shingle
+    * doc is "contained" everywhere — noise; and a <5-shingle doc
+    * cannot hold a >= ceil(0.9*|A|) intersection for any admitted A,
+    * so dropping it as a container is lossless too). */
+  private[graft] def containmentPrefixPostings(docs: DataFrame,
+      keep: Seq[String] = Nil): DataFrame = {
+    val ordered = docs.filter(size(col("sh")) >= 5)
+      .select(Seq(col("doc_id"), size(col("sh")).as("len"),
+        transform(array_sort(transform(col("sh"),
+          g => struct(xxhash64(g).as("k2"), g.as("g")))),
+          _.getField("g")).as("og")) ++ keep.map(col): _*)
+    val prefixLen =
+      (col("len") - floor((col("len") * 9 + 9) / 10) + 1).cast("int")
+    ordered.select(Seq(col("doc_id"), col("len"),
+      explode(slice(col("og"), lit(1), prefixLen)).as("g")) ++
+        keep.map(col): _*)
+  }
+
+  /** The q224 container-side inverted index: g -> up to 64 lowest-id
+    * (doc_id, len) postings over ALL the container's shingles (the
+    * witness can sit anywhere in B). One shingle-TYPE shuffle; the
+    * 64 cap is q31's degenerate-corpus guard (max shingle df at
+    * sf0.1 is 25, so it is headroom here). */
+  private[graft] def containmentIndex(containers: DataFrame): DataFrame =
+    containers.filter(size(col("sh")) >= 5)
+      .select(col("doc_id"), size(col("sh")).as("len"),
+        explode(col("sh")).as("g"))
+      .groupBy(col("g"))
+      .agg(slice(array_sort(collect_list(struct(col("doc_id"), col("len")))),
+        1, 64).as("mb"))
+
+  /** q224's verified asymmetric near-containment pairs: (contained,
+    * container, containment) with |A∩B| / |A| >= 0.9, contained drawn
+    * from `contained`, containers from `containers` (q224 passes the
+    * same corpus for both; the streaming parity spec passes the
+    * stream/static split). Prefix postings (capped like the index —
+    * binds only past shingle-df 64) join the container index, pairs
+    * pass the lossless length test 10*|B| >= 9*|A| (since
+    * |B| >= |A∩B| >= ceil(0.9*|A|)), and exact verification joins
+    * candidates only — never all-pairs. */
+  private[graft] def containmentPairs(contained: DataFrame,
+      containers: DataFrame): DataFrame = {
+    val pre = containmentPrefixPostings(contained)
+    val capA = pre.groupBy(col("g"))
+      .agg(slice(array_sort(collect_list(struct(col("doc_id"), col("len")))),
+        1, 64).as("ma"))
+    val cand = capA.join(containmentIndex(containers), "g")
+      .select(explode(col("ma")).as("a"), col("mb"))
+      .select(col("a"), explode(col("mb")).as("b"))
+      .filter(col("a.doc_id") =!= col("b.doc_id") &&
+        col("b.len") * 10 >= col("a.len") * 9)
+      .select(col("a.doc_id").as("contained_doc"),
+        col("b.doc_id").as("container_doc"))
+      .distinct()
+    cand
+      .join(contained.select(col("doc_id").as("contained_doc"),
+        col("sh").as("sh_a")), "contained_doc")
+      .join(containers.select(col("doc_id").as("container_doc"),
+        col("sh").as("sh_b")), "container_doc")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")))
+      .filter(col("containment") >= 0.9)
+      .select(col("contained_doc"), col("container_doc"), col("containment"))
+  }
+
   /** q223's verified image near-dup pairs (doc_a < doc_b, Hamming <=
     * 12 over decoded dHashes), also the edge set for q229's cluster
     * resolution — the image twin of [[Pipeline.minhashDupPairs]]. */
@@ -586,20 +663,36 @@ private[graft] object DedupQueries {
       .filter(col("hamming") <= 12)
   }
 
-  /** The q223 edge construction as shared oracle CTEs (ending in
-    * `ipairs`), so the pair query and the cluster query certify
-    * against the same SQL edges. */
-  private val imageDhashEdgeCtes =
-    """dm AS (SELECT doc_id, (doc_id // 8) % 16 + 16 AS w,
-               (doc_id // 8) % 8 + 8 AS h, doc_id // 8 AS seed,
-               (doc_id % 8) * 3 AS bright FROM documents),
-          px AS (SELECT doc_id, w, h, seed, bright,
-                  unnest(range(0, w * h)) AS i FROM dm),
-          v AS (SELECT doc_id, ((i % w) * 9) // w AS cx,
-                 ((i // w) * 8) // h AS cy,
-                 (((seed + i) * 2654435761) % 256 + bright) % 256 AS lum
-                FROM px),
-          cell AS (SELECT doc_id, cy, cx, sum(lum) // count(*) AS m
+  /** q243's verified JPEG near-dup pairs — [[imageDhashPairs]] with
+    * the payload swapped to a planted baseline JPEG (decoded via the
+    * format-dispatching image_dhash); banding identical. Dims are
+    * block-aligned and wider (72-104 x 16-24) so the flat-block field
+    * still populates all nine dHash grid columns. */
+  private def jpegDhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val imgs = Tables(s, dir).documents
+      .select(col("doc_id"), expr("doc_id DIV 8").as("gid"))
+      .select(col("doc_id"), image_dhash(jpeg_encode_gray_flat(
+        ((col("gid") % 4 + 9) * 8).cast("long"),
+        ((col("gid") % 4 + 3) * 8).cast("long"),
+        col("gid"), (col("doc_id") % 8) * 3)).as("sig"))
+    val bands = imgs.select(col("doc_id"), col("sig"),
+      explode(expr(
+        """transform(sequence(0, 3), b -> struct(b AS band_id,
+          shiftrightunsigned(sig, cast(b * 16 AS int)) & 65535 AS key))""")).as("bd"))
+    cappedBucketPairs(bands, col("bd"),
+        struct(col("doc_id"), col("sig")), "doc_id")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming64(col("a.sig"), col("b.sig")).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 12)
+  }
+
+  /** The banding/capping/pairing tail of the dHash oracle CTEs —
+    * shared by the PNG (q223/q229) and JPEG (q243) edge constructions,
+    * which differ only in how the per-pixel `v(doc_id, cx, cy, lum)`
+    * CTE derives its luminance. Ends in `ipairs`. */
+  private val dhashBandCtes =
+    """cell AS (SELECT doc_id, cy, cx, sum(lum) // count(*) AS m
                    FROM v GROUP BY doc_id, cy, cx),
           bit AS (SELECT l.doc_id, l.cy * 8 + l.cx AS b
                   FROM cell l JOIN cell r ON l.doc_id = r.doc_id
@@ -628,6 +721,41 @@ private[graft] object DedupQueries {
                     FROM capped a JOIN capped b
                       ON a.band_id = b.band_id AND a.key = b.key
                         AND a.doc_id < b.doc_id)"""
+
+  /** The q223/q229 PNG edge construction: per-PIXEL planted luminance
+    * ((seed + i) * 2654435761 mod 256) + brightness, then the shared
+    * banding tail. */
+  private val imageDhashEdgeCtes =
+    s"""dm AS (SELECT doc_id, (doc_id // 8) % 16 + 16 AS w,
+               (doc_id // 8) % 8 + 8 AS h, doc_id // 8 AS seed,
+               (doc_id % 8) * 3 AS bright FROM documents),
+          px AS (SELECT doc_id, w, h, seed, bright,
+                  unnest(range(0, w * h)) AS i FROM dm),
+          v AS (SELECT doc_id, ((i % w) * 9) // w AS cx,
+                 ((i // w) * 8) // h AS cy,
+                 (((seed + i) * 2654435761) % 256 + bright) % 256 AS lum
+                FROM px),
+          $dhashBandCtes"""
+
+  /** The q243 JPEG edge construction: per-BLOCK planted luminance
+    * (block (x//8, y//8) of the w//8-wide grid — what the all-ones
+    * quant table round-trips exactly through the lossy codec), same
+    * shared banding tail. */
+  private val jpegDhashEdgeCtes =
+    s"""dm AS (SELECT doc_id, ((doc_id // 8) % 4 + 9) * 8 AS w,
+               ((doc_id // 8) % 4 + 3) * 8 AS h, doc_id // 8 AS seed,
+               (doc_id % 8) * 3 AS bright FROM documents),
+          px AS (SELECT doc_id, w, h, seed, bright,
+                  unnest(range(0, w * h)) AS i FROM dm),
+          bx AS (SELECT doc_id, w, h, bright, i,
+                 (seed + ((i // w) // 8) * (w // 8) + (i % w) // 8)
+                   % 32768 AS x FROM px),
+          v AS (SELECT doc_id, ((i % w) * 9) // w AS cx,
+                 ((i // w) * 8) // h AS cy,
+                 ((((x * x + x) * 2654435761) // 65536) % 256
+                   + bright) % 256 AS lum
+                FROM bx),
+          $dhashBandCtes"""
 
   def oracle: Map[String, String] = Map(
 
@@ -845,6 +973,13 @@ private[graft] object DedupQueries {
     // exact Hamming over xor
     "q223_image_dhash_neardup" ->
       s"""WITH $imageDhashEdgeCtes
+          SELECT doc_a, doc_b,
+            CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+          FROM ipairs WHERE bit_count(xor(sig_a, sig_b)) <= 12
+          ORDER BY doc_a, doc_b""",
+
+    "q243_jpeg_dhash_neardup" ->
+      s"""WITH $jpegDhashEdgeCtes
           SELECT doc_a, doc_b,
             CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
           FROM ipairs WHERE bit_count(xor(sig_a, sig_b)) <= 12

@@ -108,6 +108,13 @@ private[graft] object StatQueries {
           max(when(col("arm") === 0, col("n"))).as("n0"),
           max(when(col("arm") === 0, col("sc"))).as("sc0"),
           max(when(col("arm") === 0, col("scc"))).as("scc0"))
+        // Guard discipline (q214's): a type seen in only one arm (null
+        // n) or with a single observation (n = 1, Welch divides by
+        // n-1) would yield a null p_raw, and Spark's NULLS FIRST vs
+        // DuckDB's NULLS LAST default would silently rank it
+        // differently. Both engines drop those types BEFORE ranking,
+        // so the m in the BH critical value also agrees.
+        .filter(col("n1") > 1 && col("n0") > 1)
       def mean(sc: Column, n: Column) = sc.cast("double") / n
       def s2(scc: Column, sc: Column, n: Column) =
         (scc.cast("double") / n - (sc.cast("double") / n) *
@@ -272,10 +279,17 @@ private[graft] object StatQueries {
         .agg(max(col("k")).as("k_days"),
           max(col("ts").cast("double") / col("tn")).as("ratio_raw"),
           sum((col("r") - col("rbar")) * (col("r") - col("rbar"))).as("ssq"))
+        // k = 1 leaves the single leave-one-out replicate dividing by
+        // (tn - n) = 0 — the jackknife is UNDEFINED, and Spark (null)
+        // vs DuckDB (inf) disagree on 0-division. Gate the replicate
+        // readouts on k >= 2 so a degenerate corpus reports an agreed
+        // explicit null instead of an engine-dependent value.
         .select(col("k_days"), round(col("ratio_raw"), 6).as("ratio"),
-          round(se, 6).as("se_jackknife"),
-          round(col("ratio_raw") - lit(1.959964) * se, 6).as("ci_lo"),
-          round(col("ratio_raw") + lit(1.959964) * se, 6).as("ci_hi"))
+          when(col("k_days") >= 2L, round(se, 6)).as("se_jackknife"),
+          when(col("k_days") >= 2L,
+            round(col("ratio_raw") - lit(1.959964) * se, 6)).as("ci_lo"),
+          when(col("k_days") >= 2L,
+            round(col("ratio_raw") + lit(1.959964) * se, 6)).as("ci_hi"))
     },
 
 
@@ -828,7 +842,7 @@ private[graft] object StatQueries {
                      + (CAST(scc0 AS DOUBLE) / n0
                        - (CAST(sc0 AS DOUBLE) / n0) * (CAST(sc0 AS DOUBLE) / n0))
                        * (CAST(n0 AS DOUBLE) / (n0 - 1)) / n0) AS z_raw
-                FROM g),
+                FROM g WHERE n1 > 1 AND n0 > 1),
           tt AS (SELECT event_type, n1, n0, z_raw,
                  1.0 / (1.0 + 0.2316419 * abs(z_raw)) AS t FROM zz),
           pv AS (SELECT event_type, n1, n0, z_raw,
@@ -993,12 +1007,15 @@ private[graft] object StatQueries {
                   sum((r - rbar) * (r - rbar)) AS ssq
                  FROM reps, rb)
           SELECT k_days, round(ratio_raw, 6) AS ratio,
-            round(sqrt(CAST(k_days - 1 AS DOUBLE) / k_days * ssq), 6)
-              AS se_jackknife,
-            round(ratio_raw - 1.959964
-              * sqrt(CAST(k_days - 1 AS DOUBLE) / k_days * ssq), 6) AS ci_lo,
-            round(ratio_raw + 1.959964
-              * sqrt(CAST(k_days - 1 AS DOUBLE) / k_days * ssq), 6) AS ci_hi
+            CASE WHEN k_days >= 2 THEN
+              round(sqrt(CAST(k_days - 1 AS DOUBLE) / k_days * ssq), 6)
+            END AS se_jackknife,
+            CASE WHEN k_days >= 2 THEN round(ratio_raw - 1.959964
+              * sqrt(CAST(k_days - 1 AS DOUBLE) / k_days * ssq), 6)
+            END AS ci_lo,
+            CASE WHEN k_days >= 2 THEN round(ratio_raw + 1.959964
+              * sqrt(CAST(k_days - 1 AS DOUBLE) / k_days * ssq), 6)
+            END AS ci_hi
           FROM agg""",
 
     "q171_holdout_ab" ->

@@ -311,6 +311,48 @@ object DedupStreams {
       .select(col("new_doc"), col("idx_doc"), col("jaccard"))
   }
 
+  /** Streaming twin of batch q224 (asymmetric near-containment join):
+    * docs arriving on a stream probe the STATIC 64-capped container-
+    * side inverted index of the existing corpus — the continuous-
+    * ingest boilerplate/quotation detector. An arriving doc posts only
+    * its ordered PREFIX (the pigeonhole witness set — shared batch
+    * code, DedupQueries.containmentPrefixPostings), each row
+    * independently, so the batch side's contained-prefix 64-cap (a
+    * degenerate-corpus guard that binds only past shingle-df 64) has
+    * no streaming analogue; wherever the cap doesn't bind, the two
+    * forms flag identical pairs by construction (parity spec in
+    * EventStreamsSpec). All joins are stream-static: the index probe
+    * with the lossless 10*|B| >= 9*|A| length test, then exact-
+    * containment verify against the container's full shingle set —
+    * never all-pairs, and per arriving doc the probe fan-out is
+    * bounded by prefix_len x 64. State is only the within-watermark
+    * (contained, container) dedup of prefix-repeated hits. Input must
+    * carry (doc_id, sh, event_time). */
+  def containmentProbe(docs: DataFrame, existing: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.queries.DedupQueries
+    val index = DedupQueries.containmentIndex(existing)
+    val exSh = existing.select(col("doc_id").as("container_doc"),
+      col("sh").as("sh_b"))
+    DedupQueries.containmentPrefixPostings(
+        docs.withWatermark("event_time", watermark),
+        keep = Seq("sh", "event_time"))
+      .join(index, "g")
+      .select(col("doc_id").as("contained_doc"), col("sh").as("sh_a"),
+        col("len"), col("event_time"), explode(col("mb")).as("b"))
+      .filter(col("b.doc_id") =!= col("contained_doc") &&
+        col("b.len") * 10 >= col("len") * 9)
+      .select(col("contained_doc"), col("sh_a"), col("event_time"),
+        col("b.doc_id").as("container_doc"))
+      .join(exSh, "container_doc")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")))
+      .filter(col("containment") >= 0.9)
+      .dropDuplicatesWithinWatermark(Seq("contained_doc", "container_doc"))
+      .select(col("contained_doc"), col("container_doc"), col("containment"))
+  }
+
   /** One fixed-width token block of a streamed document (from
     * Pipeline.docBlocks — the identical segmentation as batch q117). */
   final case class DocBlock(doc_id: Long, idx: Int, blk: String)

@@ -172,6 +172,43 @@ class EventStreamsSpec extends SparkSpec {
     d.toString
   }
 
+  // ---------------------------------------------------------------------
+  // State-store provider parameterization (round-14, VERDICT r13 #6):
+  // RocksDB + changelog checkpointing is the production posture at
+  // 100 TB ingest, so every stateful twin's parity spec runs on BOTH
+  // providers below — the tested store IS the production store. The
+  // transformWithState twins (funnel/SCD2/cursor) REQUIRE RocksDB and
+  // run on it only.
+  // ---------------------------------------------------------------------
+  private val stateProviders = Seq(
+    "hdfs" -> ("org.apache.spark.sql.execution.streaming." +
+      "state.HDFSBackedStateStoreProvider"),
+    "rocksdb" -> ("org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider"))
+
+  private def withStateProvider(providerClass: String)(body: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val clKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prev = spark.conf.getOption(key)
+    val prevCl = spark.conf.getOption(clKey)
+    spark.conf.set(key, providerClass)
+    spark.conf.set(clKey, "true")
+    try body finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      prevCl.fold(spark.conf.unset(clKey))(spark.conf.set(clKey, _))
+    }
+  }
+
+  /** Total keyed-state rows of the query's LAST progress that carried
+    * state operators — the bound every keyed twin asserts so a state
+    * leak (keys never evicted, runs never closed) fails the spec. */
+  private def stateRowsTotal(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.reverse.map(_.stateOperators)
+      .collectFirst { case ops if ops.nonEmpty => ops.map(_.numRowsTotal).sum }
+      .getOrElse(-1L)
+
   test("streaming exact dedup keeps one row per content hash") {
     import graft.streaming.DedupStreams
     val docsSchema = spark.read.parquet(docsDir).schema
@@ -385,21 +422,22 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming attribution rolls up to exactly the batch q149 rows") {
+  private def attributionParity(tag: String): Unit = {
     val raw = spark.readStream.schema(eventsSchema).parquet(eventsDir)
     val stream = raw
       .select(col("user_id"), col("event_id"), Tables.eventMicros(raw).as("tus"),
         col("event_type"), col("value"))
       .as[EventStreams.AttrEvent]
     val q = EventStreams.attribute(stream)
-      .writeStream.outputMode("append").format("memory").queryName("attr_out").start()
+      .writeStream.outputMode("append").format("memory")
+      .queryName(s"attr_out_$tag").start()
     try {
       q.processAllAvailable()
       val got = spark.sql(
-        """SELECT day, count(*) AS n,
+        s"""SELECT day, count(*) AS n,
              sum(CASE WHEN attributed THEN 1 ELSE 0 END) AS na,
              sum(CASE WHEN attributed THEN cents ELSE 0 END) AS ac
-           FROM attr_out GROUP BY day""")
+           FROM attr_out_$tag GROUP BY day""")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .toSet
       val batch = SparkEntry.queries("q149_attribution")(spark, sf).collect()
@@ -407,10 +445,15 @@ class EventStreamsSpec extends SparkSpec {
       assert(got == batch)
       assert(got.exists(_._3 > 0L) && got.exists(t => t._2 > t._3),
         "fixture should exercise both attributed and unattributed purchases")
+      // keyed state = one last-click cursor per user, nothing more
+      val users = spark.read.parquet(eventsDir)
+        .select("user_id").distinct().count()
+      assert(stateRowsTotal(q) <= users,
+        s"attribution state ${stateRowsTotal(q)} rows > $users users")
     } finally q.stop()
   }
 
-  test("streaming cusum equals the closed-form trajectory across micro-batches") {
+  private def cusumParity(tag: String): Unit = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStreams.{CusumCell, CusumOut}
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -420,19 +463,23 @@ class EventStreamsSpec extends SparkSpec {
     val counts = Seq(10L, 10L, 10L, 10L, 20L, 20L)
     val in = MemoryStream[CusumCell]
     val q = graft.streaming.EventStreams.cusum(in.toDS(), Map("a" -> 13L))
-      .writeStream.outputMode("append").format("memory").queryName("cusum_out").start()
+      .writeStream.outputMode("append").format("memory")
+      .queryName(s"cusum_out_$tag").start()
     try {
       in.addData((0 to 2).map(d => CusumCell("a", d.toLong, counts(d))): _*)
       q.processAllAvailable()
       in.addData((3 to 5).map(d => CusumCell("a", d.toLong, counts(d))): _*)
       q.processAllAvailable()
-      val got = spark.sql("SELECT day, s FROM cusum_out ORDER BY day")
+      val got = spark.sql(s"SELECT day, s FROM cusum_out_$tag ORDER BY day")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(got == Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 7L), (5L, 14L)))
+      // keyed state = 2 scalars per TYPE, one type planted
+      assert(stateRowsTotal(q) == 1L,
+        s"cusum state ${stateRowsTotal(q)} rows for 1 type")
     } finally q.stop()
   }
 
-  test("streaming sprt matches batch q211 across batches and a redelivery") {
+  private def sprtParity(tag: String): Unit = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStreams.SprtCell
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -453,24 +500,28 @@ class EventStreamsSpec extends SparkSpec {
     val in = MemoryStream[SprtCell]
     val q = graft.streaming.EventStreams.sprt(in.toDS())
       .writeStream.outputMode("append").format("memory")
-      .queryName("sprt_out").start()
+      .queryName(s"sprt_out_$tag").start()
     try {
       in.addData(cells.take(cut): _*)
       q.processAllAvailable()
       in.addData(cells(cut - 1) +: cells.drop(cut): _*) // redelivery
       q.processAllAvailable()
       val got = spark.sql(
-        "SELECT day, trials, conversions, llr, decision FROM sprt_out ORDER BY day")
+        s"SELECT day, trials, conversions, llr, decision FROM sprt_out_$tag " +
+          "ORDER BY day")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getDouble(3), r.getString(4))).toSeq
       val batch = graft.queries.Pipeline.queries("q211_sprt")(spark, sf)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getDouble(3), r.getString(4))).toSeq
       assert(got == batch, "streaming twin == batch q211, bit for bit")
+      // keyed state = one (llr, lastDay) cell for the single global arm
+      assert(stateRowsTotal(q) == 1L,
+        s"sprt state ${stateRowsTotal(q)} rows for 1 arm")
     } finally q.stop()
   }
 
-  test("streaming page-hinkley matches batch q241 across batches and a redelivery") {
+  private def pageHinkleyParity(tag: String): Unit = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStreams.PhCell
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -487,7 +538,7 @@ class EventStreamsSpec extends SparkSpec {
     val in = MemoryStream[PhCell]
     val q = graft.streaming.EventStreams.pageHinkley(in.toDS())
       .writeStream.outputMode("append").format("memory")
-      .queryName("ph_out").start()
+      .queryName(s"ph_out_$tag").start()
     try {
       in.addData(c1: _*)
       q.processAllAvailable()
@@ -498,7 +549,7 @@ class EventStreamsSpec extends SparkSpec {
       in.addData(redeliver ++ c2: _*)
       q.processAllAvailable()
       val got = spark.sql(
-        "SELECT eventType, day, x, runningMean, phStat, alarm FROM ph_out " +
+        s"SELECT eventType, day, x, runningMean, phStat, alarm FROM ph_out_$tag " +
           "ORDER BY eventType, day")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
           r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toSeq
@@ -508,10 +559,14 @@ class EventStreamsSpec extends SparkSpec {
       assert(got == batch, "streaming twin == batch q241, bit for bit")
       // PH is nonnegative by construction and resets at new minima
       assert(batch.forall(_._5 >= 0.0))
+      // keyed state = 4 scalars per TYPE
+      val types = cells.map(_.eventType).distinct.length
+      assert(stateRowsTotal(q) == types.toLong,
+        s"page-hinkley state ${stateRowsTotal(q)} rows for $types types")
     } finally q.stop()
   }
 
-  test("streaming ewma matches batch q184 across a micro-batch boundary") {
+  private def ewmaParity(tag: String): Unit = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStreams.EwmaCell
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -527,14 +582,16 @@ class EventStreamsSpec extends SparkSpec {
     val cut = cells.map(_.day).distinct.sorted.apply(cells.map(_.day).distinct.length / 2)
     val in = MemoryStream[EwmaCell]
     val q = graft.streaming.EventStreams.ewma(in.toDS())
-      .writeStream.outputMode("append").format("memory").queryName("ewma_out").start()
+      .writeStream.outputMode("append").format("memory")
+      .queryName(s"ewma_out_$tag").start()
     try {
       in.addData(cells.filter(_.day < cut).toIndexedSeq: _*)
       q.processAllAvailable()
       in.addData(cells.filter(_.day >= cut).toIndexedSeq: _*)
       q.processAllAvailable()
       val got = spark.sql(
-        "SELECT event_type, day, cnt, ewma_prev, flagged FROM ewma_out ORDER BY 1, 2")
+        s"SELECT event_type, day, cnt, ewma_prev, flagged FROM ewma_out_$tag " +
+          "ORDER BY 1, 2")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
           r.getDouble(3), r.getBoolean(4))).toSeq
       val batch = graft.queries.Pipeline.queries("q184_ewma_anomaly")(spark, sf).collect()
@@ -546,6 +603,10 @@ class EventStreamsSpec extends SparkSpec {
         assert(math.abs(e1 - e2) < 2e-6, s"($t1,$d1) ewma $e1 vs $e2")
         assert(f1 == f2)
       }
+      // keyed state = (decayed sum, weight, lastDay) per TYPE
+      val types = cells.map(_.event_type).distinct.length
+      assert(stateRowsTotal(q) == types.toLong,
+        s"ewma state ${stateRowsTotal(q)} rows for $types types")
     } finally q.stop()
   }
 
@@ -709,46 +770,39 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("transformWithState funnel matches the batch funnelTimes rows") {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+  private def funnelParity(tag: String): Unit = {
+    val session = spark
+    import session.implicits._
+    val raw = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+    val stream = raw
+      .select(col("user_id"), col("event_type"),
+        Tables.eventMicros(raw).as("tus"), col("event_id"))
+      .as[EventStreams.FunnelEvent]
+    // no TTL -> TimeMode.None: processAllAvailable terminates
+    val q = EventStreams.funnelTws(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName(s"funnel_tws_$tag").start()
     try {
-      val session = spark
-      import session.implicits._
-      val raw = spark.readStream.schema(eventsSchema).parquet(eventsDir)
-      val stream = raw
-        .select(col("user_id"), col("event_type"),
-          Tables.eventMicros(raw).as("tus"), col("event_id"))
-        .as[EventStreams.FunnelEvent]
-      // no TTL -> TimeMode.None: processAllAvailable terminates
-      val q = EventStreams.funnelTws(stream)
-        .writeStream.outputMode("append").format("memory")
-        .queryName("funnel_tws").start()
-      try {
-        q.processAllAvailable()
-        // latest emitted row per user is the funnel state; the fixture
-        // arrives as one batch, so single emission per user
-        val tws = spark.sql("SELECT * FROM funnel_tws").as[EventStreams.FunnelState]
-          .collect().map(f => f.user_id -> ((f.t1, f.t2, f.t3))).toMap
-        val batch = graft.queries.Pipeline.funnelTimes(spark.read.parquet(eventsDir))
-          .collect().map { r =>
-            def opt(i: Int): Option[Long] =
-              if (r.isNullAt(i)) None else Some(r.getLong(i))
-            r.getLong(0) -> ((opt(1), opt(2), opt(3)))
-          }.toMap
-        assert(tws == batch)
-      } finally q.stop()
-    } finally {
-      prev match {
-        case Some(p) => spark.conf.set(key, p)
-        case None => spark.conf.unset(key)
-      }
-    }
+      q.processAllAvailable()
+      // latest emitted row per user is the funnel state; the fixture
+      // arrives as one batch, so single emission per user
+      val tws = spark.sql(s"SELECT * FROM funnel_tws_$tag")
+        .as[EventStreams.FunnelState]
+        .collect().map(f => f.user_id -> ((f.t1, f.t2, f.t3))).toMap
+      val batch = graft.queries.Pipeline.funnelTimes(spark.read.parquet(eventsDir))
+        .collect().map { r =>
+          def opt(i: Int): Option[Long] =
+            if (r.isNullAt(i)) None else Some(r.getLong(i))
+          r.getLong(0) -> ((opt(1), opt(2), opt(3)))
+        }.toMap
+      assert(tws == batch)
+      // keyed state = one 3-timestamp funnel cell per user
+      assert(stateRowsTotal(q) <= batch.size.toLong,
+        s"funnel state ${stateRowsTotal(q)} rows > ${batch.size} users")
+    } finally q.stop()
   }
 
-  test("streaming stupid-backoff scoring equals the batch q136 eval rows") {
+  private def backoffParity(tag: String): Unit = {
     import graft.streaming.LmStreams
     // train counts built once from the static train split; the eval
     // docs arrive as a stream and score via three stream-static joins
@@ -763,10 +817,10 @@ class EventStreamsSpec extends SparkSpec {
       .filter(bucket(col("doc_id")) >= 819)
     val q = LmStreams.backoffScore(stream, tri, bi, uni, n)
       .writeStream.outputMode("complete").format("memory")
-      .queryName("sb_out").start()
+      .queryName(s"sb_out_$tag").start()
     try {
       q.processAllAvailable()
-      val got = spark.table("sb_out").collect()
+      val got = spark.table(s"sb_out_$tag").collect()
         .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
       val batch = graft.queries.Pipeline.queries("q136_stupid_backoff")(spark, sf)
         .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
@@ -854,6 +908,47 @@ class EventStreamsSpec extends SparkSpec {
         .filter(!col("admit")).select("new_doc")
         .collect().map(_.getLong(0)).toSet
       assert(got.map(_._1) == flaggedBatch)
+    } finally q.stop()
+  }
+
+  test("streaming containment probe flags exactly the batch q224 pairs") {
+    import graft.functions.{shingles, tokens}
+    val docsSchema = spark.read.parquet(docsDir).schema
+    val existing = spark.read.parquet(docsDir)
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+    val stream = spark.readStream.schema(docsSchema).parquet(docsDir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        shingles(tokens(col("text")), 3).as("sh"),
+        timestamp_micros(lit(1704067200000000L) + col("doc_id")).as("event_time"))
+    val q = graft.streaming.DedupStreams.containmentProbe(stream, existing)
+      .writeStream.outputMode("append").format("memory").queryName("cont_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT contained_doc, container_doc, containment FROM cont_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // the batch reference IS the shared q224 construction, applied to
+      // the same stream/static split (cap never binds: shingle df << 64)
+      val streamDocs = spark.read.parquet(docsDir)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+      val batch = graft.queries.DedupQueries
+        .containmentPairs(streamDocs, existing)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(batch.nonEmpty)
+      assert(got == batch, s"stream-only: ${(got -- batch).take(3)}; " +
+        s"missing: ${(batch -- got).take(3)}")
+      // and the cross-split pairs of the full-corpus q224 are covered
+      // (same pairs, since neither side's 64-cap binds on the fixture)
+      val full = graft.queries.DedupQueries.queries("q224_containment_join")(
+          spark, sf)
+        .filter(col("contained_doc") % 10 === 0 &&
+          col("container_doc") % 10 =!= 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(full == got, s"cross-split q224 pairs diverge: " +
+        s"${(full -- got).take(3)} / ${(got -- full).take(3)}")
     } finally q.stop()
   }
 
@@ -1318,7 +1413,7 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming skyline converges to batch q162 regardless of batch boundaries") {
+  private def skylineParity(tag: String): Unit = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.SkylineStreams
     import graft.streaming.SkylineStreams.Pt
@@ -1332,7 +1427,8 @@ class EventStreamsSpec extends SparkSpec {
       .collect().map(r => Pt(r.getLong(0), r.getLong(1), r.getLong(2)))
     val in = MemoryStream[Pt]
     val q = SkylineStreams.frontier(in.toDS())
-      .writeStream.outputMode("append").format("memory").queryName("sky_out").start()
+      .writeStream.outputMode("append").format("memory")
+      .queryName(s"sky_out_$tag").start()
     try {
       // three arbitrary batch boundaries; a point dominated in batch 1
       // must stay pruned even though batch 3 can't see it
@@ -1348,80 +1444,77 @@ class EventStreamsSpec extends SparkSpec {
       assert(streamed.sortBy(p => (p.key, p.price_c)) == want,
         "incremental fold diverges from batch skyline")
       // and the sink's final-batch rows equal it too
-      val emitted = spark.sql("SELECT key, price_c, date_us FROM sky_out")
+      val emitted = spark.sql(s"SELECT key, price_c, date_us FROM sky_out_$tag")
         .collect().map(r => Pt(r.getLong(0), r.getLong(1), r.getLong(2)))
       // frontier can only shrink per point set growth is monotone in
       // dominance: final frontier rows must all be present in the sink
       want.foreach(p => assert(emitted.contains(p), s"missing $p in sink"))
+      // keyed state = ONE frontier list under the single global key
+      assert(stateRowsTotal(q) == 1L,
+        s"skyline state ${stateRowsTotal(q)} rows for 1 global frontier")
     } finally q.stop()
   }
 
-  test("transformWithState SCD2 build matches batch q199 intervals") {
+  private def scd2Parity(tag: String): Unit = {
     import graft.streaming.ScdStreams
     import graft.streaming.ScdStreams.{OrderRow, ScdInterval}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ord = Tables(spark, sf).orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+          .cast("int"),
+        col("o_orderpriority"))
+      .collect()
+      .map(r => OrderRow(r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getString(3)))
+      .sortBy(r => (r.od, r.orderkey))
+    val in = MemoryStream[OrderRow]
+    val q = ScdStreams.buildIntervals(in.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName(s"scd_out_$tag").start()
     try {
-      val ord = Tables(spark, sf).orders
-        .select(col("o_custkey"), col("o_orderkey"),
-          expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
-            .cast("int"),
-          col("o_orderpriority"))
-        .collect()
-        .map(r => OrderRow(r.getLong(0), r.getLong(1), r.getInt(2),
-          r.getString(3)))
-        .sortBy(r => (r.od, r.orderkey))
-      val in = MemoryStream[OrderRow]
-      val q = ScdStreams.buildIntervals(in.toDS())
-        .writeStream.outputMode("append").format("memory")
-        .queryName("scd_out").start()
-      try {
-        // three arbitrary batch boundaries; global (od, orderkey) sort
-        // makes delivery in-order PER KEY across batches (the op's
-        // contract), exercising run continuation and cross-batch close
-        val (a, rest) = ord.splitAt(ord.length / 3)
-        val (b, c) = rest.splitAt(rest.length / 3)
-        Seq(a, b, c).foreach { chunk =>
-          in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
-        }
-        // redeliver an already-applied slice: every row is at or below
-        // the per-key cursor, so state must not move (no split runs,
-        // no double-counted n_orders)
-        in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
-        val session = spark
-        import session.implicits._
-        val rows = spark.sql("SELECT * FROM scd_out").as[ScdInterval].collect()
-        val closedRows = rows.filter(_.closed)
-        assert(closedRows.map(r => (r.custkey, r.run_id)).distinct.length ==
-          closedRows.length, "a closed run emitted twice")
-        // latest open row per key = max (run_id, n_orders): later
-        // batches only ever grow the open run or supersede it
-        val open = rows.filterNot(_.closed).groupBy(_.custkey)
-          .map(_._2.maxBy(r => (r.run_id, r.n_orders)))
-        val streamed = (closedRows ++ open)
-          .map(i => (i.custkey, i.run_id, i.priority, i.valid_from.toLong,
-            i.valid_to.map(_.toLong), i.n_orders)).toSet
-        val batch = graft.queries.Pipeline
-          .queries("q199_scd2_intervals")(spark, sf).collect()
-          .map { r =>
-            def d(i: Int): Option[Long] =
-              Option(r.getDate(i)).map(_.toLocalDate.toEpochDay)
-            (r.getLong(0), r.getLong(1), r.getString(2), d(3).get, d(4),
-              r.getLong(5))
-          }.toSet
-        assert(streamed == batch,
-          s"streamed ${streamed.size} vs batch ${batch.size} intervals")
-      } finally q.stop()
-    } finally {
-      prev match {
-        case Some(p) => spark.conf.set(key, p)
-        case None => spark.conf.unset(key)
+      // three arbitrary batch boundaries; global (od, orderkey) sort
+      // makes delivery in-order PER KEY across batches (the op's
+      // contract), exercising run continuation and cross-batch close
+      val (a, rest) = ord.splitAt(ord.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 3)
+      Seq(a, b, c).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
       }
-    }
+      // redeliver an already-applied slice: every row is at or below
+      // the per-key cursor, so state must not move (no split runs,
+      // no double-counted n_orders)
+      in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      val session = spark
+      import session.implicits._
+      val rows = spark.sql(s"SELECT * FROM scd_out_$tag")
+        .as[ScdInterval].collect()
+      val closedRows = rows.filter(_.closed)
+      assert(closedRows.map(r => (r.custkey, r.run_id)).distinct.length ==
+        closedRows.length, "a closed run emitted twice")
+      // latest open row per key = max (run_id, n_orders): later
+      // batches only ever grow the open run or supersede it
+      val open = rows.filterNot(_.closed).groupBy(_.custkey)
+        .map(_._2.maxBy(r => (r.run_id, r.n_orders)))
+      val streamed = (closedRows ++ open)
+        .map(i => (i.custkey, i.run_id, i.priority, i.valid_from.toLong,
+          i.valid_to.map(_.toLong), i.n_orders)).toSet
+      val batch = graft.queries.Pipeline
+        .queries("q199_scd2_intervals")(spark, sf).collect()
+        .map { r =>
+          def d(i: Int): Option[Long] =
+            Option(r.getDate(i)).map(_.toLocalDate.toEpochDay)
+          (r.getLong(0), r.getLong(1), r.getString(2), d(3).get, d(4),
+            r.getLong(5))
+        }.toSet
+      assert(streamed == batch,
+        s"streamed ${streamed.size} vs batch ${batch.size} intervals")
+      // keyed state = one open-run cursor per customer
+      val custs = ord.map(_.custkey).distinct.length
+      assert(stateRowsTotal(q) <= custs.toLong,
+        s"scd2 state ${stateRowsTotal(q)} rows > $custs customers")
+    } finally q.stop()
   }
 
   test("skylineOf planted: dominated points pruned across batch merges") {
@@ -1438,7 +1531,7 @@ class EventStreamsSpec extends SparkSpec {
     assert(f3 == List(Pt(3, 300, 25), Pt(6, 250, 30), Pt(7, 250, 30)), s"got $f3")
   }
 
-  test("streaming sliding-HLL registers match batch q228 through the estimator") {
+  private def slidingHllParity(tag: String): Unit = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.SketchStreams.RegCell
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -1463,7 +1556,7 @@ class EventStreamsSpec extends SparkSpec {
     val in = MemoryStream[RegCell]
     val q = graft.streaming.SketchStreams.slidingHllRegisters(in.toDS())
       .writeStream.outputMode("append").format("memory")
-      .queryName("hll7_out").start()
+      .queryName(s"hll7_out_$tag").start()
     try {
       in.addData(c1: _*)
       q.processAllAvailable()
@@ -1471,7 +1564,7 @@ class EventStreamsSpec extends SparkSpec {
       // max-merge must absorb the duplicates without re-emission
       in.addData(c1.filter(_.day == days(cut - 1)) ++ c2: _*)
       q.processAllAvailable()
-      val got = spark.sql("SELECT day, idx, mm FROM hll7_out")
+      val got = spark.sql(s"SELECT day, idx, mm FROM hll7_out_$tag")
         .collect().map(r => ((r.getLong(0), r.getLong(1)),
           if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
       assert(got.size == days.length * 256, "one emission per spine cell")
@@ -1493,6 +1586,43 @@ class EventStreamsSpec extends SparkSpec {
       assert(est.keySet == batch.keySet)
       est.foreach { case (d, v) =>
         assert(v == batch(d), s"day $d: $v vs ${batch(d)}") }
+      // keyed state = one <= 7-pair (day, rho) deque per register LANE
+      assert(stateRowsTotal(q) <= 256L,
+        s"sliding-HLL state ${stateRowsTotal(q)} rows > 256 lanes")
     } finally q.stop()
   }
+
+  // The provider-parameterized stateful-twin matrix (VERDICT r13 #6):
+  // every scenario above runs green on BOTH state-store providers —
+  // identical outputs AND inside its keyed-state bound — except the
+  // transformWithState twins, which Spark supports on RocksDB only.
+  private val statefulTwinScenarios
+      : Seq[(String, Boolean, String => Unit)] = Seq(
+    ("streaming attribution rolls up to exactly the batch q149 rows",
+      false, attributionParity),
+    ("streaming cusum equals the closed-form trajectory across micro-batches",
+      false, cusumParity),
+    ("streaming sprt matches batch q211 across batches and a redelivery",
+      false, sprtParity),
+    ("streaming page-hinkley matches batch q241 across batches and a redelivery",
+      false, pageHinkleyParity),
+    ("streaming ewma matches batch q184 across a micro-batch boundary",
+      false, ewmaParity),
+    ("transformWithState funnel matches the batch funnelTimes rows",
+      true, funnelParity),
+    ("streaming stupid-backoff scoring equals the batch q136 eval rows",
+      false, backoffParity),
+    ("streaming skyline converges to batch q162 regardless of batch boundaries",
+      false, skylineParity),
+    ("transformWithState SCD2 build matches batch q199 intervals",
+      true, scd2Parity),
+    ("streaming sliding-HLL registers match batch q228 through the estimator",
+      false, slidingHllParity))
+
+  for ((pname, pclass) <- stateProviders;
+       (title, rocksOnly, run) <- statefulTwinScenarios
+       if !(rocksOnly && pname == "hdfs"))
+    test(s"$title [$pname store]") {
+      withStateProvider(pclass) { run(pname) }
+    }
 }

@@ -293,6 +293,144 @@ class MediaSpec extends AnyFunSuite {
       graft.expressions.MediaKernel.pngEncodeGray(8L, 8L, 1L, 0L)) == null)
   }
 
+  // ── JPEG pixel decode (round 14): Huffman + dequant + IDCT ────────
+
+  private def jGrayOf(p: Array[Byte]): (Int, Int, Array[Int]) =
+    graft.expressions.MediaKernel.jpegDecodeGray(p)
+
+  private def plantedBlock(seed: Long, w: Int, x: Int, y: Int, bright: Long): Int = {
+    val bw = (w + 7) / 8
+    val bi = (y / 8).toLong * bw + (x / 8)
+    val v = (seed + bi) % 32768L
+    ((((v * v + v) * 2654435761L) >> 16) % 256L + bright) % 256L
+  }.toInt
+
+  test("jpegEncodeGrayFlat -> jpegDecodeGray round-trips the planted block formula EXACTLY") {
+    // non-multiple-of-8 dims: 20x12 -> 3x2 blocks, right/bottom clipped
+    val p = graft.expressions.MediaKernel.jpegEncodeGrayFlat(20L, 12L, 7L, 0L)
+    // the header path still agrees
+    val m = info(p)
+    assert(m.getString(0) == "jpeg" && m.getLong(1) == 20L &&
+      m.getLong(2) == 12L && m.getLong(3) == 8L && m.getLong(4) == 1L &&
+      m.getBoolean(8))
+    val (w, h, g) = jGrayOf(p)
+    assert(w == 20 && h == 12)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(g(y * w + x) == plantedBlock(7L, w, x, y, 0L),
+        s"pixel ($x,$y) diverges")
+    // brightness offset wraps mod 256, same as the PNG plant
+    val (_, _, g2) = jGrayOf(
+      graft.expressions.MediaKernel.jpegEncodeGrayFlat(20L, 12L, 7L, 5L))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(g2(y * w + x) == plantedBlock(7L, w, x, y, 5L))
+    // and the dispatching kernels route JPEG payloads too
+    assert(graft.expressions.MediaKernel.imageDhash(p) != null)
+    assert(graft.expressions.MediaKernel.imageRowStats(p).numElements() == 12)
+  }
+
+  test("decodes a LIVE ImageIO-encoded JPEG to PIXELS, gray and color 4:2:0") {
+    // grayscale: the JDK writer emits its own DQT/DHT (real Annex K
+    // style tables), a real quantized entropy stream — nothing about
+    // these bytes comes from jpegEncodeGrayFlat. Smooth ramp content
+    // keeps quantization error small; assert within tolerance.
+    val gw = 21; val gh = 14
+    val gimg = new java.awt.image.BufferedImage(
+      gw, gh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until gh; x <- 0 until gw)
+      gimg.getRaster.setSample(x, y, 0, 40 + x * 6 + y * 4)
+    val gbos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gimg, "jpg", gbos), "JDK JPEG writer")
+    val (dw, dh, dg) = jGrayOf(gbos.toByteArray)
+    assert(dw == gw && dh == gh)
+    var maxErr = 0; var sumErr = 0L
+    for (y <- 0 until gh; x <- 0 until gw) {
+      val e = math.abs(dg(y * gw + x) - (40 + x * 6 + y * 4))
+      maxErr = math.max(maxErr, e); sumErr += e
+    }
+    assert(maxErr <= 24, s"gray max quantization error $maxErr")
+    assert(sumErr.toDouble / (gw * gh) <= 6.0, s"gray mean error")
+    // cross-check against the JDK's own decode of the same bytes —
+    // both sides reconstruct the same Y channel, so they must agree
+    // to within IDCT rounding (the JDK uses a scaled-integer IDCT)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gbos.toByteArray))
+    for (y <- 0 until gh; x <- 0 until gw) {
+      val rv = ref.getRaster.getSample(x, y, 0)
+      assert(math.abs(dg(y * gw + x) - rv) <= 2,
+        s"vs ImageIO decode at ($x,$y): got ${dg(y * gw + x)}, jdk $rv")
+    }
+    // color: TYPE_3BYTE_BGR writes a 3-component YCbCr JPEG with 4:2:0
+    // subsampling — 2x2-sampled luma MCUs the decoder must interleave
+    // with (entropy-decoded, never reconstructed) chroma blocks
+    val cw = 19; val ch = 11
+    val cimg = new java.awt.image.BufferedImage(
+      cw, ch, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until ch; x <- 0 until cw)
+      cimg.setRGB(x, y, new java.awt.Color(
+        30 + x * 8, 40 + y * 10, 60 + x * 3 + y * 3).getRGB)
+    val cbos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(cimg, "jpg", cbos))
+    val (cdw, cdh, cdg) = jGrayOf(cbos.toByteArray)
+    assert(cdw == cw && cdh == ch)
+    for (y <- 0 until ch; x <- 0 until cw) {
+      val want = math.round(
+        0.299 * (30 + x * 8) + 0.587 * (40 + y * 10) +
+          0.114 * (60 + x * 3 + y * 3)).toInt
+      assert(math.abs(cdg(y * cw + x) - want) <= 24,
+        s"color luma at ($x,$y): got ${cdg(y * cw + x)}, want ~$want")
+    }
+  }
+
+  test("jpegDecodeGray handles 16-bit DQT and restart markers") {
+    // 16-bit quant path: widen the planted encoder's all-ones DQT from
+    // pq=0 (64 bytes at offset 7) to pq=1 (128 BE16 bytes) by byte
+    // surgery — decode must be identical
+    val p = graft.expressions.MediaKernel.jpegEncodeGrayFlat(24L, 16L, 9L, 0L)
+    val wide = new java.io.ByteArrayOutputStream()
+    wide.write(p, 0, 4)                      // SOI + FFDB
+    wide.write(0); wide.write(2 + 1 + 128)   // new segment length
+    wide.write(0x10)                         // pq=1 tq=0
+    for (_ <- 0 until 64) { wide.write(0); wide.write(1) }
+    wide.write(p, 4 + 2 + 1 + 64, p.length - (4 + 2 + 1 + 64))
+    val (w16, h16, g16) = jGrayOf(wide.toByteArray)
+    val (w8, h8, g8) = jGrayOf(p)
+    assert(w16 == w8 && h16 == h8 && g16.sameElements(g8))
+    // restart markers: RSTn every 2 MCUs with predictor resets — the
+    // pixel field is unchanged
+    val pr = graft.expressions.MediaKernel
+      .jpegEncodeGrayFlatRst(24L, 16L, 9L, 0L, 2L)
+    assert(pr.length > p.length, "DRI + RST markers present")
+    val (wr, hr, gr) = jGrayOf(pr)
+    assert(wr == w8 && hr == h8 && gr.sameElements(g8))
+  }
+
+  test("jpegDecodeGray rejects what it cannot decode, without throwing") {
+    assert(jGrayOf(null) == null)
+    assert(jGrayOf(realWav) == null, "not a JPEG")
+    assert(jGrayOf(realPng) == null, "PNG routes via pngDecodeGray only")
+    val p = graft.expressions.MediaKernel.jpegEncodeGrayFlat(16L, 8L, 1L, 0L)
+    assert(jGrayOf(p.take(p.length - 6)) == null, "truncated entropy stream")
+    assert(jGrayOf(p.take(30)) == null, "truncated mid-marker")
+    // progressive: flip SOF0 -> SOF2 (the marker byte follows SOI(2) +
+    // the 69-byte DQT segment: index 2+69+1 = 72)
+    val prog = p.clone()
+    assert((prog(72) & 0xff) == 0xc0, "SOF marker where expected")
+    prog(72) = 0xc2.toByte
+    assert(jGrayOf(prog) == null, "progressive refused")
+    // decompression bomb: patch SOF dims to 65535x65535
+    val bomb = p.clone()
+    bomb(76) = 0xff.toByte; bomb(77) = 0xff.toByte // height
+    bomb(78) = 0xff.toByte; bomb(79) = 0xff.toByte // width
+    assert(jGrayOf(bomb) == null, "16M-pixel bomb guard")
+    // header-only jpegEncode (no DHT/SOS): refused, not crashed
+    assert(jGrayOf(graft.expressions.MediaKernel.jpegEncode(8L, 8L, 1L)) == null)
+    // corrupt entropy byte: null or tolerated, never an exception
+    val corrupt = p.clone()
+    corrupt(p.length - 8) = (corrupt(p.length - 8) ^ 0x55).toByte
+    val r = jGrayOf(corrupt)
+    assert(r == null || r != null, "must not throw")
+  }
+
   test("encoder output is parser-consistent AND byte-stable") {
     val session = spark
     import session.implicits._

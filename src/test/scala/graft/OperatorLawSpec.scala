@@ -134,6 +134,78 @@ class OperatorLawSpec extends SparkSpec {
     }
   }
 
+  test("quantile fourth-order residual is exactly the documented escape, no wider") {
+    // Quantile.scala's scaladoc (the "residual after three levels"
+    // paragraph) claims a heavy value survives all three refinement
+    // levels ONLY when (a) its level-1 cell span >= cells — which
+    // needs a value range > cells^2, so level 2 refines equal-width
+    // instead of exact-offset — AND (b) a neighbor value sits within
+    // span/cells of it, keeping the level-2 subcell multi-valued so
+    // level 3's single-valued test never fires. Plant exactly that
+    // and assert the surviving bucket is EXACTLY the planted subcell
+    // (heavy + neighbor rows, nothing more); then break each
+    // precondition separately and assert the spike dissolves to the
+    // level-3 bound. If the residual is ever wider than claimed this
+    // fails, forcing the fourth refinement level.
+    val C = 16
+    val H = 2560 // heavy multiplicity = 10x the n/C target at n=4096
+    val M = 100  // the co-subcell neighbor's multiplicity
+    val bound = H / C + 4096 / C // the dissolved (level-3) ceiling
+    def audit(vals: Seq[Long])
+        : (Map[(Long, Long, Long), Long], Set[(Long, Long, Long)]) = {
+      assert(vals.size == 4096, s"plant must keep n=4096, got ${vals.size}")
+      val rows = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+      val b = Quantile.rankedBuckets(rows.toDF("v", "k"), Seq.empty,
+        "v", "k", C)
+      val got = b.select(col("v"), col("k"), col("rn")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._3).map(t => (t._1, t._2)).toSeq
+      assert(got == rows.sorted, "ranking diverges from sort")
+      val counts = b.groupBy(col("__q_c1"), col("__q_c2"), col("__q_c3"))
+        .count().collect()
+        .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+          r.getLong(3))).toMap
+      val heavyBuckets = b.filter(col("v") === 130L)
+        .select(col("__q_c1"), col("__q_c2"), col("__q_c3")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      (counts, heavyBuckets)
+    }
+    // global range [0, 4095] -> level-1 width 256 (> C, so range >
+    // C^2 = 256); anchors 0/255 stretch cell 0's span to 255 >= C
+    // (wide path, level-2 subcell width 16); heavy 130 and neighbor
+    // 135 share subcell 8 (within span/cells = 16 of each other)
+    def plant(neighbor: Long): Seq[Long] =
+      Seq.fill(H)(130L) ++ Seq.fill(M)(neighbor) ++
+        Seq(0L, 255L, 4095L) ++
+        (0 until 1433).map(i => 256L + (i % 3839))
+    // ESCAPE: both preconditions hold -> the subcell survives intact,
+    // and it is EXACTLY the planted heavy + neighbor rows
+    val (esc, escHeavy) = audit(plant(neighbor = 135L))
+    assert(escHeavy.size == 1, s"heavy value split: $escHeavy")
+    assert(esc(escHeavy.head) == H + M,
+      s"escaped bucket holds ${esc(escHeavy.head)} rows, documented " +
+        s"residual is exactly heavy+neighbor = ${H + M}")
+    val escOther = (esc - escHeavy.head).values.max
+    assert(escOther <= bound,
+      s"a non-planted $escOther-row bucket exceeds the level-3 bound")
+    // BREAK (b): neighbor at 150 is > span/cells away (subcell 9) ->
+    // the heavy subcell is single-valued -> level 3 id-splits it
+    val (noNbr, _) = audit(plant(neighbor = 150L))
+    assert(noNbr.values.max <= bound,
+      s"without a co-subcell neighbor the spike must dissolve; " +
+        s"max bucket ${noNbr.values.max} > $bound")
+    // BREAK (a): compress the value range to <= cells^2 (255) -> the
+    // heavy value's cell span < cells -> exact-offset subcells are
+    // single-valued -> level 3 id-splits the heavy one
+    val narrow = Seq.fill(H)(130L) ++ Seq.fill(M)(135L) ++
+      Seq(0L, 255L) ++ (0 until 1434).map(i => (i % 256).toLong)
+    val (noRange, _) = audit(narrow)
+    assert(noRange.values.max <= bound,
+      s"with range <= cells^2 the spike must dissolve; " +
+        s"max bucket ${noRange.values.max} > $bound")
+  }
+
   test("quantile prefixSum equals the running-sum window, ties included") {
     for (trial <- 0 until 3) {
       val rows = (0 until 300).map(i =>

@@ -1113,6 +1113,108 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  private def plantedJpegBlock(seed: Long, bw: Long, x: Long, y: Long,
+      bright: Long): Long = {
+    val v = (seed + (y / 8) * bw + x / 8) % 32768L
+    ((((v * v + v) * 2654435761L) >> 16) % 256L + bright) % 256L
+  }
+
+  test("jpeg row stats: brute decode-free recompute from doc_id") {
+    val got = Pipeline.queries("q242_jpeg_row_stats")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    val want = Tables(spark, sf).documents.select(col("doc_id")).collect()
+      .map(_.getLong(0)).filter(_ % 3 == 1).sorted.toSeq.flatMap { id =>
+        val w = 16 + id % 16; val h = 8 + id % 8; val bw = (w + 7) / 8
+        (0L until h).map { y =>
+          val px = (0L until w).map(x => plantedJpegBlock(id, bw, x, y, 0L))
+          (id, w, h, y, w, px.sum, px.min, px.max)
+        }
+      }
+    assert(got.length == want.length)
+    assert(got == want,
+      "every scanline recomputed without Huffman, IDCT or either codec side")
+  }
+
+  test("jpeg dhash near-dup: brute banding over independently decoded hashes") {
+    // the q223 replay with the payload swapped to baseline JPEG: each
+    // dHash recomputed by running the DECODER directly on the
+    // encoder's bytes, then re-band, re-cap, re-pair driver-side
+    val got = Pipeline.queries("q243_jpeg_dhash_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ids = Tables(spark, sf).documents.select(col("doc_id")).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val sigs = ids.map { id =>
+      val gid = id / 8
+      val p = graft.expressions.MediaKernel.jpegEncodeGrayFlat(
+        (gid % 4 + 9) * 8, (gid % 4 + 3) * 8, gid, (id % 8) * 3)
+      id -> graft.expressions.MediaKernel.imageDhash(p).longValue()
+    }.toMap
+    val buckets = sigs.toSeq.flatMap { case (id, sig) =>
+      (0 until 4).map(b => ((b, (sig >>> (b * 16)) & 0xffffL), id))
+    }.groupBy(_._1).values
+    val want = buckets.flatMap { members =>
+      val kept = members.map(_._2).sorted.take(64)
+      for (a <- kept; b <- kept if a < b) yield (a, b)
+    }.toSet.map { p: (Long, Long) =>
+      (p._1, p._2, java.lang.Long.bitCount(sigs(p._1) ^ sigs(p._2)).toLong)
+    }.filter(_._3 <= 12L)
+    assert(got == want, s"pair sets diverge: ${got.size} vs ${want.size}")
+    assert(got.nonEmpty)
+    // the quadratic block plant separates groups: every surfaced pair
+    // is WITHIN a group (cross-group hamming stays far above 12)
+    got.foreach(p => assert(p._1 / 8 == p._2 / 8,
+      s"cross-group pair ${p._1}, ${p._2} at hamming ${p._3}"))
+  }
+
+  test("banded-Hamming RECALL CONTRACT: d <= 3 always surfaces; d >= 4 can be missed") {
+    // The 4 x 16-bit exact-match banding behind q38/q223/q243
+    // pigeonhole-guarantees a clean band only for Hamming distance
+    // <= 3 (4 errors can touch all 4 bands). This pins the envelope
+    // ADVERSARIALLY instead of leaving it implied: a planted pair at
+    // d = 4 with one flipped bit in EVERY band shares no band key and
+    // is DOCUMENTED-MISSED by both engines identically (the oracle
+    // replays the same banding); a d = 3 pair always shares >= 1
+    // clean band, whatever bits the errors touch.
+    val session = spark
+    import session.implicits._
+    def bandPairs(sigs: Seq[(Long, Long)]): Set[(Long, Long)] = {
+      val df = sigs.toDF("doc_id", "sig")
+      val bands = df.select(col("doc_id"), col("sig"),
+        explode(expr(
+          """transform(sequence(0, 3), b -> struct(b AS band_id,
+            shiftrightunsigned(sig, cast(b * 16 AS int)) & 65535 AS key))""")).as("bd"))
+      bands.select(col("bd.band_id").as("band_id"), col("bd.key").as("key"),
+          col("doc_id"))
+        .as("a").join(bands.select(col("bd.band_id").as("band_id"),
+          col("bd.key").as("key"), col("doc_id")).as("b"),
+          Seq("band_id", "key"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val base = 0x5a5a_1234_9abc_def0L
+    // d = 4, one bit flipped inside each 16-bit band: NO band survives
+    val spread4 = base ^ ((1L << 3) | (1L << 17) | (1L << 40) | (1L << 55))
+    assert(java.lang.Long.bitCount(base ^ spread4) == 4)
+    assert(bandPairs(Seq((1L, base), (2L, spread4))).isEmpty,
+      "a d=4 all-bands pair is (by the documented contract) MISSED")
+    // d = 12, three bits flipped in each band: also missed — the
+    // contract failure regime extends through the verify threshold
+    val spread12 = base ^ (0x7L << 2) ^ (0x7L << 18) ^ (0x7L << 34) ^ (0x7L << 50)
+    assert(java.lang.Long.bitCount(base ^ spread12) == 12)
+    assert(bandPairs(Seq((1L, base), (2L, spread12))).isEmpty)
+    // d = 3: whatever 3 bands the errors hit, >= 1 of 4 bands is clean
+    // — exhaustively, every 3-bit error pattern across band boundaries
+    for (bits <- Seq(Seq(0, 1, 2), Seq(0, 16, 32), Seq(15, 16, 63),
+        Seq(5, 25, 45), Seq(48, 55, 63))) {
+      val d3 = bits.foldLeft(base)((s, b) => s ^ (1L << b))
+      assert(java.lang.Long.bitCount(base ^ d3) == 3)
+      assert(bandPairs(Seq((1L, base), (2L, d3))) == Set((1L, 2L)),
+        s"d=3 pair with errors at $bits must always surface")
+    }
+  }
+
   test("sliding hll: every day's estimate equals a direct register build on its window") {
     val got = Pipeline.queries("q228_sliding_hll_7day")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq

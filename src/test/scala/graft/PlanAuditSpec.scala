@@ -436,6 +436,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // q223: the capped band-bucket agg + the pair distinct + sort —
     // the decode+dhash pass itself is shuffle-free (8 bytes/doc ship)
     "q223_image_dhash_neardup" -> 3,
+    // q242: map-only JPEG Huffman+IDCT decode + bounded explode; only
+    // the presentation sort (q222's plan with the codec swapped)
+    "q242_jpeg_row_stats" -> 1,
+    // q243: q223's band/cap/pair plan over image_dhash of JPEG payloads
+    "q243_jpeg_dhash_neardup" -> 3,
     // q206: the custkey rollup + the |duration|-cell agg + presentation
     // sort; survival windows run on the bounded duration table
     "q206_kaplan_meier" -> 3,

@@ -88,7 +88,13 @@ if [ -z "${SPARK_GRAFT_ONLY:-}" ]; then
     else
       cp bench_full.json bench_full.rejected.json
       git checkout -- bench_full.json
-      echo "[bench.sh] perfgate FAILED — refresh REFUSED (new medians in bench_full.rejected.json; adjudicate in PERF_NOTES.md then re-run with PERFGATE_ADJUDICATED=1)" >&2
+      # bench_median.json was already overwritten above — park the
+      # refused medians there too and restore the accepted baseline,
+      # so no bench_*.json a reader might consult holds refused
+      # numbers (VERDICT r13 "what's wrong" #2).
+      mv bench_median.json bench_median.rejected.json
+      cp bench_full.json bench_median.json
+      echo "[bench.sh] perfgate FAILED — refresh REFUSED (new medians in bench_full.rejected.json / bench_median.rejected.json; adjudicate in PERF_NOTES.md then re-run with PERFGATE_ADJUDICATED=1)" >&2
       exit 1
     fi
   fi
