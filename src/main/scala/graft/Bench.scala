@@ -98,26 +98,34 @@ object Bench {
         json_with(json_drop(json_with(col("props"),
           lit("""{"seen": true, "tmp": 1}""")), "tmp"), lit("""{"done": true}"""))
       },
-      // the SAME mito program texts, auto-lowered to Catalyst by
-      // Cel.auto (graft.cel.Lowering) — interpreter semantics at
-      // codegen speed, no hand translation
-      "auto_hello_world_state" -> graft.cel.Cel.auto("state", col("props"), NOW),
-      "auto_object_state" -> graft.cel.Cel.auto("state.k", col("props"), NOW),
-      "auto_encode_json_state" -> graft.cel.Cel.auto("state.encode_json()", col("props"), NOW),
-      "auto_nested_collate_map_state" ->
-        graft.cel.Cel.auto("""{"state": state}.collate('state.k')""", col("props"), NOW),
       "mito_strings_state" ->
         celCol("""{"upper": state.encode_json().to_upper(), "n": size(state)}"""),
-      "auto_strings_state" -> graft.cel.Cel.auto(
-        """{"upper": state.encode_json().to_upper(), "n": size(state)}""",
-        col("props"), NOW),
-      // wide-program pair: .get (not auto) so a lowering regression is a
-      // loud bench error, never a silent fallback to the interpreter
-      "mito_wide_chain_state" -> celCol(wideChain),
-      "auto_wide_chain_state" ->
-        graft.cel.Cel.lower(wideChain, col("props"), nowMicros = Some(NOW)).get
-    ).map { case (name, c) => name -> events.select(c.cast("string").as("x")) }
+      // wide-program interpreter twin of the auto shape below
+      "mito_wide_chain_state" -> celCol(wideChain)
+    ).map { case (name, c) => name -> events.select(c.cast("string").as("x")) } ++
+      // the SAME mito program texts, auto-lowered to Catalyst by
+      // Cel.auto (graft.cel.Lowering) — interpreter semantics at
+      // codegen speed, no hand translation. The program list is shared
+      // with LoweringSpec's tier-coverage gate, which asserts each one
+      // ACTUALLY lowers — a lowering regression fails the spec rather
+      // than silently re-pointing the bench at the interpreter tier.
+      autoShapePrograms.map { case (name, program) =>
+        name -> events.select(graft.cel.Cel.auto(program, col("props"), NOW)
+          .cast("string").as("x"))
+      }
   }
+
+  /** The auto-tier bench shapes (name -> CEL program). LoweringSpec's
+    * coverage gate runs Cel.tierOf over exactly this list. */
+  private[graft] val autoShapePrograms: Seq[(String, String)] = Seq(
+    "auto_hello_world_state" -> "state",
+    "auto_object_state" -> "state.k",
+    "auto_encode_json_state" -> "state.encode_json()",
+    "auto_nested_collate_map_state" ->
+      """{"state": state}.collate('state.k')""",
+    "auto_strings_state" ->
+      """{"upper": state.encode_json().to_upper(), "n": size(state)}""",
+    "auto_wide_chain_state" -> wideChain)
 
   /** The net benchmark group (mito_bench_test.go:166-298): each program
     * GETs a loopback stub and reshapes the body — the reference's

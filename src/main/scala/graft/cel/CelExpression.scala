@@ -71,6 +71,17 @@ object Cel {
     Lowering.tryLower(program, state, regexps, Some(nowMicros))
       .getOrElse(apply(program, state, regexps, nowMicros))
 
+  /** Which tier a Cel-built column actually runs: "lowered" when no
+    * interpreter node remains in its expression tree, "interpreted"
+    * otherwise. LoweringSpec's coverage gate runs this over every
+    * Cel.auto production shape so a lowering rule that silently starts
+    * declining (auto's fallback hides it) fails a spec instead. */
+  def tierOf(c: Column): String = {
+    val tree = org.apache.spark.sql.graft.Shim.expression(c)
+    val interp = tree.collectFirst { case e: CelEvalExpression => e }
+    if (interp.isEmpty) "lowered" else "interpreted"
+  }
+
   /** One-shot local evaluation (no Spark): the mito CLI model. `xsds`
     * maps hint names to compiled hint JSON (the -cfg xsd: table,
     * compiled by [[graft.expressions.XsdCompiler]]). */

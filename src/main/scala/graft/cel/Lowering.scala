@@ -111,9 +111,16 @@ object Lowering {
   /** Compile `program` to a Column producing the program result as
     * Go-rendered JSON, given the state document column (itself JSON).
     * None when the program uses constructs outside the lowerable subset. */
+  /** Test hook (LoweringSpec's tier-coverage gate): when set, tryLower
+    * declines EVERY program — simulating a broken lowering rule whose
+    * only symptom is a silent fallback to the interpreter. The gate
+    * must trip under it; production code never touches this. */
+  @volatile private[graft] var breakForTest: Boolean = false
+
   def tryLower(program: String, state: Column,
       regexps: Map[String, String] = Map.empty,
       nowMicros: Option[Long] = None): Option[Column] = {
+    if (breakForTest) return None
     val ast = try Parser.parse(program) catch { case _: Exception => return None }
     val env0 = Eval.typeIdentsV.map { case (k, v) => k -> litV(v) } ++ Map(
       "state" -> op("fromJsonText", Seq(Str), state),

@@ -301,12 +301,7 @@ object CelFunctions {
     // CEL core accessors under the oracle gate: has(), membership `in`
     // (map keys + list), computed list indexing — lowered path
     "q76_cel_has_in" -> { (s, dir) =>
-      val program =
-        """{"h": has(state.k),
-           "hn": has(state.nope),
-           "m": "k" in state,
-           "c": "k" in ["a", "k"],
-           "i": [10, 20, 30][state.k % 3]}"""
+      val program = loweredGatePrograms("q76_cel_has_in")
       val c = graft.cel.Cel.lower(program, col("props"))
         .getOrElse(sys.error("q76 program must lower"))
       Tables(s, dir).events.orderBy(col("event_id"))
@@ -317,13 +312,7 @@ object CelFunctions {
     // without filter, filter, exists, all, exists_one — cel-go
     // fold semantics), value-dependent through state.k
     "q77_cel_comprehensions" -> { (s, dir) =>
-      val program =
-        """{"sq": [1, 2, 3].map(i, i * state.k),
-           "odd": [1, 2, 3, 4].map(i, i % 2 == 1, i * 10),
-           "ev": [1, 2, 3, 4].filter(i, i % 2 == 0),
-           "any": [10, 60, 90].exists(i, i > state.k),
-           "all": [10, 60, 90].all(i, i > state.k),
-           "one": [10, 60, 90].exists_one(i, i > state.k)}"""
+      val program = loweredGatePrograms("q77_cel_comprehensions")
       val c = graft.cel.Cel.lower(program, col("props"))
         .getOrElse(sys.error("q77 program must lower"))
       Tables(s, dir).events.orderBy(col("event_id"))
@@ -335,15 +324,7 @@ object CelFunctions {
     // optMap macro and optional index `[?k]` — lowered path,
     // value-dependent through state.k
     "q79_cel_optionals" -> { (s, dir) =>
-      val program =
-        """{"a": state.?k.orValue(-1),
-           "b": state.?nope.orValue(-1),
-           "c": state.?nope.hasValue(),
-           "d": optional.of(state.k).optMap(v, v * 2).orValue(0),
-           "e": [10, 20, 30][?(state.k % 4)].orValue(-1),
-           "f": state.?nope.or(state.?k).orValue(-1),
-           "g": optional.ofNonZeroValue(state.k % 3).hasValue(),
-           "h": state[?"k"].orValue(-1)}"""
+      val program = loweredGatePrograms("q79_cel_optionals")
       val c = graft.cel.Cel.lower(program, col("props"))
         .getOrElse(sys.error("q79 program must lower"))
       Tables(s, dir).events.orderBy(col("event_id"))
@@ -355,16 +336,7 @@ object CelFunctions {
     // Go render conventions (whole-double collapse, RFC3339 timestamps,
     // Go duration strings) — lowered path, value-dependent through state.k
     "q80_cel_casts" -> { (s, dir) =>
-      val program =
-        """{"i": int("42") + state.k,
-           "u": uint(state.k),
-           "d": double(state.k) / 2.0,
-           "s": string(state.k),
-           "b": string(bytes("hi")),
-           "bl": bool("true"),
-           "ts": string(timestamp(1500000000 + state.k)),
-           "dur": string(duration(string(state.k % 50) + "s")),
-           "dy": dyn(state.k)}"""
+      val program = loweredGatePrograms("q80_cel_casts")
       val c = graft.cel.Cel.lower(program, col("props"))
         .getOrElse(sys.error("q80 program must lower"))
       Tables(s, dir).events.orderBy(col("event_id"))
@@ -376,16 +348,7 @@ object CelFunctions {
     // timestamp/duration accessors — lowered path, value-dependent
     // through state.k
     "q81_cel_std" -> { (s, dir) =>
-      val program =
-        """{"c": string(state.k).contains("5"),
-           "sw": string(state.k).startsWith("1"),
-           "ew": string(state.k).endsWith("9"),
-           "m": string(state.k).matches("^[0-9]$"),
-           "y": timestamp(1500000000 + state.k * 86400).getFullYear(),
-           "mo": timestamp(1500000000 + state.k * 86400).getMonth(),
-           "dt": timestamp(1500000000 + state.k * 86400).getDate(),
-           "dw": timestamp(1500000000 + state.k * 86400).getDayOfWeek(),
-           "h": duration(string(state.k) + "m").getHours()}"""
+      val program = loweredGatePrograms("q81_cel_std")
       val c = graft.cel.Cel.lower(program, col("props"))
         .getOrElse(sys.error("q81 program must lower"))
       Tables(s, dir).events.orderBy(col("event_id"))
@@ -415,6 +378,56 @@ object CelFunctions {
        "lab": state.k > 50 ? "hi" : "lo",
        "n": size(state),
        "ks": state.keys()}"""
+
+  /** The inventory queries whose correctness evidence pins the LOWERED
+    * tier: each query above errors loudly (sys.error) if its program
+    * stops lowering, and LoweringSpec's tier-coverage gate runs
+    * Cel.tierOf over exactly this map so the same regression also
+    * fails a spec with a per-program readout. */
+  private[graft] val loweredGatePrograms: Map[String, String] = Map(
+    "q58_cel_lowered" -> celGateProgram,
+    "q76_cel_has_in" ->
+      """{"h": has(state.k),
+         "hn": has(state.nope),
+         "m": "k" in state,
+         "c": "k" in ["a", "k"],
+         "i": [10, 20, 30][state.k % 3]}""",
+    "q77_cel_comprehensions" ->
+      """{"sq": [1, 2, 3].map(i, i * state.k),
+         "odd": [1, 2, 3, 4].map(i, i % 2 == 1, i * 10),
+         "ev": [1, 2, 3, 4].filter(i, i % 2 == 0),
+         "any": [10, 60, 90].exists(i, i > state.k),
+         "all": [10, 60, 90].all(i, i > state.k),
+         "one": [10, 60, 90].exists_one(i, i > state.k)}""",
+    "q79_cel_optionals" ->
+      """{"a": state.?k.orValue(-1),
+         "b": state.?nope.orValue(-1),
+         "c": state.?nope.hasValue(),
+         "d": optional.of(state.k).optMap(v, v * 2).orValue(0),
+         "e": [10, 20, 30][?(state.k % 4)].orValue(-1),
+         "f": state.?nope.or(state.?k).orValue(-1),
+         "g": optional.ofNonZeroValue(state.k % 3).hasValue(),
+         "h": state[?"k"].orValue(-1)}""",
+    "q80_cel_casts" ->
+      """{"i": int("42") + state.k,
+         "u": uint(state.k),
+         "d": double(state.k) / 2.0,
+         "s": string(state.k),
+         "b": string(bytes("hi")),
+         "bl": bool("true"),
+         "ts": string(timestamp(1500000000 + state.k)),
+         "dur": string(duration(string(state.k % 50) + "s")),
+         "dy": dyn(state.k)}""",
+    "q81_cel_std" ->
+      """{"c": string(state.k).contains("5"),
+         "sw": string(state.k).startsWith("1"),
+         "ew": string(state.k).endsWith("9"),
+         "m": string(state.k).matches("^[0-9]$"),
+         "y": timestamp(1500000000 + state.k * 86400).getFullYear(),
+         "mo": timestamp(1500000000 + state.k * 86400).getMonth(),
+         "dt": timestamp(1500000000 + state.k * 86400).getDate(),
+         "dw": timestamp(1500000000 + state.k * 86400).getDayOfWeek(),
+         "h": duration(string(state.k) + "m").getHours()}""")
 
   def oracle: Map[String, String] = Map(
     "q20_json_collate" ->

@@ -347,4 +347,49 @@ class LoweringSpec extends SparkSpec {
     assert(plan.contains("VOps.select"), s"expected lowered kernel in plan:\n$plan")
     assert(!plan.contains("CelEval"), "auto should not fall back for state.k")
   }
+
+  /** Every production program that is SUPPOSED to run the lowered tier:
+    * the Bench auto shapes (Cel.auto — a regression there silently
+    * re-points the benchmark at the interpreter), the lowered-tier
+    * inventory gate queries (q58/q76/q77/q79/q80/q81), and this spec's
+    * own lowerable corpus. */
+  private def tierTable: Seq[(String, String)] =
+    (Bench.autoShapePrograms ++
+      graft.queries.CelFunctions.loweredGatePrograms.toSeq.sortBy(_._1) ++
+      lowerable.zipWithIndex.map { case (p, i) => s"corpus_$i" -> p })
+      .map { case (name, p) =>
+        name -> Cel.tierOf(Cel.auto(p, col("props"), NOW)) }
+
+  test("tier coverage gate: the lowered set cannot silently shrink") {
+    // Cel.auto hides a lowering regression by falling back to the
+    // interpreter with identical output — correctness stays green, the
+    // codegen tier silently stops being tested or benchmarked. This
+    // gate EMITS which tier each production program actually ran and
+    // fails if any expected-lowered program reports "interpreted".
+    val fallen = tierTable.filter(_._2 != "lowered")
+    info(s"${tierTable.size} gate programs, ${fallen.size} interpreted")
+    assert(fallen.isEmpty,
+      s"programs fell back to the interpreter: ${fallen.map(_._1)}")
+  }
+
+  test("a deliberately broken lowering rule trips the coverage gate") {
+    // simulate the failure mode end-to-end: with lowering broken,
+    // Cel.auto still returns a working (interpreter) column — only the
+    // tier gate can notice. It must.
+    graft.cel.Lowering.breakForTest = true
+    try {
+      val table = tierTable
+      assert(table.nonEmpty && table.forall(_._2 == "interpreted"),
+        "breakForTest should force every program onto the interpreter")
+      // and the broken tier still computes the right answer (auto's
+      // fallback is semantics-preserving — that is WHY it is silent)
+      val c = Cel.auto("state.k + 1", col("props"), NOW)
+      assert(Cel.tierOf(c) == "interpreted")
+      val ok = Tables(spark, sf).events.orderBy(col("event_id")).limit(1)
+        .select(c.cast("string").as("x")).head().getString(0)
+      assert(ok.nonEmpty)
+    } finally graft.cel.Lowering.breakForTest = false
+    // gate restored: the same table must be all-lowered again
+    assert(tierTable.forall(_._2 == "lowered"))
+  }
 }
