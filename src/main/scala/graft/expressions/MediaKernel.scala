@@ -1120,6 +1120,134 @@ object MediaKernel {
     out.toByteArray
   }
 
+  /** ITU T.81 Annex K Table K.1 — the standard LUMINANCE quantization
+    * table (natural raster order) every libjpeg-lineage encoder scales
+    * by its quality knob. Public spec constants. */
+  private[graft] val JPEG_STD_LUMA: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** The libjpeg quality->table mapping (jcparam.c's public formula):
+    * scale = q < 50 ? 5000/q : 200 - 2q (integer), entry =
+    * clamp((K*scale + 50)/100, 1, 255). Natural order. */
+  private[graft] def jpegQuantScaled(quality: Int): Array[Int] = {
+    require(quality >= 1 && quality <= 100, s"quality $quality")
+    val s = if (quality < 50) 5000 / quality else 200 - 2 * quality
+    JPEG_STD_LUMA.map(k => math.max(1, math.min(255, (k * s + 50) / 100)))
+  }
+
+  /** [[jpegEncodeGrayFlat]] with a libjpeg-style quality knob: the DQT
+    * carries [[jpegQuantScaled]] (written in zigzag order per the
+    * spec) instead of all-ones, and each block's DC coefficient is
+    * quantized by entry 0 before entropy coding — the payload is a
+    * spec-valid lossy baseline JPEG whose quant table a triage pass
+    * (q246) can recover the encoder's quality setting from. */
+  def jpegEncodeGrayQ(width: Long, height: Long, seed: Long,
+      bright: Long, quality: Long): Array[Byte] = {
+    val w = width.toInt; val h = height.toInt
+    require(w > 0 && h > 0 && w.toLong * h <= (1L << 24),
+      s"jpegEncodeGrayQ: unsupported dims ${w}x$h")
+    val tq = jpegQuantScaled(quality.toInt)
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val out = new java.io.ByteArrayOutputStream(64 + bw * bh * 3)
+    def b8(v: Int): Unit = out.write(v & 0xff)
+    def be(v: Int): Unit = { b8(v >>> 8); b8(v) }
+    b8(0xff); b8(0xd8)                    // SOI
+    b8(0xff); b8(0xdb); be(2 + 1 + 64)    // DQT: pq=0 tq=0, zigzag order
+    b8(0x00)
+    var i = 0
+    while (i < 64) { b8(tq(ZIGZAG(i))); i += 1 }
+    b8(0xff); b8(0xc0); be(8 + 3)         // SOF0
+    b8(8); be(h); be(w); b8(1)
+    b8(1); b8(0x11); b8(0)                // comp 1, 1x1, qtable 0
+    b8(0xff); b8(0xc4); be(2 + 1 + 16 + 12) // DHT DC0: 12 codes @ len 4
+    b8(0x00)
+    var l = 1
+    while (l <= 16) { b8(if (l == 4) 12 else 0); l += 1 }
+    i = 0
+    while (i < 12) { b8(i); i += 1 }
+    b8(0xff); b8(0xc4); be(2 + 1 + 16 + 1) // DHT AC0: EOB @ len 1
+    b8(0x10)
+    l = 1
+    while (l <= 16) { b8(if (l == 1) 1 else 0); l += 1 }
+    b8(0x00)
+    b8(0xff); b8(0xda); be(6 + 2)         // SOS
+    b8(1); b8(1); b8(0x00); b8(0); b8(63); b8(0)
+    val bits = new JBitsOut(out)
+    var pred = 0
+    var bi = 0
+    val nBlocks = bw * bh
+    while (bi < nBlocks) {
+      val v = jpegBlockVal(seed, bi, bright)
+      val dc = 8 * (v - 128) / tq(0)      // quantized DC, truncation
+      val diff = dc - pred
+      pred = dc
+      var s = 0; var ad = math.abs(diff)
+      while (ad > 0) { s += 1; ad >>= 1 }
+      bits.put(s, 4)                      // canonical len-4 code == s
+      if (s > 0)
+        bits.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      bits.putBit(0)                      // EOB
+      bi += 1
+    }
+    bits.flush()
+    b8(0xff); b8(0xd9)                    // EOI
+    out.toByteArray
+  }
+
+  /** Parse a JPEG's marker stream and return quant table 0 — the
+    * luminance table — AS STORED (zigzag order; entry 0 is the DC
+    * step in either order), 64 longs. Null for non-JPEG bytes, a
+    * missing table, or a malformed segment. The honest byte-level
+    * triage input: q246 inverts libjpeg's quality mapping from it. */
+  def jpegDqt(p: Array[Byte])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (p == null || !isJpeg(p)) return null
+    var pos = 2
+    while (pos + 4 <= p.length) {
+      if ((p(pos) & 0xff) != 0xff) return null
+      val m = p(pos + 1) & 0xff
+      if (m == 0xff) { pos += 1 }
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) pos += 2
+      else if (m == 0xd9 || m == 0xda) return null // EOI/SOS: no DQT0
+      else {
+        val segLen = be16(p, pos + 2)
+        if (segLen < 2 || segLen > p.length - pos - 2) return null
+        var dp = pos + 4
+        val dEnd = pos + 2 + segLen
+        if (m == 0xdb) {
+          while (dp < dEnd) {
+            val pq = (p(dp) & 0xff) >> 4; val tq = p(dp) & 0x0f
+            if (tq > 3 || pq > 1) return null
+            val need = if (pq == 0) 64 else 128
+            if (dp + 1 + need > dEnd) return null
+            if (tq == 0) {
+              val out = new Array[Long](64)
+              var i = 0
+              while (i < 64) {
+                out(i) =
+                  if (pq == 0) (p(dp + 1 + i) & 0xff).toLong
+                  else be16(p, dp + 1 + 2 * i).toLong
+                i += 1
+              }
+              return org.apache.spark.sql.catalyst.util.ArrayData
+                .toArrayData(out)
+            }
+            dp += 1 + need
+          }
+        }
+        pos = dEnd
+      }
+    }
+    null
+  }
+
   /** Format-dispatching pixel decode: PNG or baseline JPEG by magic
     * bytes, null otherwise — the single entry the image feature
     * kernels route through so a mixed-format corpus needs one plan. */

@@ -499,6 +499,24 @@ object functions {
       Seq(LongType, LongType, LongType, LongType),
       width, height, seed, bright)
 
+  /** [[jpeg_encode_gray_flat]] with a libjpeg-style quality knob: the
+    * DQT carries the quality-scaled Annex K luminance table (zigzag
+    * order per the spec) and DC coefficients quantize by its entry 0 —
+    * the payload a quality-triage pass can read the encoder setting
+    * back out of. */
+  def jpeg_encode_gray_q(width: Column, height: Column, seed: Column,
+      bright: Column, quality: Column): Column =
+    call(MD, Bin, "jpegEncodeGrayQ",
+      Seq(LongType, LongType, LongType, LongType, LongType),
+      width, height, seed, bright, quality)
+
+  /** Quant table 0 (luminance) of a JPEG payload, as stored (zigzag
+    * order — entry 0 is the DC step either way), 64 longs; null when
+    * the bytes are not a JPEG or carry no table 0. */
+  def jpeg_dqt(payload: Column): Column =
+    call(MD, ArrayType(LongType, containsNull = false), "jpegDqt",
+      Seq(Bin), payload)
+
   /** [[png_row_stats]] over EITHER image format (PNG inflate+unfilter
     * or baseline-JPEG Huffman+dequant+IDCT luma), dispatched on magic
     * bytes — one plan for a mixed-format corpus. */

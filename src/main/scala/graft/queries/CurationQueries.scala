@@ -972,6 +972,51 @@ private[graft] object CurationQueries {
     },
 
 
+    "q246_jpeg_quality_triage" -> { (s, dir) =>
+      // JPEG ENCODE-QUALITY triage from the DQT alone — the pre-decode
+      // curation gate on a crawled image corpus (re-compressed thumbs
+      // vs originals, low-quality spam farms): recover each payload's
+      // encoder quality setting by inverting libjpeg's public
+      // quality->table mapping (jcparam.c; scale = q<50 ? 5000/q :
+      // 200-2q over the Annex K luminance table) from the PARSED
+      // luminance quant table's sum ratio — no entropy decode, a
+      // map-only marker walk reading ~100 header bytes per payload, so
+      // the 100 TB plan ships a few ints per image and zero pixels.
+      // Payloads are planted by jpeg_encode_gray_q at quality
+      // 35 + (doc_id % 12)*5 — inside the clamp-free 35..90 band where
+      // the sum-ratio inversion recovers the setting exactly (the
+      // planted spec sweeps the band and MediaSpec pins q_est ==
+      // quality) — and the oracle rebuilds the scaled table
+      // arithmetically from doc_id, so a matching q_est certifies the
+      // DQT byte parse end-to-end (q242's oracle pattern). est_err is
+      // kept as a column so a future clamp-band payload shows its
+      // estimation bias instead of hiding it.
+      val sumK = 3688L // sum of the Annex K luminance base table
+      Tables(s, dir).documents
+        .select(col("doc_id"))
+        .orderBy(col("doc_id")) // range-sort THIN ids; kernels above it
+        .select(col("doc_id"), expr("doc_id DIV 8").as("gid"),
+          (lit(35L) + (col("doc_id") % 12) * 5).as("quality"))
+        .select(col("doc_id"), col("quality"),
+          jpeg_dqt(jpeg_encode_gray_q(
+            ((col("gid") % 4 + 9) * 8).cast("long"),
+            ((col("gid") % 4 + 3) * 8).cast("long"),
+            col("gid"), (col("doc_id") % 8) * 3, col("quality")))
+            .as("dqt"))
+        .select(col("doc_id"), col("quality"),
+          element_at(col("dqt"), 1).as("dqt_dc"),
+          aggregate(col("dqt"), lit(0L), (a, x) => a + x).as("dqt_sum"))
+        .withColumn("s_est",
+          expr(s"(200 * dqt_sum + $sumK) DIV ${2 * sumK}"))
+        .withColumn("q_est",
+          when(col("s_est") >= 100, expr("5000 DIV s_est"))
+            .otherwise(expr("(200 - s_est) DIV 2")))
+        .select(col("doc_id"), col("quality"), col("dqt_dc"),
+          col("dqt_sum"), col("q_est"),
+          (col("q_est") - col("quality")).as("est_err"))
+    },
+
+
     "q151_source_divergence" -> { (s, dir) =>
       // Corpus-drift matrix: Jensen-Shannon divergence between every
       // source pair's unigram distribution, estimated over 256 hashed
@@ -1978,6 +2023,35 @@ private[graft] object CurationQueries {
             CAST(max(lum) AS BIGINT) AS max_lum
           FROM v GROUP BY doc_id, y ORDER BY doc_id, y""",
 
+
+    "q246_jpeg_quality_triage" ->
+      """WITH k AS (SELECT unnest([16,11,10,16,24,40,51,61,
+               12,12,14,19,26,58,60,55, 14,13,16,24,40,57,69,56,
+               14,17,22,29,51,87,80,62, 18,22,37,56,68,109,103,77,
+               24,35,55,64,81,104,113,92, 49,64,78,87,103,121,120,101,
+               72,92,95,98,112,100,103,99]) AS kv),
+          d AS (SELECT doc_id, CAST(35 + (doc_id % 12) * 5 AS BIGINT)
+                 AS quality FROM documents),
+          sc AS (SELECT doc_id, quality,
+                  CASE WHEN quality < 50 THEN 5000 // quality
+                       ELSE 200 - 2 * quality END AS s
+                 FROM d),
+          g AS (SELECT doc_id, quality,
+                 CAST(greatest(1, least(255, (16 * s + 50) // 100))
+                   AS BIGINT) AS dqt_dc,
+                 CAST(sum(greatest(1, least(255, (kv * s + 50) // 100)))
+                   AS BIGINT) AS dqt_sum
+                FROM sc, k GROUP BY doc_id, quality, s),
+          e AS (SELECT doc_id, quality, dqt_dc, dqt_sum,
+                 (200 * dqt_sum + 3688) // 7376 AS s_est
+                FROM g),
+          f AS (SELECT doc_id, quality, dqt_dc, dqt_sum,
+                 CAST(CASE WHEN s_est >= 100 THEN 5000 // s_est
+                      ELSE (200 - s_est) // 2 END AS BIGINT) AS q_est
+                FROM e)
+          SELECT doc_id, quality, dqt_dc, dqt_sum, q_est,
+            q_est - quality AS est_err
+          FROM f ORDER BY doc_id""",
 
     // Snapshot diff by content hash: the same derived old/new versions,
     // one full-outer join, status from hash presence/equality.

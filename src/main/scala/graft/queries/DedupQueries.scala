@@ -98,6 +98,107 @@ private[graft] object DedupQueries {
         .orderBy(col("rank"))
     },
 
+    "q248_hard_negatives" -> { (s, dir) =>
+      // Per-anchor HARD-NEGATIVE mining for contrastive training — the
+      // pairs an embedding model learns the most from: documents that
+      // share a RARE shingle with the anchor (>= 1 common shingle of
+      // corpus df <= 64 — the discriminative collision) yet sit far
+      // from duplicate (jaccard < 0.5). Random negatives are trivially
+      // separable, and pairs sharing only BOILERPLATE shingles are
+      // both uninformative as negatives and the quadratic blow-up at
+      // scale (df doubles -> candidates quadruple; the first cut of
+      // this query paired through all shingles and went 21x on the
+      // 10x sf1 ladder) — the df <= 64 contract is the semantic and
+      // the scale bound at once: per rare shingle the posting list is
+      // COMPLETE (<= 64, lossless for this definition) and the pair
+      // fan-out is <= 64^2. One shingle-TYPE shuffle, never all-pairs;
+      // exact Jaccard verifies candidates only. Ranking is per anchor
+      // (both pair directions anchor), top-3 by similarity via
+      // operators/TopK — bounded MinKAgg state, NO per-anchor sort —
+      // over the integer surrogate j_micro = floor(j * 1e6) (both
+      // engines: correctly-rounded double div + mul, then floor —
+      // bit-identical), ties to the lower neg id.
+      val docs = shingled(Tables(s, dir)).filter(size(col("sh")) > 0)
+      val post = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+      val cand = post.groupBy(col("g"))
+        .agg(count(lit(1)).as("df"),
+          slice(array_sort(collect_list(struct(col("doc_id")))), 1, 65)
+            .as("m"))
+        .filter(col("df") <= 64 && size(col("m")) > 1)
+        .select(explode(col("m")).as("a"), col("m"))
+        .select(col("a"), explode(filter(col("m"),
+          b => b("doc_id") > col("a")("doc_id"))).as("b"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val verified = cand
+        .join(docs.select(col("doc_id").as("da"), col("sh").as("sh_a")), "da")
+        .join(docs.select(col("doc_id").as("db"), col("sh").as("sh_b")), "db")
+        .withColumn("j",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))))
+        .filter(col("j") < 0.5)
+        .select(col("da"), col("db"),
+          floor(col("j") * 1000000).cast("long").as("j_micro"))
+      val anchored = verified
+        .select(col("da").as("anchor_doc"), col("db").as("neg_doc"),
+          col("j_micro"))
+        .union(verified.select(col("db").as("anchor_doc"),
+          col("da").as("neg_doc"), col("j_micro")))
+      graft.operators.TopK
+        .topK(anchored, "anchor_doc", "neg_doc", "j_micro", 3)
+        .select(col("anchor_doc"), col("rk"), col("neg_doc"), col("j_micro"))
+        .orderBy(col("anchor_doc"), col("rk"))
+    },
+
+    "q244_triangle_census" -> { (s, dir) =>
+      // Triangle census + local clustering coefficient over the
+      // near-dup graph — the cluster-DENSITY readout that separates a
+      // tight paraphrase clique (clustering ~1: safe to keep one doc)
+      // from a hub-and-spoke template family (clustering ~0: the hub
+      // shares boilerplate with many docs that are NOT near-dups of
+      // each other — collapsing to one keeper would delete distinct
+      // content). Edges are q31's verified pairs (banded LSH + exact
+      // Jaccard >= 0.9, never all-pairs). Counting uses the
+      // degree-ordered orientation (Suri & Vassilvitskii 2011,
+      // "counting triangles and the curse of the last reducer"): each
+      // undirected edge points from its (deg, id)-smaller endpoint to
+      // the larger, so every triangle is counted EXACTLY once as
+      // wedge (u->v, u->w) + closing edge (v->w), and per-node wedge
+      // fan-out is bounded by sqrt(2m) instead of the max raw degree —
+      // the corpus-scale hub that would serialize one reducer in the
+      // naive wedge join generates no wedges at all. The edge build is
+      // checkpointed once; the wedge join and the closing-edge join
+      // are plain equi-joins over it.
+      val pairs = minhashDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val und = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
+        .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
+      val deg = und.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      val ord = und
+        .join(deg.select(col("s"), col("deg").as("du")), "s")
+        .join(deg.select(col("s").as("d"), col("deg").as("dv")), "d")
+        .filter(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("s") < col("d")))
+        .select(col("s").as("u"), col("d").as("v"), col("dv").as("rv"))
+        .localCheckpoint(true)
+      val e1 = ord.select(col("u"), col("v").as("x"), col("rv").as("rx"))
+      val e2 = ord.select(col("u"), col("v").as("y"), col("rv").as("ry"))
+      val tri = e1.join(e2, Seq("u"))
+        .filter(col("rx") < col("ry") ||
+          (col("rx") === col("ry") && col("x") < col("y")))
+        .join(ord.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+        .select(explode(array(col("u"), col("x"), col("y"))).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+      deg.select(col("s").as("doc_id"), col("deg").as("degree"))
+        .join(tri, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("degree"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          when(col("degree") >= 2, round(
+            lit(2).cast("double") * coalesce(col("n_tri"), lit(0L)) /
+              (col("degree") * (col("degree") - 1)), 6)).as("clustering"))
+        .orderBy(col("doc_id"))
+    },
+
     "q221_dedup_threshold_sweep" -> { (s, dir) =>
       // Dedup-threshold sensitivity report — the tuning readout run
       // before committing a Jaccard cutoff: from ONE banded candidate
@@ -760,6 +861,64 @@ private[graft] object DedupQueries {
   def oracle: Map[String, String] = Map(
 
     "q218_dup_pagerank" -> dupPagerankOracleSql(5),
+
+    // independent oracle: the rare-shingle (df <= 64) candidate test
+    // re-derived from scratch via an uncapped group-by — the engine's
+    // posting lists are COMPLETE below the df bound, so the two
+    // constructions are equal by definition, not by headroom
+    "q248_hard_negatives" ->
+      s"""WITH t AS (SELECT doc_id, $shSql AS sh
+                     FROM (SELECT doc_id, $tokSql AS lst FROM documents)
+                     WHERE len(lst) >= 3),
+          ex AS (SELECT doc_id, unnest(sh) AS g FROM t),
+          rare AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= 64),
+          cd AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                 FROM ex a JOIN rare USING (g) JOIN ex b USING (g)
+                 WHERE a.doc_id < b.doc_id),
+          p AS (SELECT da, db,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+                FROM cd JOIN t a ON a.doc_id = da
+                JOIN t b ON b.doc_id = db),
+          hn AS (SELECT da AS anchor_doc, db AS neg_doc,
+                  CAST(floor(j * 1000000) AS BIGINT) AS j_micro
+                 FROM p WHERE j < 0.5
+                 UNION ALL
+                 SELECT db, da, CAST(floor(j * 1000000) AS BIGINT)
+                 FROM p WHERE j < 0.5),
+          r AS (SELECT anchor_doc, neg_doc, j_micro,
+                 row_number() OVER (PARTITION BY anchor_doc
+                   ORDER BY j_micro DESC, neg_doc) AS rk
+                FROM hn)
+          SELECT anchor_doc, CAST(rk AS BIGINT) AS rk, neg_doc, j_micro
+          FROM r WHERE rk <= 3 ORDER BY anchor_doc, rk""",
+
+    "q244_triangle_census" ->
+      s"""WITH t AS (SELECT doc_id, $shSql AS sh
+              FROM (SELECT doc_id, $tokSql AS lst FROM documents)
+              WHERE len(lst) >= 3),
+          pairs AS (SELECT a.doc_id AS s, b.doc_id AS d
+                    FROM t a JOIN t b ON a.doc_id < b.doc_id
+                    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.sh, b.sh)))
+                        >= 0.9),
+          und AS (SELECT s, d FROM pairs UNION ALL SELECT d, s FROM pairs),
+          deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM und
+                  GROUP BY s),
+          tri AS (SELECT p1.s AS a, p1.d AS b, p2.d AS c
+                  FROM pairs p1
+                  JOIN pairs p2 ON p2.s = p1.s AND p2.d > p1.d
+                  JOIN pairs p3 ON p3.s = p1.d AND p3.d = p2.d),
+          cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri
+                  FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+                  GROUP BY doc_id)
+          SELECT deg.s AS doc_id, deg.deg AS degree,
+            coalesce(cnt.n_tri, 0) AS n_tri,
+            CASE WHEN deg.deg >= 2 THEN round(
+              CAST(2 AS DOUBLE) * coalesce(cnt.n_tri, 0)
+                / (deg.deg * (deg.deg - 1)), 6) END AS clustering
+          FROM deg LEFT JOIN cnt ON cnt.doc_id = deg.s
+          ORDER BY doc_id""",
 
     "q221_dedup_threshold_sweep" ->
       s"""WITH t AS (SELECT doc_id, $shSql AS sh

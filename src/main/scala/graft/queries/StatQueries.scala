@@ -403,6 +403,74 @@ private[graft] object StatQueries {
     },
 
 
+    "q245_ipw_ate" -> { (s, dir) =>
+      // Inverse-propensity-weighted treatment effect (Horvitz-Thompson
+      // weights, Hajek-normalized; Rosenbaum & Rubin 1983) with the
+      // propensity estimated per pre-spend quintile — the third leg of
+      // the observational-adjustment family: q214 re-weights STRATUM
+      // CONTRASTS by population share, q240 matches INDIVIDUALS within
+      // a caliper; IPW re-weights individuals by 1/e(x) and reports
+      // the weight-health diagnostics (Kish effective sample size per
+      // arm) the other two cannot give — an ESS far below n flags
+      // propensities too extreme to trust ANY adjusted estimate. With
+      // stratified propensities the Hajek point estimate provably
+      // equals q214's valid-strata weighted fold (PipelineSpec pins
+      // that cross-estimator law); strata with an empty arm drop out
+      // exactly as q214 weights them out. All per-user mass rolls up
+      // as exact integer cents per (stratum, arm) CELL; doubles appear
+      // only in the 5-row fold (round 6 absorbs last-ulp). Scale
+      // shape: ONE user shuffle + Quantile's bounded-cell ranking +
+      // a 5-row fold — q214's exact plan with a different readout.
+      val e = Tables(s, dir).events
+      val days = e.select(Tables.eventMicros(e).as("tus"))
+        .select(expr("tus DIV 86400000000").as("day"))
+        .agg(min(col("day")), max(col("day"))).head
+      val cutoff = (days.getLong(0) + days.getLong(1) + 1L) / 2L
+      val arm = pmod(md5_lower64(concat(lit("ab:"),
+        col("user_id").cast("string")).cast("binary")), lit(2L))
+      val perUser = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), Tables.eventMicros(e).as("tus"),
+          floor(col("value") * 100).cast("long").as("c"))
+        .select(col("user_id"),
+          (expr("tus DIV 86400000000") >= cutoff).as("post"), col("c"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(!col("post"), col("c")).otherwise(0L)).as("x"),
+          sum(when(col("post"), col("c")).otherwise(0L)).as("y"))
+        .withColumn("arm", arm)
+      val one = lit(1).cast("double")
+      val cells = graft.operators.Quantile.ranked(perUser, Seq.empty,
+          "x", "user_id", rankCol = "i")
+        .withColumn("stratum",
+          graft.operators.Quantile.ntileOf("i", "n", 5).cast("long"))
+        .groupBy(col("stratum"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),
+          sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy1"),
+          sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sy0"))
+        .withColumn("n_ctrl", col("n_users") - col("n_treat"))
+        .filter(col("n_treat") > 0 && col("n_ctrl") > 0)
+        .withColumn("e", col("n_treat").cast("double") / col("n_users"))
+      cells.agg(
+          count(lit(1)).as("n_strata_used"),
+          sum(col("n_treat")).as("n_treat"),
+          sum(col("n_ctrl")).as("n_ctrl"),
+          sum(col("sy1").cast("double") / col("e")).as("t1"),
+          sum(col("n_treat").cast("double") / col("e")).as("w1"),
+          sum(col("n_treat").cast("double") / (col("e") * col("e")))
+            .as("w1b"),
+          sum(col("sy0").cast("double") / (one - col("e"))).as("t0"),
+          sum(col("n_ctrl").cast("double") / (one - col("e"))).as("w0"),
+          sum(col("n_ctrl").cast("double") /
+            ((one - col("e")) * (one - col("e")))).as("w0b"))
+        .select(col("n_strata_used"), col("n_treat"), col("n_ctrl"),
+          round(col("t1") / col("w1"), 6).as("mean_treat_ipw"),
+          round(col("t0") / col("w0"), 6).as("mean_ctrl_ipw"),
+          round(col("t1") / col("w1") - col("t0") / col("w0"), 6)
+            .as("ate_ipw"),
+          round(col("w1") * col("w1") / col("w1b"), 6).as("ess_treat"),
+          round(col("w0") * col("w0") / col("w0b"), 6).as("ess_ctrl"))
+    },
+
     "q202_bootstrap_ci" -> { (s, dir) =>
       // Poisson bootstrap (Chamandy et al. 2012, "Estimating
       // uncertainty for massive data streams" — the Google form of the
@@ -1200,6 +1268,57 @@ private[graft] object StatQueries {
                  WHEN llr <= -ln(19.0) THEN 'accept_h0'
                  ELSE 'continue' END AS decision
           FROM c ORDER BY day""",
+
+    "q245_ipw_ate" ->
+      """WITH d AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+               AS mn, max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS mx
+             FROM events),
+          p AS (SELECT user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                   >= (SELECT (mn + mx + 1) // 2 FROM d) AS post,
+                 CAST(floor(value * 100) AS BIGINT) AS c
+                FROM events WHERE event_type = 'purchase'),
+          pu AS (SELECT user_id,
+                  CAST(sum(CASE WHEN NOT post THEN c ELSE 0 END) AS BIGINT)
+                    AS x,
+                  CAST(sum(CASE WHEN post THEN c ELSE 0 END) AS BIGINT) AS y,
+                  CAST(md5_number_lower('ab:' || user_id) & 1 AS BIGINT)
+                    AS arm
+                 FROM p GROUP BY user_id),
+          sq AS (SELECT y, arm,
+                  CAST(ntile(5) OVER (ORDER BY x, user_id) AS BIGINT)
+                    AS stratum
+                 FROM pu),
+          g AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_treat,
+                 CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+                   AS sy1,
+                 CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+                   AS sy0
+                FROM sq GROUP BY stratum),
+          v AS (SELECT stratum, n_users, n_treat, n_users - n_treat AS n_ctrl,
+                 sy1, sy0, CAST(n_treat AS DOUBLE) / n_users AS e
+                FROM g WHERE n_treat > 0 AND n_users - n_treat > 0),
+          a AS (SELECT CAST(count(*) AS BIGINT) AS n_strata_used,
+                 CAST(sum(n_treat) AS BIGINT) AS n_treat,
+                 CAST(sum(n_ctrl) AS BIGINT) AS n_ctrl,
+                 sum(CAST(sy1 AS DOUBLE) / e) AS t1,
+                 sum(CAST(n_treat AS DOUBLE) / e) AS w1,
+                 sum(CAST(n_treat AS DOUBLE) / (e * e)) AS w1b,
+                 sum(CAST(sy0 AS DOUBLE) / (CAST(1 AS DOUBLE) - e)) AS t0,
+                 sum(CAST(n_ctrl AS DOUBLE) / (CAST(1 AS DOUBLE) - e))
+                   AS w0,
+                 sum(CAST(n_ctrl AS DOUBLE) / ((CAST(1 AS DOUBLE) - e)
+                   * (CAST(1 AS DOUBLE) - e))) AS w0b
+                FROM v)
+          SELECT n_strata_used, n_treat, n_ctrl,
+            round(t1 / w1, 6) AS mean_treat_ipw,
+            round(t0 / w0, 6) AS mean_ctrl_ipw,
+            round(t1 / w1 - t0 / w0, 6) AS ate_ipw,
+            round(w1 * w1 / w1b, 6) AS ess_treat,
+            round(w0 * w0 / w0b, 6) AS ess_ctrl
+          FROM a""",
 
     "q214_post_stratification" ->
       """WITH d AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)

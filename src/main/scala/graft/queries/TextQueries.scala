@@ -62,6 +62,54 @@ private[graft] object TextQueries {
     },
 
 
+    "q247_kn_perplexity" -> { (s, dir) =>
+      // Per-document PERPLEXITY under q230's interpolated Kneser-Ney
+      // bigram LM — the "score the corpus with its own LM" filter
+      // (in-domain perplexity): q99's MLE surprisal flags rare
+      // SEQUENCES; the KN-smoothed score discounts every observed
+      // bigram by D = 0.75 and backs off to CONTINUATION probability,
+      // so boilerplate built from frequent-but-single-context bigrams
+      // stops looking fluent — the classic LM-quality gate a curation
+      // pass thresholds before training. Model statistics live on the
+      // bigram TYPE table (q135's one pair-type shuffle; ca/na share
+      // the hash(a) window exchange, nb rides hash(b), the type total
+      // broadcasts as q124's 1-row bounds frame); scoring joins the
+      // token-level bigram stream back on (a, b). In-domain means
+      // every scored bigram exists in the table, so p_kn > 0 is total
+      // (held-out scoring would add q136's unseen-gram floor). Each
+      // type's p_kn is a deterministic expression over exact integer
+      // counts; only the per-doc log average is FP, absorbed by
+      // round 6 (q99's contract). ppl = 2^bits.
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), toks(col("text")).as("t"))
+      val bg = docs
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1))).as("bgp"))
+        .select(col("doc_id"), col("bgp.0").as("a"), col("bgp.1").as("b"))
+      val prs = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+      val total = prs.agg(count(lit(1)).as("tt"))
+      val wA = Window.partitionBy(col("a"))
+      val wB = Window.partitionBy(col("b"))
+      val pkn = prs
+        .withColumn("ca", sum(col("cnt")).over(wA))
+        .withColumn("na", count(lit(1)).over(wA))
+        .withColumn("nb", count(lit(1)).over(wB))
+        .crossJoin(broadcast(total))
+        .select(col("a"), col("b"),
+          ((col("cnt").cast("double") - lit(0.75)) / col("ca") +
+            lit(0.75) * col("na").cast("double") / col("ca") *
+              (col("nb").cast("double") / col("tt"))).as("p"))
+      bg.join(pkn, Seq("a", "b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log2(col("p"))), 6).as("avg_kn_bits"),
+          round(pow(lit(2).cast("double"), avg(-log2(col("p")))), 6)
+            .as("ppl"))
+        .orderBy(col("doc_id"))
+    },
+
+
     "q210_heaps_law" -> { (s, dir) =>
       // Heaps'-law fit of vocabulary growth — q198's Zipf companion
       // and the capacity-planning readout behind "how big does the
@@ -1431,6 +1479,29 @@ private[graft] object TextQueries {
               AS pkn
           FROM m ORDER BY cnt DESC, a, b LIMIT 20""",
 
+
+    "q247_kn_perplexity" ->
+      s"""WITH pr AS (SELECT doc_id, pr.a AS a, pr.b AS b
+            FROM (SELECT doc_id,
+                unnest(list_transform(range(1, len(lst)), i ->
+                  struct_pack(a := lst[CAST(i AS INT)],
+                    b := lst[CAST(i AS INT) + 1]))) AS pr
+              FROM (SELECT doc_id, $tokSql AS lst FROM documents)
+              WHERE len(lst) >= 2)),
+          c AS (SELECT a, b, count(*) AS cnt FROM pr GROUP BY 1, 2),
+          m AS (SELECT a, b, (CAST(cnt AS DOUBLE) - 0.75) / ca
+                  + 0.75 * CAST(na AS DOUBLE) / ca
+                    * (CAST(nb AS DOUBLE) / tt) AS p
+                FROM (SELECT a, b, cnt,
+                        sum(cnt) OVER (PARTITION BY a) AS ca,
+                        count(*) OVER (PARTITION BY a) AS na,
+                        count(*) OVER (PARTITION BY b) AS nb,
+                        (SELECT count(*) FROM c) AS tt FROM c)),
+          s AS (SELECT doc_id, p FROM pr JOIN m USING (a, b))
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+            round(avg(-log2(p)), 6) AS avg_kn_bits,
+            round(power(CAST(2 AS DOUBLE), avg(-log2(p))), 6) AS ppl
+          FROM s GROUP BY doc_id ORDER BY doc_id""",
 
     // PMI rebuilt: the same bigram-type counts, window marginals and
     // natural log over exact integer ratios.

@@ -328,6 +328,59 @@ class MediaSpec extends AnyFunSuite {
     assert(graft.expressions.MediaKernel.imageRowStats(p).numElements() == 12)
   }
 
+  test("jpegEncodeGrayQ plants the scaled DQT; jpegDqt reads it back; inversion recovers q") {
+    val MK = graft.expressions.MediaKernel
+    // zigzag permutation (T.81 A.6) to compare the natural-order
+    // scaled table against the as-stored (zigzag) parse
+    val zz = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    val sumK = MK.JPEG_STD_LUMA.sum
+    assert(sumK == 3688, "q246's literal must match the Annex K sum")
+    for (q <- 1 to 100) {
+      val p = MK.jpegEncodeGrayQ(24L, 16L, 3L, 0L, q.toLong)
+      val parsed = MK.jpegDqt(p)
+      assert(parsed != null && parsed.numElements() == 64, s"q=$q parse")
+      val stored = (0 until 64).map(parsed.getLong)
+      val scaled = MK.jpegQuantScaled(q)
+      // byte-level proof: the stored table IS the scaled table, zigzagged
+      (0 until 64).foreach(i =>
+        assert(stored(i) == scaled(zz(i)).toLong, s"q=$q entry $i"))
+      // q246's sum-ratio inversion
+      val sum = stored.sum
+      val sEst = (200L * sum + sumK) / (2L * sumK)
+      val qEst = if (sEst >= 100) 5000L / sEst else (200L - sEst) / 2L
+      // exact inside the clamp-free planted band, never off by more
+      // than 1 across the clamp-free middle
+      if (q >= 35 && q <= 90 && q % 5 == 0)
+        assert(qEst == q.toLong, s"planted band must invert exactly: $q -> $qEst")
+      if (q >= 25 && q <= 92)
+        assert(math.abs(qEst - q) <= 1, s"q=$q estimated $qEst")
+      // payload stays a decodable baseline JPEG (lossy now — just
+      // prove the machinery accepts it)
+      assert(MK.imageDecodeGray(p) != null, s"q=$q must stay decodable")
+    }
+    // non-JPEG and table-free inputs return null, never throw
+    assert(MK.jpegDqt(null) == null)
+    assert(MK.jpegDqt(Array[Byte](1, 2, 3)) == null)
+    assert(MK.jpegDqt(realPng) == null)
+  }
+
+  test("jpegDqt parses a LIVE ImageIO JPEG's quant table") {
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.getRaster.setSample(x, y, 0, 30 + x * 5 + y * 3)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val t = graft.expressions.MediaKernel.jpegDqt(bos.toByteArray)
+    assert(t != null && t.numElements() == 64, "real-world DQT must parse")
+    val vals = (0 until 64).map(t.getLong)
+    assert(vals.forall(v => v >= 1 && v <= 255), s"entries out of range: $vals")
+  }
+
   test("decodes a LIVE ImageIO-encoded JPEG to PIXELS, gray and color 4:2:0") {
     // grayscale: the JDK writer emits its own DQT/DHT (real Annex K
     // style tables), a real quantized entropy stream — nothing about

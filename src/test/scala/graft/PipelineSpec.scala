@@ -3682,6 +3682,126 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: brute all-pairs mining, per-anchor top-3, never a near-dup") {
+    import graft.functions.{shingles, tokens}
+    val got = Pipeline.queries("q248_hard_negatives")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val sh = Tables(spark, sf).documents
+      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+      .filter(_._2.nonEmpty)
+    // the rare-shingle contract: candidates share a df <= 64 shingle
+    val df = sh.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val rare = df.filter(_._2 <= 64).keySet
+    val pairs = for {
+      (a, sa) <- sh; (b, sb) <- sh
+      if a < b && (sa & sb).exists(rare)
+      j = (sa & sb).size.toDouble / (sa | sb).size
+      if j < 0.5
+    } yield (a, b, math.floor(j * 1000000).toLong)
+    val want = pairs.flatMap { case (a, b, m) => Seq((a, b, m), (b, a, m)) }
+      .groupBy(_._1).toSeq.flatMap { case (anchor, ns) =>
+        ns.sortBy(n => (-n._3, n._2)).take(3).zipWithIndex
+          .map { case ((_, neg, m), i) => (anchor, (i + 1).toLong, neg, m) }
+      }.sortBy(t => (t._1, t._2))
+    assert(want.nonEmpty, "fixture should yield hard negatives")
+    assert(got.toSeq == want, s"got ${got.length} vs brute ${want.length}; " +
+      s"first diff: ${got.toSeq.zip(want).find(p => p._1 != p._2)}")
+    // a mined negative is never a near-duplicate: disjoint from q31's pairs
+    val dups = Pipeline.queries("q31_minhash_lsh_dedup")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { case (a, _, b, _) =>
+      assert(!dups.contains((math.min(a, b), math.max(a, b))),
+        s"($a, $b) is a verified near-dup, not a negative") }
+  }
+
+  test("kn perplexity: brute smoothed scores; types agree with q230's table") {
+    val got = Pipeline.queries("q247_kn_perplexity")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val docToks = Tables(spark, sf).documents
+      .select(col("doc_id"), graft.functions.tokens(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val bigrams = docToks.flatMap { case (d, ts) =>
+      ts.zip(ts.drop(1)).map(p => (d, p)) }
+    val cnt = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val types = cnt.keys.toSeq
+    val caM = types.groupBy(_._1).view.mapValues(_.map(cnt).sum).toMap
+    val naM = types.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nbM = types.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tt = types.size.toDouble
+    def p(ab: (String, String)): Double =
+      (cnt(ab) - 0.75) / caM(ab._1) +
+        0.75 * naM(ab._1) / caM(ab._1) * (nbM(ab._2) / tt)
+    val want = bigrams.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, bs) =>
+      val bits = bs.map(b => -math.log(p(b._2)) / math.log(2.0))
+      (d, bs.size.toLong, bits.sum / bits.size)
+    }
+    assert(got.length == want.length && got.map(_._1).sameElements(want.map(_._1)))
+    got.zip(want).foreach { case ((d, n, bits, ppl), (wd, wn, wbits)) =>
+      assert(d == wd && n == wn, s"doc $d bigram count")
+      assert(math.abs(bits - wbits) < 2e-6, s"doc $d bits $bits vs $wbits")
+      assert(math.abs(ppl - math.pow(2.0, wbits)) < math.abs(ppl) * 1e-5 + 2e-6)
+      // perplexity of a smoothed model over a finite vocab is > 1
+      assert(ppl > 1.0, s"doc $d ppl $ppl")
+    }
+    // the scored types ARE q230's table: its published top-20 pkn
+    // values equal this model's p on the same (a, b)
+    Pipeline.queries("q230_kneser_ney")(spark, sf).collect().foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val pk = r.getDouble(6)
+      assert(math.abs(pk - BigDecimal(p(key))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"q230 pkn for $key")
+    }
+  }
+
+  test("ipw ate: brute Hajek weights; point estimate equals q214's fold") {
+    val r = Pipeline.queries("q245_ipw_ate")(spark, sf).collect().head
+    val (nsu, nt, nc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (m1, m0, ate, ess1, ess0) = (r.getDouble(3), r.getDouble(4),
+      r.getDouble(5), r.getDouble(6), r.getDouble(7))
+    val days = purchasesByUser().values.flatten.map(_._1)
+    val cutoff = (days.min + days.max + 1) / 2
+    val pu = purchasesByUser().toSeq.map { case (u, evs) =>
+      (u, evs.filter(_._1 < cutoff).map(_._2).sum,
+        evs.filter(_._1 >= cutoff).map(_._2).sum, armOfUser(u))
+    }.sortBy(t => (t._2, t._1))
+    val n = pu.size; val q = n / 5; val rem = n % 5
+    val cells = pu.zipWithIndex.map { case ((_, _, y, arm), i) =>
+      val rn = i + 1
+      val st = if (rn <= rem * (q + 1)) (rn + q) / (q + 1)
+               else rem + (rn - rem * (q + 1) + q - 1) / q
+      (st.toLong, y, arm)
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (st, rows) =>
+      val t = rows.filter(_._3 == 1L); val c = rows.filter(_._3 == 0L)
+      (st, rows.size, t.size, c.size, t.map(_._2).sum, c.map(_._2).sum)
+    }.filter(x => x._3 > 0 && x._4 > 0)
+    assert(nsu == cells.size.toLong && nt == cells.map(_._3).sum.toLong &&
+      nc == cells.map(_._4).sum.toLong)
+    var (t1, w1, w1b, t0, w0, w0b) = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    cells.foreach { case (_, nu, ntS, ncS, sy1, sy0) =>
+      val e = ntS.toDouble / nu
+      t1 += sy1 / e; w1 += ntS / e; w1b += ntS / (e * e)
+      t0 += sy0 / (1.0 - e); w0 += ncS / (1.0 - e)
+      w0b += ncS / ((1.0 - e) * (1.0 - e))
+    }
+    assert(math.abs(m1 - t1 / w1) < 2e-6)
+    assert(math.abs(m0 - t0 / w0) < 2e-6)
+    assert(math.abs(ate - (t1 / w1 - t0 / w0)) < 2e-6)
+    assert(math.abs(ess1 - w1 * w1 / w1b) < 2e-6)
+    assert(math.abs(ess0 - w0 * w0 / w0b) < 2e-6)
+    // Kish ESS is positive and bounded by the arm size (Cauchy-Schwarz)
+    assert(ess1 > 0 && ess1 <= nt + 1e-6)
+    assert(ess0 > 0 && ess0 <= nc + 1e-6)
+    // the cross-estimator law: with stratified propensities the Hajek
+    // IPW point estimate IS q214's valid-strata post-stratified fold
+    val postStrat = Pipeline.queries("q214_post_stratification")(spark, sf)
+      .collect().head.getDouble(6)
+    assert(math.abs(ate - postStrat) < 2e-6,
+      s"IPW $ate diverges from post-stratified $postStrat")
+  }
+
   test("cohort ltv: brute cohort fold, curves cumulative and monotone") {
     val got = Pipeline.queries("q215_cohort_ltv")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -3792,6 +3912,39 @@ class PipelineSpec extends SparkSpec {
     assert(got.toSeq == want, "distributed rounds == local trajectory")
     // scores stay in the fixed-point PageRank range [0.15, deg-bounded]
     assert(got.forall(_._3 >= 150000L))
+  }
+
+  test("triangle census: brute count over the q31 edge set, each counted once") {
+    val got = Pipeline.queries("q244_triangle_census")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val pairs = Pipeline.queries("q31_minhash_lsh_dedup")(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = pairs.toSeq.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // brute: each triangle {a<b<c} counted once via its smallest edge
+    val triPerNode = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    var total = 0L
+    for ((a, b) <- pairs; c <- adj(a) if c > b && adj(b).contains(c)) {
+      total += 1
+      triPerNode(a) += 1; triPerNode(b) += 1; triPerNode(c) += 1
+    }
+    assert(total > 0, "fixture should contain at least one dup triangle")
+    assert(got.map(_._1).toSet == adj.keySet, "one row per dup-graph node")
+    got.foreach { case (v, degree, nTri, clus) =>
+      assert(degree == adj(v).size.toLong, s"degree of $v")
+      assert(nTri == triPerNode(v), s"triangles of $v")
+      if (degree >= 2) {
+        val b = 2.0 * triPerNode(v) / (degree * (degree - 1.0))
+        assert(math.abs(clus.get - BigDecimal(b)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+        assert(clus.get >= 0.0 && clus.get <= 1.0 + 1e-9)
+      } else assert(clus.isEmpty, s"deg-1 node $v must report null clustering")
+    }
+    // handshake law: per-node participation sums to 3x the census
+    assert(got.map(_._3).sum == 3L * total)
   }
 
   test("mde power: brute moments, symmetric in arms, shrinks with n") {

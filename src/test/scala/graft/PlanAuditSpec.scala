@@ -75,6 +75,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // broadcast 16-ROW checkpoint table
     "q207_cuped", "q208_mann_whitney", "q209_lorenz_curve",
     "q210_heaps_law", "q214_post_stratification",
+    // q245 rides q214's exact Quantile plan (the global-grouping
+    // bounds cross) with a different 5-row readout fold
+    "q245_ipw_ate",
     // q216 crosses the corpus against the broadcast 10-query sample x
     // 3-row dim table (q36's audited brute-harness posture); q217
     // crosses the |days| spine against the broadcast 2-row lag table
@@ -88,6 +91,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // q230 crosses the bigram-type table against the broadcast ONE-ROW
     // type total (q135's bounds pattern)
     "q230_kneser_ney",
+    // q247 scores against q230's type table and inherits the same
+    // broadcast 1-row type-total cross
+    "q247_kn_perplexity",
     // q231 crosses the |days|-bounded daily table against its own
     // broadcast under d1 < d2 (q184's bounded pair posture) plus the
     // 1-row readout folds — SF-invariant, never corpus rows
@@ -439,6 +445,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // q242: map-only JPEG Huffman+IDCT decode + bounded explode; only
     // the presentation sort (q222's plan with the codec swapped)
     "q242_jpeg_row_stats" -> 1,
+    // q246: map-only DQT marker walk + quality inversion; only the
+    // presentation sort exchanges
+    "q246_jpeg_quality_triage" -> 1,
     // q243: q223's band/cap/pair plan over image_dhash of JPEG payloads
     "q243_jpeg_dhash_neardup" -> 3,
     // q206: the custkey rollup + the |duration|-cell agg + presentation
@@ -481,6 +490,24 @@ class PlanAuditSpec extends AnyFunSuite {
     "q218_dup_pagerank" -> 6,
     // q219: the per-user rollup + the 1-row moment fold
     "q219_mde_power" -> 2,
+    // q244: the edge/degree tables are localCheckpoint'd (the q31
+    // band/verify build pays its exchanges once, outside this plan);
+    // downstream: the wedge/closing equi-joins reuse the checkpointed
+    // partitioning, leaving the per-node census agg + the final
+    // node join + the presentation sort
+    "q244_triangle_census" -> 3,
+    // q245: q214's plan — ONE user shuffle + Quantile's bounded-cell
+    // ranking passes + the 5-row stratum agg and 1-row readout fold
+    "q245_ipw_ate" -> 9,
+    // q248: the shingle-TYPE inverted-index agg + the anchor-side
+    // MinKAgg rollup; AQE broadcasts the bounded candidate set through
+    // the verify joins (q82's posture) and the TakeOrdered-style sort
+    // folds onto the MinK exchange — never all-pairs
+    "q248_hard_negatives" -> 2,
+    // q247: the bigram-type agg (ca/na share its hash(a) exchange),
+    // the hash(b) window, the (a, b) score join back onto the token
+    // stream, the per-doc rollup + presentation sort
+    "q247_kn_perplexity" -> 4,
     // q220: the (source, dim) centroid agg + the |sources| array
     // rollup + presentation sort; the pair join is broadcast
     "q220_source_semantic_matrix" -> 3,
@@ -647,6 +674,10 @@ class PlanAuditSpec extends AnyFunSuite {
         "bigram TYPE table — vocabulary-bounded, never corpus rows " +
         "(the flag is the 'b' column name colliding with q202's " +
         "replicate-index dim key)"),
+    "q247_kn_perplexity" ->
+      ("q230's exact model-statistics windows (same TYPE-table input, " +
+        "same 'b' name collision); the corpus-scale token stream only " +
+        "ever meets the scored types in an equi-join"),
     "q162_skyline" ->
       ("the global window runs on salt-bucket-local skyline survivors " +
         "— frontier-sized by the operator's contract (OperatorLawSpec " +
