@@ -139,6 +139,58 @@ private[graft] object AnnQueries {
         .orderBy(col("dim"), col("qid"))
     },
 
+    "q249_label_silhouette" -> { (s, dir) =>
+      // Simplified SILHOUETTE per label cluster (Rousseeuw 1987 with
+      // the standard centroid simplification) — the cluster-quality
+      // readout for the embedding space's class structure, the number
+      // a labeling/clustering pass is judged by before its labels are
+      // trusted downstream (q133's classifier, q237's propagation):
+      // a(i) = ||x_i - c(own label)||, b(i) = min over OTHER labels of
+      // ||x_i - c(l)||, s(i) = (b - a) / max(a, b) in [-1, 1]. The
+      // full silhouette's O(n^2) pairwise sum is the scale-killer the
+      // centroid form exists to avoid: here the corpus is scanned
+      // once for the (label, dim) centroid agg (|labels| x 64 cells,
+      // map-side partials) and once against the BROADCAST
+      // |labels|-row centroid table — never all-pairs. Distances via
+      // the deterministic left-to-right dot_product kernel as
+      // ||x||^2 - 2x.c + ||c||^2 (greatest(.., 0) absorbs the FP
+      // cancellation when x ~ c); centroid sums are the only
+      // engine-order FP freedom, absorbed by the 6dp round on the
+      // per-label means (q220's posture).
+      val zero = lit(0).cast("double")
+      val emb = Tables(s, dir).embeddings
+        .select(col("vec_id"), col("label").cast("long").as("lbl"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val cent = emb
+        .select(col("lbl"), posexplode(col("v")))
+        .groupBy(col("lbl"), col("pos"))
+        .agg(sum(col("col")).as("sv"), count(lit(1)).as("cnt"))
+        .select(col("lbl").as("clbl"), col("pos"),
+          (col("sv") / col("cnt")).as("c"))
+        .groupBy(col("clbl"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          _.getField("c")).as("cv"))
+      emb.crossJoin(broadcast(cent))
+        .withColumn("dist", sqrt(greatest(
+          dot_product(col("v"), col("v")) -
+            lit(2).cast("double") * dot_product(col("v"), col("cv")) +
+            dot_product(col("cv"), col("cv")), zero)))
+        .groupBy(col("vec_id"), col("lbl"))
+        .agg(max(when(col("clbl") === col("lbl"), col("dist"))).as("a"),
+          min(when(col("clbl") =!= col("lbl"), col("dist"))).as("b"))
+        .withColumn("sil", when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(zero))
+        .groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(col("sil")), 6).as("mean_silhouette"),
+          round(avg(col("a")), 6).as("mean_intra"),
+          round(avg(col("b")), 6).as("mean_inter"))
+        .select(col("lbl").as("label"), col("n_vecs"),
+          col("mean_silhouette"), col("mean_intra"), col("mean_inter"))
+        .orderBy(col("label"))
+    },
+
     "q220_source_semantic_matrix" -> { (s, dir) =>
       // Per-source embedding-CENTROID similarity matrix — the semantic
       // complement of q151's lexical divergence: which sources cover
@@ -904,6 +956,40 @@ private[graft] object AnnQueries {
            CAST(coalesce(n_dups, 0) AS BIGINT) AS n_dups,
            coalesce(n_dups, 0) = 0 AS kept
          FROM a LEFT JOIN p USING (vec_id) ORDER BY vec_id""",
+
+    "q249_label_silhouette" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+          cent AS (SELECT lbl, t.i AS i,
+                    sum(v[CAST(t.i AS INT)]) / count(*) AS c
+                   FROM e CROSS JOIN range(1, 65) t(i) GROUP BY lbl, t.i),
+          cv AS (SELECT lbl AS clbl, list(c ORDER BY i) AS cvv
+                 FROM cent GROUP BY lbl),
+          d AS (SELECT e.vec_id, e.lbl, cv.clbl,
+                 sqrt(greatest(
+                   list_sum(list_transform(range(1, 65),
+                     i -> v[CAST(i AS INT)] * v[CAST(i AS INT)]))
+                   - CAST(2 AS DOUBLE) * list_sum(list_transform(range(1, 65),
+                     i -> v[CAST(i AS INT)] * cvv[CAST(i AS INT)]))
+                   + list_sum(list_transform(range(1, 65),
+                     i -> cvv[CAST(i AS INT)] * cvv[CAST(i AS INT)])),
+                   CAST(0 AS DOUBLE))) AS dist
+                FROM e CROSS JOIN cv),
+          ab AS (SELECT vec_id, lbl,
+                  max(CASE WHEN clbl = lbl THEN dist END) AS a,
+                  min(CASE WHEN clbl <> lbl THEN dist END) AS b
+                 FROM d GROUP BY vec_id, lbl),
+          s AS (SELECT lbl, a, b,
+                 CASE WHEN greatest(a, b) > 0
+                   THEN (b - a) / greatest(a, b)
+                   ELSE CAST(0 AS DOUBLE) END AS sil
+                FROM ab)
+          SELECT lbl AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+            round(avg(sil), 6) AS mean_silhouette,
+            round(avg(a), 6) AS mean_intra,
+            round(avg(b), 6) AS mean_inter
+          FROM s GROUP BY lbl ORDER BY lbl""",
 
     "q220_source_semantic_matrix" ->
       """WITH m AS (SELECT d.source, e.embedding FROM embeddings e

@@ -3682,6 +3682,60 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("label silhouette: brute centroid silhouette, range law, planted separation") {
+    val got = Pipeline.queries("q249_label_silhouette")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    val embs = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("label").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val byLbl = embs.groupBy(_._2)
+    val cents = byLbl.view.mapValues { vs =>
+      Array.tabulate(64)(i => vs.map(_._3(i)).sum / vs.size) }.toMap
+    def dist(x: Array[Double], c: Array[Double]): Double =
+      math.sqrt(x.zip(c).map(t => (t._1 - t._2) * (t._1 - t._2)).sum)
+    val want = byLbl.toSeq.sortBy(_._1).map { case (l, vs) =>
+      val rows = vs.map { case (_, _, x) =>
+        val a = dist(x, cents(l))
+        val b = cents.collect { case (l2, c) if l2 != l => dist(x, c) }.min
+        val s = if (math.max(a, b) > 0) (b - a) / math.max(a, b) else 0.0
+        (a, b, s)
+      }
+      (l, vs.size.toLong, rows.map(_._3).sum / rows.size,
+        rows.map(_._1).sum / rows.size, rows.map(_._2).sum / rows.size)
+    }
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2, s"$g vs $w")
+      // brute computes (x-c)^2 directly, the engine expands through
+      // dot products — agree to FP-expansion tolerance
+      assert(math.abs(g._3 - w._3) < 1e-4, s"label ${g._1} sil")
+      assert(math.abs(g._4 - w._4) < 1e-4, s"label ${g._1} intra")
+      assert(math.abs(g._5 - w._5) < 1e-4, s"label ${g._1} inter")
+      // silhouette range law
+      assert(g._3 >= -1.0 - 1e-9 && g._3 <= 1.0 + 1e-9)
+    }
+    // the fixture's labels are NOT planted clusters: the diagnostic
+    // must say so (|mean s| ~ 0), not hallucinate separation
+    assert(got.map(t => math.abs(t._3)).max < 0.1,
+      "unstructured labels must read as silhouette ~ 0")
+    // and a PLANTED separable labeling reads strongly positive: shift
+    // each vector by +10 on dimension (label mod 64)
+    val planted = embs.map { case (_, l, x) =>
+      val y = x.clone(); y((l % 64).toInt) += 10.0; (l, y) }
+    val pc = planted.groupBy(_._1).view.mapValues { vs =>
+      Array.tabulate(64)(i => vs.map(_._2(i)).sum / vs.size) }.toMap
+    val psil = planted.map { case (l, x) =>
+      val a = dist(x, pc(l))
+      val b = pc.collect { case (l2, c) if l2 != l => dist(x, c) }.min
+      (b - a) / math.max(a, b)
+    }
+    assert(psil.sum / psil.length > 0.5,
+      "a separable labeling must read strongly positive")
+  }
+
   test("hard negatives: brute all-pairs mining, per-anchor top-3, never a near-dup") {
     import graft.functions.{shingles, tokens}
     val got = Pipeline.queries("q248_hard_negatives")(spark, sf).collect()

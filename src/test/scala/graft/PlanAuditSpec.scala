@@ -108,7 +108,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // q240 crosses its 1-row match rollup against the broadcast
     // ONE-ROW arm counts (q124's bounds pattern); the candidate join
     // itself is EQUI on caliper buckets
-    "q240_matched_att")
+    "q240_matched_att",
+    // q249 crosses the corpus against the broadcast |labels|-row
+    // centroid table (q216's audited posture) — the whole point of
+    // the centroid simplification is avoiding the O(n^2) pair sum
+    "q249_label_silhouette")
 
   test("no unplanned cartesian products or nested-loop joins") {
     val offenders = Seq.newBuilder[String]
@@ -504,6 +508,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // the verify joins (q82's posture) and the TakeOrdered-style sort
     // folds onto the MinK exchange — never all-pairs
     "q248_hard_negatives" -> 2,
+    // q249: the (label, dim) centroid agg + the centroid-array
+    // rollup + the per-vector a/b agg + the |labels|-cell readout +
+    // presentation sort
+    "q249_label_silhouette" -> 5,
     // q247: the bigram-type agg (ca/na share its hash(a) exchange),
     // the hash(b) window, the (a, b) score join back onto the token
     // stream, the per-doc rollup + presentation sort
