@@ -277,14 +277,30 @@ object Bench {
       (mitoShapes(t.events) ++ netShapes(t.events, netBase)).filter(q => selected(q._1))
         .map { case (name, df) => name -> (() => force(df)) }
 
-    // Median of 3 runs, taken as three ROUND-ROBIN passes over the whole
-    // suite rather than 3 consecutive runs per query: a single timing
-    // swings 2-4x on JIT/GC noise, and a transient external stall (the
-    // BENCH_r04 q54 "9x regression" was one — unreproducible on identical
-    // code) can span 3 consecutive runs but lands on different queries in
-    // round-robin, where the median absorbs it.
+    // ADAPTIVE pass count (BENCH_r14 rc=124 fix). Pass 1 covers the
+    // whole suite ROUND-ROBIN (round-robin rather than 3 consecutive
+    // runs per query so a transient external stall — the BENCH_r04 q54
+    // "9x regression" was one — lands on different queries each pass
+    // and the median absorbs it). Queries whose first timed pass stays
+    // under the cut (default 1 s) get two more passes and report the
+    // median of 3: a single sub-second timing swings 2-4x on JIT/GC
+    // noise, so the median matters there. Queries ABOVE the cut keep
+    // the single pass-1 sample: their JIT/GC noise is proportionally
+    // small, and re-running the heavy tail is what pushed the 3-pass
+    // suite past the driver's wall budget at 249 queries (r14: ~274
+    // s/pass * 3 + overhead = timeout; adaptive at the 1 s cut fits in
+    // ~1 pass + 2 * ~180 s of light passes). Failed queries (-1) are
+    // not retried. Env knob SPARK_GRAFT_HEAVY_CUT overrides the cut
+    // (set it very large to recover the old unconditional 3-pass
+    // behavior for dev A/Bs).
+    val heavyCut = sys.env.getOrElse("SPARK_GRAFT_HEAVY_CUT", "1.0").toDouble
     val samples = collection.mutable.Map.empty[String, List[Double]]
-    for (_ <- 1 to 3; (name, run) <- runnables)
+    for ((name, run) <- runnables)
+      samples(name) = time(run()) :: samples.getOrElse(name, Nil)
+    val light = runnables.filter { case (name, _) =>
+      val t0 = samples(name).head; t0 >= 0 && t0 < heavyCut
+    }
+    for (_ <- 1 to 2; (name, run) <- light)
       samples(name) = time(run()) :: samples.getOrElse(name, Nil)
     def median3(ts: List[Double]): Double =
       if (ts.exists(_ < 0)) -1 else ts.sorted.apply(ts.length / 2)

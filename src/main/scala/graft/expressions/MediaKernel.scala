@@ -151,6 +151,16 @@ object MediaKernel {
         pos += 8 + sz.toInt + (sz.toInt & 1)   // RIFF pads odd chunks
       }
       r
+    } else if (isMp4(p)) {
+      // ISO-BMFF: the triage fields live in [[mp4Info]]'s dedicated
+      // struct (brand/timescale/duration/tracks); the generic report
+      // carries container + structural validity so a (source,
+      // container) health rollup sees video payloads too. Width/
+      // height/rate stay null — they're per-track in BMFF, not
+      // per-container.
+      r.update(0, UTF8String.fromString("mp4"))
+      r.setBoolean(8, mp4Info(p).getBoolean(6))
+      r
     } else r
   }
 
@@ -1293,5 +1303,191 @@ object MediaKernel {
     }
     b.put(0xff.toByte).put(0xd9.toByte)              // EOI
     b.array()
+  }
+
+  // ===================================================================
+  // ISO-BMFF / MP4 container triage (ISO/IEC 14496-12 §4.2 box model):
+  // ftyp brand + moov/mvhd timescale+duration + per-trak hdlr handler
+  // walk — the q127/q226 header-triage pattern extended to video
+  // payloads. Box walk only, no codec work (the brief's multimodal
+  // posture: metadata and routing are real, sample decode is out of
+  // container scope).
+  // ===================================================================
+
+  private[graft] def isMp4(p: Array[Byte]): Boolean =
+    p.length >= 12 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p'
+
+  private def be64(p: Array[Byte], i: Int): Long =
+    (be32(p, i) << 32) | be32(p, i + 4)
+
+  /** Full size of the box at `pos` (bounded by `end`), honoring the
+    * spec's three size encodings: size==1 -> 64-bit largesize follows
+    * the type; size==0 -> box extends to `end`. Returns -1 when the
+    * header doesn't fit, the size field is smaller than its own
+    * header, or the box overruns `end` — every malformed shape a
+    * truncated/corrupt upload produces. All comparisons in Long space
+    * (the PNG walk's Int-wrap lesson). */
+  private def boxLen(p: Array[Byte], pos: Int, end: Int): Long = {
+    if (pos + 8 > end) return -1L
+    val sz = be32(p, pos)
+    val full: Long =
+      if (sz == 1L) {
+        if (pos + 16 > end) return -1L
+        val l = be64(p, pos + 8)
+        if (l < 16L) return -1L else l
+      } else if (sz == 0L) (end - pos).toLong
+      else if (sz < 8L) return -1L
+      else sz
+    if (full > end.toLong - pos) -1L else full
+  }
+
+  private def boxIs(p: Array[Byte], pos: Int, t: String): Boolean =
+    p(pos + 4) == t.charAt(0).toByte && p(pos + 5) == t.charAt(1).toByte &&
+      p(pos + 6) == t.charAt(2).toByte && p(pos + 7) == t.charAt(3).toByte
+
+  /** Walk result for the moov subtree: (timescale, duration, nTracks,
+    * nVideo, nAudio) or null when any child box is malformed or mvhd
+    * is absent. */
+  private def walkMoov(p: Array[Byte], start: Int, end: Int): Array[Long] = {
+    var pos = start
+    var ts = -1L; var dur = -1L
+    var nT = 0L; var nV = 0L; var nA = 0L
+    while (pos < end) {
+      val len = boxLen(p, pos, end)
+      if (len < 0) return null
+      if (boxIs(p, pos, "mvhd")) {
+        // FullBox: version at +8; v0 = 32-bit times, v1 = 64-bit
+        if (pos + 9 > end) return null
+        val v = p(pos + 8) & 0xff
+        if (v == 0) {
+          if (len < 28) return null
+          ts = be32(p, pos + 20); dur = be32(p, pos + 24)
+        } else if (v == 1) {
+          if (len < 40) return null
+          ts = be32(p, pos + 28); dur = be64(p, pos + 32)
+        } else return null
+      } else if (boxIs(p, pos, "trak")) {
+        nT += 1
+        val h = walkTrak(p, pos + 8, pos + len.toInt)
+        if (h == null) return null
+        if (h == "vide") nV += 1 else if (h == "soun") nA += 1
+      }
+      pos += len.toInt
+    }
+    if (pos != end || ts < 0) null else Array(ts, dur, nT, nV, nA)
+  }
+
+  /** Handler type ("vide"/"soun"/other 4cc, "" when the trak carries
+    * no hdlr) of one trak subtree; null on a malformed child box. */
+  private def walkTrak(p: Array[Byte], start: Int, end: Int): String = {
+    var pos = start
+    var handler = ""
+    while (pos < end) {
+      val len = boxLen(p, pos, end)
+      if (len < 0) return null
+      if (boxIs(p, pos, "mdia")) {
+        var mp = pos + 8
+        val mend = pos + len.toInt
+        while (mp < mend) {
+          val ml = boxLen(p, mp, mend)
+          if (ml < 0) return null
+          // hdlr FullBox: vf(4) pre_defined(4) handler_type(4)
+          if (boxIs(p, mp, "hdlr")) {
+            if (ml < 20) return null
+            handler = new String(p, mp + 16, 4, "ISO-8859-1")
+          }
+          mp += ml.toInt
+        }
+        if (mp != mend) return null
+      }
+      pos += len.toInt
+    }
+    if (pos != end) null else handler
+  }
+
+  /** MP4 triage struct (brand, timescale, duration, n_tracks, n_video,
+    * n_audio, valid). The brand is readable from the sniffed ftyp
+    * header even when the box walk rejects a truncated payload;
+    * every other field is populated only from a CLEAN walk (top-level
+    * boxes tile the payload exactly, moov children tile moov, mvhd
+    * present) — the corrupt-upload arm reports brand + valid=false +
+    * nulls, exactly mediaInfo's posture. */
+  def mp4Info(p: Array[Byte]): InternalRow = {
+    val r = new GenericInternalRow(7)
+    r.setBoolean(6, false)
+    if (p == null || !isMp4(p)) return r
+    r.update(0, UTF8String.fromString(new String(p, 8, 4, "ISO-8859-1").trim))
+    var pos = 0
+    var moov: Array[Long] = null
+    var sawMoov = false
+    while (pos < p.length) {
+      val len = boxLen(p, pos, p.length)
+      if (len < 0) return r
+      if (boxIs(p, pos, "moov")) {
+        sawMoov = true
+        moov = walkMoov(p, pos + 8, pos + len.toInt)
+        if (moov == null) return r
+      }
+      pos += len.toInt
+    }
+    if (pos != p.length || !sawMoov) return r
+    r.setLong(1, moov(0)); r.setLong(2, moov(1))
+    r.setLong(3, moov(2)); r.setLong(4, moov(3)); r.setLong(5, moov(4))
+    r.setBoolean(6, true)
+    r
+  }
+
+  /** Build a spec-valid minimal MP4: ftyp (brand from a 4-entry table)
+    * + moov{mvhd v0, per-track trak{tkhd, mdia{mdhd, hdlr}}} — video
+    * tracks first, then audio; every box size exact so the triage
+    * walk's tiling check holds. No mdat: header-only, the same
+    * "metadata real, samples out of scope" posture as pngEncode. */
+  def mp4Encode(brandIdx: Long, timescale: Long, duration: Long,
+      nVideo: Long, nAudio: Long): Array[Byte] = {
+    val brands = Array("isom", "mp42", "avc1", "qt  ")
+    val brand = brands(((brandIdx % 4 + 4) % 4).toInt)
+    val nT = nVideo + nAudio
+    val out = new java.io.ByteArrayOutputStream(256)
+    def w32(v: Long): Unit = {
+      out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
+      out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def w16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    def str(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    def zeros(n: Int): Unit = { var i = 0; while (i < n) { out.write(0); i += 1 } }
+    def matrix(): Unit = {
+      w32(0x10000L); w32(0); w32(0); w32(0); w32(0x10000L); w32(0)
+      w32(0); w32(0); w32(0x40000000L)
+    }
+    // ftyp (24): major brand, minor version, two compatible brands
+    w32(24); str("ftyp"); str(brand); w32(0x200L); str(brand); str("isom")
+    val trakSize = 8 + 92 + (8 + 32 + 33)            // tkhd + mdia{mdhd,hdlr}
+    w32(8 + 108 + nT * trakSize); str("moov")
+    // mvhd v0 (108): vf, times, timescale, duration, rate, volume,
+    // reserved(10), matrix, pre_defined(24), next_track_ID
+    w32(108); str("mvhd"); w32(0); w32(0); w32(0)
+    w32(timescale); w32(duration)
+    w32(0x10000L); w16(0x100); zeros(10); matrix(); zeros(24); w32(nT + 1)
+    var i = 0L
+    while (i < nT) {
+      val isVid = i < nVideo
+      w32(trakSize); str("trak")
+      // tkhd v0 (92): vf(flags=3 enabled+in-movie), times, id,
+      // reserved, duration, reserved(8), layer/alt/volume/reserved,
+      // matrix, fixed-point width/height (320x240 for video, 0 audio)
+      w32(92); str("tkhd"); w32(3); w32(0); w32(0); w32(i + 1); w32(0)
+      w32(duration); zeros(8); w16(0); w16(0)
+      w16(if (isVid) 0 else 0x100); w16(0); matrix()
+      w32(if (isVid) 0x01400000L else 0L); w32(if (isVid) 0x00F00000L else 0L)
+      w32(8 + 32 + 33); str("mdia")
+      // mdhd v0 (32): vf, times, timescale, duration, language 'und'
+      w32(32); str("mdhd"); w32(0); w32(0); w32(0)
+      w32(timescale); w32(duration); w16(0x55c4); w16(0)
+      // hdlr (33): vf, pre_defined, handler, reserved(12), empty name
+      w32(33); str("hdlr"); w32(0); w32(0)
+      str(if (isVid) "vide" else "soun"); zeros(12); out.write(0)
+      i += 1
+    }
+    out.toByteArray
   }
 }

@@ -395,6 +395,34 @@ object functions {
     StructField("bits_per_sample", LongType),
     StructField("valid", BooleanType, nullable = false)))
 
+  /** ISO-BMFF/MP4 container triage (ISO/IEC 14496-12 box walk: ftyp
+    * brand, moov/mvhd timescale+duration, per-trak hdlr handler
+    * counts) — video-payload health fields for the corpus triage
+    * report; no codec work. Brand parses from the sniffed ftyp header
+    * even on truncated payloads; every other field requires a CLEAN
+    * walk (boxes tile the payload exactly, mvhd present). */
+  def mp4_info(payload: Column): Column =
+    call(MD, mp4InfoType, "mp4Info", Seq(Bin), payload)
+
+  val mp4InfoType: StructType = StructType(Seq(
+    StructField("brand", StringType),
+    StructField("timescale", LongType),
+    StructField("duration", LongType),
+    StructField("n_tracks", LongType),
+    StructField("n_video", LongType),
+    StructField("n_audio", LongType),
+    StructField("valid", BooleanType, nullable = false)))
+
+  /** Spec-valid minimal MP4 builder: ftyp (brand table
+    * isom/mp42/avc1/qt) + moov{mvhd, per-track trak{tkhd, mdia{mdhd,
+    * hdlr}}} — the planted-payload side of the video triage
+    * round-trip. */
+  def mp4_encode(brandIdx: Column, timescale: Column, duration: Column,
+      nVideo: Column, nAudio: Column): Column =
+    call(MD, Bin, "mp4Encode",
+      Seq(LongType, LongType, LongType, LongType, LongType),
+      brandIdx, timescale, duration, nVideo, nAudio)
+
   /** Spec-valid PNG header builder (signature + IHDR w/ real CRC-32 +
     * IDAT + IEND) — the planted-payload side of the media round-trip. */
   def png_encode(width: Column, height: Column, bitDepth: Column, colorType: Column): Column =

@@ -648,6 +648,46 @@ private[graft] object CurationQueries {
     },
 
 
+    "q251_mp4_triage" -> { (s, dir) =>
+      // Per-(source, brand) VIDEO-container health report — q226's
+      // triage shape extended to the modality the media family lacked
+      // (VERDICT r14 Next #5): an ISO-BMFF box walk (ftyp brand,
+      // moov/mvhd timescale+duration, per-trak hdlr handler counts —
+      // MediaKernel.mp4Info, no codec work) over planted minimal MP4s
+      // parameterized by doc_id (brand table, three real timescales,
+      // duration ticks, video/audio track mix), with docs doc_id mod
+      // 11 == 5 TRUNCATED to 16 bytes: the ftyp magic still sniffs
+      // (brand readable) but the box walk's tiling check fails —
+      // valid = false, fields null. duration_ms = duration * 1000 DIV
+      // timescale, exact integer arithmetic both engines replay.
+      // Plan: map-only kernel parse + ONE bounded (source x brand)
+      // agg with map-side partials — q226's 100 TB posture.
+      val m = Tables(s, dir).documents
+        .select(col("doc_id"), col("source"))
+        .withColumn("p0", mp4_encode(
+          (col("doc_id") % 4).cast("long"),
+          when(col("doc_id") % 3 === 0, 600L)
+            .when(col("doc_id") % 3 === 1, 1000L)
+            .otherwise(90000L).cast("long"),
+          (col("doc_id") % 9000 + 600).cast("long"),
+          (col("doc_id") % 3).cast("long"),
+          (col("doc_id") % 2).cast("long")))
+        .withColumn("payload", when(col("doc_id") % 11 === 5,
+          expr("substring(p0, 1, 16)")).otherwise(col("p0")))
+        .select(col("source"), mp4_info(col("payload")).as("m"))
+      m.select(col("source"), col("m.brand").as("brand"),
+          col("m.valid").as("valid"),
+          col("m.n_video").as("nv"), col("m.n_audio").as("na"),
+          expr("(m.duration * 1000) DIV m.timescale").as("dur_ms"))
+        .groupBy(col("source"), col("brand"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+          sum(col("dur_ms")).as("sum_dur_ms"),
+          sum(col("nv")).as("n_video_tracks"),
+          sum(col("na")).as("n_audio_tracks"))
+        .orderBy(col("source"), col("brand"))
+    },
+
     "q226_media_triage" -> { (s, dir) =>
       // Per-(source, container) corpus-health report — the triage
       // dashboard a multimodal ingest runs before any expensive decode
@@ -660,7 +700,20 @@ private[graft] object CurationQueries {
       // corrupt-upload shape a crawler produces. Plan: per-row kernel
       // parse + ONE bounded (source x container) agg with map-side
       // partials — nothing global, the map-only triage pass at 100 TB.
-      val p0 = when(col("doc_id") % 3 === 0,
+      // doc_id mod 12 == 2 (a slice of the jpeg arm: 12k+2 ≡ 2 mod 3)
+      // now ships MP4 — the report gains the video container with the
+      // same params as q251's plant, and mediaInfo's BMFF branch
+      // carries container + structural validity (dimension fields are
+      // per-track in BMFF, so they stay null here; q251 reports them)
+      val p0 = when(col("doc_id") % 12 === 2, mp4_encode(
+        (col("doc_id") % 4).cast("long"),
+        when(col("doc_id") % 3 === 0, 600L)
+          .when(col("doc_id") % 3 === 1, 1000L)
+          .otherwise(90000L).cast("long"),
+        (col("doc_id") % 9000 + 600).cast("long"),
+        (col("doc_id") % 3).cast("long"),
+        (col("doc_id") % 2).cast("long")))
+        .when(col("doc_id") % 3 === 0,
         png_encode((col("n_chars") % 1023 + 1).cast("long"),
           (col("doc_id") % 767 + 1).cast("long"), lit(8L),
           when(col("doc_id") % 4 === 0, 6L).otherwise(2L).cast("long")))
@@ -1856,16 +1909,41 @@ private[graft] object CurationQueries {
     // (doc_id mod 11 = 5) keep their sniffed container but lose all
     // fields and validity — recomputed arithmetically, the parser
     // never consulted
+    // MP4 triage re-derived arithmetically from the plant parameters
+    // (the q127/q226 posture: an encode/walk bug cannot cancel out
+    // because the oracle never touches the bytes). Truncated docs
+    // (doc_id % 11 = 5) count rows but contribute NULL fields.
+    "q251_mp4_triage" ->
+      """WITH m AS (SELECT source,
+           CASE doc_id % 4 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+                WHEN 2 THEN 'avc1' ELSE 'qt' END AS brand,
+           (doc_id % 11 <> 5) AS ok,
+           CASE WHEN doc_id % 3 = 0 THEN 600
+                WHEN doc_id % 3 = 1 THEN 1000 ELSE 90000 END AS ts,
+           doc_id % 9000 + 600 AS dur,
+           doc_id % 3 AS nv, doc_id % 2 AS na
+          FROM documents)
+         SELECT source, brand, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(sum(CASE WHEN ok THEN dur * 1000 // ts END) AS BIGINT)
+             AS sum_dur_ms,
+           CAST(sum(CASE WHEN ok THEN nv END) AS BIGINT) AS n_video_tracks,
+           CAST(sum(CASE WHEN ok THEN na END) AS BIGINT) AS n_audio_tracks
+         FROM m GROUP BY source, brand ORDER BY source, brand""",
+
     "q226_media_triage" ->
       """WITH m AS (SELECT source,
-           CASE WHEN doc_id % 3 = 0 THEN 'png'
+           CASE WHEN doc_id % 12 = 2 THEN 'mp4'
+                WHEN doc_id % 3 = 0 THEN 'png'
                 WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'jpeg' END AS container,
            (doc_id % 11 <> 5) AS ok,
            CASE WHEN doc_id % 11 <> 5 AND doc_id % 3 = 0 THEN n_chars % 1023 + 1
-                WHEN doc_id % 11 <> 5 AND doc_id % 3 = 2 THEN n_chars % 511 + 1
+                WHEN doc_id % 11 <> 5 AND doc_id % 3 = 2 AND doc_id % 12 <> 2
+                  THEN n_chars % 511 + 1
              END AS width,
            CASE WHEN doc_id % 11 <> 5 AND doc_id % 3 = 0 THEN doc_id % 767 + 1
-                WHEN doc_id % 11 <> 5 AND doc_id % 3 = 2 THEN doc_id % 383 + 1
+                WHEN doc_id % 11 <> 5 AND doc_id % 3 = 2 AND doc_id % 12 <> 2
+                  THEN doc_id % 383 + 1
              END AS height,
            CASE WHEN doc_id % 11 <> 5 AND doc_id % 3 = 1 THEN
              CASE WHEN doc_id % 5 = 0 THEN 8000 WHEN doc_id % 5 = 1 THEN 16000

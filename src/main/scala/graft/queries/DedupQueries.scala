@@ -120,22 +120,57 @@ private[graft] object DedupQueries {
       // bit-identical), ties to the lower neg id.
       val docs = shingled(Tables(s, dir)).filter(size(col("sh")) > 0)
       val post = docs.select(col("doc_id"), explode(col("sh")).as("g"))
-      val cand = post.groupBy(col("g"))
+      val grouped = post.groupBy(col("g"))
         .agg(count(lit(1)).as("df"),
           slice(array_sort(collect_list(struct(col("doc_id")))), 1, 65)
             .as("m"))
+      // Exact-Jaccard verify in POSTINGS-COUNT form (VERDICT r14 #2:
+      // the first form .distinct()'d the pair explosion, then joined
+      // the FULL shingle array onto every pair twice and ran
+      // array_intersect/array_union per pair — 14.6 s at sf0.1, the
+      // suite's slowest query; this form is 4.4 s sf0.1 / 31 s sf1 vs
+      // 59 s). Same numbers, and the candidate dedup and the
+      // intersection count FUSE into one groupBy: a rare gram's
+      // posting list is COMPLETE (df <= 64), so exploding its pairs
+      // yields (da,db) exactly once per shared rare gram, and
+      // groupBy(da,db).count IS the shared-RARE-gram count (sh is
+      // DISTINCT per doc). The explosion is linear-bounded:
+      // sum C(df,2) <= 32 * |postings| under the df cap. Grams ABOVE
+      // the cap never create candidacy but DO count toward the
+      // oracle's full-array Jaccard: each doc carries its FREQUENT
+      // grams only (df > 64 — none at sf0.1 where max df = 25, avg 47
+      // of 52 shingles at the replication-densified sf1) as a compact
+      // array left-joined per pair and intersected — NOT a postings
+      // join keyed (db,g), which multiplies |pairs| by
+      // frequent-grams-per-doc (289M rows at sf1, measured 123 s).
+      // |A∪B| = |A|+|B|-|A∩B| from two slim size joins; j is the same
+      // exact-integer division the oracle computes
+      // (len(list_intersect)/len(list_distinct(concat))), so the hash
+      // contract is unchanged.
+      val pairsRare = grouped
         .filter(col("df") <= 64 && size(col("m")) > 1)
         .select(explode(col("m")).as("a"), col("m"))
         .select(col("a"), explode(filter(col("m"),
           b => b("doc_id") > col("a")("doc_id"))).as("b"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .distinct()
-      val verified = cand
-        .join(docs.select(col("doc_id").as("da"), col("sh").as("sh_a")), "da")
-        .join(docs.select(col("doc_id").as("db"), col("sh").as("sh_b")), "db")
-        .withColumn("j",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter_rare"))
+      val docFreq = post
+        .join(grouped.filter(col("df") > 64).select(col("g")), "g")
+        .groupBy(col("doc_id")).agg(collect_list(col("g")).as("fg"))
+      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+      val verified = pairsRare
+        .join(docFreq.select(col("doc_id").as("da"), col("fg").as("fa")),
+          Seq("da"), "left")
+        .join(docFreq.select(col("doc_id").as("db"), col("fg").as("fb")),
+          Seq("db"), "left")
+        .withColumn("inter", col("inter_rare") +
+          when(col("fa").isNotNull && col("fb").isNotNull,
+            size(array_intersect(col("fa"), col("fb"))).cast("long"))
+            .otherwise(0L))
+        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .withColumn("j", col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")))
         .filter(col("j") < 0.5)
         .select(col("da"), col("db"),
           floor(col("j") * 1000000).cast("long").as("j_micro"))
@@ -591,6 +626,32 @@ private[graft] object DedupQueries {
     },
 
 
+    "q252_exact_substring" -> { (s, dir) =>
+      // EXACT-substring dedup at the Lee et al. 2022 50-token
+      // threshold (the standard the Dolma/C4 pipelines cite; VERDICT
+      // r14 Next #8 — the one public dedup family member that was
+      // missing): every occurrence of a >= 50-token repeated substring
+      // EXCEPT the canonical first copy (global (doc_id, pos) order
+      // per window) is marked for removal, same-doc self-repeats
+      // included, and overlapping marked windows merge into exact
+      // SPANS with token extents — q94's 8-gram shared_frac flags that
+      // sharing exists; this reports precisely which tokens to cut and
+      // how many survive. Coverage argument: every token of a repeated
+      // span of length L >= 50 lies inside one of its L-49 aligned
+      // 50-token windows, each of which recurs verbatim at the other
+      // occurrence, so the marked-window union tiles the span exactly
+      // (the gaps-and-islands merge below reconstructs it: windows
+      // sorted by pos, break when the gap exceeds the window length).
+      // Windows key on md5 of the space-joined tokens (tokens carry no
+      // whitespace, so the join is injective; md5 is bit-identical in
+      // both engines and keeps the shuffle key 32 bytes instead of a
+      // ~300-byte token run). Plan shape: one window stream (~1 row
+      // per token position), ONE gram-keyed shuffle for the canonical
+      // rank, ONE doc-keyed window pass for the island merge — never a
+      // pair join, q94's scale posture with exact extents.
+      exactSubstringSpans(Tables(s, dir).documents, 50)
+    },
+
     "q94_span_dedup" -> { (s, dir) =>
       // Cross-document repeated-span detection (the scalable form of
       // exact-substring dedup, Lee et al. 2022): count, per doc, how
@@ -767,7 +828,7 @@ private[graft] object DedupQueries {
   /** q243's verified JPEG near-dup pairs — [[imageDhashPairs]] with
     * the payload swapped to a planted baseline JPEG (decoded via the
     * format-dispatching image_dhash); banding identical. Dims are
-    * block-aligned and wider (72-104 x 16-24) so the flat-block field
+    * block-aligned and wider (72-96 x 24-48) so the flat-block field
     * still populates all nine dHash grid columns. */
   private def jpegDhashPairs(s: SparkSession, dir: String): DataFrame = {
     val imgs = Tables(s, dir).documents
@@ -857,6 +918,47 @@ private[graft] object DedupQueries {
                    + bright) % 256 AS lum
                 FROM bx),
           $dhashBandCtes"""
+
+  /** q252's engine, window length parameterized for the planted specs:
+    * docs(doc_id, text) -> (doc_id, n_tokens, n_spans, removed_tokens,
+    * kept_tokens) for every doc with >= w tokens. See the q252 entry
+    * for the semantics and scale notes. */
+  private[graft] def exactSubstringSpans(docs: DataFrame, w: Int): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).as("n_tokens"), col("t"))
+      .filter(col("n_tokens") >= w)
+    val wins = base.select(col("doc_id"),
+      explode(expr(
+        s"""transform(sequence(1, n_tokens - ${w - 1}), i -> struct(i AS pos,
+           md5(cast(concat_ws(' ', slice(t, i, $w)) AS binary)) AS g))"""))
+        .as("win"))
+      .select(col("doc_id"), col("win.pos").as("pos"), col("win.g").as("g"))
+    val marked = wins
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("doc_id"), col("pos"))))
+      .filter(col("rk") > 1)
+      .select(col("doc_id"), col("pos"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = marked
+      .withColumn("lg", lag(col("pos"), 1).over(wDoc))
+      .withColumn("brk",
+        when(col("lg").isNull || col("pos") - col("lg") > w, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = islands.groupBy(col("doc_id"), col("island"))
+      .agg((max(col("pos")) - min(col("pos")) + lit(w.toLong)).as("span_tokens"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("removed_tokens"))
+    base.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        (col("n_tokens") - coalesce(col("removed_tokens"), lit(0L)))
+          .as("kept_tokens"))
+      .orderBy(col("doc_id"))
+  }
 
   def oracle: Map[String, String] = Map(
 
@@ -1081,6 +1183,45 @@ private[graft] object DedupQueries {
             CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
               / count(*) AS shared_frac
           FROM c GROUP BY doc_id ORDER BY doc_id""",
+
+    // Exact-substring dedup rebuilt from scratch: the same 50-token
+    // window stream (md5 of the space-joined run — identical digests
+    // in both engines), global-first canonical rank, and the
+    // gaps-and-islands span merge.
+    "q252_exact_substring" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS lst FROM documents),
+          b AS (SELECT doc_id, len(lst) AS n_tokens, lst FROM t
+                WHERE len(lst) >= 50),
+          w AS (SELECT doc_id, win.pos AS pos, win.g AS g
+            FROM (SELECT doc_id,
+                unnest(list_transform(range(1, n_tokens - 48), i ->
+                  struct_pack(pos := i,
+                    g := md5(array_to_string(
+                      lst[CAST(i AS INT):CAST(i + 49 AS INT)], ' ')))))
+                  AS win
+              FROM b)),
+          m AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
+              row_number() OVER (PARTITION BY g ORDER BY doc_id, pos)
+                AS rk FROM w) WHERE rk > 1),
+          isl AS (SELECT doc_id, pos,
+              sum(CASE WHEN lg IS NULL OR pos - lg > 50 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS island
+            FROM (SELECT doc_id, pos,
+                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lg
+              FROM m)),
+          sp AS (SELECT doc_id, island,
+                  max(pos) - min(pos) + 50 AS span_tokens
+                 FROM isl GROUP BY doc_id, island),
+          pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                  CAST(sum(span_tokens) AS BIGINT) AS removed_tokens
+                 FROM sp GROUP BY doc_id)
+          SELECT b.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+            coalesce(n_spans, 0) AS n_spans,
+            coalesce(removed_tokens, 0) AS removed_tokens,
+            CAST(n_tokens - coalesce(removed_tokens, 0) AS BIGINT)
+              AS kept_tokens
+          FROM b LEFT JOIN pd USING (doc_id) ORDER BY doc_id""",
 
     "q94_span_dedup" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS lst FROM documents),

@@ -110,6 +110,30 @@ private[graft] object TextQueries {
     },
 
 
+    "q250_kn_heldout" -> { (s, dir) =>
+      // HELD-OUT Kneser-Ney scoring (VERDICT r14 Next #4 — q247's
+      // missing half): the train split's KN bigram table scores the
+      // docs the model has NOT seen, which is the actual curation use
+      // (gate NEW data with an LM trained on the accepted corpus).
+      // Split = q83/q136's deterministic hash rule (md5 of
+      // "split:doc_id", bucket < 819 of 1024 trains, ~80/20). Unlike
+      // the in-domain q247, eval bigrams can now be UNSEEN, so the
+      // interpolated form degrades branch by branch exactly as the
+      // smoothing intends: seen pair -> full formula; unseen pair
+      // under a seen context -> the backoff mass lambda(a) * pcont(b);
+      // unseen context -> pure continuation pcont(b); continuation
+      // unseen too -> q136's +1 uniform floor 1/(tt+1). Per-branch
+      // counts are part of the gated output (the q136 discipline: the
+      // branches must be SHOWN to fire). Scale shape: ONE pair-type
+      // shuffle over the combined stream (train flags aggregated in
+      // the map-side combine), model marginals as conditional window
+      // sums on the vocab^2-bounded TYPE table (ca/na share the
+      // hash(a) exchange, nb rides hash(b), tt broadcasts as the
+      // 1-row bounds frame), and the eval stream joins back once on
+      // (a, b) — documents never shuffle, q136's posture.
+      knHeldoutScore(Tables(s, dir).documents)
+    },
+
     "q210_heaps_law" -> { (s, dir) =>
       // Heaps'-law fit of vocabulary growth — q198's Zipf companion
       // and the capacity-planning readout behind "how big does the
@@ -1003,6 +1027,69 @@ private[graft] object TextQueries {
     },
   )
 
+  /** q250's engine: KN-score `evalFlag` docs against the bigram table
+    * of `trainFlag` docs. The flags default to q83/q136's hash split
+    * (md5("split:doc_id") & 1023, < 819 trains); the parity spec runs
+    * trainFlag = evalFlag = true, under which every eval bigram is
+    * seen, the first branch always fires with the FULL-corpus counts,
+    * and avg_kn_bits/ppl reproduce q247 bit-for-bit — pinning that the
+    * held-out machinery and the in-domain query share one arithmetic.
+    * Model marginals are conditional window sums on the TYPE table
+    * (only cnt_tr > 0 types are IN the train model; eval-only types
+    * ride the same table with zero train count, which is what makes
+    * the single (a,b) join total — no left-join null handling). */
+  private[graft] def knHeldoutScore(docs: DataFrame,
+      trainFlag: Column = knSplitBucket < 819,
+      evalFlag: Column = knSplitBucket >= 819): DataFrame = {
+    val bgAll = docs
+      .select(col("doc_id"), trainFlag.as("tr"), evalFlag.as("ev"),
+        toks(col("text")).as("t"))
+      .select(col("doc_id"), col("tr"), col("ev"), explode(arrays_zip(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0)))))
+        .as("bgp"))
+      .select(col("doc_id"), col("tr"), col("ev"),
+        col("bgp.0").as("a"), col("bgp.1").as("b"))
+    val types = bgAll.groupBy(col("a"), col("b"))
+      .agg(sum(when(col("tr"), 1L).otherwise(0L)).as("cnt_tr"))
+    val total = types
+      .agg(sum(when(col("cnt_tr") > 0, 1L).otherwise(0L)).as("tt"))
+    val isTrainType = when(col("cnt_tr") > 0, 1L).otherwise(0L)
+    val model = types
+      .withColumn("ca", sum(col("cnt_tr")).over(Window.partitionBy(col("a"))))
+      .withColumn("na", sum(isTrainType).over(Window.partitionBy(col("a"))))
+      .withColumn("nb", sum(isTrainType).over(Window.partitionBy(col("b"))))
+      .crossJoin(broadcast(total))
+    val scored = bgAll.filter(col("ev")).join(model, Seq("a", "b"))
+      .withColumn("p",
+        when(col("cnt_tr") > 0,
+          (col("cnt_tr").cast("double") - lit(0.75)) / col("ca") +
+            lit(0.75) * col("na").cast("double") / col("ca") *
+              (col("nb").cast("double") / col("tt")))
+          .when(col("ca") > 0 && col("nb") > 0,
+            lit(0.75) * col("na").cast("double") / col("ca") *
+              (col("nb").cast("double") / col("tt")))
+          .when(col("nb") > 0, col("nb").cast("double") / col("tt"))
+          .otherwise(lit(1.0) / (col("tt") + lit(1L))))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt_tr") > 0, 1L).otherwise(0L)).as("n_seen"),
+        sum(when(col("cnt_tr") === 0 && col("ca") > 0 && col("nb") > 0, 1L)
+          .otherwise(0L)).as("n_backoff"),
+        sum(when(col("cnt_tr") === 0 && col("ca") === 0 && col("nb") > 0, 1L)
+          .otherwise(0L)).as("n_cont"),
+        sum(when(col("nb") === 0, 1L).otherwise(0L)).as("n_oov"),
+        round(avg(-log2(col("p"))), 6).as("avg_kn_bits"),
+        round(pow(lit(2).cast("double"), avg(-log2(col("p")))), 6).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q136's deterministic doc-level split bucket (md5 of
+    * "split:doc_id", 1024 buckets). */
+  private[graft] def knSplitBucket: Column =
+    md5_lower64(concat(lit("split:"),
+      col("doc_id").cast("string")).cast("binary")).bitwiseAND(lit(1023L))
+
   def oracle: Map[String, String] = Map(
     "q210_heaps_law" ->
       s"""WITH mx AS (SELECT max(doc_id) AS maxid FROM documents),
@@ -1499,6 +1586,56 @@ private[graft] object TextQueries {
                         (SELECT count(*) FROM c) AS tt FROM c)),
           s AS (SELECT doc_id, p FROM pr JOIN m USING (a, b))
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+            round(avg(-log2(p)), 6) AS avg_kn_bits,
+            round(power(CAST(2 AS DOUBLE), avg(-log2(p))), 6) AS ppl
+          FROM s GROUP BY doc_id ORDER BY doc_id""",
+
+    // Held-out KN rebuilt from scratch: the q136 split rule, one
+    // combined bigram-type table with conditional train counts, the
+    // same window marginals as q247's oracle, and the four-branch
+    // degradation spelled with the identical double expressions.
+    "q250_kn_heldout" ->
+      s"""WITH t AS (SELECT doc_id,
+              (md5_number_lower('split:' || CAST(doc_id AS VARCHAR)) & 1023) < 819 AS tr,
+              $tokSql AS lst FROM documents),
+          pr AS (SELECT doc_id, tr, pr.a AS a, pr.b AS b
+            FROM (SELECT doc_id, tr,
+                unnest(list_transform(range(1, len(lst)), i ->
+                  struct_pack(a := lst[CAST(i AS INT)],
+                    b := lst[CAST(i AS INT) + 1]))) AS pr
+              FROM t WHERE len(lst) >= 2)),
+          c AS (SELECT a, b,
+                 sum(CASE WHEN tr THEN 1 ELSE 0 END) AS cnt_tr
+                FROM pr GROUP BY 1, 2),
+          n AS (SELECT sum(CASE WHEN cnt_tr > 0 THEN 1 ELSE 0 END) AS tt
+                FROM c),
+          m AS (SELECT a, b, cnt_tr,
+              sum(cnt_tr) OVER (PARTITION BY a) AS ca,
+              sum(CASE WHEN cnt_tr > 0 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY a) AS na,
+              sum(CASE WHEN cnt_tr > 0 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY b) AS nb,
+              (SELECT tt FROM n) AS tt FROM c),
+          s AS (SELECT doc_id, cnt_tr, ca, na, nb, tt,
+              CASE WHEN cnt_tr > 0 THEN
+                     (CAST(cnt_tr AS DOUBLE) - 0.75) / ca
+                       + 0.75 * CAST(na AS DOUBLE) / ca
+                         * (CAST(nb AS DOUBLE) / tt)
+                   WHEN ca > 0 AND nb > 0 THEN
+                     0.75 * CAST(na AS DOUBLE) / ca
+                       * (CAST(nb AS DOUBLE) / tt)
+                   WHEN nb > 0 THEN CAST(nb AS DOUBLE) / tt
+                   ELSE CAST(1 AS DOUBLE) / (tt + 1) END AS p
+            FROM pr JOIN m USING (a, b) WHERE NOT tr)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+            CAST(sum(CASE WHEN cnt_tr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_seen,
+            CAST(sum(CASE WHEN cnt_tr = 0 AND ca > 0 AND nb > 0
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+            CAST(sum(CASE WHEN cnt_tr = 0 AND ca = 0 AND nb > 0
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_cont,
+            CAST(sum(CASE WHEN nb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_oov,
             round(avg(-log2(p)), 6) AS avg_kn_bits,
             round(power(CAST(2 AS DOUBLE), avg(-log2(p))), 6) AS ppl
           FROM s GROUP BY doc_id ORDER BY doc_id""",

@@ -281,6 +281,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming JPEG near-dup: format-dispatching dhash bands match batch q243") {
+    // q243's edge build on the ingest path (VERDICT r14 Next #6): the
+    // payload is the planted baseline JPEG and the signature column is
+    // the format-DISPATCHING image_dhash (magic-byte sniff -> JPEG
+    // Huffman+IDCT decode), so the only delta vs the PNG twin above is
+    // the decode the batch query already owns — banding, bucket cap
+    // and Hamming verify are the same signature-agnostic machinery
+    val docsSchema = spark.read.parquet(docsDir).schema
+    val stream = spark.readStream.schema(docsSchema).parquet(docsDir)
+      .select(col("doc_id"), expr("doc_id DIV 8").as("gid"))
+      .select(col("doc_id"), graft.functions.image_dhash(
+        graft.functions.jpeg_encode_gray_flat(
+          ((col("gid") % 4 + 9) * 8).cast("long"),
+          ((col("gid") % 4 + 3) * 8).cast("long"),
+          col("gid"), (col("doc_id") % 8) * 3)).as("sig"))
+    val banded = graft.streaming.DedupStreams.bandSigs(stream)
+      .as[graft.streaming.DedupStreams.BandedSig]
+    val q = graft.streaming.DedupStreams
+      .simhashNearDup(banded, maxPerBucket = 512, maxHamming = 12)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("jpeg_neardup").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT DISTINCT least(doc_id, matched_doc) AS a,
+                  greatest(doc_id, matched_doc) AS b FROM jpeg_neardup""")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.queries.Pipeline.queries("q243_jpeg_dhash_neardup")(spark, sf)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.nonEmpty && got == batch)
+    } finally q.stop()
+  }
+
   test("near-dup twins on the RocksDB store: parity intact, state bounded at sf1 scale") {
     // The dedup twins' keyed state is the 100 TB scale risk: the
     // default HDFS-backed store keeps every version on the executor

@@ -516,4 +516,95 @@ class MediaSpec extends AnyFunSuite {
     assert(graft.expressions.MediaKernel.jpegEncode(1L, 1L, 3L).length == 41)
     assert(graft.expressions.MediaKernel.jpegEncode(1L, 1L, 1L).length == 35)
   }
+
+  // ================= ISO-BMFF / MP4 =================
+
+  private def mp4info(p: Array[Byte]) = {
+    val session = spark
+    import session.implicits._
+    Seq(p).toDF("payload")
+      .select(graft.functions.mp4_info(col("payload")).as("m"))
+      .select("m.*").head()
+  }
+
+  /** Hand-written canonical BMFF bytes (NOT built by mp4Encode): a
+    * 20-byte ftyp with one compatible brand, then a size==0 moov
+    * (extends to EOF, spec §4.2) holding a VERSION 1 mvhd (64-bit
+    * times, 120 bytes) — three layout paths mp4Encode never emits. */
+  private val realMp4: Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(20 + 8 + 120)
+    def s(x: String): Unit = b.put(x.getBytes("ISO-8859-1"))
+    b.putInt(20); s("ftyp"); s("mp42"); b.putInt(0); s("mp42")
+    b.putInt(0); s("moov")                       // size 0 = to EOF
+    b.putInt(120); s("mvhd"); b.put(1.toByte); b.put(0.toByte)
+    b.putShort(0)                                 // version 1, flags 0
+    b.putLong(0L); b.putLong(0L)                  // creation/modification
+    b.putInt(90000)                               // timescale
+    b.putLong(5400000L)                           // duration (64-bit)
+    b.putInt(0x10000); b.putShort(0x100.toShort)  // rate, volume
+    b.put(new Array[Byte](10))                    // reserved
+    b.putInt(0x10000); b.putInt(0); b.putInt(0)   // matrix
+    b.putInt(0); b.putInt(0x10000); b.putInt(0)
+    b.putInt(0); b.putInt(0); b.putInt(0x40000000)
+    b.put(new Array[Byte](24)); b.putInt(1)       // pre_defined, next id
+    b.array()
+  }
+
+  test("parses hand-written BMFF: size-0 box, mvhd v1 64-bit times") {
+    val r = mp4info(realMp4)
+    assert(r.getString(0) == "mp42", "brand")
+    assert(r.getLong(1) == 90000L && r.getLong(2) == 5400000L, "mvhd v1")
+    assert(r.getLong(3) == 0L && r.getLong(4) == 0L && r.getLong(5) == 0L)
+    assert(r.getBoolean(6), "clean walk")
+  }
+
+  test("largesize (size==1 + 64-bit) box parses; malformed sizes do not") {
+    // wrap a free box with largesize 16 between ftyp and moov
+    val withLarge = {
+      val b = java.nio.ByteBuffer.allocate(realMp4.length + 16)
+      b.put(realMp4, 0, 20)
+      b.putInt(1); b.put("free".getBytes("ISO-8859-1")); b.putLong(16L)
+      b.put(realMp4, 20, realMp4.length - 20)
+      b.array()
+    }
+    assert(mp4info(withLarge).getBoolean(6), "largesize walks clean")
+    // size 4 (< its own 8-byte header) in ftyp's size field: malformed
+    val bad2 = realMp4.clone(); bad2(3) = 4.toByte
+    assert(!mp4info(bad2).getBoolean(6), "size < 8 rejected")
+    // a box claiming past EOF is malformed (brand still readable)
+    val over = realMp4.clone(); over(3) = 0x7f.toByte
+    val o = mp4info(over)
+    assert(!o.getBoolean(6) && o.getString(0) == "mp42",
+      "overrun rejected, brand from the sniffed header")
+    // truncation mid-moov: tiling check fails
+    val t = mp4info(java.util.Arrays.copyOf(realMp4, 40))
+    assert(!t.getBoolean(6) && t.isNullAt(1), "truncated walk -> nulls")
+    // junk and short payloads never throw
+    assert(mp4info("notanmp4atall!!".getBytes).getString(0) == null)
+    assert(!mp4info(Array[Byte](0, 0, 0, 8, 'f', 't', 'y', 'p')).getBoolean(6))
+  }
+
+  test("mp4Encode -> mp4Info round-trips brand table, tracks, times") {
+    for ((bi, brand) <- Seq(0L -> "isom", 1L -> "mp42", 2L -> "avc1", 3L -> "qt")) {
+      val r = mp4info(graft.expressions.MediaKernel.mp4Encode(bi, 600L, 1200L, 2L, 1L))
+      assert(r.getString(0) == brand, s"brand $bi")
+      assert(r.getLong(1) == 600L && r.getLong(2) == 1200L)
+      assert(r.getLong(3) == 3L && r.getLong(4) == 2L && r.getLong(5) == 1L)
+      assert(r.getBoolean(6))
+    }
+    // zero tracks is a valid (if empty) movie
+    val z = mp4info(graft.expressions.MediaKernel.mp4Encode(0L, 1000L, 0L, 0L, 0L))
+    assert(z.getBoolean(6) && z.getLong(3) == 0L)
+    // q251's corrupt arm: 16-byte prefix sniffs (brand) but fails the walk
+    val tr = mp4info(java.util.Arrays.copyOf(
+      graft.expressions.MediaKernel.mp4Encode(2L, 600L, 60L, 1L, 0L), 16))
+    assert(tr.getString(0) == "avc1" && !tr.getBoolean(6) && tr.isNullAt(3))
+    // mediaInfo's container report gains mp4 (q226's readout)
+    val m = info(graft.expressions.MediaKernel.mp4Encode(1L, 600L, 60L, 1L, 1L))
+    assert(m.getString(0) == "mp4" && m.getBoolean(8))
+    assert(m.isNullAt(1) && m.isNullAt(5), "per-track fields stay null")
+    val mt = info(java.util.Arrays.copyOf(
+      graft.expressions.MediaKernel.mp4Encode(1L, 600L, 60L, 1L, 1L), 16))
+    assert(mt.getString(0) == "mp4" && !mt.getBoolean(8))
+  }
 }

@@ -3810,6 +3810,123 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("exact substring: planted >=50-token repeats cut exactly; 8-gram-only sharing is not") {
+    val session = spark
+    import session.implicits._
+    // doc 0: the 100-token source. doc 1: a verbatim 62-token run from
+    // doc 0 framed by unique tokens — the exact repeat q94's 8-gram
+    // shared_frac can flag but cannot bound (the planted case VERDICT
+    // r14 #8 asks for). doc 2: shares many 8-grams with doc 0 (10-token
+    // chunks interleaved with unique separators) but never 50
+    // consecutive tokens — exactly the sub-threshold sharing the
+    // 50-token contract must NOT cut. doc 3: a same-doc self-repeat
+    // (60-token run twice) — the second occurrence is removed.
+    val src = (0 until 100).map(i => s"s$i")
+    val run62 = src.slice(10, 72)
+    val d1 = (0 until 20).map(i => s"a$i") ++ run62 ++ (0 until 20).map(i => s"b$i")
+    val d2 = (0 until 5).flatMap(k =>
+      src.slice(k * 10, k * 10 + 10) :+ s"x$k") ++ (0 until 10).map(i => s"c$i")
+    val run60 = (0 until 60).map(i => s"r$i")
+    val d3 = run60 ++ Seq("u1", "u2") ++ run60
+    val docs = Seq(
+      0L -> src.mkString(" "), 1L -> d1.mkString(" "),
+      2L -> d2.mkString(" "), 3L -> d3.mkString(" "))
+      .toDF("doc_id", "text")
+    val got = graft.queries.DedupQueries.exactSubstringSpans(docs, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toList
+    assert(got == List(
+      // doc 0 holds every canonical copy: nothing removed
+      (0L, 100L, 0L, 0L, 100L),
+      // doc 1: windows 21..33 mark, one island, span = 33-21+50 = 62
+      (1L, 102L, 1L, 62L, 40L),
+      // doc 2: no 50-token window recurs (separators break every run)
+      (2L, 65L, 0L, 0L, 65L),
+      // doc 3: second occurrence of the 60-run (windows 63..73) cut
+      (3L, 122L, 1L, 60L, 62L)))
+    // threshold sensitivity: at w=10 doc 2's shared chunks DO mark
+    // (each 10-token chunk recurs verbatim in doc 0)
+    val w10 = graft.queries.DedupQueries.exactSubstringSpans(docs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(w10(2L) > 0L, "sub-threshold sharing is a threshold choice, not a blind spot")
+  }
+
+  test("kn heldout: brute four-branch scores; in-domain flags reproduce q247") {
+    val got = Pipeline.queries("q250_kn_heldout")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+    val docToks = Tables(spark, sf).documents
+      .select(col("doc_id"), graft.functions.tokens(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    def isTrain(d: Long): Boolean =
+      (graft.expressions.SketchKernel.md5Lower64(
+        s"split:$d".getBytes("UTF-8")) & 1023L) < 819L
+    val bigrams = docToks.flatMap { case (d, ts) =>
+      ts.zip(ts.drop(1)).map(p => (d, p)) }
+    val cntTr = bigrams.filter(b => isTrain(b._1)).groupBy(_._2)
+      .view.mapValues(_.size.toLong).toMap.withDefaultValue(0L)
+    val trainTypes = cntTr.keys.toSeq
+    val caM = trainTypes.groupBy(_._1).view.mapValues(_.map(cntTr).sum)
+      .toMap.withDefaultValue(0L)
+    val naM = trainTypes.groupBy(_._1).view.mapValues(_.size.toLong)
+      .toMap.withDefaultValue(0L)
+    val nbM = trainTypes.groupBy(_._2).view.mapValues(_.size.toLong)
+      .toMap.withDefaultValue(0L)
+    val tt = trainTypes.size.toDouble
+    // branch id 1..4 mirroring the query's CASE order
+    def branch(ab: (String, String)): Int =
+      if (cntTr(ab) > 0) 1
+      else if (caM(ab._1) > 0 && nbM(ab._2) > 0) 2
+      else if (nbM(ab._2) > 0) 3
+      else 4
+    def p(ab: (String, String)): Double = branch(ab) match {
+      case 1 => (cntTr(ab) - 0.75) / caM(ab._1) +
+        0.75 * naM(ab._1) / caM(ab._1) * (nbM(ab._2) / tt)
+      case 2 => 0.75 * naM(ab._1) / caM(ab._1) * (nbM(ab._2) / tt)
+      case 3 => nbM(ab._2) / tt
+      case _ => 1.0 / (tt + 1.0)
+    }
+    val want = bigrams.filter(b => !isTrain(b._1)).groupBy(_._1).toSeq
+      .sortBy(_._1).map { case (d, bs) =>
+        val brs = bs.map(b => branch(b._2))
+        val bits = bs.map(b => -math.log(p(b._2)) / math.log(2.0))
+        (d, bs.size.toLong, brs.count(_ == 1).toLong,
+          brs.count(_ == 2).toLong, brs.count(_ == 3).toLong,
+          brs.count(_ == 4).toLong, bits.sum / bits.size)
+      }
+    assert(got.length == want.length &&
+      got.map(_._1).sameElements(want.map(_._1)), "eval doc set")
+    got.zip(want).foreach {
+      case ((d, n, s1, s2, s3, s4, bits, ppl),
+            (wd, wn, w1, w2, w3, w4, wbits)) =>
+        assert(d == wd && n == wn, s"doc $d bigram count")
+        assert((s1, s2, s3, s4) == ((w1, w2, w3, w4)), s"doc $d branches")
+        assert(math.abs(bits - wbits) < 2e-6, s"doc $d bits $bits vs $wbits")
+        assert(math.abs(ppl - math.pow(2.0, wbits)) <
+          math.abs(ppl) * 1e-5 + 2e-6, s"doc $d ppl")
+    }
+    // the held-out point of the query: the non-seen branches genuinely
+    // fire on the eval split (q136's discipline)
+    assert(got.map(_._2).sum > 0, "some eval bigram is train-seen")
+    assert(got.map(t => t._3 + t._4 + t._5).sum > 0,
+      "some eval bigram is NOT train-seen (else the split is vacuous)")
+    // in-domain parity pin: trainFlag = evalFlag = true degenerates to
+    // q247 — every bigram seen, full-corpus counts, identical bits/ppl
+    val all = graft.queries.TextQueries.knHeldoutScore(
+      Tables(spark, sf).documents, lit(true), lit(true)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+    val q247 = Pipeline.queries("q247_kn_perplexity")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(all.length == q247.length)
+    all.zip(q247).foreach { case ((d, n, s1, s2, s3, s4, bits, ppl),
+        (qd, qn, qbits, qppl)) =>
+      assert(d == qd && n == qn && s1 == n && s2 == 0 && s3 == 0 && s4 == 0,
+        s"doc $d in-domain branch counts")
+      assert(bits == qbits && ppl == qppl, s"doc $d in-domain score parity")
+    }
+  }
+
   test("ipw ate: brute Hajek weights; point estimate equals q214's fold") {
     val r = Pipeline.queries("q245_ipw_ate")(spark, sf).collect().head
     val (nsu, nt, nc) = (r.getLong(0), r.getLong(1), r.getLong(2))

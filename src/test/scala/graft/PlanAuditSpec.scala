@@ -94,6 +94,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // q247 scores against q230's type table and inherits the same
     // broadcast 1-row type-total cross
     "q247_kn_perplexity",
+    // q250 holds out the eval split against the train-split type
+    // table — the same broadcast 1-row type-total cross as q247
+    "q250_kn_heldout",
     // q231 crosses the |days|-bounded daily table against its own
     // broadcast under d1 < d2 (q184's bounded pair posture) plus the
     // 1-row readout folds — SF-invariant, never corpus rows
@@ -503,10 +506,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // q245: q214's plan — ONE user shuffle + Quantile's bounded-cell
     // ranking passes + the 5-row stratum agg and 1-row readout fold
     "q245_ipw_ate" -> 9,
-    // q248: the shingle-TYPE inverted-index agg + the anchor-side
-    // MinKAgg rollup; AQE broadcasts the bounded candidate set through
-    // the verify joins (q82's posture) and the TakeOrdered-style sort
-    // folds onto the MinK exchange — never all-pairs
+    // q251: map-only kernel parse + the bounded (source x brand) agg;
+    // the presentation sort folds onto its exchange — q226's shape
+    "q251_mp4_triage" -> 2,
+    // q248: the shingle-TYPE inverted-index agg feeds the fused
+    // pair-count groupBy (bounded: sum C(df,2) <= 32*postings under
+    // the df cap) and the anchor-side MinKAgg rollup; the per-doc
+    // frequent-gram arrays and slim size joins broadcast (q82's
+    // posture) and the TakeOrdered-style sort folds onto the MinK
+    // exchange — never all-pairs
     "q248_hard_negatives" -> 2,
     // q249: the (label, dim) centroid agg + the centroid-array
     // rollup + the per-vector a/b agg + the |labels|-cell readout +
@@ -686,6 +694,11 @@ class PlanAuditSpec extends AnyFunSuite {
       ("q230's exact model-statistics windows (same TYPE-table input, " +
         "same 'b' name collision); the corpus-scale token stream only " +
         "ever meets the scored types in an equi-join"),
+    "q250_kn_heldout" ->
+      ("q247's model windows on the COMBINED train+eval bigram TYPE " +
+        "table (conditional train counts) — vocabulary-bounded, same " +
+        "'b' name collision; the eval token stream meets the types in " +
+        "an equi-join only"),
     "q162_skyline" ->
       ("the global window runs on salt-bucket-local skyline survivors " +
         "— frontier-sized by the operator's contract (OperatorLawSpec " +
