@@ -43,14 +43,20 @@ object Components {
 
   /** small-star: orient each edge toward its larger endpoint, then
     * connect that node and all its (smaller) neighbors to the
-    * neighborhood minimum. */
+    * neighborhood minimum. The two outputs per windowed row ((u, m)
+    * and (v, m)) emit through ONE explode instead of a union of two
+    * projections of the window — the union form re-ran the window
+    * (sort + min) twice per round, once per branch, because only the
+    * Exchange below it is reused across plan branches. */
   private[graft] def smallStar(e: DataFrame): DataFrame = {
     val ori = e.select(greatest(col("u"), col("v")).as("u"),
       least(col("u"), col("v")).as("v"))
     val withM = ori.withColumn("m",
       min(col("v")).over(Window.partitionBy(col("u"))))
-    withM.select(col("u"), col("m").as("v"))
-      .union(withM.select(col("v").as("u"), col("m").as("v")))
+    withM.select(explode(array(
+        struct(col("u"), col("m").as("v")),
+        struct(col("v").as("u"), col("m").as("v")))).as("x"))
+      .select(col("x.u").as("u"), col("x.v").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
   }
@@ -59,16 +65,27 @@ object Components {
     * duplicates tolerated) to its star forest: one (node, root) edge
     * per non-root node, root = the component's minimum node id. */
   private[graft] def stars(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
-    var cur = smallStar(largeStar(
-      edges.filter(col("u") =!= col("v")))).localCheckpoint(true)
+    // Materialize the caller's edge build ONCE before the first round:
+    // largeStar consumes its input twice (the symmetrization union),
+    // so an uncheckpointed edge set re-ran the whole upstream pipeline
+    // (LSH banding + exact verify for q143/q154, the per-image decode
+    // + band join for q229) twice — guide §1.2: remove recomputed
+    // passes before anything else. The rounds themselves were already
+    // checkpointed.
+    val e0 = edges.filter(col("u") =!= col("v")).localCheckpoint(true)
+    var cur = smallStar(largeStar(e0)).localCheckpoint(true)
     var converged = false
     var round = 1
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
-      // both sides are distinct sets of (hi, lo) pairs, so equal
-      // counts + empty one-sided difference proves set equality
-      converged = next.count() == cur.count() &&
-        next.except(cur).isEmpty
+      // both sides are distinct sets of (hi, lo) pairs, so per-key
+      // +1/-1 weights summing to zero everywhere proves set equality —
+      // ONE shuffle job instead of the previous count() + except()
+      // pair (two jobs, except shuffling both sides)
+      converged = next.select(col("u"), col("v"), lit(1L).as("__w"))
+        .union(cur.select(col("u"), col("v"), lit(-1L).as("__w")))
+        .groupBy(col("u"), col("v")).agg(sum(col("__w")).as("__w"))
+        .filter(col("__w") =!= 0L).isEmpty
       cur = next
       round += 1
     }

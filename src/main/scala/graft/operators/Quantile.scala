@@ -128,10 +128,23 @@ object Quantile {
     rankedWeighted(df, group, value, id, None, "rn", "n", null, cells,
       keepBuckets = true)
 
-  private def rankedWeighted(df: DataFrame, group: Seq[String],
+  private def rankedWeighted(df0: DataFrame, group: Seq[String],
       value: String, id: String, weight: Option[String], rankCol: String,
       nCol: String, prefixCol: String, cells: Int,
       keepBuckets: Boolean = false): DataFrame = {
+    // Materialize the input ONCE (eager localCheckpoint): the four
+    // bounded aggs + the rank pass below are five full consumptions of
+    // `df`, and nothing in Spark reuses a bare map-only subtree across
+    // separate passes (ReuseExchange only dedups Exchange nodes, and a
+    // caller's scan -> kernel projection has none) — so a caller whose
+    // input is itself expensive per row (q185's dsir scoring, q88/q101's
+    // tokenize, q191's k-means distances) paid that work 5x. Callers
+    // pass slim (group, value, id[, weight]) projections, so the
+    // checkpointed footprint is a few longs per row — the 100 TB form
+    // of this operator would persist the same slim projection before
+    // ranking it (guide §1.2/§5: cut recomputed passes before tuning
+    // anything else).
+    val df = df0.localCheckpoint(true)
     require(cells >= 2, s"cells must be >= 2, got $cells")
     val outCols = Seq(rankCol, nCol) ++ Option(prefixCol)
     require(outCols.distinct.size == outCols.size,

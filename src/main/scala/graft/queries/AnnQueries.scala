@@ -71,6 +71,7 @@ private[graft] object AnnQueries {
       var labeled = emb.filter(col("vec_id") % 5 === 0)
         .select(col("vec_id"), col("true_label").as("lab"),
           lit(0L).as("round_assigned"))
+        .localCheckpoint(true)
       for (t <- 1 to 3) {
         val votes = adj
           .join(labeled.select(col("vec_id").as("v"), col("lab")), Seq("v"))
@@ -82,7 +83,12 @@ private[graft] object AnnQueries {
           .filter(col("rk") === 1)
           .select(col("u").as("vec_id"), col("lab"),
             lit(t.toLong).as("round_assigned"))
-        labeled = labeled.union(newly)
+        // checkpoint per round (q218's iterative-loop discipline, which
+        // this loop previously applied only to the edge set): `labeled`
+        // feeds round t+1 twice (vote join + anti-join) AND the final
+        // readout, so the uncheckpointed union chain re-executed round
+        // 1's vote/window work ~4x by round 3 (r15 opt)
+        labeled = labeled.union(newly).localCheckpoint(true)
       }
       emb.join(labeled, Seq("vec_id"), "left")
         .select(col("vec_id"),
@@ -614,8 +620,10 @@ private[graft] object AnnQueries {
       // one-row-per-cluster cutoff table broadcasts back for the tail
       // filter.
       val asg = queries("q114_kmeans_cluster")(s, dir)
+      // ranked output materialized ONCE (r15 opt): the p95-cutoff
+      // branch and the tail filter both consume it
       val ranked = graft.operators.Quantile.ranked(
-        asg, Seq("cluster"), "dist", "vec_id")
+        asg, Seq("cluster"), "dist", "vec_id").localCheckpoint(true)
       val cuts = ranked
         .filter(col("rn") === expr("(19 * n + 19) DIV 20"))
         .groupBy(col("cluster")).agg(max(col("dist")).as("p95"))

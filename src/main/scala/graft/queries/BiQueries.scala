@@ -704,8 +704,12 @@ private[graft] object BiQueries {
       val base = Tables(s, dir).events
         .select(col("event_type"), col("event_id"),
           floor(col("value") * 100).cast("long").as("c"))
+      // ranked output materialized ONCE (r15 opt): the cutoff branch
+      // and the clamp rollup are two independent consumers, so the
+      // uncheckpointed rank pass (bucket joins + local window) ran
+      // twice
       val ranked = graft.operators.Quantile.ranked(
-        base, Seq("event_type"), "c", "event_id")
+        base, Seq("event_type"), "c", "event_id").localCheckpoint(true)
       val cuts = ranked
         .filter(col("rn") === expr("(n + 19) DIV 20") ||
           col("rn") === expr("(19 * n + 19) DIV 20"))

@@ -204,7 +204,11 @@ private[graft] object DedupQueries {
       // naive wedge join generates no wedges at all. The edge build is
       // checkpointed once; the wedge join and the closing-edge join
       // are plain equi-joins over it.
+      // edge build materialized ONCE: und/ord each consume `pairs`
+      // twice (union + the two join probes), and the LSH band join +
+      // exact verify re-ran per consumption without this (r15 opt)
       val pairs = minhashDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true)
       val und = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
         .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
       val deg = und.groupBy(col("s")).agg(count(lit(1)).as("deg"))
@@ -248,7 +252,10 @@ private[graft] object DedupQueries {
       // computed once and swept against a broadcast 4-row threshold
       // table — bounded explode, three cell-level aggs, no extra
       // corpus pass.
-      val pairs = minhashDupPairs(s, dir)
+      // "computed once" made literal (r15 opt): base and docs are two
+      // independent consumers of the swept pairs, so the uncheckpointed
+      // edge build (band join + exact verify) ran twice
+      val pairs = minhashDupPairs(s, dir).localCheckpoint(true)
       val thr = s.range(0, 4).select(
         expr("element_at(array(0.90D, 0.92D, 0.95D, 0.98D), " +
           "CAST(id + 1 AS INT))").as("threshold"))

@@ -402,13 +402,26 @@ private[graft] object SketchQueries {
         struct(lit("l_partkey").as("c"),
           col("l_partkey").cast("string").as("v")))).as("cv"))
         .select(col("cv.c").as("c"), col("cv.v").as("v"))
-      val base = stacked.groupBy(col("c")).agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+      // ONE value-type rollup feeds everything (r15 opt): the previous
+      // form scanned `stacked` twice (base agg + HLL branch) and the
+      // countDistinct inside the base agg forced an Expand that doubled
+      // the agg input. Collapsing to distinct (col, value) WITH
+      // multiplicity first makes every base stat derivable from the
+      // type table (n_rows = sum(cnt), n_null = cnt where v null,
+      // min/max unchanged on the distinct set, distinct_exact = the
+      // non-null type count) and the HLL registers identical by
+      // construction (registers only see distinct values). One explode
+      // scan + one (c, v) shuffle with map-side partials instead of
+      // two scans + Expand.
+      val dv = stacked.groupBy(col("c"), col("v"))
+        .agg(count(lit(1)).as("__cnt"))
+      val base = dv.groupBy(col("c")).agg(
+        sum(col("__cnt")).as("n_rows"),
+        sum(when(col("v").isNull, col("__cnt")).otherwise(0L)).as("n_null"),
         min(col("v")).as("min_v"), max(col("v")).as("max_v"),
-        countDistinct(col("v")).as("distinct_exact"))
-      // HLL registers per column over the same stacked stream
-      val h = stacked.filter(col("v").isNotNull).select(col("c"),
+        count(col("v")).as("distinct_exact"))
+      // HLL registers per column over the distinct value types
+      val h = dv.filter(col("v").isNotNull).select(col("c"),
         md5_lower64(concat(lit("prof:"), col("v")).cast("binary")).as("h"))
         .select(col("c"), col("h").bitwiseAND(lit(255L)).as("idx"),
           shiftrightunsigned(col("h"), 8).bitwiseAND(lit(281474976710655L)).as("w"))
