@@ -954,10 +954,18 @@ private[graft] object TextQueries {
           slice(col("t"), lit(3), greatest(size(col("t")) - 2, lit(0))))).as("g"))
         .select(col("doc_id"), col("tr"), col("g.0").as("a"),
           col("g.1").as("b"), col("g.2").as("c"))
-        .withColumn("c_c", trainSum.over(Window.partitionBy(col("c"))))
-        .withColumn("c_bc", trainSum.over(Window.partitionBy(col("b"), col("c"))))
+        // one explicit hash(c) exchange + the windows applied FINEST
+        // FIRST with c-prefixed key lists: the (c,b,a) sort is a
+        // prefix-superset of (c,b) and (c), so the three share ONE
+        // sort (the previous coarse-first stack re-sorted the full
+        // trigram stream per window: [c], [b,c], [a,b,c] — three
+        // sorts); partition SETS are unchanged, so every count is
+        // identical (r15 opt). Only (a,b) still re-exchanges.
+        .repartition(col("c"))
         .withColumn("c_abc",
-          trainSum.over(Window.partitionBy(col("a"), col("b"), col("c"))))
+          trainSum.over(Window.partitionBy(col("c"), col("b"), col("a"))))
+        .withColumn("c_bc", trainSum.over(Window.partitionBy(col("c"), col("b"))))
+        .withColumn("c_c", trainSum.over(Window.partitionBy(col("c"))))
         .withColumn("c_ab", trainSum.over(Window.partitionBy(col("a"), col("b"))))
         .filter(!col("tr"))
         .withColumn("p",
