@@ -30,7 +30,18 @@ object Components {
   /** large-star: for every node u, connect each STRICTLY LARGER
     * neighbor to m = min(neighbors ∪ {u}). Emitted edges are (hi, lo)
     * by construction (v > u >= m). */
-  private[graft] def largeStar(e: DataFrame): DataFrame = {
+  private[graft] def largeStar(e: DataFrame): DataFrame =
+    largeStarRaw(e).distinct()
+
+  /** largeStar WITHOUT the trailing dedup: emits one (hi, lo) row per
+    * input edge with v > u (at most |e| rows, possibly with
+    * duplicates). The alternating rounds feed this straight into
+    * smallStar, which is duplicate-tolerant (its window takes a min
+    * and it ends in its own distinct) — skipping the intermediate
+    * exchange saves one full shuffle of the edge set per round at
+    * ZERO extra rows (the raw emission is never larger than the
+    * deduped one was before its distinct). */
+  private def largeStarRaw(e: DataFrame): DataFrame = {
     val sym = e.select(col("u"), col("v"))
       .union(e.select(col("v").as("u"), col("u").as("v")))
     val m = least(min(col("v")).over(Window.partitionBy(col("u"))), col("u"))
@@ -38,7 +49,6 @@ object Components {
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
   }
 
   /** small-star: orient each edge toward its larger endpoint, then
@@ -73,11 +83,11 @@ object Components {
     // passes before anything else. The rounds themselves were already
     // checkpointed.
     val e0 = edges.filter(col("u") =!= col("v")).localCheckpoint(true)
-    var cur = smallStar(largeStar(e0)).localCheckpoint(true)
+    var cur = smallStar(largeStarRaw(e0)).localCheckpoint(true)
     var converged = false
     var round = 1
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = smallStar(largeStarRaw(cur)).localCheckpoint(true)
       // both sides are distinct sets of (hi, lo) pairs, so per-key
       // +1/-1 weights summing to zero everywhere proves set equality —
       // ONE shuffle job instead of the previous count() + except()

@@ -118,7 +118,12 @@ private[graft] object DedupQueries {
       // over the integer surrogate j_micro = floor(j * 1e6) (both
       // engines: correctly-rounded double div + mul, then floor —
       // bit-identical), ties to the lower neg id.
+      // shingle sets materialized ONCE (r15 opt): post feeds both the
+      // rare-gram grouping and the frequent-gram carry, and sizes is a
+      // third consumer — uncheckpointed, each re-ran the tokenize +
+      // shingle kernel over the corpus
       val docs = shingled(Tables(s, dir)).filter(size(col("sh")) > 0)
+        .localCheckpoint(true)
       val post = docs.select(col("doc_id"), explode(col("sh")).as("g"))
       val grouped = post.groupBy(col("g"))
         .agg(count(lit(1)).as("df"),
@@ -306,7 +311,12 @@ private[graft] object DedupQueries {
       // floor((a+b-1)/b) on small integers — a correctly-rounded double
       // quotient of ints < 2^49 floors exactly, so no rounding can make
       // a lossless filter lossy.
+      // shingle sets materialized ONCE (r15 opt): the prefix index and
+      // the two verify probes each re-ran the tokenize + shingle
+      // kernel over the corpus (the verify joins broadcast the
+      // candidate side, so both probe sides are full corpus scans)
       val docs = shingled(Tables(s, dir)).filter(size(col("sh")) > 0)
+        .localCheckpoint(true)
       // Global token order: (xxhash64(token), token) — computed PER
       // ROW, no df pass, no shuffle, no broadcast. Correctness does
       // not depend on the choice of order (any consistent total order
@@ -387,7 +397,11 @@ private[graft] object DedupQueries {
       // shingles (a 1-shingle doc is "contained" everywhere — noise);
       // that also bounds containers losslessly, since a <5-shingle doc
       // cannot hold the needed intersection.
-      val docs = shingled(Tables(s, dir))
+      // materialized ONCE at the call site (NOT inside containmentPairs,
+      // which the streaming twin shares and a stream side cannot
+      // checkpoint): prefix postings, the container index and the two
+      // verify probes otherwise each re-ran tokenize + shingle (r15 opt)
+      val docs = shingled(Tables(s, dir)).localCheckpoint(true)
       containmentPairs(docs, docs)
         .orderBy(col("contained_doc"), col("container_doc"))
     },

@@ -42,9 +42,13 @@ private[graft] object SketchQueries {
       // tokenizer vocabulary).
       val k = 128
       val docs = Tables(s, dir).documents
+      // distinct (source, gram) types materialized ONCE (r15 opt):
+      // three consumers (sketches, per-source vocab, exact-unique
+      // audit) re-ran the distinct's final aggregation per use
       val d = docs.select(col("source"),
           explode(shingles(toks(col("text")), 3)).as("tok"))
         .distinct()
+        .localCheckpoint(true)
       val h = md5_lower64(concat(lit("kmv:"), col("tok")).cast("binary"))
         .bitwiseAND(lit(281474976710655L))
       val sk = d.select(col("source"), h.as("h"))
