@@ -505,16 +505,22 @@ private[graft] object AnnQueries {
           .orderBy(col("vec_id")).collect()
           .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
         for (_ <- 0 until 2) {
+          // 64 elementwise sums per cluster instead of the previous
+          // posexplode into (cl, pos) cells: no 64x row multiplication
+          // ahead of the shuffle, and the agg map-side-combines to
+          // k rows of 65 longs per task (r15 opt; identical exact
+          // integer sums, so the centroid trajectory is unchanged)
+          val aggs = (0 until 64).map(i =>
+            sum(element_at(col("qv"), i + 1)).as(s"s$i")) :+
+            count(lit(1)).as("n")
           val sums = q.withColumn("b", best(cs))
-            .select(col("b.cl").as("cl"), posexplode(col("qv")).as(Seq("pos", "v")))
-            .groupBy(col("cl"), col("pos"))
-            .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+            .groupBy(col("b.cl").as("cl"))
+            .agg(aggs.head, aggs.tail: _*)
             .collect()
-          cs = sums.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (cl, rows) =>
-            (cl, rows.map(r => (r.getInt(1),
-              math.floor(r.getLong(2).toDouble / r.getLong(3) + 0.5).toLong))
-              .sortBy(_._1).map(_._2).toArray)
-          }
+          cs = sums.map { r =>
+            (r.getLong(0), Array.tabulate(64)(i =>
+              math.floor(r.getLong(i + 1).toDouble / r.getLong(65) + 0.5).toLong))
+          }.sortBy(_._1).toSeq
         }
         cs
       }

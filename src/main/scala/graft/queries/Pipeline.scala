@@ -792,22 +792,29 @@ object Pipeline {
             seeds.map { case (id, v) => (id, v.slice(st * 8, st * 8 + 8)) }.toSeq)
         }
         for (_ <- 0 until 2) {
+          // one row per (vector, subspace) with its 8-long slice and 8
+          // elementwise sums per (s, cl) cell, instead of the previous
+          // 64x posexplode into (s, cl, pos) cells — same exact integer
+          // sums, an 8x smaller pre-shuffle row count, and the agg
+          // map-side-combines to 8*16 rows of 9 longs (r15 opt)
+          val aggs = (0 until 8).map(i =>
+            sum(element_at(col("sub"), i + 1)).as(s"s$i")) :+
+            count(lit(1)).as("n")
           val sums = qdf.withColumn("codes", codesCol(cs))
-            .select(col("codes"), posexplode(col("qv")).as(Seq("pos", "v")))
-            .withColumn("s", (col("pos") - pmod(col("pos"), lit(8))) / 8)
-            .select(col("s").cast("int").as("s"),
-              element_at(col("codes"), col("s").cast("int") + 1).as("cl"),
-              col("pos"), col("v"))
-            .groupBy(col("s"), col("cl"), col("pos"))
-            .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+            .select(explode(array((0 until 8).map(st => struct(
+              lit(st).as("s"),
+              element_at(col("codes"), st + 1).as("cl"),
+              slice(col("qv"), st * 8 + 1, 8).as("sub"))): _*)).as("x"))
+            .select(col("x.s").as("s"), col("x.cl").as("cl"),
+              col("x.sub").as("sub"))
+            .groupBy(col("s"), col("cl"))
+            .agg(aggs.head, aggs.tail: _*)
             .collect()
           cs = IndexedSeq.tabulate(8) { st =>
-            sums.filter(_.getInt(0) == st).groupBy(_.getLong(1)).toSeq
-              .sortBy(_._1).map { case (cl, rows) =>
-                (cl, rows.map(r => (r.getInt(2),
-                  math.floor(r.getLong(3).toDouble / r.getLong(4) + 0.5).toLong))
-                  .sortBy(_._1).map(_._2).toArray)
-              }
+            sums.filter(_.getInt(0) == st).map { r =>
+              (r.getLong(1), Array.tabulate(8)(i =>
+                math.floor(r.getLong(i + 2).toDouble / r.getLong(10) + 0.5).toLong))
+            }.sortBy(_._1).toSeq
           }
         }
         cs
