@@ -205,10 +205,42 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: session init + parquet footers + codegen + kernel classes
+    // warm-up: session init + parquet footers + codegen + kernel classes.
+    // Broadened in r15: the adaptive pass scheme reports the FIRST timed
+    // pass for every over-cut query, so engine paths that JIT lazily
+    // (hash agg + exchange, sort + window, joins, the hot per-row
+    // kernels) used to land their one-time init inside whichever heavy
+    // queries ran them first — q01's first pass measured 2.9x its warm
+    // median from shared init alone. Each warm-up shape is a bounded
+    // limit() slice (~1-2 s total): this absorbs initialization only,
+    // never precomputes any query's data path or result.
     val t = Tables(spark, sfDir)
     force(t.lineitem.limit(100).select(col("l_orderkey")))
     force(spark.range(100).select(graft.functions.json_normalize(lit("{\"a\":1}")).as("x")))
+    locally {
+      import graft.functions._
+      import org.apache.spark.sql.expressions.Window
+      val we = t.events.limit(20000)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      force(we.groupBy(col("event_type"))
+        .agg(sum(col("value")), count(lit(1))))
+      force(we.withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("event_id"))))
+        .filter(col("rn") <= 3))
+      val wk = we.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      force(we.join(wk, "user_id").limit(1000))
+      force(we.orderBy(col("value")).limit(100))
+      force(t.documents.limit(2000).select(
+        md5_lower64(col("text").cast("binary")).as("h"),
+        size(tokens(col("text"))).as("nt"),
+        size(shingles(tokens(col("text")), 3)).as("ns"),
+        simhash64(tokens(col("text"))).as("sh")))
+      force(t.documents.limit(500)
+        .select(minhash_sig(shingles(tokens(col("text")), 3)).as("sig")))
+      force(t.embeddings.limit(2000).select(
+        dot_product(transform(col("embedding"), _.cast("double")),
+          transform(col("embedding"), _.cast("double"))).as("d")))
+    }
 
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime()

@@ -349,9 +349,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // q172: the ONE basket dedup shuffle feeds the in-basket pair
     // join; marginals/total ride broadcasts; + the tiny-table sort
     "q172_basket_rules" -> 3,
-    // q173: the stacked stream's base agg + the (col,idx) register agg
-    // + the cols-row estimate rollup — one corpus read for N columns
-    "q173_profile" -> 3,
+    // q173 (r15 form): the (col, value)-type rollup + the per-col base
+    // agg + the (col,idx) register agg + the cols-row estimate rollup.
+    // One MORE exchange than the pre-r15 form, but the corpus is read
+    // once instead of twice and the countDistinct Expand (which doubled
+    // the base agg's input) is gone — every exchange past the first is
+    // over the bounded type/register tables, and the query measured
+    // 5.7 -> 1.6 s at sf0.1 with the extra exchange.
+    "q173_profile" -> 4,
     // q174: the (user,day) dedup + user first-seen rollup + the
     // (day,idx) register agg — the cumsum/prefix-max windows run on
     // days-bounded cell tables
