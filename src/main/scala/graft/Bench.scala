@@ -240,6 +240,13 @@ object Bench {
       force(t.embeddings.limit(2000).select(
         dot_product(transform(col("embedding"), _.cast("double")),
           transform(col("embedding"), _.cast("double"))).as("d")))
+      // CEL tiers + string kernel: parser/eval/lowering classes and
+      // their JIT (q22's first pass measured 4.6x its warm median)
+      force(t.events.limit(2000).select(graft.cel.Cel(
+        """{"u": state.encode_json().to_upper(), "h": string(state.k).sha256().hex()}""",
+        col("props"), nowMicros = NOW).cast("string").as("x")))
+      force(t.events.limit(2000).select(graft.cel.Cel.auto(
+        "state.encode_json()", col("props"), NOW).cast("string").as("x")))
     }
 
     def time(body: => Unit): Double = {

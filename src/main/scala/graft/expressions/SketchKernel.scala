@@ -183,6 +183,45 @@ object SketchKernel {
     spread(x) | (spread(y) << 1)
   }
 
+  /** PQ subspace argmin codes (q114/q118's strict argmin as ONE kernel
+    * loop instead of nSub x nClusters struct-least expressions per
+    * row — the per-row hot path of PQ training assignment, encoding
+    * and the ADC search build). `cents` is one inner array per
+    * subspace, each a flat [cl, d_0..d_{subDim-1}]* table in ASCENDING
+    * cl order. Distance = exact integer sum of squared diffs over the
+    * subspace slice; ties keep the LOWEST cl — bit-identical to the
+    * previous least(struct(dist, cl)...) expression form (spec-pinned
+    * in PipelineSpec). */
+  def pqCodes(qv: ArrayData, cents: ArrayData, subDim: Int): ArrayData = {
+    val nSub = cents.numElements()
+    val out = new Array[Long](nSub)
+    var st = 0
+    while (st < nSub) {
+      val tab = cents.getArray(st)
+      val stride = subDim + 1
+      val m = tab.numElements() / stride
+      var best = Long.MaxValue
+      var bestCl = Long.MaxValue
+      var j = 0
+      while (j < m) {
+        val base = j * stride
+        val cl = tab.getLong(base)
+        var d = 0L
+        var i = 0
+        while (i < subDim) {
+          val diff = qv.getLong(st * subDim + i) - tab.getLong(base + 1 + i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < best || (d == best && cl < bestCl)) { best = d; bestCl = cl }
+        j += 1
+      }
+      out(st) = bestCl
+      st += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def dotProduct(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0d

@@ -644,6 +644,15 @@ object functions {
       graft.expressions.GramianAgg(
         org.apache.spark.sql.graft.Shim.expression(vec), d).toAggregateExpression())
 
+  /** PQ subspace argmin codes over a flattened centroid literal (one
+    * inner array per subspace, each [cl, dims...]* in ascending cl
+    * order) — bit-identical to the least(struct(dist, cl)) expression
+    * form it replaces in q114/q118's hot path. */
+  def pq_codes(qv: Column, cents: Column, subDim: Int): Column =
+    call(K, ArrayType(LongType), "pqCodes",
+      Seq(ArrayType(LongType), ArrayType(ArrayType(LongType)), IntegerType),
+      qv, cents, F.lit(subDim))
+
   /** Left-to-right double dot product (kernel loop; bit-identical to
     * aggregate(zip_with(a,b,*), 0d, +) and the DuckDB oracle form). */
   def dot_product(a: Column, b: Column): Column =

@@ -774,15 +774,14 @@ object Pipeline {
           transform(col("embedding"),
             x => floor(x.cast("double") * 10000d + 0.5).cast("long")).as("qv"))
         .withColumn("ss", dot_product(col("emb"), col("emb")))
-      // strict argmin codes for one subspace against a centroid set
+      // strict argmin codes against the centroid tables — ONE kernel
+      // loop per row (SketchKernel.pqCodes) instead of 8 subspaces x
+      // 16 struct-least zip_with aggregates, the per-row hot path of
+      // training assignment, encoding AND the ADC build (r15 opt;
+      // bit-identical argmin + lowest-cl tie, spec-pinned)
       def codesCol(cents: IndexedSeq[Seq[(Long, Array[Long])]]): Column =
-        array((0 until 8).map { st =>
-          val sub = slice(col("qv"), st * 8 + 1, 8)
-          least(cents(st).map { case (cl, v) =>
-            struct(aggregate(zip_with(sub, lit(v), (a, b) => sqL(a - b)),
-              lit(0L), (acc, x) => acc + x).as("d"), lit(cl).as("c"))
-          }: _*).getField("c")
-        }: _*)
+        pq_codes(col("qv"), typedlit(cents.map(sub =>
+          sub.sortBy(_._1).flatMap { case (cl, v) => cl +: v.toSeq })), 8)
       val cents = memo(pqCodebook, dir) {
         var cs: IndexedSeq[Seq[(Long, Array[Long])]] = {
           val seeds = qdf.filter(col("vec_id") < 16).orderBy(col("vec_id"))

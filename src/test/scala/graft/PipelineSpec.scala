@@ -946,6 +946,38 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.2, s"pq recall collapsed: $recall")
   }
 
+  test("pq_codes kernel == the struct-least expression form (argmin + lowest-cl tie)") {
+    // the r15 kernel replaced 8 subspaces x |cl| struct-least zip_with
+    // aggregates per row; this pins bit-identical argmin INCLUDING the
+    // tie rule (equal distance -> lowest cl) on a planted tie: two
+    // centroids equidistant from a probe vector
+    val cents: IndexedSeq[Seq[(Long, Array[Long])]] = IndexedSeq.tabulate(8) { st =>
+      Seq(3L -> Array.fill(8)(st + 2L), 7L -> Array.fill(8)(st.toLong),
+        11L -> Array.fill(8)(st + 4L))
+        .sortBy(_._1)
+    }
+    // probe at st+1 per dim: distance 1*8 to cl=3 (st+2) and cl=7 (st)
+    // in every subspace -> tie, lowest cl (3) must win; second probe
+    // sits exactly on cl=11
+    val df = spark.range(2).selectExpr(
+      "CASE WHEN id = 0 THEN transform(sequence(1, 64), i -> CAST((i - 1) DIV 8 + 1 AS BIGINT)) " +
+        "ELSE transform(sequence(1, 64), i -> CAST((i - 1) DIV 8 + 4 AS BIGINT)) END AS qv")
+    val flat = typedlit(cents.map(sub => sub.flatMap { case (cl, v) => cl +: v.toSeq }))
+    val kernel = df.select(graft.functions.pq_codes(col("qv"), flat, 8).as("c"))
+      .collect().map(_.getSeq[Long](0))
+    def sqL(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = x * x
+    val exprForm = df.select(array((0 until 8).map { st =>
+      val sub = slice(col("qv"), st * 8 + 1, 8)
+      least(cents(st).map { case (cl, v) =>
+        struct(aggregate(zip_with(sub, lit(v), (a, b) => sqL(a - b)),
+          lit(0L), (acc, x) => acc + x).as("d"), lit(cl).as("c"))
+      }: _*).getField("c")
+    }: _*).as("c")).collect().map(_.getSeq[Long](0))
+    assert(kernel.toSeq.map(_.toSeq) == exprForm.toSeq.map(_.toSeq))
+    assert(kernel(0).forall(_ == 3L), "tie must keep the lowest cl")
+    assert(kernel(1).forall(_ == 11L), "exact hit must pick its centroid")
+  }
+
   test("corpus diff: statuses partition the id space by construction") {
     val rows = Pipeline.queries("q119_corpus_diff")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
