@@ -602,19 +602,9 @@ private[graft] object SketchQueries {
         .distinct()
         .localCheckpoint(true)
       val sizes = sets.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      // per-gram source list (bounded by |sources|) -> ordered pair
-      // explode, instead of the previous sets-to-sets self-join on g:
-      // one gram-keyed shuffle with map-side partials, no second full
-      // shuffle + SMJ sort of the (source, gram) table (r15 opt; same
-      // exact counts — sets are distinct, so each (a, b, g) triple
-      // appears exactly once either way)
-      val inter = sets.groupBy(col("g"))
-        .agg(sort_array(collect_list(col("source"))).as("ss"))
-        .select(explode(expr(
-          """flatten(transform(ss, (a, i) ->
-               transform(slice(ss, i + 2, size(ss)),
-                 b -> struct(a AS source_a, b AS source_b))))""")).as("p"))
-        .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+      val inter = sets.as("x").join(sets.as("y"),
+          col("x.g") === col("y.g") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
         .agg(count(lit(1)).as("inter"))
       matches
         .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
