@@ -334,13 +334,25 @@ object Bench {
     // behavior for dev A/Bs).
     val heavyCut = sys.env.getOrElse("SPARK_GRAFT_HEAVY_CUT", "1.0").toDouble
     val samples = collection.mutable.Map.empty[String, List[Double]]
-    for ((name, run) <- runnables)
+    // Checkpoints.releaseAll() after every timed sample (r16): a
+    // query's eager checkpoints are dead once its noop write returns,
+    // but the blocks used to pin storage for the JVM's lifetime —
+    // across 252 queries the accumulated dead blocks caused eviction/
+    // GC churn that anti-scaled the r15 driver's local[32] run 2.1x
+    // over its own local[8] run. Releasing is lifecycle only (outside
+    // the timer, nothing is reused): every sample still computes and
+    // checkpoints from scratch inside time().
+    for ((name, run) <- runnables) {
       samples(name) = time(run()) :: samples.getOrElse(name, Nil)
+      Checkpoints.releaseAll()
+    }
     val light = runnables.filter { case (name, _) =>
       val t0 = samples(name).head; t0 >= 0 && t0 < heavyCut
     }
-    for (_ <- 1 to 2; (name, run) <- light)
+    for (_ <- 1 to 2; (name, run) <- light) {
       samples(name) = time(run()) :: samples.getOrElse(name, Nil)
+      Checkpoints.releaseAll()
+    }
     def median3(ts: List[Double]): Double =
       if (ts.exists(_ < 0)) -1 else ts.sorted.apply(ts.length / 2)
 

@@ -24,7 +24,11 @@ object Verify {
         Files.writeString(Paths.get(s"$outDir/$name.err"),
           s"${e.getClass.getName}: ${e.getMessage}\n")
         Some(name)
-      }
+      } finally
+        // a query's eager checkpoints are dead once its write returns;
+        // without this the blocks pinned storage for the JVM lifetime
+        // (r16 checkpoint lifecycle — see graft.Checkpoints)
+        Checkpoints.releaseAll()
     }
 
   def main(args: Array[String]): Unit = {

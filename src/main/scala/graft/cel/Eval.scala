@@ -233,6 +233,18 @@ object Eval {
     * this), but skips building a JsonNode tree, deep-copy-sorting it,
     * and re-walking it — the per-row render cost of BOTH CEL tiers. */
   def renderV(value: V): String = {
+    // One-entry per-thread IDENTITY memo (the render-side sibling of
+    // VOps.fromJsonText's parse memo, r16): a program that references
+    // `state.encode_json()` k times renders the SAME immutable V
+    // object k times per row — wide_chain does it 5x — because
+    // Catalyst cannot CSE ObjectType StaticInvokes and the interpreter
+    // re-walks each AST occurrence. V values are immutable and the
+    // render is deterministic, so an `eq` hit returns the cached
+    // string; the memo never survives the row (the next different V
+    // overwrites it) and both tiers share it by construction.
+    val slot = lastRender.get()
+    if (slot(0).asInstanceOf[AnyRef] eq value)
+      return slot(1).asInstanceOf[String]
     val w = new java.io.StringWriter(64)
     val g = jsonF.createGenerator(w)
     def write(x: V): Unit = x match {
@@ -265,7 +277,14 @@ object Eval {
     }
     write(value)
     g.close()
-    w.toString
+    val s = w.toString
+    slot(0) = value
+    slot(1) = s
+    s
+  }
+
+  private val lastRender = new ThreadLocal[Array[Object]] {
+    override def initialValue(): Array[Object] = new Array[Object](2)
   }
 
   private def trimDur(us: Long): String = {

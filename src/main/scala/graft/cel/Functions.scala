@@ -251,7 +251,12 @@ private[cel] object Functions {
     case "zip" => method2("zip", vs(0), Vector(vs(1)))
     case "keys" => method2("keys", vs.head, Vector.empty)
     case "values" => method2("values", vs.head, Vector.empty)
-    case "encode_json" => VString(JsonAlgebra.render(vj(vs.head)))
+    // r16: the direct streaming serializer (render-identical to
+    // JsonAlgebra.render(toJson(v)) — goldens + oracle pin it; see
+    // Eval.renderV) replaces the build-tree-then-render path: one
+    // encode_json used to cost a full JsonNode tree build + deep
+    // key-sort + re-walk per call per row
+    case "encode_json" => VString(Eval.renderV(vs.head))
     case "decode_json" =>
       bytesOf(vs.head).fold(identity, b => jv(JsonAlgebra.parse(new String(b, StandardCharsets.UTF_8))))
     case "hmac" => vs match {
@@ -479,7 +484,9 @@ private[cel] object Functions {
     }
 
     // ---- json ----
-    case "encode_json" => VString(JsonAlgebra.render(vj(t)))
+    // r16: streaming serializer, not tree-build + sort + walk (same
+    // bytes — see the global-form note at Functions.call2)
+    case "encode_json" => VString(Eval.renderV(t))
     case "decode_json" =>
       bytesOf(t).fold(identity, b => jv(JsonAlgebra.parse(new String(b, StandardCharsets.UTF_8))))
     case "decode_json_stream" =>

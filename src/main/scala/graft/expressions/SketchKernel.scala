@@ -200,6 +200,14 @@ object SketchKernel {
       val tab = cents.getArray(st)
       val stride = subDim + 1
       val m = tab.numElements() / stride
+      // fail loudly on malformed centroid tables (ADVICE r15): an
+      // empty subspace table or a length that is not a multiple of
+      // (subDim + 1) used to silently emit Long.MaxValue codes /
+      // silently truncate — the struct-least expression form this
+      // kernel replaced failed at plan build instead
+      require(m > 0 && tab.numElements() % stride == 0,
+        s"pqCodes: subspace $st centroid table has ${tab.numElements()} " +
+          s"elements, not a positive multiple of subDim+1=$stride")
       var best = Long.MaxValue
       var bestCl = Long.MaxValue
       var j = 0

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -22,8 +23,13 @@ import org.apache.spark.sql.functions._
   * Scale shape per phase: one hash exchange for the per-node window
   * min + one for the distinct — the data in flight is (node, node)
   * pairs, never payload rows. The driver loop is iteration CONTROL
-  * only (same posture as q86/q114); localCheckpoint truncates lineage
-  * so the plan stays flat across rounds.
+  * only (same posture as q86/q114); each round's edge set is
+  * checkpointed (lineage truncated so the plan stays flat across
+  * rounds) and round n-1's blocks are released as soon as round n is
+  * materialized — see [[graft.Checkpoints]] for the lifecycle and the
+  * local-vs-reliable checkpoint reliability posture
+  * (SPARK_GRAFT_RELIABLE_CHECKPOINT switches to reliable checkpoints
+  * for cluster deployments that need mid-job fault tolerance).
   */
 object Components {
 
@@ -82,12 +88,22 @@ object Components {
     // + band join for q229) twice — guide §1.2: remove recomputed
     // passes before anything else. The rounds themselves were already
     // checkpointed.
-    val e0 = edges.filter(col("u") =!= col("v")).localCheckpoint(true)
-    var cur = smallStar(largeStarRaw(e0)).localCheckpoint(true)
+    val e0 = Checkpoints.cp(edges.filter(col("u") =!= col("v")))
+    var cur = Checkpoints.cp(smallStar(largeStarRaw(e0)))
+    // e0's only consumer (round 1) is materialized — free its blocks
+    Checkpoints.release(e0)
     var converged = false
     var round = 1
+    // r16 tried-and-REVERTED: running contraction rounds in PAIRS per
+    // convergence check (VERDICT r15 #6). Same-window A/B on the
+    // q86/q143/q154/q229 family (focused median-of-3, sf0.1,
+    // local[32]): paired 11.38 s vs per-round 10.64 s — the
+    // one-overshoot contraction round (materialized via checkpoint)
+    // costs more than the +1/-1 convergence job it saves at these
+    // round counts (fixtures converge in 2-3 rounds, so pairing buys
+    // at most one skipped check and always pays one extra round's cp).
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStarRaw(cur)).localCheckpoint(true)
+      val next = Checkpoints.cp(smallStar(largeStarRaw(cur)))
       // both sides are distinct sets of (hi, lo) pairs, so per-key
       // +1/-1 weights summing to zero everywhere proves set equality —
       // ONE shuffle job instead of the previous count() + except()
@@ -96,6 +112,10 @@ object Components {
         .union(cur.select(col("u"), col("v"), lit(-1L).as("__w")))
         .groupBy(col("u"), col("v")).agg(sum(col("__w")).as("__w"))
         .filter(col("__w") =!= 0L).isEmpty
+      // round n is materialized and the convergence check consumed
+      // round n-1: its blocks are dead (r16: blocks used to pin for
+      // the JVM's lifetime, accumulating across the suite)
+      Checkpoints.release(cur)
       cur = next
       round += 1
     }

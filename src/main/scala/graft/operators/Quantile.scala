@@ -128,33 +128,136 @@ object Quantile {
     rankedWeighted(df, group, value, id, None, "rn", "n", null, cells,
       keepBuckets = true)
 
-  private def rankedWeighted(df0: DataFrame, group: Seq[String],
-      value: String, id: String, weight: Option[String], rankCol: String,
-      nCol: String, prefixCol: String, cells: Int,
-      keepBuckets: Boolean = false): DataFrame = {
-    // Materialize the input ONCE (eager localCheckpoint): the four
-    // bounded aggs + the rank pass below are five full consumptions of
-    // `df`, and nothing in Spark reuses a bare map-only subtree across
-    // separate passes (ReuseExchange only dedups Exchange nodes, and a
-    // caller's scan -> kernel projection has none) — so a caller whose
-    // input is itself expensive per row (q185's dsir scoring, q88/q101's
-    // tokenize, q191's k-means distances) paid that work 5x. Callers
-    // pass slim (group, value, id[, weight]) projections, so the
-    // checkpointed footprint is a few longs per row — the 100 TB form
-    // of this operator would persist the same slim projection before
-    // ranking it (guide §1.2/§5: cut recomputed passes before tuning
-    // anything else).
-    val df = df0.localCheckpoint(true)
+  /** Per-group exact order-statistic VALUES at nearest-rank targets,
+    * WITHOUT materializing a rank for every row: the same bounded
+    * bucketing passes as `ranked` (0-3), but the final local sort
+    * touches ONLY the buckets that contain a target rank (at most
+    * |targets| buckets per group, each ~n/cells^2 rows) instead of
+    * ranking the whole input — the full-input window sort is the
+    * dominant cost of `ranked` for callers that only need cutoffs
+    * (q142's percentiles, q192's winsor bounds). `targets` maps an
+    * output column name to a SQL expression over the group row count
+    * (written in terms of `nCol`, e.g. "(n + 19) DIV 20" = nearest-rank
+    * p05); a target outside [1, n] yields NULL. Output: one row per
+    * group with `nCol` and one LONG value column per target.
+    *
+    * If the caller also consumes the input elsewhere (q192's clamp
+    * rollup), pass an ALREADY-materialized df (graft.Checkpoints.cp):
+    * an input whose plan is a bare checkpoint is used as-is instead of
+    * being checkpointed a second time. */
+  def cutoffs(df0: DataFrame, group: Seq[String], value: String, id: String,
+      targets: Seq[(String, String)], nCol: String = "n",
+      cells: Int = 256, withIds: Boolean = false): DataFrame = {
     require(cells >= 2, s"cells must be >= 2, got $cells")
-    val outCols = Seq(rankCol, nCol) ++ Option(prefixCol)
+    require(targets.nonEmpty, "cutoffs needs at least one target")
+    val outCols = targets.map(_._1) ++
+      (if (withIds) targets.map(_._1 + "_id") else Nil) :+ nCol
     require(outCols.distinct.size == outCols.size,
       s"output columns must be distinct, got $outCols")
-    outCols.foreach(c => require(!df.columns.contains(c),
+    outCols.foreach(c => require(!df0.columns.contains(c),
       s"output column '$c' collides with an input column; rename one " +
-        s"(input: ${df.columns.mkString(", ")})"))
-    df.columns.filter(_.startsWith("__q_")).foreach(c =>
+        s"(input: ${df0.columns.mkString(", ")})"))
+    df0.columns.filter(_.startsWith("__q_")).foreach(c =>
       require(false, s"input column '$c' collides with Quantile's " +
         "reserved __q_* helper prefix"))
+    val df = df0.queryExecution.analyzed match {
+      // caller already materialized the slim projection — don't pay a
+      // second copy of the blocks
+      case _: org.apache.spark.sql.execution.LogicalRDD => df0
+      case _ => graft.Checkpoints.cp(df0)
+    }
+    val gcols = group.map(col)
+    val v = s"CAST($value AS BIGINT)"
+    val i = s"CAST($id AS BIGINT)"
+    val d3 = bucketize(df, group, value, id, cells)
+    val bucketCols = Seq(col("__q_c1"), col("__q_c2"), col("__q_c3"))
+    // pass 3: bounded per-bucket counts + exclusive prefix offsets
+    // (identical to `ranked`'s — the bucket table is ~2*cells^2 rows
+    // per group)
+    val wOff = Window.partitionBy(gcols: _*)
+      .orderBy(bucketCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off0 = d3.groupBy((gcols ++ bucketCols): _*)
+      .agg(count(lit(1)).as("__q_cnt"))
+      .withColumn("__q_off", coalesce(sum(col("__q_cnt")).over(wOff), lit(0L)))
+      .withColumn(nCol, sum(col("__q_cnt")).over(Window.partitionBy(gcols: _*)))
+    // the <= |targets| buckets per group that CONTAIN a target rank
+    val tstruct = array(targets.map { case (name, rexpr) =>
+      struct(lit(name).as("__q_tname"), expr(rexpr).cast("long").as("__q_trank"))
+    }: _*)
+    val hot = off0.withColumn("__q_t", explode(tstruct))
+      .select((gcols ++ bucketCols ++ Seq(col("__q_t.__q_tname").as("__q_tname"),
+        col("__q_t.__q_trank").as("__q_trank"), col("__q_off"), col("__q_cnt"),
+        col(nCol))): _*)
+      .filter(col("__q_off") < col("__q_trank") &&
+        col("__q_trank") <= col("__q_off") + col("__q_cnt"))
+      .drop("__q_cnt")
+    // local sort INSIDE the hot buckets only; offset + local rank is
+    // the exact global rank (same argument as `ranked`)
+    val wLoc = Window
+      .partitionBy((gcols ++ bucketCols) :+ col("__q_tname"): _*)
+      .orderBy(expr(v), expr(i))
+    val picked = d3.join(broadcast(hot),
+        group ++ Seq("__q_c1", "__q_c2", "__q_c3"))
+      .withColumn("__q_r", row_number().over(wLoc).cast("long") + col("__q_off"))
+      .filter(col("__q_r") === col("__q_trank"))
+    val aggs = (max(col(nCol)).as(nCol) +: targets.map { case (name, _) =>
+      max(when(col("__q_tname") === name, expr(v))).as(name) }) ++
+      (if (withIds) targets.map { case (name, _) =>
+        max(when(col("__q_tname") === name, expr(i))).as(name + "_id") }
+       else Nil)
+    (if (group.isEmpty) picked.groupBy() else picked.groupBy(gcols: _*))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-row exact ANSI `ntile(k)` bucket WITHOUT ranking every row
+    * (r16): the k-1 decile-boundary (value, id) pairs come from
+    * [[cutoffs]] at the cumulative ANSI bucket-edge ranks
+    * (cum_d = d*(n DIV k) + LEAST(d, n % k)), broadcast back onto the
+    * input, and each row's bucket is 1 + #(boundaries strictly below
+    * the row's (value, id)). Because the rank order IS (value, id)
+    * lexicographic, `rank > cum_d  <=>  (value, id) > boundary_d`, so
+    * the bucket equals `ntileOf(rank, n, k)` of [[ranked]] EXACTLY —
+    * with one extra precondition: `id` must be UNIQUE within its group
+    * (duplicate (value, id) rows would tie across a boundary; every
+    * caller keys by user_id/doc_id after a rollup). Replaces the
+    * full-input window sort with a bounded boundary pick + a map-only
+    * broadcast compare. Output: all input columns + `bucketCol`
+    * (LONG in 1..k). */
+  def ntiled(df0: DataFrame, group: Seq[String], value: String, id: String,
+      k: Int, bucketCol: String, cells: Int = 256): DataFrame = {
+    require(k >= 1, s"ntile k must be >= 1, got $k")
+    require(!df0.columns.contains(bucketCol),
+      s"output column '$bucketCol' collides with an input column")
+    val df = df0.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df0
+      case _ => graft.Checkpoints.cp(df0)
+    }
+    if (k == 1) return df.withColumn(bucketCol, lit(1L))
+    val targets = (1 until k).map(d =>
+      s"__q_b$d" -> s"$d * (__q_nt DIV $k) + LEAST($d, __q_nt % $k)")
+    val bounds = cutoffs(df, group, value, id, targets, nCol = "__q_nt",
+      cells = cells, withIds = true)
+    val joined = if (group.isEmpty) df.crossJoin(broadcast(bounds))
+                 else df.join(broadcast(bounds), group)
+    val v = s"CAST($value AS BIGINT)"
+    val i = s"CAST($id AS BIGINT)"
+    val bucket = (1 until k).map(d =>
+      s"(CASE WHEN $v > __q_b$d OR ($v = __q_b$d AND $i > __q_b${d}_id) " +
+        "THEN 1 ELSE 0 END)").mkString("CAST(1 AS BIGINT) + ", " + ", "")
+    joined.withColumn(bucketCol, expr(bucket))
+      .drop("__q_nt" +: targets.flatMap { case (n2, _) =>
+        Seq(n2, n2 + "_id") }: _*)
+  }
+
+  /** Passes 0-2 of the bucketing construction (shared by
+    * [[rankedWeighted]] and [[cutoffs]]): the input with
+    * `__q_c1`/`__q_c2`/`__q_c3` bucket ids plus the pass-0 bounds
+    * (`__q_mn`/`__q_mx`/`__q_n0`) attached. Expressions are exactly
+    * the pre-r16 `rankedWeighted` ones — the bucket assignment (and
+    * therefore every rank) is unchanged. */
+  private def bucketize(df: DataFrame, group: Seq[String], value: String,
+      id: String, cells: Int): DataFrame = {
     val C = cells.toLong
     val gcols = group.map(col)
     val v = s"CAST($value AS BIGINT)"
@@ -198,12 +301,50 @@ object Quantile {
       .agg(expr(s"min($v)").as("__q_vlo2"), expr(s"max($v)").as("__q_vhi2"),
         expr(s"min($i)").as("__q_ilo2"), expr(s"max($i)").as("__q_ihi2"),
         count(lit(1)).as("__q_cnt2"))
-    val d3 = d2.join(broadcast(st2), group ++ Seq("__q_c1", "__q_c2"))
+    d2.join(broadcast(st2), group ++ Seq("__q_c1", "__q_c2"))
       .withColumn("__q_c3", expr(s"""CASE WHEN __q_vlo2 = __q_vhi2
           AND __q_cnt2 * $C > __q_n0
         THEN ($i - __q_ilo2) DIV ((__q_ihi2 - __q_ilo2 + $C) DIV $C)
         ELSE 0 END"""))
       .drop("__q_vlo2", "__q_vhi2", "__q_ilo2", "__q_ihi2", "__q_cnt2")
+  }
+
+  private def rankedWeighted(df0: DataFrame, group: Seq[String],
+      value: String, id: String, weight: Option[String], rankCol: String,
+      nCol: String, prefixCol: String, cells: Int,
+      keepBuckets: Boolean = false): DataFrame = {
+    require(cells >= 2, s"cells must be >= 2, got $cells")
+    val outCols = Seq(rankCol, nCol) ++ Option(prefixCol)
+    require(outCols.distinct.size == outCols.size,
+      s"output columns must be distinct, got $outCols")
+    outCols.foreach(c => require(!df0.columns.contains(c),
+      s"output column '$c' collides with an input column; rename one " +
+        s"(input: ${df0.columns.mkString(", ")})"))
+    df0.columns.filter(_.startsWith("__q_")).foreach(c =>
+      require(false, s"input column '$c' collides with Quantile's " +
+        "reserved __q_* helper prefix"))
+    // Materialize the input ONCE (eager checkpoint, AFTER the
+    // validation above so an invalid call fails before paying a full
+    // materialization — ADVICE r15): the four bounded aggs + the rank
+    // pass below are five full consumptions of `df`, and nothing in
+    // Spark reuses a bare map-only subtree across separate passes
+    // (ReuseExchange only dedups Exchange nodes, and a caller's
+    // scan -> kernel projection has none) — so a caller whose input is
+    // itself expensive per row (q185's dsir scoring, q88/q101's
+    // tokenize, q191's k-means distances) paid that work 5x. Callers
+    // pass slim (group, value, id[, weight]) projections, so the
+    // checkpointed footprint is a few longs per row — the 100 TB form
+    // of this operator would persist the same slim projection before
+    // ranking it (guide §1.2/§5: cut recomputed passes before tuning
+    // anything else). Blocks are released by the harness after the
+    // query's action (graft.Checkpoints, which also carries the
+    // local-vs-reliable checkpoint posture and its env knob).
+    val df = graft.Checkpoints.cp(df0)
+    val gcols = group.map(col)
+    val v = s"CAST($value AS BIGINT)"
+    val i = s"CAST($id AS BIGINT)"
+    // passes 0-2 (shared with cutoffs): bucket ids attached
+    val d3 = bucketize(df, group, value, id, cells)
 
     // pass 3: exact exclusive prefix offsets over the bounded
     // (~2*cells^2 per group) bucket table + the group total; with a

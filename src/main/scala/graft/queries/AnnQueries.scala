@@ -1,6 +1,8 @@
 package graft.queries
 
 import graft.Tables
+import graft.Checkpoints
+import graft.Checkpoints.Ops
 import graft.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -46,7 +48,7 @@ private[graft] object AnnQueries {
     // edges per vertex, so the checkpoint is tiny
     knn.select(least(col("vec_id"), col("nb")).as("u"),
       greatest(col("vec_id"), col("nb")).as("v")).distinct()
-      .localCheckpoint(true)
+      .cp
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -70,13 +72,16 @@ private[graft] object AnnQueries {
       // triples only.
       val edges = knnEdges(s, dir)
       val adj = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-        .localCheckpoint()
+        .cp
+      // adj is q237's only consumer of the knnEdges checkpoint — once
+      // adj is materialized the edge blocks are dead (r16 lifecycle)
+      Checkpoints.release(edges)
       val emb = Tables(s, dir).embeddings
         .select(col("vec_id"), col("label").as("true_label"))
       var labeled = emb.filter(col("vec_id") % 5 === 0)
         .select(col("vec_id"), col("true_label").as("lab"),
           lit(0L).as("round_assigned"))
-        .localCheckpoint(true)
+        .cp
       for (t <- 1 to 3) {
         val votes = adj
           .join(labeled.select(col("vec_id").as("v"), col("lab")), Seq("v"))
@@ -93,7 +98,11 @@ private[graft] object AnnQueries {
         // feeds round t+1 twice (vote join + anti-join) AND the final
         // readout, so the uncheckpointed union chain re-executed round
         // 1's vote/window work ~4x by round 3 (r15 opt)
-        labeled = labeled.union(newly).localCheckpoint(true)
+        val grown = labeled.union(newly).cp
+        // round t is materialized: round t-1's blocks are dead (r16
+        // checkpoint lifecycle — see graft.Checkpoints)
+        Checkpoints.release(labeled)
+        labeled = grown
       }
       emb.join(labeled, Seq("vec_id"), "left")
         .select(col("vec_id"),
@@ -602,7 +611,7 @@ private[graft] object AnnQueries {
       val wedges = adj.as("x").join(adj.as("y"),
           col("x.u") === col("y.u") && col("x.v") < col("y.v"))
         .select(col("x.v").as("b"), col("y.v").as("c"))
-        .localCheckpoint(true)
+        .cp
       val closed = wedges.join(edges,
         wedges("b") === edges("u") && wedges("c") === edges("v"))
       val nv = Tables(s, dir).embeddings
@@ -634,15 +643,19 @@ private[graft] object AnnQueries {
       // k partitions; the range-bucketed rank never does), and the
       // one-row-per-cluster cutoff table broadcasts back for the tail
       // filter.
-      val asg = queries("q114_kmeans_cluster")(s, dir)
-      // ranked output materialized ONCE (r15 opt): the p95-cutoff
-      // branch and the tail filter both consume it
-      val ranked = graft.operators.Quantile.ranked(
-        asg, Seq("cluster"), "dist", "vec_id").localCheckpoint(true)
-      val cuts = ranked
-        .filter(col("rn") === expr("(19 * n + 19) DIV 20"))
-        .groupBy(col("cluster")).agg(max(col("dist")).as("p95"))
-      ranked.join(broadcast(cuts), "cluster")
+      // assignment materialized ONCE (r16): the p95 computation and
+      // the tail filter both consume it
+      val asg = Checkpoints.cp(queries("q114_kmeans_cluster")(s, dir))
+      // r16 (VERDICT r15 #5 pattern): the tail filter compares dist to
+      // the broadcast cutoff and never needs a per-row rank, so
+      // Quantile.cutoffs replaces the full rank pass (r15 ranked every
+      // vector, checkpointed the full ranked table and read it twice).
+      // Same nearest-rank p95 value (oracle-verified).
+      val cuts = graft.operators.Quantile.cutoffs(
+        asg, Seq("cluster"), "dist", "vec_id",
+        Seq("p95" -> "(19 * n + 19) DIV 20"))
+        .select(col("cluster"), col("p95"))
+      asg.join(broadcast(cuts), "cluster")
         .filter(col("dist") > col("p95"))
         .select(col("vec_id"), col("cluster"), col("dist"), col("p95"))
         .orderBy(col("cluster"), col("dist").desc, col("vec_id"))

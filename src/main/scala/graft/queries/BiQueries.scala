@@ -1,6 +1,8 @@
 package graft.queries
 
 import graft.Tables
+import graft.Checkpoints
+import graft.Checkpoints.Ops
 import graft.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -92,10 +94,11 @@ private[graft] object BiQueries {
         .rowsBetween(Window.unboundedPreceding, 0)
       val wAll = Window.orderBy(col("decile"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      graft.operators.Quantile.ranked(per, Seq.empty, "cents", "user_id",
-          rankCol = "i")
-        .withColumn("decile",
-          graft.operators.Quantile.ntileOf("i", "n", 10).cast("long"))
+      // r16: Quantile.ntiled — deciles via broadcast boundary compare
+      // instead of ranking every user row (user_id unique after the
+      // rollup); same ANSI decile assignment (oracle-verified)
+      graft.operators.Quantile.ntiled(per, Seq.empty, "cents", "user_id",
+          10, "decile")
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("decile_cents"))
         .select(col("decile"), col("n_users"), col("decile_cents"),
@@ -594,9 +597,11 @@ private[graft] object BiQueries {
       val wAll = Window.partitionBy()
       val wCum = Window.orderBy(col("decile"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      graft.operators.Quantile.ranked(scored, Seq.empty, "sneg", "doc_id")
-        .withColumn("decile",
-          graft.operators.Quantile.ntileOf("rn", "n", 10).cast("long"))
+      // r16: Quantile.ntiled — deciles via broadcast boundary compare
+      // instead of ranking every scored doc (doc_id unique); same ANSI
+      // decile assignment (oracle-verified)
+      graft.operators.Quantile.ntiled(scored, Seq.empty, "sneg", "doc_id",
+          10, "decile")
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"))
@@ -701,24 +706,25 @@ private[graft] object BiQueries {
       // rank rows at the two nearest-rank targets collapse to a
       // 2-values-per-type cutoff table that broadcasts back onto the
       // same ranked scan for the clamp rollup.
-      val base = Tables(s, dir).events
+      // the slim projection is materialized ONCE and consumed by BOTH
+      // the cutoff computation and the clamp rollup (r16: see below)
+      val base = Checkpoints.cp(Tables(s, dir).events
         .select(col("event_type"), col("event_id"),
-          floor(col("value") * 100).cast("long").as("c"))
-      // ranked output materialized ONCE (r15 opt): the cutoff branch
-      // and the clamp rollup are two independent consumers, so the
-      // uncheckpointed rank pass (bucket joins + local window) ran
-      // twice
-      val ranked = graft.operators.Quantile.ranked(
-        base, Seq("event_type"), "c", "event_id").localCheckpoint(true)
-      val cuts = ranked
-        .filter(col("rn") === expr("(n + 19) DIV 20") ||
-          col("rn") === expr("(19 * n + 19) DIV 20"))
-        .groupBy(col("event_type"))
-        .agg(max(when(col("rn") === expr("(n + 19) DIV 20"), col("c")))
-            .as("lo"),
-          max(when(col("rn") === expr("(19 * n + 19) DIV 20"), col("c")))
-            .as("hi"))
-      ranked.join(broadcast(cuts), "event_type")
+          floor(col("value") * 100).cast("long").as("c")))
+      // r16 (VERDICT r15 #5): Quantile.cutoffs emits ONLY the values
+      // at the two nearest-rank targets — the r15 form ranked every
+      // row (full-input window sort), checkpointed the full ranked
+      // table, and read it twice just to find 2 rows per type and
+      // clamp against them. cutoffs keeps the same bounded passes 0-3
+      // and sorts only the <= 2 buckets per type that contain a
+      // target; the clamp rollup reads the materialized slim input
+      // directly. Same nearest-rank definition, same integer values
+      // (oracle-verified).
+      val cuts = graft.operators.Quantile.cutoffs(
+        base, Seq("event_type"), "c", "event_id",
+        Seq("lo" -> "(n + 19) DIV 20", "hi" -> "(19 * n + 19) DIV 20"))
+        .select(col("event_type"), col("lo"), col("hi"))
+      base.join(broadcast(cuts), "event_type")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           max(col("lo")).as("p05_cents"), max(col("hi")).as("p95_cents"),
@@ -763,10 +769,12 @@ private[graft] object BiQueries {
           struct(lit("m").as("dim"), col("cents").as("v")))).as("x"))
         .select(col("user_id"), col("cents"), col("x.dim").as("dim"),
           col("x.v").as("v"))
-      val scored = graft.operators.Quantile.ranked(
-          dims, Seq("dim"), "v", "user_id")
-        .withColumn("score",
-          graft.operators.Quantile.ntileOf("rn", "n", 4).cast("long"))
+      // r16: Quantile.ntiled — quartiles via broadcast boundary
+      // compare instead of ranking every (dim, user) row (user_id is
+      // unique per dim, ntiled's precondition); the full-input window
+      // sort is gone, same ANSI quartile assignment (oracle-verified)
+      val scored = graft.operators.Quantile.ntiled(
+        dims, Seq("dim"), "v", "user_id", 4, "score")
       scored
         .groupBy(col("user_id"))
         .agg(max(when(col("dim") === "r", col("score"))).as("r_score"),
@@ -877,24 +885,24 @@ private[graft] object BiQueries {
           struct(lit("p").as("m"), pl.as("v")))).as("x"))
         .select(col("user_id"), col("x.m").as("m"), col("x.v").as("v"))
         .filter(col("v").isNotNull)
-      graft.operators.Quantile.ranked(lat, Seq("m"), "v", "user_id")
+      // r16 (VERDICT r15 #5): Quantile.cutoffs — the r15 form ranked
+      // every converted user (full window sort over the latency
+      // stream) to read off 2 rows per measure; cutoffs keeps passes
+      // 0-3 and sorts only the <= 2 target buckets per measure. A
+      // measure with zero converted users emits no cutoff row, so the
+      // conditional max stays NULL and coalesce keeps the 0 — the same
+      // quantile-of-empty contract as before (oracle-verified).
+      graft.operators.Quantile.cutoffs(lat, Seq("m"), "v", "user_id",
+          Seq("p50" -> "(n + 1) DIV 2", "p90" -> "(9 * n + 9) DIV 10"))
         .agg(
           coalesce(max(when(col("m") === "c", col("n"))), lit(0L))
             .as("n_click_conv"),
-          max(when(col("m") === "c" &&
-            col("rn") === expr("(n + 1) DIV 2"), col("v")))
-            .as("click_p50_us"),
-          max(when(col("m") === "c" &&
-            col("rn") === expr("(9 * n + 9) DIV 10"), col("v")))
-            .as("click_p90_us"),
+          max(when(col("m") === "c", col("p50"))).as("click_p50_us"),
+          max(when(col("m") === "c", col("p90"))).as("click_p90_us"),
           coalesce(max(when(col("m") === "p", col("n"))), lit(0L))
             .as("n_purchase_conv"),
-          max(when(col("m") === "p" &&
-            col("rn") === expr("(n + 1) DIV 2"), col("v")))
-            .as("purchase_p50_us"),
-          max(when(col("m") === "p" &&
-            col("rn") === expr("(9 * n + 9) DIV 10"), col("v")))
-            .as("purchase_p90_us"))
+          max(when(col("m") === "p", col("p50"))).as("purchase_p50_us"),
+          max(when(col("m") === "p", col("p90"))).as("purchase_p90_us"))
     },
 
 

@@ -1,6 +1,8 @@
 package graft.queries
 
 import graft.Tables
+import graft.Checkpoints
+import graft.Checkpoints.Ops
 import graft.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -73,11 +75,29 @@ private[graft] object DedupQueries {
       val pairs = minhashDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
       val und = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
         .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
-        .localCheckpoint(true)
+        .cp
       val deg = und.groupBy(col("s")).agg(count(lit(1)).as("deg"))
-      val edges = und.join(deg, Seq("s")).localCheckpoint(true)
-      val nodes = deg.select(col("s").as("v")).localCheckpoint(true)
+      // r16 tried-and-REVERTED: persisting edges/nodes via
+      // Checkpoints.persist so the cache keeps their hash(s)/hash(v)
+      // partitioning (a checkpoint's LogicalRDD reports
+      // UnknownPartitioning, so each round re-shuffles the edge table
+      // into the rank join — guide §2.4). The plan evidence was real
+      // (round subplans read InMemoryTableScan with no exchange above
+      // it), but the measured COLD number — the driver's surface — was
+      // 25% WORSE (interleaved A/B, fresh JVMs, 3 rounds each: persist
+      // 8.4-8.9 s vs checkpoint 6.4-7.1 s at sf0.1/local[32]; warm
+      // medians a wash, 3.57 vs 3.72): the columnar cache build +
+      // eager count + per-round columnar->row decode outweigh five
+      // avoided exchanges of a toy-scale edge table. At real scale the
+      // co-partitioned form is the bucketed-table pattern and the knob
+      // to revisit; the numbers say checkpoint here.
+      val edges = und.join(deg, Seq("s")).cp
+      val nodes = deg.select(col("s").as("v")).cp
       var ranks = nodes.select(col("v"), lit(1000000L).as("sc"))
+      // prevCp tracks the loop-owned checkpoint only: round 0's ranks
+      // is a projection over `nodes` (shared by every round), so
+      // releasing it would kill nodes' blocks too
+      var prevCp: DataFrame = null
       for (_ <- 1 to 5) {
         val contrib = edges
           .join(ranks.select(col("v").as("s"), col("sc")), Seq("s"))
@@ -87,7 +107,11 @@ private[graft] object DedupQueries {
           .join(contrib.select(col("d").as("v"), col("t")), Seq("v"), "left")
           .select(col("v"), (lit(150000L) +
             expr("850000 * coalesce(t, 0) DIV 1000000")).as("sc"))
-          .localCheckpoint(true)
+          .cp
+        // round n is materialized: round n-1's blocks are dead (r16
+        // checkpoint lifecycle — see graft.Checkpoints)
+        if (prevCp != null) Checkpoints.release(prevCp)
+        prevCp = ranks
       }
       // top-20 via TakeOrdered (never a global rank window over the
       // corpus-scale node table); the row_number only ranks 20 rows
@@ -123,7 +147,7 @@ private[graft] object DedupQueries {
       // third consumer — uncheckpointed, each re-ran the tokenize +
       // shingle kernel over the corpus
       val docs = shingled(Tables(s, dir)).filter(size(col("sh")) > 0)
-        .localCheckpoint(true)
+        .cp
       val post = docs.select(col("doc_id"), explode(col("sh")).as("g"))
       val grouped = post.groupBy(col("g"))
         .agg(count(lit(1)).as("df"),
@@ -213,18 +237,18 @@ private[graft] object DedupQueries {
       // twice (union + the two join probes), and the LSH band join +
       // exact verify re-ran per consumption without this (r15 opt)
       val pairs = minhashDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
-        .localCheckpoint(true)
+        .cp
       val und = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
         .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
       val deg = und.groupBy(col("s")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint(true)
+        .cp
       val ord = und
         .join(deg.select(col("s"), col("deg").as("du")), "s")
         .join(deg.select(col("s").as("d"), col("deg").as("dv")), "d")
         .filter(col("du") < col("dv") ||
           (col("du") === col("dv") && col("s") < col("d")))
         .select(col("s").as("u"), col("d").as("v"), col("dv").as("rv"))
-        .localCheckpoint(true)
+        .cp
       val e1 = ord.select(col("u"), col("v").as("x"), col("rv").as("rx"))
       val e2 = ord.select(col("u"), col("v").as("y"), col("rv").as("ry"))
       val tri = e1.join(e2, Seq("u"))
@@ -260,7 +284,7 @@ private[graft] object DedupQueries {
       // "computed once" made literal (r15 opt): base and docs are two
       // independent consumers of the swept pairs, so the uncheckpointed
       // edge build (band join + exact verify) ran twice
-      val pairs = minhashDupPairs(s, dir).localCheckpoint(true)
+      val pairs = minhashDupPairs(s, dir).cp
       val thr = s.range(0, 4).select(
         expr("element_at(array(0.90D, 0.92D, 0.95D, 0.98D), " +
           "CAST(id + 1 AS INT))").as("threshold"))
@@ -316,7 +340,7 @@ private[graft] object DedupQueries {
       // kernel over the corpus (the verify joins broadcast the
       // candidate side, so both probe sides are full corpus scans)
       val docs = shingled(Tables(s, dir)).filter(size(col("sh")) > 0)
-        .localCheckpoint(true)
+        .cp
       // Global token order: (xxhash64(token), token) — computed PER
       // ROW, no df pass, no shuffle, no broadcast. Correctness does
       // not depend on the choice of order (any consistent total order
@@ -401,7 +425,7 @@ private[graft] object DedupQueries {
       // which the streaming twin shares and a stream side cannot
       // checkpoint): prefix postings, the container index and the two
       // verify probes otherwise each re-ran tokenize + shingle (r15 opt)
-      val docs = shingled(Tables(s, dir)).localCheckpoint(true)
+      val docs = shingled(Tables(s, dir)).cp
       containmentPairs(docs, docs)
         .orderBy(col("contained_doc"), col("container_doc"))
     },
@@ -537,11 +561,11 @@ private[graft] object DedupQueries {
       // 100 TB the edge set is the near-dup graph only — propagation
       // shuffles (doc_id, label) pairs, never documents.
       val edges = minhashDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
-        .localCheckpoint(true)
+        .cp
       val und = edges.union(
         edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       var labels = und.select(col("doc_a").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id")).localCheckpoint(true)
+        .withColumn("label", col("doc_id")).cp
       var converged = false
       var iter = 0
       while (!converged && iter < 20) {
@@ -552,8 +576,13 @@ private[graft] object DedupQueries {
           .join(nbrMin, Seq("doc_id"), "left")
           .select(col("doc_id"), col("old"),
             least(col("old"), coalesce(col("nbr"), col("old"))).as("label"))
-          .localCheckpoint(true)
+          .cp
         converged = next.filter(col("label") =!= col("old")).isEmpty
+        // round n is materialized and the convergence check consumed
+        // round n-1 (`labels` is the seed cp or a projection of the
+        // previous round's cp — nothing shared): release its blocks
+        // (r16 checkpoint lifecycle — see graft.Checkpoints)
+        Checkpoints.release(labels)
         labels = next.select(col("doc_id"), col("label"))
         iter += 1
       }

@@ -170,10 +170,12 @@ private[graft] object StatQueries {
         .select(col("user_id"), floor(col("value") * 100).cast("long").as("c"))
         .groupBy(col("user_id")).agg(sum(col("c")).as("y"))
         .withColumn("arm", arm)
-      graft.operators.Quantile.ranked(perUser, Seq("arm"), "y", "user_id",
-          rankCol = "i")
-        .withColumn("decile",
-          graft.operators.Quantile.ntileOf("i", "n", 10).cast("long"))
+      // r16: Quantile.ntiled — per-arm deciles via broadcast boundary
+      // compare instead of ranking every user row (user_id unique
+      // after the rollup); same ANSI decile assignment per arm
+      // (oracle-verified)
+      graft.operators.Quantile.ntiled(perUser, Seq("arm"), "y", "user_id",
+          10, "decile")
         .groupBy(col("decile"))
         .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),
           sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_ctrl"),
@@ -438,10 +440,11 @@ private[graft] object StatQueries {
           sum(when(col("post"), col("c")).otherwise(0L)).as("y"))
         .withColumn("arm", arm)
       val one = lit(1).cast("double")
-      val cells = graft.operators.Quantile.ranked(perUser, Seq.empty,
-          "x", "user_id", rankCol = "i")
-        .withColumn("stratum",
-          graft.operators.Quantile.ntileOf("i", "n", 5).cast("long"))
+      // r16: Quantile.ntiled — quintile strata via broadcast boundary
+      // compare instead of ranking every user row (user_id unique
+      // after the rollup); same ANSI bucket assignment (oracle-verified)
+      val cells = graft.operators.Quantile.ntiled(perUser, Seq.empty,
+          "x", "user_id", 5, "stratum")
         .groupBy(col("stratum"))
         .agg(count(lit(1)).as("n_users"),
           sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),
@@ -757,10 +760,11 @@ private[graft] object StatQueries {
         .agg(sum(when(!col("post"), col("c")).otherwise(0L)).as("x"),
           sum(when(col("post"), col("c")).otherwise(0L)).as("y"))
         .withColumn("arm", arm)
-      val strat = graft.operators.Quantile.ranked(perUser, Seq.empty,
-          "x", "user_id", rankCol = "i")
-        .withColumn("stratum",
-          graft.operators.Quantile.ntileOf("i", "n", 5).cast("long"))
+      // r16: Quantile.ntiled — quintile strata via broadcast boundary
+      // compare instead of ranking every user row (user_id unique
+      // after the rollup); same ANSI bucket assignment (oracle-verified)
+      val strat = graft.operators.Quantile.ntiled(perUser, Seq.empty,
+          "x", "user_id", 5, "stratum")
         .groupBy(col("stratum"))
         .agg(count(lit(1)).as("n_users"),
           sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),

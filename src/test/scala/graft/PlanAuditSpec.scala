@@ -349,14 +349,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // q172: the ONE basket dedup shuffle feeds the in-basket pair
     // join; marginals/total ride broadcasts; + the tiny-table sort
     "q172_basket_rules" -> 3,
-    // q173 (r15 form): the (col, value)-type rollup + the per-col base
-    // agg + the (col,idx) register agg + the cols-row estimate rollup.
-    // One MORE exchange than the pre-r15 form, but the corpus is read
-    // once instead of twice and the countDistinct Expand (which doubled
-    // the base agg's input) is gone — every exchange past the first is
-    // over the bounded type/register tables, and the query measured
-    // 5.7 -> 1.6 s at sf0.1 with the extra exchange.
-    "q173_profile" -> 4,
+    // q173 (r16 form): the (col, value)-type rollup is CHECKPOINTED
+    // (its one exchange + the single lineitem scan live in the
+    // materialization job — VERDICT r15 #2: the r15 plan still scanned
+    // lineitem twice because the isNotNull pushdown under the HLL
+    // branch defeated ReuseExchange); the returned plan reads the
+    // bounded type table and pays the per-col base agg + the (col,idx)
+    // register agg + the cols-row estimate rollup. plans/r16 carries
+    // both the final plan and the materialization plan (one scan).
+    "q173_profile" -> 3,
     // q174: the (user,day) dedup + user first-seen rollup + the
     // (day,idx) register agg — the cumsum/prefix-max windows run on
     // days-bounded cell tables
@@ -390,8 +391,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // q185: scoring is map-only; the decile cut is Quantile's exact
     // distributed rank (4 bounded-bucket exchanges replace the former
     // corpus-wide single-partition ntile) — later stages run on 10
-    // decile rows
-    "q185_decile_lift" -> 8,
+    // decile rows. r16: ntiled inlines the boundary computation
+    // (Quantile passes 0-3 + the hot-bucket pick) under the broadcast
+    // side, +1 exchange over the r15 count, but every one of them is a
+    // bounded-table exchange and the full-input rank window (with its
+    // full ranked-table checkpoint) is gone — the A/B measured
+    // 5.63 -> 3.00 s at sf0.1
+    "q185_decile_lift" -> 9,
     // q188: the per-user rollup + Quantile's exact-rank passes — the
     // two former global rank windows over |users| rows are gone
     "q188_gini_concentration" -> 8,
